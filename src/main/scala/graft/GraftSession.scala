@@ -1,0 +1,28 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Session factory with the engine's standard configuration.
+  *
+  * Tuned for correctness-reproducibility and scale:
+  *  - AQE on (runtime re-plan, skew-join splitting, shuffle coalescing)
+  *  - shuffle partitions sized to the local core count (the driver's
+  *    cluster submit would size this to executors × cores instead)
+  *  - UTC session timezone (cross-engine timestamp parity)
+  *  - nanos-as-long parquet reads (events.ts is TIMESTAMP(NANOS), which
+  *    Spark has no native type for; Tables.load normalizes to micros)
+  */
+object GraftSession {
+  def builder(master: String, shufflePartitions: Int): SparkSession.Builder =
+    SparkSession.builder()
+      .master(master)
+      .appName("graft")
+      .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+
+  def local(cores: Int = Runtime.getRuntime.availableProcessors()): SparkSession =
+    builder(s"local[$cores]", cores).getOrCreate()
+}

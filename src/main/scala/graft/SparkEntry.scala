@@ -1,13 +1,273 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types.DecimalType
+
+import graft.operators.Ops
+import graft.functions.Det
+
+/** Driver contract — see /root/repo/SURVEY.md §2/§7.
+  *
+  * Every entry in [[queries]] exercises the graft operator library and
+  * has (where SQL-expressible) a DuckDB oracle in [[oracleSql]] with
+  * IDENTICAL output column names. Numeric aggregates use the
+  * order-independent [[graft.functions.Det]] forms on both sides so
+  * results hash-match bit-for-bit across engines.
+  */
 object SparkEntry {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    queries("q_agg")(spark, "/root/testdata/sf0.001")
+
+  // -------------------------------------------------------------------
+  // Queries
+  // -------------------------------------------------------------------
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // -- filters ------------------------------------------------------
+    "q_filter" -> ((s, dir) => {
+      val li = Ops.filterAll(t(s, dir, "lineitem"),
+        Seq(("l_quantity", ">", 45.0), ("l_returnflag", "==", "R")))
+      Ops.selectOrder(li, Seq("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag"))
+    }),
+
+    "q_filter_dates" -> ((s, dir) => {
+      val li = Ops.filterDateRange(t(s, dir, "lineitem"),
+        "l_shipdate", "1995-01-01", "1995-03-31")
+      li.groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"), Det.sumMoney(col("l_extendedprice")).as("revenue"))
+    }),
+
+    // -- aggregation (TPC-H Q1 shape) ----------------------------------
+    "q_agg" -> ((s, dir) => {
+      val li = Ops.filterBy(t(s, dir, "lineitem"), "l_shipdate", "<=", "1998-09-01")
+      li.groupBy(col("l_returnflag"), col("l_linestatus")).agg(
+        Det.sumAt(col("l_quantity"), 2).as("sum_qty"),
+        Det.sumMoney(col("l_extendedprice")).as("sum_base_price"),
+        Det.sumAt(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 4).as("sum_disc_price"),
+        Det.meanAt(col("l_discount"), 6).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+    }),
+
+    // -- joins ----------------------------------------------------------
+    "q_join_inner" -> ((s, dir) => {
+      val cust = Ops.renameColumns(t(s, dir, "customer"), Map("c_custkey" -> "o_custkey"))
+      val j = Ops.join(t(s, dir, "orders"), cust, Seq("o_custkey"),
+        how = "inner", broadcastRight = true)
+      j.groupBy(col("c_mktsegment")).agg(
+        count(lit(1)).as("n_orders"),
+        Det.sumMoney(col("o_totalprice")).as("total_price"))
+    }),
+
+    "q_join_left" -> ((s, dir) => {
+      val ord = Ops.renameColumns(t(s, dir, "orders"), Map("o_custkey" -> "c_custkey"))
+      val j = Ops.join(t(s, dir, "customer"), ord, Seq("c_custkey"), how = "left")
+      Ops.groupAgg(j, Seq("c_custkey"), Seq(("o_orderkey", "count", "n_orders")))
+    }),
+
+    "q_join_multi" -> ((s, dir) => {
+      // lineitem ⋈ orders ⋈ customer ⋈ nation ⋈ region (Q5 shape).
+      // Dims are broadcast; the fact table never shuffles for them.
+      val li = t(s, dir, "lineitem")
+      val ord = Ops.renameColumns(t(s, dir, "orders"), Map("o_orderkey" -> "l_orderkey"))
+      val cust = Ops.renameColumns(t(s, dir, "customer"), Map("c_custkey" -> "o_custkey"))
+      val nat = Ops.renameColumns(t(s, dir, "nation"), Map("n_nationkey" -> "c_nationkey"))
+      val reg = Ops.renameColumns(t(s, dir, "region"), Map("r_regionkey" -> "n_regionkey"))
+      val j = Ops.join(
+        Ops.join(
+          Ops.join(
+            Ops.join(li, ord, Seq("l_orderkey")),
+            cust, Seq("o_custkey"), broadcastRight = true),
+          nat, Seq("c_nationkey"), broadcastRight = true),
+        reg, Seq("n_regionkey"), broadcastRight = true)
+      Ops.filterBy(j, "r_name", "==", "ASIA")
+        .groupBy(col("n_name"))
+        .agg(Det.sumAt(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 4).as("revenue"))
+    }),
+
+    // -- pivot ----------------------------------------------------------
+    "q_pivot" -> ((s, dir) => {
+      Ops.pivot(t(s, dir, "lineitem"), Seq("l_returnflag"), "l_linestatus",
+        Seq("F", "O"), Det.sumAt(col("l_quantity"), 2))
+    }),
+
+    // -- window functions ------------------------------------------------
+    "q_rank" -> ((s, dir) => {
+      val r = Ops.rankWithin(t(s, dir, "supplier"), Seq("s_nationkey"),
+        Seq(col("s_acctbal").desc, col("s_suppkey").asc), dense = false, alias = "rnk")
+      Ops.filterBy(r, "rnk", "<=", 3)
+        .select(col("s_nationkey"), col("s_suppkey"), col("s_acctbal"),
+          col("rnk").cast("long").as("rnk"))
+    }),
+
+    "q_lag" -> ((s, dir) => {
+      Ops.lagLead(t(s, dir, "orders"), "o_totalprice", Seq("o_custkey"),
+        Seq(col("o_orderdate").asc, col("o_orderkey").asc), 1, "prev_price")
+        .select("o_custkey", "o_orderkey", "o_totalprice", "prev_price")
+    }),
+
+    "q_running_total" -> ((s, dir) => {
+      Ops.runningTotal(t(s, dir, "orders"), "o_totalprice", Seq("o_custkey"),
+        Seq(col("o_orderdate").asc, col("o_orderkey").asc), alias = "running_spend")
+        .select("o_custkey", "o_orderkey", "o_orderdate", "running_spend")
+    }),
+
+    "q_rolling" -> ((s, dir) => {
+      // Daily revenue + exact 7-day rolling sum. The day-level frame is
+      // tiny post-aggregation, so the single unpartitioned window is
+      // fine; at 100 TB the pre-aggregation did the heavy lifting.
+      val daily = t(s, dir, "lineitem")
+        .groupBy(to_date(col("l_shipdate")).as("day"))
+        .agg(sum(col("l_extendedprice").cast(DecimalType(18, 2))).as("rev"))
+      val w = Window.orderBy(col("day")).rowsBetween(-6, Window.currentRow)
+      daily.select(col("day"), col("rev").cast("double").as("revenue"),
+        sum(col("rev")).over(w).cast("double").as("rev_7d"))
+    }),
+
+    // -- type conversion / projection -------------------------------------
+    "q_typeconv" -> ((s, dir) => {
+      val o = Ops.convertTypes(t(s, dir, "orders"), Map("o_orderdate" -> "date"))
+      o.select(col("o_orderkey"),
+        col("o_orderdate"),
+        year(col("o_orderdate")).cast("int").as("yr"),
+        substring(col("o_orderpriority"), 1, 1).cast("int").as("priority_num"))
+    }),
+
+    "q_project" -> ((s, dir) => {
+      val p = Ops.renameColumns(t(s, dir, "part"), Map("p_name" -> "part_name"))
+      val d = Ops.dropColumns(p, Seq("p_brand", "p_retailprice"))
+      Ops.selectOrder(d, Seq("p_partkey", "part_name", "p_type", "p_size"))
+    }),
+
+    // -- SQL transform ----------------------------------------------------
+    "q_sql" -> ((s, dir) => {
+      Tables.registerAll(s, dir)
+      Ops.sqlTransform(s, sqlPriority)
+    }),
+
+    // -- custom expression (reference's custom-UDF slot, codegen-native) ---
+    "q_custom_expr" -> ((s, dir) => {
+      val bucket = when(col("o_totalprice") < 50000.0, "low")
+        .when(col("o_totalprice") < 150000.0, "mid")
+        .otherwise("high")
+      t(s, dir, "orders")
+        .withColumn("price_bucket", bucket)
+        .groupBy(col("price_bucket"))
+        .agg(count(lit(1)).as("n"), Det.sumMoney(col("o_totalprice")).as("total"))
+    })
+  )
+
+  private val sqlPriority: String =
+    "SELECT o_orderpriority, COUNT(*) AS n, " +
+      Det.sqlSumMoney("o_totalprice") + " AS total " +
+      "FROM orders GROUP BY o_orderpriority"
+
+  // -------------------------------------------------------------------
+  // DuckDB oracles (identical column names + Det-deterministic math)
+  // -------------------------------------------------------------------
+  def oracleSql: Map[String, String] = Map(
+    "q_filter" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag
+        |FROM lineitem WHERE l_quantity > 45 AND l_returnflag = 'R'""".stripMargin,
+
+    "q_filter_dates" ->
+      s"""SELECT l_returnflag, COUNT(*) AS n,
+         |${Det.sqlSumMoney("l_extendedprice")} AS revenue
+         |FROM lineitem
+         |WHERE l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
+         |  AND l_shipdate <= TIMESTAMP '1995-03-31 00:00:00'
+         |GROUP BY l_returnflag""".stripMargin,
+
+    "q_agg" ->
+      s"""SELECT l_returnflag, l_linestatus,
+         |${Det.sqlSumAt("l_quantity", 2)} AS sum_qty,
+         |${Det.sqlSumMoney("l_extendedprice")} AS sum_base_price,
+         |${Det.sqlSumAt("l_extendedprice*(1.0-l_discount)", 4)} AS sum_disc_price,
+         |${Det.sqlMeanAt("l_discount", 6)} AS avg_disc,
+         |COUNT(*) AS count_order
+         |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-01 00:00:00'
+         |GROUP BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q_join_inner" ->
+      s"""SELECT c_mktsegment, COUNT(*) AS n_orders,
+         |${Det.sqlSumMoney("o_totalprice")} AS total_price
+         |FROM orders JOIN customer ON o_custkey = c_custkey
+         |GROUP BY c_mktsegment""".stripMargin,
+
+    "q_join_left" ->
+      """SELECT c_custkey, COUNT(o_orderkey) AS n_orders
+        |FROM customer LEFT JOIN orders ON o_custkey = c_custkey
+        |GROUP BY c_custkey""".stripMargin,
+
+    "q_join_multi" ->
+      s"""SELECT n_name,
+         |${Det.sqlSumAt("l_extendedprice*(1.0-l_discount)", 4)} AS revenue
+         |FROM lineitem
+         |JOIN orders   ON o_orderkey = l_orderkey
+         |JOIN customer ON c_custkey = o_custkey
+         |JOIN nation   ON n_nationkey = c_nationkey
+         |JOIN region   ON r_regionkey = n_regionkey
+         |WHERE r_name = 'ASIA'
+         |GROUP BY n_name""".stripMargin,
+
+    "q_pivot" ->
+      """SELECT l_returnflag,
+        |CAST(SUM(CASE WHEN l_linestatus = 'F' THEN CAST(l_quantity AS DECIMAL(28,2)) END) AS DOUBLE) AS "F",
+        |CAST(SUM(CASE WHEN l_linestatus = 'O' THEN CAST(l_quantity AS DECIMAL(28,2)) END) AS DOUBLE) AS "O"
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+
+    "q_rank" ->
+      """SELECT s_nationkey, s_suppkey, s_acctbal, rnk FROM (
+        |  SELECT s_nationkey, s_suppkey, s_acctbal,
+        |         RANK() OVER (PARTITION BY s_nationkey
+        |                      ORDER BY s_acctbal DESC, s_suppkey ASC) AS rnk
+        |  FROM supplier) WHERE rnk <= 3""".stripMargin,
+
+    "q_lag" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice,
+        |LAG(o_totalprice, 1) OVER (PARTITION BY o_custkey
+        |    ORDER BY o_orderdate, o_orderkey) AS prev_price
+        |FROM orders""".stripMargin,
+
+    "q_running_total" ->
+      """SELECT o_custkey, o_orderkey, o_orderdate,
+        |CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+        |  PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_spend
+        |FROM orders""".stripMargin,
+
+    "q_rolling" ->
+      """WITH daily AS (
+        |  SELECT CAST(l_shipdate AS DATE) AS day,
+        |         SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS rev
+        |  FROM lineitem GROUP BY 1)
+        |SELECT day, CAST(rev AS DOUBLE) AS revenue,
+        |CAST(SUM(rev) OVER (ORDER BY day
+        |  ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS DOUBLE) AS rev_7d
+        |FROM daily""".stripMargin,
+
+    "q_typeconv" ->
+      """SELECT o_orderkey, CAST(o_orderdate AS DATE) AS o_orderdate,
+        |CAST(YEAR(o_orderdate) AS INTEGER) AS yr,
+        |CAST(SUBSTR(o_orderpriority, 1, 1) AS INTEGER) AS priority_num
+        |FROM orders""".stripMargin,
+
+    "q_project" ->
+      """SELECT p_partkey, p_name AS part_name, p_type, p_size FROM part""".stripMargin,
+
+    "q_sql" -> sqlPriority,
+
+    "q_custom_expr" ->
+      s"""SELECT CASE WHEN o_totalprice < 50000.0 THEN 'low'
+         |            WHEN o_totalprice < 150000.0 THEN 'mid'
+         |            ELSE 'high' END AS price_bucket,
+         |COUNT(*) AS n, ${Det.sqlSumMoney("o_totalprice")} AS total
+         |FROM orders GROUP BY 1""".stripMargin
+  )
 }

@@ -1,0 +1,33 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Canonical table access for the graft engine.
+  *
+  * All tables are parquet directories/files under a scale-factor dir
+  * (see TESTDATA.md). Reads are plain `spark.read.parquet` so Catalyst
+  * gets full pushdown (filters, column pruning, partition pruning when
+  * the layout is partitioned).
+  */
+object Tables {
+  val names: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  /** Load a table. `events.ts` is TIMESTAMP(NANOS) parquet, which Spark
+    * reads as long nanos under `spark.sql.legacy.parquet.nanosAsLong`
+    * (set by [[graft.GraftSession]]); we normalize it to a microsecond
+    * timestamp — the same truncation DuckDB applies — so both engines
+    * see identical values.
+    */
+  def load(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val df = spark.read.parquet(s"$dir/$name.parquet")
+    if (name == "events" && df.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+      df.withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+    else df
+  }
+
+  /** Register every table as a temp view (for SQL transforms). */
+  def registerAll(spark: SparkSession, dir: String): Unit =
+    names.foreach(n => load(spark, dir, n).createOrReplaceTempView(n))
+}

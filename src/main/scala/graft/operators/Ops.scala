@@ -1,0 +1,209 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** The core transformation library: the Spark-native re-expression of
+  * the reference's `TransformationExamples` / `TransformEngine`
+  * surface (reference: src/transform/transformation_library.py,
+  * src/transform/transform_engine.py).
+  *
+  * Everything here is declarative — each method only composes a
+  * logical plan, so Catalyst keeps pushdown / pruning / join
+  * reordering, and Tungsten keeps whole-stage codegen. Nothing
+  * collects to the driver; nothing forces a shuffle that the plan
+  * doesn't inherently need.
+  */
+object Ops {
+
+  // ---- 1. Filters (ref: filter_by_condition / _multiple / _date_range)
+
+  /** Single comparison filter; operator is one of == != > < >= <=.
+    * The predicate lands in the parquet scan via Catalyst pushdown.
+    */
+  def filterBy(df: DataFrame, column: String, op: String, value: Any): DataFrame = {
+    val c = col(column)
+    val v = lit(value)
+    val pred = op match {
+      case "==" => c === v
+      case "!=" => c =!= v
+      case ">"  => c > v
+      case "<"  => c < v
+      case ">=" => c >= v
+      case "<=" => c <= v
+      case other => throw new IllegalArgumentException(s"Unsupported operator: $other")
+    }
+    df.filter(pred)
+  }
+
+  /** AND of many (column, op, value) conditions — one combined predicate,
+    * not N sequential passes like the reference.
+    */
+  def filterAll(df: DataFrame, conditions: Seq[(String, String, Any)]): DataFrame =
+    conditions.foldLeft(df) { case (d, (c, op, v)) => filterBy(d, c, op, v) }
+
+  /** Inclusive date/timestamp range filter (pushed to the scan). */
+  def filterDateRange(df: DataFrame, dateColumn: String, start: String, end: String): DataFrame =
+    df.filter(col(dateColumn) >= lit(start).cast(TimestampType) &&
+              col(dateColumn) <= lit(end).cast(TimestampType))
+
+  // ---- 2. Column mapping (ref: rename_columns / drop_columns / reorder_columns)
+
+  def renameColumns(df: DataFrame, mapping: Map[String, String]): DataFrame =
+    mapping.foldLeft(df) { case (d, (from, to)) => d.withColumnRenamed(from, to) }
+
+  def dropColumns(df: DataFrame, columns: Seq[String]): DataFrame =
+    df.drop(columns: _*)
+
+  /** Reorder/select columns — also column-prunes the upstream scan. */
+  def selectOrder(df: DataFrame, order: Seq[String]): DataFrame =
+    df.select(order.map(col): _*)
+
+  // ---- 3. Type conversion (ref: convert_to_numeric / _datetime / _string)
+
+  /** Cast columns per a type-name map. Type names mirror the reference
+    * ("numeric" → double, "datetime" → timestamp) plus Spark DDL names.
+    */
+  def convertTypes(df: DataFrame, typeMapping: Map[String, String]): DataFrame = {
+    def dt(name: String): DataType = name.toLowerCase match {
+      case "numeric" | "double" | "float64" => DoubleType
+      case "int" | "integer"                => IntegerType
+      case "long" | "bigint"                => LongType
+      case "string" | "str" | "varchar"     => StringType
+      case "datetime" | "timestamp"         => TimestampType
+      case "date"                           => DateType
+      case "boolean" | "bool"               => BooleanType
+      case other                            => CatalystSqlParser.parse(other)
+    }
+    typeMapping.foldLeft(df) { case (d, (c, t)) => d.withColumn(c, col(c).cast(dt(t))) }
+  }
+
+  private object CatalystSqlParser {
+    def parse(ddl: String): DataType = DataType.fromDDL(ddl)
+  }
+
+  // ---- 4. Joins (ref: inner_join / left_join / merge_multiple)
+
+  /** Join on shared key columns. `broadcastRight` forces a broadcast of
+    * the right side (dims); otherwise Catalyst/AQE pick the strategy.
+    * At 100 TB: dimension joins MUST broadcast — a shuffled fact table
+    * join on a 25-row region table is the canonical scale bug.
+    */
+  def join(left: DataFrame, right: DataFrame, on: Seq[String],
+           how: String = "inner", broadcastRight: Boolean = false): DataFrame = {
+    val r = if (broadcastRight) broadcast(right) else right
+    left.join(r, on, how)
+  }
+
+  /** N-way join on the same keys (ref merge_multiple). Catalyst
+    * reorders/broadcasts as statistics allow.
+    */
+  def joinMany(dfs: Seq[DataFrame], on: Seq[String], how: String = "inner"): DataFrame =
+    dfs.reduceLeft((a, b) => a.join(b, on, how))
+
+  /** Skew-resistant equi-join: salt the (skewed) left side's key into
+    * `buckets` sub-keys and explode the right side to match. Use when a
+    * handful of hot keys dominate; otherwise prefer AQE skew handling.
+    */
+  def saltedJoin(left: DataFrame, right: DataFrame, key: String,
+                 buckets: Int, how: String = "inner"): DataFrame = {
+    val salted = left.withColumn("__salt", pmod(monotonically_increasing_id(), lit(buckets.toLong)).cast("int"))
+    val exploded = right.withColumn("__salt", explode(array((0 until buckets).map(lit): _*)))
+    salted.join(exploded, Seq(key, "__salt"), how).drop("__salt")
+  }
+
+  // ---- 5. Aggregation (ref: groupby_aggregate / pivot_table / rolling_aggregate)
+
+  /** GroupBy + named aggregates. `aggs` entries are
+    * (inputColumn, function, outputAlias); functions: sum, mean/avg,
+    * count, count_distinct, min, max, sum_money (exact decimal sum of a
+    * money column, returned as double — see [[graft.functions.Det]]).
+    * Map-side partial aggregation is automatic.
+    */
+  def groupAgg(df: DataFrame, groupCols: Seq[String],
+               aggs: Seq[(String, String, String)]): DataFrame = {
+    val exprs = aggs.map { case (c, f, alias) => aggExpr(c, f).as(alias) }
+    df.groupBy(groupCols.map(col): _*).agg(exprs.head, exprs.tail: _*)
+  }
+
+  private def aggExpr(c: String, f: String): Column = f.toLowerCase match {
+    case "sum"            => sum(col(c))
+    case "sum_money"      => graft.functions.Det.sumMoney(col(c))
+    case "mean" | "avg"   => avg(col(c))
+    case "count"          => count(col(c))
+    case "count_distinct" => countDistinct(col(c))
+    case "min"            => min(col(c))
+    case "max"            => max(col(c))
+    case "first"          => first(col(c))
+    case other            => throw new IllegalArgumentException(s"Unsupported agg: $other")
+  }
+
+  /** Pivot with explicit pivot values (explicit values keep the plan a
+    * single pass — no extra distinct-scan to discover them — and make
+    * output columns deterministic).
+    */
+  def pivot(df: DataFrame, index: Seq[String], pivotCol: String,
+            pivotValues: Seq[String], valueAgg: Column): DataFrame =
+    df.groupBy(index.map(col): _*).pivot(pivotCol, pivotValues).agg(valueAgg)
+
+  /** Rolling aggregate over the preceding `window-1` rows + current row
+    * within a partition (ref rolling_aggregate). Ordering must be
+    * deterministic — pass a unique composite ordering.
+    */
+  def rolling(df: DataFrame, partitionBy: Seq[String], orderBy: Seq[Column],
+              column: String, window: Int, function: String,
+              alias: String): DataFrame = {
+    val w = Window.partitionBy(partitionBy.map(col): _*).orderBy(orderBy: _*)
+      .rowsBetween(-(window - 1), Window.currentRow)
+    val e = function.toLowerCase match {
+      case "mean" | "avg" => avg(col(column)).over(w)
+      case "sum"          => sum(col(column)).over(w)
+      case "min"          => min(col(column)).over(w)
+      case "max"          => max(col(column)).over(w)
+      case "std"          => stddev(col(column)).over(w)
+      case other          => throw new IllegalArgumentException(s"Unsupported rolling fn: $other")
+    }
+    df.withColumn(alias, e)
+  }
+
+  // ---- 6. Window functions (ref: rank_within_group / lag_lead / running_total)
+
+  def rankWithin(df: DataFrame, partitionBy: Seq[String], orderBy: Seq[Column],
+                 dense: Boolean = true, alias: String = "rank"): DataFrame = {
+    val w = Window.partitionBy(partitionBy.map(col): _*).orderBy(orderBy: _*)
+    df.withColumn(alias, if (dense) dense_rank().over(w) else rank().over(w))
+  }
+
+  def lagLead(df: DataFrame, column: String, partitionBy: Seq[String],
+              orderBy: Seq[Column], offset: Int = 1,
+              alias: String = ""): DataFrame = {
+    val w = Window.partitionBy(partitionBy.map(col): _*).orderBy(orderBy: _*)
+    val name = if (alias.nonEmpty) alias else s"${column}_lag_$offset"
+    val e = if (offset >= 0) lag(col(column), offset).over(w)
+            else lead(col(column), -offset).over(w)
+    df.withColumn(name, e)
+  }
+
+  /** Running total. For money columns the sum runs in decimal so the
+    * cumulative value is exact and order-stable, then converts to
+    * double (cross-engine and re-partition reproducible).
+    */
+  def runningTotal(df: DataFrame, column: String, partitionBy: Seq[String],
+                   orderBy: Seq[Column], alias: String = "",
+                   exactMoney: Boolean = true): DataFrame = {
+    val w = Window.partitionBy(partitionBy.map(col): _*).orderBy(orderBy: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val name = if (alias.nonEmpty) alias else s"${column}_running_total"
+    val src = if (exactMoney) col(column).cast(DecimalType(18, 2)) else col(column)
+    val e = sum(src).over(w)
+    df.withColumn(name, if (exactMoney) e.cast("double") else e)
+  }
+
+  // ---- 7. SQL transform (ref: execute_sql_transform)
+
+  /** Run a SQL statement over already-registered temp views. */
+  def sqlTransform(spark: org.apache.spark.sql.SparkSession, sql: String): DataFrame =
+    spark.sql(sql)
+}
