@@ -1,0 +1,266 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.quality.DQ
+import graft.functions.Det
+
+/** DQ-engine query pack: every q_dq_* query + its DuckDB oracle.
+  * Reference semantics: src/quality/dq_engine.py:42-383 and
+  * src/quality/dq_rule_examples.py (rule types cited per query).
+  */
+object QueriesDQ {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  private val ordersCols =
+    Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "o_orderdate", "o_orderpriority")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // profile_data — ref dq_engine.py:45-67
+    "q_dq_profile" -> ((s, dir) => {
+      DQ.profile(t(s, dir, "orders"),
+        numericCols = Seq("o_orderkey", "o_custkey", "o_totalprice"),
+        otherCols = Seq("o_orderstatus", "o_orderpriority"))
+    }),
+
+    // completeness / not_null — ref dq_rule_examples.py:144,199,275
+    "q_dq_completeness" -> ((s, dir) => {
+      DQ.check(t(s, dir, "orders"),
+        ordersCols.map(c => DQ.NotNull(s"nn_$c", c)))
+    }),
+
+    // check_value_range — ref dq_rule_examples.py:388
+    "q_dq_range" -> ((s, dir) => {
+      DQ.check(t(s, dir, "lineitem"), Seq(
+        DQ.ValueRange("rng_qty", "l_quantity", 1, 50),
+        DQ.ValueRange("rng_disc", "l_discount", 0, 0.1),
+        DQ.ValueRange("rng_tax", "l_tax", 0, 0.08),
+        DQ.ValueRange("rng_price", "l_extendedprice", 0, 1e9)))
+    }),
+
+    // check_regex_pattern — ref dq_rule_examples.py:454,587
+    "q_dq_regex" -> ((s, dir) => {
+      DQ.check(t(s, dir, "customer"), Seq(
+        DQ.RegexMatch("re_name", "c_name", "^Customer#[0-9]+$"),
+        DQ.RegexMatch("re_seg", "c_mktsegment", "^[A-Z]+$")))
+    }),
+
+    // check_allowed_values — ref dq_rule_examples.py:496
+    "q_dq_allowed" -> ((s, dir) => {
+      DQ.check(t(s, dir, "orders"), Seq(
+        DQ.AllowedValues("av_status", "o_orderstatus", Seq("O", "F", "P")),
+        DQ.AllowedValues("av_prio", "o_orderpriority",
+          Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"))))
+    }),
+
+    // check_primary_key_unique / duplicate_rows — ref dq_rule_examples.py:603,643
+    "q_dq_unique" -> ((s, dir) => {
+      DQ.uniqueness(t(s, dir, "orders"), Seq("o_orderkey"))
+        .unionByName(DQ.uniqueness(t(s, dir, "lineitem"), Seq("l_orderkey", "l_linenumber")))
+    }),
+
+    // check_referential_integrity — ref dq_rule_examples.py:737
+    "q_dq_refint" -> ((s, dir) => {
+      DQ.refIntegrity(t(s, dir, "orders"), "o_custkey",
+          t(s, dir, "customer"), "c_custkey",
+          "orders.o_custkey->customer.c_custkey", broadcastParent = true)
+        .unionByName(
+          DQ.refIntegrity(t(s, dir, "lineitem"), "l_orderkey",
+            t(s, dir, "orders"), "o_orderkey",
+            "lineitem.l_orderkey->orders.o_orderkey", broadcastParent = true))
+    }),
+
+    // cross_field / calculated_field — ref dq_rule_examples.py:781,931
+    "q_dq_crossfield" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      DQ.check(li, Seq(
+        DQ.CrossField("cf_price_ge_qty", "l_extendedprice>=l_quantity",
+          col("l_extendedprice") >= col("l_quantity")),
+        DQ.CrossField("cf_disc_tax", "l_discount+l_tax<1",
+          col("l_discount") + col("l_tax") < 1.0),
+        DQ.CrossField("cf_qty_pos", "l_quantity>0", col("l_quantity") > 0.0)))
+    }),
+
+    // check_data_freshness / future_dates — ref dq_rule_examples.py:1073,1119
+    "q_dq_freshness" -> ((s, dir) => {
+      DQ.freshness(t(s, dir, "events"), "ts", "1999-01-01 00:00:00", 30)
+    }),
+
+    // check_correlation — ref dq_rule_examples.py:1034
+    "q_dq_corr" -> ((s, dir) => {
+      DQ.correlation(t(s, dir, "lineitem"), "l_quantity", "l_extendedprice", 4)
+        .unionByName(DQ.correlation(t(s, dir, "customer"), "c_nationkey", "c_acctbal", 4))
+    }),
+
+    // quality score — ref dq_engine.py:363-378
+    "q_dq_score" -> ((s, dir) => {
+      DQ.score(DQ.check(t(s, dir, "orders"), scoreRules))
+    })
+  )
+
+  private def scoreRules: Seq[DQ.Rule] = Seq(
+    DQ.NotNull("nn_okey", "o_orderkey"),
+    DQ.NotNull("nn_cust", "o_custkey"),
+    DQ.AllowedValues("av_status", "o_orderstatus", Seq("O", "F", "P")),
+    DQ.ValueRange("rng_price", "o_totalprice", 0, 1e6),
+    DQ.CrossField("cf_price_pos", "o_totalprice>0", col("o_totalprice") > 0.0))
+
+  // -------------------------------------------------------------------
+  // DuckDB oracles (identical column names + identical IEEE math)
+  // -------------------------------------------------------------------
+
+  private def nnOracle(table: String, c: String): String =
+    s"""SELECT 'nn_$c' AS rule_id, 'completeness' AS rule_type, '$c' AS colname,
+       |COUNT(*)-COUNT($c) AS violations, COUNT(*) AS total,
+       |((COUNT(*)-COUNT($c))*100.0/COUNT(*) <= 0.0) AS passed FROM $table""".stripMargin
+
+  private def profCol(c: String, numeric: Boolean): String = {
+    val stats = if (numeric)
+      s"""CAST(MIN($c) AS DOUBLE) AS min_val, CAST(MAX($c) AS DOUBLE) AS max_val,
+         |${Det.sqlMeanAt(c, 2)} AS mean_val, ${Det.sqlStddevAt(c, 2)} AS std_val""".stripMargin
+    else
+      """CAST(NULL AS DOUBLE) AS min_val, CAST(NULL AS DOUBLE) AS max_val,
+        |CAST(NULL AS DOUBLE) AS mean_val, CAST(NULL AS DOUBLE) AS std_val""".stripMargin
+    s"""SELECT '$c' AS colname, COUNT(*) AS n_rows,
+       |COUNT(*)-COUNT($c) AS null_count,
+       |(COUNT(*)-COUNT($c))*100.0/COUNT(*) AS null_pct,
+       |COUNT(DISTINCT $c) AS distinct_cnt, $stats FROM orders""".stripMargin
+  }
+
+  private def rangeOracle(id: String, c: String, lo: String, hi: String): String =
+    s"""SELECT '$id' AS rule_id, 'validity' AS rule_type, '$c' AS colname,
+       |SUM(CASE WHEN $c IS NOT NULL AND NOT ($c BETWEEN $lo AND $hi) THEN 1 ELSE 0 END) AS violations,
+       |COUNT(*) AS total,
+       |(SUM(CASE WHEN $c IS NOT NULL AND NOT ($c BETWEEN $lo AND $hi) THEN 1 ELSE 0 END)*100.0/COUNT(*) <= 0.0) AS passed
+       |FROM lineitem""".stripMargin
+
+  private def checkOracle(table: String, id: String, ruleType: String, colname: String,
+                          violatedSql: String): String =
+    s"""SELECT '$id' AS rule_id, '$ruleType' AS rule_type, '$colname' AS colname,
+       |SUM(CASE WHEN $violatedSql THEN 1 ELSE 0 END) AS violations, COUNT(*) AS total,
+       |(SUM(CASE WHEN $violatedSql THEN 1 ELSE 0 END)*100.0/COUNT(*) <= 0.0) AS passed
+       |FROM $table""".stripMargin
+
+  private def corrOracle(table: String, x: String, y: String): String = {
+    val n = "COUNT(*)"
+    val sx = Det.sqlSumAt(x, 4); val sy = Det.sqlSumAt(y, 4)
+    val sxy = Det.sqlSumAt(s"($x)*($y)", 4)
+    val sxx = Det.sqlSumAt(s"($x)*($x)", 4)
+    val syy = Det.sqlSumAt(s"($y)*($y)", 4)
+    s"""SELECT '$x~$y' AS pair, $n AS n,
+       |(($n * $sxy - $sx * $sy) /
+       | (SQRT($n * $sxx - $sx * $sx) * SQRT($n * $syy - $sy * $sy))) AS corr_val
+       |FROM $table""".stripMargin
+  }
+
+  def oracleSql: Map[String, String] = Map(
+
+    "q_dq_profile" ->
+      Seq(profCol("o_orderkey", numeric = true),
+          profCol("o_custkey", numeric = true),
+          profCol("o_totalprice", numeric = true),
+          profCol("o_orderstatus", numeric = false),
+          profCol("o_orderpriority", numeric = false)).mkString("\nUNION ALL\n"),
+
+    "q_dq_completeness" ->
+      ordersCols.map(c => nnOracle("orders", c)).mkString("\nUNION ALL\n"),
+
+    "q_dq_range" ->
+      Seq(rangeOracle("rng_qty", "l_quantity", "1", "50"),
+          rangeOracle("rng_disc", "l_discount", "0", "0.1"),
+          rangeOracle("rng_tax", "l_tax", "0", "0.08"),
+          rangeOracle("rng_price", "l_extendedprice", "0", "1000000000.0")).mkString("\nUNION ALL\n"),
+
+    "q_dq_regex" ->
+      Seq(
+        checkOracle("customer", "re_name", "validity", "c_name",
+          "c_name IS NOT NULL AND NOT regexp_matches(c_name, '^Customer#[0-9]+$')"),
+        checkOracle("customer", "re_seg", "validity", "c_mktsegment",
+          "c_mktsegment IS NOT NULL AND NOT regexp_matches(c_mktsegment, '^[A-Z]+$')")
+      ).mkString("\nUNION ALL\n"),
+
+    "q_dq_allowed" ->
+      Seq(
+        checkOracle("orders", "av_status", "validity", "o_orderstatus",
+          "o_orderstatus IS NOT NULL AND o_orderstatus NOT IN ('O','F','P')"),
+        checkOracle("orders", "av_prio", "validity", "o_orderpriority",
+          "o_orderpriority IS NOT NULL AND o_orderpriority NOT IN " +
+            "('1-URGENT','2-HIGH','3-MEDIUM','4-NOT SPECIFIED','5-LOW')")
+      ).mkString("\nUNION ALL\n"),
+
+    "q_dq_unique" ->
+      """SELECT keyname, total, distinct_cnt, total-distinct_cnt AS dup_count,
+        |       total=distinct_cnt AS passed FROM (
+        |  SELECT 'o_orderkey' AS keyname, COUNT(*) AS total,
+        |         COUNT(DISTINCT o_orderkey) AS distinct_cnt FROM orders
+        |  UNION ALL
+        |  SELECT 'l_orderkey,l_linenumber', COUNT(*),
+        |         (SELECT COUNT(*) FROM (SELECT DISTINCT l_orderkey, l_linenumber FROM lineitem))
+        |  FROM lineitem)""".stripMargin,
+
+    "q_dq_refint" ->
+      """SELECT 'orders.o_custkey->customer.c_custkey' AS rel,
+        |COUNT(*) AS child_rows,
+        |SUM(CASE WHEN c_custkey IS NULL THEN 1 ELSE 0 END) AS orphans,
+        |(SUM(CASE WHEN c_custkey IS NULL THEN 1 ELSE 0 END) = 0) AS passed
+        |FROM orders LEFT JOIN (SELECT DISTINCT c_custkey FROM customer) p
+        |  ON o_custkey = p.c_custkey
+        |UNION ALL
+        |SELECT 'lineitem.l_orderkey->orders.o_orderkey',
+        |COUNT(*),
+        |SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END),
+        |(SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) = 0)
+        |FROM lineitem LEFT JOIN (SELECT DISTINCT o_orderkey FROM orders) p
+        |  ON l_orderkey = p.o_orderkey""".stripMargin,
+
+    "q_dq_crossfield" ->
+      Seq(
+        checkOracle("lineitem", "cf_price_ge_qty", "consistency", "l_extendedprice>=l_quantity",
+          "NOT COALESCE(l_extendedprice >= l_quantity, FALSE)"),
+        checkOracle("lineitem", "cf_disc_tax", "consistency", "l_discount+l_tax<1",
+          "NOT COALESCE(l_discount + l_tax < 1.0, FALSE)"),
+        checkOracle("lineitem", "cf_qty_pos", "consistency", "l_quantity>0",
+          "NOT COALESCE(l_quantity > 0.0, FALSE)")
+      ).mkString("\nUNION ALL\n"),
+
+    "q_dq_freshness" ->
+      """SELECT date_trunc('microseconds', MAX(ts)) AS max_ts,
+        |SUM(CASE WHEN ts > TIMESTAMP '1999-01-01 00:00:00' THEN 1 ELSE 0 END) AS future_cnt,
+        |CAST(date_diff('day', CAST(MAX(ts) AS DATE), DATE '1999-01-01') AS BIGINT) AS lag_days,
+        |(SUM(CASE WHEN ts > TIMESTAMP '1999-01-01 00:00:00' THEN 1 ELSE 0 END) = 0
+        | AND date_diff('day', CAST(MAX(ts) AS DATE), DATE '1999-01-01') <= 30) AS passed
+        |FROM events""".stripMargin,
+
+    "q_dq_corr" ->
+      Seq(corrOracle("lineitem", "l_quantity", "l_extendedprice"),
+          corrOracle("customer", "c_nationkey", "c_acctbal")).mkString("\nUNION ALL\n"),
+
+    "q_dq_score" -> {
+      val rules = Seq(
+        ("nn_okey", "completeness", "COUNT(*)-COUNT(o_orderkey)"),
+        ("nn_cust", "completeness", "COUNT(*)-COUNT(o_custkey)"),
+        ("av_status", "validity",
+          "SUM(CASE WHEN o_orderstatus IS NOT NULL AND o_orderstatus NOT IN ('O','F','P') THEN 1 ELSE 0 END)"),
+        ("rng_price", "validity",
+          "SUM(CASE WHEN o_totalprice IS NOT NULL AND NOT (o_totalprice BETWEEN 0 AND 1000000.0) THEN 1 ELSE 0 END)"),
+        ("cf_price_pos", "consistency",
+          "SUM(CASE WHEN NOT COALESCE(o_totalprice > 0.0, FALSE) THEN 1 ELSE 0 END)"))
+      val r = rules.map { case (id, tpe, viol) =>
+        s"SELECT '$id' AS rule_id, '$tpe' AS rule_type, (($viol)*100.0/COUNT(*) <= 0.0) AS passed FROM orders"
+      }.mkString("\nUNION ALL\n")
+      s"""WITH r AS ($r)
+         |SELECT rule_type, COUNT(*) AS n_rules,
+         |       SUM(CASE WHEN passed THEN 1 ELSE 0 END) AS n_passed,
+         |       SUM(CASE WHEN passed THEN 1 ELSE 0 END)*100.0/COUNT(*) AS score
+         |FROM r GROUP BY rule_type
+         |UNION ALL
+         |SELECT 'overall', COUNT(*), SUM(CASE WHEN passed THEN 1 ELSE 0 END),
+         |       SUM(CASE WHEN passed THEN 1 ELSE 0 END)*100.0/COUNT(*)
+         |FROM r""".stripMargin
+    }
+  )
+}

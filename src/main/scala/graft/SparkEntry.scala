@@ -26,9 +26,15 @@ object SparkEntry {
     queries("q_agg")(spark, "/root/testdata/sf0.001")
 
   // -------------------------------------------------------------------
-  // Queries
+  // Queries (this file: core transformations; module packs merged below)
   // -------------------------------------------------------------------
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    baseQueries ++ QueriesDQ.queries
+
+  def oracleSql: Map[String, String] =
+    baseOracleSql ++ QueriesDQ.oracleSql
+
+  private def baseQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // -- filters ------------------------------------------------------
     "q_filter" -> ((s, dir) => {
@@ -119,15 +125,29 @@ object SparkEntry {
     }),
 
     "q_rolling" -> ((s, dir) => {
-      // Daily revenue + exact 7-day rolling sum. The day-level frame is
-      // tiny post-aggregation, so the single unpartitioned window is
-      // fine; at 100 TB the pre-aggregation did the heavy lifting.
+      // Daily revenue + exact 7-day rolling sum via Ops.rolling. The
+      // day-level frame is tiny post-aggregation, so the single
+      // unpartitioned window is fine; at 100 TB the pre-aggregation
+      // did the heavy lifting.
       val daily = t(s, dir, "lineitem")
         .groupBy(to_date(col("l_shipdate")).as("day"))
         .agg(sum(col("l_extendedprice").cast(DecimalType(18, 2))).as("rev"))
-      val w = Window.orderBy(col("day")).rowsBetween(-6, Window.currentRow)
-      daily.select(col("day"), col("rev").cast("double").as("revenue"),
-        sum(col("rev")).over(w).cast("double").as("rev_7d"))
+      Ops.rolling(daily, Seq.empty, Seq(col("day").asc), "rev", 7, "sum", "rev_7d")
+        .select(col("day"), col("rev").cast("double").as("revenue"),
+          col("rev_7d").cast("double").as("rev_7d"))
+    }),
+
+    "q_join_many" -> ((s, dir) => {
+      // Ops.joinMany: N frames sharing one key joined pairwise; dims
+      // and pre-aggregated sides stay broadcast-sized at any scale.
+      val nat = t(s, dir, "nation").select(col("n_nationkey"), col("n_name"))
+      val custAgg = t(s, dir, "customer")
+        .groupBy(col("c_nationkey").as("n_nationkey"))
+        .agg(count(lit(1)).as("n_cust"), Det.sumMoney(col("c_acctbal")).as("cust_bal"))
+      val suppAgg = t(s, dir, "supplier")
+        .groupBy(col("s_nationkey").as("n_nationkey"))
+        .agg(count(lit(1)).as("n_supp"))
+      Ops.joinMany(Seq(nat, custAgg, suppAgg), Seq("n_nationkey"))
     }),
 
     // -- type conversion / projection -------------------------------------
@@ -171,7 +191,7 @@ object SparkEntry {
   // -------------------------------------------------------------------
   // DuckDB oracles (identical column names + Det-deterministic math)
   // -------------------------------------------------------------------
-  def oracleSql: Map[String, String] = Map(
+  private def baseOracleSql: Map[String, String] = Map(
     "q_filter" ->
       """SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag
         |FROM lineitem WHERE l_quantity > 45 AND l_returnflag = 'R'""".stripMargin,
@@ -251,6 +271,15 @@ object SparkEntry {
         |CAST(SUM(rev) OVER (ORDER BY day
         |  ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS DOUBLE) AS rev_7d
         |FROM daily""".stripMargin,
+
+    "q_join_many" ->
+      s"""SELECT n_nationkey, n_name, n_cust, cust_bal, n_supp
+         |FROM nation
+         |JOIN (SELECT c_nationkey AS n_nationkey, COUNT(*) AS n_cust,
+         |             ${Det.sqlSumMoney("c_acctbal")} AS cust_bal
+         |      FROM customer GROUP BY 1) USING (n_nationkey)
+         |JOIN (SELECT s_nationkey AS n_nationkey, COUNT(*) AS n_supp
+         |      FROM supplier GROUP BY 1) USING (n_nationkey)""".stripMargin,
 
     "q_typeconv" ->
       """SELECT o_orderkey, CAST(o_orderdate AS DATE) AS o_orderdate,

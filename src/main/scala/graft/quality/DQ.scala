@@ -1,0 +1,231 @@
+package graft.quality
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.Det
+
+/** Data-quality engine: the Spark-native re-expression of the
+  * reference's `DQEngine`/`RuleEngine`/`ProfileManager` surface
+  * (reference: src/quality/dq_engine.py:42-383,
+  * src/quality/dq_rule_examples.py).
+  *
+  * Scale design: the reference scans the table once PER RULE; here all
+  * rules for a table are fused into ONE aggregation pass — each rule
+  * contributes a conditional-count expression to a single `agg`, so a
+  * 100 TB table is read exactly once no matter how many rules run.
+  * Map-side partial aggregation reduces each partition to one row of
+  * counters before any shuffle; the driver only ever sees the final
+  * few-KB result frame.
+  */
+object DQ {
+
+  /** A rule contributes one violation predicate to the fused pass.
+    * `passed` = violation percentage <= maxViolationPct (the reference's
+    * completeness threshold generalized to every rule type; default 0
+    * reproduces its `.all()` semantics).
+    */
+  sealed trait Rule {
+    def id: String
+    def ruleType: String
+    def colName: String
+    def maxViolationPct: Double
+    /** True where the row VIOLATES the rule (nulls handled per type). */
+    def violation: Column
+  }
+
+  /** ref dq_rule_examples.py: not_null / required_fields / completeness. */
+  final case class NotNull(id: String, column: String, maxViolationPct: Double = 0.0) extends Rule {
+    val ruleType = "completeness"; val colName = column
+    def violation: Column = col(column).isNull
+  }
+
+  /** ref dq_rule_examples.py: check_value_range (nulls don't violate). */
+  final case class ValueRange(id: String, column: String, min: Double, max: Double,
+                              maxViolationPct: Double = 0.0) extends Rule {
+    val ruleType = "validity"; val colName = column
+    def violation: Column = col(column).isNotNull && !col(column).between(min, max)
+  }
+
+  /** ref dq_rule_examples.py: check_regex_pattern / email / date_format. */
+  final case class RegexMatch(id: String, column: String, pattern: String,
+                              maxViolationPct: Double = 0.0) extends Rule {
+    val ruleType = "validity"; val colName = column
+    def violation: Column = col(column).isNotNull && !col(column).rlike(pattern)
+  }
+
+  /** ref dq_rule_examples.py: check_allowed_values. */
+  final case class AllowedValues(id: String, column: String, values: Seq[String],
+                                 maxViolationPct: Double = 0.0) extends Rule {
+    val ruleType = "validity"; val colName = column
+    def violation: Column = col(column).isNotNull && !col(column).isin(values: _*)
+  }
+
+  /** ref dq_rule_examples.py: cross_field / date_sequence / sum_equals /
+    * calculated_field — any boolean Column over the row; violation when
+    * the expectation does not hold (null-safe: null => violation, like
+    * the reference's failed eval).
+    */
+  final case class CrossField(id: String, name: String, expectation: Column,
+                              maxViolationPct: Double = 0.0) extends Rule {
+    val ruleType = "consistency"; val colName = name
+    def violation: Column = !coalesce(expectation, lit(false))
+  }
+
+  /** ref dq_rule_examples.py: check_future_dates — rows stamped after
+    * `asOf` violate.
+    */
+  final case class NoFutureDates(id: String, column: String, asOf: String,
+                                 maxViolationPct: Double = 0.0) extends Rule {
+    val ruleType = "freshness"; val colName = column
+    def violation: Column = col(column) > lit(asOf).cast("timestamp")
+  }
+
+  /** Run every rule in ONE aggregation pass over `df`.
+    * Output: (rule_id, rule_type, colname, violations, total, passed).
+    */
+  def check(df: DataFrame, rules: Seq[Rule]): DataFrame = {
+    require(rules.nonEmpty, "no rules")
+    val aggExprs = rules.map(r =>
+      sum(when(r.violation, 1L).otherwise(0L)).as(s"__v_${r.id}")) :+
+      count(lit(1)).as("__total")
+    val one = df.agg(aggExprs.head, aggExprs.tail: _*)
+    val rows = rules.map { r =>
+      val v = col(s"__v_${r.id}")
+      struct(
+        lit(r.id).as("rule_id"),
+        lit(r.ruleType).as("rule_type"),
+        lit(r.colName).as("colname"),
+        v.as("violations"),
+        col("__total").as("total"),
+        (v * lit(100.0) / col("__total") <= lit(r.maxViolationPct)).as("passed"))
+    }
+    one.select(inline(array(rows: _*)))
+  }
+
+  /** Quality score over a `check` result — ref dq_engine.py:363-378:
+    * 100 * passed / total, with a per-type breakdown.
+    * Output: (rule_type, n_rules, n_passed) ∪ ("overall", ...), plus score.
+    */
+  def score(results: DataFrame): DataFrame = {
+    val byType = results.groupBy(col("rule_type")).agg(
+      count(lit(1)).as("n_rules"),
+      sum(when(col("passed"), 1L).otherwise(0L)).as("n_passed"))
+    val overall = results.agg(
+      lit("overall").as("rule_type"),
+      count(lit(1)).as("n_rules"),
+      sum(when(col("passed"), 1L).otherwise(0L)).as("n_passed"))
+    byType.unionByName(overall)
+      .withColumn("score", col("n_passed") * lit(100.0) / col("n_rules"))
+  }
+
+  /** Per-column profiling in one pass — ref dq_engine.py:45-67.
+    * `numericCols` get min/max/mean/std (order-independent decimal-exact
+    * moments, see [[graft.functions.Det]]); all listed columns get
+    * count/null/distinct. Exact distinct over many columns expands the
+    * single pass by #cols (Spark's multi-countDistinct EXPAND); at
+    * 100 TB prefer `approxDistinct = true` (HLL, single scan, no expand).
+    * Output: (colname, n_rows, null_count, null_pct, distinct_cnt,
+    *          min_val, max_val, mean_val, std_val).
+    */
+  def profile(df: DataFrame, numericCols: Seq[String], otherCols: Seq[String] = Nil,
+              scale: Int = 2, approxDistinct: Boolean = false): DataFrame = {
+    val cols = numericCols ++ otherCols
+    def dcount(c: String): Column =
+      if (approxDistinct) approx_count_distinct(col(c)) else countDistinct(col(c))
+    val aggExprs = cols.flatMap { c =>
+      Seq(count(col(c)).as(s"__nn_$c"), dcount(c).as(s"__d_$c"))
+    } ++ numericCols.flatMap { c =>
+      Seq(
+        min(col(c)).cast("double").as(s"__min_$c"),
+        max(col(c)).cast("double").as(s"__max_$c"),
+        Det.meanAt(col(c), scale).as(s"__mean_$c"),
+        Det.stddevAt(col(c), scale).as(s"__std_$c"))
+    } :+ count(lit(1)).as("__total")
+    val one = df.agg(aggExprs.head, aggExprs.tail: _*)
+    val rows = cols.map { c =>
+      val numeric = numericCols.contains(c)
+      struct(
+        lit(c).as("colname"),
+        col("__total").as("n_rows"),
+        (col("__total") - col(s"__nn_$c")).as("null_count"),
+        ((col("__total") - col(s"__nn_$c")) * lit(100.0) / col("__total")).as("null_pct"),
+        col(s"__d_$c").as("distinct_cnt"),
+        (if (numeric) col(s"__min_$c") else lit(null).cast("double")).as("min_val"),
+        (if (numeric) col(s"__max_$c") else lit(null).cast("double")).as("max_val"),
+        (if (numeric) col(s"__mean_$c") else lit(null).cast("double")).as("mean_val"),
+        (if (numeric) col(s"__std_$c") else lit(null).cast("double")).as("std_val"))
+    }
+    one.select(inline(array(rows: _*)))
+  }
+
+  /** Primary-key / duplicate-row check in one pass — ref
+    * dq_rule_examples.py: check_primary_key_unique / duplicate_rows.
+    * Output: (keyname, total, distinct_cnt, dup_count, passed).
+    */
+  def uniqueness(df: DataFrame, keys: Seq[String], keyName: String = ""): DataFrame = {
+    val name = if (keyName.nonEmpty) keyName else keys.mkString(",")
+    val d = countDistinct(keys.map(col).head, keys.map(col).tail: _*)
+    df.agg(count(lit(1)).as("total"), d.as("distinct_cnt"))
+      .select(
+        lit(name).as("keyname"), col("total"), col("distinct_cnt"),
+        (col("total") - col("distinct_cnt")).as("dup_count"),
+        (col("total") === col("distinct_cnt")).as("passed"))
+  }
+
+  /** Referential integrity — ref dq_rule_examples.py:737. Orphan =
+    * child row whose key has no parent. One left join against the
+    * DISTINCT parent keys (duplicate-safe) + one agg; at scale the
+    * distinct parent-key frame is usually dim-sized → `broadcastParent`.
+    * Output: (rel, child_rows, orphans, passed).
+    */
+  def refIntegrity(child: DataFrame, childKey: String,
+                   parent: DataFrame, parentKey: String,
+                   relName: String, broadcastParent: Boolean = false): DataFrame = {
+    val pk = parent.select(col(parentKey)).distinct()
+      .withColumn("__present", lit(1))
+    val p = if (broadcastParent) broadcast(pk) else pk
+    child.select(col(childKey))
+      .join(p, col(childKey) === col(parentKey), "left")
+      .agg(count(lit(1)).as("child_rows"),
+           sum(when(col("__present").isNull, 1L).otherwise(0L)).as("orphans"))
+      .select(lit(relName).as("rel"), col("child_rows"), col("orphans"),
+              (col("orphans") === 0L).as("passed"))
+  }
+
+  /** Freshness — ref dq_rule_examples.py:1073: newest row must be within
+    * `maxLagDays` of `asOf`, and nothing may be stamped after `asOf`.
+    * Output: (max_ts, future_cnt, lag_days, passed).
+    */
+  def freshness(df: DataFrame, tsCol: String, asOf: String, maxLagDays: Int): DataFrame = {
+    val asOfTs = lit(asOf).cast("timestamp")
+    df.agg(
+        max(col(tsCol)).as("max_ts"),
+        sum(when(col(tsCol) > asOfTs, 1L).otherwise(0L)).as("future_cnt"))
+      .select(
+        col("max_ts"), col("future_cnt"),
+        datediff(asOfTs.cast("date"), col("max_ts").cast("date")).cast("long").as("lag_days"),
+        (col("future_cnt") === 0L &&
+          datediff(asOfTs.cast("date"), col("max_ts").cast("date")) <= maxLagDays).as("passed"))
+  }
+
+  /** Pearson correlation with order-independent decimal-exact moments —
+    * ref dq_rule_examples.py:1034 (check_correlation). Both engines
+    * evaluate the identical IEEE expression over exact sums, so the
+    * result hash-matches (plain `corr()` would not: its accumulation
+    * order differs per engine/partitioning).
+    * Output: (pair, n, corr_val).
+    */
+  def correlation(df: DataFrame, x: String, y: String, scale: Int = 4): DataFrame =
+    df.agg(
+        count(lit(1)).as("n"),
+        Det.sumAt(col(x), scale).as("__sx"),
+        Det.sumAt(col(y), scale).as("__sy"),
+        Det.sumAt(col(x) * col(y), scale).as("__sxy"),
+        Det.sumAt(col(x) * col(x), scale).as("__sxx"),
+        Det.sumAt(col(y) * col(y), scale).as("__syy"))
+      .select(
+        lit(s"$x~$y").as("pair"), col("n"),
+        ((col("n") * col("__sxy") - col("__sx") * col("__sy")) /
+          (sqrt(col("n") * col("__sxx") - col("__sx") * col("__sx")) *
+           sqrt(col("n") * col("__syy") - col("__sy") * col("__sy")))).as("corr_val"))
+}
