@@ -1,0 +1,143 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.quality.Anomaly
+import graft.functions.Det
+
+/** Anomaly-detection query pack: q_anom_* + DuckDB oracles.
+  * Reference semantics: src/quality/anomaly_manager.py:110-360.
+  */
+object QueriesAnomaly {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  private def ev(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events").select("event_id", "user_id", "ts", "value")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // zscore_detection — ref anomaly_manager.py:110
+    "q_anom_zscore" -> ((s, dir) => {
+      Anomaly.zscore(ev(s, dir), "value", threshold = 3.0)
+        .select("event_id", "value", "z")
+    }),
+
+    // iqr_detection — ref anomaly_manager.py:125
+    "q_anom_iqr" -> ((s, dir) => {
+      Anomaly.iqr(ev(s, dir), "value", multiplier = 1.5)
+        .select("event_id", "value", "conf")
+    }),
+
+    // moving_average_detection — ref anomaly_manager.py:146
+    "q_anom_movavg" -> ((s, dir) => {
+      Anomaly.movingAvg(ev(s, dir), "value", Seq("user_id"),
+          Seq(col("ts").asc, col("event_id").asc), window = 7, threshold = 2.0)
+        .select("event_id", "user_id", "value", "z")
+    }),
+
+    // ensemble_vote — ref anomaly_manager.py:335-360
+    "q_anom_ensemble" -> ((s, dir) => {
+      val e = ev(s, dir)
+      Anomaly.ensemble(Seq(
+        (Anomaly.zscore(e, "value", 3.0), "z"),
+        (Anomaly.iqr(e, "value", 1.5), "conf"),
+        (Anomaly.movingAvg(e, "value", Seq("user_id"),
+          Seq(col("ts").asc, col("event_id").asc), 7, 2.0), "z")),
+        keyCols = Seq("event_id"), minVotes = 2)
+    }),
+
+    // stl-ish seasonal residual — ref anomaly_manager.py:262
+    "q_anom_seasonal" -> ((s, dir) => {
+      Anomaly.seasonalResidual(ev(s, dir), "value", hour(col("ts")), threshold = 2.5)
+        .select("event_id", "season", "value", "z")
+    }),
+
+    // dbscan-ish grid density — ref anomaly_manager.py:162
+    "q_anom_grid" -> ((s, dir) => {
+      Anomaly.gridDensity(ev(s, dir).select("event_id", "user_id", "value"),
+          Seq(("value", 50.0), ("user_id", 10.0)), minPts = 5)
+        .select("event_id", "user_id", "value", "cell_n")
+    })
+  )
+
+  // -------------------------------------------------------------------
+  // DuckDB oracles
+  // -------------------------------------------------------------------
+
+  private val zExpr = "ABS(value - s.m) / s.sd"
+
+  // CTE fragment (no WITH keyword — composes into larger WITH lists)
+  private def movavgCte: String =
+    """w AS (
+      |  SELECT event_id, user_id, value,
+      |    CAST(COUNT(value) OVER win AS DOUBLE) AS n,
+      |    CAST(SUM(CAST(value AS DECIMAL(28,6))) OVER win AS DOUBLE) AS s,
+      |    CAST(SUM(CAST((value)*(value) AS DECIMAL(28,6))) OVER win AS DOUBLE) AS s2
+      |  FROM events
+      |  WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id
+      |                 ROWS BETWEEN 6 PRECEDING AND CURRENT ROW))""".stripMargin
+
+  private val movavgZ =
+    "ABS(value - s/n) / SQRT(GREATEST(0.0, (s2 - s*s/n) / (n - 1.0)))"
+
+  def oracleSql: Map[String, String] = Map(
+
+    "q_anom_zscore" ->
+      s"""WITH s AS (SELECT ${Det.sqlMeanAt("value", 6)} AS m,
+         |                  ${Det.sqlStddevAt("value", 6)} AS sd FROM events)
+         |SELECT event_id, value, $zExpr AS z
+         |FROM events, s WHERE $zExpr > 3.0""".stripMargin,
+
+    "q_anom_iqr" ->
+      """WITH s AS (SELECT quantile_cont(value, 0.25) AS q1,
+        |                  quantile_cont(value, 0.75) AS q3 FROM events)
+        |SELECT event_id, value,
+        |  ABS(value - (s.q1 + s.q3) / 2.0) / ((s.q3 - s.q1) / 2.0) AS conf
+        |FROM events, s
+        |WHERE value < s.q1 - 1.5 * (s.q3 - s.q1)
+        |   OR value > s.q3 + 1.5 * (s.q3 - s.q1)""".stripMargin,
+
+    "q_anom_movavg" ->
+      s"""WITH $movavgCte
+         |SELECT event_id, user_id, value, $movavgZ AS z
+         |FROM w WHERE n = 7 AND $movavgZ > 2.0""".stripMargin,
+
+    "q_anom_ensemble" ->
+      s"""WITH zs AS (
+         |  SELECT event_id, ABS(value - s.m) / s.sd AS conf
+         |  FROM events, (SELECT ${Det.sqlMeanAt("value", 6)} AS m,
+         |                       ${Det.sqlStddevAt("value", 6)} AS sd FROM events) s
+         |  WHERE ABS(value - s.m) / s.sd > 3.0),
+         |iq AS (
+         |  SELECT event_id,
+         |    ABS(value - (s.q1 + s.q3) / 2.0) / ((s.q3 - s.q1) / 2.0) AS conf
+         |  FROM events, (SELECT quantile_cont(value, 0.25) AS q1,
+         |                       quantile_cont(value, 0.75) AS q3 FROM events) s
+         |  WHERE value < s.q1 - 1.5 * (s.q3 - s.q1)
+         |     OR value > s.q3 + 1.5 * (s.q3 - s.q1)),
+         |$movavgCte ,
+         |mv AS (
+         |  SELECT event_id, $movavgZ AS conf
+         |  FROM w WHERE n = 7 AND $movavgZ > 2.0),
+         |allv AS (SELECT * FROM zs UNION ALL SELECT * FROM iq UNION ALL SELECT * FROM mv)
+         |SELECT event_id, COUNT(*) AS votes, MAX(conf) AS max_conf
+         |FROM allv GROUP BY event_id HAVING COUNT(*) >= 2""".stripMargin,
+
+    "q_anom_seasonal" ->
+      s"""WITH k AS (SELECT event_id, value, hour(ts) AS season FROM events),
+         |s AS (SELECT season, ${Det.sqlMeanAt("value", 6)} AS m,
+         |             ${Det.sqlStddevAt("value", 6)} AS sd FROM k GROUP BY season)
+         |SELECT k.event_id, k.season, k.value, $zExpr AS z
+         |FROM k JOIN s USING (season) WHERE $zExpr > 2.5""".stripMargin,
+
+    "q_anom_grid" ->
+      """WITH k AS (SELECT event_id, user_id, value,
+        |  FLOOR(value / 50.0) AS cv, FLOOR(user_id / 10.0) AS cu FROM events),
+        |c AS (SELECT cv, cu, COUNT(*) AS cell_n FROM k GROUP BY cv, cu)
+        |SELECT k.event_id, k.user_id, k.value, c.cell_n
+        |FROM k JOIN c USING (cv, cu) WHERE c.cell_n < 5""".stripMargin
+  )
+}

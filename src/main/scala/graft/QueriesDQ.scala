@@ -87,7 +87,7 @@ object QueriesDQ {
 
     // check_data_freshness / future_dates — ref dq_rule_examples.py:1073,1119
     "q_dq_freshness" -> ((s, dir) => {
-      DQ.freshness(t(s, dir, "events"), "ts", "1999-01-01 00:00:00", 30)
+      DQ.freshness(t(s, dir, "events"), "ts", "2024-02-01 00:00:00", 30)
     }),
 
     // check_correlation — ref dq_rule_examples.py:1034
@@ -229,10 +229,10 @@ object QueriesDQ {
 
     "q_dq_freshness" ->
       """SELECT date_trunc('microseconds', MAX(ts)) AS max_ts,
-        |SUM(CASE WHEN ts > TIMESTAMP '1999-01-01 00:00:00' THEN 1 ELSE 0 END) AS future_cnt,
-        |CAST(date_diff('day', CAST(MAX(ts) AS DATE), DATE '1999-01-01') AS BIGINT) AS lag_days,
-        |(SUM(CASE WHEN ts > TIMESTAMP '1999-01-01 00:00:00' THEN 1 ELSE 0 END) = 0
-        | AND date_diff('day', CAST(MAX(ts) AS DATE), DATE '1999-01-01') <= 30) AS passed
+        |SUM(CASE WHEN ts > TIMESTAMP '2024-02-01 00:00:00' THEN 1 ELSE 0 END) AS future_cnt,
+        |CAST(date_diff('day', CAST(MAX(ts) AS DATE), DATE '2024-02-01') AS BIGINT) AS lag_days,
+        |(SUM(CASE WHEN ts > TIMESTAMP '2024-02-01 00:00:00' THEN 1 ELSE 0 END) = 0
+        | AND date_diff('day', CAST(MAX(ts) AS DATE), DATE '2024-02-01') <= 30) AS passed
         |FROM events""".stripMargin,
 
     "q_dq_corr" ->

@@ -29,10 +29,10 @@ object SparkEntry {
   // Queries (this file: core transformations; module packs merged below)
   // -------------------------------------------------------------------
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    baseQueries ++ QueriesDQ.queries
+    baseQueries ++ QueriesDQ.queries ++ QueriesAnomaly.queries
 
   def oracleSql: Map[String, String] =
-    baseOracleSql ++ QueriesDQ.oracleSql
+    baseOracleSql ++ QueriesDQ.oracleSql ++ QueriesAnomaly.oracleSql
 
   private def baseQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
 

@@ -1,0 +1,131 @@
+package graft.quality
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+import graft.functions.Det
+
+/** Anomaly detection: Spark-native re-expression of the reference's
+  * `AnomalyManager` (reference: src/quality/anomaly_manager.py:110-345).
+  *
+  * Scale design: global statistics (mean/std/quartiles) are computed in
+  * ONE aggregation and joined back via a broadcast cross-join — the
+  * fact table is never shuffled to meet a one-row stats frame. Moving
+  * averages run as partitioned window functions (shuffle scales with
+  * series keys, not rows). All moments use the order-independent
+  * decimal-exact [[graft.functions.Det]] forms so results reproduce
+  * across engines and partition counts.
+  */
+object Anomaly {
+
+  /** Z-score outliers — ref anomaly_manager.py:110-123.
+    * Appends `z` and keeps rows with z > threshold.
+    */
+  def zscore(df: DataFrame, column: String, threshold: Double = 3.0,
+             scale: Int = 6): DataFrame = {
+    val stats = df.agg(
+      Det.meanAt(col(column), scale).as("__mean"),
+      Det.stddevAt(col(column), scale).as("__std"))
+    df.crossJoin(broadcast(stats))
+      .withColumn("z", abs(col(column) - col("__mean")) / col("__std"))
+      .filter(col("z") > threshold)
+      .drop("__mean", "__std")
+  }
+
+  /** IQR outliers — ref anomaly_manager.py:125-144. Exact interpolated
+    * quartiles (one pass over the sorted column — at 100 TB switch the
+    * expression to approx_percentile, same plan shape). `conf` is the
+    * reference's distance-from-center confidence:
+    * |x - (Q1+Q3)/2| / (IQR/2).
+    */
+  def iqr(df: DataFrame, column: String, multiplier: Double = 1.5): DataFrame = {
+    val stats = df.agg(
+      expr(s"percentile($column, 0.25D)").as("__q1"),
+      expr(s"percentile($column, 0.75D)").as("__q3"))
+    df.crossJoin(broadcast(stats))
+      .withColumn("__iqr", col("__q3") - col("__q1"))
+      .filter(col(column) < col("__q1") - lit(multiplier) * col("__iqr") ||
+              col(column) > col("__q3") + lit(multiplier) * col("__iqr"))
+      .withColumn("conf",
+        abs(col(column) - (col("__q1") + col("__q3")) / lit(2.0)) / (col("__iqr") / lit(2.0)))
+      .drop("__q1", "__q3", "__iqr")
+  }
+
+  /** Moving-average deviation — ref anomaly_manager.py:146-160. The
+    * rolling mean/std over the trailing `window` rows per series
+    * (pandas `rolling(window)` semantics: only full windows emit).
+    * Decimal-exact frame sums keep the rolling moments order-stable.
+    */
+  def movingAvg(df: DataFrame, column: String, partitionBy: Seq[String],
+                orderBy: Seq[Column], window: Int = 7,
+                threshold: Double = 2.0, scale: Int = 6): DataFrame = {
+    val w = Window.partitionBy(partitionBy.map(col): _*).orderBy(orderBy: _*)
+      .rowsBetween(-(window - 1), Window.currentRow)
+    val x = col(column)
+    val n = count(x).over(w).cast("double")
+    val s = sum(x.cast(DecimalType(28, scale))).over(w).cast("double")
+    val s2 = sum((x * x).cast(DecimalType(28, scale))).over(w).cast("double")
+    val ma = s / n
+    val std = sqrt(greatest(lit(0.0), (s2 - s * s / n) / (n - lit(1.0))))
+    df.withColumn("__n", n).withColumn("z", abs(x - ma) / std)
+      .filter(col("__n") === window && col("z") > threshold)
+      .drop("__n")
+  }
+
+  /** Seasonal-residual outliers (STL-ish stand-in) — ref
+    * anomaly_manager.py:262 stl_decomposition_detection. The seasonal
+    * component is the per-season-key group mean; a row is anomalous
+    * when its residual z-score within its season group exceeds the
+    * threshold. Group stats come from one partial agg, joined back —
+    * the join key is the (small) season key, broadcast-sized.
+    */
+  def seasonalResidual(df: DataFrame, column: String, seasonKey: Column,
+                       threshold: Double = 3.0, scale: Int = 6): DataFrame = {
+    val keyed = df.withColumn("__season", seasonKey)
+    val stats = keyed.groupBy(col("__season")).agg(
+      Det.meanAt(col(column), scale).as("__mean"),
+      Det.stddevAt(col(column), scale).as("__std"))
+    keyed.join(broadcast(stats), Seq("__season"))
+      .withColumn("z", abs(col(column) - col("__mean")) / col("__std"))
+      .filter(col("z") > threshold)
+      .withColumnRenamed("__season", "season")
+      .drop("__mean", "__std")
+  }
+
+  /** Grid-density outliers (DBSCAN-ish stand-in) — ref
+    * anomaly_manager.py:162 dbscan_detection. Numeric space is bucketed
+    * into fixed-width grid cells; rows in cells holding fewer than
+    * `minPts` rows are flagged. One agg for cell counts (broadcast
+    * back), no pairwise distances — O(n) at any scale.
+    */
+  def gridDensity(df: DataFrame, columns: Seq[(String, Double)],
+                  minPts: Long = 5): DataFrame = {
+    val cells = columns.map { case (c, width) =>
+      floor(col(c) / lit(width)).as(s"__cell_$c")
+    }
+    val keyed = df.select(col("*") +: cells: _*)
+    val cellCols = columns.map { case (c, _) => col(s"__cell_$c") }
+    val counts = keyed.groupBy(cellCols: _*).agg(count(lit(1)).as("__cell_n"))
+    keyed.join(broadcast(counts), columns.map { case (c, _) => s"__cell_$c" })
+      .filter(col("__cell_n") < minPts)
+      .withColumn("cell_n", col("__cell_n"))
+      .drop(columns.map { case (c, _) => s"__cell_$c" } :+ "__cell_n": _*)
+  }
+
+  /** Ensemble vote — ref anomaly_manager.py:335-360: a row is anomalous
+    * when at least `minVotes` detectors flagged it. Each input frame
+    * needs `keyCols`; `confCol` (per-frame confidence column) feeds the
+    * reported max confidence.
+    */
+  def ensemble(detections: Seq[(DataFrame, String)], keyCols: Seq[String],
+               minVotes: Int = 2): DataFrame = {
+    require(detections.nonEmpty)
+    val votes = detections.map { case (d, confCol) =>
+      d.select(keyCols.map(col) :+ col(confCol).cast("double").as("__conf"): _*)
+    }.reduce(_ unionByName _)
+    votes.groupBy(keyCols.map(col): _*)
+      .agg(count(lit(1)).as("votes"), max(col("__conf")).as("max_conf"))
+      .filter(col("votes") >= minVotes)
+  }
+}
