@@ -1,0 +1,159 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.incremental.Incremental
+
+/** Incremental-load query pack: q_incr_* + DuckDB oracles.
+  * Reference semantics: src/utils/incremental_load_manager.py:118-521.
+  */
+object QueriesIncremental {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // watermark extract — ref incremental_load_manager.py:118
+    "q_incr_watermark" -> ((s, dir) => {
+      Incremental.afterWatermark(t(s, dir, "orders"), "o_orderdate", "1997-01-01 00:00:00")
+        .select(col("o_orderkey"), col("o_orderdate").cast("date").as("o_date"))
+    }),
+
+    // dedup keep-latest — ref :521
+    "q_incr_dedup" -> ((s, dir) => {
+      Incremental.dedupLatest(t(s, dir, "lineitem"), Seq("l_orderkey"),
+          Seq(col("l_shipdate"), col("l_linenumber")))
+        .select(col("l_orderkey"), col("l_linenumber"),
+          col("l_shipdate").cast("date").as("ship_day"))
+    }),
+
+    // upsert — ref :231
+    "q_incr_upsert" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      val target = o.filter(col("o_orderdate") < "1997-07-01 00:00:00")
+        .select("o_orderkey", "o_totalprice")
+      val updates = o.filter(col("o_orderdate") >= "1997-01-01 00:00:00")
+        .select(col("o_orderkey"), (col("o_totalprice") * 1.1).as("o_totalprice"))
+      Incremental.upsert(target, updates, Seq("o_orderkey"))
+    }),
+
+    // SCD Type 2 — ref :253
+    "q_incr_scd2" -> ((s, dir) => {
+      val c = t(s, dir, "customer").select("c_custkey", "c_name", "c_acctbal", "c_mktsegment")
+      val current = c.filter(col("c_custkey") <= 1000)
+        .withColumn("eff_start", lit("2020-01-01").cast("date"))
+        .withColumn("eff_end", lit("9999-12-31").cast("date"))
+        .withColumn("is_current", lit(true))
+      val incoming = c.filter(col("c_custkey") > 500)
+        .withColumn("c_acctbal",
+          when(pmod(col("c_custkey"), lit(2)) === 0, col("c_acctbal") + 100.0)
+            .otherwise(col("c_acctbal")))
+      Incremental.scd2(current, incoming, Seq("c_custkey"), Seq("c_acctbal"), "2021-01-01")
+        .select("c_custkey", "c_acctbal", "eff_start", "eff_end", "is_current")
+    }),
+
+    // detect deletes — ref :167
+    "q_incr_deletes" -> ((s, dir) => {
+      val c = t(s, dir, "customer").select("c_custkey", "c_acctbal")
+      Incremental.detectDeletes(c, c.filter(col("c_acctbal") > 0), Seq("c_custkey"))
+    }),
+
+    // late-arriving data — ref :191
+    "q_incr_late" -> ((s, dir) => {
+      Incremental.flagLate(t(s, dir, "events"), "ts", "2024-01-15 00:00:00")
+        .select("event_id", "is_late")
+    }),
+
+    // apply CDC — ref :438
+    "q_incr_cdc" -> ((s, dir) => {
+      val target = t(s, dir, "customer").select("c_custkey", "c_acctbal")
+      val cdc = t(s, dir, "events").select(
+        (col("user_id") + 1).as("c_custkey"),
+        col("value").as("c_acctbal"),
+        when(col("event_type") === "error", "D")
+          .when(col("event_type") === "signup", "I").otherwise("U").as("op"),
+        col("ts"), col("event_id"))
+      Incremental.applyCdc(target, cdc, Seq("c_custkey"), "op",
+        Seq(col("ts").desc, col("event_id").desc))
+    }),
+
+    // gap detection — ref :480
+    "q_incr_gaps" -> ((s, dir) => {
+      Incremental.gaps(t(s, dir, "lineitem"), "l_orderkey", 1.0, 1.5)
+    })
+  )
+
+  def oracleSql: Map[String, String] = Map(
+
+    "q_incr_watermark" ->
+      """SELECT o_orderkey, CAST(o_orderdate AS DATE) AS o_date FROM orders
+        |WHERE o_orderdate > TIMESTAMP '1997-01-01 00:00:00'""".stripMargin,
+
+    "q_incr_dedup" ->
+      """SELECT l_orderkey, l_linenumber, CAST(l_shipdate AS DATE) AS ship_day FROM (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY l_orderkey
+        |    ORDER BY l_shipdate DESC, l_linenumber DESC) AS rn FROM lineitem)
+        |WHERE rn = 1""".stripMargin,
+
+    "q_incr_upsert" ->
+      """SELECT o_orderkey, o_totalprice * 1.1 AS o_totalprice FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+        |UNION ALL
+        |SELECT o_orderkey, o_totalprice FROM orders
+        |WHERE o_orderdate < TIMESTAMP '1997-07-01 00:00:00'
+        |  AND o_orderkey NOT IN (SELECT o_orderkey FROM orders
+        |                         WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00')""".stripMargin,
+
+    "q_incr_scd2" ->
+      """WITH cur AS (
+        |  SELECT c_custkey, c_acctbal, DATE '2020-01-01' AS eff_start
+        |  FROM customer WHERE c_custkey <= 1000),
+        |inc AS (
+        |  SELECT c_custkey,
+        |    CASE WHEN c_custkey % 2 = 0 THEN c_acctbal + 100.0 ELSE c_acctbal END AS c_acctbal
+        |  FROM customer WHERE c_custkey > 500),
+        |j AS (
+        |  SELECT cur.c_custkey AS ck, cur.c_acctbal AS cb, cur.eff_start AS st,
+        |         inc.c_custkey AS ik, inc.c_acctbal AS ib
+        |  FROM cur FULL OUTER JOIN inc ON cur.c_custkey = inc.c_custkey)
+        |SELECT ck AS c_custkey, cb AS c_acctbal, st AS eff_start,
+        |       DATE '9999-12-31' AS eff_end, TRUE AS is_current
+        |FROM j WHERE ik IS NULL OR (ck IS NOT NULL AND cb IS NOT DISTINCT FROM ib)
+        |UNION ALL
+        |SELECT ck, cb, st, DATE '2021-01-01', FALSE
+        |FROM j WHERE ck IS NOT NULL AND ik IS NOT NULL AND cb IS DISTINCT FROM ib
+        |UNION ALL
+        |SELECT ik, ib, DATE '2021-01-01', DATE '9999-12-31', TRUE
+        |FROM j WHERE ck IS NULL OR (ik IS NOT NULL AND cb IS DISTINCT FROM ib)""".stripMargin,
+
+    "q_incr_deletes" ->
+      """SELECT c_custkey, c_acctbal FROM customer
+        |WHERE c_custkey NOT IN (SELECT c_custkey FROM customer WHERE c_acctbal > 0)""".stripMargin,
+
+    "q_incr_late" ->
+      """SELECT event_id, ts <= TIMESTAMP '2024-01-15 00:00:00' AS is_late FROM events""".stripMargin,
+
+    "q_incr_cdc" ->
+      """WITH cdc AS (
+        |  SELECT user_id + 1 AS c_custkey, value AS c_acctbal,
+        |    CASE WHEN event_type = 'error' THEN 'D'
+        |         WHEN event_type = 'signup' THEN 'I' ELSE 'U' END AS op,
+        |    ROW_NUMBER() OVER (PARTITION BY user_id + 1
+        |                       ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM events),
+        |latest AS (SELECT * FROM cdc WHERE rn = 1)
+        |SELECT c_custkey, c_acctbal FROM customer
+        |WHERE c_custkey NOT IN (SELECT c_custkey FROM latest)
+        |UNION ALL
+        |SELECT c_custkey, c_acctbal FROM latest WHERE UPPER(op) <> 'D'""".stripMargin,
+
+    "q_incr_gaps" ->
+      """WITH d AS (SELECT DISTINCT l_orderkey FROM lineitem),
+        |w AS (SELECT l_orderkey AS curr_val,
+        |             LAG(l_orderkey, 1) OVER (ORDER BY l_orderkey) AS prev_val FROM d)
+        |SELECT prev_val, curr_val, curr_val - prev_val AS gap
+        |FROM w WHERE curr_val - prev_val > 1.5""".stripMargin
+  )
+}

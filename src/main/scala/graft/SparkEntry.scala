@@ -29,10 +29,12 @@ object SparkEntry {
   // Queries (this file: core transformations; module packs merged below)
   // -------------------------------------------------------------------
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    baseQueries ++ QueriesDQ.queries ++ QueriesAnomaly.queries
+    baseQueries ++ QueriesDQ.queries ++ QueriesAnomaly.queries ++
+      QueriesIncremental.queries
 
   def oracleSql: Map[String, String] =
-    baseOracleSql ++ QueriesDQ.oracleSql ++ QueriesAnomaly.oracleSql
+    baseOracleSql ++ QueriesDQ.oracleSql ++ QueriesAnomaly.oracleSql ++
+      QueriesIncremental.oracleSql
 
   private def baseQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
 

@@ -1,0 +1,159 @@
+package graft.incremental
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Incremental-load operators: the Spark-native re-expression of the
+  * reference's `IncrementalLoadManager`
+  * (reference: src/utils/incremental_load_manager.py:118-521).
+  *
+  * The reference mutates a target table row-by-row through a DB
+  * connection; here every operation is a declarative plan producing
+  * the NEW target state, to be written atomically (parquet overwrite /
+  * table swap) — idempotent by construction, which is what replaces the
+  * reference's ErrorRecovery bookkeeping. Joins on merge keys shuffle
+  * both sides by key once; update/CDC frames are usually much smaller
+  * than the target, so AQE picks broadcast automatically when they fit.
+  */
+object Incremental {
+
+  /** Watermark extract — ref incremental_load_manager.py:118-136
+    * (timestamp + sequence strategies are the same plan: a pushed-down
+    * range filter on the watermark column).
+    */
+  def afterWatermark(df: DataFrame, watermarkCol: String, watermark: Any): DataFrame =
+    df.filter(col(watermarkCol) > lit(watermark))
+
+  /** Keep the LATEST row per key — ref :521 deduplicate_data, with the
+    * deterministic "latest wins" ordering production dedup needs (pass
+    * a unique composite ordering; ties would otherwise be
+    * partition-order-dependent).
+    */
+  def dedupLatest(df: DataFrame, keys: Seq[String], orderBy: Seq[Column]): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(orderBy.map(_.desc): _*)
+    df.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
+  }
+  /** dedupLatest with ascending Columns supplied explicitly (desc applied here). */
+  def dedupLatestBy(df: DataFrame, keys: Seq[String], newestFirst: Seq[Column]): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(newestFirst: _*)
+    df.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
+  }
+
+  /** Upsert — ref :231 merge_incremental_load(load_type="upsert"):
+    * update rows win over target rows with the same key; unmatched
+    * update rows insert. Requires `updates` unique per key (use
+    * [[dedupLatest]] first when it isn't).
+    */
+  def upsert(target: DataFrame, updates: DataFrame, keys: Seq[String]): DataFrame =
+    updates.unionByName(target.join(updates.select(keys.map(col): _*).distinct(),
+      keys, "left_anti"))
+
+  /** Insert-only load — ref :240: only rows whose key is absent from
+    * the target are appended.
+    */
+  def insertOnly(target: DataFrame, updates: DataFrame, keys: Seq[String]): DataFrame =
+    target.unionByName(updates.join(target.select(keys.map(col): _*).distinct(),
+      keys, "left_anti"))
+
+  /** SCD Type 2 — ref :253-303 implement_scd_type2. `current` carries
+    * the SCD bookkeeping columns; `incoming` is the bare new snapshot.
+    * Produces the complete new dimension state:
+    *   - history rows (not current) pass through untouched
+    *   - active rows with no incoming match, or an unchanged match,
+    *     stay active
+    *   - changed active rows are closed (endCol = effectiveDate,
+    *     flag = false) AND a new active version is inserted
+    *   - brand-new keys insert as active
+    * `compareCols` define "changed" (null-safe comparison). Open rows
+    * carry the `openEnd` sentinel end date (classic SCD2 practice —
+    * also keeps the column non-null for engines/BI that dislike null
+    * dates).
+    */
+  def scd2(current: DataFrame, incoming: DataFrame, keys: Seq[String],
+           compareCols: Seq[String], effectiveDate: String,
+           startCol: String = "eff_start", endCol: String = "eff_end",
+           flagCol: String = "is_current",
+           openEnd: String = "9999-12-31"): DataFrame = {
+    val attrCols = current.columns.filterNot(c =>
+      c == startCol || c == endCol || c == flagCol).toSeq
+    val history = current.filter(!col(flagCol))
+    val active = current.filter(col(flagCol))
+
+    val inc = incoming.select(attrCols.map(c => col(c).as(s"__i_$c")): _*)
+    val joined = active.join(inc,
+      keys.map(k => col(k) === col(s"__i_$k")).reduce(_ && _), "full_outer")
+
+    val matched = keys.map(k => col(s"__i_$k").isNotNull).reduce(_ && _) &&
+      keys.map(k => col(k).isNotNull).reduce(_ && _)
+    val changed = compareCols.map(c => !(col(c) <=> col(s"__i_$c"))).reduce(_ || _)
+    val effDate = lit(effectiveDate).cast("date")
+
+    // active rows kept as-is: no incoming match, or matched & unchanged
+    val keptActive = joined
+      .filter(keys.map(k => col(s"__i_$k").isNull).reduce(_ && _) || (matched && !changed))
+      .select(current.columns.map(col): _*)
+    // matched & changed: close the old version
+    val closedOld = joined.filter(matched && changed)
+      .select(attrCols.map(col) ++
+        Seq(col(startCol), effDate.as(endCol), lit(false).as(flagCol)): _*)
+      .select(current.columns.map(col): _*)
+    // matched & changed, or brand-new key: open a new active version
+    val openedNew = joined
+      .filter((matched && changed) || keys.map(k => col(k).isNull).reduce(_ && _))
+      .select(attrCols.map(c => col(s"__i_$c").as(c)) ++
+        Seq(effDate.as(startCol), lit(openEnd).cast("date").as(endCol),
+            lit(true).as(flagCol)): _*)
+      .select(current.columns.map(col): _*)
+
+    history.unionByName(keptActive).unionByName(closedOld).unionByName(openedNew)
+  }
+
+  /** Detect deletes — ref :167-189: target rows whose key no longer
+    * exists in the source extract (left_anti on the keys).
+    */
+  def detectDeletes(target: DataFrame, source: DataFrame, keys: Seq[String]): DataFrame =
+    target.join(source.select(keys.map(col): _*).distinct(), keys, "left_anti")
+
+  /** Late-arriving data — ref :191-229 handle_late_arriving_data: rows
+    * at or before the current watermark are late. Returned as a flag
+    * column (filter on it to split; a streaming pipeline would use the
+    * native watermark instead — see graft.streaming).
+    */
+  def flagLate(df: DataFrame, watermarkCol: String, currentWatermark: Any,
+               flag: String = "is_late"): DataFrame =
+    df.withColumn(flag, col(watermarkCol) <= lit(currentWatermark))
+
+  /** Apply CDC events — ref :438-466 apply_cdc_changes. `cdc` carries
+    * the target's columns plus an operation column (I/U/D) and a
+    * sequence ordering; only the LATEST event per key applies:
+    *   - latest D: key removed
+    *   - latest I/U: row replaced/inserted with the event's values
+    *   - untouched keys: target row kept
+    */
+  def applyCdc(target: DataFrame, cdc: DataFrame, keys: Seq[String],
+               opCol: String, newestFirst: Seq[Column]): DataFrame = {
+    val latest = dedupLatestBy(cdc, keys, newestFirst)
+    val survivors = target.join(latest.select(keys.map(col): _*), keys, "left_anti")
+    val applied = latest.filter(upper(col(opCol)) =!= "D")
+      .select(target.columns.map(col): _*)
+    survivors.unionByName(applied)
+  }
+
+  /** Gap detection — ref :480-519 detect_data_gaps (watermark-history
+    * semantics re-expressed over the data itself): consecutive distinct
+    * watermark/sequence values whose delta exceeds
+    * expectedStep × tolerance. The unpartitioned window runs AFTER the
+    * distinct — its input cardinality is the number of distinct
+    * watermark values, which is bounded (days/batches), not row count.
+    */
+  def gaps(df: DataFrame, seqCol: String, expectedStep: Double = 1.0,
+           tolerance: Double = 1.5): DataFrame = {
+    val w = Window.orderBy(col(seqCol))
+    df.select(col(seqCol)).distinct()
+      .withColumn("prev_val", lag(col(seqCol), 1).over(w))
+      .withColumn("gap", col(seqCol) - col("prev_val"))
+      .filter(col("gap") > lit(expectedStep * tolerance))
+      .select(col("prev_val"), col(seqCol).as("curr_val"), col("gap"))
+  }
+}
