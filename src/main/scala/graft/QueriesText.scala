@@ -1,0 +1,102 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.llm.Text
+
+/** Text-analysis query pack over the `documents` corpus: q_text_* +
+  * DuckDB oracles. All operators are map-side Column expressions.
+  */
+object QueriesText {
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "documents")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    "q_text_tokens" -> ((s, dir) => {
+      docs(s, dir).select(
+        col("doc_id"),
+        length(col("text")).as("n_chars_computed"),
+        Text.tokenCount(col("text")).as("n_tokens"),
+        Text.bpeishTokenCount(col("text")).as("n_tokens_bpe"))
+    }),
+
+    "q_text_quality" -> ((s, dir) => {
+      val c = col("text")
+      docs(s, dir).select(
+        col("doc_id"),
+        Text.alphaRatio(c).as("alpha_ratio"),
+        Text.punctRatio(c).as("punct_ratio"),
+        Text.stopwordRatio(c).as("stop_ratio"),
+        Text.qualityScore(c).as("quality"))
+    }),
+
+    "q_text_langid" -> ((s, dir) => {
+      val c = col("text")
+      docs(s, dir).select(
+        col("doc_id"),
+        Text.langScore(c, "en").as("s_en"),
+        Text.langScore(c, "de").as("s_de"),
+        Text.langScore(c, "fr").as("s_fr"),
+        Text.langScore(c, "es").as("s_es"),
+        Text.langId(c).as("lang_guess"))
+    }),
+
+    "q_text_fingerprint" -> ((s, dir) => {
+      docs(s, dir).select(
+        col("doc_id"),
+        Text.fingerprint(col("text")).as("fp"),
+        Text.shingleFingerprint(col("text"), 8).as("fp_shingle"))
+    })
+  )
+
+  // DuckDB fragments mirroring the Text column builders exactly.
+  private def reCount(expr: String, pat: String): String =
+    s"len(regexp_extract_all($expr, '$pat'))"
+  private val tc = reCount("text", "\\S+")
+  private val ac = reCount("text", "[A-Za-z]")
+  private val pc = reCount("text", "[.,;:!?]")
+  private val sc = reCount("lower(text)", "\\b(the|a|and|of|to|in|is)\\b")
+  private val alphaRatio = s"CAST($ac AS DOUBLE) / GREATEST(length(text), 1)"
+  private val punctRatio = s"CAST($pc AS DOUBLE) / GREATEST(length(text), 1)"
+  private val stopRatio = s"CAST($sc AS DOUBLE) / GREATEST($tc, 1)"
+  private def langScoreSql(words: Seq[String]): String =
+    reCount("lower(text)", "\\b(" + words.mkString("|") + ")\\b")
+
+  def oracleSql: Map[String, String] = Map(
+
+    "q_text_tokens" ->
+      s"""SELECT doc_id, length(text) AS n_chars_computed,
+         |$tc AS n_tokens,
+         |${reCount("text", " ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\\s]+")} AS n_tokens_bpe
+         |FROM documents""".stripMargin,
+
+    "q_text_quality" ->
+      s"""SELECT doc_id,
+         |$alphaRatio AS alpha_ratio,
+         |$punctRatio AS punct_ratio,
+         |$stopRatio AS stop_ratio,
+         |LEAST(1.0, CAST($tc AS DOUBLE) / 50.0) * 0.3
+         |  + ($alphaRatio) * 0.4 + ($stopRatio) * 0.3 AS quality
+         |FROM documents""".stripMargin,
+
+    "q_text_langid" -> {
+      val scores = Text.langMarkers.map { case (l, ws) => l -> langScoreSql(ws) }
+      val g = scores.map(_._2).mkString("GREATEST(", ", ", ")")
+      val cases = scores.map { case (l, s) => s"WHEN $s = __g THEN '$l'" }.mkString(" ")
+      s"""SELECT doc_id,
+         |${scores.map { case (l, s) => s"$s AS s_$l" }.mkString(",\n")},
+         |CASE WHEN ${reCount("text", "[\\x{4e00}-\\x{9fff}]")} > 0 THEN 'zh'
+         |     $cases ELSE 'und' END AS lang_guess
+         |FROM (SELECT doc_id, text, $g AS __g FROM documents)""".stripMargin
+    },
+
+    "q_text_fingerprint" ->
+      """SELECT doc_id, md5(text) AS fp,
+        |list_min(list_transform(range(1, GREATEST(1, length(text) - 7) + 1),
+        |  i -> md5(substring(text, i, 8)))) AS fp_shingle
+        |FROM documents""".stripMargin
+  )
+}

@@ -30,11 +30,11 @@ object SparkEntry {
   // -------------------------------------------------------------------
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     baseQueries ++ QueriesDQ.queries ++ QueriesAnomaly.queries ++
-      QueriesIncremental.queries
+      QueriesIncremental.queries ++ QueriesText.queries
 
   def oracleSql: Map[String, String] =
     baseOracleSql ++ QueriesDQ.oracleSql ++ QueriesAnomaly.oracleSql ++
-      QueriesIncremental.oracleSql
+      QueriesIncremental.oracleSql ++ QueriesText.oracleSql
 
   private def baseQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
