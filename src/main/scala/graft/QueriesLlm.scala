@@ -1,0 +1,97 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.llm.{Dedup, Similarity}
+
+/** Dedup + similarity query pack: q_dedup_* / q_sim_* + DuckDB
+  * oracles where SQL-expressible. MinHash/SimHash/LSH queries have no
+  * oracle (xxhash64 signatures are engine-specific) — they get the
+  * driver's rows-only check plus planted-duplicate ScalaTest specs.
+  */
+object QueriesLlm {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    "q_dedup_exact" -> ((s, dir) => {
+      Dedup.exactGroups(t(s, dir, "documents"), "doc_id", "text")
+    }),
+
+    "q_dedup_jaccard" -> ((s, dir) => {
+      Dedup.ngramJaccardPairs(t(s, dir, "documents"), "doc_id", "text",
+        blockCol = "lang", n = 1, threshold = 0.8)
+    }),
+
+    "q_dedup_minhash" -> ((s, dir) => {
+      Dedup.minhashLsh(t(s, dir, "documents"), "doc_id", "text",
+        shingleK = 8, numHashes = 32, bands = 8, threshold = 0.5)
+    }),
+
+    "q_dedup_simhash" -> ((s, dir) => {
+      Dedup.simhashPairs(t(s, dir, "documents"), "doc_id", "text", maxHamming = 6)
+    }),
+
+    "q_dedup_embed" -> ((s, dir) => {
+      Dedup.embeddingNearDup(t(s, dir, "embeddings"), "vec_id", "embedding",
+        blockCol = "label", threshold = 0.4)
+    }),
+
+    "q_sim_topk" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val queries = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("query_id"), col("embedding"))
+      Similarity.bruteForceTopK(e, queries, "vec_id", "query_id", "embedding", k = 5)
+    }),
+
+    "q_sim_lsh" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val queries = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("query_id"), col("embedding"))
+      Similarity.lshTopK(e, queries, "vec_id", "query_id", "embedding",
+        k = 5, planes = 4)
+    })
+  )
+
+  private val dcos =
+    """list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) /
+      |(SQRT(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[]))) *
+      | SQRT(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))))""".stripMargin
+
+  def oracleSql: Map[String, String] = Map(
+
+    "q_dedup_exact" ->
+      """SELECT md5(text) AS content_hash, COUNT(*) AS n_dups, MIN(doc_id) AS keep_id
+        |FROM documents GROUP BY 1""".stripMargin,
+
+    "q_dedup_jaccard" ->
+      """WITH sh AS (
+        |  SELECT doc_id, lang,
+        |    list_distinct(regexp_extract_all(trim(text), '\S+')) AS toks
+        |  FROM documents)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) /
+        |    (len(a.toks) + len(b.toks) - CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)) AS jacc
+        |FROM sh a JOIN sh b ON a.lang = b.lang AND a.doc_id < b.doc_id
+        |WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) /
+        |    (len(a.toks) + len(b.toks) - CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)) >= 0.8""".stripMargin,
+
+    "q_dedup_embed" ->
+      s"""SELECT a.vec_id AS id_a, b.vec_id AS id_b, ROUND($dcos, 6) AS sim
+         |FROM embeddings a JOIN embeddings b
+         |  ON a.label = b.label AND a.vec_id < b.vec_id
+         |WHERE ROUND($dcos, 6) >= 0.4""".stripMargin,
+
+    "q_sim_topk" ->
+      s"""WITH p AS (
+         |  SELECT b.vec_id AS query_id, a.vec_id AS neighbor_id, ROUND($dcos, 6) AS sim
+         |  FROM embeddings a JOIN embeddings b ON b.vec_id < 10 AND a.vec_id <> b.vec_id),
+         |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+         |        ORDER BY sim DESC, neighbor_id ASC) AS rnk FROM p)
+         |SELECT query_id, neighbor_id, sim, CAST(rnk AS BIGINT) AS rnk
+         |FROM r WHERE rnk <= 5""".stripMargin
+  )
+}

@@ -30,11 +30,11 @@ object SparkEntry {
   // -------------------------------------------------------------------
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     baseQueries ++ QueriesDQ.queries ++ QueriesAnomaly.queries ++
-      QueriesIncremental.queries ++ QueriesText.queries
+      QueriesIncremental.queries ++ QueriesText.queries ++ QueriesLlm.queries
 
   def oracleSql: Map[String, String] =
     baseOracleSql ++ QueriesDQ.oracleSql ++ QueriesAnomaly.oracleSql ++
-      QueriesIncremental.oracleSql ++ QueriesText.oracleSql
+      QueriesIncremental.oracleSql ++ QueriesText.oracleSql ++ QueriesLlm.oracleSql
 
   private def baseQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
 

@@ -1,0 +1,91 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Vector-similarity operators over `array<float>` embedding columns.
+  * Dot products / norms are higher-order-function expressions with
+  * explicit double accumulation (left fold) — codegen'd, map-side,
+  * reproducible across engines and partitionings.
+  *
+  * Scale paths:
+  *  - [[bruteForceTopK]]: broadcast the (small) query set, compute
+  *    similarities map-side over the corpus, then a per-query window
+  *    for the top k. The corpus is scanned once and never shuffled by
+  *    vector; only (corpus × |queries|) similarity rows reach the
+  *    ranking shuffle — prune with `minSim` when |queries| is large.
+  *  - [[lshTopK]]: deterministic random-hyperplane signatures bucket
+  *    the corpus; candidates come only from the query's bucket —
+  *    candidate set ≪ n, recall measured in the spec suite.
+  */
+object Similarity {
+
+  /** Σ aᵢ·bᵢ in double, sequential fold (order-stable). */
+  def dot(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  /** Cosine similarity, rounded to `scale` dp (cross-engine-stable). */
+  def cosine(a: Column, b: Column, scale: Int = 6): Column =
+    round(dot(a, b) / (norm(a) * norm(b)), scale)
+
+  /** Exact top-k nearest neighbours by cosine for every query vector.
+    * Output: (query_id, neighbor_id, sim, rnk).
+    */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame,
+                     corpusId: String, queryId: String, vecCol: String,
+                     k: Int, minSim: Double = -1.0): DataFrame = {
+    val q = queries.select(col(queryId), col(vecCol).as("__qvec"))
+    val w = Window.partitionBy(col(queryId))
+      .orderBy(col("sim").desc, col(corpusId).asc)
+    corpus.crossJoin(broadcast(q))
+      .filter(col(corpusId) =!= col(queryId))
+      .withColumn("sim", cosine(col(vecCol), col("__qvec")))
+      .filter(col("sim") >= minSim)
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col(queryId).as("query_id"), col(corpusId).as("neighbor_id"),
+        col("sim"), col("rnk").cast("long").as("rnk"))
+  }
+
+  /** Deterministic random-hyperplane bucket id over `planes` bits.
+    * Plane weights are ±1 derived from xxhash64(plane, dim) — no RNG,
+    * so signatures reproduce across runs/engines/partitions.
+    */
+  def hyperplaneBucket(vec: Column, planes: Int): Column = {
+    val bits = (0 until planes).map { p =>
+      val proj = aggregate(
+        zip_with(vec, sequence(lit(0), size(vec) - 1), (x, d) =>
+          x.cast("double") *
+            when(pmod(xxhash64(lit(p), d), lit(2)) === 0, lit(1.0)).otherwise(lit(-1.0))),
+        lit(0.0), (acc, v) => acc + v)
+      when(proj > 0, lit(1L << p)).otherwise(lit(0L))
+    }
+    bits.reduce(_ + _)
+  }
+
+  /** Approximate top-k: candidates restricted to the query's
+    * hyperplane bucket, then exact cosine rank within it. Fewer planes
+    * → bigger buckets → higher recall & cost.
+    */
+  def lshTopK(corpus: DataFrame, queries: DataFrame,
+              corpusId: String, queryId: String, vecCol: String,
+              k: Int, planes: Int = 8): DataFrame = {
+    val cb = corpus.withColumn("__bucket", hyperplaneBucket(col(vecCol), planes))
+    val qb = queries.select(col(queryId), col(vecCol).as("__qvec"))
+      .withColumn("__bucket", hyperplaneBucket(col("__qvec"), planes))
+    val w = Window.partitionBy(col(queryId))
+      .orderBy(col("sim").desc, col(corpusId).asc)
+    cb.join(broadcast(qb), Seq("__bucket"))
+      .filter(col(corpusId) =!= col(queryId))
+      .withColumn("sim", cosine(col(vecCol), col("__qvec")))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col(queryId).as("query_id"), col(corpusId).as("neighbor_id"),
+        col("sim"), col("rnk").cast("long").as("rnk"))
+  }
+}
