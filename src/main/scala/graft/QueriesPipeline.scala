@@ -1,0 +1,63 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.operators.Ops
+import graft.pipeline.Pipeline
+import graft.sources.{FileSink, FileSource}
+
+/** Pipeline-runner + connector query pack: q_pipeline (config-declared
+  * step list → plan, ref transform_engine.py:49-118) and file-format
+  * roundtrips through FileSink/FileSource (ref file_connector.py).
+  */
+object QueriesPipeline {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    "q_pipeline" -> ((s, dir) => {
+      val sources = Map(
+        "lineitem" -> t(s, dir, "lineitem"),
+        "orders" -> Ops.renameColumns(t(s, dir, "orders"), Map("o_orderkey" -> "l_orderkey")))
+      Pipeline.run(s, sources, Pipeline.Spec("lineitem", Seq(
+        Pipeline.DateRange("l_shipdate", "1995-01-01", "1995-12-31"),
+        Pipeline.Join("orders", Seq("l_orderkey"), "inner", broadcastRight = true),
+        Pipeline.Aggregate(Seq("o_orderpriority"), Seq(
+          ("l_quantity", "sum_money", "sum_qty"),
+          ("l_orderkey", "count", "n"))))))
+    }),
+
+    // csv write → read roundtrip (schema pinned, no inference scan)
+    "q_src_csv" -> ((s, dir) => {
+      val n = t(s, dir, "nation")
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_csv_nation"
+      FileSink.write(n, "csv", path, options = Map("header" -> "true"))
+      FileSource.read(s, "csv", path, Some(n.schema), Map("header" -> "true"))
+    }),
+
+    // json write → read roundtrip
+    "q_src_json" -> ((s, dir) => {
+      val r = t(s, dir, "region")
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_json_region"
+      FileSink.write(r, "json", path)
+      FileSource.read(s, "json", path, Some(r.schema))
+    })
+  )
+
+  def oracleSql: Map[String, String] = Map(
+
+    "q_pipeline" ->
+      """SELECT o_orderpriority,
+        |CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |COUNT(l_orderkey) AS n
+        |FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+        |WHERE l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
+        |  AND l_shipdate <= TIMESTAMP '1995-12-31 00:00:00'
+        |GROUP BY o_orderpriority""".stripMargin,
+
+    "q_src_csv" -> "SELECT * FROM nation",
+    "q_src_json" -> "SELECT * FROM region"
+  )
+}

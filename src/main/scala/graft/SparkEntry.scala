@@ -30,11 +30,13 @@ object SparkEntry {
   // -------------------------------------------------------------------
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     baseQueries ++ QueriesDQ.queries ++ QueriesAnomaly.queries ++
-      QueriesIncremental.queries ++ QueriesText.queries ++ QueriesLlm.queries
+      QueriesIncremental.queries ++ QueriesText.queries ++ QueriesLlm.queries ++
+      QueriesPipeline.queries
 
   def oracleSql: Map[String, String] =
     baseOracleSql ++ QueriesDQ.oracleSql ++ QueriesAnomaly.oracleSql ++
-      QueriesIncremental.oracleSql ++ QueriesText.oracleSql ++ QueriesLlm.oracleSql
+      QueriesIncremental.oracleSql ++ QueriesText.oracleSql ++ QueriesLlm.oracleSql ++
+      QueriesPipeline.oracleSql
 
   private def baseQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
 

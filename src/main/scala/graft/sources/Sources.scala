@@ -1,0 +1,98 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, DataFrameReader, SparkSession}
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.types.StructType
+
+/** Source/sink connectors: the Spark-native re-expression of the
+  * reference's connector layer (reference: src/connectors/
+  * file_connector.py:78-335, relational_connector.py,
+  * cloud_connector.py).
+  *
+  * The reference distinguishes local/S3/Azure/GCS/HDFS by hand-rolled
+  * client code; on Spark they are ALL the same `DataFrameReader` with a
+  * different URI scheme (s3a://, abfss://, gs://, hdfs://) — the
+  * Hadoop FileSystem layer owns transport, so `FileSource.read` covers
+  * the reference's file + cloud connectors in one code path. NoSQL and
+  * REST connectors need drivers absent from this container and are out
+  * of data-plane scope (documented mapping: the same reader pattern
+  * with their respective Spark connectors).
+  */
+object FileSource {
+
+  /** Read csv/json/parquet/text. Explicit `schema` skips the inference
+    * scan (mandatory at scale — schema inference reads the data twice)
+    * and pins column types for cross-engine parity.
+    */
+  def read(spark: SparkSession, format: String, path: String,
+           schema: Option[StructType] = None,
+           options: Map[String, String] = Map.empty): DataFrame = {
+    val base: DataFrameReader = spark.read.format(normalize(format)).options(options)
+    val withSchema = schema.fold(
+      if (normalize(format) == "csv") base.option("header", "true").option("inferSchema", "true")
+      else base)(s => base.schema(s))
+    withSchema.load(path)
+  }
+
+  private def normalize(format: String): String = format.toLowerCase match {
+    case "excel" | "xml" =>
+      throw new IllegalArgumentException(
+        s"$format needs an external Spark datasource package (not bundled here)")
+    case f => f
+  }
+}
+
+object FileSink {
+
+  /** Write with optional partition columns — ref file_connector.py:203.
+    * `partitionBy` produces the hive-layout directory tree that makes
+    * downstream partition pruning work; pair it with a sensible
+    * target file size (coalesce upstream) at scale.
+    */
+  def write(df: DataFrame, format: String, path: String,
+            mode: String = "overwrite", partitionBy: Seq[String] = Nil,
+            options: Map[String, String] = Map.empty): Unit = {
+    val w = df.write.format(format.toLowerCase).mode(mode).options(options)
+    (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).save(path)
+  }
+}
+
+/** JDBC source config — ref relational_connector.py. Builds the reader
+  * with predicate-pushdown-friendly options; `partitionColumn` splits
+  * the read into `numPartitions` parallel range queries (the only way
+  * a JDBC scan parallelizes). No live database exists in this
+  * container, so `.load()` is the caller's step; specs cover the
+  * configuration.
+  */
+final case class JdbcSource(url: String, table: String,
+                            user: String = "", password: String = "",
+                            partitionColumn: Option[String] = None,
+                            lowerBound: Long = 0L, upperBound: Long = 0L,
+                            numPartitions: Int = 1,
+                            fetchSize: Int = 10000) {
+  def options: Map[String, String] = {
+    val base = Map(
+      "url" -> url, "dbtable" -> table,
+      "user" -> user, "password" -> password,
+      "fetchsize" -> fetchSize.toString)
+    partitionColumn.fold(base)(pc => base ++ Map(
+      "partitionColumn" -> pc,
+      "lowerBound" -> lowerBound.toString,
+      "upperBound" -> upperBound.toString,
+      "numPartitions" -> numPartitions.toString))
+  }
+  def reader(spark: SparkSession): DataFrameReader =
+    spark.read.format("jdbc").options(options)
+}
+
+/** Incremental source wrapper — watermark filter pushed into the scan
+  * (shows up as PushedFilters on parquet; as WHERE-clause pushdown on
+  * JDBC). Composes FileSource with graft.incremental semantics.
+  */
+object IncrementalSource {
+  def read(spark: SparkSession, format: String, path: String,
+           watermarkCol: String, watermark: Any,
+           schema: Option[StructType] = None): DataFrame =
+    FileSource.read(spark, format, path, schema)
+      .filter(col(watermarkCol) > org.apache.spark.sql.functions.lit(watermark))
+}

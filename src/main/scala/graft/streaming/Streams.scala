@@ -1,0 +1,74 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types.StructType
+
+/** Structured-streaming building blocks. The reference's streaming
+  * story is checkpoint-file bookkeeping around batch reruns
+  * (src/utils/error_recovery.py); Spark's native model replaces it:
+  * exactly-once sinks via checkpointed offsets + idempotent writes,
+  * late data via watermarks, custom state via mapGroupsWithState.
+  */
+object Streams {
+
+  /** File-drop source: new files under `path` become micro-batches.
+    * Schema is mandatory for streams (no inference scan).
+    */
+  def fileStream(spark: SparkSession, format: String, path: String,
+                 schema: StructType,
+                 options: Map[String, String] = Map.empty): DataFrame =
+    spark.readStream.format(format).schema(schema).options(options).load(path)
+
+  /** Watermarked sliding/tumbling window aggregation — the streaming
+    * analog of Ops.groupAgg: late rows beyond `watermarkDelay` are
+    * dropped (state is bounded — the property that keeps a 100-day
+    * stream from accumulating 100 days of state).
+    */
+  def windowedAgg(df: DataFrame, tsCol: String, watermarkDelay: String,
+                  windowDur: String, slideDur: Option[String],
+                  keyCols: Seq[String], aggs: Seq[Column]): DataFrame = {
+    val win = slideDur.fold(window(col(tsCol), windowDur))(s => window(col(tsCol), windowDur, s))
+    df.withWatermark(tsCol, watermarkDelay)
+      .groupBy(win +: keyCols.map(col): _*)
+      .agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Streaming dedup on keys within the watermark horizon — the
+    * streaming analog of Incremental.dedupLatest (first-seen wins;
+    * state auto-expires with the watermark).
+    */
+  def dedupStream(df: DataFrame, tsCol: String, watermarkDelay: String,
+                  keys: Seq[String]): DataFrame =
+    df.withWatermark(tsCol, watermarkDelay)
+      .dropDuplicatesWithinWatermark(keys)
+
+  /** Custom keyed running state via mapGroupsWithState: per-key count
+    * and decimal-exact running sum. The template for arbitrary
+    * stateful operators (sessionization, CDC folding, counters).
+    */
+  final case class KeyedTotals(key: String, n: Long, total: Double)
+
+  def runningTotals(ds: Dataset[(String, Double)]): Dataset[KeyedTotals] = {
+    import ds.sparkSession.implicits._
+    ds.groupByKey(_._1)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout()) {
+        (key: String, rows: Iterator[(String, Double)], state: GroupState[KeyedTotals]) =>
+          val prev = state.getOption.getOrElse(KeyedTotals(key, 0L, 0.0))
+          val next = rows.foldLeft(prev) { case (acc, (_, v)) =>
+            KeyedTotals(key, acc.n + 1, acc.total + v)
+          }
+          state.update(next)
+          next
+      }
+  }
+
+  /** Start a console/memory sink for smoke runs; production sinks are
+    * format("parquet")/("kafka") with a checkpointLocation.
+    */
+  def startMemorySink(df: DataFrame, queryName: String,
+                      outputMode: OutputMode = OutputMode.Update()) =
+    df.writeStream.format("memory").queryName(queryName)
+      .outputMode(outputMode).start()
+}
