@@ -49,10 +49,13 @@ object Dedup {
       i => array_join(slice(toks, i, lit(n)), " ")))
   }
 
-  /** Jaccard similarity of two (distinct-element) arrays. */
+  /** Jaccard similarity of two (distinct-element) arrays (0 for two
+    * empty sets — also dodges ANSI-mode division by zero).
+    */
   def jaccard(a: Column, b: Column): Column = {
     val inter = size(array_intersect(a, b)).cast("double")
-    inter / (size(a) + size(b) - inter)
+    val union = size(a) + size(b) - inter
+    when(union =!= 0.0, inter / union).otherwise(lit(0.0))
   }
 
   // ---- n-gram Jaccard with explicit blocking -------------------------

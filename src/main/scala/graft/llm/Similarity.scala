@@ -29,9 +29,13 @@ object Similarity {
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
-  /** Cosine similarity, rounded to `scale` dp (cross-engine-stable). */
-  def cosine(a: Column, b: Column, scale: Int = 6): Column =
-    round(dot(a, b) / (norm(a) * norm(b)), scale)
+  /** Cosine similarity, rounded to `scale` dp (cross-engine-stable);
+    * null when either vector has zero norm.
+    */
+  def cosine(a: Column, b: Column, scale: Int = 6): Column = {
+    val denom = norm(a) * norm(b)
+    when(denom =!= 0.0, round(dot(a, b) / denom, scale))
+  }
 
   /** Exact top-k nearest neighbours by cosine for every query vector.
     * Output: (query_id, neighbor_id, sim, rnk).

@@ -28,7 +28,8 @@ object Anomaly {
       Det.meanAt(col(column), scale).as("__mean"),
       Det.stddevAt(col(column), scale).as("__std"))
     df.crossJoin(broadcast(stats))
-      .withColumn("z", abs(col(column) - col("__mean")) / col("__std"))
+      .withColumn("z", when(col("__std") =!= 0.0,
+        abs(col(column) - col("__mean")) / col("__std")))
       .filter(col("z") > threshold)
       .drop("__mean", "__std")
   }
@@ -47,8 +48,8 @@ object Anomaly {
       .withColumn("__iqr", col("__q3") - col("__q1"))
       .filter(col(column) < col("__q1") - lit(multiplier) * col("__iqr") ||
               col(column) > col("__q3") + lit(multiplier) * col("__iqr"))
-      .withColumn("conf",
-        abs(col(column) - (col("__q1") + col("__q3")) / lit(2.0)) / (col("__iqr") / lit(2.0)))
+      .withColumn("conf", when(col("__iqr") =!= 0.0,
+        abs(col(column) - (col("__q1") + col("__q3")) / lit(2.0)) / (col("__iqr") / lit(2.0))))
       .drop("__q1", "__q3", "__iqr")
   }
 
@@ -68,7 +69,8 @@ object Anomaly {
     val s2 = sum((x * x).cast(DecimalType(28, scale))).over(w).cast("double")
     val ma = s / n
     val std = sqrt(greatest(lit(0.0), (s2 - s * s / n) / (n - lit(1.0))))
-    df.withColumn("__n", n).withColumn("z", abs(x - ma) / std)
+    df.withColumn("__n", n)
+      .withColumn("z", when(std =!= 0.0, abs(x - ma) / std))
       .filter(col("__n") === window && col("z") > threshold)
       .drop("__n")
   }
@@ -87,7 +89,8 @@ object Anomaly {
       Det.meanAt(col(column), scale).as("__mean"),
       Det.stddevAt(col(column), scale).as("__std"))
     keyed.join(broadcast(stats), Seq("__season"))
-      .withColumn("z", abs(col(column) - col("__mean")) / col("__std"))
+      .withColumn("z", when(col("__std") =!= 0.0,
+        abs(col(column) - col("__mean")) / col("__std")))
       .filter(col("z") > threshold)
       .withColumnRenamed("__season", "season")
       .drop("__mean", "__std")

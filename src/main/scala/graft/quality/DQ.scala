@@ -224,8 +224,10 @@ object DQ {
         Det.sumAt(col(x) * col(x), scale).as("__sxx"),
         Det.sumAt(col(y) * col(y), scale).as("__syy"))
       .select(
-        lit(s"$x~$y").as("pair"), col("n"),
-        ((col("n") * col("__sxy") - col("__sx") * col("__sy")) /
-          (sqrt(col("n") * col("__sxx") - col("__sx") * col("__sx")) *
-           sqrt(col("n") * col("__syy") - col("__sy") * col("__sy")))).as("corr_val"))
+        lit(s"$x~$y").as("pair"), col("n"), {
+          val denom = sqrt(col("n") * col("__sxx") - col("__sx") * col("__sx")) *
+            sqrt(col("n") * col("__syy") - col("__sy") * col("__sy"))
+          when(denom =!= 0.0,
+            (col("n") * col("__sxy") - col("__sx") * col("__sy")) / denom).as("corr_val")
+        })
 }

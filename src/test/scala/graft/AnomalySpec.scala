@@ -1,0 +1,58 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.quality.Anomaly
+
+class AnomalySpec extends SparkSpec {
+  import spark.implicits._
+
+  // 29 small values + one wild outlier
+  private lazy val base = (1 to 29).map(i => (i.toLong, 10.0 + (i % 3)))
+  private lazy val df = (base :+ ((30L, 1000.0))).toDF("id", "v")
+
+  test("zscore flags the planted outlier and only it") {
+    val hits = Anomaly.zscore(df, "v", threshold = 3.0).select("id").as[Long].collect()
+    assert(hits.toSeq == Seq(30L))
+  }
+
+  test("iqr flags the planted outlier with confidence > 1") {
+    val hits = Anomaly.iqr(df, "v").select("id", "conf").collect()
+    assert(hits.map(_.getLong(0)).toSeq == Seq(30L))
+    assert(hits.head.getDouble(1) > 1.0)
+  }
+
+  test("movingAvg flags a level shift inside a series") {
+    val series = ((1 to 20).map(i => ("s", i, 5.0)) :+ (("s", 21, 50.0)))
+      .toDF("k", "seq", "v")
+    val hits = Anomaly.movingAvg(series, "v", Seq("k"), Seq(col("seq").asc),
+      window = 7, threshold = 2.0).select("seq").as[Int].collect()
+    assert(hits.contains(21))
+  }
+
+  test("ensemble requires minVotes detectors to agree") {
+    val z = Anomaly.zscore(df, "v", 3.0)
+    val i = Anomaly.iqr(df, "v")
+    val e = Anomaly.ensemble(Seq((z, "z"), (i, "conf")), Seq("id"), minVotes = 2)
+    assert(e.select("id").as[Long].collect().toSeq == Seq(30L))
+    assert(e.head().getAs[Long]("votes") == 2)
+  }
+
+  test("gridDensity flags rows in sparse cells") {
+    // 20 points in one cell, 1 point far away
+    val pts = ((1 to 20).map(i => (i.toLong, 1.0, 1.0)) :+ ((99L, 500.0, 500.0)))
+      .toDF("id", "x", "y")
+    val hits = Anomaly.gridDensity(pts, Seq(("x", 10.0), ("y", 10.0)), minPts = 5)
+      .select("id").as[Long].collect()
+    assert(hits.toSeq == Seq(99L))
+  }
+
+  test("seasonalResidual flags within-season outliers") {
+    // season 0 values ~10, season 1 values ~20; one bad row in season 0
+    val rows = (1 to 20).map(i => (i.toLong, i % 2, if (i % 2 == 0) 10.0 + (i % 5) * 0.1 else 20.0 + (i % 5) * 0.1)) :+
+      ((21L, 0, 99.0))
+    val df2 = rows.toDF("id", "season_src", "v")
+    val hits = Anomaly.seasonalResidual(df2, "v", col("season_src"), threshold = 2.5)
+      .select("id").as[Long].collect()
+    assert(hits.toSeq == Seq(21L))
+  }
+}

@@ -1,0 +1,85 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.quality.DQ
+
+class DQSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val df = Seq(
+    (1, Some("a@x.com"), 10.0),
+    (2, Some("bad-email"), 200.0),
+    (3, None, -5.0),
+    (3, Some("c@x.com"), 50.0)
+  ).toDF("id", "email", "amount")
+
+  test("check fuses rules into one pass and counts violations") {
+    val res = DQ.check(df, Seq(
+      DQ.NotNull("nn_email", "email"),
+      DQ.ValueRange("rng_amount", "amount", 0, 100),
+      DQ.RegexMatch("re_email", "email", "^[^@]+@[^@]+$"),
+      DQ.CrossField("cf_pos", "amount>0", col("amount") > 0)))
+      .collect().map(r => r.getString(0) -> (r.getLong(3), r.getBoolean(5))).toMap
+    assert(res("nn_email") == ((1L, false)))
+    assert(res("rng_amount") == ((2L, false))) // 200 and -5
+    assert(res("re_email") == ((1L, false)))   // bad-email (null doesn't violate regex)
+    assert(res("cf_pos") == ((1L, false)))     // -5
+  }
+
+  test("check honors maxViolationPct thresholds") {
+    val res = DQ.check(df, Seq(DQ.NotNull("nn", "email", maxViolationPct = 50.0)))
+      .select("passed").as[Boolean].head()
+    assert(res) // 25% nulls <= 50%
+  }
+
+  test("profile reports nulls, distincts and moments") {
+    val p = DQ.profile(df, numericCols = Seq("amount"), otherCols = Seq("email"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(p("amount").getAs[Long]("n_rows") == 4)
+    assert(p("amount").getAs[Long]("null_count") == 0)
+    assert(p("email").getAs[Long]("null_count") == 1)
+    assert(p("email").getAs[Long]("distinct_cnt") == 3)
+    assert(p("amount").getAs[Double]("min_val") == -5.0)
+    assert(p("amount").getAs[Double]("max_val") == 200.0)
+    assert(math.abs(p("amount").getAs[Double]("mean_val") - 63.75) < 1e-9)
+  }
+
+  test("uniqueness flags duplicate keys") {
+    val u = DQ.uniqueness(df, Seq("id")).head()
+    assert(u.getAs[Long]("total") == 4 && u.getAs[Long]("dup_count") == 1)
+    assert(!u.getAs[Boolean]("passed"))
+  }
+
+  test("refIntegrity counts orphans") {
+    val parent = Seq(1, 2).toDF("pid")
+    val r = DQ.refIntegrity(df, "id", parent, "pid", "child->parent").head()
+    assert(r.getAs[Long]("orphans") == 2) // both id=3 rows
+    assert(!r.getAs[Boolean]("passed"))
+  }
+
+  test("score aggregates pass rates by type") {
+    val checks = DQ.check(df, Seq(
+      DQ.NotNull("nn_id", "id"),
+      DQ.NotNull("nn_email", "email"),
+      DQ.ValueRange("rng", "amount", -100, 1000)))
+    val s = DQ.score(checks).collect()
+      .map(r => r.getString(0) -> r.getAs[Double]("score")).toMap
+    assert(s("completeness") == 50.0)
+    assert(s("validity") == 100.0)
+    assert(math.abs(s("overall") - 200.0 / 3) < 1e-9)
+  }
+
+  test("freshness detects future rows and lag") {
+    val events = Seq("2024-01-01 10:00:00", "2024-02-05 00:00:00")
+      .toDF("raw").select(col("raw").cast("timestamp").as("ts"))
+    val f = DQ.freshness(events, "ts", "2024-02-01 00:00:00", maxLagDays = 7).head()
+    assert(f.getAs[Long]("future_cnt") == 1)
+    assert(!f.getAs[Boolean]("passed"))
+  }
+
+  test("correlation is exactly 1 for a linear relationship") {
+    val lin = Seq((1.0, 2.0), (2.0, 4.0), (3.0, 6.0), (4.0, 8.0)).toDF("x", "y")
+    val c = DQ.correlation(lin, "x", "y").head().getAs[Double]("corr_val")
+    assert(math.abs(c - 1.0) < 1e-12)
+  }
+}

@@ -1,0 +1,100 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.incremental.Incremental
+
+class IncrementalSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("afterWatermark keeps strictly-newer rows") {
+    val df = Seq((1, 10), (2, 20), (3, 30)).toDF("id", "seq")
+    assert(Incremental.afterWatermark(df, "seq", 20).select("id").as[Int].collect().toSeq == Seq(3))
+  }
+
+  test("dedupLatest keeps the newest row per key") {
+    val df = Seq((1, 1, "old"), (1, 2, "new"), (2, 1, "only")).toDF("k", "ver", "v")
+    val out = Incremental.dedupLatest(df, Seq("k"), Seq(col("ver")))
+      .orderBy("k").select("v").as[String].collect()
+    assert(out.toSeq == Seq("new", "only"))
+  }
+
+  test("upsert: updates win, unmatched updates insert, rest survives") {
+    val target = Seq((1, "a"), (2, "b")).toDF("k", "v")
+    val updates = Seq((2, "B"), (3, "C")).toDF("k", "v")
+    val out = Incremental.upsert(target, updates, Seq("k"))
+      .orderBy("k").as[(Int, String)].collect()
+    assert(out.toSeq == Seq((1, "a"), (2, "B"), (3, "C")))
+  }
+
+  test("insertOnly never overwrites existing keys") {
+    val target = Seq((1, "a")).toDF("k", "v")
+    val updates = Seq((1, "A"), (2, "B")).toDF("k", "v")
+    val out = Incremental.insertOnly(target, updates, Seq("k"))
+      .orderBy("k").as[(Int, String)].collect()
+    assert(out.toSeq == Seq((1, "a"), (2, "B")))
+  }
+
+  test("scd2 closes changed rows, opens new versions, inserts new keys") {
+    val current = Seq((1, "x", "2020-01-01", "9999-12-31", true),
+                      (2, "y", "2020-01-01", "9999-12-31", true))
+      .toDF("k", "v", "eff_start", "eff_end", "is_current")
+      .withColumn("eff_start", col("eff_start").cast("date"))
+      .withColumn("eff_end", col("eff_end").cast("date"))
+    val incoming = Seq((2, "Y"), (3, "z")).toDF("k", "v")
+    val out = Incremental.scd2(current, incoming, Seq("k"), Seq("v"), "2021-06-01")
+      .orderBy("k", "eff_start")
+      .select(col("k"), col("v"), col("eff_end").cast("string"), col("is_current"))
+      .as[(Int, String, String, Boolean)].collect().toSeq
+    assert(out == Seq(
+      (1, "x", "9999-12-31", true),    // untouched key stays open
+      (2, "y", "2021-06-01", false),   // old version closed
+      (2, "Y", "9999-12-31", true),    // new version opened
+      (3, "z", "9999-12-31", true)))   // brand-new key
+  }
+
+  test("scd2 leaves history rows untouched") {
+    val current = Seq(
+      (1, "old", "2019-01-01", "2020-01-01", false),
+      (1, "x", "2020-01-01", "9999-12-31", true))
+      .toDF("k", "v", "eff_start", "eff_end", "is_current")
+      .withColumn("eff_start", col("eff_start").cast("date"))
+      .withColumn("eff_end", col("eff_end").cast("date"))
+    val out = Incremental.scd2(current, Seq((1, "x")).toDF("k", "v"),
+      Seq("k"), Seq("v"), "2021-06-01")
+    assert(out.count() == 2) // history + unchanged active
+  }
+
+  test("detectDeletes finds target keys absent from source") {
+    val target = Seq((1, "a"), (2, "b"), (3, "c")).toDF("k", "v")
+    val source = Seq((1, "a"), (3, "c")).toDF("k", "v")
+    val out = Incremental.detectDeletes(target, source, Seq("k"))
+      .select("k").as[Int].collect()
+    assert(out.toSeq == Seq(2))
+  }
+
+  test("applyCdc applies only the latest event per key") {
+    val target = Seq((1, 10.0), (2, 20.0), (3, 30.0)).toDF("k", "v")
+    val cdc = Seq(
+      (1, 11.0, "U", 1), (1, 12.0, "U", 2),   // key 1: final v=12
+      (2, 0.0, "D", 1),                        // key 2: deleted
+      (4, 40.0, "I", 1)                        // key 4: inserted
+    ).toDF("k", "v", "op", "seq")
+    val out = Incremental.applyCdc(target, cdc, Seq("k"), "op", Seq(col("seq").desc))
+      .orderBy("k").as[(Int, Double)].collect()
+    assert(out.toSeq == Seq((1, 12.0), (3, 30.0), (4, 40.0)))
+  }
+
+  test("gaps reports jumps beyond tolerance") {
+    val df = Seq(1L, 2L, 3L, 7L, 8L, 20L).toDF("seq")
+    val out = Incremental.gaps(df, "seq").orderBy("curr_val")
+      .as[(Long, Long, Long)].collect()
+    assert(out.toSeq == Seq((3L, 7L, 4L), (8L, 20L, 12L)))
+  }
+
+  test("flagLate marks rows at or before the watermark") {
+    val df = Seq((1, 5), (2, 10), (3, 15)).toDF("id", "seq")
+    val late = Incremental.flagLate(df, "seq", 10).filter(col("is_late"))
+      .select("id").as[Int].collect()
+    assert(late.toSeq == Seq(1, 2))
+  }
+}

@@ -1,0 +1,64 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Ops
+import graft.functions.Det
+
+class OpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("filterBy supports all comparison operators") {
+    val df = Seq(1, 2, 3, 4, 5).toDF("x")
+    assert(Ops.filterBy(df, "x", ">", 3).count() == 2)
+    assert(Ops.filterBy(df, "x", "<=", 2).count() == 2)
+    assert(Ops.filterBy(df, "x", "==", 5).count() == 1)
+    assert(Ops.filterBy(df, "x", "!=", 5).count() == 4)
+    assertThrows[IllegalArgumentException](Ops.filterBy(df, "x", "~", 1))
+  }
+
+  test("rolling computes trailing-window aggregates per partition") {
+    val df = Seq(("a", 1, 10.0), ("a", 2, 20.0), ("a", 3, 30.0), ("b", 1, 5.0))
+      .toDF("k", "seq", "v")
+    val r = Ops.rolling(df, Seq("k"), Seq(col("seq").asc), "v", 2, "sum", "roll")
+      .orderBy("k", "seq").select("roll").as[Double].collect()
+    assert(r.toSeq == Seq(10.0, 30.0, 50.0, 5.0))
+  }
+
+  test("rolling with empty partitionBy is a global trailing window") {
+    val df = Seq((1, 1.0), (2, 2.0), (3, 3.0)).toDF("seq", "v")
+    val r = Ops.rolling(df, Seq.empty, Seq(col("seq").asc), "v", 3, "mean", "m")
+      .orderBy("seq").select("m").as[Double].collect()
+    assert(r.toSeq == Seq(1.0, 1.5, 2.0))
+  }
+
+  test("joinMany chains N frames on shared keys") {
+    val a = Seq((1, "x"), (2, "y")).toDF("k", "a")
+    val b = Seq((1, 10), (2, 20)).toDF("k", "b")
+    val c = Seq((1, true)).toDF("k", "c")
+    val j = Ops.joinMany(Seq(a, b, c), Seq("k"))
+    assert(j.columns.toSeq == Seq("k", "a", "b", "c"))
+    assert(j.count() == 1)
+  }
+
+  test("saltedJoin matches plain join results") {
+    val left = table("orders").select("o_orderkey", "o_custkey")
+    val right = table("customer").select("c_custkey", "c_mktsegment")
+      .withColumnRenamed("c_custkey", "o_custkey")
+    val plain = Ops.join(left, right, Seq("o_custkey")).count()
+    val salted = Ops.saltedJoin(left, right, "o_custkey", buckets = 4).count()
+    assert(plain == salted && plain > 0)
+  }
+
+  test("Det.stddevAt matches the textbook sample stddev") {
+    val df = Seq(2.0, 4.0, 4.0, 4.0, 5.0, 5.0, 7.0, 9.0).toDF("x")
+    val got = df.agg(Det.stddevAt(col("x"), 4)).as[Double].head()
+    assert(math.abs(got - 2.13808993529939) < 1e-9) // sample stddev
+  }
+
+  test("Det sums are exact under repartitioning") {
+    val df = table("lineitem")
+    val a = df.agg(Det.sumMoney(col("l_extendedprice"))).as[Double].head()
+    val b = df.repartition(17).agg(Det.sumMoney(col("l_extendedprice"))).as[Double].head()
+    assert(a == b)
+  }
+}

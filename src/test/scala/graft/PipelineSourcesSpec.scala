@@ -1,0 +1,124 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.operators.Ops
+import graft.pipeline.Pipeline
+import graft.sources.{FileSink, FileSource, IncrementalSource, JdbcSource}
+
+class PipelineSourcesSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("pipeline steps compose to the same plan results as direct Ops") {
+    val sources = Map(
+      "orders" -> table("orders"),
+      "customer" -> Ops.renameColumns(table("customer"), Map("c_custkey" -> "o_custkey")))
+    val spec = Pipeline.Spec("orders", Seq(
+      Pipeline.Filter("o_totalprice", ">", 100000.0),
+      Pipeline.Join("customer", Seq("o_custkey"), "inner", broadcastRight = true),
+      Pipeline.Aggregate(Seq("c_mktsegment"), Seq(("o_orderkey", "count", "n")))))
+    val got = Pipeline.run(spark, sources, spec)
+    val want = Ops.groupAgg(
+      Ops.join(Ops.filterBy(table("orders"), "o_totalprice", ">", 100000.0),
+        sources("customer"), Seq("o_custkey"), "inner", broadcastRight = true),
+      Seq("c_mktsegment"), Seq(("o_orderkey", "count", "n")))
+    assert(got.orderBy("c_mktsegment").collect().toSeq ==
+           want.orderBy("c_mktsegment").collect().toSeq)
+  }
+
+  test("pipeline SqlTransform sees the running frame as __pipe") {
+    val out = Pipeline.run(spark, Map("region" -> table("region")),
+      Pipeline.Spec("region", Seq(
+        Pipeline.SqlTransform("SELECT COUNT(*) AS n FROM __pipe"))))
+    assert(out.as[Long].head() == table("region").count())
+  }
+
+  test("runWithStats reports input and output row counts") {
+    val (_, stats) = Pipeline.runWithStats(spark, Map("region" -> table("region")),
+      Pipeline.Spec("region", Seq(Pipeline.Select(Seq("r_name")))))
+    assert(stats.rowsIn("region") == stats.rowsOut)
+  }
+
+  test("csv and json roundtrips preserve data with a pinned schema") {
+    val dir = Files.createTempDirectory("graft_src_spec").toString
+    val n = table("nation")
+    FileSink.write(n, "csv", s"$dir/n_csv", options = Map("header" -> "true"))
+    FileSink.write(n, "json", s"$dir/n_json")
+    val backCsv = FileSource.read(spark, "csv", s"$dir/n_csv", Some(n.schema),
+      Map("header" -> "true"))
+    val backJson = FileSource.read(spark, "json", s"$dir/n_json", Some(n.schema))
+    assert(backCsv.orderBy("n_nationkey").collect().toSeq ==
+           n.orderBy("n_nationkey").collect().toSeq)
+    assert(backJson.orderBy("n_nationkey").collect().toSeq ==
+           n.orderBy("n_nationkey").collect().toSeq)
+  }
+
+  test("partitioned write produces hive-layout dirs that prune on read") {
+    val dir = Files.createTempDirectory("graft_part_spec").toString
+    FileSink.write(table("orders"), "parquet", s"$dir/by_status",
+      partitionBy = Seq("o_orderstatus"))
+    val sub = new java.io.File(s"$dir/by_status").listFiles()
+      .filter(_.getName.startsWith("o_orderstatus=")).map(_.getName).toSet
+    assert(sub.nonEmpty)
+    val back = spark.read.parquet(s"$dir/by_status")
+      .filter(col("o_orderstatus") === "F")
+    assert(back.count() == table("orders").filter(col("o_orderstatus") === "F").count())
+  }
+
+  test("unsupported file formats are rejected with a clear error") {
+    assertThrows[IllegalArgumentException](
+      FileSource.read(spark, "excel", "/tmp/whatever"))
+  }
+
+  test("JdbcSource builds partitioned-read options") {
+    val j = JdbcSource("jdbc:postgresql://db/x", "public.t",
+      partitionColumn = Some("id"), lowerBound = 0, upperBound = 1000, numPartitions = 8)
+    assert(j.options("partitionColumn") == "id")
+    assert(j.options("numPartitions") == "8")
+    assert(j.reader(spark) != null) // builds without connecting
+  }
+
+  test("IncrementalSource pushes the watermark filter into the scan") {
+    val df = IncrementalSource.read(spark, "parquet",
+      s"${TestSession.sfDir}/orders.parquet", "o_orderkey", 1000L)
+    val physical = df.queryExecution.executedPlan.toString
+    assert(physical.contains("PushedFilters") && physical.contains("GreaterThan(o_orderkey,1000)"),
+      s"watermark filter not pushed:\n$physical")
+  }
+
+  test("Schemas.validate reports missing, extra and mismatched columns") {
+    val df = Seq((1, "a")).toDF("id", "name")
+    val expected = StructType(Seq(
+      StructField("id", LongType), StructField("name", StringType),
+      StructField("ts", TimestampType)))
+    val v = Schemas.validate(df, expected, strict = true)
+    assert(v.missing == Seq("ts"))
+    assert(v.typeMismatches.map(_.column) == Seq("id")) // int vs long
+    assert(!v.passed)
+    val ok = Schemas.validate(df, StructType(Seq(
+      StructField("id", IntegerType), StructField("name", StringType))))
+    assert(ok.passed)
+  }
+
+  test("Schemas.diff tracks evolution") {
+    val v1 = StructType(Seq(StructField("a", IntegerType), StructField("b", StringType)))
+    val v2 = StructType(Seq(StructField("a", LongType), StructField("c", StringType)))
+    val d = Schemas.diff(v1, v2)
+    assert(d.added.map(_.name) == Seq("c"))
+    assert(d.removed.map(_.name) == Seq("b"))
+    assert(d.changed.map(_.column) == Seq("a"))
+    assert(!Schemas.compatible(v1, v2))
+    assert(Schemas.compatible(v1, StructType(v1.fields :+ StructField("d", DateType))))
+  }
+
+  test("Lineage.fromPlan lists sources and referenced columns of a multi-join plan") {
+    val df = SparkEntry.queries("q_join_multi")(spark, TestSession.sfDir)
+    val info = Lineage.fromPlan(df)
+    assert(info.sources.size == 5)
+    assert(info.sources.forall(_.contains("parquet")))
+    val liCols = info.sourceColumns.find(_._1.contains("lineitem")).get._2
+    assert(liCols.contains("l_extendedprice") && liCols.contains("l_orderkey"))
+    assert(info.outputColumns == Seq("n_name", "revenue"))
+  }
+}

@@ -1,0 +1,94 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+import graft.multimodal.Media
+import graft.streaming.Streams
+
+class StreamsMediaSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("windowedAgg with watermark aggregates a memory stream") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(java.sql.Timestamp, String, Double)]
+    val df = input.toDF().toDF("ts", "k", "v")
+    val agg = Streams.windowedAgg(df, "ts", "10 minutes", "1 hour", None,
+      Seq("k"), Seq(count(lit(1)).as("n"), sum(col("v")).as("total")))
+    val q = agg.writeStream.format("memory").queryName("wa_test")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      def ts(h: Int, m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 $h%02d:$m%02d:00")
+      input.addData((ts(10, 5), "a", 1.0), (ts(10, 20), "a", 2.0), (ts(11, 5), "b", 5.0))
+      q.processAllAvailable()
+      val rows = spark.table("wa_test")
+        .select(col("k"), col("n"), col("total")).collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(rows.contains(("a", 2L, 3.0)))
+      assert(rows.contains(("b", 1L, 5.0)))
+    } finally q.stop()
+  }
+
+  test("dedupStream drops duplicate keys within the watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(java.sql.Timestamp, Long)]
+    val df = input.toDF().toDF("ts", "id")
+    val q = Streams.dedupStream(df, "ts", "1 hour", Seq("id"))
+      .writeStream.format("memory").queryName("dd_test")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      val t0 = java.sql.Timestamp.valueOf("2024-01-01 10:00:00")
+      input.addData((t0, 1L), (t0, 1L), (t0, 2L))
+      q.processAllAvailable()
+      assert(spark.table("dd_test").count() == 2)
+    } finally q.stop()
+  }
+
+  test("runningTotals maintains per-key state across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(String, Double)]
+    val q = Streams.runningTotals(input.toDS())
+      .writeStream.format("memory").queryName("rt_test")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      input.addData(("a", 1.0), ("a", 2.0))
+      q.processAllAvailable()
+      input.addData(("a", 3.0))
+      q.processAllAvailable()
+      val last = spark.table("rt_test").filter(col("key") === "a")
+        .orderBy(col("n").desc).head()
+      assert(last.getAs[Long]("n") == 3 && last.getAs[Double]("total") == 6.0)
+    } finally q.stop()
+  }
+
+  test("Media.withMetadata attaches a typed metadata struct") {
+    val df = Seq((1L, "somebytes".getBytes), (2L, "x".getBytes)).toDF("id", "blob")
+    val out = Media.withMetadata(df, "blob", "image/png")
+    val meta = out.select("media_meta.*")
+    assert(meta.columns.toSeq == Seq("mime", "width", "height", "duration_ms", "n_bytes"))
+    val r = meta.orderBy(col("n_bytes").desc).head()
+    assert(r.getAs[String]("mime") == "image/png")
+    assert(r.getAs[Long]("n_bytes") == 9L)
+    assert(r.getAs[Int]("width") > 0)
+  }
+
+  test("Media.extractFeatures emits deterministic fixed-width vectors") {
+    val df = Seq((1L, "aaa".getBytes), (2L, "bbb".getBytes)).toDF("id", "blob")
+    val f1 = Media.extractFeatures(df, "blob", "id", dim = 8).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    val f2 = Media.extractFeatures(df, "blob", "id", dim = 8).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    assert(f1(1L).size == 8)
+    assert(f1 == f2)           // deterministic
+    assert(f1(1L) != f1(2L))   // content-sensitive
+  }
+
+  test("Media.sampleFrames explodes n evenly spaced offsets per video") {
+    val df = Seq((1L, "0123456789".getBytes)).toDF("id", "blob")
+    val withMeta = Media.withMetadata(df, "blob", "video/mp4")
+    val frames = Media.sampleFrames(withMeta, "media_meta", n = 4)
+    assert(frames.count() == 4)
+    val offsets = frames.select("frame_offset_ms").as[Long].collect().sorted
+    assert(offsets.head == 0L && offsets.distinct.length == 4)
+  }
+}

@@ -1,0 +1,121 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.llm.{Dedup, Similarity, Text}
+
+class TextDedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("tokenCount / bpeishTokenCount on known strings") {
+    val df = Seq("hello  world", "a,b c!", "").toDF("t")
+    val r = df.select(Text.tokenCount(col("t")), Text.bpeishTokenCount(col("t")))
+      .as[(Int, Int)].collect()
+    assert(r(0) == ((2, 2)))
+    assert(r(1) == ((2, 5))) // a | , | b | " c" | !
+    assert(r(2) == ((0, 0)))
+  }
+
+  test("langId picks the language with the most marker hits") {
+    val df = Seq(
+      "the cat and the dog is here",
+      "der hund und die katze ist da",
+      "le chat et la maison est grande",
+      "el perro y los gatos las casas").toDF("t")
+    val r = df.select(Text.langId(col("t"))).as[String].collect()
+    assert(r.toSeq == Seq("en", "de", "fr", "es"))
+  }
+
+  test("qualityScore is bounded and monotone in stopword richness") {
+    val df = Seq(
+      "the cat and the dog is in the house of a friend",
+      "zxqw kjhg poiu mnbv").toDF("t")
+    val r = df.select(Text.qualityScore(col("t"))).as[Double].collect()
+    assert(r.forall(s => s >= 0.0 && s <= 1.0))
+    assert(r(0) > r(1))
+  }
+
+  test("shingleFingerprint is edit-robust where md5 is not") {
+    val a = "the quick brown fox jumps over the lazy dog in the morning"
+    val b = a + "!" // tiny suffix edit
+    val df = Seq(a, b).toDF("t")
+    val r = df.select(Text.fingerprint(col("t")), Text.shingleFingerprint(col("t")))
+      .as[(String, String)].collect()
+    assert(r(0)._1 != r(1)._1)   // exact hash differs
+    assert(r(0)._2 == r(1)._2)   // min-shingle hash survives the edit
+  }
+
+  test("exact dedup keeps the min-id row per content group") {
+    val df = Seq((5L, "same"), (2L, "same"), (9L, "other")).toDF("doc_id", "text")
+    val groups = Dedup.exactGroups(df, "doc_id", "text").orderBy("keep_id")
+      .select("n_dups", "keep_id").as[(Long, Long)].collect()
+    assert(groups.toSeq == Seq((2L, 2L), (1L, 9L)))
+    val kept = Dedup.exact(df, "doc_id", "text").select("doc_id").as[Long].collect().sorted
+    assert(kept.toSeq == Seq(2L, 9L))
+  }
+
+  test("minhashLsh finds planted near-duplicates and skips unrelated docs") {
+    val base = "the quick brown fox jumps over the lazy dog while the sun sets slowly behind distant hills tonight"
+    val near = base.replace("lazy", "sleepy")
+    val other = "completely different content about database engines and vectorized execution with columnar storage"
+    val df = Seq((1L, base), (2L, near), (3L, other)).toDF("doc_id", "text")
+    val pairs = Dedup.minhashLsh(df, "doc_id", "text",
+      shingleK = 5, numHashes = 32, bands = 16, threshold = 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect()
+    assert(pairs.toSeq == Seq((1L, 2L)))
+  }
+
+  test("simhashPairs finds the planted near-dup pair") {
+    // long doc → stable bit votes; one changed word → small hamming.
+    // (short docs flip many near-tie bits: banding only guarantees
+    // recall for genuinely close signatures)
+    val base = (1 to 80).map(i => s"word$i").mkString(" ")
+    val near = base.replace("word40", "wordX")
+    val other = "one two three four five six seven eight nine ten eleven twelve"
+    val df = Seq((1L, base), (2L, near), (3L, other)).toDF("doc_id", "text")
+    val pairs = Dedup.simhashPairs(df, "doc_id", "text", maxHamming = 8)
+      .select("id_a", "id_b").as[(Long, Long)].collect()
+    assert(pairs.toSeq == Seq((1L, 2L)))
+  }
+
+  test("ngramJaccardPairs respects the blocking column") {
+    val df = Seq(
+      (1L, "a b c d", "g1"), (2L, "a b c e", "g1"),
+      (3L, "a b c d", "g2")).toDF("doc_id", "text", "grp")
+    val pairs = Dedup.ngramJaccardPairs(df, "doc_id", "text", "grp", n = 1, threshold = 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect()
+    assert(pairs.toSeq == Seq((1L, 2L))) // 3 is identical to 1 but blocked apart
+  }
+
+  test("cosine and bruteForceTopK rank by similarity") {
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f)),
+      (1L, Array(0.9f, 0.1f)),
+      (2L, Array(0.0f, 1.0f))).toDF("vec_id", "embedding")
+    val q = vecs.filter(col("vec_id") === 0)
+      .select(col("vec_id").as("query_id"), col("embedding"))
+    val top = Similarity.bruteForceTopK(vecs, q, "vec_id", "query_id", "embedding", k = 2)
+      .orderBy("rnk").select("neighbor_id").as[Long].collect()
+    assert(top.toSeq == Seq(1L, 2L))
+  }
+
+  test("lshTopK achieves reasonable recall vs brute force on real embeddings") {
+    val e = table("embeddings")
+    val q = e.filter(col("vec_id") < 5).select(col("vec_id").as("query_id"), col("embedding"))
+    val exact = Similarity.bruteForceTopK(e, q, "vec_id", "query_id", "embedding", k = 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val approx = Similarity.lshTopK(e, q, "vec_id", "query_id", "embedding", k = 5, planes = 2)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = (exact intersect approx).size.toDouble / exact.size
+    assert(recall >= 0.2, s"recall=$recall") // 2 planes = 4 buckets → ~1/4 corpus searched
+  }
+
+  test("embeddingNearDup finds identical vectors within a block") {
+    val vecs = Seq(
+      (1L, Array(1.0f, 2.0f), "b1"), (2L, Array(1.0f, 2.0f), "b1"),
+      (3L, Array(1.0f, 2.0f), "b2"), (4L, Array(-5.0f, 1.0f), "b1"))
+      .toDF("vec_id", "embedding", "blk")
+    val pairs = Dedup.embeddingNearDup(vecs, "vec_id", "embedding", "blk", 0.999)
+      .select("id_a", "id_b").as[(Long, Long)].collect()
+    assert(pairs.toSeq == Seq((1L, 2L)))
+  }
+}
