@@ -27,7 +27,17 @@ object Tables {
     else df
   }
 
-  /** Register every table as a temp view (for SQL transforms). */
-  def registerAll(spark: SparkSession, dir: String): Unit =
-    names.foreach(n => load(spark, dir, n).createOrReplaceTempView(n))
+  /** Register every table as a temp view (for SQL transforms). View
+    * registration is lazy metadata, but re-deriving ten view plans per
+    * query is still wasted setup — skip when this session already
+    * registered the same dir.
+    */
+  private val registered = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  def registerAll(spark: SparkSession, dir: String): Unit = {
+    val key = System.identityHashCode(spark).toString
+    if (registered.get(key) != dir) {
+      names.foreach(n => load(spark, dir, n).createOrReplaceTempView(n))
+      registered.put(key, dir)
+    }
+  }
 }

@@ -21,8 +21,19 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Σ aᵢ·bᵢ in double, sequential fold (order-stable). */
+  /** Σ aᵢ·bᵢ in double, sequential left-to-right accumulation
+    * (order-stable). Native codegen'd expression
+    * ([[graft.plans.VectorExpressions]]) — the HOF formulation
+    * (`aggregate(zip_with(...))`) has identical semantics but runs
+    * interpreted, which dominates pairwise-similarity cost.
+    */
   def dot(a: Column, b: Column): Column =
+    graft.plans.VectorExpressions.dotProduct(a, b)
+
+  /** The HOF reference formulation of [[dot]] (kept for cross-checking
+    * the native expression in specs).
+    */
+  def dotHof(a: Column, b: Column): Column =
     aggregate(
       zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
       lit(0.0), (acc, v) => acc + v)

@@ -1,0 +1,102 @@
+package graft.plans
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.{SparkSessionExtensions, SparkSessionExtensionsProvider}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
+
+/** Native Catalyst expression for the embedding hot path. Spark's
+  * higher-order functions (`zip_with`/`aggregate`) run INTERPRETED —
+  * each element evaluation walks a lambda expression tree — which
+  * dominates cost when a dot product runs per candidate pair.
+  * [[DotProductF]] generates a tight primitive loop inside whole-stage
+  * codegen instead.
+  *
+  * Semantics mirror the HOF formulation exactly (see
+  * [[graft.llm.Similarity.dot]]): elements widened to double,
+  * accumulated left-to-right, null if either side is null or lengths
+  * differ (zip_with pads with null, which nulls the HOF sum) — so the
+  * two implementations are interchangeable under the DuckDB oracle.
+  */
+case class DotProductF(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    (left.dataType, right.dataType) match {
+      case (ArrayType(FloatType, _), ArrayType(FloatType, _)) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case _ =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"dot_product needs two array<float> args, got " +
+            s"${left.dataType.simpleString} / ${right.dataType.simpleString}")
+    }
+  }
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    if (x.numElements() != y.numElements()) return null
+    var acc = 0.0
+    var i = 0
+    val n = x.numElements()
+    while (i < n) {
+      acc += x.getFloat(i).toDouble * y.getFloat(i).toDouble
+      i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val acc = ctx.freshName("acc")
+      s"""
+         |if ($a.numElements() != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $acc = 0.0;
+         |  int $n = $a.numElements();
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $acc += ((double) $a.getFloat($i)) * ((double) $b.getFloat($i));
+         |  }
+         |  ${ev.value} = $acc;
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): DotProductF =
+    copy(left = newLeft, right = newRight)
+
+  override def prettyName: String = "graft_dot"
+}
+
+object VectorExpressions {
+  /** Column-level handle on the native expression, resolved through
+    * the function registry (public API; the session must carry
+    * [[GraftExtensions]], which [[graft.GraftSession]] configures).
+    */
+  def dotProduct(a: Column, b: Column): Column =
+    org.apache.spark.sql.functions.call_function("graft_dot", a, b)
+}
+
+/** SparkSessionExtensions hook: registers `graft_dot(a, b)` as a SQL
+  * function. Enable with
+  * `.config("spark.sql.extensions", "graft.plans.GraftExtensions")`
+  * (done by [[graft.GraftSession]]).
+  */
+class GraftExtensions extends SparkSessionExtensionsProvider {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      new FunctionIdentifier("graft_dot"),
+      new ExpressionInfo(classOf[DotProductF].getName, "graft_dot"),
+      (children: Seq[Expression]) => DotProductF(children(0), children(1))))
+  }
+}

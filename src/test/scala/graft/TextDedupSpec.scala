@@ -87,6 +87,22 @@ class TextDedupSpec extends SparkSpec {
     assert(pairs.toSeq == Seq((1L, 2L))) // 3 is identical to 1 but blocked apart
   }
 
+  test("native graft_dot matches the HOF dot product bit-for-bit") {
+    val e = table("embeddings").limit(200)
+    val paired = e.select(col("embedding").as("a"))
+      .crossJoin(e.select(col("embedding").as("b")).limit(50))
+    val diff = paired.select(
+      (Similarity.dot(col("a"), col("b")) -
+        Similarity.dotHof(col("a"), col("b"))).as("d"))
+      .agg(max(abs(col("d")))).as[Double].head()
+    assert(diff == 0.0) // identical accumulation order → identical doubles
+    // SQL registration via GraftExtensions
+    val viaSql = spark.sql(
+      "SELECT graft_dot(array(cast(1.0 as float), cast(2.0 as float)), " +
+        "array(cast(3.0 as float), cast(4.0 as float)))").as[Double].head()
+    assert(viaSql == 11.0)
+  }
+
   test("cosine and bruteForceTopK rank by similarity") {
     val vecs = Seq(
       (0L, Array(1.0f, 0.0f)),
