@@ -99,6 +99,13 @@ object QueriesDQ {
     // quality score — ref dq_engine.py:363-378
     "q_dq_score" -> ((s, dir) => {
       DQ.score(DQ.check(t(s, dir, "orders"), scoreRules))
+    }),
+
+    // statistical distribution / chi-square — ref dq_rule_examples.py:980
+    "q_dq_distribution" -> ((s, dir) => {
+      DQ.distribution(t(s, dir, "lineitem"), "l_quantity",
+        edges = Seq(1, 11, 21, 31, 41, 51),
+        expectedProbs = Seq(0.2, 0.2, 0.2, 0.2, 0.2), critical = 100.0)
     })
   )
 
@@ -238,6 +245,19 @@ object QueriesDQ {
     "q_dq_corr" ->
       Seq(corrOracle("lineitem", "l_quantity", "l_extendedprice"),
           corrOracle("customer", "c_nationkey", "c_acctbal")).mkString("\nUNION ALL\n"),
+
+    "q_dq_distribution" -> {
+      val edges = Seq(1.0, 11.0, 21.0, 31.0, 41.0, 51.0)
+      val buckets = edges.sliding(2).toSeq.zipWithIndex.map { case (Seq(lo, hi), i) =>
+        s"SUM(CASE WHEN l_quantity >= $lo AND l_quantity < $hi THEN 1 ELSE 0 END) AS b$i"
+      }.mkString(", ")
+      val nD = "CAST(b0+b1+b2+b3+b4 AS DOUBLE)"
+      val chi2 = (0 until 5).map(i =>
+        s"(b$i - $nD * 0.2) * (b$i - $nD * 0.2) / ($nD * 0.2)").mkString(" + ")
+      s"""WITH b AS (SELECT $buckets FROM lineitem)
+         |SELECT 'l_quantity' AS colname, CAST($nD AS BIGINT) AS n,
+         |$chi2 AS chi2, (($chi2) <= 100.0) AS passed FROM b""".stripMargin
+    },
 
     "q_dq_score" -> {
       val rules = Seq(

@@ -201,7 +201,52 @@ object Ops {
     df.withColumn(name, if (exactMoney) e.cast("double") else e)
   }
 
-  // ---- 7. SQL transform (ref: execute_sql_transform)
+  // ---- 7. Semi-structured + time operators
+
+  /** Extract a JSON path from a string column (map-side, codegen'd). */
+  def jsonField(c: Column, path: String): Column = get_json_object(c, path)
+
+  /** Gap-based sessionization: a new session starts when the gap to
+    * the previous event (within the partition) exceeds `gapSeconds`.
+    * Comparisons run on integer microseconds (exact cross-engine).
+    * Appends `alias` = cumulative session number per partition.
+    */
+  def sessionize(df: DataFrame, partitionBy: Seq[String], tsCol: String,
+                 orderBy: Seq[Column], gapSeconds: Long,
+                 alias: String = "session_id"): DataFrame = {
+    val w = Window.partitionBy(partitionBy.map(col): _*).orderBy(orderBy: _*)
+    val prev = lag(col(tsCol), 1).over(w)
+    val newSession = when(prev.isNull ||
+      unix_micros(col(tsCol)) - unix_micros(prev) > gapSeconds * 1000000L, 1L)
+      .otherwise(0L)
+    val wc = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn("__new_s", newSession)
+      .withColumn(alias, sum(col("__new_s")).over(wc))
+      .drop("__new_s")
+  }
+
+  /** Rolling aggregate over a VALUE RANGE of the (numeric) ordering
+    * column — e.g. 7 calendar days when ordering by a day number —
+    * unlike [[rolling]]'s physical-row frames. Missing ranks shrink
+    * the window, as calendar semantics require.
+    */
+  def rollingRange(df: DataFrame, partitionBy: Seq[String], orderNum: Column,
+                   precedingRange: Long, column: String, function: String,
+                   alias: String): DataFrame = {
+    val w = Window.partitionBy(partitionBy.map(col): _*).orderBy(orderNum)
+      .rangeBetween(-precedingRange, Window.currentRow)
+    val e = function.toLowerCase match {
+      case "mean" | "avg" => avg(col(column)).over(w)
+      case "sum"          => sum(col(column)).over(w)
+      case "min"          => min(col(column)).over(w)
+      case "max"          => max(col(column)).over(w)
+      case "count"        => count(col(column)).over(w)
+      case other          => throw new IllegalArgumentException(s"Unsupported rolling fn: $other")
+    }
+    df.withColumn(alias, e)
+  }
+
+  // ---- 8. SQL transform (ref: execute_sql_transform)
 
   /** Run a SQL statement over already-registered temp views. */
   def sqlTransform(spark: org.apache.spark.sql.SparkSession, sql: String): DataFrame =

@@ -208,6 +208,30 @@ object DQ {
           datediff(asOfTs.cast("date"), col("max_ts").cast("date")) <= maxLagDays).as("passed"))
   }
 
+  /** Statistical-distribution check — ref dq_rule_examples.py:980:
+    * bucket the column by `edges` and compare observed counts against
+    * `expectedProbs` with a chi-square statistic (one fused agg pass;
+    * rows outside the edges are ignored, like the reference's binned
+    * histogram). passed = chi2 <= critical.
+    * Output: (colname, n, chi2, passed).
+    */
+  def distribution(df: DataFrame, column: String, edges: Seq[Double],
+                   expectedProbs: Seq[Double], critical: Double): DataFrame = {
+    require(edges.size >= 2 && expectedProbs.size == edges.size - 1)
+    val c = col(column)
+    val bucketCounts = edges.sliding(2).toSeq.zipWithIndex.map { case (Seq(lo, hi), i) =>
+      sum(when(c >= lo && c < hi, 1L).otherwise(0L)).as(s"__b$i")
+    }
+    val one = df.agg(bucketCounts.head, bucketCounts.tail: _*)
+    val n = expectedProbs.indices.map(i => col(s"__b$i")).reduce(_ + _).cast("double")
+    val chi2 = expectedProbs.zipWithIndex.map { case (p, i) =>
+      val exp = n * lit(p)
+      (col(s"__b$i") - exp) * (col(s"__b$i") - exp) / exp
+    }.reduce(_ + _)
+    one.select(lit(column).as("colname"), n.cast("long").as("n"),
+      chi2.as("chi2"), (chi2 <= critical).as("passed"))
+  }
+
   /** Pearson correlation with order-independent decimal-exact moments —
     * ref dq_rule_examples.py:1034 (check_correlation). Both engines
     * evaluate the identical IEEE expression over exact sums, so the
