@@ -71,4 +71,36 @@ object Streams {
                       outputMode: OutputMode = OutputMode.Update()) =
     df.writeStream.format("memory").queryName(queryName)
       .outputMode(outputMode).start()
+
+  /** End-to-end streaming CDC: every micro-batch of I/U/D events folds
+    * into the parquet target via [[graft.incremental.Incremental.applyCdc]]
+    * (write-new-state-then-swap — idempotent, so checkpoint replays
+    * are safe). `targetPath` must hold the seeded initial state; its
+    * schema defines the target columns.
+    */
+  def applyCdcStream(cdc: DataFrame, keys: Seq[String], opCol: String,
+                     newestFirst: Seq[Column], targetPath: String,
+                     checkpointDir: String) = {
+    cdc.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .outputMode(OutputMode.Update())
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val spark = batch.sparkSession
+        val fs = org.apache.hadoop.fs.FileSystem.get(
+          spark.sparkContext.hadoopConfiguration)
+        val target = new org.apache.hadoop.fs.Path(targetPath)
+        val current = spark.read.parquet(targetPath)
+        val targetCols = current.columns.toSeq
+        val next = graft.incremental.Incremental
+          .applyCdc(current, batch.toDF(), keys, opCol, newestFirst)
+          .select(targetCols.map(org.apache.spark.sql.functions.col): _*)
+        val tmp = new org.apache.hadoop.fs.Path(targetPath + "__tmp")
+        // materialize the new state BEFORE touching the old files
+        next.write.mode("overwrite").parquet(tmp.toString)
+        fs.delete(target, true)
+        fs.rename(tmp, target)
+        ()
+      }
+      .start()
+  }
 }

@@ -61,6 +61,29 @@ class StreamsMediaSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("applyCdcStream folds CDC micro-batches into the parquet target") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_cdc_stream").toString
+    val targetPath = s"$dir/target"
+    Seq((1L, 10.0), (2L, 20.0), (3L, 30.0)).toDF("k", "v")
+      .write.parquet(targetPath)
+    val input = MemoryStream[(Long, Double, String, Long)]
+    val q = Streams.applyCdcStream(input.toDF().toDF("k", "v", "op", "seq"),
+      Seq("k"), "op", Seq(col("seq").desc), targetPath, s"$dir/ckpt")
+    try {
+      input.addData((1L, 11.0, "U", 1L), (2L, 0.0, "D", 1L))
+      q.processAllAvailable()
+      val afterB1 = spark.read.parquet(targetPath)
+        .orderBy("k").as[(Long, Double)].collect().toSeq
+      assert(afterB1 == Seq((1L, 11.0), (3L, 30.0)))
+      input.addData((4L, 40.0, "I", 2L), (1L, 12.0, "U", 2L))
+      q.processAllAvailable()
+      val afterB2 = spark.read.parquet(targetPath)
+        .orderBy("k").as[(Long, Double)].collect().toSeq
+      assert(afterB2 == Seq((1L, 12.0), (3L, 30.0), (4L, 40.0)))
+    } finally q.stop()
+  }
+
   test("Media.withMetadata attaches a typed metadata struct") {
     val df = Seq((1L, "somebytes".getBytes), (2L, "x".getBytes)).toDF("id", "blob")
     val out = Media.withMetadata(df, "blob", "image/png")
