@@ -53,6 +53,16 @@ object QueriesLlm {
         .select(col("vec_id").as("query_id"), col("embedding"))
       Similarity.lshTopK(e, queries, "vec_id", "query_id", "embedding",
         k = 5, planes = 4)
+    }),
+
+    "q_sim_ivf" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val queries = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("query_id"), col("embedding"))
+      val index = graft.llm.Ivf.buildIndex(e, "vec_id", "embedding",
+        nlist = 8, iters = 2)
+      graft.llm.Ivf.topK(index, queries, "vec_id", "query_id", "embedding",
+        k = 5, nprobe = 2)
     })
   )
 

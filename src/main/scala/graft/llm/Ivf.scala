@@ -1,0 +1,88 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** IVF (inverted-file) approximate nearest neighbour: partition the
+  * corpus into `nlist` cells around k-means centroids; a query scans
+  * only its `nprobe` nearest cells. The scale path when hyperplane LSH
+  * buckets are too coarse: cells adapt to the data distribution.
+  *
+  * Fully deterministic and DataFrame-native:
+  *  - seeding picks the `nlist` vectors with the lowest xxhash64(id)
+  *    (hash-spread, no RNG);
+  *  - Lloyd iterations assign via broadcast centroid join + window
+  *    argmax and re-average per (cell, dimension) through explode +
+  *    hash agg — no driver-side collect at any step;
+  *  - the index (corpus + cell id) is a plain DataFrame: persist it
+  *    once, probe it per query batch.
+  */
+object Ivf {
+
+  /** Assign each row the id of its most-similar centroid (by cosine,
+    * deterministic tie-break on centroid id).
+    */
+  private def assign(df: DataFrame, idCol: String, vecCol: String,
+                     centroids: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col(idCol))
+      .orderBy(col("__csim").desc, col("__cid").asc)
+    df.crossJoin(broadcast(centroids))
+      .withColumn("__csim", Similarity.cosine(col(vecCol), col("__cvec")))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__csim", "__rn", "__cvec")
+  }
+
+  /** Recompute each cell's centroid as the per-dimension mean. */
+  private def recenter(assigned: DataFrame, vecCol: String): DataFrame =
+    assigned
+      .select(col("__cid"), posexplode(col(vecCol)).as(Seq("__pos", "__v")))
+      .groupBy(col("__cid"), col("__pos"))
+      .agg(avg(col("__v").cast("double")).as("__m"))
+      .groupBy(col("__cid"))
+      .agg(transform(
+        array_sort(collect_list(struct(col("__pos"), col("__m")))),
+        x => x.getField("__m").cast("float")).as("__cvec"))
+
+  /** Build the index: (corpus columns ++ __cid cell id). */
+  def buildIndex(corpus: DataFrame, idCol: String, vecCol: String,
+                 nlist: Int = 16, iters: Int = 2): DataFrame = {
+    val seeds = corpus
+      .withColumn("__h", xxhash64(col(idCol)))
+      .withColumn("__rn", row_number().over(Window.orderBy(col("__h"), col(idCol))))
+      .filter(col("__rn") <= nlist)
+      .select(col("__rn").as("__cid"), col(vecCol).as("__cvec"))
+    val centroids = (1 to iters).foldLeft(seeds) { (cent, _) =>
+      recenter(assign(corpus, idCol, vecCol, cent), vecCol)
+    }
+    assign(corpus, idCol, vecCol, centroids)
+  }
+
+  /** Top-k by cosine, scanning only each query's `nprobe` nearest
+    * cells of a prebuilt index. Output: (query_id, neighbor_id, sim, rnk).
+    */
+  def topK(index: DataFrame, queries: DataFrame,
+           corpusId: String, queryId: String, vecCol: String,
+           k: Int, nprobe: Int = 2): DataFrame = {
+    val centroids = recenter(index, vecCol)
+    val wProbe = Window.partitionBy(col(queryId))
+      .orderBy(col("__csim").desc, col("__cid").asc)
+    val probes = queries
+      .select(col(queryId), col(vecCol).as("__qvec"))
+      .crossJoin(broadcast(centroids))
+      .withColumn("__csim", Similarity.cosine(col("__qvec"), col("__cvec")))
+      .withColumn("__rn", row_number().over(wProbe))
+      .filter(col("__rn") <= nprobe)
+      .select(col(queryId), col("__qvec"), col("__cid"))
+    val wTop = Window.partitionBy(col(queryId))
+      .orderBy(col("sim").desc, col(corpusId).asc)
+    index.join(broadcast(probes), Seq("__cid"))
+      .filter(col(corpusId) =!= col(queryId))
+      .withColumn("sim", Similarity.cosine(col(vecCol), col("__qvec")))
+      .withColumn("rnk", row_number().over(wTop))
+      .filter(col("rnk") <= k)
+      .select(col(queryId).as("query_id"), col(corpusId).as("neighbor_id"),
+        col("sim"), col("rnk").cast("long").as("rnk"))
+  }
+}

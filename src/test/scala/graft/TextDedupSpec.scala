@@ -126,6 +126,25 @@ class TextDedupSpec extends SparkSpec {
     assert(recall >= 0.2, s"recall=$recall") // 2 planes = 4 buckets → ~1/4 corpus searched
   }
 
+  test("IVF index + probe achieves reasonable recall vs brute force") {
+    val e = table("embeddings")
+    val q = e.filter(col("vec_id") < 5).select(col("vec_id").as("query_id"), col("embedding"))
+    val exact = graft.llm.Similarity
+      .bruteForceTopK(e, q, "vec_id", "query_id", "embedding", k = 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val index = graft.llm.Ivf.buildIndex(e, "vec_id", "embedding", nlist = 4, iters = 2)
+    val approx = graft.llm.Ivf
+      .topK(index, q, "vec_id", "query_id", "embedding", k = 5, nprobe = 2)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = (exact intersect approx).size.toDouble / exact.size
+    assert(recall >= 0.3, s"recall=$recall") // 2 of 4 cells scanned
+    // determinism: rebuilding the index yields identical assignments
+    val again = graft.llm.Ivf.buildIndex(e, "vec_id", "embedding", nlist = 4, iters = 2)
+      .select("vec_id", "__cid").as[(Long, Int)].collect().toSet
+    val first = index.select("vec_id", "__cid").as[(Long, Int)].collect().toSet
+    assert(again == first)
+  }
+
   test("embeddingNearDup finds identical vectors within a block") {
     val vecs = Seq(
       (1L, Array(1.0f, 2.0f), "b1"), (2L, Array(1.0f, 2.0f), "b1"),
