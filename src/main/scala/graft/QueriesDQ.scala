@@ -101,6 +101,13 @@ object QueriesDQ {
       DQ.score(DQ.check(t(s, dir, "orders"), scoreRules))
     }),
 
+    // check_data_type via try_cast — ref dq_rule_examples.py:333
+    "q_dq_types" -> ((s, dir) => {
+      DQ.check(t(s, dir, "orders"), Seq(
+        DQ.TypeCastable("tc_prio_int", "o_orderpriority", "INT"),
+        DQ.TypeCastable("tc_price_dec", "o_totalprice", "DECIMAL(18,2)")))
+    }),
+
     // statistical distribution / chi-square — ref dq_rule_examples.py:980
     "q_dq_distribution" -> ((s, dir) => {
       DQ.distribution(t(s, dir, "lineitem"), "l_quantity",
@@ -245,6 +252,14 @@ object QueriesDQ {
     "q_dq_corr" ->
       Seq(corrOracle("lineitem", "l_quantity", "l_extendedprice"),
           corrOracle("customer", "c_nationkey", "c_acctbal")).mkString("\nUNION ALL\n"),
+
+    "q_dq_types" ->
+      Seq(
+        checkOracle("orders", "tc_prio_int", "validity", "o_orderpriority",
+          "o_orderpriority IS NOT NULL AND TRY_CAST(o_orderpriority AS INTEGER) IS NULL"),
+        checkOracle("orders", "tc_price_dec", "validity", "o_totalprice",
+          "o_totalprice IS NOT NULL AND TRY_CAST(o_totalprice AS DECIMAL(18,2)) IS NULL")
+      ).mkString("\nUNION ALL\n"),
 
     "q_dq_distribution" -> {
       val edges = Seq(1.0, 11.0, 21.0, 31.0, 41.0, 51.0)

@@ -60,6 +60,27 @@ object DQ {
     def violation: Column = col(column).isNotNull && !col(column).isin(values: _*)
   }
 
+  /** ref dq_rule_examples.py:333 check_data_type — value must be
+    * losslessly castable to `targetType` (try_cast, so ANSI mode
+    * doesn't abort the scan on the first bad value).
+    */
+  final case class TypeCastable(id: String, column: String, targetType: String,
+                                maxViolationPct: Double = 0.0) extends Rule {
+    val ruleType = "validity"; val colName = column
+    def violation: Column =
+      col(column).isNotNull && expr(s"try_cast($column AS $targetType)").isNull
+  }
+
+  /** ref dq_rule_examples.py:537 check_date_format — string must parse
+    * with the (engine-native) datetime `format` pattern.
+    */
+  final case class DateFormat(id: String, column: String, format: String,
+                              maxViolationPct: Double = 0.0) extends Rule {
+    val ruleType = "validity"; val colName = column
+    def violation: Column =
+      col(column).isNotNull && try_to_timestamp(col(column), lit(format)).isNull
+  }
+
   /** ref dq_rule_examples.py: cross_field / date_sequence / sum_equals /
     * calculated_field — any boolean Column over the row; violation when
     * the expectation does not hold (null-safe: null => violation, like

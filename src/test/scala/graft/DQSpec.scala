@@ -69,6 +69,17 @@ class DQSpec extends SparkSpec {
     assert(math.abs(s("overall") - 200.0 / 3) < 1e-9)
   }
 
+  test("TypeCastable and DateFormat rules flag unparseable values") {
+    val df2 = Seq(("12", "2024-01-05"), ("x9", "2024-13-45"), ("7", "2024-02-29"))
+      .toDF("num", "d")
+    val res = DQ.check(df2, Seq(
+      DQ.TypeCastable("tc", "num", "INT"),
+      DQ.DateFormat("df", "d", "yyyy-MM-dd")))
+      .collect().map(r => r.getString(0) -> r.getLong(3)).toMap
+    assert(res("tc") == 1L) // "x9"
+    assert(res("df") == 1L) // month 13; 2024-02-29 is a real leap day
+  }
+
   test("freshness detects future rows and lag") {
     val events = Seq("2024-01-01 10:00:00", "2024-02-05 00:00:00")
       .toDF("raw").select(col("raw").cast("timestamp").as("ts"))
