@@ -91,12 +91,15 @@ object Dedup {
     val sh = df.select(col(idCol) +: blockCols.map(col) :+
       wordShingles(col(textCol), n).as("__sh"): _*)
     val sizes = sh.select(col(idCol), size(col("__sh")).as("__n"))
-    val ex = sh.select(blockCols.map(col) :+ col(idCol) :+
-      explode(col("__sh")).as("__t"): _*)
-      .select(blockCols.map(col) :+ col(idCol) :+ xxhash64(col("__t")).as("__h"): _*)
-    val a = ex.select(blockCols.map(col) ++ Seq(col(idCol).as("id_a"), col("__h")): _*)
-    val b = ex.select(blockCols.map(col) ++ Seq(col(idCol).as("id_b"), col("__h")): _*)
-    val inter = a.join(b, blockCols :+ "__h")
+    // single long join key: xxhash64(block..., shingle) — cheaper to
+    // shuffle and compare than (string..., long) composites
+    val ex = sh
+      .select(col(idCol) +: blockCols.map(col) :+ explode(col("__sh")).as("__t"): _*)
+      .select(col(idCol),
+        xxhash64(blockCols.map(col) :+ col("__t"): _*).as("__h"))
+    val a = ex.select(col(idCol).as("id_a"), col("__h"))
+    val b = ex.select(col(idCol).as("id_b"), col("__h"))
+    val inter = a.join(b, Seq("__h"))
       .filter(col("id_a") < col("id_b"))
       .groupBy(col("id_a"), col("id_b"))
       .agg(count(lit(1)).cast("double").as("__inter"))
