@@ -55,6 +55,22 @@ object FileSink {
     val w = df.write.format(format.toLowerCase).mode(mode).options(options)
     (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).save(path)
   }
+
+  /** Bucketed (and optionally sorted) managed-table write. Two tables
+    * bucketed on the same keys with the same bucket count join WITHOUT
+    * a shuffle — the canonical pre-partitioning for repeated big-big
+    * joins at scale (pay the shuffle once at write time, never at
+    * read time). Bucketing requires `saveAsTable` (the bucket layout
+    * lives in catalog metadata).
+    */
+  def writeBucketed(df: DataFrame, table: String, bucketCols: Seq[String],
+                    numBuckets: Int, sortCols: Seq[String] = Nil,
+                    format: String = "parquet"): Unit = {
+    val w = df.write.format(format).mode("overwrite")
+      .bucketBy(numBuckets, bucketCols.head, bucketCols.tail: _*)
+    (if (sortCols.nonEmpty) w.sortBy(sortCols.head, sortCols.tail: _*) else w)
+      .saveAsTable(table)
+  }
 }
 
 /** JDBC source config — ref relational_connector.py. Builds the reader

@@ -66,6 +66,19 @@ class PipelineSourcesSpec extends SparkSpec {
     assert(back.count() == table("orders").filter(col("o_orderstatus") === "F").count())
   }
 
+  test("co-bucketed tables join without a shuffle") {
+    FileSink.writeBucketed(table("orders").select("o_orderkey", "o_custkey", "o_totalprice"),
+      "b_orders", Seq("o_custkey"), numBuckets = 4, sortCols = Seq("o_custkey"))
+    FileSink.writeBucketed(table("customer").select("c_custkey", "c_mktsegment")
+        .withColumnRenamed("c_custkey", "o_custkey"),
+      "b_customer", Seq("o_custkey"), numBuckets = 4, sortCols = Seq("o_custkey"))
+    val j = spark.table("b_orders").join(spark.table("b_customer"), "o_custkey")
+    val plan = j.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"bucketed join still shuffles:\n$plan")
+    assert(j.count() == table("orders").count())
+  }
+
   test("unsupported file formats are rejected with a clear error") {
     assertThrows[IllegalArgumentException](
       FileSource.read(spark, "excel", "/tmp/whatever"))
