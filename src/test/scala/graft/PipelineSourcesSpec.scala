@@ -7,6 +7,8 @@ import graft.operators.Ops
 import graft.pipeline.Pipeline
 import graft.sources.{FileSink, FileSource, IncrementalSource, JdbcSource}
 
+case class TypedOrder(o_orderkey: Long, o_totalprice: Double)
+
 class PipelineSourcesSpec extends SparkSpec {
   import spark.implicits._
 
@@ -67,6 +69,17 @@ class PipelineSourcesSpec extends SparkSpec {
   }
 
   test("co-bucketed tables join without a shuffle") {
+    Seq("b_orders", "b_customer").foreach { t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      val loc = new java.io.File(
+        s"${System.getProperty("java.io.tmpdir")}/graft-warehouse/$t")
+      if (loc.exists()) {
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+        }
+        rm(loc)
+      }
+    }
     FileSink.writeBucketed(table("orders").select("o_orderkey", "o_custkey", "o_totalprice"),
       "b_orders", Seq("o_custkey"), numBuckets = 4, sortCols = Seq("o_custkey"))
     FileSink.writeBucketed(table("customer").select("c_custkey", "c_mktsegment")
@@ -98,6 +111,27 @@ class PipelineSourcesSpec extends SparkSpec {
     val physical = df.queryExecution.executedPlan.toString
     assert(physical.contains("PushedFilters") && physical.contains("GreaterThan(o_orderkey,1000)"),
       s"watermark filter not pushed:\n$physical")
+  }
+
+  test("Recovery.idempotentWrite swaps atomically and runStage skips done stages") {
+    val dir = Files.createTempDirectory("graft_recovery").toString
+    val p = s"$dir/stage1"
+    Recovery.idempotentWrite(table("region"), p)
+    assert(spark.read.parquet(p).count() == table("region").count())
+    // overwrite with new state — old state fully replaced
+    Recovery.idempotentWrite(table("nation"), p)
+    assert(spark.read.parquet(p).count() == table("nation").count())
+    // a completed stage is not recomputed
+    var ran = 0
+    val out = Recovery.runStage(spark, p) { ran += 1; table("region") }
+    assert(ran == 0 && out.count() == table("nation").count())
+  }
+
+  test("typed Dataset ops compose with the untyped library surface") {
+    val ds = table("orders").select("o_orderkey", "o_totalprice").as[TypedOrder]
+    val big = ds.filter(_.o_totalprice > 100000.0).map(_.o_orderkey)
+    assert(big.count() ==
+      table("orders").filter(col("o_totalprice") > 100000.0).count())
   }
 
   test("Schemas.validate reports missing, extra and mismatched columns") {
