@@ -1,0 +1,76 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.Ops
+import graft.functions.Det
+
+/** Distribution-window / multi-level-aggregation query pack:
+  * ntile / percent_rank / cume_dist, ROLLUP subtotals, per-group exact
+  * quantiles, tumbling event-time windows.
+  */
+object QueriesWindow {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    "q_window_dist" -> ((s, dir) => {
+      val ord = Seq(col("s_acctbal").desc, col("s_suppkey").asc)
+      val df = Ops.cumeDist(
+        Ops.percentRank(
+          Ops.ntileWithin(t(s, dir, "supplier"), 4, Seq("s_nationkey"), ord),
+          Seq("s_nationkey"), ord),
+        Seq("s_nationkey"), ord)
+      df.select(col("s_nationkey"), col("s_suppkey"),
+        col("tile").cast("long").as("tile"), col("pct_rank"), col("cume"))
+    }),
+
+    "q_rollup" -> ((s, dir) => {
+      Ops.rollupAgg(t(s, dir, "lineitem"), Seq("l_returnflag", "l_linestatus"),
+        Seq(("l_quantity", "sum_money", "sum_qty"), ("l_orderkey", "count", "n")))
+    }),
+
+    "q_quantiles" -> ((s, dir) => {
+      Ops.quantilesBy(t(s, dir, "orders"), Seq("o_orderpriority"),
+        "o_totalprice", Seq(0.25, 0.5, 0.75))
+    }),
+
+    "q_window_tumbling" -> ((s, dir) => {
+      Ops.tumblingAgg(t(s, dir, "events"), "ts", "1 hour", Seq("event_type"),
+        Seq(count(lit(1)).as("n"), Det.sumAt(col("value"), 6).as("sum_val")))
+        .select("bucket_start", "event_type", "n", "sum_val")
+    })
+  )
+
+  def oracleSql: Map[String, String] = Map(
+
+    "q_window_dist" ->
+      """SELECT s_nationkey, s_suppkey,
+        |CAST(NTILE(4) OVER w AS BIGINT) AS tile,
+        |PERCENT_RANK() OVER w AS pct_rank,
+        |CUME_DIST() OVER w AS cume
+        |FROM supplier
+        |WINDOW w AS (PARTITION BY s_nationkey ORDER BY s_acctbal DESC, s_suppkey ASC)""".stripMargin,
+
+    "q_rollup" ->
+      s"""SELECT l_returnflag, l_linestatus,
+         |${Det.sqlSumMoney("l_quantity")} AS sum_qty,
+         |COUNT(l_orderkey) AS n
+         |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin,
+
+    "q_quantiles" ->
+      """SELECT o_orderpriority,
+        |quantile_cont(o_totalprice, 0.25) AS q25,
+        |quantile_cont(o_totalprice, 0.50) AS q50,
+        |quantile_cont(o_totalprice, 0.75) AS q75
+        |FROM orders GROUP BY o_orderpriority""".stripMargin,
+
+    "q_window_tumbling" ->
+      s"""SELECT time_bucket(INTERVAL '1 hour', ts) AS bucket_start, event_type,
+         |COUNT(*) AS n, ${Det.sqlSumAt("value", 6)} AS sum_val
+         |FROM events GROUP BY 1, 2""".stripMargin
+  )
+}

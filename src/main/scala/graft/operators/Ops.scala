@@ -201,6 +201,67 @@ object Ops {
     df.withColumn(name, if (exactMoney) e.cast("double") else e)
   }
 
+  // ---- 6b. Distribution window functions
+
+  def ntileWithin(df: DataFrame, n: Int, partitionBy: Seq[String],
+                  orderBy: Seq[Column], alias: String = "tile"): DataFrame = {
+    val w = Window.partitionBy(partitionBy.map(col): _*).orderBy(orderBy: _*)
+    df.withColumn(alias, ntile(n).over(w))
+  }
+
+  def percentRank(df: DataFrame, partitionBy: Seq[String], orderBy: Seq[Column],
+                  alias: String = "pct_rank"): DataFrame = {
+    val w = Window.partitionBy(partitionBy.map(col): _*).orderBy(orderBy: _*)
+    df.withColumn(alias, percent_rank().over(w))
+  }
+
+  def cumeDist(df: DataFrame, partitionBy: Seq[String], orderBy: Seq[Column],
+               alias: String = "cume"): DataFrame = {
+    val w = Window.partitionBy(partitionBy.map(col): _*).orderBy(orderBy: _*)
+    df.withColumn(alias, cume_dist().over(w))
+  }
+
+  // ---- 6c. Multi-level aggregation + quantiles
+
+  /** ROLLUP aggregation: subtotals at every prefix level of
+    * `groupCols` plus the grand total (one pass, Expand operator).
+    */
+  def rollupAgg(df: DataFrame, groupCols: Seq[String],
+                aggs: Seq[(String, String, String)]): DataFrame = {
+    val exprs = aggs.map { case (c, f, alias) => aggExpr(c, f).as(alias) }
+    df.rollup(groupCols.map(col): _*).agg(exprs.head, exprs.tail: _*)
+  }
+
+  /** CUBE aggregation: all grouping-set combinations in one pass. */
+  def cubeAgg(df: DataFrame, groupCols: Seq[String],
+              aggs: Seq[(String, String, String)]): DataFrame = {
+    val exprs = aggs.map { case (c, f, alias) => aggExpr(c, f).as(alias) }
+    df.cube(groupCols.map(col): _*).agg(exprs.head, exprs.tail: _*)
+  }
+
+  /** Exact interpolated quantiles per group, one output column per
+    * requested probability (q25/q50/... naming). At 100 TB switch to
+    * approx_percentile — same plan shape, bounded memory.
+    */
+  def quantilesBy(df: DataFrame, groupCols: Seq[String], valueCol: String,
+                  probs: Seq[Double]): DataFrame = {
+    val exprs = probs.map { p =>
+      expr(s"percentile($valueCol, ${p}D)").as(s"q${(p * 100).round}")
+    }
+    df.groupBy(groupCols.map(col): _*).agg(exprs.head, exprs.tail: _*)
+  }
+
+  /** Tumbling-window aggregation over event time (batch analog of the
+    * streaming windowed agg; the window struct's start labels the
+    * bucket).
+    */
+  def tumblingAgg(df: DataFrame, tsCol: String, windowDur: String,
+                  keyCols: Seq[String], aggs: Seq[Column]): DataFrame =
+    df.groupBy(window(col(tsCol), windowDur) +: keyCols.map(col): _*)
+      .agg(aggs.head, aggs.tail: _*)
+      .withColumn("bucket_start", col("window.start"))
+      .drop("window")
+
   // ---- 7. Semi-structured + time operators
 
   /** Extract a JSON path from a string column (map-side, codegen'd). */
