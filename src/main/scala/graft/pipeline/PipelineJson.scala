@@ -1,0 +1,72 @@
+package graft.pipeline
+
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+import scala.jdk.CollectionConverters._
+
+/** JSON front-end for [[Pipeline]] — the reference's pipelines arrive
+  * as config documents (`transform_config` dicts with a `steps` list,
+  * ref src/transform/transform_engine.py:49-66); this parses the same
+  * shape into [[Pipeline.Spec]]:
+  *
+  * {{{
+  * {"primary": "lineitem", "steps": [
+  *   {"type": "filter", "column": "l_quantity", "op": ">", "value": 45},
+  *   {"type": "join", "right": "orders", "on": ["l_orderkey"], "how": "inner", "broadcast": true},
+  *   {"type": "aggregate", "groupBy": ["o_orderpriority"],
+  *    "aggs": [{"col": "l_quantity", "fn": "sum_money", "as": "qty"}]}
+  * ]}
+  * }}}
+  *
+  * Only declarative steps are expressible in JSON (no arbitrary
+  * Column expressions or SQL injection-prone strings beyond
+  * `sqltransform`, mirroring the reference's surface).
+  */
+object PipelineJson {
+
+  private val mapper = new ObjectMapper()
+
+  def parse(json: String): Pipeline.Spec = {
+    val root = mapper.readTree(json)
+    val steps = root.get("steps").elements().asScala.map(parseStep).toSeq
+    Pipeline.Spec(root.get("primary").asText(), steps)
+  }
+
+  private def strings(n: JsonNode): Seq[String] =
+    n.elements().asScala.map(_.asText()).toSeq
+
+  private def anyValue(n: JsonNode): Any =
+    if (n.isNumber) n.asDouble() else if (n.isBoolean) n.asBoolean() else n.asText()
+
+  private def parseStep(s: JsonNode): Pipeline.Step = {
+    def str(f: String): String = s.get(f).asText()
+    def opt(f: String): Option[JsonNode] = Option(s.get(f))
+    str("type").toLowerCase match {
+      case "filter" =>
+        Pipeline.Filter(str("column"), str("op"), anyValue(s.get("value")))
+      case "daterange" =>
+        Pipeline.DateRange(str("column"), str("start"), str("end"))
+      case "rename" | "map" =>
+        Pipeline.Rename(s.get("mapping").properties().asScala
+          .map(e => e.getKey -> e.getValue.asText()).toMap)
+      case "drop" =>
+        Pipeline.Drop(strings(s.get("columns")))
+      case "select" =>
+        Pipeline.Select(strings(s.get("columns")))
+      case "typeconversion" | "convert" =>
+        Pipeline.Convert(s.get("typeMapping").properties().asScala
+          .map(e => e.getKey -> e.getValue.asText()).toMap)
+      case "join" =>
+        Pipeline.Join(str("right"), strings(s.get("on")),
+          opt("how").map(_.asText()).getOrElse("inner"),
+          opt("broadcast").exists(_.asBoolean()))
+      case "aggregate" =>
+        Pipeline.Aggregate(strings(s.get("groupBy")),
+          s.get("aggs").elements().asScala.map(a =>
+            (a.get("col").asText(), a.get("fn").asText(), a.get("as").asText())).toSeq)
+      case "sqltransform" =>
+        Pipeline.SqlTransform(str("sql"))
+      case other =>
+        throw new IllegalArgumentException(s"Unsupported step type: $other")
+    }
+  }
+}

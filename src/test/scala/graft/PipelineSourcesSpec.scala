@@ -36,6 +36,39 @@ class PipelineSourcesSpec extends SparkSpec {
     assert(out.as[Long].head() == table("region").count())
   }
 
+  test("JSON pipeline config parses and runs to the same result") {
+    val json =
+      """{"primary": "lineitem", "steps": [
+        |  {"type": "filter", "column": "l_quantity", "op": ">", "value": 45},
+        |  {"type": "join", "right": "orders", "on": ["l_orderkey"], "broadcast": true},
+        |  {"type": "aggregate", "groupBy": ["o_orderpriority"],
+        |   "aggs": [{"col": "l_quantity", "fn": "sum_money", "as": "qty"},
+        |            {"col": "l_orderkey", "fn": "count", "as": "n"}]}
+        |]}""".stripMargin
+    val sources = Map(
+      "lineitem" -> table("lineitem"),
+      "orders" -> Ops.renameColumns(table("orders"), Map("o_orderkey" -> "l_orderkey")))
+    val viaJson = Pipeline.run(spark, sources, graft.pipeline.PipelineJson.parse(json))
+    val viaSpec = Pipeline.run(spark, sources, Pipeline.Spec("lineitem", Seq(
+      Pipeline.Filter("l_quantity", ">", 45.0),
+      Pipeline.Join("orders", Seq("l_orderkey"), "inner", broadcastRight = true),
+      Pipeline.Aggregate(Seq("o_orderpriority"), Seq(
+        ("l_quantity", "sum_money", "qty"), ("l_orderkey", "count", "n"))))))
+    assert(viaJson.orderBy("o_orderpriority").collect().toSeq ==
+           viaSpec.orderBy("o_orderpriority").collect().toSeq)
+    assertThrows[IllegalArgumentException](
+      graft.pipeline.PipelineJson.parse("""{"primary":"x","steps":[{"type":"nope"}]}"""))
+  }
+
+  test("DQ.profile approxDistinct variant runs in one pass without EXPAND") {
+    val p = graft.quality.DQ.profile(table("orders"),
+      numericCols = Seq("o_totalprice"), otherCols = Seq("o_orderstatus"),
+      approxDistinct = true)
+    val rows = p.collect().map(r => r.getString(0) -> r.getAs[Long]("distinct_cnt")).toMap
+    assert(rows("o_orderstatus") >= 2 && rows("o_orderstatus") <= 4) // ~3 statuses
+    assert(!p.queryExecution.executedPlan.toString.contains("Expand"))
+  }
+
   test("runWithStats reports input and output row counts") {
     val (_, stats) = Pipeline.runWithStats(spark, Map("region" -> table("region")),
       Pipeline.Spec("region", Seq(Pipeline.Select(Seq("r_name")))))

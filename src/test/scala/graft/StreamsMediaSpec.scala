@@ -61,6 +61,27 @@ class StreamsMediaSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("fileStream picks up dropped files as micro-batches") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_filestream").toString
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("v", org.apache.spark.sql.types.DoubleType)))
+    val stream = Streams.fileStream(spark, "json", dir, schema)
+    val q = stream.groupBy().agg(count(lit(1)).as("n"), sum(col("v")).as("s"))
+      .writeStream.format("memory").queryName("fs_test")
+      .outputMode(OutputMode.Complete()).start()
+    try {
+      java.nio.file.Files.writeString(
+        java.nio.file.Path.of(s"$dir/a.json"), "{\"id\":1,\"v\":2.0}\n{\"id\":2,\"v\":3.0}")
+      q.processAllAvailable()
+      java.nio.file.Files.writeString(
+        java.nio.file.Path.of(s"$dir/b.json"), "{\"id\":3,\"v\":5.0}")
+      q.processAllAvailable()
+      val r = spark.table("fs_test").head()
+      assert(r.getAs[Long]("n") == 3 && r.getAs[Double]("s") == 10.0)
+    } finally q.stop()
+  }
+
   test("applyCdcStream folds CDC micro-batches into the parquet target") {
     implicit val sqlCtx = spark.sqlContext
     val dir = java.nio.file.Files.createTempDirectory("graft_cdc_stream").toString
