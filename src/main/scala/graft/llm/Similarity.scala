@@ -90,6 +90,69 @@ object Similarity {
     bits.reduce(_ + _)
   }
 
+  /** Brute-force top-k with PER-PARTITION pre-pruning: each corpus
+    * partition keeps only its own k best candidates per query in a
+    * bounded heap (mapPartitions — the one place imperative
+    * per-partition logic genuinely beats the declarative plan), so the
+    * ranking shuffle carries ≤ partitions × |queries| × k rows instead
+    * of |corpus| × |queries|. The query set is explicitly
+    * broadcast-sized (same contract as [[bruteForceTopK]], which this
+    * matches row-for-row — see the equality spec).
+    */
+  def bruteForceTopKPartitioned(corpus: DataFrame, queries: DataFrame,
+                                corpusId: String, queryId: String, vecCol: String,
+                                k: Int): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val qs: Array[(Long, Array[Float])] = queries
+      .select(col(queryId).cast("long"), col(vecCol))
+      .as[(Long, Array[Float])].collect()
+    val qNorms = qs.map { case (_, v) =>
+      var s = 0.0; var i = 0
+      while (i < v.length) { s += v(i).toDouble * v(i).toDouble; i += 1 }
+      math.sqrt(s)
+    }
+    val bc = spark.sparkContext.broadcast((qs, qNorms))
+    // worst-first ordering: lowest sim, then HIGHEST id (id asc wins ties)
+    val worstFirst: Ordering[(Double, Long)] =
+      Ordering.Tuple2(Ordering.Double.TotalOrdering, Ordering.Long.reverse).reverse
+    val candidates = corpus.select(col(corpusId).cast("long"), col(vecCol))
+      .as[(Long, Array[Float])]
+      .mapPartitions { rows =>
+        val (qArr, qN) = bc.value
+        val heaps = Array.fill(qArr.length)(
+          collection.mutable.PriorityQueue.empty[(Double, Long)](worstFirst))
+        rows.foreach { case (id, v) =>
+          var cn = 0.0
+          var i = 0
+          while (i < v.length) { cn += v(i).toDouble * v(i).toDouble; i += 1 }
+          val cNorm = math.sqrt(cn)
+          var q = 0
+          while (q < qArr.length) {
+            val (qid, qv) = qArr(q)
+            if (qid != id && cNorm != 0.0 && qN(q) != 0.0) {
+              var d = 0.0; var j = 0
+              while (j < v.length) { d += v(j).toDouble * qv(j).toDouble; j += 1 }
+              val sim = BigDecimal(d / (cNorm * qN(q)))
+                .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+              heaps(q).enqueue((sim, id))
+              if (heaps(q).size > k) heaps(q).dequeue()
+            }
+            q += 1
+          }
+        }
+        heaps.iterator.zipWithIndex.flatMap { case (h, q) =>
+          h.iterator.map { case (sim, id) => (qArr(q)._1, id, sim) }
+        }
+      }.toDF(queryId, corpusId, "sim")
+    val w = Window.partitionBy(col(queryId))
+      .orderBy(col("sim").desc, col(corpusId).asc)
+    candidates.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col(queryId).as("query_id"), col(corpusId).as("neighbor_id"),
+        col("sim"), col("rnk").cast("long").as("rnk"))
+  }
+
   /** Approximate top-k: candidates restricted to the query's
     * hyperplane bucket, then exact cosine rank within it. Fewer planes
     * → bigger buckets → higher recall & cost.

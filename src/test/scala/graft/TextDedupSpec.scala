@@ -126,6 +126,20 @@ class TextDedupSpec extends SparkSpec {
     assert(recall >= 0.2, s"recall=$recall") // 2 planes = 4 buckets → ~1/4 corpus searched
   }
 
+  test("partition-pruned brute force matches the declarative top-k row-for-row") {
+    val e = table("embeddings").repartition(7) // force multiple partitions
+    val q = e.filter(col("vec_id") < 8).select(col("vec_id").as("query_id"), col("embedding"))
+    val declarative = graft.llm.Similarity
+      .bruteForceTopK(e, q, "vec_id", "query_id", "embedding", k = 5)
+      .select("query_id", "neighbor_id", "sim", "rnk")
+      .as[(Long, Long, Double, Long)].collect().toSet
+    val pruned = graft.llm.Similarity
+      .bruteForceTopKPartitioned(e, q, "vec_id", "query_id", "embedding", k = 5)
+      .select("query_id", "neighbor_id", "sim", "rnk")
+      .as[(Long, Long, Double, Long)].collect().toSet
+    assert(pruned == declarative)
+  }
+
   test("IVF index + probe achieves reasonable recall vs brute force") {
     val e = table("embeddings")
     val q = e.filter(col("vec_id") < 5).select(col("vec_id").as("query_id"), col("embedding"))
