@@ -55,6 +55,19 @@ object QueriesLlm {
         k = 5, planes = 4)
     }),
 
+    // end-to-end corpus cleaning: quality gate → exact dedup → stats
+    // (the composed shape of a real training-data prep pass)
+    "q_corpus_clean" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val scored = docs.withColumn("q", graft.llm.Text.qualityScore(col("text")))
+        .filter(col("q") >= 0.5)
+      val deduped = Dedup.exact(scored, "doc_id", "text")
+      deduped.groupBy(col("lang")).agg(
+        count(lit(1)).as("n_docs"),
+        graft.functions.Det.sumAt(col("q"), 6).as("sum_q"),
+        graft.functions.Det.sumAt(col("n_chars"), 0).as("sum_chars"))
+    }),
+
     "q_sim_ivf" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
       val queries = e.filter(col("vec_id") < 10)
@@ -72,6 +85,26 @@ object QueriesLlm {
       | SQRT(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))))""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
+
+    "q_corpus_clean" -> {
+      val tc = "len(regexp_extract_all(text, '\\S+'))"
+      val ac = "len(regexp_extract_all(text, '[A-Za-z]'))"
+      val sc = "len(regexp_extract_all(lower(text), '\\b(the|a|and|of|to|in|is)\\b'))"
+      val q = s"""LEAST(1.0, CAST($tc AS DOUBLE) / 50.0) * 0.3
+                 | + (CAST($ac AS DOUBLE) / GREATEST(length(text), 1)) * 0.4
+                 | + (CAST($sc AS DOUBLE) / GREATEST($tc, 1)) * 0.3""".stripMargin
+      s"""WITH scored AS (
+         |  SELECT doc_id, text, lang, n_chars, $q AS q FROM documents),
+         |gated AS (SELECT * FROM scored WHERE q >= 0.5),
+         |deduped AS (
+         |  SELECT * FROM (SELECT *, ROW_NUMBER() OVER (
+         |    PARTITION BY md5(text) ORDER BY doc_id) AS rn FROM gated)
+         |  WHERE rn = 1)
+         |SELECT lang, COUNT(*) AS n_docs,
+         |${graft.functions.Det.sqlSumAt("q", 6)} AS sum_q,
+         |${graft.functions.Det.sqlSumAt("n_chars", 0)} AS sum_chars
+         |FROM deduped GROUP BY lang""".stripMargin
+    },
 
     "q_dedup_exact" ->
       """SELECT md5(text) AS content_hash, COUNT(*) AS n_dups, MIN(doc_id) AS keep_id

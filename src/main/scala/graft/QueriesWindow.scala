@@ -38,6 +38,11 @@ object QueriesWindow {
         "o_totalprice", Seq(0.25, 0.5, 0.75))
     }),
 
+    "q_cube" -> ((s, dir) => {
+      Ops.cubeAgg(t(s, dir, "orders"), Seq("o_orderstatus", "o_orderpriority"),
+        Seq(("o_totalprice", "sum_money", "total"), ("o_orderkey", "count", "n")))
+    }),
+
     "q_window_tumbling" -> ((s, dir) => {
       Ops.tumblingAgg(t(s, dir, "events"), "ts", "1 hour", Seq("event_type"),
         Seq(count(lit(1)).as("n"), Det.sumAt(col("value"), 6).as("sum_val")))
@@ -67,6 +72,12 @@ object QueriesWindow {
         |quantile_cont(o_totalprice, 0.50) AS q50,
         |quantile_cont(o_totalprice, 0.75) AS q75
         |FROM orders GROUP BY o_orderpriority""".stripMargin,
+
+    "q_cube" ->
+      s"""SELECT o_orderstatus, o_orderpriority,
+         |${Det.sqlSumMoney("o_totalprice")} AS total,
+         |COUNT(o_orderkey) AS n
+         |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)""".stripMargin,
 
     "q_window_tumbling" ->
       s"""SELECT time_bucket(INTERVAL '1 hour', ts) AS bucket_start, event_type,
