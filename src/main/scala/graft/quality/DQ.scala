@@ -139,6 +139,28 @@ object DQ {
       .withColumn("score", col("n_passed") * lit(100.0) / col("n_rules"))
   }
 
+  /** Raised by [[requireQuality]] when a frame fails its gate. */
+  final class QualityGateException(val score: Double, val minScore: Double,
+                                   val failed: Seq[String])
+    extends RuntimeException(
+      s"quality score $score < required $minScore; failed rules: ${failed.mkString(", ")}")
+
+  /** DQ gate for pipeline composition — ref tests/integration_tests.py
+    * test_dq_threshold_gating semantics: evaluate the rules (one fused
+    * agg — the only action), throw when the overall score is below
+    * `minScore`, otherwise hand the frame back for further
+    * composition.
+    */
+  def requireQuality(df: DataFrame, rules: Seq[Rule], minScore: Double): DataFrame = {
+    val results = check(df, rules).collect()
+    val passed = results.count(_.getAs[Boolean]("passed"))
+    val scoreVal = passed * 100.0 / results.length
+    if (scoreVal < minScore)
+      throw new QualityGateException(scoreVal, minScore,
+        results.filterNot(_.getAs[Boolean]("passed")).map(_.getString(0)).toSeq)
+    df
+  }
+
   /** Per-column profiling in one pass — ref dq_engine.py:45-67.
     * `numericCols` get min/max/mean/std (order-independent decimal-exact
     * moments, see [[graft.functions.Det]]); all listed columns get

@@ -88,6 +88,16 @@ class DQSpec extends SparkSpec {
     assert(!f.getAs[Boolean]("passed"))
   }
 
+  test("requireQuality gates pipeline composition on the score") {
+    val rules = Seq(DQ.NotNull("nn_id", "id"), DQ.NotNull("nn_email", "email"))
+    // 1 of 2 rules passes → score 50
+    val ex = intercept[DQ.QualityGateException](
+      DQ.requireQuality(df, rules, minScore = 80.0))
+    assert(ex.score == 50.0 && ex.failed == Seq("nn_email"))
+    // same frame passes a 50% gate and flows on
+    assert(DQ.requireQuality(df, rules, minScore = 50.0).count() == df.count())
+  }
+
   test("correlation is exactly 1 for a linear relationship") {
     val lin = Seq((1.0, 2.0), (2.0, 4.0), (3.0, 6.0), (4.0, 8.0)).toDF("x", "y")
     val c = DQ.correlation(lin, "x", "y").head().getAs[Double]("corr_val")
