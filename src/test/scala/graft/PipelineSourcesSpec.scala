@@ -89,6 +89,18 @@ class PipelineSourcesSpec extends SparkSpec {
            n.orderBy("n_nationkey").collect().toSeq)
   }
 
+  test("FileSource reads glob patterns and custom delimiters (reference file_options)") {
+    val dir = Files.createTempDirectory("graft_glob").toString
+    table("region").limit(1).write.option("header", "true")
+      .option("sep", ";").csv(s"$dir/sales_1.csv")
+    table("region").limit(2).write.option("header", "true")
+      .option("sep", ";").csv(s"$dir/sales_2.csv")
+    table("region").write.option("header", "true").csv(s"$dir/other.csv")
+    val got = FileSource.read(spark, "csv", s"$dir/sales_*.csv",
+      Some(table("region").schema), Map("header" -> "true", "sep" -> ";"))
+    assert(got.count() == 3) // glob matched only the two sales_* files
+  }
+
   test("partitioned write produces hive-layout dirs that prune on read") {
     val dir = Files.createTempDirectory("graft_part_spec").toString
     FileSink.write(table("orders"), "parquet", s"$dir/by_status",
