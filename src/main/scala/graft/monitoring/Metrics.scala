@@ -1,0 +1,52 @@
+package graft.monitoring
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.QueryExecution
+import org.apache.spark.sql.util.QueryExecutionListener
+import java.util.concurrent.ConcurrentLinkedQueue
+import scala.jdk.CollectionConverters._
+
+/** Execution metrics, Spark-style: the reference's
+  * `PerformanceMonitor` (reference: src/monitoring/
+  * performance_monitor.py) samples wall-clock around engine calls and
+  * writes rows to a metrics DB; on Spark the engine already measures
+  * itself — a [[QueryExecutionListener]] receives every completed
+  * action with its duration and the executed plan's own metrics
+  * (rows, bytes, spill), so monitoring is observation, not
+  * instrumentation.
+  */
+object Metrics {
+
+  final case class ActionMetric(funcName: String, durationMs: Long,
+                                outputRows: Option[Long], failed: Boolean)
+
+  /** Listener accumulating one record per completed action. */
+  final class Recorder extends QueryExecutionListener {
+    private val buf = new ConcurrentLinkedQueue[ActionMetric]()
+
+    private def outputRows(qe: QueryExecution): Option[Long] =
+      qe.executedPlan.metrics.get("numOutputRows").map(_.value)
+
+    override def onSuccess(funcName: String, qe: QueryExecution,
+                           durationNs: Long): Unit = {
+      buf.add(ActionMetric(funcName, durationNs / 1000000L, outputRows(qe),
+        failed = false)); ()
+    }
+    override def onFailure(funcName: String, qe: QueryExecution,
+                           exception: Exception): Unit = {
+      buf.add(ActionMetric(funcName, 0L, None, failed = true)); ()
+    }
+
+    def snapshot(): Seq[ActionMetric] = buf.iterator().asScala.toSeq
+    def clear(): Unit = buf.clear()
+  }
+
+  /** Attach a recorder to the session; returns it for inspection.
+    * (Pair with `spark.listenerManager.unregister` when done.)
+    */
+  def attach(spark: SparkSession): Recorder = {
+    val r = new Recorder
+    spark.listenerManager.register(r)
+    r
+  }
+}

@@ -105,6 +105,19 @@ class StreamsMediaSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("Metrics.Recorder observes completed actions with durations") {
+    val rec = graft.monitoring.Metrics.attach(spark)
+    try {
+      table("region").count()
+      // listener delivery is async; poll briefly
+      val deadline = System.nanoTime() + 5_000_000_000L
+      while (rec.snapshot().isEmpty && System.nanoTime() < deadline) Thread.sleep(50)
+      val m = rec.snapshot()
+      assert(m.nonEmpty)
+      assert(m.exists(x => x.funcName == "count" && !x.failed && x.durationMs >= 0))
+    } finally spark.listenerManager.unregister(rec)
+  }
+
   test("Media.withMetadata attaches a typed metadata struct") {
     val df = Seq((1L, "somebytes".getBytes), (2L, "x".getBytes)).toDF("id", "blob")
     val out = Media.withMetadata(df, "blob", "image/png")
