@@ -113,6 +113,35 @@ object Dedup {
       .select("id_a", "id_b", "jacc")
   }
 
+  /** Blocked-pairs variant computing each pair's intersection with the
+    * native sorted-merge expression
+    * ([[graft.plans.VectorExpressions.sortedIntersectCount]]) instead
+    * of the inverted-index join — wins when blocks are dense (most
+    * pairs overlap anyway, so the index join materializes nearly the
+    * same volume while paying two shuffles). Same output contract as
+    * [[ngramJaccardPairs]].
+    */
+  def ngramJaccardPairsBlocked(df: DataFrame, idCol: String, textCol: String,
+                               blockCols: Seq[String], n: Int = 1,
+                               threshold: Double = 0.8): DataFrame = {
+    val sh = df.select(col(idCol) +: blockCols.map(col) :+
+      array_sort(transform(wordShingles(col(textCol), n), s => xxhash64(s))).as("__sh"): _*)
+    val a = sh.select(blockCols.map(col) ++
+      Seq(col(idCol).as("id_a"), col("__sh").as("__sha")): _*)
+    val b = sh.select(blockCols.map(col) ++
+      Seq(col(idCol).as("id_b"), col("__sh").as("__shb")): _*)
+    a.join(b, blockCols)
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("__inter",
+        graft.plans.VectorExpressions.sortedIntersectCount(col("__sha"), col("__shb"))
+          .cast("double"))
+      .withColumn("__union", size(col("__sha")) + size(col("__shb")) - col("__inter"))
+      .withColumn("jacc",
+        when(col("__union") =!= 0.0, col("__inter") / col("__union")).otherwise(lit(0.0)))
+      .filter(col("jacc") >= threshold)
+      .select("id_a", "id_b", "jacc")
+  }
+
   // ---- MinHash + LSH -------------------------------------------------
 
   // one-hash minwise scheme constants: 31-bit domain keeps a·h + b

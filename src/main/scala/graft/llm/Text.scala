@@ -15,9 +15,12 @@ object Text {
 
   // ---- token counting ------------------------------------------------
 
+  // counts use regexp_count (no match-array materialization); the
+  // DuckDB oracles keep len(regexp_extract_all(...)) — same value
+
   /** Whitespace tokenization count. */
   def tokenCount(c: Column): Column =
-    size(regexp_extract_all(c, lit("\\S+"), lit(0)))
+    regexp_count(c, lit("\\S+"))
 
   /** BPE-ish pre-tokenizer count: letter runs / digit runs / symbol
     * runs, each with an optional leading space (GPT-2-style pattern
@@ -25,18 +28,18 @@ object Text {
     */
   val bpeishPattern = " ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\\s]+"
   def bpeishTokenCount(c: Column): Column =
-    size(regexp_extract_all(c, lit(bpeishPattern), lit(0)))
+    regexp_count(c, lit(bpeishPattern))
 
   // ---- quality scoring ----------------------------------------------
 
   def alphaCount(c: Column): Column =
-    size(regexp_extract_all(c, lit("[A-Za-z]"), lit(0)))
+    regexp_count(c, lit("[A-Za-z]"))
   def punctCount(c: Column): Column =
-    size(regexp_extract_all(c, lit("[.,;:!?]"), lit(0)))
+    regexp_count(c, lit("[.,;:!?]"))
 
   val enStopwords = Seq("the", "a", "and", "of", "to", "in", "is")
   def stopwordCount(c: Column, words: Seq[String] = enStopwords): Column =
-    size(regexp_extract_all(lower(c), lit("\\b(" + words.mkString("|") + ")\\b"), lit(0)))
+    regexp_count(lower(c), lit("\\b(" + words.mkString("|") + ")\\b"))
 
   def alphaRatio(c: Column): Column =
     alphaCount(c).cast("double") / greatest(length(c), lit(1))
@@ -67,11 +70,11 @@ object Text {
 
   def langScore(c: Column, lang: String): Column = {
     val words = langMarkers.toMap.apply(lang)
-    size(regexp_extract_all(lower(c), lit("\\b(" + words.mkString("|") + ")\\b"), lit(0)))
+    regexp_count(lower(c), lit("\\b(" + words.mkString("|") + ")\\b"))
   }
 
   def cjkCount(c: Column): Column =
-    size(regexp_extract_all(c, lit("[\\u4e00-\\u9fff]"), lit(0)))
+    regexp_count(c, lit("[\\u4e00-\\u9fff]"))
 
   def langId(c: Column): Column = {
     val scores = langMarkers.map { case (l, _) => l -> langScore(c, l) }

@@ -78,6 +78,69 @@ case class DotProductF(left: Expression, right: Expression)
   override def prettyName: String = "graft_dot"
 }
 
+/** Count of common elements between two SORTED long arrays (a
+  * merge-walk — no per-call hash set, unlike `array_intersect`, whose
+  * per-pair setup cost dominates set-similarity joins). Inputs must be
+  * sorted ascending and distinct (use `array_sort(array_distinct(...))`
+  * upstream); null if either side is null.
+  */
+case class SortedIntersectCount(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    (left.dataType, right.dataType) match {
+      case (ArrayType(org.apache.spark.sql.types.LongType, _),
+            ArrayType(org.apache.spark.sql.types.LongType, _)) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case _ =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"sorted_intersect_count needs two array<bigint> args, got " +
+            s"${left.dataType.simpleString} / ${right.dataType.simpleString}")
+    }
+  }
+  override def dataType: DataType = org.apache.spark.sql.types.IntegerType
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    var i = 0; var j = 0; var c = 0
+    val n = x.numElements(); val m = y.numElements()
+    while (i < n && j < m) {
+      val xv = x.getLong(i); val yv = y.getLong(j)
+      if (xv == yv) { c += 1; i += 1; j += 1 }
+      else if (xv < yv) i += 1
+      else j += 1
+    }
+    c
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i"); val j = ctx.freshName("j")
+      val c = ctx.freshName("c")
+      val n = ctx.freshName("n"); val m = ctx.freshName("m")
+      val xv = ctx.freshName("xv"); val yv = ctx.freshName("yv")
+      s"""
+         |int $i = 0; int $j = 0; int $c = 0;
+         |int $n = $a.numElements(); int $m = $b.numElements();
+         |while ($i < $n && $j < $m) {
+         |  long $xv = $a.getLong($i); long $yv = $b.getLong($j);
+         |  if ($xv == $yv) { $c++; $i++; $j++; }
+         |  else if ($xv < $yv) { $i++; } else { $j++; }
+         |}
+         |${ev.value} = $c;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): SortedIntersectCount =
+    copy(left = newLeft, right = newRight)
+
+  override def prettyName: String = "graft_sorted_intersect_count"
+}
+
 object VectorExpressions {
   /** Column-level handle on the native expression, resolved through
     * the function registry (public API; the session must carry
@@ -85,6 +148,9 @@ object VectorExpressions {
     */
   def dotProduct(a: Column, b: Column): Column =
     org.apache.spark.sql.functions.call_function("graft_dot", a, b)
+
+  def sortedIntersectCount(a: Column, b: Column): Column =
+    org.apache.spark.sql.functions.call_function("graft_sorted_intersect_count", a, b)
 }
 
 /** SparkSessionExtensions hook: registers `graft_dot(a, b)` as a SQL
@@ -98,5 +164,10 @@ class GraftExtensions extends SparkSessionExtensionsProvider {
       new FunctionIdentifier("graft_dot"),
       new ExpressionInfo(classOf[DotProductF].getName, "graft_dot"),
       (children: Seq[Expression]) => DotProductF(children(0), children(1))))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_sorted_intersect_count"),
+      new ExpressionInfo(classOf[SortedIntersectCount].getName,
+        "graft_sorted_intersect_count"),
+      (children: Seq[Expression]) => SortedIntersectCount(children(0), children(1))))
   }
 }

@@ -78,6 +78,15 @@ class TextDedupSpec extends SparkSpec {
     assert(pairs.toSeq == Seq((1L, 2L)))
   }
 
+  test("blocked (native intersect) and inverted-index jaccard agree on real data") {
+    val docs = table("documents")
+    val idx = Dedup.ngramJaccardPairs(docs, "doc_id", "text", Seq("lang"), 1, 0.7)
+      .select("id_a", "id_b", "jacc").as[(Long, Long, Double)].collect().toSet
+    val blk = Dedup.ngramJaccardPairsBlocked(docs, "doc_id", "text", Seq("lang"), 1, 0.7)
+      .select("id_a", "id_b", "jacc").as[(Long, Long, Double)].collect().toSet
+    assert(idx == blk && idx.nonEmpty)
+  }
+
   test("ngramJaccardPairs respects the blocking column") {
     val df = Seq(
       (1L, "a b c d", "g1"), (2L, "a b c e", "g1"),
