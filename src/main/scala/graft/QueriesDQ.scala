@@ -135,7 +135,7 @@ object QueriesDQ {
   private def profCol(c: String, numeric: Boolean): String = {
     val stats = if (numeric)
       s"""CAST(MIN($c) AS DOUBLE) AS min_val, CAST(MAX($c) AS DOUBLE) AS max_val,
-         |${Det.sqlMeanAt(c, 2)} AS mean_val, ${Det.sqlStddevAt(c, 2)} AS std_val""".stripMargin
+         |ROUND(${Det.sqlMeanAt(c, 2)}, 6) AS mean_val, ROUND(${Det.sqlStddevAt(c, 2)}, 6) AS std_val""".stripMargin
     else
       """CAST(NULL AS DOUBLE) AS min_val, CAST(NULL AS DOUBLE) AS max_val,
         |CAST(NULL AS DOUBLE) AS mean_val, CAST(NULL AS DOUBLE) AS std_val""".stripMargin
@@ -166,8 +166,8 @@ object QueriesDQ {
     val sxx = Det.sqlSumAt(s"($x)*($x)", 4)
     val syy = Det.sqlSumAt(s"($y)*($y)", 4)
     s"""SELECT '$x~$y' AS pair, $n AS n,
-       |(($n * $sxy - $sx * $sy) /
-       | (SQRT($n * $sxx - $sx * $sx) * SQRT($n * $syy - $sy * $sy))) AS corr_val
+       |ROUND(($n * $sxy - $sx * $sy) /
+       | (SQRT($n * $sxx - $sx * $sx) * SQRT($n * $syy - $sy * $sy)), 10) AS corr_val
        |FROM $table""".stripMargin
   }
 

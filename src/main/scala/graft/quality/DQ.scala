@@ -195,8 +195,11 @@ object DQ {
         col(s"__d_$c").as("distinct_cnt"),
         (if (numeric) col(s"__min_$c") else lit(null).cast("double")).as("min_val"),
         (if (numeric) col(s"__max_$c") else lit(null).cast("double")).as("max_val"),
-        (if (numeric) col(s"__mean_$c") else lit(null).cast("double")).as("mean_val"),
-        (if (numeric) col(s"__std_$c") else lit(null).cast("double")).as("std_val"))
+        // rounded: beyond ~2^53 units the exact decimal sum no longer
+        // fits a double, and engines may round the cast differently in
+        // the last ulp — fix the displayed precision instead
+        (if (numeric) round(col(s"__mean_$c"), 6) else lit(null).cast("double")).as("mean_val"),
+        (if (numeric) round(col(s"__std_$c"), 6) else lit(null).cast("double")).as("std_val"))
     }
     one.select(inline(array(rows: _*)))
   }
@@ -294,7 +297,10 @@ object DQ {
         lit(s"$x~$y").as("pair"), col("n"), {
           val denom = sqrt(col("n") * col("__sxx") - col("__sx") * col("__sx")) *
             sqrt(col("n") * col("__syy") - col("__sy") * col("__sy"))
+          // round(10): last-ulp decimal→double cast drift on >2^53-unit
+          // sums would otherwise leak into the ratio
           when(denom =!= 0.0,
-            (col("n") * col("__sxy") - col("__sx") * col("__sy")) / denom).as("corr_val")
+            round((col("n") * col("__sxy") - col("__sx") * col("__sy")) / denom, 10))
+            .as("corr_val")
         })
 }
