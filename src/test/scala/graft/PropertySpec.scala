@@ -1,0 +1,83 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, Prop, Properties}
+
+import graft.incremental.Incremental
+import graft.functions.Det
+
+/** Property-based invariants over generated inputs — the algebraic
+  * laws the operators promise, checked beyond hand-picked examples.
+  * (Raw ScalaCheck Properties; sbt runs the framework natively.)
+  */
+object PropertySpec extends Properties("graft") {
+  private lazy val spark = TestSession.spark
+  import spark.implicits._
+
+  override def overrideParameters(p: org.scalacheck.Test.Parameters) =
+    p.withMinSuccessfulTests(10)
+
+  private val smallRows: Gen[List[(Int, Int, Double)]] =
+    Gen.listOfN(30, Gen.zip(Gen.choose(1, 6), Gen.choose(1, 50), Gen.choose(-100.0, 100.0)))
+
+  property("Det.sumAt invariant under partition count") =
+    Prop.forAll(smallRows, Gen.choose(1, 7)) { (rows, parts) =>
+      rows.isEmpty || {
+        val df = rows.toDF("k", "seq", "v")
+        val a = df.agg(Det.sumAt(col("v"), 4)).as[Double].head()
+        val b = df.repartition(parts).agg(Det.sumAt(col("v"), 4)).as[Double].head()
+        a == b
+      }
+    }
+
+  property("dedupLatest idempotent, one row per key") =
+    Prop.forAll(smallRows) { rows =>
+      rows.isEmpty || {
+        val df = rows.toDF("k", "seq", "v")
+        val once = Incremental.dedupLatest(df, Seq("k"), Seq(col("seq"), col("v")))
+        val twice = Incremental.dedupLatest(once, Seq("k"), Seq(col("seq"), col("v")))
+        once.count() == rows.map(_._1).distinct.size &&
+          once.orderBy("k", "seq").collect().toSeq ==
+            twice.orderBy("k", "seq").collect().toSeq
+      }
+    }
+
+  property("upsert: union keys, updates win, self-upsert is identity") =
+    Prop.forAll(smallRows, smallRows) { (t, u) =>
+      t.isEmpty || u.isEmpty || {
+        val target = t.map(r => (r._1, r._3)).distinctBy(_._1).toDF("k", "v")
+        val updates = u.map(r => (r._1, r._3)).distinctBy(_._1).toDF("k", "v")
+        val out = Incremental.upsert(target, updates, Seq("k"))
+        val keys = out.select("k").as[Int].collect().sorted.toSeq
+        val um = u.map(r => (r._1, r._3)).distinctBy(_._1).toMap
+        val got = out.as[(Int, Double)].collect().toMap
+        val self = Incremental.upsert(target, target, Seq("k"))
+        keys == (t.map(_._1) ++ u.map(_._1)).distinct.sorted &&
+          um.forall { case (k, v) => got(k) == v } &&
+          self.orderBy("k").collect().toSeq == target.orderBy("k").collect().toSeq
+      }
+    }
+
+  property("exact dedup: no duplicate content, no lost content") =
+    Prop.forAll(Gen.listOfN(25,
+      Gen.zip(Gen.choose(1L, 1000L), Gen.oneOf("a", "b", "c", "dd", "ee")))) { rows =>
+      rows.isEmpty || {
+        val df = rows.toDF("doc_id", "text")
+        val texts = graft.llm.Dedup.exact(df, "doc_id", "text")
+          .select("text").as[String].collect()
+        texts.length == texts.distinct.length && texts.toSet == rows.map(_._2).toSet
+      }
+    }
+
+  property("jaccard symmetric and bounded") = {
+    val gen = Gen.listOfN(8, Gen.choose(1, 20))
+    Prop.forAll(gen, gen) { (a, b) =>
+      val df = Seq((a.distinct, b.distinct)).toDF("a", "b")
+      val (ab, ba) = df.select(
+        graft.llm.Dedup.jaccard(col("a"), col("b")),
+        graft.llm.Dedup.jaccard(col("b"), col("a")))
+        .as[(Double, Double)].head()
+      ab == ba && ab >= 0.0 && ab <= 1.0
+    }
+  }
+}
