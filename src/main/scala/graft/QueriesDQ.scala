@@ -147,7 +147,7 @@ object QueriesDQ {
 
   private def rangeOracle(id: String, c: String, lo: String, hi: String): String =
     s"""SELECT '$id' AS rule_id, 'validity' AS rule_type, '$c' AS colname,
-       |SUM(CASE WHEN $c IS NOT NULL AND NOT ($c BETWEEN $lo AND $hi) THEN 1 ELSE 0 END) AS violations,
+       |CAST(SUM(CASE WHEN $c IS NOT NULL AND NOT ($c BETWEEN $lo AND $hi) THEN 1 ELSE 0 END) AS BIGINT) AS violations,
        |COUNT(*) AS total,
        |(SUM(CASE WHEN $c IS NOT NULL AND NOT ($c BETWEEN $lo AND $hi) THEN 1 ELSE 0 END)*100.0/COUNT(*) <= 0.0) AS passed
        |FROM lineitem""".stripMargin
@@ -155,7 +155,7 @@ object QueriesDQ {
   private def checkOracle(table: String, id: String, ruleType: String, colname: String,
                           violatedSql: String): String =
     s"""SELECT '$id' AS rule_id, '$ruleType' AS rule_type, '$colname' AS colname,
-       |SUM(CASE WHEN $violatedSql THEN 1 ELSE 0 END) AS violations, COUNT(*) AS total,
+       |CAST(SUM(CASE WHEN $violatedSql THEN 1 ELSE 0 END) AS BIGINT) AS violations, COUNT(*) AS total,
        |(SUM(CASE WHEN $violatedSql THEN 1 ELSE 0 END)*100.0/COUNT(*) <= 0.0) AS passed
        |FROM $table""".stripMargin
 
@@ -219,14 +219,14 @@ object QueriesDQ {
     "q_dq_refint" ->
       """SELECT 'orders.o_custkey->customer.c_custkey' AS rel,
         |COUNT(*) AS child_rows,
-        |SUM(CASE WHEN c_custkey IS NULL THEN 1 ELSE 0 END) AS orphans,
+        |CAST(SUM(CASE WHEN c_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS orphans,
         |(SUM(CASE WHEN c_custkey IS NULL THEN 1 ELSE 0 END) = 0) AS passed
         |FROM orders LEFT JOIN (SELECT DISTINCT c_custkey FROM customer) p
         |  ON o_custkey = p.c_custkey
         |UNION ALL
         |SELECT 'lineitem.l_orderkey->orders.o_orderkey',
         |COUNT(*),
-        |SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END),
+        |CAST(SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
         |(SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) = 0)
         |FROM lineitem LEFT JOIN (SELECT DISTINCT o_orderkey FROM orders) p
         |  ON l_orderkey = p.o_orderkey""".stripMargin,
@@ -243,7 +243,7 @@ object QueriesDQ {
 
     "q_dq_freshness" ->
       """SELECT date_trunc('microseconds', MAX(ts)) AS max_ts,
-        |SUM(CASE WHEN ts > TIMESTAMP '2024-02-01 00:00:00' THEN 1 ELSE 0 END) AS future_cnt,
+        |CAST(SUM(CASE WHEN ts > TIMESTAMP '2024-02-01 00:00:00' THEN 1 ELSE 0 END) AS BIGINT) AS future_cnt,
         |CAST(date_diff('day', CAST(MAX(ts) AS DATE), DATE '2024-02-01') AS BIGINT) AS lag_days,
         |(SUM(CASE WHEN ts > TIMESTAMP '2024-02-01 00:00:00' THEN 1 ELSE 0 END) = 0
         | AND date_diff('day', CAST(MAX(ts) AS DATE), DATE '2024-02-01') <= 30) AS passed
@@ -289,11 +289,11 @@ object QueriesDQ {
       }.mkString("\nUNION ALL\n")
       s"""WITH r AS ($r)
          |SELECT rule_type, COUNT(*) AS n_rules,
-         |       SUM(CASE WHEN passed THEN 1 ELSE 0 END) AS n_passed,
+         |       CAST(SUM(CASE WHEN passed THEN 1 ELSE 0 END) AS BIGINT) AS n_passed,
          |       SUM(CASE WHEN passed THEN 1 ELSE 0 END)*100.0/COUNT(*) AS score
          |FROM r GROUP BY rule_type
          |UNION ALL
-         |SELECT 'overall', COUNT(*), SUM(CASE WHEN passed THEN 1 ELSE 0 END),
+         |SELECT 'overall', COUNT(*), CAST(SUM(CASE WHEN passed THEN 1 ELSE 0 END) AS BIGINT),
          |       SUM(CASE WHEN passed THEN 1 ELSE 0 END)*100.0/COUNT(*)
          |FROM r""".stripMargin
     }

@@ -22,10 +22,10 @@ object QueriesLlm {
     }),
 
     "q_dedup_jaccard" -> ((s, dir) => {
-      // blocked-native beats the inverted index 2x on this corpus
-      // (dense blocks: nearly every pair overlaps) — both strategies
-      // ship; TextDedupSpec proves they agree
-      Dedup.ngramJaccardPairsBlocked(t(s, dir, "documents"), "doc_id", "text",
+      // self-routing: dense small blocks take the all-pairs native path,
+      // mega-blocks the exact prefix-filtered index path; TextDedupSpec
+      // proves all strategies agree
+      Dedup.ngramJaccardPairsAuto(t(s, dir, "documents"), "doc_id", "text",
         blockCols = Seq("lang", "source"), n = 1, threshold = 0.8)
     }),
 

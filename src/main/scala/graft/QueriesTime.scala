@@ -49,7 +49,7 @@ object QueriesTime {
 
     "q_json_extract" ->
       """SELECT event_type, COUNT(*) AS n,
-        |SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k
+        |CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k
         |FROM events GROUP BY event_type""".stripMargin,
 
     "q_sessionize" ->

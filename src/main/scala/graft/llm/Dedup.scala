@@ -18,6 +18,9 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
+  private def shufflePartitions(df: DataFrame): Int =
+    df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200").toInt
+
   // ---- exact ---------------------------------------------------------
 
   /** Exact-duplicate groups by content hash — one shuffle on the hash.
@@ -41,12 +44,28 @@ object Dedup {
       sequence(lit(1), greatest(lit(1), length(c) - lit(k - 1))),
       i => c.substr(i, lit(k))))
 
-  /** Distinct word n-grams (tokens joined by single spaces). */
+  /** Distinct word n-grams (tokens joined by single spaces).
+    *
+    * Built from zip_with over n-1 SHIFTED SLICES of the token array,
+    * not a transform whose lambda slices the tokens per position: HOF
+    * lambdas run interpreted and re-evaluate captured subtrees PER
+    * ELEMENT, so the lambda-slice form re-runs `split` once per shingle
+    * position (~|tokens| splits per row — measured as the dominant cost
+    * of the whole jaccard query). Here `toks` only appears as direct
+    * HOF/slice inputs, each evaluated once per row. concat_ws skips the
+    * null padding zip_with adds past the shorter side, which reproduces
+    * array_join-over-short-slice semantics for docs with < n tokens.
+    */
   def wordShingles(c: Column, n: Int = 3): Column = {
     val toks = split(trim(c), "\\s+")
-    array_distinct(transform(
-      sequence(lit(1), greatest(lit(1), size(toks) - lit(n - 1))),
-      i => array_join(slice(toks, i, lit(n)), " ")))
+    if (n == 1) array_distinct(toks)
+    else {
+      val shifted = (1 until n).map(k =>
+        slice(toks, lit(k + 1), greatest(lit(0), size(toks) - lit(k))))
+      val joined = shifted.foldLeft(toks)((acc, s) =>
+        zip_with(acc, s, (a, b) => concat_ws(" ", a, b)))
+      array_distinct(slice(joined, lit(1), greatest(lit(1), size(toks) - lit(n - 1))))
+    }
   }
 
   /** Jaccard similarity of two (distinct-element) arrays (0 for two
@@ -97,6 +116,7 @@ object Dedup {
       .select(col(idCol) +: blockCols.map(col) :+ explode(col("__sh")).as("__t"): _*)
       .select(col(idCol),
         xxhash64(blockCols.map(col) :+ col("__t"): _*).as("__h"))
+      .repartition(shufflePartitions(df), col("__h")) // exchange barrier on the join key (see ngramJaccardPairsBlocked)
     val a = ex.select(col(idCol).as("id_a"), col("__h"))
     val b = ex.select(col(idCol).as("id_b"), col("__h"))
     val inter = a.join(b, Seq("__h"))
@@ -124,22 +144,114 @@ object Dedup {
   def ngramJaccardPairsBlocked(df: DataFrame, idCol: String, textCol: String,
                                blockCols: Seq[String], n: Int = 1,
                                threshold: Double = 0.8): DataFrame = {
+    // The repartition on the block key is a deliberate exchange BARRIER,
+    // not (only) join prep: without it Catalyst inlines the interpreted
+    // HOF shingle expression into the post-join projection and re-derives
+    // every doc's shingle array once PER PAIR instead of once per row
+    // (measured 10x on the bench corpus). Rows crossing the exchange
+    // carry the materialized array; the self-join then reuses the
+    // partitioning, so the shuffle isn't wasted.
+    // Explicit partition count: AQE would coalesce this small-by-bytes
+    // shuffle to ONE partition, single-threading the fan-out self-join
+    // behind it (pair volume >> input volume, invisible to AQE's
+    // size-based coalescing).
     val sh = df.select(col(idCol) +: blockCols.map(col) :+
-      array_sort(transform(wordShingles(col(textCol), n), s => xxhash64(s))).as("__sh"): _*)
+        array_sort(transform(wordShingles(col(textCol), n), s => xxhash64(s))).as("__sh"): _*)
+      .repartition(shufflePartitions(df), blockCols.map(col): _*)
     val a = sh.select(blockCols.map(col) ++
       Seq(col(idCol).as("id_a"), col("__sh").as("__sha")): _*)
     val b = sh.select(blockCols.map(col) ++
       Seq(col(idCol).as("id_b"), col("__sh").as("__shb")): _*)
-    a.join(b, blockCols)
-      .filter(col("id_a") < col("id_b"))
+    jaccVerify(a.join(b, blockCols).filter(col("id_a") < col("id_b")), threshold)
+  }
+
+  /** Shared verification tail over materialized sorted shingle arrays
+    * (__sha/__shb). The count prefilter is load-bearing: the final
+    * `jacc >= t` filter gets pushed into the join CONDITION, where its
+    * CASE expression references the intersect count THREE times per
+    * candidate pair; `i*(1+t) >= t*(|A|+|B|)` is algebraically the same
+    * cut (J = i/(a+b-i) >= t  <=>  i*(1+t) >= t*(a+b)), references it
+    * ONCE, and short-circuits ahead of the exact filter in the AND
+    * chain — so the expensive merge-walk runs ~1x per candidate pair
+    * instead of ~4x (measured). The 1e-9 slack keeps the prefilter
+    * conservative under double rounding; the exact filter decides.
+    */
+  private def jaccVerify(pairs: DataFrame, threshold: Double): DataFrame =
+    pairs
       .withColumn("__inter",
         graft.plans.VectorExpressions.sortedIntersectCount(col("__sha"), col("__shb"))
           .cast("double"))
+      .filter(col("__inter") * lit(1.0 + threshold) >=
+        lit(threshold) * (size(col("__sha")) + size(col("__shb"))) - lit(1e-9))
       .withColumn("__union", size(col("__sha")) + size(col("__shb")) - col("__inter"))
       .withColumn("jacc",
         when(col("__union") =!= 0.0, col("__inter") / col("__union")).otherwise(lit(0.0)))
       .filter(col("jacc") >= threshold)
       .select("id_a", "id_b", "jacc")
+
+  /** Exact prefix-filtered set-similarity join (AllPairs/PPJoin family:
+    * Bayardo et al. WWW'07, Xiao et al. WWW'08): a pair with Jaccard
+    * >= t over sorted hashed shingle sets MUST share one of each side's
+    * first `|S| - ceil(t*|S|) + 1` elements, so postings are built from
+    * those prefixes only — O((1-t) x corpus tokens) instead of every
+    * token — and candidates additionally pass the length filter
+    * `t*|A| <= |B| <= |A|/t` before the merge-walk verification. Exact
+    * (no recall loss), and the safe route for blocks too large for the
+    * all-pairs native path. Output: (id_a, id_b, jacc).
+    */
+  def ngramJaccardPairsPrefix(df: DataFrame, idCol: String, textCol: String,
+                              blockCols: Seq[String], n: Int = 1,
+                              threshold: Double = 0.8): DataFrame = {
+    require(threshold > 0, "prefix filtering needs a positive threshold")
+    val sh = df.select(col(idCol) +: blockCols.map(col) :+
+        array_sort(transform(wordShingles(col(textCol), n), s => xxhash64(s))).as("__sh"): _*)
+      .repartition(shufflePartitions(df), col(idCol)) // barrier + verify-join key; explicit count (see ngramJaccardPairsBlocked)
+    val prefixLen = (size(col("__sh")) - ceil(size(col("__sh")) * lit(threshold)) + 1).cast("int")
+    val blockKey = if (blockCols.isEmpty) lit(0L) else xxhash64(blockCols.map(col): _*)
+    val post = sh
+      .select(col(idCol), size(col("__sh")).as("__sz"),
+        explode(slice(col("__sh"), lit(1), prefixLen)).as("__t"),
+        blockKey.as("__blk"))
+      .select(col(idCol), col("__sz"), xxhash64(col("__blk"), col("__t")).as("__h"))
+    val cand = post.as("x").join(post.as("y"),
+        col("x.__h") === col("y.__h") &&
+          col(s"x.$idCol") < col(s"y.$idCol") &&
+          // length filter: jacc >= t forces t <= |A|/|B| <= 1/t
+          col("y.__sz") * lit(threshold) <= col("x.__sz") &&
+          col("x.__sz") * lit(threshold) <= col("y.__sz"))
+      .select(col(s"x.$idCol").as("id_a"), col(s"y.$idCol").as("id_b"))
+      .distinct()
+    jaccVerify(
+      cand
+        .join(sh.select(col(idCol).as("id_a"), col("__sh").as("__sha")), Seq("id_a"))
+        .join(sh.select(col(idCol).as("id_b"), col("__sh").as("__shb")), Seq("id_b")),
+      threshold)
+  }
+
+  /** Self-routing n-gram Jaccard join — the default entry point.
+    * Counts each block up front and routes: blocks up to `maxBlockSize`
+    * rows take the dense all-pairs native path
+    * ([[ngramJaccardPairsBlocked]] shape — wins when most pairs overlap
+    * anyway); larger blocks take the prefix-filtered index path
+    * ([[ngramJaccardPairsPrefix]]), which never materializes all pairs.
+    * Both branches are exact, so the union is exactly the blocked
+    * semantics with the quadratic blow-up capped at maxBlockSize^2 —
+    * one `("en","web")` mega-block at 100x scale can no longer go
+    * cartesian. Output: (id_a, id_b, jacc).
+    */
+  def ngramJaccardPairsAuto(df: DataFrame, idCol: String, textCol: String,
+                            blockCols: Seq[String], n: Int = 1,
+                            threshold: Double = 0.8,
+                            maxBlockSize: Int = 2000): DataFrame = {
+    val counts = df.groupBy(blockCols.map(col): _*).agg(count(lit(1)).as("__bn"))
+    val tagged = df.join(counts, blockCols) // same key as the downstream self-joins
+    val dense = ngramJaccardPairsBlocked(
+      tagged.filter(col("__bn") <= maxBlockSize).drop("__bn"),
+      idCol, textCol, blockCols, n, threshold)
+    val sparse = ngramJaccardPairsPrefix(
+      tagged.filter(col("__bn") > maxBlockSize).drop("__bn"),
+      idCol, textCol, blockCols, n, threshold)
+    dense.unionByName(sparse)
   }
 
   // ---- MinHash + LSH -------------------------------------------------

@@ -48,10 +48,15 @@ object Ivf {
   /** Build the index: (corpus columns ++ __cid cell id). */
   def buildIndex(corpus: DataFrame, idCol: String, vecCol: String,
                  nlist: Int = 16, iters: Int = 2): DataFrame = {
+    // orderBy + limit plans as a distributed TakeOrderedAndProject (per-partition
+    // top-nlist, then merge) — never a full single-partition sort of the corpus.
+    // The unpartitioned row_number after it only ever sees nlist rows.
     val seeds = corpus
       .withColumn("__h", xxhash64(col(idCol)))
+      .select(col("__h"), col(idCol), col(vecCol))
+      .orderBy(col("__h"), col(idCol))
+      .limit(nlist)
       .withColumn("__rn", row_number().over(Window.orderBy(col("__h"), col(idCol))))
-      .filter(col("__rn") <= nlist)
       .select(col("__rn").as("__cid"), col(vecCol).as("__cvec"))
     val centroids = (1 to iters).foldLeft(seeds) { (cent, _) =>
       recenter(assign(corpus, idCol, vecCol, cent), vecCol)

@@ -45,6 +45,16 @@ def main(sfdir, outdir):
             ok = True
             for c in exp.columns:
                 e, g = exp[c].values, got[c].values
+                # Driver's hash is dtype-sensitive: a DuckDB HUGEINT (-> float64/object
+                # in pandas) vs Spark BIGINT (int64) must FAIL here too, or local green
+                # lies about driver green. An int column on one side that is float or
+                # object on the other is exactly the HUGEINT signature.
+                num_mismatch = ({e.dtype.kind, g.dtype.kind} & {'i', 'u'}) and \
+                               ({e.dtype.kind, g.dtype.kind} & {'f', 'O'})
+                if num_mismatch:
+                    print(f"FAIL {name}: col {c} dtype mismatch exp={e.dtype} got={g.dtype}"
+                          " (DuckDB HUGEINT? CAST the oracle output)")
+                    ok = False; break
                 if e.dtype.kind == 'f' or g.dtype.kind == 'f':
                     same = np.array_equal(e.astype('float64'), g.astype('float64'), equal_nan=True)
                 else:
