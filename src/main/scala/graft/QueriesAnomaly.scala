@@ -55,6 +55,13 @@ object QueriesAnomaly {
         .select("event_id", "season", "value", "z")
     }),
 
+    // mean-shift changepoint scan — ref anomaly_manager.py:304
+    "q_anom_changepoint" -> ((s, dir) => {
+      Anomaly.changepoints(ev(s, dir), "value", Seq("user_id"),
+          Seq(col("ts").asc, col("event_id").asc), window = 20, threshold = 3.0)
+        .select("event_id", "user_id", "value", "score")
+    }),
+
     // dbscan-ish grid density — ref anomaly_manager.py:162
     "q_anom_grid" -> ((s, dir) => {
       Anomaly.gridDensity(ev(s, dir).select("event_id", "user_id", "value"),
@@ -132,6 +139,28 @@ object QueriesAnomaly {
          |             ${Det.sqlStddevAt("value", 6)} AS sd FROM k GROUP BY season)
          |SELECT k.event_id, k.season, k.value, $zExpr AS z
          |FROM k JOIN s USING (season) WHERE $zExpr > 2.5""".stripMargin,
+
+    "q_anom_changepoint" -> {
+      val pooled = "((GREATEST(0.0, s2l - sl*sl/nl) + GREATEST(0.0, s2r - sr*sr/nr)) / (nl + nr - 2.0))"
+      val denom = s"SQRT($pooled * (1.0/nl + 1.0/nr))"
+      val score = s"ROUND(CASE WHEN $denom <> 0.0 THEN ABS(sr/nr - sl/nl) / $denom END, 6)"
+      s"""WITH w AS (
+         |  SELECT event_id, user_id, value,
+         |    CAST(COUNT(value) OVER wl AS DOUBLE) AS nl,
+         |    CAST(SUM(CAST(value AS DECIMAL(28,6))) OVER wl AS DOUBLE) AS sl,
+         |    CAST(SUM(CAST((value)*(value) AS DECIMAL(28,6))) OVER wl AS DOUBLE) AS s2l,
+         |    CAST(COUNT(value) OVER wr AS DOUBLE) AS nr,
+         |    CAST(SUM(CAST(value AS DECIMAL(28,6))) OVER wr AS DOUBLE) AS sr,
+         |    CAST(SUM(CAST((value)*(value) AS DECIMAL(28,6))) OVER wr AS DOUBLE) AS s2r
+         |  FROM events
+         |  WINDOW
+         |    wl AS (PARTITION BY user_id ORDER BY ts, event_id
+         |           ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING),
+         |    wr AS (PARTITION BY user_id ORDER BY ts, event_id
+         |           ROWS BETWEEN CURRENT ROW AND 19 FOLLOWING))
+         |SELECT event_id, user_id, value, $score AS score
+         |FROM w WHERE nl = 20 AND nr = 20 AND $score > 3.0""".stripMargin
+    },
 
     "q_anom_grid" ->
       """WITH k AS (SELECT event_id, user_id, value,

@@ -29,6 +29,24 @@ object QueriesPipeline {
           ("l_orderkey", "count", "n"))))))
     }),
 
+    // JSON-config pipeline exercising the sql_expr step (the reference's
+    // custom-UDF slot, ref transform_engine.py:262, expressed as a
+    // declarative codegen'd expression instead of compiled code strings)
+    "q_pipeline_expr" -> ((s, dir) => {
+      val json =
+        """{"primary": "lineitem", "steps": [
+          |  {"type": "filter", "column": "l_quantity", "op": ">", "value": 30},
+          |  {"type": "sql_expr", "name": "net",
+          |   "expr": "CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6))"},
+          |  {"type": "aggregate", "groupBy": ["l_returnflag"],
+          |   "aggs": [{"col": "net", "fn": "sum", "as": "sum_net"},
+          |            {"col": "net", "fn": "count", "as": "n"}]},
+          |  {"type": "sql_expr", "name": "sum_net", "expr": "CAST(sum_net AS DOUBLE)"}
+          |]}""".stripMargin
+      Pipeline.run(s, Map("lineitem" -> t(s, dir, "lineitem")),
+        graft.pipeline.PipelineJson.parse(json))
+    }),
+
     // csv write → read roundtrip (schema pinned, no inference scan)
     "q_src_csv" -> ((s, dir) => {
       val n = t(s, dir, "nation")
@@ -56,6 +74,13 @@ object QueriesPipeline {
         |WHERE l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
         |  AND l_shipdate <= TIMESTAMP '1995-12-31 00:00:00'
         |GROUP BY o_orderpriority""".stripMargin,
+
+    "q_pipeline_expr" ->
+      """SELECT l_returnflag,
+        |CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS sum_net,
+        |COUNT(*) AS n
+        |FROM lineitem WHERE l_quantity > 30
+        |GROUP BY l_returnflag""".stripMargin,
 
     "q_src_csv" -> "SELECT * FROM nation",
     "q_src_json" -> "SELECT * FROM region"

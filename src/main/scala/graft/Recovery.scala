@@ -14,9 +14,13 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object Recovery {
 
-  /** Write `df` to `path` atomically: materialize to a temp dir, then
-    * swap. Readers see either the old complete state or the new one,
-    * never a torn write; a crashed writer leaves the target untouched.
+  /** Write `df` to `path` atomically: materialize to a staging dir,
+    * retire the old target to `path__old`, promote staging, drop the
+    * retiree. A complete state always exists on disk: a crash before
+    * promotion leaves the old target in place (at `path` or, in the
+    * one-rename window, at `path__old`); [[restoreIfTorn]] heals that
+    * window on the next run. (A bare delete-then-rename would lose the
+    * target entirely if the writer died between the two calls.)
     */
   def idempotentWrite(df: DataFrame, path: String, format: String = "parquet"): Unit = {
     val spark = df.sparkSession
@@ -24,19 +28,46 @@ object Recovery {
       spark.sparkContext.hadoopConfiguration)
     val target = new org.apache.hadoop.fs.Path(path)
     val tmp = new org.apache.hadoop.fs.Path(path + "__staging")
+    val old = new org.apache.hadoop.fs.Path(path + "__old")
     fs.delete(tmp, true)
     df.write.format(format).mode("overwrite").save(tmp.toString)
-    fs.delete(target, true)
-    if (!fs.rename(tmp, target))
+    fs.delete(old, true)
+    if (fs.exists(target) && !fs.rename(target, old))
+      throw new java.io.IOException(s"could not retire old state: $target -> $old")
+    if (!fs.rename(tmp, target)) {
+      fs.rename(old, target) // roll back so a complete state stays readable
       throw new java.io.IOException(s"atomic swap failed: $tmp -> $target")
+    }
+    fs.delete(old, true)
+  }
+
+  /** Heal the one-rename crash window of [[idempotentWrite]]: target
+    * missing but a retired `__old` (or a COMPLETE staging dir, marked
+    * by its _SUCCESS commit file) still present. Prefers the staged
+    * new state — it only reaches that window after a fully committed
+    * write. No-op when the target exists.
+    */
+  def restoreIfTorn(spark: SparkSession, path: String): Unit = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val target = new org.apache.hadoop.fs.Path(path)
+    if (!fs.exists(target)) {
+      val tmp = new org.apache.hadoop.fs.Path(path + "__staging")
+      val old = new org.apache.hadoop.fs.Path(path + "__old")
+      val staged = new org.apache.hadoop.fs.Path(path + "__staging/_SUCCESS")
+      if (fs.exists(staged)) { fs.rename(tmp, target); fs.delete(old, true) }
+      else if (fs.exists(old)) fs.rename(old, target)
+    }
   }
 
   /** Run a stage only when its output doesn't exist yet (resume-safe
     * rerun of a multi-stage pipeline: completed stages are skipped,
-    * the failed stage recomputes from its inputs).
+    * the failed stage recomputes from its inputs). Heals a torn swap
+    * from a previous crashed run before deciding.
     */
   def runStage(spark: SparkSession, path: String, format: String = "parquet")
               (stage: => DataFrame): DataFrame = {
+    restoreIfTorn(spark, path)
     val fs = org.apache.hadoop.fs.FileSystem.get(
       spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(new org.apache.hadoop.fs.Path(path)))

@@ -163,6 +163,18 @@ object SparkEntry {
         substring(col("o_orderpriority"), 1, 1).cast("int").as("priority_num"))
     }),
 
+    // explicit-pattern datetime parsing (ref transformation_library.py:333
+    // convert_to_datetime(format=...)): format a timestamp to a non-ISO
+    // string, parse it back with the declared pattern — a bare cast of
+    // "25/03/2024 ..." would be NULL
+    "q_typeconv_fmt" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+        .withColumn("od_str", date_format(col("o_orderdate"), "dd/MM/yyyy HH:mm:ss"))
+      Ops.convertTypes(o, Map("od_str" -> "datetime"),
+          datetimeFormats = Map("od_str" -> "dd/MM/yyyy HH:mm:ss"))
+        .select(col("o_orderkey"), col("od_str").as("od_ts"))
+    }),
+
     "q_project" -> ((s, dir) => {
       val p = Ops.renameColumns(t(s, dir, "part"), Map("p_name" -> "part_name"))
       val d = Ops.dropColumns(p, Seq("p_brand", "p_retailprice"))
@@ -289,6 +301,11 @@ object SparkEntry {
       """SELECT o_orderkey, CAST(o_orderdate AS DATE) AS o_orderdate,
         |CAST(YEAR(o_orderdate) AS INTEGER) AS yr,
         |CAST(SUBSTR(o_orderpriority, 1, 1) AS INTEGER) AS priority_num
+        |FROM orders""".stripMargin,
+
+    "q_typeconv_fmt" ->
+      """SELECT o_orderkey,
+        |strptime(strftime(o_orderdate, '%d/%m/%Y %H:%M:%S'), '%d/%m/%Y %H:%M:%S') AS od_ts
         |FROM orders""".stripMargin,
 
     "q_project" ->

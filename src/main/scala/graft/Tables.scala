@@ -32,12 +32,18 @@ object Tables {
     * query is still wasted setup — skip when this session already
     * registered the same dir.
     */
-  private val registered = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  // WeakHashMap keyed on the session object itself, not an identity
+  // hash: identity hashes can collide or be reused after a stopped
+  // session is GC'd, which would silently skip registration for a
+  // fresh session (TABLE_OR_VIEW_NOT_FOUND); weak keys also let dead
+  // sessions drop out instead of accumulating.
+  private val registered =
+    java.util.Collections.synchronizedMap(
+      new java.util.WeakHashMap[SparkSession, String]())
   def registerAll(spark: SparkSession, dir: String): Unit = {
-    val key = System.identityHashCode(spark).toString
-    if (registered.get(key) != dir) {
+    if (registered.get(spark) != dir) {
       names.foreach(n => load(spark, dir, n).createOrReplaceTempView(n))
-      registered.put(key, dir)
+      registered.put(spark, dir)
     }
   }
 }

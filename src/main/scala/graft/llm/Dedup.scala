@@ -306,7 +306,8 @@ object Dedup {
     */
   def minhashLsh(df: DataFrame, idCol: String, textCol: String,
                  ngramN: Int = 5, numHashes: Int = 32, bands: Int = 8,
-                 threshold: Double = 0.7): DataFrame = {
+                 threshold: Double = 0.7,
+                 maxBucketSize: Int = 10000): DataFrame = {
     require(numHashes % bands == 0, "numHashes must divide into bands")
     val r = numHashes / bands
     val shingler: Column => Column = wordShingles(_, ngramN)
@@ -315,8 +316,10 @@ object Dedup {
     val bandStructs = (0 until bands).map { j =>
       struct(lit(j).as("b"), hash(slice(col("__sig"), j * r + 1, r)).as("h"))
     }
-    val exploded = sig.select(col(idCol), explode(array(bandStructs: _*)).as("__band"))
-      .select(col(idCol), col("__band.b").as("__b"), col("__band.h").as("__h"))
+    val exploded = capBuckets(
+      sig.select(col(idCol), explode(array(bandStructs: _*)).as("__band"))
+        .select(col(idCol), col("__band.b").as("__b"), col("__band.h").as("__h")),
+      maxBucketSize)
     val cand = exploded.as("x").join(exploded.as("y"),
         col("x.__b") === col("y.__b") && col("x.__h") === col("y.__h") &&
           col(s"x.$idCol") < col(s"y.$idCol"))
@@ -329,6 +332,25 @@ object Dedup {
       .filter(col("jacc") >= threshold)
       .select("id_a", "id_b", "jacc")
   }
+
+  /** Hot-bucket guard shared by the banded LSH joins: a bucket of B
+    * rows becomes B^2/2 candidate pairs, so ONE degenerate signature
+    * (empty docs, boilerplate, a constant header) can go quadratic at
+    * scale no matter how the bands are tuned. Standard LSH practice is
+    * to drop buckets past a size cap — they carry near-zero information
+    * per pair anyway. Exact duplicates should be removed with [[exact]]
+    * BEFORE near-dup LSH (cheaper and lossless); with that done, a
+    * capped bucket is overwhelmingly a degenerate-signature artifact,
+    * not real signal. The count runs as a window over the bucket key
+    * the self-join shuffles on anyway, so the guard adds no extra
+    * exchange of the candidate frame.
+    */
+  private def capBuckets(exploded: DataFrame, maxBucketSize: Int): DataFrame =
+    if (maxBucketSize <= 0) exploded
+    else exploded
+      .withColumn("__bn", count(lit(1)).over(Window.partitionBy(col("__b"), col("__h"))))
+      .filter(col("__bn") <= maxBucketSize)
+      .drop("__bn")
 
   // ---- SimHash -------------------------------------------------------
 
@@ -369,22 +391,38 @@ object Dedup {
           .reduce(_ + _).as("__sig"))
   }
 
-  /** SimHash near-dup pairs: candidates share one of four 16-bit
-    * bands (any pair within hamming distance 3 of each other must
-    * agree on at least one band; wider distances need more/rotated
-    * bands), verified by exact hamming distance <= maxHamming.
-    * Output: (id_a, id_b, hamming).
+  /** SimHash near-dup pairs: the 64-bit signature is cut into
+    * `maxHamming + 1` bands, so by pigeonhole any pair within the
+    * hamming budget MUST agree exactly on at least one band — complete
+    * candidate generation for the declared contract (the previous fixed
+    * 4x16-bit banding silently missed distance-4..6 pairs whose flipped
+    * bits straddled all four bands). Wider budgets mean narrower bands
+    * (coarser buckets, more candidates): keep maxHamming small, dedupe
+    * exact matches first, and rely on the bucket cap for degenerate
+    * signatures. Verified by exact hamming. Output: (id_a, id_b, hamming).
     */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
-                   maxHamming: Int = 6): DataFrame = {
-    val sigs = simhashSignatures(df, idCol, textCol)
-    val bandStructs = (0 until 4).map { j =>
+                   maxHamming: Int = 3,
+                   maxBucketSize: Int = 10000): DataFrame = {
+    require(maxHamming >= 0 && maxHamming < 32, "need bands of >= 2 bits")
+    val bands = maxHamming + 1
+    val base = 64 / bands
+    val rem = 64 % bands
+    // band j covers [offset, offset+width): first `rem` bands get the
+    // extra bit so the 64 bits are fully partitioned
+    val bandStructs = (0 until bands).map { j =>
+      val width = base + (if (j < rem) 1 else 0)
+      val offset = j * base + math.min(j, rem)
+      val mask = if (width == 64) -1L else (1L << width) - 1L
       struct(lit(j).as("b"),
-        shiftrightunsigned(col("__sig"), j * 16).bitwiseAND(lit(0xFFFFL)).as("h"))
+        shiftrightunsigned(col("__sig"), offset).bitwiseAND(lit(mask)).as("h"))
     }
-    val exploded = sigs.select(col(idCol), col("__sig"),
-        explode(array(bandStructs: _*)).as("__band"))
-      .select(col(idCol), col("__sig"), col("__band.b").as("__b"), col("__band.h").as("__h"))
+    val sigs = simhashSignatures(df, idCol, textCol)
+    val exploded = capBuckets(
+      sigs.select(col(idCol), col("__sig"),
+          explode(array(bandStructs: _*)).as("__band"))
+        .select(col(idCol), col("__sig"), col("__band.b").as("__b"), col("__band.h").as("__h")),
+      maxBucketSize)
     exploded.as("x").join(exploded.as("y"),
         col("x.__b") === col("y.__b") && col("x.__h") === col("y.__h") &&
           col(s"x.$idCol") < col(s"y.$idCol"))

@@ -65,8 +65,14 @@ object Ops {
 
   /** Cast columns per a type-name map. Type names mirror the reference
     * ("numeric" → double, "datetime" → timestamp) plus Spark DDL names.
+    * Columns listed in `datetimeFormats` parse string dates with that
+    * explicit pattern (ref transformation_library.py:333
+    * `convert_to_datetime(format=...)`) via `to_timestamp`/`to_date`
+    * instead of a bare cast — a bare cast of "25/03/2024" is NULL (or
+    * an ANSI error), the pattern parse is the correct tool.
     */
-  def convertTypes(df: DataFrame, typeMapping: Map[String, String]): DataFrame = {
+  def convertTypes(df: DataFrame, typeMapping: Map[String, String],
+                   datetimeFormats: Map[String, String] = Map.empty): DataFrame = {
     def dt(name: String): DataType = name.toLowerCase match {
       case "numeric" | "double" | "float64" => DoubleType
       case "int" | "integer"                => IntegerType
@@ -77,7 +83,13 @@ object Ops {
       case "boolean" | "bool"               => BooleanType
       case other                            => CatalystSqlParser.parse(other)
     }
-    typeMapping.foldLeft(df) { case (d, (c, t)) => d.withColumn(c, col(c).cast(dt(t))) }
+    typeMapping.foldLeft(df) { case (d, (c, t)) =>
+      d.withColumn(c, (datetimeFormats.get(c), dt(t)) match {
+        case (Some(fmt), DateType) => to_date(col(c), fmt)
+        case (Some(fmt), _)        => to_timestamp(col(c), fmt)
+        case (None, target)        => col(c).cast(target)
+      })
+    }
   }
 
   private object CatalystSqlParser {

@@ -65,6 +65,12 @@ object PipelineJson {
             (a.get("col").asText(), a.get("fn").asText(), a.get("as").asText())).toSeq)
       case "sqltransform" =>
         Pipeline.SqlTransform(str("sql"))
+      case "sql_expr" | "withcolumn" =>
+        // ref transform_engine.py:262 execute_custom_udf: the reference
+        // compiles a Python code string per row; the Spark answer is a
+        // declarative SQL expression -> native codegen'd Column
+        Pipeline.WithColumn(str("name"),
+          org.apache.spark.sql.functions.expr(str("expr")))
       case other =>
         throw new IllegalArgumentException(s"Unsupported step type: $other")
     }

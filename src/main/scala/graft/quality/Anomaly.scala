@@ -116,6 +116,43 @@ object Anomaly {
       .drop(columns.map { case (c, _) => s"__cell_$c" } :+ "__cell_n": _*)
   }
 
+  /** Mean-shift changepoint scan — ref anomaly_manager.py:304
+    * changepoint_detection (the reference wraps an offline PELT-style
+    * library; the engine-native equivalent is the classic binary-
+    * segmentation score). Each row scores the boundary BETWEEN the
+    * trailing and leading `window` rows with the two-sample t statistic
+    *   |mean_R - mean_L| / sqrt(s2_pooled * (1/nL + 1/nR))
+    * computed from decimal-exact frame sums (order-stable across
+    * partitionings). Only rows with both windows full emit; rows with
+    * zero pooled variance (flat series) are not changepoints. A
+    * partitioned window plan: shuffle scales with series keys, never a
+    * driver-side loop over the series.
+    */
+  def changepoints(df: DataFrame, column: String, partitionBy: Seq[String],
+                   orderBy: Seq[Column], window: Int = 20,
+                   threshold: Double = 3.0, scale: Int = 6): DataFrame = {
+    val base = Window.partitionBy(partitionBy.map(col): _*).orderBy(orderBy: _*)
+    val wl = base.rowsBetween(-window, -1)
+    val wr = base.rowsBetween(Window.currentRow, window - 1)
+    val x = col(column)
+    def cnt(w: org.apache.spark.sql.expressions.WindowSpec) = count(x).over(w).cast("double")
+    def s1(w: org.apache.spark.sql.expressions.WindowSpec) =
+      sum(x.cast(DecimalType(28, scale))).over(w).cast("double")
+    def s2(w: org.apache.spark.sql.expressions.WindowSpec) =
+      sum((x * x).cast(DecimalType(28, scale))).over(w).cast("double")
+    val (nl, sl, s2l) = (cnt(wl), s1(wl), s2(wl))
+    val (nr, sr, s2r) = (cnt(wr), s1(wr), s2(wr))
+    val pooled = (greatest(lit(0.0), s2l - sl * sl / nl) +
+      greatest(lit(0.0), s2r - sr * sr / nr)) / (nl + nr - lit(2.0))
+    val denom = sqrt(pooled * (lit(1.0) / nl + lit(1.0) / nr))
+    df.withColumn("__nl", nl).withColumn("__nr", nr)
+      .withColumn("score",
+        round(when(denom =!= 0.0, abs(sr / nr - sl / nl) / denom), 6))
+      .filter(col("__nl") === window && col("__nr") === window &&
+        col("score") > threshold)
+      .drop("__nl", "__nr")
+  }
+
   /** Ensemble vote — ref anomaly_manager.py:335-360: a row is anomalous
     * when at least `minVotes` detectors flagged it. Each input frame
     * needs `keyCols`; `confCol` (per-frame confidence column) feeds the

@@ -106,8 +106,11 @@ object DQ {
     */
   def check(df: DataFrame, rules: Seq[Rule]): DataFrame = {
     require(rules.nonEmpty, "no rules")
+    // coalesce + the total=0 branch: sum() over an EMPTY frame is NULL,
+    // which would make violations/passed NULL (and the ratio would
+    // divide by zero under ANSI). Zero rows = vacuously clean.
     val aggExprs = rules.map(r =>
-      sum(when(r.violation, 1L).otherwise(0L)).as(s"__v_${r.id}")) :+
+      coalesce(sum(when(r.violation, 1L).otherwise(0L)), lit(0L)).as(s"__v_${r.id}")) :+
       count(lit(1)).as("__total")
     val one = df.agg(aggExprs.head, aggExprs.tail: _*)
     val rows = rules.map { r =>
@@ -118,7 +121,8 @@ object DQ {
         lit(r.colName).as("colname"),
         v.as("violations"),
         col("__total").as("total"),
-        (v * lit(100.0) / col("__total") <= lit(r.maxViolationPct)).as("passed"))
+        when(col("__total") === 0L, lit(true))
+          .otherwise(v * lit(100.0) / col("__total") <= lit(r.maxViolationPct)).as("passed"))
     }
     one.select(inline(array(rows: _*)))
   }

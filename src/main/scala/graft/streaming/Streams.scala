@@ -86,19 +86,17 @@ object Streams {
       .outputMode(OutputMode.Update())
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
         val spark = batch.sparkSession
-        val fs = org.apache.hadoop.fs.FileSystem.get(
-          spark.sparkContext.hadoopConfiguration)
-        val target = new org.apache.hadoop.fs.Path(targetPath)
+        // heal a torn swap from a crashed previous batch, then read the
+        // (guaranteed-present) current state and fold the batch in via
+        // the retire-promote swap of Recovery.idempotentWrite — a crash
+        // at any point leaves a complete state findable on restart
+        graft.Recovery.restoreIfTorn(spark, targetPath)
         val current = spark.read.parquet(targetPath)
         val targetCols = current.columns.toSeq
         val next = graft.incremental.Incremental
           .applyCdc(current, batch.toDF(), keys, opCol, newestFirst)
           .select(targetCols.map(org.apache.spark.sql.functions.col): _*)
-        val tmp = new org.apache.hadoop.fs.Path(targetPath + "__tmp")
-        // materialize the new state BEFORE touching the old files
-        next.write.mode("overwrite").parquet(tmp.toString)
-        fs.delete(target, true)
-        fs.rename(tmp, target)
+        graft.Recovery.idempotentWrite(next, targetPath)
         ()
       }
       .start()

@@ -46,6 +46,20 @@ class AnomalySpec extends SparkSpec {
     assert(hits.toSeq == Seq(99L))
   }
 
+  test("changepoints flags a planted mean shift and stays silent on a flat series") {
+    // level 10 for 40 points, then level 20: the boundary row scores highest
+    val rows = (1 to 80).map(i =>
+      (i.toLong, 1L, if (i <= 40) 10.0 + (i % 3) * 0.1 else 20.0 + (i % 3) * 0.1))
+    val series = rows.toDF("seq", "k", "v")
+    val hits = Anomaly.changepoints(series, "v", Seq("k"), Seq(col("seq").asc),
+      window = 20, threshold = 5.0).select("seq").as[Long].collect()
+    assert(hits.contains(41L), s"boundary row must flag; got ${hits.toSeq}")
+    // flat series: zero pooled variance is guarded (no ANSI division error)
+    val flat = (1 to 80).map(i => (i.toLong, 1L, 5.0)).toDF("seq", "k", "v")
+    assert(Anomaly.changepoints(flat, "v", Seq("k"), Seq(col("seq").asc),
+      window = 20, threshold = 3.0).count() == 0L)
+  }
+
   test("seasonalResidual flags within-season outliers") {
     // season 0 values ~10, season 1 values ~20; one bad row in season 0
     val rows = (1 to 20).map(i => (i.toLong, i % 2, if (i % 2 == 0) 10.0 + (i % 5) * 0.1 else 20.0 + (i % 5) * 0.1)) :+

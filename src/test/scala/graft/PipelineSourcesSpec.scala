@@ -60,6 +60,22 @@ class PipelineSourcesSpec extends SparkSpec {
       graft.pipeline.PipelineJson.parse("""{"primary":"x","steps":[{"type":"nope"}]}"""))
   }
 
+  test("JSON sql_expr step matches the native WithColumn expression") {
+    val json =
+      """{"primary": "lineitem", "steps": [
+        |  {"type": "sql_expr", "name": "net", "expr": "l_extendedprice * (1.0 - l_discount)"},
+        |  {"type": "aggregate", "groupBy": ["l_returnflag"],
+        |   "aggs": [{"col": "net", "fn": "sum_money", "as": "s"}]}
+        |]}""".stripMargin
+    val sources = Map("lineitem" -> table("lineitem"))
+    val viaJson = Pipeline.run(spark, sources, graft.pipeline.PipelineJson.parse(json))
+    val viaSpec = Pipeline.run(spark, sources, Pipeline.Spec("lineitem", Seq(
+      Pipeline.WithColumn("net", col("l_extendedprice") * (lit(1.0) - col("l_discount"))),
+      Pipeline.Aggregate(Seq("l_returnflag"), Seq(("net", "sum_money", "s"))))))
+    assert(viaJson.orderBy("l_returnflag").collect().toSeq ==
+           viaSpec.orderBy("l_returnflag").collect().toSeq)
+  }
+
   test("DQ.profile approxDistinct variant runs in one pass without EXPAND") {
     val p = graft.quality.DQ.profile(table("orders"),
       numericCols = Seq("o_totalprice"), otherCols = Seq("o_orderstatus"),
@@ -170,6 +186,23 @@ class PipelineSourcesSpec extends SparkSpec {
     var ran = 0
     val out = Recovery.runStage(spark, p) { ran += 1; table("region") }
     assert(ran == 0 && out.count() == table("nation").count())
+  }
+
+  test("Recovery.restoreIfTorn heals the crash window between the two renames") {
+    val dir = Files.createTempDirectory("graft_torn").toString
+    val p = s"$dir/state"
+    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    // simulate a crash after target -> __old but before __staging -> target
+    Recovery.idempotentWrite(table("region"), p)
+    fs.rename(new org.apache.hadoop.fs.Path(p), new org.apache.hadoop.fs.Path(p + "__old"))
+    Recovery.restoreIfTorn(spark, p)
+    assert(spark.read.parquet(p).count() == table("region").count())
+    // a COMPLETE staging dir (committed _SUCCESS) wins over the retiree
+    Recovery.idempotentWrite(table("nation"), p + "__staging")
+    fs.rename(new org.apache.hadoop.fs.Path(p), new org.apache.hadoop.fs.Path(p + "__old"))
+    Recovery.restoreIfTorn(spark, p)
+    assert(spark.read.parquet(p).count() == table("nation").count())
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(p + "__old")))
   }
 
   test("typed Dataset ops compose with the untyped library surface") {

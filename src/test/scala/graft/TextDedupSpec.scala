@@ -78,6 +78,36 @@ class TextDedupSpec extends SparkSpec {
     assert(pairs.toSeq == Seq((1L, 2L)))
   }
 
+  test("LSH bucket cap bounds a degenerate corpus of identical docs") {
+    // 1k byte-identical docs collapse to ONE signature: every band
+    // bucket would go quadratic (500k pairs per band). The cap drops
+    // those buckets; exact dedup is the lossless tool for this corpus.
+    val df = (1L to 1000L).map(i => (i, "same tiny doc")).toDF("doc_id", "text")
+    val mh = Dedup.minhashLsh(df, "doc_id", "text",
+      ngramN = 1, numHashes = 32, bands = 8, threshold = 0.5, maxBucketSize = 50)
+    assert(mh.count() == 0L)
+    val simh = Dedup.simhashPairs(df, "doc_id", "text",
+      maxHamming = 3, maxBucketSize = 50)
+    assert(simh.count() == 0L)
+    // the exact pass the scaladoc prescribes catches all of them
+    assert(Dedup.exact(df, "doc_id", "text").count() == 1L)
+  }
+
+  test("derived simhash banding finds pairs past the old fixed-band distance limit") {
+    // two signatures differing in >= 4 spread-out bits: the old fixed
+    // 4x16 banding could miss them; maxHamming+1 bands cannot
+    val base = (1 to 100).map(i => s"word$i").mkString(" ")
+    val near = base.replace("word10", "wordA").replace("word40", "wordB")
+      .replace("word70", "wordC")
+    val df = Seq((1L, base), (2L, near)).toDF("doc_id", "text")
+    val sigs = Dedup.simhashSignatures(df, "doc_id", "text")
+      .orderBy("doc_id").select("__sig").as[Long].collect()
+    val dist = java.lang.Long.bitCount(sigs(0) ^ sigs(1))
+    val pairs = Dedup.simhashPairs(df, "doc_id", "text", maxHamming = math.max(dist, 1))
+      .select("id_a", "id_b").as[(Long, Long)].collect()
+    assert(pairs.toSeq == Seq((1L, 2L)), s"hamming=$dist must be found by construction")
+  }
+
   test("blocked (native intersect) and inverted-index jaccard agree on real data") {
     val docs = table("documents")
     val idx = Dedup.ngramJaccardPairs(docs, "doc_id", "text", Seq("lang"), 1, 0.7)
@@ -85,6 +115,43 @@ class TextDedupSpec extends SparkSpec {
     val blk = Dedup.ngramJaccardPairsBlocked(docs, "doc_id", "text", Seq("lang"), 1, 0.7)
       .select("id_a", "id_b", "jacc").as[(Long, Long, Double)].collect().toSet
     assert(idx == blk && idx.nonEmpty)
+  }
+
+  test("prefix-filtered and auto jaccard agree with blocked on real data") {
+    val docs = table("documents")
+    val blk = Dedup.ngramJaccardPairsBlocked(docs, "doc_id", "text", Seq("lang"), 1, 0.7)
+      .select("id_a", "id_b", "jacc").as[(Long, Long, Double)].collect().toSet
+    val pfx = Dedup.ngramJaccardPairsPrefix(docs, "doc_id", "text", Seq("lang"), 1, 0.7)
+      .select("id_a", "id_b", "jacc").as[(Long, Long, Double)].collect().toSet
+    val auto = Dedup.ngramJaccardPairsAuto(docs, "doc_id", "text", Seq("lang"), 1, 0.7)
+      .select("id_a", "id_b", "jacc").as[(Long, Long, Double)].collect().toSet
+    assert(pfx == blk && auto == blk && blk.nonEmpty)
+  }
+
+  test("auto jaccard routes a deliberately skewed mega-block without a pair explosion") {
+    // one block holds 80% of docs; cap forces it through the prefix path
+    // while the small block stays on the dense all-pairs path
+    val mega = (1 to 400).map { i =>
+      val words = (0 until 20).map(w => s"w${(i * 7 + w * 13) % 60}").distinct.mkString(" ")
+      (i.toLong, s"base common tokens here $words", "big")
+    }
+    val small = (401 to 500).map(i => (i.toLong, s"doc $i unique content alpha beta", "small"))
+    val df = (mega ++ small).toDF("doc_id", "text", "grp")
+    val capped = Dedup.ngramJaccardPairsAuto(df, "doc_id", "text", Seq("grp"),
+        n = 1, threshold = 0.8, maxBlockSize = 200)
+      .select("id_a", "id_b", "jacc").as[(Long, Long, Double)].collect().toSet
+    val reference = Dedup.ngramJaccardPairsBlocked(df, "doc_id", "text", Seq("grp"),
+        n = 1, threshold = 0.8)
+      .select("id_a", "id_b", "jacc").as[(Long, Long, Double)].collect().toSet
+    assert(capped == reference) // exact routing: no recall loss either side of the cap
+  }
+
+  test("wordShingles keeps array_join-over-short-slice semantics for docs shorter than n") {
+    val df = Seq("a b", "a", "a b c d").toDF("t")
+    val r = df.select(Dedup.wordShingles(col("t"), 3)).as[Seq[String]].collect()
+    assert(r(0) == Seq("a b"))        // 2 tokens, n=3 → one truncated shingle
+    assert(r(1) == Seq("a"))
+    assert(r(2) == Seq("a b c", "b c d"))
   }
 
   test("ngramJaccardPairs respects the blocking column") {
