@@ -61,6 +61,15 @@ object QueriesPipeline {
       val path = s"${System.getProperty("java.io.tmpdir")}/graft_json_region"
       FileSink.write(r, "json", path)
       FileSource.read(s, "json", path, Some(r.schema))
+    }),
+
+    // xml write → read roundtrip (Spark 4 native XML datasource;
+    // closes ref file_connector.py:109's XML branch)
+    "q_src_xml" -> ((s, dir) => {
+      val sup = t(s, dir, "supplier")
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_xml_supplier"
+      FileSink.write(sup, "xml", path)
+      FileSource.read(s, "xml", path, Some(sup.schema))
     })
   )
 
@@ -83,6 +92,7 @@ object QueriesPipeline {
         |GROUP BY l_returnflag""".stripMargin,
 
     "q_src_csv" -> "SELECT * FROM nation",
-    "q_src_json" -> "SELECT * FROM region"
+    "q_src_json" -> "SELECT * FROM region",
+    "q_src_xml" -> "SELECT * FROM supplier"
   )
 }

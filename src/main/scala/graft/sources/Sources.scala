@@ -20,24 +20,37 @@ import org.apache.spark.sql.types.StructType
   */
 object FileSource {
 
-  /** Read csv/json/parquet/text. Explicit `schema` skips the inference
-    * scan (mandatory at scale — schema inference reads the data twice)
-    * and pins column types for cross-engine parity.
+  /** Read csv/json/parquet/text/xml. Explicit `schema` skips the
+    * inference scan (mandatory at scale — schema inference reads the
+    * data twice) and pins column types for cross-engine parity.
+    * XML (native in Spark 4) defaults `rowTag` to the writer's "ROW"
+    * so a FileSink roundtrip needs no extra options.
     */
   def read(spark: SparkSession, format: String, path: String,
            schema: Option[StructType] = None,
            options: Map[String, String] = Map.empty): DataFrame = {
-    val base: DataFrameReader = spark.read.format(normalize(format)).options(options)
+    val fmt = normalize(format)
+    val defaults = fmt match {
+      case "xml" => Map("rowTag" -> "ROW")
+      case _     => Map.empty[String, String]
+    }
+    val base: DataFrameReader = spark.read.format(fmt).options(defaults ++ options)
     val withSchema = schema.fold(
-      if (normalize(format) == "csv") base.option("header", "true").option("inferSchema", "true")
+      if (fmt == "csv") base.option("header", "true").option("inferSchema", "true")
       else base)(s => base.schema(s))
     withSchema.load(path)
   }
 
   private def normalize(format: String): String = format.toLowerCase match {
-    case "excel" | "xml" =>
+    case "excel" | "xlsx" =>
+      // ref file_connector.py:78 reads xlsx via openpyxl; the Spark
+      // equivalent is the com.crealytics:spark-excel datasource
+      // (format "excel", options header/dataAddress), not bundled in
+      // this build — fail with the recipe instead of a misleading
+      // "class not found" later.
       throw new IllegalArgumentException(
-        s"$format needs an external Spark datasource package (not bundled here)")
+        "excel needs the external com.crealytics:spark-excel datasource: " +
+          """spark.read.format("excel").option("header","true").load(path)""")
     case f => f
   }
 }
@@ -52,7 +65,11 @@ object FileSink {
   def write(df: DataFrame, format: String, path: String,
             mode: String = "overwrite", partitionBy: Seq[String] = Nil,
             options: Map[String, String] = Map.empty): Unit = {
-    val w = df.write.format(format.toLowerCase).mode(mode).options(options)
+    val fmt = format.toLowerCase
+    val defaults =
+      if (fmt == "xml") Map("rowTag" -> "ROW") // required by the XML datasource; matches FileSource's read default
+      else Map.empty[String, String]
+    val w = df.write.format(fmt).mode(mode).options(defaults ++ options)
     (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).save(path)
   }
 

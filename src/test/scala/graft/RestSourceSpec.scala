@@ -1,0 +1,129 @@
+package graft
+
+import java.io.IOException
+import java.net.InetSocketAddress
+import java.nio.charset.StandardCharsets
+import java.util.concurrent.atomic.AtomicInteger
+
+import com.sun.net.httpserver.{HttpExchange, HttpServer}
+import org.apache.spark.sql.types._
+import graft.sources.{NoSqlSource, RestSource}
+
+/** RestSource against a real (in-JVM, loopback) HTTP server: the fetch
+  * path, auth headers, pagination fan-out through Spark, retry on 5xx
+  * and fail-fast on 4xx are all exercised for real — no driver stubs.
+  */
+class RestSourceSpec extends SparkSpec with org.scalatest.BeforeAndAfterAll {
+
+  private var server: HttpServer = _
+  private var base: String = _
+  private val failuresLeft = new AtomicInteger(0)
+  @volatile private var lastAuthHeader: Option[String] = None
+
+  private def respond(ex: HttpExchange, code: Int, body: String): Unit = {
+    val bytes = body.getBytes(StandardCharsets.UTF_8)
+    ex.sendResponseHeaders(code, bytes.length.toLong)
+    ex.getResponseBody.write(bytes)
+    ex.close()
+  }
+
+  override def beforeAll(): Unit = {
+    super.beforeAll()
+    server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
+    // /items?page=N&per_page=K → {"data": [K records of page N]}, 3 pages
+    server.createContext("/api/items", (ex: HttpExchange) => {
+      lastAuthHeader = Option(ex.getRequestHeaders.getFirst("Authorization"))
+      val q = Option(ex.getRequestURI.getQuery).getOrElse("")
+      val params = q.split("&").filter(_.contains("=")).map { kv =>
+        val Array(k, v) = kv.split("=", 2); k -> v
+      }.toMap
+      val page = params.getOrElse("page", "1").toInt
+      val size = params.getOrElse("per_page", "2").toInt
+      val recs = (1 to size).map { i =>
+        val id = (page - 1) * size + i
+        s"""{"id": $id, "name": "item$id", "price": ${id * 1.5}}"""
+      }
+      respond(ex, 200, s"""{"data": [${recs.mkString(",")}], "page": $page}""")
+    })
+    // first `failuresLeft` hits 500, then 200 with a root-array payload
+    server.createContext("/api/flaky", (ex: HttpExchange) => {
+      if (failuresLeft.getAndDecrement() > 0) respond(ex, 500, "boom")
+      else respond(ex, 200, """[{"id": 7, "name": "ok", "price": 1.0}]""")
+    })
+    server.createContext("/api/secret", (ex: HttpExchange) => respond(ex, 404, "no"))
+    server.start()
+    base = s"http://127.0.0.1:${server.getAddress.getPort}"
+  }
+
+  override def afterAll(): Unit = {
+    if (server != null) server.stop(0)
+    super.afterAll()
+  }
+
+  private val schema = StructType(Seq(
+    StructField("id", LongType), StructField("name", StringType),
+    StructField("price", DoubleType)))
+
+  test("paginated read fans pages across Spark and parses the declared schema") {
+    val src = RestSource(base, "/api/items", pagination = "page",
+      pageSize = 2, dataField = "data",
+      authType = "bearer", authConfig = Map("token" -> "t0ken"))
+    val df = src.read(spark, schema, numPages = 3)
+    val rows = df.orderBy("id").collect()
+    assert(rows.length == 6)
+    assert(rows.map(_.getLong(0)).toSeq == (1L to 6L))
+    assert(rows.head.getString(1) == "item1" && rows.head.getDouble(2) == 1.5)
+    assert(lastAuthHeader.contains("Bearer t0ken")) // auth reached the wire
+  }
+
+  test("offset pagination computes offsets, page mode computes page numbers") {
+    val page = RestSource(base, "items", pagination = "page",
+      pageParam = "p", sizeParam = "n", pageSize = 25)
+    assert(page.paginationParams(3) == Map("p" -> "3", "n" -> "25"))
+    val off = RestSource(base, "items", pagination = "offset",
+      pageParam = "offset", sizeParam = "limit", pageSize = 25)
+    assert(off.paginationParams(3) == Map("offset" -> "50", "limit" -> "25"))
+    assert(RestSource(base, "items", pagination = "none").paginationParams(3).isEmpty)
+  }
+
+  test("5xx retries until success; 4xx fails fast") {
+    failuresLeft.set(2)
+    val src = RestSource(base, "/api/flaky", pagination = "none",
+      dataField = "", maxRetries = 3, backoffMs = 10)
+    val df = src.read(spark, schema, numPages = 1)
+    assert(df.collect().map(_.getLong(0)).toSeq == Seq(7L)) // 2 failures absorbed
+    failuresLeft.set(100)
+    assertThrows[Exception](src.read(spark, schema, numPages = 1).collect())
+    val notFound = RestSource(base, "/api/secret", pagination = "none", maxRetries = 5)
+    val t0 = System.nanoTime()
+    assertThrows[Exception](notFound.read(spark, schema, numPages = 1).collect())
+    // fail-fast: nowhere near 5 backoff cycles
+    assert((System.nanoTime() - t0) / 1e9 < 5.0)
+  }
+
+  test("auth header construction covers basic, api_key and none") {
+    val basic = RestSource(base, "x", authType = "basic",
+      authConfig = Map("username" -> "u", "password" -> "p"))
+    assert(basic.authHeaders("Authorization") ==
+      "Basic " + java.util.Base64.getEncoder.encodeToString("u:p".getBytes))
+    val key = RestSource(base, "x", authType = "api_key",
+      authConfig = Map("header" -> "X-Token", "key" -> "k1"))
+    assert(key.authHeaders == Map("X-Token" -> "k1"))
+    assert(RestSource(base, "x").authHeaders.isEmpty)
+  }
+
+  test("NoSqlSource builds the documented connector configuration") {
+    val mongo = NoSqlSource("mongodb", uri = "mongodb://h:27017",
+      database = "db", collection = "events")
+    assert(mongo.format == "mongodb")
+    assert(mongo.options == Map(
+      "connection.uri" -> "mongodb://h:27017",
+      "database" -> "db", "collection" -> "events"))
+    val cass = NoSqlSource("cassandra", database = "ks", collection = "tbl")
+    assert(cass.format == "org.apache.spark.sql.cassandra")
+    assert(cass.options == Map("keyspace" -> "ks", "table" -> "tbl"))
+    assertThrows[IllegalArgumentException](NoSqlSource("couch").format)
+    // reader() composes without a live cluster (.load() is the caller's step)
+    assert(mongo.reader(spark) != null)
+  }
+}
