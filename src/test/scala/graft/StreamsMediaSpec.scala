@@ -29,6 +29,39 @@ class StreamsMediaSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming windowedAgg over real events matches the batch tumblingAgg bit-for-bit") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.functions.Det
+    import graft.operators.Ops
+    val events = table("events")
+      .select(col("ts").cast("timestamp"), col("event_type"), col("value"))
+      .as[(java.sql.Timestamp, String, Double)]
+      .collect()
+      .sortBy(_._1.getTime) // arrive roughly in event-time order, 3 micro-batches
+    val input = MemoryStream[(java.sql.Timestamp, String, Double)]
+    val df = input.toDF().toDF("ts", "event_type", "value")
+    val agg = Streams.windowedAgg(df, "ts", "10 minutes", "1 hour", None,
+      Seq("event_type"),
+      Seq(count(lit(1)).as("n"), Det.sumAt(col("value"), 6).as("sum_val")))
+      .withColumn("bucket_start", col("window.start")).drop("window")
+    val q = agg.writeStream.format("memory").queryName("wa_parity")
+      .outputMode(OutputMode.Complete()).start()
+    try {
+      events.grouped(math.max(1, events.length / 3)).foreach { chunk =>
+        input.addData(chunk.toSeq); q.processAllAvailable()
+      }
+      val streamed = spark.table("wa_parity")
+        .select("bucket_start", "event_type", "n", "sum_val").collect()
+        .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSet
+      val batch = Ops.tumblingAgg(table("events"), "ts", "1 hour", Seq("event_type"),
+          Seq(count(lit(1)).as("n"), Det.sumAt(col("value"), 6).as("sum_val")))
+        .select("bucket_start", "event_type", "n", "sum_val").collect()
+        .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSet
+      assert(streamed == batch,
+        s"stream/batch diverge: only-stream=${(streamed -- batch).take(3)} only-batch=${(batch -- streamed).take(3)}")
+    } finally q.stop()
+  }
+
   test("dedupStream drops duplicate keys within the watermark") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(java.sql.Timestamp, Long)]
