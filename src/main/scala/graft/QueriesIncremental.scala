@@ -39,6 +39,16 @@ object QueriesIncremental {
       Incremental.upsert(target, updates, Seq("o_orderkey"))
     }),
 
+    // backdated corrections — ref :352 handle_data_correction: update
+    // existing keys only; corrections for unknown keys are dropped
+    "q_incr_corrections" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      val corr = o.filter(pmod(col("o_orderkey"), lit(100)) === 0)
+        .withColumn("o_totalprice", col("o_totalprice") + 1000.0)
+      val phantom = corr.withColumn("o_orderkey", col("o_orderkey") + lit(10000000L))
+      Incremental.applyCorrections(o, corr.unionByName(phantom), Seq("o_orderkey"))
+    }),
+
     // SCD Type 2 — ref :253
     "q_incr_scd2" -> ((s, dir) => {
       val c = t(s, dir, "customer").select("c_custkey", "c_name", "c_acctbal", "c_mktsegment")
@@ -105,6 +115,13 @@ object QueriesIncremental {
         |WHERE o_orderdate < TIMESTAMP '1997-07-01 00:00:00'
         |  AND o_orderkey NOT IN (SELECT o_orderkey FROM orders
         |                         WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00')""".stripMargin,
+
+    "q_incr_corrections" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus,
+        |CASE WHEN o_orderkey % 100 = 0 THEN o_totalprice + 1000.0
+        |     ELSE o_totalprice END AS o_totalprice,
+        |o_orderdate, o_orderpriority
+        |FROM orders""".stripMargin,
 
     "q_incr_scd2" ->
       """WITH cur AS (

@@ -107,6 +107,13 @@ object SparkEntry {
         Seq("F", "O"), Det.sumAt(col("l_quantity"), 2))
     }),
 
+    // multi-value pivot — ref transformation_library.py:538 (values=[...])
+    "q_pivot_multi" -> ((s, dir) => {
+      Ops.pivotMulti(t(s, dir, "lineitem"), Seq("l_returnflag"), "l_linestatus",
+        Seq("F", "O"),
+        Seq(Det.sumAt(col("l_quantity"), 2).as("qty"), count(lit(1)).as("n")))
+    }),
+
     // -- window functions ------------------------------------------------
     "q_rank" -> ((s, dir) => {
       val r = Ops.rankWithin(t(s, dir, "supplier"), Seq("s_nationkey"),
@@ -256,6 +263,14 @@ object SparkEntry {
       """SELECT l_returnflag,
         |CAST(SUM(CASE WHEN l_linestatus = 'F' THEN CAST(l_quantity AS DECIMAL(28,2)) END) AS DOUBLE) AS "F",
         |CAST(SUM(CASE WHEN l_linestatus = 'O' THEN CAST(l_quantity AS DECIMAL(28,2)) END) AS DOUBLE) AS "O"
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+
+    "q_pivot_multi" ->
+      """SELECT l_returnflag,
+        |CAST(SUM(CASE WHEN l_linestatus = 'F' THEN CAST(l_quantity AS DECIMAL(28,2)) END) AS DOUBLE) AS F_qty,
+        |CAST(SUM(CASE WHEN l_linestatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS F_n,
+        |CAST(SUM(CASE WHEN l_linestatus = 'O' THEN CAST(l_quantity AS DECIMAL(28,2)) END) AS DOUBLE) AS O_qty,
+        |CAST(SUM(CASE WHEN l_linestatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS O_n
         |FROM lineitem GROUP BY l_returnflag""".stripMargin,
 
     "q_rank" ->

@@ -56,6 +56,20 @@ object Incremental {
     target.unionByName(updates.join(target.select(keys.map(col): _*).distinct(),
       keys, "left_anti"))
 
+  /** Backdated-correction apply — ref :352 handle_data_correction: a
+    * correction UPDATES the matching business-key rows and never
+    * inserts; corrections for unknown keys are dropped (the reference
+    * counts them as errors). The reference loops an UPDATE statement
+    * per correction row; here it is one semi-join to restrict the
+    * corrections to existing keys plus the standard upsert plan.
+    */
+  def applyCorrections(target: DataFrame, corrections: DataFrame,
+                       keys: Seq[String]): DataFrame = {
+    val applicable = corrections.join(
+      target.select(keys.map(col): _*).distinct(), keys, "left_semi")
+    upsert(target, applicable, keys)
+  }
+
   /** SCD Type 2 — ref :253-303 implement_scd_type2. `current` carries
     * the SCD bookkeeping columns; `incoming` is the bare new snapshot.
     * Produces the complete new dimension state:

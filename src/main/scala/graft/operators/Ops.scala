@@ -160,6 +160,19 @@ object Ops {
             pivotValues: Seq[String], valueAgg: Column): DataFrame =
     df.groupBy(index.map(col): _*).pivot(pivotCol, pivotValues).agg(valueAgg)
 
+  /** Pivot over MULTIPLE value aggregations — ref
+    * transformation_library.py:538 pivot_table(values=[...]): one
+    * output column per (pivot value x agg alias), named
+    * `{pivotValue}_{alias}` by Spark. Still one pass (explicit pivot
+    * values, several aggregates in the same hash aggregation).
+    */
+  def pivotMulti(df: DataFrame, index: Seq[String], pivotCol: String,
+                 pivotValues: Seq[String], valueAggs: Seq[Column]): DataFrame = {
+    require(valueAggs.nonEmpty, "need at least one aggregate")
+    df.groupBy(index.map(col): _*).pivot(pivotCol, pivotValues)
+      .agg(valueAggs.head, valueAggs.tail: _*)
+  }
+
   /** Rolling aggregate over the preceding `window-1` rows + current row
     * within a partition (ref rolling_aggregate). Ordering must be
     * deterministic — pass a unique composite ordering.
