@@ -69,6 +69,33 @@ object PropertySpec extends Properties("graft") {
       }
     }
 
+  property("all four jaccard strategies agree on random corpora") = {
+    // docs from a small vocab with random lengths — the worst case for
+    // set-similarity (most pairs overlap) and the regime where the
+    // blocked, inverted-index, prefix-filtered and auto paths must all
+    // return EXACTLY the same pairs
+    val vocab = Vector("red", "blue", "green", "fox", "dog", "cat", "run", "jump")
+    val doc = Gen.choose(2, 10).flatMap(n => Gen.listOfN(n, Gen.oneOf(vocab)))
+      .map(_.mkString(" "))
+    val corpus = Gen.listOfN(14, Gen.zip(Gen.choose(0, 1), doc))
+    Prop.forAll(corpus, Gen.oneOf(0.4, 0.6, 0.8)) { (docs, t) =>
+      docs.isEmpty || {
+        val df = docs.zipWithIndex
+          .map { case ((blk, txt), i) => (i.toLong, s"g$blk", txt) }
+          .toDF("doc_id", "grp", "text")
+        import graft.llm.Dedup
+        def s(d: org.apache.spark.sql.DataFrame) =
+          d.select("id_a", "id_b", "jacc").as[(Long, Long, Double)].collect().toSet
+        val blocked = s(Dedup.ngramJaccardPairsBlocked(df, "doc_id", "text", Seq("grp"), 1, t))
+        val index = s(Dedup.ngramJaccardPairs(df, "doc_id", "text", Seq("grp"), 1, t))
+        val prefix = s(Dedup.ngramJaccardPairsPrefix(df, "doc_id", "text", Seq("grp"), 1, t))
+        val auto = s(Dedup.ngramJaccardPairsAuto(df, "doc_id", "text", Seq("grp"), 1, t,
+          maxBlockSize = 5)) // force BOTH routes to exercise in one call
+        index == blocked && prefix == blocked && auto == blocked
+      }
+    }
+  }
+
   property("jaccard symmetric and bounded") = {
     val gen = Gen.listOfN(8, Gen.choose(1, 20))
     Prop.forAll(gen, gen) { (a, b) =>
