@@ -64,13 +64,23 @@ object Ivf {
     assign(corpus, idCol, vecCol, centroids)
   }
 
+  /** Cell centroids of a built index — compute ONCE and persist/reuse
+    * across query batches (each call is a full-index aggregation;
+    * re-deriving it per batch is the avoidable cost at scale).
+    */
+  def centroids(index: DataFrame, vecCol: String): DataFrame =
+    recenter(index, vecCol)
+
   /** Top-k by cosine, scanning only each query's `nprobe` nearest
-    * cells of a prebuilt index. Output: (query_id, neighbor_id, sim, rnk).
+    * cells of a prebuilt index. Pass `cellCentroids` (from
+    * [[centroids]], persisted) to skip the per-call full-index
+    * aggregation. Output: (query_id, neighbor_id, sim, rnk).
     */
   def topK(index: DataFrame, queries: DataFrame,
            corpusId: String, queryId: String, vecCol: String,
-           k: Int, nprobe: Int = 2): DataFrame = {
-    val centroids = recenter(index, vecCol)
+           k: Int, nprobe: Int = 2,
+           cellCentroids: Option[DataFrame] = None): DataFrame = {
+    val centroids = cellCentroids.getOrElse(recenter(index, vecCol))
     val wProbe = Window.partitionBy(col(queryId))
       .orderBy(col("__csim").desc, col("__cid").asc)
     val probes = queries

@@ -233,6 +233,14 @@ class TextDedupSpec extends SparkSpec {
       .select("vec_id", "__cid").as[(Long, Int)].collect().toSet
     val first = index.select("vec_id", "__cid").as[(Long, Int)].collect().toSet
     assert(again == first)
+    // precomputed (persisted-once) centroids give identical results to
+    // the per-call aggregation
+    val cents = graft.llm.Ivf.centroids(index, "embedding")
+    val viaCents = graft.llm.Ivf
+      .topK(index, q, "vec_id", "query_id", "embedding", k = 5, nprobe = 2,
+        cellCentroids = Some(cents))
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    assert(viaCents == approx)
   }
 
   test("embeddingNearDup finds identical vectors within a block") {
