@@ -55,6 +55,16 @@ object QueriesAnomaly {
         .select("event_id", "season", "value", "z")
     }),
 
+    // isolation forest — ref anomaly_manager.py:183 (no SQL oracle: the
+    // forest is not SQL-expressible; deterministic by construction, so
+    // the driver's rows-only check is stable and AnomalySpec pins the
+    // semantics on planted data)
+    "q_anom_iforest" -> ((s, dir) => {
+      graft.quality.IsolationForest.detect(ev(s, dir), Seq("value"),
+          threshold = 0.6, numTrees = 50, sampleSize = 256)
+        .select("event_id", "value", "iforest_score")
+    }),
+
     // mean-shift changepoint scan — ref anomaly_manager.py:304
     "q_anom_changepoint" -> ((s, dir) => {
       Anomaly.changepoints(ev(s, dir), "value", Seq("user_id"),

@@ -60,6 +60,30 @@ class AnomalySpec extends SparkSpec {
       window = 20, threshold = 3.0).count() == 0L)
   }
 
+  test("isolation forest isolates the planted outlier fastest and is deterministic") {
+    import graft.quality.IsolationForest
+    // dense cluster + one far point in 2-D
+    val pts = ((1 to 60).map(i => (i.toLong, 10.0 + (i % 5) * 0.2, 20.0 + (i % 7) * 0.3)) :+
+      ((99L, 500.0, -300.0))).toDF("id", "x", "y")
+    val forest = IsolationForest.fit(pts, Seq("x", "y"), numTrees = 25, sampleSize = 32)
+    val scored = IsolationForest.score(pts, Seq("x", "y"), forest)
+      .select("id", "iforest_score").as[(Long, Double)].collect()
+    assert(scored.forall { case (_, s) => s > 0.0 && s < 1.0 })
+    assert(scored.maxBy(_._2)._1 == 99L) // the planted outlier isolates first
+    val outlierScore = scored.find(_._1 == 99L).get._2
+    val inlierMax = scored.filter(_._1 != 99L).map(_._2).max
+    assert(outlierScore > inlierMax + 0.1, s"outlier=$outlierScore inliers<=$inlierMax")
+    // determinism: refit + rescore gives bit-identical scores
+    val again = IsolationForest.score(pts, Seq("x", "y"),
+        IsolationForest.fit(pts, Seq("x", "y"), numTrees = 25, sampleSize = 32))
+      .select("id", "iforest_score").as[(Long, Double)].collect()
+    assert(scored.sortBy(_._1).toSeq == again.sortBy(_._1).toSeq)
+    // detect() applies the score threshold
+    val hits = IsolationForest.detect(pts, Seq("x", "y"), threshold = 0.6,
+      numTrees = 25, sampleSize = 32).select("id").as[Long].collect()
+    assert(hits.contains(99L))
+  }
+
   test("seasonalResidual flags within-season outliers") {
     // season 0 values ~10, season 1 values ~20; one bad row in season 0
     val rows = (1 to 20).map(i => (i.toLong, i % 2, if (i % 2 == 0) 10.0 + (i % 5) * 0.1 else 20.0 + (i % 5) * 0.1)) :+
