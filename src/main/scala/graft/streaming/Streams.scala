@@ -35,6 +35,24 @@ object Streams {
       .agg(aggs.head, aggs.tail: _*)
   }
 
+  /** Gap-based session aggregation over a stream — the streaming
+    * analog of [[graft.operators.Ops.sessionize]], expressed with
+    * Spark's native `session_window` (merge-on-overlap state store
+    * semantics) instead of hand-rolled mapGroupsWithState: sessions
+    * extend while events arrive within `gap` of the last one, close
+    * when the watermark passes session end, and emit exactly once in
+    * Append mode. `session_start` labels each session with its first
+    * event time.
+    */
+  def sessionWindowAgg(df: DataFrame, tsCol: String, watermarkDelay: String,
+                       gap: String, keyCols: Seq[String],
+                       aggs: Seq[Column]): DataFrame =
+    df.withWatermark(tsCol, watermarkDelay)
+      .groupBy(session_window(col(tsCol), gap) +: keyCols.map(col): _*)
+      .agg(aggs.head, aggs.tail: _*)
+      .withColumn("session_start", col("session_window.start"))
+      .drop("session_window")
+
   /** Streaming dedup on keys within the watermark horizon — the
     * streaming analog of Incremental.dedupLatest (first-seen wins;
     * state auto-expires with the watermark).

@@ -62,6 +62,43 @@ class StreamsMediaSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming session_window sessions match batch Ops.sessionize on real events") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.functions.Det
+    import graft.operators.Ops
+    val events = table("events")
+      .select(col("ts").cast("timestamp"), col("user_id"), col("value"))
+      .as[(java.sql.Timestamp, Long, Double)].collect().sortBy(_._1.getTime)
+    val maxTs = events.map(_._1.getTime).max
+    // sentinel far past the data advances the global watermark so every
+    // real session finalizes and Append mode emits it
+    val sentinel = (new java.sql.Timestamp(maxTs + 10L * 24 * 3600 * 1000), -1L, 0.0)
+    val input = MemoryStream[(java.sql.Timestamp, Long, Double)]
+    val df = input.toDF().toDF("ts", "user_id", "value")
+    val agg = Streams.sessionWindowAgg(df, "ts", "1 hour", "30 minutes",
+      Seq("user_id"),
+      Seq(count(lit(1)).as("n"), Det.sumAt(col("value"), 6).as("sum_val")))
+    val q = agg.writeStream.format("memory").queryName("sess_parity")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(events.toSeq); q.processAllAvailable()
+      input.addData(Seq(sentinel)); q.processAllAvailable()
+      val streamed = spark.table("sess_parity")
+        .filter(col("user_id") =!= -1L)
+        .select("user_id", "session_start", "n", "sum_val").collect()
+        .map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2), r.getDouble(3))).toSet
+      val batch = Ops.sessionize(table("events"), Seq("user_id"), "ts",
+          Seq(col("ts").asc, col("event_id").asc), gapSeconds = 1800)
+        .groupBy(col("user_id"), col("session_id"))
+        .agg(min(col("ts").cast("timestamp")).as("session_start"),
+          count(lit(1)).as("n"), Det.sumAt(col("value"), 6).as("sum_val"))
+        .select("user_id", "session_start", "n", "sum_val").collect()
+        .map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2), r.getDouble(3))).toSet
+      assert(streamed == batch,
+        s"only-stream=${(streamed -- batch).take(3)} only-batch=${(batch -- streamed).take(3)}")
+    } finally q.stop()
+  }
+
   test("dedupStream drops duplicate keys within the watermark") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(java.sql.Timestamp, Long)]
