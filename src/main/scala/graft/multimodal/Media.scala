@@ -28,20 +28,66 @@ object Media {
     StructField("duration_ms", LongType, nullable = true),
     StructField("n_bytes", LongType, nullable = false)))
 
-  /** Attach a media metadata struct to a binary column.
-    * STUB decode: dimensions/duration derive deterministically from
-    * byte length + first bytes (a real decoder parses the container
-    * header here — same signature, same plan).
+  /** Real container-header parsing for the common image formats —
+    * width/height live in the first bytes (PNG IHDR, GIF logical
+    * screen, JPEG SOFn, BMP info header) and need no codec, so THIS
+    * part of "decode" is genuinely implemented; only pixel decoding
+    * stays stubbed. Pure function, runs executor-side.
+    */
+  def parseImageDims(bytes: Array[Byte]): Option[(String, Int, Int)] = {
+    if (bytes == null) return None
+    def u8(i: Int) = bytes(i) & 0xFF
+    def be16(i: Int) = (u8(i) << 8) | u8(i + 1)
+    def be32(i: Int) = (u8(i) << 24) | (u8(i + 1) << 16) | (u8(i + 2) << 8) | u8(i + 3)
+    def le16(i: Int) = u8(i) | (u8(i + 1) << 8)
+    def le32(i: Int) = u8(i) | (u8(i + 1) << 8) | (u8(i + 2) << 16) | (u8(i + 3) << 24)
+    if (bytes.length >= 24 && u8(0) == 0x89 && bytes(1) == 'P' && bytes(2) == 'N' && bytes(3) == 'G')
+      Some(("png", be32(16), be32(20))) // signature(8) + len(4) + "IHDR"(4) + w + h
+    else if (bytes.length >= 10 && bytes(0) == 'G' && bytes(1) == 'I' && bytes(2) == 'F')
+      Some(("gif", le16(6), le16(8)))
+    else if (bytes.length >= 26 && bytes(0) == 'B' && bytes(1) == 'M')
+      Some(("bmp", le32(18), le32(22)))
+    else if (bytes.length >= 4 && u8(0) == 0xFF && u8(1) == 0xD8) {
+      // JPEG: walk marker segments to the first frame header (SOFn)
+      var i = 2
+      while (i + 9 < bytes.length) {
+        if (u8(i) != 0xFF) return None
+        val marker = u8(i + 1)
+        if (marker == 0x01 || (marker >= 0xD0 && marker <= 0xD9)) i += 2 // standalone
+        else {
+          if (marker >= 0xC0 && marker <= 0xCF &&
+              marker != 0xC4 && marker != 0xC8 && marker != 0xCC)
+            return Some(("jpeg", be16(i + 7), be16(i + 5))) // SOFn: len(2) prec(1) h(2) w(2)
+          i += 2 + be16(i + 2)
+        }
+      }
+      None
+    } else None
+  }
+
+  final case class ImageDims(format: String, width: Int, height: Int)
+  private val dimsUdf = udf((b: Array[Byte]) =>
+    parseImageDims(b).map { case (f, w, h) => ImageDims(f, w, h) }.orNull)
+
+  /** Attach a media metadata struct to a binary column. Image
+    * width/height come from REAL header parsing ([[parseImageDims]])
+    * when the blob carries a known magic number; unrecognizable image
+    * bytes fall back to the deterministic stub pseudo-dims (this
+    * container ships no codecs to do better). Audio/video duration is
+    * stub only.
     */
   def withMetadata(df: DataFrame, binCol: String, mime: String,
                    metaCol: String = "media_meta"): DataFrame = {
     val bytes = col(binCol)
     val n = length(bytes).cast("long")
     val isImage = lit(mime).startsWith("image")
+    val parsed = dimsUdf(bytes)
     df.withColumn(metaCol, struct(
       lit(mime).as("mime"),
-      when(isImage, (pmod(n, lit(1024L)) + 1L).cast("int")).otherwise(lit(null).cast("int")).as("width"),
-      when(isImage, (pmod(n, lit(768L)) + 1L).cast("int")).otherwise(lit(null).cast("int")).as("height"),
+      when(isImage, coalesce(parsed.getField("width"),
+        (pmod(n, lit(1024L)) + 1L).cast("int"))).otherwise(lit(null).cast("int")).as("width"),
+      when(isImage, coalesce(parsed.getField("height"),
+        (pmod(n, lit(768L)) + 1L).cast("int"))).otherwise(lit(null).cast("int")).as("height"),
       when(!isImage, n * 8L).otherwise(lit(null).cast("long")).as("duration_ms"),
       n.as("n_bytes")))
   }

@@ -199,6 +199,46 @@ class StreamsMediaSpec extends SparkSpec {
     assert(r.getAs[Int]("width") > 0)
   }
 
+  test("Media.parseImageDims reads real PNG/GIF/JPEG/BMP headers") {
+    // minimal hand-built headers: the actual byte layouts of each format
+    def png(w: Int, h: Int): Array[Byte] = {
+      val sig = Array(0x89, 'P', 'N', 'G', 0x0D, 0x0A, 0x1A, 0x0A).map(_.toByte)
+      val ihdr = java.nio.ByteBuffer.allocate(16)
+        .putInt(13).put("IHDR".getBytes).putInt(w).putInt(h).array()
+      sig ++ ihdr
+    }
+    def gif(w: Int, h: Int): Array[Byte] =
+      "GIF89a".getBytes ++ Array((w & 0xFF).toByte, (w >> 8).toByte,
+        (h & 0xFF).toByte, (h >> 8).toByte)
+    def jpeg(w: Int, h: Int): Array[Byte] = {
+      val soi = Array(0xFF, 0xD8).map(_.toByte)
+      // APP0 segment (skipped by the walker), then SOF0 with dims
+      val app0 = Array(0xFF, 0xE0, 0x00, 0x04, 0x4A, 0x46).map(_.toByte)
+      val sof0 = Array(0xFF, 0xC0, 0x00, 0x11, 0x08,
+        (h >> 8) & 0xFF, h & 0xFF, (w >> 8) & 0xFF, w & 0xFF, 0x03).map(_.toByte)
+      soi ++ app0 ++ sof0
+    }
+    def bmp(w: Int, h: Int): Array[Byte] = {
+      val b = java.nio.ByteBuffer.allocate(26).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      b.put('B'.toByte).put('M'.toByte).position(18)
+      b.putInt(w).putInt(h)
+      b.array()
+    }
+    assert(Media.parseImageDims(png(640, 480)).contains(("png", 640, 480)))
+    assert(Media.parseImageDims(gif(320, 200)).contains(("gif", 320, 200)))
+    assert(Media.parseImageDims(jpeg(1920, 1080)).contains(("jpeg", 1920, 1080)))
+    assert(Media.parseImageDims(bmp(64, 32)).contains(("bmp", 64, 32)))
+    assert(Media.parseImageDims("not an image".getBytes).isEmpty)
+    assert(Media.parseImageDims(null).isEmpty)
+    // and through the DataFrame surface: real dims beat the stub
+    val df = Seq((1L, png(640, 480)), (2L, "junk".getBytes)).toDF("id", "blob")
+    val meta = Media.withMetadata(df, "blob", "image/png")
+      .select(col("id"), col("media_meta.width"), col("media_meta.height"))
+      .as[(Long, Int, Int)].collect().sortBy(_._1)
+    assert(meta(0) == ((1L, 640, 480)))   // parsed from the header
+    assert(meta(1)._2 > 0 && meta(1)._3 > 0) // junk falls back to the stub
+  }
+
   test("Media.extractFeatures emits deterministic fixed-width vectors") {
     val df = Seq((1L, "aaa".getBytes), (2L, "bbb".getBytes)).toDF("id", "blob")
     val f1 = Media.extractFeatures(df, "blob", "id", dim = 8).collect()
