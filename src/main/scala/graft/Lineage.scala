@@ -48,6 +48,52 @@ object Lineage {
         .map { case (n, xs) => n -> xs.flatMap(_._2).distinct.toSeq })
   }
 
+  /** Column-level derivation lineage: each output column → the set of
+    * "source.column" leaves it is computed FROM (transitively through
+    * aliases, aggregates, windows and generators — the reference's
+    * hand-reported `column_derivations` table, derived from the tree
+    * instead). Union branches merge positionally; a column of
+    * literals maps to the empty set.
+    */
+  def columnLineage(df: DataFrame): Map[String, Set[String]] = {
+    import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, ExprId}
+    import org.apache.spark.sql.catalyst.plans.logical.{LeafNode, Union}
+
+    def walk(p: LogicalPlan): Map[ExprId, Set[String]] = p match {
+      case leaf: LeafNode =>
+        val n = leafName(leaf)
+        leaf.output.map(a => a.exprId -> Set(s"$n.${a.name}")).toMap
+      case u: Union =>
+        val childMaps = u.children.map(walk)
+        val merged = u.output.zipWithIndex.map { case (out, i) =>
+          out.exprId -> u.children.zip(childMaps).map { case (c, m) =>
+            m.getOrElse(c.output(i).exprId, Set.empty[String])
+          }.reduce(_ ++ _)
+        }.toMap
+        childMaps.fold(Map.empty)(_ ++ _) ++ merged
+      case node =>
+        val below = node.children.map(walk).fold(Map.empty)(_ ++ _)
+        def deps(refs: Iterable[Attribute]): Set[String] =
+          refs.flatMap(r => below.getOrElse(r.exprId, Set.empty[String])).toSet
+        // any Alias anywhere in this node's expressions mints a new
+        // exprId whose provenance is its references' provenance
+        val minted = node.expressions.flatMap(_.collect {
+          case a: Alias => a.exprId -> deps(a.references.toSeq)
+        }).toMap
+        // generators (explode & co.) mint output attrs without aliases
+        val generated = node match {
+          case g: org.apache.spark.sql.catalyst.plans.logical.Generate =>
+            g.generatorOutput.map(a => a.exprId -> deps(g.generator.references.toSeq)).toMap
+          case _ => Map.empty[ExprId, Set[String]]
+        }
+        below ++ minted ++ generated
+    }
+
+    val plan = df.queryExecution.analyzed
+    val m = walk(plan)
+    plan.output.map(a => a.name -> m.getOrElse(a.exprId, Set.empty[String])).toMap
+  }
+
   private def leafName(leaf: LogicalPlan): String = leaf match {
     case lr: LogicalRelation =>
       lr.catalogTable.map(_.identifier.unquotedString).getOrElse(lr.relation match {

@@ -246,4 +246,28 @@ class PipelineSourcesSpec extends SparkSpec {
     assert(liCols.contains("l_extendedprice") && liCols.contains("l_orderkey"))
     assert(info.outputColumns == Seq("n_name", "revenue"))
   }
+
+  test("Lineage.columnLineage traces each output column to its source columns") {
+    val df = SparkEntry.queries("q_join_multi")(spark, TestSession.sfDir)
+    val cl = Lineage.columnLineage(df)
+    assert(cl.keySet == Set("n_name", "revenue"))
+    // revenue = sum(l_extendedprice * (1 - l_discount)) — both lineitem cols, nothing else
+    val rev = cl("revenue")
+    assert(rev.exists(s => s.contains("lineitem") && s.endsWith(".l_extendedprice")))
+    assert(rev.exists(s => s.contains("lineitem") && s.endsWith(".l_discount")))
+    assert(!rev.exists(_.contains("orders")))
+    val nm = cl("n_name")
+    assert(nm.exists(s => s.contains("nation") && s.endsWith(".n_name")) && nm.size == 1)
+    // a literal column has empty provenance; union merges positionally;
+    // explode traces through the generator to its input column
+    val lit1 = table("region").select(lit(1).as("one"), col("r_name"))
+    assert(Lineage.columnLineage(lit1)("one").isEmpty)
+    val un = table("region").select(col("r_name").as("x"))
+      .unionByName(table("nation").select(col("n_name").as("x")))
+    val unx = Lineage.columnLineage(un)("x")
+    assert(unx.exists(_.endsWith(".r_name")) && unx.exists(_.endsWith(".n_name")))
+    val ex = table("documents")
+      .select(explode(split(col("text"), " ")).as("tok"))
+    assert(Lineage.columnLineage(ex)("tok").exists(_.endsWith(".text")))
+  }
 }
