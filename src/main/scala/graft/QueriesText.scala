@@ -33,6 +33,22 @@ object QueriesText {
         Text.qualityScore(c).as("quality"))
     }),
 
+    // Gopher/RefinedWeb-style corpus filtering rules (public
+    // heuristics) — one map-side pass per document
+    "q_text_gopher" -> ((s, dir) => {
+      val c = col("text")
+      docs(s, dir).select(
+        col("doc_id"),
+        Text.tokenCount(c).as("n_tokens"),
+        Text.meanWordLength(c).as("mean_wlen"),
+        Text.symbolToWordRatio(c).as("symbol_ratio"),
+        Text.bulletLineFraction(c).as("bullet_frac"),
+        Text.ellipsisLineFraction(c).as("ellipsis_frac"),
+        Text.alphaWordFraction(c).as("alpha_word_frac"),
+        Text.distinctWordRatio(c).as("distinct_ratio"),
+        Text.gopherPasses(c, minTokens = 20).as("passes"))
+    }),
+
     "q_text_langid" -> ((s, dir) => {
       val c = col("text")
       docs(s, dir).select(
@@ -81,6 +97,30 @@ object QueriesText {
          |LEAST(1.0, CAST($tc AS DOUBLE) / 50.0) * 0.3
          |  + ($alphaRatio) * 0.4 + ($stopRatio) * 0.3 AS quality
          |FROM documents""".stripMargin,
+
+    "q_text_gopher" -> {
+      val mwl = s"CAST(length(text) - ${reCount("text", "\\s")} AS DOUBLE) / GREATEST($tc, 1)"
+      val sym = s"CAST(${reCount("text", "#|\\.\\.\\.|…")} AS DOUBLE) / GREATEST($tc, 1)"
+      val lines = s"(${reCount("text", "\\n")} + 1)"
+      val bullet = s"CAST(${reCount("text", "(?m)^\\s*[-*•]")} AS DOUBLE) / $lines"
+      val ellipsis = s"CAST(${reCount("text", "(?m)(\\.\\.\\.|…) *$$")} AS DOUBLE) / $lines"
+      val alphaW = s"CAST(${reCount("text", "\\S*[A-Za-z]\\S*")} AS DOUBLE) / GREATEST($tc, 1)"
+      val words = "regexp_extract_all(lower(trim(text)), '\\S+')"
+      val distinctR = s"CASE WHEN $tc = 0 THEN 0.0 ELSE " +
+        s"CAST(len(list_distinct($words)) AS DOUBLE) / CAST($tc AS DOUBLE) END"
+      s"""SELECT doc_id,
+         |$tc AS n_tokens,
+         |$mwl AS mean_wlen,
+         |$sym AS symbol_ratio,
+         |$bullet AS bullet_frac,
+         |$ellipsis AS ellipsis_frac,
+         |$alphaW AS alpha_word_frac,
+         |$distinctR AS distinct_ratio,
+         |($tc BETWEEN 20 AND 100000 AND ($mwl) BETWEEN 3.0 AND 10.0
+         |  AND ($sym) < 0.1 AND ($bullet) < 0.9 AND ($ellipsis) < 0.3
+         |  AND ($alphaW) > 0.8) AS passes
+         |FROM documents""".stripMargin
+    },
 
     "q_text_langid" -> {
       val scores = Text.langMarkers.map { case (l, ws) => l -> langScoreSql(ws) }

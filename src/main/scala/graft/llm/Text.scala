@@ -56,6 +56,56 @@ object Text {
     least(lit(1.0), tokenCount(c).cast("double") / lit(fullTokens.toDouble)) * lit(0.3) +
       alphaRatio(c) * lit(0.4) + stopwordRatio(c) * lit(0.3)
 
+  // ---- Gopher-style document rules -----------------------------------
+  // Public corpus-filtering heuristics (Rae et al. 2021 "Scaling
+  // Language Models: Gopher" appendix A; Penedo et al. 2023
+  // RefinedWeb). All pure codegen'd expressions — one map-side pass.
+
+  /** Mean word length: non-whitespace chars / whitespace tokens. */
+  def meanWordLength(c: Column): Column =
+    (length(c) - regexp_count(c, lit("\\s"))).cast("double") /
+      greatest(tokenCount(c), lit(1))
+
+  /** Hash/ellipsis symbols per word (Gopher: drop when >= 0.1). */
+  def symbolToWordRatio(c: Column): Column =
+    regexp_count(c, lit("#|\\.\\.\\.|…")).cast("double") / greatest(tokenCount(c), lit(1))
+
+  def lineCount(c: Column): Column = regexp_count(c, lit("\n")) + lit(1)
+
+  /** Fraction of lines starting with a bullet (Gopher: drop >= 0.9). */
+  def bulletLineFraction(c: Column): Column =
+    regexp_count(c, lit("(?m)^\\s*[-*•]")).cast("double") / lineCount(c)
+
+  /** Fraction of lines ending in an ellipsis (Gopher: drop >= 0.3). */
+  def ellipsisLineFraction(c: Column): Column =
+    regexp_count(c, lit("(?m)(\\.\\.\\.|…) *$")).cast("double") / lineCount(c)
+
+  /** Fraction of words containing at least one alphabetic character
+    * (Gopher: drop < 0.8).
+    */
+  def alphaWordFraction(c: Column): Column =
+    regexp_count(c, lit("\\S*[A-Za-z]\\S*")).cast("double") / greatest(tokenCount(c), lit(1))
+
+  /** Distinct-word / total-word ratio — low values mean heavy
+    * repetition (RefinedWeb-style repetition screen).
+    */
+  def distinctWordRatio(c: Column): Column =
+    when(tokenCount(c) === 0, lit(0.0)).otherwise(
+      size(array_distinct(split(lower(trim(c)), "\\s+"))).cast("double") /
+        tokenCount(c).cast("double"))
+
+  /** Composite Gopher gate: true when every rule passes. Thresholds
+    * are the published defaults, scaled-down token bounds exposed for
+    * short-doc corpora.
+    */
+  def gopherPasses(c: Column, minTokens: Int = 50, maxTokens: Int = 100000): Column =
+    tokenCount(c).between(minTokens, maxTokens) &&
+      meanWordLength(c).between(3.0, 10.0) &&
+      symbolToWordRatio(c) < 0.1 &&
+      bulletLineFraction(c) < 0.9 &&
+      ellipsisLineFraction(c) < 0.3 &&
+      alphaWordFraction(c) > 0.8
+
   // ---- language ID ---------------------------------------------------
 
   /** Stopword/charset marker lists per language (n-gram heuristic).
