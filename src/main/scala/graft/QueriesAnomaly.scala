@@ -65,6 +65,18 @@ object QueriesAnomaly {
         .select("event_id", "value", "iforest_score")
     }),
 
+    // local outlier factor over embeddings — ref anomaly_manager.py:214
+    // (rows-only: the kNN/lrd chain is not reasonably SQL-expressible;
+    // deterministic, AnomalySpec pins semantics on planted data)
+    "q_anom_lof" -> ((s, dir) => {
+      // uniform synthetic embeddings have LOF tightly around 1.0 (no
+      // local structure), so the gate sits just above the bulk: ~top
+      // few percent of locally-sparse points
+      graft.quality.Lof.detect(t(s, dir, "embeddings"), "vec_id", "embedding",
+          threshold = 1.04, k = 5, planes = 4)
+        .select("vec_id", "label", "lof")
+    }),
+
     // mean-shift changepoint scan — ref anomaly_manager.py:304
     "q_anom_changepoint" -> ((s, dir) => {
       Anomaly.changepoints(ev(s, dir), "value", Seq("user_id"),

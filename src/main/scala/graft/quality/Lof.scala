@@ -1,0 +1,83 @@
+package graft.quality
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.llm.Similarity
+
+/** Local Outlier Factor — ref anomaly_manager.py:214 lof_detection
+  * (the reference wraps sklearn; this is the Breunig et al. SIGMOD'00
+  * algorithm re-expressed as a declarative join/window plan over an
+  * embedding column).
+  *
+  * Definition chain, each step one DataFrame op:
+  *   kNN(p)        — cosine-distance top-k within the point's
+  *                   hyperplane LSH bucket (the scale bound: candidate
+  *                   pairs come from buckets, never all-pairs; recall
+  *                   tradeoff identical to [[graft.llm.Similarity.lshTopK]])
+  *   k-dist(p)     — distance to p's k-th neighbour (max over kNN)
+  *   reach(p,o)    — max(k-dist(o), dist(p,o))
+  *   lrd(p)        — |kNN(p)| / sum reach(p,o)
+  *   LOF(p)        — mean(lrd(o)) / lrd(p); ~1 inlier, >> 1 outlier
+  *
+  * Deterministic: LSH buckets are hash-seeded, kNN ties break on
+  * neighbour id, distances round at 6 dp. Shuffles are on bucket and
+  * point id only. Points alone in their bucket have no neighbours and
+  * drop out (documented; lower `planes` for denser buckets).
+  */
+object Lof {
+
+  /** Per-point LOF scores. Output: (idCol, n_neighbors, lrd, lof). */
+  def scores(df: DataFrame, idCol: String, vecCol: String,
+             k: Int = 5, planes: Int = 4): DataFrame = {
+    val bucket =
+      if (planes <= 0) lit(0L) // single bucket: exact all-pairs (tests/small data)
+      else Similarity.hyperplaneBucket(col(vecCol), planes)
+    val b = df.select(col(idCol), col(vecCol))
+      .withColumn("__bucket", bucket)
+      .withColumn("__n", Similarity.norm(col(vecCol)))
+    val a = b.select(col("__bucket"), col(idCol).as("p"),
+      col(vecCol).as("__vp"), col("__n").as("__np"))
+    val c = b.select(col("__bucket"), col(idCol).as("o"),
+      col(vecCol).as("__vo"), col("__n").as("__no"))
+    val denom = col("__np") * col("__no")
+    val wk = Window.partitionBy(col("p")).orderBy(col("dist").asc, col("o").asc)
+    val knn = a.join(c, Seq("__bucket"))
+      .filter(col("p") =!= col("o"))
+      .withColumn("dist",
+        lit(1.0) - when(denom =!= 0.0,
+          round(Similarity.dot(col("__vp"), col("__vo")) / denom, 6)).otherwise(lit(0.0)))
+      .withColumn("__rn", row_number().over(wk))
+      .filter(col("__rn") <= k)
+      .select("p", "o", "dist")
+    val kdist = knn.groupBy(col("p"))
+      .agg(max(col("dist")).as("kdist"))
+    val reach = knn
+      .join(kdist.select(col("p").as("o"), col("kdist").as("__kdist_o")), Seq("o"))
+      .withColumn("reach", greatest(col("__kdist_o"), col("dist")))
+    // identical points give reach sums of 0 — classic LOF sends lrd to
+    // infinity there; cap instead so the ratio stays finite and ordered
+    val lrd = reach.groupBy(col("p")).agg(
+      count(lit(1)).as("n_neighbors"),
+      when(sum(col("reach")) > 0.0,
+        count(lit(1)).cast("double") / sum(col("reach")))
+        .otherwise(lit(1e12)).as("lrd"))
+    reach
+      .join(lrd.select(col("p").as("o"), col("lrd").as("__lrd_o")), Seq("o"))
+      .groupBy(col("p"))
+      .agg(avg(col("__lrd_o")).as("__avg_lrd_o"))
+      .join(lrd, Seq("p"))
+      .withColumn("lof",
+        round(when(col("lrd") > 0.0, col("__avg_lrd_o") / col("lrd")), 6))
+      .select(col("p").as(idCol), col("n_neighbors"), round(col("lrd"), 6).as("lrd"), col("lof"))
+  }
+
+  /** Fit + threshold — the reference's surface: rows whose LOF exceeds
+    * `threshold` (1.5 is the usual starting point).
+    */
+  def detect(df: DataFrame, idCol: String, vecCol: String,
+             threshold: Double = 1.5, k: Int = 5, planes: Int = 4): DataFrame =
+    df.join(scores(df, idCol, vecCol, k, planes).filter(col("lof") > threshold)
+      .select(idCol, "lof"), Seq(idCol))
+}

@@ -84,6 +84,26 @@ class AnomalySpec extends SparkSpec {
     assert(hits.contains(99L))
   }
 
+  test("LOF scores the planted outlier far above clustered inliers") {
+    import graft.quality.Lof
+    // tight cluster around (1, 0.01i) plus one opposite-direction point
+    val vecs = ((1 to 30).map(i => (i.toLong, Array(1.0f, 0.01f * (i % 5)))) :+
+      ((99L, Array(-1.0f, 0.8f)))).toDF("vec_id", "embedding")
+    val s = Lof.scores(vecs, "vec_id", "embedding", k = 5, planes = 0)
+      .select("vec_id", "lof").as[(Long, Double)].collect()
+    val outlier = s.find(_._1 == 99L).get._2
+    val inlierMax = s.filter(_._1 != 99L).map(_._2).max
+    assert(outlier > inlierMax, s"outlier=$outlier inliers<=$inlierMax")
+    assert(outlier > 1.5 && inlierMax < 1.5)
+    // detect() applies the gate; determinism across invocations
+    val hits = Lof.detect(vecs, "vec_id", "embedding", threshold = 1.5,
+      k = 5, planes = 0).select("vec_id").as[Long].collect()
+    assert(hits.toSeq == Seq(99L))
+    val s2 = Lof.scores(vecs, "vec_id", "embedding", k = 5, planes = 0)
+      .select("vec_id", "lof").as[(Long, Double)].collect()
+    assert(s.sortBy(_._1).toSeq == s2.sortBy(_._1).toSeq)
+  }
+
   test("seasonalResidual flags within-season outliers") {
     // season 0 values ~10, season 1 values ~20; one bad row in season 0
     val rows = (1 to 20).map(i => (i.toLong, i % 2, if (i % 2 == 0) 10.0 + (i % 5) * 0.1 else 20.0 + (i % 5) * 0.1)) :+
