@@ -131,26 +131,49 @@ object Anomaly {
   def changepoints(df: DataFrame, column: String, partitionBy: Seq[String],
                    orderBy: Seq[Column], window: Int = 20,
                    threshold: Double = 3.0, scale: Int = 6): DataFrame = {
+    // Frame moments come from DIFFERENCES OF CUMULATIVE decimal sums
+    // (three O(rows) running aggregates + O(1) lag/leads), not six
+    // sliding-frame aggregates: Spark's WindowExec re-aggregates the
+    // whole frame per row for bounded frames (sum has no retraction),
+    // an O(rows x window) decimal cost that made this the slowest
+    // bench query. Decimal subtraction is exact, so each derived frame
+    // sum is bit-identical to the direct frame aggregate.
     val base = Window.partitionBy(partitionBy.map(col): _*).orderBy(orderBy: _*)
-    val wl = base.rowsBetween(-window, -1)
-    val wr = base.rowsBetween(Window.currentRow, window - 1)
+    val wc = base.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val x = col(column)
-    def cnt(w: org.apache.spark.sql.expressions.WindowSpec) = count(x).over(w).cast("double")
-    def s1(w: org.apache.spark.sql.expressions.WindowSpec) =
-      sum(x.cast(DecimalType(28, scale))).over(w).cast("double")
-    def s2(w: org.apache.spark.sql.expressions.WindowSpec) =
-      sum((x * x).cast(DecimalType(28, scale))).over(w).cast("double")
-    val (nl, sl, s2l) = (cnt(wl), s1(wl), s2(wl))
-    val (nr, sr, s2r) = (cnt(wr), s1(wr), s2(wr))
+    val dec = DecimalType(28, scale)
+    val stats = df
+      .withColumn("__cn", count(x).over(wc))
+      .withColumn("__cs", sum(x.cast(dec)).over(wc))
+      .withColumn("__cs2", sum((x * x).cast(dec)).over(wc))
+    def diff(c: String, back: Int, fwd: Int): Column = {
+      // frame [row-back, row+fwd] sum = cum(row+fwd) - cum(row-back-1);
+      // a lag past the partition start is the empty prefix (zero), a
+      // lead past the end leaves null so clipped frames filter out
+      val hi = if (fwd == 0) col(c) else lead(col(c), fwd).over(base)
+      val lo = coalesce(lag(col(c), back + 1).over(base), lit(0).cast(dec))
+      hi - lo
+    }
+    // left frame [i-window, i-1], right frame [i, i+window-1]
+    val nl = (coalesce(lag(col("__cn"), 1).over(base), lit(0L)) -
+      coalesce(lag(col("__cn"), window + 1).over(base), lit(0L))).cast("double")
+    val nr = (lead(col("__cn"), window - 1).over(base) -
+      coalesce(lag(col("__cn"), 1).over(base), lit(0L))).cast("double")
+    val sl = (coalesce(lag(col("__cs"), 1).over(base), lit(0).cast(dec)) -
+      coalesce(lag(col("__cs"), window + 1).over(base), lit(0).cast(dec))).cast("double")
+    val s2l = (coalesce(lag(col("__cs2"), 1).over(base), lit(0).cast(dec)) -
+      coalesce(lag(col("__cs2"), window + 1).over(base), lit(0).cast(dec))).cast("double")
+    val sr = diff("__cs", 0, window - 1).cast("double")
+    val s2r = diff("__cs2", 0, window - 1).cast("double")
     val pooled = (greatest(lit(0.0), s2l - sl * sl / nl) +
       greatest(lit(0.0), s2r - sr * sr / nr)) / (nl + nr - lit(2.0))
     val denom = sqrt(pooled * (lit(1.0) / nl + lit(1.0) / nr))
-    df.withColumn("__nl", nl).withColumn("__nr", nr)
+    stats.withColumn("__nl", nl).withColumn("__nr", nr)
       .withColumn("score",
         round(when(denom =!= 0.0, abs(sr / nr - sl / nl) / denom), 6))
       .filter(col("__nl") === window && col("__nr") === window &&
         col("score") > threshold)
-      .drop("__nl", "__nr")
+      .drop("__nl", "__nr", "__cn", "__cs", "__cs2")
   }
 
   /** Ensemble vote — ref anomaly_manager.py:335-360: a row is anomalous
