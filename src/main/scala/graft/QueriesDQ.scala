@@ -101,6 +101,15 @@ object QueriesDQ {
       DQ.score(DQ.check(t(s, dir, "orders"), scoreRules))
     }),
 
+    // check_date_format via try_to_timestamp — ref dq_rule_examples.py:537
+    "q_dq_dateformat" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+        .withColumn("od_str", date_format(col("o_orderdate"), "MM/dd/yyyy"))
+      DQ.check(o, Seq(
+        DQ.DateFormat("df_ok", "od_str", "MM/dd/yyyy"),
+        DQ.DateFormat("df_iso", "od_str", "yyyy-MM-dd")))
+    }),
+
     // check_data_type via try_cast — ref dq_rule_examples.py:333
     "q_dq_types" -> ((s, dir) => {
       DQ.check(t(s, dir, "orders"), Seq(
@@ -252,6 +261,16 @@ object QueriesDQ {
     "q_dq_corr" ->
       Seq(corrOracle("lineitem", "l_quantity", "l_extendedprice"),
           corrOracle("customer", "c_nationkey", "c_acctbal")).mkString("\nUNION ALL\n"),
+
+    "q_dq_dateformat" -> {
+      val derived = "(SELECT strftime(o_orderdate, '%m/%d/%Y') AS od_str FROM orders)"
+      Seq(
+        checkOracle(derived, "df_ok", "validity", "od_str",
+          "od_str IS NOT NULL AND try_strptime(od_str, '%m/%d/%Y') IS NULL"),
+        checkOracle(derived, "df_iso", "validity", "od_str",
+          "od_str IS NOT NULL AND try_strptime(od_str, '%Y-%m-%d') IS NULL")
+      ).mkString("\nUNION ALL\n")
+    },
 
     "q_dq_types" ->
       Seq(

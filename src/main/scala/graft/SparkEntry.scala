@@ -101,6 +101,16 @@ object SparkEntry {
         .agg(Det.sumAt(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 4).as("revenue"))
     }),
 
+    // skew-resistant salted join: bit-identical to the plain join
+    // (salting only re-partitions the hot key's rows; the oracle IS the
+    // plain join, proving equivalence at the result level)
+    "q_join_salted" -> ((s, dir) => {
+      val ord = Ops.renameColumns(t(s, dir, "orders"), Map("o_orderkey" -> "l_orderkey"))
+      val j = Ops.saltedJoin(t(s, dir, "lineitem"), ord, "l_orderkey", buckets = 8)
+      j.groupBy(col("o_orderpriority")).agg(
+        count(lit(1)).as("n"), Det.sumAt(col("l_quantity"), 2).as("sum_qty"))
+    }),
+
     // -- pivot ----------------------------------------------------------
     "q_pivot" -> ((s, dir) => {
       Ops.pivot(t(s, dir, "lineitem"), Seq("l_returnflag"), "l_linestatus",
@@ -258,6 +268,12 @@ object SparkEntry {
          |JOIN region   ON r_regionkey = n_regionkey
          |WHERE r_name = 'ASIA'
          |GROUP BY n_name""".stripMargin,
+
+    "q_join_salted" ->
+      s"""SELECT o_orderpriority, COUNT(*) AS n,
+         |${Det.sqlSumAt("l_quantity", 2)} AS sum_qty
+         |FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+         |GROUP BY o_orderpriority""".stripMargin,
 
     "q_pivot" ->
       """SELECT l_returnflag,
