@@ -45,7 +45,10 @@ object QueriesIncremental {
       val o = t(s, dir, "orders")
       val corr = o.filter(pmod(col("o_orderkey"), lit(100)) === 0)
         .withColumn("o_totalprice", col("o_totalprice") + 1000.0)
-      val phantom = corr.withColumn("o_orderkey", col("o_orderkey") + lit(10000000L))
+      // phantom keys map to strictly negative values (-k - 1) so they
+      // can never collide with a real key at any scale factor (a fixed
+      // offset would at SF >= 2, and bare negation maps key 0 to itself)
+      val phantom = corr.withColumn("o_orderkey", -col("o_orderkey") - 1)
       Incremental.applyCorrections(o, corr.unionByName(phantom), Seq("o_orderkey"))
     }),
 

@@ -203,7 +203,14 @@ object Dedup {
                               blockCols: Seq[String], n: Int = 1,
                               threshold: Double = 0.8): DataFrame = {
     require(threshold > 0, "prefix filtering needs a positive threshold")
-    val sh = df.select(col(idCol) +: blockCols.map(col) :+
+    // null block values never match an equi-join, so the blocked and
+    // inverted-index strategies silently drop those rows; filter them
+    // here too or xxhash64 (which skips null inputs) would collapse
+    // them into one shared bucket and break strategy equivalence
+    val nonNullBlocks =
+      if (blockCols.isEmpty) df
+      else df.filter(blockCols.map(col(_).isNotNull).reduce(_ && _))
+    val sh = nonNullBlocks.select(col(idCol) +: blockCols.map(col) :+
         array_sort(transform(wordShingles(col(textCol), n), s => xxhash64(s))).as("__sh"): _*)
       .repartition(shufflePartitions(df), col(idCol)) // barrier + verify-join key; explicit count (see ngramJaccardPairsBlocked)
     val prefixLen = (size(col("__sh")) - ceil(size(col("__sh")) * lit(threshold)) + 1).cast("int")
@@ -213,6 +220,10 @@ object Dedup {
         explode(slice(col("__sh"), lit(1), prefixLen)).as("__t"),
         blockKey.as("__blk"))
       .select(col(idCol), col("__sz"), xxhash64(col("__blk"), col("__t")).as("__h"))
+      // explicit partition count on the candidate-join key: the postings
+      // frame is small by bytes and AQE would coalesce the self-join
+      // input to one partition (see ngramJaccardPairsBlocked)
+      .repartition(shufflePartitions(df), col("__h"))
     val cand = post.as("x").join(post.as("y"),
         col("x.__h") === col("y.__h") &&
           col(s"x.$idCol") < col(s"y.$idCol") &&

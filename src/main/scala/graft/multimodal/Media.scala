@@ -46,7 +46,9 @@ object Media {
     else if (bytes.length >= 10 && bytes(0) == 'G' && bytes(1) == 'I' && bytes(2) == 'F')
       Some(("gif", le16(6), le16(8)))
     else if (bytes.length >= 26 && bytes(0) == 'B' && bytes(1) == 'M')
-      Some(("bmp", le32(18), le32(22)))
+      // biHeight is SIGNED: negative means top-down row order, the
+      // magnitude is still the pixel height
+      Some(("bmp", le32(18), math.abs(le32(22))))
     else if (bytes.length >= 4 && u8(0) == 0xFF && u8(1) == 0xD8) {
       // JPEG: walk marker segments to the first frame header (SOFn)
       var i = 2

@@ -140,7 +140,12 @@ object IsolationForest {
     */
   def score(df: DataFrame, cols: Seq[String], forest: Forest,
             alias: String = "iforest_score"): DataFrame = {
-    val f = udf((xs: Seq[Double]) => scorePoint(forest, xs))
+    // rows with null features score null (fit() drops them too) — an
+    // anomaly detector's input is dirty by definition, so a null must
+    // not crash the scoring pass
+    val f = udf((xs: Seq[java.lang.Double]) =>
+      if (xs == null || xs.exists(_ == null)) null
+      else java.lang.Double.valueOf(scorePoint(forest, xs.map(_.doubleValue()))))
     df.withColumn(alias, round(f(array(cols.map(c => col(c).cast("double")): _*)), 6))
   }
 

@@ -105,7 +105,11 @@ final case class RestSource(
 
   /** Distributed read of pages 1..numPages: URLs are spread across
     * tasks, each fetch's JSON payload is cut to the record array
-    * (`dataField`) and parsed against the DECLARED `schema`.
+    * (`dataField`) and parsed against the DECLARED `schema`. A page
+    * whose payload lacks the record array (misconfigured `dataField`,
+    * an HTTP-200 error envelope, malformed JSON) FAILS the read rather
+    * than silently contributing zero rows — an HTTP-level error
+    * retries/fails loudly, so a payload-level one must too.
     */
   def read(spark: SparkSession, schema: StructType, numPages: Int): DataFrame = {
     require(numPages >= 1, "numPages >= 1")
@@ -119,7 +123,12 @@ final case class RestSource(
       if (dataField.isEmpty) col("__body")
       else get_json_object(col("__body"), s"$$.$dataField")
     bodies
-      .select(explode(from_json(arrJson, ArrayType(schema))).as("__rec"))
+      .withColumn("__arr", from_json(arrJson, ArrayType(schema)))
+      .withColumn("__arr",
+        when(col("__arr").isNull, raise_error(concat(
+          lit(s"RestSource: page payload has no parsable '$dataField' record array: "),
+          substring(col("__body"), 1, 200)))).otherwise(col("__arr")))
+      .select(explode(col("__arr")).as("__rec"))
       .select(col("__rec.*"))
   }
 }

@@ -82,6 +82,15 @@ class AnomalySpec extends SparkSpec {
     val hits = IsolationForest.detect(pts, Seq("x", "y"), threshold = 0.6,
       numTrees = 25, sampleSize = 32).select("id").as[Long].collect()
     assert(hits.contains(99L))
+    // a null feature scores null instead of crashing the pass, and
+    // detect() drops the row (null > threshold is not true)
+    val dirty = pts.unionByName(
+      Seq((100L, Option.empty[Double], Option(1.0))).toDF("id", "x", "y"))
+    val ds = IsolationForest.score(dirty, Seq("x", "y"), forest)
+      .filter(col("id") === 100L).select("iforest_score").collect()
+    assert(ds.length == 1 && ds.head.isNullAt(0))
+    assert(!IsolationForest.detect(dirty, Seq("x", "y"), threshold = 0.0,
+      numTrees = 25, sampleSize = 32).select("id").as[Long].collect().contains(100L))
   }
 
   test("LOF scores the planted outlier far above clustered inliers") {

@@ -101,6 +101,16 @@ class RestSourceSpec extends SparkSpec with org.scalatest.BeforeAndAfterAll {
     assert((System.nanoTime() - t0) / 1e9 < 5.0)
   }
 
+  test("a page without the declared record array fails loudly, never silently drops") {
+    // real endpoint, wrong dataField: the 200 payload has "data", not "items"
+    val src = RestSource(base, "/api/items", pagination = "page",
+      pageSize = 2, dataField = "items")
+    val e = intercept[Exception](src.read(spark, schema, numPages = 1).collect())
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(e).exists(_.contains("RestSource")), s"got: ${messages(e)}")
+  }
+
   test("auth header construction covers basic, api_key and none") {
     val basic = RestSource(base, "x", authType = "basic",
       authConfig = Map("username" -> "u", "password" -> "p"))

@@ -228,6 +228,7 @@ class StreamsMediaSpec extends SparkSpec {
     assert(Media.parseImageDims(gif(320, 200)).contains(("gif", 320, 200)))
     assert(Media.parseImageDims(jpeg(1920, 1080)).contains(("jpeg", 1920, 1080)))
     assert(Media.parseImageDims(bmp(64, 32)).contains(("bmp", 64, 32)))
+    assert(Media.parseImageDims(bmp(64, -32)).contains(("bmp", 64, 32))) // top-down BMP: |biHeight|
     assert(Media.parseImageDims("not an image".getBytes).isEmpty)
     assert(Media.parseImageDims(null).isEmpty)
     // and through the DataFrame surface: real dims beat the stub

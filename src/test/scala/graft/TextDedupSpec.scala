@@ -146,6 +146,20 @@ class TextDedupSpec extends SparkSpec {
     assert(capped == reference) // exact routing: no recall loss either side of the cap
   }
 
+  test("null block values drop identically on every jaccard strategy") {
+    val df = Seq(
+      (1L, "a b c d", "g1"), (2L, "a b c d", "g1"),
+      (3L, "x y z w", null.asInstanceOf[String]),
+      (4L, "x y z w", null.asInstanceOf[String])).toDF("doc_id", "text", "grp")
+    def s(d: org.apache.spark.sql.DataFrame) =
+      d.select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val blocked = s(Dedup.ngramJaccardPairsBlocked(df, "doc_id", "text", Seq("grp"), 1, 0.8))
+    val prefix = s(Dedup.ngramJaccardPairsPrefix(df, "doc_id", "text", Seq("grp"), 1, 0.8))
+    val auto = s(Dedup.ngramJaccardPairsAuto(df, "doc_id", "text", Seq("grp"), 1, 0.8))
+    // equi-join semantics: NULL never matches, so (3,4) must not pair anywhere
+    assert(blocked == Set((1L, 2L)) && prefix == blocked && auto == blocked)
+  }
+
   test("wordShingles keeps array_join-over-short-slice semantics for docs shorter than n") {
     val df = Seq("a b", "a", "a b c d").toDF("t")
     val r = df.select(Dedup.wordShingles(col("t"), 3)).as[Seq[String]].collect()
