@@ -65,6 +65,13 @@ object QueriesAnomaly {
         .select("event_id", "value", "iforest_score")
     }),
 
+    // AR(1)-residual outliers — ref anomaly_manager.py:238
+    "q_anom_ar" -> ((s, dir) => {
+      Anomaly.arResidual(ev(s, dir), "value", Seq("user_id"),
+          Seq(col("ts").asc, col("event_id").asc), threshold = 3.0)
+        .select("event_id", "user_id", "value", "z")
+    }),
+
     // local outlier factor over embeddings — ref anomaly_manager.py:214
     // (rows-only: the kNN/lrd chain is not reasonably SQL-expressible;
     // deterministic, AnomalySpec pins semantics on planted data)
@@ -161,6 +168,34 @@ object QueriesAnomaly {
          |             ${Det.sqlStddevAt("value", 6)} AS sd FROM k GROUP BY season)
          |SELECT k.event_id, k.season, k.value, $zExpr AS z
          |FROM k JOIN s USING (season) WHERE $zExpr > 2.5""".stripMargin,
+
+    "q_anom_ar" -> {
+      val sx = Det.sqlSumAt("value", 6)
+      val sxl = Det.sqlSumAt("xl", 6)
+      val sxx = Det.sqlSumAt("(value)*(value)", 6)
+      val sxy = Det.sqlSumAt("(value)*(xl)", 6)
+      val sxlxl = Det.sqlSumAt("(xl)*(xl)", 6)
+      s"""WITH l AS (
+         |  SELECT event_id, user_id, value,
+         |    LAG(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS xl
+         |  FROM events),
+         |f AS (SELECT * FROM l WHERE xl IS NOT NULL),
+         |s AS (SELECT user_id, CAST(COUNT(*) AS DOUBLE) AS n,
+         |  $sx AS sx, $sxl AS sxl, $sxx AS sxx, $sxy AS sxy, $sxlxl AS sxlxl
+         |  FROM f GROUP BY user_id),
+         |p AS (SELECT *, CASE WHEN (n * sxlxl - sxl * sxl) <> 0.0
+         |  THEN (n * sxy - sx * sxl) / (n * sxlxl - sxl * sxl) END AS phi FROM s),
+         |q AS (SELECT *, (sx - phi * sxl) / n AS c FROM p),
+         |r AS (SELECT *, GREATEST(0.0, sxx - 2.0 * c * sx - 2.0 * phi * sxy
+         |  + c * c * n + 2.0 * c * phi * sxl + phi * phi * sxlxl) AS ssr FROM q),
+         |t AS (SELECT user_id, phi, c, SQRT(ssr / (n - 1.0)) AS std FROM r)
+         |SELECT f.event_id, f.user_id, f.value,
+         |  ROUND(CASE WHEN t.std <> 0.0
+         |    THEN ABS(f.value - t.c - t.phi * f.xl) / t.std END, 6) AS z
+         |FROM f JOIN t USING (user_id)
+         |WHERE ROUND(CASE WHEN t.std <> 0.0
+         |  THEN ABS(f.value - t.c - t.phi * f.xl) / t.std END, 6) > 3.0""".stripMargin
+    },
 
     "q_anom_changepoint" -> {
       val pooled = "((GREATEST(0.0, s2l - sl*sl/nl) + GREATEST(0.0, s2r - sr*sr/nr)) / (nl + nr - 2.0))"

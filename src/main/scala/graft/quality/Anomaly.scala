@@ -176,6 +176,54 @@ object Anomaly {
       .drop("__nl", "__nr", "__cn", "__cs", "__cs2")
   }
 
+  /** AR(1)-residual outliers — ref anomaly_manager.py:238
+    * arima_detection (the reference wraps statsmodels ARIMA; the
+    * engine-native stand-in fits the AR(1) model x_t = c + phi*x_{t-1}
+    * per series by least squares, closed-form from decimal-exact
+    * moments — same role seasonalResidual plays for STL).
+    *
+    * One aggregation computes all five moments per series (map-side
+    * partial), phi/intercept/residual-variance derive algebraically
+    * from them (SSR expands into the same moments — no second pass),
+    * and the stats frame joins back broadcast. Rows whose residual
+    * z-score exceeds `threshold` flag; each series' first row has no
+    * lag and is excluded (as in the reference's differenced models).
+    */
+  def arResidual(df: DataFrame, column: String, partitionBy: Seq[String],
+                 orderBy: Seq[Column], threshold: Double = 3.0,
+                 scale: Int = 6): DataFrame = {
+    val w = Window.partitionBy(partitionBy.map(col): _*).orderBy(orderBy: _*)
+    val x = col(column)
+    val lagged = df.withColumn("__xl", lag(x, 1).over(w)).filter(col("__xl").isNotNull)
+    val stats = lagged.groupBy(partitionBy.map(col): _*).agg(
+      count(lit(1)).cast("double").as("__n"),
+      Det.sumAt(x, scale).as("__sx"),
+      Det.sumAt(col("__xl"), scale).as("__sxl"),
+      Det.sumAt(x * x, scale).as("__sxx"),
+      Det.sumAt(x * col("__xl"), scale).as("__sxy"),
+      Det.sumAt(col("__xl") * col("__xl"), scale).as("__sxlxl"))
+    val phiDen = col("__n") * col("__sxlxl") - col("__sxl") * col("__sxl")
+    val fitted = stats
+      .withColumn("__phi", when(phiDen =!= 0.0,
+        (col("__n") * col("__sxy") - col("__sx") * col("__sxl")) / phiDen))
+      .withColumn("__c", (col("__sx") - col("__phi") * col("__sxl")) / col("__n"))
+      // SSR expands into the moments already in hand — exact algebra,
+      // keep this operand ORDER mirrored in the SQL oracle
+      .withColumn("__ssr", greatest(lit(0.0),
+        col("__sxx") - lit(2.0) * col("__c") * col("__sx") -
+          lit(2.0) * col("__phi") * col("__sxy") +
+          col("__c") * col("__c") * col("__n") +
+          lit(2.0) * col("__c") * col("__phi") * col("__sxl") +
+          col("__phi") * col("__phi") * col("__sxlxl")))
+      .withColumn("__std", sqrt(col("__ssr") / (col("__n") - lit(1.0))))
+      .select(partitionBy.map(col) :+ col("__phi") :+ col("__c") :+ col("__std"): _*)
+    lagged.join(broadcast(fitted), partitionBy)
+      .withColumn("z", round(when(col("__std") =!= 0.0,
+        abs(x - col("__c") - col("__phi") * col("__xl")) / col("__std")), 6))
+      .filter(col("z") > threshold)
+      .drop("__xl", "__phi", "__c", "__std")
+  }
+
   /** Ensemble vote — ref anomaly_manager.py:335-360: a row is anomalous
     * when at least `minVotes` detectors flagged it. Each input frame
     * needs `keyCols`; `confCol` (per-frame confidence column) feeds the

@@ -46,6 +46,22 @@ class AnomalySpec extends SparkSpec {
     assert(hits.toSeq == Seq(99L))
   }
 
+  test("arResidual flags the shock in an AR(1) series, not the trend itself") {
+    // x_t = 0.8 x_{t-1} + small deterministic wiggle, one injected shock
+    val vals = scala.collection.mutable.ArrayBuffer(10.0)
+    (1 until 60).foreach { i =>
+      val base = 0.8 * vals(i - 1) + 2.0 + (i % 3) * 0.2
+      vals += (if (i == 40) base + 50.0 else base)
+    }
+    val series = vals.zipWithIndex.map { case (v, i) => (i.toLong, 1L, v) }
+      .toSeq.toDF("seq", "k", "v")
+    val hits = Anomaly.arResidual(series, "v", Seq("k"), Seq(col("seq").asc),
+      threshold = 3.0).select("seq").as[Long].collect()
+    assert(hits.contains(40L), s"shock row must flag; got ${hits.toSeq}")
+    // the decay row right after the shock deviates too; nothing else should
+    assert(hits.forall(h => h == 40L || h == 41L), s"got ${hits.toSeq}")
+  }
+
   test("changepoints flags a planted mean shift and stays silent on a flat series") {
     // level 10 for 40 points, then level 20: the boundary row scores highest
     val rows = (1 to 80).map(i =>
