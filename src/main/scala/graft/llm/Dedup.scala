@@ -213,7 +213,12 @@ object Dedup {
     val sh = nonNullBlocks.select(col(idCol) +: blockCols.map(col) :+
         array_sort(transform(wordShingles(col(textCol), n), s => xxhash64(s))).as("__sh"): _*)
       .repartition(shufflePartitions(df), col(idCol)) // barrier + verify-join key; explicit count (see ngramJaccardPairsBlocked)
-    val prefixLen = (size(col("__sh")) - ceil(size(col("__sh")) * lit(threshold)) + 1).cast("int")
+    // 1e-9 slack before ceil keeps candidate generation conservative at
+    // exact integer boundaries (jaccVerify, with the same slack, stays
+    // the only decider) — e.g. sz=10, t=0.8: 8.000000000000002 would
+    // otherwise ceil to 9 and shrink the prefix below the exact bound
+    val prefixLen = (size(col("__sh")) -
+      ceil(size(col("__sh")) * lit(threshold) - lit(1e-9)) + 1).cast("int")
     val blockKey = if (blockCols.isEmpty) lit(0L) else xxhash64(blockCols.map(col): _*)
     val post = sh
       .select(col(idCol), size(col("__sh")).as("__sz"),
@@ -227,9 +232,10 @@ object Dedup {
     val cand = post.as("x").join(post.as("y"),
         col("x.__h") === col("y.__h") &&
           col(s"x.$idCol") < col(s"y.$idCol") &&
-          // length filter: jacc >= t forces t <= |A|/|B| <= 1/t
-          col("y.__sz") * lit(threshold) <= col("x.__sz") &&
-          col("x.__sz") * lit(threshold) <= col("y.__sz"))
+          // length filter: jacc >= t forces t <= |A|/|B| <= 1/t; the
+          // 1e-9 slack keeps integer-boundary sizes in the candidate set
+          col("y.__sz") * lit(threshold) - lit(1e-9) <= col("x.__sz") &&
+          col("x.__sz") * lit(threshold) - lit(1e-9) <= col("y.__sz"))
       .select(col(s"x.$idCol").as("id_a"), col(s"y.$idCol").as("id_b"))
       .distinct()
     jaccVerify(

@@ -54,6 +54,9 @@ object Media {
       var i = 2
       while (i + 9 < bytes.length) {
         if (u8(i) != 0xFF) return None
+        // 0xFF fill bytes between segments are standard-legal padding:
+        // skip the run, then the next non-0xFF byte is the marker
+        while (i + 9 < bytes.length && u8(i + 1) == 0xFF) i += 1
         val marker = u8(i + 1)
         if (marker == 0x01 || (marker >= 0xD0 && marker <= 0xD9)) i += 2 // standalone
         else {

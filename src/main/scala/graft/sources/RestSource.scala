@@ -71,29 +71,38 @@ final case class RestSource(
     s"${baseUrl.stripSuffix("/")}/${endpoint.stripPrefix("/")}$sep$qs"
   }
 
-  /** One GET with retry/backoff — ref api_connector.py:137-162. Retries
+  /** One GET with retry + exponential backoff — ref
+    * api_connector.py:137-162 (`backoff_factor ** attempt`). Retries
     * IOExceptions and 5xx; 4xx fails fast (client errors don't heal).
-    * Runs executor-side.
+    * Error bodies are drained (truncated into the exception message) so
+    * the API's diagnostic isn't lost and the keep-alive connection can
+    * be reused across retries. Runs executor-side.
     */
   def fetch(url: String): String = {
     var attempt = 0
     var last: Throwable = null
     while (attempt <= maxRetries) {
-      if (attempt > 0) Thread.sleep(backoffMs.toLong * attempt)
+      if (attempt > 0) Thread.sleep(backoffMs.toLong << (attempt - 1))
       try {
         val conn = new URI(url).toURL.openConnection().asInstanceOf[HttpURLConnection]
-        try {
-          conn.setConnectTimeout(timeoutMs)
-          conn.setReadTimeout(timeoutMs)
-          (headers ++ authHeaders).foreach { case (k, v) => conn.setRequestProperty(k, v) }
-          val code = conn.getResponseCode
-          if (code >= 200 && code < 300)
-            return new String(conn.getInputStream.readAllBytes(), StandardCharsets.UTF_8)
-          else if (code >= 500) // transient server side: retry
-            last = new IOException(s"HTTP $code from $url")
+        conn.setConnectTimeout(timeoutMs)
+        conn.setReadTimeout(timeoutMs)
+        (headers ++ authHeaders).foreach { case (k, v) => conn.setRequestProperty(k, v) }
+        val code = conn.getResponseCode
+        if (code >= 200 && code < 300) {
+          val in = conn.getInputStream
+          try return new String(in.readAllBytes(), StandardCharsets.UTF_8)
+          finally in.close() // fully-read + closed streams go back to the keep-alive pool
+        } else {
+          val body = Option(conn.getErrorStream).fold("") { s =>
+            try new String(s.readAllBytes().take(500), StandardCharsets.UTF_8)
+            finally s.close()
+          }
+          val msg = s"HTTP $code from $url" + (if (body.isEmpty) "" else s": $body")
+          if (code >= 500) last = new IOException(msg) // transient server side: retry
           else // 4xx: the request itself is wrong, retrying can't heal it
-            throw new RestSource.ClientError(s"HTTP $code from $url")
-        } finally conn.disconnect()
+            throw new RestSource.ClientError(msg)
+        }
       } catch {
         case e: RestSource.ClientError => throw e
         case e: IOException            => last = e

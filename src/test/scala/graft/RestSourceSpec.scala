@@ -96,9 +96,14 @@ class RestSourceSpec extends SparkSpec with org.scalatest.BeforeAndAfterAll {
     assertThrows[Exception](src.read(spark, schema, numPages = 1).collect())
     val notFound = RestSource(base, "/api/secret", pagination = "none", maxRetries = 5)
     val t0 = System.nanoTime()
-    assertThrows[Exception](notFound.read(spark, schema, numPages = 1).collect())
+    val e404 = intercept[Exception](notFound.read(spark, schema, numPages = 1).collect())
     // fail-fast: nowhere near 5 backoff cycles
     assert((System.nanoTime() - t0) / 1e9 < 5.0)
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    // the API's error body ("no") is drained into the diagnostic
+    assert(messages(e404).exists(m => m.contains("HTTP 404") && m.contains("no")),
+      s"got: ${messages(e404)}")
   }
 
   test("a page without the declared record array fails loudly, never silently drops") {

@@ -227,6 +227,13 @@ class StreamsMediaSpec extends SparkSpec {
     assert(Media.parseImageDims(png(640, 480)).contains(("png", 640, 480)))
     assert(Media.parseImageDims(gif(320, 200)).contains(("gif", 320, 200)))
     assert(Media.parseImageDims(jpeg(1920, 1080)).contains(("jpeg", 1920, 1080)))
+    // standard-legal 0xFF fill bytes between segments must not derail the walk
+    def jpegPadded(w: Int, h: Int): Array[Byte] = {
+      val j = jpeg(w, h)
+      val (head, tail) = j.splitAt(2 + 6) // after SOI+APP0, before SOF0
+      head ++ Array.fill(3)(0xFF.toByte) ++ tail
+    }
+    assert(Media.parseImageDims(jpegPadded(800, 600)).contains(("jpeg", 800, 600)))
     assert(Media.parseImageDims(bmp(64, 32)).contains(("bmp", 64, 32)))
     assert(Media.parseImageDims(bmp(64, -32)).contains(("bmp", 64, 32))) // top-down BMP: |biHeight|
     assert(Media.parseImageDims("not an image".getBytes).isEmpty)
