@@ -16,7 +16,11 @@ object Bench {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = GraftSession.builder(s"local[$cpus]", cpus.toInt).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // SPARK_GRAFT_ONLY=q_a,q_b narrows the run for local perf iteration;
+    // the driver never sets it, so official numbers always cover all.
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").map(_.trim).toSet)
     val names = SparkEntry.queries.keys.toSeq.sorted
+      .filter(n => only.forall(_.contains(n)))
 
     // Warmup: run the flagship agg once untimed to absorb JVM/codegen init.
     try SparkEntry.queries("q_agg")(spark, sfDir).count()

@@ -67,8 +67,25 @@ object DQ {
   final case class TypeCastable(id: String, column: String, targetType: String,
                                 maxViolationPct: Double = 0.0) extends Rule {
     val ruleType = "validity"; val colName = column
-    def violation: Column =
-      col(column).isNotNull && expr(s"try_cast($column AS $targetType)").isNull
+    // Failed ANSI try_cast builds a full SparkException (message + query
+    // context) PER ROW (~40µs) — a table where every value is uncastable
+    // (the common DQ case: "1-URGENT" AS INT) pays exception cost on
+    // every row. For integral/decimal targets, a codegen'd regexp first
+    // rejects strings containing characters no numeric literal can hold;
+    // the short-circuited OR means try_cast only runs on rows that parse
+    // cleanly (no exception) or are genuine edge cases (overflow).
+    // Float/double targets skip the guard: 'NaN'/'Infinity' ARE castable.
+    private val integralOrDecimal =
+      Set("tinyint", "smallint", "int", "integer", "bigint", "long")
+        .contains(targetType.toLowerCase) ||
+        targetType.toLowerCase.startsWith("decimal")
+    def violation: Column = {
+      val tryNull = expr(s"try_cast($column AS $targetType)").isNull
+      if (integralOrDecimal) {
+        val impossible = col(column).cast("string").rlike("[^0-9+\\-.eE\\s]")
+        col(column).isNotNull && (impossible || tryNull)
+      } else col(column).isNotNull && tryNull
+    }
   }
 
   /** ref dq_rule_examples.py:537 check_date_format — string must parse

@@ -80,6 +80,23 @@ class DQSpec extends SparkSpec {
     assert(res("df") == 1L) // month 13; 2024-02-29 is a real leap day
   }
 
+  test("TypeCastable regexp fast-path agrees with bare try_cast on edge cases") {
+    // the guard must only short-circuit values try_cast would ALSO
+    // reject: overflow slips past the regexp (all digits) and must be
+    // caught by the cast; whitespace padding and exponents must pass;
+    // NaN/Infinity are castable to double (guard disabled there)
+    val vals = Seq("12", " 34 ", "+5", "-6", "1e2", "2147483648", // int overflow
+      "12.5", "x9", "1-URGENT", "", " ", "NaN", "Infinity", "0x1F", null)
+    val df3 = vals.toDF("v")
+    for (target <- Seq("INT", "BIGINT", "DECIMAL(18,2)", "DOUBLE")) {
+      val guarded = DQ.check(df3, Seq(DQ.TypeCastable("g", "v", target)))
+        .select("violations").head().getLong(0)
+      val bare = df3.filter(col("v").isNotNull &&
+        expr(s"try_cast(v AS $target)").isNull).count()
+      assert(guarded == bare, s"target=$target guarded=$guarded bare=$bare")
+    }
+  }
+
   test("freshness detects future rows and lag") {
     val events = Seq("2024-01-01 10:00:00", "2024-02-05 00:00:00")
       .toDF("raw").select(col("raw").cast("timestamp").as("ts"))
