@@ -31,12 +31,14 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     baseQueries ++ QueriesDQ.queries ++ QueriesAnomaly.queries ++
       QueriesIncremental.queries ++ QueriesText.queries ++ QueriesLlm.queries ++
-      QueriesPipeline.queries ++ QueriesTime.queries ++ QueriesWindow.queries
+      QueriesPipeline.queries ++ QueriesTime.queries ++ QueriesWindow.queries ++
+      QueriesSampling.queries
 
   def oracleSql: Map[String, String] =
     baseOracleSql ++ QueriesDQ.oracleSql ++ QueriesAnomaly.oracleSql ++
       QueriesIncremental.oracleSql ++ QueriesText.oracleSql ++ QueriesLlm.oracleSql ++
-      QueriesPipeline.oracleSql ++ QueriesTime.oracleSql ++ QueriesWindow.oracleSql
+      QueriesPipeline.oracleSql ++ QueriesTime.oracleSql ++ QueriesWindow.oracleSql ++
+      QueriesSampling.oracleSql
 
   private def baseQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
 

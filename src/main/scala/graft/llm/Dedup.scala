@@ -481,4 +481,31 @@ object Dedup {
       Similarity.hyperplaneBucket(col(vecCol), planes))
     embeddingNearDup(bucketed, idCol, vecCol, "__bucket", threshold)
   }
+
+  // ---- benchmark decontamination -------------------------------------
+
+  /** Benchmark decontamination: flag corpus documents sharing any word
+    * `n`-gram with a benchmark/eval set (the standard test-set-overlap
+    * screen before training — e.g. GPT-3 appendix C, PaLM sec. 8).
+    *
+    * Scale shape: benchmark suites are tiny (10^4..10^6 grams) next to
+    * a 100 TB corpus, so the benchmark gram set is DISTINCT'd and
+    * broadcast — corpus grams stream map-side through a broadcast hash
+    * semi-probe, no corpus shuffle before the per-doc count. Output:
+    * (doc_id per `idCol`, n_shared = distinct grams hit). Docs with
+    * zero overlap don't appear (inner join) — callers anti-join to
+    * drop contaminated docs.
+    */
+  def ngramContamination(corpus: DataFrame, bench: DataFrame,
+                         idCol: String, textCol: String,
+                         n: Int = 5): DataFrame = {
+    val benchGrams = bench
+      .select(explode(wordShingles(col(textCol), n)).as("__g")).distinct()
+    val corpusGrams = corpus
+      // wordShingles is per-doc distinct already: count(*) == distinct count
+      .select(col(idCol), explode(wordShingles(col(textCol), n)).as("__g"))
+    corpusGrams.join(broadcast(benchGrams), "__g")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_shared"))
+  }
 }

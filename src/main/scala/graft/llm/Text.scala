@@ -150,4 +150,30 @@ object Text {
     array_min(transform(
       sequence(lit(1), greatest(lit(1), length(c) - lit(k - 1))),
       i => md5(c.substr(i, lit(k)))))
+
+  // ---- PII redaction -------------------------------------------------
+  // Training corpora must scrub personal identifiers before the data
+  // reaches a model. Patterns are RE2-compatible (no lookaround, no
+  // backreferences) so Java regex (Spark) and RE2 (DuckDB/Go engines)
+  // agree byte-for-byte — oracle-checkable redaction. Order matters:
+  // phone runs before SSN so 415-555-0123 isn't half-eaten by the
+  // shorter SSN shape; the list is applied strictly in sequence.
+
+  val piiPatterns: Seq[(String, String, String)] = Seq(
+    ("email", "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "[EMAIL]"),
+    ("phone", "\\b\\d{3}[-.]\\d{3}[-.]\\d{4}\\b", "[PHONE]"),
+    ("ssn", "\\b\\d{3}-\\d{2}-\\d{4}\\b", "[SSN]"),
+    ("ipv4", "\\b(\\d{1,3}\\.){3}\\d{1,3}\\b", "[IP]"))
+
+  /** Replace every PII occurrence with its category token. One
+    * codegen'd regexp_replace chain, map-side, no shuffle.
+    */
+  def redactPii(c: Column): Column =
+    piiPatterns.foldLeft(c) { case (acc, (_, pat, token)) =>
+      regexp_replace(acc, pat, token)
+    }
+
+  /** Count of PII hits per category, BEFORE redaction (audit metric). */
+  def piiCounts(c: Column): Seq[(String, Column)] =
+    piiPatterns.map { case (name, pat, _) => name -> regexp_count(c, lit(pat)) }
 }

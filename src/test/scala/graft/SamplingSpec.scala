@@ -1,0 +1,119 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.llm.{Dedup, Sampling, Text}
+
+class SamplingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val ids = (1L to 4000L).toDF("id")
+
+  test("hash sampling hits the target fraction and is partition-invariant") {
+    for (f <- Seq(0.1, 0.5, 0.9)) {
+      val n = Sampling.sample(ids, "id", f).count()
+      // md5 is uniform: binomial(4000, f) stays well within 5 sigma
+      val sigma = math.sqrt(4000 * f * (1 - f))
+      assert(math.abs(n - 4000 * f) < 5 * sigma, s"f=$f n=$n")
+    }
+    // the SAME rows are selected regardless of physical layout
+    val a = Sampling.sample(ids, "id", 0.3).select("id").as[Long].collect().sorted.toSeq
+    val b = Sampling.sample(ids.repartition(17), "id", 0.3)
+      .select("id").as[Long].collect().sorted.toSeq
+    assert(a == b)
+    // edge fractions
+    assert(Sampling.sample(ids, "id", 0.0).count() == 0)
+    assert(Sampling.sample(ids, "id", 1.0).count() == 4000)
+  }
+
+  test("stratified sampling applies per-stratum fractions") {
+    val df = ids.withColumn("s", when(col("id") % 2 === 0, "even").otherwise("odd"))
+    val got = Sampling.stratifiedSample(df, "id", "s", Map("even" -> 0.1), 1.0)
+    val byS = got.groupBy("s").count().as[(String, Long)].collect().toMap
+    assert(byS("odd") == 2000) // default fraction 1.0 keeps everything
+    assert(math.abs(byS("even") - 200) < 5 * math.sqrt(2000 * 0.1 * 0.9))
+  }
+
+  test("samplePerStratum returns exactly n deterministic rows per stratum") {
+    val df = ids.withColumn("s", (col("id") % 5).cast("string"))
+    val got = Sampling.samplePerStratum(df, Seq("s"), "id", n = 7)
+    val counts = got.groupBy("s").count().as[(String, Long)].collect().toMap
+    assert(counts.values.toSet == Set(7L))
+    // small stratum: capped at its size
+    val tiny = Seq(("a", 1L), ("a", 2L), ("b", 3L)).toDF("s", "id")
+    val tinyGot = Sampling.samplePerStratum(tiny, Seq("s"), "id", n = 5)
+    assert(tinyGot.count() == 3)
+    // deterministic under re-partitioning
+    val x = got.select("id").as[Long].collect().sorted.toSeq
+    val y = Sampling.samplePerStratum(df.repartition(13), Seq("s"), "id", n = 7)
+      .select("id").as[Long].collect().sorted.toSeq
+    assert(x == y)
+  }
+
+  test("splitTag is disjoint, exhaustive, and near the requested proportions") {
+    val splits = Seq("valid" -> 0.1, "test" -> 0.1, "train" -> 0.8)
+    val tagged = ids.withColumn("split", Sampling.splitTag(col("id"), splits))
+    val counts = tagged.groupBy("split").count().as[(String, Long)].collect().toMap
+    assert(counts.keySet == Set("valid", "test", "train")) // exhaustive
+    assert(counts.values.sum == 4000)                      // disjoint (one tag per row)
+    for ((name, f) <- splits)
+      assert(math.abs(counts(name) - 4000 * f) < 5 * math.sqrt(4000 * f * (1 - f)),
+        s"$name=${counts(name)}")
+  }
+
+  test("mixture replicates floor(w) + fractional subset and downsamples w<1") {
+    val df = ids.withColumn("s",
+      when(col("id") % 2 === 0, "up").otherwise("down"))
+    val got = Sampling.mixture(df, "id", "s", Map("up" -> 2.5, "down" -> 0.25))
+    val byS = got.groupBy("s").count().as[(String, Long)].collect().toMap
+    assert(math.abs(byS("up") - 2000 * 2.5) < 5 * math.sqrt(2000 * 0.5 * 0.5))
+    assert(math.abs(byS("down") - 2000 * 0.25) < 5 * math.sqrt(2000 * 0.25 * 0.75))
+    // replicated rows carry distinct copy_idx 1..k
+    val copies = got.filter(col("s") === "up").groupBy("id")
+      .agg(collect_set("copy_idx").as("c"), count(lit(1)).as("n"))
+    assert(copies.filter(size(col("c")) =!= col("n")).count() == 0)
+    // weight 0 drops the stratum entirely
+    assert(Sampling.mixture(df, "id", "s", Map("up" -> 0.0))
+      .filter(col("s") === "up").count() == 0)
+  }
+
+  test("ngramContamination flags exactly the docs sharing a benchmark n-gram") {
+    val bench = Seq((100L, "the quick brown fox jumps over dogs")).toDF("doc_id", "text")
+    val corpus = Seq(
+      (1L, "prefix words the quick brown fox jumps here"), // shares 5-grams
+      (2L, "completely different content with no overlap at all"),
+      (3L, "quick brown fox jumps over and more text")      // shares one 5-gram
+    ).toDF("doc_id", "text")
+    val got = Dedup.ngramContamination(corpus, bench, "doc_id", "text", n = 5)
+      .as[(Long, Long)].collect().toMap
+    assert(got.keySet == Set(1L, 3L))
+    // shared-gram counts verified against an independent Scala computation
+    def grams(t: String) =
+      t.split("\\s+").sliding(5).map(_.mkString(" ")).toSet
+    val bg = grams("the quick brown fox jumps over dogs")
+    for ((id, txt) <- Seq(1L -> "prefix words the quick brown fox jumps here",
+                          3L -> "quick brown fox jumps over and more text"))
+      assert(got(id) == grams(txt).intersect(bg).size.toLong, s"doc $id")
+  }
+
+  test("redactPii scrubs every category and piiCounts audits them") {
+    val df = Seq(
+      "reach me at jane.doe+x@corp.example.org or 415-555-0123",
+      "ssn 123-45-6789 ip 192.168.1.254 done",
+      "nothing sensitive here").toDF("t")
+    val cleaned = df.select(Text.redactPii(col("t"))).as[String].collect()
+    assert(cleaned(0) == "reach me at [EMAIL] or [PHONE]")
+    assert(cleaned(1) == "ssn [SSN] ip [IP] done")
+    assert(cleaned(2) == "nothing sensitive here")
+    val counts = df.select(Text.piiCounts(col("t")).map { case (n, c) => c.as(n) }: _*)
+      .collect()
+    assert(counts(0).getInt(0) == 1 && counts(0).getInt(1) == 1) // email, phone
+    assert(counts(1).getInt(2) == 1 && counts(1).getInt(3) == 1) // ssn, ipv4
+  }
+
+  test("cutoffHex is monotone and pins the endpoints") {
+    assert(Sampling.cutoffHex(0.0) == "00000000")
+    assert(Sampling.cutoffHex(1.0) == "ffffffff")
+    val cuts = (0 to 100).map(i => Sampling.cutoffHex(i / 100.0))
+    assert(cuts == cuts.sorted)
+  }
+}
