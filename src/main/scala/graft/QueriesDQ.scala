@@ -122,6 +122,20 @@ object QueriesDQ {
       DQ.distribution(t(s, dir, "lineitem"), "l_quantity",
         edges = Seq(1, 11, 21, 31, 41, 51),
         expectedProbs = Seq(0.2, 0.2, 0.2, 0.2, 0.2), critical = 100.0)
+    }),
+
+    // exact quantile profile (oracle parity; DQSpec bounds the approx
+    // variant against this one)
+    "q_dq_quantiles" -> ((s, dir) => {
+      DQ.quantileProfile(t(s, dir, "lineitem"),
+        Seq("l_quantity", "l_extendedprice"), approx = false)
+    }),
+
+    // the 100 TB path: Greenwald-Khanna sketches, one combinable pass —
+    // rows-only (sketch outputs are engine-specific by construction)
+    "q_dq_quantiles_approx" -> ((s, dir) => {
+      DQ.quantileProfile(t(s, dir, "lineitem"),
+        Seq("l_quantity", "l_extendedprice"), approx = true)
     })
   )
 
@@ -291,6 +305,17 @@ object QueriesDQ {
       s"""WITH b AS (SELECT $buckets FROM lineitem)
          |SELECT 'l_quantity' AS colname, CAST($nD AS BIGINT) AS n,
          |$chi2 AS chi2, (($chi2) <= 100.0) AS passed FROM b""".stripMargin
+    },
+
+    "q_dq_quantiles" -> {
+      def side(c: String) =
+        s"""SELECT '$c' AS colname,
+           |CAST(quantile_cont($c, 0.25) AS DOUBLE) AS p25,
+           |CAST(quantile_cont($c, 0.50) AS DOUBLE) AS p50,
+           |CAST(quantile_cont($c, 0.75) AS DOUBLE) AS p75,
+           |CAST(quantile_cont($c, 0.95) AS DOUBLE) AS p95
+           |FROM lineitem""".stripMargin
+      side("l_quantity") + "\nUNION ALL\n" + side("l_extendedprice")
     },
 
     "q_dq_score" -> {

@@ -72,6 +72,17 @@ object QueriesSampling {
         "doc_id", "text", n = 5)
     }),
 
+    // line-level boilerplate removal: docs are framed with a per-source
+    // header and a global footer on BOTH sides; lines occurring in >= 2
+    // distinct docs (headers, footers, duplicated bodies) are dropped,
+    // survivors keep their original order
+    "q_corpus_linededup" -> ((s, dir) => {
+      val framed = t(s, dir, "documents").select(col("doc_id"),
+        concat(lit("== "), col("source"), lit(" ==\n"), col("text"),
+          lit("\n-- footer --")).as("t"))
+      Dedup.dropBoilerplateLines(framed, "doc_id", "t", minDocs = 2)
+    }),
+
     // PII redaction: the corpus text is salted with deterministic
     // doc_id-derived PII (email/phone/SSN/IP) on BOTH sides so the
     // oracle actually exercises every replacement, then scrubbed
@@ -143,6 +154,22 @@ object QueriesSampling {
         |FROM grams g JOIN bench b USING (g)
         |WHERE g.doc_id % 97 <> 0
         |GROUP BY g.doc_id""".stripMargin,
+
+    "q_corpus_linededup" ->
+      """WITH base AS (
+        |  SELECT doc_id,
+        |         '== ' || source || ' ==' || chr(10) || text || chr(10) || '-- footer --' AS t
+        |  FROM documents),
+        |sp AS (SELECT doc_id, string_split(t, chr(10)) AS w FROM base),
+        |pos AS (SELECT doc_id, w, unnest(generate_series(1, len(w))) AS i FROM sp),
+        |lines AS (SELECT doc_id, i, w[i] AS line FROM pos),
+        |freq AS (SELECT line, COUNT(DISTINCT doc_id) AS docs FROM lines GROUP BY 1)
+        |SELECT l.doc_id,
+        |  COALESCE(string_agg(CASE WHEN f.docs < 2 THEN l.line END, chr(10) ORDER BY l.i), '') AS clean,
+        |  CAST(COUNT(CASE WHEN f.docs < 2 THEN 1 END) AS INTEGER) AS n_kept,
+        |  CAST(COUNT(CASE WHEN f.docs >= 2 THEN 1 END) AS INTEGER) AS n_dropped
+        |FROM lines l JOIN freq f USING (line)
+        |GROUP BY l.doc_id""".stripMargin,
 
     "q_text_redact" -> {
       // single-line on purpose: this fragment is embedded in a

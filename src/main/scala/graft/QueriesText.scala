@@ -60,6 +60,17 @@ object QueriesText {
         Text.langId(c).as("lang_guess"))
     }),
 
+    // normalization: the text is deliberately dirtied (tabs, case,
+    // trailing newline padding) identically on both sides, then
+    // canonicalized — control-strip + whitespace-collapse + trim + lower
+    "q_text_normalize" -> ((s, dir) => {
+      val messy = concat(lit("  \t"), upper(col("text")), lit("\nEND  "))
+      docs(s, dir).select(
+        col("doc_id"),
+        Text.normalize(messy).as("norm"),
+        Text.tokenCount(Text.normalize(messy)).as("n_tokens"))
+    }),
+
     "q_text_fingerprint" -> ((s, dir) => {
       docs(s, dir).select(
         col("doc_id"),
@@ -131,6 +142,15 @@ object QueriesText {
          |CASE WHEN ${reCount("text", "[\\x{4e00}-\\x{9fff}]")} > 0 THEN 'zh'
          |     $cases ELSE 'und' END AS lang_guess
          |FROM (SELECT doc_id, text, $g AS __g FROM documents)""".stripMargin
+    },
+
+    "q_text_normalize" -> {
+      val messy = "'  ' || chr(9) || upper(text) || chr(10) || 'END  '"
+      val norm = "lower(trim(regexp_replace(regexp_replace(" + messy +
+        ", '[\\x00-\\x1f\\x7f]', ' ', 'g'), '\\s+', ' ', 'g')))"
+      s"""SELECT doc_id, $norm AS norm,
+         |${reCount(norm, "\\S+")} AS n_tokens
+         |FROM documents""".stripMargin
     },
 
     "q_text_fingerprint" ->

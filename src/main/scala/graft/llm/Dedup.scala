@@ -508,4 +508,39 @@ object Dedup {
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_shared"))
   }
+
+  // ---- line-level boilerplate removal --------------------------------
+
+  /** Corpus-wide line deduplication: drop every line that occurs in at
+    * least `minDocs` DISTINCT documents (headers, footers, nav chrome,
+    * cookie banners — the C4/RefinedWeb line-dedup screen), keeping
+    * each survivor line in its original position.
+    *
+    * Scale shape: lines explode map-side; the global per-line document
+    * frequency is one hash aggregation keyed by the line (partial
+    * map-side combine does the heavy lifting — a boilerplate line
+    * collapses to one row per upstream partition before the shuffle).
+    * The count frame joins back on the line key — big-big on purpose
+    * (both sides are corpus-lines-sized; this is the same honest
+    * shuffle as exact dedup), then one groupBy(doc) rebuilds documents.
+    * Output: (idCol, clean, n_kept, n_dropped).
+    */
+  def dropBoilerplateLines(df: DataFrame, idCol: String, textCol: String,
+                           minDocs: Int = 2): DataFrame = {
+    require(minDocs >= 2, "minDocs < 2 would drop every line")
+    val lines = df.select(col(idCol),
+      posexplode(split(col(textCol), "\n")).as(Seq("__pos", "__line")))
+    val freq = lines.select(col(idCol), col("__line")).distinct()
+      .groupBy("__line").agg(count(lit(1)).as("__docs"))
+    lines.join(freq, "__line")
+      .groupBy(col(idCol))
+      .agg(
+        concat_ws("\n",
+          transform(
+            array_sort(collect_list(
+              when(col("__docs") < minDocs, struct(col("__pos"), col("__line"))))),
+            s => s.getField("__line"))).as("clean"),
+        count(when(col("__docs") < minDocs, 1)).cast("int").as("n_kept"),
+        count(when(col("__docs") >= minDocs, 1)).cast("int").as("n_dropped"))
+  }
 }

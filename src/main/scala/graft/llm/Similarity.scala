@@ -177,4 +177,33 @@ object Similarity {
       .select(col(queryId).as("query_id"), col(corpusId).as("neighbor_id"),
         col("sim"), col("rnk").cast("long").as("rnk"))
   }
+
+  // ---- int8 scalar quantization --------------------------------------
+
+  /** Symmetric per-vector int8 quantization: `float[d]` (4d bytes)
+    * becomes `(scale: double, q: tinyint[d])` (~d bytes) — a ~4×
+    * smaller ANN working set, which at 100 TB is the difference
+    * between an in-memory corpus scan and a spilling one. Rank order
+    * of cosine similarities survives to ~1e-2 (spec-measured); use for
+    * candidate generation, re-rank survivors with the float vectors.
+    *
+    * The scale lands in its own column first so the per-element lambda
+    * captures a cheap bound reference — a captured SUBTREE would be
+    * re-evaluated per element by the interpreted HOF.
+    */
+  def withQuantizedVec(df: DataFrame, vecCol: String,
+                       outCol: String = "qvec"): DataFrame =
+    df.withColumn("__qs",
+        array_max(transform(col(vecCol), x => abs(x.cast("double")))) / lit(127.0))
+      .withColumn(outCol, struct(
+        col("__qs").as("scale"),
+        transform(col(vecCol), x =>
+          when(col("__qs") =!= 0.0, round(x.cast("double") / col("__qs")))
+            .otherwise(0.0).cast("tinyint")).as("q")))
+      .drop("__qs")
+
+  /** Reconstruct the (lossy) float vector from a quantized struct. */
+  def dequantize(qvec: Column): Column =
+    transform(qvec.getField("q"),
+      e => (e.cast("double") * qvec.getField("scale")).cast("float"))
 }

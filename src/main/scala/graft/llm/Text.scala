@@ -151,6 +151,20 @@ object Text {
       sequence(lit(1), greatest(lit(1), length(c) - lit(k - 1))),
       i => md5(c.substr(i, lit(k)))))
 
+  // ---- normalization -------------------------------------------------
+
+  /** Canonical text normalization for dedup keys and downstream
+    * tokenizers: strip ASCII control characters, collapse whitespace
+    * runs to one space, trim, optionally lowercase. Pure codegen'd
+    * regexp chain; the character class uses \\x escapes so Java regex
+    * (Spark) and RE2 engines agree.
+    */
+  def normalize(c: Column, lowercase: Boolean = true): Column = {
+    val cleaned = trim(regexp_replace(
+      regexp_replace(c, "[\\x00-\\x1f\\x7f]", " "), "\\s+", " "))
+    if (lowercase) lower(cleaned) else cleaned
+  }
+
   // ---- PII redaction -------------------------------------------------
   // Training corpora must scrub personal identifiers before the data
   // reaches a model. Patterns are RE2-compatible (no lookaround, no

@@ -225,6 +225,35 @@ object DQ {
     one.select(inline(array(rows: _*)))
   }
 
+  /** Quantile profile — one aggregation pass over all columns. At
+    * `approx = true` (the 100 TB path) each column uses the
+    * Greenwald-Khanna sketch behind `approx_percentile`: memory is
+    * O(1/accuracy · log n) per column instead of a full-column sort,
+    * and the pass stays a single map-side-combinable aggregation.
+    * Exact mode (`approx = false`) is for oracle parity at test scale.
+    * Output: (colname, one column per requested prob).
+    */
+  def quantileProfile(df: DataFrame, cols: Seq[String],
+                      probs: Seq[Double] = Seq(0.25, 0.5, 0.75, 0.95),
+                      approx: Boolean = true,
+                      accuracy: Int = 10000): DataFrame = {
+    require(cols.nonEmpty && probs.nonEmpty, "need columns and probs")
+    val probsArr = array(probs.map(lit): _*)
+    val aggExprs = cols.map { c =>
+      (if (approx) percentile_approx(col(c), probsArr, lit(accuracy))
+       else expr(s"percentile($c, array(${probs.mkString(",")}))"))
+        .as(s"__q_$c")
+    }
+    val one = df.agg(aggExprs.head, aggExprs.tail: _*)
+    val rows = cols.map { c =>
+      struct(lit(c).as("colname") +: probs.zipWithIndex.map { case (p, i) =>
+        element_at(col(s"__q_$c"), i + 1).cast("double")
+          .as(s"p${(p * 100).round}")
+      }: _*)
+    }
+    one.select(inline(array(rows: _*)))
+  }
+
   /** Primary-key / duplicate-row check in one pass — ref
     * dq_rule_examples.py: check_primary_key_unique / duplicate_rows.
     * Output: (keyname, total, distinct_cnt, dup_count, passed).

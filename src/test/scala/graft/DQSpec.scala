@@ -97,6 +97,25 @@ class DQSpec extends SparkSpec {
     }
   }
 
+  test("quantileProfile approx tracks exact within sketch accuracy") {
+    val data = (1 to 10000).map(i => (i.toDouble, (i * i).toDouble))
+      .toDF("a", "b")
+    def vals(approx: Boolean): Map[String, Seq[Double]] =
+      DQ.quantileProfile(data, Seq("a", "b"), approx = approx)
+        .collect().map(r => r.getString(0) ->
+          (1 to 4).map(r.getDouble)).toMap
+    val exact = vals(approx = false)
+    val approx = vals(approx = true)
+    // GK accuracy 10000 on 10k rows: rank error <= n/accuracy = 1 row;
+    // 'a' is uniform 1..10000 so one rank = one unit
+    for (c <- Seq("a", "b"); i <- 0 until 4) {
+      val (e, g) = (exact(c)(i), approx(c)(i))
+      val tol = if (c == "a") 2.0 else math.abs(e) * 0.001 + 2.0
+      assert(math.abs(e - g) <= tol, s"$c p$i exact=$e approx=$g")
+    }
+    assert(exact("a")(1) == 5000.5 || math.abs(exact("a")(1) - 5000.5) < 1.0)
+  }
+
   test("freshness detects future rows and lag") {
     val events = Seq("2024-01-01 10:00:00", "2024-02-05 00:00:00")
       .toDF("raw").select(col("raw").cast("timestamp").as("ts"))

@@ -95,6 +95,27 @@ class SamplingSpec extends SparkSpec {
       assert(got(id) == grams(txt).intersect(bg).size.toLong, s"doc $id")
   }
 
+  test("dropBoilerplateLines drops corpus-frequent lines, keeps order, rebuilds docs") {
+    val docs = Seq(
+      (1L, "HEADER\nunique body one\nshared paragraph\nFOOTER"),
+      (2L, "HEADER\nunique body two\nshared paragraph\nFOOTER"),
+      (3L, "HEADER\nanother distinct line\nFOOTER"),
+      (4L, "HEADER\nFOOTER")).toDF("doc_id", "text")
+    val got = Dedup.dropBoilerplateLines(docs, "doc_id", "text", minDocs = 2)
+      .as[(Long, String, Int, Int)].collect().map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got(1L) == (("unique body one", 1, 3))) // HEADER/shared/FOOTER gone
+    assert(got(2L) == (("unique body two", 1, 3)))
+    assert(got(3L) == (("another distinct line", 1, 2)))
+    assert(got(4L) == (("", 0, 2))) // everything was boilerplate
+    // order preservation with multiple survivors
+    val multi = Seq(
+      (10L, "COMMON\nfirst\nsecond\nthird"),
+      (11L, "COMMON\nother")).toDF("doc_id", "text")
+    val m = Dedup.dropBoilerplateLines(multi, "doc_id", "text")
+      .filter(col("doc_id") === 10L).select("clean").as[String].head()
+    assert(m == "first\nsecond\nthird")
+  }
+
   test("redactPii scrubs every category and piiCounts audits them") {
     val df = Seq(
       "reach me at jane.doe+x@corp.example.org or 415-555-0123",
@@ -108,6 +129,40 @@ class SamplingSpec extends SparkSpec {
       .collect()
     assert(counts(0).getInt(0) == 1 && counts(0).getInt(1) == 1) // email, phone
     assert(counts(1).getInt(2) == 1 && counts(1).getInt(3) == 1) // ssn, ipv4
+  }
+
+  test("normalize strips controls, collapses whitespace, trims, lowercases") {
+    val df = Seq("  Hello\t\tWorld x\n\n END  ", "already clean", "")
+      .toDF("t")
+    val r = df.select(Text.normalize(col("t"))).as[String].collect()
+    assert(r(0) == "hello world x end")
+    assert(r(1) == "already clean")
+    assert(r(2) == "")
+    // case-preserving mode
+    assert(df.select(Text.normalize(col("t"), lowercase = false))
+      .as[String].head() == "Hello World x END")
+  }
+
+  test("int8 quantization preserves cosine order within tolerance") {
+    import graft.llm.Similarity
+    val vecs = (1 to 200).map { i =>
+      (i.toLong, Array.tabulate(64)(d =>
+        (math.sin(i * 31 + d * 7) * (1 + (i % 5))).toFloat))
+    }.toDF("id", "vec")
+    val q = Similarity.withQuantizedVec(vecs, "vec")
+    // struct shape: scale double + tinyint array
+    assert(q.schema("qvec").dataType.asInstanceOf[org.apache.spark.sql.types.StructType]
+      .fields.map(_.name).toSeq == Seq("scale", "q"))
+    val err = q.select(
+      abs(Similarity.cosine(col("vec"), col("vec")) -
+        Similarity.cosine(Similarity.dequantize(col("qvec")), col("vec"))).as("e"))
+      .agg(max(col("e"))).head().getDouble(0)
+    assert(err < 0.02, s"max cosine error $err")
+    // zero vector round-trips without dividing by zero
+    val z = Seq((1L, Array.fill(4)(0f))).toDF("id", "vec")
+    val zq = Similarity.withQuantizedVec(z, "vec")
+      .select(Similarity.dequantize(col("qvec"))).as[Seq[Float]].head()
+    assert(zq == Seq(0f, 0f, 0f, 0f))
   }
 
   test("cutoffHex is monotone and pins the endpoints") {
