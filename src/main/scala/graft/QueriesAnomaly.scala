@@ -91,6 +91,14 @@ object QueriesAnomaly {
         .select("event_id", "user_id", "value", "score")
     }),
 
+    // multi-scale variant: 10/20/40-row frames in ONE window pass
+    "q_anom_changepoint_ms" -> ((s, dir) => {
+      Anomaly.changepointsMultiScale(ev(s, dir), "value", Seq("user_id"),
+          Seq(col("ts").asc, col("event_id").asc),
+          windows = Seq(10, 20, 40), threshold = 3.0)
+        .select("event_id", "user_id", "value", "win", "score")
+    }),
+
     // dbscan-ish grid density — ref anomaly_manager.py:162
     "q_anom_grid" -> ((s, dir) => {
       Anomaly.gridDensity(ev(s, dir).select("event_id", "user_id", "value"),
@@ -106,6 +114,31 @@ object QueriesAnomaly {
   private val zExpr = "ABS(value - s.m) / s.sd"
 
   // CTE fragment (no WITH keyword — composes into larger WITH lists)
+  /** Single-scale changepoint oracle at window `w`; `withWin` adds the
+    * win column for the multi-scale union.
+    */
+  private def cpOracleSql(w: Int, withWin: Boolean): String = {
+    val pooled = "((GREATEST(0.0, s2l - sl*sl/nl) + GREATEST(0.0, s2r - sr*sr/nr)) / (nl + nr - 2.0))"
+    val denom = s"SQRT($pooled * (1.0/nl + 1.0/nr))"
+    val score = s"ROUND(CASE WHEN $denom <> 0.0 THEN ABS(sr/nr - sl/nl) / $denom END, 6)"
+    val winCol = if (withWin) s"CAST($w AS INTEGER) AS win, " else ""
+    s"""SELECT event_id, user_id, value, $winCol$score AS score FROM (
+       |  SELECT event_id, user_id, value,
+       |    CAST(COUNT(value) OVER wl AS DOUBLE) AS nl,
+       |    CAST(SUM(CAST(value AS DECIMAL(28,6))) OVER wl AS DOUBLE) AS sl,
+       |    CAST(SUM(CAST((value)*(value) AS DECIMAL(28,6))) OVER wl AS DOUBLE) AS s2l,
+       |    CAST(COUNT(value) OVER wr AS DOUBLE) AS nr,
+       |    CAST(SUM(CAST(value AS DECIMAL(28,6))) OVER wr AS DOUBLE) AS sr,
+       |    CAST(SUM(CAST((value)*(value) AS DECIMAL(28,6))) OVER wr AS DOUBLE) AS s2r
+       |  FROM events
+       |  WINDOW
+       |    wl AS (PARTITION BY user_id ORDER BY ts, event_id
+       |           ROWS BETWEEN $w PRECEDING AND 1 PRECEDING),
+       |    wr AS (PARTITION BY user_id ORDER BY ts, event_id
+       |           ROWS BETWEEN CURRENT ROW AND ${w - 1} FOLLOWING))
+       |WHERE nl = $w AND nr = $w AND $score > 3.0""".stripMargin
+  }
+
   private def movavgCte: String =
     """w AS (
       |  SELECT event_id, user_id, value,
@@ -197,27 +230,11 @@ object QueriesAnomaly {
          |  THEN ABS(f.value - t.c - t.phi * f.xl) / t.std END, 6) > 3.0""".stripMargin
     },
 
-    "q_anom_changepoint" -> {
-      val pooled = "((GREATEST(0.0, s2l - sl*sl/nl) + GREATEST(0.0, s2r - sr*sr/nr)) / (nl + nr - 2.0))"
-      val denom = s"SQRT($pooled * (1.0/nl + 1.0/nr))"
-      val score = s"ROUND(CASE WHEN $denom <> 0.0 THEN ABS(sr/nr - sl/nl) / $denom END, 6)"
-      s"""WITH w AS (
-         |  SELECT event_id, user_id, value,
-         |    CAST(COUNT(value) OVER wl AS DOUBLE) AS nl,
-         |    CAST(SUM(CAST(value AS DECIMAL(28,6))) OVER wl AS DOUBLE) AS sl,
-         |    CAST(SUM(CAST((value)*(value) AS DECIMAL(28,6))) OVER wl AS DOUBLE) AS s2l,
-         |    CAST(COUNT(value) OVER wr AS DOUBLE) AS nr,
-         |    CAST(SUM(CAST(value AS DECIMAL(28,6))) OVER wr AS DOUBLE) AS sr,
-         |    CAST(SUM(CAST((value)*(value) AS DECIMAL(28,6))) OVER wr AS DOUBLE) AS s2r
-         |  FROM events
-         |  WINDOW
-         |    wl AS (PARTITION BY user_id ORDER BY ts, event_id
-         |           ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING),
-         |    wr AS (PARTITION BY user_id ORDER BY ts, event_id
-         |           ROWS BETWEEN CURRENT ROW AND 19 FOLLOWING))
-         |SELECT event_id, user_id, value, $score AS score
-         |FROM w WHERE nl = 20 AND nr = 20 AND $score > 3.0""".stripMargin
-    },
+    "q_anom_changepoint" -> cpOracleSql(20, withWin = false),
+
+    "q_anom_changepoint_ms" ->
+      Seq(10, 20, 40).map(cpOracleSql(_, withWin = true))
+        .mkString("\nUNION ALL\n"),
 
     "q_anom_grid" ->
       """WITH k AS (SELECT event_id, user_id, value,

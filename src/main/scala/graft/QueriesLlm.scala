@@ -79,6 +79,16 @@ object QueriesLlm {
         nlist = 8, iters = 2)
       graft.llm.Ivf.topK(index, queries, "vec_id", "query_id", "embedding",
         k = 5, nprobe = 2)
+    }),
+
+    // int8-quantized candidate scan + exact float re-rank (rows-only:
+    // quantization rounding is engine-specific; recall vs brute force
+    // is spec-measured in SamplingSpec)
+    "q_sim_quantized" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val queries = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("query_id"), col("embedding"))
+      Similarity.quantizedTopK(e, queries, "vec_id", "query_id", "embedding", k = 5)
     })
   )
 

@@ -206,4 +206,37 @@ object Similarity {
   def dequantize(qvec: Column): Column =
     transform(qvec.getField("q"),
       e => (e.cast("double") * qvec.getField("scale")).cast("float"))
+
+  /** End-to-end quantized ANN: candidate generation scans only the
+    * int8 corpus (~4× less I/O and memory than the float vectors —
+    * at 100 TB the quantized columns are what you keep hot), taking
+    * the top `rerankFactor × k` per query by quantized cosine, then
+    * an exact float re-rank of that small candidate set. The re-rank
+    * join touches the float vectors for ≤ |queries| × rerankFactor × k
+    * rows only. Recall vs full brute force is spec-measured.
+    */
+  def quantizedTopK(corpus: DataFrame, queries: DataFrame,
+                    corpusId: String, queryId: String, vecCol: String,
+                    k: Int, rerankFactor: Int = 4,
+                    qvecCol: String = "qvec"): DataFrame = {
+    val qcorpus = (if (corpus.columns.contains(qvecCol)) corpus
+                   else withQuantizedVec(corpus, vecCol, qvecCol))
+      .select(col(corpusId), dequantize(col(qvecCol)).as("__dq"))
+    val cand = bruteForceTopK(qcorpus,
+        queries.select(col(queryId), col(vecCol).as("__dq")),
+        corpusId, queryId, "__dq", k = k * rerankFactor)
+      .select(col("query_id"), col("neighbor_id"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("neighbor_id").asc)
+    cand
+      .join(corpus.select(col(corpusId).as("neighbor_id"),
+        col(vecCol).as("__cvec")), "neighbor_id")
+      .join(broadcast(queries.select(col(queryId).as("query_id"),
+        col(vecCol).as("__qvec"))), "query_id")
+      .withColumn("sim", cosine(col("__cvec"), col("__qvec")))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("sim"),
+        col("rnk").cast("long").as("rnk"))
+  }
 }

@@ -139,21 +139,78 @@ object Anomaly {
     // bench query. Decimal subtraction is exact, so each derived frame
     // sum is bit-identical to the direct frame aggregate.
     val base = Window.partitionBy(partitionBy.map(col): _*).orderBy(orderBy: _*)
+    val dec = DecimalType(28, scale)
+    val score = cpScore(base, dec, window)
+    cumFrame(df, column, base, dec)
+      .withColumn("__nl", score.nl).withColumn("__nr", score.nr)
+      .withColumn("score", score.t)
+      .filter(col("__nl") === window && col("__nr") === window &&
+        col("score") > threshold)
+      .drop("__nl", "__nr", "__cn", "__cs", "__cs2")
+  }
+
+  /** Multi-scale changepoint scan: the boundary score at several
+    * window sizes in ONE pass — short windows localize abrupt shifts,
+    * long windows surface slow drifts a short frame can't separate
+    * from noise. All scales share the same cumulative-sum columns and
+    * window spec, so Spark plans a single sort + WindowExec regardless
+    * of how many scales are requested (per-scale cost is a handful of
+    * O(1) lag/lead reads, not another shuffle). Output: one row per
+    * (row, win) whose score clears the threshold.
+    */
+  def changepointsMultiScale(df: DataFrame, column: String,
+                             partitionBy: Seq[String], orderBy: Seq[Column],
+                             windows: Seq[Int] = Seq(10, 20, 40),
+                             threshold: Double = 3.0,
+                             scale: Int = 6): DataFrame = {
+    require(windows.nonEmpty, "need at least one window size")
+    val base = Window.partitionBy(partitionBy.map(col): _*).orderBy(orderBy: _*)
+    val dec = DecimalType(28, scale)
+    // window expressions must land as REAL columns before the generator:
+    // struct-of-window-expr inside explode gets field-collapsed by the
+    // optimizer back into the post-generate filter, which is illegal
+    val idx = windows.indices
+    val withScores = idx.foldLeft(cumFrame(df, column, base, dec)) { (d, i) =>
+      val s = cpScore(base, dec, windows(i))
+      d.withColumn(s"__nl_$i", s.nl).withColumn(s"__nr_$i", s.nr)
+        .withColumn(s"__t_$i", s.t)
+    }
+    val tmp = idx.flatMap(i => Seq(s"__nl_$i", s"__nr_$i", s"__t_$i"))
+    withScores
+      .withColumn("__s", explode(array(idx.map(i => struct(
+        lit(windows(i)).as("win"), col(s"__nl_$i").as("nl"),
+        col(s"__nr_$i").as("nr"), col(s"__t_$i").as("score"))): _*)))
+      .filter(col("__s.nl") === col("__s.win") &&
+        col("__s.nr") === col("__s.win") &&
+        col("__s.score") > threshold)
+      .withColumn("win", col("__s.win"))
+      .withColumn("score", col("__s.score"))
+      .drop("__s" +: "__cn" +: "__cs" +: "__cs2" +: tmp: _*)
+  }
+
+  /** Cumulative count / sum / sum-of-squares columns over `base` —
+    * the shared input for cumulative-difference frame moments.
+    */
+  private def cumFrame(df: DataFrame, column: String,
+                       base: org.apache.spark.sql.expressions.WindowSpec,
+                       dec: DecimalType): DataFrame = {
     val wc = base.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val x = col(column)
-    val dec = DecimalType(28, scale)
-    val stats = df
-      .withColumn("__cn", count(x).over(wc))
+    df.withColumn("__cn", count(x).over(wc))
       .withColumn("__cs", sum(x.cast(dec)).over(wc))
       .withColumn("__cs2", sum((x * x).cast(dec)).over(wc))
-    def diff(c: String, back: Int, fwd: Int): Column = {
-      // frame [row-back, row+fwd] sum = cum(row+fwd) - cum(row-back-1);
-      // a lag past the partition start is the empty prefix (zero), a
-      // lead past the end leaves null so clipped frames filter out
-      val hi = if (fwd == 0) col(c) else lead(col(c), fwd).over(base)
-      val lo = coalesce(lag(col(c), back + 1).over(base), lit(0).cast(dec))
-      hi - lo
-    }
+  }
+
+  private final case class CpScore(nl: Column, nr: Column, t: Column)
+
+  /** Two-sample t statistic for the boundary between the trailing and
+    * leading `window` rows, from differences of the cumulative columns:
+    * frame [row-back, row+fwd] sum = cum(row+fwd) - cum(row-back-1); a
+    * lag past the partition start is the empty prefix (zero), a lead
+    * past the end leaves null so clipped frames filter out.
+    */
+  private def cpScore(base: org.apache.spark.sql.expressions.WindowSpec,
+                      dec: DecimalType, window: Int): CpScore = {
     // left frame [i-window, i-1], right frame [i, i+window-1]
     val nl = (coalesce(lag(col("__cn"), 1).over(base), lit(0L)) -
       coalesce(lag(col("__cn"), window + 1).over(base), lit(0L))).cast("double")
@@ -163,17 +220,20 @@ object Anomaly {
       coalesce(lag(col("__cs"), window + 1).over(base), lit(0).cast(dec))).cast("double")
     val s2l = (coalesce(lag(col("__cs2"), 1).over(base), lit(0).cast(dec)) -
       coalesce(lag(col("__cs2"), window + 1).over(base), lit(0).cast(dec))).cast("double")
-    val sr = diff("__cs", 0, window - 1).cast("double")
-    val s2r = diff("__cs2", 0, window - 1).cast("double")
+    val sr = (lead(col("__cs"), window - 1).over(base) -
+      coalesce(lag(col("__cs"), 1).over(base), lit(0).cast(dec))).cast("double")
+    val s2r = (lead(col("__cs2"), window - 1).over(base) -
+      coalesce(lag(col("__cs2"), 1).over(base), lit(0).cast(dec))).cast("double")
+    // every division sits under the full-frames guard: ANSI divide
+    // throws on zero EVEN FOR DOUBLES, and relying on the caller's
+    // nl/nr filter being pushed below this projection is fragile (the
+    // multi-scale generator provably blocks that pushdown)
+    val full = nl === lit(window.toDouble) && nr === lit(window.toDouble)
     val pooled = (greatest(lit(0.0), s2l - sl * sl / nl) +
       greatest(lit(0.0), s2r - sr * sr / nr)) / (nl + nr - lit(2.0))
     val denom = sqrt(pooled * (lit(1.0) / nl + lit(1.0) / nr))
-    stats.withColumn("__nl", nl).withColumn("__nr", nr)
-      .withColumn("score",
-        round(when(denom =!= 0.0, abs(sr / nr - sl / nl) / denom), 6))
-      .filter(col("__nl") === window && col("__nr") === window &&
-        col("score") > threshold)
-      .drop("__nl", "__nr", "__cn", "__cs", "__cs2")
+    CpScore(nl, nr,
+      when(full, round(when(denom =!= 0.0, abs(sr / nr - sl / nl) / denom), 6)))
   }
 
   /** AR(1)-residual outliers — ref anomaly_manager.py:238

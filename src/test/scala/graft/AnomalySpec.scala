@@ -76,6 +76,26 @@ class AnomalySpec extends SparkSpec {
       window = 20, threshold = 3.0).count() == 0L)
   }
 
+  test("changepointsMultiScale agrees with single-scale per window and sees both shift speeds") {
+    val rows = (1 to 80).map(i =>
+      (i.toLong, 1L, if (i <= 40) 10.0 + (i % 3) * 0.1 else 20.0 + (i % 3) * 0.1))
+    val series = rows.toDF("seq", "k", "v")
+    // slice win=20 of the multi-scale scan == the single-scale scan
+    def key(df: org.apache.spark.sql.DataFrame) =
+      df.select("seq", "score").as[(Long, Double)].collect().toSet
+    val single = key(Anomaly.changepoints(series, "v", Seq("k"),
+      Seq(col("seq").asc), window = 20, threshold = 5.0))
+    val multi = key(Anomaly.changepointsMultiScale(series, "v", Seq("k"),
+      Seq(col("seq").asc), windows = Seq(10, 20, 40), threshold = 5.0)
+      .filter(col("win") === 20))
+    assert(single == multi)
+    // the abrupt shift is visible at every requested scale with 80 rows
+    val wins = Anomaly.changepointsMultiScale(series, "v", Seq("k"),
+      Seq(col("seq").asc), windows = Seq(10, 20), threshold = 5.0)
+      .filter(col("seq") === 41L).select("win").as[Int].collect().toSet
+    assert(wins == Set(10, 20))
+  }
+
   test("isolation forest isolates the planted outlier fastest and is deterministic") {
     import graft.quality.IsolationForest
     // dense cluster + one far point in 2-D

@@ -165,6 +165,23 @@ class SamplingSpec extends SparkSpec {
     assert(zq == Seq(0f, 0f, 0f, 0f))
   }
 
+  test("quantizedTopK recalls nearly all of exact brute-force top-k") {
+    import graft.llm.Similarity
+    val corpus = (1 to 300).map { i =>
+      (i.toLong, Array.tabulate(32)(d => math.sin(i * 13 + d * 5).toFloat))
+    }.toDF("id", "vec")
+    val queries = (1 to 5).map { i =>
+      (1000L + i, Array.tabulate(32)(d => math.cos(i * 7 + d * 3).toFloat))
+    }.toDF("qid", "vec")
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val exact = pairs(Similarity.bruteForceTopK(corpus, queries, "id", "qid", "vec", k = 10))
+    val quant = pairs(Similarity.quantizedTopK(corpus, queries, "id", "qid", "vec", k = 10))
+    assert(quant.size == exact.size)
+    val recall = exact.intersect(quant).size.toDouble / exact.size
+    assert(recall >= 0.9, s"recall $recall")
+  }
+
   test("cutoffHex is monotone and pins the endpoints") {
     assert(Sampling.cutoffHex(0.0) == "00000000")
     assert(Sampling.cutoffHex(1.0) == "ffffffff")
