@@ -43,7 +43,10 @@ object Bench {
     val line =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir"}"""
     println(line)
-    Files.writeString(Paths.get("bench_out.json"), line)
+    // a SPARK_GRAFT_ONLY-narrowed run must never clobber the official
+    // full-suite artifact the driver (and docs) ingest
+    val outFile = if (only.isDefined) "bench_only_out.json" else "bench_out.json"
+    Files.writeString(Paths.get(outFile), line)
     spark.stop()
   }
 }

@@ -228,7 +228,10 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("sim").desc, col("neighbor_id").asc)
-    cand
+    // the candidate set (<= |queries| x rerankFactor x k rows) is the
+    // broadcast side — without the hint the static planner has no size
+    // stats for a window-over-join output and would shuffle the corpus
+    broadcast(cand)
       .join(corpus.select(col(corpusId).as("neighbor_id"),
         col(vecCol).as("__cvec")), "neighbor_id")
       .join(broadcast(queries.select(col(queryId).as("query_id"),

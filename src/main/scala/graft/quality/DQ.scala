@@ -31,6 +31,11 @@ object DQ {
     def maxViolationPct: Double
     /** True where the row VIOLATES the rule (nulls handled per type). */
     def violation: Column
+    /** Schema-aware variant — rules that can pick a cheaper plan when
+      * they know the source column's type override this; [[check]]
+      * always calls it. Defaults to the schema-free expression.
+      */
+    def violation(schema: org.apache.spark.sql.types.StructType): Column = violation
   }
 
   /** ref dq_rule_examples.py: not_null / required_fields / completeness. */
@@ -70,21 +75,31 @@ object DQ {
     // Failed ANSI try_cast builds a full SparkException (message + query
     // context) PER ROW (~40µs) — a table where every value is uncastable
     // (the common DQ case: "1-URGENT" AS INT) pays exception cost on
-    // every row. For integral/decimal targets, a codegen'd regexp first
-    // rejects strings containing characters no numeric literal can hold;
-    // the short-circuited OR means try_cast only runs on rows that parse
-    // cleanly (no exception) or are genuine edge cases (overflow).
-    // Float/double targets skip the guard: 'NaN'/'Infinity' ARE castable.
+    // every row. For STRING sources probed against integral/decimal
+    // targets, a codegen'd regexp first rejects values containing
+    // characters no numeric literal can hold; the short-circuited OR
+    // means try_cast only runs on rows that parse cleanly (no exception)
+    // or are genuine edge cases (overflow). Float/double targets skip
+    // the guard ('NaN'/'Infinity' ARE castable); non-string sources
+    // must too — their STRING RENDERING is not what try_cast parses
+    // (boolean true -> "true" casts to INT as 1; timestamps render
+    // with ':'), so the regexp would flag rows the cast accepts.
     private val integralOrDecimal =
       Set("tinyint", "smallint", "int", "integer", "bigint", "long")
         .contains(targetType.toLowerCase) ||
         targetType.toLowerCase.startsWith("decimal")
-    def violation: Column = {
-      val tryNull = expr(s"try_cast($column AS $targetType)").isNull
-      if (integralOrDecimal) {
-        val impossible = col(column).cast("string").rlike("[^0-9+\\-.eE\\s]")
-        col(column).isNotNull && (impossible || tryNull)
-      } else col(column).isNotNull && tryNull
+    def violation: Column =
+      col(column).isNotNull && expr(s"try_cast($column AS $targetType)").isNull
+    override def violation(schema: org.apache.spark.sql.types.StructType): Column = {
+      val isStringSource = schema.fields
+        .find(_.name == column).exists(_.dataType ==
+          org.apache.spark.sql.types.StringType)
+      if (integralOrDecimal && isStringSource) {
+        // \x00-\x20 (not \s): Spark's cast trims EVERY char <= 0x20
+        val impossible = col(column).rlike("[^0-9+\\-.eE\\x00-\\x20]")
+        col(column).isNotNull &&
+          (impossible || expr(s"try_cast($column AS $targetType)").isNull)
+      } else violation
     }
   }
 
@@ -127,7 +142,7 @@ object DQ {
     // which would make violations/passed NULL (and the ratio would
     // divide by zero under ANSI). Zero rows = vacuously clean.
     val aggExprs = rules.map(r =>
-      coalesce(sum(when(r.violation, 1L).otherwise(0L)), lit(0L)).as(s"__v_${r.id}")) :+
+      coalesce(sum(when(r.violation(df.schema), 1L).otherwise(0L)), lit(0L)).as(s"__v_${r.id}")) :+
       count(lit(1)).as("__total")
     val one = df.agg(aggExprs.head, aggExprs.tail: _*)
     val rows = rules.map { r =>

@@ -82,7 +82,10 @@ final case class RestSource(
     var attempt = 0
     var last: Throwable = null
     while (attempt <= maxRetries) {
-      if (attempt > 0) Thread.sleep(backoffMs.toLong << (attempt - 1))
+      // exponential, capped: the shift is bounded (no Long wrap for
+      // large maxRetries) and one sleep never exceeds 30 s
+      if (attempt > 0)
+        Thread.sleep(math.min(30000L, backoffMs.toLong << math.min(attempt - 1, 20)))
       try {
         val conn = new URI(url).toURL.openConnection().asInstanceOf[HttpURLConnection]
         conn.setConnectTimeout(timeoutMs)

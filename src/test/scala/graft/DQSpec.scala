@@ -95,6 +95,22 @@ class DQSpec extends SparkSpec {
         expr(s"try_cast(v AS $target)").isNull).count()
       assert(guarded == bare, s"target=$target guarded=$guarded bare=$bare")
     }
+    // control-char whitespace: Spark's cast trims every char <= 0x20,
+    // so "12" IS castable and must not be flagged by the guard
+    val ctl = Seq("\u0006" + "12", "\u0001" + " 7 ").toDF("v")
+    assert(DQ.check(ctl, Seq(DQ.TypeCastable("c", "v", "INT")))
+      .select("violations").head().getLong(0) == 0L)
+    // NON-string sources: the guard must stay off — boolean->INT is a
+    // legal ANSI cast even though its string rendering is "true"
+    val b = Seq(true, false).toDF("flag")
+    assert(DQ.check(b, Seq(DQ.TypeCastable("b", "flag", "INT")))
+      .select("violations").head().getLong(0) == 0L)
+    val ts = Seq(java.sql.Timestamp.valueOf("2024-01-01 00:00:00")).toDF("t")
+    val viaCheck = DQ.check(ts, Seq(DQ.TypeCastable("t", "t", "BIGINT")))
+      .select("violations").head().getLong(0)
+    val direct = ts.filter(col("t").isNotNull &&
+      expr("try_cast(t AS BIGINT)").isNull).count()
+    assert(viaCheck == direct) // whatever the engine says, guard agrees
   }
 
   test("quantileProfile approx tracks exact within sketch accuracy") {
