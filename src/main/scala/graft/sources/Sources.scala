@@ -1,7 +1,7 @@
 package graft.sources
 
 import org.apache.spark.sql.{DataFrame, DataFrameReader, SparkSession}
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{col, lit, pmod, xxhash64}
 import org.apache.spark.sql.types.StructType
 
 /** Source/sink connectors: the Spark-native re-expression of the
@@ -87,6 +87,30 @@ object FileSink {
       .bucketBy(numBuckets, bucketCols.head, bucketCols.tail: _*)
     (if (sortCols.nonEmpty) w.sortBy(sortCols.head, sortCols.tail: _*) else w)
       .saveAsTable(table)
+  }
+
+  /** Deterministic training-shard export: every row lands in shard
+    * `xxhash64(key) mod numShards`, so (a) shard membership is a pure
+    * function of the data — re-running the export, changing the input
+    * partitioning, or growing the cluster never reshuffles examples
+    * between shards (dataloader resume stays valid); (b) shards are
+    * hash-balanced, so 1000 loader workers pull near-equal bytes; and
+    * (c) one exchange on the shard key is the whole cost.
+    * `maxRecordsPerFile` bounds file size inside a shard directory so
+    * a single shard never becomes one giant file.
+    * Layout: `<path>/shard=<k>/part-*.<format>`.
+    */
+  def writeShards(df: DataFrame, path: String, keyCol: String,
+                  numShards: Int, format: String = "parquet",
+                  maxRecordsPerFile: Long = 1000000L,
+                  mode: String = "overwrite"): Unit = {
+    require(numShards >= 1, "numShards >= 1")
+    df.withColumn("shard", pmod(xxhash64(col(keyCol)), lit(numShards.toLong)))
+      .repartition(numShards, col("shard"))
+      .write.format(format).mode(mode)
+      .option("maxRecordsPerFile", maxRecordsPerFile)
+      .partitionBy("shard")
+      .save(path)
   }
 }
 
