@@ -107,4 +107,69 @@ object PropertySpec extends Properties("graft") {
       ab == ba && ab >= 0.0 && ab <= 1.0
     }
   }
+
+  // ---- sampling laws --------------------------------------------------
+
+  private val keyRows: Gen[List[Long]] =
+    Gen.listOfN(60, Gen.choose(1L, 100000L)).map(_.distinct)
+
+  property("hash samples are NESTED: sample(f1) subset of sample(f2) for f1 <= f2") =
+    Prop.forAll(keyRows, Gen.choose(0.0, 1.0), Gen.choose(0.0, 1.0)) { (ks, a, b) =>
+      ks.isEmpty || {
+        val (f1, f2) = (math.min(a, b), math.max(a, b))
+        val df = ks.toDF("id")
+        val s1 = graft.llm.Sampling.sample(df, "id", f1).as[Long].collect().toSet
+        val s2 = graft.llm.Sampling.sample(df, "id", f2).as[Long].collect().toSet
+        s1.subsetOf(s2) // cutoff-prefix sampling grows monotonically
+      }
+    }
+
+  property("splitTag is disjoint and exhaustive for any split config") = {
+    val fracs = Gen.listOfN(3, Gen.choose(0.05, 0.4))
+    // noShrink: scalacheck's double shrinker steps outside the
+    // generator's [0.05, 0.4] range (to negatives), tripping the
+    // operator's own fraction validation rather than the law
+    Prop.forAllNoShrink(keyRows, fracs) { (ks, fs) =>
+      ks.isEmpty || {
+        val splits = fs.zipWithIndex.map { case (f, i) => s"s$i" -> f } :+ ("rest" -> 0.0)
+        val df = ks.toDF("id")
+          .withColumn("t", graft.llm.Sampling.splitTag(col("id"), splits))
+        val n = df.count()
+        val nonNull = df.filter(col("t").isin(splits.map(_._1): _*)).count()
+        n == ks.size && nonNull == n // every row gets exactly one known tag
+      }
+    }
+  }
+
+  property("mixture with all-unit weights is the identity (copy_idx = 1)") =
+    Prop.forAll(keyRows) { ks =>
+      ks.isEmpty || {
+        val df = ks.toDF("id").withColumn("s", (col("id") % 3).cast("string"))
+        val out = graft.llm.Sampling.mixture(df, "id", "s", Map.empty)
+        out.count() == ks.size &&
+          out.filter(col("copy_idx") =!= 1).count() == 0
+      }
+    }
+
+  property("dropBoilerplateLines is idempotent") = {
+    val lineGen = Gen.oneOf("HEADER", "FOOTER", "common words here")
+    val docGen = Gen.listOfN(3, lineGen).map(_.mkString("\n"))
+    Prop.forAll(Gen.listOfN(6, docGen)) { texts =>
+      texts.isEmpty || {
+        val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+          .toDF("doc_id", "text")
+        // drop docs emptied by the clean, as a real pipeline does —
+        // otherwise their "" bodies form a NEW corpus-frequent line
+        // (property-discovered counterexample)
+        val once = graft.llm.Dedup.dropBoilerplateLines(df, "doc_id", "text")
+          .filter(col("clean") =!= "")
+          .select(col("doc_id"), col("clean").as("text"))
+        val twice = graft.llm.Dedup.dropBoilerplateLines(once, "doc_id", "text")
+        // a kept line occurs in < minDocs docs; cleaning adds no lines
+        // and removes docs, so occurrence counts only shrink — a second
+        // pass keeps everything
+        twice.filter(col("n_dropped") =!= 0).count() == 0
+      }
+    }
+  }
 }
