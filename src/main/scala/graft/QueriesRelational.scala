@@ -1,0 +1,156 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.Relational
+import graft.functions.Det
+
+/** Temporal/relational analytics query pack: as-of join, range join,
+  * funnel, cohort retention, histogram, fuzzy matching — the
+  * operators a warehouse user of the reference framework writes by
+  * hand (pandas merge_asof / interval masks / groupby chains).
+  *
+  * Oracle notes: raw `events.ts` outputs go through
+  * `date_trunc('microseconds', ...)` on the DuckDB side (the source
+  * parquet is ns-precision there; Spark reads microseconds), and
+  * nullable timestamp/id outputs use explicit sentinels because the
+  * driver comparator treats NaT/None asymmetrically.
+  */
+object QueriesRelational {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  // no-match sentinel: far before the 2024 event range, and inside the
+  // pandas datetime64[ns] domain (a 9999-12-31 sentinel overflows ns
+  // and wraps, breaking the driver comparator)
+  private val noClickTs = "1970-01-01 00:00:00"
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // as-of join: attribute each error event to the latest click at or
+    // before it by the same user (pandas merge_asof(direction='backward'))
+    "q_asof" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val err = ev.filter(col("event_type") === "error")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val clk = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts"), col("event_id"))
+      Relational.asofJoin(err, clk, Seq("user_id"), "ts", "ts",
+          payloadCols = Seq("event_id"), direction = "backward", prefix = "click_")
+        .select(col("event_id"), col("user_id"), col("ts"),
+          coalesce(col("click_ts"), lit(noClickTs).cast("timestamp")).as("click_ts"),
+          coalesce(col("click_event_id"), lit(-1L)).as("click_event_id"))
+    }),
+
+    // range join: every event falling in the 24h incident window after
+    // an error by the same user, aggregated per incident
+    "q_range_join" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val incidents = ev.filter(col("event_type") === "error")
+        .select(col("event_id").as("incident_id"), col("user_id"), col("ts").as("t0"))
+        .withColumn("t1", col("t0") + expr("INTERVAL 24 HOURS"))
+      val points = ev.select(col("user_id"), col("ts"), col("value"))
+      Relational.rangeJoin(points, "ts", incidents, "t0", "t1",
+          keys = Seq("user_id"), bucketSeconds = 86400L, strictStart = true)
+        .groupBy(col("incident_id"), col("user_id"))
+        .agg(count(lit(1)).as("n_events"), Det.sumAt(col("value"), 6).as("sum_value"))
+    }),
+
+    // ordered-step funnel over the event stream
+    "q_funnel" -> ((s, dir) => {
+      Relational.funnel(t(s, dir, "events"), "user_id", "ts", "event_type",
+        Seq("signup", "view", "click", "purchase"))
+    }),
+
+    // cohort retention matrix: first-seen date x day offset x users
+    "q_retention" -> ((s, dir) => {
+      Relational.cohortRetention(t(s, dir, "events"), "user_id", "ts")
+    }),
+
+    // fixed-width histogram of order totals
+    "q_histogram" -> ((s, dir) => {
+      Relational.histogram(t(s, dir, "orders"), "o_totalprice",
+        lo = 0.0, hi = 600000.0, nbins = 24)
+    }),
+
+    // fuzzy vocabulary matching: distinct part names within edit
+    // distance 2 (length-banded candidates + codegen'd levenshtein)
+    "q_fuzzy" -> ((s, dir) => {
+      val vocab = t(s, dir, "part")
+        .groupBy(col("p_name")).agg(min(col("p_partkey")).as("pid"))
+      Relational.fuzzyPairs(vocab, "pid", "p_name", maxDist = 2)
+        .select(col("str_a").as("name_a"), col("str_b").as("name_b"), col("dist"))
+    })
+  )
+
+  def oracleSql: Map[String, String] = Map(
+
+    "q_asof" ->
+      s"""WITH err AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'error'),
+         |clk AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
+         |m1 AS (SELECT e.event_id, MAX(c.ts) AS click_ts
+         |       FROM err e JOIN clk c ON c.user_id = e.user_id AND c.ts <= e.ts
+         |       GROUP BY e.event_id),
+         |m2 AS (SELECT e.event_id, m1.click_ts, MAX(c.event_id) AS click_event_id
+         |       FROM err e JOIN m1 ON m1.event_id = e.event_id
+         |       JOIN clk c ON c.user_id = e.user_id AND c.ts = m1.click_ts
+         |       GROUP BY e.event_id, m1.click_ts)
+         |SELECT e.event_id, e.user_id, date_trunc('microseconds', e.ts) AS ts,
+         |  date_trunc('microseconds', COALESCE(m2.click_ts, TIMESTAMP '$noClickTs')) AS click_ts,
+         |  CAST(COALESCE(m2.click_event_id, -1) AS BIGINT) AS click_event_id
+         |FROM err e LEFT JOIN m2 ON m2.event_id = e.event_id""".stripMargin,
+
+    "q_range_join" ->
+      s"""WITH err AS (SELECT event_id AS incident_id, user_id, ts AS t0
+         |             FROM events WHERE event_type = 'error')
+         |SELECT err.incident_id, err.user_id, COUNT(*) AS n_events,
+         |${Det.sqlSumAt("e.value", 6)} AS sum_value
+         |FROM err JOIN events e ON e.user_id = err.user_id
+         |  AND e.ts > err.t0 AND e.ts <= err.t0 + INTERVAL 24 HOURS
+         |GROUP BY err.incident_id, err.user_id""".stripMargin,
+
+    "q_funnel" ->
+      """WITH s1 AS (SELECT user_id, MIN(ts) AS t FROM events
+        |            WHERE event_type = 'signup' GROUP BY user_id),
+        |s2 AS (SELECT e.user_id, MIN(e.ts) AS t FROM events e
+        |       JOIN s1 ON s1.user_id = e.user_id AND e.ts >= s1.t
+        |       WHERE e.event_type = 'view' GROUP BY e.user_id),
+        |s3 AS (SELECT e.user_id, MIN(e.ts) AS t FROM events e
+        |       JOIN s2 ON s2.user_id = e.user_id AND e.ts >= s2.t
+        |       WHERE e.event_type = 'click' GROUP BY e.user_id),
+        |s4 AS (SELECT e.user_id, MIN(e.ts) AS t FROM events e
+        |       JOIN s3 ON s3.user_id = e.user_id AND e.ts >= s3.t
+        |       WHERE e.event_type = 'purchase' GROUP BY e.user_id)
+        |SELECT CAST(1 AS INTEGER) AS step_idx, 'signup' AS step,
+        |       (SELECT CAST(COUNT(*) AS BIGINT) FROM s1) AS n_users
+        |UNION ALL SELECT 2, 'view', (SELECT COUNT(*) FROM s2)
+        |UNION ALL SELECT 3, 'click', (SELECT COUNT(*) FROM s3)
+        |UNION ALL SELECT 4, 'purchase', (SELECT COUNT(*) FROM s4)""".stripMargin,
+
+    "q_retention" ->
+      """WITH f AS (SELECT user_id, MIN(CAST(ts AS DATE)) AS cohort
+        |           FROM events GROUP BY user_id)
+        |SELECT f.cohort,
+        |  CAST(date_diff('day', f.cohort, CAST(e.ts AS DATE)) AS BIGINT) AS day_offset,
+        |  CAST(COUNT(DISTINCT e.user_id) AS BIGINT) AS n_users
+        |FROM events e JOIN f ON f.user_id = e.user_id
+        |GROUP BY 1, 2""".stripMargin,
+
+    "q_histogram" ->
+      """WITH h AS (
+        |  SELECT CAST(LEAST(GREATEST(FLOOR((o_totalprice - 0.0) / 25000.0), 0), 23) AS BIGINT) AS bin
+        |  FROM orders WHERE o_totalprice IS NOT NULL)
+        |SELECT bin, 0.0 + bin * 25000.0 AS bin_lo, 0.0 + (bin + 1) * 25000.0 AS bin_hi,
+        |       CAST(COUNT(*) AS BIGINT) AS n
+        |FROM h GROUP BY bin""".stripMargin,
+
+    "q_fuzzy" ->
+      """WITH v AS (SELECT DISTINCT p_name FROM part)
+        |SELECT a.p_name AS name_a, b.p_name AS name_b,
+        |       CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS dist
+        |FROM v a JOIN v b ON a.p_name < b.p_name
+        |WHERE levenshtein(a.p_name, b.p_name) <= 2""".stripMargin
+  )
+}

@@ -1,0 +1,161 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.functions._
+import graft.operators.Relational
+
+class RelationalSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String): Timestamp = Timestamp.valueOf(s)
+
+  private val clicks = Seq(
+    (1L, ts("2024-01-01 10:00:00"), 100L),
+    (1L, ts("2024-01-01 12:00:00"), 101L),
+    (2L, ts("2024-01-01 11:00:00"), 200L)
+  ).toDF("user", "cts", "click_id")
+
+  private val errors = Seq(
+    (1L, ts("2024-01-01 11:00:00"), 10L), // between the two user-1 clicks
+    (1L, ts("2024-01-01 12:00:00"), 11L), // exactly at click 101
+    (2L, ts("2024-01-01 09:00:00"), 20L), // before any user-2 click
+    (3L, ts("2024-01-01 10:00:00"), 30L)  // user with no clicks at all
+  ).toDF("user", "ets", "err_id")
+
+  test("asofJoin backward picks latest right at-or-before each left row") {
+    val r = Relational.asofJoin(errors, clicks, Seq("user"), "ets", "cts",
+        payloadCols = Seq("click_id"), direction = "backward", prefix = "m_")
+      .select("err_id", "m_click_id").as[(Long, Option[Long])]
+      .collect().toMap
+    assert(r(10L).contains(100L)) // 10:00 click is latest <= 11:00
+    assert(r(11L).contains(101L)) // inclusive: equal timestamp matches
+    assert(r(20L).isEmpty)        // no click before 09:00
+    assert(r(30L).isEmpty)        // key absent from right side entirely
+  }
+
+  test("asofJoin exclusive backward skips the equal-timestamp match") {
+    val r = Relational.asofJoin(errors, clicks, Seq("user"), "ets", "cts",
+        payloadCols = Seq("click_id"), inclusive = false, prefix = "m_")
+      .select("err_id", "m_click_id").as[(Long, Option[Long])]
+      .collect().toMap
+    assert(r(11L).contains(100L)) // 12:00 click excluded, falls back to 10:00
+  }
+
+  test("asofJoin forward picks earliest right at-or-after each left row") {
+    val r = Relational.asofJoin(errors, clicks, Seq("user"), "ets", "cts",
+        payloadCols = Seq("click_id"), direction = "forward", prefix = "m_")
+      .select("err_id", "m_click_id").as[(Long, Option[Long])]
+      .collect().toMap
+    assert(r(10L).contains(101L)) // next click after 11:00
+    assert(r(20L).contains(200L)) // 11:00 click is ahead of 09:00
+    assert(r(30L).isEmpty)
+  }
+
+  test("asofJoin resolves right-side timestamp ties to the largest payload") {
+    val dup = Seq((1L, ts("2024-01-01 10:00:00"), 7L), (1L, ts("2024-01-01 10:00:00"), 9L))
+      .toDF("user", "cts", "click_id")
+    val one = Seq((1L, ts("2024-01-01 11:00:00"), 1L)).toDF("user", "ets", "err_id")
+    val r = Relational.asofJoin(one, dup, Seq("user"), "ets", "cts",
+        payloadCols = Seq("click_id"), prefix = "m_")
+      .select("m_click_id").as[Long].head()
+    assert(r == 9L)
+  }
+
+  test("asofJoin preserves every left row and all left columns") {
+    val out = Relational.asofJoin(errors, clicks, Seq("user"), "ets", "cts",
+      payloadCols = Seq("click_id"))
+    assert(out.count() == errors.count())
+    assert(Seq("user", "ets", "err_id", "asof_cts", "asof_click_id")
+      .forall(out.columns.contains))
+  }
+
+  test("rangeJoin matches the naive inequality join across bucket widths") {
+    val points = Seq((1L, ts("2024-01-01 00:30:00"), 1L), (1L, ts("2024-01-01 02:30:00"), 2L),
+      (1L, ts("2024-01-01 05:00:00"), 3L), (2L, ts("2024-01-01 00:30:00"), 4L))
+      .toDF("k", "pts", "pid")
+    val iv = Seq((1L, ts("2024-01-01 00:00:00"), ts("2024-01-01 03:00:00"), 10L),
+      (1L, ts("2024-01-01 04:59:00"), ts("2024-01-01 05:00:00"), 11L),
+      (2L, ts("2024-01-01 01:00:00"), ts("2024-01-01 02:00:00"), 12L))
+      .toDF("k", "t0", "t1", "ivid")
+    val naive = points.join(iv, Seq("k"))
+      .filter(col("pts") >= col("t0") && col("pts") <= col("t1"))
+      .select("pid", "ivid").as[(Long, Long)].collect().toSet
+    for (bucket <- Seq(60L, 3600L, 86400L)) {
+      val got = Relational.rangeJoin(points, "pts", iv, "t0", "t1", Seq("k"), bucket)
+        .select("pid", "ivid").as[(Long, Long)].collect().toSeq
+      assert(got.toSet == naive, s"bucket=$bucket")
+      assert(got.size == got.toSet.size, s"bucket=$bucket produced duplicate pairs")
+    }
+  }
+
+  test("rangeJoin strict bounds exclude the endpoints") {
+    val points = Seq((1L, ts("2024-01-01 00:00:00"), 1L), (1L, ts("2024-01-01 01:00:00"), 2L),
+      (1L, ts("2024-01-01 02:00:00"), 3L)).toDF("k", "pts", "pid")
+    val iv = Seq((1L, ts("2024-01-01 00:00:00"), ts("2024-01-01 02:00:00"), 10L))
+      .toDF("k", "t0", "t1", "ivid")
+    val got = Relational.rangeJoin(points, "pts", iv, "t0", "t1", Seq("k"), 3600L,
+      strictStart = true, strictEnd = true).select("pid").as[Long].collect().toSeq
+    assert(got == Seq(2L))
+  }
+
+  test("rangeJoin ignores inverted intervals instead of failing") {
+    val points = Seq((1L, ts("2024-01-01 01:00:00"), 1L)).toDF("k", "pts", "pid")
+    val iv = Seq((1L, ts("2024-01-01 02:00:00"), ts("2024-01-01 00:00:00"), 10L))
+      .toDF("k", "t0", "t1", "ivid")
+    assert(Relational.rangeJoin(points, "pts", iv, "t0", "t1", Seq("k"), 3600L).count() == 0)
+  }
+
+  test("histogram clamps out-of-range values into edge bins and skips nulls") {
+    val df = Seq[java.lang.Double](-5.0, 0.0, 0.5, 9.99, 10.0, 25.0, null).toDF("v")
+    val r = Relational.histogram(df, "v", 0.0, 10.0, 2)
+      .orderBy("bin").as[(Long, Double, Double, Long)].collect().toSeq
+    // bins: [0,5) and [5,10); -5 clamps into bin 0; 10 and 25 clamp into bin 1
+    assert(r == Seq((0L, 0.0, 5.0, 3L), (1L, 5.0, 10.0, 3L)))
+  }
+
+  test("funnel counts only users whose steps occur in order") {
+    val ev = Seq(
+      (1L, ts("2024-01-01 10:00:00"), "a"), (1L, ts("2024-01-01 11:00:00"), "b"),
+      (2L, ts("2024-01-01 11:00:00"), "b"), (2L, ts("2024-01-01 12:00:00"), "a"),
+      (3L, ts("2024-01-01 10:00:00"), "a")
+    ).toDF("user", "ts", "typ")
+    val r = Relational.funnel(ev, "user", "ts", "typ", Seq("a", "b"))
+      .orderBy("step_idx").as[(Int, String, Long)].collect().toSeq
+    // user 1: a then b (converts); user 2: b BEFORE a (does not); user 3: a only
+    assert(r == Seq((1, "a", 3L), (2, "b", 1L)))
+  }
+
+  test("cohortRetention assigns each user to its first-activity date") {
+    val ev = Seq(
+      (1L, ts("2024-01-01 10:00:00")), (1L, ts("2024-01-03 10:00:00")),
+      (2L, ts("2024-01-01 23:00:00")), (2L, ts("2024-01-01 23:30:00")),
+      (3L, ts("2024-01-02 00:00:00"))
+    ).toDF("user", "ts")
+    val r = Relational.cohortRetention(ev, "user", "ts")
+      .select(col("cohort").cast("string"), col("day_offset"), col("n_users"))
+      .as[(String, Long, Long)].collect().toSet
+    assert(r == Set(("2024-01-01", 0L, 2L), ("2024-01-01", 2L, 1L), ("2024-01-02", 0L, 1L)))
+  }
+
+  test("fuzzyPairs finds each close pair exactly once, lexicographically oriented") {
+    val df = Seq((1L, "red bolt"), (2L, "red bolts"), (3L, "blue gear"),
+      (4L, "red colt"), (5L, "widget")).toDF("id", "s")
+    val r = Relational.fuzzyPairs(df, "id", "s", maxDist = 2)
+      .select("str_a", "str_b", "dist").as[(String, String, Long)].collect().toSeq
+    assert(r.size == r.toSet.size)
+    val pairs = r.map { case (a, b, _) => (a, b) }.toSet
+    assert(pairs == Set(("red bolt", "red bolts"), ("red bolt", "red colt"),
+      ("red bolts", "red colt")))
+    assert(r.forall { case (a, b, d) => a < b && d >= 1 && d <= 2 })
+  }
+
+  test("fuzzyPairs matches brute-force levenshtein on real part names") {
+    val vocab = table("part").groupBy(col("p_name")).agg(min(col("p_partkey")).as("pid"))
+    val got = Relational.fuzzyPairs(vocab, "pid", "p_name", maxDist = 3)
+      .select("str_a", "str_b").as[(String, String)].collect().toSet
+    val brute = vocab.as("a").join(vocab.as("b"), col("a.p_name") < col("b.p_name"))
+      .filter(levenshtein(col("a.p_name"), col("b.p_name")) <= 3)
+      .select(col("a.p_name"), col("b.p_name")).as[(String, String)].collect().toSet
+    assert(got == brute && got.nonEmpty)
+  }
+}
