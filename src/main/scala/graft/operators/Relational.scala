@@ -141,45 +141,56 @@ object Relational {
 
   /** Ordered-step funnel: step i counts users whose earliest qualifying
     * step-i event is at-or-after their earliest qualifying step-(i-1)
-    * event. Implemented as cascaded per-user min-timestamp aggregates —
-    * each stage is an equi-join + hash agg on the user key, so after
-    * the first shuffle every stage is co-partitioned; nothing is
-    * quadratic and no window sort is needed. Returns
+    * event. One-pass plan: a single per-user window cascade — the
+    * running min of each step's qualified timestamps over a RANGE frame
+    * (all events at-or-before the current timestamp, ties included, so
+    * "at-or-after" equality matches exactly) qualifies the next step —
+    * then one per-user aggregate and one tiny global rollup. The input
+    * is scanned ONCE and shuffled ONCE (the user-key window sort; the
+    * per-user groupBy reuses that partitioning); the k window passes
+    * share one sort. The naive alternative (per-step filter-join
+    * cascade) scans the events table O(k^2) times. Returns
     * (step_idx, step, n_users), one row per step.
     */
   def funnel(df: DataFrame, userCol: String, tsCol: String,
              typeCol: String, steps: Seq[String]): DataFrame = {
     require(steps.nonEmpty, "need at least one funnel step")
-    val perStep = steps.zipWithIndex.scanLeft(Option.empty[DataFrame]) {
-      case (prev, (step, _)) =>
-        val hits = df.filter(col(typeCol) === lit(step))
-        val qualified = prev match {
-          case None => hits
-          case Some(p) =>
-            hits.join(p.select(col(userCol), col("__t").as("__prev")), Seq(userCol))
-              .filter(col(tsCol) >= col("__prev"))
-        }
-        Some(qualified.groupBy(col(userCol)).agg(min(col(tsCol)).as("__t")))
-    }.flatten
-    perStep.zip(steps).zipWithIndex.map { case ((frame, step), i) =>
-      frame.agg(count(lit(1)).as("n_users"))
-        .select(lit(i + 1).cast("int").as("step_idx"), lit(step).as("step"), col("n_users"))
-    }.reduce(_.unionByName(_))
+    val w = Window.partitionBy(col(userCol)).orderBy(col(tsCol))
+      .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    // __c_i = this event's timestamp iff it is a QUALIFIED step-i event
+    // (right type, and some qualified step-(i-1) event at-or-before it)
+    val cascaded = steps.zipWithIndex.foldLeft(df) { case (d, (step, i)) =>
+      val qualified =
+        if (i == 0) col(typeCol) === lit(step)
+        else col(typeCol) === lit(step) && min(col(s"__c_${i - 1}")).over(w).isNotNull
+      d.withColumn(s"__c_$i", when(qualified, col(tsCol)))
+    }
+    val perUser = cascaded.groupBy(col(userCol))
+      .agg(min(col("__c_0")).as("__t_0"),
+        steps.indices.tail.map(i => min(col(s"__c_$i")).as(s"__t_$i")): _*)
+    val totals = perUser.agg(
+      count(col("__t_0")).as("__n_0"),
+      steps.indices.tail.map(i => count(col(s"__t_$i")).as(s"__n_$i")): _*)
+    totals.select(explode(array(steps.zipWithIndex.map { case (step, i) =>
+        struct(lit(i + 1).cast("int").as("step_idx"), lit(step).as("step"),
+          col(s"__n_$i").as("n_users"))
+      }: _*)).as("__s"))
+      .select(col("__s.*"))
   }
 
   // ---- 5. Cohort retention
 
   /** Classic retention matrix: cohort = each user's first activity
     * date; for every (cohort, day offset) count distinct active users.
-    * The first-activity frame is user-dimension sized and equi-joins
-    * back on the user key (co-partitioned with the groupBy that
-    * produced it — one shuffle of the fact table total). Output:
+    * The cohort date is a whole-partition window min over the user key
+    * — no self-join, no second scan: one shuffle to co-locate each
+    * user's events, one partial-aggregating shuffle for the
+    * (cohort, offset) rollup. Output:
     * (cohort DATE, day_offset BIGINT, n_users BIGINT).
     */
   def cohortRetention(df: DataFrame, userCol: String, tsCol: String): DataFrame = {
-    val first = df.groupBy(col(userCol))
-      .agg(min(to_date(col(tsCol))).as("cohort"))
-    df.join(first, Seq(userCol))
+    val w = Window.partitionBy(col(userCol))
+    df.withColumn("cohort", min(to_date(col(tsCol))).over(w))
       .groupBy(col("cohort"),
         datediff(to_date(col(tsCol)), col("cohort")).cast("long").as("day_offset"))
       .agg(countDistinct(col(userCol)).as("n_users"))
