@@ -75,10 +75,15 @@ object QueriesLlm {
       val e = t(s, dir, "embeddings")
       val queries = e.filter(col("vec_id") < 10)
         .select(col("vec_id").as("query_id"), col("embedding"))
+      // the library's prescribed usage: persist the built index once,
+      // derive cell centroids from the PERSISTED frame, probe per batch
+      // — otherwise the probe join and the centroid aggregation each
+      // re-execute the whole k-means build lineage
       val index = graft.llm.Ivf.buildIndex(e, "vec_id", "embedding",
-        nlist = 8, iters = 2)
+        nlist = 8, iters = 2).persist()
+      val cents = graft.llm.Ivf.centroids(index, "embedding")
       graft.llm.Ivf.topK(index, queries, "vec_id", "query_id", "embedding",
-        k = 5, nprobe = 2)
+        k = 5, nprobe = 2, cellCentroids = Some(cents))
     }),
 
     // int8-quantized candidate scan + exact float re-rank (rows-only:

@@ -328,6 +328,11 @@ object Dedup {
     require(numHashes % bands == 0, "numHashes must divide into bands")
     val r = numHashes / bands
     val shingler: Column => Column = wordShingles(_, ngramN)
+    // sh is referenced by both verification joins but stays UNCACHED:
+    // it is one cheap projection off the scan, and materializing the
+    // full shingle-set frame costs more than recomputing it. The band
+    // frame below IS cached — it embeds the 32-hash signature pass and
+    // is only docs x bands small rows.
     val sh = df.select(col(idCol), shingler(col(textCol)).as("__sh"))
     val sig = minhashSignatures(df, idCol, textCol, shingler, numHashes)
     val bandStructs = (0 until bands).map { j =>
@@ -337,6 +342,7 @@ object Dedup {
       sig.select(col(idCol), explode(array(bandStructs: _*)).as("__band"))
         .select(col(idCol), col("__band.b").as("__b"), col("__band.h").as("__h")),
       maxBucketSize)
+      .persist()
     val cand = exploded.as("x").join(exploded.as("y"),
         col("x.__b") === col("y.__b") && col("x.__h") === col("y.__h") &&
           col(s"x.$idCol") < col(s"y.$idCol"))
@@ -435,11 +441,14 @@ object Dedup {
         shiftrightunsigned(col("__sig"), offset).bitwiseAND(lit(mask)).as("h"))
     }
     val sigs = simhashSignatures(df, idCol, textCol)
+    // persisted: both self-join sides reference it, so the simhash
+    // token-vote signature pass runs once, not twice
     val exploded = capBuckets(
       sigs.select(col(idCol), col("__sig"),
           explode(array(bandStructs: _*)).as("__band"))
         .select(col(idCol), col("__sig"), col("__band.b").as("__b"), col("__band.h").as("__h")),
       maxBucketSize)
+      .persist()
     exploded.as("x").join(exploded.as("y"),
         col("x.__b") === col("y.__b") && col("x.__h") === col("y.__h") &&
           col(s"x.$idCol") < col(s"y.$idCol"))

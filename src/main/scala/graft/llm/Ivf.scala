@@ -21,17 +21,20 @@ import org.apache.spark.sql.functions._
 object Ivf {
 
   /** Assign each row the id of its most-similar centroid (by cosine,
-    * deterministic tie-break on centroid id).
+    * deterministic tie-break on centroid id). The argmax is a map-side
+    * combinable `max_by` hash aggregation — no shuffle-and-sort of the
+    * corpus x centroids product (the previous per-id window form
+    * shuffled nlist rows per corpus row; centroid ids are unique, so
+    * max_by over (sim, -cid) is tie-free and deterministic).
     */
   private def assign(df: DataFrame, idCol: String, vecCol: String,
                      centroids: DataFrame): DataFrame = {
-    val w = Window.partitionBy(col(idCol))
-      .orderBy(col("__csim").desc, col("__cid").asc)
+    val payload = struct(df.columns.map(col) :+ col("__cid"): _*)
     df.crossJoin(broadcast(centroids))
       .withColumn("__csim", Similarity.cosine(col(vecCol), col("__cvec")))
-      .withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1)
-      .drop("__csim", "__rn", "__cvec")
+      .groupBy(col(idCol))
+      .agg(max_by(payload, struct(col("__csim"), -col("__cid"))).as("__p"))
+      .select(col("__p.*"))
   }
 
   /** Recompute each cell's centroid as the per-dimension mean. */
@@ -58,8 +61,13 @@ object Ivf {
       .limit(nlist)
       .withColumn("__rn", row_number().over(Window.orderBy(col("__h"), col(idCol))))
       .select(col("__rn").as("__cid"), col(vecCol).as("__cvec"))
-    val centroids = (1 to iters).foldLeft(seeds) { (cent, _) =>
-      recenter(assign(corpus, idCol, vecCol, cent), vecCol)
+    // Each iteration's centroid frame is nlist rows — caching it cuts
+    // the otherwise-nested lineage (iteration i re-embedding every
+    // pass before it, so the corpus would be re-scanned a quadratic
+    // number of times by the final plan) down to one corpus scan per
+    // Lloyd iteration. Negligible memory, plan-level win.
+    val centroids = (1 to iters).foldLeft(seeds.cache()) { (cent, _) =>
+      recenter(assign(corpus, idCol, vecCol, cent), vecCol).cache()
     }
     assign(corpus, idCol, vecCol, centroids)
   }

@@ -43,6 +43,11 @@ object Lof {
       col(vecCol).as("__vo"), col("__n").as("__no"))
     val denom = col("__np") * col("__no")
     val wk = Window.partitionBy(col("p")).orderBy(col("dist").asc, col("o").asc)
+    // The kNN pair list (n x k rows) feeds kdist, reach, lrd AND the
+    // final ratio — four plan references. Persist it (and the equally
+    // bounded reach frame) so the bucket self-join + top-k window runs
+    // ONCE; default Dataset storage spills to disk, so at scale this
+    // costs k x input in cache space, not recomputation.
     val knn = a.join(c, Seq("__bucket"))
       .filter(col("p") =!= col("o"))
       .withColumn("dist",
@@ -51,11 +56,13 @@ object Lof {
       .withColumn("__rn", row_number().over(wk))
       .filter(col("__rn") <= k)
       .select("p", "o", "dist")
+      .persist()
     val kdist = knn.groupBy(col("p"))
       .agg(max(col("dist")).as("kdist"))
     val reach = knn
       .join(kdist.select(col("p").as("o"), col("kdist").as("__kdist_o")), Seq("o"))
       .withColumn("reach", greatest(col("__kdist_o"), col("dist")))
+      .persist()
     // identical points give reach sums of 0 — classic LOF sends lrd to
     // infinity there; cap instead so the ratio stays finite and ordered
     val lrd = reach.groupBy(col("p")).agg(
@@ -63,6 +70,7 @@ object Lof {
       when(sum(col("reach")) > 0.0,
         count(lit(1)).cast("double") / sum(col("reach")))
         .otherwise(lit(1e12)).as("lrd"))
+      .persist()
     reach
       .join(lrd.select(col("p").as("o"), col("lrd").as("__lrd_o")), Seq("o"))
       .groupBy(col("p"))
