@@ -82,8 +82,57 @@ object QueriesRelational {
         .groupBy(col("p_name")).agg(min(col("p_partkey")).as("pid"))
       Relational.fuzzyPairs(vocab, "pid", "p_name", maxDist = 2)
         .select(col("str_a").as("name_a"), col("str_b").as("name_b"), col("dist"))
+    }),
+
+    // near-dup clustering: fuzzy pairs -> connected components (the
+    // oracle unrolls min-label propagation to a fixed depth; the
+    // Spark side iterates to the fixpoint — equal once converged,
+    // and these clusters have tiny diameter)
+    "q_dedup_cluster" -> ((s, dir) => {
+      graft.llm.Dedup.componentLabels(fuzzyNamePairs(s, dir), "name_a", "name_b")
+    }),
+
+    // cluster collapse: one canonical name per fuzzy cluster
+    "q_dedup_collapse" -> ((s, dir) => {
+      val vocab = t(s, dir, "part")
+        .groupBy(col("p_name")).agg(min(col("p_partkey")).as("pid"))
+      graft.llm.Dedup.collapseNearDups(vocab, "p_name", fuzzyNamePairs(s, dir),
+          idACol = "name_a", idBCol = "name_b")
+        .select(col("p_name"))
     })
   )
+
+  private def fuzzyNamePairs(s: SparkSession, dir: String): DataFrame = {
+    val vocab = t(s, dir, "part")
+      .groupBy(col("p_name")).agg(min(col("p_partkey")).as("pid"))
+    Relational.fuzzyPairs(vocab, "pid", "p_name", maxDist = 2)
+      .select(col("str_a").as("name_a"), col("str_b").as("name_b"))
+  }
+
+  /** Shared oracle CTE chain: distinct names -> levenshtein<=2 pairs ->
+    * undirected edges -> 4 unrolled min-label propagation rounds (>=
+    * the cluster diameter, so l4 is the converged labelling).
+    */
+  private val clusterCtes: String =
+    """WITH v AS (SELECT DISTINCT p_name FROM part),
+      |pairs AS (SELECT a.p_name AS na, b.p_name AS nb FROM v a JOIN v b
+      |          ON a.p_name < b.p_name
+      |          WHERE levenshtein(a.p_name, b.p_name) <= 2),
+      |und AS (SELECT na AS u, nb AS w FROM pairs
+      |        UNION ALL SELECT nb AS u, na AS w FROM pairs),
+      |l0 AS (SELECT DISTINCT u AS node, u AS comp FROM und),
+      |l1 AS (SELECT l.node, LEAST(l.comp, MIN(p.comp)) AS comp FROM l0 l
+      |       JOIN und e ON e.u = l.node JOIN l0 p ON p.node = e.w
+      |       GROUP BY l.node, l.comp),
+      |l2 AS (SELECT l.node, LEAST(l.comp, MIN(p.comp)) AS comp FROM l1 l
+      |       JOIN und e ON e.u = l.node JOIN l1 p ON p.node = e.w
+      |       GROUP BY l.node, l.comp),
+      |l3 AS (SELECT l.node, LEAST(l.comp, MIN(p.comp)) AS comp FROM l2 l
+      |       JOIN und e ON e.u = l.node JOIN l2 p ON p.node = e.w
+      |       GROUP BY l.node, l.comp),
+      |l4 AS (SELECT l.node, LEAST(l.comp, MIN(p.comp)) AS comp FROM l3 l
+      |       JOIN und e ON e.u = l.node JOIN l3 p ON p.node = e.w
+      |       GROUP BY l.node, l.comp)""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
 
@@ -151,6 +200,13 @@ object QueriesRelational {
         |SELECT a.p_name AS name_a, b.p_name AS name_b,
         |       CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS dist
         |FROM v a JOIN v b ON a.p_name < b.p_name
-        |WHERE levenshtein(a.p_name, b.p_name) <= 2""".stripMargin
+        |WHERE levenshtein(a.p_name, b.p_name) <= 2""".stripMargin,
+
+    "q_dedup_cluster" ->
+      (clusterCtes + "\nSELECT node, comp AS component FROM l4"),
+
+    "q_dedup_collapse" ->
+      (clusterCtes +
+        "\nSELECT p_name FROM v WHERE p_name NOT IN (SELECT node FROM l4 WHERE comp <> node)")
   )
 }

@@ -552,4 +552,70 @@ object Dedup {
         count(when(col("__docs") < minDocs, 1)).cast("int").as("n_kept"),
         count(when(col("__docs") >= minDocs, 1)).cast("int").as("n_dropped"))
   }
+
+  /** Connected components over an undirected near-duplicate pair list
+    * — the step that turns pairwise matches (from [[minhashLsh]],
+    * [[simhashPairs]], [[ngramJaccardPairsAuto]], or
+    * [[graft.operators.Relational.fuzzyPairs]]) into canonical dup
+    * CLUSTERS. Min-label propagation: every node starts as its own
+    * label; each round takes the min of its own and its neighbours'
+    * labels; converges in diameter(G) rounds, which for near-dup
+    * graphs is tiny (clusters are stars/short chains around a shared
+    * template). Each round is two equi-join shuffles on the node key;
+    * rounds persist their (node, label) frame — bounded at one row per
+    * distinct node — and the loop stops early on a fixpoint, checked
+    * with a cheap existence probe. For adversarial long-path graphs
+    * raise `maxIters` (or use a doubling scheme); this is the same
+    * contract as GraphX's iterative CC without the RDD detour.
+    * Output: (node, component) where component = min node id reachable.
+    */
+  def componentLabels(edges: DataFrame, srcCol: String, dstCol: String,
+                      maxIters: Int = 20): DataFrame = {
+    require(maxIters >= 1, "need at least one iteration")
+    // The label frame feeds TWO references per round (neighbour join +
+    // fold-in join), so without lineage truncation the logical plan
+    // doubles every iteration — eager localCheckpoint flattens each
+    // round to a materialized LogicalRDD (the same device GraphFrames
+    // uses for its iterative algorithms). Un-replicated checkpoint
+    // blocks are rebuilt by Spark's normal task retry on executor
+    // loss; superseded rounds are dropped by the context cleaner.
+    val und = edges.select(col(srcCol).as("__u"), col(dstCol).as("__v"))
+      .union(edges.select(col(dstCol).as("__u"), col(srcCol).as("__v")))
+    var labels = und.select(col("__u").as("node")).distinct()
+      .withColumn("component", col("node")).localCheckpoint()
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIters) {
+      val nbrMin = und
+        .join(labels.select(col("node").as("__v"), col("component").as("__cv")), Seq("__v"))
+        .groupBy(col("__u")).agg(min(col("__cv")).as("__nbmin"))
+        .select(col("__u").as("node"), col("__nbmin"))
+      val next = labels.join(nbrMin, Seq("node"))
+        .select(col("node"), least(col("component"), col("__nbmin")).as("component"))
+        .localCheckpoint()
+      converged = next
+        .join(labels.withColumnRenamed("component", "__old"), Seq("node"))
+        .filter(col("component") =!= col("__old"))
+        .isEmpty
+      labels = next
+      i += 1
+    }
+    labels
+  }
+
+  /** Collapse near-duplicate clusters to one canonical row each: given
+    * the pair list, keep exactly the rows whose id is its component's
+    * minimum (unpaired rows are their own singleton component and
+    * always survive). One components run + one broadcast-or-shuffled
+    * left join against the (distinct-node-sized) label frame.
+    */
+  def collapseNearDups(df: DataFrame, idCol: String, pairs: DataFrame,
+                       idACol: String = "id_a", idBCol: String = "id_b",
+                       maxIters: Int = 20): DataFrame = {
+    val comp = componentLabels(pairs, idACol, idBCol, maxIters)
+      .withColumnRenamed("node", idCol)
+    df.join(comp, Seq(idCol), "left")
+      .filter(col("component").isNull || col("component") === col(idCol))
+      .drop("component")
+  }
 }

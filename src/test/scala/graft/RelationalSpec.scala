@@ -149,6 +149,51 @@ class RelationalSpec extends SparkSpec {
     assert(r.forall { case (a, b, d) => a < b && d >= 1 && d <= 2 })
   }
 
+  test("componentLabels finds min-label components on chains and pairs") {
+    val edges = Seq(("a", "b"), ("b", "c"), ("d", "e")).toDF("s", "d")
+    val r = graft.llm.Dedup.componentLabels(edges, "s", "d")
+      .as[(String, String)].collect().toMap
+    assert(r == Map("a" -> "a", "b" -> "a", "c" -> "a", "d" -> "d", "e" -> "d"))
+  }
+
+  test("componentLabels converges on a long path (diameter > a few hops)") {
+    val edges = (0 until 12).map(i => (i.toLong, i + 1L)).toDF("s", "d")
+    val r = graft.llm.Dedup.componentLabels(edges, "s", "d")
+      .as[(Long, Long)].collect()
+    assert(r.length == 13 && r.forall(_._2 == 0L))
+  }
+
+  test("componentLabels agrees with union-find on a random graph") {
+    val rnd = new scala.util.Random(7)
+    val n = 40
+    val edges = Seq.fill(30)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+      .filter { case (a, b) => a != b }
+    // driver-side union-find ground truth
+    val parent = Array.tabulate(n)(identity)
+    def find(x: Int): Int = if (parent(x) == x) x else { parent(x) = find(parent(x)); parent(x) }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a.toInt), find(b.toInt))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val want = edges.flatMap(e => Seq(e._1, e._2)).distinct
+      .map(v => v -> {
+        // canonical label = min node id in the component, among TOUCHED nodes
+        val r = find(v.toInt)
+        edges.flatMap(e => Seq(e._1, e._2)).distinct.filter(u => find(u.toInt) == r).min
+      }).toMap
+    val got = graft.llm.Dedup.componentLabels(edges.toDF("s", "d"), "s", "d")
+      .as[(Long, Long)].collect().toMap
+    assert(got == want)
+  }
+
+  test("collapseNearDups keeps singletons and one representative per cluster") {
+    val df = Seq((1L, "x"), (2L, "y"), (3L, "z"), (9L, "solo")).toDF("id", "v")
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("id_a", "id_b")
+    val kept = graft.llm.Dedup.collapseNearDups(df, "id", pairs)
+      .select("id").as[Long].collect().toSet
+    assert(kept == Set(1L, 9L))
+  }
+
   test("fuzzyPairs matches brute-force levenshtein on real part names") {
     val vocab = table("part").groupBy(col("p_name")).agg(min(col("p_partkey")).as("pid"))
     val got = Relational.fuzzyPairs(vocab, "pid", "p_name", maxDist = 3)
