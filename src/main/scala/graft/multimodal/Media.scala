@@ -74,26 +74,69 @@ object Media {
   private val dimsUdf = udf((b: Array[Byte]) =>
     parseImageDims(b).map { case (f, w, h) => ImageDims(f, w, h) }.orNull)
 
+  /** Real RIFF/WAVE container parsing: channel count, sample rate and
+    * bit depth come from the `fmt ` chunk, duration from the `data`
+    * chunk size over the declared byte rate — a chunk walk over raw
+    * bytes, no codec involved (like [[parseImageDims]], this is the
+    * honestly-implementable part of audio "decode"; sample decoding
+    * stays stubbed). Chunks are word-aligned per the RIFF spec, so odd
+    * sizes skip a pad byte.
+    */
+  def parseWavMeta(bytes: Array[Byte]): Option[(Int, Int, Int, Long)] = {
+    if (bytes == null || bytes.length < 44) return None
+    def u8(i: Int) = bytes(i) & 0xFF
+    def le16(i: Int) = u8(i) | (u8(i + 1) << 8)
+    def le32(i: Int) = u8(i).toLong | (u8(i + 1).toLong << 8) |
+      (u8(i + 2).toLong << 16) | (u8(i + 3).toLong << 24)
+    def tag(i: Int) = new String(bytes, i, 4, java.nio.charset.StandardCharsets.US_ASCII)
+    if (tag(0) != "RIFF" || tag(8) != "WAVE") return None
+    var channels, sampleRate, bits = -1
+    var byteRate = -1L
+    var dataSize = -1L
+    var i = 12
+    while (i + 8 <= bytes.length && (dataSize < 0 || byteRate < 0)) {
+      val id = tag(i)
+      val size = le32(i + 4)
+      if (id == "fmt " && i + 8 + 16 <= bytes.length) {
+        channels = le16(i + 10)
+        sampleRate = le32(i + 12).toInt
+        byteRate = le32(i + 16)
+        bits = le16(i + 22)
+      } else if (id == "data") dataSize = size
+      i += 8 + size.toInt + (size % 2).toInt // word alignment pad
+    }
+    if (channels <= 0 || byteRate <= 0 || dataSize < 0) None
+    else Some((channels, sampleRate, bits, dataSize * 1000L / byteRate))
+  }
+
+  final case class AudioMeta(channels: Int, sample_rate: Int, bits: Int, duration_ms: Long)
+  private val wavUdf = udf((b: Array[Byte]) =>
+    parseWavMeta(b).map { case (c, r, s, d) => AudioMeta(c, r, s, d) }.orNull)
+
   /** Attach a media metadata struct to a binary column. Image
-    * width/height come from REAL header parsing ([[parseImageDims]])
-    * when the blob carries a known magic number; unrecognizable image
-    * bytes fall back to the deterministic stub pseudo-dims (this
-    * container ships no codecs to do better). Audio/video duration is
-    * stub only.
+    * width/height come from REAL header parsing ([[parseImageDims]]),
+    * audio duration from REAL RIFF/WAVE parsing ([[parseWavMeta]])
+    * when the blob carries a known magic number; unrecognized bytes
+    * fall back to the deterministic stub pseudo-values (this container
+    * ships no codecs to do better). Video duration is stub only.
     */
   def withMetadata(df: DataFrame, binCol: String, mime: String,
                    metaCol: String = "media_meta"): DataFrame = {
     val bytes = col(binCol)
     val n = length(bytes).cast("long")
     val isImage = lit(mime).startsWith("image")
+    val isAudio = lit(mime).startsWith("audio")
     val parsed = dimsUdf(bytes)
+    val wav = wavUdf(bytes)
     df.withColumn(metaCol, struct(
       lit(mime).as("mime"),
       when(isImage, coalesce(parsed.getField("width"),
         (pmod(n, lit(1024L)) + 1L).cast("int"))).otherwise(lit(null).cast("int")).as("width"),
       when(isImage, coalesce(parsed.getField("height"),
         (pmod(n, lit(768L)) + 1L).cast("int"))).otherwise(lit(null).cast("int")).as("height"),
-      when(!isImage, n * 8L).otherwise(lit(null).cast("long")).as("duration_ms"),
+      when(isAudio, coalesce(wav.getField("duration_ms"), n * 8L))
+        .when(!isImage, n * 8L)
+        .otherwise(lit(null).cast("long")).as("duration_ms"),
       n.as("n_bytes")))
   }
 

@@ -16,11 +16,13 @@ import org.apache.spark.sql.types.{ArrayType, StructType}
   * page URL list is a Dataset distributed across executors, each task
   * fetches its pages with plain JDK HTTP (no driver dependency) and
   * the payload is parsed with a DECLARED schema through `from_json` —
-  * never driver-side accumulation, never schema inference over
-  * network data. Page-numbered and offset pagination distribute
+  * never driver-side accumulation of RECORDS, never schema inference
+  * over network data. Page-numbered and offset pagination distribute
   * (page count known up front, e.g. from a count endpoint); cursor
-  * pagination is inherently sequential and out of scope — land such
-  * feeds to object storage first.
+  * pagination ([[readCursor]]) is inherently a sequential chain — the
+  * driver walks the cursor handing each raw page body off, and only
+  * the payload PARSE distributes. Bound it with maxPages and prefer
+  * landing unbounded cursor feeds to object storage.
   *
   * The whole config is a serializable case class, so the fetch closure
   * ships to executors as-is.
@@ -62,9 +64,11 @@ final case class RestSource(
     case _        => Map.empty
   }
 
-  def pageUrl(n: Int): String = {
-    val all = params ++ paginationParams(n)
-    val qs = all.map { case (k, v) =>
+  def pageUrl(n: Int): String = urlWith(paginationParams(n))
+
+  /** Endpoint URL with `params` plus the given extra query params. */
+  def urlWith(extra: Map[String, String]): String = {
+    val qs = (params ++ extra).map { case (k, v) =>
       URLEncoder.encode(k, "UTF-8") + "=" + URLEncoder.encode(v, "UTF-8")
     }.mkString("&")
     val sep = if (qs.isEmpty) "" else if (endpoint.contains("?")) "&" else "?"
@@ -131,6 +135,52 @@ final case class RestSource(
       .repartition(parallelism)
       .map(url => self.fetch(url))(Encoders.STRING)
       .toDF("__body")
+    parseBodies(bodies, schema)
+  }
+
+  /** Cursor-paginated read — ref api_connector.py's cursor mode. A
+    * cursor chain is sequential BY CONSTRUCTION (page n+1's address
+    * only exists inside page n's response), so the driver walks the
+    * chain fetching raw bodies — records are never accumulated
+    * driver-side, and the JSON parse + explode still distribute. The
+    * walk stops when the response's `cursorField` is null/absent/empty
+    * or after `maxPages` (unbounded feeds belong in object storage,
+    * not a query plan).
+    */
+  def readCursor(spark: SparkSession, schema: StructType, maxPages: Int,
+                 cursorField: String = "next_cursor",
+                 cursorParam: String = "cursor"): DataFrame = {
+    require(maxPages >= 1, "maxPages >= 1")
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val bodies = scala.collection.mutable.ArrayBuffer.empty[String]
+    var cursor = Option.empty[String]
+    var done = false
+    while (!done && bodies.length < maxPages) {
+      val extra = Map(sizeParam -> pageSize.toString) ++ cursor.map(cursorParam -> _)
+      val body = fetch(urlWith(extra))
+      bodies += body
+      cursor =
+        try {
+          val node = mapper.readTree(body).get(cursorField)
+          Option(node).filter(n => !n.isNull && n.asText.nonEmpty).map(_.asText)
+        } catch { case _: IOException => None }
+      done = cursor.isEmpty
+    }
+    val parallelism = math.min(bodies.length, spark.sparkContext.defaultParallelism)
+    parseBodies(
+      spark.createDataset(bodies.toSeq)(Encoders.STRING)
+        .repartition(parallelism).toDF("__body"),
+      schema)
+  }
+
+  /** Cut each raw page body to the record array and parse it against
+    * the declared schema. A page whose payload lacks the record array
+    * (misconfigured `dataField`, an HTTP-200 error envelope, malformed
+    * JSON) FAILS the read rather than silently contributing zero rows
+    * — an HTTP-level error retries/fails loudly, so a payload-level
+    * one must too.
+    */
+  private def parseBodies(bodies: DataFrame, schema: StructType): DataFrame = {
     val arrJson =
       if (dataField.isEmpty) col("__body")
       else get_json_object(col("__body"), s"$$.$dataField")

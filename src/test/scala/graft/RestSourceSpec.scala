@@ -51,6 +51,21 @@ class RestSourceSpec extends SparkSpec with org.scalatest.BeforeAndAfterAll {
       else respond(ex, 200, """[{"id": 7, "name": "ok", "price": 1.0}]""")
     })
     server.createContext("/api/secret", (ex: HttpExchange) => respond(ex, 404, "no"))
+    // cursor chain: c0 -> c1 -> c2 (last page has next_cursor null);
+    // 2 records per page, ids keyed off the cursor ordinal
+    server.createContext("/api/cursor", (ex: HttpExchange) => {
+      val q = Option(ex.getRequestURI.getQuery).getOrElse("")
+      val params = q.split("&").filter(_.contains("=")).map { kv =>
+        val Array(k, v) = kv.split("=", 2); k -> v
+      }.toMap
+      val ord = params.get("cursor").map(_.stripPrefix("c").toInt + 1).getOrElse(0)
+      val recs = (1 to 2).map { i =>
+        val id = ord * 2 + i
+        s"""{"id": $id, "name": "item$id", "price": ${id * 1.5}}"""
+      }
+      val next = if (ord >= 2) "null" else s""""c$ord""""
+      respond(ex, 200, s"""{"data": [${recs.mkString(",")}], "next_cursor": $next}""")
+    })
     server.start()
     base = s"http://127.0.0.1:${server.getAddress.getPort}"
   }
@@ -74,6 +89,16 @@ class RestSourceSpec extends SparkSpec with org.scalatest.BeforeAndAfterAll {
     assert(rows.map(_.getLong(0)).toSeq == (1L to 6L))
     assert(rows.head.getString(1) == "item1" && rows.head.getDouble(2) == 1.5)
     assert(lastAuthHeader.contains("Bearer t0ken")) // auth reached the wire
+  }
+
+  test("cursor pagination walks the chain to its end and stops") {
+    val src = RestSource(base, "/api/cursor", pagination = "none",
+      pageSize = 2, dataField = "data")
+    val rows = src.readCursor(spark, schema, maxPages = 10).orderBy("id").collect()
+    assert(rows.map(_.getLong(0)).toSeq == (1L to 6L)) // 3 pages, then null cursor
+    // maxPages caps an unbounded-looking walk
+    val capped = src.readCursor(spark, schema, maxPages = 2)
+    assert(capped.count() == 4)
   }
 
   test("offset pagination computes offsets, page mode computes page numbers") {

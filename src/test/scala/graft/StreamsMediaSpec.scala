@@ -247,6 +247,43 @@ class StreamsMediaSpec extends SparkSpec {
     assert(meta(1)._2 > 0 && meta(1)._3 > 0) // junk falls back to the stub
   }
 
+  test("Media.parseWavMeta reads real RIFF/WAVE headers") {
+    // hand-built canonical WAV: RIFF + fmt (PCM stereo 44.1k/16) + data
+    def wav(dataSize: Int, extraChunk: Boolean = false,
+            oddExtra: Boolean = false): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(200).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put("RIFF".getBytes).putInt(0).put("WAVE".getBytes)
+      if (extraChunk) {
+        val sz = if (oddExtra) 3 else 4
+        bb.put("LIST".getBytes).putInt(sz).put(Array.fill(sz + (sz % 2))(0x20.toByte))
+      }
+      bb.put("fmt ".getBytes).putInt(16)
+        .putShort(1).putShort(2)            // PCM, 2 channels
+        .putInt(44100).putInt(44100 * 4)    // sample rate, byte rate
+        .putShort(4).putShort(16)           // block align, bits
+      bb.put("data".getBytes).putInt(dataSize)
+      java.util.Arrays.copyOf(bb.array(), bb.position())
+    }
+    // 44100*4 bytes/sec -> 176400 bytes = 1000 ms
+    assert(Media.parseWavMeta(wav(176400) ++ new Array[Byte](0))
+      .contains((2, 44100, 16, 1000L)))
+    assert(Media.parseWavMeta(wav(88200)).contains((2, 44100, 16, 500L)))
+    // a LIST chunk before fmt/data must be walked over, odd sizes pad
+    assert(Media.parseWavMeta(wav(176400, extraChunk = true)).contains((2, 44100, 16, 1000L)))
+    assert(Media.parseWavMeta(wav(176400, extraChunk = true, oddExtra = true))
+      .contains((2, 44100, 16, 1000L)))
+    assert(Media.parseWavMeta("RIFFxxxxJUNK and then some padding".getBytes).isEmpty)
+    assert(Media.parseWavMeta("too short".getBytes).isEmpty)
+    assert(Media.parseWavMeta(null).isEmpty)
+    // through the DataFrame surface: parsed duration beats the stub
+    val df = Seq((1L, wav(88200)), (2L, "junkaudio".getBytes)).toDF("id", "blob")
+    val meta = Media.withMetadata(df, "blob", "audio/wav")
+      .select(col("id"), col("media_meta.duration_ms"))
+      .as[(Long, Long)].collect().sortBy(_._1)
+    assert(meta(0) == ((1L, 500L)))        // real header parse
+    assert(meta(1)._2 == 9L * 8L)          // junk falls back to the stub
+  }
+
   test("Media.extractFeatures emits deterministic fixed-width vectors") {
     val df = Seq((1L, "aaa".getBytes), (2L, "bbb".getBytes)).toDF("id", "blob")
     val f1 = Media.extractFeatures(df, "blob", "id", dim = 8).collect()
