@@ -117,6 +117,12 @@ object QueriesDQ {
         DQ.TypeCastable("tc_price_dec", "o_totalprice", "DECIMAL(18,2)")))
     }),
 
+    // join-key skew profile: heaviest keys + ratio to the mean key
+    // weight (the salted-join / AQE-skew decision input at scale)
+    "q_dq_skew" -> ((s, dir) => {
+      DQ.keySkew(t(s, dir, "orders"), Seq("o_custkey"), topN = 10)
+    }),
+
     // statistical distribution / chi-square — ref dq_rule_examples.py:980
     "q_dq_distribution" -> ((s, dir) => {
       DQ.distribution(t(s, dir, "lineitem"), "l_quantity",
@@ -293,6 +299,14 @@ object QueriesDQ {
         checkOracle("orders", "tc_price_dec", "validity", "o_totalprice",
           "o_totalprice IS NOT NULL AND TRY_CAST(o_totalprice AS DECIMAL(18,2)) IS NULL")
       ).mkString("\nUNION ALL\n"),
+
+    "q_dq_skew" ->
+      """WITH c AS (SELECT o_custkey, COUNT(*) AS n FROM orders GROUP BY o_custkey),
+        |s AS (SELECT CAST(SUM(n) AS BIGINT) AS total, COUNT(*) AS nkeys FROM c)
+        |SELECT o_custkey, CAST(n AS BIGINT) AS n,
+        |       ROUND(n / total, 6) AS share,
+        |       ROUND(n * nkeys / total, 6) AS ratio_to_avg
+        |FROM c, s ORDER BY n DESC, o_custkey LIMIT 10""".stripMargin,
 
     "q_dq_distribution" -> {
       val edges = Seq(1.0, 11.0, 21.0, 31.0, 41.0, 51.0)

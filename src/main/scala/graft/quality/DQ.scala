@@ -368,4 +368,26 @@ object DQ {
             round((col("n") * col("__sxy") - col("__sx") * col("__sy")) / denom, 10))
             .as("corr_val")
         })
+
+  /** Join/partition-key skew profile: the `topN` heaviest key values
+    * with their row share and ratio to the mean key weight — the
+    * number that says whether a key needs [[graft.operators.Ops.saltedJoin]]
+    * or AQE skew handling before it becomes the straggler task at
+    * scale. One hash aggregation (map-side combined), a two-scalar
+    * broadcast for the totals, and a distributed TakeOrdered for the
+    * top slice — the fact table never sorts globally.
+    * Output: (keyCols..., n, share, ratio_to_avg), heaviest first,
+    * ties broken by the key columns ascending.
+    */
+  def keySkew(df: DataFrame, keyCols: Seq[String], topN: Int = 10): DataFrame = {
+    require(keyCols.nonEmpty && topN >= 1, "need key columns and topN >= 1")
+    val counts = df.groupBy(keyCols.map(col): _*).agg(count(lit(1)).as("n"))
+    val stats = counts.agg(sum(col("n")).as("__total"), count(lit(1)).as("__nkeys"))
+    counts.crossJoin(broadcast(stats))
+      .withColumn("share", round(col("n") / col("__total"), 6))
+      .withColumn("ratio_to_avg", round(col("n") * col("__nkeys") / col("__total"), 6))
+      .orderBy(col("n").desc +: keyCols.map(col(_).asc): _*)
+      .limit(topN)
+      .drop("__total", "__nkeys")
+  }
 }

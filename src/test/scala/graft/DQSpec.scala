@@ -155,4 +155,12 @@ class DQSpec extends SparkSpec {
     val c = DQ.correlation(lin, "x", "y").head().getAs[Double]("corr_val")
     assert(math.abs(c - 1.0) < 1e-12)
   }
+
+  test("keySkew surfaces the hot key with its share and ratio-to-average") {
+    // key "hot" has 6 of 10 rows across 3 distinct keys: share 0.6, ratio 1.8
+    val df = (Seq.fill(6)("hot") ++ Seq.fill(3)("warm") ++ Seq("cold")).toDF("k")
+    val top = DQ.keySkew(df, Seq("k"), topN = 2)
+      .as[(String, Long, Double, Double)].collect().toSeq
+    assert(top == Seq(("hot", 6L, 0.6, 1.8), ("warm", 3L, 0.3, 0.9)))
+  }
 }
