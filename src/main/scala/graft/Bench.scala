@@ -18,7 +18,12 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
     // SPARK_GRAFT_ONLY=q_a,q_b narrows the run for local perf iteration;
     // the driver never sets it, so official numbers always cover all.
+    // Unknown names fail loudly rather than silently timing nothing.
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").map(_.trim).toSet)
+    only.foreach { ns =>
+      val unknown = ns -- SparkEntry.queries.keySet
+      require(unknown.isEmpty, s"SPARK_GRAFT_ONLY names unknown queries: ${unknown.mkString(",")}")
+    }
     val names = SparkEntry.queries.keys.toSeq.sorted
       .filter(n => only.forall(_.contains(n)))
 

@@ -305,7 +305,7 @@ object QueriesDQ {
         |s AS (SELECT CAST(SUM(n) AS BIGINT) AS total, COUNT(*) AS nkeys FROM c)
         |SELECT o_custkey, CAST(n AS BIGINT) AS n,
         |       ROUND(n / total, 6) AS share,
-        |       ROUND(n * nkeys / total, 6) AS ratio_to_avg
+        |       ROUND(n / total * nkeys, 6) AS ratio_to_avg
         |FROM c, s ORDER BY n DESC, o_custkey LIMIT 10""".stripMargin,
 
     "q_dq_distribution" -> {

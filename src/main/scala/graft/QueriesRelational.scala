@@ -78,9 +78,7 @@ object QueriesRelational {
     // fuzzy vocabulary matching: distinct part names within edit
     // distance 2 (length-banded candidates + codegen'd levenshtein)
     "q_fuzzy" -> ((s, dir) => {
-      val vocab = t(s, dir, "part")
-        .groupBy(col("p_name")).agg(min(col("p_partkey")).as("pid"))
-      Relational.fuzzyPairs(vocab, "pid", "p_name", maxDist = 2)
+      Relational.fuzzyPairs(nameVocab(s, dir), "pid", "p_name", maxDist = 2)
         .select(col("str_a").as("name_a"), col("str_b").as("name_b"), col("dist"))
     }),
 
@@ -94,20 +92,21 @@ object QueriesRelational {
 
     // cluster collapse: one canonical name per fuzzy cluster
     "q_dedup_collapse" -> ((s, dir) => {
-      val vocab = t(s, dir, "part")
-        .groupBy(col("p_name")).agg(min(col("p_partkey")).as("pid"))
-      graft.llm.Dedup.collapseNearDups(vocab, "p_name", fuzzyNamePairs(s, dir),
-          idACol = "name_a", idBCol = "name_b")
+      graft.llm.Dedup.collapseNearDups(nameVocab(s, dir), "p_name",
+          fuzzyNamePairs(s, dir), idACol = "name_a", idBCol = "name_b")
         .select(col("p_name"))
     })
   )
 
-  private def fuzzyNamePairs(s: SparkSession, dir: String): DataFrame = {
-    val vocab = t(s, dir, "part")
-      .groupBy(col("p_name")).agg(min(col("p_partkey")).as("pid"))
-    Relational.fuzzyPairs(vocab, "pid", "p_name", maxDist = 2)
+  /** The deduplicated part-name vocabulary every fuzzy/cluster query
+    * shares (single definition so query and pair list cannot drift).
+    */
+  private def nameVocab(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "part").groupBy(col("p_name")).agg(min(col("p_partkey")).as("pid"))
+
+  private def fuzzyNamePairs(s: SparkSession, dir: String): DataFrame =
+    Relational.fuzzyPairs(nameVocab(s, dir), "pid", "p_name", maxDist = 2)
       .select(col("str_a").as("name_a"), col("str_b").as("name_b"))
-  }
 
   /** Shared oracle CTE chain: distinct names -> levenshtein<=2 pairs ->
     * undirected edges -> 4 unrolled min-label propagation rounds (>=

@@ -332,7 +332,10 @@ object Dedup {
     // it is one cheap projection off the scan, and materializing the
     // full shingle-set frame costs more than recomputing it. The band
     // frame below IS cached — it embeds the 32-hash signature pass and
-    // is only docs x bands small rows.
+    // is only docs x bands small rows. Cache lifetime: session-scoped
+    // (an operator returning a lazy frame cannot know when its caller
+    // is done) — long-lived sessions hammering these operators should
+    // `spark.catalog.clearCache()` between corpora.
     val sh = df.select(col(idCol), shingler(col(textCol)).as("__sh"))
     val sig = minhashSignatures(df, idCol, textCol, shingler, numHashes)
     val bandStructs = (0 until bands).map { j =>
@@ -576,9 +579,11 @@ object Dedup {
     // fold-in join), so without lineage truncation the logical plan
     // doubles every iteration — eager localCheckpoint flattens each
     // round to a materialized LogicalRDD (the same device GraphFrames
-    // uses for its iterative algorithms). Un-replicated checkpoint
-    // blocks are rebuilt by Spark's normal task retry on executor
-    // loss; superseded rounds are dropped by the context cleaner.
+    // uses for its iterative algorithms). Trade-off: localCheckpoint
+    // blocks live in executor-local storage WITHOUT lineage, so losing
+    // an executor mid-run fails the job (rerun it) — on preemptible
+    // clusters switch to reliable `checkpoint` with a checkpoint dir.
+    // Superseded rounds are dropped by the context cleaner.
     val und = edges.select(col(srcCol).as("__u"), col(dstCol).as("__v"))
       .union(edges.select(col(dstCol).as("__u"), col(srcCol).as("__v")))
     var labels = und.select(col("__u").as("node")).distinct()
@@ -600,6 +605,12 @@ object Dedup {
       labels = next
       i += 1
     }
+    // an unconverged labelling is WRONG (one component reported as
+    // several) — fail loudly rather than hand back plausible garbage
+    if (!converged)
+      throw new IllegalStateException(
+        s"componentLabels did not converge in $maxIters iterations — " +
+          "the pair graph has a longer path than expected; raise maxIters")
     labels
   }
 

@@ -94,7 +94,8 @@ object Media {
     var byteRate = -1L
     var dataSize = -1L
     var i = 12
-    while (i + 8 <= bytes.length && (dataSize < 0 || byteRate < 0)) {
+    var walking = true
+    while (walking && i + 8 <= bytes.length && (dataSize < 0 || byteRate < 0)) {
       val id = tag(i)
       val size = le32(i + 4)
       if (id == "fmt " && i + 8 + 16 <= bytes.length) {
@@ -103,7 +104,13 @@ object Media {
         byteRate = le32(i + 16)
         bits = le16(i + 22)
       } else if (id == "data") dataSize = size
-      i += 8 + size.toInt + (size % 2).toInt // word alignment pad
+      // advance in Long: a hostile/corrupt 32-bit size would otherwise
+      // wrap the Int arithmetic to zero (infinite loop) or negative
+      // (index crash); a chunk claiming to run past the buffer ends the
+      // walk — whatever was parsed so far decides the result
+      val next = i.toLong + 8L + size + (size % 2) // word alignment pad
+      if (next <= i || next > bytes.length.toLong) walking = false
+      else i = next.toInt
     }
     if (channels <= 0 || byteRate <= 0 || dataSize < 0) None
     else Some((channels, sampleRate, bits, dataSize * 1000L / byteRate))

@@ -135,6 +135,7 @@ object Relational {
       .withColumn("bin_lo", lit(lo) + col("bin") * lit(width))
       .withColumn("bin_hi", lit(lo) + (col("bin") + lit(1L)) * lit(width))
       .select(col("bin"), col("bin_lo"), col("bin_hi"), col("n"))
+      .orderBy(col("bin"))
   }
 
   // ---- 4. Funnel analysis

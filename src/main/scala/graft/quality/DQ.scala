@@ -385,7 +385,10 @@ object DQ {
     val stats = counts.agg(sum(col("n")).as("__total"), count(lit(1)).as("__nkeys"))
     counts.crossJoin(broadcast(stats))
       .withColumn("share", round(col("n") / col("__total"), 6))
-      .withColumn("ratio_to_avg", round(col("n") * col("__nkeys") / col("__total"), 6))
+      // divide BEFORE multiplying: n * nkeys as long math overflows
+      // 2^63 exactly at the hot-key-on-a-huge-table scale this
+      // profiler exists for (the oracle uses the same shape)
+      .withColumn("ratio_to_avg", round(col("n") / col("__total") * col("__nkeys"), 6))
       .orderBy(col("n").desc +: keyCols.map(col(_).asc): _*)
       .limit(topN)
       .drop("__total", "__nkeys")

@@ -47,7 +47,10 @@ object Lof {
     // final ratio — four plan references. Persist it (and the equally
     // bounded reach frame) so the bucket self-join + top-k window runs
     // ONCE; default Dataset storage spills to disk, so at scale this
-    // costs k x input in cache space, not recomputation.
+    // costs k x input in cache space, not recomputation. Caches are
+    // session-scoped (the returned frame is lazy, so the operator
+    // cannot unpersist for its caller) — long-lived sessions should
+    // `spark.catalog.clearCache()` between corpora.
     val knn = a.join(c, Seq("__bucket"))
       .filter(col("p") =!= col("o"))
       .withColumn("dist",

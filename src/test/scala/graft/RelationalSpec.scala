@@ -163,6 +163,13 @@ class RelationalSpec extends SparkSpec {
     assert(r.length == 13 && r.forall(_._2 == 0L))
   }
 
+  test("componentLabels refuses to return an unconverged labelling") {
+    val edges = (0 until 6).map(i => (i.toLong, i + 1L)).toDF("s", "d")
+    val e = intercept[IllegalStateException](
+      graft.llm.Dedup.componentLabels(edges, "s", "d", maxIters = 2).collect())
+    assert(e.getMessage.contains("did not converge"))
+  }
+
   test("componentLabels agrees with union-find on a random graph") {
     val rnd = new scala.util.Random(7)
     val n = 40

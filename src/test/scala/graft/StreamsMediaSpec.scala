@@ -275,6 +275,16 @@ class StreamsMediaSpec extends SparkSpec {
     assert(Media.parseWavMeta("RIFFxxxxJUNK and then some padding".getBytes).isEmpty)
     assert(Media.parseWavMeta("too short".getBytes).isEmpty)
     assert(Media.parseWavMeta(null).isEmpty)
+    // hostile chunk sizes: 0xFFFFFFF8 wrapped Int advance to zero
+    // (infinite loop), 0x7FFFFFFF overflowed it negative (index crash)
+    def hostile(size: Int): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(64).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put("RIFF".getBytes).putInt(0).put("WAVE".getBytes)
+      bb.put("LIST".getBytes).putInt(size).put(Array.fill(16)(0x20.toByte))
+      java.util.Arrays.copyOf(bb.array(), bb.position())
+    }
+    assert(Media.parseWavMeta(hostile(0xFFFFFFF8)).isEmpty)
+    assert(Media.parseWavMeta(hostile(0x7FFFFFFF)).isEmpty)
     // through the DataFrame surface: parsed duration beats the stub
     val df = Seq((1L, wav(88200)), (2L, "junkaudio".getBytes)).toDF("id", "blob")
     val meta = Media.withMetadata(df, "blob", "audio/wav")
