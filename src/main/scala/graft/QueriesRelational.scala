@@ -44,6 +44,23 @@ object QueriesRelational {
           coalesce(col("click_event_id"), lit(-1L)).as("click_event_id"))
     }),
 
+    // nearest-direction as-of with tolerance (pandas
+    // merge_asof(direction='nearest', tolerance=...)): closest click
+    // within 2h either side, ties backward
+    "q_asof_nearest" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val err = ev.filter(col("event_type") === "error")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val clk = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts"), col("event_id"))
+      Relational.asofJoin(err, clk, Seq("user_id"), "ts", "ts",
+          payloadCols = Seq("event_id"), direction = "nearest",
+          prefix = "near_", toleranceSeconds = 7200L)
+        .select(col("event_id"), col("user_id"), col("ts"),
+          coalesce(col("near_ts"), lit(noClickTs).cast("timestamp")).as("near_ts"),
+          coalesce(col("near_event_id"), lit(-1L)).as("near_event_id"))
+    }),
+
     // range join: every event falling in the 24h incident window after
     // an error by the same user, aggregated per incident
     "q_range_join" -> ((s, dir) => {
@@ -149,6 +166,33 @@ object QueriesRelational {
          |  date_trunc('microseconds', COALESCE(m2.click_ts, TIMESTAMP '$noClickTs')) AS click_ts,
          |  CAST(COALESCE(m2.click_event_id, -1) AS BIGINT) AS click_event_id
          |FROM err e LEFT JOIN m2 ON m2.event_id = e.event_id""".stripMargin,
+
+    "q_asof_nearest" ->
+      s"""WITH err AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'error'),
+         |clk AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
+         |mb AS (SELECT e.event_id, MAX(c.ts) AS bts FROM err e JOIN clk c
+         |       ON c.user_id = e.user_id AND c.ts <= e.ts
+         |          AND c.ts >= e.ts - INTERVAL 2 HOURS
+         |       GROUP BY e.event_id),
+         |mf AS (SELECT e.event_id, MIN(c.ts) AS fts FROM err e JOIN clk c
+         |       ON c.user_id = e.user_id AND c.ts >= e.ts
+         |          AND c.ts <= e.ts + INTERVAL 2 HOURS
+         |       GROUP BY e.event_id),
+         |pick AS (SELECT e.event_id, e.user_id, e.ts,
+         |  CASE WHEN mf.fts IS NULL THEN mb.bts
+         |       WHEN mb.bts IS NOT NULL
+         |            AND epoch_us(e.ts) - epoch_us(mb.bts)
+         |                <= epoch_us(mf.fts) - epoch_us(e.ts) THEN mb.bts
+         |       ELSE mf.fts END AS nts
+         |  FROM err e LEFT JOIN mb ON mb.event_id = e.event_id
+         |             LEFT JOIN mf ON mf.event_id = e.event_id),
+         |named AS (SELECT p.event_id, p.nts, MAX(c.event_id) AS nid
+         |          FROM pick p JOIN clk c ON c.user_id = p.user_id AND c.ts = p.nts
+         |          GROUP BY p.event_id, p.nts)
+         |SELECT p.event_id, p.user_id, date_trunc('microseconds', p.ts) AS ts,
+         |  date_trunc('microseconds', COALESCE(p.nts, TIMESTAMP '$noClickTs')) AS near_ts,
+         |  CAST(COALESCE(n.nid, -1) AS BIGINT) AS near_event_id
+         |FROM pick p LEFT JOIN named n ON n.event_id = p.event_id""".stripMargin,
 
     "q_range_join" ->
       s"""WITH err AS (SELECT event_id AS incident_id, user_id, ts AS t0

@@ -27,8 +27,11 @@ object Relational {
   /** As-of join: for every left row, attach the payload of the nearest
     * right row in `direction` ("backward" = latest right with
     * rightTs <= leftTs; "forward" = earliest right with
-    * rightTs >= leftTs) within the same `keys` group. Inclusive
-    * equality is controlled by `inclusive`.
+    * rightTs >= leftTs; "nearest" = whichever of the two is closer in
+    * time, ties to backward) within the same `keys` group. Inclusive
+    * equality is controlled by `inclusive`. A non-negative
+    * `toleranceSeconds` voids matches farther than that from the left
+    * timestamp (pandas merge_asof's `tolerance`).
     *
     * Implementation is the scalable union-scan form: tag both sides,
     * union, then one window over (keys) ordered by the timestamp — the
@@ -48,9 +51,12 @@ object Relational {
   def asofJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
                leftTs: String, rightTs: String, payloadCols: Seq[String],
                direction: String = "backward", inclusive: Boolean = true,
-               prefix: String = "asof_"): DataFrame = {
-    require(direction == "backward" || direction == "forward",
-      s"direction must be backward|forward, got $direction")
+               prefix: String = "asof_", toleranceSeconds: Long = -1L): DataFrame = {
+    require(Seq("backward", "forward", "nearest").contains(direction),
+      s"direction must be backward|forward|nearest, got $direction")
+    if (direction == "nearest")
+      return asofNearest(left, right, keys, leftTs, rightTs, payloadCols,
+        inclusive, prefix, toleranceSeconds)
     val payFields = rightTs +: payloadCols
     val payStruct = struct(payFields.map(col): _*)
     val payType = right.select(payStruct.as("__pay")).schema("__pay").dataType
@@ -73,10 +79,42 @@ object Relational {
     val w = Window.partitionBy(keys.map(col): _*).orderBy(ts, side, col("__pay").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
-    lt.unionByName(rt)
+    val matched = lt.unionByName(rt)
       .withColumn("__m", last(col("__pay"), ignoreNulls = true).over(w))
       .filter(col("__side") === 1)
-      .select(col("__lrow.*") +: payFields.map(f => col(s"__m.$f").as(prefix + f)): _*)
+    // tolerance: a match farther than the bound is no match at all —
+    // the whole payload nulls out, exactly like pandas' tolerance
+    val inTol =
+      if (toleranceSeconds < 0) lit(true)
+      else abs(unix_micros(col(s"__m.$rightTs")) - unix_micros(col("__ats"))) <=
+        lit(toleranceSeconds * 1000000L)
+    matched.select(col("__lrow.*") +: payFields.map(f =>
+      when(inTol, col(s"__m.$f")).as(prefix + f)): _*)
+  }
+
+  /** "nearest" direction: chain a backward pass then a forward pass
+    * (each one shuffle+sort; left rows are preserved 1:1 so no extra
+    * join is needed), then pick per row whichever side is closer —
+    * ties go backward, pandas-style. Tolerance applies per side before
+    * the choice.
+    */
+  private def asofNearest(left: DataFrame, right: DataFrame, keys: Seq[String],
+                          leftTs: String, rightTs: String, payloadCols: Seq[String],
+                          inclusive: Boolean, prefix: String,
+                          toleranceSeconds: Long): DataFrame = {
+    val payFields = rightTs +: payloadCols
+    val b = asofJoin(left, right, keys, leftTs, rightTs, payloadCols,
+      "backward", inclusive, "__b_", toleranceSeconds)
+    val f = asofJoin(b, right, keys, leftTs, rightTs, payloadCols,
+      "forward", inclusive, "__f_", toleranceSeconds)
+    val bTs = col(s"__b_$rightTs")
+    val fTs = col(s"__f_$rightTs")
+    val useBackward = fTs.isNull ||
+      (bTs.isNotNull &&
+        unix_micros(col(leftTs)) - unix_micros(bTs) <=
+          unix_micros(fTs) - unix_micros(col(leftTs)))
+    f.select(left.columns.map(col) ++ payFields.map(p =>
+      when(useBackward, col(s"__b_$p")).otherwise(col(s"__f_$p")).as(prefix + p)): _*)
   }
 
   // ---- 2. Range (point-in-interval) join

@@ -61,6 +61,33 @@ class RelationalSpec extends SparkSpec {
     assert(r == 9L)
   }
 
+  test("asofJoin nearest picks the closer side, ties backward") {
+    val r = Relational.asofJoin(errors, clicks, Seq("user"), "ets", "cts",
+        payloadCols = Seq("click_id"), direction = "nearest", prefix = "m_")
+      .select("err_id", "m_click_id").as[(Long, Option[Long])]
+      .collect().toMap
+    assert(r(10L).contains(100L)) // 11:00 is 1h from both clicks -> tie -> backward
+    assert(r(11L).contains(101L)) // exact hit
+    assert(r(20L).contains(200L)) // only a forward match exists
+    assert(r(30L).isEmpty)        // no right rows for the key at all
+  }
+
+  test("asofJoin tolerance voids matches beyond the bound") {
+    val r = Relational.asofJoin(errors, clicks, Seq("user"), "ets", "cts",
+        payloadCols = Seq("click_id"), direction = "nearest", prefix = "m_",
+        toleranceSeconds = 1800L) // 30 min: every candidate is ≥ 1h away
+      .select("err_id", "m_click_id").as[(Long, Option[Long])]
+      .collect().toMap
+    assert(r(10L).isEmpty && r(20L).isEmpty)
+    assert(r(11L).contains(101L)) // zero-distance match survives any tolerance
+    // backward direction honors tolerance too
+    val b = Relational.asofJoin(errors, clicks, Seq("user"), "ets", "cts",
+        payloadCols = Seq("click_id"), prefix = "m_", toleranceSeconds = 1800L)
+      .select("err_id", "m_click_id").as[(Long, Option[Long])]
+      .collect().toMap
+    assert(b(10L).isEmpty) // 10:00 click is 1h before 11:00 error
+  }
+
   test("asofJoin preserves every left row and all left columns") {
     val out = Relational.asofJoin(errors, clicks, Seq("user"), "ets", "cts",
       payloadCols = Seq("click_id"))
