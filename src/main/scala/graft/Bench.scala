@@ -6,9 +6,11 @@ import java.nio.file.{Files, Paths}
   * scale factor. One untimed warmup pass (JVM/codegen warmup would
   * otherwise land on whichever query runs first), then a timed pass in
   * sorted name order. Failures are recorded per-query in `errors`
-  * instead of being silently timed as fast successes. The JSON line is
-  * printed AND written to bench_out.json so the driver can ingest it
-  * without scraping sbt log decoration.
+  * instead of being silently timed as fast successes. The full
+  * per-query JSON line is written to bench_out.json (committed); stdout
+  * gets a compact line sized to the driver's 2000-char output tail
+  * (total + errors + slowest queries) so it parses instead of being
+  * truncated mid-JSON.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -45,13 +47,31 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
     val errJson = errors.map { case (k, v) => "\"" + k + "\":\"" + esc(v) + "\"" }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    val line =
+    val fullLine =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir"}"""
-    println(line)
     // a SPARK_GRAFT_ONLY-narrowed run must never clobber the official
     // full-suite artifact the driver (and docs) ingest
     val outFile = if (only.isDefined) "bench_only_out.json" else "bench_out.json"
-    Files.writeString(Paths.get(outFile), line)
+    Files.writeString(Paths.get(outFile), fullLine)
+    // The driver keeps only the tail of this process's output (~2000
+    // chars), so once the suite passed ~70 queries the full per-query
+    // line no longer fit and its head was truncated mid-JSON (every
+    // BENCH_r*.json so far has parsed:null). Print a line that is
+    // guaranteed to survive the tail window intact: total + errors +
+    // the slowest queries that fit a fixed character budget, plus a
+    // pointer to the committed full artifact.
+    val budget = 1500
+    val base =
+      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","n_queries":${results.size},""" +
+        s""""errors":$errJson,"sf":"$sfDir","full":"$outFile","queries":{}}"""
+    val picked = scala.collection.mutable.ListBuffer[String]()
+    var used = base.length
+    results.sortBy(-_._2).foreach { case (k, v) =>
+      val entry = "\"" + k + "\":" + f"$v%.3f"
+      if (used + entry.length + 1 <= budget) { picked += entry; used += entry.length + 1 }
+    }
+    val line = base.replace("\"queries\":{}}", "\"queries\":{" + picked.mkString(",") + "}}")
+    println(line)
     spark.stop()
   }
 }
