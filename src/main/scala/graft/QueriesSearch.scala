@@ -1,0 +1,133 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.llm.{Sampling, Search, Text}
+
+/** Retrieval / training-shard query pack over the `documents` corpus:
+  * TF-IDF weighting, BM25 search, vocabulary stats, chunking, and
+  * sequence packing — each with a DuckDB oracle sharing the exact
+  * tokenizer and score composition (same operations in the same order,
+  * scores rounded before ranking, explicit tie-breaks).
+  */
+object QueriesSearch {
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "documents")
+
+  private val bm25Terms = Seq("spark", "hash", "vector")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    "q_text_tfidf" -> ((s, dir) =>
+      Search.tfidfTopTerms(docs(s, dir), "doc_id", "text", k = 3)),
+
+    "q_search_bm25" -> ((s, dir) =>
+      Search.bm25Search(docs(s, dir), "doc_id", "text", bm25Terms, k = 20)),
+
+    "q_text_vocab" -> ((s, dir) =>
+      Search.vocabTop(docs(s, dir), "doc_id", "text", k = 20)),
+
+    "q_text_chunks" -> ((s, dir) =>
+      Search.chunkDocs(docs(s, dir), "doc_id", "text", size = 120, overlap = 20)),
+
+    // GPT-style concat-and-split packing into 512-token sequences;
+    // 8 hash shards stand in for the thousands a cluster run would use
+    "q_pack" -> ((s, dir) => {
+      val d = docs(s, dir)
+        .withColumn("shard", col("doc_id") % 8)
+        .withColumn("n_tokens", Text.tokenCount(col("text")))
+      Sampling.packSequences(d, "doc_id", "n_tokens", budget = 512, Seq("shard"))
+        .select("doc_id", "shard", "n_tokens", "pack_id", "pack_offset")
+    })
+  )
+
+  // shared tokenizer CTE — the single definition both engines use
+  private val tok =
+    "SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term FROM documents"
+
+  def oracleSql: Map[String, String] = Map(
+
+    "q_text_tfidf" ->
+      s"""WITH tok AS ($tok),
+         |tf AS (SELECT doc_id, term, COUNT(*) AS cnt FROM tok GROUP BY 1, 2),
+         |dl AS (SELECT doc_id, COUNT(*) AS dl FROM tok GROUP BY 1),
+         |dfx AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+         |n AS (SELECT COUNT(*) AS n FROM documents),
+         |scored AS (
+         |  SELECT tf.doc_id, tf.term, tf.cnt, dfx.df,
+         |    round((CAST(tf.cnt AS DOUBLE) / CAST(dl.dl AS DOUBLE)) *
+         |          ln(CAST(n.n AS DOUBLE) / CAST(dfx.df AS DOUBLE)), 6) AS tfidf
+         |  FROM tf JOIN dl USING (doc_id) JOIN dfx USING (term) CROSS JOIN n)
+         |SELECT doc_id, term, cnt, df, tfidf, rnk FROM (
+         |  SELECT *, CAST(ROW_NUMBER() OVER (
+         |    PARTITION BY doc_id ORDER BY tfidf DESC, term ASC) AS BIGINT) AS rnk
+         |  FROM scored)
+         |WHERE rnk <= 3""".stripMargin,
+
+    "q_search_bm25" ->
+      s"""WITH tok AS ($tok),
+         |dl AS (SELECT doc_id, COUNT(*) AS dl FROM tok GROUP BY 1),
+         |tf AS (SELECT doc_id, term, COUNT(*) AS cnt FROM tok
+         |       WHERE term IN (${bm25Terms.map("'" + _ + "'").mkString(", ")})
+         |       GROUP BY 1, 2),
+         |dfx AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+         |c AS (SELECT COUNT(*) AS n,
+         |             SUM(len(regexp_extract_all(lower(text), '[a-z0-9]+'))) AS sumdl
+         |      FROM documents),
+         |scored AS (
+         |  SELECT tf.doc_id,
+         |    ln(1.0 + (CAST(n AS DOUBLE) - CAST(df AS DOUBLE) + 0.5) /
+         |             (CAST(df AS DOUBLE) + 0.5)) *
+         |    (CAST(cnt AS DOUBLE) * (1.2 + 1.0)) /
+         |    (CAST(cnt AS DOUBLE) + 1.2 * ((1.0 - 0.75) +
+         |       0.75 * CAST(dl.dl AS DOUBLE) /
+         |         (CAST(sumdl AS DOUBLE) / CAST(n AS DOUBLE)))) AS contrib
+         |  FROM tf JOIN dl USING (doc_id) CROSS JOIN c JOIN dfx USING (term)),
+         |per_doc AS (
+         |  SELECT doc_id, COUNT(*) AS n_hits,
+         |    round(CAST(SUM(CAST(contrib AS DECIMAL(28,6))) AS DOUBLE), 4) AS score
+         |  FROM scored GROUP BY 1)
+         |SELECT doc_id, n_hits, score, rnk FROM (
+         |  SELECT *, CAST(ROW_NUMBER() OVER (
+         |    ORDER BY score DESC, doc_id ASC) AS BIGINT) AS rnk FROM per_doc)
+         |WHERE rnk <= 20""".stripMargin,
+
+    "q_text_vocab" ->
+      s"""WITH tok AS ($tok),
+         |by_term AS (SELECT term, COUNT(*) AS cnt, COUNT(DISTINCT doc_id) AS df
+         |            FROM tok GROUP BY 1)
+         |SELECT term, cnt, df, rnk FROM (
+         |  SELECT *, CAST(ROW_NUMBER() OVER (
+         |    ORDER BY cnt DESC, term ASC) AS BIGINT) AS rnk FROM by_term)
+         |WHERE rnk <= 20""".stripMargin,
+
+    // stride = size - overlap = 100; range() is end-exclusive, Spark's
+    // sequence() end-inclusive — the +1 aligns them
+    "q_text_chunks" ->
+      """SELECT doc_id,
+        |  CAST((u.start - 1) // 100 AS BIGINT) AS chunk_idx,
+        |  CAST(u.start AS BIGINT) AS chunk_start,
+        |  substring(text, CAST(u.start AS INT), 120) AS chunk,
+        |  CAST(length(substring(text, CAST(u.start AS INT), 120)) AS BIGINT) AS chunk_len
+        |FROM documents,
+        |  unnest(range(1, GREATEST(length(text), 1) + 1, 100)) AS u(start)""".stripMargin,
+
+    "q_pack" ->
+      """WITH t AS (
+        |  SELECT doc_id, doc_id % 8 AS shard,
+        |         len(regexp_extract_all(text, '\S+')) AS n_tokens
+        |  FROM documents),
+        |c AS (
+        |  SELECT *, CAST(COALESCE(SUM(n_tokens) OVER (
+        |    PARTITION BY shard
+        |    ORDER BY substr(md5(CAST(doc_id AS VARCHAR)), 1, 8), doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS before
+        |  FROM t)
+        |SELECT doc_id, shard, n_tokens,
+        |  CAST(floor(before / 512) AS BIGINT) AS pack_id,
+        |  before % 512 AS pack_offset
+        |FROM c""".stripMargin
+  )
+}

@@ -32,13 +32,13 @@ object SparkEntry {
     baseQueries ++ QueriesDQ.queries ++ QueriesAnomaly.queries ++
       QueriesIncremental.queries ++ QueriesText.queries ++ QueriesLlm.queries ++
       QueriesPipeline.queries ++ QueriesTime.queries ++ QueriesWindow.queries ++
-      QueriesSampling.queries ++ QueriesRelational.queries
+      QueriesSampling.queries ++ QueriesRelational.queries ++ QueriesSearch.queries
 
   def oracleSql: Map[String, String] =
     baseOracleSql ++ QueriesDQ.oracleSql ++ QueriesAnomaly.oracleSql ++
       QueriesIncremental.oracleSql ++ QueriesText.oracleSql ++ QueriesLlm.oracleSql ++
       QueriesPipeline.oracleSql ++ QueriesTime.oracleSql ++ QueriesWindow.oracleSql ++
-      QueriesSampling.oracleSql ++ QueriesRelational.oracleSql
+      QueriesSampling.oracleSql ++ QueriesRelational.oracleSql ++ QueriesSearch.oracleSql
 
   private def baseQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
 

@@ -120,4 +120,29 @@ object Sampling {
           .otherwise(array().cast("array<int>"))))
       .drop("__k")
   }
+
+  /** Sequence packing for training shards (concatenate-then-split, the
+    * GPT-style pack: documents are laid out in a deterministic order
+    * and cut into `budget`-token sequences; a document may straddle a
+    * boundary, recorded by its starting offset). Assigns, per row:
+    * `pack_id` — which sequence the document STARTS in — and
+    * `pack_offset` — its token offset within that sequence.
+    *
+    * Layout order inside a shard is (md5(key), key): reproducible
+    * across runs, partitionings, and engines, and uncorrelated with
+    * any input order. Packing is inherently sequential per shard, so
+    * parallelism = #shards: pass shard columns that give thousands of
+    * shards at cluster scale (e.g. a hash bucket of the key) — each
+    * shard's running total is one partition of ONE window pass.
+    */
+  def packSequences(df: DataFrame, keyCol: String, tokenCol: String,
+                    budget: Int, shardCols: Seq[String]): DataFrame = {
+    require(budget > 0, s"budget must be positive, got $budget")
+    val w = Window.partitionBy(shardCols.map(col): _*)
+      .orderBy(hashPrefix(col(keyCol)), col(keyCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val before = coalesce(sum(col(tokenCol)).over(w), lit(0L))
+    df.withColumn("pack_id", floor(before / lit(budget.toLong)))
+      .withColumn("pack_offset", before % lit(budget.toLong))
+  }
 }

@@ -1,0 +1,155 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Keyword-retrieval operators over a text corpus: TF-IDF term
+  * weighting, BM25 ranked search, vocabulary statistics, and
+  * fixed-window document chunking (the RAG-ingestion shape). (Beyond
+  * the reference repo, which has no retrieval surface; required by the
+  * engine brief for LLM data pipelines.)
+  *
+  * Scale design: everything is a declarative plan. Tokenization is one
+  * codegen'd `regexp_extract_all` map pass; term statistics are hash
+  * aggregations keyed on (doc, term) / term — partial aggregation
+  * applies, so the shuffle carries one row per distinct key, not one
+  * per token. Corpus scalars (doc count, average doc length) are
+  * 1-row frames attached with a broadcast cross join — the corpus is
+  * never shuffled to compute them. Per-doc top-k runs through the
+  * rank-pushdown window (WindowGroupLimit), partitioned by doc id —
+  * maximal parallelism, no global sort.
+  *
+  * Determinism across engines: scores use only integer-derived
+  * divisions plus one `ln`, rounded before ranking, with explicit
+  * tie-breaks — the DuckDB oracles reproduce results bit-for-bit.
+  */
+object Search {
+
+  /** Lowercase alphanumeric-run tokenizer — the one shared definition
+    * every operator (and every oracle) uses.
+    */
+  val tokenPattern = "[a-z0-9]+"
+  def tokens(c: Column): Column =
+    regexp_extract_all(lower(c), lit(tokenPattern), lit(0))
+
+  /** Per-(doc, term) occurrence counts with per-doc token totals.
+    * Output: (idCol, term, cnt, dl). `dl` counts ALL tokens of the doc
+    * (computed map-side from the token array, before any term filter).
+    */
+  def docTermFreq(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol), size(tokens(col(textCol))).as("dl"),
+        explode(tokens(col(textCol))).as("term"))
+      .groupBy(col(idCol), col("dl"), col("term"))
+      .agg(count(lit(1)).as("cnt"))
+
+  /** One-row corpus frame: (__n docs, __sumdl total tokens). Attached
+    * via broadcast cross join; integer sums keep the derived averages
+    * bit-deterministic (`sum/count`, never a streaming float mean).
+    */
+  private def corpusStats(df: DataFrame, textCol: String): DataFrame =
+    df.agg(count(lit(1)).as("__n"),
+      sum(size(tokens(col(textCol)))).as("__sumdl"))
+
+  /** Top-`k` TF-IDF terms per document.
+    * tf = cnt/dl, idf = ln(N/df); score rounded to 6 dp BEFORE ranking
+    * so cross-engine float ordering cannot diverge, ties break on term.
+    * Output: (idCol, term, cnt, df, tfidf, rnk).
+    */
+  def tfidfTopTerms(df: DataFrame, idCol: String, textCol: String,
+                    k: Int = 3): DataFrame = {
+    val tf = docTermFreq(df, idCol, textCol)
+    val termDf = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val scored = tf
+      .join(termDf, Seq("term")) // vocab-sized side: AQE broadcasts when small
+      .join(broadcast(corpusStats(df, textCol).select("__n")))
+      .withColumn("tfidf", round(
+        (col("cnt").cast("double") / col("dl").cast("double")) *
+          log(col("__n").cast("double") / col("df").cast("double")), 6))
+    val w = Window.partitionBy(col(idCol))
+      .orderBy(col("tfidf").desc, col("term").asc)
+    scored.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col(idCol), col("term"), col("cnt"), col("df"),
+        col("tfidf"), col("rnk").cast("long").as("rnk"))
+  }
+
+  /** BM25 ranked search: top-`k` documents for a bag of query terms
+    * (Robertson/Sparck Jones; k1/b are the standard defaults).
+    * idf = ln(1 + (N - df + 0.5)/(df + 0.5)); per-term contributions
+    * sum per doc, rounded to 4 dp before ranking, doc-id tie-break.
+    * Output: (idCol, n_hits, score, rnk).
+    */
+  def bm25Search(df: DataFrame, idCol: String, textCol: String,
+                 queryTerms: Seq[String], k: Int = 20,
+                 k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val tf = docTermFreq(df, idCol, textCol)
+      .filter(col("term").isin(queryTerms: _*))
+    // df counts docs containing the term WITHIN the filtered frame —
+    // identical to corpus df because the filter keeps every (doc, term)
+    // row of the query terms
+    val termDf = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val scored = tf
+      .join(broadcast(termDf), Seq("term"))
+      .join(broadcast(corpusStats(df, textCol)))
+      .withColumn("__avgdl", col("__sumdl").cast("double") / col("__n").cast("double"))
+      .withColumn("__idf", log(lit(1.0) +
+        (col("__n").cast("double") - col("df").cast("double") + lit(0.5)) /
+          (col("df").cast("double") + lit(0.5))))
+      .withColumn("__contrib", col("__idf") *
+        (col("cnt").cast("double") * lit(k1 + 1.0)) /
+        (col("cnt").cast("double") + lit(k1) *
+          (lit(1.0 - b) + lit(b) * col("dl").cast("double") / col("__avgdl"))))
+    // decimal-exact contribution sum (order-independent across
+    // partitions/engines), then one final round — the Det pattern
+    val perDoc = scored.groupBy(col(idCol)).agg(
+      count(lit(1)).as("n_hits"),
+      round(graft.functions.Det.sumAt(col("__contrib"), 6), 4).as("score"))
+    // global top-k WITHOUT a single-partition window: orderBy+limit
+    // plans as TakeOrderedAndProject (per-partition heaps + merge of k),
+    // then row_number runs over just the k survivors
+    val topk = perDoc.orderBy(col("score").desc, col(idCol).asc).limit(k)
+    val w = Window.orderBy(col("score").desc, col(idCol).asc)
+    topk.withColumn("rnk", row_number().over(w))
+      .select(col(idCol), col("n_hits"), col("score"), col("rnk").cast("long").as("rnk"))
+  }
+
+  /** Corpus vocabulary statistics: top-`k` terms by total occurrences.
+    * Output: (term, cnt total occurrences, df docs containing, rnk).
+    * One token explode + one hash agg; the ranked frame is vocab-sized.
+    */
+  def vocabTop(df: DataFrame, idCol: String, textCol: String,
+               k: Int = 20): DataFrame = {
+    val byTerm = df
+      .select(col(idCol), explode(tokens(col(textCol))).as("term"))
+      .groupBy(col("term"))
+      .agg(count(lit(1)).as("cnt"), count_distinct(col(idCol)).as("df"))
+    // TakeOrderedAndProject top-k (see bm25Search) — the vocabulary can
+    // be tens of millions of terms on a web corpus, never single-sort it
+    val topk = byTerm.orderBy(col("cnt").desc, col("term").asc).limit(k)
+    val w = Window.orderBy(col("cnt").desc, col("term").asc)
+    topk.withColumn("rnk", row_number().over(w))
+      .select(col("term"), col("cnt"), col("df"), col("rnk").cast("long").as("rnk"))
+  }
+
+  /** Fixed-width character chunking with overlap (RAG ingestion): one
+    * row per chunk, `size` chars starting every `size - overlap`. The
+    * final chunk may be short; empty docs yield one empty chunk (so no
+    * document silently disappears). Pure generator plan: sequence +
+    * posexplode stay map-side — chunking 100 TB is one scan, no shuffle.
+    * Output: (idCol, chunk_idx, chunk_start, chunk, chunk_len).
+    */
+  def chunkDocs(df: DataFrame, idCol: String, textCol: String,
+                size: Int, overlap: Int = 0): DataFrame = {
+    require(size > 0 && overlap >= 0 && overlap < size,
+      s"need 0 <= overlap < size, got size=$size overlap=$overlap")
+    val stride = size - overlap
+    val starts = sequence(lit(1), greatest(length(col(textCol)), lit(1)), lit(stride))
+    df.select(col(idCol), col(textCol), posexplode(starts).as(Seq("__pos", "__start")))
+      .select(col(idCol),
+        col("__pos").cast("long").as("chunk_idx"),
+        col("__start").cast("long").as("chunk_start"),
+        substring(col(textCol), col("__start").cast("int"), lit(size)).as("chunk"))
+      .withColumn("chunk_len", length(col("chunk")).cast("long"))
+  }
+}

@@ -1,0 +1,96 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.llm.{Sampling, Search}
+
+class SearchSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val corpus = Seq(
+    (1L, "the cat sat on the mat"),
+    (2L, "the dog barked at the cat"),
+    (3L, "quantum flux capacitors need plutonium"),
+    (4L, "")
+  ).toDF("id", "text")
+
+  test("tfidf ranks a document's distinctive terms above common ones") {
+    val top = Search.tfidfTopTerms(corpus, "id", "text", k = 2)
+    // 'the' appears in docs 1 and 2 (df=2, and high tf) but every term of
+    // doc 3 is unique to it — its top terms must all have df=1
+    val d3 = top.filter($"id" === 3L).collect()
+    assert(d3.nonEmpty && d3.forall(_.getAs[Long]("df") == 1L))
+    // 'the' (df=2 of 4 docs) scores below doc-unique terms in doc 1
+    val d1 = top.filter($"id" === 1L && $"term" === "the").collect()
+    assert(d1.isEmpty, "common term must not be a top tfidf term")
+    // empty doc has no terms and no rows
+    assert(top.filter($"id" === 4L).isEmpty)
+  }
+
+  test("bm25 ranks the doc with more query-term mass first; misses absent") {
+    val hits = Search.bm25Search(corpus, "id", "text", Seq("cat", "dog"), k = 10)
+      .orderBy($"rnk").collect()
+    // doc 2 contains both terms, doc 1 only 'cat'; docs 3/4 match nothing
+    assert(hits.map(_.getAs[Long]("id")).toSeq == Seq(2L, 1L))
+    assert(hits.head.getAs[Long]("n_hits") == 2L)
+    assert(hits.forall(_.getAs[Double]("score") > 0.0))
+  }
+
+  test("vocab stats count occurrences and doc frequency") {
+    val v = Search.vocabTop(corpus, "id", "text", k = 3).collect()
+    // 'the' is the most frequent token: 4 occurrences across 2 docs
+    assert(v.head.getAs[String]("term") == "the")
+    assert(v.head.getAs[Long]("cnt") == 4L)
+    assert(v.head.getAs[Long]("df") == 2L)
+  }
+
+  test("chunking covers every character, respects overlap, keeps empty docs") {
+    val text = "abcdefghij" * 25 // 250 chars
+    val df = Seq((1L, text), (2L, "")).toDF("id", "text")
+    val chunks = Search.chunkDocs(df, "id", "text", size = 100, overlap = 20)
+    val c1 = chunks.filter($"id" === 1L).orderBy($"chunk_idx").collect()
+    // starts at 1, 81, 161, 241 (stride 80)
+    assert(c1.map(_.getAs[Long]("chunk_start")).toSeq == Seq(1L, 81L, 161L, 241L))
+    // the last two chunks run off the end: 250 - 160 = 90, 250 - 240 = 10
+    assert(c1.map(_.getAs[Long]("chunk_len")).toSeq == Seq(100L, 100L, 90L, 10L))
+    // consecutive chunks overlap by exactly 20 chars
+    val first = c1(0).getAs[String]("chunk")
+    val second = c1(1).getAs[String]("chunk")
+    assert(first.takeRight(20) == second.take(20))
+    // reassembling strides reproduces the document
+    assert(c1.map(_.getAs[String]("chunk").take(80)).mkString.take(250) == text)
+    // empty doc yields one empty chunk, not zero rows
+    val c2 = chunks.filter($"id" === 2L).collect()
+    assert(c2.length == 1 && c2.head.getAs[Long]("chunk_len") == 0L)
+  }
+
+  test("sequence packing: offsets advance by token counts, reset per pack") {
+    val df = (1L to 200L).toDF("id")
+      .withColumn("shard", ($"id" % 4).cast("int"))
+      .withColumn("n_tokens", lit(10L) + ($"id" % 7))
+    val packed = Sampling.packSequences(df, "id", "n_tokens", budget = 64, Seq("shard"))
+    val rows = packed.collect()
+    // every offset lies inside the budget
+    assert(rows.forall(r => {
+      val off = r.getAs[Long]("pack_offset"); off >= 0 && off < 64
+    }))
+    // per shard: walking docs in (md5, id) order, pack_id/pack_offset
+    // equal floor/mod of the running token total before each doc
+    rows.groupBy(_.getAs[Int]("shard")).foreach { case (_, rs) =>
+      def key(id: Long) = {
+        val d = java.security.MessageDigest.getInstance("MD5")
+          .digest(id.toString.getBytes("UTF-8"))
+        d.map("%02x".format(_)).mkString.take(8)
+      }
+      var cum = 0L
+      rs.sortBy(r => (key(r.getAs[Long]("id")), r.getAs[Long]("id"))).foreach { r =>
+        assert(r.getAs[Long]("pack_id") == cum / 64, s"id=${r.getAs[Long]("id")}")
+        assert(r.getAs[Long]("pack_offset") == cum % 64)
+        cum += r.getAs[Long]("n_tokens")
+      }
+    }
+    // deterministic under repartitioning
+    val again = Sampling.packSequences(df.repartition(13), "id", "n_tokens",
+      budget = 64, Seq("shard"))
+    assert(packed.orderBy("id").collect().toSeq == again.orderBy("id").collect().toSeq)
+  }
+}
