@@ -123,6 +123,11 @@ object QueriesDQ {
       DQ.keySkew(t(s, dir, "orders"), Seq("o_custkey"), topN = 10)
     }),
 
+    // k-anonymity privacy audit over quasi-identifier columns
+    "q_dq_kanon" -> ((s, dir) => {
+      DQ.kAnonymity(t(s, dir, "customer"), Seq("c_nationkey", "c_mktsegment"), k = 5)
+    }),
+
     // statistical distribution / chi-square — ref dq_rule_examples.py:980
     "q_dq_distribution" -> ((s, dir) => {
       DQ.distribution(t(s, dir, "lineitem"), "l_quantity",
@@ -307,6 +312,16 @@ object QueriesDQ {
         |       ROUND(n / total, 6) AS share,
         |       ROUND(n / total * nkeys, 6) AS ratio_to_avg
         |FROM c, s ORDER BY n DESC, o_custkey LIMIT 10""".stripMargin,
+
+    "q_dq_kanon" ->
+      """WITH g AS (
+        |  SELECT c_nationkey, c_mktsegment, COUNT(*) AS n
+        |  FROM customer GROUP BY 1, 2)
+        |SELECT COUNT(*) AS n_groups,
+        |  CAST(SUM(CASE WHEN n < 5 THEN 1 ELSE 0 END) AS BIGINT) AS n_violating,
+        |  MIN(n) AS min_group_size,
+        |  CAST(SUM(CASE WHEN n < 5 THEN n ELSE 0 END) AS BIGINT) AS n_rows_at_risk
+        |FROM g""".stripMargin,
 
     "q_dq_distribution" -> {
       val edges = Seq(1.0, 11.0, 21.0, 31.0, 41.0, 51.0)

@@ -86,6 +86,22 @@ object QueriesLlm {
         k = 5, nprobe = 2, cellCentroids = Some(cents))
     }),
 
+    // semantic clustering surface over the same deterministic k-means
+    // that powers IVF: per-cluster size + cohesion (mean cosine to the
+    // cell centroid). Rows-only: cluster geometry isn't SQL-expressible;
+    // SearchSpec proves partition/nearest-centroid/determinism laws.
+    "q_cluster_kmeans" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val index = graft.llm.Ivf.buildIndex(e, "vec_id", "embedding",
+        nlist = 8, iters = 2).persist()
+      val cents = graft.llm.Ivf.centroids(index, "embedding")
+      index.join(broadcast(cents), Seq("__cid"))
+        .withColumn("__sim", Similarity.cosine(col("embedding"), col("__cvec")))
+        .groupBy(col("__cid").as("cluster"))
+        .agg(count(lit(1)).as("n"),
+          round(graft.functions.Det.meanAt(col("__sim"), 6), 4).as("cohesion"))
+    }),
+
     // int8-quantized candidate scan + exact float re-rank (rows-only:
     // quantization rounding is engine-specific; recall vs brute force
     // is spec-measured in SamplingSpec)

@@ -29,6 +29,9 @@ object QueriesSearch {
     "q_text_vocab" -> ((s, dir) =>
       Search.vocabTop(docs(s, dir), "doc_id", "text", k = 20)),
 
+    "q_text_ngrams" -> ((s, dir) =>
+      Search.ngramTop(docs(s, dir), "doc_id", "text", n = 2, k = 20)),
+
     "q_text_chunks" -> ((s, dir) =>
       Search.chunkDocs(docs(s, dir), "doc_id", "text", size = 120, overlap = 20)),
 
@@ -102,6 +105,22 @@ object QueriesSearch {
          |  SELECT *, CAST(ROW_NUMBER() OVER (
          |    ORDER BY cnt DESC, term ASC) AS BIGINT) AS rnk FROM by_term)
          |WHERE rnk <= 20""".stripMargin,
+
+    "q_text_ngrams" ->
+      """WITH tl AS (
+        |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS l
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id, unnest(list_transform(
+        |    range(1, GREATEST(len(l) - 1, 0) + 1),
+        |    i -> l[i] || ' ' || l[i + 1])) AS ngram
+        |  FROM tl),
+        |by_gram AS (SELECT ngram, COUNT(*) AS cnt, COUNT(DISTINCT doc_id) AS df
+        |            FROM g GROUP BY 1)
+        |SELECT ngram, cnt, df, rnk FROM (
+        |  SELECT *, CAST(ROW_NUMBER() OVER (
+        |    ORDER BY cnt DESC, ngram ASC) AS BIGINT) AS rnk FROM by_gram)
+        |WHERE rnk <= 20""".stripMargin,
 
     // stride = size - overlap = 100; range() is end-exclusive, Spark's
     // sequence() end-inclusive — the +1 aligns them

@@ -76,6 +76,14 @@ object QueriesText {
         col("doc_id"),
         Text.fingerprint(col("text")).as("fp"),
         Text.shingleFingerprint(col("text"), 8).as("fp_shingle"))
+    }),
+
+    // salted pseudonymization: stable surrogate identifiers for
+    // analytics over PII columns (masking, not encryption)
+    "q_text_pseudo" -> ((s, dir) => {
+      Tables.load(s, dir, "customer").select(
+        col("c_custkey"),
+        Text.pseudonymize(col("c_name"), "graft-salt").as("name_token"))
     })
   )
 
@@ -157,6 +165,10 @@ object QueriesText {
       """SELECT doc_id, md5(text) AS fp,
         |list_min(list_transform(range(1, GREATEST(1, length(text) - 7) + 1),
         |  i -> md5(substring(text, i, 8)))) AS fp_shingle
-        |FROM documents""".stripMargin
+        |FROM documents""".stripMargin,
+
+    "q_text_pseudo" ->
+      """SELECT c_custkey, sha256('graft-salt' || c_name) AS name_token
+        |FROM customer""".stripMargin
   )
 }

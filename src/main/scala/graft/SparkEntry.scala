@@ -200,6 +200,19 @@ object SparkEntry {
       Ops.selectOrder(d, Seq("p_partkey", "part_name", "p_type", "p_size"))
     }),
 
+    // -- missing-data handling (pandas fillna/ffill parity) ---------------
+    // nulls are planted deterministically (every 7th order), forward-
+    // filled per customer in date order, leading nulls constant-filled
+    "q_fill" -> ((s, dir) => {
+      val o = t(s, dir, "orders").withColumn("p",
+        when(col("o_orderkey") % 7 === 0, lit(null).cast("double"))
+          .otherwise(col("o_totalprice")))
+      val ff = Ops.forwardFill(o, Seq("p"), Seq("o_custkey"),
+        Seq(col("o_orderdate").asc, col("o_orderkey").asc))
+      Ops.fillMissing(ff, Map("p" -> 0.0))
+        .select(col("o_orderkey"), col("o_custkey"), col("p").as("price_filled"))
+    }),
+
     // -- SQL transform ----------------------------------------------------
     "q_sql" -> ((s, dir) => {
       Tables.registerAll(s, dir)
@@ -343,6 +356,17 @@ object SparkEntry {
 
     "q_project" ->
       """SELECT p_partkey, p_name AS part_name, p_type, p_size FROM part""".stripMargin,
+
+    "q_fill" ->
+      """WITH o AS (
+        |  SELECT o_orderkey, o_custkey, o_orderdate,
+        |    CASE WHEN o_orderkey % 7 = 0 THEN NULL ELSE o_totalprice END AS p
+        |  FROM orders)
+        |SELECT o_orderkey, o_custkey,
+        |  COALESCE(LAST_VALUE(p IGNORE NULLS) OVER (
+        |    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0.0) AS price_filled
+        |FROM o""".stripMargin,
 
     "q_sql" -> sqlPriority,
 

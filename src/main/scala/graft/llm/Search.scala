@@ -132,6 +132,32 @@ object Search {
       .select(col("term"), col("cnt"), col("df"), col("rnk").cast("long").as("rnk"))
   }
 
+  /** Top-`k` word n-grams by total occurrences (corpus repetition /
+    * phrase-mining stat). N-grams are built map-side from the token
+    * array with one higher-order transform (no self-join), then counted
+    * in one hash agg; top-k via TakeOrderedAndProject as above.
+    * Output: (ngram space-joined, cnt, df, rnk).
+    */
+  def ngramTop(df: DataFrame, idCol: String, textCol: String,
+               n: Int = 2, k: Int = 20): DataFrame = {
+    require(n >= 1, s"n must be >= 1, got $n")
+    val toks = tokens(col(textCol))
+    val upper = size(toks) - lit(n - 1)
+    // sequence(1, 0) would generate DESCENDING [1, 0] — guard to empty
+    val grams = when(upper >= 1, transform(
+      sequence(lit(1), upper),
+      i => concat_ws(" ", (0 until n).map(j => element_at(toks, i + lit(j))): _*)))
+      .otherwise(array().cast("array<string>"))
+    val byGram = df
+      .select(col(idCol), explode(grams).as("ngram"))
+      .groupBy(col("ngram"))
+      .agg(count(lit(1)).as("cnt"), count_distinct(col(idCol)).as("df"))
+    val topk = byGram.orderBy(col("cnt").desc, col("ngram").asc).limit(k)
+    val w = Window.orderBy(col("cnt").desc, col("ngram").asc)
+    topk.withColumn("rnk", row_number().over(w))
+      .select(col("ngram"), col("cnt"), col("df"), col("rnk").cast("long").as("rnk"))
+  }
+
   /** Fixed-width character chunking with overlap (RAG ingestion): one
     * row per chunk, `size` chars starting every `size - overlap`. The
     * final chunk may be short; empty docs yield one empty chunk (so no

@@ -190,4 +190,14 @@ object Text {
   /** Count of PII hits per category, BEFORE redaction (audit metric). */
   def piiCounts(c: Column): Seq[(String, Column)] =
     piiPatterns.map { case (name, pat, _) => name -> regexp_count(c, lit(pat)) }
+
+  /** Salted pseudonymization: stable surrogate key for an identifier
+    * column (same input + salt → same token; joins/groupBys keep
+    * working on the pseudonym, the raw value never leaves the plan).
+    * sha256 is preimage-resistant for high-entropy salts — this is
+    * masking for analytics, not encryption (no un-pseudonymize).
+    * Map-side, codegen'd, engine-portable.
+    */
+  def pseudonymize(c: Column, salt: String): Column =
+    sha2(concat(lit(salt), c.cast("string")), 256)
 }

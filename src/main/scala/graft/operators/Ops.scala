@@ -337,4 +337,32 @@ object Ops {
   /** Run a SQL statement over already-registered temp views. */
   def sqlTransform(spark: org.apache.spark.sql.SparkSession, sql: String): DataFrame =
     spark.sql(sql)
+
+  // ---- 9. Missing-data handling (pandas fillna/ffill/dropna parity —
+  // the reference drops to raw pandas for these inside custom steps;
+  // graft makes them first-class plans)
+
+  /** Constant fill per column (fillna(value)). Map-side codegen'd
+    * coalesce — no shuffle.
+    */
+  def fillMissing(df: DataFrame, values: Map[String, Any]): DataFrame =
+    df.na.fill(values)
+
+  /** Drop rows with nulls in `cols` ("any" | "all" — dropna). */
+  def dropMissing(df: DataFrame, cols: Seq[String], how: String = "any"): DataFrame =
+    df.na.drop(how, cols)
+
+  /** Forward fill (pandas ffill): replace each null with the most
+    * recent non-null value in window order. One partitioned window
+    * pass via last(ignoreNulls) over an unbounded-preceding frame —
+    * the partition key keeps it distributed at any scale.
+    */
+  def forwardFill(df: DataFrame, cols: Seq[String], partitionBy: Seq[String],
+                  orderBy: Seq[Column]): DataFrame = {
+    val w = Window.partitionBy(partitionBy.map(col): _*).orderBy(orderBy: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cols.foldLeft(df) { (acc, c) =>
+      acc.withColumn(c, last(col(c), ignoreNulls = true).over(w))
+    }
+  }
 }

@@ -393,4 +393,22 @@ object DQ {
       .limit(topN)
       .drop("__total", "__nkeys")
   }
+
+  /** k-anonymity audit over quasi-identifier columns: a dataset is
+    * k-anonymous when every combination of the quasi-identifiers is
+    * shared by at least `k` rows. Returns one summary row —
+    * (n_groups, n_violating, min_group_size, n_rows_at_risk) — from
+    * one hash aggregation over the quasi-identifier key plus one
+    * scalar roll-up; the detail of WHICH groups violate stays
+    * distributed (filter the grouped frame yourself when needed).
+    */
+  def kAnonymity(df: DataFrame, quasiIdCols: Seq[String], k: Int): DataFrame = {
+    require(quasiIdCols.nonEmpty && k >= 1, "need quasi-id columns and k >= 1")
+    df.groupBy(quasiIdCols.map(col): _*).agg(count(lit(1)).as("__n"))
+      .agg(
+        count(lit(1)).as("n_groups"),
+        sum(when(col("__n") < k, 1L).otherwise(0L)).as("n_violating"),
+        min(col("__n")).as("min_group_size"),
+        sum(when(col("__n") < k, col("__n")).otherwise(0L)).as("n_rows_at_risk"))
+  }
 }

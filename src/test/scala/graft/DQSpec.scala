@@ -156,6 +156,17 @@ class DQSpec extends SparkSpec {
     assert(math.abs(c - 1.0) < 1e-12)
   }
 
+  test("kAnonymity counts violating quasi-identifier groups") {
+    // groups: (x,1) x5 ok for k=3; (x,2) x2 and (y,1) x1 violate
+    val df = (Seq.fill(5)(("x", 1)) ++ Seq.fill(2)(("x", 2)) ++ Seq(("y", 1)))
+      .toDF("a", "b")
+    val r = DQ.kAnonymity(df, Seq("a", "b"), k = 3).head()
+    assert(r.getAs[Long]("n_groups") == 3L)
+    assert(r.getAs[Long]("n_violating") == 2L)
+    assert(r.getAs[Long]("min_group_size") == 1L)
+    assert(r.getAs[Long]("n_rows_at_risk") == 3L)
+  }
+
   test("keySkew surfaces the hot key with its share and ratio-to-average") {
     // key "hot" has 6 of 10 rows across 3 distinct keys: share 0.6, ratio 1.8
     val df = (Seq.fill(6)("hot") ++ Seq.fill(3)("warm") ++ Seq("cold")).toDF("k")

@@ -61,4 +61,19 @@ class OpsSpec extends SparkSpec {
     val b = df.repartition(17).agg(Det.sumMoney(col("l_extendedprice"))).as[Double].head()
     assert(a == b)
   }
+
+  test("missing-data ops: ffill carries last non-null, fill/drop behave") {
+    val df = Seq(
+      ("a", 1, Some(10.0)), ("a", 2, None), ("a", 3, None), ("a", 4, Some(40.0)),
+      ("b", 1, None), ("b", 2, Some(5.0))
+    ).toDF("k", "ord", "v")
+    val ff = Ops.forwardFill(df, Seq("v"), Seq("k"), Seq(col("ord").asc))
+      .orderBy("k", "ord").as[(String, Int, Option[Double])].collect().toSeq
+    assert(ff.map(_._3) == Seq(Some(10.0), Some(10.0), Some(10.0), Some(40.0),
+      None, Some(5.0))) // leading null stays: nothing earlier to carry
+    val filled = Ops.fillMissing(df, Map("v" -> -1.0))
+      .filter(col("v") === -1.0).count()
+    assert(filled == 3)
+    assert(Ops.dropMissing(df, Seq("v")).count() == 3)
+  }
 }

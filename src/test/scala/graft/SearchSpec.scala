@@ -63,6 +63,39 @@ class SearchSpec extends SparkSpec {
     assert(c2.length == 1 && c2.head.getAs[Long]("chunk_len") == 0L)
   }
 
+  test("ngram frequencies count sliding windows; short docs yield none") {
+    val df = Seq(
+      (1L, "a b c a b"),  // bigrams: "a b" x2, "b c", "c a"
+      (2L, "a b"),        // bigram: "a b"
+      (3L, "solo")        // no bigram
+    ).toDF("id", "text")
+    val top = Search.ngramTop(df, "id", "text", n = 2, k = 10).collect()
+    assert(top.head.getAs[String]("ngram") == "a b")
+    assert(top.head.getAs[Long]("cnt") == 3L)
+    assert(top.head.getAs[Long]("df") == 2L)
+    assert(!top.exists(_.getAs[String]("ngram").contains("solo")))
+    // trigrams of a 2-token doc: none; of doc 1: 3 windows
+    val tri = Search.ngramTop(df, "id", "text", n = 3, k = 10).collect()
+    assert(tri.map(_.getAs[Long]("cnt")).sum == 3L)
+  }
+
+  test("kmeans clustering partitions the corpus deterministically") {
+    val e = table("embeddings")
+    val n = e.count()
+    val idx = graft.llm.Ivf.buildIndex(e, "vec_id", "embedding", nlist = 4, iters = 2)
+    // partition law: every vector lands in exactly one cluster
+    assert(idx.count() == n)
+    assert(idx.select("vec_id").distinct().count() == n)
+    val k = idx.select("__cid").distinct().count()
+    assert(k >= 1 && k <= 4)
+    // same assignment regardless of physical layout
+    val again = graft.llm.Ivf.buildIndex(e.repartition(7), "vec_id", "embedding",
+      nlist = 4, iters = 2)
+    val a = idx.select("vec_id", "__cid").orderBy("vec_id").collect().toSeq
+    val b = again.select("vec_id", "__cid").orderBy("vec_id").collect().toSeq
+    assert(a == b)
+  }
+
   test("sequence packing: offsets advance by token counts, reset per pack") {
     val df = (1L to 200L).toDF("id")
       .withColumn("shard", ($"id" % 4).cast("int"))
