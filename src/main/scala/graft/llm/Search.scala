@@ -36,10 +36,14 @@ object Search {
   /** Per-(doc, term) occurrence counts with per-doc token totals.
     * Output: (idCol, term, cnt, dl). `dl` counts ALL tokens of the doc
     * (computed map-side from the token array, before any term filter).
+    * The token array binds to a column FIRST so the regexp tokenizer
+    * runs once per doc — inlining it under size+explode re-evaluates
+    * the regex per reference.
     */
   def docTermFreq(df: DataFrame, idCol: String, textCol: String): DataFrame =
-    df.select(col(idCol), size(tokens(col(textCol))).as("dl"),
-        explode(tokens(col(textCol))).as("term"))
+    df.select(col(idCol), tokens(col(textCol)).as("__toks"))
+      .select(col(idCol), size(col("__toks")).as("dl"),
+        explode(col("__toks")).as("term"))
       .groupBy(col(idCol), col("dl"), col("term"))
       .agg(count(lit(1)).as("cnt"))
 
@@ -141,7 +145,11 @@ object Search {
   def ngramTop(df: DataFrame, idCol: String, textCol: String,
                n: Int = 2, k: Int = 20): DataFrame = {
     require(n >= 1, s"n must be >= 1, got $n")
-    val toks = tokens(col(textCol))
+    // bind the token array to a column first: element_at inside the
+    // transform lambda otherwise re-evaluates the regexp tokenizer for
+    // every one of the ~n_tokens x n accesses (the round-4 jaccard
+    // pathology — 5x+ on real corpora)
+    val toks = col("__toks")
     val upper = size(toks) - lit(n - 1)
     // sequence(1, 0) would generate DESCENDING [1, 0] — guard to empty
     val grams = when(upper >= 1, transform(
@@ -149,6 +157,7 @@ object Search {
       i => concat_ws(" ", (0 until n).map(j => element_at(toks, i + lit(j))): _*)))
       .otherwise(array().cast("array<string>"))
     val byGram = df
+      .select(col(idCol), tokens(col(textCol)).as("__toks"))
       .select(col(idCol), explode(grams).as("ngram"))
       .groupBy(col("ngram"))
       .agg(count(lit(1)).as("cnt"), count_distinct(col(idCol)).as("df"))
