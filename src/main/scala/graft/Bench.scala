@@ -61,9 +61,16 @@ object Bench {
     // the slowest queries that fit a fixed character budget, plus a
     // pointer to the committed full artifact.
     val budget = 1500
+    // errors must obey the same budget: a mass failure would otherwise
+    // emit one ~200-char message per query and overflow the tail again,
+    // in exactly the runs where the errors matter. Show the first few
+    // (truncated) and count the rest; the full map is in the artifact.
+    val errShown = errors.take(3)
+      .map { case (k, v) => "\"" + k + "\":\"" + esc(v.take(80)) + "\"" }
+      .mkString("{", ",", "}")
     val base =
       s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","n_queries":${results.size},""" +
-        s""""errors":$errJson,"sf":"$sfDir","full":"$outFile","queries":{}}"""
+        s""""n_errors":${errors.size},"errors":$errShown,"sf":"$sfDir","full":"$outFile","queries":{}}"""
     val picked = scala.collection.mutable.ListBuffer[String]()
     var used = base.length
     results.sortBy(-_._2).foreach { case (k, v) =>
