@@ -29,9 +29,16 @@ object Ivf {
     */
   private def assign(df: DataFrame, idCol: String, vecCol: String,
                      centroids: DataFrame): DataFrame = {
+    // norms are per-row/per-centroid: fold each side once BEFORE the
+    // nlist-way pairing instead of three array folds per pair (same
+    // value, same op order — assignments stay bit-identical)
     val payload = struct(df.columns.map(col) :+ col("__cid"): _*)
-    df.crossJoin(broadcast(centroids))
-      .withColumn("__csim", Similarity.cosine(col(vecCol), col("__cvec")))
+    val cents = centroids.withColumn("__nc", Similarity.norm(col("__cvec")))
+    val denom = col("__nv") * col("__nc")
+    df.withColumn("__nv", Similarity.norm(col(vecCol)))
+      .crossJoin(broadcast(cents))
+      .withColumn("__csim",
+        when(denom =!= 0.0, round(Similarity.dot(col(vecCol), col("__cvec")) / denom, 6)))
       .groupBy(col(idCol))
       .agg(max_by(payload, struct(col("__csim"), -col("__cid"))).as("__p"))
       .select(col("__p.*"))
@@ -91,18 +98,28 @@ object Ivf {
     val centroids = cellCentroids.getOrElse(recenter(index, vecCol))
     val wProbe = Window.partitionBy(col(queryId))
       .orderBy(col("__csim").desc, col("__cid").asc)
+    // per-side norms folded once, not per pair (see assign)
+    val cents = centroids.withColumn("__nc", Similarity.norm(col("__cvec")))
+    val probeDenom = col("__nq") * col("__nc")
     val probes = queries
       .select(col(queryId), col(vecCol).as("__qvec"))
-      .crossJoin(broadcast(centroids))
-      .withColumn("__csim", Similarity.cosine(col("__qvec"), col("__cvec")))
+      .withColumn("__nq", Similarity.norm(col("__qvec")))
+      .crossJoin(broadcast(cents))
+      .withColumn("__csim",
+        when(probeDenom =!= 0.0,
+          round(Similarity.dot(col("__qvec"), col("__cvec")) / probeDenom, 6)))
       .withColumn("__rn", row_number().over(wProbe))
       .filter(col("__rn") <= nprobe)
-      .select(col(queryId), col("__qvec"), col("__cid"))
+      .select(col(queryId), col("__qvec"), col("__nq"), col("__cid"))
     val wTop = Window.partitionBy(col(queryId))
       .orderBy(col("sim").desc, col(corpusId).asc)
-    index.join(broadcast(probes), Seq("__cid"))
+    val simDenom = col("__ni") * col("__nq")
+    index.withColumn("__ni", Similarity.norm(col(vecCol)))
+      .join(broadcast(probes), Seq("__cid"))
       .filter(col(corpusId) =!= col(queryId))
-      .withColumn("sim", Similarity.cosine(col(vecCol), col("__qvec")))
+      .withColumn("sim",
+        when(simDenom =!= 0.0,
+          round(Similarity.dot(col(vecCol), col("__qvec")) / simDenom, 6)))
       .withColumn("rnk", row_number().over(wTop))
       .filter(col("rnk") <= k)
       .select(col(queryId).as("query_id"), col(corpusId).as("neighbor_id"),
