@@ -213,6 +213,23 @@ object SparkEntry {
         .select(col("o_orderkey"), col("o_custkey"), col("p").as("price_filled"))
     }),
 
+    // interior null runs interpolated linearly along the order
+    // coordinate; boundary nulls stay null by contract
+    "q_interpolate" -> ((s, dir) => {
+      val o = t(s, dir, "orders").withColumn("p",
+        when(col("o_orderkey") % 5 === 0, lit(null).cast("double"))
+          .otherwise(col("o_totalprice")))
+      Ops.interpolateLinear(o, "p", Seq("o_custkey"), col("o_orderkey"))
+        .select(col("o_orderkey"), col("o_custkey"), col("p").as("price_interp"))
+    }),
+
+    // percentile outlier capping per priority group
+    "q_winsorize" -> ((s, dir) => {
+      Ops.winsorize(t(s, dir, "orders"), "o_totalprice", 0.05, 0.95,
+        Seq("o_orderpriority"), alias = "price_capped")
+        .select("o_orderkey", "o_orderpriority", "o_totalprice", "price_capped")
+    }),
+
     // -- SQL transform ----------------------------------------------------
     "q_sql" -> ((s, dir) => {
       Tables.registerAll(s, dir)
@@ -367,6 +384,44 @@ object SparkEntry {
         |    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0.0) AS price_filled
         |FROM o""".stripMargin,
+
+    "q_interpolate" ->
+      """WITH o AS (
+        |  SELECT o_orderkey, o_custkey,
+        |    CASE WHEN o_orderkey % 5 = 0 THEN NULL ELSE o_totalprice END AS p
+        |  FROM orders),
+        |f AS (
+        |  SELECT o_orderkey, o_custkey, p,
+        |    CAST(o_orderkey AS DOUBLE) AS ord,
+        |    LAST_VALUE(p IGNORE NULLS) OVER (
+        |      PARTITION BY o_custkey ORDER BY o_orderkey
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_v,
+        |    LAST_VALUE(CASE WHEN p IS NOT NULL THEN CAST(o_orderkey AS DOUBLE) END IGNORE NULLS) OVER (
+        |      PARTITION BY o_custkey ORDER BY o_orderkey
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_o,
+        |    FIRST_VALUE(p IGNORE NULLS) OVER (
+        |      PARTITION BY o_custkey ORDER BY o_orderkey
+        |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_v,
+        |    FIRST_VALUE(CASE WHEN p IS NOT NULL THEN CAST(o_orderkey AS DOUBLE) END IGNORE NULLS) OVER (
+        |      PARTITION BY o_custkey ORDER BY o_orderkey
+        |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_o
+        |  FROM o)
+        |SELECT o_orderkey, o_custkey,
+        |  CASE WHEN p IS NOT NULL THEN p
+        |       WHEN prev_v IS NOT NULL AND next_v IS NOT NULL
+        |         THEN prev_v + (next_v - prev_v) * (ord - prev_o) / (next_o - prev_o)
+        |  END AS price_interp
+        |FROM f""".stripMargin,
+
+    "q_winsorize" ->
+      """WITH b AS (
+        |  SELECT o_orderpriority,
+        |    quantile_cont(o_totalprice, 0.05) AS lo,
+        |    quantile_cont(o_totalprice, 0.95) AS hi
+        |  FROM orders GROUP BY 1)
+        |SELECT o_orderkey, o_orderpriority, o_totalprice,
+        |  LEAST(GREATEST(o_totalprice, lo), hi) AS price_capped
+        |FROM orders JOIN b USING (o_orderpriority)""".stripMargin,
 
     "q_sql" -> sqlPriority,
 

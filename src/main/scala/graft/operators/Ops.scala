@@ -365,4 +365,46 @@ object Ops {
       acc.withColumn(c, last(col(c), ignoreNulls = true).over(w))
     }
   }
+
+  /** Linear interpolation of interior null runs (pandas interpolate):
+    * each null between two non-null neighbours gets the straight-line
+    * value at its `orderNum` coordinate; leading/trailing nulls (no
+    * neighbour on one side) stay null — compose with [[forwardFill]] /
+    * [[fillMissing]] for boundary policy. Two frames of ONE partitioned
+    * window pass (last-before + first-after), no self-join.
+    */
+  def interpolateLinear(df: DataFrame, valueCol: String, partitionBy: Seq[String],
+                        orderNum: Column): DataFrame = {
+    val v = col(valueCol)
+    val base = Window.partitionBy(partitionBy.map(col): _*).orderBy(orderNum)
+    val wPrev = base.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wNext = base.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val ord = orderNum.cast("double")
+    val prevV = last(v, ignoreNulls = true).over(wPrev)
+    val prevO = last(when(v.isNotNull, ord), ignoreNulls = true).over(wPrev)
+    val nextV = first(v, ignoreNulls = true).over(wNext)
+    val nextO = first(when(v.isNotNull, ord), ignoreNulls = true).over(wNext)
+    df.withColumn(valueCol,
+      when(v.isNotNull, v)
+        .when(prevV.isNotNull && nextV.isNotNull,
+          prevV + (nextV - prevV) * (ord - prevO) / (nextO - prevO)))
+  }
+
+  /** Winsorization: clamp a value column to its per-group [pLo, pHi]
+    * exact percentiles (outlier capping that keeps row count). One
+    * hash agg for the bounds frame (group-count-sized, broadcast back)
+    * + a map-side clamp — the fact table never shuffles.
+    */
+  def winsorize(df: DataFrame, valueCol: String, pLo: Double, pHi: Double,
+                groupCols: Seq[String], alias: String = "winsorized"): DataFrame = {
+    require(pLo >= 0 && pHi <= 1 && pLo <= pHi, s"need 0 <= pLo <= pHi <= 1")
+    val bounds = df.groupBy(groupCols.map(col): _*).agg(
+      expr(s"percentile($valueCol, ${pLo}D)").as("__lo"),
+      expr(s"percentile($valueCol, ${pHi}D)").as("__hi"))
+    val joined =
+      if (groupCols.isEmpty) df.crossJoin(broadcast(bounds))
+      else df.join(broadcast(bounds), groupCols)
+    joined.withColumn(alias, least(greatest(col(valueCol), col("__lo")), col("__hi")))
+      .drop("__lo", "__hi")
+  }
 }

@@ -62,6 +62,34 @@ class OpsSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("interpolateLinear fills interior gaps, leaves boundary nulls") {
+    val df = Seq(
+      ("a", 0, Some(0.0)), ("a", 1, None), ("a", 2, None), ("a", 3, Some(30.0)),
+      ("a", 5, None), // trailing: stays null
+      ("b", 0, None), ("b", 1, Some(7.0)) // leading: stays null
+    ).toDF("k", "ord", "v")
+    val got = Ops.interpolateLinear(df, "v", Seq("k"), col("ord"))
+      .orderBy("k", "ord").as[(String, Int, Option[Double])].collect().toSeq
+    assert(got.map(_._3) == Seq(Some(0.0), Some(10.0), Some(20.0), Some(30.0),
+      None, None, Some(7.0)))
+    // non-uniform spacing: value at ord 5 between (3, 30) and (7, 70) = 50
+    val df2 = Seq((3, Some(30.0)), (5, None), (7, Some(70.0))).toDF("ord", "v")
+    val g2 = Ops.interpolateLinear(df2, "v", Seq.empty, col("ord"))
+      .orderBy("ord").as[(Int, Option[Double])].collect()
+    assert(g2(1)._2.contains(50.0))
+  }
+
+  test("winsorize clamps to group percentiles and keeps every row") {
+    val df = (Seq.fill(8)(10.0) ++ Seq(-1000.0, 1000.0)).zipWithIndex
+      .map { case (v, i) => (i, v) }.toDF("id", "v")
+    val got = Ops.winsorize(df, "v", 0.1, 0.9, Seq.empty, "w")
+    assert(got.count() == 10)
+    val w = got.orderBy("id").select("w").as[Double].collect()
+    assert(w.forall(x => x >= -1000.0 && x <= 1000.0))
+    assert(w.max < 1000.0 && w.min > -1000.0) // extremes got capped
+    assert(w.count(_ == 10.0) == 8) // interior untouched
+  }
+
   test("missing-data ops: ffill carries last non-null, fill/drop behave") {
     val df = Seq(
       ("a", 1, Some(10.0)), ("a", 2, None), ("a", 3, None), ("a", 4, Some(40.0)),
