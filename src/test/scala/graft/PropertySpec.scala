@@ -174,4 +174,81 @@ object PropertySpec extends Properties("graft") {
       }
     }
   }
+
+  property("chunking: strides reassemble the document, all chars covered") = {
+    val doc: Gen[String] = Gen.choose(0, 400).flatMap(n =>
+      Gen.stringOfN(n, Gen.alphaNumChar))
+    Prop.forAll(Gen.listOfN(5, doc), Gen.choose(2, 50), Gen.choose(0, 1)) {
+      (texts, size, ovFlag) =>
+        val overlap = if (ovFlag == 1) size / 2 else 0
+        val stride = size - overlap
+        val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "text")
+        val chunks = graft.llm.Search.chunkDocs(df, "id", "text", size, overlap)
+          .orderBy("id", "chunk_idx").collect()
+        texts.zipWithIndex.forall { case (t, i) =>
+          val mine = chunks.filter(_.getAs[Long]("id") == i.toLong)
+          // taking the first `stride` chars of each chunk reassembles
+          // the original text exactly (every char in exactly one stride)
+          mine.map(_.getAs[String]("chunk").take(stride)).mkString == t &&
+            // each chunk spans [start, min(start+size-1, len)] — with
+            // overlap, chunks BEFORE the last may already be short
+            mine.forall { r =>
+              val start = r.getAs[Long]("chunk_start").toInt
+              r.getAs[String]("chunk").length ==
+                math.max(math.min(size, t.length - start + 1), 0)
+            }
+        }
+    }
+  }
+
+  property("packing: per-shard token conservation and monotone offsets") = {
+    val rows: Gen[List[(Long, Int, Long)]] = Gen.listOfN(40,
+      Gen.zip(Gen.choose(1L, 1000L), Gen.choose(0, 3), Gen.choose(1L, 99L)))
+    Prop.forAll(rows, Gen.choose(50, 300)) { (rs, budget) =>
+      val distinct = rs.distinctBy(_._1)
+      distinct.isEmpty || {
+        val df = distinct.toDF("id", "shard", "n_tokens")
+        val got = graft.llm.Sampling
+          .packSequences(df, "id", "n_tokens", budget, Seq("shard")).collect()
+        got.forall { r =>
+          val off = r.getAs[Long]("pack_offset")
+          off >= 0 && off < budget && r.getAs[Long]("pack_id") >= 0
+        } && {
+          // the doc starting last in each shard has pack coordinates
+          // equal to (sum of all other docs' tokens) decomposed by budget
+          got.groupBy(_.getAs[Int]("shard")).forall { case (_, ss) =>
+            val total = ss.map(_.getAs[Long]("n_tokens")).sum
+            val last = ss.maxBy(r => (java.security.MessageDigest.getInstance("MD5")
+              .digest(r.getAs[Long]("id").toString.getBytes("UTF-8"))
+              .map("%02x".format(_)).mkString.take(8), r.getAs[Long]("id")))
+            val before = total - last.getAs[Long]("n_tokens")
+            last.getAs[Long]("pack_id") == before / budget &&
+              last.getAs[Long]("pack_offset") == before % budget
+          }
+        }
+      }
+    }
+  }
+
+  property("interpolation is the identity on null-free data") =
+    Prop.forAll(smallRows) { rows =>
+      val distinct = rows.distinctBy(r => (r._1, r._2))
+      distinct.isEmpty || {
+        val df = distinct.toDF("k", "seq", "v")
+        val out = graft.operators.Ops.interpolateLinear(df, "v", Seq("k"), col("seq"))
+        out.orderBy("k", "seq").collect().toSeq ==
+          df.orderBy("k", "seq").collect().toSeq
+      }
+    }
+
+  property("winsorize preserves row count and orders bounds correctly") =
+    Prop.forAll(smallRows) { rows =>
+      rows.isEmpty || {
+        val df = rows.toDF("k", "seq", "v")
+        val out = graft.operators.Ops.winsorize(df, "v", 0.1, 0.9, Seq.empty, "w")
+        val vals = out.select("w").as[Double].collect()
+        out.count() == rows.size &&
+          vals.max <= rows.map(_._3).max && vals.min >= rows.map(_._3).min
+      }
+    }
 }
