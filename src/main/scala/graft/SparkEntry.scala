@@ -230,6 +230,21 @@ object SparkEntry {
         .select("o_orderkey", "o_orderpriority", "o_totalprice", "price_capped")
     }),
 
+    // daily-grid resample (pandas asfreq + ffill): every day between a
+    // customer's first and last order; gap days carry the last revenue
+    // forward, order counts fill with zero
+    "q_resample" -> ((s, dir) => {
+      val daily = t(s, dir, "orders")
+        .filter(col("o_custkey") <= 20)
+        .groupBy(col("o_custkey"), to_date(col("o_orderdate")).as("d"))
+        .agg(count(lit(1)).as("n_orders"), Det.sumMoney(col("o_totalprice")).as("rev"))
+      val dense = Ops.resampleDaily(daily, Seq("o_custkey"), "d")
+      val filled = Ops.forwardFill(dense, Seq("rev"), Seq("o_custkey"),
+        Seq(col("day").asc))
+      Ops.fillMissing(filled, Map("n_orders" -> 0L))
+        .select(col("o_custkey"), col("day"), col("n_orders"), col("rev"))
+    }),
+
     // -- SQL transform ----------------------------------------------------
     "q_sql" -> ((s, dir) => {
       Tables.registerAll(s, dir)
@@ -422,6 +437,25 @@ object SparkEntry {
         |SELECT o_orderkey, o_orderpriority, o_totalprice,
         |  LEAST(GREATEST(o_totalprice, lo), hi) AS price_capped
         |FROM orders JOIN b USING (o_orderpriority)""".stripMargin,
+
+    "q_resample" ->
+      s"""WITH a AS (
+         |  SELECT o_custkey, CAST(o_orderdate AS DATE) AS d, COUNT(*) AS n_orders,
+         |         ${Det.sqlSumMoney("o_totalprice")} AS rev
+         |  FROM orders WHERE o_custkey <= 20 GROUP BY 1, 2),
+         |b AS (SELECT o_custkey, MIN(d) AS lo, MAX(d) AS hi FROM a GROUP BY 1),
+         |g AS (
+         |  SELECT o_custkey, CAST(u.gs AS DATE) AS day
+         |  FROM b, unnest(generate_series(CAST(lo AS TIMESTAMP),
+         |                 CAST(hi AS TIMESTAMP), INTERVAL 1 DAY)) AS u(gs)),
+         |j AS (
+         |  SELECT g.o_custkey, g.day, a.n_orders, a.rev
+         |  FROM g LEFT JOIN a ON g.o_custkey = a.o_custkey AND g.day = a.d)
+         |SELECT o_custkey, day, COALESCE(n_orders, 0) AS n_orders,
+         |  LAST_VALUE(rev IGNORE NULLS) OVER (
+         |    PARTITION BY o_custkey ORDER BY day
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS rev
+         |FROM j""".stripMargin,
 
     "q_sql" -> sqlPriority,
 

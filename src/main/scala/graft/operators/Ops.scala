@@ -390,6 +390,25 @@ object Ops {
           prevV + (nextV - prevV) * (ord - prevO) / (nextO - prevO)))
   }
 
+  /** Daily-grid densification (pandas asfreq): one row per key per
+    * calendar day between that key's first and last observation, with
+    * the observed rows left-joined on. Missing days carry nulls —
+    * compose with [[forwardFill]] / [[fillMissing]] for the fill
+    * policy. The grid generator is a per-key bounds agg (key-count
+    * sized) + one explode; the join shuffles on (key, day) — both
+    * sides pre-aggregated, never the raw fact table twice.
+    */
+  def resampleDaily(df: DataFrame, keyCols: Seq[String], dateCol: String): DataFrame = {
+    val d = to_date(col(dateCol))
+    val keyed = df.withColumn("__day", d)
+    val bounds = keyed.groupBy(keyCols.map(col): _*)
+      .agg(min(col("__day")).as("__lo"), max(col("__day")).as("__hi"))
+    val grid = bounds.select(keyCols.map(col) :+
+      explode(sequence(col("__lo"), col("__hi"))).as("__day"): _*)
+    grid.join(keyed, keyCols :+ "__day", "left")
+      .withColumnRenamed("__day", "day")
+  }
+
   /** Winsorization: clamp a value column to its per-group [pLo, pHi]
     * exact percentiles (outlier capping that keeps row count). One
     * hash agg for the bounds frame (group-count-sized, broadcast back)

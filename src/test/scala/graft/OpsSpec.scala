@@ -90,6 +90,19 @@ class OpsSpec extends SparkSpec {
     assert(w.count(_ == 10.0) == 8) // interior untouched
   }
 
+  test("resampleDaily densifies every day between a key's first and last") {
+    val df = Seq(
+      ("a", "2024-01-01", 1.0), ("a", "2024-01-04", 4.0),
+      ("b", "2024-03-10", 9.0)
+    ).toDF("k", "d", "v").withColumn("d", to_date(col("d")))
+    val dense = Ops.resampleDaily(df, Seq("k"), "d").orderBy("k", "day")
+    val a = dense.filter(col("k") === "a").collect()
+    assert(a.length == 4) // Jan 1,2,3,4
+    assert(a.map(r => Option(r.getAs[Double]("v"))).toSeq ==
+      Seq(Some(1.0), None, None, Some(4.0)))
+    assert(dense.filter(col("k") === "b").count() == 1) // single-day key
+  }
+
   test("missing-data ops: ffill carries last non-null, fill/drop behave") {
     val df = Seq(
       ("a", 1, Some(10.0)), ("a", 2, None), ("a", 3, None), ("a", 4, Some(40.0)),
