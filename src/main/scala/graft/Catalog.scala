@@ -1,0 +1,92 @@
+package graft
+
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types.StructType
+import scala.jdk.CollectionConverters._
+
+/** Metadata-driven dataset catalog — the reference wires its
+  * connectors from metadata-DB rows (source configs consumed by the
+  * src/connectors modules and dispatched by the orchestrator); graft's
+  * equivalent is a declarative registry parsed from the same kind of
+  * config document:
+  *
+  * {{{
+  * {"datasets": [
+  *   {"name": "orders", "format": "parquet", "path": "/data/orders",
+  *    "schema": "o_orderkey BIGINT, o_totalprice DOUBLE"},
+  *   {"name": "rates", "format": "csv", "path": "/data/rates.csv",
+  *    "options": {"header": "true"}}
+  * ]}
+  * }}}
+  *
+  * `register` loads each dataset through [[sources.FileSource]]
+  * (declared schema pins types and skips the inference scan — the
+  * 100 TB requirement) and exposes it as a temp view, so catalog-named
+  * datasets compose with [[pipeline.PipelineJson]] pipelines and
+  * `Ops.sqlTransform` SQL: config in, optimized plan out, no code.
+  * A declared `schema` is also VALIDATED against the loaded frame
+  * (extra columns tolerated, missing/mistyped fail fast) — the
+  * reference's schema_manager gate at the same place in the flow.
+  */
+object Catalog {
+
+  final case class DatasetSpec(name: String, format: String, path: String,
+                               options: Map[String, String] = Map.empty,
+                               schemaDdl: Option[String] = None)
+
+  private val mapper = new ObjectMapper()
+
+  def parseJson(json: String): Seq[DatasetSpec] = {
+    val root = mapper.readTree(json)
+    root.get("datasets").elements().asScala.map { d =>
+      def opt(f: String): Option[JsonNode] = Option(d.get(f))
+      DatasetSpec(
+        d.get("name").asText(),
+        d.get("format").asText(),
+        d.get("path").asText(),
+        opt("options").map(_.properties().asScala
+          .map(e => e.getKey -> e.getValue.asText()).toMap).getOrElse(Map.empty),
+        opt("schema").map(_.asText()))
+    }.toSeq
+  }
+
+  def schemaOf(spec: DatasetSpec): Option[StructType] =
+    spec.schemaDdl.map(StructType.fromDDL)
+
+  /** Formats that carry their own schema (readable from metadata, no
+    * data scan) — only these can be VALIDATED against a declaration;
+    * for csv/json/xml the declaration IS the schema (applied, not
+    * checked: there is nothing intrinsic to check against without an
+    * inference scan).
+    */
+  private def selfDescribing(format: String): Boolean =
+    Set("parquet", "orc", "avro").contains(format.toLowerCase)
+
+  /** Load one dataset. A declared schema on a self-describing format
+    * is checked against the file's intrinsic schema FIRST (footer
+    * metadata only — reading with the pinned schema would just echo
+    * the declaration back, and a mismatch would otherwise surface as a
+    * mid-job read error at first action). The data is then read with
+    * the declared schema pinned.
+    */
+  def load(spark: SparkSession, spec: DatasetSpec): DataFrame = {
+    val schema = schemaOf(spec)
+    schema.filter(_ => selfDescribing(spec.format)).foreach { s =>
+      val observed = sources.FileSource
+        .read(spark, spec.format, spec.path, None, spec.options)
+      val v = Schemas.validate(observed, s)
+      require(v.passed,
+        s"catalog dataset '${spec.name}' failed schema validation: " +
+          s"missing=${v.missing.mkString(",")} mismatched=${v.typeMismatches.mkString(",")}")
+    }
+    sources.FileSource.read(spark, spec.format, spec.path, schema, spec.options)
+  }
+
+  /** Register every catalog dataset as a temp view named `spec.name`. */
+  def register(spark: SparkSession, specs: Seq[DatasetSpec]): Unit =
+    specs.foreach(spec => load(spark, spec).createOrReplaceTempView(spec.name))
+
+  def registerJson(spark: SparkSession, json: String): Unit =
+    register(spark, parseJson(json))
+}

@@ -47,6 +47,26 @@ object QueriesPipeline {
         graft.pipeline.PipelineJson.parse(json))
     }),
 
+    // metadata-driven end-to-end: a catalog config document names the
+    // datasets (schema pinned + validated on load), a SQL transform
+    // runs over the registered views — config in, optimized plan out
+    "q_catalog" -> ((s, dir) => {
+      val json =
+        s"""{"datasets": [
+           |  {"name": "cat_orders", "format": "parquet",
+           |   "path": "$dir/orders.parquet",
+           |   "schema": "o_orderkey BIGINT, o_custkey BIGINT, o_orderstatus STRING, o_totalprice DOUBLE, o_orderdate TIMESTAMP_NTZ, o_orderpriority STRING"},
+           |  {"name": "cat_customer", "format": "parquet",
+           |   "path": "$dir/customer.parquet"}
+           |]}""".stripMargin
+      Catalog.registerJson(s, json)
+      Ops.sqlTransform(s,
+        """SELECT c_mktsegment, o_orderstatus, COUNT(*) AS n,
+          |CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+          |FROM cat_orders JOIN cat_customer ON o_custkey = c_custkey
+          |GROUP BY c_mktsegment, o_orderstatus""".stripMargin)
+    }),
+
     // csv write → read roundtrip (schema pinned, no inference scan)
     "q_src_csv" -> ((s, dir) => {
       val n = t(s, dir, "nation")
@@ -74,6 +94,12 @@ object QueriesPipeline {
   )
 
   def oracleSql: Map[String, String] = Map(
+
+    "q_catalog" ->
+      """SELECT c_mktsegment, o_orderstatus, COUNT(*) AS n,
+        |CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment, o_orderstatus""".stripMargin,
 
     "q_pipeline" ->
       """SELECT o_orderpriority,

@@ -297,4 +297,34 @@ class PipelineSourcesSpec extends SparkSpec {
       .select(explode(split(col("text"), " ")).as("tok"))
     assert(Lineage.columnLineage(ex)("tok").exists(_.endsWith(".text")))
   }
+
+  test("Catalog: json registry loads, validates schemas, feeds pipelines") {
+    val sfDir = TestSession.sfDir
+    val json =
+      s"""{"datasets": [
+         |  {"name": "cat_nation", "format": "parquet",
+         |   "path": "$sfDir/nation.parquet",
+         |   "schema": "n_nationkey INT, n_name STRING, n_regionkey INT"},
+         |  {"name": "cat_region", "format": "parquet", "path": "$sfDir/region.parquet"}
+         |]}""".stripMargin
+    Catalog.registerJson(spark, json)
+    val out = spark.sql(
+      "SELECT r_name, COUNT(*) AS n FROM cat_nation JOIN cat_region " +
+        "ON n_regionkey = r_regionkey GROUP BY r_name")
+    assert(out.count() == table("region").count())
+    // catalog-named views compose with the JSON pipeline front-end
+    val piped = graft.pipeline.Pipeline.run(spark,
+      Map("cat_nation" -> Catalog.load(spark,
+        Catalog.parseJson(json).head)),
+      graft.pipeline.PipelineJson.parse(
+        """{"primary": "cat_nation", "steps": [
+          |  {"type": "aggregate", "groupBy": ["n_regionkey"],
+          |   "aggs": [{"col": "n_nationkey", "fn": "count", "as": "n"}]}]}""".stripMargin))
+    assert(piped.count() == table("region").count())
+    // a wrong declared type fails fast at load, naming the column
+    val bad = Catalog.DatasetSpec("bad_nation", "parquet", s"$sfDir/nation.parquet",
+      schemaDdl = Some("n_nationkey STRING, n_name STRING"))
+    val err = intercept[IllegalArgumentException](Catalog.load(spark, bad))
+    assert(err.getMessage.contains("n_nationkey"))
+  }
 }
