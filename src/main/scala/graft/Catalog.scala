@@ -39,12 +39,18 @@ object Catalog {
 
   def parseJson(json: String): Seq[DatasetSpec] = {
     val root = mapper.readTree(json)
-    root.get("datasets").elements().asScala.map { d =>
+    val datasets = Option(root.get("datasets")).getOrElse(
+      throw new IllegalArgumentException(
+        "catalog config needs a top-level \"datasets\" array"))
+    datasets.elements().asScala.map { d =>
       def opt(f: String): Option[JsonNode] = Option(d.get(f))
+      def str(f: String): String = opt(f).map(_.asText()).getOrElse(
+        throw new IllegalArgumentException(
+          s"catalog dataset entry is missing required field \"$f\": $d"))
       DatasetSpec(
-        d.get("name").asText(),
-        d.get("format").asText(),
-        d.get("path").asText(),
+        str("name"),
+        str("format"),
+        str("path"),
         opt("options").map(_.properties().asScala
           .map(e => e.getKey -> e.getValue.asText()).toMap).getOrElse(Map.empty),
         opt("schema").map(_.asText()))

@@ -223,11 +223,15 @@ object SparkEntry {
         .select(col("o_orderkey"), col("o_custkey"), col("p").as("price_interp"))
     }),
 
-    // percentile outlier capping per priority group
+    // percentile outlier capping per priority group. The capped value
+    // rounds to cents on BOTH sides: the bounds come from each engine's
+    // own exact-percentile interpolation, and a last-ulp difference
+    // there would otherwise flip hash parity data-dependently
     "q_winsorize" -> ((s, dir) => {
       Ops.winsorize(t(s, dir, "orders"), "o_totalprice", 0.05, 0.95,
         Seq("o_orderpriority"), alias = "price_capped")
-        .select("o_orderkey", "o_orderpriority", "o_totalprice", "price_capped")
+        .select(col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"),
+          round(col("price_capped"), 2).as("price_capped"))
     }),
 
     // daily-grid resample (pandas asfreq + ffill): every day between a
@@ -435,7 +439,7 @@ object SparkEntry {
         |    quantile_cont(o_totalprice, 0.95) AS hi
         |  FROM orders GROUP BY 1)
         |SELECT o_orderkey, o_orderpriority, o_totalprice,
-        |  LEAST(GREATEST(o_totalprice, lo), hi) AS price_capped
+        |  round(LEAST(GREATEST(o_totalprice, lo), hi), 2) AS price_capped
         |FROM orders JOIN b USING (o_orderpriority)""".stripMargin,
 
     "q_resample" ->

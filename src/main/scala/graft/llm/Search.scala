@@ -33,6 +33,18 @@ object Search {
   def tokens(c: Column): Column =
     regexp_extract_all(lower(c), lit(tokenPattern), lit(0))
 
+  /** Global top-`k` with a dense `rnk` column, WITHOUT a
+    * single-partition rank window: orderBy+limit plans as
+    * TakeOrderedAndProject (per-partition heaps + merge of k); the
+    * row_number then runs over just the k survivors. One definition so
+    * the tie-break and the rank cast cannot drift between operators.
+    */
+  private def rankedTopK(df: DataFrame, k: Int, sort: Seq[Column]): DataFrame = {
+    val topk = df.orderBy(sort: _*).limit(k)
+    topk.withColumn("rnk",
+      row_number().over(Window.orderBy(sort: _*)).cast("long"))
+  }
+
   /** Per-(doc, term) occurrence counts with per-doc token totals.
     * Output: (idCol, term, cnt, dl). `dl` counts ALL tokens of the doc
     * (computed map-side from the token array, before any term filter).
@@ -109,13 +121,8 @@ object Search {
     val perDoc = scored.groupBy(col(idCol)).agg(
       count(lit(1)).as("n_hits"),
       round(graft.functions.Det.sumAt(col("__contrib"), 6), 4).as("score"))
-    // global top-k WITHOUT a single-partition window: orderBy+limit
-    // plans as TakeOrderedAndProject (per-partition heaps + merge of k),
-    // then row_number runs over just the k survivors
-    val topk = perDoc.orderBy(col("score").desc, col(idCol).asc).limit(k)
-    val w = Window.orderBy(col("score").desc, col(idCol).asc)
-    topk.withColumn("rnk", row_number().over(w))
-      .select(col(idCol), col("n_hits"), col("score"), col("rnk").cast("long").as("rnk"))
+    rankedTopK(perDoc, k, Seq(col("score").desc, col(idCol).asc))
+      .select(col(idCol), col("n_hits"), col("score"), col("rnk"))
   }
 
   /** Corpus vocabulary statistics: top-`k` terms by total occurrences.
@@ -128,12 +135,10 @@ object Search {
       .select(col(idCol), explode(tokens(col(textCol))).as("term"))
       .groupBy(col("term"))
       .agg(count(lit(1)).as("cnt"), count_distinct(col(idCol)).as("df"))
-    // TakeOrderedAndProject top-k (see bm25Search) — the vocabulary can
-    // be tens of millions of terms on a web corpus, never single-sort it
-    val topk = byTerm.orderBy(col("cnt").desc, col("term").asc).limit(k)
-    val w = Window.orderBy(col("cnt").desc, col("term").asc)
-    topk.withColumn("rnk", row_number().over(w))
-      .select(col("term"), col("cnt"), col("df"), col("rnk").cast("long").as("rnk"))
+    // the vocabulary can be tens of millions of terms on a web corpus —
+    // never single-sort it
+    rankedTopK(byTerm, k, Seq(col("cnt").desc, col("term").asc))
+      .select(col("term"), col("cnt"), col("df"), col("rnk"))
   }
 
   /** Top-`k` word n-grams by total occurrences (corpus repetition /
@@ -161,10 +166,8 @@ object Search {
       .select(col(idCol), explode(grams).as("ngram"))
       .groupBy(col("ngram"))
       .agg(count(lit(1)).as("cnt"), count_distinct(col(idCol)).as("df"))
-    val topk = byGram.orderBy(col("cnt").desc, col("ngram").asc).limit(k)
-    val w = Window.orderBy(col("cnt").desc, col("ngram").asc)
-    topk.withColumn("rnk", row_number().over(w))
-      .select(col("ngram"), col("cnt"), col("df"), col("rnk").cast("long").as("rnk"))
+    rankedTopK(byGram, k, Seq(col("cnt").desc, col("ngram").asc))
+      .select(col("ngram"), col("cnt"), col("df"), col("rnk"))
   }
 
   /** Fixed-width character chunking with overlap (RAG ingestion): one

@@ -412,18 +412,26 @@ object Ops {
   /** Winsorization: clamp a value column to its per-group [pLo, pHi]
     * exact percentiles (outlier capping that keeps row count). One
     * hash agg for the bounds frame (group-count-sized, broadcast back)
-    * + a map-side clamp — the fact table never shuffles.
+    * + a map-side clamp — the fact table never shuffles. Null values
+    * stay null (greatest/least skip nulls, which would otherwise
+    * fabricate the lower bound for every gap). Exact percentile
+    * buffers per-group values in executor memory — at 100 TB set
+    * `approx = true` (t-digest `approx_percentile`: same plan shape,
+    * bounded memory, bounds no longer bit-reproducible cross-engine).
     */
   def winsorize(df: DataFrame, valueCol: String, pLo: Double, pHi: Double,
-                groupCols: Seq[String], alias: String = "winsorized"): DataFrame = {
+                groupCols: Seq[String], alias: String = "winsorized",
+                approx: Boolean = false): DataFrame = {
     require(pLo >= 0 && pHi <= 1 && pLo <= pHi, s"need 0 <= pLo <= pHi <= 1")
+    val fn = if (approx) "approx_percentile" else "percentile"
     val bounds = df.groupBy(groupCols.map(col): _*).agg(
-      expr(s"percentile($valueCol, ${pLo}D)").as("__lo"),
-      expr(s"percentile($valueCol, ${pHi}D)").as("__hi"))
+      expr(s"$fn($valueCol, ${pLo}D)").as("__lo"),
+      expr(s"$fn($valueCol, ${pHi}D)").as("__hi"))
     val joined =
       if (groupCols.isEmpty) df.crossJoin(broadcast(bounds))
       else df.join(broadcast(bounds), groupCols)
-    joined.withColumn(alias, least(greatest(col(valueCol), col("__lo")), col("__hi")))
+    joined.withColumn(alias, when(col(valueCol).isNotNull,
+        least(greatest(col(valueCol), col("__lo")), col("__hi"))))
       .drop("__lo", "__hi")
   }
 }

@@ -88,6 +88,12 @@ class OpsSpec extends SparkSpec {
     assert(w.forall(x => x >= -1000.0 && x <= 1000.0))
     assert(w.max < 1000.0 && w.min > -1000.0) // extremes got capped
     assert(w.count(_ == 10.0) == 8) // interior untouched
+    // nulls stay null — the clamp must not fabricate the lower bound
+    val withNull = Seq((1, Some(1.0)), (2, None), (3, Some(9.0)))
+      .toDF("id", "v")
+    val g2 = Ops.winsorize(withNull, "v", 0.0, 1.0, Seq.empty, "w")
+      .orderBy("id").select("w").as[Option[Double]].collect()
+    assert(g2.toSeq == Seq(Some(1.0), None, Some(9.0)))
   }
 
   test("resampleDaily densifies every day between a key's first and last") {

@@ -326,5 +326,12 @@ class PipelineSourcesSpec extends SparkSpec {
       schemaDdl = Some("n_nationkey STRING, n_name STRING"))
     val err = intercept[IllegalArgumentException](Catalog.load(spark, bad))
     assert(err.getMessage.contains("n_nationkey"))
+    // malformed configs fail naming what is wrong, not with a bare NPE
+    val noDatasets = intercept[IllegalArgumentException](
+      Catalog.parseJson("""{"dataset": []}"""))
+    assert(noDatasets.getMessage.contains("datasets"))
+    val noPath = intercept[IllegalArgumentException](
+      Catalog.parseJson("""{"datasets": [{"name": "x", "format": "parquet"}]}"""))
+    assert(noPath.getMessage.contains("path"))
   }
 }
