@@ -74,7 +74,12 @@ object Search {
     */
   def tfidfTopTerms(df: DataFrame, idCol: String, textCol: String,
                     k: Int = 3): DataFrame = {
-    val tf = docTermFreq(df, idCol, textCol)
+    // tf feeds both the score join and the document-frequency agg —
+    // and the two subtrees prune different columns, so ReuseExchange
+    // can NOT dedupe them (verified at runtime: without the persist
+    // the corpus is tokenized+exploded+shuffled twice). Same
+    // session-scoped persist contract as Lof.scores.
+    val tf = docTermFreq(df, idCol, textCol).persist()
     val termDf = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val scored = tf
       .join(termDf, Seq("term")) // vocab-sized side: AQE broadcasts when small
@@ -99,8 +104,12 @@ object Search {
   def bm25Search(df: DataFrame, idCol: String, textCol: String,
                  queryTerms: Seq[String], k: Int = 20,
                  k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    // persisted: feeds both the df agg and the score join (see
+    // tfidfTopTerms — exchange reuse cannot dedupe the two subtrees);
+    // post-filter the frame is hits-only, far smaller than the corpus
     val tf = docTermFreq(df, idCol, textCol)
       .filter(col("term").isin(queryTerms: _*))
+      .persist()
     // df counts docs containing the term WITHIN the filtered frame —
     // identical to corpus df because the filter keeps every (doc, term)
     // row of the query terms
