@@ -89,9 +89,50 @@ object Catalog {
     sources.FileSource.read(spark, spec.format, spec.path, schema, spec.options)
   }
 
-  /** Register every catalog dataset as a temp view named `spec.name`. */
+  /** Connector-backed catalog entries (format "jdbc" or a NoSQL kind)
+    * resolve to the same config builders the connector layer exposes:
+    * `path` carries the connection URI, `options` the rest. Returns
+    * None for file formats. Testable without a live system — the
+    * builder IS the configuration.
+    */
+  def connector(spec: DatasetSpec): Option[Either[sources.JdbcSource, sources.NoSqlSource]] =
+    spec.format.toLowerCase match {
+      case "jdbc" =>
+        val o = spec.options
+        Some(Left(sources.JdbcSource(
+          url = spec.path,
+          table = o.getOrElse("dbtable", throw new IllegalArgumentException(
+            s"catalog jdbc dataset '${spec.name}' needs options.dbtable")),
+          user = o.getOrElse("user", ""),
+          password = o.getOrElse("password", ""),
+          partitionColumn = o.get("partitionColumn"),
+          lowerBound = o.getOrElse("lowerBound", "0").toLong,
+          upperBound = o.getOrElse("upperBound", "0").toLong,
+          numPartitions = o.getOrElse("numPartitions", "1").toInt,
+          fetchSize = o.getOrElse("fetchsize", "10000").toInt)))
+      case k @ ("mongodb" | "cassandra" | "dynamodb") =>
+        Some(Right(sources.NoSqlSource(k,
+          uri = spec.path,
+          database = spec.options.getOrElse("database", ""),
+          collection = spec.options.getOrElse("collection", ""),
+          region = spec.options.getOrElse("region", ""))))
+      case _ => None
+    }
+
+  /** Register every catalog dataset as a temp view named `spec.name`.
+    * Connector-backed entries `.load()` through their configured
+    * readers — that step needs the driver jars on the classpath (the
+    * [[sources.JdbcSource]] contract); file entries load immediately.
+    */
   def register(spark: SparkSession, specs: Seq[DatasetSpec]): Unit =
-    specs.foreach(spec => load(spark, spec).createOrReplaceTempView(spec.name))
+    specs.foreach { spec =>
+      val df = connector(spec) match {
+        case Some(Left(jdbc))   => jdbc.reader(spark).load()
+        case Some(Right(nosql)) => nosql.reader(spark).load()
+        case None               => load(spark, spec)
+      }
+      df.createOrReplaceTempView(spec.name)
+    }
 
   def registerJson(spark: SparkSession, json: String): Unit =
     register(spark, parseJson(json))

@@ -333,5 +333,28 @@ class PipelineSourcesSpec extends SparkSpec {
     val noPath = intercept[IllegalArgumentException](
       Catalog.parseJson("""{"datasets": [{"name": "x", "format": "parquet"}]}"""))
     assert(noPath.getMessage.contains("path"))
+    // connector-backed entries resolve to the connector config builders
+    val jdbc = Catalog.parseJson(
+      """{"datasets": [{"name": "pg_orders", "format": "jdbc",
+        |  "path": "jdbc:postgresql://db:5432/shop",
+        |  "options": {"dbtable": "orders", "user": "etl",
+        |              "partitionColumn": "o_orderkey",
+        |              "lowerBound": "1", "upperBound": "100000",
+        |              "numPartitions": "16"}}]}""".stripMargin).head
+    Catalog.connector(jdbc) match {
+      case Some(Left(j)) =>
+        assert(j.url == "jdbc:postgresql://db:5432/shop" && j.table == "orders")
+        assert(j.partitionColumn.contains("o_orderkey") && j.numPartitions == 16)
+        assert(j.options("upperBound") == "100000")
+      case other => fail(s"expected a JdbcSource, got $other")
+    }
+    val mongo = Catalog.DatasetSpec("m", "mongodb", "mongodb://db:27017",
+      options = Map("database" -> "shop", "collection" -> "events"))
+    Catalog.connector(mongo) match {
+      case Some(Right(n)) =>
+        assert(n.format == "mongodb" && n.options("collection") == "events")
+      case other => fail(s"expected a NoSqlSource, got $other")
+    }
+    assert(Catalog.connector(bad).isEmpty) // file formats stay file-loaded
   }
 }
