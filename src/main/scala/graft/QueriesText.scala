@@ -78,6 +78,21 @@ object QueriesText {
         Text.shingleFingerprint(col("text"), 8).as("fp_shingle"))
     }),
 
+    // encoding quality: replacement-char / stray-control detection.
+    // Decode failures are planted deterministically (every 10th doc
+    // gets U+FFFD markers appended, every 25th a 0x01 control run) so
+    // the screen has positives to catch — identically on both sides
+    "q_text_encoding" -> ((s, dir) => {
+      val planted = when(col("doc_id") % 10 === 0, concat(col("text"), lit("\uFFFD\uFFFD")))
+        .when(col("doc_id") % 25 === 0, concat(col("text"), lit("\u0001\u0001\u0001")))
+        .otherwise(col("text"))
+      docs(s, dir).select(
+        col("doc_id"),
+        Text.replacementCharCount(planted).as("n_repl"),
+        Text.strayControlCount(planted).as("n_ctrl"),
+        Text.encodingClean(planted).as("clean"))
+    }),
+
     // salted pseudonymization: stable surrogate identifiers for
     // analytics over PII columns (masking, not encryption)
     "q_text_pseudo" -> ((s, dir) => {
@@ -169,6 +184,16 @@ object QueriesText {
 
     "q_text_pseudo" ->
       """SELECT c_custkey, sha256('graft-salt' || c_name) AS name_token
-        |FROM customer""".stripMargin
+        |FROM customer""".stripMargin,
+
+    "q_text_encoding" -> {
+      val planted = "CASE WHEN doc_id % 10 = 0 THEN text || chr(65533) || chr(65533) " +
+        "WHEN doc_id % 25 = 0 THEN text || chr(1) || chr(1) || chr(1) ELSE text END"
+      val repl = s"len(regexp_extract_all(p, chr(65533)))"
+      val ctrl = s"len(regexp_extract_all(p, '[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f\\x7f]'))"
+      s"""SELECT doc_id, $repl AS n_repl, $ctrl AS n_ctrl,
+         |($repl = 0 AND CAST($ctrl AS DOUBLE) <= GREATEST(length(p), 1) * 0.001) AS clean
+         |FROM (SELECT doc_id, $planted AS p FROM documents)""".stripMargin
+    }
   )
 }

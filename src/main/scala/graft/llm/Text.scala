@@ -191,6 +191,27 @@ object Text {
   def piiCounts(c: Column): Seq[(String, Column)] =
     piiPatterns.map { case (name, pat, _) => name -> regexp_count(c, lit(pat)) }
 
+  // ---- encoding quality ----------------------------------------------
+  // Mojibake screens: decode failures surface as U+FFFD replacement
+  // characters or stray control bytes; both are map-side regexp counts.
+
+  /** Count of U+FFFD replacement characters (decode-failure marker). */
+  def replacementCharCount(c: Column): Column =
+    regexp_count(c, lit("\uFFFD"))
+
+  /** Count of control characters that are not tab/newline/CR (raw
+    * binary leaking into text).
+    */
+  def strayControlCount(c: Column): Column =
+    regexp_count(c, lit("[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f\\x7f]"))
+
+  /** Clean-encoding gate: no replacement characters, stray controls
+    * under `maxControlRatio` of the text length.
+    */
+  def encodingClean(c: Column, maxControlRatio: Double = 0.001): Column =
+    replacementCharCount(c) === 0 &&
+      strayControlCount(c).cast("double") <= greatest(length(c), lit(1)) * maxControlRatio
+
   /** Salted pseudonymization: stable surrogate key for an identifier
     * column (same input + salt → same token; joins/groupBys keep
     * working on the pseudonym, the raw value never leaves the plan).
