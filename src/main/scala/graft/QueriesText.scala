@@ -93,6 +93,27 @@ object QueriesText {
         Text.encodingClean(planted).as("clean"))
     }),
 
+    // Gopher repetition rules: duplicate-line mass (each word becomes
+    // a line so the word-salad corpus has real duplicates) and the
+    // most-common-bigram share of all bigrams per document
+    "q_text_repetition" -> ((s, dir) => {
+      val asLines = regexp_replace(col("text"), " ", "\n")
+      val perDoc = docs(s, dir).select(
+        col("doc_id"),
+        Text.dupLineFraction(asLines).as("dup_line_frac"))
+      val grams = graft.llm.Search.ngramCounts(docs(s, dir), "doc_id", "text", 2)
+        .groupBy(col("doc_id")).agg(
+          max(col("cnt")).as("top_bigram_cnt"),
+          sum(col("cnt")).as("n_bigrams"))
+        .withColumn("top_bigram_frac",
+          col("top_bigram_cnt").cast("double") / col("n_bigrams").cast("double"))
+      perDoc.join(grams, Seq("doc_id"), "left")
+        .select(col("doc_id"), round(col("dup_line_frac"), 6).as("dup_line_frac"),
+          coalesce(col("top_bigram_cnt"), lit(0L)).as("top_bigram_cnt"),
+          coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+          round(coalesce(col("top_bigram_frac"), lit(0.0)), 6).as("top_bigram_frac"))
+    }),
+
     // salted pseudonymization: stable surrogate identifiers for
     // analytics over PII columns (masking, not encryption)
     "q_text_pseudo" -> ((s, dir) => {
@@ -185,6 +206,34 @@ object QueriesText {
     "q_text_pseudo" ->
       """SELECT c_custkey, sha256('graft-salt' || c_name) AS name_token
         |FROM customer""".stripMargin,
+
+    "q_text_repetition" ->
+      """WITH lines AS (
+        |  SELECT doc_id,
+        |    string_split(regexp_replace(text, ' ', chr(10), 'g'), chr(10)) AS l
+        |  FROM documents),
+        |d AS (
+        |  SELECT doc_id, round(
+        |    CAST(len(l) - len(list_distinct(l)) AS DOUBLE) / len(l), 6) AS dup_line_frac
+        |  FROM lines),
+        |tl AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t
+        |       FROM documents),
+        |g AS (
+        |  SELECT doc_id, unnest(list_transform(
+        |    range(1, GREATEST(len(t) - 1, 0) + 1),
+        |    i -> t[i] || ' ' || t[i + 1])) AS ngram
+        |  FROM tl),
+        |gc AS (SELECT doc_id, ngram, COUNT(*) AS cnt FROM g GROUP BY 1, 2),
+        |agg AS (
+        |  SELECT doc_id, MAX(cnt) AS top_bigram_cnt,
+        |         CAST(SUM(cnt) AS BIGINT) AS n_bigrams
+        |  FROM gc GROUP BY 1)
+        |SELECT d.doc_id, d.dup_line_frac,
+        |  COALESCE(top_bigram_cnt, 0) AS top_bigram_cnt,
+        |  COALESCE(n_bigrams, 0) AS n_bigrams,
+        |  round(COALESCE(CAST(top_bigram_cnt AS DOUBLE) / CAST(n_bigrams AS DOUBLE),
+        |                 0.0), 6) AS top_bigram_frac
+        |FROM d LEFT JOIN agg USING (doc_id)""".stripMargin,
 
     "q_text_encoding" -> {
       val planted = "CASE WHEN doc_id % 10 = 0 THEN text || chr(65533) || chr(65533) " +

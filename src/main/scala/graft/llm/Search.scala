@@ -156,8 +156,12 @@ object Search {
     * in one hash agg; top-k via TakeOrderedAndProject as above.
     * Output: (ngram space-joined, cnt, df, rnk).
     */
-  def ngramTop(df: DataFrame, idCol: String, textCol: String,
-               n: Int = 2, k: Int = 20): DataFrame = {
+  /** Per-(doc, n-gram) occurrence counts — the shared building block
+    * for [[ngramTop]] and per-document repetition stats.
+    * Output: (idCol, ngram space-joined, cnt).
+    */
+  def ngramCounts(df: DataFrame, idCol: String, textCol: String,
+                  n: Int): DataFrame = {
     require(n >= 1, s"n must be >= 1, got $n")
     // bind the token array to a column first: element_at inside the
     // transform lambda otherwise re-evaluates the regexp tokenizer for
@@ -170,11 +174,17 @@ object Search {
       sequence(lit(1), upper),
       i => concat_ws(" ", (0 until n).map(j => element_at(toks, i + lit(j))): _*)))
       .otherwise(array().cast("array<string>"))
-    val byGram = df
-      .select(col(idCol), tokens(col(textCol)).as("__toks"))
+    df.select(col(idCol), tokens(col(textCol)).as("__toks"))
       .select(col(idCol), explode(grams).as("ngram"))
+      .groupBy(col(idCol), col("ngram"))
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  def ngramTop(df: DataFrame, idCol: String, textCol: String,
+               n: Int = 2, k: Int = 20): DataFrame = {
+    val byGram = ngramCounts(df, idCol, textCol, n)
       .groupBy(col("ngram"))
-      .agg(count(lit(1)).as("cnt"), count_distinct(col(idCol)).as("df"))
+      .agg(sum(col("cnt")).as("cnt"), count(lit(1)).as("df"))
     rankedTopK(byGram, k, Seq(col("cnt").desc, col("ngram").asc))
       .select(col("ngram"), col("cnt"), col("df"), col("rnk"))
   }

@@ -94,6 +94,15 @@ object Text {
       size(array_distinct(split(lower(trim(c)), "\\s+"))).cast("double") /
         tokenCount(c).cast("double"))
 
+  /** Fraction of lines that are duplicates of an earlier line within
+    * the document (Gopher repetition rule: drop when the mass of
+    * duplicate lines is high). Map-side array math, no shuffle.
+    */
+  def dupLineFraction(c: Column): Column = {
+    val lines = split(c, "\n")
+    (size(lines) - size(array_distinct(lines))).cast("double") / size(lines)
+  }
+
   /** Composite Gopher gate: true when every rule passes. Thresholds
     * are the published defaults, scaled-down token bounds exposed for
     * short-doc corpora.
