@@ -123,6 +123,14 @@ object QueriesDQ {
       DQ.keySkew(t(s, dir, "orders"), Seq("o_custkey"), topN = 10)
     }),
 
+    // PSI distribution drift between two yearly snapshots
+    "q_dq_psi" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val ref = li.filter(col("l_shipdate") >= "1995-01-01" && col("l_shipdate") < "1996-01-01")
+      val cur = li.filter(col("l_shipdate") >= "1996-01-01" && col("l_shipdate") < "1997-01-01")
+      DQ.psi(ref, cur, "l_quantity", Seq(1, 11, 21, 31, 41, 51), threshold = 0.1)
+    }),
+
     // k-anonymity privacy audit over quasi-identifier columns
     "q_dq_kanon" -> ((s, dir) => {
       DQ.kAnonymity(t(s, dir, "customer"), Seq("c_nationkey", "c_mktsegment"), k = 5)
@@ -312,6 +320,38 @@ object QueriesDQ {
         |       ROUND(n / total, 6) AS share,
         |       ROUND(n / total * nkeys, 6) AS ratio_to_avg
         |FROM c, s ORDER BY n DESC, o_custkey LIMIT 10""".stripMargin,
+
+    "q_dq_psi" -> {
+      val edges = Seq(1.0, 11.0, 21.0, 31.0, 41.0, 51.0)
+      def buckets(tag: String) = edges.sliding(2).toSeq.zipWithIndex.map {
+        case (Seq(lo, hi), i) =>
+          s"SUM(CASE WHEN l_quantity >= $lo AND l_quantity < $hi THEN 1 ELSE 0 END) AS ${tag}$i"
+      }.mkString(", ")
+      def total(tag: String) = (0 until 5).map(i => s"$tag$i").mkString(" + ")
+      val nR = s"CAST(${total("r")} AS DOUBLE)"
+      val nC = s"CAST(${total("c")} AS DOUBLE)"
+      // operand order mirrors DQ.psi exactly: (pC - pR) * ln(pC / pR),
+      // probabilities floored at 1e-4, terms summed left to right
+      val terms = (0 until 5).map { i =>
+        val pR = s"GREATEST(CAST(r$i AS DOUBLE) / $nR, 1.0e-4)"
+        val pC = s"GREATEST(CAST(c$i AS DOUBLE) / $nC, 1.0e-4)"
+        s"(($pC) - ($pR)) * ln(($pC) / ($pR))"
+      }.mkString(" + ")
+      s"""WITH r AS (
+         |  SELECT ${buckets("r")} FROM lineitem
+         |  WHERE l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
+         |    AND l_shipdate < TIMESTAMP '1996-01-01 00:00:00'),
+         |c AS (
+         |  SELECT ${buckets("c")} FROM lineitem
+         |  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+         |    AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00')
+         |SELECT 'l_quantity' AS colname,
+         |  CAST(${total("r")} AS BIGINT) AS n_ref,
+         |  CAST(${total("c")} AS BIGINT) AS n_cur,
+         |  round($terms, 6) AS psi,
+         |  (round($terms, 6) > 0.1) AS drifted
+         |FROM r, c""".stripMargin
+    },
 
     "q_dq_kanon" ->
       """WITH g AS (

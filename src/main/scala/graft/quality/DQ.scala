@@ -394,6 +394,42 @@ object DQ {
       .drop("__total", "__nkeys")
   }
 
+  /** Population Stability Index between two snapshots of a numeric
+    * column (distribution-drift screen; standard rule of thumb:
+    * < 0.1 stable, 0.1–0.25 moderate shift, > 0.25 major shift).
+    * PSI = Σ (p_cur - p_ref) · ln(p_cur / p_ref) over fixed buckets;
+    * zero-count buckets are floored at `eps` mass, the usual PSI
+    * smoothing. One single-row aggregation per side (map-side
+    * partial), one 1×1 join — neither table shuffles.
+    * Output: (colname, n_ref, n_cur, psi, drifted).
+    */
+  def psi(reference: DataFrame, current: DataFrame, column: String,
+          edges: Seq[Double], threshold: Double = 0.25,
+          eps: Double = 1e-4): DataFrame = {
+    require(edges.size >= 2, "need at least two bucket edges")
+    val c = col(column)
+    def side(df: DataFrame, tag: String): DataFrame = {
+      val buckets = edges.sliding(2).toSeq.zipWithIndex.map { case (Seq(lo, hi), i) =>
+        sum(when(c >= lo && c < hi, 1L).otherwise(0L)).as(s"__$tag$i")
+      }
+      df.agg(buckets.head, buckets.tail: _*)
+    }
+    val nBuckets = edges.size - 1
+    def n(tag: String) = (0 until nBuckets).map(i => col(s"__$tag$i")).reduce(_ + _)
+    val joined = side(reference, "r").crossJoin(broadcast(side(current, "c")))
+    val nR = n("r").cast("double")
+    val nC = n("c").cast("double")
+    val terms = (0 until nBuckets).map { i =>
+      val pR = greatest(col(s"__r$i").cast("double") / nR, lit(eps))
+      val pC = greatest(col(s"__c$i").cast("double") / nC, lit(eps))
+      (pC - pR) * log(pC / pR)
+    }
+    val score = round(terms.reduce(_ + _), 6)
+    joined.select(lit(column).as("colname"),
+      nR.cast("long").as("n_ref"), nC.cast("long").as("n_cur"),
+      score.as("psi"), (score > threshold).as("drifted"))
+  }
+
   /** k-anonymity audit over quasi-identifier columns: a dataset is
     * k-anonymous when every combination of the quasi-identifiers is
     * shared by at least `k` rows. Returns one summary row —

@@ -156,6 +156,17 @@ class DQSpec extends SparkSpec {
     assert(math.abs(c - 1.0) < 1e-12)
   }
 
+  test("psi: zero for identical distributions, flags a real shift") {
+    val a = (1 to 100).map(i => (i % 10).toDouble).toDF("x")
+    val same = DQ.psi(a, a, "x", Seq(0.0, 2.0, 4.0, 6.0, 8.0, 10.0)).head()
+    assert(same.getAs[Double]("psi") == 0.0 && !same.getAs[Boolean]("drifted"))
+    // shift all mass into the top buckets
+    val b = (1 to 100).map(i => 8.0 + (i % 2)).toDF("x")
+    val moved = DQ.psi(a, b, "x", Seq(0.0, 2.0, 4.0, 6.0, 8.0, 10.0)).head()
+    assert(moved.getAs[Double]("psi") > 0.25 && moved.getAs[Boolean]("drifted"))
+    assert(moved.getAs[Long]("n_ref") == 100L && moved.getAs[Long]("n_cur") == 100L)
+  }
+
   test("kAnonymity counts violating quasi-identifier groups") {
     // groups: (x,1) x5 ok for k=3; (x,2) x2 and (y,1) x1 violate
     val df = (Seq.fill(5)(("x", 1)) ++ Seq.fill(2)(("x", 2)) ++ Seq(("y", 1)))
