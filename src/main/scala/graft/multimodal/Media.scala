@@ -120,6 +120,62 @@ object Media {
   private val wavUdf = udf((b: Array[Byte]) =>
     parseWavMeta(b).map { case (c, r, s, d) => AudioMeta(c, r, s, d) }.orNull)
 
+  // MPEG audio frame-header tables (ISO/IEC 11172-3 / 13818-3):
+  // bitrate kbps by [version group][layer][index], sample rate by
+  // [version][index]. Index 0 ("free") and 15 are invalid.
+  private val mp3BitrateV1 = Map( // MPEG1: layer -> table
+    1 -> Array(0, 32, 64, 96, 128, 160, 192, 224, 256, 288, 320, 352, 384, 416, 448),
+    2 -> Array(0, 32, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320, 384),
+    3 -> Array(0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320))
+  private val mp3BitrateV2 = Map( // MPEG2/2.5
+    1 -> Array(0, 32, 48, 56, 64, 80, 96, 112, 128, 144, 160, 176, 192, 224, 256),
+    2 -> Array(0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160),
+    3 -> Array(0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160))
+  private val mp3SampleRate = Map( // version bits -> rates
+    3 -> Array(44100, 48000, 32000), // MPEG1
+    2 -> Array(22050, 24000, 16000), // MPEG2
+    0 -> Array(11025, 12000, 8000))  // MPEG2.5
+
+  /** Real MPEG audio (MP3) frame-header parsing: version/layer,
+    * bitrate, sample rate and channel mode from the first frame
+    * header's bit fields, skipping a leading ID3v2 tag (syncsafe
+    * size). Duration is the CBR estimate (audio bytes x 8 / bitrate) —
+    * exact for constant-bitrate files, approximate for VBR (a full
+    * VBR walk needs every frame header; out of scope like sample
+    * decode). Output: (channels, sample_rate, bitrate_kbps, duration_ms).
+    */
+  def parseMp3Meta(bytes: Array[Byte]): Option[(Int, Int, Int, Long)] = {
+    if (bytes == null || bytes.length < 4) return None
+    def u8(i: Int) = bytes(i) & 0xFF
+    // ID3v2 header: "ID3" ver(2) flags(1) syncsafe-size(4)
+    val off =
+      if (bytes.length >= 10 && bytes(0) == 'I' && bytes(1) == 'D' && bytes(2) == '3') {
+        val size = (u8(6) << 21) | (u8(7) << 14) | (u8(8) << 7) | u8(9)
+        10L + size
+      } else 0L
+    if (off + 4 > bytes.length) return None
+    val i = off.toInt
+    if (u8(i) != 0xFF || (u8(i + 1) & 0xE0) != 0xE0) return None
+    val versionBits = (u8(i + 1) >> 3) & 3 // 0=MPEG2.5, 2=MPEG2, 3=MPEG1 (1 reserved)
+    val layerBits = (u8(i + 1) >> 1) & 3   // 1=III, 2=II, 3=I (0 reserved)
+    if (versionBits == 1 || layerBits == 0) return None
+    val layer = 4 - layerBits // 1=Layer I ... 3=Layer III
+    val bitrateIdx = (u8(i + 2) >> 4) & 0xF
+    val srIdx = (u8(i + 2) >> 2) & 3
+    if (bitrateIdx == 0 || bitrateIdx == 15 || srIdx == 3) return None
+    val table = if (versionBits == 3) mp3BitrateV1 else mp3BitrateV2
+    val kbps = table(layer)(bitrateIdx)
+    val sampleRate = mp3SampleRate(versionBits)(srIdx)
+    val channels = if (((u8(i + 3) >> 6) & 3) == 3) 1 else 2
+    val audioBytes = bytes.length.toLong - off
+    Some((channels, sampleRate, kbps, audioBytes * 8L / kbps))
+  }
+
+  // reuses AudioMeta; the `bits` slot carries the bitrate in kbps for
+  // MPEG audio (frame headers declare no PCM bit depth)
+  private val mp3Udf = udf((b: Array[Byte]) =>
+    parseMp3Meta(b).map { case (c, r, k, d) => AudioMeta(c, r, k, d) }.orNull)
+
   /** Attach a media metadata struct to a binary column. Image
     * width/height come from REAL header parsing ([[parseImageDims]]),
     * audio duration from REAL RIFF/WAVE parsing ([[parseWavMeta]])
@@ -135,13 +191,15 @@ object Media {
     val isAudio = lit(mime).startsWith("audio")
     val parsed = dimsUdf(bytes)
     val wav = wavUdf(bytes)
+    val mp3 = mp3Udf(bytes)
     df.withColumn(metaCol, struct(
       lit(mime).as("mime"),
       when(isImage, coalesce(parsed.getField("width"),
         (pmod(n, lit(1024L)) + 1L).cast("int"))).otherwise(lit(null).cast("int")).as("width"),
       when(isImage, coalesce(parsed.getField("height"),
         (pmod(n, lit(768L)) + 1L).cast("int"))).otherwise(lit(null).cast("int")).as("height"),
-      when(isAudio, coalesce(wav.getField("duration_ms"), n * 8L))
+      when(isAudio, coalesce(wav.getField("duration_ms"),
+          mp3.getField("duration_ms"), n * 8L))
         .when(!isImage, n * 8L)
         .otherwise(lit(null).cast("long")).as("duration_ms"),
       n.as("n_bytes")))

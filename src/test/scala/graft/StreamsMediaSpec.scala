@@ -247,6 +247,36 @@ class StreamsMediaSpec extends SparkSpec {
     assert(meta(1)._2 > 0 && meta(1)._3 > 0) // junk falls back to the stub
   }
 
+  test("Media.parseMp3Meta reads MPEG audio frame headers") {
+    // MPEG1 Layer III, 128 kbps, 44100 Hz, stereo:
+    // 0xFF 0xFB (sync + V1 + LIII + noCRC) 0x90 (idx9=128k, sr0=44100) 0x00
+    val frame = Array(0xFF, 0xFB, 0x90, 0x00).map(_.toByte)
+    val body = frame ++ Array.fill(15996)(0x11.toByte) // 16000 bytes total
+    // 16000 bytes * 8 / 128 kbps = 1000 ms
+    assert(Media.parseMp3Meta(body).contains((2, 44100, 128, 1000L)))
+    // mono flag (channel mode 11)
+    val mono = Array(0xFF, 0xFB, 0x90, 0xC0).map(_.toByte) ++ Array.fill(12)(0.toByte)
+    assert(Media.parseMp3Meta(mono).exists(_._1 == 1))
+    // MPEG2 Layer III (0xF3): version bits 10, bitrate idx 9 -> 80 kbps, sr idx 0 -> 22050
+    val v2 = Array(0xFF, 0xF3, 0x90, 0x00).map(_.toByte) ++ Array.fill(96)(0.toByte)
+    assert(Media.parseMp3Meta(v2).exists(m => m._2 == 22050 && m._3 == 80))
+    // leading ID3v2 tag (syncsafe size 0x100 = 128+... here 200 bytes) is skipped
+    val id3 = ("ID3".getBytes :+ 4.toByte :+ 0.toByte :+ 0.toByte) ++
+      Array[Byte](0, 0, 1, 72) ++ Array.fill(200)(0x55.toByte) // size = (1<<7)|72 = 200
+    assert(Media.parseMp3Meta(id3 ++ body).contains((2, 44100, 128, 1000L)))
+    // junk, free-format bitrate, reserved version, truncated: all None
+    assert(Media.parseMp3Meta("no sync here".getBytes).isEmpty)
+    assert(Media.parseMp3Meta(Array(0xFF, 0xFB, 0x00, 0x00).map(_.toByte)).isEmpty)
+    assert(Media.parseMp3Meta(Array(0xFF, 0xEB, 0x90, 0x00).map(_.toByte)).isEmpty)
+    assert(Media.parseMp3Meta(Array(0xFF.toByte)).isEmpty)
+    assert(Media.parseMp3Meta(null).isEmpty)
+    // DataFrame surface: the mp3 estimate beats the stub for audio blobs
+    val df = Seq((1L, body)).toDF("id", "blob")
+    val meta = Media.withMetadata(df, "blob", "audio/mpeg")
+      .select(col("media_meta.duration_ms")).as[Long].head()
+    assert(meta == 1000L)
+  }
+
   test("Media.parseWavMeta reads real RIFF/WAVE headers") {
     // hand-built canonical WAV: RIFF + fmt (PCM stereo 44.1k/16) + data
     def wav(dataSize: Int, extraChunk: Boolean = false,
