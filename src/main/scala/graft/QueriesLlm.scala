@@ -38,6 +38,12 @@ object QueriesLlm {
       Dedup.simhashPairs(t(s, dir, "documents"), "doc_id", "text", maxHamming = 6)
     }),
 
+    // windowed exact-substring duplication (suffix-dedup approximation)
+    "q_dedup_spans" -> ((s, dir) => {
+      Dedup.dupSpanStats(t(s, dir, "documents"), "doc_id", "text",
+        windowLen = 16, stride = 8)
+    }),
+
     "q_dedup_embed" -> ((s, dir) => {
       Dedup.embeddingNearDup(t(s, dir, "embeddings"), "vec_id", "embedding",
         blockCol = "label", threshold = 0.4)
@@ -143,6 +149,22 @@ object QueriesLlm {
     "q_dedup_exact" ->
       """SELECT md5(text) AS content_hash, COUNT(*) AS n_dups, MIN(doc_id) AS keep_id
         |FROM documents GROUP BY 1""".stripMargin,
+
+    // windowLen 16, stride 8; partial tail windows excluded on both sides
+    "q_dedup_spans" ->
+      """WITH spans AS (
+        |  SELECT doc_id,
+        |    md5(substring(text, CAST(u.s AS INT), 16)) AS h
+        |  FROM documents,
+        |    unnest(range(1, GREATEST(length(text) - 15, 1) + 1, 8)) AS u(s)
+        |  WHERE length(text) - u.s + 1 >= 16),
+        |occ AS (SELECT h, COUNT(*) AS n FROM spans GROUP BY 1)
+        |SELECT doc_id, COUNT(*) AS n_windows,
+        |  CAST(SUM(CASE WHEN n >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
+        |  round(CAST(SUM(CASE WHEN n >= 2 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*), 6)
+        |    AS dup_frac
+        |FROM spans JOIN occ USING (h)
+        |GROUP BY doc_id""".stripMargin,
 
     "q_dedup_jaccard" ->
       """WITH sh AS (

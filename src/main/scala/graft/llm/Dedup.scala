@@ -556,6 +556,47 @@ object Dedup {
         count(when(col("__docs") >= minDocs, 1)).cast("int").as("n_dropped"))
   }
 
+  /** Windowed exact-substring duplication stats — the scalable
+    * approximation of suffix-array substring dedup (Lee et al. 2021,
+    * "Deduplicating Training Data Makes Language Models Better"):
+    * slide a `windowLen`-char window at `stride` over every document,
+    * hash each full window, and count corpus-wide occurrences; a
+    * window seen >= `minOccurrences` times marks a duplicated span.
+    * Unlike line-level boilerplate removal this catches repeats at ANY
+    * alignment (licenses, templates, quoted passages). Per doc:
+    * window count, duplicated-window count, duplicated fraction.
+    *
+    * Scale: the explode emits len/stride windows per doc (16-byte
+    * hashes — bounded, tunable via stride); occurrence counting is one
+    * hash agg with map-side partials; the join back is an equi-join on
+    * the window hash. Never all-pairs.
+    * Output: (idCol, n_windows, n_dup, dup_frac).
+    */
+  def dupSpanStats(df: DataFrame, idCol: String, textCol: String,
+                   windowLen: Int = 16, stride: Int = 8,
+                   minOccurrences: Int = 2): DataFrame = {
+    require(windowLen >= 2 && stride >= 1 && minOccurrences >= 2,
+      s"need windowLen >= 2, stride >= 1, minOccurrences >= 2")
+    val starts = sequence(lit(1),
+      greatest(length(col(textCol)) - lit(windowLen - 1), lit(1)), lit(stride))
+    val spans = df
+      .select(col(idCol), explode(starts).as("__start"), col(textCol))
+      .select(col(idCol),
+        md5(substring(col(textCol), col("__start").cast("int"), lit(windowLen))).as("__h"),
+        (length(col(textCol)) - col("__start") + 1 >= windowLen).as("__full"))
+      // partial tail windows don't count; docs shorter than windowLen
+      // emit no rows at all
+      .filter(col("__full"))
+      .select(col(idCol), col("__h"))
+    val occ = spans.groupBy(col("__h")).agg(count(lit(1)).as("__occ"))
+    spans.join(occ, Seq("__h"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_windows"),
+        sum(when(col("__occ") >= minOccurrences, 1L).otherwise(0L)).as("n_dup"))
+      .withColumn("dup_frac",
+        round(col("n_dup").cast("double") / col("n_windows").cast("double"), 6))
+  }
+
   /** Connected components over an undirected near-duplicate pair list
     * — the step that turns pairwise matches (from [[minhashLsh]],
     * [[simhashPairs]], [[ngramJaccardPairsAuto]], or

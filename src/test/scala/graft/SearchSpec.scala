@@ -79,6 +79,24 @@ class SearchSpec extends SparkSpec {
     assert(tri.map(_.getAs[Long]("cnt")).sum == 3L)
   }
 
+  test("dupSpanStats flags shared exact passages at any alignment") {
+    val license = "x" * 7 + "THIS IS A SHARED LICENSE BLOCK OF TEXT REPEATED VERBATIM"
+    val df = Seq(
+      (1L, "unique prose about cats and philosophy, nothing shared at all here"),
+      (2L, license),
+      (3L, "some prefix then " + license) // same passage, different offset? windows differ
+    ).toDF("id", "text")
+    val got = graft.llm.Dedup
+      .dupSpanStats(df, "id", "text", windowLen = 8, stride = 1)
+      .orderBy("id").collect()
+    // doc 1 shares nothing beyond chance 8-grams with 2/3
+    assert(got(0).getAs[Double]("dup_frac") < 0.2)
+    // docs 2 and 3 share a long verbatim passage: with stride 1 every
+    // window inside the license body matches across the two docs
+    assert(got(1).getAs[Double]("dup_frac") > 0.5)
+    assert(got(2).getAs[Long]("n_dup") > 40L)
+  }
+
   test("kmeans clustering partitions the corpus deterministically") {
     val e = table("embeddings")
     val n = e.count()
