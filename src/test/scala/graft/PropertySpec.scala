@@ -230,6 +230,24 @@ object PropertySpec extends Properties("graft") {
     }
   }
 
+  property("tfidf/bm25 results invariant under physical repartitioning") = {
+    val doc: Gen[String] = Gen.choose(3, 30).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf("alpha", "beta", "gamma", "delta", "epsilon"))
+        .map(_.mkString(" ")))
+    Prop.forAll(Gen.listOfN(8, doc), Gen.choose(2, 9)) { (texts, parts) =>
+      val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "text")
+      val a = graft.llm.Search.tfidfTopTerms(df, "id", "text", 2)
+        .orderBy("id", "rnk").collect().toSeq
+      val b = graft.llm.Search.tfidfTopTerms(df.repartition(parts), "id", "text", 2)
+        .orderBy("id", "rnk").collect().toSeq
+      val s1 = graft.llm.Search.bm25Search(df, "id", "text", Seq("alpha", "beta"), 5)
+        .orderBy("rnk").collect().toSeq
+      val s2 = graft.llm.Search.bm25Search(df.repartition(parts), "id", "text",
+        Seq("alpha", "beta"), 5).orderBy("rnk").collect().toSeq
+      a == b && s1 == s2
+    }
+  }
+
   property("interpolation is the identity on null-free data") =
     Prop.forAll(smallRows) { rows =>
       val distinct = rows.distinctBy(r => (r._1, r._2))
