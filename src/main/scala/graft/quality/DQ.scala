@@ -424,7 +424,9 @@ object DQ {
       val pC = greatest(col(s"__c$i").cast("double") / nC, lit(eps))
       (pC - pR) * log(pC / pR)
     }
-    val score = round(terms.reduce(_ + _), 6)
+    // an empty snapshot would send 0/0 = NaN through the smoothing
+    // floor (NaN compares greater) — report null instead of NaN noise
+    val score = when(nR > 0.0 && nC > 0.0, round(terms.reduce(_ + _), 6))
     joined.select(lit(column).as("colname"),
       nR.cast("long").as("n_ref"), nC.cast("long").as("n_cur"),
       score.as("psi"), (score > threshold).as("drifted"))
