@@ -95,10 +95,25 @@ object Catalog {
     * None for file formats. Testable without a live system — the
     * builder IS the configuration.
     */
-  def connector(spec: DatasetSpec): Option[Either[sources.JdbcSource, sources.NoSqlSource]] =
+  def connector(spec: DatasetSpec): Option[Either[sources.JdbcSource, sources.NoSqlSource]] = {
+    def noSchema(): Unit = require(spec.schemaDdl.isEmpty,
+      s"catalog dataset '${spec.name}': schema declarations apply to file " +
+        "formats; connector sources derive their schema from the external system")
     spec.format.toLowerCase match {
       case "jdbc" =>
+        noSchema()
         val o = spec.options
+        val typedKeys = Set("dbtable", "user", "password", "partitionColumn",
+          "lowerBound", "upperBound", "numPartitions", "fetchsize", "fetchSize")
+        // a partition column without real bounds silently collapses the
+        // read to ONE partition in Spark's JDBCRelation — fail fast
+        o.get("partitionColumn").foreach { _ =>
+          require(o.contains("lowerBound") && o.contains("upperBound") &&
+            o("lowerBound").toLong < o("upperBound").toLong,
+            s"catalog jdbc dataset '${spec.name}' sets partitionColumn but no " +
+              "usable lowerBound/upperBound — the parallel read would silently " +
+              "collapse to one partition")
+        }
         Some(Left(sources.JdbcSource(
           url = spec.path,
           table = o.getOrElse("dbtable", throw new IllegalArgumentException(
@@ -109,8 +124,13 @@ object Catalog {
           lowerBound = o.getOrElse("lowerBound", "0").toLong,
           upperBound = o.getOrElse("upperBound", "0").toLong,
           numPartitions = o.getOrElse("numPartitions", "1").toInt,
-          fetchSize = o.getOrElse("fetchsize", "10000").toInt)))
+          fetchSize = o.getOrElse("fetchsize",
+            o.getOrElse("fetchSize", "10000")).toInt,
+          // everything else (driver, sslmode, queryTimeout, ...) passes
+          // through to the reader instead of being silently discarded
+          extra = o -- typedKeys)))
       case k @ ("mongodb" | "cassandra" | "dynamodb") =>
+        noSchema()
         Some(Right(sources.NoSqlSource(k,
           uri = spec.path,
           database = spec.options.getOrElse("database", ""),
@@ -118,6 +138,7 @@ object Catalog {
           region = spec.options.getOrElse("region", ""))))
       case _ => None
     }
+  }
 
   /** Register every catalog dataset as a temp view named `spec.name`.
     * Connector-backed entries `.load()` through their configured

@@ -588,6 +588,11 @@ object Dedup {
       // emit no rows at all
       .filter(col("__full"))
       .select(col(idCol), col("__h"))
+      // spans feeds the occurrence agg AND the join-back, and the two
+      // subtrees prune different columns, so ReuseExchange cannot
+      // dedupe them (the tfidf/bm25 case) — persist or the corpus is
+      // exploded+hashed twice. Session-scoped cache, as in Lof.scores.
+      .persist()
     val occ = spans.groupBy(col("__h")).agg(count(lit(1)).as("__occ"))
     spans.join(occ, Seq("__h"))
       .groupBy(col(idCol))

@@ -150,14 +150,10 @@ object Search {
       .select(col("term"), col("cnt"), col("df"), col("rnk"))
   }
 
-  /** Top-`k` word n-grams by total occurrences (corpus repetition /
-    * phrase-mining stat). N-grams are built map-side from the token
-    * array with one higher-order transform (no self-join), then counted
-    * in one hash agg; top-k via TakeOrderedAndProject as above.
-    * Output: (ngram space-joined, cnt, df, rnk).
-    */
   /** Per-(doc, n-gram) occurrence counts — the shared building block
-    * for [[ngramTop]] and per-document repetition stats.
+    * for [[ngramTop]] and per-document repetition stats. N-grams are
+    * built map-side from the token array with one higher-order
+    * transform (no self-join), then counted in one hash agg.
     * Output: (idCol, ngram space-joined, cnt).
     */
   def ngramCounts(df: DataFrame, idCol: String, textCol: String,
@@ -180,6 +176,10 @@ object Search {
       .agg(count(lit(1)).as("cnt"))
   }
 
+  /** Top-`k` word n-grams by total occurrences (corpus repetition /
+    * phrase-mining stat); top-k via TakeOrderedAndProject as above.
+    * Output: (ngram space-joined, cnt, df, rnk).
+    */
   def ngramTop(df: DataFrame, idCol: String, textCol: String,
                n: Int = 2, k: Int = 20): DataFrame = {
     val byGram = ngramCounts(df, idCol, textCol, n)

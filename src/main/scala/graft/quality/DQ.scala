@@ -401,7 +401,9 @@ object DQ {
     * zero-count buckets are floored at `eps` mass, the usual PSI
     * smoothing. One single-row aggregation per side (map-side
     * partial), one 1×1 join — neither table shuffles.
-    * Output: (colname, n_ref, n_cur, psi, drifted).
+    * Output: (colname, n_ref, n_cur, psi, drifted). Counts are always
+    * populated; psi and drifted are null when either snapshot is
+    * empty (no distribution to compare).
     */
   def psi(reference: DataFrame, current: DataFrame, column: String,
           edges: Seq[Double], threshold: Double = 0.25,
@@ -415,7 +417,11 @@ object DQ {
       df.agg(buckets.head, buckets.tail: _*)
     }
     val nBuckets = edges.size - 1
-    def n(tag: String) = (0 until nBuckets).map(i => col(s"__$tag$i")).reduce(_ + _)
+    // a global agg over an EMPTY frame yields null sums, not 0 — the
+    // counts must still come out 0 (psi/drifted stay null: there is no
+    // distribution to compare)
+    def n(tag: String) = (0 until nBuckets)
+      .map(i => coalesce(col(s"__$tag$i"), lit(0L))).reduce(_ + _)
     val joined = side(reference, "r").crossJoin(broadcast(side(current, "c")))
     val nR = n("r").cast("double")
     val nC = n("c").cast("double")

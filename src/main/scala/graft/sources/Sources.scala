@@ -126,9 +126,11 @@ final case class JdbcSource(url: String, table: String,
                             partitionColumn: Option[String] = None,
                             lowerBound: Long = 0L, upperBound: Long = 0L,
                             numPartitions: Int = 1,
-                            fetchSize: Int = 10000) {
+                            fetchSize: Int = 10000,
+                            extra: Map[String, String] = Map.empty) {
   def options: Map[String, String] = {
-    val base = Map(
+    // extra first: the typed fields are the contract and win on clash
+    val base = extra ++ Map(
       "url" -> url, "dbtable" -> table,
       "user" -> user, "password" -> password,
       "fetchsize" -> fetchSize.toString)

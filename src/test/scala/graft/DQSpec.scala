@@ -165,10 +165,14 @@ class DQSpec extends SparkSpec {
     val moved = DQ.psi(a, b, "x", Seq(0.0, 2.0, 4.0, 6.0, 8.0, 10.0)).head()
     assert(moved.getAs[Double]("psi") > 0.25 && moved.getAs[Boolean]("drifted"))
     assert(moved.getAs[Long]("n_ref") == 100L && moved.getAs[Long]("n_cur") == 100L)
-    // an empty snapshot reports null, not NaN
+    // an empty snapshot: counts still real zeros, psi/drifted null
+    // (not NaN) — assert via isNullAt, a null Long unboxes to 0 and
+    // would green-light the wrong output
     val empty = a.filter($"x" < -1)
     val r = DQ.psi(a, empty, "x", Seq(0.0, 5.0, 10.0)).head()
-    assert(r.isNullAt(r.fieldIndex("psi")) && r.getAs[Long]("n_cur") == 0L)
+    assert(r.isNullAt(r.fieldIndex("psi")) && r.isNullAt(r.fieldIndex("drifted")))
+    assert(!r.isNullAt(r.fieldIndex("n_cur")) && r.getAs[Long]("n_cur") == 0L)
+    assert(r.getAs[Long]("n_ref") == 100L)
   }
 
   test("kAnonymity counts violating quasi-identifier groups") {

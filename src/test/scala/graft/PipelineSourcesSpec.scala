@@ -340,14 +340,35 @@ class PipelineSourcesSpec extends SparkSpec {
         |  "options": {"dbtable": "orders", "user": "etl",
         |              "partitionColumn": "o_orderkey",
         |              "lowerBound": "1", "upperBound": "100000",
-        |              "numPartitions": "16"}}]}""".stripMargin).head
+        |              "numPartitions": "16",
+        |              "driver": "org.postgresql.Driver",
+        |              "sslmode": "require"}}]}""".stripMargin).head
     Catalog.connector(jdbc) match {
       case Some(Left(j)) =>
         assert(j.url == "jdbc:postgresql://db:5432/shop" && j.table == "orders")
         assert(j.partitionColumn.contains("o_orderkey") && j.numPartitions == 16)
         assert(j.options("upperBound") == "100000")
+        // unrecognized options pass through, they are not discarded
+        assert(j.options("driver") == "org.postgresql.Driver")
+        assert(j.options("sslmode") == "require")
       case other => fail(s"expected a JdbcSource, got $other")
     }
+    // camelCase fetchSize is accepted alongside the jdbc-native lowercase
+    val camel = Catalog.DatasetSpec("c", "jdbc", "jdbc:h2:mem:x",
+      options = Map("dbtable" -> "t", "fetchSize" -> "777"))
+    assert(Catalog.connector(camel).exists(_.left.exists(_.fetchSize == 777)))
+    // partitionColumn without usable bounds would silently read on ONE
+    // partition — must fail fast instead
+    val noBounds = Catalog.DatasetSpec("nb", "jdbc", "jdbc:h2:mem:x",
+      options = Map("dbtable" -> "t", "partitionColumn" -> "id"))
+    val nbErr = intercept[IllegalArgumentException](Catalog.connector(noBounds))
+    assert(nbErr.getMessage.contains("lowerBound"))
+    // a schema declaration on a connector entry is a config error, not
+    // silently ignored
+    val schemaOnJdbc = Catalog.DatasetSpec("s", "jdbc", "jdbc:h2:mem:x",
+      options = Map("dbtable" -> "t"), schemaDdl = Some("id BIGINT"))
+    val sErr = intercept[IllegalArgumentException](Catalog.connector(schemaOnJdbc))
+    assert(sErr.getMessage.contains("schema"))
     val mongo = Catalog.DatasetSpec("m", "mongodb", "mongodb://db:27017",
       options = Map("database" -> "shop", "collection" -> "events"))
     Catalog.connector(mongo) match {
