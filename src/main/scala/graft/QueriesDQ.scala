@@ -131,6 +131,14 @@ object QueriesDQ {
       DQ.psi(ref, cur, "l_quantity", Seq(1, 11, 21, 31, 41, 51), threshold = 0.1)
     }),
 
+    // binned two-sample KS drift between the same yearly snapshots
+    "q_dq_ks" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val ref = li.filter(col("l_shipdate") >= "1995-01-01" && col("l_shipdate") < "1996-01-01")
+      val cur = li.filter(col("l_shipdate") >= "1996-01-01" && col("l_shipdate") < "1997-01-01")
+      DQ.ksBinned(ref, cur, "l_quantity", Seq(1, 11, 21, 31, 41, 51), threshold = 0.05)
+    }),
+
     // k-anonymity privacy audit over quasi-identifier columns
     "q_dq_kanon" -> ((s, dir) => {
       DQ.kAnonymity(t(s, dir, "customer"), Seq("c_nationkey", "c_mktsegment"), k = 5)
@@ -350,6 +358,37 @@ object QueriesDQ {
          |  CAST(${total("c")} AS BIGINT) AS n_cur,
          |  round($terms, 6) AS psi,
          |  (round($terms, 6) > 0.1) AS drifted
+         |FROM r, c""".stripMargin
+    },
+
+    "q_dq_ks" -> {
+      val edges = Seq(1.0, 11.0, 21.0, 31.0, 41.0, 51.0)
+      def buckets(tag: String) = edges.sliding(2).toSeq.zipWithIndex.map {
+        case (Seq(lo, hi), i) =>
+          s"SUM(CASE WHEN l_quantity >= $lo AND l_quantity < $hi THEN 1 ELSE 0 END) AS ${tag}$i"
+      }.mkString(", ")
+      def cum(tag: String, i: Int) =
+        (0 to i).map(j => s"COALESCE($tag$j, 0)").mkString(" + ")
+      val nR = s"CAST(${cum("r", 4)} AS DOUBLE)"
+      val nC = s"CAST(${cum("c", 4)} AS DOUBLE)"
+      // same gap expressions in the same order as DQ.ksBinned
+      val gaps = (0 until 5).map { i =>
+        s"abs(CAST(${cum("r", i)} AS DOUBLE) / $nR - CAST(${cum("c", i)} AS DOUBLE) / $nC)"
+      }
+      val ks = s"round(GREATEST(${gaps.mkString(", ")}), 6)"
+      s"""WITH r AS (
+         |  SELECT ${buckets("r")} FROM lineitem
+         |  WHERE l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
+         |    AND l_shipdate < TIMESTAMP '1996-01-01 00:00:00'),
+         |c AS (
+         |  SELECT ${buckets("c")} FROM lineitem
+         |  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+         |    AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00')
+         |SELECT 'l_quantity' AS colname,
+         |  CAST(${cum("r", 4)} AS BIGINT) AS n_ref,
+         |  CAST(${cum("c", 4)} AS BIGINT) AS n_cur,
+         |  $ks AS ks,
+         |  ($ks > 0.05) AS drifted
          |FROM r, c""".stripMargin
     },
 

@@ -438,6 +438,42 @@ object DQ {
       score.as("psi"), (score > threshold).as("drifted"))
   }
 
+  /** Binned two-sample Kolmogorov–Smirnov statistic: the largest CDF
+    * gap between two snapshots evaluated at the bucket edges —
+    * `max_i |cumR_i/nR - cumC_i/nC|`. The exact KS needs a global sort
+    * of both samples (single-partition at scale); evaluating at fixed
+    * edges bounds the plan to the same two single-row bucket aggs as
+    * [[psi]] — no sort anywhere, and the statistic is exact for the
+    * binned distributions. Rows outside the edges are ignored (as in
+    * [[distribution]]). Output: (colname, n_ref, n_cur, ks, drifted);
+    * counts always populated, ks/drifted null when a snapshot is empty.
+    */
+  def ksBinned(reference: DataFrame, current: DataFrame, column: String,
+               edges: Seq[Double], threshold: Double = 0.1): DataFrame = {
+    require(edges.size >= 2, "need at least two bucket edges")
+    val c = col(column)
+    def side(df: DataFrame, tag: String): DataFrame = {
+      val buckets = edges.sliding(2).toSeq.zipWithIndex.map { case (Seq(lo, hi), i) =>
+        sum(when(c >= lo && c < hi, 1L).otherwise(0L)).as(s"__$tag$i")
+      }
+      df.agg(buckets.head, buckets.tail: _*)
+    }
+    val nBuckets = edges.size - 1
+    def cum(tag: String, i: Int) = (0 to i)
+      .map(j => coalesce(col(s"__$tag$j"), lit(0L))).reduce(_ + _)
+    def n(tag: String) = cum(tag, nBuckets - 1)
+    val joined = side(reference, "r").crossJoin(broadcast(side(current, "c")))
+    val nR = n("r").cast("double")
+    val nC = n("c").cast("double")
+    val gaps = (0 until nBuckets).map { i =>
+      abs(cum("r", i).cast("double") / nR - cum("c", i).cast("double") / nC)
+    }
+    val ks = when(nR > 0.0 && nC > 0.0, round(greatest(gaps: _*), 6))
+    joined.select(lit(column).as("colname"),
+      nR.cast("long").as("n_ref"), nC.cast("long").as("n_cur"),
+      ks.as("ks"), (ks > threshold).as("drifted"))
+  }
+
   /** k-anonymity audit over quasi-identifier columns: a dataset is
     * k-anonymous when every combination of the quasi-identifiers is
     * shared by at least `k` rows. Returns one summary row —

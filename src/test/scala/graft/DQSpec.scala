@@ -175,6 +175,21 @@ class DQSpec extends SparkSpec {
     assert(r.getAs[Long]("n_ref") == 100L)
   }
 
+  test("ksBinned: zero for identical samples, one for disjoint ones") {
+    val a = (1 to 100).map(i => (i % 10).toDouble).toDF("x")
+    val same = DQ.ksBinned(a, a, "x", Seq(0.0, 2.0, 4.0, 6.0, 8.0, 10.0)).head()
+    assert(same.getAs[Double]("ks") == 0.0 && !same.getAs[Boolean]("drifted"))
+    // all reference mass in [0,2), all current mass in [8,10): KS = 1
+    val lo = Seq.fill(50)(1.0).toDF("x")
+    val hi = Seq.fill(50)(9.0).toDF("x")
+    val far = DQ.ksBinned(lo, hi, "x", Seq(0.0, 2.0, 4.0, 6.0, 8.0, 10.0)).head()
+    assert(far.getAs[Double]("ks") == 1.0 && far.getAs[Boolean]("drifted"))
+    // empty snapshot: counts real, ks/drifted null
+    val r = DQ.ksBinned(a, a.filter($"x" < -1), "x", Seq(0.0, 5.0, 10.0)).head()
+    assert(r.isNullAt(r.fieldIndex("ks")) && r.getAs[Long]("n_cur") == 0L &&
+      !r.isNullAt(r.fieldIndex("n_cur")))
+  }
+
   test("kAnonymity counts violating quasi-identifier groups") {
     // groups: (x,1) x5 ok for k=3; (x,2) x2 and (y,1) x1 violate
     val df = (Seq.fill(5)(("x", 1)) ++ Seq.fill(2)(("x", 2)) ++ Seq(("y", 1)))
