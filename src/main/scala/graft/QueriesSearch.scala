@@ -35,6 +35,21 @@ object QueriesSearch {
     "q_text_chunks" -> ((s, dir) =>
       Search.chunkDocs(docs(s, dir), "doc_id", "text", size = 120, overlap = 20)),
 
+    // the full training-data prep chain in ONE declarative plan:
+    // quality gate -> exact dedup (keep lowest id) -> token counting
+    // -> sequence packing. Every stage is oracle-expressible, so the
+    // composition is hash-checked end-to-end, not just its pieces
+    "q_corpus_pipeline" -> ((s, dir) => {
+      val gated = docs(s, dir)
+        .filter(Text.qualityScore(col("text")) >= 0.5)
+      val deduped = graft.llm.Dedup.exact(gated, "doc_id", "text")
+      val sized = deduped
+        .withColumn("shard", col("doc_id") % 4)
+        .withColumn("n_tokens", Text.tokenCount(col("text")))
+      Sampling.packSequences(sized, "doc_id", "n_tokens", budget = 256, Seq("shard"))
+        .select("doc_id", "shard", "n_tokens", "pack_id", "pack_offset")
+    }),
+
     // GPT-style concat-and-split packing into 512-token sequences;
     // 8 hash shards stand in for the thousands a cluster run would use
     "q_pack" -> ((s, dir) => {
@@ -51,6 +66,36 @@ object QueriesSearch {
     "SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term FROM documents"
 
   def oracleSql: Map[String, String] = Map(
+
+    "q_corpus_pipeline" -> {
+      val tc = "len(regexp_extract_all(text, '\\S+'))"
+      val ac = "len(regexp_extract_all(text, '[A-Za-z]'))"
+      val sc = "len(regexp_extract_all(lower(text), '\\b(the|a|and|of|to|in|is)\\b'))"
+      val q = s"""LEAST(1.0, CAST($tc AS DOUBLE) / 50.0) * 0.3
+                 | + (CAST($ac AS DOUBLE) / GREATEST(length(text), 1)) * 0.4
+                 | + (CAST($sc AS DOUBLE) / GREATEST($tc, 1)) * 0.3""".stripMargin
+      s"""WITH gated AS (
+         |  SELECT doc_id, text FROM documents WHERE ($q) >= 0.5),
+         |deduped AS (
+         |  SELECT doc_id, text FROM (
+         |    SELECT *, ROW_NUMBER() OVER (
+         |      PARTITION BY md5(text) ORDER BY doc_id) AS rn FROM gated)
+         |  WHERE rn = 1),
+         |t AS (
+         |  SELECT doc_id, doc_id % 4 AS shard,
+         |         len(regexp_extract_all(text, '\\S+')) AS n_tokens
+         |  FROM deduped),
+         |c AS (
+         |  SELECT *, CAST(COALESCE(SUM(n_tokens) OVER (
+         |    PARTITION BY shard
+         |    ORDER BY substr(md5(CAST(doc_id AS VARCHAR)), 1, 8), doc_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS before
+         |  FROM t)
+         |SELECT doc_id, shard, n_tokens,
+         |  CAST(floor(before / 256) AS BIGINT) AS pack_id,
+         |  before % 256 AS pack_offset
+         |FROM c""".stripMargin
+    },
 
     "q_text_tfidf" ->
       s"""WITH tok AS ($tok),
