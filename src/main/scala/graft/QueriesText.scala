@@ -78,6 +78,16 @@ object QueriesText {
         Text.shingleFingerprint(col("text"), 8).as("fp_shingle"))
     }),
 
+    "q_text_readability" -> ((s, dir) => {
+      val c = col("text")
+      docs(s, dir).select(
+        col("doc_id"),
+        Text.tokenCount(c).as("n_words"),
+        Text.sentenceCount(c).as("n_sentences"),
+        Text.syllableCount(c).as("n_syllables"),
+        round(Text.fleschScore(c), 4).as("flesch"))
+    }),
+
     // encoding quality: replacement-char / stray-control detection.
     // Decode failures are planted deterministically (every 10th doc
     // gets U+FFFD markers appended, every 25th a 0x01 control run) so
@@ -206,6 +216,19 @@ object QueriesText {
     "q_text_pseudo" ->
       """SELECT c_custkey, sha256('graft-salt' || c_name) AS name_token
         |FROM customer""".stripMargin,
+
+    "q_text_readability" -> {
+      val words = s"GREATEST($tc, 1)"
+      val sentences = s"GREATEST(${reCount("text", "[.!?]+")}, 1)"
+      val syllables = reCount("lower(text)", "[aeiouy]+")
+      s"""SELECT doc_id,
+         |$tc AS n_words,
+         |$sentences AS n_sentences,
+         |$syllables AS n_syllables,
+         |round(206.835 - 1.015 * CAST($words AS DOUBLE) / CAST($sentences AS DOUBLE)
+         |  - 84.6 * CAST($syllables AS DOUBLE) / CAST($words AS DOUBLE), 4) AS flesch
+         |FROM documents""".stripMargin
+    },
 
     "q_text_repetition" ->
       """WITH lines AS (

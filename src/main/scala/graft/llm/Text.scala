@@ -115,6 +115,29 @@ object Text {
       ellipsisLineFraction(c) < 0.3 &&
       alphaWordFraction(c) > 0.8
 
+  // ---- readability ---------------------------------------------------
+
+  /** Approximate syllable count: vowel groups (the standard cheap
+    * heuristic — exact syllabification needs a dictionary).
+    */
+  def syllableCount(c: Column): Column =
+    regexp_count(lower(c), lit("[aeiouy]+"))
+
+  /** Sentence count: terminal-punctuation runs, floored at one. */
+  def sentenceCount(c: Column): Column =
+    greatest(regexp_count(c, lit("[.!?]+")), lit(1))
+
+  /** Flesch reading-ease score (206.835 - 1.015·words/sentences -
+    * 84.6·syllables/words); higher = easier. Null-safe via the
+    * standard floors; pure codegen'd regexp counts, map-side.
+    */
+  def fleschScore(c: Column): Column = {
+    val words = greatest(tokenCount(c), lit(1)).cast("double")
+    val sentences = sentenceCount(c).cast("double")
+    val syllables = syllableCount(c).cast("double")
+    lit(206.835) - lit(1.015) * words / sentences - lit(84.6) * syllables / words
+  }
+
   // ---- language ID ---------------------------------------------------
 
   /** Stopword/charset marker lists per language (n-gram heuristic).
