@@ -139,6 +139,21 @@ object QueriesDQ {
       DQ.ksBinned(ref, cur, "l_quantity", Seq(1, 11, 21, 31, 41, 51), threshold = 0.05)
     }),
 
+    // categorical drift on order priority between the same snapshots
+    "q_dq_psi_cat" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      val ref = o.filter(col("o_orderdate") >= "1995-01-01" && col("o_orderdate") < "1996-01-01")
+      val cur = o.filter(col("o_orderdate") >= "1996-01-01" && col("o_orderdate") < "1997-01-01")
+      DQ.psiCategorical(ref, cur, "o_orderpriority",
+        Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"),
+        threshold = 0.1)
+    }),
+
+    // Benford first-digit screen on order totals
+    "q_dq_benford" -> ((s, dir) => {
+      DQ.benford(t(s, dir, "orders"), "o_totalprice", critical = 1000.0)
+    }),
+
     // k-anonymity privacy audit over quasi-identifier columns
     "q_dq_kanon" -> ((s, dir) => {
       DQ.kAnonymity(t(s, dir, "customer"), Seq("c_nationkey", "c_mktsegment"), k = 5)
@@ -390,6 +405,54 @@ object QueriesDQ {
          |  $ks AS ks,
          |  ($ks > 0.05) AS drifted
          |FROM r, c""".stripMargin
+    },
+
+    "q_dq_psi_cat" -> {
+      val cats = Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW")
+      def buckets(tag: String) = cats.zipWithIndex.map { case (v, i) =>
+        s"SUM(CASE WHEN o_orderpriority = '$v' THEN 1 ELSE 0 END) AS ${tag}$i"
+      }.mkString(", ")
+      def total(tag: String) =
+        cats.indices.map(i => s"COALESCE($tag$i, 0)").mkString(" + ")
+      val nR = s"CAST(${total("r")} AS DOUBLE)"
+      val nC = s"CAST(${total("c")} AS DOUBLE)"
+      val terms = cats.indices.map { i =>
+        val pR = s"GREATEST(CAST(r$i AS DOUBLE) / $nR, 1.0e-4)"
+        val pC = s"GREATEST(CAST(c$i AS DOUBLE) / $nC, 1.0e-4)"
+        s"(($pC) - ($pR)) * ln(($pC) / ($pR))"
+      }.mkString(" + ")
+      s"""WITH r AS (
+         |  SELECT ${buckets("r")} FROM orders
+         |  WHERE o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+         |    AND o_orderdate < TIMESTAMP '1996-01-01 00:00:00'),
+         |c AS (
+         |  SELECT ${buckets("c")} FROM orders
+         |  WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+         |    AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00')
+         |SELECT 'o_orderpriority' AS colname,
+         |  CAST(${total("r")} AS BIGINT) AS n_ref,
+         |  CAST(${total("c")} AS BIGINT) AS n_cur,
+         |  round($terms, 6) AS psi,
+         |  (round($terms, 6) > 0.1) AS drifted
+         |FROM r, c""".stripMargin
+    },
+
+    "q_dq_benford" -> {
+      val digit = "substr(CAST(CAST(floor(o_totalprice) AS BIGINT) AS VARCHAR), 1, 1)"
+      val buckets = (1 to 9).map(d =>
+        s"SUM(CASE WHEN o_totalprice >= 1.0 AND $digit = '$d' THEN 1 ELSE 0 END) AS d$d"
+      ).mkString(", ")
+      val n = s"CAST(${(1 to 9).map(d => s"COALESCE(d$d, 0)").mkString(" + ")} AS DOUBLE)"
+      // probabilities injected from the SAME Scala doubles the operator
+      // uses (Double.toString round-trips exactly)
+      val chi2 = (1 to 9).map { d =>
+        val p = graft.quality.DQ.benfordP(d)
+        s"(d$d - $n * $p) * (d$d - $n * $p) / ($n * $p)"
+      }.mkString(" + ")
+      s"""WITH b AS (SELECT $buckets FROM orders)
+         |SELECT 'o_totalprice' AS colname, CAST($n AS BIGINT) AS n,
+         |  round($chi2, 4) AS chi2, (round($chi2, 4) <= 1000.0) AS passed
+         |FROM b""".stripMargin
     },
 
     "q_dq_kanon" ->

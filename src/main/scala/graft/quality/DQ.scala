@@ -438,6 +438,69 @@ object DQ {
       score.as("psi"), (score > threshold).as("drifted"))
   }
 
+  /** Categorical PSI: the [[psi]] drift screen over an explicit
+    * category list instead of numeric buckets (values outside
+    * `categories` are ignored, like out-of-edge rows in the numeric
+    * form). Same sort-free plan shape and null contract.
+    * Output: (colname, n_ref, n_cur, psi, drifted).
+    */
+  def psiCategorical(reference: DataFrame, current: DataFrame, column: String,
+                     categories: Seq[String], threshold: Double = 0.25,
+                     eps: Double = 1e-4): DataFrame = {
+    require(categories.nonEmpty, "need at least one category")
+    val c = col(column)
+    def side(df: DataFrame, tag: String): DataFrame = {
+      val buckets = categories.zipWithIndex.map { case (v, i) =>
+        sum(when(c === v, 1L).otherwise(0L)).as(s"__$tag$i")
+      }
+      df.agg(buckets.head, buckets.tail: _*)
+    }
+    def n(tag: String) = categories.indices
+      .map(i => coalesce(col(s"__$tag$i"), lit(0L))).reduce(_ + _)
+    val joined = side(reference, "r").crossJoin(broadcast(side(current, "c")))
+    val nR = n("r").cast("double")
+    val nC = n("c").cast("double")
+    val terms = categories.indices.map { i =>
+      val pR = greatest(col(s"__r$i").cast("double") / nR, lit(eps))
+      val pC = greatest(col(s"__c$i").cast("double") / nC, lit(eps))
+      (pC - pR) * log(pC / pR)
+    }
+    val score = when(nR > 0.0 && nC > 0.0, round(terms.reduce(_ + _), 6))
+    joined.select(lit(column).as("colname"),
+      nR.cast("long").as("n_ref"), nC.cast("long").as("n_cur"),
+      score.as("psi"), (score > threshold).as("drifted"))
+  }
+
+  /** Benford's-law first-digit screen (fraud / fabricated-data
+    * detection): chi-square of the observed leading-digit distribution
+    * of positive values against log10(1 + 1/d). The digit comes from
+    * the decimal string of floor(x) (floor(log10) would re-derive it
+    * numerically with edge-case drift at powers of ten). One map-side
+    * agg; passed = chi2 <= critical.
+    * Output: (colname, n, chi2, passed).
+    */
+  def benford(df: DataFrame, column: String, critical: Double = 100.0): DataFrame = {
+    val digit = substring(floor(col(column)).cast("long").cast("string"), 1, 1)
+    val inScope = col(column) >= 1.0
+    val buckets = (1 to 9).map(d =>
+      sum(when(inScope && digit === d.toString, 1L).otherwise(0L)).as(s"__d$d"))
+    val one = df.agg(buckets.head, buckets.tail: _*)
+    val n = (1 to 9).map(d => coalesce(col(s"__d$d"), lit(0L))).reduce(_ + _).cast("double")
+    val chi2 = (1 to 9).map { d =>
+      val p = benfordP(d)
+      val e = n * lit(p)
+      (col(s"__d$d") - e) * (col(s"__d$d") - e) / e
+    }.reduce(_ + _)
+    val score = when(n > 0.0, round(chi2, 4))
+    one.select(lit(column).as("colname"), n.cast("long").as("n"),
+      score.as("chi2"), (score <= critical).as("passed"))
+  }
+
+  /** Benford probability of leading digit `d` — public so oracle SQL
+    * can inject the IDENTICAL double literals.
+    */
+  def benfordP(d: Int): Double = math.log10(1.0 + 1.0 / d)
+
   /** Binned two-sample Kolmogorov–Smirnov statistic: the largest CDF
     * gap between two snapshots evaluated at the bucket edges —
     * `max_i |cumR_i/nR - cumC_i/nC|`. The exact KS needs a global sort

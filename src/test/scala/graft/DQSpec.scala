@@ -175,6 +175,25 @@ class DQSpec extends SparkSpec {
     assert(r.getAs[Long]("n_ref") == 100L)
   }
 
+  test("psiCategorical flags a category-mix shift; benford flags uniform data") {
+    val a = (Seq.fill(80)("x") ++ Seq.fill(20)("y")).toDF("c")
+    val b = (Seq.fill(20)("x") ++ Seq.fill(80)("y")).toDF("c")
+    val same = DQ.psiCategorical(a, a, "c", Seq("x", "y")).head()
+    assert(same.getAs[Double]("psi") == 0.0)
+    val moved = DQ.psiCategorical(a, b, "c", Seq("x", "y"), threshold = 0.25).head()
+    assert(moved.getAs[Double]("psi") > 0.25 && moved.getAs[Boolean]("drifted"))
+    // benford: 1-leading values pass easily, uniform 100..900 fails
+    val benfordish = (1 to 9).flatMap(d =>
+      Seq.fill((DQ.benfordP(d) * 1000).round.toInt)(d * 10.0)).toDF("v")
+    assert(DQ.benford(benfordish, "v", critical = 20.0).head().getAs[Boolean]("passed"))
+    val uniform = (1 to 9).flatMap(d => Seq.fill(100)(d * 100.0)).toDF("v")
+    assert(!DQ.benford(uniform, "v", critical = 20.0).head().getAs[Boolean]("passed"))
+    // sub-1 values are out of scope; empty scope yields null chi2
+    val tiny = Seq(0.1, 0.5).toDF("v")
+    val r = DQ.benford(tiny, "v").head()
+    assert(r.getAs[Long]("n") == 0L && r.isNullAt(r.fieldIndex("chi2")))
+  }
+
   test("ksBinned: zero for identical samples, one for disjoint ones") {
     val a = (1 to 100).map(i => (i % 10).toDouble).toDF("x")
     val same = DQ.ksBinned(a, a, "x", Seq(0.0, 2.0, 4.0, 6.0, 8.0, 10.0)).head()
