@@ -31,6 +31,13 @@ object QueriesAnomaly {
         .select("event_id", "value", "conf")
     }),
 
+    // robust (median/MAD) z-score per event type
+    "q_anom_mad" -> ((s, dir) => {
+      val e = t(s, dir, "events").select("event_id", "event_type", "value")
+      Anomaly.madZscore(e, "value", Seq("event_type"), threshold = 3.0)
+        .select("event_id", "event_type", "value", "robust_z")
+    }),
+
     // moving_average_detection — ref anomaly_manager.py:146
     "q_anom_movavg" -> ((s, dir) => {
       Anomaly.movingAvg(ev(s, dir), "value", Seq("user_id"),
@@ -168,6 +175,20 @@ object QueriesAnomaly {
         |FROM events, s
         |WHERE value < s.q1 - 1.5 * (s.q3 - s.q1)
         |   OR value > s.q3 + 1.5 * (s.q3 - s.q1)""".stripMargin,
+
+    "q_anom_mad" ->
+      """WITH med AS (
+        |  SELECT event_type, quantile_cont(value, 0.5) AS m
+        |  FROM events GROUP BY 1),
+        |dev AS (
+        |  SELECT e.event_id, e.event_type, e.value, med.m,
+        |         ABS(e.value - med.m) AS d
+        |  FROM events e JOIN med USING (event_type)),
+        |mad AS (SELECT event_type, quantile_cont(d, 0.5) AS mad FROM dev GROUP BY 1)
+        |SELECT event_id, event_type, value,
+        |  round(0.6745 * (value - m) / mad, 6) AS robust_z
+        |FROM dev JOIN mad USING (event_type)
+        |WHERE mad <> 0.0 AND ABS(round(0.6745 * (value - m) / mad, 6)) > 3.0""".stripMargin,
 
     "q_anom_movavg" ->
       s"""WITH $movavgCte

@@ -53,6 +53,33 @@ object Anomaly {
       .drop("__q1", "__q3", "__iqr")
   }
 
+  /** Robust (MAD) z-score outliers: deviations measured against the
+    * median in units of the median absolute deviation, scaled by the
+    * standard 0.6745 consistency constant — immune to the masking that
+    * lets extreme outliers inflate a plain z-score's stddev. Two exact
+    * aggregation passes by construction (the deviation median needs
+    * the median first); each stats frame is group-count-sized and
+    * broadcast back, the fact table never shuffles.
+    * Output: input columns + robust_z; rows with |z| > threshold.
+    */
+  def madZscore(df: DataFrame, column: String, groupCols: Seq[String],
+                threshold: Double = 3.5): DataFrame = {
+    val med = df.groupBy(groupCols.map(col): _*)
+      .agg(expr(s"percentile($column, 0.5D)").as("__med"))
+    def joined(d: DataFrame, stats: DataFrame): DataFrame =
+      if (groupCols.isEmpty) d.crossJoin(broadcast(stats))
+      else d.join(broadcast(stats), groupCols)
+    val withDev = joined(df, med)
+      .withColumn("__dev", abs(col(column) - col("__med")))
+    val mad = withDev.groupBy(groupCols.map(col): _*)
+      .agg(expr("percentile(__dev, 0.5D)").as("__mad"))
+    joined(withDev, mad)
+      .withColumn("robust_z", when(col("__mad") =!= 0.0,
+        round(lit(0.6745) * (col(column) - col("__med")) / col("__mad"), 6)))
+      .filter(abs(col("robust_z")) > threshold)
+      .drop("__med", "__dev", "__mad")
+  }
+
   /** Moving-average deviation — ref anomaly_manager.py:146-160. The
     * rolling mean/std over the trailing `window` rows per series
     * (pandas `rolling(window)` semantics: only full windows emit).

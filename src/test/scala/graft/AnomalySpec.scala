@@ -6,6 +6,22 @@ import graft.quality.Anomaly
 class AnomalySpec extends SparkSpec {
   import spark.implicits._
 
+  test("madZscore flags the planted outlier a plain z-score would mask") {
+    // 48 inliers around 10 plus two huge outliers: the outliers inflate
+    // the stddev (plain z of 500 here is ~2.6, under a 3.0 gate) but
+    // cannot move the median/MAD
+    val df = ((1 to 48).map(i => 10.0 + (i % 5)) ++ Seq(500.0, 520.0))
+      .zipWithIndex.map { case (v, i) => (i.toLong, v) }.toDF("id", "v")
+    val got = graft.quality.Anomaly.madZscore(df, "v", Seq.empty, threshold = 3.5)
+    assert(got.select("id").as[Long].collect().toSet == Set(48L, 49L))
+    // constant data: MAD = 0 -> no rows, not a division blow-up
+    val const = Seq.fill(10)(7.0).zipWithIndex.map { case (v, i) => (i.toLong, v) }
+      .toDF("id", "v")
+    assert(graft.quality.Anomaly.madZscore(const, "v", Seq.empty).isEmpty)
+  }
+
+  import spark.implicits._
+
   // 29 small values + one wild outlier
   private lazy val base = (1 to 29).map(i => (i.toLong, 10.0 + (i % 3)))
   private lazy val df = (base :+ ((30L, 1000.0))).toDF("id", "v")
