@@ -184,11 +184,18 @@ object QueriesAnomaly {
         |  SELECT e.event_id, e.event_type, e.value, med.m,
         |         ABS(e.value - med.m) AS d
         |  FROM events e JOIN med USING (event_type)),
-        |mad AS (SELECT event_type, quantile_cont(d, 0.5) AS mad FROM dev GROUP BY 1)
-        |SELECT event_id, event_type, value,
-        |  round(0.6745 * (value - m) / mad, 6) AS robust_z
-        |FROM dev JOIN mad USING (event_type)
-        |WHERE mad <> 0.0 AND ABS(round(0.6745 * (value - m) / mad, 6)) > 3.0""".stripMargin,
+        |mad AS (
+        |  SELECT event_type, quantile_cont(d, 0.5) AS mad,
+        |    (CAST(SUM(CAST(d AS DECIMAL(28,6))) AS DOUBLE) / COUNT(d)) AS meandev
+        |  FROM dev GROUP BY 1),
+        |z AS (
+        |  SELECT event_id, event_type, value,
+        |    round(0.6745 * (value - m) /
+        |      (CASE WHEN mad <> 0.0 THEN mad ELSE meandev END), 6) AS robust_z
+        |  FROM dev JOIN mad USING (event_type)
+        |  WHERE (CASE WHEN mad <> 0.0 THEN mad ELSE meandev END) <> 0.0)
+        |SELECT event_id, event_type, value, robust_z
+        |FROM z WHERE ABS(robust_z) > 3.0""".stripMargin,
 
     "q_anom_movavg" ->
       s"""WITH $movavgCte

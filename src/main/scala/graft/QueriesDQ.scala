@@ -386,8 +386,9 @@ object QueriesDQ {
         (0 to i).map(j => s"COALESCE($tag$j, 0)").mkString(" + ")
       val nR = s"CAST(${cum("r", 4)} AS DOUBLE)"
       val nC = s"CAST(${cum("c", 4)} AS DOUBLE)"
-      // same gap expressions in the same order as DQ.ksBinned
-      val gaps = (0 until 5).map { i =>
+      // same gap expressions in the same order as DQ.ksBinned — the
+      // top-edge gap is |1 - 1| = 0 by construction and is excluded
+      val gaps = (0 until 4).map { i =>
         s"abs(CAST(${cum("r", i)} AS DOUBLE) / $nR - CAST(${cum("c", i)} AS DOUBLE) / $nC)"
       }
       val ks = s"round(GREATEST(${gaps.mkString(", ")}), 6)"
@@ -440,7 +441,8 @@ object QueriesDQ {
     "q_dq_benford" -> {
       val digit = "substr(CAST(CAST(floor(o_totalprice) AS BIGINT) AS VARCHAR), 1, 1)"
       val buckets = (1 to 9).map(d =>
-        s"SUM(CASE WHEN o_totalprice >= 1.0 AND $digit = '$d' THEN 1 ELSE 0 END) AS d$d"
+        s"SUM(CASE WHEN o_totalprice >= 1.0 AND o_totalprice < 9.0e18 " +
+          s"AND $digit = '$d' THEN 1 ELSE 0 END) AS d$d"
       ).mkString(", ")
       val n = s"CAST(${(1 to 9).map(d => s"COALESCE(d$d, 0)").mkString(" + ")} AS DOUBLE)"
       // probabilities injected from the SAME Scala doubles the operator

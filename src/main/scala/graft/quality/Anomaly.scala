@@ -56,10 +56,15 @@ object Anomaly {
   /** Robust (MAD) z-score outliers: deviations measured against the
     * median in units of the median absolute deviation, scaled by the
     * standard 0.6745 consistency constant — immune to the masking that
-    * lets extreme outliers inflate a plain z-score's stddev. Two exact
-    * aggregation passes by construction (the deviation median needs
-    * the median first); each stats frame is group-count-sized and
-    * broadcast back, the fact table never shuffles.
+    * lets extreme outliers inflate a plain z-score's stddev. When a
+    * group's MAD is 0 (more than half its values identical) the scale
+    * falls back to the MEAN absolute deviation — the standard screen
+    * fallback; without it such a group could hide arbitrary outliers —
+    * and a fully constant group (both scales 0) flags nothing. Two
+    * exact aggregation passes by construction (the deviation median
+    * needs the median first); each stats frame is group-count-sized
+    * and broadcast back, the fact table never shuffles. The fallback
+    * mean uses decimal-exact sums, so results stay order-independent.
     * Output: input columns + robust_z; rows with |z| > threshold.
     */
   def madZscore(df: DataFrame, column: String, groupCols: Seq[String],
@@ -72,12 +77,14 @@ object Anomaly {
     val withDev = joined(df, med)
       .withColumn("__dev", abs(col(column) - col("__med")))
     val mad = withDev.groupBy(groupCols.map(col): _*)
-      .agg(expr("percentile(__dev, 0.5D)").as("__mad"))
+      .agg(expr("percentile(__dev, 0.5D)").as("__mad"),
+        Det.meanAt(col("__dev"), 6).as("__meandev"))
+    val scale = when(col("__mad") =!= 0.0, col("__mad")).otherwise(col("__meandev"))
     joined(withDev, mad)
-      .withColumn("robust_z", when(col("__mad") =!= 0.0,
-        round(lit(0.6745) * (col(column) - col("__med")) / col("__mad"), 6)))
+      .withColumn("robust_z", when(scale =!= 0.0,
+        round(lit(0.6745) * (col(column) - col("__med")) / scale, 6)))
       .filter(abs(col("robust_z")) > threshold)
-      .drop("__med", "__dev", "__mad")
+      .drop("__med", "__dev", "__mad", "__meandev")
   }
 
   /** Moving-average deviation — ref anomaly_manager.py:146-160. The

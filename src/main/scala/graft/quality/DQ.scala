@@ -409,34 +409,58 @@ object DQ {
           edges: Seq[Double], threshold: Double = 0.25,
           eps: Double = 1e-4): DataFrame = {
     require(edges.size >= 2, "need at least two bucket edges")
-    val c = col(column)
+    val joined = driftBuckets(reference, current, edgePreds(column, edges))
+    val nBuckets = edges.size - 1
+    val nR = driftCount("r", nBuckets).cast("double")
+    val nC = driftCount("c", nBuckets).cast("double")
+    val score = when(nR > 0.0 && nC > 0.0,
+      round(psiTerms(nBuckets, nR, nC, eps).reduce(_ + _), 6))
+    driftSelect(joined, column, nR, nC, "psi", score, score > threshold)
+  }
+
+  /** The shared two-snapshot bucket scaffolding behind the drift
+    * screens: one single-row aggregation per side over the bucket
+    * predicates (map-side partial), then a 1×1 broadcast cross join —
+    * neither table shuffles.
+    */
+  private def driftBuckets(reference: DataFrame, current: DataFrame,
+                           preds: Seq[Column]): DataFrame = {
     def side(df: DataFrame, tag: String): DataFrame = {
-      val buckets = edges.sliding(2).toSeq.zipWithIndex.map { case (Seq(lo, hi), i) =>
-        sum(when(c >= lo && c < hi, 1L).otherwise(0L)).as(s"__$tag$i")
+      val buckets = preds.zipWithIndex.map { case (p, i) =>
+        sum(when(p, 1L).otherwise(0L)).as(s"__$tag$i")
       }
       df.agg(buckets.head, buckets.tail: _*)
     }
-    val nBuckets = edges.size - 1
-    // a global agg over an EMPTY frame yields null sums, not 0 — the
-    // counts must still come out 0 (psi/drifted stay null: there is no
-    // distribution to compare)
-    def n(tag: String) = (0 until nBuckets)
-      .map(i => coalesce(col(s"__$tag$i"), lit(0L))).reduce(_ + _)
-    val joined = side(reference, "r").crossJoin(broadcast(side(current, "c")))
-    val nR = n("r").cast("double")
-    val nC = n("c").cast("double")
-    val terms = (0 until nBuckets).map { i =>
+    side(reference, "r").crossJoin(broadcast(side(current, "c")))
+  }
+
+  // a global agg over an EMPTY frame yields null sums, not 0 — the
+  // counts must still come out 0 (the score/flag stay null: there is
+  // no distribution to compare)
+  private def driftCount(tag: String, n: Int): Column =
+    (0 until n).map(i => coalesce(col(s"__$tag$i"), lit(0L))).reduce(_ + _)
+
+  private def edgePreds(column: String, edges: Seq[Double]): Seq[Column] =
+    edges.sliding(2).toSeq.map { case Seq(lo, hi) =>
+      col(column) >= lo && col(column) < hi
+    }
+
+  // an empty snapshot would send 0/0 = NaN through the smoothing
+  // floor (NaN compares greater) — callers null-guard on the counts
+  private def psiTerms(nBuckets: Int, nR: Column, nC: Column,
+                       eps: Double): Seq[Column] =
+    (0 until nBuckets).map { i =>
       val pR = greatest(col(s"__r$i").cast("double") / nR, lit(eps))
       val pC = greatest(col(s"__c$i").cast("double") / nC, lit(eps))
       (pC - pR) * log(pC / pR)
     }
-    // an empty snapshot would send 0/0 = NaN through the smoothing
-    // floor (NaN compares greater) — report null instead of NaN noise
-    val score = when(nR > 0.0 && nC > 0.0, round(terms.reduce(_ + _), 6))
+
+  private def driftSelect(joined: DataFrame, column: String, nR: Column,
+                          nC: Column, scoreName: String, score: Column,
+                          flag: Column): DataFrame =
     joined.select(lit(column).as("colname"),
       nR.cast("long").as("n_ref"), nC.cast("long").as("n_cur"),
-      score.as("psi"), (score > threshold).as("drifted"))
-  }
+      score.as(scoreName), flag.as("drifted"))
 
   /** Categorical PSI: the [[psi]] drift screen over an explicit
     * category list instead of numeric buckets (values outside
@@ -448,40 +472,28 @@ object DQ {
                      categories: Seq[String], threshold: Double = 0.25,
                      eps: Double = 1e-4): DataFrame = {
     require(categories.nonEmpty, "need at least one category")
-    val c = col(column)
-    def side(df: DataFrame, tag: String): DataFrame = {
-      val buckets = categories.zipWithIndex.map { case (v, i) =>
-        sum(when(c === v, 1L).otherwise(0L)).as(s"__$tag$i")
-      }
-      df.agg(buckets.head, buckets.tail: _*)
-    }
-    def n(tag: String) = categories.indices
-      .map(i => coalesce(col(s"__$tag$i"), lit(0L))).reduce(_ + _)
-    val joined = side(reference, "r").crossJoin(broadcast(side(current, "c")))
-    val nR = n("r").cast("double")
-    val nC = n("c").cast("double")
-    val terms = categories.indices.map { i =>
-      val pR = greatest(col(s"__r$i").cast("double") / nR, lit(eps))
-      val pC = greatest(col(s"__c$i").cast("double") / nC, lit(eps))
-      (pC - pR) * log(pC / pR)
-    }
-    val score = when(nR > 0.0 && nC > 0.0, round(terms.reduce(_ + _), 6))
-    joined.select(lit(column).as("colname"),
-      nR.cast("long").as("n_ref"), nC.cast("long").as("n_cur"),
-      score.as("psi"), (score > threshold).as("drifted"))
+    val joined = driftBuckets(reference, current,
+      categories.map(v => col(column) === v))
+    val nR = driftCount("r", categories.size).cast("double")
+    val nC = driftCount("c", categories.size).cast("double")
+    val score = when(nR > 0.0 && nC > 0.0,
+      round(psiTerms(categories.size, nR, nC, eps).reduce(_ + _), 6))
+    driftSelect(joined, column, nR, nC, "psi", score, score > threshold)
   }
 
   /** Benford's-law first-digit screen (fraud / fabricated-data
     * detection): chi-square of the observed leading-digit distribution
     * of positive values against log10(1 + 1/d). The digit comes from
     * the decimal string of floor(x) (floor(log10) would re-derive it
-    * numerically with edge-case drift at powers of ten). One map-side
-    * agg; passed = chi2 <= critical.
+    * numerically with edge-case drift at powers of ten). Values in
+    * [1, 2^63) are screened; beyond long range the non-ANSI cast would
+    * saturate and miscount under digit 9, so such rows are excluded
+    * (like sub-1 values). One map-side agg; passed = chi2 <= critical.
     * Output: (colname, n, chi2, passed).
     */
   def benford(df: DataFrame, column: String, critical: Double = 100.0): DataFrame = {
     val digit = substring(floor(col(column)).cast("long").cast("string"), 1, 1)
-    val inScope = col(column) >= 1.0
+    val inScope = col(column) >= 1.0 && col(column) < 9.0e18
     val buckets = (1 to 9).map(d =>
       sum(when(inScope && digit === d.toString, 1L).otherwise(0L)).as(s"__d$d"))
     val one = df.agg(buckets.head, buckets.tail: _*)
@@ -513,28 +525,21 @@ object DQ {
     */
   def ksBinned(reference: DataFrame, current: DataFrame, column: String,
                edges: Seq[Double], threshold: Double = 0.1): DataFrame = {
-    require(edges.size >= 2, "need at least two bucket edges")
-    val c = col(column)
-    def side(df: DataFrame, tag: String): DataFrame = {
-      val buckets = edges.sliding(2).toSeq.zipWithIndex.map { case (Seq(lo, hi), i) =>
-        sum(when(c >= lo && c < hi, 1L).otherwise(0L)).as(s"__$tag$i")
-      }
-      df.agg(buckets.head, buckets.tail: _*)
-    }
+    // 3+ edges: the CDF gap at the LAST edge is |1 - 1| = 0 by
+    // construction and is excluded, so a 2-edge call would evaluate
+    // nothing and report ks = 0 for any two samples
+    require(edges.size >= 3, "need at least three bucket edges (two buckets)")
+    val joined = driftBuckets(reference, current, edgePreds(column, edges))
     val nBuckets = edges.size - 1
-    def cum(tag: String, i: Int) = (0 to i)
-      .map(j => coalesce(col(s"__$tag$j"), lit(0L))).reduce(_ + _)
-    def n(tag: String) = cum(tag, nBuckets - 1)
-    val joined = side(reference, "r").crossJoin(broadcast(side(current, "c")))
-    val nR = n("r").cast("double")
-    val nC = n("c").cast("double")
-    val gaps = (0 until nBuckets).map { i =>
+    def cum(tag: String, i: Int) = driftCount(tag, i + 1)
+    val nR = cum("r", nBuckets - 1).cast("double")
+    val nC = cum("c", nBuckets - 1).cast("double")
+    val gaps = (0 until nBuckets - 1).map { i =>
       abs(cum("r", i).cast("double") / nR - cum("c", i).cast("double") / nC)
     }
-    val ks = when(nR > 0.0 && nC > 0.0, round(greatest(gaps: _*), 6))
-    joined.select(lit(column).as("colname"),
-      nR.cast("long").as("n_ref"), nC.cast("long").as("n_cur"),
-      ks.as("ks"), (ks > threshold).as("drifted"))
+    val maxGap = if (gaps.size == 1) gaps.head else greatest(gaps: _*)
+    val ks = when(nR > 0.0 && nC > 0.0, round(maxGap, 6))
+    driftSelect(joined, column, nR, nC, "ks", ks, ks > threshold)
   }
 
   /** k-anonymity audit over quasi-identifier columns: a dataset is

@@ -12,15 +12,21 @@ class AnomalySpec extends SparkSpec {
     // cannot move the median/MAD
     val df = ((1 to 48).map(i => 10.0 + (i % 5)) ++ Seq(500.0, 520.0))
       .zipWithIndex.map { case (v, i) => (i.toLong, v) }.toDF("id", "v")
-    val got = graft.quality.Anomaly.madZscore(df, "v", Seq.empty, threshold = 3.5)
+    val got = Anomaly.madZscore(df, "v", Seq.empty, threshold = 3.5)
     assert(got.select("id").as[Long].collect().toSet == Set(48L, 49L))
-    // constant data: MAD = 0 -> no rows, not a division blow-up
+    // MAD = 0 but outliers present (>50% identical values): the
+    // mean-absolute-deviation fallback still catches them
+    val masked = (Seq.fill(60)(10.0) ++ Seq.fill(5)(1000.0))
+      .zipWithIndex.map { case (v, i) => (i.toLong, v) }.toDF("id", "v")
+    val flagged = Anomaly.madZscore(masked, "v", Seq.empty, threshold = 3.0)
+      .select("id").as[Long].collect().toSet
+    assert(flagged == (60L until 65L).toSet)
+    // fully constant data: both scales 0 -> no rows, not a blow-up
     val const = Seq.fill(10)(7.0).zipWithIndex.map { case (v, i) => (i.toLong, v) }
       .toDF("id", "v")
-    assert(graft.quality.Anomaly.madZscore(const, "v", Seq.empty).isEmpty)
+    assert(Anomaly.madZscore(const, "v", Seq.empty).isEmpty)
   }
 
-  import spark.implicits._
 
   // 29 small values + one wild outlier
   private lazy val base = (1 to 29).map(i => (i.toLong, 10.0 + (i % 3)))
