@@ -154,6 +154,11 @@ object QueriesDQ {
       DQ.benford(t(s, dir, "orders"), "o_totalprice", critical = 1000.0)
     }),
 
+    // value-distribution entropy of a categorical column
+    "q_dq_entropy" -> ((s, dir) => {
+      DQ.entropy(t(s, dir, "orders"), "o_orderpriority")
+    }),
+
     // k-anonymity privacy audit over quasi-identifier columns
     "q_dq_kanon" -> ((s, dir) => {
       DQ.kAnonymity(t(s, dir, "customer"), Seq("c_nationkey", "c_mktsegment"), k = 5)
@@ -456,6 +461,18 @@ object QueriesDQ {
          |  round($chi2, 4) AS chi2, (round($chi2, 4) <= 1000.0) AS passed
          |FROM b""".stripMargin
     },
+
+    "q_dq_entropy" ->
+      """WITH c AS (
+        |  SELECT o_orderpriority AS v, COUNT(*) AS n FROM orders
+        |  WHERE o_orderpriority IS NOT NULL GROUP BY 1),
+        |t AS (SELECT CAST(SUM(n) AS BIGINT) AS t FROM c)
+        |SELECT 'o_orderpriority' AS colname, COUNT(*) AS n_values,
+        |  round(CAST(SUM(CAST(
+        |    -(CAST(n AS DOUBLE) / CAST(t AS DOUBLE)) *
+        |      log2(CAST(n AS DOUBLE) / CAST(t AS DOUBLE))
+        |    AS DECIMAL(28,12))) AS DOUBLE), 6) AS entropy
+        |FROM c, t""".stripMargin,
 
     "q_dq_kanon" ->
       """WITH g AS (

@@ -394,6 +394,25 @@ object DQ {
       .drop("__total", "__nkeys")
   }
 
+  /** Shannon entropy of a column's value distribution (bits) — the
+    * concentration profile: 0 for a constant column, log2(k) for a
+    * uniform one over k values. One hash agg on the value (shuffle is
+    * O(distinct values)) + a 1-row total broadcast back; the per-value
+    * terms sum in exact decimal, so the result is order-independent.
+    * Nulls are excluded. Output: (colname, n_values, entropy).
+    */
+  def entropy(df: DataFrame, column: String): DataFrame = {
+    val counts = df.filter(col(column).isNotNull)
+      .groupBy(col(column)).agg(count(lit(1)).as("__n"))
+    val total = counts.agg(sum(col("__n")).as("__t"))
+    val p = col("__n").cast("double") / col("__t").cast("double")
+    counts.crossJoin(broadcast(total))
+      .withColumn("__term", -p * log2(p))
+      .agg(count(lit(1)).as("n_values"),
+        round(Det.sumAt(col("__term"), 12), 6).as("entropy"))
+      .select(lit(column).as("colname"), col("n_values"), col("entropy"))
+  }
+
   /** Population Stability Index between two snapshots of a numeric
     * column (distribution-drift screen; standard rule of thumb:
     * < 0.1 stable, 0.1–0.25 moderate shift, > 0.25 major shift).

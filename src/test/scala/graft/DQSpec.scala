@@ -175,6 +175,18 @@ class DQSpec extends SparkSpec {
     assert(r.getAs[Long]("n_ref") == 100L)
   }
 
+  test("entropy: 0 for constant, log2(k) for uniform, null-blind") {
+    val const = Seq.fill(10)("x").toDF("c")
+    assert(DQ.entropy(const, "c").head().getAs[Double]("entropy") == 0.0)
+    val uniform = (1 to 64).map(i => s"v${i % 8}").toDF("c")
+    val u = DQ.entropy(uniform, "c").head()
+    assert(u.getAs[Long]("n_values") == 8L)
+    assert(math.abs(u.getAs[Double]("entropy") - 3.0) < 1e-9) // log2(8)
+    val withNulls = (Seq("a", "a", "b", "b") ++ Seq.fill(4)(null: String)).toDF("c")
+    val w = DQ.entropy(withNulls, "c").head()
+    assert(w.getAs[Long]("n_values") == 2L && w.getAs[Double]("entropy") == 1.0)
+  }
+
   test("psiCategorical flags a category-mix shift; benford flags uniform data") {
     val a = (Seq.fill(80)("x") ++ Seq.fill(20)("y")).toDF("c")
     val b = (Seq.fill(20)("x") ++ Seq.fill(80)("y")).toDF("c")
