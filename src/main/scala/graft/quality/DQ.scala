@@ -382,8 +382,8 @@ object DQ {
   def keySkew(df: DataFrame, keyCols: Seq[String], topN: Int = 10): DataFrame = {
     require(keyCols.nonEmpty && topN >= 1, "need key columns and topN >= 1")
     val counts = df.groupBy(keyCols.map(col): _*).agg(count(lit(1)).as("n"))
-    val stats = counts.agg(sum(col("n")).as("__total"), count(lit(1)).as("__nkeys"))
-    counts.crossJoin(broadcast(stats))
+    withBroadcastTotals(counts,
+      sum(col("n")).as("__total"), count(lit(1)).as("__nkeys"))
       .withColumn("share", round(col("n") / col("__total"), 6))
       // divide BEFORE multiplying: n * nkeys as long math overflows
       // 2^63 exactly at the hot-key-on-a-huge-table scale this
@@ -394,19 +394,28 @@ object DQ {
       .drop("__total", "__nkeys")
   }
 
+  /** Attach a grouped frame's own single-row totals via a broadcast
+    * cross join — the shared tail of keySkew/entropy-style profiles
+    * (the totals frame is 1 row; the grouped frame never re-shuffles).
+    */
+  private def withBroadcastTotals(counts: DataFrame, totals: Column*): DataFrame =
+    counts.crossJoin(broadcast(counts.agg(totals.head, totals.tail: _*)))
+
   /** Shannon entropy of a column's value distribution (bits) — the
     * concentration profile: 0 for a constant column, log2(k) for a
     * uniform one over k values. One hash agg on the value (shuffle is
     * O(distinct values)) + a 1-row total broadcast back; the per-value
     * terms sum in exact decimal, so the result is order-independent.
-    * Nulls are excluded. Output: (colname, n_values, entropy).
+    * Nulls are excluded; an empty or all-null input reports n_values=0
+    * with entropy null (no distribution to measure — the same null
+    * contract as the drift screens).
+    * Output: (colname, n_values, entropy).
     */
   def entropy(df: DataFrame, column: String): DataFrame = {
     val counts = df.filter(col(column).isNotNull)
       .groupBy(col(column)).agg(count(lit(1)).as("__n"))
-    val total = counts.agg(sum(col("__n")).as("__t"))
     val p = col("__n").cast("double") / col("__t").cast("double")
-    counts.crossJoin(broadcast(total))
+    withBroadcastTotals(counts, sum(col("__n")).as("__t"))
       .withColumn("__term", -p * log2(p))
       .agg(count(lit(1)).as("n_values"),
         round(Det.sumAt(col("__term"), 12), 6).as("entropy"))
