@@ -259,6 +259,58 @@ object PropertySpec extends Properties("graft") {
       }
     }
 
+  property("asof backward match is the max right-ts at or before each left row") = {
+    val rows: Gen[List[(Int, Int)]] =
+      Gen.listOfN(25, Gen.zip(Gen.choose(1, 3), Gen.choose(0, 100)))
+    Prop.forAll(rows, rows) { (l, r) =>
+      val left = l.distinct.zipWithIndex
+        .map { case ((k, t), i) => (k, t.toLong, i.toLong) }.toDF("k", "ts", "lid")
+      val right = r.distinct.map { case (k, t) => (k, t.toLong, t.toLong * 7) }
+        .toDF("k", "ts", "payload")
+      l.distinct.isEmpty || r.distinct.isEmpty || {
+        val got = graft.operators.Relational.asofJoin(left, right, Seq("k"),
+          "ts", "ts", Seq("payload"))
+          .select("k", "ts", "asof_payload")
+          .collect().map(row => (row.getInt(0), row.getLong(1),
+            Option(row.get(2)).map(_.asInstanceOf[Long])))
+        val byKey = r.distinct.groupBy(_._1)
+        got.forall { case (k, ts, payload) =>
+          val cands = byKey.getOrElse(k, Nil).map(_._2.toLong).filter(_ <= ts)
+          payload == (if (cands.isEmpty) None else Some(cands.max * 7))
+        }
+      }
+    }
+  }
+
+  property("histogram conserves rows and respects bin edges") = {
+    val vals: Gen[List[Double]] = Gen.listOfN(50, Gen.choose(-20.0, 120.0))
+    Prop.forAll(vals) { vs =>
+      vs.isEmpty || {
+        val df = vs.toDF("v")
+        val h = graft.operators.Relational.histogram(df, "v", 0.0, 100.0, 10)
+          .collect().map(r => r.getAs[Long]("bin") -> r.getAs[Long]("n")).toMap
+        // every row lands in exactly one bin (edge bins clamp outliers)
+        h.values.sum == vs.size && h.keys.forall(b => b >= 0 && b <= 9)
+      }
+    }
+  }
+
+  property("funnel step counts never increase down the funnel") = {
+    val events: Gen[List[(Int, Int, String)]] = Gen.listOfN(60,
+      Gen.zip(Gen.choose(1, 8), Gen.choose(0, 1000), Gen.oneOf("a", "b", "c", "x")))
+    Prop.forAll(events) { es =>
+      val distinct = es.distinctBy(e => (e._1, e._2))
+      distinct.isEmpty || {
+        val df = distinct.map { case (u, t, ty) => (u.toLong, t.toLong, ty) }
+          .toDF("user_id", "ts", "event_type")
+        val counts = graft.operators.Relational
+          .funnel(df, "user_id", "ts", "event_type", Seq("a", "b", "c"))
+          .orderBy("step_idx").select("n_users").as[Long].collect().toSeq
+        counts.zip(counts.tail).forall { case (hi, lo) => hi >= lo }
+      }
+    }
+  }
+
   property("winsorize preserves row count and orders bounds correctly") =
     Prop.forAll(smallRows) { rows =>
       rows.isEmpty || {
