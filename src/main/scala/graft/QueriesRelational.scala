@@ -86,6 +86,12 @@ object QueriesRelational {
       Relational.cohortRetention(t(s, dir, "events"), "user_id", "ts")
     }),
 
+    // first-order event-transition matrix per user stream
+    "q_transitions" -> ((s, dir) => {
+      Relational.transitionMatrix(t(s, dir, "events"), "user_id", "ts",
+        "event_type", Seq(col("ts").asc, col("event_id").asc))
+    }),
+
     // fixed-width histogram of order totals
     "q_histogram" -> ((s, dir) => {
       Relational.histogram(t(s, dir, "orders"), "o_totalprice",
@@ -229,6 +235,21 @@ object QueriesRelational {
         |  CAST(COUNT(DISTINCT e.user_id) AS BIGINT) AS n_users
         |FROM events e JOIN f ON f.user_id = e.user_id
         |GROUP BY 1, 2""".stripMargin,
+
+    "q_transitions" ->
+      """WITH nxt AS (
+        |  SELECT event_type AS from_type,
+        |    LEAD(event_type, 1) OVER (
+        |      PARTITION BY user_id ORDER BY ts, event_id) AS to_type
+        |  FROM events),
+        |pairs AS (
+        |  SELECT from_type, to_type, COUNT(*) AS n FROM nxt
+        |  WHERE to_type IS NOT NULL GROUP BY 1, 2),
+        |t AS (SELECT from_type, CAST(SUM(n) AS BIGINT) AS tot
+        |      FROM pairs GROUP BY 1)
+        |SELECT from_type, to_type, n,
+        |  round(CAST(n AS DOUBLE) / CAST(tot AS DOUBLE), 6) AS p
+        |FROM pairs JOIN t USING (from_type)""".stripMargin,
 
     "q_histogram" ->
       """WITH h AS (

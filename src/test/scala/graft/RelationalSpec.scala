@@ -237,4 +237,23 @@ class RelationalSpec extends SparkSpec {
       .select(col("a.p_name"), col("b.p_name")).as[(String, String)].collect().toSet
     assert(got == brute && got.nonEmpty)
   }
+
+  test("transitionMatrix counts consecutive pairs; probabilities sum to 1") {
+    val events = Seq(
+      (1L, 1L, "a"), (1L, 2L, "b"), (1L, 3L, "a"), (1L, 4L, "b"),
+      (2L, 1L, "a"), (2L, 2L, "b"), (2L, 3L, "c"),
+      (3L, 1L, "c") // single event: contributes no transition
+    ).toDF("user_id", "ts", "event_type")
+    val m = Relational.transitionMatrix(events, "user_id", "ts", "event_type")
+    val byPair = m.collect()
+      .map(r => (r.getAs[String]("from_type"), r.getAs[String]("to_type")) ->
+        (r.getAs[Long]("n"), r.getAs[Double]("p"))).toMap
+    assert(byPair(("a", "b")) == ((3L, 1.0))) // a always goes to b
+    assert(byPair(("b", "a"))._1 == 1L && byPair(("b", "c"))._1 == 1L)
+    assert(byPair(("b", "a"))._2 == 0.5 && byPair(("b", "c"))._2 == 0.5)
+    assert(!byPair.keySet.exists(_._1 == "c")) // nothing follows c
+    // per-from probabilities always sum to ~1
+    m.groupBy("from_type").agg(sum("p").as("s")).select("s").as[Double]
+      .collect().foreach(s => assert(math.abs(s - 1.0) < 1e-6))
+  }
 }
