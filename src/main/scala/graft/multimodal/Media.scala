@@ -176,6 +176,59 @@ object Media {
   private val mp3Udf = udf((b: Array[Byte]) =>
     parseMp3Meta(b).map { case (c, r, k, d) => AudioMeta(c, r, k, d) }.orNull)
 
+  /** Real ISO-BMFF (MP4/MOV) container parsing: walk the top-level
+    * boxes to `moov`, then its children to `mvhd`, and read timescale
+    * + duration (version 0: 32-bit fields, version 1: 64-bit).
+    * Duration_ms is exact from the header — no codec involved (frame
+    * decode stays stubbed, like pixels and audio samples). The walk
+    * advances in Long with the same hostile-size guards as the RIFF
+    * walk. Output: duration_ms.
+    */
+  def parseMp4Meta(bytes: Array[Byte]): Option[Long] = {
+    if (bytes == null || bytes.length < 16) return None
+    def u8(i: Int) = bytes(i) & 0xFF
+    def be32(i: Int): Long = (u8(i).toLong << 24) | (u8(i + 1).toLong << 16) |
+      (u8(i + 2).toLong << 8) | u8(i + 3).toLong
+    def be64(i: Int): Long = (be32(i) << 32) | be32(i + 4)
+    def tag(i: Int) = new String(bytes, i, 4, java.nio.charset.StandardCharsets.US_ASCII)
+    // an MP4 opens with an ftyp (or styp) box
+    if (tag(4) != "ftyp" && tag(4) != "styp") return None
+    def walk(from: Long, end: Long, want: String): Option[Long] = {
+      var i = from
+      while (i + 8 <= end) {
+        val size = be32(i.toInt)
+        val box = tag(i.toInt + 4)
+        // size 1 = 64-bit extended size; size 0 = box runs to EOF
+        val realSize =
+          if (size == 1L && i + 16 <= end) be64(i.toInt + 8)
+          else if (size == 0L) end - i
+          else size
+        if (realSize < 8L || i + realSize > end) return None // corrupt
+        if (box == want) return Some(i)
+        i += realSize
+      }
+      None
+    }
+    val n = bytes.length.toLong
+    walk(0L, n, "moov").flatMap { moov =>
+      val moovSize = be32(moov.toInt)
+      walk(moov + 8L, moov + moovSize, "mvhd").flatMap { mvhd =>
+        val p = mvhd.toInt + 8
+        val version = u8(p)
+        val (timescale, duration) =
+          if (version == 1 && mvhd + 8 + 4 + 16 + 8 <= n)
+            (be32(p + 20), be64(p + 24)) // v1: 8+8 creation/mod, ts, 64-bit dur
+          else if (version == 0 && mvhd + 8 + 4 + 8 + 8 <= n)
+            (be32(p + 12), be32(p + 16)) // v0: 4+4 creation/mod, ts, 32-bit dur
+          else return None
+        if (timescale <= 0L) None
+        else Some(duration * 1000L / timescale)
+      }
+    }
+  }
+
+  private val mp4Udf = udf((b: Array[Byte]) => parseMp4Meta(b))
+
   /** Attach a media metadata struct to a binary column. Image
     * width/height come from REAL header parsing ([[parseImageDims]]),
     * audio duration from REAL RIFF/WAVE parsing ([[parseWavMeta]])
@@ -200,7 +253,7 @@ object Media {
         (pmod(n, lit(768L)) + 1L).cast("int"))).otherwise(lit(null).cast("int")).as("height"),
       when(isAudio, coalesce(wav.getField("duration_ms"),
           mp3.getField("duration_ms"), n * 8L))
-        .when(!isImage, n * 8L)
+        .when(!isImage, coalesce(mp4Udf(bytes), n * 8L))
         .otherwise(lit(null).cast("long")).as("duration_ms"),
       n.as("n_bytes")))
   }

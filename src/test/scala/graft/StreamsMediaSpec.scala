@@ -277,6 +277,37 @@ class StreamsMediaSpec extends SparkSpec {
     assert(meta == 1000L)
   }
 
+  test("Media.parseMp4Meta reads ISO-BMFF mvhd duration") {
+    def be32(v: Long): Array[Byte] = Array(
+      (v >> 24).toByte, (v >> 16).toByte, (v >> 8).toByte, v.toByte)
+    def box(name: String, payload: Array[Byte]): Array[Byte] =
+      be32(payload.length + 8L) ++ name.getBytes ++ payload
+    // mvhd v0: version+flags, creation, modification, timescale, duration
+    def mvhd(timescale: Long, duration: Long): Array[Byte] =
+      box("mvhd", be32(0L) ++ be32(0L) ++ be32(0L) ++ be32(timescale) ++ be32(duration))
+    val ftyp = box("ftyp", "isom0000".getBytes)
+    // timescale 600 ticks/s, duration 1500 ticks -> 2500 ms
+    val mp4 = ftyp ++ box("moov", mvhd(600, 1500))
+    assert(Media.parseMp4Meta(mp4).contains(2500L))
+    // a preceding sibling box inside moov must be walked over
+    val mp4b = ftyp ++ box("moov", box("iods", Array.fill(6)(0.toByte)) ++ mvhd(1000, 90000))
+    assert(Media.parseMp4Meta(mp4b).contains(90000L))
+    // junk, missing moov, zero timescale, hostile box size: all None
+    assert(Media.parseMp4Meta("not an mp4 at all....".getBytes).isEmpty)
+    assert(Media.parseMp4Meta(ftyp ++ box("free", Array[Byte]())).isEmpty)
+    assert(Media.parseMp4Meta(ftyp ++ box("moov", mvhd(0, 1500))).isEmpty)
+    val hostile = ftyp ++ be32(0xFFFFFFF0L) ++ "moov".getBytes
+    assert(Media.parseMp4Meta(hostile).isEmpty)
+    assert(Media.parseMp4Meta(null).isEmpty)
+    // DataFrame surface: parsed duration beats the stub for video blobs
+    val df = Seq((1L, mp4), (2L, "junkvideo".getBytes)).toDF("id", "blob")
+    val meta = Media.withMetadata(df, "blob", "video/mp4")
+      .select(col("id"), col("media_meta.duration_ms"))
+      .as[(Long, Long)].collect().sortBy(_._1)
+    assert(meta(0) == ((1L, 2500L)))
+    assert(meta(1)._2 == 9L * 8L) // junk falls back to the stub
+  }
+
   test("Media.parseWavMeta reads real RIFF/WAVE headers") {
     // hand-built canonical WAV: RIFF + fmt (PCM stereo 44.1k/16) + data
     def wav(dataSize: Int, extraChunk: Boolean = false,
