@@ -193,7 +193,10 @@ object Media {
     def tag(i: Int) = new String(bytes, i, 4, java.nio.charset.StandardCharsets.US_ASCII)
     // an MP4 opens with an ftyp (or styp) box
     if (tag(4) != "ftyp" && tag(4) != "styp") return None
-    def walk(from: Long, end: Long, want: String): Option[Long] = {
+    // returns (box offset, real box size). realSize comparisons subtract
+    // instead of adding: a 64-bit extended size near Long.MaxValue would
+    // wrap `i + realSize` negative and bypass an additive guard
+    def walk(from: Long, end: Long, want: String): Option[(Long, Long)] = {
       var i = from
       while (i + 8 <= end) {
         val size = be32(i.toInt)
@@ -203,25 +206,31 @@ object Media {
           if (size == 1L && i + 16 <= end) be64(i.toInt + 8)
           else if (size == 0L) end - i
           else size
-        if (realSize < 8L || i + realSize > end) return None // corrupt
-        if (box == want) return Some(i)
+        if (realSize < 8L || realSize > end - i) return None // corrupt
+        if (box == want) return Some((i, realSize))
         i += realSize
       }
       None
     }
     val n = bytes.length.toLong
-    walk(0L, n, "moov").flatMap { moov =>
-      val moovSize = be32(moov.toInt)
-      walk(moov + 8L, moov + moovSize, "mvhd").flatMap { mvhd =>
+    walk(0L, n, "moov").flatMap { case (moov, moovSize) =>
+      // the walk's realSize handles extended/to-EOF moov sizes too —
+      // re-reading the raw 32-bit field would break those forms
+      walk(moov + 8L, moov + moovSize, "mvhd").flatMap { case (mvhd, mvhdSize) =>
         val p = mvhd.toInt + 8
         val version = u8(p)
+        // field reads stay INSIDE the declared mvhd box (a short box
+        // followed by siblings must not parse the sibling's bytes):
+        // v1 body = 4 ver/flags + 8+8 times + 4 timescale + 8 duration,
+        // v0 body = 4 + 4+4 + 4 + 4
         val (timescale, duration) =
-          if (version == 1 && mvhd + 8 + 4 + 16 + 8 <= n)
-            (be32(p + 20), be64(p + 24)) // v1: 8+8 creation/mod, ts, 64-bit dur
-          else if (version == 0 && mvhd + 8 + 4 + 8 + 8 <= n)
-            (be32(p + 12), be32(p + 16)) // v0: 4+4 creation/mod, ts, 32-bit dur
+          if (version == 1 && mvhdSize >= 8 + 32 && mvhd + 8 + 32 <= n)
+            (be32(p + 20), be64(p + 24))
+          else if (version == 0 && mvhdSize >= 8 + 20 && mvhd + 8 + 20 <= n)
+            (be32(p + 12), be32(p + 16))
           else return None
-        if (timescale <= 0L) None
+        // duration*1000 must not overflow (v1 durations are 64-bit)
+        if (timescale <= 0L || duration < 0L || duration > Long.MaxValue / 1000L) None
         else Some(duration * 1000L / timescale)
       }
     }
@@ -231,10 +240,12 @@ object Media {
 
   /** Attach a media metadata struct to a binary column. Image
     * width/height come from REAL header parsing ([[parseImageDims]]),
-    * audio duration from REAL RIFF/WAVE parsing ([[parseWavMeta]])
-    * when the blob carries a known magic number; unrecognized bytes
-    * fall back to the deterministic stub pseudo-values (this container
-    * ships no codecs to do better). Video duration is stub only.
+    * audio duration from REAL RIFF/WAVE or MPEG frame-header parsing
+    * ([[parseWavMeta]], [[parseMp3Meta]]), video duration from REAL
+    * ISO-BMFF mvhd parsing ([[parseMp4Meta]]) when the blob carries a
+    * known magic number; unrecognized bytes fall back to the
+    * deterministic stub pseudo-values (this container ships no codecs
+    * to do better).
     */
   def withMetadata(df: DataFrame, binCol: String, mime: String,
                    metaCol: String = "media_meta"): DataFrame = {

@@ -278,24 +278,22 @@ object Relational {
     * pair of consecutive event types within a user's stream, the
     * transition count and probability P(to | from). One partitioned
     * window pass for the lag (the same shuffle shape as
-    * sessionization) + one hash agg; the per-from totals come from a
-    * second aggregation of the ALREADY-AGGREGATED pair frame
-    * (type-cardinality-sized), broadcast back. Probabilities are
-    * exact integer ratios, rounded at 6 dp.
-    * Output: (from_type, to_type, n, p).
+    * sessionization) + one hash agg; the per-from totals are a window
+    * sum OVER the already-aggregated pair frame (type-cardinality
+    * sized), so the pair lineage runs once and nothing routes through
+    * the driver. Probabilities are exact integer ratios, rounded at
+    * 6 dp. Output: (from_type, to_type, n, p).
     */
   def transitionMatrix(df: DataFrame, userCol: String, tsCol: String,
                        typeCol: String, orderBy: Seq[Column] = Nil): DataFrame = {
     val order = if (orderBy.nonEmpty) orderBy else Seq(col(tsCol).asc)
     val w = Window.partitionBy(col(userCol)).orderBy(order: _*)
-    val pairs = df
-      .withColumn("__next", lead(col(typeCol), 1).over(w))
+    val wTot = Window.partitionBy(col("from_type"))
+    df.withColumn("__next", lead(col(typeCol), 1).over(w))
       .filter(col("__next").isNotNull)
       .groupBy(col(typeCol).as("from_type"), col("__next").as("to_type"))
       .agg(count(lit(1)).as("n"))
-    val totals = pairs.groupBy(col("from_type")).agg(sum(col("n")).as("__t"))
-    pairs.join(broadcast(totals), Seq("from_type"))
-      .withColumn("p", round(col("n").cast("double") / col("__t").cast("double"), 6))
-      .drop("__t")
+      .withColumn("p", round(
+        col("n").cast("double") / sum(col("n")).over(wTot).cast("double"), 6))
   }
 }

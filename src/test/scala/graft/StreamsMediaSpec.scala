@@ -292,12 +292,30 @@ class StreamsMediaSpec extends SparkSpec {
     // a preceding sibling box inside moov must be walked over
     val mp4b = ftyp ++ box("moov", box("iods", Array.fill(6)(0.toByte)) ++ mvhd(1000, 90000))
     assert(Media.parseMp4Meta(mp4b).contains(90000L))
+    // a moov with to-EOF size (0) still parses — the inner walk must
+    // use the RESOLVED size, not re-read the raw 0
+    val moovBody = mvhd(600, 1500)
+    val moovToEof = ftyp ++ be32(0L) ++ "moov".getBytes ++ moovBody
+    assert(Media.parseMp4Meta(moovToEof).contains(2500L))
     // junk, missing moov, zero timescale, hostile box size: all None
     assert(Media.parseMp4Meta("not an mp4 at all....".getBytes).isEmpty)
     assert(Media.parseMp4Meta(ftyp ++ box("free", Array[Byte]())).isEmpty)
     assert(Media.parseMp4Meta(ftyp ++ box("moov", mvhd(0, 1500))).isEmpty)
     val hostile = ftyp ++ be32(0xFFFFFFF0L) ++ "moov".getBytes
     assert(Media.parseMp4Meta(hostile).isEmpty)
+    // 64-bit extended size near Long.MaxValue must not wrap the guard
+    val wrap = ftyp ++ be32(1L) ++ "skip".getBytes ++
+      Array(0x7F, 0xFF, 0xFF, 0xFF, 0xFF, 0xFF, 0xFF, 0xF8).map(_.toByte) ++
+      Array.fill(16)(0.toByte)
+    assert(Media.parseMp4Meta(wrap).isEmpty)
+    // truncated v1 mvhd: bounds must reject, not read past the array
+    val v1Trunc = ftyp ++ box("moov",
+      box("mvhd", Array(1, 0, 0, 0).map(_.toByte) ++ Array.fill(24)(0.toByte)))
+    assert(Media.parseMp4Meta(v1Trunc).isEmpty)
+    // an mvhd declaring a too-short box must not parse sibling bytes
+    val shortBox = ftyp ++ box("moov",
+      box("mvhd", Array(0, 0, 0, 0).map(_.toByte)) ++ mvhd(600, 600))
+    assert(Media.parseMp4Meta(shortBox).isEmpty)
     assert(Media.parseMp4Meta(null).isEmpty)
     // DataFrame surface: parsed duration beats the stub for video blobs
     val df = Seq((1L, mp4), (2L, "junkvideo".getBytes)).toDF("id", "blob")
