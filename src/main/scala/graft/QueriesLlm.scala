@@ -38,6 +38,30 @@ object QueriesLlm {
       Dedup.simhashPairs(t(s, dir, "documents"), "doc_id", "text", maxHamming = 6)
     }),
 
+    // multimodal plumbing end-to-end over synthesized blobs (documents'
+    // text bytes stand in for media — no codecs/media files in this
+    // environment): metadata struct -> partition-batched feature
+    // extraction -> frame sampling -> per-type rollup. Rows-only: the
+    // metadata/feature math is engine-specific; StreamsMediaSpec proves
+    // the real-parser paths (PNG/GIF/JPEG/BMP, WAV, MP3, MP4)
+    "q_media" -> ((s, dir) => {
+      val media = t(s, dir, "documents")
+        .select(col("doc_id").as("media_id"),
+          col("text").cast("binary").as("blob"),
+          when(col("doc_id") % 2 === 0, "video/mp4").otherwise("audio/wav").as("mime"))
+      val withMeta = graft.multimodal.Media
+        .withMetadata(media.filter(col("mime") === "audio/wav"), "blob", "audio/wav")
+        .unionByName(graft.multimodal.Media
+          .withMetadata(media.filter(col("mime") === "video/mp4"), "blob", "video/mp4"))
+      val feats = graft.multimodal.Media.extractFeatures(withMeta, "blob", "media_id")
+      val frames = graft.multimodal.Media.sampleFrames(withMeta, "media_meta", n = 3)
+      frames.join(feats, Seq("media_id"))
+        .groupBy(col("media_meta.mime").as("mime"))
+        .agg(count(lit(1)).as("n_frames"),
+          graft.functions.Det.sumAt(col("frame_offset_ms"), 0).as("sum_offsets"),
+          graft.functions.Det.sumAt(element_at(col("features"), 1), 6).as("sum_f0"))
+    }),
+
     // windowed exact-substring duplication (suffix-dedup approximation)
     "q_dedup_spans" -> ((s, dir) => {
       Dedup.dupSpanStats(t(s, dir, "documents"), "doc_id", "text",
