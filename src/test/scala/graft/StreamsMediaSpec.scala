@@ -277,6 +277,15 @@ class StreamsMediaSpec extends SparkSpec {
     assert(meta == 1000L)
   }
 
+  test("q_media is deterministic across runs and covers both mimes") {
+    def run() = SparkEntry.queries("q_media")(spark, TestSession.sfDir)
+      .orderBy("mime").collect().toSeq
+    val a = run()
+    assert(a.map(_.getAs[String]("mime")).toSet == Set("audio/wav", "video/mp4"))
+    assert(a.forall(_.getAs[Long]("n_frames") > 0L))
+    assert(a == run())
+  }
+
   test("Media.parseMp4Meta reads ISO-BMFF mvhd duration") {
     def be32(v: Long): Array[Byte] = Array(
       (v >> 24).toByte, (v >> 16).toByte, (v >> 8).toByte, v.toByte)
