@@ -35,6 +35,12 @@ object Bench {
 
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
     val results = names.map { name =>
+      // Isolate each measurement: drop every cached frame / checkpoint
+      // RDD the previous query left behind BEFORE starting the clock.
+      // Without this, accumulated session caches evict + GC-thrash the
+      // later queries and the suite numbers stop reflecting the plans
+      // (r7: 3.66x apparent regression, queries 5-15x faster isolated).
+      GraftSession.releaseAll(spark)
       val t0 = System.nanoTime()
       try SparkEntry.queries(name)(spark, sfDir).count()
       catch { case e: Throwable =>

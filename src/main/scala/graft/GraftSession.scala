@@ -28,4 +28,24 @@ object GraftSession {
 
   def local(cores: Int = Runtime.getRuntime.availableProcessors()): SparkSession =
     builder(s"local[$cores]", cores).getOrCreate()
+
+  /** Release every cached frame and persistent RDD in the session.
+    *
+    * The persist-ownership contract: operators that persist internal
+    * frames for intra-query reuse (Dedup.minhashLsh, Search.tfidfTopTerms,
+    * Lof.scores, Ivf.buildIndex, Dedup.connectedComponents'
+    * localCheckpoints, …) deliberately leave them alive because callers
+    * typically consume the returned frame more than once (collect +
+    * write, or probe an index repeatedly). A long-lived session — REPL,
+    * server, or harness looping over many queries — MUST call this
+    * between units of work, or the accumulated blocks eventually evict
+    * and GC-thrash every later query. `clearCache()` drops catalog-
+    * tracked Dataset persists; the RDD sweep additionally drops
+    * localCheckpoint blocks, which the catalog does not track.
+    */
+  def releaseAll(spark: SparkSession): Unit = {
+    spark.catalog.clearCache()
+    spark.sparkContext.getPersistentRDDs.values
+      .foreach(_.unpersist(blocking = false))
+  }
 }

@@ -20,6 +20,10 @@ object Verify {
       require(unknown.isEmpty, s"SPARK_GRAFT_ONLY names unknown queries: ${unknown.mkString(",")}")
     }
     SparkEntry.queries.filter(kv => only.forall(_.contains(kv._1))).foreach { case (name, fn) =>
+      // per-query cache isolation, same contract as Bench (see
+      // GraftSession.releaseAll): 129 queries' worth of leftover persists
+      // would otherwise GC-thrash the tail of the dump
+      GraftSession.releaseAll(spark)
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>

@@ -72,9 +72,16 @@ object Ivf {
     // the otherwise-nested lineage (iteration i re-embedding every
     // pass before it, so the corpus would be re-scanned a quadratic
     // number of times by the final plan) down to one corpus scan per
-    // Lloyd iteration. Negligible memory, plan-level win.
+    // Lloyd iteration. Negligible memory, plan-level win. Frame i is
+    // materialized (count) before frame i-1 is released, so at most two
+    // centroid frames are ever live and exactly one survives the build
+    // (the last — the returned index plan still references it; callers
+    // release it via GraftSession.releaseAll / clearCache when done).
     val centroids = (1 to iters).foldLeft(seeds.cache()) { (cent, _) =>
-      recenter(assign(corpus, idCol, vecCol, cent), vecCol).cache()
+      val next = recenter(assign(corpus, idCol, vecCol, cent), vecCol).cache()
+      next.count()
+      cent.unpersist(blocking = false)
+      next
     }
     assign(corpus, idCol, vecCol, centroids)
   }

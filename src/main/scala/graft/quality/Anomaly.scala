@@ -95,31 +95,27 @@ object Anomaly {
   def movingAvg(df: DataFrame, column: String, partitionBy: Seq[String],
                 orderBy: Seq[Column], window: Int = 7,
                 threshold: Double = 2.0, scale: Int = 6): DataFrame = {
-    // frame moments from CUMULATIVE sums (cum[i] - cum[i-w]) instead of
-    // sliding frames: running frames are O(n) while Spark re-aggregates
-    // a bounded sliding frame per row (O(n*w) decimal adds, 3 aggs).
-    // Decimal arithmetic is exact, so the difference equals the frame
-    // sum bit-for-bit — same trick as changepoints. The lag pass shares
-    // the first pass's partitioning and sort (no extra exchange).
+    // Direct bounded sliding-frame aggregates. The r7 cumulative-sum
+    // rewrite (cum[i] - cum[i-w]) was re-measured in isolation at sf0.1
+    // and lost: 3.4s vs 1.0s for this form — Spark's sliding-frame
+    // executor already maintains the frame incrementally for
+    // sum/count, so the "O(n*w) re-aggregation" the rewrite targeted
+    // never happens, while the rewrite's extra lag pass and wider
+    // decimal rows cost real time. Bounded frames also cannot overflow
+    // DecimalType(28,scale): the cumulative sums grew with the whole
+    // partition and could (ADVICE r7).
     val w = Window.partitionBy(partitionBy.map(col): _*).orderBy(orderBy: _*)
-    val wc = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      .rowsBetween(-(window - 1), Window.currentRow)
     val x = col(column)
-    val dec = DecimalType(28, scale)
-    def framed(cum: Column): Column =
-      (cum - coalesce(lag(cum, window).over(w), lit(0))).cast("double")
-    val n = (col("__ccnt") - coalesce(lag(col("__ccnt"), window).over(w), lit(0L)))
-      .cast("double")
-    val s = framed(col("__cs"))
-    val s2 = framed(col("__cs2"))
+    val n = count(x).over(w).cast("double")
+    val s = sum(x.cast(DecimalType(28, scale))).over(w).cast("double")
+    val s2 = sum((x * x).cast(DecimalType(28, scale))).over(w).cast("double")
     val ma = s / n
     val std = sqrt(greatest(lit(0.0), (s2 - s * s / n) / (n - lit(1.0))))
-    df.withColumn("__cs", sum(x.cast(dec)).over(wc))
-      .withColumn("__cs2", sum((x * x).cast(dec)).over(wc))
-      .withColumn("__ccnt", count(x).over(wc))
-      .withColumn("__n", n)
+    df.withColumn("__n", n)
       .withColumn("z", when(std =!= 0.0, abs(x - ma) / std))
       .filter(col("__n") === window && col("z") > threshold)
-      .drop("__cs", "__cs2", "__ccnt", "__n")
+      .drop("__n")
   }
 
   /** Seasonal-residual outliers (STL-ish stand-in) — ref

@@ -114,6 +114,19 @@ class SearchSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("Ivf.buildIndex releases iteration caches; releaseAll drops the rest") {
+    GraftSession.releaseAll(spark)
+    val e = table("embeddings")
+    val idx = graft.llm.Ivf.buildIndex(e, "vec_id", "embedding", nlist = 4, iters = 3)
+    idx.count()
+    // 3 Lloyd iterations cached 4 centroid frames along the way; all but
+    // the last were unpersisted as soon as their successor materialized
+    assert(spark.sparkContext.getPersistentRDDs.size <= 1,
+      s"leaked iteration caches: ${spark.sparkContext.getPersistentRDDs.size}")
+    GraftSession.releaseAll(spark)
+    assert(spark.sparkContext.getPersistentRDDs.isEmpty)
+  }
+
   test("sequence packing: offsets advance by token counts, reset per pack") {
     val df = (1L to 200L).toDF("id")
       .withColumn("shard", ($"id" % 4).cast("int"))
