@@ -456,9 +456,13 @@ object QueriesDQ {
         val p = graft.quality.DQ.benfordP(d)
         s"(d$d - $n * $p) * (d$d - $n * $p) / ($n * $p)"
       }.mkString(" + ")
+      // n > 0 guard mirrors DQ.benford's when(n > 0.0): on an empty or
+      // out-of-range snapshot Spark yields null chi2/passed, and 0/0
+      // here would diverge (degenerate-data parity, same as psi/ks)
+      val score = s"CASE WHEN $n > 0 THEN round($chi2, 4) END"
       s"""WITH b AS (SELECT $buckets FROM orders)
          |SELECT 'o_totalprice' AS colname, CAST($n AS BIGINT) AS n,
-         |  round($chi2, 4) AS chi2, (round($chi2, 4) <= 1000.0) AS passed
+         |  $score AS chi2, ($score <= 1000.0) AS passed
          |FROM b""".stripMargin
     },
 

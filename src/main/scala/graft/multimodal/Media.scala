@@ -229,8 +229,14 @@ object Media {
           else if (version == 0 && mvhdSize >= 8 + 20 && mvhd + 8 + 20 <= n)
             (be32(p + 12), be32(p + 16))
           else return None
+        // ISO-BMFF all-ones duration = "unknown": v0's 0xFFFFFFFF would
+        // otherwise read as a huge positive value; v1's 64-bit all-ones
+        // is -1 and also lands in the < 0 reject. Unknown falls back to
+        // the deterministic stub, same as an unparseable box.
+        val unknownDuration = version == 0 && duration == 0xFFFFFFFFL
         // duration*1000 must not overflow (v1 durations are 64-bit)
-        if (timescale <= 0L || duration < 0L || duration > Long.MaxValue / 1000L) None
+        if (unknownDuration || timescale <= 0L || duration < 0L ||
+            duration > Long.MaxValue / 1000L) None
         else Some(duration * 1000L / timescale)
       }
     }

@@ -397,9 +397,15 @@ object DQ {
   /** Attach a grouped frame's own single-row totals via a broadcast
     * cross join — the shared tail of keySkew/entropy-style profiles
     * (the totals frame is 1 row; the grouped frame never re-shuffles).
+    * `counts` feeds both the totals agg and the join, with different
+    * columns pruned on each side, which defeats ReuseExchange — the
+    * persist collapses the two grouped-aggregation runs into one
+    * (session-scoped contract, released via GraftSession.releaseAll).
     */
-  private def withBroadcastTotals(counts: DataFrame, totals: Column*): DataFrame =
-    counts.crossJoin(broadcast(counts.agg(totals.head, totals.tail: _*)))
+  private def withBroadcastTotals(counts: DataFrame, totals: Column*): DataFrame = {
+    val c = counts.persist()
+    c.crossJoin(broadcast(c.agg(totals.head, totals.tail: _*)))
+  }
 
   /** Shannon entropy of a column's value distribution (bits) — the
     * concentration profile: 0 for a constant column, log2(k) for a

@@ -114,12 +114,15 @@ object FileSink {
   }
 }
 
-/** JDBC source config — ref relational_connector.py. Builds the reader
-  * with predicate-pushdown-friendly options; `partitionColumn` splits
-  * the read into `numPartitions` parallel range queries (the only way
-  * a JDBC scan parallelizes). No live database exists in this
-  * container, so `.load()` is the caller's step; specs cover the
-  * configuration.
+/** JDBC source config — ref relational_connector.py:93. Builds the
+  * reader with predicate-pushdown-friendly options; `partitionColumn`
+  * splits the read into `numPartitions` parallel range queries (the
+  * only way a JDBC scan parallelizes), and Catalyst filters compile
+  * into the per-partition WHERE clauses (PushedFilters on the scan).
+  * Live-tested in-JVM against embedded Derby (the one JDBC engine on
+  * the Spark classpath): round-trip write → partitioned read →
+  * pushdown, see PipelineSourcesSpec. Server databases plug in by URL
+  * + driver jar at deploy time, same options.
   */
 final case class JdbcSource(url: String, table: String,
                             user: String = "", password: String = "",
@@ -142,6 +145,32 @@ final case class JdbcSource(url: String, table: String,
   }
   def reader(spark: SparkSession): DataFrameReader =
     spark.read.format("jdbc").options(options)
+}
+
+/** JDBC sink — ref relational_connector.py:117. The reference's three
+  * write modes map onto Spark's JDBC writer:
+  *  - append: INSERT into the existing table
+  *  - overwrite: drop + recreate from the frame's schema
+  *  - truncate_and_load: TRUNCATE (schema/grants/indexes survive),
+  *    then insert — Spark's `truncate` option on overwrite
+  * Writes stream per partition through batched INSERTs (`batchsize`),
+  * so the parallelism and memory profile track the frame's
+  * partitioning, not the driver.
+  */
+object JdbcSink {
+  def write(df: DataFrame, url: String, table: String,
+            mode: String = "append",
+            options: Map[String, String] = Map.empty): Unit = {
+    val w = df.write.format("jdbc")
+      .option("url", url).option("dbtable", table).options(options)
+    mode.toLowerCase match {
+      case "append"            => w.mode("append").save()
+      case "overwrite"         => w.mode("overwrite").save()
+      case "truncate_and_load" => w.mode("overwrite").option("truncate", "true").save()
+      case m => throw new IllegalArgumentException(
+        s"unknown jdbc write mode '$m' (append|overwrite|truncate_and_load)")
+    }
+  }
 }
 
 /** Incremental source wrapper — watermark filter pushed into the scan

@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import graft.operators.Ops
 import graft.pipeline.Pipeline
-import graft.sources.{FileSink, FileSource, IncrementalSource, JdbcSource}
+import graft.sources.{FileSink, FileSource, IncrementalSource, JdbcSink, JdbcSource}
 
 case class TypedOrder(o_orderkey: Long, o_totalprice: Double)
 
@@ -181,8 +181,16 @@ class PipelineSourcesSpec extends SparkSpec {
   }
 
   test("unsupported file formats are rejected with a clear error") {
-    assertThrows[IllegalArgumentException](
-      FileSource.read(spark, "excel", "/tmp/whatever"))
+    // excel (ref file_connector.py:83) needs an external datasource jar
+    // this zero-egress build can't ship; the contract is a fail-fast
+    // error that names the package and carries the working read recipe
+    for (fmt <- Seq("excel", "xlsx", "EXCEL")) {
+      val e = intercept[IllegalArgumentException](
+        FileSource.read(spark, fmt, "/tmp/whatever"))
+      assert(e.getMessage.contains("com.crealytics:spark-excel"))
+      assert(e.getMessage.contains("""spark.read.format("excel")"""))
+      assert(e.getMessage.contains("""option("header","true")"""))
+    }
   }
 
   test("JdbcSource builds partitioned-read options") {
@@ -191,6 +199,49 @@ class PipelineSourcesSpec extends SparkSpec {
     assert(j.options("partitionColumn") == "id")
     assert(j.options("numPartitions") == "8")
     assert(j.reader(spark) != null) // builds without connecting
+  }
+
+  test("JDBC round-trip against embedded Derby: write modes, partitioned read, pushdown") {
+    // Derby ships on the Spark classpath (/opt/spark/jars), so the JDBC
+    // path gets a LIVE in-JVM database (ref relational_connector.py:44
+    // actually connects; config-only specs wouldn't catch dialect or
+    // mode bugs). derby.system.home keeps derby.log/db files in /tmp.
+    System.setProperty("derby.system.home", "/tmp/graft-derby")
+    val url = s"jdbc:derby:memory:graftdb;create=true"
+    val drv = Map("driver" -> "org.apache.derby.iapi.jdbc.AutoloadedDriver")
+    val src = table("orders")
+      .select($"o_orderkey", $"o_custkey", $"o_totalprice", $"o_orderpriority")
+    val n = src.count()
+
+    JdbcSink.write(src, url, "ORDERS_RT", "overwrite", drv)
+    JdbcSink.write(src.limit(10), url, "ORDERS_RT", "append", drv)
+    val (lo, hi) = src.agg(min($"o_orderkey"), max($"o_orderkey"))
+      .as[(Long, Long)].head()
+    val back = JdbcSource(url, "ORDERS_RT",
+      partitionColumn = Some("o_orderkey"), lowerBound = lo, upperBound = hi + 1,
+      numPartitions = 4, extra = drv).reader(spark).load()
+    // append after overwrite: both writes landed
+    assert(back.count() == n + 10)
+    // the ranged read really splits into parallel range queries
+    assert(back.rdd.getNumPartitions == 4)
+
+    // truncate_and_load keeps the table but replaces the rows
+    JdbcSink.write(src.limit(25), url, "ORDERS_RT", "truncate_and_load", drv)
+    assert(JdbcSource(url, "ORDERS_RT", extra = drv).reader(spark).load().count() == 25)
+
+    // Catalyst filter compiles into the JDBC WHERE clause, and values
+    // survive the round-trip intact
+    val f = back.filter($"o_totalprice" > lit(50000.0))
+    assert(f.queryExecution.executedPlan.toString.contains("PushedFilters:"))
+    val expected = src.limit(25).filter($"o_totalprice" > 50000.0)
+      .select($"o_orderkey", $"o_totalprice").as[(Long, Double)].collect().toSet
+    val got = JdbcSource(url, "ORDERS_RT", extra = drv).reader(spark).load()
+      .filter($"o_totalprice" > lit(50000.0))
+      .select($"o_orderkey", $"o_totalprice").as[(Long, Double)].collect().toSet
+    assert(got == expected)
+
+    assertThrows[IllegalArgumentException](
+      JdbcSink.write(src, url, "ORDERS_RT", "upsert", drv))
   }
 
   test("IncrementalSource pushes the watermark filter into the scan") {
