@@ -6,9 +6,12 @@ import org.apache.spark.sql.functions._
 import graft.llm.{Dedup, Similarity}
 
 /** Dedup + similarity query pack: q_dedup_* / q_sim_* + DuckDB
-  * oracles where SQL-expressible. MinHash/SimHash/LSH queries have no
-  * oracle (xxhash64 signatures are engine-specific) — they get the
-  * driver's rows-only check plus planted-duplicate ScalaTest specs.
+  * oracles where SQL-expressible. The general MinHash/SimHash/LSH
+  * queries have no oracle (xxhash64 signatures are engine-specific) —
+  * they get the driver's rows-only check plus planted-duplicate
+  * ScalaTest specs; the *_planted companion queries additionally
+  * oracle-check the same pipelines end-to-end on a doubled corpus
+  * whose expected pair list is SQL-derivable.
   */
 object QueriesLlm {
 
@@ -36,6 +39,40 @@ object QueriesLlm {
 
     "q_dedup_simhash" -> ((s, dir) => {
       Dedup.simhashPairs(t(s, dir, "documents"), "doc_id", "text", maxHamming = 6)
+    }),
+
+    // Planted-duplicate companions: double the corpus with exact copies
+    // (copy id = id + 1,000,000) so the expected pair list IS
+    // SQL-derivable and the oracle hash-checks the signature ->
+    // banding -> candidate-join -> verification pipeline end-to-end.
+    // At threshold 1.0 the LSH output provably equals the set of
+    // identical-shingle-set pairs: equal sets always share every band
+    // (no recall gap) and exact-Jaccard verification admits only
+    // jacc == 1.0, which holds iff the sets are equal.
+    "q_dedup_minhash_planted" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val corpus = d.union(d.withColumn("doc_id", col("doc_id") + lit(1000000L)))
+      Dedup.minhashLsh(corpus, "doc_id", "text",
+        ngramN = 5, numHashes = 32, bands = 8, threshold = 1.0)
+    }),
+
+    // SimHash companion at maxHamming = 0: equal token multisets give
+    // equal signatures, and the single 64-bit band catches every such
+    // pair (complete by construction). The bag-equality join guard
+    // drops coincidental 64-bit collisions between UNEQUAL multisets
+    // (near-dup text can legitimately land at hamming 0), which SQL
+    // cannot predict; a banding/vote bug that loses real pairs still
+    // fails the oracle.
+    "q_dedup_simhash_planted" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val corpus = d.union(d.withColumn("doc_id", col("doc_id") + lit(1000000L)))
+      val bag = corpus.select(col("doc_id"),
+        array_sort(split(trim(lower(col("text"))), "\\s+")).as("__bag"))
+      Dedup.simhashPairs(corpus, "doc_id", "text", maxHamming = 0)
+        .join(bag.select(col("doc_id").as("id_a"), col("__bag").as("__ba")), Seq("id_a"))
+        .join(bag.select(col("doc_id").as("id_b"), col("__bag").as("__bb")), Seq("id_b"))
+        .filter(col("__ba") === col("__bb"))
+        .select("id_a", "id_b", "hamming")
     }),
 
     // multimodal plumbing end-to-end over synthesized blobs (documents'
@@ -173,6 +210,36 @@ object QueriesLlm {
     "q_dedup_exact" ->
       """SELECT md5(text) AS content_hash, COUNT(*) AS n_dups, MIN(doc_id) AS keep_id
         |FROM documents GROUP BY 1""".stripMargin,
+
+    // identical-shingle-set pairs over the doubled corpus; the list
+    // comprehension mirrors wordShingles (5-word grams, trailing
+    // truncated gram for docs under 5 tokens, distinct)
+    "q_dedup_minhash_planted" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000 AS doc_id, text FROM documents),
+        |sh AS (
+        |  SELECT doc_id,
+        |    list_sort(list_distinct([array_to_string(w[i:least(i+4,len(w))], ' ')
+        |      for i in range(1, greatest(len(w)-4, 1)+1)])) AS s
+        |  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
+        |        FROM corpus))
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(1.0 AS DOUBLE) AS jacc
+        |FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id""".stripMargin,
+
+    // equal-token-multiset pairs over the doubled corpus (hamming 0)
+    "q_dedup_simhash_planted" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000 AS doc_id, text FROM documents),
+        |tk AS (
+        |  SELECT doc_id,
+        |    list_sort(regexp_split_to_array(trim(lower(text)), '\s+')) AS s
+        |  FROM corpus)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(0 AS INTEGER) AS hamming
+        |FROM tk a JOIN tk b ON a.s = b.s AND a.doc_id < b.doc_id""".stripMargin,
 
     // windowLen 16, stride 8; partial tail windows excluded on both sides
     "q_dedup_spans" ->
