@@ -275,38 +275,20 @@ object Media {
       n.as("n_bytes")))
   }
 
-  /** Batched feature extraction over partitions: the mapPartitions
-    * shape a real encoder needs (amortize model/codec init once per
-    * partition, process rows in order, emit fixed-width vectors).
-    * STUB features: `dim` deterministic floats from a rolling hash of
-    * the bytes — replace the inner loop with the real encoder call.
+  /** Fixed-width feature vectors per blob, as a native codegen'd
+    * expression ([[graft.plans.MediaFeaturesF]]) — the multimodal path
+    * stays inside whole-stage codegen (no RDD scan node, no Row
+    * boxing), and pruning/pushdown still reach the source. STUB
+    * features: `dim` deterministic floats from a rolling byte hash. A
+    * REAL encoder (model weights, codec init, batched inference) would
+    * instead slot in here as a `mapInPandas`/`mapPartitions` stage
+    * with this same (media_id, features) contract — only this one
+    * stage changes shape; the rest of the pipeline plan is identical.
     */
   def extractFeatures(df: DataFrame, binCol: String, idCol: String,
-                      dim: Int = 16): DataFrame = {
-    val spark = df.sparkSession
-    val outSchema = StructType(Seq(
-      StructField("media_id", LongType, nullable = false),
-      StructField("features", ArrayType(FloatType, containsNull = false), nullable = false)))
-    val rdd = df.select(col(idCol), col(binCol)).rdd.mapPartitions { rows =>
-      // per-partition init happens HERE (codec/model load in real impl)
-      rows.map { r =>
-        val id = r.getLong(0)
-        val bytes = r.getAs[Array[Byte]](1)
-        val feats = new Array[Float](dim)
-        var h = 1125899906842597L
-        var i = 0
-        while (i < bytes.length) { h = 31L * h + bytes(i); i += 1 }
-        var d = 0
-        while (d < dim) {
-          val hd = h ^ (2654435761L * (d + 1))
-          feats(d) = ((hd % 1000L).toFloat) / 1000.0f
-          d += 1
-        }
-        Row(id, feats.toSeq)
-      }
-    }
-    spark.createDataFrame(rdd, outSchema)
-  }
+                      dim: Int = 16): DataFrame =
+    df.select(col(idCol).cast("long").as("media_id"),
+      call_function("graft_media_features", col(binCol), lit(dim)).as("features"))
 
   /** Frame sampling plan for video blobs: emit `n` evenly spaced
     * frame offsets per row (a real impl decodes those frames; the

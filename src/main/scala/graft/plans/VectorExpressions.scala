@@ -169,5 +169,19 @@ class GraftExtensions extends SparkSessionExtensionsProvider {
       new ExpressionInfo(classOf[SortedIntersectCount].getName,
         "graft_sorted_intersect_count"),
       (children: Seq[Expression]) => SortedIntersectCount(children(0), children(1))))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_media_features"),
+      new ExpressionInfo(classOf[MediaFeaturesF].getName, "graft_media_features"),
+      (children: Seq[Expression]) => {
+        // dim is part of the output SCHEMA (array width), so it must be
+        // a compile-time literal, not a runtime column
+        val dim = children(1) match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(i: Int,
+              org.apache.spark.sql.types.IntegerType) => i
+          case other => throw new IllegalArgumentException(
+            s"graft_media_features(bytes, dim): dim must be an int literal, got $other")
+        }
+        MediaFeaturesF(children(0), dim)
+      }))
   }
 }

@@ -393,6 +393,22 @@ class StreamsMediaSpec extends SparkSpec {
     assert(f1(1L) != f1(2L))   // content-sensitive
   }
 
+  test("Media.extractFeatures stays in whole-stage codegen (no RDD scan)") {
+    // parquet-backed (a local Seq constant-folds to LocalTableScan,
+    // which never enters codegen and would vacuously pass/fail)
+    val df = table("documents")
+      .select(col("doc_id"), col("text").cast("binary").as("blob"))
+    val feats = Media.extractFeatures(df, "blob", "doc_id", dim = 4)
+    val plan = feats.queryExecution.executedPlan
+    assert(!plan.toString.contains("ExistingRDD"), plan)
+    assert(plan.collect {
+      case w: org.apache.spark.sql.execution.WholeStageCodegenExec => w
+    }.nonEmpty, plan)
+    // the full multimodal query plan is RDD-free too
+    val q = SparkEntry.queries("q_media")(spark, TestSession.sfDir)
+    assert(!q.queryExecution.executedPlan.toString.contains("ExistingRDD"))
+  }
+
   test("Media.sampleFrames explodes n evenly spaced offsets per video") {
     val df = Seq((1L, "0123456789".getBytes)).toDF("id", "blob")
     val withMeta = Media.withMetadata(df, "blob", "video/mp4")
