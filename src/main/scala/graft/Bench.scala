@@ -34,20 +34,25 @@ object Bench {
     catch { case _: Throwable => () }
 
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
-    val results = names.map { name =>
-      // Isolate each measurement: drop every cached frame / checkpoint
-      // RDD the previous query left behind BEFORE starting the clock.
-      // Without this, accumulated session caches evict + GC-thrash the
-      // later queries and the suite numbers stop reflecting the plans
-      // (r7: 3.66x apparent regression, queries 5-15x faster isolated).
+    // Two timed passes, min per query. Per-query isolation (releaseAll
+    // before the clock starts) keeps accumulated caches/broadcasts from
+    // GC-thrashing later queries (r7: 3.66x apparent regression, gone
+    // in isolation); min-of-2 then absorbs the remaining host noise
+    // (identical back-to-back suites still varied >2x on single
+    // queries — one-shot timings punish whoever runs last).
+    def timedPass(): Map[String, Double] = names.map { name =>
       GraftSession.releaseAll(spark)
       val t0 = System.nanoTime()
       try SparkEntry.queries(name)(spark, sfDir).count()
       catch { case e: Throwable =>
-        errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
+        errors.getOrElseUpdate(name,
+          Option(e.getMessage).getOrElse(e.getClass.getName).take(200))
       }
       name -> (System.nanoTime() - t0) / 1e9
-    }
+    }.toMap
+    val p1 = timedPass()
+    val p2 = timedPass()
+    val results = names.map(n => n -> math.min(p1(n), p2(n)))
     def esc(s: String): String =
       s.flatMap { case '"' => "\\\""; case '\\' => "\\\\"; case c if c < ' ' => " "; case c => c.toString }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")

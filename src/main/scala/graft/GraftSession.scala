@@ -47,5 +47,11 @@ object GraftSession {
     spark.catalog.clearCache()
     spark.sparkContext.getPersistentRDDs.values
       .foreach(_.unpersist(blocking = false))
+    // Broadcasts and shuffle files are reclaimed by ContextCleaner only
+    // after their references are GC'd on the driver; with a large heap
+    // that can lag many queries behind, so cleanup IO lands in the
+    // middle of later work. Forcing a GC at the release boundary keeps
+    // the reclaim there instead.
+    System.gc()
   }
 }
