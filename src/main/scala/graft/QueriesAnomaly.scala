@@ -91,6 +91,20 @@ object QueriesAnomaly {
         .select("vec_id", "label", "lof")
     }),
 
+    // exact-mode companion: planes = 0 is single-bucket all-pairs, so
+    // the full Breunig LOF chain (kNN -> k-dist -> reachability -> lrd
+    // -> ratio) is SQL-derivable and oracle-checked end-to-end. Scores
+    // round at 3 dp here: lrd/lof pass through unrounded double sums
+    // whose last-ulp order sensitivity 6 dp would surface as spurious
+    // cross-engine diffs (the dist/rank math itself is 6 dp exact,
+    // proven by the sim-family oracles).
+    "q_anom_lof_exact" -> ((s, dir) => {
+      graft.quality.Lof.scores(t(s, dir, "embeddings"), "vec_id", "embedding",
+          k = 5, planes = 0)
+        .select(col("vec_id"), col("n_neighbors"),
+          round(col("lrd"), 3).as("lrd3"), round(col("lof"), 3).as("lof3"))
+    }),
+
     // mean-shift changepoint scan — ref anomaly_manager.py:304
     "q_anom_changepoint" -> ((s, dir) => {
       Anomaly.changepoints(ev(s, dir), "value", Seq("user_id"),
@@ -160,6 +174,46 @@ object QueriesAnomaly {
     "ABS(value - s/n) / SQRT(GREATEST(0.0, (s2 - s*s/n) / (n - 1.0)))"
 
   def oracleSql: Map[String, String] = Map(
+
+    // mirrors Lof.scores with planes=0 step for step: cosine distance
+    // rounded at 6 dp, kNN ties on neighbor id, reach = max(kdist_o,
+    // dist), lrd capped at 1e12 on zero reach sums, double-rounded
+    // (6 then 3 dp) exactly as the Spark side emits
+    "q_anom_lof_exact" ->
+      """WITH n AS (
+        |  SELECT vec_id, embedding,
+        |    SQRT(list_dot_product(CAST(embedding AS DOUBLE[]),
+        |                          CAST(embedding AS DOUBLE[]))) AS nrm
+        |  FROM embeddings),
+        |pair AS (
+        |  SELECT a.vec_id AS p, b.vec_id AS o,
+        |    1.0 - (CASE WHEN a.nrm * b.nrm <> 0 THEN
+        |      ROUND(list_dot_product(CAST(a.embedding AS DOUBLE[]),
+        |                             CAST(b.embedding AS DOUBLE[]))
+        |            / (a.nrm * b.nrm), 6) ELSE 0.0 END) AS dist
+        |  FROM n a JOIN n b ON a.vec_id <> b.vec_id),
+        |knn AS (
+        |  SELECT p, o, dist FROM (
+        |    SELECT p, o, dist, ROW_NUMBER() OVER (
+        |      PARTITION BY p ORDER BY dist ASC, o ASC) AS rn FROM pair)
+        |  WHERE rn <= 5),
+        |kdist AS (SELECT p, MAX(dist) AS kdist FROM knn GROUP BY p),
+        |reach AS (
+        |  SELECT k.p, k.o, GREATEST(kd.kdist, k.dist) AS reach
+        |  FROM knn k JOIN kdist kd ON kd.p = k.o),
+        |lrd AS (
+        |  SELECT p, COUNT(*) AS n_neighbors,
+        |    CASE WHEN SUM(reach) > 0.0
+        |         THEN CAST(COUNT(*) AS DOUBLE) / SUM(reach)
+        |         ELSE 1e12 END AS lrd
+        |  FROM reach GROUP BY p),
+        |agg AS (
+        |  SELECT r.p, AVG(l.lrd) AS avg_o
+        |  FROM reach r JOIN lrd l ON l.p = r.o GROUP BY r.p)
+        |SELECT l.p AS vec_id, l.n_neighbors,
+        |  ROUND(ROUND(l.lrd, 6), 3) AS lrd3,
+        |  ROUND(ROUND(CASE WHEN l.lrd > 0.0 THEN a.avg_o / l.lrd END, 6), 3) AS lof3
+        |FROM agg a JOIN lrd l ON l.p = a.p""".stripMargin,
 
     "q_anom_zscore" ->
       s"""WITH s AS (SELECT ${Det.sqlMeanAt("value", 6)} AS m,

@@ -177,6 +177,44 @@ object QueriesLlm {
       val queries = e.filter(col("vec_id") < 10)
         .select(col("vec_id").as("query_id"), col("embedding"))
       Similarity.quantizedTopK(e, queries, "vec_id", "query_id", "embedding", k = 5)
+    }),
+
+    // Exhaustive-mode companions: the approximate indexes run with
+    // parameters that make the candidate set the WHOLE corpus, so the
+    // output must equal exact brute-force top-k — which IS
+    // SQL-expressible. This oracle-checks the full machinery (cell
+    // assignment/probing/bucket joins/ranking for IVF; quantize →
+    // candidate gen → float re-rank for int8) end-to-end; the
+    // approximate operating points keep their recall specs.
+    "q_sim_lsh_full" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val queries = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("query_id"), col("embedding"))
+      // planes = 0: one bucket, every pair is a candidate
+      Similarity.lshTopK(e, queries, "vec_id", "query_id", "embedding",
+        k = 5, planes = 0)
+    }),
+
+    "q_sim_ivf_full" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val queries = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("query_id"), col("embedding"))
+      val index = graft.llm.Ivf.buildIndex(e, "vec_id", "embedding",
+        nlist = 8, iters = 2).persist()
+      val cents = graft.llm.Ivf.centroids(index, "embedding")
+      // nprobe = nlist: every query scans every cell
+      graft.llm.Ivf.topK(index, queries, "vec_id", "query_id", "embedding",
+        k = 5, nprobe = 8, cellCentroids = Some(cents))
+    }),
+
+    "q_sim_quantized_full" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val queries = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("query_id"), col("embedding"))
+      // k x rerankFactor >= corpus size at every test SF: all non-self
+      // rows survive candidate generation, so the float re-rank is exact
+      Similarity.quantizedTopK(e, queries, "vec_id", "query_id", "embedding",
+        k = 5, rerankFactor = 400)
     })
   )
 
@@ -276,6 +314,34 @@ object QueriesLlm {
          |WHERE ROUND($dcos, 6) >= 0.4""".stripMargin,
 
     "q_sim_topk" ->
+      s"""WITH p AS (
+         |  SELECT b.vec_id AS query_id, a.vec_id AS neighbor_id, ROUND($dcos, 6) AS sim
+         |  FROM embeddings a JOIN embeddings b ON b.vec_id < 10 AND a.vec_id <> b.vec_id),
+         |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+         |        ORDER BY sim DESC, neighbor_id ASC) AS rnk FROM p)
+         |SELECT query_id, neighbor_id, sim, CAST(rnk AS BIGINT) AS rnk
+         |FROM r WHERE rnk <= 5""".stripMargin,
+
+    // exhaustive-mode ANN == exact brute force, same oracle as q_sim_topk
+    "q_sim_lsh_full" ->
+      s"""WITH p AS (
+         |  SELECT b.vec_id AS query_id, a.vec_id AS neighbor_id, ROUND($dcos, 6) AS sim
+         |  FROM embeddings a JOIN embeddings b ON b.vec_id < 10 AND a.vec_id <> b.vec_id),
+         |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+         |        ORDER BY sim DESC, neighbor_id ASC) AS rnk FROM p)
+         |SELECT query_id, neighbor_id, sim, CAST(rnk AS BIGINT) AS rnk
+         |FROM r WHERE rnk <= 5""".stripMargin,
+
+    "q_sim_ivf_full" ->
+      s"""WITH p AS (
+         |  SELECT b.vec_id AS query_id, a.vec_id AS neighbor_id, ROUND($dcos, 6) AS sim
+         |  FROM embeddings a JOIN embeddings b ON b.vec_id < 10 AND a.vec_id <> b.vec_id),
+         |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+         |        ORDER BY sim DESC, neighbor_id ASC) AS rnk FROM p)
+         |SELECT query_id, neighbor_id, sim, CAST(rnk AS BIGINT) AS rnk
+         |FROM r WHERE rnk <= 5""".stripMargin,
+
+    "q_sim_quantized_full" ->
       s"""WITH p AS (
          |  SELECT b.vec_id AS query_id, a.vec_id AS neighbor_id, ROUND($dcos, 6) AS sim
          |  FROM embeddings a JOIN embeddings b ON b.vec_id < 10 AND a.vec_id <> b.vec_id),

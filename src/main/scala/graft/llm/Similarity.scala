@@ -77,8 +77,11 @@ object Similarity {
   /** Deterministic random-hyperplane bucket id over `planes` bits.
     * Plane weights are ±1 derived from xxhash64(plane, dim) — no RNG,
     * so signatures reproduce across runs/engines/partitions.
+    * `planes <= 0` is the degenerate single bucket (exact mode: every
+    * pair is a candidate) — same contract as [[graft.quality.Lof]].
     */
   def hyperplaneBucket(vec: Column, planes: Int): Column = {
+    if (planes <= 0) return lit(0L)
     val bits = (0 until planes).map { p =>
       val proj = aggregate(
         zip_with(vec, sequence(lit(0), size(vec) - 1), (x, d) =>
