@@ -629,7 +629,17 @@ object Dedup {
     // blocks live in executor-local storage WITHOUT lineage, so losing
     // an executor mid-run fails the job (rerun it) — on preemptible
     // clusters switch to reliable `checkpoint` with a checkpoint dir.
-    // Superseded rounds are dropped by the context cleaner.
+    // Superseded rounds are released as soon as the convergence probe
+    // has consumed them — peak checkpoint storage is 2 label frames,
+    // not maxIters of them (only the final frame outlives the call;
+    // its blocks belong to the returned plan and follow the session
+    // release contract, GraftSession.releaseAll).
+    def dropCheckpoint(df: DataFrame): Unit =
+      df.queryExecution.analyzed match {
+        case l: org.apache.spark.sql.execution.LogicalRDD =>
+          l.rdd.unpersist(blocking = false)
+        case _ => ()
+      }
     val und = edges.select(col(srcCol).as("__u"), col(dstCol).as("__v"))
       .union(edges.select(col(dstCol).as("__u"), col(srcCol).as("__v")))
     var labels = und.select(col("__u").as("node")).distinct()
@@ -648,6 +658,7 @@ object Dedup {
         .join(labels.withColumnRenamed("component", "__old"), Seq("node"))
         .filter(col("component") =!= col("__old"))
         .isEmpty
+      dropCheckpoint(labels)
       labels = next
       i += 1
     }

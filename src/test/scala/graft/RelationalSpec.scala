@@ -190,6 +190,20 @@ class RelationalSpec extends SparkSpec {
     assert(r.length == 13 && r.forall(_._2 == 0L))
   }
 
+  test("componentLabels releases superseded checkpoint rounds eagerly") {
+    GraftSession.releaseAll(spark)
+    // 12-hop path: many min-label iterations, so a leak would show as
+    // one live checkpoint RDD per round instead of just the final frame
+    val edges = (0 until 12).map(i => (i.toLong, i + 1L)).toDF("s", "d")
+    val r = graft.llm.Dedup.componentLabels(edges, "s", "d")
+    r.count()
+    assert(spark.sparkContext.getPersistentRDDs.size <= 1,
+      s"leaked checkpoints: ${spark.sparkContext.getPersistentRDDs.size}")
+    // the surviving frame is the returned one, still fully usable
+    assert(r.as[(Long, Long)].collect().forall(_._2 == 0L))
+    GraftSession.releaseAll(spark)
+  }
+
   test("componentLabels refuses to return an unconverged labelling") {
     val edges = (0 until 6).map(i => (i.toLong, i + 1L)).toDF("s", "d")
     val e = intercept[IllegalStateException](
