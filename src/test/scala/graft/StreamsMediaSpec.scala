@@ -393,6 +393,24 @@ class StreamsMediaSpec extends SparkSpec {
     assert(f1(1L) != f1(2L))   // content-sensitive
   }
 
+  test("MediaFeaturesF codegen output matches the reference math") {
+    // the expected vector is computed HERE with plain Scala — if
+    // doGenCode's Java ever drifts from the declared rolling-hash
+    // math (sign handling, overflow wrap, lane mixing), this catches it
+    def expected(bytes: Array[Byte], dim: Int): Seq[Float] = {
+      var h = 1125899906842597L
+      bytes.foreach(b => h = 31L * h + b)
+      (1 to dim).map(d => ((h ^ (2654435761L * d)) % 1000L).toFloat / 1000.0f)
+    }
+    val blobs = Seq(
+      1L -> "aaa".getBytes("UTF-8"),
+      2L -> Array[Byte](-128, -1, 0, 1, 127), // negative bytes: sign matters
+      3L -> Array.emptyByteArray)
+    val got = Media.extractFeatures(blobs.toDF("id", "blob"), "blob", "id", dim = 8)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    blobs.foreach { case (id, b) => assert(got(id) == expected(b, 8), s"id=$id") }
+  }
+
   test("Media.extractFeatures stays in whole-stage codegen (no RDD scan)") {
     // parquet-backed (a local Seq constant-folds to LocalTableScan,
     // which never enters codegen and would vacuously pass/fail)
