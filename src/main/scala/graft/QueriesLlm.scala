@@ -211,10 +211,15 @@ object QueriesLlm {
       val e = t(s, dir, "embeddings")
       val queries = e.filter(col("vec_id") < 10)
         .select(col("vec_id").as("query_id"), col("embedding"))
-      // k x rerankFactor >= corpus size at every test SF: all non-self
-      // rows survive candidate generation, so the float re-rank is exact
+      // exactness requires k x rerankFactor >= corpus size (all
+      // non-self rows survive candidate generation, so the float
+      // re-rank is exact) — derive it from the actual row count so a
+      // bigger regenerated corpus can't silently turn this companion
+      // approximate and fail the oracle with confusing rank diffs
+      val k = 5
+      val rerank = (e.count() / k + 1).toInt
       Similarity.quantizedTopK(e, queries, "vec_id", "query_id", "embedding",
-        k = 5, rerankFactor = 400)
+        k = k, rerankFactor = rerank)
     })
   )
 

@@ -173,6 +173,8 @@ class GraftExtensions extends SparkSessionExtensionsProvider {
       new FunctionIdentifier("graft_media_features"),
       new ExpressionInfo(classOf[MediaFeaturesF].getName, "graft_media_features"),
       (children: Seq[Expression]) => {
+        require(children.length == 2,
+          s"graft_media_features(bytes, dim) takes 2 args, got ${children.length}")
         // dim is part of the output SCHEMA (array width), so it must be
         // a compile-time literal, not a runtime column
         val dim = children(1) match {

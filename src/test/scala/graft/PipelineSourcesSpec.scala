@@ -225,15 +225,19 @@ class PipelineSourcesSpec extends SparkSpec {
     // the ranged read really splits into parallel range queries
     assert(back.rdd.getNumPartitions == 4)
 
-    // truncate_and_load keeps the table but replaces the rows
-    JdbcSink.write(src.limit(25), url, "ORDERS_RT", "truncate_and_load", drv)
+    // truncate_and_load keeps the table but replaces the rows. The
+    // subset is pinned with orderBy: a bare LIMIT without ORDER BY may
+    // pick different rows across actions once the scan splits into
+    // multiple partitions, and the expected-set below re-evaluates it.
+    val sub = src.orderBy($"o_orderkey").limit(25)
+    JdbcSink.write(sub, url, "ORDERS_RT", "truncate_and_load", drv)
     assert(JdbcSource(url, "ORDERS_RT", extra = drv).reader(spark).load().count() == 25)
 
     // Catalyst filter compiles into the JDBC WHERE clause, and values
     // survive the round-trip intact
     val f = back.filter($"o_totalprice" > lit(50000.0))
     assert(f.queryExecution.executedPlan.toString.contains("PushedFilters:"))
-    val expected = src.limit(25).filter($"o_totalprice" > 50000.0)
+    val expected = sub.filter($"o_totalprice" > 50000.0)
       .select($"o_orderkey", $"o_totalprice").as[(Long, Double)].collect().toSet
     val got = JdbcSource(url, "ORDERS_RT", extra = drv).reader(spark).load()
       .filter($"o_totalprice" > lit(50000.0))
