@@ -183,6 +183,17 @@ object QueriesDQ {
     "q_dq_quantiles_approx" -> ((s, dir) => {
       DQ.quantileProfile(t(s, dir, "lineitem"),
         Seq("l_quantity", "l_extendedprice"), approx = true)
+    }),
+
+    // exact-mode oracle companion for the GK sketch: with accuracy >= n
+    // the rank error n/accuracy drops below one position, so the sketch
+    // returns the exact discrete quantile element and DuckDB's
+    // quantile_disc is a bit-for-bit oracle (gate SFs have n <= 6e5;
+    // production runs keep the default accuracy and the spec bound)
+    "q_dq_quantiles_approx_exact" -> ((s, dir) => {
+      DQ.quantileProfile(t(s, dir, "lineitem"),
+        Seq("l_quantity", "l_extendedprice"), approx = true,
+        accuracy = 10000000)
     })
   )
 
@@ -508,6 +519,17 @@ object QueriesDQ {
            |CAST(quantile_cont($c, 0.50) AS DOUBLE) AS p50,
            |CAST(quantile_cont($c, 0.75) AS DOUBLE) AS p75,
            |CAST(quantile_cont($c, 0.95) AS DOUBLE) AS p95
+           |FROM lineitem""".stripMargin
+      side("l_quantity") + "\nUNION ALL\n" + side("l_extendedprice")
+    },
+
+    "q_dq_quantiles_approx_exact" -> {
+      def side(c: String) =
+        s"""SELECT '$c' AS colname,
+           |CAST(quantile_disc($c, 0.25) AS DOUBLE) AS p25,
+           |CAST(quantile_disc($c, 0.50) AS DOUBLE) AS p50,
+           |CAST(quantile_disc($c, 0.75) AS DOUBLE) AS p75,
+           |CAST(quantile_disc($c, 0.95) AS DOUBLE) AS p95
            |FROM lineitem""".stripMargin
       side("l_quantity") + "\nUNION ALL\n" + side("l_extendedprice")
     },

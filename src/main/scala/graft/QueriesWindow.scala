@@ -47,6 +47,37 @@ object QueriesWindow {
       Ops.tumblingAgg(t(s, dir, "events"), "ts", "1 hour", Seq("event_type"),
         Seq(count(lit(1)).as("n"), Det.sumAt(col("value"), 6).as("sum_val")))
         .select("bucket_start", "event_type", "n", "sum_val")
+    }),
+
+    // end-to-end Structured Streaming, oracle-checked: the events table
+    // replayed through a parquet file SOURCE -> watermark -> tumbling
+    // window agg -> memory SINK, then the drained sink is compared to
+    // the same SQL the batch q_window_tumbling answers. Complete mode
+    // because a bounded replay's last window never passes the watermark
+    // (production uses Append + a durable sink; the plan is identical).
+    // The memory sink is gate-mode only — it collects to the driver.
+    "q_stream_tumbling" -> ((s, dir) => {
+      val batchSchema = s.read.parquet(s"$dir/events.parquet").schema
+      // the file source needs a DIRECTORY to watch; glob-filter it down
+      // to the events table so sibling tables don't enter the stream
+      val raw = graft.streaming.Streams.fileStream(s, "parquet", dir, batchSchema,
+        Map("pathGlobFilter" -> "events.parquet"))
+      val events =
+        if (batchSchema("ts").dataType == org.apache.spark.sql.types.LongType)
+          raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+        else raw
+      val agg = graft.streaming.Streams
+        .windowedAgg(events, "ts", "10 minutes", "1 hour", None,
+          Seq("event_type"),
+          Seq(count(lit(1)).as("n"), Det.sumAt(col("value"), 6).as("sum_val")))
+        .select(col("window.start").as("bucket_start"), col("event_type"),
+          col("n"), col("sum_val"))
+      val sink = "q_stream_tumbling_sink"
+      s.catalog.dropTempView(sink)
+      val q = graft.streaming.Streams.startMemorySink(agg, sink,
+        org.apache.spark.sql.streaming.OutputMode.Complete())
+      try q.processAllAvailable() finally q.stop()
+      s.table(sink)
     })
   )
 
@@ -80,6 +111,14 @@ object QueriesWindow {
          |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)""".stripMargin,
 
     "q_window_tumbling" ->
+      s"""SELECT time_bucket(INTERVAL '1 hour', ts) AS bucket_start, event_type,
+         |COUNT(*) AS n, ${Det.sqlSumAt("value", 6)} AS sum_val
+         |FROM events GROUP BY 1, 2""".stripMargin,
+
+    // same answer as the batch tumbling agg — the point: the streaming
+    // plan (source -> watermark -> window -> sink) is oracle-green, not
+    // just spec-bounded
+    "q_stream_tumbling" ->
       s"""SELECT time_bucket(INTERVAL '1 hour', ts) AS bucket_start, event_type,
          |COUNT(*) AS n, ${Det.sqlSumAt("value", 6)} AS sum_val
          |FROM events GROUP BY 1, 2""".stripMargin

@@ -62,6 +62,17 @@ class StreamsMediaSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("registered q_stream_tumbling (file source -> memory sink) matches q_window_tumbling") {
+    val streamed = SparkEntry.queries("q_stream_tumbling")(spark, TestSession.sfDir)
+      .select("bucket_start", "event_type", "n", "sum_val").collect()
+      .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSet
+    val batch = SparkEntry.queries("q_window_tumbling")(spark, TestSession.sfDir)
+      .select("bucket_start", "event_type", "n", "sum_val").collect()
+      .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(streamed == batch, s"file-source streaming diverged from batch: " +
+      s"extra=${(streamed -- batch).take(3)} missing=${(batch -- streamed).take(3)}")
+  }
+
   test("streaming session_window sessions match batch Ops.sessionize on real events") {
     implicit val sqlCtx = spark.sqlContext
     import graft.functions.Det
