@@ -52,34 +52,59 @@ object QueriesWindow {
     // end-to-end Structured Streaming, oracle-checked: the events table
     // replayed through a parquet file SOURCE -> watermark -> tumbling
     // window agg -> memory SINK, then the drained sink is compared to
-    // the same SQL the batch q_window_tumbling answers. Complete mode
-    // because a bounded replay's last window never passes the watermark
-    // (production uses Append + a durable sink; the plan is identical).
-    // The memory sink is gate-mode only — it collects to the driver.
+    // the same SQL the batch q_window_tumbling answers.
     "q_stream_tumbling" -> ((s, dir) => {
-      val batchSchema = s.read.parquet(s"$dir/events.parquet").schema
-      // the file source needs a DIRECTORY to watch; glob-filter it down
-      // to the events table so sibling tables don't enter the stream
-      val raw = graft.streaming.Streams.fileStream(s, "parquet", dir, batchSchema,
-        Map("pathGlobFilter" -> "events.parquet"))
-      val events =
-        if (batchSchema("ts").dataType == org.apache.spark.sql.types.LongType)
-          raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-        else raw
       val agg = graft.streaming.Streams
-        .windowedAgg(events, "ts", "10 minutes", "1 hour", None,
+        .windowedAgg(eventsStream(s, dir), "ts", "10 minutes", "1 hour", None,
           Seq("event_type"),
           Seq(count(lit(1)).as("n"), Det.sumAt(col("value"), 6).as("sum_val")))
         .select(col("window.start").as("bucket_start"), col("event_type"),
           col("n"), col("sum_val"))
-      val sink = "q_stream_tumbling_sink"
-      s.catalog.dropTempView(sink)
-      val q = graft.streaming.Streams.startMemorySink(agg, sink,
-        org.apache.spark.sql.streaming.OutputMode.Complete())
-      try q.processAllAvailable() finally q.stop()
-      s.table(sink)
+      drainToTable(s, agg, "q_stream_tumbling_sink")
+    }),
+
+    // streaming gap-sessionization, oracle-checked: session_window
+    // merges events within the 30-minute gap exactly like the batch
+    // islands logic (touching sessions MERGE — a new session needs
+    // gap STRICTLY exceeded, matching q_sessionize's `> 1800s`).
+    "q_stream_sessionize" -> ((s, dir) => {
+      val agg = graft.streaming.Streams
+        .sessionWindowAgg(eventsStream(s, dir), "ts", "1 hour", "30 minutes",
+          Seq("user_id"),
+          Seq(count(lit(1)).as("n_events"), Det.sumAt(col("value"), 6).as("sum_val")))
+        .select(col("user_id"), col("session_start"),
+          col("n_events"), col("sum_val"))
+      drainToTable(s, agg, "q_stream_sessionize_sink")
     })
   )
+
+  /** The events table replayed as a parquet file stream. The file
+    * source needs a DIRECTORY to watch; glob-filter it down to the
+    * events table so sibling tables don't enter the stream. Raw-nanos
+    * `ts` is normalized to micros exactly as Tables.load does.
+    */
+  private def eventsStream(s: SparkSession, dir: String): DataFrame = {
+    val batchSchema = s.read.parquet(s"$dir/events.parquet").schema
+    val raw = graft.streaming.Streams.fileStream(s, "parquet", dir, batchSchema,
+      Map("pathGlobFilter" -> "events.parquet"))
+    if (batchSchema("ts").dataType == org.apache.spark.sql.types.LongType)
+      raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    else raw
+  }
+
+  /** Run a bounded streaming agg to completion into a memory sink and
+    * return the drained table. Complete mode because a bounded
+    * replay's last window never passes the watermark (production uses
+    * Append + a durable sink; the plan is identical). The memory sink
+    * is gate-mode only — it collects to the driver.
+    */
+  private def drainToTable(s: SparkSession, agg: DataFrame, sink: String): DataFrame = {
+    s.catalog.dropTempView(sink)
+    val q = graft.streaming.Streams.startMemorySink(agg, sink,
+      org.apache.spark.sql.streaming.OutputMode.Complete())
+    try q.processAllAvailable() finally q.stop()
+    s.table(sink)
+  }
 
   def oracleSql: Map[String, String] = Map(
 
@@ -121,6 +146,25 @@ object QueriesWindow {
     "q_stream_tumbling" ->
       s"""SELECT time_bucket(INTERVAL '1 hour', ts) AS bucket_start, event_type,
          |COUNT(*) AS n, ${Det.sqlSumAt("value", 6)} AS sum_val
-         |FROM events GROUP BY 1, 2""".stripMargin
+         |FROM events GROUP BY 1, 2""".stripMargin,
+
+    // the q_sessionize islands logic, aggregated to the session grain
+    // the streaming session_window emits (session_start = first event
+    // ts, micro-truncated to match Spark's timestamp precision)
+    "q_stream_sessionize" ->
+      s"""WITH x AS (
+         |  SELECT user_id, event_id, value, ts,
+         |    CASE WHEN LAG(ts) OVER w IS NULL
+         |           OR epoch_us(ts) - epoch_us(LAG(ts) OVER w) > 1800000000
+         |         THEN 1 ELSE 0 END AS new_s
+         |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+         |s AS (
+         |  SELECT user_id, value, ts,
+         |    SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+         |  FROM x)
+         |SELECT user_id, date_trunc('microseconds', MIN(ts)) AS session_start,
+         |COUNT(*) AS n_events, ${Det.sqlSumAt("value", 6)} AS sum_val
+         |FROM s GROUP BY user_id, sid""".stripMargin
   )
 }
