@@ -44,10 +44,17 @@ object Dedup {
       sequence(lit(1), greatest(lit(1), length(c) - lit(k - 1))),
       i => c.substr(i, lit(k))))
 
-  /** Distinct word n-grams (tokens joined by single spaces).
-    *
-    * Built from zip_with over n-1 SHIFTED SLICES of the token array,
-    * not a transform whose lambda slices the tokens per position: HOF
+  /** Distinct word n-grams (tokens joined by single spaces) — the
+    * native codegen kernel ([[graft.plans.ShingleKernel]]): one JVM
+    * loop per row instead of an interpreted zip_with chain. Bit-for-bit
+    * parity with [[wordShinglesHof]] is spec-enforced.
+    */
+  def wordShingles(c: Column, n: Int = 3): Column =
+    graft.plans.TextExpressions.wordShingles(c, n)
+
+  /** The declarative HOF formulation (parity reference for the native
+    * kernel): zip_with over n-1 SHIFTED SLICES of the token array,
+    * not a transform whose lambda slices the tokens per position — HOF
     * lambdas run interpreted and re-evaluate captured subtrees PER
     * ELEMENT, so the lambda-slice form re-runs `split` once per shingle
     * position (~|tokens| splits per row — measured as the dominant cost
@@ -56,7 +63,7 @@ object Dedup {
     * null padding zip_with adds past the shorter side, which reproduces
     * array_join-over-short-slice semantics for docs with < n tokens.
     */
-  def wordShingles(c: Column, n: Int = 3): Column = {
+  private[graft] def wordShinglesHof(c: Column, n: Int = 3): Column = {
     val toks = split(trim(c), "\\s+")
     if (n == 1) array_distinct(toks)
     else {
@@ -156,7 +163,7 @@ object Dedup {
     // behind it (pair volume >> input volume, invisible to AQE's
     // size-based coalescing).
     val sh = df.select(col(idCol) +: blockCols.map(col) :+
-        array_sort(transform(wordShingles(col(textCol), n), s => xxhash64(s))).as("__sh"): _*)
+        graft.plans.TextExpressions.wordShingleHashes(col(textCol), n).as("__sh"): _*)
       .repartition(shufflePartitions(df), blockCols.map(col): _*)
     val a = sh.select(blockCols.map(col) ++
       Seq(col(idCol).as("id_a"), col("__sh").as("__sha")): _*)
@@ -211,7 +218,7 @@ object Dedup {
       if (blockCols.isEmpty) df
       else df.filter(blockCols.map(col(_).isNotNull).reduce(_ && _))
     val sh = nonNullBlocks.select(col(idCol) +: blockCols.map(col) :+
-        array_sort(transform(wordShingles(col(textCol), n), s => xxhash64(s))).as("__sh"): _*)
+        graft.plans.TextExpressions.wordShingleHashes(col(textCol), n).as("__sh"): _*)
       .repartition(shufflePartitions(df), col(idCol)) // barrier + verify-join key; explicit count (see ngramJaccardPairsBlocked)
     // 1e-9 slack before ceil keeps candidate generation conservative at
     // exact integer boundaries (jaccVerify, with the same slack, stays

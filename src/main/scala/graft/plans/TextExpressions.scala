@@ -1,0 +1,128 @@
+package graft.plans
+
+import java.util.Arrays
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XXH64}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native word-shingling kernel for the dedup hot path.
+  *
+  * [[graft.llm.Dedup.wordShinglesHof]] builds word n-grams from a
+  * zip_with chain over shifted token slices — the best declarative
+  * shape, but higher-order functions run INTERPRETED (each element
+  * walks a lambda expression tree), and on a 5-gram build that is
+  * n-1 zip_with passes per row before the per-element xxhash64
+  * transform the LSH/PPJoin callers add on top. This kernel runs the
+  * whole tokenize → n-gram → distinct (→ hash → sort) pipeline as one
+  * tight JVM loop inside whole-stage codegen.
+  *
+  * Parity contract (spec-enforced bit-for-bit against the HOF form):
+  *  - tokens = trim(text) split on `\s+` (same UTF8String.split the
+  *    built-in StringSplit uses, so locale/regex semantics match);
+  *  - docs with fewer than n tokens yield ONE shingle joining all
+  *    tokens (concat_ws skips zip_with's null padding — empty text
+  *    yields [""], matching split's single empty token);
+  *  - distinct keeps FIRST occurrence order;
+  *  - hashes are Spark xxhash64 (XXH64, seed 42) of each shingle,
+  *    sorted ascending (signed), duplicates from hash collisions kept.
+  */
+object ShingleKernel {
+  private val WhitespaceRe = UTF8String.fromString("\\s+")
+  private val Space = UTF8String.fromString(" ")
+  private val Xxhash64DefaultSeed = 42L
+
+  private def grams(s: UTF8String, n: Int): Array[UTF8String] = {
+    val toks = s.trim().split(WhitespaceRe, -1)
+    val out =
+      if (n == 1) toks
+      else if (toks.length < n) Array(UTF8String.concatWs(Space, toks: _*))
+      else Array.tabulate(toks.length - n + 1) { i =>
+        UTF8String.concatWs(Space, toks.slice(i, i + n): _*)
+      }
+    if (out.length <= 1) return out
+    // distinct, first occurrence wins (array_distinct semantics)
+    val seen = new java.util.LinkedHashSet[UTF8String](out.length * 2)
+    out.foreach(seen.add)
+    seen.toArray(new Array[UTF8String](seen.size))
+  }
+
+  def wordShingles(s: UTF8String, n: Int): ArrayData =
+    new GenericArrayData(grams(s, n).asInstanceOf[Array[Any]])
+
+  def wordShingleHashes(s: UTF8String, n: Int): ArrayData = {
+    val gs = grams(s, n)
+    val hs = new Array[Long](gs.length)
+    var i = 0
+    while (i < gs.length) {
+      val g = gs(i)
+      hs(i) = XXH64.hashUnsafeBytes(
+        g.getBaseObject, g.getBaseOffset, g.numBytes, Xxhash64DefaultSeed)
+      i += 1
+    }
+    Arrays.sort(hs)
+    new GenericArrayData(hs)
+  }
+}
+
+private[plans] sealed trait ShingleExpression extends UnaryExpression {
+  def n: Int
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) {
+      if (n >= 1) TypeCheckResult.TypeCheckSuccess
+      else TypeCheckResult.TypeCheckFailure(s"$prettyName needs n >= 1, got $n")
+    } else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName needs a string argument, got ${child.dataType.simpleString}")
+}
+
+/** `graft_word_shingles(text, n)` — array<string> of distinct word
+  * n-grams; drop-in for the HOF [[graft.llm.Dedup.wordShinglesHof]].
+  */
+case class WordShinglesF(child: Expression, n: Int) extends ShingleExpression {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override protected def nullSafeEval(input: Any): Any =
+    ShingleKernel.wordShingles(input.asInstanceOf[UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.plans.ShingleKernel.wordShingles($c, $n)")
+
+  override protected def withNewChildInternal(newChild: Expression): WordShinglesF =
+    copy(child = newChild)
+
+  override def prettyName: String = "graft_word_shingles"
+}
+
+/** `graft_word_shingle_hashes(text, n)` — the fused form of
+  * `array_sort(transform(shingles, xxhash64))`: sorted-ascending
+  * xxhash64 values of the distinct word n-grams, ready for the
+  * sorted-merge intersection of the PPJoin verification tail.
+  */
+case class WordShingleHashesF(child: Expression, n: Int) extends ShingleExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override protected def nullSafeEval(input: Any): Any =
+    ShingleKernel.wordShingleHashes(input.asInstanceOf[UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.plans.ShingleKernel.wordShingleHashes($c, $n)")
+
+  override protected def withNewChildInternal(newChild: Expression): WordShingleHashesF =
+    copy(child = newChild)
+
+  override def prettyName: String = "graft_word_shingle_hashes"
+}
+
+object TextExpressions {
+  def wordShingles(text: Column, n: Int): Column =
+    org.apache.spark.sql.functions.call_function(
+      "graft_word_shingles", text, org.apache.spark.sql.functions.lit(n))
+
+  def wordShingleHashes(text: Column, n: Int): Column =
+    org.apache.spark.sql.functions.call_function(
+      "graft_word_shingle_hashes", text, org.apache.spark.sql.functions.lit(n))
+}

@@ -185,5 +185,22 @@ class GraftExtensions extends SparkSessionExtensionsProvider {
         }
         MediaFeaturesF(children(0), dim)
       }))
+    def intLit(e: Expression, fn: String): Int = e match {
+      case org.apache.spark.sql.catalyst.expressions.Literal(i: Int,
+          org.apache.spark.sql.types.IntegerType) => i
+      case other => throw new IllegalArgumentException(
+        s"$fn(text, n): n must be an int literal, got $other")
+    }
+    ext.injectFunction((
+      new FunctionIdentifier("graft_word_shingles"),
+      new ExpressionInfo(classOf[WordShinglesF].getName, "graft_word_shingles"),
+      (children: Seq[Expression]) =>
+        WordShinglesF(children(0), intLit(children(1), "graft_word_shingles"))))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_word_shingle_hashes"),
+      new ExpressionInfo(classOf[WordShingleHashesF].getName,
+        "graft_word_shingle_hashes"),
+      (children: Seq[Expression]) =>
+        WordShingleHashesF(children(0), intLit(children(1), "graft_word_shingle_hashes"))))
   }
 }

@@ -6,6 +6,26 @@ import graft.llm.{Dedup, Similarity, Text}
 class TextDedupSpec extends SparkSpec {
   import spark.implicits._
 
+  test("native word shingles match the HOF formulation bit-for-bit") {
+    val edge = Seq("", " ", "a", "a b", "one two three four five six",
+      "a a a a a a", "tabs\tand\nnewlines  mixed   spaces",
+      "  leading and trailing  ", null.asInstanceOf[String]).toDF("text")
+    val corpus = table("documents").select(col("text")).unionAll(edge)
+    for (n <- Seq(1, 3, 5)) {
+      val r = corpus.select(
+        Dedup.wordShingles(col("text"), n).as("nat"),
+        Dedup.wordShinglesHof(col("text"), n).as("hof"),
+        graft.plans.TextExpressions.wordShingleHashes(col("text"), n).as("nath"),
+        array_sort(transform(Dedup.wordShinglesHof(col("text"), n),
+          s => xxhash64(s))).as("hofh"))
+        .as[(Seq[String], Seq[String], Seq[Long], Seq[Long])].collect()
+      r.zipWithIndex.foreach { case ((nat, hof, nath, hofh), i) =>
+        assert(nat == hof, s"n=$n row $i: shingles $nat != $hof")
+        assert(nath == hofh, s"n=$n row $i: hashes $nath != $hofh")
+      }
+    }
+  }
+
   test("tokenCount / bpeishTokenCount on known strings") {
     val df = Seq("hello  world", "a,b c!", "").toDF("t")
     val r = df.select(Text.tokenCount(col("t")), Text.bpeishTokenCount(col("t")))
