@@ -152,28 +152,35 @@ object Search {
 
   /** Per-(doc, n-gram) occurrence counts — the shared building block
     * for [[ngramTop]] and per-document repetition stats. N-grams are
-    * built map-side from the token array with one higher-order
-    * transform (no self-join), then counted in one hash agg.
+    * built map-side by the native [[graft.plans.ArrayNgramsF]] kernel
+    * (one JVM loop per row; spec-checked bit-for-bit against
+    * [[ngramsHof]]), then counted in one hash agg.
     * Output: (idCol, ngram space-joined, cnt).
     */
   def ngramCounts(df: DataFrame, idCol: String, textCol: String,
                   n: Int): DataFrame = {
     require(n >= 1, s"n must be >= 1, got $n")
-    // bind the token array to a column first: element_at inside the
-    // transform lambda otherwise re-evaluates the regexp tokenizer for
-    // every one of the ~n_tokens x n accesses (the round-4 jaccard
-    // pathology — 5x+ on real corpora)
-    val toks = col("__toks")
+    df.select(col(idCol),
+        explode(graft.plans.TextExpressions.arrayNgrams(tokens(col(textCol)), n))
+          .as("ngram"))
+      .groupBy(col(idCol), col("ngram"))
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** The declarative HOF gram build (parity reference for the native
+    * kernel). The token array must be BOUND to a column first:
+    * element_at inside the transform lambda otherwise re-evaluates the
+    * regexp tokenizer for every one of the ~n_tokens x n accesses (the
+    * round-4 jaccard pathology — 5x+ on real corpora); callers select
+    * `tokens(text).as(toksCol)` in a prior projection.
+    */
+  private[graft] def ngramsHof(toks: Column, n: Int): Column = {
     val upper = size(toks) - lit(n - 1)
     // sequence(1, 0) would generate DESCENDING [1, 0] — guard to empty
-    val grams = when(upper >= 1, transform(
+    when(upper >= 1, transform(
       sequence(lit(1), upper),
       i => concat_ws(" ", (0 until n).map(j => element_at(toks, i + lit(j))): _*)))
       .otherwise(array().cast("array<string>"))
-    df.select(col(idCol), tokens(col(textCol)).as("__toks"))
-      .select(col(idCol), explode(grams).as("ngram"))
-      .groupBy(col(idCol), col("ngram"))
-      .agg(count(lit(1)).as("cnt"))
   }
 
   /** Top-`k` word n-grams by total occurrences (corpus repetition /

@@ -54,6 +54,32 @@ object ShingleKernel {
   def wordShingles(s: UTF8String, n: Int): ArrayData =
     new GenericArrayData(grams(s, n).asInstanceOf[Array[Any]])
 
+  /** All n-grams of a pre-tokenized array: duplicates kept, EMPTY when
+    * the document has fewer than n tokens (see [[ArrayNgramsF]]).
+    * Null elements (possible in arbitrary caller arrays, not produced
+    * by the tokenizer) are skipped by concatWs, matching the HOF form.
+    */
+  private val EmptyArray = new GenericArrayData(Array.empty[Any])
+
+  def emptyNgrams(): ArrayData = EmptyArray
+
+  def arrayNgrams(arr: ArrayData, n: Int): ArrayData = {
+    val size = arr.numElements()
+    if (size < n) return EmptyArray
+    val toks = new Array[UTF8String](size)
+    var i = 0
+    while (i < size) { toks(i) = arr.getUTF8String(i); i += 1 }
+    val out = new Array[Any](size - n + 1)
+    i = 0
+    while (i < out.length) {
+      out(i) =
+        if (n == 1) toks(i)
+        else UTF8String.concatWs(Space, toks.slice(i, i + n): _*)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
   def wordShingleHashes(s: UTF8String, n: Int): ArrayData = {
     val gs = grams(s, n)
     val hs = new Array[Long](gs.length)
@@ -117,6 +143,56 @@ case class WordShingleHashesF(child: Expression, n: Int) extends ShingleExpressi
   override def prettyName: String = "graft_word_shingle_hashes"
 }
 
+/** `graft_array_ngrams(tokens, n)` — ALL word n-grams (space-joined,
+  * duplicates kept) of a token array, for per-document occurrence
+  * counting ([[graft.llm.Search.ngramCounts]]). Unlike the shingle
+  * forms: input is a pre-tokenized array, output is NOT distinct, and
+  * a document shorter than n tokens yields an EMPTY array (no partial
+  * gram) — mirroring the HOF `when(upper >= 1, transform(...))` form.
+  */
+case class ArrayNgramsF(child: Expression, n: Int) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) if n >= 1 => TypeCheckResult.TypeCheckSuccess
+    case ArrayType(StringType, _) =>
+      TypeCheckResult.TypeCheckFailure(s"$prettyName needs n >= 1, got $n")
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName needs an array<string> argument, got ${other.simpleString}")
+  }
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  // a null token array yields an EMPTY gram array (never null),
+  // mirroring the HOF guard `when(upper >= 1, ...).otherwise(array())`
+  // whose null condition also falls through to the empty branch
+  override def nullable: Boolean = false
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val v = child.eval(input)
+    if (v == null) ShingleKernel.emptyNgrams()
+    else ShingleKernel.arrayNgrams(v.asInstanceOf[ArrayData], n)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val childGen = child.genCode(ctx)
+    val resultCode =
+      s"""
+         |${childGen.code}
+         |org.apache.spark.sql.catalyst.util.ArrayData ${ev.value} =
+         |  ${childGen.isNull}
+         |    ? graft.plans.ShingleKernel.emptyNgrams()
+         |    : graft.plans.ShingleKernel.arrayNgrams(${childGen.value}, $n);
+       """.stripMargin
+    ev.copy(
+      code = org.apache.spark.sql.catalyst.expressions.codegen.Block
+        .BlockHelper(new StringContext(resultCode)).code(),
+      isNull = org.apache.spark.sql.catalyst.expressions.codegen.FalseLiteral)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): ArrayNgramsF =
+    copy(child = newChild)
+
+  override def prettyName: String = "graft_array_ngrams"
+}
+
 object TextExpressions {
   def wordShingles(text: Column, n: Int): Column =
     org.apache.spark.sql.functions.call_function(
@@ -125,4 +201,8 @@ object TextExpressions {
   def wordShingleHashes(text: Column, n: Int): Column =
     org.apache.spark.sql.functions.call_function(
       "graft_word_shingle_hashes", text, org.apache.spark.sql.functions.lit(n))
+
+  def arrayNgrams(tokens: Column, n: Int): Column =
+    org.apache.spark.sql.functions.call_function(
+      "graft_array_ngrams", tokens, org.apache.spark.sql.functions.lit(n))
 }

@@ -202,5 +202,10 @@ class GraftExtensions extends SparkSessionExtensionsProvider {
         "graft_word_shingle_hashes"),
       (children: Seq[Expression]) =>
         WordShingleHashesF(children(0), intLit(children(1), "graft_word_shingle_hashes"))))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_array_ngrams"),
+      new ExpressionInfo(classOf[ArrayNgramsF].getName, "graft_array_ngrams"),
+      (children: Seq[Expression]) =>
+        ArrayNgramsF(children(0), intLit(children(1), "graft_array_ngrams"))))
   }
 }

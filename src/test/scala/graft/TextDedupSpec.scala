@@ -26,6 +26,23 @@ class TextDedupSpec extends SparkSpec {
     }
   }
 
+  test("native array n-grams match the HOF formulation bit-for-bit") {
+    import graft.llm.Search
+    val edge = Seq("", "one", "one two", "a a a a", "Mixed CASE tokens, with. punct!",
+      null.asInstanceOf[String]).toDF("text")
+    val corpus = table("documents").select(col("text")).unionAll(edge)
+      .select(Search.tokens(col("text")).as("__toks"))
+    for (n <- Seq(1, 2, 4)) {
+      val r = corpus.select(
+        graft.plans.TextExpressions.arrayNgrams(col("__toks"), n).as("nat"),
+        Search.ngramsHof(col("__toks"), n).as("hof"))
+        .as[(Seq[String], Seq[String])].collect()
+      r.zipWithIndex.foreach { case ((nat, hof), i) =>
+        assert(nat == hof, s"n=$n row $i: $nat != $hof")
+      }
+    }
+  }
+
   test("tokenCount / bpeishTokenCount on known strings") {
     val df = Seq("hello  world", "a,b c!", "").toDF("t")
     val r = df.select(Text.tokenCount(col("t")), Text.bpeishTokenCount(col("t")))
