@@ -20,6 +20,51 @@ object PropertySpec extends Properties("graft") {
   private val smallRows: Gen[List[(Int, Int, Double)]] =
     Gen.listOfN(30, Gen.zip(Gen.choose(1, 6), Gen.choose(1, 50), Gen.choose(-100.0, 100.0)))
 
+  // arbitrary unicode words joined by arbitrary whitespace runs — the
+  // adversarial input space for the native shingle/ngram kernels
+  private val messyText: Gen[String] = {
+    val word = Gen.choose(1, 6).flatMap(n =>
+      Gen.listOfN(n, Gen.frequency(
+        (8, Gen.alphaNumChar.map(_.toString)),
+        (1, Gen.oneOf("\u00e9", "\u00df", "\u4e2d", "\ud83d\ude42", ".")))).map(_.mkString))
+    val ws = Gen.choose(1, 3).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf(' ', '\t', '\n')).map(_.mkString))
+    for {
+      k <- Gen.choose(0, 12)
+      words <- Gen.listOfN(k, word)
+      seps <- Gen.listOfN(k + 1, ws)
+      lead <- Gen.oneOf("", " ", "\t")
+    } yield lead + words.zip(seps).map { case (w, s) => w + s }.mkString
+  }
+
+  property("native word shingles/hashes == HOF forms on messy unicode text") =
+    Prop.forAll(Gen.listOfN(8, messyText), Gen.choose(1, 6)) { (texts, n) =>
+      texts.isEmpty || {
+        val df = texts.toDF("text")
+        df.select(
+          graft.llm.Dedup.wordShingles(col("text"), n).as("nat"),
+          graft.llm.Dedup.wordShinglesHof(col("text"), n).as("hof"),
+          graft.plans.TextExpressions.wordShingleHashes(col("text"), n).as("nath"),
+          array_sort(transform(graft.llm.Dedup.wordShinglesHof(col("text"), n),
+            s => xxhash64(s))).as("hofh"))
+          .as[(Seq[String], Seq[String], Seq[Long], Seq[Long])].collect()
+          .forall { case (nat, hof, nath, hofh) => nat == hof && nath == hofh }
+      }
+    }
+
+  property("native array n-grams == HOF form on messy unicode text") =
+    Prop.forAll(Gen.listOfN(8, messyText), Gen.choose(1, 5)) { (texts, n) =>
+      texts.isEmpty || {
+        val df = texts.toDF("text")
+          .select(graft.llm.Search.tokens(col("text")).as("__toks"))
+        df.select(
+          graft.plans.TextExpressions.arrayNgrams(col("__toks"), n).as("nat"),
+          graft.llm.Search.ngramsHof(col("__toks"), n).as("hof"))
+          .as[(Seq[String], Seq[String])].collect()
+          .forall { case (nat, hof) => nat == hof }
+      }
+    }
+
   property("Det.sumAt invariant under partition count") =
     Prop.forAll(smallRows, Gen.choose(1, 7)) { (rows, parts) =>
       rows.isEmpty || {
