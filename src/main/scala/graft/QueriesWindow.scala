@@ -87,9 +87,7 @@ object QueriesWindow {
     val batchSchema = s.read.parquet(s"$dir/events.parquet").schema
     val raw = graft.streaming.Streams.fileStream(s, "parquet", dir, batchSchema,
       Map("pathGlobFilter" -> "events.parquet"))
-    if (batchSchema("ts").dataType == org.apache.spark.sql.types.LongType)
-      raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-    else raw
+    Tables.normalizeEventsTs(raw)
   }
 
   /** Run a bounded streaming agg to completion into a memory sink and

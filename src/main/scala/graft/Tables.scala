@@ -22,10 +22,17 @@ object Tables {
     */
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
     val df = spark.read.parquet(s"$dir/$name.parquet")
-    if (name == "events" && df.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+    if (name == "events") normalizeEventsTs(df) else df
+  }
+
+  /** Raw-nanos `ts` (read back as LongType) to a micros timestamp —
+    * the ONE definition batch loads and streaming replays share, so
+    * the two paths cannot drift.
+    */
+  def normalizeEventsTs(df: DataFrame): DataFrame =
+    if (df.schema("ts").dataType == org.apache.spark.sql.types.LongType)
       df.withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
     else df
-  }
 
   /** Register every table as a temp view (for SQL transforms). View
     * registration is lazy metadata, but re-deriving ten view plans per

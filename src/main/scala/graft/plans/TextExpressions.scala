@@ -57,7 +57,10 @@ object ShingleKernel {
   /** All n-grams of a pre-tokenized array: duplicates kept, EMPTY when
     * the document has fewer than n tokens (see [[ArrayNgramsF]]).
     * Null elements (possible in arbitrary caller arrays, not produced
-    * by the tokenizer) are skipped by concatWs, matching the HOF form.
+    * by the tokenizer) vanish inside concatWs — which for n == 1 means
+    * a lone null token becomes "" — matching the HOF
+    * `concat_ws(" ", element_at(toks, i))` bit-for-bit and keeping the
+    * declared containsNull = false honest.
     */
   private val EmptyArray = new GenericArrayData(Array.empty[Any])
 
@@ -72,9 +75,7 @@ object ShingleKernel {
     val out = new Array[Any](size - n + 1)
     i = 0
     while (i < out.length) {
-      out(i) =
-        if (n == 1) toks(i)
-        else UTF8String.concatWs(Space, toks.slice(i, i + n): _*)
+      out(i) = UTF8String.concatWs(Space, toks.slice(i, i + n): _*)
       i += 1
     }
     new GenericArrayData(out)

@@ -185,27 +185,31 @@ class GraftExtensions extends SparkSessionExtensionsProvider {
         }
         MediaFeaturesF(children(0), dim)
       }))
-    def intLit(e: Expression, fn: String): Int = e match {
-      case org.apache.spark.sql.catalyst.expressions.Literal(i: Int,
-          org.apache.spark.sql.types.IntegerType) => i
-      case other => throw new IllegalArgumentException(
-        s"$fn(text, n): n must be an int literal, got $other")
+    def intLit(children: Seq[Expression], fn: String): Int = {
+      require(children.length == 2,
+        s"$fn(arg, n) takes 2 args, got ${children.length}")
+      children(1) match {
+        case org.apache.spark.sql.catalyst.expressions.Literal(i: Int,
+            org.apache.spark.sql.types.IntegerType) => i
+        case other => throw new IllegalArgumentException(
+          s"$fn(arg, n): n must be an int literal, got $other")
+      }
     }
     ext.injectFunction((
       new FunctionIdentifier("graft_word_shingles"),
       new ExpressionInfo(classOf[WordShinglesF].getName, "graft_word_shingles"),
       (children: Seq[Expression]) =>
-        WordShinglesF(children(0), intLit(children(1), "graft_word_shingles"))))
+        WordShinglesF(children(0), intLit(children, "graft_word_shingles"))))
     ext.injectFunction((
       new FunctionIdentifier("graft_word_shingle_hashes"),
       new ExpressionInfo(classOf[WordShingleHashesF].getName,
         "graft_word_shingle_hashes"),
       (children: Seq[Expression]) =>
-        WordShingleHashesF(children(0), intLit(children(1), "graft_word_shingle_hashes"))))
+        WordShingleHashesF(children(0), intLit(children, "graft_word_shingle_hashes"))))
     ext.injectFunction((
       new FunctionIdentifier("graft_array_ngrams"),
       new ExpressionInfo(classOf[ArrayNgramsF].getName, "graft_array_ngrams"),
       (children: Seq[Expression]) =>
-        ArrayNgramsF(children(0), intLit(children(1), "graft_array_ngrams"))))
+        ArrayNgramsF(children(0), intLit(children, "graft_array_ngrams"))))
   }
 }

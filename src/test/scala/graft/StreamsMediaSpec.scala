@@ -73,6 +73,23 @@ class StreamsMediaSpec extends SparkSpec {
       s"extra=${(streamed -- batch).take(3)} missing=${(batch -- streamed).take(3)}")
   }
 
+  test("registered q_stream_sessionize (file source, Complete mode) matches batch islands") {
+    import graft.functions.Det
+    import graft.operators.Ops
+    val streamed = SparkEntry.queries("q_stream_sessionize")(spark, TestSession.sfDir)
+      .select("user_id", "session_start", "n_events", "sum_val").collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2), r.getDouble(3))).toSet
+    val batch = Ops.sessionize(table("events"), Seq("user_id"), "ts",
+        Seq(col("ts").asc, col("event_id").asc), gapSeconds = 1800)
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(min(col("ts").cast("timestamp")).as("session_start"),
+        count(lit(1)).as("n_events"), Det.sumAt(col("value"), 6).as("sum_val"))
+      .select("user_id", "session_start", "n_events", "sum_val").collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(streamed == batch, s"registered streaming sessionize diverged: " +
+      s"extra=${(streamed -- batch).take(3)} missing=${(batch -- streamed).take(3)}")
+  }
+
   test("streaming session_window sessions match batch Ops.sessionize on real events") {
     implicit val sqlCtx = spark.sqlContext
     import graft.functions.Det

@@ -30,6 +30,16 @@ class TextDedupSpec extends SparkSpec {
     import graft.llm.Search
     val edge = Seq("", "one", "one two", "a a a a", "Mixed CASE tokens, with. punct!",
       null.asInstanceOf[String]).toDF("text")
+    // null ELEMENTS can't come from the tokenizer but can from caller
+    // arrays: the HOF's concat_ws turns them into "" even at n=1
+    val nullElems = Seq(Seq("a", null, "b")).toDF("__toks")
+    for (n <- Seq(1, 2)) {
+      val r = nullElems.select(
+        graft.plans.TextExpressions.arrayNgrams(col("__toks"), n).as("nat"),
+        Search.ngramsHof(col("__toks"), n).as("hof"))
+        .as[(Seq[String], Seq[String])].head()
+      assert(r._1 == r._2, s"null-element n=$n: ${r._1} != ${r._2}")
+    }
     val corpus = table("documents").select(col("text")).unionAll(edge)
       .select(Search.tokens(col("text")).as("__toks"))
     for (n <- Seq(1, 2, 4)) {
