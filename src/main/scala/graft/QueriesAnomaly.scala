@@ -99,8 +99,12 @@ object QueriesAnomaly {
     // cross-engine diffs (the dist/rank math itself is 6 dp exact,
     // proven by the sim-family oracles).
     "q_anom_lof_exact" -> ((s, dir) => {
-      graft.quality.Lof.scores(t(s, dir, "embeddings"), "vec_id", "embedding",
-          k = 5, planes = 0)
+      // deterministic mod-4 snapshot: the exact all-pairs oracle only
+      // needs a bounded fixture (500 vectors covers every LOF branch;
+      // the unsampled LSH-bucketed q_anom_lof is the production path)
+      graft.quality.Lof.scores(
+          t(s, dir, "embeddings").filter(col("vec_id") % 4 === 0),
+          "vec_id", "embedding", k = 5, planes = 0)
         .select(col("vec_id"), col("n_neighbors"),
           round(col("lrd"), 3).as("lrd3"), round(col("lof"), 3).as("lof3"))
     }),
@@ -184,7 +188,7 @@ object QueriesAnomaly {
         |  SELECT vec_id, embedding,
         |    SQRT(list_dot_product(CAST(embedding AS DOUBLE[]),
         |                          CAST(embedding AS DOUBLE[]))) AS nrm
-        |  FROM embeddings),
+        |  FROM embeddings WHERE vec_id % 4 = 0),
         |pair AS (
         |  SELECT a.vec_id AS p, b.vec_id AS o,
         |    1.0 - (CASE WHEN a.nrm * b.nrm <> 0 THEN
