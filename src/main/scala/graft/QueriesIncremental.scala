@@ -95,6 +95,35 @@ object QueriesIncremental {
     // gap detection — ref :480
     "q_incr_gaps" -> ((s, dir) => {
       Incremental.gaps(t(s, dir, "lineitem"), "l_orderkey", 1.0, 1.5)
+    }),
+
+    // end-to-end STREAMING CDC, oracle-checked: seed the customer
+    // target with the idempotent swap writer, replay the same
+    // events-derived I/U/D feed q_incr_cdc uses through the parquet
+    // file source, fold each micro-batch via applyCdcStream
+    // (restore-if-torn + applyCdc + write-new-state-then-swap), then
+    // read the final target back — same answer as the batch fold, so
+    // the whole recovery/streaming sink machinery sits under the
+    // DuckDB oracle. Temp target+checkpoint dirs are per-invocation.
+    "q_stream_cdc" -> ((s, dir) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_stream_cdc")
+      val targetPath = new java.io.File(tmp.toFile, "target").getAbsolutePath
+      val ckpt = new java.io.File(tmp.toFile, "ckpt").getAbsolutePath
+      Recovery.idempotentWrite(
+        t(s, dir, "customer").select("c_custkey", "c_acctbal"), targetPath)
+      val batchSchema = s.read.parquet(s"$dir/events.parquet").schema
+      val raw = graft.streaming.Streams.fileStream(s, "parquet", dir, batchSchema,
+        Map("pathGlobFilter" -> "events.parquet"))
+      val cdc = Tables.normalizeEventsTs(raw).select(
+        (col("user_id") + 1).as("c_custkey"),
+        col("value").as("c_acctbal"),
+        when(col("event_type") === "error", "D")
+          .when(col("event_type") === "signup", "I").otherwise("U").as("op"),
+        col("ts"), col("event_id"))
+      val q = graft.streaming.Streams.applyCdcStream(cdc, Seq("c_custkey"), "op",
+        Seq(col("ts").desc, col("event_id").desc), targetPath, ckpt)
+      try q.processAllAvailable() finally q.stop()
+      s.read.parquet(targetPath)
     })
   )
 
@@ -174,6 +203,23 @@ object QueriesIncremental {
         |w AS (SELECT l_orderkey AS curr_val,
         |             LAG(l_orderkey, 1) OVER (ORDER BY l_orderkey) AS prev_val FROM d)
         |SELECT prev_val, curr_val, curr_val - prev_val AS gap
-        |FROM w WHERE curr_val - prev_val > 1.5""".stripMargin
+        |FROM w WHERE curr_val - prev_val > 1.5""".stripMargin,
+
+    // identical to q_incr_cdc — the point: the streaming fold
+    // (file source -> foreachBatch applyCdc -> idempotent swap)
+    // lands on the same final state as the one-shot batch fold
+    "q_stream_cdc" ->
+      """WITH cdc AS (
+        |  SELECT user_id + 1 AS c_custkey, value AS c_acctbal,
+        |    CASE WHEN event_type = 'error' THEN 'D'
+        |         WHEN event_type = 'signup' THEN 'I' ELSE 'U' END AS op,
+        |    ROW_NUMBER() OVER (PARTITION BY user_id + 1
+        |                       ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM events),
+        |latest AS (SELECT * FROM cdc WHERE rn = 1)
+        |SELECT c_custkey, c_acctbal FROM customer
+        |WHERE c_custkey NOT IN (SELECT c_custkey FROM latest)
+        |UNION ALL
+        |SELECT c_custkey, c_acctbal FROM latest WHERE UPPER(op) <> 'D'""".stripMargin
   )
 }

@@ -90,6 +90,15 @@ class StreamsMediaSpec extends SparkSpec {
       s"extra=${(streamed -- batch).take(3)} missing=${(batch -- streamed).take(3)}")
   }
 
+  test("registered q_stream_cdc (file source + idempotent swap) matches batch applyCdc") {
+    def rows(name: String) = SparkEntry.queries(name)(spark, TestSession.sfDir)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
+    val streamed = rows("q_stream_cdc")
+    val batch = rows("q_incr_cdc")
+    assert(streamed == batch, s"streaming CDC fold diverged from batch: " +
+      s"extra=${(streamed -- batch).take(3)} missing=${(batch -- streamed).take(3)}")
+  }
+
   test("streaming session_window sessions match batch Ops.sessionize on real events") {
     implicit val sqlCtx = spark.sqlContext
     import graft.functions.Det
