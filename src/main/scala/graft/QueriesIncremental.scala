@@ -107,14 +107,20 @@ object QueriesIncremental {
     // DuckDB oracle. Temp target+checkpoint dirs are per-invocation.
     "q_stream_cdc" -> ((s, dir) => {
       val tmp = java.nio.file.Files.createTempDirectory("graft_stream_cdc")
+      // the returned frame reads targetPath lazily, so the tree can
+      // only be reclaimed at JVM exit — without this, every bench /
+      // verify pass would leak a customer-table copy + checkpoint
+      Runtime.getRuntime.addShutdownHook(new Thread(() => {
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); ()
+        }
+        rm(tmp.toFile)
+      }))
       val targetPath = new java.io.File(tmp.toFile, "target").getAbsolutePath
       val ckpt = new java.io.File(tmp.toFile, "ckpt").getAbsolutePath
       Recovery.idempotentWrite(
         t(s, dir, "customer").select("c_custkey", "c_acctbal"), targetPath)
-      val batchSchema = s.read.parquet(s"$dir/events.parquet").schema
-      val raw = graft.streaming.Streams.fileStream(s, "parquet", dir, batchSchema,
-        Map("pathGlobFilter" -> "events.parquet"))
-      val cdc = Tables.normalizeEventsTs(raw).select(
+      val cdc = Tables.eventsStream(s, dir).select(
         (col("user_id") + 1).as("c_custkey"),
         col("value").as("c_acctbal"),
         when(col("event_type") === "error", "D")

@@ -78,17 +78,8 @@ object QueriesWindow {
     })
   )
 
-  /** The events table replayed as a parquet file stream. The file
-    * source needs a DIRECTORY to watch; glob-filter it down to the
-    * events table so sibling tables don't enter the stream. Raw-nanos
-    * `ts` is normalized to micros exactly as Tables.load does.
-    */
-  private def eventsStream(s: SparkSession, dir: String): DataFrame = {
-    val batchSchema = s.read.parquet(s"$dir/events.parquet").schema
-    val raw = graft.streaming.Streams.fileStream(s, "parquet", dir, batchSchema,
-      Map("pathGlobFilter" -> "events.parquet"))
-    Tables.normalizeEventsTs(raw)
-  }
+  private def eventsStream(s: SparkSession, dir: String): DataFrame =
+    Tables.eventsStream(s, dir)
 
   /** Run a bounded streaming agg to completion into a memory sink and
     * return the drained table. Complete mode because a bounded

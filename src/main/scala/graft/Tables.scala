@@ -34,6 +34,19 @@ object Tables {
       df.withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
     else df
 
+  /** The events table replayed as a parquet file STREAM — the one
+    * replay definition every streaming oracle query shares. The file
+    * source needs a DIRECTORY to watch; glob-filter it down to the
+    * events table so sibling tables don't enter the stream, and
+    * normalize `ts` exactly as the batch [[load]] does.
+    */
+  def eventsStream(spark: SparkSession, dir: String): DataFrame = {
+    val batchSchema = spark.read.parquet(s"$dir/events.parquet").schema
+    normalizeEventsTs(
+      graft.streaming.Streams.fileStream(spark, "parquet", dir, batchSchema,
+        Map("pathGlobFilter" -> "events.parquet")))
+  }
+
   /** Register every table as a temp view (for SQL transforms). View
     * registration is lazy metadata, but re-deriving ten view plans per
     * query is still wasted setup — skip when this session already

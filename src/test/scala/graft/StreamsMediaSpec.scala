@@ -91,12 +91,17 @@ class StreamsMediaSpec extends SparkSpec {
   }
 
   test("registered q_stream_cdc (file source + idempotent swap) matches batch applyCdc") {
+    // count first: set equality alone would hide a duplicated-row
+    // divergence between the two folds
     def rows(name: String) = SparkEntry.queries(name)(spark, TestSession.sfDir)
-      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
     val streamed = rows("q_stream_cdc")
     val batch = rows("q_incr_cdc")
-    assert(streamed == batch, s"streaming CDC fold diverged from batch: " +
-      s"extra=${(streamed -- batch).take(3)} missing=${(batch -- streamed).take(3)}")
+    assert(streamed.size == batch.size,
+      s"row-count mismatch: streaming=${streamed.size} batch=${batch.size}")
+    assert(streamed.toSet == batch.toSet, s"streaming CDC fold diverged from batch: " +
+      s"extra=${(streamed.toSet -- batch.toSet).take(3)} " +
+      s"missing=${(batch.toSet -- streamed.toSet).take(3)}")
   }
 
   test("streaming session_window sessions match batch Ops.sessionize on real events") {
