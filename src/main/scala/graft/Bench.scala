@@ -8,16 +8,50 @@ import java.nio.file.{Files, Paths}
   * passes in sorted name order with every cached frame / checkpoint /
   * broadcast released before each measurement; the published figure is
   * the per-query min over SUCCESSFUL passes (so `total` is a
-  * sum-of-mins, not the wall time of either pass). Failures are
-  * recorded per-query in `errors` instead of being silently timed as
-  * fast successes, and a failed pass never contributes its (fast)
-  * abort duration to a query that succeeded in the other pass. The
-  * full per-query JSON line is written to bench_out.json (committed);
-  * stdout gets a compact line sized to the driver's 2000-char output
-  * tail (total + errors + slowest queries) so it parses instead of
-  * being truncated mid-JSON.
+  * sum-of-mins, not the wall time of either pass).
+  *
+  * Diagnosability (r8 lesson: a 44.7 s driver-host outlier on one query
+  * was unexplainable post-hoc because only the min survived): the full
+  * artifact now carries, per query, BOTH per-pass wall times, the
+  * per-pass JVM GC-time delta (distinguishes "the plan got slow" from
+  * "the host was collecting"), and a normalized physical-plan
+  * fingerprint (exprIds/plan-ids stripped) so a plan change between
+  * rounds is attributable in review rather than guessed at.
+  *
+  * `errors` only lists queries that failed in BOTH passes — a query
+  * with one failed and one successful pass is timed from the good pass
+  * and listed under `transient_errors` instead, so `errors` keys and
+  * timed successes stay disjoint for consumers.
+  *
+  * The full per-query JSON line is written to bench_out.json
+  * (committed); stdout gets a compact line sized to the driver's
+  * 2000-char output tail (total + errors + slowest queries) so it
+  * parses instead of being truncated mid-JSON.
   */
 object Bench {
+  /** Strip run-varying tokens (expression ids `#123`, codegen stage ids,
+    * plan ids, cached-RDD numbers) from a physical-plan string so the
+    * fingerprint is stable across JVMs for an unchanged plan shape. */
+  private[graft] def planFingerprint(plan: String): String = {
+    val normalized = plan
+      .replaceAll("#\\d+[A-Z]*", "#")       // exprIds: l_quantity#123L
+      .replaceAll("\\*\\(\\d+\\)", "*(n)")  // whole-stage codegen stage ids
+      .replaceAll("\\[plan_id=\\d+\\]", "") // AdaptiveSparkPlan plan ids
+      .replaceAll("\\[id=#\\]", "")
+      .replaceAll("(?i)(rdd|broadcast|subquery|cte)\\s*#?\\d+", "$1#")
+      .replaceAll("file:[^,\\s\\]]+", "file:_") // temp paths differ per run
+      .replaceAll("\\d{4}-\\d{2}-\\d{2}[T ][\\d:.]+", "_ts_")
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(normalized.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.take(16)
+  }
+
+  private def gcMillis(): Long = {
+    import scala.jdk.CollectionConverters._
+    java.lang.management.ManagementFactory.getGarbageCollectorMXBeans.asScala
+      .map(b => math.max(0L, b.getCollectionTime)).sum
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -38,41 +72,72 @@ object Bench {
     try SparkEntry.queries("q_agg")(spark, sfDir).count()
     catch { case _: Throwable => () }
 
-    val errors = scala.collection.mutable.LinkedHashMap[String, String]()
-    // Two timed passes, min per query. Per-query isolation (releaseAll
-    // before the clock starts) keeps accumulated caches/broadcasts from
-    // GC-thrashing later queries (r7: 3.66x apparent regression, gone
-    // in isolation); min-of-2 then absorbs the remaining host noise
-    // (identical back-to-back suites still varied >2x on single
-    // queries — one-shot timings punish whoever runs last).
-    // per query: (seconds, succeeded) — a transient failure aborts fast,
-    // and that abort duration must not masquerade as the query's time
-    def timedPass(): Map[String, (Double, Boolean)] = names.map { name =>
+    // per query: (seconds, gcDeltaSec, errorMessage). Per-query isolation
+    // (releaseAll before the clock starts) keeps accumulated
+    // caches/broadcasts from GC-thrashing later queries (r7: 3.66x
+    // apparent regression, gone in isolation); min-of-2 then absorbs the
+    // remaining host noise (identical back-to-back suites still varied
+    // >2x on single queries — one-shot timings punish whoever runs last).
+    // A transient failure aborts fast, and that abort duration must not
+    // masquerade as the query's time.
+    final case class Sample(sec: Double, gcSec: Double, err: Option[String])
+    val planHashes = scala.collection.mutable.LinkedHashMap[String, String]()
+    def timedPass(recordPlans: Boolean): Map[String, Sample] = names.map { name =>
       GraftSession.releaseAll(spark)
+      val gc0 = gcMillis()
       val t0 = System.nanoTime()
-      val ok =
-        try { SparkEntry.queries(name)(spark, sfDir).count(); true }
+      var df: org.apache.spark.sql.DataFrame = null
+      val err =
+        try { df = SparkEntry.queries(name)(spark, sfDir); df.count(); None }
         catch { case e: Throwable =>
-          errors.getOrElseUpdate(name,
-            Option(e.getMessage).getOrElse(e.getClass.getName).take(200))
-          false
+          Some(Option(e.getMessage).getOrElse(e.getClass.getName).take(200))
         }
-      name -> ((System.nanoTime() - t0) / 1e9, ok)
+      val sec = (System.nanoTime() - t0) / 1e9
+      val gcSec = (gcMillis() - gc0) / 1e3
+      // fingerprint AFTER the clock stops (planning the frame itself is
+      // cheap; it must not pollute the measurement)
+      if (recordPlans && err.isEmpty && df != null) {
+        try planHashes(name) = planFingerprint(df.queryExecution.executedPlan.toString)
+        catch { case _: Throwable => () }
+      }
+      name -> Sample(sec, gcSec, err)
     }.toMap
-    val p1 = timedPass()
-    val p2 = timedPass()
+    val p1 = timedPass(recordPlans = true)
+    val p2 = timedPass(recordPlans = false)
+
+    // errors = failed in BOTH passes (timed value is then the min abort
+    // time, flagged here); transient = failed in exactly one (timed value
+    // comes from the successful pass alone).
+    val errors = scala.collection.mutable.LinkedHashMap[String, String]()
+    val transientErrors = scala.collection.mutable.LinkedHashMap[String, String]()
+    names.foreach { n =>
+      (p1(n).err, p2(n).err) match {
+        case (Some(e), Some(_)) => errors(n) = e
+        case (Some(e), None)    => transientErrors(n) = e
+        case (None, Some(e))    => transientErrors(n) = e
+        case _                  => ()
+      }
+    }
     val results = names.map { n =>
-      val good = Seq(p1(n), p2(n)).collect { case (t, true) => t }
-      // both passes failed: report the min abort time (errors flags it)
-      n -> (if (good.nonEmpty) good.min else math.min(p1(n)._1, p2(n)._1))
+      val good = Seq(p1(n), p2(n)).collect { case Sample(t, _, None) => t }
+      n -> (if (good.nonEmpty) good.min else math.min(p1(n).sec, p2(n).sec))
     }
     def esc(s: String): String =
       s.flatMap { case '"' => "\\\""; case '\\' => "\\\\"; case c if c < ' ' => " "; case c => c.toString }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
+    val passes = names.map { n =>
+      "\"" + n + "\":[" + f"${p1(n).sec}%.3f" + "," + f"${p2(n).sec}%.3f" + "]"
+    }.mkString("{", ",", "}")
+    val gcs = names.map { n =>
+      "\"" + n + "\":[" + f"${p1(n).gcSec}%.3f" + "," + f"${p2(n).gcSec}%.3f" + "]"
+    }.mkString("{", ",", "}")
+    val plans = planHashes.map { case (k, v) => "\"" + k + "\":\"" + v + "\"" }.mkString("{", ",", "}")
     val errJson = errors.map { case (k, v) => "\"" + k + "\":\"" + esc(v) + "\"" }.mkString("{", ",", "}")
+    val transientJson = transientErrors.map { case (k, v) => "\"" + k + "\":\"" + esc(v) + "\"" }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val fullLine =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"passes":$passes,""" +
+        s""""gc_sec":$gcs,"plan_hash":$plans,"errors":$errJson,"transient_errors":$transientJson,"sf":"$sfDir"}"""
     // a SPARK_GRAFT_ONLY-narrowed run must never clobber the official
     // full-suite artifact the driver (and docs) ingest
     val outFile = if (only.isDefined) "bench_only_out.json" else "bench_out.json"
@@ -80,10 +145,10 @@ object Bench {
     // The driver keeps only the tail of this process's output (~2000
     // chars), so once the suite passed ~70 queries the full per-query
     // line no longer fit and its head was truncated mid-JSON (every
-    // BENCH_r*.json so far has parsed:null). Print a line that is
-    // guaranteed to survive the tail window intact: total + errors +
-    // the slowest queries that fit a fixed character budget, plus a
-    // pointer to the committed full artifact.
+    // BENCH_r1-r7.json parsed:null). Print a line that is guaranteed to
+    // survive the tail window intact: total + errors + the slowest
+    // queries that fit a fixed character budget, plus a pointer to the
+    // committed full artifact.
     val budget = 1500
     // errors must obey the same budget: a mass failure would otherwise
     // emit one ~200-char message per query and overflow the tail again,

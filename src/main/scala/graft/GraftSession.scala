@@ -47,6 +47,7 @@ object GraftSession {
     spark.catalog.clearCache()
     spark.sparkContext.getPersistentRDDs.values
       .foreach(_.unpersist(blocking = false))
+    TempDirs.sweep()
     // Broadcasts and shuffle files are reclaimed by ContextCleaner only
     // after their references are GC'd on the driver; with a large heap
     // that can lag many queries behind, so cleanup IO lands in the
@@ -54,4 +55,43 @@ object GraftSession {
     // the reclaim there instead.
     System.gc()
   }
+}
+
+/** Per-invocation scratch directories (q_stream_cdc's target+checkpoint
+  * copy, and anything else whose returned frame reads the path lazily)
+  * registered here are deleted by ONE static JVM shutdown hook — not one
+  * hook per invocation, which grew the JVM's hook list and the temp
+  * volume without bound in a long-lived REPL/server session. Eager
+  * reclamation: `sweep()` (called from GraftSession.releaseAll, i.e. at
+  * every between-units-of-work boundary) deletes all but the most
+  * recently registered dir, which may still back a live lazily-read
+  * frame from the current unit of work.
+  */
+object TempDirs {
+  private val dirs = new java.util.concurrent.ConcurrentLinkedQueue[java.nio.file.Path]()
+  private lazy val hook: Unit = {
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      dirs.forEach(p => rm(p.toFile)); dirs.clear()
+    }))
+  }
+  private def rm(f: java.io.File): Unit = {
+    Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); ()
+  }
+
+  /** Register a scratch dir for shutdown-time (and sweep-time) deletion. */
+  def register(p: java.nio.file.Path): java.nio.file.Path = {
+    hook; dirs.add(p); p
+  }
+
+  /** Delete every registered dir except the newest (still potentially
+    * referenced by the current unit of work's lazy frame). */
+  def sweep(): Unit = {
+    while (dirs.size > 1) {
+      val p = dirs.poll()
+      if (p != null) rm(p.toFile)
+    }
+  }
+
+  /** Visible for specs: number of dirs currently registered. */
+  private[graft] def pending: Int = dirs.size
 }

@@ -124,6 +124,27 @@ object QueriesAnomaly {
         .select("event_id", "user_id", "value", "win", "score")
     }),
 
+    // elliptic (Mahalanobis) boundary, ocsvm stand-in — ref
+    // anomaly_manager.py:221 (quantity/price are genuinely correlated,
+    // so the elliptic boundary differs from a per-axis screen)
+    "q_anom_ocsvm" -> ((s, dir) => {
+      Anomaly.ellipticBoundary(
+          t(s, dir, "lineitem")
+            .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice"),
+          "l_quantity", "l_extendedprice", nu = 0.1)
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice", "md2")
+    }),
+
+    // trend+seasonality forecast residual, prophet stand-in — ref
+    // anomaly_manager.py:282 (per-user linear trend over the day index,
+    // hourly additive seasonality)
+    "q_anom_prophet" -> ((s, dir) => {
+      Anomaly.prophetResidual(ev(s, dir), "value",
+          datediff(col("ts").cast("date"), lit("2024-01-01").cast("date")),
+          hour(col("ts")), Seq("user_id"), threshold = 2.5)
+        .select("event_id", "user_id", "value", "season", "z")
+    }),
+
     // dbscan-ish grid density — ref anomaly_manager.py:162
     "q_anom_grid" -> ((s, dir) => {
       Anomaly.gridDensity(ev(s, dir).select("event_id", "user_id", "value"),
@@ -314,6 +335,62 @@ object QueriesAnomaly {
          |FROM f JOIN t USING (user_id)
          |WHERE ROUND(CASE WHEN t.std <> 0.0
          |  THEN ABS(f.value - t.c - t.phi * f.xl) / t.std END, 6) > 3.0""".stripMargin
+    },
+
+    "q_anom_ocsvm" -> {
+      val sx = Det.sqlSumAt("l_quantity", 6)
+      val sy = Det.sqlSumAt("l_extendedprice", 6)
+      val sxx = Det.sqlSumAt("(l_quantity)*(l_quantity)", 6)
+      val syy = Det.sqlSumAt("(l_extendedprice)*(l_extendedprice)", 6)
+      val sxy = Det.sqlSumAt("(l_quantity)*(l_extendedprice)", 6)
+      // operand order mirrors Anomaly.ellipticBoundary exactly
+      val vx = "(n * sxx - sx * sx)"
+      val vy = "(n * syy - sy * sy)"
+      val rho = s"((n * sxy - sx * sy) / (SQRT($vx) * SQRT($vy)))"
+      val zx = "((l_quantity - sx / n) / SQRT((sxx - sx * sx / n) / n))"
+      val zy = "((l_extendedprice - sy / n) / SQRT((syy - sy * sy / n) / n))"
+      val md2 = s"""CASE WHEN $vx > 0.0 AND $vy > 0.0 AND 1.0 - $rho * $rho <> 0.0
+                   | THEN ROUND(($zx * $zx - 2.0 * $rho * $zx * $zy + $zy * $zy)
+                   |            / (1.0 - $rho * $rho), 6) END""".stripMargin
+      s"""WITH s AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+         |  $sx AS sx, $sy AS sy, $sxx AS sxx, $syy AS syy, $sxy AS sxy
+         |  FROM lineitem),
+         |d AS (SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice,
+         |  $md2 AS md2 FROM lineitem, s),
+         |t AS (SELECT ROUND(quantile_cont(md2, 0.9), 6) AS thr FROM d)
+         |SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice, md2
+         |FROM d, t WHERE md2 > thr""".stripMargin
+    },
+
+    "q_anom_prophet" -> {
+      val sx = Det.sqlSumAt("xd", 6)
+      val sy = Det.sqlSumAt("value", 6)
+      val sxx = Det.sqlSumAt("(xd)*(xd)", 6)
+      val sxy = Det.sqlSumAt("(value)*(xd)", 6)
+      // operand order mirrors Anomaly.prophetResidual exactly
+      s"""WITH k AS (
+         |  SELECT event_id, user_id, value,
+         |    CAST(datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS DOUBLE) AS xd,
+         |    hour(ts) AS season
+         |  FROM events),
+         |s AS (SELECT user_id, CAST(COUNT(*) AS DOUBLE) AS n,
+         |  $sx AS sx, $sy AS sy, $sxx AS sxx, $sxy AS sxy FROM k GROUP BY user_id),
+         |f AS (SELECT user_id, n, sx, sy,
+         |  CASE WHEN (n * sxx - sx * sx) <> 0.0
+         |       THEN (n * sxy - sx * sy) / (n * sxx - sx * sx) ELSE 0.0 END AS slope
+         |  FROM s),
+         |g AS (SELECT user_id, slope, (sy - slope * sx) / n AS c FROM f),
+         |d AS (SELECT k.event_id, k.user_id, k.value, k.season,
+         |  k.value - g.c - g.slope * k.xd AS r FROM k JOIN g USING (user_id)),
+         |m AS (SELECT user_id, season, ${Det.sqlMeanAt("r", 6)} AS ms
+         |  FROM d GROUP BY user_id, season),
+         |e AS (SELECT d.*, d.r - m.ms AS resid FROM d JOIN m USING (user_id, season)),
+         |t AS (SELECT user_id, ${Det.sqlMeanAt("resid", 6)} AS rm,
+         |  ${Det.sqlStddevSafeAt("resid", 6)} AS rsd FROM e GROUP BY user_id)
+         |SELECT e.event_id, e.user_id, e.value, e.season,
+         |  ROUND(CASE WHEN t.rsd <> 0.0 THEN ABS(e.resid - t.rm) / t.rsd END, 6) AS z
+         |FROM e JOIN t USING (user_id)
+         |WHERE ROUND(CASE WHEN t.rsd <> 0.0 THEN ABS(e.resid - t.rm) / t.rsd END, 6) > 2.5""".stripMargin
     },
 
     "q_anom_changepoint" -> cpOracleSql(20, withWin = false),

@@ -49,6 +49,23 @@ object QueriesDQ {
         DQ.RegexMatch("re_seg", "c_mktsegment", "^[A-Z]+$")))
     }),
 
+    // check_phone_format — ref dq_rule_examples.py:592. The testdata
+    // customer table carries no phone column, so one is derived
+    // deterministically from the keys (mirrored in the oracle): a NANP
+    // third, a generic-international third, and a non-phone third — so
+    // both the US and generic patterns see genuine pass AND fail rows.
+    "q_dq_phone" -> ((s, dir) => {
+      val ph = when(col("c_custkey") % 3 === 0,
+          concat(lit("555-"), lpad(col("c_nationkey").cast("string"), 3, "0"),
+            lit("-"), lpad((col("c_custkey") % 10000).cast("string"), 4, "0")))
+        .when(col("c_custkey") % 3 === 1,
+          concat(lit("+"), col("c_custkey").cast("string"), lit(" 42")))
+        .otherwise(col("c_name"))
+      DQ.check(t(s, dir, "customer").withColumn("c_phone", ph), Seq(
+        DQ.PhoneFormat("ph_us", "c_phone"),
+        DQ.PhoneFormat("ph_any", "c_phone", countryCode = "INTL")))
+    }),
+
     // check_allowed_values — ref dq_rule_examples.py:496
     "q_dq_allowed" -> ((s, dir) => {
       DQ.check(t(s, dir, "orders"), Seq(
@@ -277,6 +294,22 @@ object QueriesDQ {
         checkOracle("customer", "re_seg", "validity", "c_mktsegment",
           "c_mktsegment IS NOT NULL AND NOT regexp_matches(c_mktsegment, '^[A-Z]+$')")
       ).mkString("\nUNION ALL\n"),
+
+    "q_dq_phone" ->
+      ("""WITH customer2 AS (
+         |  SELECT *, CASE
+         |    WHEN c_custkey % 3 = 0 THEN '555-' || lpad(CAST(c_nationkey AS VARCHAR), 3, '0')
+         |      || '-' || lpad(CAST(c_custkey % 10000 AS VARCHAR), 4, '0')
+         |    WHEN c_custkey % 3 = 1 THEN '+' || CAST(c_custkey AS VARCHAR) || ' 42'
+         |    ELSE c_name END AS c_phone
+         |  FROM customer)
+         |""".stripMargin +
+        Seq(
+          checkOracle("customer2", "ph_us", "validity", "c_phone",
+            """c_phone IS NOT NULL AND NOT regexp_matches(c_phone, '^\+?1?[-.\s]?\(?([0-9]{3})\)?[-.\s]?([0-9]{3})[-.\s]?([0-9]{4})$')"""),
+          checkOracle("customer2", "ph_any", "validity", "c_phone",
+            """c_phone IS NOT NULL AND NOT regexp_matches(c_phone, '^\+?[0-9\s\-\(\)]+$')""")
+        ).mkString("\nUNION ALL\n")),
 
     "q_dq_allowed" ->
       Seq(

@@ -106,16 +106,14 @@ object QueriesIncremental {
     // the whole recovery/streaming sink machinery sits under the
     // DuckDB oracle. Temp target+checkpoint dirs are per-invocation.
     "q_stream_cdc" -> ((s, dir) => {
-      val tmp = java.nio.file.Files.createTempDirectory("graft_stream_cdc")
-      // the returned frame reads targetPath lazily, so the tree can
-      // only be reclaimed at JVM exit — without this, every bench /
-      // verify pass would leak a customer-table copy + checkpoint
-      Runtime.getRuntime.addShutdownHook(new Thread(() => {
-        def rm(f: java.io.File): Unit = {
-          Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); ()
-        }
-        rm(tmp.toFile)
-      }))
+      // the returned frame reads targetPath lazily, so the tree cannot
+      // be reclaimed here — TempDirs deletes it at the next
+      // releaseAll() boundary (all but the newest registration) or at
+      // JVM exit via its single shared shutdown hook; one hook per
+      // invocation would grow the hook list + temp volume unboundedly
+      // in a long-lived REPL/server session
+      val tmp = TempDirs.register(
+        java.nio.file.Files.createTempDirectory("graft_stream_cdc"))
       val targetPath = new java.io.File(tmp.toFile, "target").getAbsolutePath
       val ckpt = new java.io.File(tmp.toFile, "ckpt").getAbsolutePath
       Recovery.idempotentWrite(

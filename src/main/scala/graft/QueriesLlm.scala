@@ -145,9 +145,15 @@ object QueriesLlm {
       // the library's prescribed usage: persist the built index once,
       // derive cell centroids from the PERSISTED frame, probe per batch
       // — otherwise the probe join and the centroid aggregation each
-      // re-execute the whole k-means build lineage
+      // re-execute the whole k-means build lineage. The count()
+      // MATERIALIZES the persist before topK runs: its broadcast-side
+      // probe job and main index scan otherwise race each other into
+      // the still-lazy cache and can each run the whole k-means build
+      // concurrently (the one plausible mechanism for r8's 44.7 s
+      // driver-host outlier on this query).
       val index = graft.llm.Ivf.buildIndex(e, "vec_id", "embedding",
         nlist = 8, iters = 2).persist()
+      index.count()
       val cents = graft.llm.Ivf.centroids(index, "embedding")
       graft.llm.Ivf.topK(index, queries, "vec_id", "query_id", "embedding",
         k = 5, nprobe = 2, cellCentroids = Some(cents))
@@ -161,6 +167,7 @@ object QueriesLlm {
       val e = t(s, dir, "embeddings")
       val index = graft.llm.Ivf.buildIndex(e, "vec_id", "embedding",
         nlist = 8, iters = 2).persist()
+      index.count() // materialize before the broadcast job can race (see q_sim_ivf)
       val cents = graft.llm.Ivf.centroids(index, "embedding")
       index.join(broadcast(cents), Seq("__cid"))
         .withColumn("__sim", Similarity.cosine(col("embedding"), col("__cvec")))
@@ -201,6 +208,7 @@ object QueriesLlm {
         .select(col("vec_id").as("query_id"), col("embedding"))
       val index = graft.llm.Ivf.buildIndex(e, "vec_id", "embedding",
         nlist = 8, iters = 2).persist()
+      index.count() // materialize before the broadcast job can race (see q_sim_ivf)
       val cents = graft.llm.Ivf.centroids(index, "embedding")
       // nprobe = nlist: every query scans every cell
       graft.llm.Ivf.topK(index, queries, "vec_id", "query_id", "embedding",

@@ -83,6 +83,16 @@ object QueriesPipeline {
       FileSource.read(s, "json", path, Some(r.schema))
     }),
 
+    // xlsx write → read roundtrip through the bundled native Excel
+    // part-writer/parser — closes ref file_connector.py:109's Excel
+    // branch without the external spark-excel jar (zero egress)
+    "q_src_excel" -> ((s, dir) => {
+      val n = t(s, dir, "nation")
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_xlsx_nation"
+      FileSink.write(n, "excel", path)
+      FileSource.read(s, "excel", path, Some(n.schema))
+    }),
+
     // xml write → read roundtrip (Spark 4 native XML datasource;
     // closes ref file_connector.py:109's XML branch)
     "q_src_xml" -> ((s, dir) => {
@@ -118,6 +128,7 @@ object QueriesPipeline {
         |GROUP BY l_returnflag""".stripMargin,
 
     "q_src_csv" -> "SELECT * FROM nation",
+    "q_src_excel" -> "SELECT * FROM nation",
     "q_src_json" -> "SELECT * FROM region",
     "q_src_xml" -> "SELECT * FROM supplier"
   )

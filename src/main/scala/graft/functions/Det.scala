@@ -39,6 +39,19 @@ object Det {
     sqrt(greatest(lit(0.0), (s2 - s * s / n) / (n - lit(1.0))))
   }
 
+  /** [[stddevAt]] that yields NULL (not an ANSI divide-by-zero error)
+    * for single-value groups — for operators whose grouping can
+    * legitimately produce n = 1 (e.g. one-row series). Mirror with
+    * [[sqlStddevSafeAt]].
+    */
+  def stddevSafeAt(c: Column, scale: Int = 6): Column = {
+    val n = count(c).cast("double")
+    val s = sumAt(c, scale)
+    val s2 = sumAt(c * c, scale)
+    sqrt(greatest(lit(0.0),
+      (s2 - s * s / n) / when(n - lit(1.0) =!= 0.0, n - lit(1.0))))
+  }
+
   /** SQL fragments mirroring the above, for DuckDB oracle parity. */
   def sqlSumMoney(e: String): String =
     s"CAST(SUM(CAST($e AS DECIMAL(18,2))) AS DOUBLE)"
@@ -51,5 +64,11 @@ object Det {
     val s = sqlSumAt(e, scale)
     val s2 = sqlSumAt(s"($e)*($e)", scale)
     s"SQRT(GREATEST(0.0, ($s2 - $s*$s/$n) / ($n - 1.0)))"
+  }
+  def sqlStddevSafeAt(e: String, scale: Int = 6): String = {
+    val n = s"CAST(COUNT($e) AS DOUBLE)"
+    val s = sqlSumAt(e, scale)
+    val s2 = sqlSumAt(s"($e)*($e)", scale)
+    s"SQRT(GREATEST(0.0, ($s2 - $s*$s/$n) / NULLIF($n - 1.0, 0.0)))"
   }
 }

@@ -678,6 +678,110 @@ object Dedup {
     labels
   }
 
+  /** Connected components by the alternating large-star/small-star
+    * algorithm (Kiveris et al., "Connected Components in MapReduce and
+    * Beyond", SoCC 2014) — the O(log n)-round alternative to
+    * [[componentLabels]]'s O(diameter) min-label propagation. Use it
+    * when the pair graph can contain long chains (boilerplate
+    * gradients, sliding near-dup runs) that would exceed a sane
+    * propagation `maxIters`; for the star-shaped clusters typical of
+    * template near-dups both converge in a handful of rounds and
+    * propagation's cheaper rounds win.
+    *
+    * Each round rewrites the edge set twice, keeping every edge
+    * oriented (larger, smaller):
+    *  - large-star: every strictly-larger neighbor of u re-points to
+    *    min(N(u) ∪ u) — two shuffles on node id;
+    *  - small-star: every smaller neighbor of u (and u itself)
+    *    re-points to its minimum — one shuffle.
+    * The edge set only ever shrinks toward one star per component, so
+    * per-round cost is bounded by the input edge count. Convergence is
+    * detected by an O(1)-width hash fingerprint (count + hash sum) and
+    * CONFIRMED by an exact anti-join before the loop exits — a
+    * fingerprint collision can cost one extra round, never a wrong
+    * labelling. Rounds localCheckpoint like componentLabels (same
+    * lineage-doubling reason, same eager release of superseded
+    * frames). Output: (node, component), component = min reachable id
+    * — identical to componentLabels on any input.
+    */
+  def componentLabelsStar(edges: DataFrame, srcCol: String, dstCol: String,
+                          maxIters: Int = 25): DataFrame = {
+    require(maxIters >= 1, "need at least one iteration")
+    def dropCheckpoint(df: DataFrame): Unit =
+      df.queryExecution.analyzed match {
+        case l: org.apache.spark.sql.execution.LogicalRDD =>
+          l.rdd.unpersist(blocking = false)
+        case _ => ()
+      }
+    // orient (larger, smaller), drop self-loops; self-loop-only nodes
+    // re-enter via the final all-nodes join
+    val canon = edges
+      .select(col(srcCol).as("__a"), col(dstCol).as("__b"))
+      .filter(col("__a") =!= col("__b"))
+      .select(greatest(col("__a"), col("__b")).as("__u"),
+        least(col("__a"), col("__b")).as("__v"))
+      .distinct()
+    def largeStar(cur: DataFrame): DataFrame = {
+      val und = cur.union(cur.select(col("__v").as("__u"), col("__u").as("__v")))
+      val m = und.groupBy(col("__u")).agg(min(col("__v")).as("__mn"))
+        .select(col("__u"), least(col("__mn"), col("__u")).as("__m"))
+      // (v, m) for v > u: m <= u < v, so orientation and no-self-loop hold
+      und.filter(col("__v") > col("__u"))
+        .join(m, Seq("__u"))
+        .select(col("__v").as("__u"), col("__m").as("__v"))
+        .distinct()
+    }
+    def smallStar(cur: DataFrame): DataFrame = {
+      val m = cur.groupBy(col("__u")).agg(min(col("__v")).as("__m"))
+      val repointed = cur.join(m, Seq("__u"))
+        .select(col("__v").as("__u"), col("__m").as("__v"))
+        .filter(col("__u") =!= col("__v"))
+      repointed.union(m.select(col("__u"), col("__m").as("__v"))).distinct()
+    }
+    def fingerprint(d: DataFrame): (Long, String) = {
+      // hash sum in decimal: a long sum of xxhash64 values overflows
+      // (ANSI error) already at a handful of edges
+      val r = d.agg(count(lit(1)),
+        sum(xxhash64(col("__u"), col("__v"))
+          .cast(org.apache.spark.sql.types.DecimalType(38, 0)))).head()
+      (r.getLong(0),
+        Option(r.getDecimal(1)).map(_.toBigInteger.toString).getOrElse("0"))
+    }
+    var cur = canon.localCheckpoint()
+    var sig = fingerprint(cur)
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIters) {
+      val ls = largeStar(cur).localCheckpoint()
+      val next = smallStar(ls).localCheckpoint()
+      dropCheckpoint(ls)
+      val nextSig = fingerprint(next)
+      if (nextSig == sig) {
+        // exact confirmation — a 2^-64 fingerprint collision must cost
+        // a round, not a wrong labelling
+        converged = next.join(cur, Seq("__u", "__v"), "left_anti").isEmpty
+      }
+      sig = nextSig
+      dropCheckpoint(cur)
+      cur = next
+      i += 1
+    }
+    if (!converged)
+      throw new IllegalStateException(
+        s"componentLabelsStar did not converge in $maxIters rounds — " +
+          "pathological input; raise maxIters")
+    // at fixpoint the edge set is one star per component: (child, root).
+    // Defensive min-agg keeps the labelling a function even if an input
+    // quirk ever left a duplicate edge; roots and singleton nodes label
+    // themselves.
+    val starMap = cur.groupBy(col("__u").as("node"))
+      .agg(min(col("__v")).as("__comp"))
+    val nodes = edges.select(col(srcCol).as("node"))
+      .union(edges.select(col(dstCol).as("node"))).distinct()
+    nodes.join(starMap, Seq("node"), "left")
+      .select(col("node"), coalesce(col("__comp"), col("node")).as("component"))
+  }
+
   /** Collapse near-duplicate clusters to one canonical row each: given
     * the pair list, keep exactly the rows whose id is its component's
     * minimum (unpaired rows are their own singleton component and

@@ -327,6 +327,125 @@ object Anomaly {
       .drop("__xl", "__phi", "__c", "__std")
   }
 
+  /** Elliptic (robust Mahalanobis) boundary — ref anomaly_manager.py:221
+    * ocsvm_detection (the reference wraps sklearn OneClassSVM; the
+    * engine-native stand-in is the classic elliptic-envelope decision
+    * boundary, the same role the AR(1) closed form plays for ARIMA).
+    * The 2-D squared Mahalanobis distance on standardized coordinates,
+    *   md2 = (zx^2 - 2*rho*zx*zy + zy^2) / (1 - rho^2),
+    * comes from ONE decimal-exact moment pass (n, sums, cross-moments)
+    * broadcast back; the boundary is the (1-nu) exact quantile of the
+    * rounded distances (OneClassSVM's nu = the trained outlier
+    * fraction), a second 1-row broadcast. Rows strictly beyond the
+    * boundary flag. Degenerate inputs (zero variance on either axis,
+    * |rho| = 1) yield null md2 and flag nothing. The fact table never
+    * shuffles; both aggregation passes are map-side partial. Keep the
+    * operand ORDER mirrored in the SQL oracle.
+    */
+  def ellipticBoundary(df: DataFrame, xCol: String, yCol: String,
+                       nu: Double = 0.1, scale: Int = 6): DataFrame = {
+    require(nu > 0.0 && nu < 1.0, "nu must be in (0, 1)")
+    val x = col(xCol); val y = col(yCol)
+    val stats = df.agg(
+      count(lit(1)).cast("double").as("__n"),
+      Det.sumAt(x, scale).as("__sx"),
+      Det.sumAt(y, scale).as("__sy"),
+      Det.sumAt(x * x, scale).as("__sxx"),
+      Det.sumAt(y * y, scale).as("__syy"),
+      Det.sumAt(x * y, scale).as("__sxy"))
+    val vxDen = col("__n") * col("__sxx") - col("__sx") * col("__sx")
+    val vyDen = col("__n") * col("__syy") - col("__sy") * col("__sy")
+    // Every divisor that can be zero on degenerate input is wrapped
+    // when(d =!= 0, d) — null divisor → null result. A plain outer
+    // CASE guard is NOT enough under ANSI mode: common-subexpression
+    // elimination hoists the shared zx/zy divisions out of the THEN
+    // branch and evaluates them unconditionally. Values on the
+    // non-degenerate path are bit-identical (the oracle keeps plain
+    // guarded divisions — its CASE evaluates lazily).
+    def nz(c: Column): Column = when(c =!= 0.0, c)
+    val rhoDen = sqrt(vxDen) * sqrt(vyDen)
+    val rho = (col("__n") * col("__sxy") - col("__sx") * col("__sy")) / nz(rhoDen)
+    // standardized coords: z = (v - s/n) / sqrt((s2 - s*s/n) / n)
+    // (population scaling — the reference's StandardScaler is ddof=0)
+    val zx = (x - col("__sx") / col("__n")) /
+      nz(sqrt((col("__sxx") - col("__sx") * col("__sx") / col("__n")) / col("__n")))
+    val zy = (y - col("__sy") / col("__n")) /
+      nz(sqrt((col("__syy") - col("__sy") * col("__sy") / col("__n")) / col("__n")))
+    val md2 = when(vxDen > 0.0 && vyDen > 0.0 && lit(1.0) - rho * rho =!= 0.0,
+      round((zx * zx - lit(2.0) * rho * zx * zy + zy * zy) / nz(lit(1.0) - rho * rho), 6))
+    val scored = df.crossJoin(broadcast(stats))
+      .withColumn("md2", md2)
+      .drop("__n", "__sx", "__sy", "__sxx", "__syy", "__sxy")
+    // exact interpolated quantile of the 6-dp-rounded distances, itself
+    // rounded — the strict > comparison then resolves identically on
+    // both engines even when the boundary lands exactly on a data value
+    val q = 1.0 - nu
+    val thr = scored.agg(
+      round(expr(s"percentile(md2, ${q}D)"), 6).as("__thr"))
+    scored.crossJoin(broadcast(thr))
+      .filter(col("md2") > col("__thr"))
+      .drop("__thr")
+  }
+
+  /** Trend + seasonality forecast-residual outliers — ref
+    * anomaly_manager.py:282 prophet_detection (the reference wraps
+    * Facebook Prophet; the engine-native stand-in is the same additive
+    * decomposition in closed form: a per-series least-squares linear
+    * trend over `trendIndex` plus a per-(series, season) additive
+    * component of the detrended values — Holt-Winters-style — with
+    * rows flagged when the forecast residual's z-score within its
+    * series exceeds `threshold`, exactly the reference's residual
+    * rule).
+    *
+    * Three aggregation passes by construction (trend moments → seasonal
+    * means of detrended values → residual moments), every stats frame
+    * series-count-sized and broadcast back; the fact table never
+    * shuffles. All moments are decimal-exact, so the fit reproduces
+    * across engines and partitionings. A single-point or constant-index
+    * series degrades to slope 0 (the seasonal/z machinery still holds).
+    * Keep the operand ORDER mirrored in the SQL oracle.
+    */
+  def prophetResidual(df: DataFrame, column: String, trendIndex: Column,
+                      seasonKey: Column, partitionBy: Seq[String],
+                      threshold: Double = 3.0, scale: Int = 6): DataFrame = {
+    val y = col(column)
+    val keyed = df.withColumn("__x", trendIndex.cast("double"))
+      .withColumn("__season", seasonKey)
+    def joined(d: DataFrame, stats: DataFrame, cols: Seq[String]): DataFrame =
+      if (cols.isEmpty) d.crossJoin(broadcast(stats))
+      else d.join(broadcast(stats), cols)
+    val lin = keyed.groupBy(partitionBy.map(col): _*).agg(
+      count(lit(1)).cast("double").as("__n"),
+      Det.sumAt(col("__x"), scale).as("__sx"),
+      Det.sumAt(y, scale).as("__sy"),
+      Det.sumAt(col("__x") * col("__x"), scale).as("__sxx"),
+      Det.sumAt(y * col("__x"), scale).as("__sxy"))
+    val den = col("__n") * col("__sxx") - col("__sx") * col("__sx")
+    val fit = lin
+      .withColumn("__slope", when(den =!= 0.0,
+        (col("__n") * col("__sxy") - col("__sx") * col("__sy")) / den)
+        .otherwise(lit(0.0)))
+      .withColumn("__c", (col("__sy") - col("__slope") * col("__sx")) / col("__n"))
+      .select(partitionBy.map(col) :+ col("__slope") :+ col("__c"): _*)
+    val detr = joined(keyed, fit, partitionBy)
+      .withColumn("__r", y - col("__c") - col("__slope") * col("__x"))
+    val seas = detr.groupBy((partitionBy :+ "__season").map(col): _*)
+      .agg(Det.meanAt(col("__r"), scale).as("__ms"))
+    val withResid = joined(detr, seas, partitionBy :+ "__season")
+      .withColumn("__resid", col("__r") - col("__ms"))
+    // safe stddev: a one-row series must yield a null scale (flagging
+    // nothing), not an ANSI divide-by-zero error
+    val rstats = withResid.groupBy(partitionBy.map(col): _*).agg(
+      Det.meanAt(col("__resid"), scale).as("__rm"),
+      Det.stddevSafeAt(col("__resid"), scale).as("__rsd"))
+    joined(withResid, rstats, partitionBy)
+      .withColumn("z", round(when(col("__rsd") =!= 0.0,
+        abs(col("__resid") - col("__rm")) / col("__rsd")), 6))
+      .filter(col("z") > threshold)
+      .withColumnRenamed("__season", "season")
+      .drop("__x", "__slope", "__c", "__r", "__ms", "__resid", "__rm", "__rsd")
+  }
+
   /** Ensemble vote — ref anomaly_manager.py:335-360: a row is anomalous
     * when at least `minVotes` detectors flagged it. Each input frame
     * needs `keyCols`; `confCol` (per-frame confidence column) feeds the

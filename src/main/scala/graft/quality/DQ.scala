@@ -58,6 +58,21 @@ object DQ {
     def violation: Column = col(column).isNotNull && !col(column).rlike(pattern)
   }
 
+  /** ref dq_rule_examples.py:592 check_phone_format — convenience alias
+    * over [[RegexMatch]] carrying the reference's patterns: the NANP
+    * shape for countryCode "US", its generic digits/space/dash/parens
+    * pattern for anything else.
+    */
+  object PhoneFormat {
+    private[quality] val usPattern =
+      "^\\+?1?[-.\\s]?\\(?([0-9]{3})\\)?[-.\\s]?([0-9]{3})[-.\\s]?([0-9]{4})$"
+    private[quality] val genericPattern = "^\\+?[0-9\\s\\-\\(\\)]+$"
+    def apply(id: String, column: String, countryCode: String = "US",
+              maxViolationPct: Double = 0.0): RegexMatch =
+      RegexMatch(id, column,
+        if (countryCode == "US") usPattern else genericPattern, maxViolationPct)
+  }
+
   /** ref dq_rule_examples.py: check_allowed_values. */
   final case class AllowedValues(id: String, column: String, values: Seq[String],
                                  maxViolationPct: Double = 0.0) extends Rule {
@@ -399,11 +414,20 @@ object DQ {
     * (the totals frame is 1 row; the grouped frame never re-shuffles).
     * `counts` feeds both the totals agg and the join, with different
     * columns pruned on each side, which defeats ReuseExchange — the
-    * persist collapses the two grouped-aggregation runs into one
-    * (session-scoped contract, released via GraftSession.releaseAll).
+    * persist collapses the two grouped-aggregation runs into one.
+    *
+    * Leak bound for callers outside the harness's releaseAll contract
+    * (e.g. repeated entropy/keySkew calls in a notebook): each call
+    * releases the PREVIOUS call's persisted counts frame, so at most
+    * one is ever live per JVM. If a caller materializes an older
+    * profile frame after a newer call, the counts agg recomputes —
+    * a performance, never a correctness, difference.
     */
+  private val lastTotalsCache =
+    new java.util.concurrent.atomic.AtomicReference[DataFrame](null)
   private def withBroadcastTotals(counts: DataFrame, totals: Column*): DataFrame = {
     val c = counts.persist()
+    Option(lastTotalsCache.getAndSet(c)).foreach(_.unpersist(blocking = false))
     c.crossJoin(broadcast(c.agg(totals.head, totals.tail: _*)))
   }
 

@@ -203,11 +203,16 @@ object RestSource {
 /** NoSQL source config — ref nosql_connector.py:17-240 (MongoDB /
   * Cassandra / DynamoDB client code). The respective Spark connectors
   * own distribution and filter pushdown; their driver jars are not
-  * bundled here, so this builds the reader configuration the same way
-  * [[JdbcSource]] does for relational — `.load()` is the caller's step
-  * in an environment with the connector on the classpath.
+  * bundled here, so for those kinds this builds the reader
+  * configuration the same way [[JdbcSource]] does for relational —
+  * `.load()` is the caller's step in an environment with the connector
+  * on the classpath. Kind `memory` routes through the bundled
+  * [[KvSource]] DSv2 provider (an in-JVM document store), which proves
+  * the whole config → scan → pushdown → partitioned-read contract
+  * live, without external jars — the same role embedded Derby plays
+  * for the JDBC family.
   */
-final case class NoSqlSource(kind: String, // mongodb | cassandra | dynamodb
+final case class NoSqlSource(kind: String, // mongodb | cassandra | dynamodb | memory
                              uri: String = "",
                              database: String = "",
                              collection: String = "",
@@ -216,6 +221,7 @@ final case class NoSqlSource(kind: String, // mongodb | cassandra | dynamodb
     case "mongodb"   => "mongodb"
     case "cassandra" => "org.apache.spark.sql.cassandra"
     case "dynamodb"  => "dynamodb"
+    case "memory"    => classOf[KvSource].getName
     case other       => throw new IllegalArgumentException(s"unsupported NoSQL kind: $other")
   }
 
@@ -230,6 +236,9 @@ final case class NoSqlSource(kind: String, // mongodb | cassandra | dynamodb
     case "dynamodb" => Map(
       "tableName" -> collection,
       "region" -> region)
+    case "memory" => Map(
+      "database" -> database,
+      "collection" -> collection)
     case other => throw new IllegalArgumentException(s"unsupported NoSQL kind: $other")
   }
 

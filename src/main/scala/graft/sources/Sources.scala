@@ -28,31 +28,27 @@ object FileSource {
     */
   def read(spark: SparkSession, format: String, path: String,
            schema: Option[StructType] = None,
-           options: Map[String, String] = Map.empty): DataFrame = {
-    val fmt = normalize(format)
-    val defaults = fmt match {
-      case "xml" => Map("rowTag" -> "ROW")
-      case _     => Map.empty[String, String]
+           options: Map[String, String] = Map.empty): DataFrame =
+    format.toLowerCase match {
+      // ref file_connector.py:78 reads xlsx via openpyxl; here the
+      // bundled native reader (graft.sources.Excel) covers interchange
+      // sheets — for full-fidelity spreadsheets (date formats,
+      // formulas, multi-sheet) add com.crealytics:spark-excel on a
+      // cluster with egress and use format "excel" directly.
+      case "excel" | "xlsx" =>
+        Excel.read(spark, path, schema,
+          header = options.getOrElse("header", "true").toBoolean)
+      case fmt =>
+        val defaults = fmt match {
+          case "xml" => Map("rowTag" -> "ROW")
+          case _     => Map.empty[String, String]
+        }
+        val base: DataFrameReader = spark.read.format(fmt).options(defaults ++ options)
+        val withSchema = schema.fold(
+          if (fmt == "csv") base.option("header", "true").option("inferSchema", "true")
+          else base)(s => base.schema(s))
+        withSchema.load(path)
     }
-    val base: DataFrameReader = spark.read.format(fmt).options(defaults ++ options)
-    val withSchema = schema.fold(
-      if (fmt == "csv") base.option("header", "true").option("inferSchema", "true")
-      else base)(s => base.schema(s))
-    withSchema.load(path)
-  }
-
-  private def normalize(format: String): String = format.toLowerCase match {
-    case "excel" | "xlsx" =>
-      // ref file_connector.py:78 reads xlsx via openpyxl; the Spark
-      // equivalent is the com.crealytics:spark-excel datasource
-      // (format "excel", options header/dataAddress), not bundled in
-      // this build — fail with the recipe instead of a misleading
-      // "class not found" later.
-      throw new IllegalArgumentException(
-        "excel needs the external com.crealytics:spark-excel datasource: " +
-          """spark.read.format("excel").option("header","true").load(path)""")
-    case f => f
-  }
 }
 
 object FileSink {
@@ -66,11 +62,19 @@ object FileSink {
             mode: String = "overwrite", partitionBy: Seq[String] = Nil,
             options: Map[String, String] = Map.empty): Unit = {
     val fmt = format.toLowerCase
-    val defaults =
-      if (fmt == "xml") Map("rowTag" -> "ROW") // required by the XML datasource; matches FileSource's read default
-      else Map.empty[String, String]
-    val w = df.write.format(fmt).mode(mode).options(defaults ++ options)
-    (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).save(path)
+    if (fmt == "excel" || fmt == "xlsx") {
+      // single-workbook write (the format's own row cap bounds it);
+      // partitioned/sharded spreadsheet exports are not a thing
+      require(partitionBy.isEmpty, "xlsx write does not support partitionBy")
+      Excel.write(df, if (path.toLowerCase.endsWith(".xlsx")) path
+        else s"$path/part-00000.xlsx")
+    } else {
+      val defaults =
+        if (fmt == "xml") Map("rowTag" -> "ROW") // required by the XML datasource; matches FileSource's read default
+        else Map.empty[String, String]
+      val w = df.write.format(fmt).mode(mode).options(defaults ++ options)
+      (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).save(path)
+    }
   }
 
   /** Bucketed (and optionally sorted) managed-table write. Two tables

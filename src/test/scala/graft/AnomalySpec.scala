@@ -180,4 +180,54 @@ class AnomalySpec extends SparkSpec {
       .select("id").as[Long].collect()
     assert(hits.toSeq == Seq(21L))
   }
+
+  test("ellipticBoundary flags correlation-breaking points a per-axis screen misses") {
+    // tight y = 2x band: (30, 20) is inside both marginal ranges but far
+    // off the ellipse axis; nu = 0.05 puts the boundary outside the band
+    val pts = (1 to 100).map(i => (i.toLong, i * 0.5, i * 1.0 + (i % 7) * 0.05)) :+
+      ((999L, 30.0, 20.0))
+    val df2 = pts.toDF("id", "x", "y")
+    val r = Anomaly.ellipticBoundary(df2, "x", "y", nu = 0.05)
+    val ids = r.select("id").as[Long].collect()
+    assert(ids.contains(999L), s"planted off-axis point not flagged: ${ids.toSeq}")
+    // nu bounds the flagged fraction: strictly-beyond-quantile can only
+    // flag at most nu of the rows (ties fall inside)
+    assert(ids.length <= math.ceil(pts.size * 0.05).toInt + 1)
+    assert(r.columns.contains("md2"))
+    // determinism across invocations
+    val again = Anomaly.ellipticBoundary(df2, "x", "y", nu = 0.05)
+      .select("id").as[Long].collect()
+    assert(ids.sorted.toSeq == again.sorted.toSeq)
+  }
+
+  test("ellipticBoundary degenerate axes flag nothing") {
+    val flat = (1 to 50).map(i => (i.toLong, 1.0, i * 1.0)).toDF("id", "x", "y")
+    assert(Anomaly.ellipticBoundary(flat, "x", "y", nu = 0.1).count() == 0L)
+  }
+
+  test("prophetResidual flags the planted break from a clean trend+season series") {
+    // series: value = 10 + 0.5*day + season bump, one corrupted row
+    val rows = for (day <- 0 until 30; s <- 0 until 4) yield {
+      val id = day * 4 + s
+      val v = 10.0 + 0.5 * day + (if (s == 0) 5.0 else 0.0) + (id % 3) * 0.01
+      (id.toLong, 1L, day, s, if (id == 57) v + 40.0 else v)
+    }
+    val df2 = rows.toDF("id", "series", "day", "s", "v")
+    val hits = Anomaly.prophetResidual(df2, "v", col("day"), col("s"),
+        Seq("series"), threshold = 3.0)
+      .select("id").as[Long].collect()
+    assert(hits.toSeq == Seq(57L), s"got ${hits.toSeq}")
+    // a clean series (no planted break) stays quiet at the same gate
+    val clean = df2.filter(col("id") =!= 57L)
+    assert(Anomaly.prophetResidual(clean, "v", col("day"), col("s"),
+      Seq("series"), threshold = 3.0).count() == 0L)
+  }
+
+  test("prophetResidual survives constant-index and single-row series") {
+    val df2 = Seq((1L, 1L, 5, 0, 2.0), (2L, 1L, 5, 1, 2.1), (3L, 2L, 9, 0, 7.0))
+      .toDF("id", "series", "day", "s", "v")
+    // slope degenerates to 0; must not throw or divide by zero
+    assert(Anomaly.prophetResidual(df2, "v", col("day"), col("s"),
+      Seq("series"), threshold = 3.0).count() == 0L)
+  }
 }

@@ -1,0 +1,43 @@
+package graft
+
+/** Harness plumbing: TempDirs scratch-dir lifecycle and the bench's
+  * plan fingerprinting (both exist so the DRIVER's artifacts stay
+  * diagnosable — regressions here corrupt round-over-round evidence,
+  * not query results).
+  */
+class HarnessSpec extends SparkSpec {
+
+  test("TempDirs sweeps every registered dir except the newest") {
+    val a = TempDirs.register(java.nio.file.Files.createTempDirectory("graft_td_a"))
+    val b = TempDirs.register(java.nio.file.Files.createTempDirectory("graft_td_b"))
+    assert(a.toFile.exists && b.toFile.exists)
+    TempDirs.sweep()
+    // a (and anything older from other specs) is reclaimed; the newest
+    // registration survives — it may back a live lazily-read frame
+    assert(!a.toFile.exists, "older scratch dir should be deleted by sweep")
+    assert(b.toFile.exists, "newest scratch dir must survive sweep")
+    assert(TempDirs.pending == 1)
+    // repeated invocations stay bounded: register N more, sweep → 1
+    val more = (1 to 5).map(i =>
+      TempDirs.register(java.nio.file.Files.createTempDirectory(s"graft_td_$i")))
+    TempDirs.sweep()
+    assert(TempDirs.pending == 1)
+    assert(more.init.forall(!_.toFile.exists) && more.last.toFile.exists)
+  }
+
+  test("Bench.planFingerprint ignores run-varying ids, catches plan changes") {
+    val p1 = "Project [l_orderkey#123L, sum#456]\n+- *(2) Filter (l_qty#12 > 5)"
+    val p2 = "Project [l_orderkey#987L, sum#12]\n+- *(4) Filter (l_qty#77 > 5)"
+    assert(Bench.planFingerprint(p1) == Bench.planFingerprint(p2),
+      "exprId / codegen-stage renumbering must not change the fingerprint")
+    val p3 = "Project [l_orderkey#1L]\n+- *(2) Filter (l_qty#12 > 6)"
+    assert(Bench.planFingerprint(p1) != Bench.planFingerprint(p3),
+      "a genuinely different plan must fingerprint differently")
+  }
+
+  test("Bench.planFingerprint is stable for the same query planned twice") {
+    def plan(): String = table("orders").groupBy("o_orderstatus").count()
+      .queryExecution.executedPlan.toString
+    assert(Bench.planFingerprint(plan()) == Bench.planFingerprint(plan()))
+  }
+}

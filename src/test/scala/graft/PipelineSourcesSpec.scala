@@ -180,17 +180,67 @@ class PipelineSourcesSpec extends SparkSpec {
     assert(a == b)
   }
 
-  test("unsupported file formats are rejected with a clear error") {
-    // excel (ref file_connector.py:83) needs an external datasource jar
-    // this zero-egress build can't ship; the contract is a fail-fast
-    // error that names the package and carries the working read recipe
-    for (fmt <- Seq("excel", "xlsx", "EXCEL")) {
-      val e = intercept[IllegalArgumentException](
-        FileSource.read(spark, fmt, "/tmp/whatever"))
-      assert(e.getMessage.contains("com.crealytics:spark-excel"))
-      assert(e.getMessage.contains("""spark.read.format("excel")"""))
-      assert(e.getMessage.contains("""option("header","true")"""))
+  test("xlsx roundtrip preserves numerics, strings, booleans, and nulls") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_xlsx_spec").toString
+    val df = Seq(
+      (1L, Option("plain"), Option(1.5), Option(true)),
+      (2L, Option("<&> \"escaped\"\nline"), Option(-2.25), Option(false)),
+      (3L, None, None, None)
+    ).toDF("id", "s", "d", "b")
+    FileSink.write(df, "excel", dir)
+    val back = FileSource.read(spark, "xlsx", dir, Some(df.schema))
+    // names+types roundtrip; nullability is always true after the cast
+    assert(back.schema.map(f => (f.name, f.dataType)) ==
+      df.schema.map(f => (f.name, f.dataType)))
+    val got = back.orderBy("id").collect().map(_.toSeq).toSeq
+    assert(got == df.orderBy("id").collect().map(_.toSeq).toSeq)
+    // without a schema: all-string columns named from the header row
+    val untyped = FileSource.read(spark, "excel", dir)
+    assert(untyped.columns.toSeq == Seq("id", "s", "d", "b"))
+    assert(untyped.schema.fields.forall(_.dataType == StringType))
+    assert(untyped.count() == 3)
+  }
+
+  test("xlsx reader resolves sharedStrings cells (Excel-written workbooks)") {
+    // hand-built workbook in the layout real Excel emits: values in
+    // xl/sharedStrings.xml, cells typed t="s" — our writer never emits
+    // this shape, so it pins reader coverage beyond self-roundtrips
+    val dir = Files.createTempDirectory("graft_xlsx_sst")
+    val file = new java.io.File(dir.toFile, "book.xlsx")
+    val zout = new java.util.zip.ZipOutputStream(new java.io.FileOutputStream(file))
+    def put(name: String, content: String): Unit = {
+      zout.putNextEntry(new java.util.zip.ZipEntry(name))
+      zout.write(content.getBytes("UTF-8")); zout.closeEntry()
     }
+    put("[Content_Types].xml", "<Types/>")
+    put("xl/sharedStrings.xml",
+      """<sst xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main" count="3" uniqueCount="3">
+        |<si><t>name</t></si><si><t>qty</t></si><si><r><t>wid</t></r><r><t>get</t></r></si>
+        |</sst>""".stripMargin)
+    put("xl/worksheets/sheet1.xml",
+      """<worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"><sheetData>
+        |<row r="1"><c r="A1" t="s"><v>0</v></c><c r="B1" t="s"><v>1</v></c></row>
+        |<row r="2"><c r="A2" t="s"><v>2</v></c><c r="B2"><v>7</v></c></row>
+        |<row r="3"><c r="B3"><v>9</v></c></row>
+        |</sheetData></worksheet>""".stripMargin)
+    zout.close()
+    val got = graft.sources.Excel.read(spark, dir.toString)
+      .orderBy("qty").collect().map(_.toSeq).toSeq
+    // multi-run <si> concatenates; missing A3 cell reads as null
+    assert(got == Seq(Seq("widget", "7"), Seq(null, "9")))
+  }
+
+  test("xlsx write refuses partitionBy; format errors stay clear") {
+    import spark.implicits._
+    val df = Seq((1, "a")).toDF("k", "v")
+    val e = intercept[IllegalArgumentException](
+      FileSink.write(df, "excel", "/tmp/whatever_xlsx", partitionBy = Seq("k")))
+    assert(e.getMessage.contains("partitionBy"))
+    val e2 = intercept[Exception](
+      FileSource.read(spark, "xlsx", "/tmp/definitely_missing_dir_xlsx"))
+    assert(e2.getMessage.contains("no .xlsx files") ||
+      e2.getMessage.toLowerCase.contains("not exist"))
   }
 
   test("JdbcSource builds partitioned-read options") {

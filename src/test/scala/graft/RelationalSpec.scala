@@ -234,6 +234,39 @@ class RelationalSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("componentLabelsStar converges on a 100-deep chain (log rounds, not diameter)") {
+    // propagation at default maxIters=20 would refuse this graph; the
+    // alternating star algorithm needs only O(log n) rounds
+    val edges = (0 until 100).map(i => (i.toLong, i + 1L)).toDF("s", "d")
+    val r = graft.llm.Dedup.componentLabelsStar(edges, "s", "d")
+      .as[(Long, Long)].collect()
+    assert(r.length == 101 && r.forall(_._2 == 0L))
+  }
+
+  test("componentLabelsStar matches componentLabels on a random graph") {
+    val rnd = new scala.util.Random(11)
+    val n = 40
+    val edges = Seq.fill(30)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+      .filter { case (a, b) => a != b }.toDF("s", "d")
+    val prop = graft.llm.Dedup.componentLabels(edges, "s", "d")
+      .as[(Long, Long)].collect().toMap
+    val star = graft.llm.Dedup.componentLabelsStar(edges, "s", "d")
+      .as[(Long, Long)].collect().toMap
+    assert(star == prop)
+  }
+
+  test("componentLabelsStar handles self-loops, singleton pairs, and releases checkpoints") {
+    GraftSession.releaseAll(spark)
+    val edges = Seq((5L, 5L), (1L, 2L), (7L, 7L)).toDF("s", "d")
+    val r = graft.llm.Dedup.componentLabelsStar(edges, "s", "d")
+    val got = r.as[(Long, Long)].collect().toMap
+    assert(got == Map(5L -> 5L, 1L -> 1L, 2L -> 1L, 7L -> 7L))
+    // superseded rounds released eagerly; only the final frame may live
+    assert(spark.sparkContext.getPersistentRDDs.size <= 1,
+      s"leaked checkpoints: ${spark.sparkContext.getPersistentRDDs.size}")
+    GraftSession.releaseAll(spark)
+  }
+
   test("collapseNearDups keeps singletons and one representative per cluster") {
     val df = Seq((1L, "x"), (2L, "y"), (3L, "z"), (9L, "solo")).toDF("id", "v")
     val pairs = Seq((1L, 2L), (2L, 3L)).toDF("id_a", "id_b")

@@ -166,4 +166,46 @@ class RestSourceSpec extends SparkSpec with org.scalatest.BeforeAndAfterAll {
     // reader() composes without a live cluster (.load() is the caller's step)
     assert(mongo.reader(spark) != null)
   }
+
+  test("NoSqlSource memory kind round-trips through the DSv2 KvSource live") {
+    import spark.implicits._
+    import graft.sources.KvStore
+    val df = (1 to 40).map(i =>
+      (i.toLong, s"doc_$i", i * 1.5, if (i % 5 == 0) null else s"tag${i % 3}"))
+      .toDF("id", "name", "score", "tag")
+    KvStore.put("db1", "docs", df)
+    try {
+      val src = NoSqlSource("memory", database = "db1", collection = "docs")
+      // full read: schema inferred from the store, all rows, 4 shards
+      val all = src.reader(spark).load()
+      assert(all.schema.fieldNames.toSeq == Seq("id", "name", "score", "tag"))
+      assert(all.count() == 40)
+      assert(all.rdd.getNumPartitions == 4)
+
+      // filter pushdown: supported predicates reach the store scan and
+      // cut the rows crossing the source boundary
+      KvStore.emitted.set(0)
+      val picked = src.reader(spark).load()
+        .filter($"id" > 30L && $"tag".isNotNull)
+        .select("id", "score")
+      // sort driver-side: an orderBy adds a range-partitioning sampling
+      // job that scans the source a second time and doubles `emitted`
+      val got = picked.as[(Long, Double)].collect().sortBy(_._1)
+      assert(got.map(_._1).toSeq == (31 to 40).filter(_ % 5 != 0).map(_.toLong))
+      assert(got.forall { case (id, s) => s == id * 1.5 })
+      assert(KvStore.lastPushed.map(_.getClass.getSimpleName).toSet
+        .contains("GreaterThan"))
+      assert(KvStore.emitted.get() == 8,
+        s"pushdown should emit 8 rows from the store, saw ${KvStore.emitted.get()}")
+      // column pruning reached the scan: projected+filter columns only,
+      // never the untouched 'name'
+      assert(KvStore.lastRequired.contains("id") &&
+        !KvStore.lastRequired.contains("name"),
+        s"pruned to ${KvStore.lastRequired}")
+
+      // unsupported predicates stay with Spark as residual, results stay right
+      val like = src.reader(spark).load().filter($"name".endsWith("_7"))
+      assert(like.select("id").as[Long].collect().toSeq == Seq(7L))
+    } finally KvStore.drop("db1", "docs")
+  }
 }
