@@ -211,6 +211,24 @@ object QueriesDQ {
       DQ.quantileProfile(t(s, dir, "lineitem"),
         Seq("l_quantity", "l_extendedprice"), approx = true,
         accuracy = 10000000)
+    }),
+
+    // bounded-memory EXACT quantiles (functions.Quantiles.exactQuantile:
+    // GK-sketch bracket → exact rank count → sliver-only sort; same
+    // value as native percentile without its buffer-everything single
+    // reducer). Probed over ties-heavy (l_quantity, l_discount) and
+    // high-cardinality (l_extendedprice) columns + a tail quantile.
+    "q_dq_quantile_bounded" -> ((s, dir) => {
+      import graft.functions.Quantiles
+      val li = t(s, dir, "lineitem")
+      val probes = Seq(
+        ("l_quantity", 0.25), ("l_discount", 0.9),
+        ("l_extendedprice", 0.5), ("l_extendedprice", 0.99))
+      val rows = probes.map { case (c, q) =>
+        (c, q, Quantiles.exactQuantile(li, c, q).get)
+      }
+      import s.implicits._
+      rows.toDF("colname", "q", "value")
     })
   )
 
@@ -589,6 +607,17 @@ object QueriesDQ {
          |SELECT 'overall', COUNT(*), CAST(SUM(CASE WHEN passed THEN 1 ELSE 0 END) AS BIGINT),
          |       SUM(CASE WHEN passed THEN 1 ELSE 0 END)*100.0/COUNT(*)
          |FROM r""".stripMargin
+    },
+
+    "q_dq_quantile_bounded" -> {
+      // quantile_cont == Spark percentile's linear interpolation; the
+      // bounded path returns the identical exact value by construction
+      Seq(("l_quantity", 0.25), ("l_discount", 0.9),
+          ("l_extendedprice", 0.5), ("l_extendedprice", 0.99)).map { case (c, q) =>
+        s"""SELECT '$c' AS colname, CAST($q AS DOUBLE) AS q,
+           |CAST(quantile_cont(CAST($c AS DOUBLE), $q) AS DOUBLE) AS value
+           |FROM lineitem""".stripMargin
+      }.mkString("\nUNION ALL\n")
     }
   )
 }

@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{col, substring}
 
 import graft.operators.Ops
 import graft.pipeline.Pipeline
@@ -67,6 +68,21 @@ object QueriesPipeline {
           |GROUP BY c_mktsegment, o_orderstatus""".stripMargin)
     }),
 
+    // versioned schema migration applied to the data frame — ref
+    // schema_manager.py:224 apply_migration (rename + derived column +
+    // type tighten + drop, one narrow projection)
+    "q_schema_migrate" -> ((s, dir) => {
+      import graft.Schemas._
+      applyMigration(
+        t(s, dir, "orders").select(
+          "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "o_orderpriority"),
+        Migration("v2", "analytics-facing orders layout", Seq(
+          RenameColumn("o_totalprice", "price"),
+          AddColumn("priority_code", substring(col("o_orderpriority"), 1, 1)),
+          CastColumn("o_custkey", org.apache.spark.sql.types.StringType),
+          DropColumn("o_orderpriority"))))
+    }),
+
     // csv write → read roundtrip (schema pinned, no inference scan)
     "q_src_csv" -> ((s, dir) => {
       val n = t(s, dir, "nation")
@@ -126,6 +142,11 @@ object QueriesPipeline {
         |COUNT(*) AS n
         |FROM lineitem WHERE l_quantity > 30
         |GROUP BY l_returnflag""".stripMargin,
+
+    "q_schema_migrate" ->
+      """SELECT o_orderkey, CAST(o_custkey AS VARCHAR) AS o_custkey, o_orderstatus,
+        |o_totalprice AS price, substring(o_orderpriority, 1, 1) AS priority_code
+        |FROM orders""".stripMargin,
 
     "q_src_csv" -> "SELECT * FROM nation",
     "q_src_excel" -> "SELECT * FROM nation",

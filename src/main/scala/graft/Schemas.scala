@@ -1,7 +1,8 @@
 package graft
 
-import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.types.{StructField, StructType}
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions.{col, lit}
+import org.apache.spark.sql.types.{DataType, StructField, StructType}
 
 /** Schema validation & evolution diff: the Spark-native re-expression
   * of the reference's `SchemaManager.validate_schema`
@@ -55,5 +56,113 @@ object Schemas {
   def compatible(expected: StructType, actual: StructType): Boolean = {
     val v = diff(expected, actual)
     v.removed.isEmpty && v.changed.isEmpty
+  }
+
+  // -------------------------------------------------------------------
+  // Migrations — ref schema_manager.py:224 apply_migration /
+  // :262 rollback_migration. The reference runs versioned up_sql /
+  // down_sql DDL against its control-plane DB and records each applied
+  // version; on a lakehouse the table IS the data, so the engine-native
+  // equivalent applies typed steps to the frame as one narrow
+  // projection (no shuffle, whole-stage codegen'd, any scale) and
+  // derives the rollback mechanically instead of trusting
+  // author-written down_sql.
+  // -------------------------------------------------------------------
+
+  /** One schema-evolution step. Rollback derivation: AddColumn ⇄ drop,
+    * RenameColumn ⇄ reverse rename, CastColumn ⇄ cast back to the type
+    * recorded from the pre-migration schema. DropColumn is the one
+    * data-lossy step — its rollback restores the column's NAME and
+    * TYPE (as nulls) so downstream readers keep working, which is also
+    * all the reference's `DROP COLUMN` down_sql can promise without a
+    * backup table.
+    */
+  sealed trait MigrationStep
+  final case class AddColumn(name: String, value: Column) extends MigrationStep
+  final case class DropColumn(name: String) extends MigrationStep
+  final case class RenameColumn(from: String, to: String) extends MigrationStep
+  final case class CastColumn(name: String, to: DataType) extends MigrationStep
+
+  final case class Migration(version: String, description: String,
+                             steps: Seq[MigrationStep])
+
+  /** Applied-version ledger — the reference's schema_version table
+    * (schema_manager.py:_record_schema_version). Records the
+    * PRE-migration schema per version, which is what makes rollback
+    * mechanical. Thread-safe; one per logical dataset.
+    */
+  final class MigrationLedger {
+    private val applied =
+      scala.collection.mutable.LinkedHashMap[String, (Migration, StructType)]()
+    def isApplied(version: String): Boolean = synchronized(applied.contains(version))
+    private[Schemas] def record(m: Migration, before: StructType): Unit =
+      synchronized { applied += m.version -> ((m, before)); () }
+    private[Schemas] def get(version: String): Option[(Migration, StructType)] =
+      synchronized(applied.get(version))
+    private[Schemas] def remove(version: String): Unit =
+      synchronized { applied -= version; () }
+    def history: Seq[(String, String)] =
+      synchronized(applied.values.map(v => (v._1.version, v._1.description)).toSeq)
+  }
+
+  private def applyStep(df: DataFrame, s: MigrationStep): DataFrame = s match {
+    case AddColumn(n, v) =>
+      require(!df.columns.contains(n), s"AddColumn: $n already exists")
+      df.withColumn(n, v)
+    case DropColumn(n) =>
+      require(df.columns.contains(n), s"DropColumn: no column $n")
+      df.drop(n)
+    case RenameColumn(f, t) =>
+      require(df.columns.contains(f), s"RenameColumn: no column $f")
+      require(!df.columns.contains(t), s"RenameColumn: $t already exists")
+      df.withColumnRenamed(f, t)
+    case CastColumn(n, to) =>
+      require(df.columns.contains(n), s"CastColumn: no column $n")
+      df.withColumn(n, col(n).cast(to))
+  }
+
+  /** Apply a migration's steps in order. Already-applied versions are
+    * skipped unchanged (the reference's idempotence contract,
+    * schema_manager.py:237). The pre-migration schema is recorded in
+    * the ledger for [[rollbackMigration]].
+    */
+  def applyMigration(df: DataFrame, m: Migration,
+                     ledger: MigrationLedger = new MigrationLedger): DataFrame = {
+    if (ledger.isApplied(m.version)) df
+    else {
+      val before = df.schema
+      val out = m.steps.foldLeft(df)(applyStep)
+      ledger.record(m, before)
+      out
+    }
+  }
+
+  /** Mechanically invert an applied migration: steps reversed, each
+    * step inverted against the recorded pre-migration schema. The
+    * result's schema equals the pre-migration schema (dropped columns
+    * come back as typed nulls — see [[DropColumn]]); the version is
+    * removed from the ledger.
+    */
+  def rollbackMigration(df: DataFrame, version: String,
+                        ledger: MigrationLedger): DataFrame = {
+    val (m, before) = ledger.get(version).getOrElse(
+      throw new IllegalArgumentException(
+        s"migration $version is not recorded as applied — nothing to roll back"))
+    val byName = before.fields.map(f => f.name -> f).toMap
+    def typeOf(n: String): DataType = byName.getOrElse(n,
+      throw new IllegalStateException(
+        s"rollback of $version: column $n absent from the recorded schema")).dataType
+    val out = m.steps.reverse.foldLeft(df) { (d, s) =>
+      s match {
+        case AddColumn(n, _)    => applyStep(d, DropColumn(n))
+        case DropColumn(n)      => applyStep(d, AddColumn(n, lit(null).cast(typeOf(n))))
+        case RenameColumn(f, t) => applyStep(d, RenameColumn(t, f))
+        case CastColumn(n, _)   => applyStep(d, CastColumn(n, typeOf(n)))
+      }
+    }
+    ledger.remove(version)
+    // restore the original column ORDER too — rollback means the
+    // pre-migration reader contract holds verbatim
+    out.select(before.fieldNames.map(col).toIndexedSeq: _*)
   }
 }

@@ -239,4 +239,28 @@ class DQSpec extends SparkSpec {
       .as[(String, Long, Double, Double)].collect().toSeq
     assert(top == Seq(("hot", 6L, 0.6, 1.8), ("warm", 3L, 0.3, 0.9)))
   }
+
+  test("exactQuantile matches native percentile bit-for-bit on every path") {
+    import graft.functions.Quantiles.exactQuantile
+    val rng = new scala.util.Random(42)
+    // continuous, ties-heavy, and constant columns; interior nulls
+    val rows = (1 to 2000).map { i =>
+      (if (i % 17 == 0) None else Some(rng.nextGaussian() * 100),
+       (i % 7).toDouble, 5.0)
+    }
+    val df = rows.toDF("x", "ties", "const")
+    def native(c: String, q: Double): Double =
+      df.agg(expr(s"percentile($c, ${q}D)")).head().getDouble(0)
+    for (c <- Seq("x", "ties", "const");
+         q <- Seq(0.0, 0.01, 0.25, 0.5, 0.75, 0.9, 0.999, 1.0)) {
+      assert(exactQuantile(df, c, q).get == native(c, q), s"$c q=$q")
+      // a 1-value sketch bracket forces the rank-miss fallback path on
+      // most targets; the answer must not change
+      assert(exactQuantile(df, c, q, bracketEps = 0.0).get == native(c, q),
+        s"fallback $c q=$q")
+    }
+    // empty / all-null input → None (native percentile returns null)
+    assert(exactQuantile(df.filter(lit(false)), "x", 0.5).isEmpty)
+    assert(exactQuantile(df.filter(col("x").isNull), "x", 0.5).isEmpty)
+  }
 }

@@ -369,6 +369,40 @@ class PipelineSourcesSpec extends SparkSpec {
     assert(Schemas.compatible(v1, StructType(v1.fields :+ StructField("d", DateType))))
   }
 
+  test("Schemas migration applies versioned steps and rolls back mechanically") {
+    import Schemas._
+    val df = Seq((1L, "A", 10.5), (2L, "B", 20.0)).toDF("id", "status", "amount")
+    val m = Migration("v2", "rename amount, code column, tighten id", Seq(
+      RenameColumn("amount", "amount_usd"),
+      AddColumn("status_code", substring(col("status"), 1, 1)),
+      CastColumn("id", StringType),
+      DropColumn("status")))
+    val ledger = new MigrationLedger
+    val migrated = applyMigration(df, m, ledger)
+    assert(migrated.columns.toSeq == Seq("id", "amount_usd", "status_code"))
+    assert(migrated.schema("id").dataType == StringType)
+    assert(migrated.orderBy("id").collect().map(_.toSeq).toSeq ==
+      Seq(Seq("1", 10.5, "A"), Seq("2", 20.0, "B")))
+    assert(ledger.isApplied("v2") && ledger.history == Seq(("v2", m.description)))
+    // idempotence: re-applying a recorded version is a no-op
+    assert(applyMigration(migrated, m, ledger) eq migrated)
+    // rollback: schema (names, types, ORDER) returns to pre-migration;
+    // the dropped column's data is gone, so it comes back as typed nulls
+    val back = rollbackMigration(migrated, "v2", ledger)
+    assert(back.schema.fields.map(f => (f.name, f.dataType)).toSeq ==
+      df.schema.fields.map(f => (f.name, f.dataType)).toSeq)
+    assert(back.orderBy("id").collect().map(_.toSeq).toSeq ==
+      Seq(Seq(1L, null, 10.5), Seq(2L, null, 20.0)))
+    assert(!ledger.isApplied("v2"))
+    assertThrows[IllegalArgumentException](
+      rollbackMigration(migrated, "v2", ledger))
+    // guard rails: colliding/missing names fail loudly
+    assertThrows[IllegalArgumentException](
+      applyMigration(df, Migration("v3", "", Seq(AddColumn("id", lit(1))))))
+    assertThrows[IllegalArgumentException](
+      applyMigration(df, Migration("v4", "", Seq(DropColumn("nope")))))
+  }
+
   test("Lineage.fromPlan lists sources and referenced columns of a multi-join plan") {
     val df = SparkEntry.queries("q_join_multi")(spark, TestSession.sfDir)
     val info = Lineage.fromPlan(df)
