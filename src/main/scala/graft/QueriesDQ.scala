@@ -213,22 +213,29 @@ object QueriesDQ {
         accuracy = 10000000)
     }),
 
-    // bounded-memory EXACT quantiles (functions.Quantiles.exactQuantile:
+    // bounded-memory EXACT quantiles (functions.Quantiles.exactQuantiles:
     // GK-sketch bracket → exact rank count → sliver-only sort; same
-    // value as native percentile without its buffer-everything single
-    // reducer). Probed over ties-heavy (l_quantity, l_discount) and
-    // high-cardinality (l_extendedprice) columns + a tail quantile.
+    // values as native percentile without its buffer-everything single
+    // reducer — ALL probes fused into three shared scans). Probed over
+    // ties-heavy (l_quantity, l_discount) and high-cardinality
+    // (l_extendedprice) columns + a tail quantile.
     "q_dq_quantile_bounded" -> ((s, dir) => {
       import graft.functions.Quantiles
-      val li = t(s, dir, "lineitem")
       val probes = Seq(
         ("l_quantity", 0.25), ("l_discount", 0.9),
         ("l_extendedprice", 0.5), ("l_extendedprice", 0.99))
-      val rows = probes.map { case (c, q) =>
-        (c, q, Quantiles.exactQuantile(li, c, q).get)
-      }
+      val rows = Quantiles.exactQuantiles(t(s, dir, "lineitem"), probes)
+        .map { case ((c, q), res) => (c, q, res.get) }
       import s.implicits._
       rows.toDF("colname", "q", "value")
+    }),
+
+    // the full exact profile through the same bounded path — identical
+    // output contract (and oracle) as q_dq_quantiles, no single-reducer
+    // percentile buffering anywhere in the plan
+    "q_dq_quantiles_bounded" -> ((s, dir) => {
+      DQ.quantileProfileBounded(t(s, dir, "lineitem"),
+        Seq("l_quantity", "l_extendedprice"))
     })
   )
 
@@ -618,6 +625,17 @@ object QueriesDQ {
            |CAST(quantile_cont(CAST($c AS DOUBLE), $q) AS DOUBLE) AS value
            |FROM lineitem""".stripMargin
       }.mkString("\nUNION ALL\n")
+    },
+
+    "q_dq_quantiles_bounded" -> {
+      def side(c: String) =
+        s"""SELECT '$c' AS colname,
+           |CAST(quantile_cont($c, 0.25) AS DOUBLE) AS p25,
+           |CAST(quantile_cont($c, 0.50) AS DOUBLE) AS p50,
+           |CAST(quantile_cont($c, 0.75) AS DOUBLE) AS p75,
+           |CAST(quantile_cont($c, 0.95) AS DOUBLE) AS p95
+           |FROM lineitem""".stripMargin
+      side("l_quantity") + "\nUNION ALL\n" + side("l_extendedprice")
     }
   )
 }

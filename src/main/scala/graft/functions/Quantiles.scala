@@ -1,6 +1,6 @@
 package graft.functions
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -10,68 +10,154 @@ import org.apache.spark.sql.functions._
   * in the aggregation state and merges it onto one reducer — fine for
   * thousands of rows, a single-node bottleneck for billions (it is the
   * dominant cost wherever the DQ/anomaly family needs an exact
-  * boundary). [[exactQuantile]] returns the SAME exact interpolated
-  * value with a bounded plan:
+  * boundary). [[exactQuantiles]] returns the SAME exact interpolated
+  * values with a bounded plan, fusing ALL requested (column, q) probes
+  * into three full scans total (not per probe):
   *
-  *  1. bracket the target rank with `approx_percentile` at
-  *     `q ± bracketEps` (GK sketch, map-side combinable, rank error
-  *     ≤ n/accuracy);
-  *  2. one exact COUNT of values strictly below the bracket;
-  *  3. sort ONLY the in-bracket sliver (~2·bracketEps·n rows by
-  *     construction) and read the two order statistics around the
-  *     target rank; interpolate with Spark `percentile`'s own formula.
+  *  1. ONE aggregation: per-column non-null counts + a GK sketch
+  *     (`approx_percentile`) bracketing every probe's target rank at
+  *     `q ± bracketEps` (map-side combinable, rank error ≤ n/accuracy);
+  *  2. ONE aggregation of exact conditional counts of values strictly
+  *     below each probe's bracket — fixing every probe's local rank;
+  *  3. ONE scan that tags each row with the probes whose bracket it
+  *     falls in (a per-row filter over a tiny literal bracket array —
+  *     non-matching rows emit nothing), then ranks each probe's sliver
+  *     (~2·bracketEps·n rows by construction) independently via a
+  *     window partitioned by probe id, keeping only the two order
+  *     statistics around each target rank; interpolation is Spark
+  *     `percentile`'s own formula.
   *
-  * If the sketch bracket somehow misses the target rank (ties massed
-  * at the boundary), it falls back to the native exact percentile, so
-  * the result is always exact and therefore partition/AQE-invariant —
-  * the approx step only ever narrows WHERE we sort, never WHAT we
-  * return. Tune `bracketEps`/`accuracy` so sliver ≈ 2·eps·n fits one
-  * executor's sort (at 10^12 rows, eps = 1e-5 → ~2·10^7-row sliver).
+  * Probes whose sketch bracket misses the target rank (ties massed at
+  * the boundary, or `bracketEps = 0`) fall back to the native exact
+  * percentile — one final aggregation for just those probes — so every
+  * result is exact and therefore partition/AQE-invariant: the sketch
+  * only ever narrows WHERE we sort, never WHAT we return. Tune
+  * `bracketEps`/`accuracy` so sliver ≈ 2·eps·n fits one executor's
+  * sort (at 10^12 rows, eps = 1e-5 → ~2·10^7-row sliver).
   */
 object Quantiles {
 
+  /** Single-probe convenience over [[exactQuantiles]]. */
   def exactQuantile(df: DataFrame, column: String, q: Double,
                     bracketEps: Double = 0.002,
-                    accuracy: Int = 10000): Option[Double] = {
-    require(q >= 0.0 && q <= 1.0, s"q must be in [0,1], got $q")
-    val c = col(column)
-    val vals = df.filter(c.isNotNull).select(c.cast("double").as(column))
-    val n = vals.count()
-    if (n == 0) return None
-    val rank = (n - 1).toDouble * q
-    val loIdx = math.floor(rank).toLong
-    val hiIdx = math.ceil(rank).toLong
-    val frac = rank - loIdx
+                    accuracy: Int = 10000): Option[Double] =
+    exactQuantiles(df, Seq(column -> q), bracketEps, accuracy).head._2
 
-    def fallback(): Option[Double] = Some(
-      vals.agg(expr(s"percentile($column, ${q}D)")).head().getDouble(0))
+  private final case class Probe(id: Int, c: String, q: Double,
+                                 loIdx: Long, hiIdx: Long, frac: Double,
+                                 b1: Double, b2: Double)
 
-    val qLo = math.max(0.0, q - bracketEps)
-    val qHi = math.min(1.0, q + bracketEps)
-    val br = vals.agg(
-      expr(s"approx_percentile($column, array(${qLo}D, ${qHi}D), $accuracy)"))
-      .head().getSeq[Double](0)
-    val (b1, b2) = (br.head, br.last)
-    val below = vals.filter(col(column) < b1).count()
-    // local (1-based) ranks of the two global order statistics inside
-    // the sliver; if either falls outside, the bracket missed → exact
-    // fallback (correctness never depends on the sketch)
-    val loLocal = loIdx + 1 - below
-    val hiLocal = hiIdx + 1 - below
-    if (loLocal < 1) return fallback()
-    val sliver = vals.filter(col(column) >= b1 && col(column) <= b2)
-    // the sliver is small by construction, so a single-partition
-    // row_number sort is the cheap step here, not a bottleneck
-    val picked = sliver
-      .withColumn("__rn", row_number().over(Window.orderBy(col(column))))
-      .filter(col("__rn") === loLocal || col("__rn") === hiLocal)
-      .select(col("__rn"), col(column))
-      .collect().map(r => r.getInt(0).toLong -> r.getDouble(1)).toMap
-    (picked.get(loLocal), picked.get(hiLocal)) match {
-      case (Some(lo), Some(hi)) =>
-        // Spark Percentile.getPercentile's own interpolation, verbatim
-        Some(lo * (1.0 - frac) + hi * frac)
-      case _ => fallback()
+  /** All probes resolved with three shared full scans (+ one fallback
+    * aggregation if any bracket missed). Result order mirrors `probes`;
+    * `None` for a column with no non-null values (what native
+    * `percentile` returns as SQL NULL).
+    */
+  def exactQuantiles(df: DataFrame, probes: Seq[(String, Double)],
+                     bracketEps: Double = 0.002,
+                     accuracy: Int = 10000): Seq[((String, Double), Option[Double])] = {
+    require(probes.nonEmpty, "need at least one (column, q) probe")
+    probes.foreach { case (c, q) =>
+      require(q >= 0.0 && q <= 1.0, s"q must be in [0,1], got $q for $c") }
+    val cols = probes.map(_._1).distinct
+    def v(c: String): Column = col(c).cast("double")
+
+    // pass 1: per-column non-null count + one GK sketch over every
+    // probe's bracket edges (nulls skipped by both, like percentile)
+    val edges: Map[String, Seq[Double]] = cols.map { c =>
+      c -> probes.filter(_._1 == c).flatMap { case (_, q) =>
+        Seq(math.max(0.0, q - bracketEps), math.min(1.0, q + bracketEps))
+      }
+    }.toMap
+    val aggExprs: Seq[Column] = cols.flatMap { c =>
+      Seq(count(v(c)).as(s"__n_$c"),
+        expr(s"approx_percentile(CAST(`$c` AS DOUBLE), " +
+          s"array(${edges(c).mkString(",")}), $accuracy)").as(s"__b_$c"))
+    }
+    val r1 = df.agg(aggExprs.head, aggExprs.tail: _*).head()
+    val nByCol = cols.map(c => c -> r1.getLong(r1.fieldIndex(s"__n_$c"))).toMap
+    val brByCol = cols.map { c =>
+      val i = r1.fieldIndex(s"__b_$c")
+      c -> (if (r1.isNullAt(i)) Seq.empty[Double] else r1.getSeq[Double](i))
+    }.toMap
+
+    // per-probe target ranks; id = index into `probes`
+    val live = probes.zipWithIndex.collect { case ((c, q), id) if nByCol(c) > 0L =>
+      val n = nByCol(c)
+      val rank = (n - 1).toDouble * q
+      val loIdx = math.floor(rank).toLong
+      // this probe's bracket pair within the column's edge array
+      val base = probes.take(id).count(_._1 == c) * 2
+      val br = brByCol(c)
+      Probe(id, c, q, loIdx, math.ceil(rank).toLong, rank - loIdx,
+        br(base), br(base + 1))
+    }
+
+    val resolved = scala.collection.mutable.Map[Int, Double]()
+    val fallbacks = scala.collection.mutable.LinkedHashSet[Int]()
+    if (live.nonEmpty) {
+      // pass 2: exact below-bracket counts for every live probe at once
+      val belowExprs = live.map(p =>
+        count(when(v(p.c) < p.b1, 1)).as(s"__below_${p.id}"))
+      val r2 = df.agg(belowExprs.head, belowExprs.tail: _*).head()
+      // local (1-based) ranks of the target order statistics inside the
+      // sliver; below-1 means the bracket missed → exact fallback
+      val locals = live.map { p =>
+        val below = r2.getLong(r2.fieldIndex(s"__below_${p.id}"))
+        p.id -> ((p.loIdx + 1 - below, p.hiIdx + 1 - below))
+      }.toMap
+      val (ok, missed) = live.partition(p => locals(p.id)._1 >= 1)
+      fallbacks ++= missed.map(_.id)
+
+      // pass 3: tag sliver rows with their probe ids in one scan, rank
+      // each probe's sliver via a window partitioned by probe id, keep
+      // the two order statistics around each target rank
+      if (ok.nonEmpty) {
+        val spark = df.sparkSession
+        import spark.implicits._
+        val perCol: Seq[Column] = ok.groupBy(_.c).map { case (c, ps) =>
+          val brackets = array(ps.map(p =>
+            struct(lit(p.id).as("id"), lit(p.b1).as("b1"), lit(p.b2).as("b2"))): _*)
+          transform(
+            filter(brackets, s => v(c) >= s("b1") && v(c) <= s("b2")),
+            s => struct(s("id").as("id"), v(c).as("v")))
+        }.toSeq
+        val tagged = df
+          .select(explode(concat(perCol: _*)).as("m"))
+          .select(col("m.id").as("id"), col("m.v").as("v"))
+        val targets = ok.map(p => (p.id, locals(p.id)._1, locals(p.id)._2))
+          .toDF("id", "lo", "hi")
+        val picked = tagged
+          .withColumn("__rn",
+            row_number().over(Window.partitionBy(col("id")).orderBy(col("v")))
+              .cast("long"))
+          .join(broadcast(targets), "id")
+          .filter(col("__rn") === col("lo") || col("__rn") === col("hi"))
+          .select(col("id"), col("__rn"), col("v"))
+          .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getDouble(2)).toMap
+        ok.foreach { p =>
+          val (lo, hi) = locals(p.id)
+          (picked.get((p.id, lo)), picked.get((p.id, hi))) match {
+            case (Some(l), Some(h)) =>
+              // Spark Percentile.getPercentile's interpolation, verbatim
+              resolved(p.id) = l * (1.0 - p.frac) + h * p.frac
+            case _ => fallbacks += p.id // bracket missed an order statistic
+          }
+        }
+      }
+
+      // fallback: native exact percentile, only for the missed probes —
+      // correctness never depends on the sketch
+      if (fallbacks.nonEmpty) {
+        val fb = live.filter(p => fallbacks.contains(p.id))
+        val fbExprs = fb.map(p =>
+          expr(s"percentile(CAST(`${p.c}` AS DOUBLE), ${p.q}D)").as(s"__fb_${p.id}"))
+        val r3 = df.agg(fbExprs.head, fbExprs.tail: _*).head()
+        fb.foreach(p => resolved(p.id) = r3.getDouble(r3.fieldIndex(s"__fb_${p.id}")))
+      }
+    }
+
+    probes.zipWithIndex.map { case ((c, q), id) =>
+      ((c, q), if (nByCol(c) == 0L) None else Some(resolved(id)))
     }
   }
 }

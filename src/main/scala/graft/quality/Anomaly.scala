@@ -35,22 +35,28 @@ object Anomaly {
   }
 
   /** IQR outliers — ref anomaly_manager.py:125-144. Exact interpolated
-    * quartiles (one pass over the sorted column — at 100 TB switch the
-    * expression to approx_percentile, same plan shape). `conf` is the
+    * quartiles via `Quantiles.exactQuantiles` — both probes share three
+    * bounded scans (sketch bracket → rank count → sliver sort), so the
+    * plan has no buffer-every-value single reducer and the SAME exact
+    * values hold at any scale. Resolved eagerly; the returned frame is
+    * a map-side filter against literal bounds. `conf` is the
     * reference's distance-from-center confidence:
     * |x - (Q1+Q3)/2| / (IQR/2).
     */
   def iqr(df: DataFrame, column: String, multiplier: Double = 1.5): DataFrame = {
-    val stats = df.agg(
-      expr(s"percentile($column, 0.25D)").as("__q1"),
-      expr(s"percentile($column, 0.75D)").as("__q3"))
-    df.crossJoin(broadcast(stats))
-      .withColumn("__iqr", col("__q3") - col("__q1"))
-      .filter(col(column) < col("__q1") - lit(multiplier) * col("__iqr") ||
-              col(column) > col("__q3") + lit(multiplier) * col("__iqr"))
-      .withColumn("conf", when(col("__iqr") =!= 0.0,
-        abs(col(column) - (col("__q1") + col("__q3")) / lit(2.0)) / (col("__iqr") / lit(2.0))))
-      .drop("__q1", "__q3", "__iqr")
+    val qs = graft.functions.Quantiles
+      .exactQuantiles(df, Seq(column -> 0.25, column -> 0.75)).map(_._2)
+    (qs.head, qs.last) match {
+      case (Some(q1), Some(q3)) =>
+        val iqrV = q3 - q1
+        df.filter(col(column) < lit(q1 - multiplier * iqrV) ||
+                  col(column) > lit(q3 + multiplier * iqrV))
+          .withColumn("conf", if (iqrV != 0.0)
+            abs(col(column) - lit((q1 + q3) / 2.0)) / lit(iqrV / 2.0)
+          else lit(null).cast("double"))
+      case _ => // empty / all-null input: nothing to flag
+        df.withColumn("conf", lit(null).cast("double")).filter(lit(false))
+    }
   }
 
   /** Robust (MAD) z-score outliers: deviations measured against the
@@ -376,14 +382,14 @@ object Anomaly {
     // persist the scored frame: the boundary quantile AND the output
     // filter both need every md2, and without the cache each re-runs
     // the full scan + stats subtree (measured 11 s vs ~4 s at sf0.1).
-    // Same one-live-persist leak bound as DQ.withBroadcastTotals;
-    // harness/notebook sessions release via GraftSession.releaseAll.
+    // Same one-live-persist leak bound as DQ.withBroadcastTotals; the
+    // swap is plan-aware (GraftSession.swapPersist) so a re-invocation
+    // on the same input does not evict its own fresh cache entry.
     val scored = df.crossJoin(broadcast(stats))
       .withColumn("md2", md2)
       .drop("__n", "__sx", "__sy", "__sxx", "__syy", "__sxy")
       .persist()
-    Option(lastEllipticCache.getAndSet(scored))
-      .foreach(_.unpersist(blocking = false))
+    graft.GraftSession.swapPersist(lastEllipticCache, scored)
     // exact interpolated quantile of the 6-dp-rounded distances, itself
     // rounded — the strict > comparison then resolves identically on
     // both engines even when the boundary lands exactly on a data value.

@@ -284,6 +284,35 @@ object DQ {
     one.select(inline(array(rows: _*)))
   }
 
+  /** [[quantileProfile]]'s exact mode without its scale ceiling: the
+    * same output (colname, one column per prob) with EXACT values, but
+    * computed through [[graft.functions.Quantiles.exactQuantiles]] —
+    * all columns × probs fused into three bounded full scans (sketch
+    * bracket → exact rank count → sliver-only sort) instead of native
+    * `percentile`'s buffer-every-value single reducer. The 100 TB path
+    * when the profile must be exact rather than sketch-approximate.
+    */
+  def quantileProfileBounded(df: DataFrame, cols: Seq[String],
+                             probs: Seq[Double] = Seq(0.25, 0.5, 0.75, 0.95),
+                             bracketEps: Double = 0.002,
+                             accuracy: Int = 10000): DataFrame = {
+    require(cols.nonEmpty && probs.nonEmpty, "need columns and probs")
+    val res = graft.functions.Quantiles
+      .exactQuantiles(df, cols.flatMap(c => probs.map(c -> _)), bracketEps, accuracy)
+      .toMap
+    val schema = org.apache.spark.sql.types.StructType(
+      org.apache.spark.sql.types.StructField("colname",
+        org.apache.spark.sql.types.StringType, nullable = false) +:
+      probs.map(p => org.apache.spark.sql.types.StructField(
+        s"p${(p * 100).round}", org.apache.spark.sql.types.DoubleType)))
+    val rows = cols.map { c =>
+      org.apache.spark.sql.Row.fromSeq(
+        c +: probs.map(p => res((c, p)).map(Double.box).orNull))
+    }
+    df.sparkSession.createDataFrame(
+      java.util.Arrays.asList(rows: _*), schema)
+  }
+
   /** Primary-key / duplicate-row check in one pass — ref
     * dq_rule_examples.py: check_primary_key_unique / duplicate_rows.
     * Output: (keyname, total, distinct_cnt, dup_count, passed).
@@ -427,7 +456,10 @@ object DQ {
     new java.util.concurrent.atomic.AtomicReference[DataFrame](null)
   private def withBroadcastTotals(counts: DataFrame, totals: Column*): DataFrame = {
     val c = counts.persist()
-    Option(lastTotalsCache.getAndSet(c)).foreach(_.unpersist(blocking = false))
+    // plan-aware swap: unpersisting a SAME-plan previous frame would
+    // evict the entry c itself just registered (CacheManager keys by
+    // plan equality) and every profile pass would recompute twice
+    graft.GraftSession.swapPersist(lastTotalsCache, c)
     c.crossJoin(broadcast(c.agg(totals.head, totals.tail: _*)))
   }
 

@@ -259,8 +259,22 @@ class DQSpec extends SparkSpec {
       assert(exactQuantile(df, c, q, bracketEps = 0.0).get == native(c, q),
         s"fallback $c q=$q")
     }
+    // fused multi-probe call: every (column, q) resolved from the three
+    // shared passes, still bit-for-bit with native percentile
+    val probes = for (c <- Seq("x", "ties", "const");
+                      q <- Seq(0.0, 0.25, 0.5, 0.9, 1.0)) yield (c, q)
+    graft.functions.Quantiles.exactQuantiles(df, probes).foreach {
+      case ((c, q), res) => assert(res.get == native(c, q), s"multi $c q=$q")
+    }
     // empty / all-null input → None (native percentile returns null)
     assert(exactQuantile(df.filter(lit(false)), "x", 0.5).isEmpty)
     assert(exactQuantile(df.filter(col("x").isNull), "x", 0.5).isEmpty)
+
+    // the bounded profile equals the exact quantileProfile frame
+    val a = DQ.quantileProfileBounded(df, Seq("x", "ties"), Seq(0.25, 0.5, 0.95))
+      .orderBy("colname").collect().map(_.toSeq).toSeq
+    val b = DQ.quantileProfile(df, Seq("x", "ties"), Seq(0.25, 0.5, 0.95),
+      approx = false).orderBy("colname").collect().map(_.toSeq).toSeq
+    assert(a == b)
   }
 }
