@@ -14,9 +14,12 @@ import java.nio.file.{Files, Paths}
   * was unexplainable post-hoc because only the min survived): the full
   * artifact now carries, per query, BOTH per-pass wall times, the
   * per-pass JVM GC-time delta (distinguishes "the plan got slow" from
-  * "the host was collecting"), and a normalized physical-plan
-  * fingerprint (exprIds/plan-ids stripped) so a plan change between
-  * rounds is attributable in review rather than guessed at.
+  * "the host was collecting"), per-pass executed-task counts
+  * (distinguishes "Spark re-executed work" — a caching/plan defect —
+  * from "the host stalled with the same work"), and a normalized
+  * physical-plan fingerprint (exprIds/plan-ids stripped) so a plan
+  * change between rounds is attributable in review rather than
+  * guessed at.
   *
   * `errors` only lists queries that failed in BOTH passes — a query
   * with one failed and one successful pass is timed from the good pass
@@ -72,6 +75,19 @@ object Bench {
     try SparkEntry.queries("q_agg")(spark, sfDir).count()
     catch { case _: Throwable => () }
 
+    // Executed-task counter: a slow pass with ~equal task counts is a
+    // host stall; a slow pass with a task-count multiple is Spark
+    // re-executing work (a caching/plan defect — exactly how the
+    // q_anom_ocsvm same-plan cache eviction would have been attributed
+    // from the artifact alone). Listener posts are async, so counts are
+    // approximate at the boundary (ms-scale lag, fine for 2x detection).
+    val taskCounter = new java.util.concurrent.atomic.AtomicLong(0)
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+        taskCounter.incrementAndGet(); ()
+      }
+    })
+
     // per query: (seconds, gcDeltaSec, errorMessage). Per-query isolation
     // (releaseAll before the clock starts) keeps accumulated
     // caches/broadcasts from GC-thrashing later queries (r7: 3.66x
@@ -80,11 +96,12 @@ object Bench {
     // >2x on single queries — one-shot timings punish whoever runs last).
     // A transient failure aborts fast, and that abort duration must not
     // masquerade as the query's time.
-    final case class Sample(sec: Double, gcSec: Double, err: Option[String])
+    final case class Sample(sec: Double, gcSec: Double, tasks: Long, err: Option[String])
     val planHashes = scala.collection.mutable.LinkedHashMap[String, String]()
     def timedPass(recordPlans: Boolean): Map[String, Sample] = names.map { name =>
       GraftSession.releaseAll(spark)
       val gc0 = gcMillis()
+      val tasks0 = taskCounter.get()
       val t0 = System.nanoTime()
       var df: org.apache.spark.sql.DataFrame = null
       val err =
@@ -94,13 +111,14 @@ object Bench {
         }
       val sec = (System.nanoTime() - t0) / 1e9
       val gcSec = (gcMillis() - gc0) / 1e3
+      val tasks = taskCounter.get() - tasks0
       // fingerprint AFTER the clock stops (planning the frame itself is
       // cheap; it must not pollute the measurement)
       if (recordPlans && err.isEmpty && df != null) {
         try planHashes(name) = planFingerprint(df.queryExecution.executedPlan.toString)
         catch { case _: Throwable => () }
       }
-      name -> Sample(sec, gcSec, err)
+      name -> Sample(sec, gcSec, tasks, err)
     }.toMap
     val p1 = timedPass(recordPlans = true)
     val p2 = timedPass(recordPlans = false)
@@ -119,7 +137,7 @@ object Bench {
       }
     }
     val results = names.map { n =>
-      val good = Seq(p1(n), p2(n)).collect { case Sample(t, _, None) => t }
+      val good = Seq(p1(n), p2(n)).collect { case Sample(t, _, _, None) => t }
       n -> (if (good.nonEmpty) good.min else math.min(p1(n).sec, p2(n).sec))
     }
     def esc(s: String): String =
@@ -131,13 +149,16 @@ object Bench {
     val gcs = names.map { n =>
       "\"" + n + "\":[" + f"${p1(n).gcSec}%.3f" + "," + f"${p2(n).gcSec}%.3f" + "]"
     }.mkString("{", ",", "}")
+    val taskCounts = names.map { n =>
+      "\"" + n + "\":[" + p1(n).tasks + "," + p2(n).tasks + "]"
+    }.mkString("{", ",", "}")
     val plans = planHashes.map { case (k, v) => "\"" + k + "\":\"" + v + "\"" }.mkString("{", ",", "}")
     val errJson = errors.map { case (k, v) => "\"" + k + "\":\"" + esc(v) + "\"" }.mkString("{", ",", "}")
     val transientJson = transientErrors.map { case (k, v) => "\"" + k + "\":\"" + esc(v) + "\"" }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val fullLine =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"passes":$passes,""" +
-        s""""gc_sec":$gcs,"plan_hash":$plans,"errors":$errJson,"transient_errors":$transientJson,"sf":"$sfDir"}"""
+        s""""gc_sec":$gcs,"tasks":$taskCounts,"plan_hash":$plans,"errors":$errJson,"transient_errors":$transientJson,"sf":"$sfDir"}"""
     // a SPARK_GRAFT_ONLY-narrowed run must never clobber the official
     // full-suite artifact the driver (and docs) ingest
     val outFile = if (only.isDefined) "bench_only_out.json" else "bench_out.json"

@@ -95,18 +95,32 @@ object Quantiles {
     val resolved = scala.collection.mutable.Map[Int, Double]()
     val fallbacks = scala.collection.mutable.LinkedHashSet[Int]()
     if (live.nonEmpty) {
-      // pass 2: exact below-bracket counts for every live probe at once
-      val belowExprs = live.map(p =>
-        count(when(v(p.c) < p.b1, 1)).as(s"__below_${p.id}"))
+      // pass 2: exact below-bracket AND in-bracket counts for every
+      // live probe at once
+      val belowExprs = live.flatMap(p => Seq(
+        count(when(v(p.c) < p.b1, 1)).as(s"__below_${p.id}"),
+        count(when(v(p.c) >= p.b1 && v(p.c) <= p.b2, 1)).as(s"__in_${p.id}")))
       val r2 = df.agg(belowExprs.head, belowExprs.tail: _*).head()
       // local (1-based) ranks of the target order statistics inside the
-      // sliver; below-1 means the bracket missed → exact fallback
+      // sliver; a rank outside [1, inBracket] means the bracket missed
+      // → exact fallback
       val locals = live.map { p =>
         val below = r2.getLong(r2.fieldIndex(s"__below_${p.id}"))
         p.id -> ((p.loIdx + 1 - below, p.hiIdx + 1 - below))
       }.toMap
-      val (ok, missed) = live.partition(p => locals(p.id)._1 >= 1)
+      val inBracket = live.map(p =>
+        p.id -> r2.getLong(r2.fieldIndex(s"__in_${p.id}"))).toMap
+      val (bracketed, missed) = live.partition { p =>
+        locals(p.id)._1 >= 1 && locals(p.id)._2 <= inBracket(p.id)
+      }
       fallbacks ++= missed.map(_.id)
+      // ties massed at the target collapse the bracket to one value
+      // (b1 == b2): every in-bracket order statistic IS that value, so
+      // the quantile is b1 with no sliver sort at all — this also
+      // removes the degenerate case where a heavy tie run would have
+      // made the "sliver" a large fraction of the table
+      val (collapsed, ok) = bracketed.partition(p => p.b1 == p.b2)
+      collapsed.foreach(p => resolved(p.id) = p.b1)
 
       // pass 3: tag sliver rows with their probe ids in one scan, rank
       // each probe's sliver via a window partitioned by probe id, keep
