@@ -38,6 +38,13 @@ object QueriesWindow {
         "o_totalprice", Seq(0.25, 0.5, 0.75))
     }),
 
+    // same exact values through the spillable sort-based path (no
+    // unspillable per-group percentile buffer — the 100 TB exact route)
+    "q_quantiles_ranked" -> ((s, dir) => {
+      Ops.quantilesByRanked(t(s, dir, "orders"), Seq("o_orderpriority"),
+        "o_totalprice", Seq(0.25, 0.5, 0.75))
+    }),
+
     "q_cube" -> ((s, dir) => {
       Ops.cubeAgg(t(s, dir, "orders"), Seq("o_orderstatus", "o_orderpriority"),
         Seq(("o_totalprice", "sum_money", "total"), ("o_orderkey", "count", "n")))
@@ -112,6 +119,13 @@ object QueriesWindow {
          |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin,
 
     "q_quantiles" ->
+      """SELECT o_orderpriority,
+        |quantile_cont(o_totalprice, 0.25) AS q25,
+        |quantile_cont(o_totalprice, 0.50) AS q50,
+        |quantile_cont(o_totalprice, 0.75) AS q75
+        |FROM orders GROUP BY o_orderpriority""".stripMargin,
+
+    "q_quantiles_ranked" ->
       """SELECT o_orderpriority,
         |quantile_cont(o_totalprice, 0.25) AS q25,
         |quantile_cont(o_totalprice, 0.50) AS q50,

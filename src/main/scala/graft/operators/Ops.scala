@@ -266,7 +266,8 @@ object Ops {
 
   /** Exact interpolated quantiles per group, one output column per
     * requested probability (q25/q50/... naming). At 100 TB switch to
-    * approx_percentile — same plan shape, bounded memory.
+    * approx_percentile (same plan shape, bounded memory) or to
+    * [[quantilesByRanked]] (same EXACT values, spillable plan).
     */
   def quantilesBy(df: DataFrame, groupCols: Seq[String], valueCol: String,
                   probs: Seq[Double]): DataFrame = {
@@ -274,6 +275,61 @@ object Ops {
       expr(s"percentile($valueCol, ${p}D)").as(s"q${(p * 100).round}")
     }
     df.groupBy(groupCols.map(col): _*).agg(exprs.head, exprs.tail: _*)
+  }
+
+  /** [[quantilesBy]] without the aggregation-buffer ceiling: native
+    * `percentile` holds every group value in UNSPILLABLE aggregation
+    * state, so one hot group can OOM its executor at scale. This form
+    * sorts within groups instead — ONE hash partitioning on the group
+    * key; WindowExec's row buffer spills to disk — keeps only the two
+    * order statistics around each target rank (≤ 2·|probs| rows per
+    * group survive the window), and interpolates with `percentile`'s
+    * own formula, so the values are identical for any group size.
+    * All-null/empty-value groups keep their row with null quantiles
+    * (the native aggregate's contract).
+    */
+  def quantilesByRanked(df: DataFrame, groupCols: Seq[String], valueCol: String,
+                        probs: Seq[Double]): DataFrame = {
+    require(groupCols.nonEmpty && probs.nonEmpty, "need group columns and probs")
+    val gcols = groupCols.map(col)
+    val vals = df.filter(col(valueCol).isNotNull)
+      .select(gcols :+ col(valueCol).cast("double").as("__v"): _*)
+    // __rn and __n share ONE hash partitioning on the group key (two
+    // window passes over the same exchange — no group-sized join back
+    // onto the fact table, which a billion-group keyset would forbid
+    // broadcasting)
+    val ranked = vals
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy(gcols: _*).orderBy(col("__v"))).cast("long"))
+      .withColumn("__n", count(lit(1)).over(Window.partitionBy(gcols: _*)))
+    def rank(p: Double): Column = (col("__n") - 1).cast("double") * lit(p)
+    val isPick = probs.map { p =>
+      col("__rn") === floor(rank(p)).cast("long") + 1 ||
+      col("__rn") === ceil(rank(p)).cast("long") + 1
+    }.reduce(_ || _)
+    val aggCols = max(col("__n")).as("__n") +:
+      probs.zipWithIndex.flatMap { case (p, i) => Seq(
+        max(when(col("__rn") === floor(rank(p)).cast("long") + 1, col("__v")))
+          .as(s"__lo_$i"),
+        max(when(col("__rn") === ceil(rank(p)).cast("long") + 1, col("__v")))
+          .as(s"__hi_$i"))
+      }
+    val stats = ranked.filter(isPick)
+      .groupBy(gcols: _*).agg(aggCols.head, aggCols.tail: _*)
+    val qCols = probs.zipWithIndex.map { case (p, i) =>
+      val r = rank(p)
+      val frac = r - floor(r)
+      // Spark Percentile.getPercentile's interpolation, verbatim
+      (col(s"__lo_$i") * (lit(1.0) - frac) + col(s"__hi_$i") * frac)
+        .as(s"q${(p * 100).round}")
+    }
+    val present = stats.select(gcols ++ qCols: _*)
+    // groups whose values are all null dropped out of `vals`; the
+    // native aggregate keeps them with null quantiles — re-attach from
+    // a group-cols-only scan (column-pruned; both sides are
+    // group-cardinality-sized, AQE picks broadcast when they fit)
+    df.select(gcols: _*).distinct()
+      .join(present, groupCols, "left")
   }
 
   /** Tumbling-window aggregation over event time (batch analog of the

@@ -123,4 +123,21 @@ class OpsSpec extends SparkSpec {
     assert(filled == 3)
     assert(Ops.dropMissing(df, Seq("v")).count() == 3)
   }
+
+  test("quantilesByRanked equals quantilesBy on every group shape") {
+    val rng = new scala.util.Random(7)
+    // uneven group sizes, ties, a single-row group, and an all-null
+    // group (must survive with null quantiles, percentile's contract)
+    val rows =
+      (1 to 500).map(i => ("big", Some(rng.nextGaussian() * 10))) ++
+      (1 to 97).map(i => ("ties", Some((i % 5).toDouble))) ++
+      Seq(("one", Some(42.0)), ("allnull", None), ("allnull", None)) ++
+      (1 to 30).map(i => ("mixed", if (i % 3 == 0) None else Some(i.toDouble)))
+    val df = rows.toDF("k", "v")
+    val probs = Seq(0.0, 0.25, 0.5, 0.9, 1.0)
+    def sorted(d: org.apache.spark.sql.DataFrame) =
+      d.orderBy("k").collect().map(_.toSeq).toSeq
+    assert(sorted(Ops.quantilesByRanked(df, Seq("k"), "v", probs)) ==
+      sorted(Ops.quantilesBy(df, Seq("k"), "v", probs)))
+  }
 }
