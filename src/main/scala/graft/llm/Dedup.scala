@@ -317,6 +317,39 @@ object Dedup {
         array((0 until numHashes).map(i => col(s"__m$i")): _*).as("__sig"))
   }
 
+  /** Pick (bands, rowsPerBand) for [[minhashLsh]] from a target
+    * Jaccard threshold. A banding scheme turns per-pair similarity s
+    * into candidate probability P(s) = 1 - (1 - s^r)^b; the right
+    * (b, r) puts that S-curve's rise at the threshold. Over every
+    * divisor split b·r = numHashes this minimizes the weighted
+    * false-positive area (∫₀ᵗ P) + false-negative area (∫ᵗ¹ 1-P) by
+    * midpoint integration — the standard LSH tuning construction
+    * (Leskovec/Rajaraman/Ullman, Mining of Massive Datasets §3.4).
+    * Driver-side closed arithmetic: deterministic, O(divisors·steps).
+    */
+  def lshParams(threshold: Double, numHashes: Int = 32,
+                fpWeight: Double = 0.5): (Int, Int) = {
+    require(threshold > 0.0 && threshold < 1.0, "threshold must be in (0,1)")
+    require(numHashes >= 2, "need at least 2 hashes")
+    require(fpWeight >= 0.0 && fpWeight <= 1.0, "fpWeight must be in [0,1]")
+    val steps = 1000
+    def candidateP(s: Double, b: Int, r: Int): Double =
+      1.0 - math.pow(1.0 - math.pow(s, r.toDouble), b.toDouble)
+    val splits = (1 to numHashes).filter(numHashes % _ == 0)
+      .map(b => (b, numHashes / b))
+    splits.minBy { case (b, r) =>
+      var fp = 0.0; var fn = 0.0
+      var i = 0
+      while (i < steps) {
+        val s = (i + 0.5) / steps
+        val p = candidateP(s, b, r)
+        if (s < threshold) fp += p else fn += 1.0 - p
+        i += 1
+      }
+      fpWeight * fp / steps + (1.0 - fpWeight) * fn / steps
+    }
+  }
+
   /** Banded LSH candidate generation + exact Jaccard verification,
     * over word n-gram shingles (the C4/RefinedWeb-style choice: word
     * n-grams keep unrelated docs near zero Jaccard even over a small

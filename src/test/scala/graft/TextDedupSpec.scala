@@ -313,4 +313,28 @@ class TextDedupSpec extends SparkSpec {
       .select("id_a", "id_b").as[(Long, Long)].collect()
     assert(pairs.toSeq == Seq((1L, 2L)))
   }
+
+  test("lshParams places the S-curve rise at the threshold") {
+    // every result is a valid divisor split
+    for (t <- Seq(0.3, 0.5, 0.7, 0.9); n <- Seq(16, 32, 128)) {
+      val (b, r) = Dedup.lshParams(t, n)
+      assert(b * r == n && b >= 1 && r >= 1, s"t=$t n=$n -> ($b,$r)")
+      // the curve's inflection (1/b)^(1/r) should land near t — within
+      // the resolution the divisor lattice allows
+      val inflection = math.pow(1.0 / b, 1.0 / r)
+      assert(math.abs(inflection - t) < 0.25, s"t=$t n=$n infl=$inflection")
+    }
+    // monotone: a higher threshold never wants MORE bands (bands make
+    // the curve rise earlier)
+    val bandsAt = Seq(0.3, 0.5, 0.7, 0.9).map(t => Dedup.lshParams(t, 128)._1)
+    assert(bandsAt == bandsAt.sorted.reverse, s"bands not monotone: $bandsAt")
+    // weighting: favoring fewer false positives shifts the curve later
+    // (fewer bands) or keeps it; never earlier
+    val precise = Dedup.lshParams(0.7, 128, fpWeight = 0.9)._1
+    val recall = Dedup.lshParams(0.7, 128, fpWeight = 0.1)._1
+    assert(precise <= recall, s"fp-averse picked more bands: $precise > $recall")
+    // the library default (32 hashes, 8 bands) is what the planner
+    // recommends around its documented 0.6-0.7 operating range
+    assert(Dedup.lshParams(0.65, 32) == ((8, 4)))
+  }
 }
