@@ -140,6 +140,13 @@ object QueriesDQ {
       DQ.keySkew(t(s, dir, "orders"), Seq("o_custkey"), topN = 10)
     }),
 
+    // per-column top-5 frequent values (two categoricals + one
+    // high-cardinality key that exercises the WindowGroupLimit cap)
+    "q_dq_topvalues" -> ((s, dir) => {
+      DQ.topValues(t(s, dir, "orders"),
+        Seq("o_orderstatus", "o_orderpriority", "o_custkey"), k = 5)
+    }),
+
     // PSI distribution drift between two yearly snapshots
     "q_dq_psi" -> ((s, dir) => {
       val li = t(s, dir, "lineitem")
@@ -417,6 +424,26 @@ object QueriesDQ {
         |       ROUND(n / total, 6) AS share,
         |       ROUND(n / total * nkeys, 6) AS ratio_to_avg
         |FROM c, s ORDER BY n DESC, o_custkey LIMIT 10""".stripMargin,
+
+    "q_dq_topvalues" ->
+      """WITH pairs AS (
+        |  SELECT 'o_orderstatus' AS col_name, CAST(o_orderstatus AS VARCHAR) AS value
+        |  FROM orders WHERE o_orderstatus IS NOT NULL
+        |  UNION ALL
+        |  SELECT 'o_orderpriority', CAST(o_orderpriority AS VARCHAR)
+        |  FROM orders WHERE o_orderpriority IS NOT NULL
+        |  UNION ALL
+        |  SELECT 'o_custkey', CAST(o_custkey AS VARCHAR)
+        |  FROM orders WHERE o_custkey IS NOT NULL),
+        |c AS (SELECT col_name, value, COUNT(*) AS n FROM pairs GROUP BY 1, 2),
+        |t AS (SELECT col_name, CAST(SUM(n) AS BIGINT) AS total FROM c GROUP BY 1),
+        |r AS (SELECT col_name, value, n,
+        |             CAST(row_number() OVER (PARTITION BY col_name
+        |                                     ORDER BY n DESC, value) AS INTEGER) AS rk
+        |      FROM c)
+        |SELECT r.col_name, r.value, CAST(r.n AS BIGINT) AS n,
+        |       ROUND(r.n / t.total, 6) AS share, r.rk
+        |FROM r JOIN t USING (col_name) WHERE rk <= 5""".stripMargin,
 
     "q_dq_psi" -> {
       val edges = Seq(1.0, 11.0, 21.0, 31.0, 41.0, 51.0)

@@ -73,6 +73,25 @@ object QueriesIncremental {
       Incremental.detectDeletes(c, c.filter(col("c_acctbal") > 0), Seq("c_custkey"))
     }),
 
+    // snapshot reconciliation: cur drops every 100th key (removed),
+    // re-keys every 50th negatively (added), bumps every 7th price and
+    // nulls every 11th status (changed, column list in declared order)
+    "q_incr_diff" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+        .select("o_orderkey", "o_totalprice", "o_orderstatus")
+      val cur = o.filter(pmod(col("o_orderkey"), lit(100)) =!= 0)
+        .withColumn("o_totalprice",
+          when(pmod(col("o_orderkey"), lit(7)) === 0, col("o_totalprice") + 10.0)
+            .otherwise(col("o_totalprice")))
+        .withColumn("o_orderstatus",
+          when(pmod(col("o_orderkey"), lit(11)) === 0, lit(null).cast("string"))
+            .otherwise(col("o_orderstatus")))
+        .unionByName(o.filter(pmod(col("o_orderkey"), lit(50)) === 0)
+          .withColumn("o_orderkey", -col("o_orderkey") - 1))
+      Incremental.snapshotDiff(o, cur, Seq("o_orderkey"),
+        Seq("o_totalprice", "o_orderstatus"))
+    }),
+
     // late-arriving data — ref :191
     "q_incr_late" -> ((s, dir) => {
       Incremental.flagLate(t(s, dir, "events"), "ts", "2024-01-15 00:00:00")
@@ -184,6 +203,34 @@ object QueriesIncremental {
     "q_incr_deletes" ->
       """SELECT c_custkey, c_acctbal FROM customer
         |WHERE c_custkey NOT IN (SELECT c_custkey FROM customer WHERE c_acctbal > 0)""".stripMargin,
+
+    "q_incr_diff" ->
+      """WITH o AS (SELECT o_orderkey, o_totalprice, o_orderstatus FROM orders),
+        |cur AS (
+        |  SELECT o_orderkey,
+        |         CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice + 10.0
+        |              ELSE o_totalprice END AS o_totalprice,
+        |         CASE WHEN o_orderkey % 11 = 0 THEN NULL
+        |              ELSE o_orderstatus END AS o_orderstatus
+        |  FROM o WHERE o_orderkey % 100 <> 0
+        |  UNION ALL
+        |  SELECT -o_orderkey - 1, o_totalprice, o_orderstatus
+        |  FROM o WHERE o_orderkey % 50 = 0),
+        |j AS (
+        |  SELECT COALESCE(a.o_orderkey, c.o_orderkey) AS o_orderkey,
+        |    CASE WHEN a.o_orderkey IS NULL THEN 'added'
+        |         WHEN c.o_orderkey IS NULL THEN 'removed'
+        |         ELSE 'changed' END AS status,
+        |    CASE WHEN a.o_orderkey IS NOT NULL AND c.o_orderkey IS NOT NULL
+        |         THEN CONCAT_WS(',',
+        |           CASE WHEN a.o_totalprice IS DISTINCT FROM c.o_totalprice
+        |                THEN 'o_totalprice' END,
+        |           CASE WHEN a.o_orderstatus IS DISTINCT FROM c.o_orderstatus
+        |                THEN 'o_orderstatus' END)
+        |         ELSE '' END AS changed_cols
+        |  FROM o a FULL OUTER JOIN cur c ON a.o_orderkey = c.o_orderkey)
+        |SELECT o_orderkey, status, changed_cols FROM j
+        |WHERE status <> 'changed' OR changed_cols <> ''""".stripMargin,
 
     "q_incr_late" ->
       """SELECT event_id, ts <= TIMESTAMP '2024-01-15 00:00:00' AS is_late FROM events""".stripMargin,

@@ -47,6 +47,14 @@ object QueriesSampling {
         .select("doc_id", "lang", "source", "rn")
     }),
 
+    // per-source quota: keep the 4 LONGEST docs per source (C4-style
+    // per-domain cap — best rows under the quota, not a uniform draw)
+    "q_sample_cap" -> ((s, dir) => {
+      Sampling.capPerGroup(t(s, dir, "documents"),
+        Seq("source"), priorityCol = "n_chars", tieCol = "doc_id", n = 4)
+        .select("doc_id", "source", "n_chars", "rn")
+    }),
+
     // disjoint+exhaustive train/valid/test assignment, counted per lang
     "q_sample_split" -> ((s, dir) => {
       t(s, dir, "documents")
@@ -123,6 +131,14 @@ object QueriesSampling {
          |                            ORDER BY ${h("doc_id")}, doc_id) AS rn
          |  FROM documents)
          |WHERE rn <= 3""".stripMargin,
+
+    "q_sample_cap" ->
+      """SELECT doc_id, source, n_chars, CAST(rn AS INTEGER) AS rn FROM (
+        |  SELECT doc_id, source, n_chars,
+        |         row_number() OVER (PARTITION BY source
+        |                            ORDER BY n_chars DESC, doc_id) AS rn
+        |  FROM documents)
+        |WHERE rn <= 4""".stripMargin,
 
     "q_sample_split" ->
       s"""SELECT lang,

@@ -82,6 +82,21 @@ object QueriesWindow {
         .select(col("user_id"), col("session_start"),
           col("n_events"), col("sum_val"))
       drainToTable(s, agg, "q_stream_sessionize_sink")
+    }),
+
+    // streaming dedup end-to-end, oracle-checked: source -> watermark ->
+    // dropDuplicatesWithinWatermark -> Append sink. The projection keeps
+    // only the dedup KEYS — which duplicate row wins is arrival-order
+    // dependent (not a property any engine pins), but the surviving key
+    // SET is exact, so the whole streaming plan is still hash-checked
+    // against DISTINCT.
+    "q_stream_dedup" -> ((s, dir) => {
+      val dd = graft.streaming.Streams
+        .dedupStream(eventsStream(s, dir), "ts", "1 hour",
+          Seq("user_id", "event_type"))
+        .select(col("user_id"), col("event_type"))
+      drainToTable(s, dd, "q_stream_dedup_sink",
+        org.apache.spark.sql.streaming.OutputMode.Append())
     })
   )
 
@@ -94,10 +109,11 @@ object QueriesWindow {
     * Append + a durable sink; the plan is identical). The memory sink
     * is gate-mode only — it collects to the driver.
     */
-  private def drainToTable(s: SparkSession, agg: DataFrame, sink: String): DataFrame = {
+  private def drainToTable(s: SparkSession, agg: DataFrame, sink: String,
+                           mode: org.apache.spark.sql.streaming.OutputMode =
+                             org.apache.spark.sql.streaming.OutputMode.Complete()): DataFrame = {
     s.catalog.dropTempView(sink)
-    val q = graft.streaming.Streams.startMemorySink(agg, sink,
-      org.apache.spark.sql.streaming.OutputMode.Complete())
+    val q = graft.streaming.Streams.startMemorySink(agg, sink, mode)
     try q.processAllAvailable() finally q.stop()
     s.table(sink)
   }
@@ -168,6 +184,10 @@ object QueriesWindow {
          |  FROM x)
          |SELECT user_id, date_trunc('microseconds', MIN(ts)) AS session_start,
          |COUNT(*) AS n_events, ${Det.sqlSumAt("value", 6)} AS sum_val
-         |FROM s GROUP BY user_id, sid""".stripMargin
+         |FROM s GROUP BY user_id, sid""".stripMargin,
+
+    // the surviving key set of a streaming dedup == DISTINCT
+    "q_stream_dedup" ->
+      "SELECT DISTINCT user_id, event_type FROM events"
   )
 }

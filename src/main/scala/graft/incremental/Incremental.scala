@@ -129,6 +129,40 @@ object Incremental {
   def detectDeletes(target: DataFrame, source: DataFrame, keys: Seq[String]): DataFrame =
     target.join(source.select(keys.map(col): _*).distinct(), keys, "left_anti")
 
+  /** Snapshot reconciliation — the audit generalization of
+    * [[detectDeletes]] (ref incremental_load_manager.py:167 finds only
+    * removals; a load audit needs adds, removals, AND in-place changes
+    * with the columns that moved). Keys are assumed non-null (primary
+    * keys, as in every ref incremental flow). Output one row per
+    * differing key: (keys..., status ∈ added|removed|changed,
+    * changed_cols = comma-joined `compareCols`-order list, '' unless
+    * changed). ONE shuffled full-outer join on the keys — the join IS
+    * the diff; unchanged rows (the overwhelming bulk of a real
+    * reconciliation) are dropped by a codegen'd filter before anything
+    * downstream materializes, and per-column comparison is null-safe
+    * (`<=>`), so a value moving to/from NULL counts as a change.
+    */
+  def snapshotDiff(old: DataFrame, cur: DataFrame, keys: Seq[String],
+                   compareCols: Seq[String]): DataFrame = {
+    require(keys.nonEmpty, "need at least one key column")
+    require(compareCols.nonEmpty, "need at least one column to compare")
+    def side(df: DataFrame, tag: String) = df
+      .select((keys ++ compareCols).map(col): _*)
+      .withColumnsRenamed(compareCols.map(c => c -> s"__${tag}_$c").toMap)
+      .withColumn(s"__${tag}_present", lit(1))
+    val j = side(old, "o").join(side(cur, "c"), keys, "full_outer")
+    val status = when(col("__o_present").isNull, "added")
+      .when(col("__c_present").isNull, "removed")
+      .otherwise("changed")
+    val changed = concat_ws(",", compareCols.map(c =>
+      when(!(col(s"__o_$c") <=> col(s"__c_$c")), lit(c))): _*)
+    j.withColumn("status", status)
+      .withColumn("changed_cols",
+        when(col("status") === "changed", changed).otherwise(lit("")))
+      .filter(col("status") =!= "changed" || col("changed_cols") =!= "")
+      .select(keys.map(col) :+ col("status") :+ col("changed_cols"): _*)
+  }
+
   /** Late-arriving data — ref :191-229 handle_late_arriving_data: rows
     * at or before the current watermark are late. Returned as a flag
     * column (filter on it to split; a streaming pipeline would use the

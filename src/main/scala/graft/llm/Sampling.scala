@@ -77,6 +77,26 @@ object Sampling {
     df.withColumn("rn", row_number().over(w)).filter(col("rn") <= n)
   }
 
+  /** Per-group quota by priority (the C4/RefinedWeb-style per-domain
+    * cap: keep at most `n` documents per source, preferring the
+    * highest-`priorityCol` rows; `tieCol` ascending pins ties so the
+    * survivor set is reproducible across runs and engines). Contrast
+    * with [[samplePerStratum]], which picks a hash-UNIFORM subset —
+    * this keeps the BEST rows under the quota. One shuffle on the
+    * group key; the `row_number <= n` filter becomes a
+    * WindowGroupLimit, so each map task pre-prunes to its local top-n
+    * per group BEFORE the shuffle — a hot domain with 10^9 docs ships
+    * ~n rows per upstream partition, not 10^9.
+    */
+  def capPerGroup(df: DataFrame, groupCols: Seq[String], priorityCol: String,
+                  tieCol: String, n: Int): DataFrame = {
+    require(groupCols.nonEmpty, "need at least one group column")
+    require(n >= 1, s"cap must be >= 1, got $n")
+    val w = Window.partitionBy(groupCols.map(col): _*)
+      .orderBy(col(priorityCol).desc, col(tieCol).asc)
+    df.withColumn("rn", row_number().over(w)).filter(col("rn") <= n)
+  }
+
   /** Disjoint, exhaustive split tag (train/valid/test...): the hash
     * coordinate lands in exactly one cumulative bucket. `splits` are
     * (name, fraction) with fractions summing to <= 1; the remainder

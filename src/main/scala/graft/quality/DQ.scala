@@ -1,6 +1,7 @@
 package graft.quality
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.Det
 
@@ -423,6 +424,42 @@ object DQ {
     * Output: (keyCols..., n, share, ratio_to_avg), heaviest first,
     * ties broken by the key columns ascending.
     */
+  /** Per-column top-k frequent values — the profiling companion to
+    * [[profile]]'s scalar stats and the multi-column generalization of
+    * [[keySkew]] (ref dq_rule_examples.py:711 ranks value_counts to
+    * sample duplicate failures; this is that screen as a first-class
+    * profile over any column set). ONE pass: each row emits one
+    * (col_name, value) pair per profiled column via a literal-array
+    * explode (map-side, no per-column scans), one hash aggregation
+    * counts them, and the `row_number <= k` filter is a
+    * WindowGroupLimit — map tasks pre-prune to their local top-k per
+    * column before the shuffle, so a billion-distinct-value column
+    * ships ~k rows per upstream partition, never its tail. Shares are
+    * against the column's non-null total, a |cols|-row broadcast
+    * derived from the counts themselves (no second scan of `df`).
+    * Output: (col_name, value, n, share, rk), heaviest first, ties by
+    * value ascending.
+    */
+  def topValues(df: DataFrame, cols: Seq[String], k: Int = 10): DataFrame = {
+    require(cols.nonEmpty, "need at least one column to profile")
+    require(k >= 1, s"k must be >= 1, got $k")
+    val pairs = df
+      .select(explode(array(cols.map(c =>
+        struct(lit(c).as("col_name"), col(c).cast("string").as("value"))): _*)).as("p"))
+      .select(col("p.col_name").as("col_name"), col("p.value").as("value"))
+      .filter(col("value").isNotNull)
+    val counts = pairs.groupBy("col_name", "value").agg(count(lit(1)).as("n"))
+    val totals = counts.groupBy("col_name").agg(sum(col("n")).as("__total"))
+    val w = Window.partitionBy(col("col_name"))
+      .orderBy(col("n").desc, col("value").asc)
+    counts
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .join(broadcast(totals), Seq("col_name"))
+      .withColumn("share", round(col("n") / col("__total"), 6))
+      .select("col_name", "value", "n", "share", "rk")
+  }
+
   def keySkew(df: DataFrame, keyCols: Seq[String], topN: Int = 10): DataFrame = {
     require(keyCols.nonEmpty && topN >= 1, "need key columns and topN >= 1")
     val counts = df.groupBy(keyCols.map(col): _*).agg(count(lit(1)).as("n"))

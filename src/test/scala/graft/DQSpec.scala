@@ -240,6 +240,29 @@ class DQSpec extends SparkSpec {
     assert(top == Seq(("hot", 6L, 0.6, 1.8), ("warm", 3L, 0.3, 0.9)))
   }
 
+  test("topValues profiles per-column top-k with shares against non-null totals") {
+    // col a: x*4, y*3, z*2, w*1 over 10 rows; col b has 5 nulls → the
+    // share denominator must be the NON-NULL total (5), not the row count
+    val df = (Seq.fill(4)("x") ++ Seq.fill(3)("y") ++ Seq.fill(2)("z") ++ Seq("w"))
+      .zipWithIndex
+      .map { case (a, i) => (a, if (i < 5) null else "k") }
+      .toDF("a", "b")
+    val got = DQ.topValues(df, Seq("a", "b"), k = 2)
+      .as[(String, String, Long, Double, Int)].collect().toSet
+    assert(got == Set(
+      ("a", "x", 4L, 0.4, 1), ("a", "y", 3L, 0.3, 2),
+      ("b", "k", 5L, 1.0, 1)))
+    // count ties resolve by value ascending, and the plan carries the
+    // WindowGroupLimit pre-shuffle prune (the 100 TB guard)
+    val tied = Seq("m", "m", "n", "n", "o").toDF("a")
+    val top = DQ.topValues(tied, Seq("a"), k = 1)
+      .as[(String, String, Long, Double, Int)].collect().toSeq
+    assert(top == Seq(("a", "m", 2L, 0.4, 1)))
+    val plan = DQ.topValues(tied, Seq("a"), k = 1)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"), s"no WindowGroupLimit in:\n$plan")
+  }
+
   test("exactQuantile matches native percentile bit-for-bit on every path") {
     import graft.functions.Quantiles.exactQuantile
     val rng = new scala.util.Random(42)

@@ -72,6 +72,32 @@ class IncrementalSpec extends SparkSpec {
     assert(out.toSeq == Seq(2))
   }
 
+  test("snapshotDiff reports adds, removes, and per-column changes") {
+    val old = Seq(
+      (1, Some(10.0), "A"), (2, Some(20.0), "B"), (3, Some(30.0), "C"),
+      (4, None, "D"), (5, Some(50.0), "E")
+    ).toDF("k", "price", "status")
+    val cur = Seq(
+      (1, Some(10.0), "A"),   // unchanged -> dropped
+      (2, Some(21.0), "B"),   // price changed
+      (3, Some(30.0), null),  // status changed to NULL (null-safe compare)
+      (4, Some(40.0), "D"),   // price changed FROM null
+      (6, Some(60.0), "F")    // added; 5 removed
+    ).toDF("k", "price", "status")
+    val out = Incremental.snapshotDiff(old, cur, Seq("k"), Seq("price", "status"))
+      .as[(Int, String, String)].collect().toSet
+    assert(out == Set(
+      (2, "changed", "price"), (3, "changed", "status"),
+      (4, "changed", "price"), (5, "removed", ""), (6, "added", "")))
+    // both columns moving lists them in compareCols order
+    val both = Incremental.snapshotDiff(
+      Seq((9, 1.0, "x")).toDF("k", "price", "status"),
+      Seq((9, 2.0, "y")).toDF("k", "price", "status"),
+      Seq("k"), Seq("price", "status"))
+      .as[(Int, String, String)].collect().toSeq
+    assert(both == Seq((9, "changed", "price,status")))
+  }
+
   test("applyCdc applies only the latest event per key") {
     val target = Seq((1, 10.0), (2, 20.0), (3, 30.0)).toDF("k", "v")
     val cdc = Seq(

@@ -49,6 +49,23 @@ class SamplingSpec extends SparkSpec {
     assert(x == y)
   }
 
+  test("capPerGroup keeps the top-n rows per group by priority with stable ties") {
+    // group "a": priorities 9,9,5,5,1 — cap 3 keeps both 9s then the
+    // LOWER-id 5; group "b" is under the cap and survives whole
+    val df = Seq(
+      ("a", 10L, 9.0), ("a", 11L, 9.0), ("a", 12L, 5.0), ("a", 13L, 5.0),
+      ("a", 14L, 1.0), ("b", 20L, 2.0), ("b", 21L, 7.0)
+    ).toDF("g", "id", "pri")
+    val got = Sampling.capPerGroup(df, Seq("g"), "pri", "id", n = 3)
+      .select("g", "id", "rn").as[(String, Long, Int)].collect().toSeq.sorted
+    assert(got == Seq(("a", 10L, 1), ("a", 11L, 2), ("a", 12L, 3),
+      ("b", 20L, 2), ("b", 21L, 1)))
+    // deterministic under re-partitioning
+    val again = Sampling.capPerGroup(df.repartition(7), Seq("g"), "pri", "id", n = 3)
+      .select("g", "id", "rn").as[(String, Long, Int)].collect().toSeq.sorted
+    assert(again == got)
+  }
+
   test("splitTag is disjoint, exhaustive, and near the requested proportions") {
     val splits = Seq("valid" -> 0.1, "test" -> 0.1, "train" -> 0.8)
     val tagged = ids.withColumn("split", Sampling.splitTag(col("id"), splits))
