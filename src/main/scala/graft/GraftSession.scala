@@ -24,6 +24,13 @@ object GraftSession {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // Naive parquet timestamp[us] (the current testdata events.ts)
+      // must load as session-zoned TIMESTAMP, not TIMESTAMP_NTZ: event-
+      // time operators (unix_micros, withWatermark) require TIMESTAMP,
+      // and with the session TZ pinned UTC the reading is identical.
+      // Tables.normalizeEventsTs additionally casts any NTZ column that
+      // slips through (e.g. a user-supplied session without this conf).
+      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
       .config("spark.ui.enabled", "false")
 
   def local(cores: Int = Runtime.getRuntime.availableProcessors()): SparkSession =

@@ -56,7 +56,7 @@ object QueriesPipeline {
         s"""{"datasets": [
            |  {"name": "cat_orders", "format": "parquet",
            |   "path": "$dir/orders.parquet",
-           |   "schema": "o_orderkey BIGINT, o_custkey BIGINT, o_orderstatus STRING, o_totalprice DOUBLE, o_orderdate TIMESTAMP_NTZ, o_orderpriority STRING"},
+           |   "schema": "o_orderkey BIGINT, o_custkey BIGINT, o_orderstatus STRING, o_totalprice DOUBLE, o_orderdate TIMESTAMP, o_orderpriority STRING"},
            |  {"name": "cat_customer", "format": "parquet",
            |   "path": "$dir/customer.parquet"}
            |]}""".stripMargin

@@ -25,14 +25,24 @@ object Tables {
     if (name == "events") normalizeEventsTs(df) else df
   }
 
-  /** Raw-nanos `ts` (read back as LongType) to a micros timestamp —
-    * the ONE definition batch loads and streaming replays share, so
-    * the two paths cannot drift.
+  /** Normalize `ts` to a session-zoned micros TIMESTAMP — the ONE
+    * definition batch loads and streaming replays share, so the two
+    * paths cannot drift. Handles every on-disk form the driver has
+    * shipped: TIMESTAMP(NANOS) read back as LongType nanos (under
+    * nanosAsLong), and naive timestamp[us] read back as TIMESTAMP_NTZ
+    * (when inferTimestampNTZ is on). The NTZ cast is value-preserving
+    * because the session timezone is pinned UTC, so DuckDB-oracle
+    * parity is unchanged.
     */
   def normalizeEventsTs(df: DataFrame): DataFrame =
-    if (df.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-      df.withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
-    else df
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        df.withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        df.withColumn("ts",
+          org.apache.spark.sql.functions.col("ts").cast(org.apache.spark.sql.types.TimestampType))
+      case _ => df
+    }
 
   /** The events table replayed as a parquet file STREAM — the one
     * replay definition every streaming oracle query shares. The file

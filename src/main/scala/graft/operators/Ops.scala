@@ -359,7 +359,8 @@ object Ops {
     val w = Window.partitionBy(partitionBy.map(col): _*).orderBy(orderBy: _*)
     val prev = lag(col(tsCol), 1).over(w)
     val newSession = when(prev.isNull ||
-      unix_micros(col(tsCol)) - unix_micros(prev) > gapSeconds * 1000000L, 1L)
+      graft.functions.Times.epochMicros(col(tsCol)) -
+        graft.functions.Times.epochMicros(prev) > gapSeconds * 1000000L, 1L)
       .otherwise(0L)
     val wc = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     df.withColumn("__new_s", newSession)

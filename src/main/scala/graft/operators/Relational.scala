@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.functions.Times.epochMicros
 
 /** Temporal/relational analytics operators the reference framework's
   * users build by hand in pandas (`merge_asof`, interval filters,
@@ -86,7 +87,7 @@ object Relational {
     // the whole payload nulls out, exactly like pandas' tolerance
     val inTol =
       if (toleranceSeconds < 0) lit(true)
-      else abs(unix_micros(col(s"__m.$rightTs")) - unix_micros(col("__ats"))) <=
+      else abs(epochMicros(col(s"__m.$rightTs")) - epochMicros(col("__ats"))) <=
         lit(toleranceSeconds * 1000000L)
     matched.select(col("__lrow.*") +: payFields.map(f =>
       when(inTol, col(s"__m.$f")).as(prefix + f)): _*)
@@ -111,8 +112,8 @@ object Relational {
     val fTs = col(s"__f_$rightTs")
     val useBackward = fTs.isNull ||
       (bTs.isNotNull &&
-        unix_micros(col(leftTs)) - unix_micros(bTs) <=
-          unix_micros(fTs) - unix_micros(col(leftTs)))
+        epochMicros(col(leftTs)) - epochMicros(bTs) <=
+          epochMicros(fTs) - epochMicros(col(leftTs)))
     f.select(left.columns.map(col) ++ payFields.map(p =>
       when(useBackward, col(s"__b_$p")).otherwise(col(s"__f_$p")).as(prefix + p)): _*)
   }
@@ -138,7 +139,7 @@ object Relational {
                 strictStart: Boolean = false, strictEnd: Boolean = false): DataFrame = {
     require(bucketSeconds > 0, "bucketSeconds must be positive")
     val width = lit(bucketSeconds * 1000000L)
-    def bucketOf(c: Column): Column = floor(unix_micros(c) / width)
+    def bucketOf(c: Column): Column = floor(epochMicros(c) / width)
     val p = points.withColumn("__b", bucketOf(col(tsCol)))
     val iv = intervals
       .withColumn("__bs", bucketOf(col(startCol)))

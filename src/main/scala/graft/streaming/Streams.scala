@@ -30,7 +30,8 @@ object Streams {
                   windowDur: String, slideDur: Option[String],
                   keyCols: Seq[String], aggs: Seq[Column]): DataFrame = {
     val win = slideDur.fold(window(col(tsCol), windowDur))(s => window(col(tsCol), windowDur, s))
-    df.withWatermark(tsCol, watermarkDelay)
+    graft.functions.Times.ensureTimestamp(df, tsCol)
+      .withWatermark(tsCol, watermarkDelay)
       .groupBy(win +: keyCols.map(col): _*)
       .agg(aggs.head, aggs.tail: _*)
   }
@@ -47,7 +48,8 @@ object Streams {
   def sessionWindowAgg(df: DataFrame, tsCol: String, watermarkDelay: String,
                        gap: String, keyCols: Seq[String],
                        aggs: Seq[Column]): DataFrame =
-    df.withWatermark(tsCol, watermarkDelay)
+    graft.functions.Times.ensureTimestamp(df, tsCol)
+      .withWatermark(tsCol, watermarkDelay)
       .groupBy(session_window(col(tsCol), gap) +: keyCols.map(col): _*)
       .agg(aggs.head, aggs.tail: _*)
       .withColumn("session_start", col("session_window.start"))
@@ -59,7 +61,8 @@ object Streams {
     */
   def dedupStream(df: DataFrame, tsCol: String, watermarkDelay: String,
                   keys: Seq[String]): DataFrame =
-    df.withWatermark(tsCol, watermarkDelay)
+    graft.functions.Times.ensureTimestamp(df, tsCol)
+      .withWatermark(tsCol, watermarkDelay)
       .dropDuplicatesWithinWatermark(keys)
 
   /** Custom keyed running state via mapGroupsWithState: per-key count
