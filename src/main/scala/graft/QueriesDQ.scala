@@ -27,6 +27,13 @@ object QueriesDQ {
         otherCols = Seq("o_orderstatus", "o_orderpriority"))
     }),
 
+    // profile_data with value_counts — ref dq_rule_examples.py:711
+    "q_dq_profile_full" -> ((s, dir) => {
+      DQ.profileFull(t(s, dir, "orders"),
+        numericCols = Seq("o_orderkey", "o_custkey", "o_totalprice"),
+        otherCols = Seq("o_orderstatus", "o_orderpriority"), k = 5)
+    }),
+
     // completeness / not_null — ref dq_rule_examples.py:144,199,275
     "q_dq_completeness" -> ((s, dir) => {
       DQ.check(t(s, dir, "orders"),
@@ -161,6 +168,15 @@ object QueriesDQ {
       val ref = li.filter(col("l_shipdate") >= "1995-01-01" && col("l_shipdate") < "1996-01-01")
       val cur = li.filter(col("l_shipdate") >= "1996-01-01" && col("l_shipdate") < "1997-01-01")
       DQ.ksBinned(ref, cur, "l_quantity", Seq(1, 11, 21, 31, 41, 51), threshold = 0.05)
+    }),
+
+    // EXACT (unbinned) two-sample KS between the same snapshots — the
+    // bucketed-prefix-sum plan; ksBinned stays the 100 TB default
+    "q_dq_ks_exact" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val ref = li.filter(col("l_shipdate") >= "1995-01-01" && col("l_shipdate") < "1996-01-01")
+      val cur = li.filter(col("l_shipdate") >= "1996-01-01" && col("l_shipdate") < "1997-01-01")
+      DQ.ksExact(ref, cur, "l_quantity", threshold = 0.05, rangeBuckets = 8)
     }),
 
     // categorical drift on order priority between the same snapshots
@@ -309,6 +325,35 @@ object QueriesDQ {
           profCol("o_totalprice", numeric = true),
           profCol("o_orderstatus", numeric = false),
           profCol("o_orderpriority", numeric = false)).mkString("\nUNION ALL\n"),
+
+    "q_dq_profile_full" -> {
+      val prof = Seq(profCol("o_orderkey", numeric = true),
+        profCol("o_custkey", numeric = true),
+        profCol("o_totalprice", numeric = true),
+        profCol("o_orderstatus", numeric = false),
+        profCol("o_orderpriority", numeric = false)).mkString("\nUNION ALL\n")
+      val pairCols = Seq("o_orderkey", "o_custkey", "o_totalprice",
+        "o_orderstatus", "o_orderpriority")
+      val pairs = pairCols.map(c =>
+        s"SELECT '$c' AS col_name, CAST($c AS VARCHAR) AS value FROM orders WHERE $c IS NOT NULL")
+        .mkString("\nUNION ALL\n")
+      s"""WITH prof AS ($prof),
+         |pairs AS ($pairs),
+         |c AS (SELECT col_name, value, COUNT(*) AS n FROM pairs GROUP BY 1, 2),
+         |t AS (SELECT col_name, CAST(SUM(n) AS BIGINT) AS total FROM c GROUP BY 1),
+         |r AS (SELECT col_name, value, n,
+         |             row_number() OVER (PARTITION BY col_name
+         |                                ORDER BY n DESC, value) AS rk
+         |      FROM c),
+         |top AS (
+         |  SELECT r.col_name AS colname,
+         |         string_agg(r.value || ':' || CAST(r.n AS VARCHAR), ',' ORDER BY r.rk) AS top_values,
+         |         MAX(CASE WHEN r.rk = 1 THEN ROUND(r.n / t.total, 6) END) AS top_share
+         |  FROM r JOIN t USING (col_name) WHERE r.rk <= 5 GROUP BY 1)
+         |SELECT prof.*, top.top_values, top.top_share,
+         |       ROUND(top.top_share * prof.distinct_cnt, 6) AS top_ratio
+         |FROM prof LEFT JOIN top USING (colname)""".stripMargin
+    },
 
     "q_dq_completeness" ->
       ordersCols.map(c => nnOracle("orders", c)).mkString("\nUNION ALL\n"),
@@ -507,6 +552,38 @@ object QueriesDQ {
          |  $ks AS ks,
          |  ($ks > 0.05) AS drifted
          |FROM r, c""".stripMargin
+    },
+
+    "q_dq_ks_exact" -> {
+      // identical expression shape to DQ.ksExact: integer cumulative
+      // counts cast to double, one division per side, abs, max, round(6)
+      s"""WITH pooled AS (
+         |  SELECT v, SUM(r) AS dr, SUM(c) AS dc FROM (
+         |    SELECT CAST(l_quantity AS DOUBLE) AS v, 1 AS r, 0 AS c FROM lineitem
+         |    WHERE l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
+         |      AND l_shipdate < TIMESTAMP '1996-01-01 00:00:00'
+         |      AND l_quantity IS NOT NULL
+         |    UNION ALL
+         |    SELECT CAST(l_quantity AS DOUBLE) AS v, 0 AS r, 1 AS c FROM lineitem
+         |    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+         |      AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+         |      AND l_quantity IS NOT NULL
+         |  ) GROUP BY v),
+         |tot AS (
+         |  SELECT CAST(SUM(dr) AS DOUBLE) AS nr, CAST(SUM(dc) AS DOUBLE) AS nc,
+         |         CAST(SUM(dr) AS BIGINT) AS nri, CAST(SUM(dc) AS BIGINT) AS nci
+         |  FROM pooled),
+         |cum AS (
+         |  SELECT
+         |    SUM(dr) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cr,
+         |    SUM(dc) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cc
+         |  FROM pooled),
+         |mx AS (
+         |  SELECT MAX(ABS(CAST(cr AS DOUBLE) / tot.nr - CAST(cc AS DOUBLE) / tot.nc)) AS ksraw
+         |  FROM cum, tot)
+         |SELECT 'l_quantity' AS colname, tot.nri AS n_ref, tot.nci AS n_cur,
+         |  round(mx.ksraw, 6) AS ks, (round(mx.ksraw, 6) > 0.05) AS drifted
+         |FROM mx, tot""".stripMargin
     },
 
     "q_dq_psi_cat" -> {

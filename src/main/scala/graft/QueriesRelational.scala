@@ -105,12 +105,13 @@ object QueriesRelational {
         .select(col("str_a").as("name_a"), col("str_b").as("name_b"), col("dist"))
     }),
 
-    // near-dup clustering: fuzzy pairs -> connected components (the
-    // oracle unrolls min-label propagation to a fixed depth; the
-    // Spark side iterates to the fixpoint — equal once converged,
-    // and these clusters have tiny diameter)
+    // near-dup clustering: fuzzy pairs -> connected components via the
+    // default large-star/small-star path (no diameter bound; identical
+    // labelling to min-label propagation once converged — the oracle
+    // unrolls propagation to a fixed depth, equal on these
+    // tiny-diameter clusters)
     "q_dedup_cluster" -> ((s, dir) => {
-      graft.llm.Dedup.componentLabels(fuzzyNamePairs(s, dir), "name_a", "name_b")
+      graft.llm.Dedup.componentLabelsStar(fuzzyNamePairs(s, dir), "name_a", "name_b")
     }),
 
     // cluster collapse: one canonical name per fuzzy cluster

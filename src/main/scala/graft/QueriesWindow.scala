@@ -89,14 +89,22 @@ object QueriesWindow {
     // only the dedup KEYS — which duplicate row wins is arrival-order
     // dependent (not a property any engine pins), but the surviving key
     // SET is exact, so the whole streaming plan is still hash-checked
-    // against DISTINCT.
+    // against DISTINCT. That DISTINCT contract holds only when the
+    // replay arrives as ONE micro-batch: across batches,
+    // dropDuplicatesWithinWatermark re-emits a key whose duplicates are
+    // separated by more than the watermark delay. The file source
+    // delivers the single events.parquet in one batch today;
+    // requireSingleBatch turns a future split (maxFilesPerTrigger, a
+    // multi-file table) into a loud failure instead of a
+    // nondeterministic hash mismatch.
     "q_stream_dedup" -> ((s, dir) => {
       val dd = graft.streaming.Streams
         .dedupStream(eventsStream(s, dir), "ts", "1 hour",
           Seq("user_id", "event_type"))
         .select(col("user_id"), col("event_type"))
       drainToTable(s, dd, "q_stream_dedup_sink",
-        org.apache.spark.sql.streaming.OutputMode.Append())
+        org.apache.spark.sql.streaming.OutputMode.Append(),
+        requireSingleBatch = true)
     })
   )
 
@@ -111,10 +119,19 @@ object QueriesWindow {
     */
   private def drainToTable(s: SparkSession, agg: DataFrame, sink: String,
                            mode: org.apache.spark.sql.streaming.OutputMode =
-                             org.apache.spark.sql.streaming.OutputMode.Complete()): DataFrame = {
+                             org.apache.spark.sql.streaming.OutputMode.Complete(),
+                           requireSingleBatch: Boolean = false): DataFrame = {
     s.catalog.dropTempView(sink)
     val q = graft.streaming.Streams.startMemorySink(agg, sink, mode)
-    try q.processAllAvailable() finally q.stop()
+    try {
+      q.processAllAvailable()
+      if (requireSingleBatch) {
+        val dataBatches = q.recentProgress.count(_.numInputRows > 0)
+        require(dataBatches <= 1,
+          s"$sink: replay split into $dataBatches micro-batches — the " +
+            "oracle's DISTINCT contract only holds for a single-batch replay")
+      }
+    } finally q.stop()
     s.table(sink)
   }
 

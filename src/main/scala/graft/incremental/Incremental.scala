@@ -146,6 +146,16 @@ object Incremental {
                    compareCols: Seq[String]): DataFrame = {
     require(keys.nonEmpty, "need at least one key column")
     require(compareCols.nonEmpty, "need at least one column to compare")
+    // the two output columns are appended by name; compareCols are
+    // renamed to __o_/__c_ before the join so they can never clash,
+    // but KEY columns keep their names — a key literally named
+    // status/changed_cols would be silently overwritten, corrupting
+    // the returned keys. (Duplicate keys — violating the documented
+    // PK assumption — would likewise multiply rows through the
+    // full-outer join; that contract stays the caller's.)
+    val reservedClash = keys.toSet.intersect(Set("status", "changed_cols"))
+    require(reservedClash.isEmpty,
+      s"snapshotDiff reserves output columns ${reservedClash.mkString(", ")} — rename the key first")
     def side(df: DataFrame, tag: String) = df
       .select((keys ++ compareCols).map(col): _*)
       .withColumnsRenamed(compareCols.map(c => c -> s"__${tag}_$c").toMap)

@@ -820,11 +820,25 @@ object Dedup {
     * minimum (unpaired rows are their own singleton component and
     * always survive). One components run + one broadcast-or-shuffled
     * left join against the (distinct-node-sized) label frame.
+    *
+    * Components default to [[componentLabelsStar]] — O(log n) rounds
+    * with no diameter bound, so an adversarial chain-shaped pair graph
+    * (boilerplate gradients, sliding near-dup runs) cannot blow the
+    * iteration budget; a comparative spec pins it no slower than
+    * propagation on the star-shaped clusters typical of template
+    * near-dups. Pass `algorithm = "propagation"` to get
+    * [[componentLabels]]'s cheaper per-round plan when the diameter is
+    * known to be tiny.
     */
   def collapseNearDups(df: DataFrame, idCol: String, pairs: DataFrame,
                        idACol: String = "id_a", idBCol: String = "id_b",
-                       maxIters: Int = 20): DataFrame = {
-    val comp = componentLabels(pairs, idACol, idBCol, maxIters)
+                       maxIters: Int = 25,
+                       algorithm: String = "star"): DataFrame = {
+    require(Seq("star", "propagation").contains(algorithm),
+      s"algorithm must be star|propagation, got $algorithm")
+    val comp = (if (algorithm == "star")
+      componentLabelsStar(pairs, idACol, idBCol, maxIters)
+    else componentLabels(pairs, idACol, idBCol, maxIters))
       .withColumnRenamed("node", idCol)
     df.join(comp, Seq(idCol), "left")
       .filter(col("component").isNull || col("component") === col(idCol))

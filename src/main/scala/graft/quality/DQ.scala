@@ -256,6 +256,35 @@ object DQ {
     one.select(inline(array(rows: _*)))
   }
 
+  /** One-call profile with the reference's value_counts attached —
+    * profile_data surfaces top value counts alongside the scalar stats
+    * (ref dq_rule_examples.py:711); this is [[profile]] plus, per
+    * column: the top-k values as a rank-ordered "value:n" list, the
+    * heaviest value's share of the column's non-null rows, and that
+    * share × distinct count — [[keySkew]]'s ratio-to-mean-weight
+    * signal, computed from numbers already on the row (no extra pass).
+    * Cost on top of [[profile]]'s single agg is exactly [[topValues]]'s
+    * two exchanges; the merge back is a broadcast of ≤ |cols| rows.
+    */
+  def profileFull(df: DataFrame, numericCols: Seq[String],
+                  otherCols: Seq[String] = Nil, scale: Int = 2,
+                  k: Int = 5): DataFrame = {
+    val cols = numericCols ++ otherCols
+    val perCol = topValues(df, cols, k)
+      .groupBy(col("col_name").as("colname"))
+      .agg(
+        array_join(
+          transform(
+            array_sort(collect_list(struct(col("rk"),
+              concat_ws(":", col("value"), col("n")).as("s")))),
+            x => x.getField("s")),
+          ",").as("top_values"),
+        max(when(col("rk") === 1, col("share"))).as("top_share"))
+    profile(df, numericCols, otherCols, scale)
+      .join(broadcast(perCol), Seq("colname"), "left")
+      .withColumn("top_ratio", round(col("top_share") * col("distinct_cnt"), 6))
+  }
+
   /** Quantile profile — one aggregation pass over all columns. At
     * `approx = true` (the 100 TB path) each column uses the
     * Greenwald-Khanna sketch behind `approx_percentile`: memory is
@@ -433,8 +462,11 @@ object DQ {
     * explode (map-side, no per-column scans), one hash aggregation
     * counts them, and the `row_number <= k` filter is a
     * WindowGroupLimit — map tasks pre-prune to their local top-k per
-    * column before the shuffle, so a billion-distinct-value column
-    * ships ~k rows per upstream partition, never its tail. Shares are
+    * column before the RANKING exchange, which therefore carries ~k
+    * rows per upstream partition. (The counting aggregation before it
+    * still shuffles every distinct (column, value) pair once —
+    * partial-agg compressed, but a billion-distinct column's tail does
+    * cross the wire there; only the second exchange is capped.) Shares are
     * against the column's non-null total, a |cols|-row broadcast
     * derived from the counts themselves (no second scan of `df`).
     * Output: (col_name, value, n, share, rk), heaviest first, ties by
@@ -667,6 +699,97 @@ object DQ {
     val maxGap = if (gaps.size == 1) gaps.head else greatest(gaps: _*)
     val ks = when(nR > 0.0 && nC > 0.0, round(maxGap, 6))
     driftSelect(joined, column, nR, nC, "ks", ks, ks > threshold)
+  }
+
+  /** EXACT two-sample Kolmogorov–Smirnov statistic — the unbinned
+    * companion to [[ksBinned]] (which stays the 100 TB default):
+    * `sup_x |F_ref(x) - F_cur(x)|` evaluated at every observed value,
+    * with no global sort and no single-partition window. The same
+    * sketch-narrows-where-never-what design as
+    * [[graft.functions.Quantiles.exactQuantiles]]:
+    *
+    *  1. ONE shuffle pools both samples into per-distinct-value counts
+    *     (map-side combined — ties collapse before anything sorts);
+    *  2. a GK sketch over the distinct values picks `rangeBuckets`
+    *     LITERAL range edges (they only balance work across buckets;
+    *     the statistic never depends on them), and one bounded
+    *     aggregation (`rangeBuckets` rows collected) turns per-bucket
+    *     totals into exclusive prefix offsets;
+    *  3. each bucket independently sorts ITS values (window partitioned
+    *     by bucket ≈ n_distinct/rangeBuckets rows), adds its offset for
+    *     the global cumulative counts, and the max |CDF gap| reduces
+    *     map-side.
+    *
+    * Evaluating at every distinct pooled value is exhaustive: both
+    * empirical CDFs are right-continuous step functions that only jump
+    * there, and a left-limit at any jump equals the CDF at the previous
+    * distinct value, which is also evaluated. Output matches
+    * [[ksBinned]]: (colname, n_ref, n_cur, ks, drifted); ks/drifted
+    * null when a snapshot is empty.
+    */
+  def ksExact(reference: DataFrame, current: DataFrame, column: String,
+              threshold: Double = 0.1, rangeBuckets: Int = 64,
+              accuracy: Int = 10000): DataFrame = {
+    require(rangeBuckets >= 1, s"rangeBuckets must be >= 1, got $rangeBuckets")
+    val spark = reference.sparkSession
+    def side(df: DataFrame, r: Int, c: Int) = df
+      .select(col(column).cast("double").as("__v"))
+      .filter(col("__v").isNotNull)
+      .select(col("__v"), lit(r.toLong).as("__r"), lit(c.toLong).as("__c"))
+    val pooled = side(reference, 1, 0).unionByName(side(current, 0, 1))
+      .groupBy("__v").agg(sum("__r").as("__dr"), sum("__c").as("__dc"))
+      .persist() // consumed by two jobs (offsets, max-gap) + the caller's action
+
+    val edges: Seq[Double] =
+      if (rangeBuckets == 1) Seq.empty
+      else {
+        val qs = (1 until rangeBuckets).map(_.toDouble / rangeBuckets)
+        val row = pooled.agg(expr(
+          s"approx_percentile(__v, array(${qs.mkString(",")}), $accuracy)")).head()
+        if (row.isNullAt(0)) Seq.empty else row.getSeq[Double](0).distinct
+      }
+    // literal edge chain → bucket id is deterministic across recomputes
+    // (unlike repartitionByRange's sampled ranges)
+    val bucket = edges.foldLeft(lit(0)) { (acc, e) =>
+      acc + when(col("__v") > e, 1).otherwise(0)
+    }
+    val withB = pooled.withColumn("__b", bucket)
+
+    val totals = withB.groupBy("__b")
+      .agg(sum("__dr").as("__tr"), sum("__dc").as("__tc"))
+      .collect() // bounded: ≤ rangeBuckets rows
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1)
+    val nR = totals.map(_._2).sum
+    val nC = totals.map(_._3).sum
+    if (nR == 0L || nC == 0L) {
+      pooled.unpersist(blocking = false)
+      import spark.implicits._
+      return Seq((column, nR, nC)).toDF("colname", "n_ref", "n_cur")
+        .withColumn("ks", lit(null).cast("double"))
+        .withColumn("drifted", lit(null).cast("boolean"))
+    }
+    // exclusive prefix offsets per bucket, broadcast back
+    val prefixR = totals.scanLeft(0L)(_ + _._2)
+    val prefixC = totals.scanLeft(0L)(_ + _._3)
+    val offsets = totals.indices.map(i => (totals(i)._1, prefixR(i), prefixC(i)))
+    import spark.implicits._
+    val offDf = offsets.toDF("__b", "__offr", "__offc")
+
+    val w = Window.partitionBy(col("__b")).orderBy(col("__v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val gap = abs(
+      (sum(col("__dr")).over(w) + col("__offr")).cast("double") / lit(nR.toDouble) -
+      (sum(col("__dc")).over(w) + col("__offc")).cast("double") / lit(nC.toDouble))
+    // rounding stays in-plan (identical expression shape to the oracle,
+    // like ksBinned); `pooled` stays persisted for the caller's action
+    // per the engine's persist-ownership contract (GraftSession.releaseAll)
+    val ks = round(col("__ks"), 6)
+    withB.join(broadcast(offDf), "__b")
+      .select(gap.as("__gap"))
+      .agg(max(col("__gap")).as("__ks"))
+      .select(lit(column).as("colname"), lit(nR).as("n_ref"),
+        lit(nC).as("n_cur"), ks.as("ks"), (ks > threshold).as("drifted"))
   }
 
   /** k-anonymity audit over quasi-identifier columns: a dataset is

@@ -263,6 +263,54 @@ class DQSpec extends SparkSpec {
     assert(plan.contains("WindowGroupLimit"), s"no WindowGroupLimit in:\n$plan")
   }
 
+  test("ksExact equals the brute-force statistic, on every bucket count") {
+    import spark.implicits._
+    val ref = (1 to 200).map(i => (i % 37).toDouble).toDF("v")
+    val cur = (1 to 150).map(i => ((i % 29) + 3).toDouble).toDF("v")
+    // brute force on the driver: max CDF gap at every pooled value
+    val rv = ref.as[Double].collect().sorted
+    val cv = cur.as[Double].collect().sorted
+    val pool = (rv ++ cv).distinct.sorted
+    val brute = pool.map { x =>
+      math.abs(rv.count(_ <= x).toDouble / rv.length -
+        cv.count(_ <= x).toDouble / cv.length)
+    }.max
+    // bucket edges must never change the statistic — probe the
+    // degenerate single-bucket case and a count above the distinct
+    // value count alongside the default
+    for (b <- Seq(1, 4, 64, 1000)) {
+      val row = DQ.ksExact(ref, cur, "v", threshold = 0.05, rangeBuckets = b).head()
+      assert(math.abs(row.getDouble(row.fieldIndex("ks")) - brute) < 1e-6, s"buckets=$b")
+      assert(row.getLong(row.fieldIndex("n_ref")) == 200L)
+      assert(row.getLong(row.fieldIndex("n_cur")) == 150L)
+    }
+    // identical samples → 0; disjoint samples → 1
+    assert(DQ.ksExact(ref, ref, "v").head().getDouble(3) == 0.0)
+    val far = (1 to 50).map(i => (i + 1000).toDouble).toDF("v")
+    assert(DQ.ksExact(ref, far, "v").head().getDouble(3) == 1.0)
+    // an empty snapshot → counts populated, ks/drifted null
+    val e = DQ.ksExact(ref, cur.filter(lit(false)), "v").head()
+    assert(e.getLong(1) == 200L && e.getLong(2) == 0L && e.isNullAt(3) && e.isNullAt(4))
+    GraftSession.releaseAll(spark)
+  }
+
+  test("profileFull carries profile stats plus ordered value_counts columns") {
+    import spark.implicits._
+    val df = Seq(("a", 1.0), ("a", 2.0), ("a", 3.0), ("b", 4.0), (null, 5.0))
+      .toDF("k", "x")
+    val r = DQ.profileFull(df, numericCols = Seq("x"), otherCols = Seq("k"), k = 2)
+      .orderBy("colname").collect()
+    val k = r(0)
+    assert(k.getString(k.fieldIndex("colname")) == "k")
+    assert(k.getString(k.fieldIndex("top_values")) == "a:3,b:1")
+    assert(k.getDouble(k.fieldIndex("top_share")) == 0.75)
+    assert(k.getDouble(k.fieldIndex("top_ratio")) == 1.5) // 0.75 share × 2 distinct
+    val x = r(1)
+    assert(x.getString(x.fieldIndex("colname")) == "x")
+    assert(x.getLong(x.fieldIndex("distinct_cnt")) == 5L)
+    assert(x.getString(x.fieldIndex("top_values")) == "1.0:1,2.0:1") // ties → value asc
+  }
+
   test("exactQuantile matches native percentile bit-for-bit on every path") {
     import graft.functions.Quantiles.exactQuantile
     val rng = new scala.util.Random(42)

@@ -275,6 +275,33 @@ class RelationalSpec extends SparkSpec {
     assert(kept == Set(1L, 9L))
   }
 
+  test("star components match propagation and are not slower on the bench pair graph") {
+    // the comparative evidence behind collapseNearDups defaulting to
+    // the star path: identical labelling on the REAL bench graph
+    // (fuzzy part-name pairs — star-shaped template clusters, the case
+    // propagation is best at), and wall time within a generous noise
+    // band (3×) of propagation's. The chain-shaped case star exists
+    // for is covered by the 100-deep-chain spec above.
+    val vocab = table("part").groupBy(col("p_name")).agg(min(col("p_partkey")).as("pid"))
+    val pairs = Relational.fuzzyPairs(vocab, "pid", "p_name", maxDist = 2)
+      .select(col("str_a").as("name_a"), col("str_b").as("name_b"))
+      .localCheckpoint() // time the components, not the pair generation
+    def timed[A](f: => A): (A, Long) = {
+      val t0 = System.nanoTime(); val a = f; (a, System.nanoTime() - t0)
+    }
+    val (prop, tProp) = timed(
+      graft.llm.Dedup.componentLabels(pairs, "name_a", "name_b")
+        .as[(String, String)].collect().toSet)
+    val (star, tStar) = timed(
+      graft.llm.Dedup.componentLabelsStar(pairs, "name_a", "name_b")
+        .as[(String, String)].collect().toSet)
+    assert(star == prop && star.nonEmpty)
+    assert(tStar <= tProp * 3,
+      f"star ${tStar / 1e9}%.2fs vs propagation ${tProp / 1e9}%.2fs — " +
+        "star regressed past the 3x noise band; re-evaluate the default")
+    GraftSession.releaseAll(spark)
+  }
+
   test("fuzzyPairs matches brute-force levenshtein on real part names") {
     val vocab = table("part").groupBy(col("p_name")).agg(min(col("p_partkey")).as("pid"))
     val got = Relational.fuzzyPairs(vocab, "pid", "p_name", maxDist = 3)
