@@ -109,6 +109,20 @@ object QueriesPipeline {
       FileSource.read(s, "excel", path, Some(n.schema))
     }),
 
+    // MULTI-SHEET xlsx roundtrip — ref file_connector.py:118's
+    // sheet_name branch: two tables into one workbook, read back by
+    // sheet name (incl. a timestamp column through the date-serial
+    // style path)
+    "q_src_excel_sheets" -> ((s, dir) => {
+      val o = t(s, dir, "orders").limit(200)
+      val r = t(s, dir, "region")
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_xlsx_multi_q"
+      val file = s"$path/book.xlsx"
+      new java.io.File(path).mkdirs()
+      graft.sources.Excel.writeSheets(Seq("orders" -> o, "region" -> r), file)
+      graft.sources.Excel.read(s, path, Some(r.schema), sheet = Some("region"))
+    }),
+
     // xml write → read roundtrip (Spark 4 native XML datasource;
     // closes ref file_connector.py:109's XML branch)
     "q_src_xml" -> ((s, dir) => {
@@ -150,6 +164,7 @@ object QueriesPipeline {
 
     "q_src_csv" -> "SELECT * FROM nation",
     "q_src_excel" -> "SELECT * FROM nation",
+    "q_src_excel_sheets" -> "SELECT * FROM region",
     "q_src_json" -> "SELECT * FROM region",
     "q_src_xml" -> "SELECT * FROM supplier"
   )

@@ -10,17 +10,26 @@ import org.apache.spark.sql.{DataFrame, Encoders, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
-/** Minimal NATIVE xlsx reader/writer — ref file_connector.py:109-128
-  * (the reference reads/writes Excel via pandas/openpyxl; this build is
+/** NATIVE xlsx reader/writer — ref file_connector.py:109-128 (the
+  * reference reads/writes Excel via pandas/openpyxl; this build is
   * zero-egress, so the com.crealytics:spark-excel datasource cannot be
   * resolved and the format is implemented directly: an .xlsx is a zip
   * of small XML parts).
   *
-  * Scope — data-interchange sheets, which is what a metadata-ETL uses
-  * Excel for: first worksheet, header row, shared/inline/numeric/bool
-  * cells. NOT covered: date serial numbers + number formats, formulas,
-  * styling, multiple sheets — for full-fidelity spreadsheets add the
-  * external spark-excel datasource on a cluster with egress.
+  * Fidelity — the surface pandas.read_excel actually exercises:
+  *  - any sheet by NAME (workbook.xml + its rels resolve the part;
+  *    default = first sheet in workbook order), [[sheetNames]] lists;
+  *  - shared / inline / plain string, numeric, and boolean cells;
+  *  - DATE/TIME cells: numeric serials whose style resolves (via
+  *    xl/styles.xml cellXfs → numFmtId, builtin or custom format
+  *    code) to a date format are decoded to ISO strings — date-only
+  *    serials to "yyyy-MM-dd", the rest to "yyyy-MM-dd HH:mm:ss"
+  *    (second precision, the xlsx double's realistic resolution);
+  *  - FORMULA cells read their cached `<v>` result — exactly
+  *    pandas/openpyxl `data_only=True` semantics (a formula's text is
+  *    never evaluated; Excel itself persists the last computed value).
+  * NOT covered: styling/merged-cell geometry, and re-evaluating
+  * formulas — for live formula engines use a spreadsheet, not an ETL.
   *
   * Scale design: the READ is distributed — `binaryFile` lists the
   * input (a directory of .xlsx shards or a single file), each file is
@@ -99,23 +108,164 @@ object Excel {
       r.close(); out.result()
     }.getOrElse(IndexedSeq.empty)
 
-  /** Raw cell grid of the first worksheet: one Array[String] per row
-    * (null = missing cell), shared strings resolved, booleans
-    * normalized to true/false. Streaming StAX — memory is one row, not
-    * the sheet.
+  // ---- workbook structure: ordered (sheet name, worksheet part) ----
+
+  /** Sheets in WORKBOOK order with their resolved zip part names.
+    * Falls back to the bare sheetN.xml listing (named by part) for
+    * fragment workbooks without xl/workbook.xml.
     */
-  private[graft] def rawRows(bytes: Array[Byte]): Vector[Array[String]] = {
+  private def sheetParts(z: Map[String, Array[Byte]]): Seq[(String, String)] = {
+    val viaWorkbook = for {
+      wb <- z.get("xl/workbook.xml")
+      rels <- z.get("xl/_rels/workbook.xml.rels")
+    } yield {
+      val ridToTarget = {
+        val r = newReader(rels)
+        val m = Map.newBuilder[String, String]
+        while (r.hasNext) {
+          if (r.next() == XMLStreamConstants.START_ELEMENT &&
+              r.getLocalName == "Relationship") {
+            val id = r.getAttributeValue(null, "Id")
+            val t = r.getAttributeValue(null, "Target")
+            if (id != null && t != null)
+              m += id -> (if (t.startsWith("/")) t.stripPrefix("/") else s"xl/$t")
+          }
+        }
+        r.close(); m.result()
+      }
+      val r = newReader(wb)
+      val out = Seq.newBuilder[(String, String)]
+      while (r.hasNext) {
+        if (r.next() == XMLStreamConstants.START_ELEMENT && r.getLocalName == "sheet") {
+          val name = r.getAttributeValue(null, "name")
+          // the r:id attribute is namespaced; match by local name
+          val rid = (0 until r.getAttributeCount)
+            .find(i => r.getAttributeLocalName(i) == "id")
+            .map(r.getAttributeValue)
+          rid.flatMap(ridToTarget.get).foreach(p => out += ((name, p)))
+        }
+      }
+      r.close(); out.result()
+    }
+    viaWorkbook.filter(_.nonEmpty).getOrElse {
+      z.keys.filter(_.matches("xl/worksheets/sheet\\d+\\.xml"))
+        .toSeq.sortBy(n => (n.length, n)).map(p => p -> p)
+    }
+  }
+
+  /** Sheet names of the lexically-first workbook under `path`, in
+    * workbook order (pandas.ExcelFile.sheet_names parity).
+    */
+  def sheetNames(spark: SparkSession, path: String): Seq[String] =
+    sheetParts(entries(firstFile(spark, path))).map(_._1)
+
+  // ---- styles: which style indices are date/time formats ----
+
+  // builtin date/time numFmtIds (ECMA-376 §18.8.30): locale dates,
+  // times, and the CJK era/date blocks
+  private val builtinDateFmts: Set[Int] =
+    ((14 to 22) ++ (27 to 36) ++ (45 to 47) ++ (50 to 58)).toSet
+
+  /** A custom format code is a date format when it contains a y/m/d/
+    * h/s token OUTSIDE quoted literals, [bracket] sections, and
+    * backslash escapes ("0.00" has none; [Red]yyyy\-mm does).
+    */
+  private[graft] def isDateFormatCode(code: String): Boolean = {
+    val sb = new StringBuilder
+    var i = 0
+    while (i < code.length) {
+      code.charAt(i) match {
+        case '"' => i += 1; while (i < code.length && code.charAt(i) != '"') i += 1; i += 1
+        case '[' => while (i < code.length && code.charAt(i) != ']') i += 1; i += 1
+        case '\\' => i += 2
+        case c => sb.append(c); i += 1
+      }
+    }
+    sb.toString.toLowerCase.exists("ymdhs".contains(_))
+  }
+
+  /** Style (cellXfs) indices whose number format is a date format. */
+  private def dateStyles(z: Map[String, Array[Byte]]): Set[Int] =
+    z.get("xl/styles.xml").map { xml =>
+      val r = newReader(xml)
+      val customDate = scala.collection.mutable.Set[Int]()
+      val xfFmts = ArrayBuffer[Int]()
+      var inCellXfs = false
+      while (r.hasNext) {
+        r.next() match {
+          case XMLStreamConstants.START_ELEMENT => r.getLocalName match {
+            case "numFmt" =>
+              val id = Option(r.getAttributeValue(null, "numFmtId")).map(_.toInt)
+              val code = Option(r.getAttributeValue(null, "formatCode"))
+              if (id.nonEmpty && code.exists(isDateFormatCode)) customDate += id.get
+            case "cellXfs" => inCellXfs = true
+            case "xf" if inCellXfs =>
+              xfFmts += Option(r.getAttributeValue(null, "numFmtId"))
+                .map(_.toInt).getOrElse(0)
+            case _ => ()
+          }
+          case XMLStreamConstants.END_ELEMENT if r.getLocalName == "cellXfs" =>
+            inCellXfs = false
+          case _ => ()
+        }
+      }
+      r.close()
+      xfFmts.zipWithIndex.collect {
+        case (fmt, i) if builtinDateFmts(fmt) || customDate(fmt) => i
+      }.toSet
+    }.getOrElse(Set.empty)
+
+  // ---- date serials (1900 system, base 1899-12-30 like openpyxl) ----
+
+  private val serialBase = java.time.LocalDate.of(1899, 12, 30)
+
+  /** Excel serial → ISO string: integral serials are dates, the rest
+    * datetimes at second precision (a day is 86400 s; the serial's
+    * double mantissa cannot carry reliable sub-second anyway).
+    */
+  private[graft] def serialToString(serial: Double): String = {
+    val days = math.floor(serial).toLong
+    val secs = math.round((serial - days) * 86400.0)
+    val d = serialBase.plusDays(days + secs / 86400)
+    val rem = secs % 86400
+    if (rem == 0L && serial == days.toDouble) d.toString
+    else java.time.LocalDateTime.of(d, java.time.LocalTime.ofSecondOfDay(rem))
+      .format(java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss"))
+  }
+
+  private def toSerial(ldt: java.time.LocalDateTime): Double =
+    java.time.temporal.ChronoUnit.DAYS.between(serialBase, ldt.toLocalDate).toDouble +
+      ldt.toLocalTime.toSecondOfDay.toDouble / 86400.0
+
+  // ---- read ----
+
+  /** Raw cell grid of one worksheet: one Array[String] per row (null =
+    * missing cell), shared strings resolved, booleans normalized to
+    * true/false, date-styled serials decoded to ISO strings, formula
+    * cells yielding their cached value. Streaming StAX — memory is one
+    * row, not the sheet. `sheet` = name; None = first in workbook
+    * order.
+    */
+  private[graft] def rawRows(bytes: Array[Byte],
+                             sheet: Option[String] = None): Vector[Array[String]] = {
     val z = entries(bytes)
-    val sheet = z.keys.filter(_.matches("xl/worksheets/sheet\\d+\\.xml"))
-      .toSeq.sortBy(n => (n.length, n)).headOption
-      .getOrElse(throw new IllegalArgumentException(
-        "not an xlsx workbook: no xl/worksheets/sheet*.xml part"))
+    val parts = sheetParts(z)
+    require(parts.nonEmpty, "not an xlsx workbook: no worksheet parts")
+    val part = sheet match {
+      case None => parts.head._2
+      case Some(s) => parts.find(_._1 == s).map(_._2).getOrElse(
+        throw new IllegalArgumentException(
+          s"no sheet named '$s'; workbook has: ${parts.map(_._1).mkString(", ")}"))
+    }
     val sst = sharedStrings(z)
-    val r = newReader(z(sheet))
+    val dateXfs = dateStyles(z)
+    val r = newReader(z.getOrElse(part,
+      throw new IllegalArgumentException(s"workbook part missing: $part")))
     val rows = Vector.newBuilder[Array[String]]
     var cells: ArrayBuffer[(Int, String)] = null
     var cellCol = -1
     var cellType = "n"
+    var cellStyle = -1
     var text: StringBuilder = null
     var capture = false
     var seq = 0
@@ -127,7 +277,11 @@ object Excel {
             val ref = r.getAttributeValue(null, "r")
             cellCol = if (ref != null) colIndex(ref) else seq
             cellType = Option(r.getAttributeValue(null, "t")).getOrElse("n")
+            cellStyle = Option(r.getAttributeValue(null, "s"))
+              .flatMap(_.toIntOption).getOrElse(-1)
             text = new StringBuilder
+          // `<f>` (the formula text) is deliberately NOT captured —
+          // only the cached `<v>` result is read, like data_only=True
           case "v" | "t" if text != null => capture = true
           case _ => ()
         }
@@ -139,6 +293,8 @@ object Excel {
             val v = cellType match {
               case "s" if raw.trim.nonEmpty => sst(raw.trim.toInt)
               case "b"                      => if (raw.trim == "1") "true" else "false"
+              case "n" | "" if dateXfs(cellStyle) && raw.trim.nonEmpty =>
+                raw.trim.toDoubleOption.map(serialToString).getOrElse(raw)
               case _                        => raw
             }
             if (raw.nonEmpty || cellType == "inlineStr" || cellType == "str")
@@ -160,25 +316,30 @@ object Excel {
     rows.result()
   }
 
-  // ---- read ----
-
-  /** Read a .xlsx file or a directory of them into a DataFrame.
-    * Without `schema`, every column is STRING named by the header row;
-    * with it, columns are cast by position-matched name. One Spark
-    * task per file; the header is sniffed from the lexically-first
-    * file only (all shards must share a layout, as with CSV).
-    */
-  def read(spark: SparkSession, path: String,
-           schema: Option[StructType] = None,
-           header: Boolean = true): DataFrame = {
-    val files = spark.read.format("binaryFile")
+  private def firstFile(spark: SparkSession, path: String): Array[Byte] =
+    spark.read.format("binaryFile")
       .option("pathGlobFilter", "*.xlsx").load(path)
-      .select(col("path"), col("content"))
-    val firstBytes = files.orderBy(col("path")).limit(1)
+      .orderBy(col("path")).limit(1)
       .select(col("content")).as(Encoders.BINARY).collect()
       .headOption.getOrElse(throw new IllegalArgumentException(
         s"no .xlsx files under $path"))
-    val sniff = rawRows(firstBytes)
+
+  /** Read a .xlsx file or a directory of them into a DataFrame.
+    * Without `schema`, every column is STRING named by the header row;
+    * with it, columns are cast by position-matched name (date cells
+    * decode to ISO strings, so TimestampType/DateType casts work).
+    * `sheet` picks a worksheet by name (default first). One Spark task
+    * per file; the header is sniffed from the lexically-first file
+    * only (all shards must share a layout, as with CSV).
+    */
+  def read(spark: SparkSession, path: String,
+           schema: Option[StructType] = None,
+           header: Boolean = true,
+           sheet: Option[String] = None): DataFrame = {
+    val files = spark.read.format("binaryFile")
+      .option("pathGlobFilter", "*.xlsx").load(path)
+      .select(col("path"), col("content"))
+    val sniff = rawRows(firstFile(spark, path), sheet)
     require(sniff.nonEmpty, "empty worksheet: cannot derive columns")
     val names: Seq[String] = schema.map(_.fieldNames.toSeq).getOrElse {
       if (header)
@@ -189,7 +350,7 @@ object Excel {
     val stringSchema = StructType(names.map(StructField(_, StringType, nullable = true)))
     val raw = files.select(col("content")).as(Encoders.BINARY)
       .flatMap { bytes =>
-        val rs = rawRows(bytes)
+        val rs = rawRows(bytes, sheet)
         val data = if (header) rs.drop(1) else rs
         data.iterator.map { arr =>
           Row.fromSeq((0 until width).map(i => if (i < arr.length) arr(i) else null))
@@ -214,23 +375,36 @@ object Excel {
     case c => c.toString
   }
 
-  /** Write `df` as a single .xlsx workbook at `file` (header row +
-    * inline-string/number cells). Enforces the format's 1,048,575
-    * data-row cap — the collect is bounded by the file format itself,
-    * which is why a driver-side write is correct here; bigger data is
-    * not a spreadsheet.
-    */
-  def write(df: DataFrame, file: String): Unit = {
+  // cellXfs written by writeSheets: 0 = default, 1 = datetime
+  // (numFmtId 22, "m/d/yy h:mm"), 2 = date (numFmtId 14, "mm-dd-yy")
+  private val stylesXml =
+    """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
+      |<styleSheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main">
+      |<fonts count="1"><font/></fonts>
+      |<fills count="1"><fill><patternFill patternType="none"/></fill></fills>
+      |<borders count="1"><border/></borders>
+      |<cellStyleXfs count="1"><xf/></cellStyleXfs>
+      |<cellXfs count="3"><xf numFmtId="0"/>
+      |<xf numFmtId="22" applyNumberFormat="1"/>
+      |<xf numFmtId="14" applyNumberFormat="1"/></cellXfs>
+      |</styleSheet>""".stripMargin
+
+  private def sheetXml(df: DataFrame): String = {
     val rows = df.collect()
     require(rows.length <= RowCap,
       s"xlsx caps a worksheet at $RowCap data rows; got ${rows.length} — " +
         "export parquet/csv instead")
     val fields = df.schema.fields
-    val numeric = fields.map(_.dataType match {
-      case _: NumericType => true
-      case _              => false
+    sealed trait Kind
+    object KNum extends Kind; object KBool extends Kind
+    object KTs extends Kind; object KDate extends Kind; object KStr extends Kind
+    val kinds: Array[Kind] = fields.map(_.dataType match {
+      case _: NumericType                    => KNum
+      case BooleanType                       => KBool
+      case TimestampType | TimestampNTZType  => KTs
+      case DateType                          => KDate
+      case _                                 => KStr
     })
-    val bool = fields.map(_.dataType == BooleanType)
     val sb = new StringBuilder
     sb.append("<?xml version=\"1.0\" encoding=\"UTF-8\" standalone=\"yes\"?>\n")
     sb.append("<worksheet xmlns=\"http://schemas.openxmlformats.org/spreadsheetml/2006/main\"><sheetData>")
@@ -243,41 +417,91 @@ object Excel {
     rows.zipWithIndex.foreach { case (row, ri) =>
       sb.append(s"""<row r="${ri + 2}">""")
       fields.indices.foreach { i =>
-        if (!row.isNullAt(i)) {
-          if (numeric(i))
+        if (!row.isNullAt(i)) kinds(i) match {
+          case KNum =>
             sb.append(s"""<c r="${cellRef(ri + 1, i)}"><v>${row.get(i)}</v></c>""")
-          else if (bool(i))
+          case KBool =>
             sb.append(s"""<c r="${cellRef(ri + 1, i)}" t="b"><v>${if (row.getBoolean(i)) 1 else 0}</v></c>""")
-          else inlineCell(ri + 1, i, String.valueOf(row.get(i)))
+          case KTs =>
+            // wall-clock fields, not an instant: the cell must show the
+            // same clock digits the session renders
+            val ldt = row.get(i) match {
+              case t: java.sql.Timestamp           => t.toLocalDateTime
+              case t: java.time.LocalDateTime      => t
+              case other                           =>
+                java.sql.Timestamp.valueOf(String.valueOf(other)).toLocalDateTime
+            }
+            sb.append(s"""<c r="${cellRef(ri + 1, i)}" s="1"><v>${toSerial(ldt)}</v></c>""")
+          case KDate =>
+            val ld = row.get(i) match {
+              case d: java.sql.Date      => d.toLocalDate
+              case d: java.time.LocalDate => d
+              case other                 => java.time.LocalDate.parse(String.valueOf(other))
+            }
+            val days = java.time.temporal.ChronoUnit.DAYS.between(serialBase, ld)
+            sb.append(s"""<c r="${cellRef(ri + 1, i)}" s="2"><v>$days</v></c>""")
+          case KStr => inlineCell(ri + 1, i, String.valueOf(row.get(i)))
         }
       }
       sb.append("</row>")
     }
     sb.append("</sheetData></worksheet>")
+    sb.toString
+  }
 
-    val contentTypes =
-      """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
-        |<Types xmlns="http://schemas.openxmlformats.org/package/2006/content-types">
-        |<Default Extension="rels" ContentType="application/vnd.openxmlformats-package.relationships+xml"/>
-        |<Default Extension="xml" ContentType="application/xml"/>
-        |<Override PartName="/xl/workbook.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.sheet.main+xml"/>
-        |<Override PartName="/xl/worksheets/sheet1.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.worksheet+xml"/>
-        |</Types>""".stripMargin
+  /** Write one DataFrame as a single-sheet .xlsx workbook at `file`. */
+  def write(df: DataFrame, file: String): Unit =
+    writeSheets(Seq("Sheet1" -> df), file)
+
+  /** Write a MULTI-SHEET workbook — one worksheet per (name, frame) in
+    * order (pandas ExcelWriter parity, file_connector.py:118's
+    * sheet_name branch). Header row + typed cells: numbers/bools
+    * native, timestamps/dates as serials with date styles (so Excel —
+    * and this reader — shows them as dates), everything else inline
+    * strings. Each sheet independently enforces the row cap.
+    */
+  def writeSheets(sheets: Seq[(String, DataFrame)], file: String): Unit = {
+    require(sheets.nonEmpty, "need at least one (name, DataFrame) sheet")
+    require(sheets.map(_._1).distinct.size == sheets.size,
+      "sheet names must be unique")
+    val n = sheets.size
+    val contentTypes = {
+      val overrides = (1 to n).map(i =>
+        s"""<Override PartName="/xl/worksheets/sheet$i.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.worksheet+xml"/>""")
+        .mkString("\n")
+      s"""<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
+         |<Types xmlns="http://schemas.openxmlformats.org/package/2006/content-types">
+         |<Default Extension="rels" ContentType="application/vnd.openxmlformats-package.relationships+xml"/>
+         |<Default Extension="xml" ContentType="application/xml"/>
+         |<Override PartName="/xl/workbook.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.sheet.main+xml"/>
+         |<Override PartName="/xl/styles.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.styles+xml"/>
+         |$overrides
+         |</Types>""".stripMargin
+    }
     val rootRels =
       """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
         |<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">
         |<Relationship Id="rId1" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/officeDocument" Target="xl/workbook.xml"/>
         |</Relationships>""".stripMargin
-    val workbook =
-      """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
-        |<workbook xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main" xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/relationships">
-        |<sheets><sheet name="Sheet1" sheetId="1" r:id="rId1"/></sheets>
-        |</workbook>""".stripMargin
-    val wbRels =
-      """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
-        |<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">
-        |<Relationship Id="rId1" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/worksheet" Target="worksheets/sheet1.xml"/>
-        |</Relationships>""".stripMargin
+    val workbook = {
+      val entries = sheets.zipWithIndex.map { case ((name, _), i) =>
+        s"""<sheet name="${xmlEscape(name)}" sheetId="${i + 1}" r:id="rId${i + 1}"/>"""
+      }.mkString
+      s"""<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
+         |<workbook xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main" xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/relationships">
+         |<sheets>$entries</sheets>
+         |</workbook>""".stripMargin
+    }
+    val wbRels = {
+      val rels = (1 to n).map(i =>
+        s"""<Relationship Id="rId$i" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/worksheet" Target="worksheets/sheet$i.xml"/>""")
+        .mkString("\n")
+      s"""<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
+         |<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">
+         |$rels
+         |<Relationship Id="rId${n + 1}" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/styles" Target="styles.xml"/>
+         |</Relationships>""".stripMargin
+    }
 
     val f = new java.io.File(file)
     Option(f.getParentFile).foreach(_.mkdirs())
@@ -292,7 +516,10 @@ object Excel {
       put("_rels/.rels", rootRels)
       put("xl/workbook.xml", workbook)
       put("xl/_rels/workbook.xml.rels", wbRels)
-      put("xl/worksheets/sheet1.xml", sb.toString)
+      put("xl/styles.xml", stylesXml)
+      sheets.zipWithIndex.foreach { case ((_, df), i) =>
+        put(s"xl/worksheets/sheet${i + 1}.xml", sheetXml(df))
+      }
     } finally zout.close()
   }
 }

@@ -231,6 +231,82 @@ class PipelineSourcesSpec extends SparkSpec {
     assert(got == Seq(Seq("widget", "7"), Seq(null, "9")))
   }
 
+  test("xlsx multi-sheet roundtrip with typed date/timestamp cells") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_xlsx_multi")
+    val file = new java.io.File(dir.toFile, "book.xlsx").toString
+    val a = Seq(
+      (1, "alpha", java.sql.Timestamp.valueOf("2024-03-01 10:15:30"),
+        java.sql.Date.valueOf("2024-03-05"), true),
+      (2, "beta", java.sql.Timestamp.valueOf("2023-12-31 23:59:59"),
+        java.sql.Date.valueOf("1999-01-02"), false)
+    ).toDF("id", "name", "ts", "d", "flag")
+    val b = Seq((10L, 2.5), (20L, -0.75)).toDF("k", "v")
+    graft.sources.Excel.writeSheets(Seq("events" -> a, "metrics" -> b), file)
+
+    assert(graft.sources.Excel.sheetNames(spark, dir.toString) == Seq("events", "metrics"))
+
+    // sheet by name + schema cast: serials come back as the SAME
+    // timestamp/date (second precision — the format's resolution)
+    val gotA = graft.sources.Excel.read(spark, dir.toString,
+        Some(a.schema), sheet = Some("events"))
+      .orderBy("id").collect().map(_.toSeq).toSeq
+    assert(gotA == a.orderBy("id").collect().map(_.toSeq).toSeq)
+    val gotB = graft.sources.Excel.read(spark, dir.toString,
+        Some(b.schema), sheet = Some("metrics"))
+      .orderBy("k").collect().map(_.toSeq).toSeq
+    assert(gotB == b.orderBy("k").collect().map(_.toSeq).toSeq)
+
+    // default sheet = FIRST in workbook order, not alphabetical
+    assert(graft.sources.Excel.read(spark, dir.toString).columns.toSeq ==
+      Seq("id", "name", "ts", "d", "flag"))
+    // unknown sheet fails with the available names
+    val e = intercept[Exception](
+      graft.sources.Excel.read(spark, dir.toString, sheet = Some("nope")).collect())
+    assert(e.getMessage.contains("events"))
+  }
+
+  test("xlsx reader decodes Excel-styled date serials and cached formula values") {
+    // hand-built workbook in the layout real Excel emits: date cells
+    // are plain numerics whose STYLE resolves to a date format (builtin
+    // 14 and a custom yyyy-mm-dd code), formula cells carry <f> plus
+    // the cached <v> — the reader must use the cache, data_only-style
+    val dir = Files.createTempDirectory("graft_xlsx_dates")
+    val file = new java.io.File(dir.toFile, "book.xlsx")
+    val zout = new java.util.zip.ZipOutputStream(new java.io.FileOutputStream(file))
+    def put(name: String, content: String): Unit = {
+      zout.putNextEntry(new java.util.zip.ZipEntry(name))
+      zout.write(content.getBytes("UTF-8")); zout.closeEntry()
+    }
+    put("[Content_Types].xml", "<Types/>")
+    put("xl/styles.xml",
+      """<styleSheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main">
+        |<numFmts count="1"><numFmt numFmtId="164" formatCode="yyyy\-mm\-dd"/></numFmts>
+        |<cellXfs count="3"><xf numFmtId="0"/><xf numFmtId="14"/><xf numFmtId="164"/></cellXfs>
+        |</styleSheet>""".stripMargin)
+    put("xl/worksheets/sheet1.xml",
+      """<worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"><sheetData>
+        |<row r="1"><c r="A1" t="inlineStr"><is><t>d1</t></is></c><c r="B1" t="inlineStr"><is><t>d2</t></is></c><c r="C1" t="inlineStr"><is><t>total</t></is></c></row>
+        |<row r="2"><c r="A2" s="1"><v>45352</v></c><c r="B2" s="2"><v>45352.4274305556</v></c><c r="C2"><f>1+2</f><v>3</v></c></row>
+        |</sheetData></worksheet>""".stripMargin)
+    zout.close()
+    val got = graft.sources.Excel.read(spark, dir.toString).collect().map(_.toSeq).toSeq
+    // 45352 = 2024-03-01; .4274305556 of a day = 10:15:30
+    assert(got == Seq(Seq("2024-03-01", "2024-03-01 10:15:30", "3")))
+  }
+
+  test("xlsx date-format classifier separates date codes from numeric codes") {
+    import graft.sources.Excel.isDateFormatCode
+    assert(isDateFormatCode("yyyy-mm-dd"))
+    assert(isDateFormatCode("[Red]yyyy\\-mm"))
+    assert(isDateFormatCode("h:mm AM/PM"))
+    assert(!isDateFormatCode("0.00"))
+    assert(!isDateFormatCode("#,##0.00"))
+    assert(!isDateFormatCode("0.00E+00"))
+    assert(!isDateFormatCode("\"yds\" 0.0")) // quoted literals don't count
+    assert(!isDateFormatCode("[h]")) // bracket sections don't count
+  }
+
   test("xlsx write refuses partitionBy; format errors stay clear") {
     import spark.implicits._
     val df = Seq((1, "a")).toDF("k", "v")
