@@ -70,6 +70,36 @@ object QueriesWindow {
       drainToTable(s, agg, "q_stream_tumbling_sink")
     }),
 
+    // SLIDING-window streaming agg, oracle-checked: width 1 h, slide
+    // 30 min — every event lands in exactly two windows, whose start
+    // families are the two 30-min-offset hourly bucketings (Spark
+    // aligns window starts to epoch multiples of the slide; DuckDB's
+    // time_bucket offset reproduces the :30 family exactly).
+    "q_stream_sliding" -> ((s, dir) => {
+      val agg = graft.streaming.Streams
+        .windowedAgg(eventsStream(s, dir), "ts", "10 minutes", "1 hour",
+          Some("30 minutes"), Seq("event_type"),
+          Seq(count(lit(1)).as("n"), Det.sumAt(col("value"), 6).as("sum_val")))
+        .select(col("window.start").as("bucket_start"), col("event_type"),
+          col("n"), col("sum_val"))
+      drainToTable(s, agg, "q_stream_sliding_sink")
+    }),
+
+    // stream-static join, oracle-checked: the events STREAM enriched
+    // against the static customer dimension (broadcast to every
+    // micro-batch — no state store, no watermark needed; the 100 TB
+    // plan for stream-side fact × small dim), aggregated per segment
+    // so the drained sink is deterministic.
+    "q_stream_join" -> ((s, dir) => {
+      val dim = Tables.load(s, dir, "customer")
+        .select(col("c_custkey"), col("c_mktsegment"))
+      val joined = eventsStream(s, dir)
+        .join(broadcast(dim), col("user_id") === col("c_custkey"))
+        .groupBy(col("c_mktsegment"), col("event_type"))
+        .agg(count(lit(1)).as("n"), Det.sumAt(col("value"), 6).as("sum_val"))
+      drainToTable(s, joined, "q_stream_join_sink")
+    }),
+
     // streaming gap-sessionization, oracle-checked: session_window
     // merges events within the 30-minute gap exactly like the batch
     // islands logic (touching sessions MERGE — a new session needs
@@ -183,6 +213,26 @@ object QueriesWindow {
       s"""SELECT time_bucket(INTERVAL '1 hour', ts) AS bucket_start, event_type,
          |COUNT(*) AS n, ${Det.sqlSumAt("value", 6)} AS sum_val
          |FROM events GROUP BY 1, 2""".stripMargin,
+
+    // 1 h windows sliding by 30 min = the union of the :00-aligned and
+    // :30-offset hourly bucketings (same shape as Spark's slide-aligned
+    // window starts)
+    "q_stream_sliding" ->
+      s"""WITH b AS (
+         |  SELECT time_bucket(INTERVAL '1 hour', ts) AS bucket_start,
+         |         event_type, value FROM events
+         |  UNION ALL
+         |  SELECT time_bucket(INTERVAL '1 hour', ts, INTERVAL '30 minutes') AS bucket_start,
+         |         event_type, value FROM events)
+         |SELECT bucket_start, event_type,
+         |COUNT(*) AS n, ${Det.sqlSumAt("value", 6)} AS sum_val
+         |FROM b GROUP BY 1, 2""".stripMargin,
+
+    "q_stream_join" ->
+      s"""SELECT c_mktsegment, event_type,
+         |COUNT(*) AS n, ${Det.sqlSumAt("value", 6)} AS sum_val
+         |FROM events JOIN customer ON user_id = c_custkey
+         |GROUP BY 1, 2""".stripMargin,
 
     // the q_sessionize islands logic, aggregated to the session grain
     // the streaming session_window emits (session_start = first event
