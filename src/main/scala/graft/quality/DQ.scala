@@ -225,11 +225,20 @@ object DQ {
   def profile(df: DataFrame, numericCols: Seq[String], otherCols: Seq[String] = Nil,
               scale: Int = 2, approxDistinct: Boolean = false): DataFrame = {
     val cols = numericCols ++ otherCols
-    def dcount(c: String): Column =
-      if (approxDistinct) approx_count_distinct(col(c)) else countDistinct(col(c))
-    val aggExprs = cols.flatMap { c =>
-      Seq(count(col(c)).as(s"__nn_$c"), dcount(c).as(s"__d_$c"))
-    } ++ numericCols.flatMap { c =>
+    // Exact mode: multiple countDistinct aggs in one pass plan as an
+    // Expand — the input re-emitted once PER distinct column, a
+    // |cols|+1× map-side row multiplication (measured 2.6 s vs 0.7 s
+    // on the 5-column gate profile). Instead the exact cardinalities
+    // and non-null totals come from one explode + two-level hash
+    // aggregation over (column, value) pairs — partial-agg compressed,
+    // no Expand — and only the non-expanding scalar aggregates stay in
+    // the wide pass. Approx mode keeps the true single pass:
+    // approx_count_distinct is an ordinary (sketch) aggregate with no
+    // Expand, which is the 100 TB path anyway.
+    val aggExprs = (if (approxDistinct) cols.flatMap { c =>
+      Seq(count(col(c)).as(s"__nn_$c"),
+        approx_count_distinct(col(c)).as(s"__d_$c"))
+    } else Nil) ++ numericCols.flatMap { c =>
       Seq(
         min(col(c)).cast("double").as(s"__min_$c"),
         max(col(c)).cast("double").as(s"__max_$c"),
@@ -239,22 +248,60 @@ object DQ {
     val one = df.agg(aggExprs.head, aggExprs.tail: _*)
     val rows = cols.map { c =>
       val numeric = numericCols.contains(c)
-      struct(
+      val head: Seq[Column] = if (approxDistinct) Seq(
         lit(c).as("colname"),
         col("__total").as("n_rows"),
         (col("__total") - col(s"__nn_$c")).as("null_count"),
         ((col("__total") - col(s"__nn_$c")) * lit(100.0) / col("__total")).as("null_pct"),
-        col(s"__d_$c").as("distinct_cnt"),
-        (if (numeric) col(s"__min_$c") else lit(null).cast("double")).as("min_val"),
-        (if (numeric) col(s"__max_$c") else lit(null).cast("double")).as("max_val"),
-        // rounded: beyond ~2^53 units the exact decimal sum no longer
-        // fits a double, and engines may round the cast differently in
-        // the last ulp — fix the displayed precision instead
-        (if (numeric) round(col(s"__mean_$c"), 6) else lit(null).cast("double")).as("mean_val"),
-        (if (numeric) round(col(s"__std_$c"), 6) else lit(null).cast("double")).as("std_val"))
-    }
-    one.select(inline(array(rows: _*)))
+        col(s"__d_$c").as("distinct_cnt"))
+      else Seq(lit(c).as("colname"), col("__total").as("n_rows"))
+      struct(
+        (head ++ Seq(
+          (if (numeric) col(s"__min_$c") else lit(null).cast("double")).as("min_val"),
+          (if (numeric) col(s"__max_$c") else lit(null).cast("double")).as("max_val"),
+          // rounded: beyond ~2^53 units the exact decimal sum no longer
+          // fits a double, and engines may round the cast differently in
+          // the last ulp — fix the displayed precision instead
+          (if (numeric) round(col(s"__mean_$c"), 6) else lit(null).cast("double")).as("mean_val"),
+          (if (numeric) round(col(s"__std_$c"), 6) else lit(null).cast("double")).as("std_val"))): _*)
+    }: Seq[Column]
+    val scalar = one.select(inline(array(rows: _*)))
+    if (approxDistinct)
+      scalar.select("colname", "n_rows", "null_count", "null_pct", "distinct_cnt",
+        "min_val", "max_val", "mean_val", "std_val")
+    else
+      scalar.join(broadcast(colCardinalities(df, cols)), Seq("colname"), "left")
+        .select(
+          col("colname"), col("n_rows"),
+          (col("n_rows") - coalesce(col("__nn"), lit(0L))).as("null_count"),
+          ((col("n_rows") - coalesce(col("__nn"), lit(0L))) * lit(100.0) / col("n_rows")).as("null_pct"),
+          coalesce(col("__card"), lit(0L)).as("distinct_cnt"),
+          col("min_val"), col("max_val"), col("mean_val"), col("std_val"))
   }
+
+  /** Value rendering for the pair-counts passes: fractional -0.0 is
+    * normalized to 0.0 first, so string-keyed grouping agrees with
+    * value-keyed countDistinct/GROUP BY (both engines treat the two
+    * zeros as one value; their strings differ).
+    */
+  private def valueStr(df: DataFrame, c: String): Column = df.schema(c).dataType match {
+    case org.apache.spark.sql.types.DoubleType |
+         org.apache.spark.sql.types.FloatType => (col(c) + lit(0)).cast("string")
+    case _                                    => col(c).cast("string")
+  }
+
+  /** Exact per-column cardinality + non-null total from ONE explode +
+    * two hash aggregations — the no-Expand alternative to N
+    * countDistinct aggs. Output: (colname, __card, __nn).
+    */
+  private def colCardinalities(df: DataFrame, cols: Seq[String]): DataFrame =
+    df.select(explode(array(cols.map(c =>
+        struct(lit(c).as("col_name"), valueStr(df, c).as("value"))): _*)).as("p"))
+      .select(col("p.col_name").as("col_name"), col("p.value").as("value"))
+      .filter(col("value").isNotNull)
+      .groupBy("col_name", "value").agg(count(lit(1)).as("__n"))
+      .groupBy(col("col_name").as("colname"))
+      .agg(count(lit(1)).as("__card"), sum(col("__n")).as("__nn"))
 
   /** One-call profile with the reference's value_counts attached —
     * profile_data surfaces top value counts alongside the scalar stats
@@ -270,19 +317,81 @@ object DQ {
                   otherCols: Seq[String] = Nil, scale: Int = 2,
                   k: Int = 5): DataFrame = {
     val cols = numericCols ++ otherCols
-    val perCol = topValues(df, cols, k)
+    // [[profile]]'s exact countDistinct per column plans as an Expand —
+    // the input is re-emitted once PER distinct-agg, a |cols|+1×
+    // row multiplication through the first shuffle. Here the per-value
+    // counts frame already exists for the top-k ranking, and it carries
+    // everything countDistinct would have computed: distinct_cnt =
+    // rows per col_name, non-null total = sum(n). So the scalar pass
+    // keeps only the non-expanding aggregates (count + numeric
+    // moments) and the distinct/null/top columns all ride the ONE
+    // counts aggregation — same output, no Expand anywhere.
+    val counts = topKCounts(df, cols, k)
       .groupBy(col("col_name").as("colname"))
       .agg(
+        first(col("distinct_cnt")).as("distinct_cnt"),
+        first(col("nn")).as("__nn"),
         array_join(
           transform(
-            array_sort(collect_list(struct(col("rk"),
-              concat_ws(":", col("value"), col("n")).as("s")))),
+            array_sort(collect_list(when(col("rk") <= k,
+              struct(col("rk"), concat_ws(":", col("value"), col("n")).as("s"))))),
             x => x.getField("s")),
           ",").as("top_values"),
-        max(when(col("rk") === 1, col("share"))).as("top_share"))
-    profile(df, numericCols, otherCols, scale)
-      .join(broadcast(perCol), Seq("colname"), "left")
-      .withColumn("top_ratio", round(col("top_share") * col("distinct_cnt"), 6))
+        max(when(col("rk") === 1, round(col("n") / col("nn"), 6))).as("top_share"))
+    val aggExprs = numericCols.flatMap { c =>
+      Seq(
+        min(col(c)).cast("double").as(s"__min_$c"),
+        max(col(c)).cast("double").as(s"__max_$c"),
+        Det.meanAt(col(c), scale).as(s"__mean_$c"),
+        Det.stddevAt(col(c), scale).as(s"__std_$c"))
+    } :+ count(lit(1)).as("__total")
+    val one = df.agg(aggExprs.head, aggExprs.tail: _*)
+    val rows = cols.map { c =>
+      val numeric = numericCols.contains(c)
+      struct(
+        lit(c).as("colname"),
+        col("__total").as("n_rows"),
+        (if (numeric) col(s"__min_$c") else lit(null).cast("double")).as("min_val"),
+        (if (numeric) col(s"__max_$c") else lit(null).cast("double")).as("max_val"),
+        (if (numeric) round(col(s"__mean_$c"), 6) else lit(null).cast("double")).as("mean_val"),
+        (if (numeric) round(col(s"__std_$c"), 6) else lit(null).cast("double")).as("std_val"))
+    }
+    one.select(inline(array(rows: _*)))
+      .join(broadcast(counts), Seq("colname"), "left")
+      .select(
+        col("colname"), col("n_rows"),
+        // an all-null column has no counts row at all — its non-null
+        // total coalesces to 0, like profile's count(col)
+        (col("n_rows") - coalesce(col("__nn"), lit(0L))).as("null_count"),
+        ((col("n_rows") - coalesce(col("__nn"), lit(0L))) * lit(100.0) / col("n_rows")).as("null_pct"),
+        coalesce(col("distinct_cnt"), lit(0L)).as("distinct_cnt"),
+        col("min_val"), col("max_val"), col("mean_val"), col("std_val"),
+        col("top_values"), col("top_share"),
+        round(col("top_share") * coalesce(col("distinct_cnt"), lit(0L)), 6).as("top_ratio"))
+  }
+
+  /** The shared counts core of [[topValues]]/[[profileFull]]: per
+    * (column, value) counts with rank, plus each column's distinct
+    * count and non-null total carried on every row (computed inside
+    * the same ranking window pass — no second aggregation of the
+    * counts frame, no broadcast join back).
+    */
+  private def topKCounts(df: DataFrame, cols: Seq[String], k: Int): DataFrame = {
+    require(cols.nonEmpty, "need at least one column to profile")
+    require(k >= 1, s"k must be >= 1, got $k")
+    val pairs = df
+      .select(explode(array(cols.map(c =>
+        struct(lit(c).as("col_name"), valueStr(df, c).as("value"))): _*)).as("p"))
+      .select(col("p.col_name").as("col_name"), col("p.value").as("value"))
+      .filter(col("value").isNotNull)
+    val counts = pairs.groupBy("col_name", "value").agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy(col("col_name"))
+      .orderBy(col("n").desc, col("value").asc)
+    val wAll = Window.partitionBy(col("col_name"))
+    counts
+      .withColumn("rk", row_number().over(w))
+      .withColumn("distinct_cnt", count(lit(1)).over(wAll))
+      .withColumn("nn", sum(col("n")).over(wAll))
   }
 
   /** Quantile profile — one aggregation pass over all columns. At

