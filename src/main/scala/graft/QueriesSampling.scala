@@ -80,6 +80,17 @@ object QueriesSampling {
         "doc_id", "text", n = 5)
     }),
 
+    // the Bloom-pruned decontamination path, SAME exact output (the
+    // filter narrows where the join looks, never what it returns) —
+    // hash-checked against the identical oracle as q_decontaminate
+    "q_decontaminate_bloom" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      Dedup.ngramContaminationBloom(
+        docs.filter(col("doc_id") % 97 =!= 0),
+        docs.filter(col("doc_id") % 97 === 0),
+        "doc_id", "text", n = 5)
+    }),
+
     // line-level boilerplate removal: docs are framed with a per-source
     // header and a global footer on BOTH sides; lines occurring in >= 2
     // distinct docs (headers, footers, duplicated bodies) are dropped,
@@ -111,6 +122,22 @@ object QueriesSampling {
       docs.select(col("doc_id") +: Text.redactPii(pii).as("clean") +: countCols: _*)
     })
   )
+
+  // shared by q_decontaminate and q_decontaminate_bloom: the Bloom
+  // variant is output-identical by construction (prune + exact verify)
+  private val decontaminateOracle: String =
+    """WITH toks AS (
+      |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents),
+      |pos AS (
+      |  SELECT doc_id, w, unnest(generate_series(1, greatest(len(w) - 4, 1))) AS i
+      |  FROM toks),
+      |grams AS (
+      |  SELECT DISTINCT doc_id, array_to_string(w[i:i+4], ' ') AS g FROM pos),
+      |bench AS (SELECT DISTINCT g FROM grams WHERE doc_id % 97 = 0)
+      |SELECT g.doc_id, CAST(COUNT(*) AS BIGINT) AS n_shared
+      |FROM grams g JOIN bench b USING (g)
+      |WHERE g.doc_id % 97 <> 0
+      |GROUP BY g.doc_id""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
 
@@ -157,19 +184,8 @@ object QueriesSampling {
          |         ELSE 1 END AS k
          |  FROM documents)""".stripMargin,
 
-    "q_decontaminate" ->
-      """WITH toks AS (
-        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents),
-        |pos AS (
-        |  SELECT doc_id, w, unnest(generate_series(1, greatest(len(w) - 4, 1))) AS i
-        |  FROM toks),
-        |grams AS (
-        |  SELECT DISTINCT doc_id, array_to_string(w[i:i+4], ' ') AS g FROM pos),
-        |bench AS (SELECT DISTINCT g FROM grams WHERE doc_id % 97 = 0)
-        |SELECT g.doc_id, CAST(COUNT(*) AS BIGINT) AS n_shared
-        |FROM grams g JOIN bench b USING (g)
-        |WHERE g.doc_id % 97 <> 0
-        |GROUP BY g.doc_id""".stripMargin,
+    "q_decontaminate" -> decontaminateOracle,
+    "q_decontaminate_bloom" -> decontaminateOracle,
 
     "q_corpus_linededup" ->
       """WITH base AS (

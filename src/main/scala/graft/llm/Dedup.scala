@@ -561,6 +561,51 @@ object Dedup {
       .agg(count(lit(1)).as("n_shared"))
   }
 
+  /** [[ngramContamination]] with a Bloom-filter pre-prune — the 100 TB
+    * form. The benchmark grams build ONE Bloom filter (Spark's own
+    * BloomFilterAggregate, registered by GraftExtensions), whose bytes
+    * ship to every corpus task as a literal; corpus grams that miss the
+    * filter are dropped MAP-SIDE, inside whole-stage codegen, before
+    * anything shuffles — at a 10^-2 false-positive rate that is ~99%
+    * of an uncontaminated corpus never leaving its scan task. The
+    * survivors then join the exact benchmark gram set, which removes
+    * Bloom false positives, so the OUTPUT is bit-identical to
+    * [[ngramContamination]] (oracle-checkable); the filter only ever
+    * narrows where the join looks, never what it returns. The verify
+    * join carries no broadcast hint: AQE picks BHJ for a small bench
+    * and an honest shuffle join when the benchmark itself is huge
+    * (where the broadcast of [[ngramContamination]] would OOM — the
+    * case this variant exists for; the Bloom bytes stay
+    * numBits/8 ≈ megabytes either way).
+    *
+    * Size `numBits` ≈ 1.44 · ln(1/fpp)/ln(2) · |bench grams|; the
+    * default pair (4M items, 64M bits) holds fpp ≈ 1% to ~4M grams.
+    */
+  def ngramContaminationBloom(corpus: DataFrame, bench: DataFrame,
+                              idCol: String, textCol: String,
+                              n: Int = 5,
+                              expectedItems: Long = 1L << 22,
+                              numBits: Long = 1L << 26): DataFrame = {
+    val benchGrams = bench
+      .select(explode(wordShingles(col(textCol), n)).as("__g")).distinct()
+      // consumed twice (filter build + verify join) — one computation
+      .persist()
+    val bfRow = benchGrams
+      .agg(call_function("graft_bloom_agg", xxhash64(col("__g")),
+        lit(expectedItems), lit(numBits)).as("__bf")).head()
+    val corpusGrams = corpus
+      .select(col(idCol), explode(wordShingles(col(textCol), n)).as("__g"))
+    if (bfRow.isNullAt(0)) // empty benchmark → nothing can be contaminated
+      return corpusGrams.filter(lit(false))
+        .groupBy(col(idCol)).agg(count(lit(1)).as("n_shared"))
+    val bf = bfRow.getAs[Array[Byte]](0)
+    corpusGrams
+      .filter(call_function("graft_might_contain", lit(bf), xxhash64(col("__g"))))
+      .join(benchGrams, "__g")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_shared"))
+  }
+
   // ---- line-level boilerplate removal --------------------------------
 
   /** Corpus-wide line deduplication: drop every line that occurs in at

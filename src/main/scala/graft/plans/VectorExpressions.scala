@@ -211,5 +211,32 @@ class GraftExtensions extends SparkSessionExtensionsProvider {
       new ExpressionInfo(classOf[ArrayNgramsF].getName, "graft_array_ngrams"),
       (children: Seq[Expression]) =>
         ArrayNgramsF(children(0), intLit(children, "graft_array_ngrams"))))
+    // Spark ships Bloom filter build/probe expressions for its own
+    // runtime join filtering but does not register them as SQL
+    // functions; exposing them gives the 100 TB membership-prune
+    // primitive (build once over the small side, probe map-side on the
+    // big side) without reimplementing the sketch.
+    ext.injectFunction((
+      new FunctionIdentifier("graft_bloom_agg"),
+      new ExpressionInfo(
+        classOf[org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate].getName,
+        "graft_bloom_agg"),
+      (children: Seq[Expression]) => {
+        require(children.length == 3,
+          s"graft_bloom_agg(xxhash64_col, est_items, num_bits) takes 3 args, got ${children.length}")
+        new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
+          children(0), children(1), children(2))
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_might_contain"),
+      new ExpressionInfo(
+        classOf[org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain].getName,
+        "graft_might_contain"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2,
+          s"graft_might_contain(bloom, xxhash64_col) takes 2 args, got ${children.length}")
+        org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+          children(0), children(1))
+      }))
   }
 }

@@ -100,6 +100,27 @@ class TextDedupSpec extends SparkSpec {
     assert(kept.toSeq == Seq(2L, 9L))
   }
 
+  test("bloom decontamination equals the exact join, even with a saturated filter") {
+    val docs = table("documents").select(col("doc_id"), col("text"))
+    val corpus = docs.filter(col("doc_id") % 97 =!= 0)
+    val bench = docs.filter(col("doc_id") % 97 === 0)
+    def sorted(d: org.apache.spark.sql.DataFrame) =
+      d.orderBy("doc_id").as[(Long, Long)].collect().toSeq
+    val exact = sorted(Dedup.ngramContamination(corpus, bench, "doc_id", "text"))
+    assert(exact.nonEmpty)
+    // honest sizing AND a deliberately saturated 64-BIT filter: nearly
+    // every probe is a false positive, so only the verify join keeps
+    // the output exact — the property the design claims
+    assert(sorted(Dedup.ngramContaminationBloom(corpus, bench, "doc_id", "text")) == exact)
+    assert(sorted(Dedup.ngramContaminationBloom(corpus, bench, "doc_id", "text",
+      expectedItems = 4L, numBits = 64L)) == exact)
+    // empty benchmark → empty result with the right shape
+    val none = Dedup.ngramContaminationBloom(corpus, bench.filter(lit(false)),
+      "doc_id", "text")
+    assert(none.columns.toSeq == Seq("doc_id", "n_shared") && none.count() == 0L)
+    GraftSession.releaseAll(spark)
+  }
+
   test("minhashLsh finds planted near-duplicates and skips unrelated docs") {
     // 40-word doc, one word changed → word-5-gram Jaccard ≈ 0.76
     val base = (1 to 40).map(i => s"tok$i").mkString(" ")
