@@ -24,6 +24,18 @@ object QueriesLlm {
       Dedup.exactGroups(t(s, dir, "documents"), "doc_id", "text")
     }),
 
+    // incremental-ingestion dedup: the "new crawl" slice (doc_id%3!=0)
+    // screened against the "already ingested" slice via the Bloom
+    // prune + exact anti-join verify — output exact, oracle = NOT
+    // EXISTS on text equality
+    "q_dedup_incr" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      Dedup.dedupAgainstHistory(
+        docs.filter(col("doc_id") % 3 =!= 0),
+        docs.filter(col("doc_id") % 3 === 0), "text")
+        .select("doc_id", "lang", "source")
+    }),
+
     "q_dedup_jaccard" -> ((s, dir) => {
       // self-routing: dense small blocks take the all-pairs native path,
       // mega-blocks the exact prefix-filtered index path; TextDedupSpec
@@ -261,6 +273,13 @@ object QueriesLlm {
     "q_dedup_exact" ->
       """SELECT md5(text) AS content_hash, COUNT(*) AS n_dups, MIN(doc_id) AS keep_id
         |FROM documents GROUP BY 1""".stripMargin,
+
+    "q_dedup_incr" ->
+      """SELECT b.doc_id, b.lang, b.source FROM documents b
+        |WHERE b.doc_id % 3 <> 0
+        |  AND NOT EXISTS (
+        |    SELECT 1 FROM documents h
+        |    WHERE h.doc_id % 3 = 0 AND h.text = b.text)""".stripMargin,
 
     // identical-shingle-set pairs over the doubled corpus; the list
     // comprehension mirrors wordShingles (5-word grams, trailing

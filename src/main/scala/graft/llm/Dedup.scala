@@ -36,6 +36,45 @@ object Dedup {
     df.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
   }
 
+  /** Incremental-ingestion dedup: drop `batch` rows whose content
+    * already exists in the (typically far larger) `history` corpus —
+    * the every-crawl-against-everything-ingested screen of a
+    * continuous training-data pipeline. Two-phase exact, like
+    * [[ngramContaminationBloom]]:
+    *
+    *  1. history content hashes build ONE Bloom filter; batch rows
+    *     whose hash MISSES it are definitely new (Bloom has no false
+    *     negatives) and pass map-side, inside codegen, without ever
+    *     touching a shuffle — on a mostly-novel crawl that is most of
+    *     the batch;
+    *  2. only the filter HITS (true dups + ~fpp false positives)
+    *     anti-join the history hash set, which clears the FPs.
+    *
+    * Output = batch rows with no content match in history, exactly
+    * (order/row-identity preserved; within-batch duplicates are NOT
+    * collapsed — compose with [[exact]] for that). The anti-join input
+    * shrinks to |dups| + fpp·|batch| rows, so the history side's one
+    * honest shuffle joins against a sliver, not the whole crawl.
+    */
+  def dedupAgainstHistory(batch: DataFrame, history: DataFrame,
+                          textCol: String,
+                          expectedHistory: Long = 1L << 24,
+                          numBits: Long = 1L << 28): DataFrame = {
+    val histHashes = history.select(md5(col(textCol)).as("__h")).distinct()
+    val bfRow = histHashes
+      .agg(call_function("graft_bloom_agg", xxhash64(col("__h")),
+        lit(expectedHistory), lit(numBits)).as("__bf")).head()
+    if (bfRow.isNullAt(0)) return batch // empty history → everything is new
+    val bf = bfRow.getAs[Array[Byte]](0)
+    val hashed = batch.withColumn("__h", md5(col(textCol)))
+    val definiteNew = hashed
+      .filter(!call_function("graft_might_contain", lit(bf), xxhash64(col("__h"))))
+    val confirmedNew = hashed
+      .filter(call_function("graft_might_contain", lit(bf), xxhash64(col("__h"))))
+      .join(histHashes, Seq("__h"), "left_anti")
+    definiteNew.unionByName(confirmedNew).drop("__h")
+  }
+
   // ---- shingling -----------------------------------------------------
 
   /** Distinct character k-shingles of a text column (HOF, map-side). */

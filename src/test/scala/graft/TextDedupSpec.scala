@@ -121,6 +121,25 @@ class TextDedupSpec extends SparkSpec {
     GraftSession.releaseAll(spark)
   }
 
+  test("dedupAgainstHistory drops exactly the rows whose content history holds") {
+    val history = Seq((1L, "seen before"), (2L, "also seen")).toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, "brand new"), (11L, "seen before"), (12L, "also seen"),
+      (13L, "another new"), (14L, "seen before")).toDF("doc_id", "text")
+    def ids(d: org.apache.spark.sql.DataFrame) =
+      d.select("doc_id").as[Long].collect().sorted.toSeq
+    assert(ids(Dedup.dedupAgainstHistory(batch, history, "text")) == Seq(10L, 13L))
+    // saturated 64-bit filter: every probe hits, the anti-join alone
+    // must carry exactness
+    assert(ids(Dedup.dedupAgainstHistory(batch, history, "text",
+      expectedHistory = 2L, numBits = 64L)) == Seq(10L, 13L))
+    // empty history keeps everything, schema untouched
+    val all = Dedup.dedupAgainstHistory(batch, history.filter(lit(false)), "text")
+    assert(ids(all) == Seq(10L, 11L, 12L, 13L, 14L))
+    assert(all.columns.toSeq == Seq("doc_id", "text"))
+    GraftSession.releaseAll(spark)
+  }
+
   test("minhashLsh finds planted near-duplicates and skips unrelated docs") {
     // 40-word doc, one word changed → word-5-gram Jaccard ≈ 0.76
     val base = (1 to 40).map(i => s"tok$i").mkString(" ")
