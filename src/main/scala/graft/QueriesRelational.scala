@@ -98,6 +98,13 @@ object QueriesRelational {
         lo = 0.0, hi = 600000.0, nbins = 24)
     }),
 
+    // equi-depth histogram: 8 buckets of ~equal mass on extended price,
+    // edges = exact octile quantiles (bounded three-scan machinery)
+    "q_histogram_eqdepth" -> ((s, dir) => {
+      Relational.histogramEquiDepth(t(s, dir, "lineitem"),
+        "l_extendedprice", nbins = 8)
+    }),
+
     // fuzzy vocabulary matching: distinct part names within edit
     // distance 2 (length-banded candidates + codegen'd levenshtein)
     "q_fuzzy" -> ((s, dir) => {
@@ -259,6 +266,28 @@ object QueriesRelational {
         |SELECT bin, 0.0 + bin * 25000.0 AS bin_lo, 0.0 + (bin + 1) * 25000.0 AS bin_hi,
         |       CAST(COUNT(*) AS BIGINT) AS n
         |FROM h GROUP BY bin""".stripMargin,
+
+    "q_histogram_eqdepth" -> {
+      // octile edges via quantile_cont — proven bit-parity with the
+      // engine's exact quantiles (q_dq_quantiles); identical when-chain
+      val n = 8
+      val edgeDefs = (0 to n).map(i =>
+        s"CAST(quantile_cont(l_extendedprice, ${i.toDouble / n}) AS DOUBLE) AS e$i").mkString(",\n")
+      val binExpr = (1 until n).map(i =>
+        s"(CASE WHEN l_extendedprice >= e.e$i THEN 1 ELSE 0 END)").mkString(" + ")
+      val loList = (0 until n).map(i => s"e.e$i").mkString(", ")
+      val hiList = (1 to n).map(i => s"e.e$i").mkString(", ")
+      s"""WITH e AS (SELECT
+         |$edgeDefs
+         |FROM lineitem),
+         |b AS (
+         |  SELECT CAST($binExpr AS BIGINT) AS bin,
+         |         list_value($loList)[CAST($binExpr + 1 AS INTEGER)] AS bin_lo,
+         |         list_value($hiList)[CAST($binExpr + 1 AS INTEGER)] AS bin_hi
+         |  FROM lineitem, e WHERE l_extendedprice IS NOT NULL)
+         |SELECT bin, bin_lo, bin_hi, CAST(COUNT(*) AS BIGINT) AS n
+         |FROM b GROUP BY 1, 2, 3""".stripMargin
+    },
 
     "q_fuzzy" ->
       """WITH v AS (SELECT DISTINCT p_name FROM part)

@@ -61,6 +61,8 @@ object Dedup {
                           expectedHistory: Long = 1L << 24,
                           numBits: Long = 1L << 28): DataFrame = {
     val histHashes = history.select(md5(col(textCol)).as("__h")).distinct()
+      // consumed twice (filter build + verify anti-join) — one distinct
+      .persist()
     val bfRow = histHashes
       .agg(call_function("graft_bloom_agg", xxhash64(col("__h")),
         lit(expectedHistory), lit(numBits)).as("__bf")).head()

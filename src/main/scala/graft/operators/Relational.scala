@@ -177,6 +177,48 @@ object Relational {
       .orderBy(col("bin"))
   }
 
+  /** EQUI-DEPTH histogram: `nbins` buckets holding ~equal row counts,
+    * edges = exact quantiles at i/nbins. Edges come from
+    * [[graft.functions.Quantiles.exactQuantiles]] (all probes fused
+    * into the three shared bounded scans — no full sort, no
+    * per-probe passes), land as LITERALS in one codegen'd when-chain,
+    * and the bucket assignment is a single map-side pass + one hash
+    * aggregation — the same plan shape as the equi-width
+    * [[histogram]], just with data-derived edges. Mass points can
+    * collapse adjacent edges; the buckets between duplicate edges are
+    * simply empty and (like [[histogram]]) unoccupied bins emit no
+    * row. Output: (bin, bin_lo, bin_hi, n), bin ascending.
+    */
+  def histogramEquiDepth(df: DataFrame, valueCol: String, nbins: Int,
+                         bracketEps: Double = 0.002,
+                         accuracy: Int = 10000): DataFrame = {
+    require(nbins > 0, "need nbins > 0")
+    val probes = (0 to nbins).map(i => valueCol -> i.toDouble / nbins)
+    val qs = graft.functions.Quantiles
+      .exactQuantiles(df, probes, bracketEps, accuracy).map(_._2)
+    if (qs.head.isEmpty) // no non-null values: empty histogram, right shape
+      return df.filter(lit(false))
+        .select(lit(0L).as("bin"), lit(0.0).as("bin_lo"),
+          lit(0.0).as("bin_hi"), lit(0L).as("n"))
+    val edges = qs.map(_.get)
+    val v = col(valueCol).cast("double")
+    // number of INTERIOR edges at or below the value = bucket index;
+    // clamps itself to [0, nbins-1] (values sit within [min, max])
+    val bin = edges.slice(1, nbins).foldLeft(lit(0L)) { (acc, e) =>
+      acc + when(v >= lit(e), 1L).otherwise(0L)
+    }
+    val loArr = array(edges.init.map(lit): _*)
+    val hiArr = array(edges.tail.map(lit): _*)
+    df.filter(col(valueCol).isNotNull)
+      .groupBy(bin.as("bin"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("bin"),
+        element_at(loArr, (col("bin") + 1).cast("int")).as("bin_lo"),
+        element_at(hiArr, (col("bin") + 1).cast("int")).as("bin_hi"),
+        col("n"))
+      .orderBy(col("bin"))
+  }
+
   // ---- 4. Funnel analysis
 
   /** Ordered-step funnel: step i counts users whose earliest qualifying

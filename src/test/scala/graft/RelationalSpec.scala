@@ -275,6 +275,33 @@ class RelationalSpec extends SparkSpec {
     assert(kept == Set(1L, 9L))
   }
 
+  test("equi-depth histogram splits mass evenly; collapsed edges leave empty bins") {
+    // continuous column: every bucket holds n/nbins ± 1 rows
+    val cont = (1 to 1000).map(i => i * 1.5).toDF("v")
+    val h = Relational.histogramEquiDepth(cont, "v", nbins = 8)
+      .select("bin", "n").as[(Long, Long)].collect().toMap
+    assert(h.keySet == (0L until 8L).toSet)
+    assert(h.values.sum == 1000L)
+    assert(h.values.forall(n => math.abs(n - 125L) <= 1))
+    // bucket bounds tile [min, max] without gaps
+    val bounds = Relational.histogramEquiDepth(cont, "v", nbins = 8)
+      .select("bin_lo", "bin_hi").as[(Double, Double)].collect()
+    assert(bounds.head._1 == 1.5 && bounds.last._2 == 1500.0)
+    bounds.sliding(2).foreach { case Array(a, b) => assert(a._2 == b._1); case _ => () }
+    // constant column: all edges collapse to the value; buckets are
+    // right-open (value >= interior edge → upper bucket), so the mass
+    // lands in the LAST bucket, alone
+    val const = Seq.fill(50)(7.0).toDF("v")
+    val hc = Relational.histogramEquiDepth(const, "v", nbins = 4)
+      .select("bin", "n").as[(Long, Long)].collect().toSeq
+    assert(hc == Seq((3L, 50L)))
+    // all-null input: empty result, right shape
+    val empty = Relational.histogramEquiDepth(
+      Seq[Option[Double]](None, None).toDF("v"), "v", nbins = 4)
+    assert(empty.columns.toSeq == Seq("bin", "bin_lo", "bin_hi", "n"))
+    assert(empty.count() == 0L)
+  }
+
   test("star components match propagation and are not slower on the bench pair graph") {
     // the comparative evidence behind collapseNearDups defaulting to
     // the star path: identical labelling on the REAL bench graph
