@@ -63,6 +63,16 @@ object QueriesSampling {
         .groupBy("lang", "split").agg(count(lit(1)).as("n"))
     }),
 
+    // quality-weighted sampling: each doc kept with probability
+    // n_chars/(n_chars+500) — longer docs more likely; per-row cutoff
+    // from pure integer/hex arithmetic, one map-side filter
+    "q_sample_weighted" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      Sampling.sampleByProb(docs, "doc_id",
+        col("n_chars") / (col("n_chars") + lit(500)))
+        .select("doc_id", "lang", "n_chars")
+    }),
+
     // data-mixture resampling: en halved, zh replicated 2.5x
     "q_sample_mixture" -> ((s, dir) => {
       Sampling.mixture(t(s, dir, "documents"), "doc_id", "lang",
@@ -174,6 +184,12 @@ object QueriesSampling {
          |       ELSE 'train' END AS split,
          |  CAST(COUNT(*) AS BIGINT) AS n
          |FROM documents GROUP BY 1, 2""".stripMargin,
+
+    "q_sample_weighted" ->
+      s"""SELECT doc_id, lang, n_chars FROM documents
+         |WHERE ${h("doc_id")} <= lpad(lower(hex(
+         |  least(CAST(floor(least(greatest(n_chars / (n_chars + 500), 0.0), 1.0)
+         |    * 4294967296.0) AS BIGINT), 4294967295))), 8, '0')""".stripMargin,
 
     "q_sample_mixture" ->
       s"""SELECT doc_id, lang, CAST(unnest(generate_series(1, k)) AS INTEGER) AS copy_idx

@@ -49,6 +49,26 @@ object Sampling {
   def sample(df: DataFrame, keyCol: String, fraction: Double): DataFrame =
     df.filter(hashFilter(col(keyCol), fraction))
 
+  /** PER-ROW probability sampling: keep each row with the probability
+    * in `probCol` (clamped to [0,1]) — quality-weighted corpus
+    * selection, where a scorer column decides each document's keep
+    * chance. Same determinism contract as [[sample]]: the draw is the
+    * key's hash prefix, the cutoff is the row's probability mapped to
+    * the same 2^32 hash space with pure integer/hex arithmetic (no
+    * float parsing of hex anywhere), compared lexicographically at
+    * fixed width — one codegen'd map-side filter, zero shuffle, and an
+    * engine-portable expression the oracle reproduces verbatim.
+    * Boundary semantics: the comparison is `<=` against
+    * `min(floor(p·2^32), 2^32−1)`, so p = 1.0 keeps everything and
+    * p = 0.0 keeps only the ~2^-32 draw that hashes to exactly zero.
+    */
+  def sampleByProb(df: DataFrame, keyCol: String, probCol: Column): DataFrame = {
+    val p = least(greatest(probCol.cast("double"), lit(0.0)), lit(1.0))
+    val cutoff = lpad(lower(hex(
+      least(floor(p * lit(4294967296.0)).cast("long"), lit(4294967295L)))), 8, "0")
+    df.filter(hashPrefix(col(keyCol)) <= cutoff)
+  }
+
   /** Per-stratum sampling fractions (ref use case: rebalancing a
     * training corpus by language/source). Strata absent from
     * `fractions` fall back to `defaultFraction`. Still one map-side

@@ -93,6 +93,25 @@ class SamplingSpec extends SparkSpec {
       .filter(col("s") === "up").count() == 0)
   }
 
+  test("sampleByProb keeps per-row fractions, monotonically in the probability") {
+    val df = (1L to 4000L).map(i => (i, (i % 10) / 10.0)).toDF("k", "p")
+    def kept(prob: org.apache.spark.sql.Column) =
+      Sampling.sampleByProb(df, "k", prob).select("k").as[Long].collect().toSet
+    // boundary semantics: p=1 keeps everything, p=0 essentially nothing
+    assert(kept(lit(1.0)).size == 4000)
+    assert(kept(lit(0.0)).size <= 1)
+    // per-row: rows with p=0.9 kept ~9x as often as p=0.1
+    val perRow = kept(col("p"))
+    def rate(d: Long) = perRow.count(_ % 10 == d) / 400.0
+    assert(math.abs(rate(9) - 0.9) < 0.06 && math.abs(rate(1) - 0.1) < 0.06)
+    // monotone: raising every probability only ADDS rows (same keys,
+    // same draw, higher cutoff) — the property that makes threshold
+    // sweeps on a quality scorer stable
+    assert(perRow.subsetOf(kept(least(col("p") + 0.3, lit(1.0)))))
+    // clamps, not errors, outside [0,1]
+    assert(kept(lit(7.5)).size == 4000 && kept(lit(-2.0)).size <= 1)
+  }
+
   test("ngramContamination flags exactly the docs sharing a benchmark n-gram") {
     val bench = Seq((100L, "the quick brown fox jumps over dogs")).toDF("doc_id", "text")
     val corpus = Seq(
