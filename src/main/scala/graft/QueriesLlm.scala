@@ -122,6 +122,21 @@ object QueriesLlm {
         blockCol = "label", threshold = 0.4)
     }),
 
+    // fixed-centroid cluster assignment, oracle-checked: the Lloyd
+    // assignment step against four REFERENCE centroids (vec_id < 4) is
+    // pure deterministic arithmetic — the oracle replays the same
+    // rounded-cosine argmax and per-cluster aggregates; the learned
+    // q_cluster_kmeans stays rows-only with this as its exact companion
+    "q_cluster_assign" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val cents = e.filter(col("vec_id") < 4)
+        .select(col("vec_id").cast("int").as("cid"), col("embedding"))
+      graft.llm.Ivf.assignToCentroids(e, "vec_id", "embedding",
+          cents, "cid", "embedding")
+        .groupBy(col("__cid").as("cluster_id"))
+        .agg(count(lit(1)).as("n"), sum(col("vec_id")).as("sum_ids"))
+    }),
+
     "q_sim_topk" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
       val queries = e.filter(col("vec_id") < 10)
@@ -344,6 +359,23 @@ object QueriesLlm {
          |FROM embeddings a JOIN embeddings b
          |  ON a.label = b.label AND a.vec_id < b.vec_id
          |WHERE ROUND($dcos, 6) >= 0.4""".stripMargin,
+
+    "q_cluster_assign" -> {
+      val dcosAC =
+        """list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])) /
+          |(SQRT(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[]))) *
+          | SQRT(list_dot_product(CAST(c.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[]))))""".stripMargin
+      s"""WITH c AS (
+         |  SELECT CAST(vec_id AS INTEGER) AS cid, embedding FROM embeddings WHERE vec_id < 4),
+         |d AS (
+         |  SELECT a.vec_id, c.cid, ROUND($dcosAC, 6) AS sim
+         |  FROM embeddings a CROSS JOIN c),
+         |r AS (SELECT vec_id, cid, ROW_NUMBER() OVER (PARTITION BY vec_id
+         |        ORDER BY sim DESC, cid ASC) AS rn FROM d)
+         |SELECT cid AS cluster_id, CAST(COUNT(*) AS BIGINT) AS n,
+         |       CAST(SUM(vec_id) AS BIGINT) AS sum_ids
+         |FROM r WHERE rn = 1 GROUP BY 1""".stripMargin
+    },
 
     "q_sim_topk" ->
       s"""WITH p AS (

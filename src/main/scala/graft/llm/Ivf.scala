@@ -27,6 +27,21 @@ object Ivf {
     * shuffled nlist rows per corpus row; centroid ids are unique, so
     * max_by over (sim, -cid) is tie-free and deterministic).
     */
+  /** Assign every row to its most-cosine-similar centroid from an
+    * EXPLICIT centroid frame (ties → lowest centroid id) — the public
+    * single-step form of the Lloyd assignment [[buildIndex]] iterates:
+    * fixed reference centroids make the geometry fully deterministic
+    * arithmetic, so downstream aggregates are oracle-checkable (unlike
+    * the learned-centroid index, which is rows-only by construction).
+    * Appends `__cid`; broadcast nlist-way pairing, no shuffle of `df`
+    * beyond the per-id argmax aggregation.
+    */
+  def assignToCentroids(df: DataFrame, idCol: String, vecCol: String,
+                        centroids: DataFrame, centIdCol: String,
+                        centVecCol: String): DataFrame =
+    assign(df, idCol, vecCol, centroids.select(
+      col(centIdCol).as("__cid"), col(centVecCol).as("__cvec")))
+
   private def assign(df: DataFrame, idCol: String, vecCol: String,
                      centroids: DataFrame): DataFrame = {
     // norms are per-row/per-centroid: fold each side once BEFORE the
