@@ -58,16 +58,20 @@ object Dedup {
     */
   def dedupAgainstHistory(batch: DataFrame, history: DataFrame,
                           textCol: String,
-                          expectedHistory: Long = 1L << 24,
-                          numBits: Long = 1L << 28): DataFrame = {
+                          bitsPerItem: Double = 10.0,
+                          numBitsOverride: Long = -1L): DataFrame = {
     val histHashes = history.select(md5(col(textCol)).as("__h")).distinct()
-      // consumed twice (filter build + verify anti-join) — one distinct
+      // consumed thrice (sizing count + filter build + verify anti-join)
       .persist()
-    val bfRow = histHashes
+    // sized from the real history cardinality — see
+    // ngramContaminationBloom on why a fixed oversized width is a trap
+    val items = histHashes.count()
+    if (items == 0L) return batch // empty history → everything is new
+    val numBits = if (numBitsOverride > 0) numBitsOverride
+      else math.max(1L << 16, (items * bitsPerItem).toLong)
+    val bf = histHashes
       .agg(call_function("graft_bloom_agg", xxhash64(col("__h")),
-        lit(expectedHistory), lit(numBits)).as("__bf")).head()
-    if (bfRow.isNullAt(0)) return batch // empty history → everything is new
-    val bf = bfRow.getAs[Array[Byte]](0)
+        lit(items), lit(numBits)).as("__bf")).head().getAs[Array[Byte]](0)
     val hashed = batch.withColumn("__h", md5(col(textCol)))
     val definiteNew = hashed
       .filter(!call_function("graft_might_contain", lit(bf), xxhash64(col("__h"))))
@@ -619,27 +623,34 @@ object Dedup {
     * case this variant exists for; the Bloom bytes stay
     * numBits/8 ≈ megabytes either way).
     *
-    * Size `numBits` ≈ 1.44 · ln(1/fpp)/ln(2) · |bench grams|; the
-    * default pair (4M items, 64M bits) holds fpp ≈ 1% to ~4M grams.
+    * The filter is SIZED FROM the actual benchmark gram count (one
+    * count on the already-persisted gram frame): ~10 bits/item ≈ 1%
+    * fpp. Fixed oversized defaults are a trap — every partition's
+    * partial aggregate buffer is the FULL filter width, so a 32 MB
+    * "safe" filter costs |partitions| × 32 MB of merge traffic to
+    * index a few thousand grams (measured 12.9 s vs 1.4 s at sf0.1).
+    * Pass `numBitsOverride` to pin the size when the count is known.
     */
   def ngramContaminationBloom(corpus: DataFrame, bench: DataFrame,
                               idCol: String, textCol: String,
                               n: Int = 5,
-                              expectedItems: Long = 1L << 22,
-                              numBits: Long = 1L << 26): DataFrame = {
+                              bitsPerItem: Double = 10.0,
+                              numBitsOverride: Long = -1L): DataFrame = {
     val benchGrams = bench
       .select(explode(wordShingles(col(textCol), n)).as("__g")).distinct()
-      // consumed twice (filter build + verify join) — one computation
+      // consumed thrice (sizing count + filter build + verify join)
       .persist()
-    val bfRow = benchGrams
-      .agg(call_function("graft_bloom_agg", xxhash64(col("__g")),
-        lit(expectedItems), lit(numBits)).as("__bf")).head()
     val corpusGrams = corpus
       .select(col(idCol), explode(wordShingles(col(textCol), n)).as("__g"))
-    if (bfRow.isNullAt(0)) // empty benchmark → nothing can be contaminated
+    val items = benchGrams.count()
+    if (items == 0L) // empty benchmark → nothing can be contaminated
       return corpusGrams.filter(lit(false))
         .groupBy(col(idCol)).agg(count(lit(1)).as("n_shared"))
-    val bf = bfRow.getAs[Array[Byte]](0)
+    val numBits = if (numBitsOverride > 0) numBitsOverride
+      else math.max(1L << 16, (items * bitsPerItem).toLong)
+    val bf = benchGrams
+      .agg(call_function("graft_bloom_agg", xxhash64(col("__g")),
+        lit(items), lit(numBits)).as("__bf")).head().getAs[Array[Byte]](0)
     corpusGrams
       .filter(call_function("graft_might_contain", lit(bf), xxhash64(col("__g"))))
       .join(benchGrams, "__g")

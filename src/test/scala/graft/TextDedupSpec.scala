@@ -113,7 +113,7 @@ class TextDedupSpec extends SparkSpec {
     // the output exact — the property the design claims
     assert(sorted(Dedup.ngramContaminationBloom(corpus, bench, "doc_id", "text")) == exact)
     assert(sorted(Dedup.ngramContaminationBloom(corpus, bench, "doc_id", "text",
-      expectedItems = 4L, numBits = 64L)) == exact)
+      numBitsOverride = 64L)) == exact)
     // empty benchmark → empty result with the right shape
     val none = Dedup.ngramContaminationBloom(corpus, bench.filter(lit(false)),
       "doc_id", "text")
@@ -132,7 +132,7 @@ class TextDedupSpec extends SparkSpec {
     // saturated 64-bit filter: every probe hits, the anti-join alone
     // must carry exactness
     assert(ids(Dedup.dedupAgainstHistory(batch, history, "text",
-      expectedHistory = 2L, numBits = 64L)) == Seq(10L, 13L))
+      numBitsOverride = 64L)) == Seq(10L, 13L))
     // empty history keeps everything, schema untouched
     val all = Dedup.dedupAgainstHistory(batch, history.filter(lit(false)), "text")
     assert(ids(all) == Seq(10L, 11L, 12L, 13L, 14L))
