@@ -55,6 +55,15 @@ object Dedup {
     * collapsed — compose with [[exact]] for that). The anti-join input
     * shrinks to |dups| + fpp·|batch| rows, so the history side's one
     * honest shuffle joins against a sliver, not the whole crawl.
+    *
+    * Cost shape: the two-branch union SCANS the batch twice (both
+    * scans map-side columnar, md5+probe recomputed) but SHUFFLES only
+    * the filter hits. The single-pass alternative — one anti-join over
+    * all rows — scans once but shuffles the ENTIRE batch whenever the
+    * history hash set exceeds broadcast size, which is precisely this
+    * operator's target regime (billions of ingested hashes); a second
+    * cheap scan beats a full-batch shuffle there, so the branch form
+    * is deliberate.
     */
   def dedupAgainstHistory(batch: DataFrame, history: DataFrame,
                           textCol: String,

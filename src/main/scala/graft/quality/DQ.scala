@@ -279,15 +279,27 @@ object DQ {
           col("min_val"), col("max_val"), col("mean_val"), col("std_val"))
   }
 
-  /** Value rendering for the pair-counts passes: fractional -0.0 is
-    * normalized to 0.0 first, so string-keyed grouping agrees with
-    * value-keyed countDistinct/GROUP BY (both engines treat the two
-    * zeros as one value; their strings differ).
+  /** Value rendering for the pair-counts passes — must be INJECTIVE so
+    * string-keyed grouping agrees with value-keyed countDistinct:
+    *  - fractional -0.0 normalizes to 0.0 first (the engines' GROUP
+    *    BY/DISTINCT treat the two zeros as one value; their strings
+    *    differ);
+    *  - binary renders as hex (a lossy UTF-8 cast would merge distinct
+    *    byte strings that are not valid UTF-8);
+    *  - arrays/structs/maps render as JSON (their display casts are
+    *    ambiguous under delimiter collisions).
+    * Rendering-parity envelope for SQL oracles over DOUBLE columns:
+    * Spark switches to scientific notation at 1e7, DuckDB much later —
+    * keep oracle-profiled double columns under 1e7 in magnitude.
     */
   private def valueStr(df: DataFrame, c: String): Column = df.schema(c).dataType match {
     case org.apache.spark.sql.types.DoubleType |
          org.apache.spark.sql.types.FloatType => (col(c) + lit(0)).cast("string")
-    case _                                    => col(c).cast("string")
+    case org.apache.spark.sql.types.BinaryType => hex(col(c))
+    case _: org.apache.spark.sql.types.ArrayType |
+         _: org.apache.spark.sql.types.StructType |
+         _: org.apache.spark.sql.types.MapType => to_json(col(c))
+    case _                                     => col(c).cast("string")
   }
 
   /** Exact per-column cardinality + non-null total from ONE explode +
@@ -584,9 +596,14 @@ object DQ {
   def topValues(df: DataFrame, cols: Seq[String], k: Int = 10): DataFrame = {
     require(cols.nonEmpty, "need at least one column to profile")
     require(k >= 1, s"k must be >= 1, got $k")
+    // valueStr (not a bare string cast) so this profiler and
+    // [[profileFull]] agree on value identity (-0.0, binary, nested);
+    // the pipeline is otherwise deliberately NOT topKCounts — that
+    // variant adds full-partition cardinality windows which defeat the
+    // WindowGroupLimit pre-prune this one keeps
     val pairs = df
       .select(explode(array(cols.map(c =>
-        struct(lit(c).as("col_name"), col(c).cast("string").as("value"))): _*)).as("p"))
+        struct(lit(c).as("col_name"), valueStr(df, c).as("value"))): _*)).as("p"))
       .select(col("p.col_name").as("col_name"), col("p.value").as("value"))
       .filter(col("value").isNotNull)
     val counts = pairs.groupBy("col_name", "value").agg(count(lit(1)).as("n"))

@@ -165,12 +165,13 @@ object Excel {
   // times, and the CJK era/date blocks
   private val builtinDateFmts: Set[Int] =
     ((14 to 22) ++ (27 to 36) ++ (45 to 47) ++ (50 to 58)).toSet
+  // of those, the ones carrying a time-of-day component
+  private val builtinTimeFmts: Set[Int] = ((18 to 22) ++ (45 to 47)).toSet
 
-  /** A custom format code is a date format when it contains a y/m/d/
-    * h/s token OUTSIDE quoted literals, [bracket] sections, and
-    * backslash escapes ("0.00" has none; [Red]yyyy\-mm does).
+  /** Format-code tokens OUTSIDE quoted literals, [bracket] sections,
+    * and backslash escapes ("0.00" has none; [Red]yyyy\-mm has ymm).
     */
-  private[graft] def isDateFormatCode(code: String): Boolean = {
+  private def fmtTokens(code: String): String = {
     val sb = new StringBuilder
     var i = 0
     while (i < code.length) {
@@ -181,14 +182,27 @@ object Excel {
         case c => sb.append(c); i += 1
       }
     }
-    sb.toString.toLowerCase.exists("ymdhs".contains(_))
+    sb.toString.toLowerCase
   }
 
-  /** Style (cellXfs) indices whose number format is a date format. */
-  private def dateStyles(z: Map[String, Array[Byte]]): Set[Int] =
+  /** A custom format code is a date format when it contains a
+    * y/m/d/h/s token outside literals. */
+  private[graft] def isDateFormatCode(code: String): Boolean =
+    fmtTokens(code).exists("ymdhs".contains(_))
+
+  /** ...and it carries a TIME component when h or s appear — decides
+    * datetime vs date-only rendering, so one styled column cannot mix
+    * the two string shapes (an integral serial under a datetime format
+    * still renders midnight explicitly). */
+  private[graft] def hasTimeComponent(code: String): Boolean =
+    fmtTokens(code).exists("hs".contains(_))
+
+  /** Style (cellXfs) indices whose number format is a date format,
+    * mapped to whether the format carries a time component. */
+  private def dateStyles(z: Map[String, Array[Byte]]): Map[Int, Boolean] =
     z.get("xl/styles.xml").map { xml =>
       val r = newReader(xml)
-      val customDate = scala.collection.mutable.Set[Int]()
+      val customDate = scala.collection.mutable.Map[Int, Boolean]()
       val xfFmts = ArrayBuffer[Int]()
       var inCellXfs = false
       while (r.hasNext) {
@@ -197,7 +211,8 @@ object Excel {
             case "numFmt" =>
               val id = Option(r.getAttributeValue(null, "numFmtId")).map(_.toInt)
               val code = Option(r.getAttributeValue(null, "formatCode"))
-              if (id.nonEmpty && code.exists(isDateFormatCode)) customDate += id.get
+              if (id.nonEmpty && code.exists(isDateFormatCode))
+                customDate += id.get -> code.exists(hasTimeComponent)
             case "cellXfs" => inCellXfs = true
             case "xf" if inCellXfs =>
               xfFmts += Option(r.getAttributeValue(null, "numFmtId"))
@@ -211,24 +226,27 @@ object Excel {
       }
       r.close()
       xfFmts.zipWithIndex.collect {
-        case (fmt, i) if builtinDateFmts(fmt) || customDate(fmt) => i
-      }.toSet
-    }.getOrElse(Set.empty)
+        case (fmt, i) if builtinDateFmts(fmt) || customDate.contains(fmt) =>
+          i -> (builtinTimeFmts(fmt) || customDate.getOrElse(fmt, false))
+      }.toMap
+    }.getOrElse(Map.empty)
 
   // ---- date serials (1900 system, base 1899-12-30 like openpyxl) ----
 
   private val serialBase = java.time.LocalDate.of(1899, 12, 30)
 
-  /** Excel serial → ISO string: integral serials are dates, the rest
-    * datetimes at second precision (a day is 86400 s; the serial's
-    * double mantissa cannot carry reliable sub-second anyway).
+  /** Excel serial → ISO string at second precision (a day is 86400 s;
+    * the serial's double mantissa cannot carry reliable sub-second
+    * anyway). `withTime` follows the cell's FORMAT, not the value, so
+    * a datetime-styled column renders midnights as explicit
+    * "... 00:00:00" and never mixes string shapes.
     */
-  private[graft] def serialToString(serial: Double): String = {
+  private[graft] def serialToString(serial: Double, withTime: Boolean): String = {
     val days = math.floor(serial).toLong
     val secs = math.round((serial - days) * 86400.0)
     val d = serialBase.plusDays(days + secs / 86400)
     val rem = secs % 86400
-    if (rem == 0L && serial == days.toDouble) d.toString
+    if (!withTime && rem == 0L && serial == days.toDouble) d.toString
     else java.time.LocalDateTime.of(d, java.time.LocalTime.ofSecondOfDay(rem))
       .format(java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss"))
   }
@@ -293,8 +311,9 @@ object Excel {
             val v = cellType match {
               case "s" if raw.trim.nonEmpty => sst(raw.trim.toInt)
               case "b"                      => if (raw.trim == "1") "true" else "false"
-              case "n" | "" if dateXfs(cellStyle) && raw.trim.nonEmpty =>
-                raw.trim.toDoubleOption.map(serialToString).getOrElse(raw)
+              case "n" | "" if dateXfs.contains(cellStyle) && raw.trim.nonEmpty =>
+                raw.trim.toDoubleOption
+                  .map(serialToString(_, dateXfs(cellStyle))).getOrElse(raw)
               case _                        => raw
             }
             if (raw.nonEmpty || cellType == "inlineStr" || cellType == "str")
@@ -390,6 +409,13 @@ object Excel {
       |</styleSheet>""".stripMargin
 
   private def sheetXml(df: DataFrame): String = {
+    // timestamps collect as instants (java.sql.Timestamp or, under the
+    // java8 datetime API, java.time.Instant); the cell must carry the
+    // SESSION-zone wall clock, which only coincides with
+    // Timestamp.toLocalDateTime's JVM-default-zone reading when the
+    // two zones agree — resolve via the session zone explicitly
+    val sessionZone = java.time.ZoneId.of(
+      df.sparkSession.conf.get("spark.sql.session.timeZone"))
     val rows = df.collect()
     require(rows.length <= RowCap,
       s"xlsx caps a worksheet at $RowCap data rows; got ${rows.length} — " +
@@ -426,10 +452,11 @@ object Excel {
             // wall-clock fields, not an instant: the cell must show the
             // same clock digits the session renders
             val ldt = row.get(i) match {
-              case t: java.sql.Timestamp           => t.toLocalDateTime
-              case t: java.time.LocalDateTime      => t
-              case other                           =>
-                java.sql.Timestamp.valueOf(String.valueOf(other)).toLocalDateTime
+              case t: java.sql.Timestamp      => t.toInstant.atZone(sessionZone).toLocalDateTime
+              case t: java.time.Instant       => t.atZone(sessionZone).toLocalDateTime
+              case t: java.time.LocalDateTime => t // NTZ: already a wall clock
+              case other => throw new IllegalArgumentException(
+                s"unsupported timestamp value ${other.getClass.getName}")
             }
             sb.append(s"""<c r="${cellRef(ri + 1, i)}" s="1"><v>${toSerial(ldt)}</v></c>""")
           case KDate =>

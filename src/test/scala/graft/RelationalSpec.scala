@@ -313,8 +313,12 @@ class RelationalSpec extends SparkSpec {
     val pairs = Relational.fuzzyPairs(vocab, "pid", "p_name", maxDist = 2)
       .select(col("str_a").as("name_a"), col("str_b").as("name_b"))
       .localCheckpoint() // time the components, not the pair generation
+    // min-of-2 per algorithm: a single measurement is hostage to GC
+    // pauses and first-run JIT; the min is the standard noise floor
     def timed[A](f: => A): (A, Long) = {
-      val t0 = System.nanoTime(); val a = f; (a, System.nanoTime() - t0)
+      def once = { val t0 = System.nanoTime(); val a = f; (a, System.nanoTime() - t0) }
+      val (a1, t1) = once; val (_, t2) = once
+      (a1, math.min(t1, t2))
     }
     val (prop, tProp) = timed(
       graft.llm.Dedup.componentLabels(pairs, "name_a", "name_b")
