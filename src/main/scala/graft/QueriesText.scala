@@ -23,6 +23,12 @@ object QueriesText {
         Text.bpeishTokenCount(col("text")).as("n_tokens_bpe"))
     }),
 
+    // corpus-LM perplexity proxy: mean smoothed bigram log-prob under
+    // the corpus's own bigram model (CCNet-style quality screen)
+    "q_text_lm" -> ((s, dir) => {
+      graft.llm.Text.bigramLmScore(docs(s, dir), "doc_id", "text")
+    }),
+
     "q_text_quality" -> ((s, dir) => {
       val c = col("text")
       docs(s, dir).select(
@@ -153,6 +159,26 @@ object QueriesText {
          |$tc AS n_tokens,
          |${reCount("text", " ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\\s]+")} AS n_tokens_bpe
          |FROM documents""".stripMargin,
+
+    "q_text_lm" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS w
+         |  FROM documents),
+         |bigrams AS (
+         |  SELECT doc_id, w[i] AS w1, w[i + 1] AS w2
+         |  FROM (SELECT doc_id, w,
+         |          unnest(generate_series(1, greatest(len(w) - 1, 0))) AS i
+         |        FROM toks)),
+         |bg AS (SELECT w1, w2, COUNT(*) AS c12 FROM bigrams GROUP BY 1, 2),
+         |ug AS (SELECT w1, COUNT(*) AS c1
+         |       FROM (SELECT unnest(w) AS w1 FROM toks) GROUP BY 1),
+         |v AS (SELECT COUNT(*) AS nv FROM ug),
+         |terms AS (
+         |  SELECT b.doc_id, ln((bg.c12 + 0.5) / (ug.c1 + 0.5 * v.nv)) AS term
+         |  FROM bigrams b JOIN bg USING (w1, w2) JOIN ug USING (w1) CROSS JOIN v)
+         |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+         |  ROUND(${graft.functions.Det.sqlSumAt("term", 6)} / COUNT(*), 6) AS lm_score
+         |FROM terms GROUP BY doc_id""".stripMargin,
 
     "q_text_quality" ->
       s"""SELECT doc_id,

@@ -1,6 +1,6 @@
 package graft.llm
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for training-data pipelines: language ID,
@@ -171,6 +171,52 @@ object Text {
   // ---- fingerprinting ------------------------------------------------
 
   /** Exact content fingerprint (md5 of the full text). */
+  /** CCNet-style corpus-LM quality score: each document's mean
+    * add-k-smoothed bigram log-probability under the bigram language
+    * model of the WHOLE corpus — the perplexity-proxy screen that
+    * separates fluent text from gibberish/boilerplate without an
+    * external model (low score = improbable token transitions).
+    *
+    * One corpus pass builds the counts (bigram + unigram hash aggs,
+    * map-side combined), a 1-row vocab frame broadcasts, and each
+    * document's bigrams join the count frames — the bigram join is the
+    * honest big-big shuffle of the design (corpus-sized both sides,
+    * same as exact dedup); the unigram join shuffles on the first
+    * token. Per-term ln arithmetic keeps one expression shape
+    * engine-to-engine, terms sum decimal-exact (order-independent
+    * under AQE/partitioning), and the final mean rounds to 6.
+    * Output: (idCol, n_bigrams, lm_score); docs with < 2 tokens are
+    * ABSENT from the output (no transitions to judge).
+    */
+  def bigramLmScore(df: DataFrame, idCol: String, textCol: String,
+                    addK: Double = 0.5): DataFrame = {
+    val toks = split(lower(trim(col(textCol))), "\\s+")
+    val docs = df.select(col(idCol), toks.as("__t"))
+    val n1 = greatest(size(col("__t")) - 1, lit(0))
+    val bigrams = docs.select(col(idCol),
+        explode(zip_with(
+          slice(col("__t"), lit(1), n1),
+          slice(col("__t"), lit(2), n1),
+          (a, b) => struct(a.as("__w1"), b.as("__w2")))).as("__p"))
+      .select(col(idCol), col("__p.__w1").as("__w1"), col("__p.__w2").as("__w2"))
+    val bg = bigrams.groupBy(col("__w1"), col("__w2"))
+      .agg(count(lit(1)).as("__c12"))
+    val ug = docs.select(explode(col("__t")).as("__w1"))
+      .groupBy(col("__w1")).agg(count(lit(1)).as("__c1"))
+    val vocab = ug.agg(count(lit(1)).as("__v"))
+    val term = log((col("__c12") + lit(addK)) /
+      (col("__c1") + lit(addK) * col("__v")))
+    bigrams
+      .join(bg, Seq("__w1", "__w2"))
+      .join(ug, Seq("__w1"))
+      .crossJoin(broadcast(vocab))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_bigrams"),
+        graft.functions.Det.sumAt(term, 6).as("__s"))
+      .select(col(idCol), col("n_bigrams"),
+        round(col("__s") / col("n_bigrams"), 6).as("lm_score"))
+  }
+
   def fingerprint(c: Column): Column = md5(c)
 
   /** Rolling-hash document fingerprint: the minimum md5 over all

@@ -100,6 +100,27 @@ class TextDedupSpec extends SparkSpec {
     assert(kept.toSeq == Seq(2L, 9L))
   }
 
+  test("bigramLmScore matches a hand-computed bigram model") {
+    // corpus: "a b" x2 and "a c" — bigrams: (a,b):2, (a,c):1;
+    // unigrams: a:3, b:2, c:1; vocab V=3, k=0.5
+    val df = Seq((1L, "a b"), (2L, "a b"), (3L, "a c"), (4L, "solo"))
+      .toDF("doc_id", "text")
+    val r = Text.bigramLmScore(df, "doc_id", "text")
+      .orderBy("doc_id").as[(Long, Long, Double)].collect().toSeq
+    def term(c12: Long, c1: Long) = {
+      // mirror the engine: term rounds into decimal(,6) inside the sum
+      val t = math.log((c12 + 0.5) / (c1 + 0.5 * 4)) // V=4 (a,b,c,solo)
+      BigDecimal(t).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    def sc(t: Double) =
+      BigDecimal(t).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(r.map(_._1) == Seq(1L, 2L, 3L)) // "solo" has no bigrams → absent
+    assert(r(0)._2 == 1L && r(0)._3 == sc(term(2, 3)))
+    assert(r(1)._3 == r(0)._3) // identical docs score identically
+    assert(r(2)._3 == sc(term(1, 3)))
+    assert(r(0)._3 > r(2)._3) // the more probable transition scores higher
+  }
+
   test("bloom decontamination equals the exact join, even with a saturated filter") {
     val docs = table("documents").select(col("doc_id"), col("text"))
     val corpus = docs.filter(col("doc_id") % 97 =!= 0)
