@@ -23,6 +23,15 @@ object QueriesText {
         Text.bpeishTokenCount(col("text")).as("n_tokens_bpe"))
     }),
 
+    // token-distribution drift between the even/odd corpus halves:
+    // PSI over the reference half's top-30 tokens + __other
+    "q_text_drift" -> ((s, dir) => {
+      val d = docs(s, dir)
+      graft.llm.Text.tokenDriftPsi(
+        d.filter(col("doc_id") % 2 === 0),
+        d.filter(col("doc_id") % 2 === 1), "text", topK = 30)
+    }),
+
     // corpus-LM perplexity proxy: mean smoothed bigram log-prob under
     // the corpus's own bigram model (CCNet-style quality screen)
     "q_text_lm" -> ((s, dir) => {
@@ -159,6 +168,38 @@ object QueriesText {
          |$tc AS n_tokens,
          |${reCount("text", " ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\\s]+")} AS n_tokens_bpe
          |FROM documents""".stripMargin,
+
+    "q_text_drift" -> {
+      def half(pred: String) =
+        s"""SELECT tok FROM (
+           |  SELECT unnest(string_split_regex(lower(trim(text)), '\\s+')) AS tok
+           |  FROM documents WHERE $pred) WHERE tok <> ''"""
+      val pR = "GREATEST(CAST(rn AS DOUBLE) / tot.tr, 1.0e-4)"
+      val pC = "GREATEST(CAST(cn AS DOUBLE) / tot.tc, 1.0e-4)"
+      s"""WITH rt AS (${half("doc_id % 2 = 0").stripMargin}),
+         |ct AS (${half("doc_id % 2 = 1").stripMargin}),
+         |topk AS (SELECT tok FROM (
+         |  SELECT tok, COUNT(*) AS n FROM rt GROUP BY 1
+         |  ORDER BY n DESC, tok LIMIT 30)),
+         |rc AS (SELECT CASE WHEN tok IN (SELECT tok FROM topk) THEN tok
+         |              ELSE '__other' END AS cat, COUNT(*) AS rn
+         |       FROM rt GROUP BY 1),
+         |cc AS (SELECT CASE WHEN tok IN (SELECT tok FROM topk) THEN tok
+         |              ELSE '__other' END AS cat, COUNT(*) AS cn
+         |       FROM ct GROUP BY 1),
+         |j AS (SELECT COALESCE(rc.cat, cc.cat) AS cat,
+         |             COALESCE(rn, 0) AS rn, COALESCE(cn, 0) AS cn
+         |      FROM rc FULL OUTER JOIN cc ON rc.cat = cc.cat),
+         |tot AS (SELECT CAST(SUM(rn) AS BIGINT) AS tr, CAST(SUM(cn) AS BIGINT) AS tc FROM j),
+         |terms AS (
+         |  SELECT ($pC - $pR) * ln($pC / $pR) AS term, tot.tr, tot.tc
+         |  FROM j, tot)
+         |SELECT CAST(MAX(tr) AS BIGINT) AS n_ref, CAST(MAX(tc) AS BIGINT) AS n_cur,
+         |  CAST(COUNT(*) AS BIGINT) AS n_categories,
+         |  ROUND(${graft.functions.Det.sqlSumAt("term", 6)}, 6) AS psi,
+         |  (ROUND(${graft.functions.Det.sqlSumAt("term", 6)}, 6) > 0.1) AS drifted
+         |FROM terms""".stripMargin
+    },
 
     "q_text_lm" ->
       s"""WITH toks AS (

@@ -217,6 +217,64 @@ object Text {
         round(col("__s") / col("n_bigrams"), 6).as("lm_score"))
   }
 
+  /** Token-distribution drift between two corpus snapshots: PSI over
+    * the reference snapshot's top-`topK` tokens (everything else in
+    * one `__other` bucket) — the vocabulary-mix monitor that catches a
+    * crawl source going sideways (language mix shift, boilerplate
+    * flood, spam injection) before any model sees the data. Unlike
+    * [[graft.quality.DQ.psiCategorical]] the categories are DERIVED
+    * from the data (top-K by reference count, ties by token — a
+    * distributed TakeOrdered, collected as ≤ topK literals), and the
+    * per-category PSI terms sum DECIMAL-EXACT so the statistic is
+    * independent of both partitioning and category order. Probability
+    * floors (1e-4) mirror DQ.psi. Output one row:
+    * (n_ref, n_cur, n_categories, psi, drifted); psi/drifted null
+    * when a snapshot has no tokens.
+    */
+  def tokenDriftPsi(ref: DataFrame, cur: DataFrame, textCol: String,
+                    topK: Int = 50, threshold: Double = 0.1): DataFrame = {
+    require(topK >= 1, s"topK must be >= 1, got $topK")
+    val spark = ref.sparkSession
+    import spark.implicits._
+    def toks(df: DataFrame) = df.select(
+      explode(split(lower(trim(col(textCol))), "\\s+")).as("__tok"))
+      .filter(col("__tok") =!= "")
+    val top: Seq[String] = toks(ref).groupBy(col("__tok"))
+      .agg(count(lit(1)).as("__n"))
+      .orderBy(col("__n").desc, col("__tok").asc)
+      .limit(topK).select("__tok").as[String].collect().toSeq
+    def cats(df: DataFrame, out: String) = toks(df)
+      .select((if (top.isEmpty) lit("__other")
+               else when(col("__tok").isin(top: _*), col("__tok"))
+                 .otherwise(lit("__other"))).as("__cat"))
+      .groupBy(col("__cat")).agg(count(lit(1)).as(out))
+    val joined = cats(ref, "__rn").join(cats(cur, "__cn"), Seq("__cat"), "full_outer")
+      .select(col("__cat"),
+        coalesce(col("__rn"), lit(0L)).as("__rn"),
+        coalesce(col("__cn"), lit(0L)).as("__cn"))
+    // ≤ topK+1 rows from here on — every aggregate below is tiny
+    val tot = joined.agg(
+      sum(col("__rn")).as("__tr"), sum(col("__cn")).as("__tc"))
+    val withTot = joined.crossJoin(broadcast(tot))
+    // greatest(total, 1): an EMPTY snapshot's total is 0 and ANSI mode
+    // would abort on the division even though psi is nulled for that
+    // case below; for any non-empty side the clamp is the identity
+    val pR = greatest(col("__rn").cast("double") / greatest(col("__tr"), lit(1L)), lit(1.0e-4))
+    val pC = greatest(col("__cn").cast("double") / greatest(col("__tc"), lit(1L)), lit(1.0e-4))
+    // per-term decimal rounding makes the sum order-independent (ln
+    // terms are doubles; raw double summation would vary with
+    // partitioning and disagree with the oracle's row order)
+    val term = (pC - pR) * log(pC / pR)
+    val psiCol = round(graft.functions.Det.sumAt(term, 6), 6)
+    withTot
+      .agg(max(col("__tr")).as("n_ref"), max(col("__tc")).as("n_cur"),
+        count(lit(1)).as("n_categories"), psiCol.as("__psi"))
+      .select(col("n_ref"), col("n_cur"), col("n_categories"),
+        when(col("n_ref") > 0L && col("n_cur") > 0L, col("__psi")).as("psi"),
+        when(col("n_ref") > 0L && col("n_cur") > 0L, col("__psi") > threshold)
+          .as("drifted"))
+  }
+
   def fingerprint(c: Column): Column = md5(c)
 
   /** Rolling-hash document fingerprint: the minimum md5 over all

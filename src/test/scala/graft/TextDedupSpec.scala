@@ -100,6 +100,22 @@ class TextDedupSpec extends SparkSpec {
     assert(kept.toSeq == Seq(2L, 9L))
   }
 
+  test("tokenDriftPsi: zero for identical snapshots, flags a vocabulary flood") {
+    val base = table("documents").select(col("doc_id"), col("text"))
+    val same = Text.tokenDriftPsi(base, base, "text", topK = 20).head()
+    assert(same.getDouble(same.fieldIndex("psi")) == 0.0)
+    assert(!same.getBoolean(same.fieldIndex("drifted")))
+    // flood the current snapshot with an out-of-vocabulary token mass
+    // comparable to the docs themselves (~50% of each doc's tokens)
+    val flooded = base.withColumn("text",
+      concat(col("text"), repeat(lit(" zzspam"), 50)))
+    val drift = Text.tokenDriftPsi(base, flooded, "text", topK = 20).head()
+    assert(drift.getBoolean(drift.fieldIndex("drifted")))
+    // an empty snapshot reports counts but null psi
+    val e = Text.tokenDriftPsi(base, base.filter(lit(false)), "text").head()
+    assert(e.getLong(e.fieldIndex("n_cur")) == 0L && e.isNullAt(e.fieldIndex("psi")))
+  }
+
   test("bigramLmScore matches a hand-computed bigram model") {
     // corpus: "a b" x2 and "a c" — bigrams: (a,b):2, (a,c):1;
     // unigrams: a:3, b:2, c:1; vocab V=3, k=0.5
