@@ -216,10 +216,16 @@ object QueriesText {
          |v AS (SELECT COUNT(*) AS nv FROM ug),
          |terms AS (
          |  SELECT b.doc_id, ln((bg.c12 + 0.5) / (ug.c1 + 0.5 * v.nv)) AS term
-         |  FROM bigrams b JOIN bg USING (w1, w2) JOIN ug USING (w1) CROSS JOIN v)
-         |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
-         |  ROUND(${graft.functions.Det.sqlSumAt("term", 6)} / COUNT(*), 6) AS lm_score
-         |FROM terms GROUP BY doc_id""".stripMargin,
+         |  FROM bigrams b JOIN bg USING (w1, w2) JOIN ug USING (w1) CROSS JOIN v),
+         |agg AS (
+         |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+         |    CAST(SUM(CAST(term AS DECIMAL(28,6))) * 1000000 AS BIGINT) AS smic
+         |  FROM terms GROUP BY doc_id)
+         |SELECT doc_id, n_bigrams,
+         |  CAST(CASE WHEN smic >= 0 THEN (2 * smic + n_bigrams) // (2 * n_bigrams)
+         |            ELSE -((2 * (-smic) + n_bigrams) // (2 * n_bigrams)) END
+         |       AS DOUBLE) / 1000000.0 AS lm_score
+         |FROM agg""".stripMargin,
 
     "q_text_quality" ->
       s"""SELECT doc_id,

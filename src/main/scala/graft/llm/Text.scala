@@ -206,15 +206,26 @@ object Text {
     val vocab = ug.agg(count(lit(1)).as("__v"))
     val term = log((col("__c12") + lit(addK)) /
       (col("__c1") + lit(addK) * col("__v")))
+    // The mean rounds in EXACT integer arithmetic: the decimal term sum
+    // is an exact integer count of 1e-6 units, and round-half-away of
+    // sum/n is pure bigint division — `round(double_sum / n, 6)` would
+    // leave the rounding to each engine's double quotient, which lands
+    // on opposite sides of a tie for quotients near a .5e-6 boundary
+    // (observed at sf0.1: -3.4144135 → -3.414414 vs -3.414413).
     bigrams
       .join(bg, Seq("__w1", "__w2"))
       .join(ug, Seq("__w1"))
       .crossJoin(broadcast(vocab))
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_bigrams"),
-        graft.functions.Det.sumAt(term, 6).as("__s"))
+        sum(term.cast(org.apache.spark.sql.types.DecimalType(28, 6))).as("__sdec"))
+      .withColumn("__smic", (col("__sdec") * lit(1000000)).cast("long"))
+      .withColumn("__mmic",
+        when(col("__smic") >= 0L,
+          expr("(2 * __smic + n_bigrams) DIV (2 * n_bigrams)"))
+          .otherwise(-expr("(2 * (-__smic) + n_bigrams) DIV (2 * n_bigrams)")))
       .select(col(idCol), col("n_bigrams"),
-        round(col("__s") / col("n_bigrams"), 6).as("lm_score"))
+        (col("__mmic").cast("double") / lit(1000000.0)).as("lm_score"))
   }
 
   /** Token-distribution drift between two corpus snapshots: PSI over
