@@ -182,10 +182,10 @@ object QueriesText {
          |  SELECT tok, COUNT(*) AS n FROM rt GROUP BY 1
          |  ORDER BY n DESC, tok LIMIT 30)),
          |rc AS (SELECT CASE WHEN tok IN (SELECT tok FROM topk) THEN tok
-         |              ELSE '__other' END AS cat, COUNT(*) AS rn
+         |              ELSE '(other tokens)' END AS cat, COUNT(*) AS rn
          |       FROM rt GROUP BY 1),
          |cc AS (SELECT CASE WHEN tok IN (SELECT tok FROM topk) THEN tok
-         |              ELSE '__other' END AS cat, COUNT(*) AS cn
+         |              ELSE '(other tokens)' END AS cat, COUNT(*) AS cn
          |       FROM ct GROUP BY 1),
          |j AS (SELECT COALESCE(rc.cat, cc.cat) AS cat,
          |             COALESCE(rn, 0) AS rn, COALESCE(cn, 0) AS cn
@@ -203,7 +203,9 @@ object QueriesText {
 
     "q_text_lm" ->
       s"""WITH toks AS (
-         |  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS w
+         |  SELECT doc_id,
+         |    list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+         |                t -> t <> '') AS w
          |  FROM documents),
          |bigrams AS (
          |  SELECT doc_id, w[i] AS w1, w[i + 1] AS w2

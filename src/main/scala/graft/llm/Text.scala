@@ -190,7 +190,14 @@ object Text {
     */
   def bigramLmScore(df: DataFrame, idCol: String, textCol: String,
                     addK: Double = 0.5): DataFrame = {
-    val toks = split(lower(trim(col(textCol))), "\\s+")
+    // addK <= 0 would NULL some log terms, silently shrinking the sum
+    // while n_bigrams still counts them — a wrong mean, not an error
+    require(addK > 0.0, s"addK must be > 0, got $addK")
+    // split() keeps leading/trailing empty strings (trim strips only
+    // spaces, not newlines/tabs) — a scraped doc ending in a newline
+    // would inject a phantom ("last","") bigram and inflate vocab V
+    val toks = filter(split(lower(trim(col(textCol))), "\\s+"),
+      t => t =!= "")
     val docs = df.select(col(idCol), toks.as("__t"))
     val n1 = greatest(size(col("__t")) - 1, lit(0))
     val bigrams = docs.select(col(idCol),
@@ -250,16 +257,30 @@ object Text {
     def toks(df: DataFrame) = df.select(
       explode(split(lower(trim(col(textCol))), "\\s+")).as("__tok"))
       .filter(col("__tok") =!= "")
-    val top: Seq[String] = toks(ref).groupBy(col("__tok"))
+    val refCounts = toks(ref).groupBy(col("__tok"))
       .agg(count(lit(1)).as("__n"))
+      .persist() // consumed twice: top-K pick + category re-group
+    val top: Seq[String] = refCounts
       .orderBy(col("__n").desc, col("__tok").asc)
       .limit(topK).select("__tok").as[String].collect().toSeq
-    def cats(df: DataFrame, out: String) = toks(df)
-      .select((if (top.isEmpty) lit("__other")
-               else when(col("__tok").isin(top: _*), col("__tok"))
-                 .otherwise(lit("__other"))).as("__cat"))
-      .groupBy(col("__cat")).agg(count(lit(1)).as(out))
-    val joined = cats(ref, "__rn").join(cats(cur, "__cn"), Seq("__cat"), "full_outer")
+    // the tail-bucket label contains a SPACE, which no \s+-split token
+    // can — a corpus token literally named "__other" (markup/code
+    // corpora) must stay its own category, not merge into the tail
+    val otherLabel = "(other tokens)"
+    def catOf(tok: Column) =
+      if (top.isEmpty) lit(otherLabel)
+      else when(tok.isin(top: _*), tok).otherwise(lit(otherLabel))
+    // reference side reuses the (token, count) aggregate that already
+    // exists for the top-K pick — re-grouping the vocabulary-sized
+    // frame by category costs nothing; re-exploding every reference
+    // token occurrence would double the operator's dominant scan
+    val refCats = refCounts
+      .select(catOf(col("__tok")).as("__cat"), col("__n"))
+      .groupBy(col("__cat")).agg(sum(col("__n")).as("__rn"))
+    val curCats = toks(cur)
+      .select(catOf(col("__tok")).as("__cat"))
+      .groupBy(col("__cat")).agg(count(lit(1)).as("__cn"))
+    val joined = refCats.join(curCats, Seq("__cat"), "full_outer")
       .select(col("__cat"),
         coalesce(col("__rn"), lit(0L)).as("__rn"),
         coalesce(col("__cn"), lit(0L)).as("__cn"))
@@ -278,7 +299,8 @@ object Text {
     val term = (pC - pR) * log(pC / pR)
     val psiCol = round(graft.functions.Det.sumAt(term, 6), 6)
     withTot
-      .agg(max(col("__tr")).as("n_ref"), max(col("__tc")).as("n_cur"),
+      .agg(coalesce(max(col("__tr")), lit(0L)).as("n_ref"),
+        coalesce(max(col("__tc")), lit(0L)).as("n_cur"),
         count(lit(1)).as("n_categories"), psiCol.as("__psi"))
       .select(col("n_ref"), col("n_cur"), col("n_categories"),
         when(col("n_ref") > 0L && col("n_cur") > 0L, col("__psi")).as("psi"),

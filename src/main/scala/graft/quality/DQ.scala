@@ -287,7 +287,10 @@ object DQ {
     *  - binary renders as hex (a lossy UTF-8 cast would merge distinct
     *    byte strings that are not valid UTF-8);
     *  - arrays/structs/maps render as JSON (their display casts are
-    *    ambiguous under delimiter collisions).
+    *    ambiguous under delimiter collisions). Known limit: a NESTED
+    *    fractional -0.0 still renders "-0.0" while value-keyed
+    *    grouping normalizes it — exact-distinct parity for complex
+    *    columns holds only without nested negative zeros.
     * Rendering-parity envelope for SQL oracles over DOUBLE columns:
     * Spark switches to scientific notation at 1e7, DuckDB much later —
     * keep oracle-profiled double columns under 1e7 in magnitude.

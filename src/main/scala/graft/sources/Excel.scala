@@ -165,8 +165,10 @@ object Excel {
   // times, and the CJK era/date blocks
   private val builtinDateFmts: Set[Int] =
     ((14 to 22) ++ (27 to 36) ++ (45 to 47) ++ (50 to 58)).toSet
-  // of those, the ones carrying a time-of-day component
-  private val builtinTimeFmts: Set[Int] = ((18 to 22) ++ (45 to 47)).toSet
+  // of those, the ones carrying a time-of-day component (32-35 and
+  // 55-58 are the CJK locale TIME blocks; 27-31/50-54 are era dates)
+  private val builtinTimeFmts: Set[Int] =
+    ((18 to 22) ++ (32 to 35) ++ (45 to 47) ++ (55 to 58)).toSet
 
   /** Format-code tokens OUTSIDE quoted literals, [bracket] sections,
     * and backslash escapes ("0.00" has none; [Red]yyyy\-mm has ymm).
@@ -414,8 +416,11 @@ object Excel {
     // SESSION-zone wall clock, which only coincides with
     // Timestamp.toLocalDateTime's JVM-default-zone reading when the
     // two zones agree — resolve via the session zone explicitly
-    val sessionZone = java.time.ZoneId.of(
-      df.sparkSession.conf.get("spark.sql.session.timeZone"))
+    // resolve like Spark itself does: bare ZoneId.of rejects short ids
+    // ("PST") and unpadded offsets ("GMT+8:00") that are perfectly
+    // valid spark.sql.session.timeZone values
+    val sessionZone = org.apache.spark.sql.catalyst.util.DateTimeUtils
+      .getZoneId(df.sparkSession.conf.get("spark.sql.session.timeZone"))
     val rows = df.collect()
     require(rows.length <= RowCap,
       s"xlsx caps a worksheet at $RowCap data rows; got ${rows.length} — " +
