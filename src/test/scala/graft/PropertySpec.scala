@@ -366,4 +366,36 @@ object PropertySpec extends Properties("graft") {
           vals.max <= rows.map(_._3).max && vals.min >= rows.map(_._3).min
       }
     }
+
+  // duplicate-heavy value pools exercise the tie handling of the
+  // bucketed-prefix-sum KS (mass points collapsing bucket edges)
+  private val sample: Gen[List[Double]] =
+    Gen.choose(1, 60).flatMap(n => Gen.listOfN(n,
+      Gen.frequency((3, Gen.choose(-5, 5).map(_.toDouble)),
+        (1, Gen.choose(-100.0, 100.0)))))
+
+  property("ksExact equals the driver brute force on random tied samples") =
+    Prop.forAll(sample, sample, Gen.oneOf(1, 3, 16)) { (a, b, buckets) =>
+      val ref = a.toDF("v"); val cur = b.toDF("v")
+      val row = graft.quality.DQ.ksExact(ref, cur, "v", rangeBuckets = buckets).head()
+      val pool = (a ++ b).distinct.sorted
+      val brute = pool.map { x =>
+        math.abs(a.count(_ <= x).toDouble / a.length -
+          b.count(_ <= x).toDouble / b.length)
+      }.max
+      math.abs(row.getDouble(row.fieldIndex("ks")) - brute) < 1e-6
+    }
+
+  property("sampleByProb is deterministic under repartitioning and monotone in p") =
+    Prop.forAll(Gen.listOfN(200, Gen.choose(1L, 1000000L)),
+      Gen.choose(0.0, 1.0), Gen.choose(0.0, 0.5)) { (keys0, p, bump) =>
+      val keys = keys0.distinct
+      val df = keys.toDF("k")
+      def kept(d: org.apache.spark.sql.DataFrame, prob: Double) =
+        graft.llm.Sampling.sampleByProb(d, "k", lit(prob))
+          .select("k").as[Long].collect().toSet
+      val base = kept(df, p)
+      base == kept(df.repartition(7), p) &&
+        base.subsetOf(kept(df, math.min(1.0, p + bump)))
+    }
 }
