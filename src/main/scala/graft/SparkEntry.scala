@@ -126,6 +126,13 @@ object SparkEntry {
         Seq(Det.sumAt(col("l_quantity"), 2).as("qty"), count(lit(1)).as("n")))
     }),
 
+    // melt / unpivot — the inverse of q_pivot (pandas melt; map-side
+    // Expand, no shuffle)
+    "q_melt" -> ((s, dir) => {
+      Ops.melt(t(s, dir, "lineitem"), Seq("l_orderkey", "l_linenumber"),
+        Seq("l_quantity", "l_discount", "l_tax"))
+    }),
+
     // -- window functions ------------------------------------------------
     "q_rank" -> ((s, dir) => {
       val r = Ops.rankWithin(t(s, dir, "supplier"), Seq("s_nationkey"),
@@ -325,6 +332,16 @@ object SparkEntry {
          |${Det.sqlSumAt("l_quantity", 2)} AS sum_qty
          |FROM lineitem JOIN orders ON o_orderkey = l_orderkey
          |GROUP BY o_orderpriority""".stripMargin,
+
+    "q_melt" ->
+      """SELECT l_orderkey, l_linenumber, 'l_quantity' AS variable,
+        |       CAST(l_quantity AS DOUBLE) AS value FROM lineitem
+        |UNION ALL
+        |SELECT l_orderkey, l_linenumber, 'l_discount',
+        |       CAST(l_discount AS DOUBLE) FROM lineitem
+        |UNION ALL
+        |SELECT l_orderkey, l_linenumber, 'l_tax',
+        |       CAST(l_tax AS DOUBLE) FROM lineitem""".stripMargin,
 
     "q_pivot" ->
       """SELECT l_returnflag,

@@ -173,6 +173,21 @@ object Ops {
       .agg(valueAggs.head, valueAggs.tail: _*)
   }
 
+  /** pandas `melt` / the inverse of [[pivot]]: wide columns to
+    * (variable, value) rows — Spark's native `unpivot` operator, which
+    * plans as a map-side Expand (|valueCols|× row emission, no shuffle,
+    * no UDF). Value columns are cast to `valueType` first (unpivot
+    * requires one common type; pandas object-columns hide this).
+    */
+  def melt(df: DataFrame, idCols: Seq[String], valueCols: Seq[String],
+           varName: String = "variable", valueName: String = "value",
+           valueType: String = "double"): DataFrame = {
+    require(valueCols.nonEmpty, "need at least one value column")
+    df.select(idCols.map(col) ++ valueCols.map(c => col(c).cast(valueType).as(c)): _*)
+      .unpivot(idCols.map(col).toArray, valueCols.map(col).toArray,
+        varName, valueName)
+  }
+
   /** Rolling aggregate over the preceding `window-1` rows + current row
     * within a partition (ref rolling_aggregate). Ordering must be
     * deterministic — pass a unique composite ordering.

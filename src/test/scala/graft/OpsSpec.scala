@@ -16,6 +16,21 @@ class OpsSpec extends SparkSpec {
     assertThrows[IllegalArgumentException](Ops.filterBy(df, "x", "~", 1))
   }
 
+  test("melt is the wide-to-long inverse of pivot, nulls preserved") {
+    val wide = Seq((1, Some(10.0), Some(0.1)), (2, None, Some(0.2)))
+      .toDF("k", "a", "b")
+    val long = graft.operators.Ops.melt(wide, Seq("k"), Seq("a", "b"))
+      .orderBy("k", "variable")
+      .as[(Int, String, Option[Double])].collect().toSeq
+    assert(long == Seq(
+      (1, "a", Some(10.0)), (1, "b", Some(0.1)),
+      (2, "a", None), (2, "b", Some(0.2)))) // pandas melt keeps NaN rows
+    // plans as a map-side Expand — no shuffle anywhere
+    val plan = graft.operators.Ops.melt(wide, Seq("k"), Seq("a", "b"))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("Expand") && !plan.contains("Exchange"))
+  }
+
   test("rolling computes trailing-window aggregates per partition") {
     val df = Seq(("a", 1, 10.0), ("a", 2, 20.0), ("a", 3, 30.0), ("b", 1, 5.0))
       .toDF("k", "seq", "v")
