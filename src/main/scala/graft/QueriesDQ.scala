@@ -34,6 +34,24 @@ object QueriesDQ {
         otherCols = Seq("o_orderstatus", "o_orderpriority"), k = 5)
     }),
 
+    // config-driven rule set — ref dq_engine.py:73-135 (rules arrive
+    // as dicts); the JSON document drives the SAME fused one-pass check
+    "q_dq_rules_json" -> ((s, dir) => {
+      val json =
+        """{"rules": [
+          |  {"rule_id": "cfg_nn", "type": "completeness", "column": "o_custkey"},
+          |  {"rule_id": "cfg_rng", "type": "range", "column": "o_totalprice",
+          |   "min": 0, "max": 1000000},
+          |  {"rule_id": "cfg_pat", "type": "pattern", "column": "o_orderpriority",
+          |   "pattern": "^[1-5]-[A-Z ]+$"},
+          |  {"rule_id": "cfg_allow", "type": "allowed_values",
+          |   "column": "o_orderstatus", "values": ["O", "F", "P"]},
+          |  {"rule_id": "cfg_xf", "type": "consistency", "name": "price_pos",
+          |   "condition": "o_totalprice > 0 OR o_orderkey IS NULL"}
+          |]}""".stripMargin
+      DQ.check(t(s, dir, "orders"), DQ.rulesFromJson(json))
+    }),
+
     // completeness / not_null — ref dq_rule_examples.py:144,199,275
     "q_dq_completeness" -> ((s, dir) => {
       DQ.check(t(s, dir, "orders"),
@@ -354,6 +372,20 @@ object QueriesDQ {
          |       ROUND(top.top_share * prof.distinct_cnt, 6) AS top_ratio
          |FROM prof LEFT JOIN top USING (colname)""".stripMargin
     },
+
+    "q_dq_rules_json" ->
+      Seq(
+        checkOracle("orders", "cfg_nn", "completeness", "o_custkey",
+          "o_custkey IS NULL"),
+        checkOracle("orders", "cfg_rng", "validity", "o_totalprice",
+          "o_totalprice IS NOT NULL AND NOT (o_totalprice BETWEEN 0 AND 1000000)"),
+        checkOracle("orders", "cfg_pat", "validity", "o_orderpriority",
+          "o_orderpriority IS NOT NULL AND NOT regexp_matches(o_orderpriority, '^[1-5]-[A-Z ]+$')"),
+        checkOracle("orders", "cfg_allow", "validity", "o_orderstatus",
+          "o_orderstatus IS NOT NULL AND o_orderstatus NOT IN ('O', 'F', 'P')"),
+        checkOracle("orders", "cfg_xf", "consistency", "price_pos",
+          "NOT COALESCE(o_totalprice > 0 OR o_orderkey IS NULL, FALSE)")
+      ).mkString("\nUNION ALL\n"),
 
     "q_dq_completeness" ->
       ordersCols.map(c => nnOracle("orders", c)).mkString("\nUNION ALL\n"),

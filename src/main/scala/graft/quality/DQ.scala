@@ -149,6 +149,56 @@ object DQ {
     def violation: Column = col(column) > lit(asOf).cast("timestamp")
   }
 
+  /** JSON rules front-end — the reference's DQEngine takes its rule
+    * sets as config dicts (dq_engine.py:73-135: completeness /
+    * validity / consistency lists); this parses that shape into the
+    * [[Rule]] ADT so a config document drives the same ONE-pass fused
+    * [[check]]. The consistency `condition` string is a Spark SQL
+    * boolean expression (the reference uses python `eval`; a SQL
+    * expression is the declarative, injection-bounded equivalent).
+    *
+    * {{{
+    * {"rules": [
+    *   {"rule_id": "c1", "type": "completeness", "column": "x", "threshold": 5},
+    *   {"rule_id": "v1", "type": "range", "column": "x", "min": 0, "max": 10},
+    *   {"rule_id": "v2", "type": "pattern", "column": "s", "pattern": "^A"},
+    *   {"rule_id": "v3", "type": "allowed_values", "column": "s", "values": ["A", "B"]},
+    *   {"rule_id": "x1", "type": "consistency", "name": "a_le_b", "condition": "a <= b"}
+    * ]}
+    * }}}
+    */
+  def rulesFromJson(json: String): Seq[Rule] = {
+    import scala.jdk.CollectionConverters._
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val root = mapper.readTree(json)
+    require(root.has("rules"), "rule config needs a 'rules' array")
+    root.get("rules").elements().asScala.map { r =>
+      def str(f: String): String = {
+        require(r.has(f), s"rule ${r.get("rule_id")} missing '$f'")
+        r.get(f).asText()
+      }
+      val id = str("rule_id")
+      val pct = if (r.has("threshold")) r.get("threshold").asDouble() else 0.0
+      str("type").toLowerCase match {
+        case "completeness" | "not_null" =>
+          NotNull(id, str("column"), pct)
+        case "range" =>
+          ValueRange(id, str("column"), r.get("min").asDouble(),
+            r.get("max").asDouble(), pct)
+        case "pattern" | "regex" =>
+          RegexMatch(id, str("column"), str("pattern"), pct)
+        case "allowed_values" =>
+          AllowedValues(id, str("column"),
+            r.get("values").elements().asScala.map(_.asText()).toSeq, pct)
+        case "consistency" =>
+          CrossField(id, if (r.has("name")) str("name") else id,
+            expr(str("condition")), pct)
+        case other =>
+          throw new IllegalArgumentException(s"unknown rule type '$other' ($id)")
+      }
+    }.toSeq
+  }
+
   /** Run every rule in ONE aggregation pass over `df`.
     * Output: (rule_id, rule_type, colname, violations, total, passed).
     */

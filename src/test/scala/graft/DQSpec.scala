@@ -263,6 +263,41 @@ class DQSpec extends SparkSpec {
     assert(plan.contains("WindowGroupLimit"), s"no WindowGroupLimit in:\n$plan")
   }
 
+  test("rulesFromJson parses the reference config shape into the Rule ADT") {
+    import spark.implicits._
+    val df = Seq(("A", Some(5.0), 1.0), ("Z", None, -1.0)).toDF("s", "x", "y")
+    val json =
+      """{"rules": [
+        |  {"rule_id": "nn", "type": "completeness", "column": "x"},
+        |  {"rule_id": "rng", "type": "range", "column": "y", "min": 0, "max": 10},
+        |  {"rule_id": "pat", "type": "pattern", "column": "s", "pattern": "^[A-M]"},
+        |  {"rule_id": "al", "type": "allowed_values", "column": "s", "values": ["A", "B"]},
+        |  {"rule_id": "xf", "type": "consistency", "name": "xy", "condition": "x > y"}
+        |]}""".stripMargin
+    val viaJson = DQ.check(df, DQ.rulesFromJson(json))
+      .select("rule_id", "violations", "passed")
+      .as[(String, Long, Boolean)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(viaJson("nn") == ((1L, false)))   // one null x
+    assert(viaJson("rng") == ((1L, false)))  // -1 out of range
+    assert(viaJson("pat") == ((1L, false)))  // "Z" fails ^[A-M]
+    assert(viaJson("al") == ((1L, false)))   // "Z" not allowed
+    assert(viaJson("xf") == ((1L, false)))   // null x > y -> violation
+    // config output == hand-built ADT output, row for row
+    val hand = DQ.check(df, Seq(
+      DQ.NotNull("nn", "x"), DQ.ValueRange("rng", "y", 0, 10),
+      DQ.RegexMatch("pat", "s", "^[A-M]"),
+      DQ.AllowedValues("al", "s", Seq("A", "B")),
+      DQ.CrossField("xf", "xy", col("x") > col("y"))))
+    assert(DQ.check(df, DQ.rulesFromJson(json)).collect().toSeq ==
+      hand.collect().toSeq)
+    // loud failures on malformed configs
+    assert(intercept[IllegalArgumentException](
+      DQ.rulesFromJson("""{"rules": [{"rule_id": "u", "type": "wat"}]}"""))
+      .getMessage.contains("wat"))
+    assert(intercept[IllegalArgumentException](
+      DQ.rulesFromJson("""{"nope": []}""")).getMessage.contains("rules"))
+  }
+
   test("ksExact equals the brute-force statistic, on every bucket count") {
     import spark.implicits._
     val ref = (1 to 200).map(i => (i % 37).toDouble).toDF("v")
