@@ -25,6 +25,15 @@ object QueriesAnomaly {
         .select("event_id", "value", "z")
     }),
 
+    // config-driven dispatch — ref dq_engine.py:146 detect_anomalies
+    // routes on a config dict; identical output to q_anom_zscore, so
+    // the same oracle hash-checks the whole front-end path
+    "q_anom_config" -> ((s, dir) => {
+      Anomaly.fromJson(ev(s, dir),
+        """{"method": "zscore", "column": "value", "threshold": 3.0}""")
+        .select("event_id", "value", "z")
+    }),
+
     // iqr_detection — ref anomaly_manager.py:125
     "q_anom_iqr" -> ((s, dir) => {
       Anomaly.iqr(ev(s, dir), "value", multiplier = 1.5)
@@ -241,6 +250,12 @@ object QueriesAnomaly {
         |FROM agg a JOIN lrd l ON l.p = a.p""".stripMargin,
 
     "q_anom_zscore" ->
+      s"""WITH s AS (SELECT ${Det.sqlMeanAt("value", 6)} AS m,
+         |                  ${Det.sqlStddevAt("value", 6)} AS sd FROM events)
+         |SELECT event_id, value, $zExpr AS z
+         |FROM events, s WHERE $zExpr > 3.0""".stripMargin,
+
+    "q_anom_config" ->
       s"""WITH s AS (SELECT ${Det.sqlMeanAt("value", 6)} AS m,
          |                  ${Det.sqlStddevAt("value", 6)} AS sd FROM events)
          |SELECT event_id, value, $zExpr AS z

@@ -22,6 +22,39 @@ object Anomaly {
   /** Z-score outliers — ref anomaly_manager.py:110-123.
     * Appends `z` and keeps rows with z > threshold.
     */
+  /** Config front-end — ref dq_engine.py:146-159 detect_anomalies
+    * dispatches on a config dict `{"method": "zscore" | "iqr" |
+    * "isolation_forest", ...}`; this parses the same shape and routes
+    * to the corresponding operator, so a stored config document drives
+    * anomaly detection exactly like [[DQ.rulesFromJson]] drives rules.
+    * zscore: {method, column, threshold=3}; iqr: {method, column,
+    * multiplier=1.5}; isolation_forest: {method, columns,
+    * threshold=0.6} (the reference's sklearn `contamination` fraction
+    * is deliberately replaced by the paper's deterministic score
+    * cutoff — see [[IsolationForest.detect]]).
+    */
+  def fromJson(df: DataFrame, json: String): DataFrame = {
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val c = mapper.readTree(json)
+    def str(f: String): String = {
+      require(c.has(f), s"anomaly config missing '$f'")
+      c.get(f).asText()
+    }
+    def num(f: String, dflt: Double): Double =
+      if (c.has(f)) c.get(f).asDouble() else dflt
+    str("method").toLowerCase match {
+      case "zscore" => zscore(df, str("column"), num("threshold", 3.0))
+      case "iqr"    => iqr(df, str("column"), num("multiplier", 1.5))
+      case "isolation_forest" =>
+        import scala.jdk.CollectionConverters._
+        require(c.has("columns"), "isolation_forest config needs 'columns'")
+        val cols = c.get("columns").elements().asScala.map(_.asText()).toSeq
+        IsolationForest.detect(df, cols, threshold = num("threshold", 0.6))
+      case other =>
+        throw new IllegalArgumentException(s"unknown anomaly method '$other'")
+    }
+  }
+
   def zscore(df: DataFrame, column: String, threshold: Double = 3.0,
              scale: Int = 6): DataFrame = {
     val stats = df.agg(

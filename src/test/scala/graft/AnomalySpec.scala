@@ -6,6 +6,29 @@ import graft.quality.Anomaly
 class AnomalySpec extends SparkSpec {
   import spark.implicits._
 
+  test("fromJson config dispatch matches the direct operator calls") {
+    import spark.implicits._
+    val df = ((1 to 100).map(i => (i.toLong, (i % 10).toDouble)) :+ (999L, 500.0))
+      .toDF("event_id", "value")
+    val viaCfg = graft.quality.Anomaly.fromJson(df,
+      """{"method": "zscore", "column": "value"}""")
+      .select("event_id").as[Long].collect().toSet
+    val direct = graft.quality.Anomaly.zscore(df, "value")
+      .select("event_id").as[Long].collect().toSet
+    assert(viaCfg == direct && viaCfg.contains(999L))
+    val viaIqr = graft.quality.Anomaly.fromJson(df,
+      """{"method": "iqr", "column": "value", "multiplier": 2.0}""")
+      .select("event_id").as[Long].collect().toSet
+    assert(viaIqr == graft.quality.Anomaly.iqr(df, "value", 2.0)
+      .select("event_id").as[Long].collect().toSet)
+    assert(intercept[IllegalArgumentException](
+      graft.quality.Anomaly.fromJson(df, """{"method": "dbscan"}"""))
+      .getMessage.contains("dbscan"))
+    assert(intercept[IllegalArgumentException](
+      graft.quality.Anomaly.fromJson(df, """{"method": "zscore"}"""))
+      .getMessage.contains("column"))
+  }
+
   test("madZscore flags the planted outlier a plain z-score would mask") {
     // 48 inliers around 10 plus two huge outliers: the outliers inflate
     // the stddev (plain z of 500 here is ~2.6, under a 3.0 gate) but
