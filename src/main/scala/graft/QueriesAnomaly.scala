@@ -207,6 +207,14 @@ object QueriesAnomaly {
   private val movavgZ =
     "ABS(value - s/n) / SQRT(GREATEST(0.0, (s2 - s*s/n) / (n - 1.0)))"
 
+  // shared by q_anom_zscore and its config-dispatch twin — one
+  // definition so the two oracles can never drift apart
+  private lazy val zscoreOracle: String =
+    s"""WITH s AS (SELECT ${Det.sqlMeanAt("value", 6)} AS m,
+       |                  ${Det.sqlStddevAt("value", 6)} AS sd FROM events)
+       |SELECT event_id, value, $zExpr AS z
+       |FROM events, s WHERE $zExpr > 3.0""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
 
     // mirrors Lof.scores with planes=0 step for step: cosine distance
@@ -249,17 +257,8 @@ object QueriesAnomaly {
         |  ROUND(ROUND(CASE WHEN l.lrd > 0.0 THEN a.avg_o / l.lrd END, 6), 3) AS lof3
         |FROM agg a JOIN lrd l ON l.p = a.p""".stripMargin,
 
-    "q_anom_zscore" ->
-      s"""WITH s AS (SELECT ${Det.sqlMeanAt("value", 6)} AS m,
-         |                  ${Det.sqlStddevAt("value", 6)} AS sd FROM events)
-         |SELECT event_id, value, $zExpr AS z
-         |FROM events, s WHERE $zExpr > 3.0""".stripMargin,
-
-    "q_anom_config" ->
-      s"""WITH s AS (SELECT ${Det.sqlMeanAt("value", 6)} AS m,
-         |                  ${Det.sqlStddevAt("value", 6)} AS sd FROM events)
-         |SELECT event_id, value, $zExpr AS z
-         |FROM events, s WHERE $zExpr > 3.0""".stripMargin,
+    "q_anom_zscore" -> zscoreOracle,
+    "q_anom_config" -> zscoreOracle,
 
     "q_anom_iqr" ->
       """WITH s AS (SELECT quantile_cont(value, 0.25) AS q1,

@@ -19,9 +19,6 @@ import graft.functions.Det
   */
 object Anomaly {
 
-  /** Z-score outliers — ref anomaly_manager.py:110-123.
-    * Appends `z` and keeps rows with z > threshold.
-    */
   /** Config front-end — ref dq_engine.py:146-159 detect_anomalies
     * dispatches on a config dict `{"method": "zscore" | "iqr" |
     * "isolation_forest", ...}`; this parses the same shape and routes
@@ -40,9 +37,17 @@ object Anomaly {
       require(c.has(f), s"anomaly config missing '$f'")
       c.get(f).asText()
     }
+    // absent -> default, present-but-not-a-number -> LOUD failure
+    // (Jackson's asDouble would coerce a typo to 0.0 — e.g. a zscore
+    // threshold of 0 flags half the table with no error)
     def num(f: String, dflt: Double): Double =
-      if (c.has(f)) c.get(f).asDouble() else dflt
-    str("method").toLowerCase match {
+      if (!c.has(f)) dflt
+      else {
+        require(c.get(f).isNumber, s"anomaly config: '$f' must be a number")
+        c.get(f).asDouble()
+      }
+    // Locale.ROOT: dispatch on user config must not vary with JVM locale
+    str("method").toLowerCase(java.util.Locale.ROOT) match {
       case "zscore" => zscore(df, str("column"), num("threshold", 3.0))
       case "iqr"    => iqr(df, str("column"), num("multiplier", 1.5))
       case "isolation_forest" =>
@@ -55,6 +60,9 @@ object Anomaly {
     }
   }
 
+  /** Z-score outliers — ref anomaly_manager.py:110-123.
+    * Appends `z` and keeps rows with z > threshold.
+    */
   def zscore(df: DataFrame, column: String, threshold: Double = 3.0,
              scale: Int = 6): DataFrame = {
     val stats = df.agg(

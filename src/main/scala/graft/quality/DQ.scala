@@ -177,17 +177,29 @@ object DQ {
         require(r.has(f), s"rule ${r.get("rule_id")} missing '$f'")
         r.get(f).asText()
       }
+      // every malformed field fails LOUDLY with the rule id — Jackson's
+      // asDouble would otherwise coerce a typo'd/missing number to 0.0
+      // (a range rule silently becoming [0, 0])
+      def num(f: String): Double = {
+        require(r.has(f), s"rule ${r.get("rule_id")} missing '$f'")
+        require(r.get(f).isNumber, s"rule ${r.get("rule_id")}: '$f' must be a number")
+        r.get(f).asDouble()
+      }
       val id = str("rule_id")
-      val pct = if (r.has("threshold")) r.get("threshold").asDouble() else 0.0
-      str("type").toLowerCase match {
+      val pct = if (r.has("threshold")) num("threshold") else 0.0
+      // Locale.ROOT: config dispatch must not depend on the JVM locale
+      // (tr-TR lowercases "I" to a dotless ı, breaking the match)
+      str("type").toLowerCase(java.util.Locale.ROOT) match {
         case "completeness" | "not_null" =>
           NotNull(id, str("column"), pct)
         case "range" =>
-          ValueRange(id, str("column"), r.get("min").asDouble(),
-            r.get("max").asDouble(), pct)
+          ValueRange(id, str("column"), num("min"), num("max"), pct)
         case "pattern" | "regex" =>
           RegexMatch(id, str("column"), str("pattern"), pct)
         case "allowed_values" =>
+          require(r.has("values") && r.get("values").isArray &&
+            r.get("values").size() > 0,
+            s"rule $id: 'values' must be a non-empty array")
           AllowedValues(id, str("column"),
             r.get("values").elements().asScala.map(_.asText()).toSeq, pct)
         case "consistency" =>

@@ -7,7 +7,6 @@ class AnomalySpec extends SparkSpec {
   import spark.implicits._
 
   test("fromJson config dispatch matches the direct operator calls") {
-    import spark.implicits._
     val df = ((1 to 100).map(i => (i.toLong, (i % 10).toDouble)) :+ (999L, 500.0))
       .toDF("event_id", "value")
     val viaCfg = graft.quality.Anomaly.fromJson(df,
