@@ -75,17 +75,27 @@ object Dedup {
     // sized from the real history cardinality — see
     // ngramContaminationBloom on why a fixed oversized width is a trap
     val items = histHashes.count()
-    if (items == 0L) return batch // empty history → everything is new
+    if (items == 0L) { // empty history → everything is new
+      histHashes.unpersist(blocking = false) // no plan consumes it on this path
+      return batch
+    }
     val numBits = if (numBitsOverride > 0) numBitsOverride
       else math.max(1L << 16, (items * bitsPerItem).toLong)
     val bf = histHashes
       .agg(call_function("graft_bloom_agg", xxhash64(col("__h")),
         lit(items), lit(numBits)).as("__bf")).head().getAs[Array[Byte]](0)
     val hashed = batch.withColumn("__h", md5(col(textCol)))
+    // NULL text ⇒ NULL hash ⇒ both branch predicates evaluate to NULL,
+    // so without the isNull disjunct such rows would vanish from BOTH
+    // branches. The contract (and the NOT-EXISTS oracle, where
+    // null = null never matches) keeps them: route null-hash rows into
+    // the definite-new branch and keep the hit branch null-free.
     val definiteNew = hashed
-      .filter(!call_function("graft_might_contain", lit(bf), xxhash64(col("__h"))))
+      .filter(col("__h").isNull ||
+        !call_function("graft_might_contain", lit(bf), xxhash64(col("__h"))))
     val confirmedNew = hashed
-      .filter(call_function("graft_might_contain", lit(bf), xxhash64(col("__h"))))
+      .filter(col("__h").isNotNull &&
+        call_function("graft_might_contain", lit(bf), xxhash64(col("__h"))))
       .join(histHashes, Seq("__h"), "left_anti")
     definiteNew.unionByName(confirmedNew).drop("__h")
   }
@@ -652,9 +662,11 @@ object Dedup {
     val corpusGrams = corpus
       .select(col(idCol), explode(wordShingles(col(textCol), n)).as("__g"))
     val items = benchGrams.count()
-    if (items == 0L) // empty benchmark → nothing can be contaminated
+    if (items == 0L) { // empty benchmark → nothing can be contaminated
+      benchGrams.unpersist(blocking = false) // no plan consumes it here
       return corpusGrams.filter(lit(false))
         .groupBy(col(idCol)).agg(count(lit(1)).as("n_shared"))
+    }
     val numBits = if (numBitsOverride > 0) numBitsOverride
       else math.max(1L << 16, (items * bitsPerItem).toLong)
     val bf = benchGrams

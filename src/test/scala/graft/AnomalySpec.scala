@@ -26,6 +26,13 @@ class AnomalySpec extends SparkSpec {
     assert(intercept[IllegalArgumentException](
       graft.quality.Anomaly.fromJson(df, """{"method": "zscore"}"""))
       .getMessage.contains("column"))
+    // isolation_forest 'columns' must be a non-empty ARRAY — a scalar
+    // or [] fails loudly here, not opaquely inside the detector
+    for (bad <- Seq("""{"method": "isolation_forest", "columns": "value"}""",
+                    """{"method": "isolation_forest", "columns": []}"""))
+      assert(intercept[IllegalArgumentException](
+        graft.quality.Anomaly.fromJson(df, bad))
+        .getMessage.contains("non-empty array"))
   }
 
   test("madZscore flags the planted outlier a plain z-score would mask") {

@@ -174,6 +174,13 @@ class TextDedupSpec extends SparkSpec {
     val all = Dedup.dedupAgainstHistory(batch, history.filter(lit(false)), "text")
     assert(ids(all) == Seq(10L, 11L, 12L, 13L, 14L))
     assert(all.columns.toSeq == Seq("doc_id", "text"))
+    // NULL text never matches history (null = null is not a match in
+    // the NOT-EXISTS oracle) — the row must survive, not vanish into
+    // neither bloom branch
+    val withNull = batch.unionByName(
+      Seq((15L, Option.empty[String])).toDF("doc_id", "text"))
+    assert(ids(Dedup.dedupAgainstHistory(withNull, history, "text")) ==
+      Seq(10L, 13L, 15L))
     GraftSession.releaseAll(spark)
   }
 
