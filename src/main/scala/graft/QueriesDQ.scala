@@ -18,6 +18,20 @@ object QueriesDQ {
   private val ordersCols =
     Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "o_orderdate", "o_orderpriority")
 
+  // Shared by q_dq_quarantine / q_dq_quarantine_clean and their
+  // oracles: three rules with overlapping violations (a pricey urgent
+  // 'P' order can fail all three), so failed_rules ordering is tested
+  private[graft] val quarantineRules: Seq[DQ.Rule] = Seq(
+    DQ.ValueRange("rng_price", "o_totalprice", 0, 200000),
+    DQ.RegexMatch("re_prio", "o_orderpriority", "^[1-3]-"),
+    DQ.AllowedValues("allow_status", "o_orderstatus", Seq("O", "F")))
+
+  // the same three violation predicates in DuckDB terms
+  private val quarantineViols = Seq(
+    "rng_price" -> "(o_totalprice IS NOT NULL AND NOT (o_totalprice BETWEEN 0 AND 200000))",
+    "re_prio" -> "(o_orderpriority IS NOT NULL AND NOT regexp_matches(o_orderpriority, '^[1-3]-'))",
+    "allow_status" -> "(o_orderstatus IS NOT NULL AND o_orderstatus NOT IN ('O', 'F'))")
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // profile_data — ref dq_engine.py:45-67
@@ -50,6 +64,21 @@ object QueriesDQ {
           |   "condition": "o_totalprice > 0 OR o_orderkey IS NULL"}
           |]}""".stripMargin
       DQ.check(t(s, dir, "orders"), DQ.rulesFromJson(json))
+    }),
+
+    // row-level quarantine split — ref error_recovery.py:345
+    // quarantine_bad_records: the failed side, tagged with every rule
+    // id the row violates (comma-joined in rule order)
+    "q_dq_quarantine" -> ((s, dir) => {
+      DQ.split(t(s, dir, "orders").select(ordersCols.map(col): _*),
+        quarantineRules)._2
+    }),
+
+    // the clean side of the same split — together with q_dq_quarantine
+    // this partitions the table exactly
+    "q_dq_quarantine_clean" -> ((s, dir) => {
+      DQ.split(t(s, dir, "orders").select(ordersCols.map(col): _*),
+        quarantineRules)._1
     }),
 
     // completeness / not_null — ref dq_rule_examples.py:144,199,275
@@ -386,6 +415,24 @@ object QueriesDQ {
         checkOracle("orders", "cfg_xf", "consistency", "price_pos",
           "NOT COALESCE(o_totalprice > 0 OR o_orderkey IS NULL, FALSE)")
       ).mkString("\nUNION ALL\n"),
+
+    "q_dq_quarantine" -> {
+      val cases = quarantineViols.map { case (id, v) =>
+        s"CASE WHEN $v THEN '$id' END" }.mkString(",\n         ")
+      val any = quarantineViols.map(_._2).mkString(" OR ")
+      s"""SELECT ${ordersCols.mkString(", ")},
+         |       concat_ws(',',
+         |         $cases) AS failed_rules
+         |FROM orders
+         |WHERE $any""".stripMargin
+    },
+
+    "q_dq_quarantine_clean" -> {
+      val any = quarantineViols.map(_._2).mkString(" OR ")
+      s"""SELECT ${ordersCols.mkString(", ")}
+         |FROM orders
+         |WHERE NOT ($any)""".stripMargin
+    },
 
     "q_dq_completeness" ->
       ordersCols.map(c => nnOracle("orders", c)).mkString("\nUNION ALL\n"),

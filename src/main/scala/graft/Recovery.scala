@@ -60,6 +60,48 @@ object Recovery {
     }
   }
 
+  /** Quarantine the failed side of a [[graft.quality.DQ.split]] —
+    * ref error_recovery.py:345-376 quarantine_bad_records: persist the
+    * bad rows with their failure reason and run id for later analysis
+    * and reprocessing. Each run writes its own subdirectory
+    * (`dir/run_id=<id>`), so the quarantine area is an append-only
+    * dataset partitioned by run — and the per-run write itself is an
+    * [[idempotentWrite]], so a retried run replaces its own slice
+    * atomically instead of double-appending (the reference gets the
+    * same property from its uuid quarantine_id per call).
+    */
+  def quarantine(quarantined: DataFrame, dir: String, runId: String): String = {
+    require(runId.nonEmpty && !runId.contains("/"),
+      s"runId must be a non-empty path segment, got '$runId'")
+    val path = s"$dir/run_id=$runId"
+    idempotentWrite(
+      quarantined.withColumn("quarantined_at", org.apache.spark.sql.functions
+        .current_timestamp()),
+      path)
+    path
+  }
+
+  /** Read quarantined rows back and push them through the rules again —
+    * ref error_recovery.py:376 reprocess_quarantined_records. Rows that
+    * now pass (after an upstream fix: reference-table refresh, rule
+    * relaxation, source correction) come back on the clean side; rows
+    * that still violate return to quarantine. `runId = None` reprocesses
+    * the whole quarantine area, otherwise one run's slice.
+    * Output: (clean-with-original-schema, still-bad-with-failed_rules);
+    * the bookkeeping columns (`failed_rules`, `quarantined_at`,
+    * `run_id`) are dropped before re-evaluation so the rules see the
+    * original row shape.
+    */
+  def reprocess(spark: SparkSession, dir: String,
+                rules: Seq[graft.quality.DQ.Rule],
+                runId: Option[String] = None): (DataFrame, DataFrame) = {
+    val path = runId.fold(dir)(id => s"$dir/run_id=$id")
+    restoreIfTorn(spark, path)
+    val raw = spark.read.option("basePath", dir).parquet(path)
+      .drop("failed_rules", "quarantined_at", "run_id")
+    graft.quality.DQ.split(raw, rules)
+  }
+
   /** Run a stage only when its output doesn't exist yet (resume-safe
     * rerun of a multi-stage pipeline: completed stages are skipped,
     * the failed stage recomputes from its inputs). Heals a torn swap

@@ -237,6 +237,36 @@ object DQ {
     one.select(inline(array(rows: _*)))
   }
 
+  /** Row-level split into (clean, quarantined) — ref
+    * error_recovery.py:345 quarantine_bad_records, driven by the SAME
+    * fused rule expressions as [[check]] (a rule violating here is
+    * exactly a row counted there; NULL-valued violation predicates
+    * count as clean, matching check's `when(violation, 1).otherwise(0)`).
+    *
+    * The quarantined side carries `failed_rules`: the ids of every
+    * rule the row violates, comma-joined in rule declaration order
+    * (the reference's per-record `error_reason` string,
+    * error_recovery.py:363).
+    *
+    * Scale shape: ONE shared predicate bundle, evaluated map-side
+    * inside codegen — no shuffle, no join, no window. The two frames
+    * are two filters over the same scan (each consumer re-scans, both
+    * scans columnar + codegen'd); at 100 TB that is strictly cheaper
+    * than materializing a tagged intermediate, and Catalyst pushes
+    * any downstream predicates straight through the filters into the
+    * parquet scan.
+    */
+  def split(df: DataFrame, rules: Seq[Rule]): (DataFrame, DataFrame) = {
+    require(rules.nonEmpty, "no rules")
+    val viols = rules.map(r => coalesce(r.violation(df.schema), lit(false)))
+    val anyViol = viols.reduce(_ || _)
+    val tags = rules.zip(viols).map { case (r, v) => when(v, lit(r.id)) }
+    val clean = df.filter(!anyViol)
+    val quarantined = df.filter(anyViol)
+      .withColumn("failed_rules", concat_ws(",", tags: _*))
+    (clean, quarantined)
+  }
+
   /** Quality score over a `check` result — ref dq_engine.py:363-378:
     * 100 * passed / total, with a per-type breakdown.
     * Output: (rule_type, n_rules, n_passed) ∪ ("overall", ...), plus score.

@@ -26,6 +26,31 @@ class DQSpec extends SparkSpec {
     assert(res("cf_pos") == ((1L, false)))     // -5
   }
 
+  test("split partitions rows exactly and tags every violated rule in order") {
+    val rules = Seq(
+      DQ.NotNull("nn_email", "email"),
+      DQ.ValueRange("rng_amount", "amount", 0, 100),
+      DQ.RegexMatch("re_email", "email", "^[^@]+@[^@]+$"))
+    val (clean, quarantined) = DQ.split(df, rules)
+    // clean ∪ quarantined = df, disjoint
+    assert(clean.count() + quarantined.count() == df.count())
+    assert(clean.columns.toSeq == df.columns.toSeq) // original shape
+    assert(clean.select("id").as[Int].collect().toSet == Set(1, 3)) // id=3/c@x.com row
+    val tags = quarantined.collect()
+      .map(r => (r.getAs[Int]("id"), r.getAs[String]("email"),
+        r.getAs[String]("failed_rules"))).toSet
+    assert(tags == Set(
+      (2, "bad-email", "rng_amount,re_email"),  // 200 out of range AND bad format
+      (3, null, "nn_email,rng_amount")))        // null email, -5 out of range
+                                                // (regex over NULL counts clean)
+    // split's tag semantics equal check's counts rule-by-rule
+    val counts = DQ.check(df, rules).collect()
+      .map(r => r.getString(0) -> r.getLong(3)).toMap
+    val tagged = quarantined.select(explode(split(col("failed_rules"), ",")).as("r"))
+      .groupBy("r").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(tagged == counts.filter(_._2 > 0))
+  }
+
   test("check honors maxViolationPct thresholds") {
     val res = DQ.check(df, Seq(DQ.NotNull("nn", "email", maxViolationPct = 50.0)))
       .select("passed").as[Boolean].head()

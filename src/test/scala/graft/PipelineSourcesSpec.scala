@@ -422,6 +422,46 @@ class PipelineSourcesSpec extends SparkSpec {
     assert(!fs.exists(new org.apache.hadoop.fs.Path(p + "__old")))
   }
 
+  test("Recovery quarantine + reprocess round-trips failed rows through the rules") {
+    import graft.quality.DQ
+    val dir = Files.createTempDirectory("graft_quarantine").toString
+    val orders = table("orders")
+      .select("o_orderkey", "o_orderstatus", "o_totalprice")
+    val strict = Seq(
+      DQ.ValueRange("rng_price", "o_totalprice", 0, 100000),
+      DQ.AllowedValues("allow_status", "o_orderstatus", Seq("O", "F")))
+    val (clean, bad) = DQ.split(orders, strict)
+    val nBad = bad.count()
+    assert(nBad > 0 && clean.count() + nBad == orders.count())
+
+    // quarantine two runs; a rerun of the same run id replaces, not appends
+    Recovery.quarantine(bad, dir, "run_001")
+    Recovery.quarantine(bad.limit(3), dir, "run_002")
+    Recovery.quarantine(bad, dir, "run_001")
+    assert(spark.read.parquet(s"$dir/run_id=run_001").count() == nBad)
+
+    // reprocess one run under the SAME rules: nothing passes yet
+    val (fixedNone, stillBad) = Recovery.reprocess(spark, dir, strict, Some("run_001"))
+    assert(fixedNone.count() == 0 && stillBad.count() == nBad)
+    // the bookkeeping columns are stripped before re-evaluation
+    assert(fixedNone.columns.toSeq == orders.columns.toSeq)
+
+    // after the upstream fix (here: the price cap was raised), the
+    // formerly-bad rows split into recovered vs genuinely bad
+    val relaxed = Seq(
+      DQ.ValueRange("rng_price", "o_totalprice", 0, 1e9),
+      DQ.AllowedValues("allow_status", "o_orderstatus", Seq("O", "F")))
+    val (recovered, remaining) = Recovery.reprocess(spark, dir, relaxed, Some("run_001"))
+    val expectRecovered = bad.filter(col("o_totalprice").between(0, 1e9) &&
+      col("o_orderstatus").isin("O", "F")).count()
+    assert(recovered.count() == expectRecovered)
+    assert(recovered.count() + remaining.count() == nBad)
+
+    // whole-area reprocess reads every run's slice
+    val (_, allBad) = Recovery.reprocess(spark, dir, strict)
+    assert(allBad.count() == nBad + math.min(3, nBad))
+  }
+
   test("typed Dataset ops compose with the untyped library surface") {
     val ds = table("orders").select("o_orderkey", "o_totalprice").as[TypedOrder]
     val big = ds.filter(_.o_totalprice > 100000.0).map(_.o_orderkey)
