@@ -201,15 +201,55 @@ object Incremental {
   /** Gap detection — ref :480-519 detect_data_gaps (watermark-history
     * semantics re-expressed over the data itself): consecutive distinct
     * watermark/sequence values whose delta exceeds
-    * expectedStep × tolerance. The unpartitioned window runs AFTER the
-    * distinct — its input cardinality is the number of distinct
-    * watermark values, which is bounded (days/batches), not row count.
+    * expectedStep × tolerance.
+    *
+    * Scale shape: a dense sequence column (ids, epoch seconds) can have
+    * billions of DISTINCT values, so a bare `Window.orderBy` — one
+    * partition holding every distinct value — is a scale killer. The
+    * consecutive-delta is instead computed per RANGE BUCKET:
+    *
+    *  1. one GK-sketch pass yields ≤ `maxBuckets` literal edge values;
+    *  2. each distinct value maps to its bucket map-side (a flat sum of
+    *     `value > edge` comparisons — codegen'd, no join);
+    *  3. `lag` runs per bucket (partitioned window, ~|distinct|/buckets
+    *     rows each, AQE-splittable);
+    *  4. each bucket's FIRST value takes the previous bucket's exact
+    *     maximum — a tiny (≤ maxBuckets rows) aggregate collected and
+    *     folded into a literal mapping, so no unpartitioned window and
+    *     no extra shuffle appears anywhere in the plan.
+    *
+    * Output is identical to the single-window formulation (the bucket
+    * boundaries are seams the merge step stitches exactly).
     */
   def gaps(df: DataFrame, seqCol: String, expectedStep: Double = 1.0,
-           tolerance: Double = 1.5): DataFrame = {
-    val w = Window.orderBy(col(seqCol))
-    df.select(col(seqCol)).distinct()
-      .withColumn("prev_val", lag(col(seqCol), 1).over(w))
+           tolerance: Double = 1.5, maxBuckets: Int = 64): DataFrame = {
+    val distinct = df.select(col(seqCol)).distinct()
+      .persist() // edge sketch + bucket maxima + the lag pass share it
+    val probes = (1 until maxBuckets).map(_.toDouble / maxBuckets).toArray
+    val edges = distinct.stat.approxQuantile(seqCol, probes, 0.001)
+      .distinct.sorted.toSeq
+    // bucket id = #edges below the value: a flat codegen'd sum, and
+    // monotone in the value so cross-bucket order matches value order
+    val bucket =
+      if (edges.isEmpty) lit(0)
+      else edges.map(e => when(col(seqCol).cast("double") > lit(e), 1)
+        .otherwise(0)).reduce(_ + _)
+    val bucketed = distinct.withColumn("__b", bucket)
+    val bounds = bucketed.groupBy(col("__b")).agg(max(col(seqCol)).as("__m"))
+      .collect().map(r => (r.getInt(0), r.get(1))).sortBy(_._1)
+    // previous bucket's exact max as a literal per-bucket mapping
+    // (≤ maxBuckets entries — driver-side by construction)
+    val seqType = df.schema(seqCol).dataType
+    val prevBucketMax = bounds.toSeq.sliding(2).collect {
+      case Seq((_, m), (b, _)) => (b, m)
+    }.foldLeft(lit(null).cast(seqType)) {
+      case (acc, (b, m)) => when(col("__b") === b, lit(m).cast(seqType))
+        .otherwise(acc)
+    }
+    val w = Window.partitionBy(col("__b")).orderBy(col(seqCol))
+    bucketed
+      .withColumn("prev_val",
+        coalesce(lag(col(seqCol), 1).over(w), prevBucketMax))
       .withColumn("gap", col(seqCol) - col("prev_val"))
       .filter(col("gap") > lit(expectedStep * tolerance))
       .select(col("prev_val"), col(seqCol).as("curr_val"), col("gap"))

@@ -422,8 +422,27 @@ object DQ {
     */
   def profileFull(df: DataFrame, numericCols: Seq[String],
                   otherCols: Seq[String] = Nil, scale: Int = 2,
-                  k: Int = 5): DataFrame = {
+                  k: Int = 5, maxDistinct: Long = 0L): DataFrame = {
     val cols = numericCols ++ otherCols
+    // maxDistinct > 0: probe each column's cardinality once (HLL, one
+    // agg, no expand) and route columns past the cap through the
+    // salted two-stage ranking — the single-window path would move a
+    // whole column's distinct set into ONE partition to rank it, which
+    // is the plan's only scale ceiling (PLANS.md r10 trade-off note,
+    // now self-guarding instead of caller-guarded). Identical output
+    // either way; 0 keeps today's plan.
+    val ranked =
+      if (maxDistinct <= 0L) topKCounts(df, cols, k)
+      else {
+        val probe = df.agg(
+          approx_count_distinct(col(cols.head)).as(cols.head),
+          cols.tail.map(c => approx_count_distinct(col(c)).as(c)): _*).head()
+        val (big, small) = cols.partition(c => probe.getAs[Long](c) > maxDistinct)
+        val parts =
+          (if (small.nonEmpty) Seq(topKCounts(df, small, k)) else Nil) ++
+          (if (big.nonEmpty) Seq(topKCountsSalted(df, big, k)) else Nil)
+        parts.reduce(_ unionByName _)
+      }
     // [[profile]]'s exact countDistinct per column plans as an Expand —
     // the input is re-emitted once PER distinct-agg, a |cols|+1×
     // row multiplication through the first shuffle. Here the per-value
@@ -433,7 +452,7 @@ object DQ {
     // keeps only the non-expanding aggregates (count + numeric
     // moments) and the distinct/null/top columns all ride the ONE
     // counts aggregation — same output, no Expand anywhere.
-    val counts = topKCounts(df, cols, k)
+    val counts = ranked
       .groupBy(col("col_name").as("colname"))
       .agg(
         first(col("distinct_cnt")).as("distinct_cnt"),
@@ -499,6 +518,43 @@ object DQ {
       .withColumn("rk", row_number().over(w))
       .withColumn("distinct_cnt", count(lit(1)).over(wAll))
       .withColumn("nn", sum(col("n")).over(wAll))
+  }
+
+  /** [[topKCounts]] without its scale ceiling: same output shape and
+    * values, but the ranking never moves a whole column's distinct
+    * value set into one partition. Each (column, value) count lives in
+    * exactly ONE salt bucket and the counts are already GLOBAL after
+    * the first hash aggregation, so the union of per-(column, salt)
+    * top-ks provably contains the global top-k; the final rank then
+    * runs over ≤ saltBuckets × k candidate rows per column — bounded
+    * by construction. distinct_cnt / non-null totals come from a plain
+    * hash agg on the same counts frame (map-side combinable, no
+    * window), broadcast back (≤ |cols| rows).
+    */
+  private def topKCountsSalted(df: DataFrame, cols: Seq[String], k: Int,
+                               saltBuckets: Int = 64): DataFrame = {
+    require(cols.nonEmpty, "need at least one column to profile")
+    require(k >= 1, s"k must be >= 1, got $k")
+    val counts = df
+      .select(explode(array(cols.map(c =>
+        struct(lit(c).as("col_name"), valueStr(df, c).as("value"))): _*)).as("p"))
+      .select(col("p.col_name").as("col_name"), col("p.value").as("value"))
+      .filter(col("value").isNotNull)
+      .groupBy("col_name", "value").agg(count(lit(1)).as("n"))
+      .persist() // candidates + cardinalities (ownership: releaseAll)
+    val w1 = Window
+      .partitionBy(col("col_name"),
+        pmod(xxhash64(col("value")), lit(saltBuckets)))
+      .orderBy(col("n").desc, col("value").asc)
+    val w2 = Window.partitionBy(col("col_name"))
+      .orderBy(col("n").desc, col("value").asc)
+    val card = counts.groupBy("col_name")
+      .agg(count(lit(1)).as("distinct_cnt"), sum(col("n")).as("nn"))
+    counts
+      .withColumn("__rk1", row_number().over(w1))
+      .filter(col("__rk1") <= k).drop("__rk1")
+      .withColumn("rk", row_number().over(w2))
+      .join(broadcast(card), Seq("col_name"))
   }
 
   /** Quantile profile — one aggregation pass over all columns. At

@@ -371,6 +371,28 @@ class DQSpec extends SparkSpec {
     assert(x.getString(x.fieldIndex("top_values")) == "1.0:1,2.0:1") // ties → value asc
   }
 
+  test("profileFull maxDistinct routes big columns through the salted ranking") {
+    import spark.implicits._
+    // 500 distinct ids (over the cap) + a 3-value category (under it)
+    val df = (1 to 1000).map(i => (s"id_${i % 500}", s"cat_${i % 3}"))
+      .toDF("id", "cat")
+    val base = DQ.profileFull(df, numericCols = Nil,
+      otherCols = Seq("id", "cat"), k = 3)
+    val capped = DQ.profileFull(df, numericCols = Nil,
+      otherCols = Seq("id", "cat"), k = 3, maxDistinct = 100L)
+    // identical output — the salted two-stage top-k is exact
+    assert(capped.orderBy("colname").collect().toSeq ==
+      base.orderBy("colname").collect().toSeq)
+    // the capped plan ranks over a SALTED exchange (Catalyst aliases
+    // the pmod(xxhash64) partition expression into a projection feeding
+    // the window); the default plan has no salt anywhere
+    def salted(d: org.apache.spark.sql.DataFrame) =
+      d.queryExecution.executedPlan.toString.contains("pmod(xxhash64")
+    assert(salted(capped), "expected a salted ranking window")
+    assert(!salted(base))
+    GraftSession.releaseAll(spark)
+  }
+
   test("exactQuantile matches native percentile bit-for-bit on every path") {
     import graft.functions.Quantiles.exactQuantile
     val rng = new scala.util.Random(42)

@@ -117,6 +117,24 @@ class IncrementalSpec extends SparkSpec {
     assert(out.toSeq == Seq((3L, 7L, 4L), (8L, 20L, 12L)))
   }
 
+  test("gaps range-buckets the lag: partitioned window, seams stitched exactly") {
+    // dense id space spanning many buckets: every bucket seam is a
+    // consecutive pair — any seam mishandling shows up as a spurious
+    // gap row or a missed one
+    val df = ((1L to 1000L) ++ (2000L to 3000L)).toDF("seq")
+    val out = Incremental.gaps(df, "seq", maxBuckets = 8)
+    assert(out.orderBy("curr_val").as[(Long, Long, Long)].collect().toSeq ==
+      Seq((1000L, 2000L, 1000L)))
+    // the lag window must be partitioned by the range bucket — no
+    // move-everything-to-one-partition Window anywhere in the plan
+    val specs = "windowspecdefinition\\(([^)]*)".r
+      .findAllMatchIn(out.queryExecution.executedPlan.toString)
+      .map(_.group(1)).toSeq
+    assert(specs.nonEmpty && specs.forall(_.contains("__b")),
+      s"unpartitioned window in gaps plan: $specs")
+    GraftSession.releaseAll(spark)
+  }
+
   test("flagLate marks rows at or before the watermark") {
     val df = Seq((1, 5), (2, 10), (3, 15)).toDF("id", "seq")
     val late = Incremental.flagLate(df, "seq", 10).filter(col("is_late"))
