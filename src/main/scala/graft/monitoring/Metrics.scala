@@ -18,7 +18,8 @@ import scala.jdk.CollectionConverters._
 object Metrics {
 
   final case class ActionMetric(funcName: String, durationMs: Long,
-                                outputRows: Option[Long], failed: Boolean)
+                                outputRows: Option[Long], failed: Boolean,
+                                planHash: Option[String] = None)
 
   /** Listener accumulating one record per completed action. */
   final class Recorder extends QueryExecutionListener {
@@ -27,10 +28,17 @@ object Metrics {
     private def outputRows(qe: QueryExecution): Option[Long] =
       qe.executedPlan.metrics.get("numOutputRows").map(_.value)
 
+    // normalized fingerprint (exprIds/stage ids/paths stripped), the
+    // same form the bench artifact records — so a run-history row and
+    // a bench row for the same query are comparable
+    private def planHash(qe: QueryExecution): Option[String] =
+      try Some(graft.Bench.planFingerprint(qe.executedPlan.toString))
+      catch { case _: Throwable => None }
+
     override def onSuccess(funcName: String, qe: QueryExecution,
                            durationNs: Long): Unit = {
       buf.add(ActionMetric(funcName, durationNs / 1000000L, outputRows(qe),
-        failed = false)); ()
+        failed = false, planHash(qe))); ()
     }
     override def onFailure(funcName: String, qe: QueryExecution,
                            exception: Exception): Unit = {

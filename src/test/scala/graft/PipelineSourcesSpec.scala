@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import graft.operators.Ops
 import graft.pipeline.Pipeline
-import graft.sources.{FileSink, FileSource, IncrementalSource, JdbcSink, JdbcSource}
+import graft.sources.{FileSink, FileSource, IncrementalSource, JdbcSink, JdbcSource, ObjectStore}
 
 case class TypedOrder(o_orderkey: Long, o_totalprice: Double)
 
@@ -98,6 +98,46 @@ class PipelineSourcesSpec extends SparkSpec {
     val (_, stats) = Pipeline.runWithStats(spark, Map("region" -> table("region")),
       Pipeline.Spec("region", Seq(Pipeline.Select(Seq("r_name")))))
     assert(stats.rowsIn("region") == stats.rowsOut)
+  }
+
+  test("RunHistory persists multi-run metrics and loads back as a catalog dataset") {
+    import graft.monitoring.{Metrics, RunHistory}
+    val dir = Files.createTempDirectory("graft_runhist").toString + "/history"
+
+    // run 1: recorder-captured actions (with plan hashes)
+    val rec = Metrics.attach(spark)
+    try {
+      table("region").count()
+      val deadline = System.nanoTime() + 10L * 1000 * 1000 * 1000
+      while (rec.snapshot().isEmpty && System.nanoTime() < deadline)
+        Thread.sleep(50)
+      val actions = rec.snapshot()
+      assert(actions.nonEmpty && actions.exists(_.planHash.nonEmpty))
+      RunHistory.append(spark, dir, "run_001", RunHistory.fromActions(actions))
+    } finally spark.listenerManager.unregister(rec)
+
+    // run 2: a pipeline audit entry
+    val (_, stats) = Pipeline.runWithStats(spark, Map("region" -> table("region")),
+      Pipeline.Spec("region", Seq(Pipeline.Select(Seq("r_name")))))
+    RunHistory.append(spark, dir, "run_002",
+      Seq(RunHistory.fromRunStats("region_select", stats, durationMs = 12L)))
+
+    val hist = RunHistory.load(spark, dir)
+    assert(hist.columns.toSet == Set("run_id", "query", "duration_ms",
+      "rows", "plan_hash", "failed", "recorded_at"))
+    assert(hist.select("run_id").distinct().count() == 2L)
+    assert(hist.filter(col("run_id") === "run_002")
+      .select("rows").as[Long].head() == table("region").count())
+
+    // per-run read prunes to the run's partition
+    val one = RunHistory.load(spark, dir).filter(col("run_id") === "run_001")
+    assert(one.count() > 0 &&
+      one.queryExecution.executedPlan.toString.contains("PartitionFilters"))
+
+    // registered like any other dataset, queryable via SQL
+    Catalog.register(spark, Seq(RunHistory.catalogSpec("run_history", dir)))
+    assert(spark.sql(
+      "SELECT count(DISTINCT run_id) FROM run_history").head().getLong(0) == 2L)
   }
 
   test("csv and json roundtrips preserve data with a pinned schema") {
@@ -389,6 +429,40 @@ class PipelineSourcesSpec extends SparkSpec {
     val physical = df.queryExecution.executedPlan.toString
     assert(physical.contains("PushedFilters") && physical.contains("GreaterThan(o_orderkey,1000)"),
       s"watermark filter not pushed:\n$physical")
+  }
+
+  test("ObjectStore lists and deletes by object-store prefix semantics") {
+    val root = Files.createTempDirectory("graft_objstore")
+    def touch(rel: String): Unit = {
+      val p = root.resolve(rel)
+      Files.createDirectories(p.getParent)
+      Files.write(p, "x".getBytes)
+    }
+    touch("events_2024_01.parquet")
+    touch("events_2024_02.parquet")
+    touch("events_2024/part-0.parquet")
+    touch("events_2024/sub/part-1.parquet")
+    touch("other/data.parquet")
+    val base = s"file:$root"
+
+    // directory prefix → everything below it
+    val dirKeys = ObjectStore.listObjects(spark, s"$base/events_2024")
+    // name prefix (no such path) → sibling files AND the tree
+    val nameKeys = ObjectStore.listObjects(spark, s"$base/events_2024_")
+    assert(dirKeys.size == 2 && dirKeys.forall(_.contains("events_2024/")))
+    assert(nameKeys.map(_.split('/').last).sorted ==
+      Seq("events_2024_01.parquet", "events_2024_02.parquet"))
+    assert(ObjectStore.listObjects(spark, s"$base/events_2024").nonEmpty)
+    assert(ObjectStore.listObjects(spark, s"$base/nope").isEmpty)
+
+    // delete by name prefix removes the sibling files, not the tree
+    assert(ObjectStore.deleteObjects(spark, s"$base/events_2024_") == 2)
+    assert(ObjectStore.listObjects(spark, s"$base/events_2024").size == 2)
+    // an existing directory path deletes exactly its tree
+    assert(ObjectStore.deleteObjects(spark, s"$base/events_2024") == 2)
+    assert(ObjectStore.listObjects(spark, s"$base/events_2024").isEmpty)
+    assert(ObjectStore.listObjects(spark, s"$base/other").size == 1)
+    assert(ObjectStore.deleteObjects(spark, s"$base/nope") == 0)
   }
 
   test("Recovery.idempotentWrite swaps atomically and runStage skips done stages") {
