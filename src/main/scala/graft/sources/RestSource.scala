@@ -44,7 +44,11 @@ final case class RestSource(
     dataField: String = "data" // response field holding the record array; "" = root IS the array
 ) extends Serializable {
 
-  /** Auth expressed as request headers — ref api_connector.py:65-82. */
+  /** Auth expressed as request headers — ref api_connector.py:65-82.
+    * Evaluated per request ATTEMPT (see [[fetch]]), so an oauth2 token
+    * that expires mid-pagination is re-fetched transparently before
+    * the next page goes out.
+    */
   def authHeaders: Map[String, String] = authType match {
     case "basic" =>
       val cred = s"${authConfig.getOrElse("username", "")}:${authConfig.getOrElse("password", "")}"
@@ -54,7 +58,70 @@ final case class RestSource(
       Map("Authorization" -> s"Bearer ${authConfig.getOrElse("token", "")}")
     case "api_key" =>
       Map(authConfig.getOrElse("header", "X-API-Key") -> authConfig.getOrElse("key", ""))
+    case "oauth2" =>
+      Map("Authorization" -> s"Bearer ${oauthToken()}")
     case _ => Map.empty
+  }
+
+  /** OAuth2 client-credentials bearer token — the flow the reference
+    * stubs out (api_connector.py:77-82: "OAuth2 implementation would
+    * go here... assume token is provided"). POSTs `token_url` with
+    * `grant_type=client_credentials` (+ client_id / client_secret /
+    * optional scope, form-encoded), parses `access_token` +
+    * `expires_in`, and caches per (token_url, client_id) PER JVM —
+    * executor tasks share one token, the driver its own — until the
+    * expiry window minus a refresh margin passes, then re-fetches.
+    * Margin: `refresh_margin_sec` (default min(30, expires_in/10)).
+    * A 401 on a data request additionally invalidates the cached
+    * token once and retries (reactive refresh for servers that revoke
+    * early — clock skew, key rotation).
+    */
+  private def oauthToken(): String = {
+    val tokenUrl = authConfig.getOrElse("token_url",
+      throw new IllegalArgumentException("oauth2 auth needs 'token_url'"))
+    val key = (tokenUrl, authConfig.getOrElse("client_id", ""))
+    RestSource.tokenCache.compute(key, (_, cur) =>
+      if (cur != null && System.currentTimeMillis() < cur._2) cur
+      else fetchOauthToken(tokenUrl))._1
+  }
+
+  private def invalidateOauthToken(): Unit =
+    authConfig.get("token_url").foreach(u =>
+      RestSource.tokenCache.remove((u, authConfig.getOrElse("client_id", ""))))
+
+  private def fetchOauthToken(tokenUrl: String): (String, Long) = {
+    val form = (Map("grant_type" -> "client_credentials") ++
+      authConfig.get("client_id").map("client_id" -> _) ++
+      authConfig.get("client_secret").map("client_secret" -> _) ++
+      authConfig.get("scope").map("scope" -> _))
+      .map { case (k, v) =>
+        URLEncoder.encode(k, "UTF-8") + "=" + URLEncoder.encode(v, "UTF-8")
+      }.mkString("&")
+    val conn = new URI(tokenUrl).toURL.openConnection().asInstanceOf[HttpURLConnection]
+    conn.setConnectTimeout(timeoutMs)
+    conn.setReadTimeout(timeoutMs)
+    conn.setRequestMethod("POST")
+    conn.setRequestProperty("Content-Type", "application/x-www-form-urlencoded")
+    conn.setDoOutput(true)
+    val out = conn.getOutputStream
+    try out.write(form.getBytes(StandardCharsets.UTF_8)) finally out.close()
+    val code = conn.getResponseCode
+    if (code < 200 || code >= 300) {
+      Option(conn.getErrorStream).foreach(_.close())
+      throw new RestSource.ClientError(s"HTTP $code from token endpoint $tokenUrl", code)
+    }
+    val body = {
+      val in = conn.getInputStream
+      try new String(in.readAllBytes(), StandardCharsets.UTF_8) finally in.close()
+    }
+    val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(body)
+    val token = Option(node.get("access_token")).map(_.asText()).getOrElse(
+      throw new IOException(s"token endpoint $tokenUrl returned no access_token"))
+    val expiresIn = Option(node.get("expires_in")).map(_.asLong()).getOrElse(3600L)
+    val margin = authConfig.get("refresh_margin_sec").map(_.toLong)
+      .getOrElse(math.min(30L, expiresIn / 10))
+    (token, System.currentTimeMillis() +
+      math.max(0L, expiresIn - margin) * 1000L)
   }
 
   /** Pagination query params for 1-based page `n` — ref api_connector.py:164. */
@@ -85,6 +152,7 @@ final case class RestSource(
   def fetch(url: String): String = {
     var attempt = 0
     var last: Throwable = null
+    var retriedAuth = false
     while (attempt <= maxRetries) {
       // exponential, capped: the shift is bounded (no Long wrap for
       // large maxRetries) and one sleep never exceeds 30 s
@@ -107,8 +175,17 @@ final case class RestSource(
           }
           val msg = s"HTTP $code from $url" + (if (body.isEmpty) "" else s": $body")
           if (code >= 500) last = new IOException(msg) // transient server side: retry
+          else if (code == 401 && authType == "oauth2" && !retriedAuth) {
+            // reactive refresh: the server rejected a token we still
+            // considered live (revocation, clock skew) — drop it and
+            // retry ONCE with a fresh one; a second 401 is a real
+            // credential problem and fails fast below
+            invalidateOauthToken()
+            retriedAuth = true
+            last = new IOException(msg)
+          }
           else // 4xx: the request itself is wrong, retrying can't heal it
-            throw new RestSource.ClientError(msg)
+            throw new RestSource.ClientError(msg, code)
         }
       } catch {
         case e: RestSource.ClientError => throw e
@@ -197,7 +274,17 @@ final case class RestSource(
 
 object RestSource {
   /** Non-retryable 4xx response. */
-  final class ClientError(msg: String) extends IOException(msg)
+  final class ClientError(msg: String, val code: Int = 0) extends IOException(msg)
+
+  /** Per-JVM OAuth2 token cache: (token_url, client_id) →
+    * (access_token, refreshAfterEpochMs). `compute`'s per-key lock
+    * single-flights concurrent refreshes within the JVM.
+    */
+  private val tokenCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, String), (String, Long)]()
+
+  /** Test/lifecycle hook: forget every cached token. */
+  private[graft] def clearTokenCache(): Unit = tokenCache.clear()
 }
 
 /** NoSQL source config — ref nosql_connector.py:17-240 (MongoDB /

@@ -188,3 +188,69 @@ object IncrementalSource {
     FileSource.read(spark, format, path, schema)
       .filter(col(watermarkCol) > org.apache.spark.sql.functions.lit(watermark))
 }
+
+/** Object-store housekeeping — ref cloud_connector.py:334 list_objects
+  * / :363 delete_object. The reference hand-rolls one client per
+  * provider (boto3 / azure-blob / gcs); the Hadoop FileSystem layer
+  * already abstracts all of them behind the URI scheme (s3a://,
+  * abfss://, gs://, hdfs://, file://), so listing and deleting are one
+  * provider-agnostic code path — the same layer Spark's own readers
+  * ride.
+  *
+  * Prefix semantics match the object stores' (S3 list_objects_v2
+  * name-prefix, not directory): an existing directory lists/deletes
+  * everything below it; a non-existent path matches every sibling of
+  * its parent whose NAME starts with the last segment — so
+  * `.../events_2024` matches `events_2024_01.parquet` and the
+  * `events_2024/` tree alike.
+  */
+object ObjectStore {
+
+  private def fileSystem(spark: SparkSession, uri: String) =
+    org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(uri), spark.sparkContext.hadoopConfiguration)
+
+  private def filesUnder(fs: org.apache.hadoop.fs.FileSystem,
+                         dir: org.apache.hadoop.fs.Path): Seq[org.apache.hadoop.fs.Path] = {
+    val it = fs.listFiles(dir, true)
+    val buf = scala.collection.mutable.ArrayBuffer.empty[org.apache.hadoop.fs.Path]
+    while (it.hasNext) buf += it.next().getPath
+    buf.toSeq
+  }
+
+  /** Top-level entries (files or directory roots) the prefix matches —
+    * the unit of deletion; listing expands directories to their files.
+    */
+  private def matchedRoots(fs: org.apache.hadoop.fs.FileSystem,
+                           prefix: String): Seq[org.apache.hadoop.fs.FileStatus] = {
+    val p = new org.apache.hadoop.fs.Path(prefix)
+    if (fs.exists(p)) Seq(fs.getFileStatus(p))
+    else Option(p.getParent).filter(fs.exists(_)).toSeq.flatMap(parent =>
+      fs.listStatus(parent).toSeq
+        .filter(_.getPath.getName.startsWith(p.getName)))
+  }
+
+  /** Every object (file) whose key starts with `prefix`, as full URIs,
+    * sorted. Driver-side by design — this is housekeeping metadata,
+    * not data-plane I/O (the result is object KEYS, bounded by the
+    * store's listing, same as the reference's client calls).
+    */
+  def listObjects(spark: SparkSession, prefix: String): Seq[String] = {
+    val fs = fileSystem(spark, prefix)
+    matchedRoots(fs, prefix).flatMap(st =>
+      if (st.isDirectory) filesUnder(fs, st.getPath) else Seq(st.getPath))
+      .map(_.toString).sorted
+  }
+
+  /** Delete everything the prefix matches; returns the number of
+    * OBJECTS (files) removed, like the reference's per-object delete
+    * loop reports.
+    */
+  def deleteObjects(spark: SparkSession, prefix: String): Int = {
+    val fs = fileSystem(spark, prefix)
+    matchedRoots(fs, prefix).map { st =>
+      val n = if (st.isDirectory) filesUnder(fs, st.getPath).size else 1
+      if (fs.delete(st.getPath, true)) n else 0
+    }.sum
+  }
+}

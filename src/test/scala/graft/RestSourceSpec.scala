@@ -66,9 +66,47 @@ class RestSourceSpec extends SparkSpec with org.scalatest.BeforeAndAfterAll {
       val next = if (ord >= 2) "null" else s""""c$ord""""
       respond(ex, 200, s"""{"data": [${recs.mkString(",")}], "next_cursor": $next}""")
     })
+    // OAuth2 client-credentials token endpoint: validates the form
+    // grant, issues tok<N> with the currently configured expires_in
+    server.createContext("/oauth/token", (ex: HttpExchange) => {
+      val form = new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
+      if (ex.getRequestMethod != "POST" ||
+          !form.contains("grant_type=client_credentials") ||
+          !form.contains("client_id=cid") || !form.contains("client_secret=sec"))
+        respond(ex, 401, """{"error": "invalid_client"}""")
+      else {
+        val tok = s"tok${tokensIssued.incrementAndGet()}"
+        currentToken = tok
+        respond(ex, 200,
+          s"""{"access_token": "$tok", "token_type": "Bearer", "expires_in": $tokenTtlSec}""")
+      }
+    })
+    // OAuth-protected resource: only the NEWEST issued token is valid
+    // (an expired/rotated-away token gets 401, like a real authz layer)
+    server.createContext("/api/oitems", (ex: HttpExchange) => {
+      val auth = Option(ex.getRequestHeaders.getFirst("Authorization"))
+      if (!auth.contains(s"Bearer $currentToken")) respond(ex, 401, "expired")
+      else {
+        val q = Option(ex.getRequestURI.getQuery).getOrElse("")
+        val params = q.split("&").filter(_.contains("=")).map { kv =>
+          val Array(k, v) = kv.split("=", 2); k -> v
+        }.toMap
+        val page = params.getOrElse("page", "1").toInt
+        val size = params.getOrElse("per_page", "2").toInt
+        val recs = (1 to size).map { i =>
+          val id = (page - 1) * size + i
+          s"""{"id": $id, "name": "item$id", "price": ${id * 1.5}}"""
+        }
+        respond(ex, 200, s"""{"data": [${recs.mkString(",")}], "page": $page}""")
+      }
+    })
     server.start()
     base = s"http://127.0.0.1:${server.getAddress.getPort}"
   }
+
+  private val tokensIssued = new AtomicInteger(0)
+  @volatile private var currentToken: String = ""
+  @volatile private var tokenTtlSec: Int = 3600
 
   override def afterAll(): Unit = {
     if (server != null) server.stop(0)
@@ -150,6 +188,56 @@ class RestSourceSpec extends SparkSpec with org.scalatest.BeforeAndAfterAll {
       authConfig = Map("header" -> "X-Token", "key" -> "k1"))
     assert(key.authHeaders == Map("X-Token" -> "k1"))
     assert(RestSource(base, "x").authHeaders.isEmpty)
+  }
+
+  test("oauth2: one cached token serves a whole paginated read") {
+    RestSource.clearTokenCache()
+    tokensIssued.set(0); tokenTtlSec = 3600
+    val src = RestSource(base, "/api/oitems", pagination = "page",
+      pageSize = 2, dataField = "data", authType = "oauth2",
+      authConfig = Map("token_url" -> s"$base/oauth/token",
+        "client_id" -> "cid", "client_secret" -> "sec"))
+    val rows = src.read(spark, schema, numPages = 3).orderBy("id").collect()
+    assert(rows.map(_.getLong(0)).toSeq == (1L to 6L))
+    // local mode = one JVM: driver and tasks share the cache, so the
+    // long-lived token is fetched exactly once for all three pages
+    assert(tokensIssued.get() == 1)
+  }
+
+  test("oauth2: a token expiring mid-pagination is re-fetched, not failed") {
+    RestSource.clearTokenCache()
+    tokensIssued.set(0); tokenTtlSec = 1
+    // refresh_margin_sec = ttl → effective lifetime 0: every page
+    // finds its token past the refresh line and re-fetches first;
+    // the server only honors the newest token, so any stale reuse
+    // would 401 the read
+    val src = RestSource(base, "/api/oitems", pagination = "page",
+      pageSize = 2, dataField = "data", authType = "oauth2",
+      authConfig = Map("token_url" -> s"$base/oauth/token",
+        "client_id" -> "cid", "client_secret" -> "sec",
+        "refresh_margin_sec" -> "1"))
+    val rows = src.read(spark, schema, numPages = 3).orderBy("id").collect()
+    assert(rows.map(_.getLong(0)).toSeq == (1L to 6L))
+    assert(tokensIssued.get() >= 3, s"expected a re-fetch per page, got ${tokensIssued.get()}")
+  }
+
+  test("oauth2: a 401 on a live token invalidates and retries once") {
+    RestSource.clearTokenCache()
+    tokensIssued.set(0); tokenTtlSec = 3600
+    val src = RestSource(base, "/api/oitems", pagination = "page",
+      pageSize = 2, dataField = "data", authType = "oauth2",
+      authConfig = Map("token_url" -> s"$base/oauth/token",
+        "client_id" -> "cid", "client_secret" -> "sec"))
+    assert(src.fetch(src.pageUrl(1)).contains("item1") && tokensIssued.get() == 1)
+    // server-side rotation the client can't see: its cached token is
+    // still inside expires_in but no longer honored
+    currentToken = "rotated-away"
+    assert(src.fetch(src.pageUrl(2)).contains("item3"))
+    assert(tokensIssued.get() == 2)
+    // wrong credentials fail fast at the token endpoint (no retry storm)
+    val bad = src.copy(authConfig = src.authConfig + ("client_secret" -> "wrong"))
+    RestSource.clearTokenCache()
+    assertThrows[RestSource.ClientError](bad.fetch(bad.pageUrl(1)))
   }
 
   test("NoSqlSource builds the documented connector configuration") {
