@@ -93,6 +93,70 @@ object Streams {
     df.writeStream.format("memory").queryName(queryName)
       .outputMode(outputMode).start()
 
+  /** Late-data SIDE OUTPUT: Spark's watermark silently DROPS rows that
+    * arrive after the horizon — correct for state bounding, but a
+    * training-data pipeline usually wants late rows LANDED somewhere
+    * for backfill/audit, not vanished. This wrapper reproduces the
+    * engine's own watermark discipline observably, in foreachBatch:
+    *
+    *  - the running watermark is max(event time over all PRIOR
+    *    batches) − delay, advancing at batch END — exactly Spark's
+    *    global watermark semantics, and exactly the batch
+    *    [[graft.incremental.Incremental.flagLate]] contract
+    *    (`ts <= watermark` is late), so a replay of the same batches
+    *    through flagLate counts the same rows;
+    *  - each batch's late rows append to `latePath/batch_id=<n>` via
+    *    the atomic-swap writer — a checkpoint REPLAY of a batch
+    *    replaces its own slice (idempotent), never double-appends;
+    *  - on-time rows (and rows with NULL event time, which no
+    *    watermark can judge) go to `onTime` for the real processing;
+    *  - the one-row watermark state persists at `statePath` with the
+    *    same swap discipline, so a restart resumes the horizon.
+    *
+    * Scale shape: two codegen'd filters per batch off one shared
+    * predicate (the [[graft.quality.DQ.split]] pattern), one tiny
+    * state write; no extra shuffle, no state store.
+    */
+  def lateSideOutput(stream: DataFrame, tsCol: String, delay: String,
+                     latePath: String, statePath: String,
+                     checkpointDir: String)
+                    (onTime: (DataFrame, Long) => Unit) = {
+    stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val spark = batch.sparkSession
+        graft.Recovery.restoreIfTorn(spark, statePath)
+        val fs = org.apache.hadoop.fs.FileSystem.get(
+          spark.sparkContext.hadoopConfiguration)
+        val prevMax: Option[java.sql.Timestamp] =
+          if (!fs.exists(new org.apache.hadoop.fs.Path(statePath))) None
+          else spark.read.parquet(statePath).collect()
+            .headOption.map(_.getTimestamp(0))
+        val df = graft.functions.Times.ensureTimestamp(batch.toDF(), tsCol)
+        val isLate = prevMax.fold(lit(false))(m =>
+          coalesce(col(tsCol) <= lit(m) - expr(s"INTERVAL '$delay'"), lit(false)))
+        val late = df.filter(isLate)
+        graft.Recovery.idempotentWrite(late, s"$latePath/batch_id=$batchId")
+        onTime(df.filter(!isLate), batchId)
+        // advance the horizon AFTER the batch (Spark updates the global
+        // watermark at micro-batch end, from the batch's max event time)
+        val batchMax = df.agg(max(col(tsCol))).collect().headOption
+          .flatMap(r => Option(r.getTimestamp(0)))
+        val newMax = (prevMax.toSeq ++ batchMax.toSeq).sortBy(_.getTime).lastOption
+        newMax.foreach { m =>
+          import spark.implicits._
+          graft.Recovery.idempotentWrite(
+            Seq(m).toDF("max_event_time").coalesce(1), statePath)
+        }
+        ()
+      }
+      .start()
+  }
+
+  /** Everything landed on the late side across all batches so far. */
+  def lateRows(spark: SparkSession, latePath: String): DataFrame =
+    spark.read.parquet(latePath)
+
   /** End-to-end streaming CDC: every micro-batch of I/U/D events folds
     * into the parquet target via [[graft.incremental.Incremental.applyCdc]]
     * (write-new-state-then-swap — idempotent, so checkpoint replays

@@ -156,6 +156,53 @@ class StreamsMediaSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("lateSideOutput lands exactly the rows batch flagLate would flag") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_late").toString
+    val input = MemoryStream[(java.sql.Timestamp, Long)]
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val onTimeCounts = scala.collection.mutable.Map.empty[Long, Long]
+    val q = Streams.lateSideOutput(input.toDF().toDF("ts", "id"), "ts",
+      "10 minutes", s"$dir/late", s"$dir/state", s"$dir/ckpt") {
+      (onTime, batchId) => onTimeCounts(batchId) = onTime.count()
+    }
+    try {
+      // b0: no prior watermark → nothing can be late
+      input.addData((ts("2024-01-01 10:00:00"), 1L),
+        (ts("2024-01-01 10:05:00"), 2L), (ts("2024-01-01 10:10:00"), 3L))
+      q.processAllAvailable()
+      // b1: wm = 10:10 − 10 min = 10:00 → 09:55 late, 10:02 on time
+      input.addData((ts("2024-01-01 10:20:00"), 4L),
+        (ts("2024-01-01 09:55:00"), 5L), (ts("2024-01-01 10:02:00"), 6L))
+      q.processAllAvailable()
+      // b2: wm = 10:20 − 10 min = 10:10 → 10:05 late; null ts → on time
+      input.addData((ts("2024-01-01 10:05:00"), 7L),
+        (ts("2024-01-01 10:30:00"), 8L), (null, 9L))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val late = Streams.lateRows(spark, s"$dir/late")
+    assert(late.select("id").as[Long].collect().sorted.toSeq == Seq(5L, 7L))
+    // per-batch slices, discoverable by batch_id partition
+    assert(late.filter(col("batch_id") === 1).count() == 1 &&
+           late.filter(col("batch_id") === 2).count() == 1)
+    assert(onTimeCounts == Map(0L -> 3L, 1L -> 2L, 2L -> 2L))
+
+    // parity: replaying each batch through the BATCH flagLate contract
+    // at the same per-batch watermark counts the same rows
+    import graft.incremental.Incremental
+    val b1 = Seq((ts("2024-01-01 10:20:00"), 4L), (ts("2024-01-01 09:55:00"), 5L),
+      (ts("2024-01-01 10:02:00"), 6L)).toDF("ts", "id")
+    val b2 = Seq((ts("2024-01-01 10:05:00"), 7L), (ts("2024-01-01 10:30:00"), 8L))
+      .toDF("ts", "id")
+    val batchLate =
+      Incremental.flagLate(b1, "ts", ts("2024-01-01 10:00:00"))
+        .filter(col("is_late")).count() +
+      Incremental.flagLate(b2, "ts", ts("2024-01-01 10:10:00"))
+        .filter(col("is_late")).count()
+    assert(batchLate == late.count())
+  }
+
   test("runningTotals maintains per-key state across batches") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(String, Double)]
