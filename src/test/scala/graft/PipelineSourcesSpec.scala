@@ -140,6 +140,40 @@ class PipelineSourcesSpec extends SparkSpec {
       "SELECT count(DISTINCT run_id) FROM run_history").head().getLong(0) == 2L)
   }
 
+  test("Trends: trends, baseline compare, regression and SLA alerts over history") {
+    import graft.monitoring.{RunHistory, Trends}
+    val dir = Files.createTempDirectory("graft_trends").toString + "/history"
+    def e(q: String, ms: Long, plan: String = "p1", failed: Boolean = false) =
+      RunHistory.Entry(q, ms, Some(10L), Some(plan), failed)
+    // three steady prior runs, then a run where q_b regressed WITH a
+    // plan change and q_c regressed without one
+    RunHistory.append(spark, dir, "r1", Seq(e("q_a", 100), e("q_b", 200), e("q_c", 300)))
+    RunHistory.append(spark, dir, "r2", Seq(e("q_a", 110), e("q_b", 210), e("q_c", 290)))
+    RunHistory.append(spark, dir, "r3", Seq(e("q_a", 90), e("q_b", 190), e("q_c", 310)))
+    RunHistory.append(spark, dir, "r4",
+      Seq(e("q_a", 105), e("q_b", 400, plan = "p2"), e("q_c", 600),
+        e("q_d", 50, failed = true)))
+    val hist = RunHistory.load(spark, dir)
+
+    val trend = Trends.queryTrends(hist)
+    assert(trend.filter(col("query") === "q_a").head().getAs[Long]("n_runs") == 4L)
+
+    val cmp = Trends.compareWithBaseline(hist, "r4", "r1")
+      .collect().map(r => r.getAs[String]("query") -> r.getAs[Double]("change_ms")).toMap
+    assert(cmp("q_b") == 200.0 && cmp("q_c") == 300.0 && cmp("q_a") == 5.0)
+    assert(cmp.contains("q_d")) // present only in r4 — still surfaces
+
+    val reg = Trends.regressions(hist, "r4", factor = 1.5, minPriorRuns = 3)
+      .collect().map(r => r.getAs[String]("query") -> r.getAs[Boolean]("plan_changed")).toMap
+    // q_b: 400 > 1.5×200 with a plan change; q_c: 600 > 1.5×300, same plan;
+    // q_a is steady; q_d has no prior runs
+    assert(reg == Map("q_b" -> true, "q_c" -> false))
+
+    val alerts = Trends.slaBreaches(hist, Map("q_c" -> 500L), defaultSlaMs = 1000L)
+      .collect().map(r => (r.getAs[String]("query"), r.getAs[String]("alert_type"))).toSet
+    assert(alerts == Set(("q_c", "sla_breach"), ("q_d", "failure")))
+  }
+
   test("csv and json roundtrips preserve data with a pinned schema") {
     val dir = Files.createTempDirectory("graft_src_spec").toString
     val n = table("nation")
