@@ -49,6 +49,63 @@ object Incremental {
     updates.unionByName(target.join(updates.select(keys.map(col): _*).distinct(),
       keys, "left_anti"))
 
+  /** The reference's per-run incremental metrics record — ref
+    * incremental_load_manager.py:54-69 IncrementalMetrics (the
+    * data-plane fields; its pipeline/source ids and processing time
+    * are the caller's bookkeeping, and validation errors are
+    * [[graft.quality.DQ.check]]'s output). Persist alongside runs via
+    * [[graft.monitoring.RunHistory]].
+    */
+  final case class LoadMetrics(recordsExtracted: Long, duplicatesFound: Long,
+                               recordsInserted: Long, recordsUpdated: Long,
+                               lateArrivals: Long,
+                               watermarkBefore: String, watermarkAfter: String)
+
+  /** One-call incremental load WITH metrics — ref :389
+    * get_incremental_metrics over the :118/:521/:231 pipeline shape:
+    * watermark extract → latest-per-key dedup → upsert, reporting what
+    * each stage did. The returned frame is exactly
+    * `upsert(target, dedupLatestBy(afterWatermark(batch)), keys)`.
+    *
+    * Cost discipline (metrics need actions, so make them few): ALL
+    * batch-side counts — extracted, late arrivals, the new watermark —
+    * fuse into ONE aggregation over the batch scan, and the
+    * insert/update split is ONE aggregation over the key-flagged
+    * deduped frame, which is persisted because the returned upsert
+    * plan consumes it again (persist-ownership contract:
+    * [[graft.GraftSession.releaseAll]]). Rows with a NULL watermark
+    * column count as neither extracted nor late — no watermark can
+    * judge them — and are excluded, matching [[afterWatermark]].
+    */
+  def upsertWithMetrics(target: DataFrame, batch: DataFrame, keys: Seq[String],
+                        newestFirst: Seq[Column], watermarkCol: String,
+                        watermark: Any): (DataFrame, LoadMetrics) = {
+    val b = batch.agg(
+      coalesce(sum(when(col(watermarkCol) > lit(watermark), 1L)
+        .otherwise(0L)), lit(0L)).as("extracted"),
+      coalesce(sum(when(col(watermarkCol) <= lit(watermark), 1L)
+        .otherwise(0L)), lit(0L)).as("late"),
+      max(col(watermarkCol)).cast("string").as("wm_after")).head()
+    val deduped = dedupLatestBy(afterWatermark(batch, watermarkCol, watermark),
+      keys, newestFirst)
+    val flagged = deduped.join(
+      target.select(keys.map(col): _*).distinct().withColumn("__exists", lit(true)),
+      keys, "left").persist()
+    val split = flagged.agg(
+      coalesce(sum(when(col("__exists"), 1L).otherwise(0L)), lit(0L)).as("updated"),
+      count(lit(1)).as("deduped")).head()
+    val updates = flagged.drop("__exists")
+    val metrics = LoadMetrics(
+      recordsExtracted = b.getAs[Long]("extracted"),
+      duplicatesFound = b.getAs[Long]("extracted") - split.getAs[Long]("deduped"),
+      recordsInserted = split.getAs[Long]("deduped") - split.getAs[Long]("updated"),
+      recordsUpdated = split.getAs[Long]("updated"),
+      lateArrivals = b.getAs[Long]("late"),
+      watermarkBefore = String.valueOf(watermark),
+      watermarkAfter = b.getAs[String]("wm_after"))
+    (upsert(target, updates, keys), metrics)
+  }
+
   /** Insert-only load — ref :240: only rows whose key is absent from
     * the target are appended.
     */

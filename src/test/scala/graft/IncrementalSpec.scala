@@ -110,6 +110,27 @@ class IncrementalSpec extends SparkSpec {
     assert(out.toSeq == Seq((1, 12.0), (3, 30.0), (4, 40.0)))
   }
 
+  test("upsertWithMetrics reports what every stage did, result == plain upsert") {
+    val target = Seq((1, "a", 10), (2, "b", 10)).toDF("k", "v", "seq")
+    val batch = Seq(
+      (1, "a2", 20), (1, "a1", 15),   // existing key, duplicate → update
+      (3, "c", 25),                   // new key → insert
+      (4, "late", 5),                 // at/before watermark → late arrival
+      (5, "d", 30)                    // new key → insert
+    ).toDF("k", "v", "seq")
+    val (out, m) = Incremental.upsertWithMetrics(target, batch, Seq("k"),
+      Seq(col("seq").desc), "seq", 10)
+    assert(m == Incremental.LoadMetrics(
+      recordsExtracted = 4, duplicatesFound = 1,
+      recordsInserted = 2, recordsUpdated = 1, lateArrivals = 1,
+      watermarkBefore = "10", watermarkAfter = "30"))
+    val expected = Incremental.upsert(target,
+      Incremental.dedupLatestBy(Incremental.afterWatermark(batch, "seq", 10),
+        Seq("k"), Seq(col("seq").desc)), Seq("k"))
+    assert(out.orderBy("k").collect().toSeq == expected.orderBy("k").collect().toSeq)
+    GraftSession.releaseAll(spark)
+  }
+
   test("gaps reports jumps beyond tolerance") {
     val df = Seq(1L, 2L, 3L, 7L, 8L, 20L).toDF("seq")
     val out = Incremental.gaps(df, "seq").orderBy("curr_val")
