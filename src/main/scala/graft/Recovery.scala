@@ -95,9 +95,30 @@ object Recovery {
   def reprocess(spark: SparkSession, dir: String,
                 rules: Seq[graft.quality.DQ.Rule],
                 runId: Option[String] = None): (DataFrame, DataFrame) = {
-    val path = runId.fold(dir)(id => s"$dir/run_id=$id")
-    restoreIfTorn(spark, path)
-    val raw = spark.read.option("basePath", dir).parquet(path)
+    val paths = runId match {
+      case Some(id) =>
+        val p = s"$dir/run_id=$id"
+        restoreIfTorn(spark, p)
+        Seq(p)
+      case None =>
+        // whole-area read: a crashed quarantine write can leave
+        // run_id=X__old / __staging siblings that partition discovery
+        // would treat as (duplicate-carrying) bogus partition values —
+        // heal each torn run slice, then read ONLY the real slices
+        val fs = org.apache.hadoop.fs.FileSystem.get(
+          spark.sparkContext.hadoopConfiguration)
+        val root = new org.apache.hadoop.fs.Path(dir)
+        val children =
+          if (fs.exists(root)) fs.listStatus(root).toSeq.map(_.getPath.toString)
+          else Seq.empty
+        children
+          .filter(p => p.substring(p.lastIndexOf('/') + 1).startsWith("run_id="))
+          .map(_.stripSuffix("__old").stripSuffix("__staging"))
+          .distinct.sorted
+          .map { p => restoreIfTorn(spark, p); p }
+    }
+    require(paths.nonEmpty, s"no quarantine slices under $dir")
+    val raw = spark.read.option("basePath", dir).parquet(paths: _*)
       .drop("failed_rules", "quarantined_at", "run_id")
     graft.quality.DQ.split(raw, rules)
   }

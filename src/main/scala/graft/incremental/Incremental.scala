@@ -260,55 +260,63 @@ object Incremental {
     * watermark/sequence values whose delta exceeds
     * expectedStep × tolerance.
     *
-    * Scale shape: a dense sequence column (ids, epoch seconds) can have
-    * billions of DISTINCT values, so a bare `Window.orderBy` — one
-    * partition holding every distinct value — is a scale killer. The
-    * consecutive-delta is instead computed per RANGE BUCKET:
+    * Scale shape, ADAPTIVE: one cheap cardinality probe (HLL, a
+    * single map-combined aggregation of the raw scan) decides the
+    * plan; the quantile sketch is paid only on the big path.
     *
-    *  1. one GK-sketch pass yields ≤ `maxBuckets` literal edge values;
-    *  2. each distinct value maps to its bucket map-side (a flat sum of
-    *     `value > edge` comparisons — codegen'd, no join);
-    *  3. `lag` runs per bucket (partitioned window, ~|distinct|/buckets
-    *     rows each, AQE-splittable);
-    *  4. each bucket's FIRST value takes the previous bucket's exact
-    *     maximum — a tiny (≤ maxBuckets rows) aggregate collected and
-    *     folded into a literal mapping, so no unpartitioned window and
-    *     no extra shuffle appears anywhere in the plan.
+    *  - ≤ `smallDistinct` distinct values (the watermark/day/batch
+    *    case the reference targets): the classic distinct → one tiny
+    *    ordered window — bounded input, cheapest plan.
+    *  - more (dense ids, epoch seconds — billions of distinct values,
+    *    where one partition holding them all is a scale killer): the
+    *    sketch edges range-bucket the values map-side (flat codegen'd
+    *    `value > edge` sum, monotone so cross-bucket order matches
+    *    value order), and each value is ALSO emitted once into the
+    *    NEXT bucket as a marked boundary copy. `lag` then runs per
+    *    bucket: a bucket's first own value takes the previous bucket's
+    *    maximum from the copies (which all sort below the own values),
+    *    copies are dropped after the window, and the seams stitch
+    *    exactly. Every interior bucket is provably non-empty — each
+    *    sketch edge is an observed value landing in its own bucket —
+    *    so no seam can skip a bucket. ONE window job over 2×distinct,
+    *    no persist, no driver-side merge state.
     *
-    * Output is identical to the single-window formulation (the bucket
-    * boundaries are seams the merge step stitches exactly).
+    * Both plans produce identical output.
     */
   def gaps(df: DataFrame, seqCol: String, expectedStep: Double = 1.0,
-           tolerance: Double = 1.5, maxBuckets: Int = 64): DataFrame = {
+           tolerance: Double = 1.5, maxBuckets: Int = 64,
+           smallDistinct: Long = 1L << 20): DataFrame = {
+    // cardinality probe only (HLL, one cheap map-combined agg); the
+    // quantile sketch is paid only on the big path, where it is noise
+    // relative to the work it saves
+    val card = df.agg(approx_count_distinct(col(seqCol)).as("card"))
+      .head().getAs[Long]("card")
     val distinct = df.select(col(seqCol)).distinct()
-      .persist() // edge sketch + bucket maxima + the lag pass share it
-    val probes = (1 until maxBuckets).map(_.toDouble / maxBuckets).toArray
-    val edges = distinct.stat.approxQuantile(seqCol, probes, 0.001)
-      .distinct.sorted.toSeq
-    // bucket id = #edges below the value: a flat codegen'd sum, and
-    // monotone in the value so cross-bucket order matches value order
-    val bucket =
-      if (edges.isEmpty) lit(0)
-      else edges.map(e => when(col(seqCol).cast("double") > lit(e), 1)
-        .otherwise(0)).reduce(_ + _)
-    val bucketed = distinct.withColumn("__b", bucket)
-    val bounds = bucketed.groupBy(col("__b")).agg(max(col(seqCol)).as("__m"))
-      .collect().map(r => (r.getInt(0), r.get(1))).sortBy(_._1)
-    // previous bucket's exact max as a literal per-bucket mapping
-    // (≤ maxBuckets entries — driver-side by construction)
-    val seqType = df.schema(seqCol).dataType
-    val prevBucketMax = bounds.toSeq.sliding(2).collect {
-      case Seq((_, m), (b, _)) => (b, m)
-    }.foldLeft(lit(null).cast(seqType)) {
-      case (acc, (b, m)) => when(col("__b") === b, lit(m).cast(seqType))
-        .otherwise(acc)
+    lazy val edges = {
+      val probes = (1 until maxBuckets).map(_.toDouble / maxBuckets).toArray
+      df.select(col(seqCol).cast("double").as(seqCol))
+        .stat.approxQuantile(seqCol, probes, 0.001)
+        .toSeq.distinct.sorted
     }
-    val w = Window.partitionBy(col("__b")).orderBy(col(seqCol))
-    bucketed
-      .withColumn("prev_val",
-        coalesce(lag(col(seqCol), 1).over(w), prevBucketMax))
+    def gapsOf(lagged: DataFrame): DataFrame = lagged
       .withColumn("gap", col(seqCol) - col("prev_val"))
       .filter(col("gap") > lit(expectedStep * tolerance))
       .select(col("prev_val"), col(seqCol).as("curr_val"), col("gap"))
+    if (card <= smallDistinct || edges.isEmpty) {
+      val w = Window.orderBy(col(seqCol)) // bounded: ≤ smallDistinct rows
+      gapsOf(distinct.withColumn("prev_val", lag(col(seqCol), 1).over(w)))
+    } else {
+      val bucket = edges.map(e =>
+        when(col(seqCol).cast("double") > lit(e), 1).otherwise(0)).reduce(_ + _)
+      val doubled = distinct
+        .select(col(seqCol), explode(array(
+          struct(bucket.as("__wb"), lit(false).as("__copy")),
+          struct((bucket + 1).as("__wb"), lit(true).as("__copy")))).as("__e"))
+        .select(col(seqCol), col("__e.__wb").as("__wb"), col("__e.__copy").as("__copy"))
+      val w = Window.partitionBy(col("__wb")).orderBy(col(seqCol))
+      gapsOf(doubled
+        .withColumn("prev_val", lag(col(seqCol), 1).over(w))
+        .filter(!col("__copy")))
+    }
   }
 }

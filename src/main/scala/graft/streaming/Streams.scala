@@ -110,8 +110,11 @@ object Streams {
     *    replaces its own slice (idempotent), never double-appends;
     *  - on-time rows (and rows with NULL event time, which no
     *    watermark can judge) go to `onTime` for the real processing;
-    *  - the one-row watermark state persists at `statePath` with the
-    *    same swap discipline, so a restart resumes the horizon.
+    *  - the watermark state persists PER BATCH under `statePath`
+    *    (one-row slices, same swap discipline): a restart resumes the
+    *    horizon, and a batch replay reads the slice below its own
+    *    batch id — the split it computes is identical to its first
+    *    execution, not retroactively tightened by later batches.
     *
     * Scale shape: two codegen'd filters per batch off one shared
     * predicate (the [[graft.quality.DQ.split]] pattern), one tiny
@@ -125,13 +128,27 @@ object Streams {
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         val spark = batch.sparkSession
-        graft.Recovery.restoreIfTorn(spark, statePath)
         val fs = org.apache.hadoop.fs.FileSystem.get(
           spark.sparkContext.hadoopConfiguration)
-        val prevMax: Option[java.sql.Timestamp] =
-          if (!fs.exists(new org.apache.hadoop.fs.Path(statePath))) None
-          else spark.read.parquet(statePath).collect()
-            .headOption.map(_.getTimestamp(0))
+        // watermark state is kept PER BATCH (the cumulative max as of
+        // each batch id), and a batch reads the newest slice BELOW its
+        // own id — so a checkpoint replay of batch N sees exactly the
+        // horizon it saw the first time, and the late/on-time split is
+        // replay-DETERMINISTIC (a single mutable state would have
+        // advanced past N and reclassified rows on replay)
+        val stateRoot = new org.apache.hadoop.fs.Path(statePath)
+        val priorId: Option[Long] =
+          if (!fs.exists(stateRoot)) None
+          else fs.listStatus(stateRoot).toSeq.map(_.getPath.getName)
+            .filter(_.startsWith("batch_id="))
+            .map(_.stripPrefix("batch_id=")
+              .stripSuffix("__old").stripSuffix("__staging").toLong)
+            .distinct.filter(_ < batchId).sorted.lastOption
+        val prevMax: Option[java.sql.Timestamp] = priorId.flatMap { id =>
+          val p = s"$statePath/batch_id=$id"
+          graft.Recovery.restoreIfTorn(spark, p)
+          spark.read.parquet(p).collect().headOption.map(_.getTimestamp(0))
+        }
         val df = graft.functions.Times.ensureTimestamp(batch.toDF(), tsCol)
         val isLate = prevMax.fold(lit(false))(m =>
           coalesce(col(tsCol) <= lit(m) - expr(s"INTERVAL '$delay'"), lit(false)))
@@ -146,7 +163,8 @@ object Streams {
         newMax.foreach { m =>
           import spark.implicits._
           graft.Recovery.idempotentWrite(
-            Seq(m).toDF("max_event_time").coalesce(1), statePath)
+            Seq(m).toDF("max_event_time").coalesce(1),
+            s"$statePath/batch_id=$batchId")
         }
         ()
       }

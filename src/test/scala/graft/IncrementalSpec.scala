@@ -143,7 +143,8 @@ class IncrementalSpec extends SparkSpec {
     // consecutive pair — any seam mishandling shows up as a spurious
     // gap row or a missed one
     val df = ((1L to 1000L) ++ (2000L to 3000L)).toDF("seq")
-    val out = Incremental.gaps(df, "seq", maxBuckets = 8)
+    // smallDistinct = 0 forces the bucketed path on this 2001-value frame
+    val out = Incremental.gaps(df, "seq", maxBuckets = 8, smallDistinct = 0L)
     assert(out.orderBy("curr_val").as[(Long, Long, Long)].collect().toSeq ==
       Seq((1000L, 2000L, 1000L)))
     // the lag window must be partitioned by the range bucket — no
@@ -151,8 +152,12 @@ class IncrementalSpec extends SparkSpec {
     val specs = "windowspecdefinition\\(([^)]*)".r
       .findAllMatchIn(out.queryExecution.executedPlan.toString)
       .map(_.group(1)).toSeq
-    assert(specs.nonEmpty && specs.forall(_.contains("__b")),
+    assert(specs.nonEmpty && specs.forall(_.contains("__wb")),
       s"unpartitioned window in gaps plan: $specs")
+    // the adaptive default takes the cheap bounded-window plan here and
+    // agrees exactly
+    assert(Incremental.gaps(df, "seq").orderBy("curr_val")
+      .as[(Long, Long, Long)].collect().toSeq == Seq((1000L, 2000L, 1000L)))
     GraftSession.releaseAll(spark)
   }
 

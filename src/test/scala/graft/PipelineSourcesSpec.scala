@@ -565,9 +565,21 @@ class PipelineSourcesSpec extends SparkSpec {
     assert(recovered.count() == expectRecovered)
     assert(recovered.count() + remaining.count() == nBad)
 
-    // whole-area reprocess reads every run's slice
+    // whole-area reprocess reads every run's slice, healing torn ones:
+    // a committed-but-unpromoted staging slice is promoted; a lingering
+    // __old beside a live slice contributes nothing (no duplicates)
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    Recovery.quarantine(bad.limit(2), dir, "run_003")
+    fs.rename(new org.apache.hadoop.fs.Path(s"$dir/run_id=run_003"),
+      new org.apache.hadoop.fs.Path(s"$dir/run_id=run_003__staging"))
+    Recovery.quarantine(bad.limit(1), dir, "zz_stale")
+    fs.rename(new org.apache.hadoop.fs.Path(s"$dir/run_id=zz_stale"),
+      new org.apache.hadoop.fs.Path(s"$dir/run_id=run_001__old"))
     val (_, allBad) = Recovery.reprocess(spark, dir, strict)
-    assert(allBad.count() == nBad + math.min(3, nBad))
+    assert(allBad.count() ==
+      nBad + math.min(3, nBad) + math.min(2, nBad))
+    assert(fs.exists(new org.apache.hadoop.fs.Path(s"$dir/run_id=run_003")))
   }
 
   test("typed Dataset ops compose with the untyped library surface") {

@@ -183,6 +183,14 @@ class StreamsMediaSpec extends SparkSpec {
 
     val late = Streams.lateRows(spark, s"$dir/late")
     assert(late.select("id").as[Long].collect().sorted.toSeq == Seq(5L, 7L))
+    // watermark state is one cumulative-max slice per batch, so a
+    // checkpoint replay of batch N reads its original horizon
+    assert(spark.read.parquet(s"$dir/state/batch_id=0").head().getTimestamp(0)
+      == ts("2024-01-01 10:10:00"))
+    assert(spark.read.parquet(s"$dir/state/batch_id=1").head().getTimestamp(0)
+      == ts("2024-01-01 10:20:00"))
+    assert(spark.read.parquet(s"$dir/state/batch_id=2").head().getTimestamp(0)
+      == ts("2024-01-01 10:30:00"))
     // per-batch slices, discoverable by batch_id partition
     assert(late.filter(col("batch_id") === 1).count() == 1 &&
            late.filter(col("batch_id") === 2).count() == 1)
