@@ -116,6 +116,10 @@ object Recovery {
           .map(_.stripSuffix("__old").stripSuffix("__staging"))
           .distinct.sorted
           .map { p => restoreIfTorn(spark, p); p }
+          // an INCOMPLETE staging dir (crash mid-write, no _SUCCESS)
+          // heals to nothing — there was never a complete slice to
+          // recover; skip it rather than fail the whole-area read
+          .filter(p => fs.exists(new org.apache.hadoop.fs.Path(p)))
     }
     require(paths.nonEmpty, s"no quarantine slices under $dir")
     val raw = spark.read.option("basePath", dir).parquet(paths: _*)

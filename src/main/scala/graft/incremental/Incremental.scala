@@ -85,7 +85,12 @@ object Incremental {
         .otherwise(0L)), lit(0L)).as("extracted"),
       coalesce(sum(when(col(watermarkCol) <= lit(watermark), 1L)
         .otherwise(0L)), lit(0L)).as("late"),
-      max(col(watermarkCol)).cast("string").as("wm_after")).head()
+      // max over EXTRACTED rows only: a late-only (or empty) batch
+      // must not move the watermark backwards — it stays put
+      coalesce(
+        max(when(col(watermarkCol) > lit(watermark), col(watermarkCol)))
+          .cast("string"),
+        lit(String.valueOf(watermark))).as("wm_after")).head()
     val deduped = dedupLatestBy(afterWatermark(batch, watermarkCol, watermark),
       keys, newestFirst)
     val flagged = deduped.join(
@@ -94,7 +99,9 @@ object Incremental {
     val split = flagged.agg(
       coalesce(sum(when(col("__exists"), 1L).otherwise(0L)), lit(0L)).as("updated"),
       count(lit(1)).as("deduped")).head()
-    val updates = flagged.drop("__exists")
+    // restore the batch's column ORDER (the key join moved keys first)
+    // so the result is schema-identical to the composed-stages form
+    val updates = flagged.select(batch.columns.map(col).toSeq: _*)
     val metrics = LoadMetrics(
       recordsExtracted = b.getAs[Long]("extracted"),
       duplicatesFound = b.getAs[Long]("extracted") - split.getAs[Long]("deduped"),
@@ -278,8 +285,10 @@ object Incremental {
     *    copies are dropped after the window, and the seams stitch
     *    exactly. Every interior bucket is provably non-empty — each
     *    sketch edge is an observed value landing in its own bucket —
-    *    so no seam can skip a bucket. ONE window job over 2×distinct,
-    *    no persist, no driver-side merge state.
+    *    so no seam can skip a bucket. ONE window job over 2×distinct
+    *    plus the edge sketch over the persisted distinct frame
+    *    (distinct-value quantiles, immune to hot-value row skew); no
+    *    driver-side merge state.
     *
     * Both plans produce identical output.
     */
@@ -291,32 +300,40 @@ object Incremental {
     // relative to the work it saves
     val card = df.agg(approx_count_distinct(col(seqCol)).as("card"))
       .head().getAs[Long]("card")
-    val distinct = df.select(col(seqCol)).distinct()
-    lazy val edges = {
-      val probes = (1 until maxBuckets).map(_.toDouble / maxBuckets).toArray
-      df.select(col(seqCol).cast("double").as(seqCol))
-        .stat.approxQuantile(seqCol, probes, 0.001)
-        .toSeq.distinct.sorted
-    }
     def gapsOf(lagged: DataFrame): DataFrame = lagged
       .withColumn("gap", col(seqCol) - col("prev_val"))
       .filter(col("gap") > lit(expectedStep * tolerance))
       .select(col("prev_val"), col(seqCol).as("curr_val"), col("gap"))
-    if (card <= smallDistinct || edges.isEmpty) {
-      val w = Window.orderBy(col(seqCol)) // bounded: ≤ smallDistinct rows
+    def smallPlan(distinct: DataFrame): DataFrame = {
+      val w = Window.orderBy(col(seqCol)) // bounded input by the probe
       gapsOf(distinct.withColumn("prev_val", lag(col(seqCol), 1).over(w)))
-    } else {
-      val bucket = edges.map(e =>
-        when(col(seqCol).cast("double") > lit(e), 1).otherwise(0)).reduce(_ + _)
-      val doubled = distinct
-        .select(col(seqCol), explode(array(
-          struct(bucket.as("__wb"), lit(false).as("__copy")),
-          struct((bucket + 1).as("__wb"), lit(true).as("__copy")))).as("__e"))
-        .select(col(seqCol), col("__e.__wb").as("__wb"), col("__e.__copy").as("__copy"))
-      val w = Window.partitionBy(col("__wb")).orderBy(col(seqCol))
-      gapsOf(doubled
-        .withColumn("prev_val", lag(col(seqCol), 1).over(w))
-        .filter(!col("__copy")))
+    }
+    if (card <= smallDistinct)
+      smallPlan(df.select(col(seqCol)).distinct())
+    else {
+      // sketch + window share the distinct frame (ownership: releaseAll)
+      val distinct = df.select(col(seqCol)).distinct().persist()
+      // edges from the DISTINCT values, not the raw scan: a hot value
+      // dominating the row count would collapse frequency-weighted
+      // quantiles to one edge and re-create the single-partition window
+      val probes = (1 until maxBuckets).map(_.toDouble / maxBuckets).toArray
+      val edges = distinct.select(col(seqCol).cast("double").as(seqCol))
+        .stat.approxQuantile(seqCol, probes, 0.001)
+        .toSeq.distinct.sorted
+      if (edges.isEmpty) smallPlan(distinct)
+      else {
+        val bucket = edges.map(e =>
+          when(col(seqCol).cast("double") > lit(e), 1).otherwise(0)).reduce(_ + _)
+        val doubled = distinct
+          .select(col(seqCol), explode(array(
+            struct(bucket.as("__wb"), lit(false).as("__copy")),
+            struct((bucket + 1).as("__wb"), lit(true).as("__copy")))).as("__e"))
+          .select(col(seqCol), col("__e.__wb").as("__wb"), col("__e.__copy").as("__copy"))
+        val w = Window.partitionBy(col("__wb")).orderBy(col(seqCol))
+        gapsOf(doubled
+          .withColumn("prev_val", lag(col(seqCol), 1).over(w))
+          .filter(!col("__copy")))
+      }
     }
   }
 }

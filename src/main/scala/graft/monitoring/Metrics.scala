@@ -33,7 +33,7 @@ object Metrics {
     // a bench row for the same query are comparable
     private def planHash(qe: QueryExecution): Option[String] =
       try Some(graft.Bench.planFingerprint(qe.executedPlan.toString))
-      catch { case _: Throwable => None }
+      catch { case scala.util.control.NonFatal(_) => None }
 
     override def onSuccess(funcName: String, qe: QueryExecution,
                            durationNs: Long): Unit = {

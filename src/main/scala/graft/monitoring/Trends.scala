@@ -64,15 +64,22 @@ object Trends {
     */
   def regressions(history: DataFrame, runId: String,
                   factor: Double = 1.5, minPriorRuns: Int = 3): DataFrame = {
+    // plan comparison only over rows that HAVE a hash (failed actions
+    // record none — a null must not mask or flap the verdict), newest
+    // hash wins deterministically via max_by on the record time
+    def newestPlan = max_by(col("plan_hash"),
+      when(col("plan_hash").isNotNull, col("recorded_at"))).as("__plan")
     val current = history.filter(col("run_id") === runId)
       .groupBy("query").agg(
         round(avg(col("duration_ms")), 1).as("current_ms"),
-        first(col("plan_hash"), ignoreNulls = true).as("current_plan"))
+        newestPlan)
+      .withColumnRenamed("__plan", "current_plan")
     val prior = history.filter(col("run_id") =!= runId)
       .groupBy("query").agg(
         round(avg(col("duration_ms")), 1).as("prior_avg_ms"),
         countDistinct(col("run_id")).as("n_prior_runs"),
-        max_by(col("plan_hash"), col("recorded_at")).as("prior_plan"))
+        newestPlan)
+      .withColumnRenamed("__plan", "prior_plan")
     current.join(prior, Seq("query"))
       .filter(col("n_prior_runs") >= minPriorRuns &&
         col("current_ms") > col("prior_avg_ms") * factor)

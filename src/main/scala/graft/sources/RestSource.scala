@@ -68,7 +68,8 @@ final case class RestSource(
     * go here... assume token is provided"). POSTs `token_url` with
     * `grant_type=client_credentials` (+ client_id / client_secret /
     * optional scope, form-encoded), parses `access_token` +
-    * `expires_in`, and caches per (token_url, client_id) PER JVM —
+    * `expires_in`, and caches per full credential identity
+    * (token_url, client_id, client_secret, scope) PER JVM —
     * executor tasks share one token, the driver its own — until the
     * expiry window minus a refresh margin passes, then re-fetches.
     * Margin: `refresh_margin_sec` (default min(30, expires_in/10)).
@@ -76,18 +77,23 @@ final case class RestSource(
     * token once and retries (reactive refresh for servers that revoke
     * early — clock skew, key rotation).
     */
+  // the full credential identity — distinct scopes or a rotated secret
+  // must NOT reuse each other's cached token
+  private def oauthCacheKey(tokenUrl: String): (String, String, String, String) =
+    (tokenUrl, authConfig.getOrElse("client_id", ""),
+      authConfig.getOrElse("client_secret", ""), authConfig.getOrElse("scope", ""))
+
   private def oauthToken(): String = {
     val tokenUrl = authConfig.getOrElse("token_url",
       throw new IllegalArgumentException("oauth2 auth needs 'token_url'"))
-    val key = (tokenUrl, authConfig.getOrElse("client_id", ""))
-    RestSource.tokenCache.compute(key, (_, cur) =>
+    RestSource.tokenCache.compute(oauthCacheKey(tokenUrl), (_, cur) =>
       if (cur != null && System.currentTimeMillis() < cur._2) cur
       else fetchOauthToken(tokenUrl))._1
   }
 
   private def invalidateOauthToken(): Unit =
     authConfig.get("token_url").foreach(u =>
-      RestSource.tokenCache.remove((u, authConfig.getOrElse("client_id", ""))))
+      RestSource.tokenCache.remove(oauthCacheKey(u)))
 
   private def fetchOauthToken(tokenUrl: String): (String, Long) = {
     val form = (Map("grant_type" -> "client_credentials") ++
@@ -108,7 +114,12 @@ final case class RestSource(
     val code = conn.getResponseCode
     if (code < 200 || code >= 300) {
       Option(conn.getErrorStream).foreach(_.close())
-      throw new RestSource.ClientError(s"HTTP $code from token endpoint $tokenUrl", code)
+      val msg = s"HTTP $code from token endpoint $tokenUrl"
+      // 5xx from the auth server is as transient as 5xx from the data
+      // URL — surface it as IOException so fetch's retry/backoff loop
+      // applies; only 4xx (bad credentials/request) fails fast
+      if (code >= 500) throw new IOException(msg)
+      else throw new RestSource.ClientError(msg, code)
     }
     val body = {
       val in = conn.getInputStream
@@ -276,12 +287,13 @@ object RestSource {
   /** Non-retryable 4xx response. */
   final class ClientError(msg: String, val code: Int = 0) extends IOException(msg)
 
-  /** Per-JVM OAuth2 token cache: (token_url, client_id) →
-    * (access_token, refreshAfterEpochMs). `compute`'s per-key lock
-    * single-flights concurrent refreshes within the JVM.
+  /** Per-JVM OAuth2 token cache: (token_url, client_id, client_secret,
+    * scope) → (access_token, refreshAfterEpochMs). The key is the FULL
+    * credential identity; `compute`'s per-key lock single-flights
+    * concurrent refreshes within the JVM.
     */
-  private val tokenCache =
-    new java.util.concurrent.ConcurrentHashMap[(String, String), (String, Long)]()
+  private val tokenCache = new java.util.concurrent.ConcurrentHashMap[
+    (String, String, String, String), (String, Long)]()
 
   /** Test/lifecycle hook: forget every cached token. */
   private[graft] def clearTokenCache(): Unit = tokenCache.clear()

@@ -171,9 +171,27 @@ object Streams {
       .start()
   }
 
-  /** Everything landed on the late side across all batches so far. */
-  def lateRows(spark: SparkSession, latePath: String): DataFrame =
-    spark.read.parquet(latePath)
+  /** Everything landed on the late side across all batches so far.
+    * Reads only REAL batch slices: a crashed swap's lingering
+    * `batch_id=N__old` / `__staging` siblings are healed (complete
+    * staging promoted, retiree restored) and never double-counted as
+    * bogus partition values.
+    */
+  def lateRows(spark: SparkSession, latePath: String): DataFrame = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val root = new org.apache.hadoop.fs.Path(latePath)
+    val slices =
+      (if (fs.exists(root)) fs.listStatus(root).toSeq.map(_.getPath.toString)
+       else Seq.empty)
+        .filter(p => p.substring(p.lastIndexOf('/') + 1).startsWith("batch_id="))
+        .map(_.stripSuffix("__old").stripSuffix("__staging"))
+        .distinct.sorted
+        .map { p => graft.Recovery.restoreIfTorn(spark, p); p }
+        .filter(p => fs.exists(new org.apache.hadoop.fs.Path(p)))
+    require(slices.nonEmpty, s"no late-data slices under $latePath")
+    spark.read.option("basePath", latePath).parquet(slices: _*)
+  }
 
   /** End-to-end streaming CDC: every micro-batch of I/U/D events folds
     * into the parquet target via [[graft.incremental.Incremental.applyCdc]]

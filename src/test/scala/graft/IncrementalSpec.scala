@@ -128,6 +128,15 @@ class IncrementalSpec extends SparkSpec {
       Incremental.dedupLatestBy(Incremental.afterWatermark(batch, "seq", 10),
         Seq("k"), Seq(col("seq").desc)), Seq("k"))
     assert(out.orderBy("k").collect().toSeq == expected.orderBy("k").collect().toSeq)
+    // a late-only (or empty) batch must not move the watermark BACK
+    val (_, m2) = Incremental.upsertWithMetrics(target,
+      batch.filter(col("seq") <= 10), Seq("k"), Seq(col("seq").desc), "seq", 10)
+    assert(m2.recordsExtracted == 0 && m2.watermarkAfter == "10")
+    // column ORDER survives the key-flag join even when keys aren't first
+    val reordered = batch.select("v", "k", "seq")
+    val (out3, _) = Incremental.upsertWithMetrics(target.select("v", "k", "seq"),
+      reordered, Seq("k"), Seq(col("seq").desc), "seq", 10)
+    assert(out3.columns.toSeq == Seq("v", "k", "seq"))
     GraftSession.releaseAll(spark)
   }
 

@@ -576,6 +576,9 @@ class PipelineSourcesSpec extends SparkSpec {
     Recovery.quarantine(bad.limit(1), dir, "zz_stale")
     fs.rename(new org.apache.hadoop.fs.Path(s"$dir/run_id=zz_stale"),
       new org.apache.hadoop.fs.Path(s"$dir/run_id=run_001__old"))
+    // an INCOMPLETE staging dir (crash mid-write, no _SUCCESS, no
+    // target) heals to nothing and is skipped, not a read failure
+    fs.mkdirs(new org.apache.hadoop.fs.Path(s"$dir/run_id=run_junk__staging"))
     val (_, allBad) = Recovery.reprocess(spark, dir, strict)
     assert(allBad.count() ==
       nBad + math.min(3, nBad) + math.min(2, nBad))

@@ -70,7 +70,9 @@ class RestSourceSpec extends SparkSpec with org.scalatest.BeforeAndAfterAll {
     // grant, issues tok<N> with the currently configured expires_in
     server.createContext("/oauth/token", (ex: HttpExchange) => {
       val form = new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
-      if (ex.getRequestMethod != "POST" ||
+      if (tokenFailuresLeft.getAndDecrement() > 0)
+        respond(ex, 503, "auth server hiccup")
+      else if (ex.getRequestMethod != "POST" ||
           !form.contains("grant_type=client_credentials") ||
           !form.contains("client_id=cid") || !form.contains("client_secret=sec"))
         respond(ex, 401, """{"error": "invalid_client"}""")
@@ -105,6 +107,7 @@ class RestSourceSpec extends SparkSpec with org.scalatest.BeforeAndAfterAll {
   }
 
   private val tokensIssued = new AtomicInteger(0)
+  private val tokenFailuresLeft = new AtomicInteger(0)
   @volatile private var currentToken: String = ""
   @volatile private var tokenTtlSec: Int = 3600
 
@@ -238,6 +241,12 @@ class RestSourceSpec extends SparkSpec with org.scalatest.BeforeAndAfterAll {
     val bad = src.copy(authConfig = src.authConfig + ("client_secret" -> "wrong"))
     RestSource.clearTokenCache()
     assertThrows[RestSource.ClientError](bad.fetch(bad.pageUrl(1)))
+    // a TRANSIENT 5xx from the token endpoint retries like any other
+    // transient failure instead of failing the task fast
+    RestSource.clearTokenCache()
+    tokenFailuresLeft.set(1)
+    assert(src.copy(backoffMs = 1).fetch(src.pageUrl(1)).contains("item1"))
+    assert(tokenFailuresLeft.get() <= 0)
   }
 
   test("NoSqlSource builds the documented connector configuration") {

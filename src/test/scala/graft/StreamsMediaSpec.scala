@@ -191,6 +191,17 @@ class StreamsMediaSpec extends SparkSpec {
       == ts("2024-01-01 10:20:00"))
     assert(spark.read.parquet(s"$dir/state/batch_id=2").head().getTimestamp(0)
       == ts("2024-01-01 10:30:00"))
+    // a crashed swap's lingering siblings are ignored, not discovered
+    // as bogus partitions: copy batch 1's slice to a __old name (its
+    // live slice exists, so the retiree must contribute nothing)
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    org.apache.hadoop.fs.FileUtil.copy(fs,
+      new org.apache.hadoop.fs.Path(s"$dir/late/batch_id=1"), fs,
+      new org.apache.hadoop.fs.Path(s"$dir/late/batch_id=1__old"),
+      false, spark.sparkContext.hadoopConfiguration)
+    assert(Streams.lateRows(spark, s"$dir/late")
+      .select("id").as[Long].collect().sorted.toSeq == Seq(5L, 7L))
     // per-batch slices, discoverable by batch_id partition
     assert(late.filter(col("batch_id") === 1).count() == 1 &&
            late.filter(col("batch_id") === 2).count() == 1)
