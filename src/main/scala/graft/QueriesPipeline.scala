@@ -3,6 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions.{col, substring}
 
+import graft.monitoring.Audit
 import graft.operators.Ops
 import graft.pipeline.Pipeline
 import graft.sources.{FileSink, FileSource}
@@ -130,8 +131,92 @@ object QueriesPipeline {
       val path = s"${System.getProperty("java.io.tmpdir")}/graft_xml_supplier"
       FileSink.write(sup, "xml", path)
       FileSource.read(s, "xml", path, Some(sup.schema))
+    }),
+
+    // ---- audit-trail analytics (ref audit_logger.py) --------------
+    // The audit dataset is derived deterministically from `events` so
+    // both engines query the identical trail (see auditFrame).
+
+    // filtered + paged trail, newest first (ref :183 get_audit_trail)
+    "q_audit_trail" -> ((s, dir) => {
+      Audit.trail(auditFrame(s, dir), Audit.TrailFilter(
+        eventType = Some("data_access"),
+        start = Some("2024-01-05 00:00:00"), end = Some("2024-01-20 00:00:00"),
+        limit = 50, offset = 10))
+    }),
+
+    // period report: per-event-type rollup (ref :230 generate_audit_report)
+    "q_audit_report" -> ((s, dir) => {
+      Audit.report(auditFrame(s, dir),
+        "2024-01-01 00:00:00", "2024-01-31 00:00:00")
+    }),
+
+    // data-access rollup by source × access type (ref :303)
+    "q_audit_access" -> ((s, dir) => {
+      Audit.dataAccessSummary(auditFrame(s, dir),
+        "2024-01-01 00:00:00", "2024-01-31 00:00:00")
+    }),
+
+    // failed security events (ref :322 get_security_incidents)
+    "q_audit_security" -> ((s, dir) => {
+      Audit.securityIncidents(auditFrame(s, dir),
+        "2024-01-01 00:00:00", "2024-01-31 00:00:00")
     })
   )
+
+  import org.apache.spark.sql.functions._
+
+  /** The audit trail both engines derive identically from `events`:
+    * row shape of the reference's AUDIT_TRAIL table
+    * (audit_logger.py:20), with the JSON details synthesized from the
+    * props payload (k → row_count; k mod 3 → success flag).
+    */
+  private def auditFrame(s: SparkSession, dir: String): DataFrame = {
+    val k = get_json_object(col("props"), "$.k").cast("bigint")
+    t(s, dir, "events").select(
+      col("event_id").as("audit_id"),
+      concat(lit("run-"), col("user_id") % 7).as("run_id"),
+      when(col("event_type").isin("click", "view"), "data_access")
+        .when(col("event_type") === "purchase", "config_change")
+        .when(col("event_type") === "signup", "user_action")
+        .otherwise("security_event").as("event_type"),
+      col("event_type").as("action"),
+      col("ts").as("action_timestamp"),
+      concat(lit("user-"), col("user_id")).as("user_id"),
+      concat(lit("{\"row_count\": "), k, lit(", \"success\": "),
+        when(k % 3 === 0, "false").otherwise("true"), lit("}"))
+        .as("action_details"),
+      concat(lit("10.0.0."), col("user_id") % 32).as("ip_address"),
+      concat(lit("sess-"), col("user_id")).as("session_id"),
+      concat(lit("table-"), col("event_id") % 4).as("data_source"),
+      when(col("event_id") % 2 === 0, "read").otherwise("write")
+        .as("access_type"))
+  }
+
+  /** DuckDB mirror of [[auditFrame]] as a CTE body. NB: no line in
+    * this string may START with "||" — it is embedded in oracle
+    * strings that stripMargin AGAIN, which would eat one pipe.
+    */
+  private val auditCte: String =
+    """WITH audit AS (
+      |  SELECT event_id AS audit_id,
+      |    'run-' || (user_id % 7) AS run_id,
+      |    CASE WHEN event_type IN ('click','view') THEN 'data_access'
+      |         WHEN event_type = 'purchase' THEN 'config_change'
+      |         WHEN event_type = 'signup' THEN 'user_action'
+      |         ELSE 'security_event' END AS event_type,
+      |    event_type AS action,
+      |    ts AS action_timestamp,
+      |    'user-' || user_id AS user_id,
+      |    '{"row_count": ' || CAST(json_extract_string(props, '$.k') AS BIGINT) ||
+      |      ', "success": ' ||
+      |      CASE WHEN CAST(json_extract_string(props, '$.k') AS BIGINT) % 3 = 0
+      |           THEN 'false' ELSE 'true' END || '}' AS action_details,
+      |    '10.0.0.' || (user_id % 32) AS ip_address,
+      |    'sess-' || user_id AS session_id,
+      |    'table-' || (event_id % 4) AS data_source,
+      |    CASE WHEN event_id % 2 = 0 THEN 'read' ELSE 'write' END AS access_type
+      |  FROM events)""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
 
@@ -166,6 +251,49 @@ object QueriesPipeline {
     "q_src_excel" -> "SELECT * FROM nation",
     "q_src_excel_sheets" -> "SELECT * FROM region",
     "q_src_json" -> "SELECT * FROM region",
-    "q_src_xml" -> "SELECT * FROM supplier"
+    "q_src_xml" -> "SELECT * FROM supplier",
+
+    "q_audit_trail" ->
+      s"""$auditCte
+         |SELECT audit_id, run_id, event_type, action, action_timestamp,
+         |  user_id, action_details, ip_address, session_id
+         |FROM audit
+         |WHERE event_type = 'data_access'
+         |  AND action_timestamp >= TIMESTAMP '2024-01-05 00:00:00'
+         |  AND action_timestamp <= TIMESTAMP '2024-01-20 00:00:00'
+         |ORDER BY action_timestamp DESC, audit_id DESC
+         |LIMIT 50 OFFSET 10""".stripMargin,
+
+    "q_audit_report" ->
+      s"""$auditCte
+         |SELECT event_type, COUNT(*) AS n_events,
+         |  COUNT(DISTINCT user_id) AS n_users,
+         |  MIN(action_timestamp) AS first_at,
+         |  MAX(action_timestamp) AS last_at
+         |FROM audit
+         |WHERE action_timestamp >= TIMESTAMP '2024-01-01 00:00:00'
+         |  AND action_timestamp <= TIMESTAMP '2024-01-31 00:00:00'
+         |GROUP BY event_type""".stripMargin,
+
+    "q_audit_access" ->
+      s"""$auditCte
+         |SELECT data_source, access_type, COUNT(*) AS access_count,
+         |  CAST(SUM(CAST(json_extract_string(action_details, '$$.row_count') AS BIGINT)) AS BIGINT) AS total_rows
+         |FROM audit
+         |WHERE event_type = 'data_access'
+         |  AND action_timestamp >= TIMESTAMP '2024-01-01 00:00:00'
+         |  AND action_timestamp <= TIMESTAMP '2024-01-31 00:00:00'
+         |GROUP BY data_source, access_type""".stripMargin,
+
+    "q_audit_security" ->
+      s"""$auditCte
+         |SELECT audit_id, action_timestamp, user_id, action,
+         |  action_details, ip_address
+         |FROM audit
+         |WHERE event_type = 'security_event'
+         |  AND CAST(json_extract_string(action_details, '$$.success') AS BOOLEAN) = false
+         |  AND action_timestamp >= TIMESTAMP '2024-01-01 00:00:00'
+         |  AND action_timestamp <= TIMESTAMP '2024-01-31 00:00:00'
+         |ORDER BY action_timestamp DESC, audit_id DESC""".stripMargin
   )
 }

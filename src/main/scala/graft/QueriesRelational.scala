@@ -126,6 +126,19 @@ object QueriesRelational {
       graft.llm.Dedup.collapseNearDups(nameVocab(s, dir), "p_name",
           fuzzyNamePairs(s, dir), idACol = "name_a", idBCol = "name_b")
         .select(col("p_name"))
+    }),
+
+    // Morton (Z-order) interleave — the clustering key behind
+    // FileSink.writeZOrdered, checked value-exact against the same
+    // flat shift/mask formula in SQL (8 bits × 2 dims on customer ×
+    // order-day); the write path's layout guarantees are spec-tested
+    "q_zorder" -> ((s, dir) => {
+      val x = (col("o_custkey") % 256).cast("long")
+      val y = (datediff(to_date(col("o_orderdate")),
+        lit("1992-01-01").cast("date")) % 256).cast("long")
+      t(s, dir, "orders").select(
+        col("o_orderkey"), x.as("zx"), y.as("zy"),
+        graft.functions.ZOrder.interleave(Seq(x, y), 8).as("zvalue"))
     })
   )
 
@@ -301,6 +314,14 @@ object QueriesRelational {
 
     "q_dedup_collapse" ->
       (clusterCtes +
-        "\nSELECT p_name FROM v WHERE p_name NOT IN (SELECT node FROM l4 WHERE comp <> node)")
+        "\nSELECT p_name FROM v WHERE p_name NOT IN (SELECT node FROM l4 WHERE comp <> node)"),
+
+    "q_zorder" -> {
+      val x = "(o_custkey % 256)"
+      val y = "(datediff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE)) % 256)"
+      s"""SELECT o_orderkey, CAST($x AS BIGINT) AS zx, CAST($y AS BIGINT) AS zy,
+         |CAST(${graft.functions.ZOrder.interleaveSql(Seq(x, y), 8)} AS BIGINT) AS zvalue
+         |FROM orders""".stripMargin
+    }
   )
 }

@@ -116,6 +116,68 @@ object FileSink {
       .partitionBy("shard")
       .save(path)
   }
+
+  /** Z-order clustered write (Delta/Iceberg `OPTIMIZE ZORDER BY`
+    * semantics, see [[graft.functions.ZOrder]]): rows are range-
+    * partitioned and sorted by the Morton interleave of the
+    * clustering columns, so every output file carries TIGHT min/max
+    * parquet statistics on ALL of them — a selective read on any
+    * clustered column then skips most files/row groups, which is the
+    * difference between scanning 100 TB and scanning the ~1/cells
+    * slice a filter actually needs. One stats pass (2 scalars per
+    * column to the driver) + one range exchange; the sort rides the
+    * exchange's partitions.
+    */
+  def writeZOrdered(df: DataFrame, path: String, clusterCols: Seq[String],
+                    bits: Int = 12, numFiles: Int = 0,
+                    format: String = "parquet",
+                    mode: String = "overwrite"): Unit = {
+    require(clusterCols.nonEmpty, "clusterCols must be non-empty")
+    val z = graft.functions.ZOrder.scaleToGrid(df, clusterCols, bits)
+    val ranged =
+      if (numFiles > 0) z.repartitionByRange(numFiles, col("__zvalue"))
+      else z.repartitionByRange(col("__zvalue")) // spark.sql.shuffle.partitions
+    ranged.sortWithinPartitions("__zvalue")
+      .drop(clusterCols.map(c => s"__z_$c") :+ "__zvalue": _*)
+      .write.format(format).mode(mode).save(path)
+  }
+
+  /** Small-file compaction — the operational sweep every long-lived
+    * 100 TB dataset needs (streaming sinks and incremental appends
+    * accrete kilobyte files; a million tiny files makes listing and
+    * scan planning the bottleneck, not IO). Reads the dataset,
+    * coalesces to ceil(bytes/targetFileBytes) partitions (coalesce:
+    * no shuffle — it only merges read splits), and atomically swaps
+    * the rewritten copy in via [[graft.Recovery.idempotentWrite]]'s
+    * temp-dir + rename, so readers never observe a half-compacted
+    * dataset. Returns (filesBefore, filesAfter).
+    */
+  def compact(spark: org.apache.spark.sql.SparkSession, path: String,
+              targetFileBytes: Long = 128L * 1024 * 1024,
+              format: String = "parquet"): (Long, Long) = {
+    require(targetFileBytes > 0, "targetFileBytes > 0")
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def dataFiles() = {
+      val it = fs.listFiles(new org.apache.hadoop.fs.Path(path), true)
+      var files = Vector.empty[org.apache.hadoop.fs.LocatedFileStatus]
+      while (it.hasNext) {
+        val f = it.next()
+        val n = f.getPath.getName
+        if (!n.startsWith("_") && !n.startsWith(".")) files :+= f
+      }
+      files
+    }
+    val before = dataFiles()
+    val totalBytes = before.map(_.getLen).sum
+    val parts = math.max(1L, (totalBytes + targetFileBytes - 1) / targetFileBytes).toInt
+    // materialize the read plan BEFORE the swap deletes its input:
+    // idempotentWrite stages into a sibling temp dir first, so the
+    // source files are still present while the rewrite streams
+    val df = spark.read.format(format).load(path).coalesce(parts)
+    graft.Recovery.idempotentWrite(df, path, format)
+    (before.size.toLong, dataFiles().size.toLong)
+  }
 }
 
 /** JDBC source config — ref relational_connector.py:93. Builds the

@@ -765,4 +765,110 @@ class PipelineSourcesSpec extends SparkSpec {
     }
     assert(Catalog.connector(bad).isEmpty) // file formats stay file-loaded
   }
+
+  test("ZOrder: interleave bit layout, clustered write tightens per-file ranges, compact") {
+    import graft.functions.ZOrder
+    import spark.implicits._
+    // bit layout: col 0 owns the most-significant bit of each group
+    val pts = Seq((1L, 0L), (0L, 1L), (1L, 1L), (2L, 3L))
+      .toDF("x", "y")
+      .select(ZOrder.interleave(Seq(col("x"), col("y")), 2).as("z"))
+      .as[Long].collect().toSeq
+    assert(pts == Seq(2L, 1L, 3L, 13L))
+    // 1-d interleave is the identity on the masked bits
+    val ident = Seq(5L, 9L).toDF("x")
+      .select(ZOrder.interleave(Seq(col("x")), 4).as("z")).as[Long].collect()
+    assert(ident.toSeq == Seq(5L, 9L))
+
+    // clustered write: every file's min/max window on EVERY clustering
+    // column must be materially tighter than the global range
+    val orders = table("orders")
+    val dir = Files.createTempDirectory("graft_zorder").toString + "/orders_z"
+    FileSink.writeZOrdered(orders, dir, Seq("o_custkey", "o_totalprice"),
+      bits = 10, numFiles = 8)
+    val files = new java.io.File(dir).listFiles()
+      .filter(f => f.getName.startsWith("part-")).map(_.getPath).sorted
+    assert(files.length > 3, s"expected several files, got ${files.length}")
+    val back = spark.read.parquet(dir)
+    assert(back.count() == orders.count())
+    assert(back.columns.toSet == orders.columns.toSet) // helper cols dropped
+    def ranges(c: String): (Seq[Double], Double) = {
+      val per = files.toSeq.map { f =>
+        val r = spark.read.parquet(f)
+          .agg(min(col(c).cast("double")), max(col(c).cast("double"))).collect()(0)
+        r.getDouble(1) - r.getDouble(0)
+      }
+      val g = orders.agg(min(col(c).cast("double")), max(col(c).cast("double")))
+        .collect()(0)
+      (per, g.getDouble(1) - g.getDouble(0))
+    }
+    for (c <- Seq("o_custkey", "o_totalprice")) {
+      val (per, global) = ranges(c)
+      val avg = per.sum / per.length
+      assert(avg < 0.75 * global,
+        s"$c: avg per-file range $avg not tighter than global $global")
+    }
+
+    // compaction: many small files -> one, content preserved, atomic
+    val cdir = Files.createTempDirectory("graft_compact").toString + "/orders_many"
+    orders.repartition(16).write.parquet(cdir)
+    val (nBefore, nAfter) =
+      FileSink.compact(spark, cdir, targetFileBytes = 10L * 1024 * 1024 * 1024)
+    assert(nBefore == 16 && nAfter == 1)
+    assert(spark.read.parquet(cdir).count() == orders.count())
+  }
+
+  test("Audit: trail paging, config history, retention split, day-partitioned store") {
+    import graft.monitoring.Audit
+    import spark.implicits._
+    val audit = Seq(
+      // (audit_id, run_id, event_type, action, ts, user, details, ip, sess)
+      (1L, "r1", "config_change", "update", "2024-01-01 10:00:00",
+        "user-1", """{"table_name": "dq_rules", "record_id": "7", "success": true}""",
+        "10.0.0.1", "s1"),
+      (2L, "r1", "config_change", "update", "2024-01-02 10:00:00",
+        "user-2", """{"table_name": "dq_rules", "record_id": "7", "success": true}""",
+        "10.0.0.2", "s2"),
+      (3L, "r1", "config_change", "update", "2024-01-03 10:00:00",
+        "user-1", """{"table_name": "pipelines", "record_id": "7", "success": true}""",
+        "10.0.0.1", "s1"),
+      (4L, "r2", "security_event", "login", "2024-01-04 10:00:00",
+        "user-3", """{"success": false}""", "10.0.0.3", "s3"),
+      (5L, "r2", "data_access", "read", "2024-01-05 10:00:00",
+        "user-1", """{"row_count": 10, "success": true}""", "10.0.0.1", "s1"),
+      (6L, "r2", "data_access", "read", "2024-01-05 10:00:00", // ts tie with 5
+        "user-2", """{"row_count": 20, "success": true}""", "10.0.0.2", "s2"))
+      .toDF("audit_id", "run_id", "event_type", "action", "ts", "user_id",
+        "action_details", "ip_address", "session_id")
+      .withColumn("action_timestamp", to_timestamp(col("ts"))).drop("ts")
+      .withColumn("data_source", lit("t")).withColumn("access_type", lit("read"))
+
+    // paging: offset skips newest; the ts tie (5,6) breaks by audit_id desc
+    val page = Audit.trail(audit, Audit.TrailFilter(limit = 2, offset = 1))
+    assert(page.select("audit_id").as[Long].collect().toSeq == Seq(5L, 4L))
+    // filters compose (user + period)
+    val ua = Audit.userActivity(audit, "user-1", "2024-01-02 00:00:00",
+      "2024-01-31 00:00:00")
+    assert(ua.select("audit_id").as[Long].collect().toSeq == Seq(5L, 3L))
+    // config history matches BOTH json fields, newest first
+    val hist = Audit.configChangeHistory(audit, "dq_rules", "7")
+    assert(hist.select("audit_id").as[Long].collect().toSeq == Seq(2L, 1L))
+    // incidents: success=false only (true and absent both excluded)
+    val inc = Audit.securityIncidents(audit, "2024-01-01 00:00:00",
+      "2024-01-31 00:00:00")
+    assert(inc.select("audit_id").as[Long].collect().toSeq == Seq(4L))
+    // retention split is a partition of the input
+    val (kept, archived) = Audit.archiveSplit(audit, "2024-01-04 00:00:00")
+    assert(archived.select("audit_id").as[Long].collect().toSet == Set(1L, 2L, 3L))
+    assert(kept.count() + archived.count() == audit.count())
+
+    // append/load round-trip: day partitions exist and prune
+    val dir = Files.createTempDirectory("graft_audit").toString + "/audit"
+    Audit.append(audit, dir)
+    val back = Audit.load(spark, dir)
+    assert(back.count() == 6)
+    assert(new java.io.File(dir).listFiles().exists(_.getName == "action_date=2024-01-05"))
+    val pruned = back.filter(to_date(col("action_timestamp")) === "2024-01-05")
+    assert(pruned.count() == 2)
+  }
 }
