@@ -161,8 +161,56 @@ object QueriesPipeline {
     "q_audit_security" -> ((s, dir) => {
       Audit.securityIncidents(auditFrame(s, dir),
         "2024-01-01 00:00:00", "2024-01-31 00:00:00")
+    }),
+
+    // ---- synthetic data generation (ref mock_data_generator.py) ---
+    // Pure spark.range + codegen'd portable-PRNG expressions (no
+    // input IO, no shuffle, no driver data); hash-checked against
+    // DuckDB re-deriving every value from the same arithmetic — the
+    // cross-engine determinism contract the module documents.
+    "q_datagen" -> ((s, dir) => {
+      import graft.sources.Datagen, Datagen._
+      Datagen.table(s, 20000L, employeeFields, seed = 7L)
+    }),
+
+    // deterministic invalid-data injection (ref :49/:198/:228): the
+    // same error lottery DuckDB can replay — nulls planted in a
+    // non-nullable column, out-of-range values past the declared max
+    "q_datagen_errors" -> ((s, dir) => {
+      import graft.sources.Datagen
+      val base = Datagen.table(s, 20000L, employeeFields, seed = 7L)
+      Datagen.outOfRange(
+        Datagen.nullify(base, "name", 0.05, seed = 7L, salt = 1000L),
+        "age", declaredMax = 80L, rate = 0.1, seed = 7L, salt = 1001L)
     })
   )
+
+  private def employeeFields: Seq[graft.sources.Datagen.Field] = {
+    import graft.sources.Datagen._
+    Seq(
+      IntCol("age", 18, 80),
+      DoubleCol("salary", 30000.0, 120000.0),
+      StringCol("name", "emp"),
+      DateCol("hired", "2015-01-06", 3650),
+      TsCol("last_login", "2024-01-01 00:00:00", 2592000L),
+      BoolCol("active"),
+      CatCol("dept", Seq("eng", "sales", "ops")))
+  }
+
+  /** DuckDB mirror of [[employeeFields]] over the same PRNG. */
+  private def datagenSelect: String = {
+    import graft.sources.Datagen
+    def x(salt: Long) = Datagen.prngSql("id", 7L, salt)
+    s"""SELECT id AS row_id,
+       |18 + (${x(1)} % 63) AS age,
+       |30000.0 + (${x(2)} * 90000.0) / 2147483648.0 AS salary,
+       |'emp_' || ${x(3)} AS name,
+       |DATE '2015-01-06' + CAST(${x(4)} % 3650 AS INTEGER) AS hired,
+       |TIMESTAMP '2024-01-01 00:00:00' + (${x(5)} % 2592000) * INTERVAL 1 SECOND AS last_login,
+       |(${x(6)} % 2) = 1 AS active,
+       |CASE (${x(7)} % 3) WHEN 0 THEN 'eng' WHEN 1 THEN 'sales' ELSE 'ops' END AS dept
+       |FROM range(20000) t(id)""".stripMargin
+  }
 
   import org.apache.spark.sql.functions._
 
@@ -294,6 +342,22 @@ object QueriesPipeline {
          |  AND CAST(json_extract_string(action_details, '$$.success') AS BOOLEAN) = false
          |  AND action_timestamp >= TIMESTAMP '2024-01-01 00:00:00'
          |  AND action_timestamp <= TIMESTAMP '2024-01-31 00:00:00'
-         |ORDER BY action_timestamp DESC, audit_id DESC""".stripMargin
+         |ORDER BY action_timestamp DESC, audit_id DESC""".stripMargin,
+
+    "q_datagen" -> datagenSelect,
+
+    "q_datagen_errors" -> {
+      import graft.sources.Datagen
+      val nullHit = s"${Datagen.prngSql("row_id", 7L, 1000L)} < ${(0.05 * 2147483648L).toLong}"
+      val oorHit = s"${Datagen.prngSql("row_id", 7L, 1001L)} < ${(0.1 * 2147483648L).toLong}"
+      val oorVal = s"81 + (${Datagen.prngSql("row_id", 7L, 1001L)} % 100)"
+      s"""WITH base AS ($datagenSelect)
+         |SELECT row_id,
+         |CASE WHEN $oorHit THEN $oorVal ELSE age END AS age,
+         |salary,
+         |CASE WHEN $nullHit THEN NULL ELSE name END AS name,
+         |hired, last_login, active, dept
+         |FROM base""".stripMargin
+    }
   )
 }

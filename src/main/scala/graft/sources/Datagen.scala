@@ -1,0 +1,135 @@
+package graft.sources
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Distributed synthetic-data generation — the reference's
+  * MockDataGenerator (ref tests/mock_data_generator.py:31
+  * generate_valid_test_data, :49 generate_invalid_test_data, :110
+  * generate_performance_test_data) rebuilt for cluster scale: the
+  * reference fills pandas lists on one machine, so "performance test
+  * data" tops out at driver memory; here every value is a pure
+  * codegen'd expression over `spark.range(n)`, so a 100 TB test
+  * corpus is one narrow scan with NO input IO, no shuffle, and no
+  * driver data at all.
+  *
+  * Determinism contract: every value is a function of (row id, seed,
+  * column salt) through a portable 2-round LCG on 31-bit state —
+  * arithmetic that bigint SQL engines evaluate identically (no 64-bit
+  * overflow, no engine hash builtins), so generated data is
+  * reproducible across cluster sizes, partitionings AND engines
+  * (q_datagen hash-matches DuckDB running the same formula). Not
+  * cryptographic; statistical quality is "test data", not Monte
+  * Carlo.
+  */
+object Datagen {
+
+  /** Column specs mirroring mock_data_generator's schema dict types
+    * (ref :152-183: integer/float/string/date/datetime/boolean +
+    * categorical choice).
+    */
+  sealed trait Field { def name: String }
+  final case class IntCol(name: String, min: Long, max: Long) extends Field
+  final case class DoubleCol(name: String, min: Double, max: Double) extends Field
+  final case class StringCol(name: String, prefix: String = "str") extends Field
+  final case class DateCol(name: String, start: String, rangeDays: Int) extends Field
+  final case class TsCol(name: String, start: String, rangeSecs: Long) extends Field
+  final case class BoolCol(name: String) extends Field
+  final case class CatCol(name: String, values: Seq[String]) extends Field
+
+  private val M = 2147483648L // 2^31
+  private val A = 1103515245L
+  private val C = 12345L
+
+  /** Two LCG rounds over 31-bit state, seeded per (seed, salt):
+    * x0 = (id + seed*7919 + salt*104729) mod 2^31, then
+    * x = (x*A + C) mod 2^31 twice. Every intermediate product is
+    * < 2^61, so plain BIGINT arithmetic computes it exactly in any
+    * engine — the portability that lets the oracle re-derive the data.
+    */
+  def prng(id: Column, seed: Long, salt: Long): Column = {
+    val x0 = pmod(id + lit(seed * 7919L) + lit(salt * 104729L), lit(M))
+    val x1 = pmod(x0 * A + C, lit(M))
+    pmod(x1 * A + C, lit(M))
+  }
+
+  /** The same PRNG as SQL text, for oracle parity checks. */
+  def prngSql(idExpr: String, seed: Long, salt: Long): String = {
+    val x0 = s"((($idExpr) + ${seed * 7919L} + ${salt * 104729L}) % $M)"
+    val x1 = s"(($x0 * $A + $C) % $M)"
+    s"(($x1 * $A + $C) % $M)"
+  }
+
+  private def value(f: Field, x: Column): Column = f match {
+    case IntCol(_, mn, mx) => lit(mn) + pmod(x, lit(mx - mn + 1))
+    case DoubleCol(_, mn, mx) =>
+      lit(mn) + x.cast("double") * (mx - mn) / M.toDouble
+    case StringCol(_, p) => concat(lit(p + "_"), x)
+    case DateCol(_, start, days) =>
+      date_add(lit(start).cast("date"), pmod(x, lit(days.toLong)).cast("int"))
+    case TsCol(_, start, secs) =>
+      timestamp_seconds(
+        unix_seconds(to_timestamp(lit(start))) + pmod(x, lit(secs)))
+    case BoolCol(_) => pmod(x, lit(2L)) === 1L
+    case CatCol(_, vs) =>
+      element_at(array(vs.map(lit): _*), (pmod(x, lit(vs.size.toLong)) + 1L).cast("int"))
+  }
+
+  /** Generate `rows` rows of the schema — ref :31, distributed.
+    * `partitions` 0 = default parallelism. Column salt is the field's
+    * position, so adding a column never changes earlier columns.
+    */
+  def table(spark: SparkSession, rows: Long, fields: Seq[Field],
+            seed: Long = 42L, partitions: Int = 0): DataFrame = {
+    require(fields.nonEmpty, "fields must be non-empty")
+    val base = if (partitions > 0) spark.range(0L, rows, 1L, partitions)
+      else spark.range(rows)
+    val cols = col("id").as("row_id") +: fields.zipWithIndex.map {
+      case (f, i) => value(f, prng(col("id"), seed, i + 1L)).as(f.name)
+    }
+    base.select(cols: _*)
+  }
+
+  /** Deterministic error injection — ref :49/:198: each row draws its
+    * own error lottery per column; winners (rate fraction) get the
+    * error. `nullify` plants nulls in "non-nullable" columns;
+    * `outOfRange` pushes ints past the declared max (ref :228-231);
+    * `corruptFormat` replaces string values with a non-parseable
+    * token (ref :240 invalid date formats). Same lottery formula as
+    * the generator, salt offset 1000+i, so valid and invalid data
+    * stay independent.
+    */
+  def nullify(df: DataFrame, column: String, rate: Double,
+              seed: Long = 42L, salt: Long = 1000L): DataFrame =
+    df.withColumn(column,
+      when(hit(rate, seed, salt), lit(null)).otherwise(col(column)))
+
+  def outOfRange(df: DataFrame, column: String, declaredMax: Long,
+                 rate: Double, seed: Long = 42L, salt: Long = 1001L): DataFrame =
+    df.withColumn(column,
+      when(hit(rate, seed, salt),
+        lit(declaredMax) + 1L + pmod(prng(col("row_id"), seed, salt), lit(100L)))
+        .otherwise(col(column)))
+
+  def corruptFormat(df: DataFrame, column: String, token: String,
+                    rate: Double, seed: Long = 42L, salt: Long = 1002L): DataFrame =
+    df.withColumn(column,
+      when(hit(rate, seed, salt), lit(token)).otherwise(col(column)))
+
+  private def hit(rate: Double, seed: Long, salt: Long): Column =
+    prng(col("row_id"), seed, salt) < lit((rate * M).toLong)
+
+  /** Row count that approximates `targetBytes` on disk — ref :110
+    * sizes by GB from a fixed row-width estimate; same idea, from the
+    * schema: 8B per numeric/date, ~16B per string/category, 1B per
+    * bool (pre-compression estimate).
+    */
+  def rowsForBytes(fields: Seq[Field], targetBytes: Long): Long = {
+    val width = 8L + fields.map {
+      case _: StringCol | _: CatCol => 16L
+      case _: BoolCol => 1L
+      case _ => 8L
+    }.sum
+    math.max(1L, targetBytes / width)
+  }
+}

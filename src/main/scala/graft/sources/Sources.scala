@@ -117,6 +117,31 @@ object FileSink {
       .save(path)
   }
 
+  /** Dynamic partition overwrite: replace ONLY the hive partitions
+    * present in `df`, leaving sibling partitions untouched — the
+    * idempotent-restatement write an incremental daily load needs
+    * (re-running day D rewrites day D alone; plain "overwrite" would
+    * truncate the whole dataset, "append" would double-count the
+    * retry). Pairs with [[graft.incremental.Incremental]]'s
+    * watermark/CDC readers at 100 TB: each run touches its own
+    * partitions, full stop.
+    */
+  def replacePartitions(df: DataFrame, path: String,
+                        partitionCols: Seq[String],
+                        format: String = "parquet"): Unit = {
+    require(partitionCols.nonEmpty, "replacePartitions needs partition columns")
+    val spark = df.sparkSession
+    val key = "spark.sql.sources.partitionOverwriteMode"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "dynamic")
+    try df.write.format(format).mode("overwrite")
+      .partitionBy(partitionCols: _*).save(path)
+    finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   /** Z-order clustered write (Delta/Iceberg `OPTIMIZE ZORDER BY`
     * semantics, see [[graft.functions.ZOrder]]): rows are range-
     * partitioned and sorted by the Morton interleave of the

@@ -818,6 +818,52 @@ class PipelineSourcesSpec extends SparkSpec {
     assert(spark.read.parquet(cdir).count() == orders.count())
   }
 
+  test("Datagen: partitioning-invariant values, bounded ranges, error rates, sizing") {
+    import graft.sources.Datagen, Datagen._
+    val fields = Seq(IntCol("age", 18, 80), DoubleCol("p", 0.0, 1.0),
+      CatCol("c", Seq("a", "b")))
+    // same seed, different partitionings -> identical data (the
+    // cluster-resize reproducibility contract)
+    val d2 = Datagen.table(spark, 5000, fields, seed = 9, partitions = 2)
+    val d17 = Datagen.table(spark, 5000, fields, seed = 9, partitions = 17)
+    assert(d2.exceptAll(d17).isEmpty && d17.exceptAll(d2).isEmpty)
+    // declared bounds hold
+    val r = d2.agg(min(col("age")), max(col("age")), min(col("p")),
+      max(col("p"))).collect()(0)
+    assert(r.getLong(0) >= 18 && r.getLong(1) <= 80)
+    assert(r.getDouble(2) >= 0.0 && r.getDouble(3) < 1.0)
+    // a different seed changes the stream
+    assert(!Datagen.table(spark, 5000, fields, seed = 10, partitions = 2)
+      .exceptAll(d2).isEmpty)
+    // error lottery lands near the declared rate and only there
+    val dirty = Datagen.outOfRange(Datagen.nullify(d2, "c", 0.2, seed = 9),
+      "age", declaredMax = 80, rate = 0.1, seed = 9)
+    val nNull = dirty.filter(col("c").isNull).count()
+    assert(math.abs(nNull / 5000.0 - 0.2) < 0.03, s"null rate ${nNull / 5000.0}")
+    val nOor = dirty.filter(col("age") > 80).count()
+    assert(math.abs(nOor / 5000.0 - 0.1) < 0.03, s"oor rate ${nOor / 5000.0}")
+    assert(dirty.filter(col("age") < 18).count() == 0)
+    // sizing: 3 numeric-ish fields + id -> width 8+8+8+16 = 40
+    assert(Datagen.rowsForBytes(fields, 4000L) == 100L)
+  }
+
+  test("replacePartitions rewrites only the partitions present in the batch") {
+    val dir = Files.createTempDirectory("graft_dynpart").toString + "/days"
+    import spark.implicits._
+    Seq(("2024-01-01", 1L, "orig"), ("2024-01-02", 2L, "orig"))
+      .toDF("day", "k", "v").write.partitionBy("day").parquet(dir)
+    // restate day 2 only — one row, new content
+    FileSink.replacePartitions(
+      Seq(("2024-01-02", 9L, "fixed")).toDF("day", "k", "v"),
+      dir, Seq("day"))
+    val back = spark.read.parquet(dir).select("day", "k", "v")
+      .as[(String, Long, String)].collect().toSet
+    assert(back == Set(("2024-01-01", 1L, "orig"), ("2024-01-02", 9L, "fixed")))
+    // the session conf did not leak
+    assert(!spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+      .contains("dynamic"))
+  }
+
   test("Audit: trail paging, config history, retention split, day-partitioned store") {
     import graft.monitoring.Audit
     import spark.implicits._
