@@ -119,6 +119,55 @@ object Datagen {
   private def hit(rate: Double, seed: Long, salt: Long): Column =
     prng(col("row_id"), seed, salt) < lit((rate * M).toLong)
 
+  /** One row per edge case — ref :81 generate_edge_case_data /
+    * :245 _generate_edge_case_value: boundary and hostile values per
+    * column type, for screening a pipeline before real data hits it.
+    * A handful of literal rows (that is the reference semantics too);
+    * the row carries a `case` tag column. Unknown case names fall
+    * back to a valid value, as the reference does.
+    */
+  def edgeCases(spark: SparkSession, fields: Seq[Field],
+                cases: Seq[String] = Seq("minimum_value", "maximum_value",
+                  "zero", "empty_string", "unicode_characters",
+                  "special_characters", "null_value"),
+                seed: Long = 42L): DataFrame = {
+    val frames = cases.zipWithIndex.map { case (cs, ci) =>
+      val cols = lit(cs).as("case") +: lit(ci.toLong).as("row_id") +:
+        fields.zipWithIndex.map { case (f, i) =>
+          edgeValue(f, cs, prng(lit(ci.toLong), seed, i + 1L)).as(f.name)
+        }
+      spark.range(1).select(cols: _*)
+    }
+    frames.reduce(_ unionByName _)
+  }
+
+  private def edgeValue(f: Field, cs: String, x: Column): Column = (cs, f) match {
+    case ("null_value", _) => typedNull(f)
+    case ("minimum_value", IntCol(_, mn, _)) => lit(mn)
+    case ("minimum_value", DoubleCol(_, mn, _)) => lit(mn)
+    case ("maximum_value", IntCol(_, _, mx)) => lit(mx)
+    case ("maximum_value", DoubleCol(_, _, mx)) => lit(mx)
+    case ("maximum_value", _: StringCol) => lit("x" * 1000)
+    case ("zero", IntCol(_, _, _)) => lit(0L)
+    case ("zero", DoubleCol(_, _, _)) => lit(0.0)
+    case ("empty_string", _: StringCol | _: CatCol) => lit("")
+    case ("unicode_characters", _: StringCol | _: CatCol) => lit("测试数据🚀")
+    case ("special_characters", _: StringCol | _: CatCol) =>
+      lit("!@#$%^&*()[]{}|;:,.<>?`~")
+    case ("minimum_value" | "maximum_value" | "zero" | "empty_string" |
+          "unicode_characters" | "special_characters", _) => typedNull(f)
+    case _ => value(f, x) // unknown case name -> a valid value (ref :276)
+  }
+
+  private def typedNull(f: Field): Column = f match {
+    case _: IntCol => lit(null).cast("long")
+    case _: DoubleCol => lit(null).cast("double")
+    case _: DateCol => lit(null).cast("date")
+    case _: TsCol => lit(null).cast("timestamp")
+    case _: BoolCol => lit(null).cast("boolean")
+    case _ => lit(null).cast("string")
+  }
+
   /** Row count that approximates `targetBytes` on disk — ref :110
     * sizes by GB from a fixed row-width estimate; same idea, from the
     * schema: 8B per numeric/date, ~16B per string/category, 1B per

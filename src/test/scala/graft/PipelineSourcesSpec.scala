@@ -845,6 +845,19 @@ class PipelineSourcesSpec extends SparkSpec {
     assert(dirty.filter(col("age") < 18).count() == 0)
     // sizing: 3 numeric-ish fields + id -> width 8+8+8+16 = 40
     assert(Datagen.rowsForBytes(fields, 4000L) == 100L)
+
+    // edge cases: one tagged row per case, typed boundary values
+    val edges = Datagen.edgeCases(spark, fields :+ StringCol("s"))
+    assert(edges.count() == 7)
+    val byCase = edges.collect().map(r => r.getAs[String]("case") -> r).toMap
+    assert(byCase("minimum_value").getAs[Long]("age") == 18)
+    assert(byCase("maximum_value").getAs[Long]("age") == 80)
+    assert(byCase("maximum_value").getAs[String]("s") == "x" * 1000)
+    assert(byCase("zero").getAs[Double]("p") == 0.0)
+    assert(byCase("empty_string").getAs[String]("s") == "")
+    assert(byCase("empty_string").isNullAt(byCase("empty_string").fieldIndex("age")))
+    assert(byCase("null_value").isNullAt(byCase("null_value").fieldIndex("c")))
+    assert(byCase("unicode_characters").getAs[String]("s").nonEmpty)
   }
 
   test("replacePartitions rewrites only the partitions present in the batch") {
