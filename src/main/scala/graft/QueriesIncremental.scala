@@ -112,6 +112,23 @@ object QueriesIncremental {
     }),
 
     // gap detection — ref :480
+    // incremental distinct-count maintenance via mergeable HLL
+    // sketches: per-day slices sketched independently (what each
+    // load run would persist), rolled up by union — never a rescan.
+    // rows-only (sketch estimates are engine-specific); the exact
+    // companion below pins the same rollup against COUNT(DISTINCT)
+    "q_incr_distinct_sketch" -> ((s, dir) => {
+      val daily = Incremental.distinctSketch(
+        t(s, dir, "events").withColumn("day", to_date(col("ts"))),
+        Seq("event_type", "day"), "user_id")
+      Incremental.rollupDistinct(daily, Seq("event_type"))
+    }),
+
+    "q_incr_distinct_exact" -> ((s, dir) => {
+      t(s, dir, "events").groupBy(col("event_type"))
+        .agg(countDistinct(col("user_id")).as("n_users"))
+    }),
+
     "q_incr_gaps" -> ((s, dir) => {
       Incremental.gaps(t(s, dir, "lineitem"), "l_orderkey", 1.0, 1.5)
     }),
@@ -248,6 +265,10 @@ object QueriesIncremental {
         |WHERE c_custkey NOT IN (SELECT c_custkey FROM latest)
         |UNION ALL
         |SELECT c_custkey, c_acctbal FROM latest WHERE UPPER(op) <> 'D'""".stripMargin,
+
+    "q_incr_distinct_exact" ->
+      """SELECT event_type, COUNT(DISTINCT user_id) AS n_users
+        |FROM events GROUP BY event_type""".stripMargin,
 
     "q_incr_gaps" ->
       """WITH d AS (SELECT DISTINCT l_orderkey FROM lineitem),

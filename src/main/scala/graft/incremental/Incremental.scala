@@ -292,6 +292,34 @@ object Incremental {
     *
     * Both plans produce identical output.
     */
+  /** Mergeable distinct-count maintenance: one HLL sketch per group
+    * (Spark's built-in DataSketches HllSketch agg), persistable as a
+    * binary column. The 100 TB use: computing "distinct users per
+    * day" exactly needs re-scanning all history on every load;
+    * sketches make it INCREMENTAL — each run sketches only its own
+    * slice (`distinctSketch`), appends the bytes, and any rollup over
+    * any date range is a cheap union of kilobyte sketches
+    * (`rollupDistinct`), never a rescan. Estimate error ~1.6% at the
+    * default lgK=12 (spec-bounded against exact counts).
+    */
+  def distinctSketch(df: DataFrame, groupCols: Seq[String], keyCol: String,
+                     lgConfigK: Int = 12): DataFrame =
+    df.groupBy(groupCols.map(col): _*)
+      .agg(hll_sketch_agg(col(keyCol), lit(lgConfigK)).as("key_sketch"))
+
+  /** Union previously-materialized sketches up to a coarser grain and
+    * estimate. `sketches` is any union of [[distinctSketch]] outputs
+    * (overlapping slices are fine — that is the point of a sketch:
+    * union is idempotent on duplicates of the same key).
+    */
+  def rollupDistinct(sketches: DataFrame, groupCols: Seq[String],
+                     sketchCol: String = "key_sketch"): DataFrame = {
+    val g = sketches.groupBy(groupCols.map(col): _*)
+      .agg(hll_union_agg(col(sketchCol)).as("__u"))
+    g.select(groupCols.map(col) :+
+      hll_sketch_estimate(col("__u")).cast("long").as("approx_distinct"): _*)
+  }
+
   def gaps(df: DataFrame, seqCol: String, expectedStep: Double = 1.0,
            tolerance: Double = 1.5, maxBuckets: Int = 64,
            smallDistinct: Long = 1L << 20): DataFrame = {

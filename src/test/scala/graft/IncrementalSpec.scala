@@ -176,4 +176,34 @@ class IncrementalSpec extends SparkSpec {
       .select("id").as[Int].collect()
     assert(late.toSeq == Seq(1, 2))
   }
+
+  test("distinctSketch/rollupDistinct: incremental union, overlap-idempotent, bounded error") {
+    val events = table("events").withColumn("day", to_date(col("ts")))
+    val exact = events.groupBy("event_type")
+      .agg(countDistinct(col("user_id")).as("n")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+
+    // per-day slices sketched independently (what each load persists),
+    // rolled up by union — the incremental path
+    val daily = Incremental.distinctSketch(events, Seq("event_type", "day"), "user_id")
+    val rolled = Incremental.rollupDistinct(daily, Seq("event_type")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(rolled.keySet == exact.keySet)
+    for ((k, ex) <- exact) {
+      val err = math.abs(rolled(k) - ex).toDouble / ex
+      assert(err < 0.05, s"$k: estimate ${rolled(k)} vs exact $ex (err $err)")
+    }
+
+    // overlapping slices change nothing: union is idempotent on
+    // re-sketched duplicates of the same keys (the retry/replay case)
+    val overlapped = Incremental.rollupDistinct(daily.unionByName(daily),
+      Seq("event_type")).collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(overlapped == rolled)
+
+    // single-pass whole-data sketch agrees with the incremental union
+    val whole = Incremental.rollupDistinct(
+      Incremental.distinctSketch(events, Seq("event_type"), "user_id"),
+      Seq("event_type")).collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(whole == rolled)
+  }
 }
