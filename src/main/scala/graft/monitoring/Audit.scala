@@ -108,11 +108,15 @@ object Audit {
       .orderBy(col("action_timestamp").desc, col("audit_id").desc)
       .select("audit_id", "action_timestamp", "user_id", "action_details")
 
-  /** One user's actions over a period — ref :271. */
+  /** One user's actions over a period — ref :271. Unpaged (the
+    * reference returns the full window), so no limit rides the sort —
+    * a single user's slice is bounded by construction.
+    */
   def userActivity(audit: DataFrame, userId: String, start: String,
                    end: String): DataFrame =
-    trail(audit, TrailFilter(userId = Some(userId), start = Some(start),
-      end = Some(end), limit = Int.MaxValue - 1))
+    audit.filter(cond(TrailFilter(userId = Some(userId),
+        start = Some(start), end = Some(end))))
+      .orderBy(col("action_timestamp").desc, col("audit_id").desc)
       .select("audit_id", "event_type", "action", "action_timestamp",
         "action_details", "ip_address", "session_id")
 

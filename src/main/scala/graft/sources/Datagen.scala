@@ -60,6 +60,15 @@ object Datagen {
     s"(($x1 * $A + $C) % $M)"
   }
 
+  private def validate(f: Field): Unit = f match {
+    case IntCol(n, mn, mx) => require(mx >= mn, s"$n: max < min")
+    case DoubleCol(n, mn, mx) => require(mx >= mn, s"$n: max < min")
+    case TsCol(n, _, secs) => require(secs > 0, s"$n: rangeSecs <= 0")
+    case DateCol(n, _, days) => require(days > 0, s"$n: rangeDays <= 0")
+    case CatCol(n, vs) => require(vs.nonEmpty, s"$n: empty category list")
+    case _ => ()
+  }
+
   private def value(f: Field, x: Column): Column = f match {
     case IntCol(_, mn, mx) => lit(mn) + pmod(x, lit(mx - mn + 1))
     case DoubleCol(_, mn, mx) =>
@@ -82,6 +91,7 @@ object Datagen {
   def table(spark: SparkSession, rows: Long, fields: Seq[Field],
             seed: Long = 42L, partitions: Int = 0): DataFrame = {
     require(fields.nonEmpty, "fields must be non-empty")
+    fields.foreach(validate)
     val base = if (partitions > 0) spark.range(0L, rows, 1L, partitions)
       else spark.range(rows)
     val cols = col("id").as("row_id") +: fields.zipWithIndex.map {

@@ -194,6 +194,11 @@ object FileSink {
       files
     }
     val before = dataFiles()
+    // a hive-partitioned tree must be compacted per partition — a
+    // whole-tree rewrite would flatten the partition columns into the
+    // data files and break downstream pruning
+    require(!before.exists(_.getPath.getParent.getName.contains("=")),
+      s"$path is hive-partitioned; compact each partition directory instead")
     val totalBytes = before.map(_.getLen).sum
     val parts = math.max(1L, (totalBytes + targetFileBytes - 1) / targetFileBytes).toInt
     // materialize the read plan BEFORE the swap deletes its input:
