@@ -65,6 +65,23 @@ object QueriesAnomaly {
         keyCols = Seq("event_id"), minVotes = 2)
     }),
 
+    // severity triage over the ensemble vote share — ref
+    // anomaly_manager.py:335 classify_severity (vote-share confidence
+    // = votes/detectors, the ref ensemble_vote:355 definition, so the
+    // bands are float-exact on both engines)
+    "q_anom_severity" -> ((s, dir) => {
+      val e = ev(s, dir)
+      Anomaly.ensemble(Seq(
+          (Anomaly.zscore(e, "value", 3.0), "z"),
+          (Anomaly.iqr(e, "value", 1.5), "conf"),
+          (Anomaly.movingAvg(e, "value", Seq("user_id"),
+            Seq(col("ts").asc, col("event_id").asc), 7, 2.0), "z")),
+          keyCols = Seq("event_id"), minVotes = 2)
+        .withColumn("conf", col("votes").cast("double") / 3.0)
+        .select(col("event_id"), col("votes"), col("conf"),
+          Anomaly.classifySeverity(col("conf")).as("severity"))
+    }),
+
     // stl-ish seasonal residual — ref anomaly_manager.py:262
     "q_anom_seasonal" -> ((s, dir) => {
       Anomaly.seasonalResidual(ev(s, dir), "value", hour(col("ts")), threshold = 2.5)
@@ -204,6 +221,27 @@ object QueriesAnomaly {
       |  WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id
       |                 ROWS BETWEEN 6 PRECEDING AND CURRENT ROW))""".stripMargin
 
+  private def ensembleSql: String =
+    s"""WITH zs AS (
+       |  SELECT event_id, ABS(value - s.m) / s.sd AS conf
+       |  FROM events, (SELECT ${Det.sqlMeanAt("value", 6)} AS m,
+       |                       ${Det.sqlStddevAt("value", 6)} AS sd FROM events) s
+       |  WHERE ABS(value - s.m) / s.sd > 3.0),
+       |iq AS (
+       |  SELECT event_id,
+       |    ABS(value - (s.q1 + s.q3) / 2.0) / ((s.q3 - s.q1) / 2.0) AS conf
+       |  FROM events, (SELECT quantile_cont(value, 0.25) AS q1,
+       |                       quantile_cont(value, 0.75) AS q3 FROM events) s
+       |  WHERE value < s.q1 - 1.5 * (s.q3 - s.q1)
+       |     OR value > s.q3 + 1.5 * (s.q3 - s.q1)),
+       |$movavgCte ,
+       |mv AS (
+       |  SELECT event_id, $movavgZ AS conf
+       |  FROM w WHERE n = 7 AND $movavgZ > 2.0),
+       |allv AS (SELECT * FROM zs UNION ALL SELECT * FROM iq UNION ALL SELECT * FROM mv)
+       |SELECT event_id, COUNT(*) AS votes, MAX(conf) AS max_conf
+       |FROM allv GROUP BY event_id HAVING COUNT(*) >= 2""".stripMargin
+
   private val movavgZ =
     "ABS(value - s/n) / SQRT(GREATEST(0.0, (s2 - s*s/n) / (n - 1.0)))"
 
@@ -295,26 +333,15 @@ object QueriesAnomaly {
          |SELECT event_id, user_id, value, $movavgZ AS z
          |FROM w WHERE n = 7 AND $movavgZ > 2.0""".stripMargin,
 
-    "q_anom_ensemble" ->
-      s"""WITH zs AS (
-         |  SELECT event_id, ABS(value - s.m) / s.sd AS conf
-         |  FROM events, (SELECT ${Det.sqlMeanAt("value", 6)} AS m,
-         |                       ${Det.sqlStddevAt("value", 6)} AS sd FROM events) s
-         |  WHERE ABS(value - s.m) / s.sd > 3.0),
-         |iq AS (
-         |  SELECT event_id,
-         |    ABS(value - (s.q1 + s.q3) / 2.0) / ((s.q3 - s.q1) / 2.0) AS conf
-         |  FROM events, (SELECT quantile_cont(value, 0.25) AS q1,
-         |                       quantile_cont(value, 0.75) AS q3 FROM events) s
-         |  WHERE value < s.q1 - 1.5 * (s.q3 - s.q1)
-         |     OR value > s.q3 + 1.5 * (s.q3 - s.q1)),
-         |$movavgCte ,
-         |mv AS (
-         |  SELECT event_id, $movavgZ AS conf
-         |  FROM w WHERE n = 7 AND $movavgZ > 2.0),
-         |allv AS (SELECT * FROM zs UNION ALL SELECT * FROM iq UNION ALL SELECT * FROM mv)
-         |SELECT event_id, COUNT(*) AS votes, MAX(conf) AS max_conf
-         |FROM allv GROUP BY event_id HAVING COUNT(*) >= 2""".stripMargin,
+    "q_anom_ensemble" -> ensembleSql,
+
+    "q_anom_severity" ->
+      s"""WITH e AS ($ensembleSql)
+         |SELECT event_id, votes, CAST(votes AS DOUBLE) / 3.0 AS conf,
+         |CASE WHEN CAST(votes AS DOUBLE) / 3.0 > 0.8 THEN 'high'
+         |     WHEN CAST(votes AS DOUBLE) / 3.0 > 0.5 THEN 'medium'
+         |     ELSE 'low' END AS severity
+         |FROM e""".stripMargin,
 
     "q_anom_seasonal" ->
       s"""WITH k AS (SELECT event_id, value, hour(ts) AS season FROM events),

@@ -523,6 +523,40 @@ object Anomaly {
     * needs `keyCols`; `confCol` (per-frame confidence column) feeds the
     * reported max confidence.
     */
+  /** Severity bands over a [0,1] confidence — ref anomaly_manager.py:335
+    * classify_severity (same default thresholds).
+    */
+  def classifySeverity(conf: Column, high: Double = 0.8,
+                       medium: Double = 0.5): Column =
+    when(conf > high, "high").when(conf > medium, "medium").otherwise("low")
+
+  /** False-positive screen — ref :363 filter_false_positives (the
+    * reference is a rule-hook placeholder; these are the two screens
+    * a production run actually applies): a confidence floor, and an
+    * optional known-benign key allowlist removed with a broadcast
+    * anti-join (the allowlist is ops-curated, i.e. small).
+    */
+  def filterFalsePositives(detections: DataFrame, confCol: String,
+                           minConf: Double, benign: Option[DataFrame] = None,
+                           keyCols: Seq[String] = Nil): DataFrame = {
+    val floored = detections.filter(col(confCol) >= minConf)
+    benign.fold(floored) { b =>
+      require(keyCols.nonEmpty, "benign allowlist needs keyCols")
+      floored.join(broadcast(b.select(keyCols.map(col): _*).distinct()),
+        keyCols, "left_anti")
+    }
+  }
+
+  /** Top-n sample records for triage — ref :402 get_anomaly_samples,
+    * made deterministic: highest confidence first with an explicit
+    * tie-break (the reference takes the first n in frame order, which
+    * is nondeterministic under any parallel execution).
+    * TakeOrderedAndProject per-partition heaps — no global sort.
+    */
+  def samples(detections: DataFrame, confCol: String,
+              tieBreak: Seq[Column], n: Int = 10): DataFrame =
+    detections.orderBy(col(confCol).desc +: tieBreak: _*).limit(n)
+
   def ensemble(detections: Seq[(DataFrame, String)], keyCols: Seq[String],
                minVotes: Int = 2): DataFrame = {
     require(detections.nonEmpty)

@@ -160,7 +160,12 @@ final case class RestSource(
     * the API's diagnostic isn't lost and the keep-alive connection can
     * be reused across retries. Runs executor-side.
     */
-  def fetch(url: String): String = {
+  def fetch(url: String): String = request(url, None)
+
+  /** POST with a JSON body through the same retry/auth machinery. */
+  def fetchPost(url: String, body: String): String = request(url, Some(body))
+
+  private def request(url: String, postBody: Option[String]): String = {
     var attempt = 0
     var last: Throwable = null
     var retriedAuth = false
@@ -174,6 +179,13 @@ final case class RestSource(
         conn.setConnectTimeout(timeoutMs)
         conn.setReadTimeout(timeoutMs)
         (headers ++ authHeaders).foreach { case (k, v) => conn.setRequestProperty(k, v) }
+        postBody.foreach { b =>
+          conn.setRequestMethod("POST")
+          conn.setRequestProperty("Content-Type", "application/json")
+          conn.setDoOutput(true)
+          val os = conn.getOutputStream
+          try os.write(b.getBytes(StandardCharsets.UTF_8)) finally os.close()
+        }
         val code = conn.getResponseCode
         if (code >= 200 && code < 300) {
           val in = conn.getInputStream
@@ -268,6 +280,35 @@ final case class RestSource(
     * — an HTTP-level error retries/fails loudly, so a payload-level
     * one must too.
     */
+  /** GraphQL query — ref api_connector.py:287 graphql_query: POST
+    * `{"query":…, "variables":…}` to the graphql endpoint (one
+    * request; GraphQL pagination is API-specific cursors, out of a
+    * generic connector's scope — as in the reference). The record
+    * array is expected at `data.<rootField>` and parses distributed
+    * against the declared schema like every other read; an
+    * errors-only response (data null) fails loudly through the same
+    * no-parsable-array check.
+    */
+  def readGraphql(spark: SparkSession, schema: StructType, query: String,
+                  rootField: String,
+                  variables: Map[String, String] = Map.empty,
+                  graphqlEndpoint: String = "graphql"): DataFrame = {
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val payload = mapper.createObjectNode()
+    payload.put("query", query)
+    if (variables.nonEmpty) {
+      val vs = payload.putObject("variables")
+      variables.foreach { case (k, v) => vs.put(k, v) }
+    }
+    val body = mapper.writeValueAsString(payload)
+    val url = s"${baseUrl.stripSuffix("/")}/${graphqlEndpoint.stripPrefix("/")}"
+    val self = this
+    val bodies = spark.createDataset(Seq(url))(Encoders.STRING)
+      .map(u => self.fetchPost(u, body))(Encoders.STRING)
+      .toDF("__body")
+    copy(dataField = s"data.$rootField").parseBodies(bodies, schema)
+  }
+
   private def parseBodies(bodies: DataFrame, schema: StructType): DataFrame = {
     val arrJson =
       if (dataField.isEmpty) col("__body")

@@ -276,4 +276,29 @@ class AnomalySpec extends SparkSpec {
     assert(Anomaly.prophetResidual(df2, "v", col("day"), col("s"),
       Seq("series"), threshold = 3.0).count() == 0L)
   }
+
+  test("severity bands, false-positive screens, deterministic samples") {
+    val det = Seq((1L, 0.95), (2L, 0.7), (3L, 0.3), (4L, 0.81), (5L, 0.5))
+      .toDF("id", "conf")
+    // ref :335 thresholds: > .8 high, > .5 medium (boundaries exclusive)
+    val sev = det.withColumn("s", Anomaly.classifySeverity(col("conf")))
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(sev == Map(1L -> "high", 2L -> "medium", 3L -> "low",
+      4L -> "high", 5L -> "low"))
+    // confidence floor alone
+    assert(Anomaly.filterFalsePositives(det, "conf", 0.5)
+      .select("id").as[Long].collect().toSet == Set(1L, 2L, 4L, 5L))
+    // + benign allowlist removed by anti-join
+    val benign = Seq(4L).toDF("id")
+    assert(Anomaly.filterFalsePositives(det, "conf", 0.5, Some(benign), Seq("id"))
+      .select("id").as[Long].collect().toSet == Set(1L, 2L, 5L))
+    intercept[IllegalArgumentException](
+      Anomaly.filterFalsePositives(det, "conf", 0.5, Some(benign)))
+    // samples: highest-confidence first, repartition-proof
+    val s1 = Anomaly.samples(det, "conf", Seq(col("id")), 3)
+      .select("id").as[Long].collect().toSeq
+    val s2 = Anomaly.samples(det.repartition(7), "conf", Seq(col("id")), 3)
+      .select("id").as[Long].collect().toSeq
+    assert(s1 == Seq(1L, 4L, 2L) && s2 == s1)
+  }
 }

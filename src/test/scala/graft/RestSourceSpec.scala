@@ -102,9 +102,26 @@ class RestSourceSpec extends SparkSpec with org.scalatest.BeforeAndAfterAll {
         respond(ex, 200, s"""{"data": [${recs.mkString(",")}], "page": $page}""")
       }
     })
+    // GraphQL endpoint: POST-only, echoes records under data.<root>
+    // when the query names `users`; unknown roots get an errors-only
+    // response with data null (the GraphQL error envelope)
+    server.createContext("/api/graphql", (ex: HttpExchange) => {
+      val body = new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
+      lastGraphqlBody = Some(body)
+      if (ex.getRequestMethod != "POST")
+        respond(ex, 405, "graphql is POST-only")
+      else if (body.contains("users")) {
+        val n = if (body.contains("\"limit\":\"3\"")) 3 else 2
+        val recs = (1 to n).map(i => s"""{"id": $i, "name": "user$i", "price": $i.5}""")
+        respond(ex, 200, s"""{"data": {"users": [${recs.mkString(",")}]}}""")
+      } else
+        respond(ex, 200, """{"data": null, "errors": [{"message": "unknown root"}]}""")
+    })
     server.start()
     base = s"http://127.0.0.1:${server.getAddress.getPort}"
   }
+
+  @volatile private var lastGraphqlBody: Option[String] = None
 
   private val tokensIssued = new AtomicInteger(0)
   private val tokenFailuresLeft = new AtomicInteger(0)
@@ -247,6 +264,33 @@ class RestSourceSpec extends SparkSpec with org.scalatest.BeforeAndAfterAll {
     tokenFailuresLeft.set(1)
     assert(src.copy(backoffMs = 1).fetch(src.pageUrl(1)).contains("item1"))
     assert(tokenFailuresLeft.get() <= 0)
+  }
+
+  test("graphql: POST payload with variables, records parsed from data.<root>") {
+    val src = RestSource(base, "/api/graphql")
+    val df = src.readGraphql(spark, schema,
+      query = "query($limit: Int) { users(limit: $limit) { id name price } }",
+      rootField = "users", variables = Map("limit" -> "3"),
+      graphqlEndpoint = "/api/graphql")
+    val rows = df.orderBy("id").collect()
+    assert(rows.length == 3)
+    assert(rows.map(_.getString(1)).toSeq == Seq("user1", "user2", "user3"))
+    // the wire payload is the reference's {"query":…, "variables":…}
+    val sent = lastGraphqlBody.get
+    assert(sent.contains("\"query\"") && sent.contains("\"variables\"") &&
+      sent.contains("\"limit\":\"3\""))
+    // no variables -> no variables key on the wire (ref :304)
+    src.readGraphql(spark, schema,
+      query = "{ users { id name price } }", rootField = "users",
+      graphqlEndpoint = "/api/graphql").collect()
+    assert(!lastGraphqlBody.get.contains("variables"))
+    // an errors-only envelope (data null) fails loudly, not 0 rows
+    val err = intercept[Exception] { // raise_error surfaces as SparkRuntimeException
+      src.readGraphql(spark, schema, query = "{ nope { id } }",
+        rootField = "nope", graphqlEndpoint = "/api/graphql").collect()
+    }
+    assert((err.getMessage + Option(err.getCause).fold("")(_.getMessage))
+      .contains("no parsable"))
   }
 
   test("NoSqlSource builds the documented connector configuration") {
