@@ -94,6 +94,26 @@ object Lineage {
     plan.output.map(a => a.name -> m.getOrElse(a.exprId, Set.empty[String])).toMap
   }
 
+  /** Upstream dependencies of one output column — ref
+    * data_lineage_tracker.py get_upstream_dependencies /
+    * get_column_lineage: the source columns it derives from.
+    */
+  def upstream(df: DataFrame, outputCol: String): Set[String] =
+    columnLineage(df).getOrElse(outputCol,
+      throw new IllegalArgumentException(
+        s"'$outputCol' is not an output column of this frame"))
+
+  /** Impact analysis — ref analyze_impact / get_downstream_dependencies
+    * inverted from the same tree: which OUTPUT columns would a change
+    * to `sourceCol` (a "source.column" leaf, or a bare column name
+    * matching any leaf) touch.
+    */
+  def impact(df: DataFrame, sourceCol: String): Set[String] =
+    columnLineage(df).collect {
+      case (out, srcs) if srcs.contains(sourceCol) ||
+        srcs.exists(_.endsWith("." + sourceCol)) => out
+    }.toSet
+
   private def leafName(leaf: LogicalPlan): String = leaf match {
     case lr: LogicalRelation =>
       lr.catalogTable.map(_.identifier.unquotedString).getOrElse(lr.relation match {

@@ -141,4 +141,102 @@ object Recovery {
       idempotentWrite(stage, path, format)
     spark.read.format(format).load(path)
   }
+
+  // ---- retry / classification (ref error_recovery.py:157-257) -----
+
+  /** Error taxonomy — ref :184 classify_error's four buckets. */
+  sealed trait ErrorType
+  case object Transient extends ErrorType
+  case object Configuration extends ErrorType
+  case object DataError extends ErrorType
+  case object SystemError extends ErrorType
+  case object Unknown extends ErrorType
+
+  private val transientPatterns = Seq(
+    "timeout", "connection lost", "connection reset", "connection refused",
+    "lock timeout", "deadlock", "temporary failure", "service unavailable",
+    "network", "socket", "http 5", "502", "503", "504")
+  private val configPatterns = Seq(
+    "invalid config", "missing credential", "permission denied",
+    "access denied", "authentication failed", "unauthorized", "invalid key",
+    "config error", "no such file", "file not found", "directory not found",
+    "credentials provided")
+  private val dataPatterns = Seq(
+    "constraint violation", "foreign key", "unique constraint",
+    "check constraint", "invalid format", "type mismatch", "value error",
+    "data error", "parsing error", "validation error", "schema mismatch")
+  private val systemPatterns = Seq(
+    "out of memory", "disk full", "no space left", "database down",
+    "server error", "internal error", "system error", "memory error",
+    "ioerror", "oserror", "broken pipe")
+
+  /** Classify by message/type substrings — ref :184-227 (same pattern
+    * lists, same precedence: transient > config > data > system).
+    */
+  def classifyError(e: Throwable): ErrorType = {
+    val msg = Option(e.getMessage).getOrElse("").toLowerCase
+    val typ = e.getClass.getSimpleName.toLowerCase
+    def hits(ps: Seq[String]) = ps.exists(p => msg.contains(p) || typ.contains(p))
+    if (hits(transientPatterns)) Transient
+    else if (hits(configPatterns)) Configuration
+    else if (hits(dataPatterns)) DataError
+    else if (hits(systemPatterns)) SystemError
+    else Unknown
+  }
+
+  /** Retry policy — ref :229 should_retry: config/data never retry
+    * (the rerun cannot heal them), system errors once, transient and
+    * unknown always (within the attempt budget).
+    */
+  def shouldRetry(t: ErrorType, attempt: Int): Boolean = t match {
+    case Configuration | DataError => false
+    case SystemError => attempt < 1
+    case Transient | Unknown => true
+  }
+
+  /** Backoff schedule — ref :242 calculate_backoff_delay: fixed or
+    * exponential, capped. (The reference's jitter strategy draws from
+    * `random`; a deterministic engine takes jitter from the caller if
+    * wanted — the cap and growth are the load-shedding substance.)
+    */
+  def backoffDelayMs(attempt: Int, factor: Double = 2.0,
+                     initialMs: Long = 1000L, maxMs: Long = 60000L,
+                     exponential: Boolean = true): Long = {
+    val d = if (exponential) initialMs * math.pow(factor, attempt) else initialMs.toDouble
+    math.min(maxMs.toDouble, d).toLong
+  }
+
+  /** ref :157 execute_with_retry with the classification-aware policy
+    * wired in: a non-retryable class rethrows immediately, retryable
+    * ones back off and try again up to `maxRetries`.
+    */
+  def withRetry[T](maxRetries: Int = 3, backoffFactor: Double = 2.0,
+                   initialDelayMs: Long = 1000L, maxDelayMs: Long = 60000L,
+                   sleep: Long => Unit = Thread.sleep)(f: => T): T = {
+    var attempt = 0
+    while (true) {
+      try return f
+      catch {
+        case scala.util.control.NonFatal(e) =>
+          val cls = classifyError(e)
+          if (attempt >= maxRetries || !shouldRetry(cls, attempt)) throw e
+          sleep(backoffDelayMs(attempt, backoffFactor, initialDelayMs, maxDelayMs))
+          attempt += 1
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
+  /** ref :498 implement_fallback_strategy: try the primary, on any
+    * failure try the fallback; if BOTH fail, the primary's error is
+    * the one rethrown (the fallback's failure is secondary context).
+    */
+  def withFallback[T](primary: => T)(fallback: => T): T =
+    try primary
+    catch {
+      case scala.util.control.NonFatal(pe) =>
+        try fallback
+        catch { case scala.util.control.NonFatal(fe) =>
+          pe.addSuppressed(fe); throw pe }
+    }
 }

@@ -110,4 +110,52 @@ object Trends {
       .filter(col("alert_type").isNotNull)
       .select("run_id", "query", "duration_ms", "sla_ms", "alert_type")
   }
+
+  /** Bottleneck ranking for one run — ref performance_monitor.py's
+    * identify_bottlenecks, as a query: each query's share of the
+    * run's total wall time, largest first. The window total rides the
+    * same grouped frame (≤ |queries| rows), so no wide exchange.
+    */
+  def bottlenecks(history: DataFrame, runId: String, topN: Int = 10): DataFrame = {
+    val per = history.filter(col("run_id") === runId)
+      .groupBy("query").agg(sum(col("duration_ms")).as("total_ms"))
+    val total = per.agg(sum(col("total_ms"))).collect()(0).getLong(0)
+    per.withColumn("pct_of_run",
+        round(col("total_ms") * 100.0 / total, 1))
+      .orderBy(col("total_ms").desc, col("query"))
+      .limit(topN)
+  }
+
+  /** One-frame run dashboard — ref get_dashboard_data: per query the
+    * latest run's duration and rows, its share of the run, its
+    * trailing average over prior runs, and the alert state (failure /
+    * SLA breach / none). Everything joins at ≤ |queries| rows —
+    * broadcast territory.
+    */
+  def dashboard(history: DataFrame, runId: String,
+                slaMs: Map[String, Long] = Map.empty,
+                defaultSlaMs: Long = Long.MaxValue): DataFrame = {
+    val cur = history.filter(col("run_id") === runId)
+      .groupBy("query").agg(
+        round(avg(col("duration_ms")), 1).as("duration_ms"),
+        sum(col("rows")).as("rows"),
+        max(when(col("failed"), lit(true)).otherwise(lit(false))).as("failed"))
+    val prior = history.filter(col("run_id") =!= runId)
+      .groupBy("query")
+      .agg(round(avg(col("duration_ms")), 1).as("prior_avg_ms"))
+    val sla: Column = slaMs.foldLeft(lit(defaultSlaMs)) {
+      case (acc, (q, ms)) => when(col("query") === q, lit(ms)).otherwise(acc)
+    }
+    val total = cur.agg(sum(col("duration_ms"))).collect()(0).getDouble(0)
+    cur.join(prior, Seq("query"), "left_outer")
+      .withColumn("pct_of_run", round(col("duration_ms") * 100.0 / total, 1))
+      .withColumn("sla_ms", sla)
+      .withColumn("alert",
+        when(col("failed"), lit("failure"))
+          .when(col("duration_ms") > col("sla_ms"), lit("sla_breach"))
+          .otherwise(lit("ok")))
+      .select("query", "duration_ms", "rows", "pct_of_run",
+        "prior_avg_ms", "alert")
+      .orderBy(col("duration_ms").desc, col("query"))
+  }
 }

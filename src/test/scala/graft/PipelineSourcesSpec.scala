@@ -172,6 +172,72 @@ class PipelineSourcesSpec extends SparkSpec {
     val alerts = Trends.slaBreaches(hist, Map("q_c" -> 500L), defaultSlaMs = 1000L)
       .collect().map(r => (r.getAs[String]("query"), r.getAs[String]("alert_type"))).toSet
     assert(alerts == Set(("q_c", "sla_breach"), ("q_d", "failure")))
+
+    // bottlenecks: r4 total = 105+400+600+50; q_c leads
+    val bn = Trends.bottlenecks(hist, "r4", topN = 2).collect()
+    assert(bn.map(_.getAs[String]("query")).toSeq == Seq("q_c", "q_b"))
+    assert(bn.head.getAs[Double]("pct_of_run") == 51.9)
+
+    // dashboard: one frame with share, trailing average and alerts
+    val dash = Trends.dashboard(hist, "r4", Map("q_c" -> 500L))
+      .collect().map(r => r.getAs[String]("query") ->
+        (r.getAs[Double]("prior_avg_ms"), r.getAs[String]("alert"))).toMap
+    assert(dash("q_b") == ((200.0, "ok")) && dash("q_c") == ((300.0, "sla_breach")))
+    assert(dash("q_d")._2 == "failure")
+    assert(dash("q_d")._1 == null.asInstanceOf[Double]) // no prior runs
+  }
+
+  test("Recovery retry: classification drives the policy; fallback rethrows primary") {
+    import Recovery._
+    import java.io.IOException
+    assert(classifyError(new IOException("Connection reset by peer")) == Transient)
+    assert(classifyError(new RuntimeException("HTTP 503 Service Unavailable")) == Transient)
+    assert(classifyError(new RuntimeException("Authentication FAILED for user")) == Configuration)
+    assert(classifyError(new RuntimeException("schema mismatch on col x")) == DataError)
+    assert(classifyError(new RuntimeException("No space left on device")) == SystemError)
+    assert(classifyError(new RuntimeException("???")) == Unknown)
+    assert(classifyError(new RuntimeException((null: String))) == Unknown) // null message safe
+    assert(shouldRetry(Transient, 5) && shouldRetry(Unknown, 5))
+    assert(!shouldRetry(Configuration, 0) && !shouldRetry(DataError, 0))
+    assert(shouldRetry(SystemError, 0) && !shouldRetry(SystemError, 1))
+    // backoff grows exponentially and caps
+    assert(backoffDelayMs(0) == 1000L && backoffDelayMs(2) == 4000L)
+    assert(backoffDelayMs(10, maxMs = 60000L) == 60000L)
+    assert(backoffDelayMs(7, exponential = false) == 1000L)
+
+    // transient failures retry to success, counting the sleeps
+    var sleeps = List.empty[Long]; var calls = 0
+    val out = withRetry(maxRetries = 3, sleep = d => sleeps ::= d) {
+      calls += 1
+      if (calls < 3) throw new IOException("connection reset") else 42
+    }
+    assert(out == 42 && calls == 3 && sleeps.reverse == List(1000L, 2000L))
+    // a config error never retries
+    calls = 0
+    intercept[RuntimeException](withRetry(maxRetries = 3, sleep = _ => ()) {
+      calls += 1; throw new RuntimeException("permission denied")
+    })
+    assert(calls == 1)
+
+    // fallback: primary error is the one rethrown when both fail
+    assert(withFallback[Int](throw new IOException("timeout"))(7) == 7)
+    val both = intercept[IOException](
+      withFallback[Int](throw new IOException("primary boom"))(
+        throw new RuntimeException("fallback boom")))
+    assert(both.getMessage == "primary boom" &&
+      both.getSuppressed.head.getMessage == "fallback boom")
+  }
+
+  test("Lineage upstream and impact invert the same derivation map") {
+    val o = table("orders"); val c = table("customer")
+    val df = o.join(c, o("o_custkey") === c("c_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .agg(sum(col("o_totalprice")).as("total"))
+    assert(Lineage.upstream(df, "total").exists(_.endsWith(".o_totalprice")))
+    intercept[IllegalArgumentException](Lineage.upstream(df, "nope"))
+    assert(Lineage.impact(df, "o_totalprice") == Set("total"))
+    assert(Lineage.impact(df, "c_mktsegment") == Set("c_mktsegment"))
+    assert(Lineage.impact(df, "o_orderkey").isEmpty)
   }
 
   test("csv and json roundtrips preserve data with a pinned schema") {
