@@ -119,7 +119,9 @@ object Trends {
   def bottlenecks(history: DataFrame, runId: String, topN: Int = 10): DataFrame = {
     val per = history.filter(col("run_id") === runId)
       .groupBy("query").agg(sum(col("duration_ms")).as("total_ms"))
-    val total = per.agg(sum(col("total_ms"))).collect()(0).getLong(0)
+    val totalRow = per.agg(sum(col("total_ms"))).collect()(0)
+    require(!totalRow.isNullAt(0), s"run '$runId' has no history rows")
+    val total = totalRow.getLong(0)
     per.withColumn("pct_of_run",
         round(col("total_ms") * 100.0 / total, 1))
       .orderBy(col("total_ms").desc, col("query"))
@@ -146,7 +148,9 @@ object Trends {
     val sla: Column = slaMs.foldLeft(lit(defaultSlaMs)) {
       case (acc, (q, ms)) => when(col("query") === q, lit(ms)).otherwise(acc)
     }
-    val total = cur.agg(sum(col("duration_ms"))).collect()(0).getDouble(0)
+    val totalRow = cur.agg(sum(col("duration_ms"))).collect()(0)
+    require(!totalRow.isNullAt(0), s"run '$runId' has no history rows")
+    val total = totalRow.getDouble(0)
     cur.join(prior, Seq("query"), "left_outer")
       .withColumn("pct_of_run", round(col("duration_ms") * 100.0 / total, 1))
       .withColumn("sla_ms", sla)

@@ -100,6 +100,37 @@ object Datagen {
     base.select(cols: _*)
   }
 
+  /** Apply the schema's generated columns to ANY id-bearing frame —
+    * batch or streaming: the same pure expressions work unchanged on
+    * a structured stream, so load tests and batch fixtures share one
+    * generator definition (and one determinism contract: value =
+    * f(id, seed, position), independent of arrival batching).
+    */
+  def withFields(df: DataFrame, idCol: String, fields: Seq[Field],
+                 seed: Long = 42L): DataFrame = {
+    require(fields.nonEmpty, "fields must be non-empty")
+    fields.foreach(validate)
+    val id = col(idCol).cast("long")
+    fields.zipWithIndex.foldLeft(df) { case (acc, (f, i)) =>
+      acc.withColumn(f.name, value(f, prng(id, seed, i + 1L)))
+    }
+  }
+
+  /** Unbounded synthetic STREAM: rate-source ids → generated columns.
+    * `rowsPerSecond` scales a streaming load test to any throughput
+    * with no input data at all; every value is still the same pure
+    * function of the row id, so a replayed/restarted stream
+    * regenerates identical records (exactly-once sinks stay
+    * verifiable).
+    */
+  def stream(spark: SparkSession, rowsPerSecond: Int, fields: Seq[Field],
+             seed: Long = 42L): DataFrame =
+    withFields(
+      spark.readStream.format("rate")
+        .option("rowsPerSecond", rowsPerSecond).load()
+        .select(col("timestamp").as("event_time"), col("value").as("row_id")),
+      "row_id", fields, seed)
+
   /** Deterministic error injection — ref :49/:198: each row draws its
     * own error lottery per column; winners (rate fraction) get the
     * error. `nullify` plants nulls in "non-nullable" columns;

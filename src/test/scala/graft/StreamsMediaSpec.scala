@@ -535,6 +535,30 @@ class StreamsMediaSpec extends SparkSpec {
     assert(!q.queryExecution.executedPlan.toString.contains("ExistingRDD"))
   }
 
+  test("Datagen.withFields: streaming values identical to batch for the same ids") {
+    import graft.sources.Datagen, Datagen._
+    val fields = Seq(IntCol("age", 18, 80), DoubleCol("p", 0.0, 1.0),
+      CatCol("dept", Seq("a", "b", "c")))
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Long]
+    val q = Datagen.withFields(input.toDF().withColumnRenamed("value", "row_id"),
+        "row_id", fields, seed = 11)
+      .writeStream.format("memory").queryName("dg_stream").start()
+    try {
+      input.addData(0L until 500L); q.processAllAvailable()
+      input.addData(500L until 1000L); q.processAllAvailable() // a second batch
+      val streamed = spark.table("dg_stream")
+      val batch = Datagen.withFields(
+        spark.range(1000).withColumnRenamed("id", "row_id"), "row_id", fields,
+        seed = 11)
+      // identical values row-for-row regardless of batch boundaries
+      assert(streamed.count() == 1000)
+      assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
+    } finally q.stop()
+    // and the rate-source wrapper builds a genuinely streaming frame
+    assert(Datagen.stream(spark, 10, fields).isStreaming)
+  }
+
   test("Media.sampleFrames explodes n evenly spaced offsets per video") {
     val df = Seq((1L, "0123456789".getBytes)).toDF("id", "blob")
     val withMeta = Media.withMetadata(df, "blob", "video/mp4")
