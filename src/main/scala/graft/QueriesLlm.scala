@@ -165,6 +165,18 @@ object QueriesLlm {
         graft.functions.Det.sumAt(col("n_chars"), 0).as("sum_chars"))
     }),
 
+    // PCA projection onto the top-4 variance axes — the pre-ANN
+    // compression step (one-scan native moments agg + driver Jacobi +
+    // codegen'd dot-product projection). Rows-only: the eigenbasis
+    // isn't SQL-expressible; SearchSpec pins orthonormality,
+    // variance-capture, partitioning-invariance and a planted axis
+    "q_embed_pca" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val model = graft.llm.Pca.fit(e, "embedding", k = 4)
+      graft.llm.Pca.transform(e, "embedding", model)
+        .select(col("vec_id"), col("pc0"), col("pc1"), col("pc2"), col("pc3"))
+    }),
+
     "q_sim_ivf" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
       val queries = e.filter(col("vec_id") < 10)

@@ -228,6 +228,14 @@ class GraftExtensions extends SparkSessionExtensionsProvider {
           children(0), children(1), children(2))
       }))
     ext.injectFunction((
+      new FunctionIdentifier("graft_vec_moments"),
+      new ExpressionInfo(classOf[VecMomentsAgg].getName, "graft_vec_moments"),
+      (children: Seq[Expression]) => {
+        require(children.length == 1,
+          s"graft_vec_moments(vec) takes 1 arg, got ${children.length}")
+        VecMomentsAgg(children.head)
+      }))
+    ext.injectFunction((
       new FunctionIdentifier("graft_might_contain"),
       new ExpressionInfo(
         classOf[org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain].getName,

@@ -157,4 +157,50 @@ class SearchSpec extends SparkSpec {
       budget = 64, Seq("shard"))
     assert(packed.orderBy("id").collect().toSeq == again.orderBy("id").collect().toSeq)
   }
+
+  test("Pca: one-pass fit is orthonormal, captures variance, finds a planted axis") {
+    import graft.llm.Pca
+    val emb = table("embeddings")
+    val model = Pca.fit(emb, "embedding", k = 8)
+    assert(model.dim == 64 && model.components.forall(_.length == 64))
+    // eigenvalues non-increasing and non-negative (within fp slack)
+    assert(model.eigenvalues.sliding(2).forall(p => p(0) >= p(1) - 1e-9))
+    assert(model.eigenvalues.forall(_ >= -1e-9))
+    assert(model.explainedRatio.sum <= 1.0 + 1e-9)
+    // components orthonormal
+    def dot(a: Array[Double], b: Array[Double]) =
+      a.zip(b).map { case (x, y) => x * y }.sum
+    for (i <- model.components.indices; j <- i until model.components.length) {
+      val expect = if (i == j) 1.0 else 0.0
+      assert(math.abs(dot(model.components(i), model.components(j)) - expect) < 1e-8,
+        s"components $i,$j not orthonormal")
+    }
+    // the variance of each projected coordinate IS its eigenvalue
+    val proj = Pca.transform(emb, "embedding", model)
+    val n = emb.count().toDouble
+    for (j <- 0 until 3) {
+      val r = proj.agg(sum(col(s"pc$j")), sum(col(s"pc$j") * col(s"pc$j"))).head()
+      val varJ = r.getDouble(1) / n - math.pow(r.getDouble(0) / n, 2)
+      assert(math.abs(varJ - model.eigenvalues(j)) <
+        1e-4 * math.max(1.0, model.eigenvalues(j)),
+        s"pc$j variance $varJ vs eigenvalue ${model.eigenvalues(j)}")
+    }
+    // partitioning does not change the fit (merge order only reorders
+    // float additions)
+    val model17 = Pca.fit(emb.repartition(17), "embedding", k = 8)
+    assert(model.eigenvalues.zip(model17.eigenvalues)
+      .forall { case (a, b) => math.abs(a - b) < 1e-6 })
+
+    // planted dominant axis: points along (1,2,0)/sqrt(5) + tiny noise
+    val planted = (-10 to 10).map { t =>
+      (t.toLong, Array(t.toFloat, 2f * t, (t % 3).toFloat * 0.01f))
+    }.toDF("id", "embedding")
+    val pm = Pca.fit(planted, "embedding", k = 3)
+    val axis = Array(1.0, 2.0, 0.0).map(_ / math.sqrt(5.0))
+    assert(math.abs(dot(pm.components(0), axis)) > 0.999)
+    // k = d captures the whole trace
+    assert(math.abs(pm.eigenvalues.sum - pm.totalVariance) < 1e-9)
+    // sign pinned: the largest-|coord| entry is positive
+    assert(pm.components.forall(c => c(c.indices.maxBy(i => math.abs(c(i)))) >= 0))
+  }
 }
