@@ -88,6 +88,16 @@ object QueriesAnomaly {
         .select("event_id", "season", "value", "z")
     }),
 
+    // FULL decomposition (trend/seasonal/resid columns) — the
+    // reusable surface behind the :262 residual screen
+    "q_anom_decompose" -> ((s, dir) => {
+      Anomaly.decompose(ev(s, dir), "value", Seq("user_id"),
+          Seq(col("ts").asc, col("event_id").asc), hour(col("ts")),
+          halfWindow = 3)
+        .select(col("event_id"), col("season"), col("trend"),
+          col("seasonal"), col("resid"))
+    }),
+
     // isolation forest — ref anomaly_manager.py:183 (no SQL oracle: the
     // forest is not SQL-expressible; deterministic by construction, so
     // the driver's rows-only check is stable and AnomalySpec pins the
@@ -342,6 +352,21 @@ object QueriesAnomaly {
          |     WHEN CAST(votes AS DOUBLE) / 3.0 > 0.5 THEN 'medium'
          |     ELSE 'low' END AS severity
          |FROM e""".stripMargin,
+
+    "q_anom_decompose" ->
+      s"""WITH t AS (
+         |  SELECT event_id, value, hour(ts) AS season,
+         |    CAST(SUM(CAST(value AS DECIMAL(28,6))) OVER w AS DOUBLE)
+         |      / COUNT(value) OVER w AS trend
+         |  FROM events
+         |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+         |               ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+         |s AS (SELECT season, ${Det.sqlMeanAt("value - trend", 6)} AS seasonal
+         |      FROM t GROUP BY season)
+         |SELECT t.event_id, t.season, ROUND(t.trend, 6) AS trend,
+         |  ROUND(s.seasonal, 6) AS seasonal,
+         |  ROUND(t.value - t.trend - s.seasonal, 6) AS resid
+         |FROM t JOIN s USING (season)""".stripMargin,
 
     "q_anom_seasonal" ->
       s"""WITH k AS (SELECT event_id, value, hour(ts) AS season FROM events),

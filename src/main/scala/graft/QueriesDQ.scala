@@ -167,6 +167,13 @@ object QueriesDQ {
         .unionByName(DQ.correlation(t(s, dir, "customer"), "c_nationkey", "c_acctbal", 4))
     }),
 
+    // all-pairs correlation matrix FUSED into one aggregation pass
+    // (the reference's consistency checks run pair-by-pair)
+    "q_dq_corr_matrix" -> ((s, dir) => {
+      DQ.correlationMatrix(t(s, dir, "lineitem"),
+        Seq("l_quantity", "l_extendedprice", "l_discount"), 4)
+    }),
+
     // quality score — ref dq_engine.py:363-378
     "q_dq_score" -> ((s, dir) => {
       DQ.score(DQ.check(t(s, dir, "orders"), scoreRules))
@@ -352,6 +359,20 @@ object QueriesDQ {
        |(SUM(CASE WHEN $violatedSql THEN 1 ELSE 0 END)*100.0/COUNT(*) <= 0.0) AS passed
        |FROM $table""".stripMargin
 
+  private def corrMatrixOracle(table: String,
+                               pairs: Seq[(String, String)]): String =
+    pairs.map { case (x, y) =>
+      val n = "COUNT(*)"
+      val sx = Det.sqlSumAt(x, 4); val sy = Det.sqlSumAt(y, 4)
+      val sxy = Det.sqlSumAt(s"($x)*($y)", 4)
+      val sxx = Det.sqlSumAt(s"($x)*($x)", 4)
+      val syy = Det.sqlSumAt(s"($y)*($y)", 4)
+      s"""SELECT '$x' AS col_a, '$y' AS col_b, $n AS n,
+         |ROUND(($n * $sxy - $sx * $sy) /
+         | (SQRT($n * $sxx - $sx * $sx) * SQRT($n * $syy - $sy * $sy)), 10) AS corr_val
+         |FROM $table""".stripMargin
+    }.mkString("\nUNION ALL\n")
+
   private def corrOracle(table: String, x: String, y: String): String = {
     val n = "COUNT(*)"
     val sx = Det.sqlSumAt(x, 4); val sy = Det.sqlSumAt(y, 4)
@@ -522,6 +543,12 @@ object QueriesDQ {
     "q_dq_corr" ->
       Seq(corrOracle("lineitem", "l_quantity", "l_extendedprice"),
           corrOracle("customer", "c_nationkey", "c_acctbal")).mkString("\nUNION ALL\n"),
+
+    "q_dq_corr_matrix" ->
+      corrMatrixOracle("lineitem", Seq(
+        ("l_quantity", "l_extendedprice"),
+        ("l_quantity", "l_discount"),
+        ("l_extendedprice", "l_discount"))),
 
     "q_dq_dateformat" -> {
       val derived = "(SELECT strftime(o_orderdate, '%m/%d/%Y') AS od_str FROM orders)"

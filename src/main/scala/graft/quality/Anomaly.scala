@@ -191,6 +191,36 @@ object Anomaly {
       .drop("__mean", "__std")
   }
 
+  /** Full seasonal decomposition (the STL shape, moving-average
+    * flavor) — ref anomaly_manager.py:262 keeps only the residual
+    * screen ([[seasonalResidual]]); this exposes all three
+    * components: trend = centered rolling mean over ±`halfWindow`
+    * rows (partial at series edges, like any ROWS frame), seasonal =
+    * decimal-exact per-season mean of the detrended series, resid =
+    * value − trend − seasonal. Scale shape: ONE WindowExec over the
+    * partition sort, one small seasonal aggregate broadcast back.
+    */
+  def decompose(df: DataFrame, column: String, partitionCols: Seq[String],
+                orderBy: Seq[Column], seasonKey: Column,
+                halfWindow: Int = 3, scale: Int = 6): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.types.DecimalType
+    val w = Window.partitionBy(partitionCols.map(col): _*)
+      .orderBy(orderBy: _*).rowsBetween(-halfWindow, halfWindow)
+    val trend = (sum(col(column).cast(DecimalType(28, scale))).over(w)
+      .cast("double") / count(col(column)).over(w))
+    val t1 = df.withColumn("__trend", trend).withColumn("__season", seasonKey)
+    val seas = t1.groupBy(col("__season"))
+      .agg(Det.meanAt(col(column) - col("__trend"), scale).as("__seasonal"))
+    t1.join(broadcast(seas), Seq("__season"))
+      .withColumn("trend", round(col("__trend"), scale))
+      .withColumn("seasonal", round(col("__seasonal"), scale))
+      .withColumn("resid",
+        round(col(column) - col("__trend") - col("__seasonal"), scale))
+      .drop("__trend", "__seasonal")
+      .withColumnRenamed("__season", "season")
+  }
+
   /** Grid-density outliers (DBSCAN-ish stand-in) — ref
     * anomaly_manager.py:162 dbscan_detection. Numeric space is bucketed
     * into fixed-width grid cells; rows in cells holding fewer than

@@ -715,6 +715,42 @@ object DQ {
             .as("corr_val")
         })
 
+  /** All-pairs correlation matrix in ONE aggregation — the reference
+    * checks column pairs one query each (dq consistency checks); for
+    * m profiled columns the m sums, m squares and m(m-1)/2 cross
+    * products fuse into a single map-side-combinable decimal-exact
+    * pass, and the matrix unpacks from the one stats row (an explode
+    * over literal pair structs — no second scan). Same formula and
+    * rounding as [[correlation]], so a pair's matrix entry equals its
+    * standalone value bit-for-bit.
+    */
+  def correlationMatrix(df: DataFrame, cols: Seq[String],
+                        scale: Int = 4): DataFrame = {
+    require(cols.size >= 2, "correlationMatrix needs >= 2 columns")
+    require(cols.distinct.size == cols.size, "duplicate columns")
+    val pairs = for {
+      i <- cols.indices; j <- (i + 1) until cols.size
+    } yield (cols(i), cols(j))
+    val aggs =
+      cols.map(c => Det.sumAt(col(c), scale).as(s"__s_$c")) ++
+        cols.map(c => Det.sumAt(col(c) * col(c), scale).as(s"__q_$c")) ++
+        pairs.map { case (a, b) =>
+          Det.sumAt(col(a) * col(b), scale).as(s"__p_${a}_$b")
+        }
+    val stats = df.agg(count(lit(1)).as("__n"), aggs: _*)
+    val entries = pairs.map { case (a, b) =>
+      val n = col("__n")
+      val denom =
+        sqrt(n * col(s"__q_$a") - col(s"__s_$a") * col(s"__s_$a")) *
+          sqrt(n * col(s"__q_$b") - col(s"__s_$b") * col(s"__s_$b"))
+      struct(lit(a).as("col_a"), lit(b).as("col_b"), n.as("n"),
+        when(denom =!= 0.0,
+          round((n * col(s"__p_${a}_$b") - col(s"__s_$a") * col(s"__s_$b")) /
+            denom, 10)).as("corr_val"))
+    }
+    stats.select(explode(array(entries: _*)).as("__r")).select(col("__r.*"))
+  }
+
   /** Join/partition-key skew profile: the `topN` heaviest key values
     * with their row share and ratio to the mean key weight — the
     * number that says whether a key needs [[graft.operators.Ops.saltedJoin]]

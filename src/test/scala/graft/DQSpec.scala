@@ -430,4 +430,22 @@ class DQSpec extends SparkSpec {
       approx = false).orderBy("colname").collect().map(_.toSeq).toSeq
     assert(a == b)
   }
+
+  test("correlationMatrix entries equal standalone correlation bit-for-bit") {
+    val li = table("lineitem")
+    val m = DQ.correlationMatrix(li,
+        Seq("l_quantity", "l_extendedprice", "l_discount"), 4)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        r.getAs[java.lang.Double]("corr_val")).toMap
+    assert(m.size == 3)
+    for (((a, b), v) <- m) {
+      val solo = DQ.correlation(li, a, b, 4).head().getAs[java.lang.Double]("corr_val")
+      assert(v == solo, s"$a~$b: matrix $v vs standalone $solo")
+    }
+    // a constant column yields NULL (zero variance), not a crash
+    val withConst = li.withColumn("one", lit(1.0))
+    val mc = DQ.correlationMatrix(withConst, Seq("l_quantity", "one"), 4).head()
+    assert(mc.isNullAt(mc.fieldIndex("corr_val")))
+    intercept[IllegalArgumentException](DQ.correlationMatrix(li, Seq("l_quantity")))
+  }
 }
