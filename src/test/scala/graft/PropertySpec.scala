@@ -398,4 +398,27 @@ object PropertySpec extends Properties("graft") {
       base == kept(df.repartition(7), p) &&
         base.subsetOf(kept(df, math.min(1.0, p + bump)))
     }
+
+  property("ZOrder.interleave is injective on the grid and bounded") =
+    Prop.forAll(Gen.listOfN(40, Gen.zip(Gen.choose(0L, 255L), Gen.choose(0L, 255L)))) { pts0 =>
+      val pts = pts0.distinct
+      val zs = pts.toDF("x", "y")
+        .select(graft.functions.ZOrder.interleave(
+          Seq(col("x"), col("y")), 8).as("z"))
+        .as[Long].collect().toSeq
+      // distinct grid points -> distinct z values, all within 2^16
+      zs.distinct.length == pts.length && zs.forall(z => z >= 0 && z < (1L << 16))
+    }
+
+  property("Datagen.prng stays in [0, 2^31) and distinct salts decorrelate") =
+    Prop.forAll(Gen.choose(0L, 1000000L), Gen.choose(1L, 1000L)) { (start, salt) =>
+      import graft.sources.Datagen
+      val ids = spark.range(start, start + 200)
+      val two = ids.select(
+        Datagen.prng(col("id"), seed = 5, salt = salt).as("a"),
+        Datagen.prng(col("id"), seed = 5, salt = salt + 1).as("b"))
+        .as[(Long, Long)].collect()
+      two.forall { case (a, b) => a >= 0 && a < 2147483648L && b >= 0 } &&
+        two.count { case (a, b) => a == b } < 5 // streams not identical
+    }
 }
