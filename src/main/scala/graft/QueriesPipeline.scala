@@ -163,6 +163,34 @@ object QueriesPipeline {
         "2024-01-01 00:00:00", "2024-01-31 00:00:00")
     }),
 
+    // ONE-document metadata-driven job: datasets + transform +
+    // quality gate parsed and executed end-to-end (the reference's
+    // complete-configuration bundle, config_loader.py:22 +
+    // orchestrator execute; every section through its own front-end)
+    "q_job" -> ((s, dir) => {
+      val json =
+        s"""{
+           |  "datasets": [
+           |    {"name": "j_orders", "format": "parquet", "path": "$dir/orders.parquet"},
+           |    {"name": "j_customer", "format": "parquet", "path": "$dir/customer.parquet"}
+           |  ],
+           |  "pipeline": {"primary": "j_orders", "steps": [
+           |    {"type": "filter", "column": "o_totalprice", "op": ">", "value": 50000},
+           |    {"type": "rename", "mapping": {"o_custkey": "c_custkey"}},
+           |    {"type": "join", "right": "j_customer", "on": ["c_custkey"], "broadcast": true},
+           |    {"type": "aggregate", "groupBy": ["c_mktsegment", "o_orderstatus"],
+           |     "aggs": [{"col": "o_totalprice", "fn": "sum_money", "as": "total"},
+           |              {"col": "o_orderkey", "fn": "count", "as": "n"}]}
+           |  ]},
+           |  "quality": {"rules": [
+           |    {"rule_id": "seg_nn", "type": "completeness", "column": "c_mktsegment"},
+           |    {"rule_id": "n_pos", "type": "range", "column": "n",
+           |     "min": 1, "max": 1000000000}
+           |  ], "min_score": 100.0}
+           |}""".stripMargin
+      graft.pipeline.Job.runJson(s, json).output
+    }),
+
     // ---- synthetic data generation (ref mock_data_generator.py) ---
     // Pure spark.range + codegen'd portable-PRNG expressions (no
     // input IO, no shuffle, no driver data); hash-checked against
@@ -343,6 +371,14 @@ object QueriesPipeline {
          |  AND action_timestamp >= TIMESTAMP '2024-01-01 00:00:00'
          |  AND action_timestamp <= TIMESTAMP '2024-01-31 00:00:00'
          |ORDER BY action_timestamp DESC, audit_id DESC""".stripMargin,
+
+    "q_job" ->
+      """SELECT c_mktsegment, o_orderstatus,
+        |CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total,
+        |COUNT(o_orderkey) AS n
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |WHERE o_totalprice > 50000
+        |GROUP BY c_mktsegment, o_orderstatus""".stripMargin,
 
     "q_datagen" -> datagenSelect,
 

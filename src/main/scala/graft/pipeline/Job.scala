@@ -1,0 +1,127 @@
+package graft.pipeline
+
+import scala.jdk.CollectionConverters._
+
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.Catalog
+import graft.quality.{Anomaly, DQ}
+
+/** One-document metadata-driven job — the reference's complete
+  * configuration bundle executed end-to-end (ref
+  * config_loader.py:22 `load_complete_configuration` assembles
+  * pipeline + connections + sources + transformations + dq profile +
+  * anomaly config from the metadata DB; orchestrator_manager then
+  * runs them in order). Here the bundle is ONE JSON document and the
+  * run is one call:
+  *
+  * {{{
+  * {
+  *   "datasets": [ {"name":…, "format":…, "path":…, "schema":…}, … ],
+  *   "pipeline": {"primary": …, "steps": [ … ]},
+  *   "quality":  {"rules": [ … ], "min_score": 90.0},   // optional gate
+  *   "anomaly":  {"method": …, "column": …, …},          // optional screen
+  *   "sink":     {"format": "parquet", "path": …}        // optional write
+  * }
+  * }}}
+  *
+  * Each section parses through its existing front-end
+  * ([[graft.Catalog.parseJson]], [[PipelineJson.parse]],
+  * [[graft.quality.DQ.rulesFromJson]],
+  * [[graft.quality.Anomaly.fromJson]]), so a section's dialect is
+  * defined in exactly one place; this runner only sequences them:
+  * register datasets → compose the transform plan → evaluate the DQ
+  * gate on the OUTPUT (one fused agg; throws below min_score) →
+  * anomaly screen as a side output → optional idempotent sink write.
+  * Unknown top-level keys are a config error, not silently ignored.
+  */
+object Job {
+
+  final case class Spec(datasets: Seq[Catalog.DatasetSpec],
+                        pipeline: Pipeline.Spec,
+                        dqRules: Seq[DQ.Rule],
+                        minScore: Option[Double],
+                        anomalyJson: Option[String],
+                        sink: Option[(String, String, String)]) // format, path, mode
+
+  final case class Result(output: DataFrame,
+                          dqReport: Option[DataFrame],
+                          anomalies: Option[DataFrame])
+
+  private val mapper = new ObjectMapper()
+  private val knownKeys = Set("datasets", "pipeline", "quality", "anomaly", "sink")
+
+  def parse(json: String): Spec = {
+    val root = mapper.readTree(json)
+    require(root != null && root.isObject, "job config must be a JSON object")
+    val unknown = root.properties().asScala.map(_.getKey).filterNot(knownKeys)
+    require(unknown.isEmpty,
+      s"job config has unknown top-level keys: ${unknown.mkString(", ")} " +
+        s"(known: ${knownKeys.toSeq.sorted.mkString(", ")})")
+    require(root.hasNonNull("datasets"), "job config needs \"datasets\"")
+    require(root.hasNonNull("pipeline"), "job config needs \"pipeline\"")
+
+    val datasets = Catalog.parseJson(json) // reads the "datasets" array
+    val pipeline = PipelineJson.parse(mapper.writeValueAsString(root.get("pipeline")))
+
+    val (rules, minScore) = Option(root.get("quality")) match {
+      case None => (Seq.empty[DQ.Rule], None)
+      case Some(q) =>
+        require(q.hasNonNull("rules"), "\"quality\" needs a \"rules\" array")
+        // rulesFromJson reads the {"rules": [...]} shape — hand it the
+        // quality object itself so the dialect stays defined there
+        val r = DQ.rulesFromJson(mapper.writeValueAsString(q))
+        (r, Option(q.get("min_score")).map(_.asDouble()))
+    }
+    val anomaly = Option(root.get("anomaly")).map(mapper.writeValueAsString)
+    val sink = Option(root.get("sink")).map { s =>
+      def str(f: String, dflt: Option[String] = None): String =
+        Option(s.get(f)).map(_.asText()).orElse(dflt).getOrElse(
+          throw new IllegalArgumentException(s"\"sink\" needs \"$f\""))
+      (str("format", Some("parquet")), str("path"), str("mode", Some("overwrite")))
+    }
+    Spec(datasets, pipeline, rules, minScore, anomaly, sink)
+  }
+
+  /** Execute a parsed job. The pipeline's named sources are the
+    * registered datasets (loaded through [[Catalog.load]], schema
+    * pinned + validated when declared).
+    */
+  def run(spark: SparkSession, spec: Spec): Result = {
+    val sources = spec.datasets.map { d =>
+      require(Catalog.connector(d).isEmpty,
+        s"dataset '${d.name}': connector formats configure their reader " +
+          "via Catalog.register; Job expects file datasets")
+      d.name -> Catalog.load(spark, d)
+    }.toMap
+    require(sources.contains(spec.pipeline.primary),
+      s"pipeline primary '${spec.pipeline.primary}' is not a declared dataset")
+    val out = Pipeline.run(spark, sources, spec.pipeline)
+
+    // DQ gate on the OUTPUT frame (the reference's dq profile runs
+    // post-transform). ONE fused-agg action evaluates the rules; the
+    // gate decides from those collected results (no second pass) and
+    // the same report frame is returned for the caller
+    val dqReport = if (spec.dqRules.isEmpty) None else {
+      val report = DQ.check(out, spec.dqRules)
+      spec.minScore.foreach { ms =>
+        val results = report.collect()
+        val score = results.count(_.getAs[Boolean]("passed")) * 100.0 / results.length
+        if (score < ms)
+          throw new DQ.QualityGateException(score, ms,
+            results.filterNot(_.getAs[Boolean]("passed")).map(_.getString(0)).toSeq)
+      }
+      Some(report)
+    }
+    val anomalies = spec.anomalyJson.map(a => Anomaly.fromJson(out, a))
+    spec.sink.foreach { case (format, path, mode) =>
+      if (mode == "atomic") graft.Recovery.idempotentWrite(out, path, format)
+      else graft.sources.FileSink.write(out, format, path, mode)
+    }
+    Result(out, dqReport, anomalies)
+  }
+
+  def runJson(spark: SparkSession, json: String): Result =
+    run(spark, parse(json))
+}

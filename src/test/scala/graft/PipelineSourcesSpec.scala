@@ -187,6 +187,52 @@ class PipelineSourcesSpec extends SparkSpec {
     assert(dash("q_d")._1 == null.asInstanceOf[Double]) // no prior runs
   }
 
+  test("Job: one-document config runs end-to-end; gate, sink and validation enforced") {
+    import graft.pipeline.Job
+    val dir = TestSession.sfDir
+    val out = Files.createTempDirectory("graft_job").toString + "/out"
+    def doc(minScore: Double, withSink: Boolean = false, withAnomaly: Boolean = false) =
+      s"""{
+         |  "datasets": [
+         |    {"name": "jo", "format": "parquet", "path": "$dir/orders.parquet"}
+         |  ],
+         |  "pipeline": {"primary": "jo", "steps": [
+         |    {"type": "filter", "column": "o_totalprice", "op": ">", "value": 1000},
+         |    {"type": "select", "columns": ["o_orderkey", "o_totalprice", "o_orderstatus"]}
+         |  ]},
+         |  "quality": {"rules": [
+         |    {"rule_id": "st_allowed", "type": "allowed_values",
+         |     "column": "o_orderstatus", "values": ["zzz"]}
+         |  ], "min_score": $minScore}
+         |  ${if (withSink) s""","sink": {"path": "$out", "mode": "atomic"}""" else ""}
+         |  ${if (withAnomaly) ""","anomaly": {"method": "zscore", "column": "o_totalprice", "threshold": 3.0}""" else ""}
+         |}""".stripMargin
+    // impossible rule + gate -> QualityGateException names the rule
+    val gateErr = intercept[graft.quality.DQ.QualityGateException](
+      Job.runJson(spark, doc(minScore = 100.0)))
+    assert(gateErr.failed == Seq("st_allowed"))
+    // same rules ungated (min 0): report returned, run succeeds,
+    // sink written atomically, anomaly side output produced
+    val res = Job.runJson(spark, doc(0.0, withSink = true, withAnomaly = true))
+    assert(res.output.columns.toSeq ==
+      Seq("o_orderkey", "o_totalprice", "o_orderstatus"))
+    assert(res.dqReport.get.filter(!col("passed")).count() == 1)
+    assert(res.anomalies.isDefined)
+    assert(spark.read.parquet(out).count() == res.output.count())
+    // config validation: unknown keys and missing sections fail fast
+    assert(intercept[IllegalArgumentException](
+      Job.parse("""{"datasets": [], "pipelines": {}}"""))
+      .getMessage.contains("unknown top-level"))
+    assert(intercept[IllegalArgumentException](
+      Job.parse("""{"datasets": []}""")).getMessage.contains("pipeline"))
+    // a primary that isn't a declared dataset is a config error
+    val badPrimary =
+      s"""{"datasets": [{"name": "jo", "format": "parquet", "path": "$dir/orders.parquet"}],
+         | "pipeline": {"primary": "nope", "steps": []}}""".stripMargin
+    assert(intercept[IllegalArgumentException](Job.runJson(spark, badPrimary))
+      .getMessage.contains("not a declared dataset"))
+  }
+
   test("Recovery retry: classification drives the policy; fallback rethrows primary") {
     import Recovery._
     import java.io.IOException
