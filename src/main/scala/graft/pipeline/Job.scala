@@ -124,4 +124,44 @@ object Job {
 
   def runJson(spark: SparkSession, json: String): Result =
     run(spark, parse(json))
+
+  /** [[run]] with the monitoring loop closed: a
+    * [[graft.monitoring.Metrics.Recorder]] captures every action the
+    * job fires (gate agg, sink write, anomaly count …) and the
+    * captured metrics land in the [[graft.monitoring.RunHistory]]
+    * dataset under `runId` — so a scheduled job feeds the same
+    * trend/regression/SLA queries ([[graft.monitoring.Trends]]) as
+    * the reference's performance monitor, with zero bookkeeping in
+    * the job itself. The recorder is detached even when the job
+    * throws; a gate failure still records its actions (failed runs
+    * are what the SLA queries exist for).
+    */
+  def runWithHistory(spark: SparkSession, json: String, historyDir: String,
+                     runId: String): Result = {
+    val recorder = graft.monitoring.Metrics.attach(spark)
+    val started = System.nanoTime()
+    var failed = true
+    try {
+      val r = run(spark, parse(json))
+      failed = false
+      r
+    } finally {
+      val wallMs = (System.nanoTime() - started) / 1000000L
+      // QueryExecutionListener delivery is asynchronous: give the bus
+      // a bounded quiesce window (stop when the snapshot stops
+      // growing). Per-action capture is best-effort; the top-level
+      // "job" entry below is recorded unconditionally either way.
+      val deadline = System.nanoTime() + 3L * 1000 * 1000 * 1000
+      var last = -1
+      var cur = recorder.snapshot().size
+      while (cur != last && System.nanoTime() < deadline) {
+        last = cur; Thread.sleep(100); cur = recorder.snapshot().size
+      }
+      spark.listenerManager.unregister(recorder)
+      val entries = graft.monitoring.RunHistory.Entry(
+        "job", wallMs, failed = failed) +:
+        graft.monitoring.RunHistory.fromActions(recorder.snapshot())
+      graft.monitoring.RunHistory.append(spark, historyDir, runId, entries)
+    }
+  }
 }

@@ -231,6 +231,19 @@ class PipelineSourcesSpec extends SparkSpec {
          | "pipeline": {"primary": "nope", "steps": []}}""".stripMargin
     assert(intercept[IllegalArgumentException](Job.runJson(spark, badPrimary))
       .getMessage.contains("not a declared dataset"))
+
+    // history integration: the job's actions land in RunHistory under
+    // the run id, even when the quality gate throws
+    val hist = Files.createTempDirectory("graft_jobhist").toString + "/history"
+    Job.runWithHistory(spark, doc(0.0), hist, "job_ok")
+    intercept[graft.quality.DQ.QualityGateException](
+      Job.runWithHistory(spark, doc(100.0), hist, "job_gated"))
+    val h = graft.monitoring.RunHistory.load(spark, hist)
+    // the unconditional top-level entry: ok run not failed, gated failed
+    assert(h.filter(col("run_id") === "job_ok" && col("query") === "job" &&
+      !col("failed")).count() == 1)
+    assert(h.filter(col("run_id") === "job_gated" && col("query") === "job" &&
+      col("failed")).count() == 1)
   }
 
   test("Recovery retry: classification drives the policy; fallback rethrows primary") {
