@@ -128,6 +128,16 @@ object QueriesRelational {
         .select(col("p_name"))
     }),
 
+    // best-copy collapse: each fuzzy cluster keeps its HIGHEST-quality
+    // member (longest name here; ties to the largest) instead of the
+    // smallest id — the production keep-the-best-duplicate policy
+    "q_dedup_collapse_best" -> ((s, dir) => {
+      val v = nameVocab(s, dir).withColumn("quality", length(col("p_name")))
+      graft.llm.Dedup.collapseNearDupsBy(v, "p_name", "quality",
+          fuzzyNamePairs(s, dir), idACol = "name_a", idBCol = "name_b")
+        .select(col("p_name"))
+    }),
+
     // Morton (Z-order) interleave — the clustering key behind
     // FileSink.writeZOrdered, checked value-exact against the same
     // flat shift/mask formula in SQL (8 bits × 2 dims on customer ×
@@ -315,6 +325,16 @@ object QueriesRelational {
     "q_dedup_collapse" ->
       (clusterCtes +
         "\nSELECT p_name FROM v WHERE p_name NOT IN (SELECT node FROM l4 WHERE comp <> node)"),
+
+    "q_dedup_collapse_best" ->
+      (clusterCtes +
+        """,
+          |winners AS (SELECT comp, node,
+          |  ROW_NUMBER() OVER (PARTITION BY comp
+          |                     ORDER BY length(node) DESC, node DESC) AS rn
+          |  FROM l4)
+          |SELECT p_name FROM v
+          |WHERE p_name NOT IN (SELECT node FROM winners WHERE rn > 1)""".stripMargin),
 
     "q_zorder" -> {
       val x = "(o_custkey % 256)"

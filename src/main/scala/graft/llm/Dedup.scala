@@ -962,4 +962,37 @@ object Dedup {
       .filter(col("component").isNull || col("component") === col(idCol))
       .drop("component")
   }
+
+  /** [[collapseNearDups]] keeping the BEST row of each near-dup
+    * cluster instead of the smallest id — the production training-data
+    * policy (duplicates differ in OCR noise/truncation; keep the copy
+    * with the highest quality score, e.g.
+    * [[graft.llm.Text.qualityScore]]). Canonical per component =
+    * max(priority), ties broken by the LARGEST id (struct ordering —
+    * one total, deterministic criterion in a single hash agg). Rows
+    * in no cluster survive unchanged. Scale shape: the component
+    * frame is edge-sized; selection is one grouped struct-max on it —
+    * the corpus never shuffles.
+    */
+  def collapseNearDupsBy(df: DataFrame, idCol: String, priorityCol: String,
+                         pairs: DataFrame,
+                         idACol: String = "id_a", idBCol: String = "id_b",
+                         maxIters: Int = 25): DataFrame = {
+    val comp = componentLabelsStar(pairs, idACol, idBCol, maxIters)
+      .withColumnRenamed("node", idCol)
+    val tagged = df.join(comp, Seq(idCol), "left")
+    // per-component winner via one struct-max: priority first, id as
+    // the deterministic tie-break (struct comparison is field-ordered)
+    val clustered = tagged.filter(col("component").isNotNull)
+    val winners = clustered
+      .groupBy(col("component"))
+      .agg(max(struct(col(priorityCol).as("p"), col(idCol).as("i"))).as("__best"))
+      .select(col("component"), col("__best.i").as("__winner"))
+    val keptClustered = clustered
+      .join(broadcast(winners), Seq("component"))
+      .filter(col(idCol) === col("__winner"))
+      .drop("component", "__winner")
+    tagged.filter(col("component").isNull).drop("component")
+      .unionByName(keptClustered)
+  }
 }

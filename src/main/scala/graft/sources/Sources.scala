@@ -194,11 +194,15 @@ object FileSink {
       files
     }
     val before = dataFiles()
-    // a hive-partitioned tree must be compacted per partition — a
+    // a hive-partitioned TREE must be compacted per partition — a
     // whole-tree rewrite would flatten the partition columns into the
-    // data files and break downstream pruning
-    require(!before.exists(_.getPath.getParent.getName.contains("=")),
-      s"$path is hive-partitioned; compact each partition directory instead")
+    // data files and break downstream pruning. (Compacting a single
+    // partition directory directly is fine: its files sit at the
+    // root we were given.)
+    val root = fs.makeQualified(new org.apache.hadoop.fs.Path(path))
+    require(!before.exists(f => f.getPath.getParent != root &&
+        f.getPath.getParent.getName.contains("=")),
+      s"$path is hive-partitioned; use compactPartitions (per-partition sweep)")
     val totalBytes = before.map(_.getLen).sum
     val parts = math.max(1L, (totalBytes + targetFileBytes - 1) / targetFileBytes).toInt
     // materialize the read plan BEFORE the swap deletes its input:
@@ -207,6 +211,32 @@ object FileSink {
     val df = spark.read.format(format).load(path).coalesce(parts)
     graft.Recovery.idempotentWrite(df, path, format)
     (before.size.toLong, dataFiles().size.toLong)
+  }
+
+  /** Per-partition small-file sweep for hive-layout datasets: every
+    * leaf directory that holds data files compacts independently
+    * (each through [[compact]]'s atomic swap), so the partition
+    * columns stay in the directory layout and readers never observe
+    * a half-compacted partition. Returns (partitionsSwept,
+    * filesBefore, filesAfter).
+    */
+  def compactPartitions(spark: org.apache.spark.sql.SparkSession, path: String,
+                        targetFileBytes: Long = 128L * 1024 * 1024,
+                        format: String = "parquet"): (Long, Long, Long) = {
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val root = fs.makeQualified(new org.apache.hadoop.fs.Path(path))
+    val it = fs.listFiles(root, true)
+    var leaves = Set.empty[org.apache.hadoop.fs.Path]
+    while (it.hasNext) {
+      val f = it.next()
+      val n = f.getPath.getName
+      if (!n.startsWith("_") && !n.startsWith(".")) leaves += f.getPath.getParent
+    }
+    require(leaves.nonEmpty, s"no data files under $path")
+    val results = leaves.toSeq.sortBy(_.toString)
+      .map(dir => compact(spark, dir.toString, targetFileBytes, format))
+    (leaves.size.toLong, results.map(_._1).sum, results.map(_._2).sum)
   }
 }
 

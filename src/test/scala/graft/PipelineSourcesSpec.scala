@@ -941,6 +941,18 @@ class PipelineSourcesSpec extends SparkSpec {
       FileSink.compact(spark, cdir, targetFileBytes = 10L * 1024 * 1024 * 1024)
     assert(nBefore == 16 && nAfter == 1)
     assert(spark.read.parquet(cdir).count() == orders.count())
+
+    // a hive tree refuses whole-tree compact but sweeps per partition
+    val pdir = Files.createTempDirectory("graft_compact_p").toString + "/days"
+    orders.withColumn("day", (col("o_orderkey") % 2).cast("string"))
+      .repartition(4).write.partitionBy("day").parquet(pdir)
+    intercept[IllegalArgumentException](FileSink.compact(spark, pdir))
+    val (parts, pb, pa) = FileSink.compactPartitions(spark, pdir,
+      targetFileBytes = 10L * 1024 * 1024 * 1024)
+    assert(parts == 2 && pb == 8 && pa == 2)
+    val back2 = spark.read.parquet(pdir)
+    assert(back2.count() == orders.count())
+    assert(back2.select("day").distinct().count() == 2) // layout intact
   }
 
   test("Datagen: partitioning-invariant values, bounded ranges, error rates, sizing") {

@@ -275,6 +275,20 @@ class RelationalSpec extends SparkSpec {
     assert(kept == Set(1L, 9L))
   }
 
+  test("collapseNearDupsBy keeps the highest-priority member of each cluster") {
+    val df = Seq((1L, "x", 0.2), (2L, "y", 0.9), (3L, "z", 0.9),
+      (9L, "solo", 0.1)).toDF("id", "v", "q")
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("id_a", "id_b")
+    val kept = graft.llm.Dedup.collapseNearDupsBy(df, "id", "q", pairs)
+      .select("id").as[Long].collect().toSet
+    // cluster {1,2,3}: best q = 0.9 shared by 2 and 3 -> largest id 3
+    assert(kept == Set(3L, 9L))
+    // columns survive intact (the kept row is the original row)
+    val row = graft.llm.Dedup.collapseNearDupsBy(df, "id", "q", pairs)
+      .filter(col("id") === 3L).head()
+    assert(row.getAs[String]("v") == "z" && row.getAs[Double]("q") == 0.9)
+  }
+
   test("equi-depth histogram splits mass evenly; collapsed edges leave empty bins") {
     // continuous column: every bucket holds n/nbins ± 1 rows
     val cont = (1 to 1000).map(i => i * 1.5).toDF("v")
