@@ -142,6 +142,56 @@ object Recovery {
     spark.read.format(format).load(path)
   }
 
+  /** [[idempotentWrite]] with DOT-PREFIXED staging/retire names
+    * (`parent/.name__staging`, `parent/.name__old`). Spark's file
+    * listing and partition discovery skip dot/underscore paths, so
+    * the transient directories are INVISIBLE to concurrent readers —
+    * required when `path` is a leaf of a hive tree (a plain
+    * `name__staging` sibling would surface as a bogus partition
+    * value and double-count rows mid-swap). Same one-rename crash
+    * window as [[idempotentWrite]]; callers heal with
+    * [[restoreHiddenIfTorn]] before reading/sweeping the dataset.
+    */
+  def idempotentWriteHidden(df: DataFrame, path: String,
+                            format: String = "parquet"): Unit = {
+    val spark = df.sparkSession
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val target = new org.apache.hadoop.fs.Path(path)
+    val (tmp, old) = hiddenSiblings(target)
+    fs.delete(tmp, true)
+    df.write.format(format).mode("overwrite").save(tmp.toString)
+    fs.delete(old, true)
+    if (fs.exists(target) && !fs.rename(target, old))
+      throw new java.io.IOException(s"could not retire old state: $target -> $old")
+    if (!fs.rename(tmp, target)) {
+      fs.rename(old, target)
+      throw new java.io.IOException(s"atomic swap failed: $tmp -> $target")
+    }
+    fs.delete(old, true)
+  }
+
+  /** Heal the crash window of [[idempotentWriteHidden]] (same policy
+    * as [[restoreIfTorn]]: prefer a COMPLETE hidden staging dir, else
+    * the hidden retiree). No-op when the target exists.
+    */
+  def restoreHiddenIfTorn(spark: SparkSession, path: String): Unit = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val target = new org.apache.hadoop.fs.Path(path)
+    if (!fs.exists(target)) {
+      val (tmp, old) = hiddenSiblings(target)
+      val staged = new org.apache.hadoop.fs.Path(tmp, "_SUCCESS")
+      if (fs.exists(staged)) { fs.rename(tmp, target); fs.delete(old, true) }
+      else if (fs.exists(old)) fs.rename(old, target)
+    }
+  }
+
+  private def hiddenSiblings(target: org.apache.hadoop.fs.Path)
+      : (org.apache.hadoop.fs.Path, org.apache.hadoop.fs.Path) = (
+    new org.apache.hadoop.fs.Path(target.getParent, s".${target.getName}__staging"),
+    new org.apache.hadoop.fs.Path(target.getParent, s".${target.getName}__old"))
+
   // ---- retry / classification (ref error_recovery.py:157-257) -----
 
   /** Error taxonomy — ref :184 classify_error's four buckets. */

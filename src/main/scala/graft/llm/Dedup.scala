@@ -988,8 +988,11 @@ object Dedup {
       .groupBy(col("component"))
       .agg(max(struct(col(priorityCol).as("p"), col(idCol).as("i"))).as("__best"))
       .select(col("component"), col("__best.i").as("__winner"))
+    // no broadcast hint: winners is one row per CLUSTER — unbounded
+    // on a web-scale corpus. Both join sides are component-keyed and
+    // edge-frame-sized; AQE picks broadcast when it actually fits
     val keptClustered = clustered
-      .join(broadcast(winners), Seq("component"))
+      .join(winners, Seq("component"))
       .filter(col(idCol) === col("__winner"))
       .drop("component", "__winner")
     tagged.filter(col("component").isNull).drop("component")

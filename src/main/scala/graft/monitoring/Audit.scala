@@ -158,7 +158,11 @@ object Audit {
     */
   def archiveSplit(audit: DataFrame,
                    cutoff: String): (DataFrame, DataFrame) = {
-    val old = col("action_timestamp") < to_timestamp(lit(cutoff))
+    // a null timestamp makes the predicate NULL, which a bare pair of
+    // filters would drop from BOTH sides — undateable rows must stay
+    // in the kept set (never silently deleted by a retention sweep)
+    val old = coalesce(
+      col("action_timestamp") < to_timestamp(lit(cutoff)), lit(false))
     (audit.filter(!old), audit.filter(old))
   }
 

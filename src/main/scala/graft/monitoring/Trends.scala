@@ -119,14 +119,22 @@ object Trends {
   def bottlenecks(history: DataFrame, runId: String, topN: Int = 10): DataFrame = {
     val per = history.filter(col("run_id") === runId)
       .groupBy("query").agg(sum(col("duration_ms")).as("total_ms"))
-    val totalRow = per.agg(sum(col("total_ms"))).collect()(0)
-    require(!totalRow.isNullAt(0), s"run '$runId' has no history rows")
-    val total = totalRow.getLong(0)
+    // run total as an all-rows window over the GROUPED frame (≤
+    // |queries| rows) — stays lazy, one scan; an unknown run id just
+    // yields an empty frame
     per.withColumn("pct_of_run",
-        round(col("total_ms") * 100.0 / total, 1))
+        round(col("total_ms") * 100.0 /
+          sum(col("total_ms")).over(allRows), 1))
       .orderBy(col("total_ms").desc, col("query"))
       .limit(topN)
   }
+
+  // whole-frame window; only ever applied to per-query grouped frames
+  // (≤ |distinct queries| rows), so the single partition is bounded
+  private def allRows: org.apache.spark.sql.expressions.WindowSpec =
+    org.apache.spark.sql.expressions.Window
+      .partitionBy(lit(1))
+      .rowsBetween(Long.MinValue, Long.MaxValue)
 
   /** One-frame run dashboard — ref get_dashboard_data: per query the
     * latest run's duration and rows, its share of the run, its
@@ -140,6 +148,7 @@ object Trends {
     val cur = history.filter(col("run_id") === runId)
       .groupBy("query").agg(
         round(avg(col("duration_ms")), 1).as("duration_ms"),
+        sum(col("duration_ms")).as("__total_ms"),
         sum(col("rows")).as("rows"),
         max(when(col("failed"), lit(true)).otherwise(lit(false))).as("failed"))
     val prior = history.filter(col("run_id") =!= runId)
@@ -148,11 +157,13 @@ object Trends {
     val sla: Column = slaMs.foldLeft(lit(defaultSlaMs)) {
       case (acc, (q, ms)) => when(col("query") === q, lit(ms)).otherwise(acc)
     }
-    val totalRow = cur.agg(sum(col("duration_ms"))).collect()(0)
-    require(!totalRow.isNullAt(0), s"run '$runId' has no history rows")
-    val total = totalRow.getDouble(0)
     cur.join(prior, Seq("query"), "left_outer")
-      .withColumn("pct_of_run", round(col("duration_ms") * 100.0 / total, 1))
+      // pct over SUMMED durations — the same attribution definition as
+      // [[bottlenecks]] (avg-based shares would contradict it when a
+      // query has several actions per run); window total keeps the
+      // frame lazy, see [[allRows]]
+      .withColumn("pct_of_run", round(col("__total_ms") * 100.0 /
+        sum(col("__total_ms")).over(allRows), 1))
       .withColumn("sla_ms", sla)
       .withColumn("alert",
         when(col("failed"), lit("failure"))

@@ -72,7 +72,13 @@ object Job {
         // rulesFromJson reads the {"rules": [...]} shape — hand it the
         // quality object itself so the dialect stays defined there
         val r = DQ.rulesFromJson(mapper.writeValueAsString(q))
-        (r, Option(q.get("min_score")).map(_.asDouble()))
+        val ms = Option(q.get("min_score")).map { n =>
+          // Jackson's asDouble coerces junk to 0.0, which would
+          // silently DISABLE the gate — a typo must fail loudly
+          require(n.isNumber, "\"min_score\" must be a number")
+          n.asDouble()
+        }
+        (r, ms)
     }
     val anomaly = Option(root.get("anomaly")).map(mapper.writeValueAsString)
     val sink = Option(root.get("sink")).map { s =>
@@ -105,13 +111,7 @@ object Job {
     // the same report frame is returned for the caller
     val dqReport = if (spec.dqRules.isEmpty) None else {
       val report = DQ.check(out, spec.dqRules)
-      spec.minScore.foreach { ms =>
-        val results = report.collect()
-        val score = results.count(_.getAs[Boolean]("passed")) * 100.0 / results.length
-        if (score < ms)
-          throw new DQ.QualityGateException(score, ms,
-            results.filterNot(_.getAs[Boolean]("passed")).map(_.getString(0)).toSeq)
-      }
+      spec.minScore.foreach(ms => DQ.gateFromResults(report.collect(), ms))
       Some(report)
     }
     val anomalies = spec.anomalyJson.map(a => Anomaly.fromJson(out, a))
@@ -140,28 +140,34 @@ object Job {
                      runId: String): Result = {
     val recorder = graft.monitoring.Metrics.attach(spark)
     val started = System.nanoTime()
-    var failed = true
-    try {
-      val r = run(spark, parse(json))
-      failed = false
-      r
-    } finally {
-      val wallMs = (System.nanoTime() - started) / 1000000L
-      // QueryExecutionListener delivery is asynchronous: give the bus
-      // a bounded quiesce window (stop when the snapshot stops
-      // growing). Per-action capture is best-effort; the top-level
-      // "job" entry below is recorded unconditionally either way.
-      val deadline = System.nanoTime() + 3L * 1000 * 1000 * 1000
-      var last = -1
-      var cur = recorder.snapshot().size
-      while (cur != last && System.nanoTime() < deadline) {
-        last = cur; Thread.sleep(100); cur = recorder.snapshot().size
+    var jobError: Throwable = null
+    try run(spark, parse(json))
+    catch { case e: Throwable => jobError = e; throw e }
+    finally {
+      // the bookkeeping below must never REPLACE the job's own
+      // failure: a history-write error on a failed run attaches as
+      // suppressed context instead of masking the cause
+      try {
+        val wallMs = (System.nanoTime() - started) / 1000000L
+        // QueryExecutionListener delivery is asynchronous: give the
+        // bus a bounded quiesce window (stop when the snapshot stops
+        // growing). Per-action capture is best-effort; the top-level
+        // "job" entry below is recorded unconditionally either way.
+        val deadline = System.nanoTime() + 3L * 1000 * 1000 * 1000
+        var last = -1
+        var cur = recorder.snapshot().size
+        while (cur != last && System.nanoTime() < deadline) {
+          last = cur; Thread.sleep(100); cur = recorder.snapshot().size
+        }
+        spark.listenerManager.unregister(recorder)
+        val entries = graft.monitoring.RunHistory.Entry(
+          "job", wallMs, failed = jobError != null) +:
+          graft.monitoring.RunHistory.fromActions(recorder.snapshot())
+        graft.monitoring.RunHistory.append(spark, historyDir, runId, entries)
+      } catch {
+        case scala.util.control.NonFatal(he) =>
+          if (jobError != null) jobError.addSuppressed(he) else throw he
       }
-      spark.listenerManager.unregister(recorder)
-      val entries = graft.monitoring.RunHistory.Entry(
-        "job", wallMs, failed = failed) +:
-        graft.monitoring.RunHistory.fromActions(recorder.snapshot())
-      graft.monitoring.RunHistory.append(spark, historyDir, runId, entries)
     }
   }
 }

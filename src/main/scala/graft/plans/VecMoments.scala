@@ -62,6 +62,10 @@ case class VecMomentsAgg(
     val x = new Array[Double](d)
     var i = 0
     while (i < d) {
+      // a null ELEMENT would read as 0.0 and silently bias the
+      // moments — malformed vectors fail loudly like width mismatches
+      require(!arr.isNullAt(i),
+        s"graft_vec_moments: null element at index $i")
       x(i) = arr.getFloat(i).toDouble
       b(1 + i) += x(i)
       i += 1

@@ -296,13 +296,22 @@ object DQ {
     * composition.
     */
   def requireQuality(df: DataFrame, rules: Seq[Rule], minScore: Double): DataFrame = {
-    val results = check(df, rules).collect()
+    gateFromResults(check(df, rules).collect(), minScore)
+    df
+  }
+
+  /** The gate decision alone, from an already-collected [[check]]
+    * report — ONE shared definition of score + failed-rule
+    * extraction, so callers that need the report anyway (e.g.
+    * [[graft.pipeline.Job]]) gate without a second evaluation pass.
+    */
+  def gateFromResults(results: Array[org.apache.spark.sql.Row],
+                      minScore: Double): Unit = {
     val passed = results.count(_.getAs[Boolean]("passed"))
     val scoreVal = passed * 100.0 / results.length
     if (scoreVal < minScore)
       throw new QualityGateException(scoreVal, minScore,
         results.filterNot(_.getAs[Boolean]("passed")).map(_.getString(0)).toSeq)
-    df
   }
 
   /** Per-column profiling in one pass — ref dq_engine.py:45-67.

@@ -177,40 +177,60 @@ object FileSink {
     * temp-dir + rename, so readers never observe a half-compacted
     * dataset. Returns (filesBefore, filesAfter).
     */
+  /** Data files under `root`, excluding anything inside a hidden
+    * (dot/underscore-prefixed) path component — what Spark's own
+    * listing would read. Keeps compaction from sweeping the atomic
+    * swap's transient `.x__staging`/`.x__old` directories back in.
+    */
+  private def visibleDataFiles(fs: org.apache.hadoop.fs.FileSystem,
+                               root: org.apache.hadoop.fs.Path)
+      : Vector[org.apache.hadoop.fs.LocatedFileStatus] = {
+    def hiddenBelowRoot(p: org.apache.hadoop.fs.Path): Boolean = {
+      var cur = p
+      while (cur != null && cur != root) {
+        val n = cur.getName
+        if (n.startsWith("_") || n.startsWith(".")) return true
+        cur = cur.getParent
+      }
+      false
+    }
+    val it = fs.listFiles(root, true)
+    var files = Vector.empty[org.apache.hadoop.fs.LocatedFileStatus]
+    while (it.hasNext) {
+      val f = it.next()
+      if (!hiddenBelowRoot(f.getPath)) files :+= f
+    }
+    files
+  }
+
   def compact(spark: org.apache.spark.sql.SparkSession, path: String,
               targetFileBytes: Long = 128L * 1024 * 1024,
               format: String = "parquet"): (Long, Long) = {
     require(targetFileBytes > 0, "targetFileBytes > 0")
     val fs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    def dataFiles() = {
-      val it = fs.listFiles(new org.apache.hadoop.fs.Path(path), true)
-      var files = Vector.empty[org.apache.hadoop.fs.LocatedFileStatus]
-      while (it.hasNext) {
-        val f = it.next()
-        val n = f.getPath.getName
-        if (!n.startsWith("_") && !n.startsWith(".")) files :+= f
-      }
-      files
-    }
-    val before = dataFiles()
+    val root = fs.makeQualified(new org.apache.hadoop.fs.Path(path))
+    // heal a previous crashed sweep before reading anything
+    graft.Recovery.restoreHiddenIfTorn(spark, root.toString)
+    val before = visibleDataFiles(fs, root)
     // a hive-partitioned TREE must be compacted per partition — a
     // whole-tree rewrite would flatten the partition columns into the
     // data files and break downstream pruning. (Compacting a single
     // partition directory directly is fine: its files sit at the
     // root we were given.)
-    val root = fs.makeQualified(new org.apache.hadoop.fs.Path(path))
     require(!before.exists(f => f.getPath.getParent != root &&
         f.getPath.getParent.getName.contains("=")),
       s"$path is hive-partitioned; use compactPartitions (per-partition sweep)")
     val totalBytes = before.map(_.getLen).sum
     val parts = math.max(1L, (totalBytes + targetFileBytes - 1) / targetFileBytes).toInt
-    // materialize the read plan BEFORE the swap deletes its input:
-    // idempotentWrite stages into a sibling temp dir first, so the
-    // source files are still present while the rewrite streams
+    // materialize the read plan BEFORE the swap deletes its input: the
+    // write stages into a HIDDEN sibling dir (invisible to partition
+    // discovery and concurrent readers), so source files are still
+    // present while the rewrite streams and a mid-swap listing of the
+    // enclosing tree never sees a bogus partition
     val df = spark.read.format(format).load(path).coalesce(parts)
-    graft.Recovery.idempotentWrite(df, path, format)
-    (before.size.toLong, dataFiles().size.toLong)
+    graft.Recovery.idempotentWriteHidden(df, path, format)
+    (before.size.toLong, visibleDataFiles(fs, root).size.toLong)
   }
 
   /** Per-partition small-file sweep for hive-layout datasets: every
@@ -226,15 +246,26 @@ object FileSink {
     val fs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val root = fs.makeQualified(new org.apache.hadoop.fs.Path(path))
-    val it = fs.listFiles(root, true)
-    var leaves = Set.empty[org.apache.hadoop.fs.Path]
-    while (it.hasNext) {
-      val f = it.next()
-      val n = f.getPath.getName
-      if (!n.startsWith("_") && !n.startsWith(".")) leaves += f.getPath.getParent
-    }
+    // heal any leaf a previous crashed sweep left headless (its data
+    // sits complete in a hidden staging/old sibling): a torn leaf has
+    // no visible files, so discover it from the hidden dirs — at any
+    // partition depth
+    def hiddenSwapDirs(dir: org.apache.hadoop.fs.Path): Seq[org.apache.hadoop.fs.Path] =
+      fs.listStatus(dir).toSeq.filter(_.isDirectory).flatMap { st =>
+        val n = st.getPath.getName
+        if (n.startsWith(".") && (n.endsWith("__staging") || n.endsWith("__old")))
+          Seq(st.getPath)
+        else if (n.startsWith(".") || n.startsWith("_")) Nil
+        else hiddenSwapDirs(st.getPath)
+      }
+    hiddenSwapDirs(root)
+      .map(p => new org.apache.hadoop.fs.Path(p.getParent, p.getName.stripPrefix(".")
+        .stripSuffix("__staging").stripSuffix("__old")))
+      .distinct
+      .foreach(t => graft.Recovery.restoreHiddenIfTorn(spark, t.toString))
+    val leaves = visibleDataFiles(fs, root).map(_.getPath.getParent).distinct
     require(leaves.nonEmpty, s"no data files under $path")
-    val results = leaves.toSeq.sortBy(_.toString)
+    val results = leaves.sortBy(_.toString)
       .map(dir => compact(spark, dir.toString, targetFileBytes, format))
     (leaves.size.toLong, results.map(_._1).sum, results.map(_._2).sum)
   }

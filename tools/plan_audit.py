@@ -44,7 +44,11 @@ for fn in sorted(os.listdir(dumpdir)):
         per_query_smj.append((q, smj))
     if re.search(r"PushedFilters: \[[^\]]", text):
         counters["plans_with_pushed_filters"] += 1
-    counters["exchanges"] += len(re.findall(r"\bExchange\b", text))
+    # count shuffle, broadcast and reused exchanges alike (\bExchange\b
+    # alone would miss BroadcastExchange/ReusedExchange — no word
+    # boundary inside the identifier)
+    counters["exchanges"] += len(
+        re.findall(r"\b(?:Broadcast|Reused)?Exchange\b", text))
 
 print("plans:", counters["plans"], " errors:", counters["errors"])
 print("cartesian products:", counters["cartesian"])
