@@ -191,6 +191,36 @@ class SearchSpec extends SparkSpec {
     assert(model.eigenvalues.zip(model17.eigenvalues)
       .forall { case (a, b) => math.abs(a - b) < 1e-6 })
 
+    // composition: 8 planted clusters in 32 dims survive PCA-8 —
+    // after projection every point is still nearest (euclidean) to
+    // its own cluster's projected centroid, so downstream ANN/k-means
+    // on the compressed vectors sees the same neighborhoods
+    val dims = 32; val kClusters = 8
+    def noise(id: Int, d: Int) = (((id * 31 + d * 17) % 7) - 3) * 0.02f
+    def vec(id: Int): Array[Float] = {
+      val c = id % kClusters
+      Array.tabulate(dims)(d => (if (d == c * 4) 10f else 0f) + noise(id, d))
+    }
+    val planted32 = (0 until 400).map(i => (i.toLong, i % kClusters, vec(i)))
+      .toDF("id", "cluster", "embedding")
+    val pm32 = Pca.fit(planted32, "embedding", k = kClusters)
+    assert(pm32.explainedRatio.sum > 0.95,
+      s"clusters carry the variance: ${pm32.explainedRatio.sum}")
+    val proj32 = Pca.transform(planted32, "embedding", pm32)
+      .select(col("id") +: col("cluster") +:
+        (0 until kClusters).map(j => col(s"pc$j")): _*)
+      .collect()
+      .map(r => (r.getInt(1), (0 until kClusters).map(j => r.getDouble(2 + j)).toArray))
+    val centroids = proj32.groupBy(_._1).map { case (c, rows) =>
+      c -> rows.map(_._2).transpose.map(xs => xs.sum / xs.length).toArray
+    }
+    def dist2(a: Array[Double], b: Array[Double]) =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    val misassigned = proj32.count { case (c, p) =>
+      centroids.minBy { case (_, ct) => dist2(p, ct) }._1 != c
+    }
+    assert(misassigned == 0, s"$misassigned points left their cluster after PCA")
+
     // planted dominant axis: points along (1,2,0)/sqrt(5) + tiny noise
     val planted = (-10 to 10).map { t =>
       (t.toLong, Array(t.toFloat, 2f * t, (t % 3).toFloat * 0.01f))
