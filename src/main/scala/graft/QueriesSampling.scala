@@ -90,6 +90,17 @@ object QueriesSampling {
         "doc_id", "text", n = 5)
     }),
 
+    // per-benchmark contamination report: the publishable per-eval
+    // overlap stats (docs touched + gram mass), benchmark sets named
+    // by the source column, clean benchmarks zero-filled
+    "q_decontaminate_report" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      Dedup.contaminationReport(
+        docs.filter(col("doc_id") % 97 =!= 0),
+        docs.filter(col("doc_id") % 97 === 0),
+        "doc_id", "text", benchNameCol = "source", n = 5)
+    }),
+
     // the Bloom-pruned decontamination path, SAME exact output (the
     // filter narrows where the join looks, never what it returns) —
     // hash-checked against the identical oracle as q_decontaminate
@@ -202,6 +213,27 @@ object QueriesSampling {
 
     "q_decontaminate" -> decontaminateOracle,
     "q_decontaminate_bloom" -> decontaminateOracle,
+
+    "q_decontaminate_report" ->
+      """WITH toks AS (
+        |  SELECT doc_id, source, string_split_regex(trim(text), '\s+') AS w FROM documents),
+        |pos AS (
+        |  SELECT doc_id, source, w, unnest(generate_series(1, greatest(len(w) - 4, 1))) AS i
+        |  FROM toks),
+        |grams AS (
+        |  SELECT DISTINCT doc_id, source, array_to_string(w[i:i+4], ' ') AS g FROM pos),
+        |bench AS (SELECT DISTINCT source AS bench_name, g FROM grams WHERE doc_id % 97 = 0),
+        |sizes AS (SELECT bench_name, CAST(COUNT(*) AS BIGINT) AS n_bench_grams
+        |          FROM bench GROUP BY bench_name),
+        |hits AS (
+        |  SELECT b.bench_name,
+        |    CAST(COUNT(DISTINCT c.doc_id) AS BIGINT) AS n_docs,
+        |    CAST(COUNT(*) AS BIGINT) AS n_gram_hits
+        |  FROM (SELECT doc_id, g FROM grams WHERE doc_id % 97 <> 0) c
+        |  JOIN bench b USING (g) GROUP BY b.bench_name)
+        |SELECT s.bench_name, COALESCE(h.n_docs, 0) AS n_docs,
+        |  COALESCE(h.n_gram_hits, 0) AS n_gram_hits, s.n_bench_grams
+        |FROM sizes s LEFT JOIN hits h USING (bench_name)""".stripMargin,
 
     "q_corpus_linededup" ->
       """WITH base AS (

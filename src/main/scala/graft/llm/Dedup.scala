@@ -625,6 +625,39 @@ object Dedup {
       .agg(count(lit(1)).as("n_shared"))
   }
 
+  /** Per-benchmark contamination REPORT — the measurement counterpart
+    * of [[ngramContamination]]: for each benchmark set (named by
+    * `benchNameCol` in `bench`), how many corpus docs share at least
+    * one word n-gram and how much gram mass overlaps — the number a
+    * data release publishes per eval suite before/after
+    * decontamination. Output one row per benchmark, zero-filled for
+    * clean ones: (bench_name, n_docs, n_gram_hits, n_bench_grams).
+    * Scale shape: benchmark grams are eval-suite-sized (broadcast);
+    * corpus grams stream map-side into the join and collapse in one
+    * hash agg — same plan family as the removal path.
+    */
+  def contaminationReport(corpus: DataFrame, bench: DataFrame,
+                          idCol: String, textCol: String,
+                          benchNameCol: String, n: Int = 5): DataFrame = {
+    val benchGrams = bench
+      .select(col(benchNameCol).as("bench_name"),
+        explode(wordShingles(col(textCol), n)).as("__g"))
+      .distinct()
+    val sizes = benchGrams.groupBy("bench_name")
+      .agg(count(lit(1)).as("n_bench_grams"))
+    val corpusGrams = corpus
+      .select(col(idCol), explode(wordShingles(col(textCol), n)).as("__g"))
+    val hits = corpusGrams.join(broadcast(benchGrams), "__g")
+      .groupBy(col("bench_name"))
+      .agg(countDistinct(col(idCol)).as("n_docs"),
+        count(lit(1)).as("n_gram_hits"))
+    sizes.join(hits, Seq("bench_name"), "left_outer")
+      .select(col("bench_name"),
+        coalesce(col("n_docs"), lit(0L)).as("n_docs"),
+        coalesce(col("n_gram_hits"), lit(0L)).as("n_gram_hits"),
+        col("n_bench_grams"))
+  }
+
   /** [[ngramContamination]] with a Bloom-filter pre-prune — the 100 TB
     * form. The benchmark grams build ONE Bloom filter (Spark's own
     * BloomFilterAggregate, registered by GraftExtensions), whose bytes

@@ -953,6 +953,19 @@ class PipelineSourcesSpec extends SparkSpec {
     val back2 = spark.read.parquet(pdir)
     assert(back2.count() == orders.count())
     assert(back2.select("day").distinct().count() == 2) // layout intact
+
+    // crash-window heal: simulate a sweep that died between the two
+    // renames (partition retired to its hidden .day=1__old, target
+    // gone). A plain read would silently miss the partition — the
+    // hidden dir is invisible by design — but the next sweep must
+    // restore it before compacting
+    val d1 = new java.io.File(pdir, "day=1")
+    assert(d1.renameTo(new java.io.File(pdir, ".day=1__old")))
+    assert(spark.read.parquet(pdir).select("day").distinct().count() == 1)
+    val (parts2, _, _) = FileSink.compactPartitions(spark, pdir,
+      targetFileBytes = 10L * 1024 * 1024 * 1024)
+    assert(parts2 == 2) // the torn partition is back in the sweep
+    assert(spark.read.parquet(pdir).count() == orders.count())
   }
 
   test("Datagen: partitioning-invariant values, bounded ranges, error rates, sizing") {
