@@ -49,6 +49,49 @@ object Incremental {
     updates.unionByName(target.join(updates.select(keys.map(col): _*).distinct(),
       keys, "left_anti"))
 
+  /** Partition-scoped upsert against a PERSISTED hive-layout dataset —
+    * the 100 TB merge pattern (Delta/Iceberg MERGE's file-level
+    * rewrite, expressed with dynamic partition overwrite): the batch
+    * names the partitions it touches (a bounded distinct — days, not
+    * rows), ONLY those partitions are read back (partition-pruned
+    * scan), merged via [[upsert]], and ONLY those partitions are
+    * rewritten ([[graft.sources.FileSink.replacePartitions]]) — a
+    * daily restatement touches one partition of a decade-deep
+    * dataset, never the other 3 649. Keys must not move BETWEEN
+    * partitions (enforced: the partition column must be one of the
+    * keys or functionally derived by the caller), or the old copy in
+    * the untouched partition would survive.
+    */
+  def upsertPartitioned(spark: org.apache.spark.sql.SparkSession,
+                        targetDir: String, batch: DataFrame,
+                        keys: Seq[String], partitionCol: String,
+                        format: String = "parquet"): Unit = {
+    require(keys.contains(partitionCol),
+      s"partition column '$partitionCol' must be part of the upsert key: " +
+        "otherwise a key moving between partitions leaves its old copy " +
+        "alive in a partition this merge never rewrites")
+    val fs = new org.apache.hadoop.fs.Path(targetDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(new org.apache.hadoop.fs.Path(targetDir))) {
+      // first load: nothing to merge with
+      graft.sources.FileSink.replacePartitions(batch, targetDir,
+        Seq(partitionCol), format)
+      return
+    }
+    val touched = batch.select(col(partitionCol)).distinct().collect()
+      .map(_.get(0)).filter(_ != null)
+    require(touched.nonEmpty, "batch touches no partitions")
+    val existing = spark.read.format(format).load(targetDir)
+      // partition-value discovery re-infers the column's type; pin it
+      // back to the batch's so the prune compares and the union lines up
+      .withColumn(partitionCol,
+        col(partitionCol).cast(batch.schema(partitionCol).dataType))
+      .filter(col(partitionCol).isin(touched: _*)) // partition-pruned
+    val merged = upsert(existing, batch, keys)
+    graft.sources.FileSink.replacePartitions(merged, targetDir,
+      Seq(partitionCol), format)
+  }
+
   /** The reference's per-run incremental metrics record — ref
     * incremental_load_manager.py:54-69 IncrementalMetrics (the
     * data-plane fields; its pipeline/source ids and processing time

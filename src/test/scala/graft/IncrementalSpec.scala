@@ -177,6 +177,32 @@ class IncrementalSpec extends SparkSpec {
     assert(late.toSeq == Seq(1, 2))
   }
 
+  test("upsertPartitioned rewrites only the touched partitions") {
+    import java.nio.file.Files
+    val dir = Files.createTempDirectory("graft_upart").toString + "/facts"
+    val t0 = Seq(("d1", 1L, "a"), ("d1", 2L, "b"), ("d2", 3L, "c"), ("d3", 4L, "d"))
+      .toDF("day", "k", "v")
+    // first load goes through the same call (no target yet)
+    Incremental.upsertPartitioned(spark, dir, t0, Seq("day", "k"), "day")
+    val d3File = new java.io.File(dir, "day=d3").listFiles()
+      .filter(_.getName.startsWith("part-")).head
+    val d3Mtime = d3File.lastModified()
+
+    // batch updates one d1 row and inserts into d2; d3 untouched
+    val batch = Seq(("d1", 2L, "B!"), ("d2", 9L, "e")).toDF("day", "k", "v")
+    Incremental.upsertPartitioned(spark, dir, batch, Seq("day", "k"), "day")
+    val back = spark.read.parquet(dir).select("day", "k", "v")
+      .as[(String, Long, String)].collect().toSet
+    assert(back == Set(("d1", 1L, "a"), ("d1", 2L, "B!"), ("d2", 3L, "c"),
+      ("d2", 9L, "e"), ("d3", 4L, "d")))
+    // the untouched partition's file was not rewritten
+    assert(d3File.exists() && d3File.lastModified() == d3Mtime,
+      "day=d3 was rewritten although the batch never touched it")
+    // a partition column outside the key is the silent-stale-copy bug
+    intercept[IllegalArgumentException](
+      Incremental.upsertPartitioned(spark, dir, batch, Seq("k"), "day"))
+  }
+
   test("distinctSketch/rollupDistinct: incremental union, overlap-idempotent, bounded error") {
     val events = table("events").withColumn("day", to_date(col("ts")))
     val exact = events.groupBy("event_type")
