@@ -50,6 +50,39 @@ object Schemas {
       }))
   }
 
+  /** Derive the typed migration that evolves `from` into `to` —
+    * closing the loop diff → steps → [[applyMigration]] →
+    * [[rollbackMigration]] with no hand-written step list (the
+    * reference stores migration scripts; here the schema pair IS the
+    * script). Added columns materialize as typed nulls (the only
+    * value derivable from a schema alone — callers overwrite the
+    * `value` when a backfill expression exists), removed columns
+    * drop, and type changes cast. A rename is indistinguishable from
+    * drop+add at the schema level, so pass known renames explicitly;
+    * matched pairs are excluded from drop/add.
+    */
+  def inferMigration(from: StructType, to: StructType, version: String,
+                     description: String = "",
+                     renames: Map[String, String] = Map.empty): Migration = {
+    renames.foreach { case (o, n) =>
+      require(from.fieldNames.contains(o), s"rename source '$o' not in from-schema")
+      require(to.fieldNames.contains(n), s"rename target '$n' not in to-schema")
+      require(from(o).dataType == to(n).dataType,
+        s"rename '$o'->'$n' changes type — add a separate CastColumn")
+    }
+    val d = diff(from, to)
+    val steps =
+      renames.toSeq.sortBy(_._1).map { case (o, n) => RenameColumn(o, n) } ++
+        d.removed.filterNot(f => renames.contains(f.name))
+          .map(f => DropColumn(f.name)) ++
+        d.added.filterNot(f => renames.values.toSet.contains(f.name))
+          .map(f => AddColumn(f.name,
+            org.apache.spark.sql.functions.lit(null).cast(f.dataType))) ++
+        d.changed.map(c => CastColumn(c.column, to(c.column).dataType))
+    Migration(version, if (description.nonEmpty) description
+      else s"auto: ${from.fields.length} -> ${to.fields.length} cols", steps)
+  }
+
   /** Can a reader expecting `expected` consume data written as
     * `actual` without loss? (additive columns ok, type changes not)
     */

@@ -776,6 +776,40 @@ class PipelineSourcesSpec extends SparkSpec {
       applyMigration(df, Migration("v4", "", Seq(DropColumn("nope")))))
   }
 
+  test("inferMigration derives steps that land exactly on the target schema") {
+    import Schemas._
+    val from = StructType(Seq(StructField("id", IntegerType),
+      StructField("amt", DoubleType), StructField("old_note", StringType),
+      StructField("status", StringType)))
+    val to = StructType(Seq(StructField("id", LongType),
+      StructField("amt", DoubleType), StructField("note", StringType),
+      StructField("region", StringType)))
+    val m = inferMigration(from, to, "v9",
+      renames = Map("old_note" -> "note"))
+    val df = Seq((1, 2.5, "n1", "OPEN")).toDF("id", "amt", "old_note", "status")
+    val out = applyMigration(df, m)
+    // exact target schema (names + types), regardless of column order
+    assert(out.schema.fields.map(f => (f.name, f.dataType)).toSet ==
+      to.fields.map(f => (f.name, f.dataType)).toSet)
+    // rename preserved the data; added column is a typed null
+    val r = out.head()
+    assert(r.getAs[String]("note") == "n1" && r.isNullAt(r.fieldIndex("region")))
+    assert(r.getAs[Long]("id") == 1L)
+    // the inferred migration plays through the normal ledger machinery
+    val ledger = new MigrationLedger
+    val mig2 = applyMigration(df, m, ledger)
+    val back = rollbackMigration(mig2, "v9", ledger)
+    assert(back.schema.fields.map(f => (f.name, f.dataType)).toSet ==
+      from.fields.map(f => (f.name, f.dataType)).toSet)
+    // guard rails: unknown rename endpoints, type-changing rename
+    assertThrows[IllegalArgumentException](
+      inferMigration(from, to, "x", renames = Map("nope" -> "note")))
+    assertThrows[IllegalArgumentException](
+      inferMigration(from, to, "x", renames = Map("old_note" -> "nope")))
+    assertThrows[IllegalArgumentException](
+      inferMigration(from, to, "x", renames = Map("status" -> "id")))
+  }
+
   test("Lineage.fromPlan lists sources and referenced columns of a multi-join plan") {
     val df = SparkEntry.queries("q_join_multi")(spark, TestSession.sfDir)
     val info = Lineage.fromPlan(df)
