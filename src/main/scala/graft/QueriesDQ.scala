@@ -66,6 +66,20 @@ object QueriesDQ {
       DQ.check(t(s, dir, "orders"), DQ.rulesFromJson(json))
     }),
 
+    // uniqueness joins the SAME fused pass as an aggregate-level rule
+    // (dup count = rows − distinct keys, dq_engine.py:109) — one scan
+    // carries per-row and aggregate rules together
+    "q_dq_rules_unique" -> ((s, dir) => {
+      val json =
+        """{"rules": [
+          |  {"rule_id": "u_cust", "type": "uniqueness",
+          |   "columns": ["o_custkey"], "threshold": 95.0},
+          |  {"rule_id": "u_pk", "type": "uniqueness", "columns": ["o_orderkey"]},
+          |  {"rule_id": "nn_prio", "type": "completeness", "column": "o_orderpriority"}
+          |]}""".stripMargin
+      DQ.check(t(s, dir, "orders"), DQ.rulesFromJson(json))
+    }),
+
     // row-level quarantine split — ref error_recovery.py:345
     // quarantine_bad_records: the failed side, tagged with every rule
     // id the row violates (comma-joined in rule order)
@@ -359,6 +373,14 @@ object QueriesDQ {
        |(SUM(CASE WHEN $violatedSql THEN 1 ELSE 0 END)*100.0/COUNT(*) <= 0.0) AS passed
        |FROM $table""".stripMargin
 
+  private def uniqueOracle(table: String, id: String, keyCols: String,
+                           pct: Double): String =
+    s"""SELECT '$id' AS rule_id, 'uniqueness' AS rule_type, '$keyCols' AS colname,
+       |CAST(COUNT(*) - COUNT(DISTINCT $keyCols) AS BIGINT) AS violations,
+       |COUNT(*) AS total,
+       |((COUNT(*) - COUNT(DISTINCT $keyCols))*100.0/COUNT(*) <= $pct) AS passed
+       |FROM $table""".stripMargin
+
   private def corrMatrixOracle(table: String,
                                pairs: Seq[(String, String)]): String =
     pairs.map { case (x, y) =>
@@ -435,6 +457,14 @@ object QueriesDQ {
           "o_orderstatus IS NOT NULL AND o_orderstatus NOT IN ('O', 'F', 'P')"),
         checkOracle("orders", "cfg_xf", "consistency", "price_pos",
           "NOT COALESCE(o_totalprice > 0 OR o_orderkey IS NULL, FALSE)")
+      ).mkString("\nUNION ALL\n"),
+
+    "q_dq_rules_unique" ->
+      Seq(
+        uniqueOracle("orders", "u_cust", "o_custkey", 95.0),
+        uniqueOracle("orders", "u_pk", "o_orderkey", 0.0),
+        checkOracle("orders", "nn_prio", "completeness", "o_orderpriority",
+          "o_orderpriority IS NULL")
       ).mkString("\nUNION ALL\n"),
 
     "q_dq_quarantine" -> {

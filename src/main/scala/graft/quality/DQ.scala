@@ -37,6 +37,36 @@ object DQ {
       * always calls it. Defaults to the schema-free expression.
       */
     def violation(schema: org.apache.spark.sql.types.StructType): Column = violation
+    /** Aggregate-level violation count for [[check]]'s fused pass.
+      * Rules whose semantics are not per-row (uniqueness: a duplicate
+      * only exists relative to the whole frame) override this; the
+      * default is the sum of per-row violations.
+      */
+    def violationAgg(schema: org.apache.spark.sql.types.StructType): Column =
+      sum(when(violation(schema), 1L).otherwise(0L))
+    /** Whether the rule has a per-row predicate ([[split]]/quarantine
+      * need one; aggregate-level rules are check-only).
+      */
+    def rowLevel: Boolean = true
+  }
+
+  /** ref dq_engine.py:109 run_uniqueness_checks: duplicate count over
+    * a key set = rows − distinct keys (pandas `duplicated().sum()`).
+    * Aggregate-level: joins [[check]]'s single fused pass as ONE
+    * count-distinct over the key struct (nulls in the keys group like
+    * values, matching pandas duplicated). Not usable in [[split]] —
+    * membership in "the duplicates" is relative, not per-row.
+    */
+  final case class UniqueKeys(id: String, columns: Seq[String],
+                              maxViolationPct: Double = 0.0) extends Rule {
+    require(columns.nonEmpty, s"rule $id: uniqueness needs columns")
+    val ruleType = "uniqueness"; val colName = columns.mkString(",")
+    override def rowLevel: Boolean = false
+    def violation: Column = throw new UnsupportedOperationException(
+      s"rule $id: uniqueness has no per-row predicate (aggregate-level rule)")
+    override def violationAgg(
+        schema: org.apache.spark.sql.types.StructType): Column =
+      count(lit(1)) - countDistinct(struct(columns.map(col): _*))
   }
 
   /** ref dq_rule_examples.py: not_null / required_fields / completeness. */
@@ -205,6 +235,12 @@ object DQ {
         case "consistency" =>
           CrossField(id, if (r.has("name")) str("name") else id,
             expr(str("condition")), pct)
+        case "uniqueness" =>
+          require(r.has("columns") && r.get("columns").isArray &&
+            r.get("columns").size() > 0,
+            s"rule $id: 'columns' must be a non-empty array")
+          UniqueKeys(id,
+            r.get("columns").elements().asScala.map(_.asText()).toSeq, pct)
         case other =>
           throw new IllegalArgumentException(s"unknown rule type '$other' ($id)")
       }
@@ -220,7 +256,7 @@ object DQ {
     // which would make violations/passed NULL (and the ratio would
     // divide by zero under ANSI). Zero rows = vacuously clean.
     val aggExprs = rules.map(r =>
-      coalesce(sum(when(r.violation(df.schema), 1L).otherwise(0L)), lit(0L)).as(s"__v_${r.id}")) :+
+      coalesce(r.violationAgg(df.schema), lit(0L)).as(s"__v_${r.id}")) :+
       count(lit(1)).as("__total")
     val one = df.agg(aggExprs.head, aggExprs.tail: _*)
     val rows = rules.map { r =>
@@ -258,6 +294,9 @@ object DQ {
     */
   def split(df: DataFrame, rules: Seq[Rule]): (DataFrame, DataFrame) = {
     require(rules.nonEmpty, "no rules")
+    val aggOnly = rules.filterNot(_.rowLevel).map(_.id)
+    require(aggOnly.isEmpty, "split needs per-row rules; aggregate-level " +
+      s"rules have no row membership: ${aggOnly.mkString(", ")}")
     val viols = rules.map(r => coalesce(r.violation(df.schema), lit(false)))
     val anyViol = viols.reduce(_ || _)
     val tags = rules.zip(viols).map { case (r, v) => when(v, lit(r.id)) }

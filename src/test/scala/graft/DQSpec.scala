@@ -431,6 +431,33 @@ class DQSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("UniqueKeys rides the fused pass; nulls group; split refuses it") {
+    val df = Seq((1, "a"), (1, "a"), (2, "b"), (3, null), (4, null))
+      .toDF("k", "v")
+    val res = DQ.check(df, Seq(
+        DQ.UniqueKeys("uk", Seq("k", "v")),
+        DQ.UniqueKeys("uv", Seq("v"), maxViolationPct = 50.0),
+        DQ.NotNull("nn", "v", maxViolationPct = 50.0)))
+      .collect().map(r => r.getString(0) ->
+        (r.getAs[Long]("violations"), r.getAs[Boolean]("passed"))).toMap
+    // (k,v) pairs: (1,a)x2 collapses -> 5 rows, 4 distinct -> 1 dup
+    assert(res("uk") == ((1L, false)))
+    // v alone: a,a,b,null,null -> 3 distinct groups (nulls group like
+    // pandas duplicated) -> 2 dups = 40% <= 50%
+    assert(res("uv") == ((2L, true)))
+    assert(res("nn") == ((2L, true))) // row rule fused alongside
+    // aggregate-level rules have no row membership
+    val err = intercept[IllegalArgumentException](
+      DQ.split(df, Seq(DQ.UniqueKeys("uk", Seq("k")))))
+    assert(err.getMessage.contains("uk"))
+    // json dialect parses it
+    val fromJson = DQ.rulesFromJson(
+      """{"rules": [{"rule_id": "j", "type": "uniqueness", "columns": ["k"]}]}""")
+    assert(fromJson == Seq(DQ.UniqueKeys("j", Seq("k"))))
+    intercept[IllegalArgumentException](DQ.rulesFromJson(
+      """{"rules": [{"rule_id": "j", "type": "uniqueness", "columns": []}]}"""))
+  }
+
   test("correlationMatrix entries equal standalone correlation bit-for-bit") {
     val li = table("lineitem")
     val m = DQ.correlationMatrix(li,
