@@ -56,6 +56,12 @@ object DQ {
     * count-distinct over the key struct (nulls in the keys group like
     * values, matching pandas duplicated). Not usable in [[split]] —
     * membership in "the duplicates" is relative, not per-row.
+    *
+    * Cost note: exact distinct aggregates plan through Expand (the
+    * scan re-emits once per distinct group + once for the plain
+    * rules) — still one scan of storage, but row traffic multiplies
+    * by 1 + #uniqueness-rules. Keep uniqueness rule count low, or use
+    * the standalone [[uniqueness]] per key set at extreme widths.
     */
   final case class UniqueKeys(id: String, columns: Seq[String],
                               maxViolationPct: Double = 0.0) extends Rule {
