@@ -70,6 +70,11 @@ object Dedup {
                           bitsPerItem: Double = 10.0,
                           numBitsOverride: Long = -1L): DataFrame = {
     val histHashes = history.select(md5(col(textCol)).as("__h")).distinct()
+      // null-text history rows have a NULL hash: they can never match a
+      // batch row (null = null is no match), and left in, the Bloom
+      // build would hash them as xxhash64's seed value — planting a
+      // phantom member that costs false positives for nothing
+      .filter(col("__h").isNotNull)
       // consumed thrice (sizing count + filter build + verify anti-join)
       .persist()
     // sized from the real history cardinality — see
@@ -85,11 +90,14 @@ object Dedup {
       .agg(call_function("graft_bloom_agg", xxhash64(col("__h")),
         lit(items), lit(numBits)).as("__bf")).head().getAs[Array[Byte]](0)
     val hashed = batch.withColumn("__h", md5(col(textCol)))
-    // NULL text ⇒ NULL hash ⇒ both branch predicates evaluate to NULL,
-    // so without the isNull disjunct such rows would vanish from BOTH
-    // branches. The contract (and the NOT-EXISTS oracle, where
-    // null = null never matches) keeps them: route null-hash rows into
-    // the definite-new branch and keep the hit branch null-free.
+    // NULL text ⇒ NULL hash. Spark's xxhash64 maps NULL to its seed
+    // (never null), so without the explicit isNull disjunct a
+    // null-text row's fate would hinge on whether the seed's bits
+    // happen to sit in the filter — correct either way (the hit
+    // branch's anti-join can't match a null key), but the contract
+    // (null = null never matches, like the NOT-EXISTS oracle) is made
+    // EXPLICIT here: null-hash rows take the definite-new branch, and
+    // the hit branch stays null-free by construction.
     val definiteNew = hashed
       .filter(col("__h").isNull ||
         !call_function("graft_might_contain", lit(bf), xxhash64(col("__h"))))

@@ -51,15 +51,9 @@ object Anomaly {
       case "zscore" => zscore(df, str("column"), num("threshold", 3.0))
       case "iqr"    => iqr(df, str("column"), num("multiplier", 1.5))
       case "isolation_forest" =>
-        import scala.jdk.CollectionConverters._
-        // isArray + non-empty, matching rulesFromJson's allowed_values:
-        // a scalar here iterates as empty and would fail later with an
-        // opaque error deep inside IsolationForest.detect
-        require(c.has("columns") && c.get("columns").isArray &&
-          c.get("columns").size() > 0,
-          "isolation_forest config: 'columns' must be a non-empty array")
-        val cols = c.get("columns").elements().asScala.map(_.asText()).toSeq
-        IsolationForest.detect(df, cols, threshold = num("threshold", 0.6))
+        IsolationForest.detect(df,
+          JsonCfg.stringArray(c, "columns", "isolation_forest config"),
+          threshold = num("threshold", 0.6))
       case other =>
         throw new IllegalArgumentException(s"unknown anomaly method '$other'")
     }

@@ -233,20 +233,13 @@ object DQ {
         case "pattern" | "regex" =>
           RegexMatch(id, str("column"), str("pattern"), pct)
         case "allowed_values" =>
-          require(r.has("values") && r.get("values").isArray &&
-            r.get("values").size() > 0,
-            s"rule $id: 'values' must be a non-empty array")
           AllowedValues(id, str("column"),
-            r.get("values").elements().asScala.map(_.asText()).toSeq, pct)
+            JsonCfg.stringArray(r, "values", s"rule $id"), pct)
         case "consistency" =>
           CrossField(id, if (r.has("name")) str("name") else id,
             expr(str("condition")), pct)
         case "uniqueness" =>
-          require(r.has("columns") && r.get("columns").isArray &&
-            r.get("columns").size() > 0,
-            s"rule $id: 'columns' must be a non-empty array")
-          UniqueKeys(id,
-            r.get("columns").elements().asScala.map(_.asText()).toSeq, pct)
+          UniqueKeys(id, JsonCfg.stringArray(r, "columns", s"rule $id"), pct)
         case other =>
           throw new IllegalArgumentException(s"unknown rule type '$other' ($id)")
       }
