@@ -23,22 +23,8 @@ object Recovery {
     * target entirely if the writer died between the two calls.)
     */
   def idempotentWrite(df: DataFrame, path: String, format: String = "parquet"): Unit = {
-    val spark = df.sparkSession
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      spark.sparkContext.hadoopConfiguration)
     val target = new org.apache.hadoop.fs.Path(path)
-    val tmp = new org.apache.hadoop.fs.Path(path + "__staging")
-    val old = new org.apache.hadoop.fs.Path(path + "__old")
-    fs.delete(tmp, true)
-    df.write.format(format).mode("overwrite").save(tmp.toString)
-    fs.delete(old, true)
-    if (fs.exists(target) && !fs.rename(target, old))
-      throw new java.io.IOException(s"could not retire old state: $target -> $old")
-    if (!fs.rename(tmp, target)) {
-      fs.rename(old, target) // roll back so a complete state stays readable
-      throw new java.io.IOException(s"atomic swap failed: $tmp -> $target")
-    }
-    fs.delete(old, true)
+    atomicSwap(df, target, plainSiblings(target), format)
   }
 
   /** Heal the one-rename crash window of [[idempotentWrite]]: target
@@ -48,17 +34,61 @@ object Recovery {
     * write. No-op when the target exists.
     */
   def restoreIfTorn(spark: SparkSession, path: String): Unit = {
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      spark.sparkContext.hadoopConfiguration)
     val target = new org.apache.hadoop.fs.Path(path)
+    healTorn(spark, target, plainSiblings(target))
+  }
+
+  // ---- the ONE swap/heal core both naming schemes share -----------
+
+  private def fsOf(spark: SparkSession,
+                   p: org.apache.hadoop.fs.Path): org.apache.hadoop.fs.FileSystem =
+    // the PATH's filesystem, never the default one: an s3a:// dataset
+    // on an hdfs-default cluster must not resolve against HDFS
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def atomicSwap(df: DataFrame, target: org.apache.hadoop.fs.Path,
+                         siblings: (org.apache.hadoop.fs.Path, org.apache.hadoop.fs.Path),
+                         format: String): Unit = {
+    val spark = df.sparkSession
+    val fs = fsOf(spark, target)
+    val (tmp, old) = siblings
+    fs.delete(tmp, true)
+    df.write.format(format).mode("overwrite").save(tmp.toString)
+    fs.delete(old, true)
+    if (fs.exists(target) && !fs.rename(target, old))
+      throw new java.io.IOException(s"could not retire old state: $target -> $old")
+    if (!fs.rename(tmp, target)) {
+      // roll back so a complete state stays readable; a failed
+      // rollback must surface too — the retiree is the only copy left
+      if (fs.exists(old) && !fs.rename(old, target))
+        throw new java.io.IOException(
+          s"atomic swap failed AND rollback failed: state is at $old, not $target")
+      throw new java.io.IOException(s"atomic swap failed: $tmp -> $target")
+    }
+    fs.delete(old, true)
+  }
+
+  private def healTorn(spark: SparkSession, target: org.apache.hadoop.fs.Path,
+                       siblings: (org.apache.hadoop.fs.Path, org.apache.hadoop.fs.Path)): Unit = {
+    val fs = fsOf(spark, target)
     if (!fs.exists(target)) {
-      val tmp = new org.apache.hadoop.fs.Path(path + "__staging")
-      val old = new org.apache.hadoop.fs.Path(path + "__old")
-      val staged = new org.apache.hadoop.fs.Path(path + "__staging/_SUCCESS")
-      if (fs.exists(staged)) { fs.rename(tmp, target); fs.delete(old, true) }
-      else if (fs.exists(old)) fs.rename(old, target)
+      val (tmp, old) = siblings
+      val staged = new org.apache.hadoop.fs.Path(tmp, "_SUCCESS")
+      if (fs.exists(staged)) {
+        // only drop the retiree once the promote actually landed — on
+        // a failed rename the old copy may be the last complete state
+        if (!fs.rename(tmp, target))
+          throw new java.io.IOException(s"heal failed: $tmp -> $target")
+        fs.delete(old, true)
+      } else if (fs.exists(old) && !fs.rename(old, target))
+        throw new java.io.IOException(s"heal failed: $old -> $target")
     }
   }
+
+  private def plainSiblings(target: org.apache.hadoop.fs.Path)
+      : (org.apache.hadoop.fs.Path, org.apache.hadoop.fs.Path) = (
+    new org.apache.hadoop.fs.Path(target.toString + "__staging"),
+    new org.apache.hadoop.fs.Path(target.toString + "__old"))
 
   /** Quarantine the failed side of a [[graft.quality.DQ.split]] —
     * ref error_recovery.py:345-376 quarantine_bad_records: persist the
@@ -105,9 +135,8 @@ object Recovery {
         // run_id=X__old / __staging siblings that partition discovery
         // would treat as (duplicate-carrying) bogus partition values —
         // heal each torn run slice, then read ONLY the real slices
-        val fs = org.apache.hadoop.fs.FileSystem.get(
-          spark.sparkContext.hadoopConfiguration)
         val root = new org.apache.hadoop.fs.Path(dir)
+        val fs = fsOf(spark, root)
         val children =
           if (fs.exists(root)) fs.listStatus(root).toSeq.map(_.getPath.toString)
           else Seq.empty
@@ -135,9 +164,8 @@ object Recovery {
   def runStage(spark: SparkSession, path: String, format: String = "parquet")
               (stage: => DataFrame): DataFrame = {
     restoreIfTorn(spark, path)
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(new org.apache.hadoop.fs.Path(path)))
+    val target = new org.apache.hadoop.fs.Path(path)
+    if (!fsOf(spark, target).exists(target))
       idempotentWrite(stage, path, format)
     spark.read.format(format).load(path)
   }
@@ -154,21 +182,8 @@ object Recovery {
     */
   def idempotentWriteHidden(df: DataFrame, path: String,
                             format: String = "parquet"): Unit = {
-    val spark = df.sparkSession
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      spark.sparkContext.hadoopConfiguration)
     val target = new org.apache.hadoop.fs.Path(path)
-    val (tmp, old) = hiddenSiblings(target)
-    fs.delete(tmp, true)
-    df.write.format(format).mode("overwrite").save(tmp.toString)
-    fs.delete(old, true)
-    if (fs.exists(target) && !fs.rename(target, old))
-      throw new java.io.IOException(s"could not retire old state: $target -> $old")
-    if (!fs.rename(tmp, target)) {
-      fs.rename(old, target)
-      throw new java.io.IOException(s"atomic swap failed: $tmp -> $target")
-    }
-    fs.delete(old, true)
+    atomicSwap(df, target, hiddenSiblings(target), format)
   }
 
   /** Heal the crash window of [[idempotentWriteHidden]] (same policy
@@ -176,21 +191,28 @@ object Recovery {
     * the hidden retiree). No-op when the target exists.
     */
   def restoreHiddenIfTorn(spark: SparkSession, path: String): Unit = {
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      spark.sparkContext.hadoopConfiguration)
     val target = new org.apache.hadoop.fs.Path(path)
-    if (!fs.exists(target)) {
-      val (tmp, old) = hiddenSiblings(target)
-      val staged = new org.apache.hadoop.fs.Path(tmp, "_SUCCESS")
-      if (fs.exists(staged)) { fs.rename(tmp, target); fs.delete(old, true) }
-      else if (fs.exists(old)) fs.rename(old, target)
-    }
+    healTorn(spark, target, hiddenSiblings(target))
   }
 
   private def hiddenSiblings(target: org.apache.hadoop.fs.Path)
       : (org.apache.hadoop.fs.Path, org.apache.hadoop.fs.Path) = (
     new org.apache.hadoop.fs.Path(target.getParent, s".${target.getName}__staging"),
     new org.apache.hadoop.fs.Path(target.getParent, s".${target.getName}__old"))
+
+  /** Parse a hidden swap-sibling name back to its target — the ONE
+    * place [[hiddenSiblings]]' naming is reversed (used by the
+    * compaction sweep to discover torn leaves). None if `name` is not
+    * a hidden swap dir.
+    */
+  private[graft] def hiddenSwapTarget(p: org.apache.hadoop.fs.Path)
+      : Option[org.apache.hadoop.fs.Path] = {
+    val n = p.getName
+    if (n.startsWith(".") && (n.endsWith("__staging") || n.endsWith("__old")))
+      Some(new org.apache.hadoop.fs.Path(p.getParent,
+        n.stripPrefix(".").stripSuffix("__staging").stripSuffix("__old")))
+    else None
+  }
 
   // ---- retry / classification (ref error_recovery.py:157-257) -----
 

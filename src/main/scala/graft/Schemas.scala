@@ -69,6 +69,16 @@ object Schemas {
       require(to.fieldNames.contains(n), s"rename target '$n' not in to-schema")
       require(from(o).dataType == to(n).dataType,
         s"rename '$o'->'$n' changes type — add a separate CastColumn")
+      // an ambiguous pair would infer steps that cannot apply: a
+      // target already present in `from` collides at rename time, and
+      // a source also present in `to` would need re-adding after the
+      // rename took its data — both are contradictory rename specs
+      require(!from.fieldNames.contains(n),
+        s"rename target '$n' already exists in the from-schema — drop or " +
+          "rename it first (ambiguous rename)")
+      require(!to.fieldNames.contains(o),
+        s"rename source '$o' still exists in the to-schema — a rename " +
+          "moves the column; declare an AddColumn backfill instead")
     }
     val d = diff(from, to)
     val steps =

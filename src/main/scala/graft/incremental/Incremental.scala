@@ -78,8 +78,16 @@ object Incremental {
         Seq(partitionCol), format)
       return
     }
-    val touched = batch.select(col(partitionCol)).distinct().collect()
-      .map(_.get(0)).filter(_ != null)
+    val touchedRaw = batch.select(col(partitionCol)).distinct().collect()
+      .map(_.get(0))
+    // a NULL partition value would land in __HIVE_DEFAULT_PARTITION__
+    // without its existing rows being read back — the overwrite would
+    // silently delete them. Refuse; null-keyed rows have no place in
+    // a partition-scoped merge
+    require(!touchedRaw.contains(null),
+      s"batch has NULL '$partitionCol' values — a partition-scoped merge " +
+        "cannot restate the null partition safely; filter or default them first")
+    val touched = touchedRaw
     require(touched.nonEmpty, "batch touches no partitions")
     val existing = spark.read.format(format).load(targetDir)
       // partition-value discovery re-infers the column's type; pin it

@@ -651,6 +651,10 @@ object Dedup {
       .select(col(benchNameCol).as("bench_name"),
         explode(wordShingles(col(textCol), n)).as("__g"))
       .distinct()
+      // consumed twice (sizes agg + the broadcast join build): persist
+      // so the benchmark shingling runs once (session-scoped, see
+      // GraftSession.releaseAll — the returned frame is lazy)
+      .persist()
     val sizes = benchGrams.groupBy("bench_name")
       .agg(count(lit(1)).as("n_bench_grams"))
     val corpusGrams = corpus

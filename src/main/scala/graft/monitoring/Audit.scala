@@ -158,6 +158,10 @@ object Audit {
     */
   def archiveSplit(audit: DataFrame,
                    cutoff: String): (DataFrame, DataFrame) = {
+    // an unparseable cutoff would make the predicate NULL for EVERY
+    // row — the sweep would run green while archiving nothing.
+    // Validate driver-side, loudly
+    require(parseableTs(cutoff), s"unparseable cutoff timestamp: '$cutoff'")
     // a null timestamp makes the predicate NULL, which a bare pair of
     // filters would drop from BOTH sides — undateable rows must stay
     // in the kept set (never silently deleted by a retention sweep)
@@ -165,6 +169,12 @@ object Audit {
       col("action_timestamp") < to_timestamp(lit(cutoff)), lit(false))
     (audit.filter(!old), audit.filter(old))
   }
+
+  private def parseableTs(s: String): Boolean =
+    try { java.sql.Timestamp.valueOf(s.replace('T', ' ')); true }
+    catch { case _: IllegalArgumentException =>
+      try { java.sql.Date.valueOf(s); true }
+      catch { case _: IllegalArgumentException => false } }
 
   /** Append audit rows day-partitioned (action_date=YYYY-MM-DD), so
     * period queries prune to the covered days.

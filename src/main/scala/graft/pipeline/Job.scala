@@ -165,7 +165,12 @@ object Job {
           graft.monitoring.RunHistory.fromActions(recorder.snapshot())
         graft.monitoring.RunHistory.append(spark, historyDir, runId, entries)
       } catch {
-        case scala.util.control.NonFatal(he) =>
+        // InterruptedException is not NonFatal but must not mask the
+        // job's own failure either — suppress it too (restoring the
+        // interrupt flag); truly fatal errors still propagate
+        case he@(scala.util.control.NonFatal(_) | _: InterruptedException) =>
+          if (he.isInstanceOf[InterruptedException])
+            Thread.currentThread().interrupt()
           if (jobError != null) jobError.addSuppressed(he) else throw he
       }
     }

@@ -18,7 +18,11 @@ private[quality] object JsonCfg {
       node.get(field).size() > 0,
       s"$ctx: '$field' must be a non-empty array")
     node.get(field).elements().asScala.zipWithIndex.map { case (e, i) =>
-      require(e.isTextual, s"$ctx: '$field'[$i] must be a string, got $e")
+      // scalars are fine (asText renders numbers/booleans faithfully —
+      // configs legitimately write [1, 2, 3]); containers and nulls
+      // are the shapes that silently coerce to garbage
+      require(e.isValueNode && !e.isNull,
+        s"$ctx: '$field'[$i] must be a scalar, got $e")
       e.asText()
     }.toSeq
   }

@@ -250,18 +250,17 @@ object FileSink {
     // sits complete in a hidden staging/old sibling): a torn leaf has
     // no visible files, so discover it from the hidden dirs — at any
     // partition depth
-    def hiddenSwapDirs(dir: org.apache.hadoop.fs.Path): Seq[org.apache.hadoop.fs.Path] =
+    def hiddenSwapTargets(dir: org.apache.hadoop.fs.Path): Seq[org.apache.hadoop.fs.Path] =
       fs.listStatus(dir).toSeq.filter(_.isDirectory).flatMap { st =>
-        val n = st.getPath.getName
-        if (n.startsWith(".") && (n.endsWith("__staging") || n.endsWith("__old")))
-          Seq(st.getPath)
-        else if (n.startsWith(".") || n.startsWith("_")) Nil
-        else hiddenSwapDirs(st.getPath)
+        graft.Recovery.hiddenSwapTarget(st.getPath) match {
+          case Some(t) => Seq(t)
+          case None =>
+            val n = st.getPath.getName
+            if (n.startsWith(".") || n.startsWith("_")) Nil
+            else hiddenSwapTargets(st.getPath)
+        }
       }
-    hiddenSwapDirs(root)
-      .map(p => new org.apache.hadoop.fs.Path(p.getParent, p.getName.stripPrefix(".")
-        .stripSuffix("__staging").stripSuffix("__old")))
-      .distinct
+    hiddenSwapTargets(root).distinct
       .foreach(t => graft.Recovery.restoreHiddenIfTorn(spark, t.toString))
     val leaves = visibleDataFiles(fs, root).map(_.getPath.getParent).distinct
     require(leaves.nonEmpty, s"no data files under $path")
