@@ -177,21 +177,61 @@ object Streams {
     * staging promoted, retiree restored) and never double-counted as
     * bogus partition values.
     */
-  def lateRows(spark: SparkSession, latePath: String): DataFrame = {
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      spark.sparkContext.hadoopConfiguration)
-    val root = new org.apache.hadoop.fs.Path(latePath)
+  def lateRows(spark: SparkSession, latePath: String): DataFrame =
+    readBatchSlices(spark, latePath, "late-data")
+
+  /** Heal + read every `batch_id=N` slice under `root` (the shared
+    * side-output layout of [[lateSideOutput]] and
+    * [[quarantineStream]]): torn swaps restored, lingering
+    * staging/retiree siblings never double-counted.
+    */
+  private def readBatchSlices(spark: SparkSession, root: String,
+                              what: String): DataFrame = {
+    val rootPath = new org.apache.hadoop.fs.Path(root)
+    val fs = rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val slices =
-      (if (fs.exists(root)) fs.listStatus(root).toSeq.map(_.getPath.toString)
+      (if (fs.exists(rootPath)) fs.listStatus(rootPath).toSeq.map(_.getPath.toString)
        else Seq.empty)
         .filter(p => p.substring(p.lastIndexOf('/') + 1).startsWith("batch_id="))
         .map(_.stripSuffix("__old").stripSuffix("__staging"))
         .distinct.sorted
         .map { p => graft.Recovery.restoreIfTorn(spark, p); p }
         .filter(p => fs.exists(new org.apache.hadoop.fs.Path(p)))
-    require(slices.nonEmpty, s"no late-data slices under $latePath")
-    spark.read.option("basePath", latePath).parquet(slices: _*)
+    require(slices.nonEmpty, s"no $what slices under $root")
+    spark.read.option("basePath", root).parquet(slices: _*)
   }
+
+  /** Row-level DQ as a STREAMING path — the batch
+    * [[graft.quality.DQ.split]]/quarantine contract per micro-batch:
+    * each batch splits through the SAME fused rule expressions
+    * (row-level rules only, as in batch), the clean side goes to the
+    * caller's sink, and the failed side (tagged `failed_rules`) lands
+    * as a `batch_id=N` slice via the atomic swap — a checkpoint
+    * replay of batch N REPLACES its own slice instead of
+    * double-appending, so the quarantine area is exactly-once.
+    */
+  def quarantineStream(stream: DataFrame,
+                       rules: Seq[graft.quality.DQ.Rule],
+                       quarantinePath: String, checkpointDir: String)
+                      (clean: (DataFrame, Long) => Unit) =
+    stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val (ok, bad) = graft.quality.DQ.split(batch.toDF(), rules)
+        graft.Recovery.idempotentWrite(
+          bad.withColumn("quarantined_batch", lit(batchId)),
+          s"$quarantinePath/batch_id=$batchId")
+        clean(ok, batchId)
+        ()
+      }
+      .start()
+
+  /** Everything quarantined across all batches so far (healed slices
+    * only) — feed back through [[graft.Recovery.reprocess]]-style
+    * replays after the upstream fix.
+    */
+  def quarantinedRows(spark: SparkSession, quarantinePath: String): DataFrame =
+    readBatchSlices(spark, quarantinePath, "quarantine")
 
   /** End-to-end streaming CDC: every micro-batch of I/U/D events folds
     * into the parquet target via [[graft.incremental.Incremental.applyCdc]]

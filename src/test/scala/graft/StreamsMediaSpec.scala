@@ -535,6 +535,42 @@ class StreamsMediaSpec extends SparkSpec {
     assert(!q.queryExecution.executedPlan.toString.contains("ExistingRDD"))
   }
 
+  test("quarantineStream splits micro-batches exactly like the batch contract") {
+    import java.nio.file.Files
+    import graft.quality.DQ
+    implicit val sqlCtx = spark.sqlContext
+    val rules = Seq(DQ.NotNull("nn", "v"), DQ.ValueRange("rng", "x", 0, 100))
+    val base = Files.createTempDirectory("graft_qstream").toString
+    val input = MemoryStream[(Long, String, Double)]
+    val cleanSeen = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+    val q = Streams.quarantineStream(
+      input.toDF().toDF("id", "v", "x"), rules,
+      s"$base/quarantine", s"$base/ckpt") { (ok, bid) =>
+      cleanSeen += ((bid, ok.count()))
+    }
+    try {
+      input.addData(Seq((1L, "a", 5.0), (2L, null, 5.0), (3L, "c", 500.0)))
+      q.processAllAvailable()
+      input.addData(Seq((4L, "d", 50.0), (5L, null, -1.0)))
+      q.processAllAvailable()
+    } finally q.stop()
+    val quarantined = Streams.quarantinedRows(spark, s"$base/quarantine")
+    // same rows AND same failed_rules tags as the batch split of the union
+    val all = Seq((1L, "a", 5.0), (2L, (null: String), 5.0), (3L, "c", 500.0),
+      (4L, "d", 50.0), (5L, (null: String), -1.0)).toDF("id", "v", "x")
+    val (_, batchBad) = DQ.split(all, rules)
+    val got = quarantined.select("id", "failed_rules")
+      .as[(Long, String)].collect().toSet
+    val want = batchBad.select("id", "failed_rules")
+      .as[(Long, String)].collect().toSet
+    assert(got == want && got == Set((2L, "nn"), (3L, "rng"), (5L, "nn,rng")))
+    // the clean side saw everything else, batch by batch (batch 0:
+    // ids 2 and 3 both fail, only id 1 is clean)
+    assert(cleanSeen.toSet == Set((0L, 1L), (1L, 1L)))
+    // slices are batch-keyed (the exactly-once replay contract)
+    assert(quarantined.select("quarantined_batch").distinct().count() == 2)
+  }
+
   test("Datagen.withFields: streaming values identical to batch for the same ids") {
     import graft.sources.Datagen, Datagen._
     val fields = Seq(IntCol("age", 18, 80), DoubleCol("p", 0.0, 1.0),
