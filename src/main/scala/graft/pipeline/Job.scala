@@ -20,7 +20,8 @@ import graft.quality.{Anomaly, DQ}
   * {
   *   "datasets": [ {"name":…, "format":…, "path":…, "schema":…}, … ],
   *   "pipeline": {"primary": …, "steps": [ … ]},
-  *   "quality":  {"rules": [ … ], "min_score": 90.0},   // optional gate
+  *   "quality":  {"rules": [ … ], "min_score": 90.0,    // optional gate
+  *                "quarantine_dir": …, "run_id": …},     // optional row routing
   *   "anomaly":  {"method": …, "column": …, …},          // optional screen
   *   "sink":     {"format": "parquet", "path": …}        // optional write
   * }
@@ -42,6 +43,7 @@ object Job {
                         pipeline: Pipeline.Spec,
                         dqRules: Seq[DQ.Rule],
                         minScore: Option[Double],
+                        quarantine: Option[(String, String)], // dir, run id
                         anomalyJson: Option[String],
                         sink: Option[(String, String, String)]) // format, path, mode
 
@@ -65,8 +67,8 @@ object Job {
     val datasets = Catalog.parseJson(json) // reads the "datasets" array
     val pipeline = PipelineJson.parse(mapper.writeValueAsString(root.get("pipeline")))
 
-    val (rules, minScore) = Option(root.get("quality")) match {
-      case None => (Seq.empty[DQ.Rule], None)
+    val (rules, minScore, quarantine) = Option(root.get("quality")) match {
+      case None => (Seq.empty[DQ.Rule], None, None)
       case Some(q) =>
         require(q.hasNonNull("rules"), "\"quality\" needs a \"rules\" array")
         // rulesFromJson reads the {"rules": [...]} shape — hand it the
@@ -78,7 +80,19 @@ object Job {
           require(n.isNumber, "\"min_score\" must be a number")
           n.asDouble()
         }
-        (r, ms)
+        val quar = Option(q.get("quarantine_dir")).map { d =>
+          require(d.isTextual, "\"quarantine_dir\" must be a string")
+          (d.asText(),
+            Option(q.get("run_id")).map(_.asText()).getOrElse("run"))
+        }
+        // the quarantine split needs per-row rules — reject the combo
+        // at parse time, not deep in DQ.split mid-run
+        quar.foreach { _ =>
+          val aggOnly = r.filterNot(_.rowLevel).map(_.id)
+          require(aggOnly.isEmpty, "quarantine_dir requires row-level " +
+            s"rules only; aggregate-level: ${aggOnly.mkString(", ")}")
+        }
+        (r, ms, quar)
     }
     val anomaly = Option(root.get("anomaly")).map(mapper.writeValueAsString)
     val sink = Option(root.get("sink")).map { s =>
@@ -87,7 +101,7 @@ object Job {
           throw new IllegalArgumentException(s"\"sink\" needs \"$f\""))
       (str("format", Some("parquet")), str("path"), str("mode", Some("overwrite")))
     }
-    Spec(datasets, pipeline, rules, minScore, anomaly, sink)
+    Spec(datasets, pipeline, rules, minScore, quarantine, anomaly, sink)
   }
 
   /** Execute a parsed job. The pipeline's named sources are the
@@ -114,12 +128,23 @@ object Job {
       spec.minScore.foreach(ms => DQ.gateFromResults(report.collect(), ms))
       Some(report)
     }
-    val anomalies = spec.anomalyJson.map(a => Anomaly.fromJson(out, a))
-    spec.sink.foreach { case (format, path, mode) =>
-      if (mode == "atomic") graft.Recovery.idempotentWrite(out, path, format)
-      else graft.sources.FileSink.write(out, format, path, mode)
+    // quarantine mode: failing rows route to the per-run quarantine
+    // slice and the job CONTINUES with the clean side (the
+    // ErrorRecovery workflow, error_recovery.py:345, in config) —
+    // orthogonal to min_score, which judges the WHOLE output first
+    val result = spec.quarantine match {
+      case None => out
+      case Some((dir, runId)) =>
+        val (clean, bad) = DQ.split(out, spec.dqRules)
+        graft.Recovery.quarantine(bad, dir, runId)
+        clean
     }
-    Result(out, dqReport, anomalies)
+    val anomalies = spec.anomalyJson.map(a => Anomaly.fromJson(result, a))
+    spec.sink.foreach { case (format, path, mode) =>
+      if (mode == "atomic") graft.Recovery.idempotentWrite(result, path, format)
+      else graft.sources.FileSink.write(result, format, path, mode)
+    }
+    Result(result, dqReport, anomalies)
   }
 
   def runJson(spark: SparkSession, json: String): Result =

@@ -232,6 +232,35 @@ class PipelineSourcesSpec extends SparkSpec {
     assert(intercept[IllegalArgumentException](Job.runJson(spark, badPrimary))
       .getMessage.contains("not a declared dataset"))
 
+    // quarantine mode: failing rows route to the per-run slice and the
+    // job continues with the clean side
+    val qdir = Files.createTempDirectory("graft_jobq").toString + "/quarantine"
+    val quarDoc =
+      s"""{
+         |  "datasets": [
+         |    {"name": "jo", "format": "parquet", "path": "$dir/orders.parquet"}
+         |  ],
+         |  "pipeline": {"primary": "jo", "steps": [
+         |    {"type": "select", "columns": ["o_orderkey", "o_orderstatus"]}
+         |  ]},
+         |  "quality": {"rules": [
+         |    {"rule_id": "only_f", "type": "allowed_values",
+         |     "column": "o_orderstatus", "values": ["F"]}
+         |  ], "quarantine_dir": "$qdir", "run_id": "jq1"}
+         |}""".stripMargin
+    val qres = Job.runJson(spark, quarDoc)
+    val total = spark.read.parquet(s"$dir/orders.parquet").count()
+    val quarantined = spark.read.parquet(s"$qdir/run_id=jq1")
+    assert(qres.output.count() + quarantined.count() == total)
+    assert(qres.output.filter(col("o_orderstatus") =!= "F").count() == 0)
+    assert(quarantined.filter(col("failed_rules") =!= "only_f").count() == 0)
+    // an aggregate-level rule cannot drive row routing — parse-time error
+    assert(intercept[IllegalArgumentException](Job.parse(
+      quarDoc.replace("""{"rule_id": "only_f", "type": "allowed_values",
+     "column": "o_orderstatus", "values": ["F"]}""",
+        """{"rule_id": "u", "type": "uniqueness", "columns": ["o_orderkey"]}""")))
+      .getMessage.contains("row-level"))
+
     // history integration: the job's actions land in RunHistory under
     // the run id, even when the quality gate throws
     val hist = Files.createTempDirectory("graft_jobhist").toString + "/history"
