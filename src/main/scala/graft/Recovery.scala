@@ -208,9 +208,14 @@ object Recovery {
   private[graft] def hiddenSwapTarget(p: org.apache.hadoop.fs.Path)
       : Option[org.apache.hadoop.fs.Path] = {
     val n = p.getName
-    if (n.startsWith(".") && (n.endsWith("__staging") || n.endsWith("__old")))
+    // strip exactly ONE suffix: a target whose own name ends in __old
+    // (".k=legacy__old__staging") must not collapse twice
+    if (n.startsWith(".") && n.endsWith("__staging"))
       Some(new org.apache.hadoop.fs.Path(p.getParent,
-        n.stripPrefix(".").stripSuffix("__staging").stripSuffix("__old")))
+        n.stripPrefix(".").stripSuffix("__staging")))
+    else if (n.startsWith(".") && n.endsWith("__old"))
+      Some(new org.apache.hadoop.fs.Path(p.getParent,
+        n.stripPrefix(".").stripSuffix("__old")))
     else None
   }
 

@@ -70,6 +70,17 @@ object Incremental {
       s"partition column '$partitionCol' must be part of the upsert key: " +
         "otherwise a key moving between partitions leaves its old copy " +
         "alive in a partition this merge never rewrites")
+    val touched = batch.select(col(partitionCol)).distinct().collect()
+      .map(_.get(0))
+    // a NULL partition value would land in __HIVE_DEFAULT_PARTITION__
+    // without its existing rows being read back — the overwrite would
+    // silently delete them. Refuse UP FRONT, first load included: the
+    // invariant must hold from dataset creation or later merges could
+    // never restate the null partition
+    require(!touched.contains(null),
+      s"batch has NULL '$partitionCol' values — a partition-scoped merge " +
+        "cannot restate the null partition safely; filter or default them first")
+    require(touched.nonEmpty, "batch touches no partitions")
     val fs = new org.apache.hadoop.fs.Path(targetDir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(new org.apache.hadoop.fs.Path(targetDir))) {
@@ -78,17 +89,6 @@ object Incremental {
         Seq(partitionCol), format)
       return
     }
-    val touchedRaw = batch.select(col(partitionCol)).distinct().collect()
-      .map(_.get(0))
-    // a NULL partition value would land in __HIVE_DEFAULT_PARTITION__
-    // without its existing rows being read back — the overwrite would
-    // silently delete them. Refuse; null-keyed rows have no place in
-    // a partition-scoped merge
-    require(!touchedRaw.contains(null),
-      s"batch has NULL '$partitionCol' values — a partition-scoped merge " +
-        "cannot restate the null partition safely; filter or default them first")
-    val touched = touchedRaw
-    require(touched.nonEmpty, "batch touches no partitions")
     val existing = spark.read.format(format).load(targetDir)
       // partition-value discovery re-infers the column's type; pin it
       // back to the batch's so the prune compares and the union lines up

@@ -160,8 +160,11 @@ object Audit {
                    cutoff: String): (DataFrame, DataFrame) = {
     // an unparseable cutoff would make the predicate NULL for EVERY
     // row — the sweep would run green while archiving nothing.
-    // Validate driver-side, loudly
-    require(parseableTs(cutoff), s"unparseable cutoff timestamp: '$cutoff'")
+    // Validate with the SAME parser the predicate uses (a stricter
+    // java.sql check would reject ISO-8601 forms Spark accepts)
+    val parsed = audit.sparkSession.range(1)
+      .select(to_timestamp(lit(cutoff))).head()
+    require(!parsed.isNullAt(0), s"unparseable cutoff timestamp: '$cutoff'")
     // a null timestamp makes the predicate NULL, which a bare pair of
     // filters would drop from BOTH sides — undateable rows must stay
     // in the kept set (never silently deleted by a retention sweep)
@@ -170,11 +173,6 @@ object Audit {
     (audit.filter(!old), audit.filter(old))
   }
 
-  private def parseableTs(s: String): Boolean =
-    try { java.sql.Timestamp.valueOf(s.replace('T', ' ')); true }
-    catch { case _: IllegalArgumentException =>
-      try { java.sql.Date.valueOf(s); true }
-      catch { case _: IllegalArgumentException => false } }
 
   /** Append audit rows day-partitioned (action_date=YYYY-MM-DD), so
     * period queries prune to the covered days.

@@ -82,8 +82,14 @@ object Job {
         }
         val quar = Option(q.get("quarantine_dir")).map { d =>
           require(d.isTextual, "\"quarantine_dir\" must be a string")
-          (d.asText(),
-            Option(q.get("run_id")).map(_.asText()).getOrElse("run"))
+          // run_id must be EXPLICIT: quarantine slices are written
+          // idempotently per run id, so a shared default would make
+          // every later run silently REPLACE the previous run's
+          // quarantined evidence before anyone reprocessed it
+          require(q.hasNonNull("run_id") && q.get("run_id").isTextual,
+            "\"quarantine_dir\" requires an explicit string \"run_id\" " +
+              "(a reused id overwrites that run's quarantine slice)")
+          (d.asText(), q.get("run_id").asText())
         }
         // the quarantine split needs per-row rules — reject the combo
         // at parse time, not deep in DQ.split mid-run
@@ -178,13 +184,16 @@ object Job {
         // bus a bounded quiesce window (stop when the snapshot stops
         // growing). Per-action capture is best-effort; the top-level
         // "job" entry below is recorded unconditionally either way.
-        val deadline = System.nanoTime() + 3L * 1000 * 1000 * 1000
-        var last = -1
-        var cur = recorder.snapshot().size
-        while (cur != last && System.nanoTime() < deadline) {
-          last = cur; Thread.sleep(100); cur = recorder.snapshot().size
-        }
-        spark.listenerManager.unregister(recorder)
+        try {
+          val deadline = System.nanoTime() + 3L * 1000 * 1000 * 1000
+          var last = -1
+          var cur = recorder.snapshot().size
+          while (cur != last && System.nanoTime() < deadline) {
+            last = cur; Thread.sleep(100); cur = recorder.snapshot().size
+          }
+          // an interrupted quiesce must STILL detach the listener —
+          // a leaked recorder grows its snapshot for the session's life
+        } finally spark.listenerManager.unregister(recorder)
         val entries = graft.monitoring.RunHistory.Entry(
           "job", wallMs, failed = jobError != null) +:
           graft.monitoring.RunHistory.fromActions(recorder.snapshot())

@@ -52,7 +52,7 @@ object Anomaly {
       case "iqr"    => iqr(df, str("column"), num("multiplier", 1.5))
       case "isolation_forest" =>
         IsolationForest.detect(df,
-          JsonCfg.stringArray(c, "columns", "isolation_forest config"),
+          JsonCfg.identifierArray(c, "columns", "isolation_forest config"),
           threshold = num("threshold", 0.6))
       case other =>
         throw new IllegalArgumentException(s"unknown anomaly method '$other'")

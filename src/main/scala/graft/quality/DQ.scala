@@ -239,7 +239,7 @@ object DQ {
           CrossField(id, if (r.has("name")) str("name") else id,
             expr(str("condition")), pct)
         case "uniqueness" =>
-          UniqueKeys(id, JsonCfg.stringArray(r, "columns", s"rule $id"), pct)
+          UniqueKeys(id, JsonCfg.identifierArray(r, "columns", s"rule $id"), pct)
         case other =>
           throw new IllegalArgumentException(s"unknown rule type '$other' ($id)")
       }

@@ -13,17 +13,33 @@ import com.fasterxml.jackson.databind.JsonNode
   * an opaque downstream error).
   */
 private[quality] object JsonCfg {
-  def stringArray(node: JsonNode, field: String, ctx: String): Seq[String] = {
+  /** Value lists (allowed_values): scalars are fine — asText renders
+    * numbers/booleans faithfully, and configs legitimately write
+    * `[1, 2, 3]`. Containers and nulls silently coerce to garbage.
+    */
+  def stringArray(node: JsonNode, field: String, ctx: String): Seq[String] =
+    array(node, field, ctx) { (e, i) =>
+      require(e.isValueNode && !e.isNull,
+        s"$ctx: '$field'[$i] must be a scalar, got $e")
+    }
+
+  /** Identifier lists (column names): only strings are legitimate — a
+    * numeric "column" is a config typo that would otherwise die later
+    * as an unresolved-column analysis error.
+    */
+  def identifierArray(node: JsonNode, field: String, ctx: String): Seq[String] =
+    array(node, field, ctx) { (e, i) =>
+      require(e.isTextual,
+        s"$ctx: '$field'[$i] must be a column-name string, got $e")
+    }
+
+  private def array(node: JsonNode, field: String, ctx: String)
+                   (check: (JsonNode, Int) => Unit): Seq[String] = {
     require(node.has(field) && node.get(field).isArray &&
       node.get(field).size() > 0,
       s"$ctx: '$field' must be a non-empty array")
     node.get(field).elements().asScala.zipWithIndex.map { case (e, i) =>
-      // scalars are fine (asText renders numbers/booleans faithfully —
-      // configs legitimately write [1, 2, 3]); containers and nulls
-      // are the shapes that silently coerce to garbage
-      require(e.isValueNode && !e.isNull,
-        s"$ctx: '$field'[$i] must be a scalar, got $e")
-      e.asText()
+      check(e, i); e.asText()
     }.toSeq
   }
 }

@@ -213,18 +213,26 @@ object Streams {
   def quarantineStream(stream: DataFrame,
                        rules: Seq[graft.quality.DQ.Rule],
                        quarantinePath: String, checkpointDir: String)
-                      (clean: (DataFrame, Long) => Unit) =
+                      (clean: (DataFrame, Long) => Unit) = {
+    // fail at construction, not inside the first micro-batch: an
+    // invalid rule set would otherwise kill the running query as an
+    // opaque StreamingQueryException
+    require(rules.nonEmpty, "quarantineStream needs rules")
+    val aggOnly = rules.filterNot(_.rowLevel).map(_.id)
+    require(aggOnly.isEmpty,
+      s"quarantineStream needs per-row rules; aggregate-level: ${aggOnly.mkString(", ")}")
     stream.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         val (ok, bad) = graft.quality.DQ.split(batch.toDF(), rules)
-        graft.Recovery.idempotentWrite(
-          bad.withColumn("quarantined_batch", lit(batchId)),
-          s"$quarantinePath/batch_id=$batchId")
+        // no extra batch column: the batch_id=N slice layout already
+        // surfaces it as a partition column on read
+        graft.Recovery.idempotentWrite(bad, s"$quarantinePath/batch_id=$batchId")
         clean(ok, batchId)
         ()
       }
       .start()
+  }
 
   /** Everything quarantined across all batches so far (healed slices
     * only) — feed back through [[graft.Recovery.reprocess]]-style

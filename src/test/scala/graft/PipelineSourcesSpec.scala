@@ -260,6 +260,11 @@ class PipelineSourcesSpec extends SparkSpec {
      "column": "o_orderstatus", "values": ["F"]}""",
         """{"rule_id": "u", "type": "uniqueness", "columns": ["o_orderkey"]}""")))
       .getMessage.contains("row-level"))
+    // quarantine_dir without an explicit run_id would silently
+    // overwrite evidence across runs — parse-time error
+    assert(intercept[IllegalArgumentException](Job.parse(
+      quarDoc.replace(""", "run_id": "jq1"""", "")))
+      .getMessage.contains("run_id"))
 
     // history integration: the job's actions land in RunHistory under
     // the run id, even when the quality gate throws

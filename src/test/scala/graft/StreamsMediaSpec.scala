@@ -567,8 +567,13 @@ class StreamsMediaSpec extends SparkSpec {
     // the clean side saw everything else, batch by batch (batch 0:
     // ids 2 and 3 both fail, only id 1 is clean)
     assert(cleanSeen.toSet == Set((0L, 1L), (1L, 1L)))
-    // slices are batch-keyed (the exactly-once replay contract)
-    assert(quarantined.select("quarantined_batch").distinct().count() == 2)
+    // slices are batch-keyed (the exactly-once replay contract); the
+    // batch id comes from the partition layout, not a stored column
+    assert(quarantined.select("batch_id").distinct().count() == 2)
+    // invalid rule sets fail at construction, not mid-stream
+    intercept[IllegalArgumentException](Streams.quarantineStream(
+      input.toDF(), Seq(DQ.UniqueKeys("u", Seq("_1"))), s"$base/q2", s"$base/c2")(
+      (_, _) => ()))
   }
 
   test("Datagen.withFields: streaming values identical to batch for the same ids") {
