@@ -410,6 +410,32 @@ object PropertySpec extends Properties("graft") {
       zs.distinct.length == pts.length && zs.forall(z => z >= 0 && z < (1L << 16))
     }
 
+  property("ZOrder.linearScale lands every value on the grid, order-preserving") =
+    Prop.forAll(Gen.listOfN(30, Gen.choose(-1e6, 1e6)),
+      Gen.choose(2, 12)) { (vs0: List[Double], bits: Int) =>
+      val vs = vs0.distinct
+      vs.size < 2 || {
+        val (mn, mx) = (vs.min, vs.max)
+        val scaled = vs.toDF("v")
+          .select(graft.functions.ZOrder.linearScale(col("v"), mn, mx, bits).as("s"))
+          .as[Long].collect()
+        val cells = (1L << bits) - 1
+        val inRange = scaled.forall(s => s >= 0 && s <= cells)
+        // order preserved: sorting values sorts their grid cells
+        val paired = vs.zip(scaled).sortBy(_._1).map(_._2)
+        inRange && paired.sliding(2).forall(p => p.head <= p.last)
+      }
+    }
+
+  property("Recovery.classifyError is total and the retry policy never loops on config/data") =
+    Prop.forAll(Gen.asciiPrintableStr) { msg =>
+      val cls = Recovery.classifyError(new RuntimeException(msg))
+      // classification never throws, and the non-retryable classes
+      // stay non-retryable at every attempt
+      Seq(Recovery.Configuration, Recovery.DataError).forall(c =>
+        !Recovery.shouldRetry(c, 0)) && (cls != null)
+    }
+
   property("Datagen.prng stays in [0, 2^31) and distinct salts decorrelate") =
     Prop.forAll(Gen.choose(0L, 1000000L), Gen.choose(1L, 1000L)) { (start, salt) =>
       import graft.sources.Datagen
