@@ -48,12 +48,13 @@ object Recovery {
 
   private def atomicSwap(df: DataFrame, target: org.apache.hadoop.fs.Path,
                          siblings: (org.apache.hadoop.fs.Path, org.apache.hadoop.fs.Path),
-                         format: String): Unit = {
+                         format: String,
+                         options: Map[String, String] = Map.empty): Unit = {
     val spark = df.sparkSession
     val fs = fsOf(spark, target)
     val (tmp, old) = siblings
     fs.delete(tmp, true)
-    df.write.format(format).mode("overwrite").save(tmp.toString)
+    df.write.format(format).options(options).mode("overwrite").save(tmp.toString)
     fs.delete(old, true)
     if (fs.exists(target) && !fs.rename(target, old))
       throw new java.io.IOException(s"could not retire old state: $target -> $old")
@@ -181,9 +182,10 @@ object Recovery {
     * [[restoreHiddenIfTorn]] before reading/sweeping the dataset.
     */
   def idempotentWriteHidden(df: DataFrame, path: String,
-                            format: String = "parquet"): Unit = {
+                            format: String = "parquet",
+                            options: Map[String, String] = Map.empty): Unit = {
     val target = new org.apache.hadoop.fs.Path(path)
-    atomicSwap(df, target, hiddenSiblings(target), format)
+    atomicSwap(df, target, hiddenSiblings(target), format, options)
   }
 
   /** Heal the crash window of [[idempotentWriteHidden]] (same policy

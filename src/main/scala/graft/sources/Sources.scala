@@ -205,7 +205,8 @@ object FileSink {
 
   def compact(spark: org.apache.spark.sql.SparkSession, path: String,
               targetFileBytes: Long = 128L * 1024 * 1024,
-              format: String = "parquet"): (Long, Long) = {
+              format: String = "parquet",
+              options: Map[String, String] = Map.empty): (Long, Long) = {
     require(targetFileBytes > 0, "targetFileBytes > 0")
     val fs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -228,8 +229,10 @@ object FileSink {
     // discovery and concurrent readers), so source files are still
     // present while the rewrite streams and a mid-swap listing of the
     // enclosing tree never sees a bogus partition
-    val df = spark.read.format(format).load(path).coalesce(parts)
-    graft.Recovery.idempotentWriteHidden(df, path, format)
+    // options reach BOTH sides (text formats need e.g. header/delimiter
+    // to round-trip); string-typed csv/json reads keep values verbatim
+    val df = spark.read.format(format).options(options).load(path).coalesce(parts)
+    graft.Recovery.idempotentWriteHidden(df, path, format, options)
     (before.size.toLong, visibleDataFiles(fs, root).size.toLong)
   }
 
@@ -242,7 +245,8 @@ object FileSink {
     */
   def compactPartitions(spark: org.apache.spark.sql.SparkSession, path: String,
                         targetFileBytes: Long = 128L * 1024 * 1024,
-                        format: String = "parquet"): (Long, Long, Long) = {
+                        format: String = "parquet",
+                        options: Map[String, String] = Map.empty): (Long, Long, Long) = {
     val fs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val root = fs.makeQualified(new org.apache.hadoop.fs.Path(path))
@@ -265,7 +269,7 @@ object FileSink {
     val leaves = visibleDataFiles(fs, root).map(_.getPath.getParent).distinct
     require(leaves.nonEmpty, s"no data files under $path")
     val results = leaves.sortBy(_.toString)
-      .map(dir => compact(spark, dir.toString, targetFileBytes, format))
+      .map(dir => compact(spark, dir.toString, targetFileBytes, format, options))
     (leaves.size.toLong, results.map(_._1).sum, results.map(_._2).sum)
   }
 }

@@ -1022,6 +1022,23 @@ class PipelineSourcesSpec extends SparkSpec {
     assert(back2.count() == orders.count())
     assert(back2.select("day").distinct().count() == 2) // layout intact
 
+    // text formats round-trip through compaction with their options
+    // (string-typed read keeps values verbatim; header preserved)
+    val csvDir = Files.createTempDirectory("graft_compact_csv").toString + "/t"
+    val opts = Map("header" -> "true", "sep" -> ";")
+    Seq((1, "a;x", 1.50), (2, "b", 2.0)).toDF("id", "s", "amt")
+      .repartition(2).write.options(opts).csv(csvDir)
+    val (cb, ca) = FileSink.compact(spark, csvDir,
+      targetFileBytes = 1L << 30, format = "csv", options = opts)
+    assert(cb == 2 && ca == 1)
+    val csvBack = spark.read.options(opts).csv(csvDir)
+    assert(csvBack.columns.toSeq == Seq("id", "s", "amt"))
+    assert(csvBack.count() == 2)
+    // the quoted separator-bearing value survives verbatim (the Double
+    // was rendered "1.5" by the ORIGINAL csv write; compaction's
+    // string-typed round-trip then keeps that text unchanged)
+    assert(csvBack.filter(col("s") === "a;x" && col("amt") === "1.5").count() == 1)
+
     // crash-window heal: simulate a sweep that died between the two
     // renames (partition retired to its hidden .day=1__old, target
     // gone). A plain read would silently miss the partition — the
