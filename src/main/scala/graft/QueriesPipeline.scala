@@ -191,6 +191,23 @@ object QueriesPipeline {
       graft.pipeline.Job.runJson(s, json).output
     }),
 
+    // the same one-document job in QUARANTINE mode (error_recovery.py
+    // :345 in config): failing output rows route to the per-run
+    // quarantine slice and the job continues with the clean side
+    "q_job_quarantine_clean" -> ((s, dir) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_jq").toString
+      graft.pipeline.Job.runJson(s, jobQuarantineJson(dir, tmp)).output
+    }),
+
+    // the tagged side of the same run, read back from the quarantine
+    // area (failed_rules comma-joined in rule order; quarantined_at
+    // is wall-clock bookkeeping, dropped for the deterministic hash)
+    "q_job_quarantine" -> ((s, dir) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_jq").toString
+      graft.pipeline.Job.runJson(s, jobQuarantineJson(dir, tmp))
+      s.read.parquet(s"$tmp/run_id=jq1").drop("quarantined_at")
+    }),
+
     // ---- synthetic data generation (ref mock_data_generator.py) ---
     // Pure spark.range + codegen'd portable-PRNG expressions (no
     // input IO, no shuffle, no driver data); hash-checked against
@@ -380,6 +397,19 @@ object QueriesPipeline {
         |WHERE o_totalprice > 50000
         |GROUP BY c_mktsegment, o_orderstatus""".stripMargin,
 
+    "q_job_quarantine_clean" ->
+      s"""WITH out AS ($jobOutSql)
+         |SELECT c_mktsegment, o_orderstatus, total, n
+         |FROM out WHERE NOT ($jqViolN OR $jqViolTotal)""".stripMargin,
+
+    "q_job_quarantine" ->
+      s"""WITH out AS ($jobOutSql)
+         |SELECT c_mktsegment, o_orderstatus, total, n,
+         |  concat_ws(',',
+         |    CASE WHEN $jqViolN THEN 'n_cap' END,
+         |    CASE WHEN $jqViolTotal THEN 'total_cap' END) AS failed_rules
+         |FROM out WHERE $jqViolN OR $jqViolTotal""".stripMargin,
+
     "q_datagen" -> datagenSelect,
 
     "q_datagen_errors" -> {
@@ -396,4 +426,46 @@ object QueriesPipeline {
          |FROM base""".stripMargin
     }
   )
+
+  /** One-document job in quarantine mode, shared by q_job_quarantine
+    * and its clean companion: two row-level rules with overlapping
+    * violations on the aggregated output (a segment with n > 900 AND
+    * total > 250M fails both), run_id pinned so the slice path is
+    * deterministic within the temp area.
+    */
+  private def jobQuarantineJson(dir: String, qdir: String): String =
+    s"""{
+       |  "datasets": [
+       |    {"name": "j_orders", "format": "parquet", "path": "$dir/orders.parquet"},
+       |    {"name": "j_customer", "format": "parquet", "path": "$dir/customer.parquet"}
+       |  ],
+       |  "pipeline": {"primary": "j_orders", "steps": [
+       |    {"type": "filter", "column": "o_totalprice", "op": ">", "value": 50000},
+       |    {"type": "rename", "mapping": {"o_custkey": "c_custkey"}},
+       |    {"type": "join", "right": "j_customer", "on": ["c_custkey"], "broadcast": true},
+       |    {"type": "aggregate", "groupBy": ["c_mktsegment", "o_orderstatus"],
+       |     "aggs": [{"col": "o_totalprice", "fn": "sum_money", "as": "total"},
+       |              {"col": "o_orderkey", "fn": "count", "as": "n"}]}
+       |  ]},
+       |  "quality": {"rules": [
+       |    {"rule_id": "n_cap", "type": "range", "column": "n",
+       |     "min": 1, "max": 900},
+       |    {"rule_id": "total_cap", "type": "range", "column": "total",
+       |     "min": 0, "max": 250000000}
+       |  ], "quarantine_dir": "$qdir", "run_id": "jq1"}
+       |}""".stripMargin
+
+  // q_job's output SQL, reused as the CTE both quarantine oracles
+  // split; violation predicates mirror ValueRange (null never violates)
+  private val jobOutSql =
+    """SELECT c_mktsegment, o_orderstatus,
+      |CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total,
+      |COUNT(o_orderkey) AS n
+      |FROM orders JOIN customer ON o_custkey = c_custkey
+      |WHERE o_totalprice > 50000
+      |GROUP BY c_mktsegment, o_orderstatus""".stripMargin
+  private val jqViolN =
+    "(n IS NOT NULL AND NOT (n BETWEEN 1 AND 900))"
+  private val jqViolTotal =
+    "(total IS NOT NULL AND NOT (total BETWEEN 0 AND 250000000))"
 }

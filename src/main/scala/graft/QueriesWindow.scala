@@ -135,8 +135,53 @@ object QueriesWindow {
       drainToTable(s, dd, "q_stream_dedup_sink",
         org.apache.spark.sql.streaming.OutputMode.Append(),
         requireSingleBatch = true)
-    })
+    }),
+
+    // streaming row-level DQ quarantine, oracle-checked: the batch
+    // split contract per micro-batch (quarantineStream). The split is
+    // row-wise, so the two sides are batching-invariant — every
+    // violating event lands tagged in the quarantine area, every
+    // clean one in the sink, regardless of how the replay chops into
+    // micro-batches.
+    "q_stream_quarantine" -> ((s, dir) => streamQuarantine(s, dir)._2),
+
+    // the clean side of the same streaming split — together the two
+    // queries partition the events table exactly, like the batch
+    // q_dq_quarantine / q_dq_quarantine_clean pair
+    "q_stream_quarantine_clean" -> ((s, dir) => streamQuarantine(s, dir)._1)
   )
+
+  // Shared by q_stream_quarantine / q_stream_quarantine_clean and
+  // their oracles: two rules with overlapping violations (an 'error'
+  // event with value > 400 fails both), so failed_rules ordering is
+  // exercised on the streaming path too.
+  private[graft] val streamQuarantineRules: Seq[graft.quality.DQ.Rule] = Seq(
+    graft.quality.DQ.ValueRange("rng_val", "value", 0, 400),
+    graft.quality.DQ.AllowedValues("allow_type", "event_type",
+      Seq("click", "view", "purchase", "signup")))
+
+  /** Run the events replay through [[graft.streaming.Streams.quarantineStream]]
+    * into a fresh temp area and read both sides back (clean, bad).
+    * The clean sink mirrors the quarantine layout — one atomic
+    * `batch_id=N` slice per micro-batch — so a checkpoint replay
+    * replaces rather than double-appends on BOTH sides.
+    */
+  private def streamQuarantine(s: SparkSession, dir: String)
+      : (DataFrame, DataFrame) = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_squar").toString
+    val cleanPath = s"$tmp/clean"
+    val q = graft.streaming.Streams.quarantineStream(
+      eventsStream(s, dir), streamQuarantineRules,
+      s"$tmp/quarantine", s"$tmp/ckpt") { (ok, batchId) =>
+      graft.Recovery.idempotentWrite(ok, s"$cleanPath/batch_id=$batchId")
+    }
+    try q.processAllAvailable() finally q.stop()
+    val bad = graft.streaming.Streams.quarantinedRows(s, s"$tmp/quarantine")
+      .drop("batch_id")
+    val clean = s.read.option("basePath", cleanPath).parquet(cleanPath)
+      .drop("batch_id")
+    (clean, bad)
+  }
 
   private def eventsStream(s: SparkSession, dir: String): DataFrame =
     Tables.eventsStream(s, dir)
@@ -255,6 +300,28 @@ object QueriesWindow {
 
     // the surviving key set of a streaming dedup == DISTINCT
     "q_stream_dedup" ->
-      "SELECT DISTINCT user_id, event_type FROM events"
+      "SELECT DISTINCT user_id, event_type FROM events",
+
+    // the two sides of the streaming DQ split — same predicates as
+    // streamQuarantineRules, failed_rules comma-joined in rule order
+    "q_stream_quarantine" -> {
+      s"""SELECT event_id, ts, user_id, event_type, value, props,
+         |  concat_ws(',',
+         |    CASE WHEN $sqViolVal THEN 'rng_val' END,
+         |    CASE WHEN $sqViolType THEN 'allow_type' END) AS failed_rules
+         |FROM events
+         |WHERE $sqViolVal OR $sqViolType""".stripMargin
+    },
+
+    "q_stream_quarantine_clean" ->
+      s"""SELECT event_id, ts, user_id, event_type, value, props
+         |FROM events
+         |WHERE NOT ($sqViolVal OR $sqViolType)""".stripMargin
   )
+
+  private val sqViolVal =
+    "(value IS NOT NULL AND NOT (value BETWEEN 0 AND 400))"
+  private val sqViolType =
+    "(event_type IS NOT NULL AND event_type NOT IN " +
+      "('click', 'view', 'purchase', 'signup'))"
 }

@@ -62,6 +62,13 @@ object DQ {
     * rules) — still one scan of storage, but row traffic multiplies
     * by 1 + #uniqueness-rules. Keep uniqueness rule count low, or use
     * the standalone [[uniqueness]] per key set at extreme widths.
+    *
+    * NULL semantics (pandas `duplicated`): the countDistinct here is
+    * over a STRUCT of the keys, so null keys group like values — two
+    * rows with a null key ARE duplicates of each other. Plain SQL
+    * `COUNT(DISTINCT col)` SKIPS nulls, so an oracle on a nullable
+    * key silently mismatches; use [[uniqueOracle]] (struct-packed
+    * `COUNT(DISTINCT ROW(...))` / COALESCE form) when writing one.
     */
   final case class UniqueKeys(id: String, columns: Seq[String],
                               maxViolationPct: Double = 0.0) extends Rule {
@@ -74,6 +81,16 @@ object DQ {
         schema: org.apache.spark.sql.types.StructType): Column =
       count(lit(1)) - countDistinct(struct(columns.map(col): _*))
   }
+
+  /** SQL oracle fragment matching [[UniqueKeys]]'s null semantics:
+    * `count(*) - count(DISTINCT ROW(cols...))`. The ROW() struct is
+    * non-null even when its fields are null, so null keys count as
+    * values — parity with the Spark struct countDistinct (and pandas
+    * `duplicated`) on NULLABLE keys, where a bare
+    * `COUNT(DISTINCT col)` would skip nulls and under-count.
+    */
+  def uniqueOracle(columns: Seq[String]): String =
+    s"count(*) - count(DISTINCT ROW(${columns.mkString(", ")}))"
 
   /** ref dq_rule_examples.py: not_null / required_fields / completeness. */
   final case class NotNull(id: String, column: String, maxViolationPct: Double = 0.0) extends Rule {

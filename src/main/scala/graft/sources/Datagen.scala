@@ -141,24 +141,30 @@ object Datagen {
     * stay independent.
     */
   def nullify(df: DataFrame, column: String, rate: Double,
-              seed: Long = 42L, salt: Long = 1000L): DataFrame =
+              seed: Long = 42L, salt: Long = 1000L,
+              idCol: String = "row_id"): DataFrame =
     df.withColumn(column,
-      when(hit(rate, seed, salt), lit(null)).otherwise(col(column)))
+      when(hit(rate, seed, salt, idCol), lit(null)).otherwise(col(column)))
 
   def outOfRange(df: DataFrame, column: String, declaredMax: Long,
-                 rate: Double, seed: Long = 42L, salt: Long = 1001L): DataFrame =
+                 rate: Double, seed: Long = 42L, salt: Long = 1001L,
+                 idCol: String = "row_id"): DataFrame =
     df.withColumn(column,
-      when(hit(rate, seed, salt),
-        lit(declaredMax) + 1L + pmod(prng(col("row_id"), seed, salt), lit(100L)))
+      when(hit(rate, seed, salt, idCol),
+        lit(declaredMax) + 1L + pmod(prng(col(idCol), seed, salt), lit(100L)))
         .otherwise(col(column)))
 
   def corruptFormat(df: DataFrame, column: String, token: String,
-                    rate: Double, seed: Long = 42L, salt: Long = 1002L): DataFrame =
+                    rate: Double, seed: Long = 42L, salt: Long = 1002L,
+                    idCol: String = "row_id"): DataFrame =
     df.withColumn(column,
-      when(hit(rate, seed, salt), lit(token)).otherwise(col(column)))
+      when(hit(rate, seed, salt, idCol), lit(token)).otherwise(col(column)))
 
-  private def hit(rate: Double, seed: Long, salt: Long): Column =
-    prng(col("row_id"), seed, salt) < lit((rate * M).toLong)
+  // idCol mirrors withFields: the lottery must draw on the SAME id
+  // column the frame was generated with, whatever it is named
+  private def hit(rate: Double, seed: Long, salt: Long,
+                  idCol: String = "row_id"): Column =
+    prng(col(idCol), seed, salt) < lit((rate * M).toLong)
 
   /** One row per edge case — ref :81 generate_edge_case_data /
     * :245 _generate_edge_case_value: boundary and hostile values per

@@ -130,16 +130,12 @@ object FileSink {
                         partitionCols: Seq[String],
                         format: String = "parquet"): Unit = {
     require(partitionCols.nonEmpty, "replacePartitions needs partition columns")
-    val spark = df.sparkSession
-    val key = "spark.sql.sources.partitionOverwriteMode"
-    val prev = spark.conf.getOption(key)
-    spark.conf.set(key, "dynamic")
-    try df.write.format(format).mode("overwrite")
+    // per-writer option (takes precedence over the session conf and is
+    // thread-safe): a session-wide conf flip would leak dynamic mode
+    // into concurrent writes in the same SparkSession
+    df.write.format(format).mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
       .partitionBy(partitionCols: _*).save(path)
-    finally prev match {
-      case Some(v) => spark.conf.set(key, v)
-      case None => spark.conf.unset(key)
-    }
   }
 
   /** Z-order clustered write (Delta/Iceberg `OPTIMIZE ZORDER BY`
@@ -214,14 +210,14 @@ object FileSink {
     // heal a previous crashed sweep before reading anything
     graft.Recovery.restoreHiddenIfTorn(spark, root.toString)
     val before = visibleDataFiles(fs, root)
-    // a hive-partitioned TREE must be compacted per partition — a
-    // whole-tree rewrite would flatten the partition columns into the
-    // data files and break downstream pruning. (Compacting a single
-    // partition directory directly is fine: its files sit at the
+    // ANY nested layout (hive partitions, or plain subdirectories)
+    // must be compacted per leaf directory — a whole-tree rewrite
+    // would flatten the directory structure into root, breaking
+    // partition pruning and any path-based addressing. (Compacting a
+    // single leaf directory directly is fine: its files sit at the
     // root we were given.)
-    require(!before.exists(f => f.getPath.getParent != root &&
-        f.getPath.getParent.getName.contains("=")),
-      s"$path is hive-partitioned; use compactPartitions (per-partition sweep)")
+    require(!before.exists(f => f.getPath.getParent != root),
+      s"$path has nested data directories; use compactPartitions (per-partition sweep)")
     val totalBytes = before.map(_.getLen).sum
     val parts = math.max(1L, (totalBytes + targetFileBytes - 1) / targetFileBytes).toInt
     // materialize the read plan BEFORE the swap deletes its input: the

@@ -1015,6 +1015,11 @@ class PipelineSourcesSpec extends SparkSpec {
     orders.withColumn("day", (col("o_orderkey") % 2).cast("string"))
       .repartition(4).write.partitionBy("day").parquet(pdir)
     intercept[IllegalArgumentException](FileSink.compact(spark, pdir))
+    // ... and so does ANY nested layout, hive-named or not: a
+    // whole-tree rewrite would flatten root/sub/* into root
+    val ndir = Files.createTempDirectory("graft_compact_n").toString + "/root"
+    orders.limit(10).repartition(2).write.parquet(ndir + "/sub")
+    intercept[IllegalArgumentException](FileSink.compact(spark, ndir))
     val (parts, pb, pa) = FileSink.compactPartitions(spark, pdir,
       targetFileBytes = 10L * 1024 * 1024 * 1024)
     assert(parts == 2 && pb == 8 && pa == 2)
