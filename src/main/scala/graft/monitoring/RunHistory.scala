@@ -29,9 +29,13 @@ object RunHistory {
   /** Append one run's entries under `dir/run_id=<id>`. Plain append —
     * a run id reused across calls accumulates (multiple actions per
     * run); use a fresh run id per run for replace-free history.
+    * `recordedAt` defaults to the wall clock; pass it explicitly when
+    * backfilling or replaying history (and in specs — deterministic
+    * freshness/compliance-window queries need a planted clock).
     */
   def append(spark: SparkSession, dir: String, runId: String,
-             entries: Seq[Entry]): Unit = {
+             entries: Seq[Entry],
+             recordedAt: Option[java.sql.Timestamp] = None): Unit = {
     require(entries.nonEmpty, "no entries to record")
     import spark.implicits._
     entries.toDF()
@@ -42,7 +46,7 @@ object RunHistory {
         col("rows"),
         col("planHash").as("plan_hash"),
         col("failed"),
-        current_timestamp().as("recorded_at"))
+        recordedAt.fold(current_timestamp())(ts => lit(ts)).as("recorded_at"))
       .coalesce(1) // a handful of bookkeeping rows — one file per call
       .write.mode("append").partitionBy("run_id").parquet(dir)
   }

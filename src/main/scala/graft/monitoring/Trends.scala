@@ -111,6 +111,141 @@ object Trends {
       .select("run_id", "query", "duration_ms", "sla_ms", "alert_type")
   }
 
+  /** One SLA definition — ref sla_monitor.py:70 SLA_DEFINITIONS rows:
+    * a kind, the history label it applies to, a threshold and a
+    * comparison operator (`lt` | `gt` | `eq` | `between`; `between`
+    * reads `threshold`..`threshold2`). Kinds:
+    *  - `execution_time` (ref :80): actual = the run's total
+    *    duration_ms for the label
+    *  - `data_freshness` (ref :104): actual = hours between the
+    *    label's last recorded_at and `asOf` (data age)
+    *  - `row_count` (ref :156): actual = the run's total rows for
+    *    the label
+    */
+  final case class SlaRule(slaType: String, query: String,
+                           threshold: Double, operator: String = "lt",
+                           threshold2: Double = Double.NaN) {
+    require(Seq("execution_time", "data_freshness", "row_count")
+      .contains(slaType), s"unknown sla_type '$slaType'")
+    require(Seq("lt", "gt", "eq", "between").contains(operator),
+      s"unknown operator '$operator'")
+    require(operator != "between" || !threshold2.isNaN,
+      "between needs threshold2")
+  }
+
+  /** Every (run, rule) compliance check — ref :21 check_sla_compliance's
+    * per-kind result rows, as ONE engine query: the history aggregates
+    * once per (run_id, query) (hash agg, map-side combinable), the
+    * rule list broadcast-joins on the label, and actual / status /
+    * deviation derive per the reference's determine_compliance_status
+    * (:195) and calculate_deviation (:181). `asOf` is an explicit
+    * timestamp so freshness checks are deterministic and replayable —
+    * wall-clock never enters the plan.
+    * Output: (run_id, query, sla_type, actual, threshold, operator,
+    * status, deviation).
+    */
+  def slaChecks(history: DataFrame, rules: Seq[SlaRule],
+                asOf: java.sql.Timestamp): DataFrame = {
+    require(rules.nonEmpty, "slaChecks needs at least one rule")
+    val spark = history.sparkSession
+    import spark.implicits._
+    val per = history.groupBy("run_id", "query").agg(
+      sum(col("duration_ms")).cast("double").as("__total_ms"),
+      sum(col("rows")).cast("double").as("__total_rows"),
+      max(col("recorded_at")).as("__last_at"))
+    val ruleDf = rules.map(r => (r.slaType, r.query, r.threshold,
+      r.operator, if (r.threshold2.isNaN) null
+      else java.lang.Double.valueOf(r.threshold2)))
+      .toDF("sla_type", "query", "threshold", "operator", "__threshold2")
+    val actual =
+      when(col("sla_type") === "execution_time", col("__total_ms"))
+        .when(col("sla_type") === "data_freshness",
+          (lit(asOf).cast("double") - col("__last_at").cast("double")) / 3600.0)
+        .when(col("sla_type") === "row_count", col("__total_rows"))
+    val met =
+      when(col("operator") === "lt", col("actual") < col("threshold"))
+        .when(col("operator") === "gt", col("actual") > col("threshold"))
+        .when(col("operator") === "eq", col("actual") === col("threshold"))
+        .otherwise(col("actual").between(col("threshold"), col("__threshold2")))
+    val deviation =
+      when(col("operator").isin("lt", "gt"),
+        when(col("threshold") =!= 0.0,
+          abs(col("actual") - col("threshold")) / col("threshold") * 100.0)
+          .otherwise(0.0))
+        .when(col("operator") === "between",
+          when(col("actual") < col("threshold"),
+            (col("threshold") - col("actual")) / col("threshold") * 100.0)
+            .when(col("actual") > col("__threshold2"),
+              (col("actual") - col("__threshold2")) / col("__threshold2") * 100.0)
+            .otherwise(0.0))
+        .otherwise(0.0)
+    per.join(broadcast(ruleDf), Seq("query"))
+      .withColumn("actual", actual)
+      .withColumn("status",
+        when(col("actual").isNull, lit("unknown"))
+          .when(met, lit("met")).otherwise(lit("violated")))
+      .withColumn("deviation",
+        when(col("status") === "unknown", lit(null).cast("double"))
+          .otherwise(round(deviation, 1)))
+      .select("run_id", "query", "sla_type", "actual", "threshold",
+        "operator", "status", "deviation")
+  }
+
+  /** The violated subset of [[slaChecks]] — the multi-kind face of
+    * [[slaBreaches]] (which stays the per-row duration/failure alert
+    * feed; this one covers freshness and row-count too).
+    */
+  def slaBreaches(history: DataFrame, rules: Seq[SlaRule],
+                  asOf: java.sql.Timestamp): DataFrame =
+    slaChecks(history, rules, asOf).filter(col("status") === "violated")
+
+  /** Compliance % over a trailing window — ref :236
+    * calculate_sla_compliance_rate: met checks / all checks over the
+    * label's runs recorded in the last `days` before `asOf`, × 100.
+    * One row: (query, n_checks, n_met, compliance_pct); zero checks →
+    * 0.0 like the reference.
+    */
+  def complianceRate(history: DataFrame, rules: Seq[SlaRule], query: String,
+                     days: Int, asOf: java.sql.Timestamp): DataFrame = {
+    val cutoff = new java.sql.Timestamp(
+      asOf.getTime - days.toLong * 24 * 3600 * 1000)
+    val mine = rules.filter(_.query == query)
+    val checks =
+      if (mine.isEmpty) // no SLA defined for the label → zero checks,
+        // 0.0 rate, like the reference's empty-definitions path
+        slaChecks(history.limit(0), rules, asOf)
+      else slaChecks(
+        history.filter(col("query") === query && col("recorded_at") >= lit(cutoff)),
+        mine, asOf)
+    checks
+      .agg(
+        count(lit(1)).as("n_checks"),
+        sum(when(col("status") === "met", 1L).otherwise(0L)).as("n_met"))
+      .select(
+        lit(query).as("query"), col("n_checks"), col("n_met"),
+        coalesce(round(col("n_met") * 100.0 / col("n_checks"), 1), lit(0.0))
+          .as("compliance_pct"))
+  }
+
+  /** Predictive SLA warning — ref :298 predictive_sla_warning: if the
+    * recent (7-day) compliance rate has dropped below 90% of the
+    * overall (30-day) rate, emit a warning row (query, recent_pct,
+    * overall_pct); empty frame otherwise. Both rates ride one
+    * [[slaChecks]] shape each — the "prediction" is the reference's
+    * trailing-trend heuristic, not a model.
+    */
+  def predictiveWarning(history: DataFrame, rules: Seq[SlaRule],
+                        query: String, asOf: java.sql.Timestamp,
+                        recentDays: Int = 7, overallDays: Int = 30): DataFrame = {
+    val recent = complianceRate(history, rules, query, recentDays, asOf)
+      .select(col("query"), col("compliance_pct").as("recent_pct"))
+    val overall = complianceRate(history, rules, query, overallDays, asOf)
+      .select(col("query"), col("compliance_pct").as("overall_pct"))
+    recent.join(overall, Seq("query"))
+      .filter(col("recent_pct") < col("overall_pct") * 0.9)
+      .withColumn("warning", lit("Compliance rate dropping"))
+  }
+
   /** Bottleneck ranking for one run — ref performance_monitor.py's
     * identify_bottlenecks, as a query: each query's share of the
     * run's total wall time, largest first. The window total rides the

@@ -6,9 +6,10 @@ import scala.jdk.CollectionConverters._
 
 import org.apache.spark.sql.{DataFrame, Row}
 import org.apache.spark.sql.catalyst.{CatalystTypeConverters, InternalRow}
-import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.write._
 import org.apache.spark.sql.sources._
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -54,6 +55,40 @@ object KvStore {
     Option(tables.get((database, collection))).getOrElse(
       throw new IllegalArgumentException(
         s"KvStore has no collection $database.$collection — seed it with KvStore.put"))
+
+  private[sources] def exists(database: String, collection: String): Boolean =
+    tables.containsKey((database, collection))
+
+  /** Atomic commit for the DSv2 write path (nosql_connector.py:141
+    * write modes): `truncate` replaces the collection (overwrite = the
+    * reference's drop + insert_many); otherwise rows APPEND — unless
+    * `upsertKeys` is set, in which case incoming rows REPLACE existing
+    * rows with equal key tuples (DynamoDB put_item / Cassandra
+    * INSERT-by-primary-key semantics). One compute() call, so
+    * concurrent committers serialize per collection.
+    */
+  private[sources] def commitWrite(database: String, collection: String,
+                                   schema: StructType, rows: IndexedSeq[Row],
+                                   truncate: Boolean,
+                                   upsertKeys: Seq[String]): Unit =
+    tables.compute((database, collection), (_, existing) =>
+      if (truncate || existing == null) (schema, rows)
+      else {
+        val (es, erows) = existing
+        require(es.fieldNames.sameElements(schema.fieldNames),
+          s"append to $database.$collection: schema mismatch " +
+            s"(existing ${es.fieldNames.mkString(",")} vs ${schema.fieldNames.mkString(",")})")
+        if (upsertKeys.isEmpty) (es, erows ++ rows)
+        else {
+          val ki = upsertKeys.map { k =>
+            val i = schema.fieldNames.indexOf(k)
+            require(i >= 0, s"upsert key '$k' not in schema")
+            i
+          }
+          val incoming = rows.map(r => ki.map(r.get)).toSet
+          (es, erows.filterNot(r => incoming.contains(ki.map(r.get))) ++ rows)
+        }
+      })
 }
 
 /** DSv2 TableProvider. Use via `spark.read.format("graft.sources.KvSource")
@@ -74,13 +109,69 @@ class KvSource extends TableProvider {
 }
 
 private final class KvTable(schema: StructType, db: String, coll: String,
-                            shards: Int) extends Table with SupportsRead {
+                            shards: Int) extends Table with SupportsRead with SupportsWrite {
   override def name(): String = s"kv:$db.$coll"
   override def schema(): StructType = schema
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ)
+    util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.BATCH_WRITE, TableCapability.TRUNCATE)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new KvScanBuilder(schema, db, coll, shards)
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new KvWriteBuilder(info.schema(), db, coll,
+      Option(info.options.get("upsertKeys")).toSeq
+        .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty))
+}
+
+/** DSv2 batch write. Executors serialize their partition's rows into
+  * the commit message and the driver-side commit() folds them into the
+  * store in ONE atomic compute — correct for an in-JVM store (the
+  * driver IS where the store lives; a real document-DB connector
+  * writes batched puts from each task instead and commits markers
+  * only). Task retries are safe: nothing becomes visible until
+  * commit(), and a replaced task's message simply supersedes nothing —
+  * only the final message set is committed.
+  */
+private final class KvWriteBuilder(schema: StructType, db: String,
+                                   coll: String, upsertKeys: Seq[String])
+    extends WriteBuilder with SupportsTruncate {
+  private var doTruncate = false
+  override def truncate(): WriteBuilder = { doTruncate = true; this }
+  override def build(): Write = new Write {
+    override def toBatch: BatchWrite = new KvBatchWrite(schema, db, coll,
+      doTruncate, upsertKeys)
+  }
+}
+
+private final case class KvCommitMessage(rows: IndexedSeq[Row])
+    extends WriterCommitMessage
+
+private final class KvBatchWrite(schema: StructType, db: String, coll: String,
+                                 truncate: Boolean, upsertKeys: Seq[String])
+    extends BatchWrite {
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
+    new KvWriterFactory(schema)
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val rows = messages.iterator
+      .flatMap(_.asInstanceOf[KvCommitMessage].rows).toIndexedSeq
+    KvStore.commitWrite(db, coll, schema, rows, truncate, upsertKeys)
+  }
+  override def abort(messages: Array[WriterCommitMessage]): Unit = ()
+}
+
+private final class KvWriterFactory(schema: StructType) extends DataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
+    new KvDataWriter(schema)
+}
+
+private final class KvDataWriter(schema: StructType) extends DataWriter[InternalRow] {
+  private val toScala = CatalystTypeConverters.createToScalaConverter(schema)
+  private val buf = scala.collection.mutable.ArrayBuffer.empty[Row]
+  override def write(record: InternalRow): Unit =
+    buf += toScala(record.copy()).asInstanceOf[Row]
+  override def commit(): WriterCommitMessage = KvCommitMessage(buf.toIndexedSeq)
+  override def abort(): Unit = buf.clear()
+  override def close(): Unit = ()
 }
 
 private final class KvScanBuilder(full: StructType, db: String, coll: String,

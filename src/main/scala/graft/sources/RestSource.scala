@@ -385,3 +385,43 @@ final case class NoSqlSource(kind: String, // mongodb | cassandra | dynamodb | m
   def reader(spark: SparkSession): org.apache.spark.sql.DataFrameReader =
     spark.read.format(format).options(options)
 }
+
+/** NoSQL sink — ref nosql_connector.py:141 `write(data, collection,
+  * mode)`. The reference's three modes map per store kind:
+  *  - append: plain insert (`insert_many` / batched puts)
+  *  - overwrite: drop + reload (`db[collection].drop()` then insert) —
+  *    DSv2 truncate for `memory`, the connector's own
+  *    overwrite handling otherwise
+  *  - upsert: key-addressed replace. DynamoDB `put_item` and
+  *    Cassandra primary-key INSERT are upserts already (plain append
+  *    carries the semantics); MongoDB needs the connector told
+  *    (`operationType=update` + `idFieldList`); `memory` passes
+  *    `upsertKeys` to [[KvSource]]'s commit.
+  * Mirrors [[JdbcSink]]: the config builder owns the dialect table,
+  * the write itself is Spark's partition-parallel writer — rows
+  * stream from executors, nothing funnels through the driver (except
+  * in the in-JVM `memory` store, whose commit IS driver-side state).
+  */
+object NoSqlSink {
+  def write(df: DataFrame, source: NoSqlSource, mode: String = "append",
+            upsertKeys: Seq[String] = Nil): Unit = {
+    val m = mode.toLowerCase
+    require(Seq("append", "overwrite", "upsert").contains(m),
+      s"unknown nosql write mode '$mode' (append|overwrite|upsert)")
+    require(m != "upsert" || upsertKeys.nonEmpty ||
+      Seq("cassandra", "dynamodb").contains(source.kind.toLowerCase),
+      "upsert needs upsertKeys (cassandra/dynamodb upsert by primary key)")
+    val upsertOpts: Map[String, String] =
+      if (m != "upsert") Map.empty
+      else source.kind.toLowerCase match {
+        case "mongodb" => Map("operationType" -> "update",
+          "idFieldList" -> upsertKeys.mkString(","))
+        case "memory" => Map("upsertKeys" -> upsertKeys.mkString(","))
+        case _ => Map.empty // cassandra/dynamodb: append IS upsert
+      }
+    df.write.format(source.format)
+      .options(source.options ++ upsertOpts)
+      .mode(if (m == "overwrite") "overwrite" else "append")
+      .save()
+  }
+}

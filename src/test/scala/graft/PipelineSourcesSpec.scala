@@ -187,6 +187,92 @@ class PipelineSourcesSpec extends SparkSpec {
     assert(dash("q_d")._1 == null.asInstanceOf[Double]) // no prior runs
   }
 
+  test("SLA kinds over RunHistory: checks, compliance window, predictive warning") {
+    import graft.monitoring.{RunHistory, Trends}, Trends.SlaRule
+    val dir = Files.createTempDirectory("graft_sla").toString + "/history"
+    def ts(day: Int) = java.sql.Timestamp.valueOf(f"2024-03-$day%02d 12:00:00")
+    val asOf = java.sql.Timestamp.valueOf("2024-03-30 12:00:00")
+    def e(q: String, ms: Long, rows: Long, failed: Boolean = false) =
+      RunHistory.Entry(q, ms, Some(rows), Some("p1"), failed)
+
+    // 30 days of daily "etl" runs: healthy for three weeks (fast, full
+    // row counts), degrading in the last week (slow, thin loads); a
+    // second label "stale" whose last run is 8 days old
+    (1 to 29).foreach { d =>
+      val healthy = d <= 22
+      RunHistory.append(spark, dir, f"run_$d%02d",
+        Seq(e("etl", if (healthy) 400 else 1500, if (healthy) 5000 else 100)),
+        recordedAt = Some(ts(d)))
+    }
+    RunHistory.append(spark, dir, "stale_1", Seq(e("stale", 100, 10)),
+      recordedAt = Some(ts(22)))
+    val hist = RunHistory.load(spark, dir)
+
+    val rules = Seq(
+      SlaRule("execution_time", "etl", 1000.0, "lt"),
+      SlaRule("row_count", "etl", 1000.0, "gt"),
+      SlaRule("data_freshness", "etl", 240.0, "lt"), // < 10 days old
+      SlaRule("data_freshness", "stale", 24.0, "lt"))
+
+    // per-(run, rule) checks: every kind computes the reference's
+    // actual/status/deviation columns
+    val checks = Trends.slaChecks(hist, rules, asOf)
+    val byKey = checks.collect().map(r => (r.getAs[String]("run_id"),
+      r.getAs[String]("sla_type")) ->
+      (r.getAs[String]("status"), r.getAs[Double]("actual"),
+        r.getAs[Double]("deviation"))).toMap
+    assert(byKey(("run_10", "execution_time")) == (("met", 400.0, 60.0)))
+    assert(byKey(("run_25", "execution_time")) == (("violated", 1500.0, 50.0)))
+    assert(byKey(("run_25", "row_count"))._1 == "violated")
+    assert(byKey(("run_10", "row_count"))._1 == "met")
+    // freshness: run_29's data is 24h old relative to asOf → met under
+    // 240h; the stale label's last run is 8 days old → violated on ITS
+    // 24h rule
+    assert(byKey(("run_29", "data_freshness")) == (("met", 24.0, 90.0)))
+    assert(byKey(("stale_1", "data_freshness"))._1 == "violated")
+    assert(byKey(("stale_1", "data_freshness"))._2 == 8 * 24.0)
+
+    // the multi-kind breach feed is exactly the violated subset
+    val breaches = Trends.slaBreaches(hist, rules, asOf)
+    assert(breaches.count() ==
+      checks.filter(col("status") === "violated").count())
+    assert(breaches.select("sla_type").distinct().collect()
+      .map(_.getString(0)).toSet ==
+      Set("execution_time", "row_count", "data_freshness"))
+
+    // compliance rate over trailing windows (ref :236): the 30-day
+    // window mixes healthy+degraded, the 7-day window is all degraded
+    val c30 = Trends.complianceRate(hist, rules, "etl", 30, asOf).head()
+    val c7 = Trends.complianceRate(hist, rules, "etl", 7, asOf).head()
+    // 29 runs × 3 etl rules; last-7-days = runs 23..29 (7 runs, all
+    // degraded; day 23 lands exactly on the cutoff, >= keeps it)
+    assert(c30.getAs[Long]("n_checks") == 29 * 3)
+    assert(c7.getAs[Long]("n_checks") == 7 * 3)
+    assert(c7.getAs[Double]("compliance_pct") <
+      c30.getAs[Double]("compliance_pct"))
+    // degraded window: exec+rows violated, freshness still met → 1/3
+    assert(c7.getAs[Double]("compliance_pct") == 33.3)
+    // 30d: exec 22 met + rows 22 met + freshness 9 met (runs 21..29
+    // younger than 240h) = 53 of 87
+    assert(c30.getAs[Double]("compliance_pct") == 60.9)
+
+    // predictive warning fires exactly when recent < 0.9 × overall
+    val warn = Trends.predictiveWarning(hist, rules, "etl", asOf)
+    assert(warn.count() == 1)
+    val w = warn.head()
+    assert(w.getAs[String]("warning") == "Compliance rate dropping")
+    assert(w.getAs[Double]("recent_pct") < w.getAs[Double]("overall_pct") * 0.9)
+    // ... and stays silent on a healthy window (as-of back in week 3)
+    val calm = Trends.predictiveWarning(hist, rules, "etl",
+      java.sql.Timestamp.valueOf("2024-03-22 12:00:00"))
+    assert(calm.count() == 0)
+
+    // an unknown label yields zero checks and a 0.0 rate, not an error
+    val none = Trends.complianceRate(hist, rules, "ghost", 30, asOf).head()
+    assert(none.getAs[Long]("n_checks") == 0L &&
+      none.getAs[Double]("compliance_pct") == 0.0)
+  }
+
   test("Job: one-document config runs end-to-end; gate, sink and validation enforced") {
     import graft.pipeline.Job
     val dir = TestSession.sfDir
