@@ -114,6 +114,78 @@ object Lineage {
         srcs.exists(_.endsWith("." + sourceCol)) => out
     }.toSet
 
+  /** Column-level lineage as an EDGE-LIST DataFrame — ref
+    * data_lineage_tracker.py:295 generate_lineage_graph's edges,
+    * derived from [[columnLineage]] instead of self-reported
+    * LINEAGE_STEPS rows: one row per (source table, source column) →
+    * (target, output column) derivation. A frame, so governance
+    * exports are catalog-able datasets like anything else (write it,
+    * register it, query it — "what feeds column X" is a filter).
+    * Output: (source, source_column, target, target_column), sorted
+    * for determinism. Plan metadata, bounded by #outputs × #sources —
+    * driver-side by design. The split point is the LAST '.' of the
+    * "source.column" leaf (source names may contain dots — file
+    * paths; column names with dots are not supported here).
+    */
+  def edges(df: DataFrame, target: String = "output"): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val rows = columnLineage(df).toSeq.flatMap { case (out, srcs) =>
+      srcs.toSeq.map { s =>
+        val i = s.lastIndexOf('.')
+        (s.substring(0, i), s.substring(i + 1), target, out)
+      }
+    }.sorted
+    rows.toDF("source", "source_column", "target", "target_column")
+  }
+
+  /** Governance-ready lineage graph document — ref
+    * data_lineage_tracker.py:530 export_lineage_for_governance: the
+    * node/edge structure serialized for a data catalog. Formats:
+    *  - `json`: the reference's `data_catalog_v1` shape
+    *    (pipeline_id, nodes, edges)
+    *  - `alation`: wrapped under `dataflow`
+    *  - `collibra`: nodes as `assets`, edges as `relations`
+    * Nodes are the distinct source tables (type `source`) plus the
+    * target (type `target`); edges are [[edges]]'s rows. Everything
+    * sorted, no wall-clock — the same plan exports the same document.
+    */
+  def graphDoc(df: DataFrame, pipelineId: String,
+               format: String = "json", target: String = "output"): String = {
+    val edgeRows = edges(df, target).collect().map(r =>
+      (r.getString(0), r.getString(1), r.getString(2), r.getString(3)))
+    val sources = edgeRows.map(_._1).distinct.sorted
+    def js(s: String): String = "\"" + s.flatMap {
+      case '"' => "\\\""; case '\\' => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+    val nodes =
+      sources.map(s =>
+        s"""{"id": ${js(s)}, "label": ${js(s)}, "type": "source"}""") :+
+        s"""{"id": ${js(target)}, "label": ${js(target)}, "type": "target"}"""
+    val edgesJson = edgeRows.map { case (s, sc, t, tc) =>
+      s"""{"from": ${js(s)}, "from_column": ${js(sc)}, """ +
+        s""""to": ${js(t)}, "to_column": ${js(tc)}}"""
+    }
+    val nodesArr = nodes.mkString("[", ", ", "]")
+    val edgesArr = edgesJson.mkString("[", ", ", "]")
+    format match {
+      case "json" =>
+        s"""{"pipeline_id": ${js(pipelineId)}, "format": "data_catalog_v1", """ +
+          s""""nodes": $nodesArr, "edges": $edgesArr}"""
+      case "alation" =>
+        s"""{"dataflow": {"id": ${js(pipelineId)}, """ +
+          s""""name": ${js(s"ETL Pipeline $pipelineId")}, """ +
+          s""""nodes": $nodesArr, "edges": $edgesArr}}"""
+      case "collibra" =>
+        s"""{"assets": $nodesArr, "relations": $edgesArr}"""
+      case other =>
+        throw new IllegalArgumentException(
+          s"unsupported export format: $other (json|alation|collibra)")
+    }
+  }
+
   private def leafName(leaf: LogicalPlan): String = leaf match {
     case lr: LogicalRelation =>
       lr.catalogTable.map(_.identifier.unquotedString).getOrElse(lr.relation match {

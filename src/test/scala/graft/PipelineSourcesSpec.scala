@@ -964,6 +964,55 @@ class PipelineSourcesSpec extends SparkSpec {
     assert(Lineage.columnLineage(ex)("tok").exists(_.endsWith(".text")))
   }
 
+  test("Lineage graph export: edge list matches hand-derived edges; governance docs") {
+    // join-agg pipeline: revenue from two lineitem columns, n_name
+    // passed through from nation — the hand-derivable ground truth
+    val df = SparkEntry.queries("q_join_multi")(spark, TestSession.sfDir)
+    val e = Lineage.edges(df, target = "rev_by_nation")
+    assert(e.columns.toSeq ==
+      Seq("source", "source_column", "target", "target_column"))
+    val rows = e.collect().map(r =>
+      (r.getString(0), r.getString(1), r.getString(2), r.getString(3)))
+    assert(rows.forall(_._3 == "rev_by_nation"))
+    val byTarget = rows.groupBy(_._4).view
+      .mapValues(_.map(x => (x._1.split("[/]").last, x._2)).toSet).toMap
+    assert(byTarget("revenue") ==
+      Set(("lineitem.parquet", "l_extendedprice"),
+        ("lineitem.parquet", "l_discount")))
+    assert(byTarget("n_name") == Set(("nation.parquet", "n_name")))
+
+    // the edge list IS a dataset: write + register + query it
+    val dir = Files.createTempDirectory("graft_lineage").toString + "/edges"
+    e.write.parquet(dir)
+    Catalog.register(spark, Seq(Catalog.DatasetSpec(
+      name = "lineage_edges", format = "parquet", path = dir,
+      schemaDdl = None, options = Map.empty)))
+    assert(spark.table("lineage_edges")
+      .filter(col("target_column") === "revenue").count() == 2)
+
+    // governance docs: all three dialects parse and carry the same graph
+    def parsed(fmt: String) = {
+      val doc = Lineage.graphDoc(df, "pipe_1", format = fmt,
+        target = "rev_by_nation")
+      com.fasterxml.jackson.databind.json.JsonMapper.builder().build()
+        .readTree(doc)
+    }
+    val cat = parsed("json")
+    assert(cat.get("format").asText() == "data_catalog_v1")
+    assert(cat.get("pipeline_id").asText() == "pipe_1")
+    assert(cat.get("edges").size() == rows.length)
+    // nodes: 2 sources + 1 target
+    assert(cat.get("nodes").size() == 3)
+    val al = parsed("alation")
+    assert(al.get("dataflow").get("nodes").size() == 3)
+    val co = parsed("collibra")
+    assert(co.get("assets").size() == 3 &&
+      co.get("relations").size() == rows.length)
+    intercept[IllegalArgumentException](Lineage.graphDoc(df, "p", "dot"))
+    // determinism: same plan, same document
+    assert(Lineage.graphDoc(df, "pipe_1") == Lineage.graphDoc(df, "pipe_1"))
+  }
+
   test("Catalog: json registry loads, validates schemas, feeds pipelines") {
     val sfDir = TestSession.sfDir
     val json =
