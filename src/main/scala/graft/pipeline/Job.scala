@@ -156,6 +156,97 @@ object Job {
   def runJson(spark: SparkSession, json: String): Result =
     run(spark, parse(json))
 
+  /** The SAME one-document job driven by a STREAMING primary: new
+    * files under the primary dataset's path become micro-batches, and
+    * each batch runs through the identical sections — the batch
+    * [[Pipeline.run]] with the static datasets joined in
+    * (stream-static join), the DQ gate (per micro-batch), the
+    * quarantine split, and the sink — so config written for the batch
+    * job replays unchanged as a stream. Exactly-once on BOTH outputs:
+    * clean rows land as `batch_id=N` atomic-swap slices under the
+    * sink path, quarantined rows under
+    * `<quarantine_dir>/run_id=<id>/batch_id=N` — a checkpoint replay
+    * REPLACES its own slices instead of double-appending. Read the
+    * accumulated output back with [[streamedOutput]].
+    *
+    * Supported steps are the row-local + stream-static-join subset
+    * (filter/select/rename/convert/join/sql_expr …): exactly the ones
+    * for which per-micro-batch execution equals the batch job on the
+    * replayed union. Aggregation/window/sql steps are rejected loudly
+    * — per-batch aggregates would silently DIFFER from the batch
+    * result; stream aggregation belongs to
+    * [[graft.streaming.Streams.windowedAgg]] and friends. The
+    * `anomaly` section is batch-scoped (its baselines need the whole
+    * frame) and likewise rejected.
+    */
+  def runStream(spark: SparkSession, spec: Spec, checkpointDir: String)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val (sinkFormat, sinkPath, _) = spec.sink.getOrElse(
+      throw new IllegalArgumentException(
+        "streaming job needs a \"sink\" (clean rows land there as batch_id slices)"))
+    require(spec.anomalyJson.isEmpty,
+      "streaming job does not support the \"anomaly\" section (its baselines " +
+        "are whole-frame); run Anomaly.fromJson over the accumulated sink instead")
+    val unsupported = spec.pipeline.steps.collect {
+      case _: Pipeline.Aggregate => "aggregate"
+      case _: Pipeline.Pivot => "pivot"
+      case _: Pipeline.Rank => "rank"
+      case _: Pipeline.Lag => "lag"
+      case _: Pipeline.RunningTotal => "running_total"
+      case _: Pipeline.Rolling => "rolling"
+      case _: Pipeline.SqlTransform => "sqltransform"
+    }
+    require(unsupported.isEmpty,
+      "streaming job supports row-local and stream-static-join steps only " +
+        s"(got: ${unsupported.distinct.mkString(", ")}) — per-micro-batch " +
+        "aggregation/window results differ from the batch job; use " +
+        "Streams.windowedAgg/sessionWindowAgg for stream aggregation")
+    val primarySpec = spec.datasets.find(_.name == spec.pipeline.primary)
+      .getOrElse(throw new IllegalArgumentException(
+        s"pipeline primary '${spec.pipeline.primary}' is not a declared dataset"))
+    val statics = spec.datasets.filterNot(_.name == spec.pipeline.primary)
+      .map(d => d.name -> Catalog.load(spark, d)).toMap
+    // schema pin for the stream: the SAME Catalog.load path as batch
+    // (declared DDL validated against the files), so batch and stream
+    // cannot drift on the primary's shape
+    val schema = Catalog.load(spark, primarySpec).schema
+    val stream = graft.streaming.Streams.fileStream(spark,
+      primarySpec.format, primarySpec.path, schema, primarySpec.options)
+    stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+                       batchId: Long) =>
+        val out = Pipeline.run(spark,
+          statics + (spec.pipeline.primary -> batch.toDF()), spec.pipeline)
+        if (spec.dqRules.nonEmpty)
+          spec.minScore.foreach(ms =>
+            DQ.gateFromResults(DQ.check(out, spec.dqRules).collect(), ms))
+        val result = spec.quarantine match {
+          case None => out
+          case Some((dir, runId)) =>
+            val (clean, bad) = DQ.split(out, spec.dqRules)
+            graft.Recovery.idempotentWrite(bad,
+              s"$dir/run_id=$runId/batch_id=$batchId")
+            clean
+        }
+        graft.Recovery.idempotentWrite(result,
+          s"$sinkPath/batch_id=$batchId", sinkFormat)
+        ()
+      }
+      .start()
+  }
+
+  def runStreamJson(spark: SparkSession, json: String,
+                    checkpointDir: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    runStream(spark, parse(json), checkpointDir)
+
+  /** Everything a streaming job has emitted so far (healed
+    * `batch_id=N` slices under the sink path).
+    */
+  def streamedOutput(spark: SparkSession, sinkPath: String): DataFrame =
+    graft.streaming.Streams.batchSlices(spark, sinkPath, "stream-sink")
+
   /** [[run]] with the monitoring loop closed: a
     * [[graft.monitoring.Metrics.Recorder]] captures every action the
     * job fires (gate agg, sink write, anomaly count …) and the

@@ -181,10 +181,15 @@ object Streams {
     readBatchSlices(spark, latePath, "late-data")
 
   /** Heal + read every `batch_id=N` slice under `root` (the shared
-    * side-output layout of [[lateSideOutput]] and
-    * [[quarantineStream]]): torn swaps restored, lingering
-    * staging/retiree siblings never double-counted.
+    * side-output layout of [[lateSideOutput]], [[quarantineStream]]
+    * and [[graft.pipeline.Job.runStream]]'s sink): torn swaps
+    * restored, lingering staging/retiree siblings never
+    * double-counted.
     */
+  def batchSlices(spark: SparkSession, root: String,
+                  what: String = "batch-slice"): DataFrame =
+    readBatchSlices(spark, root, what)
+
   private def readBatchSlices(spark: SparkSession, root: String,
                               what: String): DataFrame = {
     val rootPath = new org.apache.hadoop.fs.Path(root)

@@ -366,6 +366,82 @@ class PipelineSourcesSpec extends SparkSpec {
       col("failed")).count() == 1)
   }
 
+  test("Job streaming mode: multi-batch stream equals the batch job on the replayed union") {
+    import graft.pipeline.Job
+    val base = Files.createTempDirectory("graft_jobstream").toString
+    val in = s"$base/in"
+    val sfDir = TestSession.sfDir
+    val orders = spark.read.parquet(s"$sfDir/orders.parquet")
+    // two disjoint arrival waves
+    orders.filter(col("o_orderkey") % 2 === 0).coalesce(1).write.parquet(in)
+
+    def doc(qdir: String, runId: String) =
+      s"""{
+         |  "datasets": [
+         |    {"name": "s_orders", "format": "parquet", "path": "$in",
+         |     "options": {"maxFilesPerTrigger": "1"}},
+         |    {"name": "s_customer", "format": "parquet",
+         |     "path": "$sfDir/customer.parquet"}
+         |  ],
+         |  "pipeline": {"primary": "s_orders", "steps": [
+         |    {"type": "filter", "column": "o_totalprice", "op": ">", "value": 1000},
+         |    {"type": "rename", "mapping": {"o_custkey": "c_custkey"}},
+         |    {"type": "join", "right": "s_customer", "on": ["c_custkey"], "broadcast": true},
+         |    {"type": "select", "columns": ["o_orderkey", "c_custkey",
+         |      "c_mktsegment", "o_orderstatus", "o_totalprice"]},
+         |    {"type": "sql_expr", "name": "price_band",
+         |     "expr": "CASE WHEN o_totalprice > 100000 THEN 'hi' ELSE 'lo' END"}
+         |  ]},
+         |  "quality": {"rules": [
+         |    {"rule_id": "st_ok", "type": "allowed_values",
+         |     "column": "o_orderstatus", "values": ["O", "F"]}
+         |  ], "quarantine_dir": "$qdir", "run_id": "$runId"},
+         |  "sink": {"format": "parquet", "path": "$base/$runId-sink"}
+         |}""".stripMargin
+
+    // stream: wave 1, then wave 2 arrives mid-run
+    val q = Job.runStreamJson(spark, doc(s"$base/squar", "sr1"), s"$base/ckpt")
+    try {
+      q.processAllAvailable()
+      orders.filter(col("o_orderkey") % 2 === 1).coalesce(1)
+        .write.mode("append").parquet(in)
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val streamed = Job.streamedOutput(spark, s"$base/sr1-sink")
+    // genuinely multi-batch (maxFilesPerTrigger=1, two waves)
+    assert(streamed.select("batch_id").distinct().count() >= 2)
+
+    // the batch job over the SAME (now complete) input dir
+    val batchOut = Job.runJson(spark, doc(s"$base/bquar", "br1")).output
+    val s = streamed.drop("batch_id")
+    assert(s.count() == batchOut.count())
+    assert(s.except(batchOut).isEmpty && batchOut.except(s).isEmpty)
+
+    // quarantined evidence matches too (rows AND tags)
+    val sq = graft.streaming.Streams
+      .quarantinedRows(spark, s"$base/squar/run_id=sr1").drop("batch_id")
+    val bq = spark.read.parquet(s"$base/bquar/run_id=br1").drop("quarantined_at")
+    assert(sq.count() == bq.count() && sq.count() > 0)
+    assert(sq.except(bq).isEmpty && bq.except(sq).isEmpty)
+
+    // the non-replayable sections are rejected loudly at start, not
+    // mid-stream: per-batch aggregation, anomaly screens, missing sink
+    val aggDoc = doc(s"$base/x", "x1").replace(
+      """{"type": "select", "columns": ["o_orderkey", "c_custkey",
+      "c_mktsegment", "o_orderstatus", "o_totalprice"]},""",
+      """{"type": "aggregate", "groupBy": ["c_mktsegment"],
+       "aggs": [{"col": "o_totalprice", "fn": "sum", "as": "t"}]},""")
+    assert(intercept[IllegalArgumentException](
+      Job.runStreamJson(spark, aggDoc, s"$base/ckpt2"))
+      .getMessage.contains("row-local"))
+    val anomDoc = doc(s"$base/x", "x2").replace("\"sink\":",
+      "\"anomaly\": {\"method\": \"zscore\", \"column\": \"o_totalprice\", \"threshold\": 3.0}, \"sink\":")
+    assert(intercept[IllegalArgumentException](
+      Job.runStreamJson(spark, anomDoc, s"$base/ckpt3"))
+      .getMessage.contains("anomaly"))
+  }
+
   test("Recovery retry: classification drives the policy; fallback rethrows primary") {
     import Recovery._
     import java.io.IOException
