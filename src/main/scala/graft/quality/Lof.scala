@@ -91,4 +91,34 @@ object Lof {
              threshold: Double = 1.5, k: Int = 5, planes: Int = 4): DataFrame =
     df.join(scores(df, idCol, vecCol, k, planes).filter(col("lof") > threshold)
       .select(idCol, "lof"), Seq(idCol))
+
+  /** Hyperplane count that keeps expected bucket occupancy near
+    * `targetBucketSize`: ceil(log2(n / target)), floored at 1. THE
+    * scale lever for the whole LOF chain — with FIXED planes the
+    * bucket population grows linearly with the corpus, so the
+    * in-bucket candidate self-join grows QUADRATICALLY (the sf1 gate
+    * measured q_anom_lof at 12.9× for 10× data, the only
+    * near-superlinear query in the suite). Holding occupancy constant
+    * instead makes bucket count ∝ n and per-bucket cost constant —
+    * linear total, the 100 TB shape. Occupancy also fixes the
+    * quality/recall profile: neighbourhoods are found within a
+    * same-sized candidate pool regardless of corpus size.
+    */
+  def planesFor(n: Long, targetBucketSize: Int = 512): Int = {
+    require(targetBucketSize > 0, "targetBucketSize > 0")
+    // a corpus that fits one target bucket needs no hashing at all —
+    // planes = 0 is [[scores]]' exact single-bucket mode (hashing it
+    // anyway could strand points alone in a bucket for no cost win)
+    if (n <= targetBucketSize) 0
+    else math.ceil(math.log(n.toDouble / targetBucketSize) / math.log(2.0)).toInt
+  }
+
+  /** [[detect]] with `planes` sized from the corpus: one count() scan,
+    * then the same plan with occupancy-stable buckets.
+    */
+  def detectAuto(df: DataFrame, idCol: String, vecCol: String,
+                 threshold: Double = 1.5, k: Int = 5,
+                 targetBucketSize: Int = 512): DataFrame =
+    detect(df, idCol, vecCol, threshold, k,
+      planes = planesFor(df.count(), targetBucketSize))
 }

@@ -198,6 +198,19 @@ class AnomalySpec extends SparkSpec {
     val s2 = Lof.scores(vecs, "vec_id", "embedding", k = 5, planes = 0)
       .select("vec_id", "lof").as[(Long, Double)].collect()
     assert(s.sortBy(_._1).toSeq == s2.sortBy(_._1).toSeq)
+
+    // adaptive planes: occupancy-stable bucketing — the plane count
+    // grows with log2(n/target) so per-bucket candidate pools stay
+    // ~constant as the corpus scales (the linear-cost shape)
+    assert(Lof.planesFor(500, 512) == 0)    // fits one bucket: exact mode
+    assert(Lof.planesFor(5120, 512) == 4)   // 10x data -> 2^4 buckets
+    assert(Lof.planesFor(51200, 512) == 7)  // 100x -> 2^7 (~log growth)
+    assert(Lof.planesFor(512L * 1024 * 1024, 512) == 20)
+    // detectAuto == detect at the derived plane count (here: one
+    // bucket for 31 points, exact all-pairs — same rows as planes=0)
+    val auto = Lof.detectAuto(vecs, "vec_id", "embedding", threshold = 1.5,
+      k = 5).select("vec_id").as[Long].collect()
+    assert(auto.toSeq == Seq(99L))
   }
 
   test("seasonalResidual flags within-season outliers") {
