@@ -1,0 +1,143 @@
+package graft.monitoring
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** The deterministic core of the reference's AlertManager
+  * (reference: src/monitoring/alert_manager.py) as engine queries: the
+  * reference formats messages, routes channels by severity,
+  * rate-limits repeats and escalates unacknowledged alerts, then
+  * DELIVERS via SMTP/Slack/PagerDuty clients. Delivery transports are
+  * control-plane (out of scope); everything upstream of delivery is a
+  * pure derivation from breach/report frames — so here the alert FEED
+  * is a DataFrame any delivery worker can drain, and the
+  * flood-control/escalation policies are queries over it instead of
+  * driver-side dict bookkeeping.
+  *
+  * Scale shape: every builder is a row-local projection of a frame
+  * that is already small (breach/report rows, not data rows);
+  * rateLimit is one window function keyed by alert_type — the only
+  * shuffle, on a feed-sized frame.
+  */
+object Alerts {
+
+  /** Severity → delivery channels — ref :283
+    * _get_channels_for_severity's fixed routing table.
+    */
+  def channelsFor(severity: String): Seq[String] =
+    severity.toUpperCase match {
+      case "CRITICAL" => Seq("pagerduty", "email", "slack")
+      case "HIGH" => Seq("email", "slack")
+      case "MEDIUM" => Seq("slack")
+      case "LOW" => Seq("dashboard")
+      case _ => Seq.empty // INFO and unknown: log-only
+    }
+
+  private val channelRouting: Column =
+    when(upper(col("severity")) === "CRITICAL",
+      array(lit("pagerduty"), lit("email"), lit("slack")))
+      .when(upper(col("severity")) === "HIGH", array(lit("email"), lit("slack")))
+      .when(upper(col("severity")) === "MEDIUM", array(lit("slack")))
+      .when(upper(col("severity")) === "LOW", array(lit("dashboard")))
+      .otherwise(array().cast("array<string>"))
+
+  /** Alert feed from [[Trends.slaChecks]]' violated rows — ref
+    * sla_monitor.py:255 trigger_sla_violation_alert (severity: HIGH
+    * when deviation > 50 else MEDIUM) + alert_manager.py:297
+    * format_sla_violation_alert's message fields. Output: (alert_type,
+    * severity, message, channels, query, run_id).
+    */
+  def fromSlaChecks(checks: DataFrame): DataFrame =
+    checks.filter(col("status") === "violated")
+      .withColumn("alert_type", lit("sla_violation"))
+      .withColumn("severity",
+        when(col("deviation") > 50.0, lit("HIGH")).otherwise(lit("MEDIUM")))
+      .withColumn("message", concat(
+        lit("SLA Violation: pipeline="), col("query"),
+        lit(" type="), col("sla_type"),
+        lit(" actual="), col("actual").cast("string"),
+        lit(" threshold="), col("threshold").cast("string"),
+        lit(" deviation="), col("deviation").cast("string"), lit("%")))
+      .withColumn("channels", channelRouting)
+      .select("alert_type", "severity", "message", "channels", "query", "run_id")
+
+  /** Alert feed from a [[graft.quality.DQ.check]] report — ref :309
+    * format_dq_failure_alert: one alert per FAILED rule, severity by
+    * violation share (matching the SLA convention: >50% of rows in
+    * violation is HIGH).
+    */
+  def fromDqReport(report: DataFrame, runId: String): DataFrame =
+    report.filter(!col("passed"))
+      .withColumn("alert_type", lit("dq_failure"))
+      .withColumn("severity",
+        when(col("violations") * 100.0 > col("total") * 50.0, lit("HIGH"))
+          .otherwise(lit("MEDIUM")))
+      .withColumn("message", concat(
+        lit("Data Quality Failure: run="), lit(runId),
+        lit(" rule="), col("rule_id"),
+        lit(" column="), col("colname"),
+        lit(" violations="), col("violations").cast("string"),
+        lit("/"), col("total").cast("string")))
+      .withColumn("channels", channelRouting)
+      .select(col("alert_type"), col("severity"), col("message"),
+        col("channels"), col("rule_id"), lit(runId).as("run_id"))
+
+  /** Alert feed from [[RunHistory]] failures — ref :318
+    * format_pipeline_failure_alert. Failures are HIGH (the
+    * reference's pipeline-failure path always pages a human).
+    */
+  def fromRunFailures(history: DataFrame): DataFrame =
+    history.filter(col("failed"))
+      .withColumn("alert_type", lit("pipeline_failure"))
+      .withColumn("severity", lit("HIGH"))
+      .withColumn("message", concat(
+        lit("Pipeline Failure: pipeline="), col("query"),
+        lit(" run="), col("run_id")))
+      .withColumn("channels", channelRouting)
+      .select("alert_type", "severity", "message", "channels", "query",
+        "run_id", "recorded_at")
+
+  /** Flood control — ref :216 check_rate_limit (max `maxPerWindow`
+    * alerts of a type per `windowSec`). The reference mutates a
+    * driver-side dict per send; as a query the SAME policy is a
+    * tumbling-window rank per alert_type: the first `maxPerWindow`
+    * alerts (by time, id-tiebroken) in each window keep
+    * `rate_limited = false`, the rest are marked suppressed — exact
+    * within a window boundary, deterministic under replay (the
+    * reference's sliding check depends on arrival order; a tumbling
+    * approximation is the batch-replayable form, stated here).
+    */
+  def rateLimit(alerts: DataFrame, tsCol: String,
+                windowSec: Int = 300, maxPerWindow: Int = 5): DataFrame = {
+    require(windowSec > 0 && maxPerWindow > 0, "positive window and limit")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("alert_type"), window(col(tsCol), s"$windowSec seconds"))
+      .orderBy(col(tsCol).asc, col("message").asc)
+    alerts.withColumn("rate_limited", row_number().over(w) > maxPerWindow)
+  }
+
+  /** Escalation pass — ref :250 escalate_alert: alerts at or above
+    * `minSeverity` with no acknowledgement in `acks` (alert key
+    * columns) and older than `afterMinutes` at `asOf` come back as
+    * `<type>_escalation` copies with `escalation_level` + 1 and HIGH
+    * severity, re-routed. `acks`: (alert_type, run_id) pairs — the
+    * ALERT_LOG acknowledged=TRUE rows as a frame.
+    */
+  def escalate(alerts: DataFrame, acks: DataFrame,
+               asOf: java.sql.Timestamp, tsCol: String,
+               afterMinutes: Int = 30): DataFrame = {
+    val cutoff = new java.sql.Timestamp(asOf.getTime - afterMinutes * 60000L)
+    alerts
+      .filter(upper(col("severity")).isin("HIGH", "CRITICAL") &&
+        col(tsCol) <= lit(cutoff))
+      .join(broadcast(acks.select("alert_type", "run_id")
+        .withColumn("__acked", lit(true))), Seq("alert_type", "run_id"), "left_outer")
+      .filter(col("__acked").isNull)
+      .withColumn("alert_type", concat(col("alert_type"), lit("_escalation")))
+      .withColumn("escalation_level", lit(1))
+      .withColumn("severity", lit("HIGH"))
+      .withColumn("message", concat(lit("ESCALATION: "), col("message")))
+      .withColumn("channels", channelRouting)
+      .drop("__acked")
+  }
+}

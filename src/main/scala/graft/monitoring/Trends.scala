@@ -204,6 +204,14 @@ object Trends {
     * label's runs recorded in the last `days` before `asOf`, × 100.
     * One row: (query, n_checks, n_met, compliance_pct); zero checks →
     * 0.0 like the reference.
+    *
+    * Semantics note: the reference aggregates STORED check rows
+    * (each evaluated at its own checked_at); this recomputes from the
+    * history, so freshness checks on older runs measure age against
+    * `asOf` — a run's data N days old in the window reads as stale
+    * under a < N·24h rule. Callers who want the stored-check behavior
+    * persist [[slaChecks]] rows at run time (they are a frame —
+    * append them next to the history) and aggregate those instead.
     */
   def complianceRate(history: DataFrame, rules: Seq[SlaRule], query: String,
                      days: Int, asOf: java.sql.Timestamp): DataFrame = {

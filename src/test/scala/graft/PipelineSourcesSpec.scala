@@ -273,6 +273,82 @@ class PipelineSourcesSpec extends SparkSpec {
       none.getAs[Double]("compliance_pct") == 0.0)
   }
 
+  test("Alerts: feeds, severity routing, rate limit, escalation as queries") {
+    import graft.monitoring.Alerts
+    import spark.implicits._
+
+    // severity → channel routing table (ref _get_channels_for_severity)
+    assert(Alerts.channelsFor("CRITICAL") == Seq("pagerduty", "email", "slack"))
+    assert(Alerts.channelsFor("high") == Seq("email", "slack"))
+    assert(Alerts.channelsFor("MEDIUM") == Seq("slack"))
+    assert(Alerts.channelsFor("LOW") == Seq("dashboard"))
+    assert(Alerts.channelsFor("INFO").isEmpty)
+
+    // sla feed: only violated rows, HIGH above 50% deviation
+    val checks = Seq(
+      ("r1", "etl", "execution_time", 1500.0, 1000.0, "lt", "violated", 50.0),
+      ("r2", "etl", "execution_time", 2200.0, 1000.0, "lt", "violated", 120.0),
+      ("r3", "etl", "row_count", 5000.0, 1000.0, "gt", "met", 400.0))
+      .toDF("run_id", "query", "sla_type", "actual", "threshold",
+        "operator", "status", "deviation")
+    val sla = Alerts.fromSlaChecks(checks).collect()
+      .map(r => r.getAs[String]("run_id") ->
+        (r.getAs[String]("severity"), r.getAs[Seq[String]]("channels"))).toMap
+    assert(sla.keySet == Set("r1", "r2"))
+    assert(sla("r1") == (("MEDIUM", Seq("slack"))))
+    assert(sla("r2") == (("HIGH", Seq("email", "slack"))))
+
+    // dq feed off a real check report: failed rules only, share-based severity
+    val report = graft.quality.DQ.check(
+      Seq(("a", 1), (null, 2), (null, 3)).toDF("s", "i"),
+      Seq(graft.quality.DQ.NotNull("nn_s", "s"),
+        graft.quality.DQ.ValueRange("rng_i", "i", 0, 10)))
+    val dq = Alerts.fromDqReport(report, "run_9").collect()
+    assert(dq.length == 1 && dq.head.getAs[String]("rule_id") == "nn_s")
+    assert(dq.head.getAs[String]("severity") == "HIGH") // 2 of 3 rows
+    assert(dq.head.getAs[String]("message").contains("violations=2/3"))
+
+    // failure feed from history rows
+    val hist = Seq(
+      ("r1", "etl", 100L, false, java.sql.Timestamp.valueOf("2024-03-01 10:00:00")),
+      ("r2", "etl", 100L, true, java.sql.Timestamp.valueOf("2024-03-01 11:00:00")))
+      .toDF("run_id", "query", "duration_ms", "failed", "recorded_at")
+    val fails = Alerts.fromRunFailures(hist).collect()
+    assert(fails.length == 1 && fails.head.getAs[String]("run_id") == "r2" &&
+      fails.head.getAs[String]("severity") == "HIGH")
+
+    // rate limit: 8 same-type alerts in one 300s window → 5 pass; the
+    // next window starts clean
+    def ts(s: Int) = java.sql.Timestamp.valueOf(f"2024-03-01 10:${s / 60}%02d:${s % 60}%02d")
+    val feed = ((1 to 8).map(i => ("dq_failure", "M", s"m$i", ts(10 * i))) :+
+      (("dq_failure", "M", "late", ts(400))) :+
+      (("sla_violation", "M", "other-type", ts(20))))
+      .toDF("alert_type", "severity", "message", "at")
+    val rl = Alerts.rateLimit(feed, "at", windowSec = 300, maxPerWindow = 5)
+      .collect().map(r => r.getAs[String]("message") ->
+        r.getAs[Boolean]("rate_limited")).toMap
+    assert((1 to 5).forall(i => !rl(s"m$i")) && (6 to 8).forall(i => rl(s"m$i")))
+    assert(!rl("late")) // next tumbling window: counter reset
+    assert(!rl("other-type")) // limits are per alert_type
+
+    // escalation: old unacked HIGH escalates; acked or young do not
+    val alerts = Seq(
+      ("sla_violation", "HIGH", "a1", "r1", ts(0)),
+      ("sla_violation", "HIGH", "a2", "r2", ts(0)),
+      ("dq_failure", "MEDIUM", "a3", "r3", ts(0)),
+      ("sla_violation", "HIGH", "young", "r4",
+        java.sql.Timestamp.valueOf("2024-03-01 11:55:00")))
+      .toDF("alert_type", "severity", "message", "run_id", "at")
+    val acks = Seq(("sla_violation", "r2")).toDF("alert_type", "run_id")
+    val esc = Alerts.escalate(alerts, acks,
+      java.sql.Timestamp.valueOf("2024-03-01 12:00:00"), "at",
+      afterMinutes = 30).collect()
+    assert(esc.map(_.getAs[String]("run_id")).toSeq == Seq("r1"))
+    assert(esc.head.getAs[String]("alert_type") == "sla_violation_escalation")
+    assert(esc.head.getAs[String]("message").startsWith("ESCALATION: "))
+    assert(esc.head.getAs[Int]("escalation_level") == 1)
+  }
+
   test("Job: one-document config runs end-to-end; gate, sink and validation enforced") {
     import graft.pipeline.Job
     val dir = TestSession.sfDir

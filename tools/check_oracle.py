@@ -23,9 +23,14 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
 
 def main(sfdir, outdir):
     con = duckdb.connect()
+    import os
     for t in ["region","nation","customer","supplier","part","orders",
               "lineitem","events","documents","embeddings"]:
-        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sfdir}/{t}.parquet'")
+        # ScaleUp-generated dirs are directories named t.parquet
+        src = f"{sfdir}/{t}.parquet"
+        if os.path.isdir(src):
+            src = f"{src}/*.parquet"
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{src}'")
     oracle = json.load(open(f"{outdir}/oracle_sql.json"))
     n_pass = n_fail = 0
     for name, sql in sorted(oracle.items()):
