@@ -70,6 +70,28 @@ object Ivf {
         array_sort(collect_list(struct(col("__pos"), col("__m")))),
         x => x.getField("__m").cast("float")).as("__cvec"))
 
+  /** Cell count for a corpus of `n` vectors: ceil(sqrt(n)), floored at
+    * `minList`. The sqrt rule is the standard IVF operating point
+    * (FAISS guidance is c·sqrt(n) cells): build-time assignment costs
+    * O(n · nlist) and per-query probing costs O(nprobe · n / nlist),
+    * so sqrt balances the two — a FIXED nlist instead sends per-query
+    * probe cost linear in the corpus (cells grow without bound), the
+    * same fixed-bucket hazard [[Similarity.planesFor]] documents for
+    * hyperplane LSH.
+    */
+  def nlistFor(n: Long, minList: Int = 16): Int = {
+    require(minList >= 1, "minList >= 1")
+    math.max(minList, math.ceil(math.sqrt(math.max(0L, n).toDouble)).toInt)
+  }
+
+  /** [[buildIndex]] with `nlist` sized from the corpus (one count()
+    * scan) — cell occupancy ~sqrt(n), the scale-stable operating
+    * point.
+    */
+  def buildIndexAuto(corpus: DataFrame, idCol: String, vecCol: String,
+                     iters: Int = 2, minList: Int = 16): DataFrame =
+    buildIndex(corpus, idCol, vecCol, nlistFor(corpus.count(), minList), iters)
+
   /** Build the index: (corpus columns ++ __cid cell id). */
   def buildIndex(corpus: DataFrame, idCol: String, vecCol: String,
                  nlist: Int = 16, iters: Int = 2): DataFrame = {

@@ -74,11 +74,31 @@ object Similarity {
         col("sim"), col("rnk").cast("long").as("rnk"))
   }
 
+  /** Hyperplane count that keeps expected bucket occupancy near
+    * `targetBucketSize`: ceil(log2(n / target)), 0 when the corpus
+    * fits one bucket (exact mode). THE scale lever for every
+    * hyperplane-LSH consumer ([[lshTopK]]'s per-query candidate pool,
+    * [[graft.quality.Lof]]'s in-bucket self-join): with FIXED planes,
+    * occupancy grows linearly with the corpus — per-query rank cost
+    * grows linearly and bucket self-joins grow quadratically. Holding
+    * occupancy constant makes bucket count ∝ n instead: constant
+    * per-query cost, linear self-join totals, and a recall profile
+    * that does not drift as the corpus grows (measured at the r12 sf1
+    * gate — see PLANS.md).
+    */
+  def planesFor(n: Long, targetBucketSize: Int = 512): Int = {
+    require(targetBucketSize > 0, "targetBucketSize > 0")
+    if (n <= targetBucketSize) 0
+    else math.ceil(math.log(n.toDouble / targetBucketSize) / math.log(2.0)).toInt
+  }
+
   /** Deterministic random-hyperplane bucket id over `planes` bits.
     * Plane weights are ±1 derived from xxhash64(plane, dim) — no RNG,
     * so signatures reproduce across runs/engines/partitions.
     * `planes <= 0` is the degenerate single bucket (exact mode: every
     * pair is a candidate) — same contract as [[graft.quality.Lof]].
+    * Size `planes` with [[planesFor]] when the corpus size is not a
+    * known constant.
     */
   def hyperplaneBucket(vec: Column, planes: Int): Column = {
     if (planes <= 0) return lit(0L)
@@ -180,6 +200,17 @@ object Similarity {
       .select(col(queryId).as("query_id"), col(corpusId).as("neighbor_id"),
         col("sim"), col("rnk").cast("long").as("rnk"))
   }
+
+  /** [[lshTopK]] with `planes` sized from the corpus (one count()
+    * scan): per-query candidate pools stay ~`targetBucketSize` as the
+    * corpus grows, instead of growing linearly under a fixed plane
+    * count.
+    */
+  def lshTopKAuto(corpus: DataFrame, queries: DataFrame,
+                  corpusId: String, queryId: String, vecCol: String,
+                  k: Int, targetBucketSize: Int = 512): DataFrame =
+    lshTopK(corpus, queries, corpusId, queryId, vecCol, k,
+      planes = planesFor(corpus.count(), targetBucketSize))
 
   // ---- int8 scalar quantization --------------------------------------
 

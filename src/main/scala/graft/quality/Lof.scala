@@ -104,14 +104,11 @@ object Lof {
     * quality/recall profile: neighbourhoods are found within a
     * same-sized candidate pool regardless of corpus size.
     */
-  def planesFor(n: Long, targetBucketSize: Int = 512): Int = {
-    require(targetBucketSize > 0, "targetBucketSize > 0")
-    // a corpus that fits one target bucket needs no hashing at all —
-    // planes = 0 is [[scores]]' exact single-bucket mode (hashing it
-    // anyway could strand points alone in a bucket for no cost win)
-    if (n <= targetBucketSize) 0
-    else math.ceil(math.log(n.toDouble / targetBucketSize) / math.log(2.0)).toInt
-  }
+  def planesFor(n: Long, targetBucketSize: Int = 512): Int =
+    // shared with every hyperplane-LSH consumer; n ≤ target → 0 =
+    // [[scores]]' exact single-bucket mode (hashing a corpus that fits
+    // one bucket could only strand points alone, never save work)
+    Similarity.planesFor(n, targetBucketSize)
 
   /** [[detect]] with `planes` sized from the corpus: one count() scan,
     * then the same plan with occupancy-stable buckets.

@@ -114,6 +114,41 @@ class SearchSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("adaptive sizing: planesFor/nlistFor hold occupancy stable as corpora grow") {
+    import graft.llm.{Ivf, Similarity}
+    // hyperplane planes: log2 growth keeps expected bucket occupancy
+    // ~constant (the linear-cost shape; see PLANS.md r12 sf1 gate)
+    assert(Similarity.planesFor(500, 512) == 0)   // fits one bucket: exact
+    assert(Similarity.planesFor(5120, 512) == 4)
+    assert(Similarity.planesFor(51200, 512) == 7)
+    assert(Similarity.planesFor(512L << 20, 512) == 20)
+    // Lof delegates to the same formula
+    assert(graft.quality.Lof.planesFor(5120, 512) == 4)
+    // IVF cells: sqrt rule, floored
+    assert(Ivf.nlistFor(100) == 16)          // floor dominates small corpora
+    assert(Ivf.nlistFor(1000000) == 1000)
+    assert(Ivf.nlistFor(100000000) == 10000)
+    assert(Ivf.nlistFor(0) == 16)
+
+    // the auto entry points equal their explicit-parameter forms
+    val e = table("embeddings")
+    val n = e.count()
+    val auto = Ivf.buildIndexAuto(e, "vec_id", "embedding", iters = 2)
+      .select("vec_id", "__cid").orderBy("vec_id").collect().toSeq
+    val manual = Ivf.buildIndex(e, "vec_id", "embedding",
+      nlist = Ivf.nlistFor(n), iters = 2)
+      .select("vec_id", "__cid").orderBy("vec_id").collect().toSeq
+    assert(auto == manual)
+    val q = e.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("qid"), col("embedding"))
+    val autoTop = Similarity.lshTopKAuto(e, q, "vec_id", "qid", "embedding", k = 3)
+      .orderBy("query_id", "rnk").collect().toSeq
+    val manualTop = Similarity.lshTopK(e, q, "vec_id", "qid", "embedding",
+      k = 3, planes = Similarity.planesFor(n))
+      .orderBy("query_id", "rnk").collect().toSeq
+    assert(autoTop == manualTop && autoTop.nonEmpty)
+  }
+
   test("Ivf.buildIndex releases iteration caches; releaseAll drops the rest") {
     GraftSession.releaseAll(spark)
     val e = table("embeddings")
