@@ -389,13 +389,7 @@ object QueriesPipeline {
          |  AND action_timestamp <= TIMESTAMP '2024-01-31 00:00:00'
          |ORDER BY action_timestamp DESC, audit_id DESC""".stripMargin,
 
-    "q_job" ->
-      """SELECT c_mktsegment, o_orderstatus,
-        |CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total,
-        |COUNT(o_orderkey) AS n
-        |FROM orders JOIN customer ON o_custkey = c_custkey
-        |WHERE o_totalprice > 50000
-        |GROUP BY c_mktsegment, o_orderstatus""".stripMargin,
+    "q_job" -> jobOutSql, // ONE definition, shared with the quarantine pair
 
     "q_job_quarantine_clean" ->
       s"""WITH out AS ($jobOutSql)
@@ -455,8 +449,9 @@ object QueriesPipeline {
        |  ], "quarantine_dir": "$qdir", "run_id": "jq1"}
        |}""".stripMargin
 
-  // q_job's output SQL, reused as the CTE both quarantine oracles
-  // split; violation predicates mirror ValueRange (null never violates)
+  // q_job's oracle AND the CTE both quarantine oracles split — one
+  // definition so the three stay in lockstep; violation predicates
+  // mirror ValueRange (null never violates)
   private val jobOutSql =
     """SELECT c_mktsegment, o_orderstatus,
       |CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total,

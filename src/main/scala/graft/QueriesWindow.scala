@@ -178,7 +178,10 @@ object QueriesWindow {
     try q.processAllAvailable() finally q.stop()
     val bad = graft.streaming.Streams.quarantinedRows(s, s"$tmp/quarantine")
       .drop("batch_id")
-    val clean = s.read.option("basePath", cleanPath).parquet(cleanPath)
+    // batchSlices, not a raw read: a crashed mid-swap replay leaves
+    // __staging/__old siblings that partition discovery would parse
+    // as bogus batch_id values — both sides must heal identically
+    val clean = graft.streaming.Streams.batchSlices(s, cleanPath, "clean-sink")
       .drop("batch_id")
     (clean, bad)
   }

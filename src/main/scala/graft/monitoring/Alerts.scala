@@ -21,25 +21,26 @@ import org.apache.spark.sql.functions._
   */
 object Alerts {
 
-  /** Severity → delivery channels — ref :283
-    * _get_channels_for_severity's fixed routing table.
+  /** The routing table — ref :283 _get_channels_for_severity. ONE
+    * definition: [[channelsFor]] (driver-side API) and the
+    * `channels` column stamped on every feed both fold over it.
     */
+  private val routingTable: Seq[(String, Seq[String])] = Seq(
+    "CRITICAL" -> Seq("pagerduty", "email", "slack"),
+    "HIGH" -> Seq("email", "slack"),
+    "MEDIUM" -> Seq("slack"),
+    "LOW" -> Seq("dashboard")) // INFO and unknown: log-only
+
+  /** Severity → delivery channels. */
   def channelsFor(severity: String): Seq[String] =
-    severity.toUpperCase match {
-      case "CRITICAL" => Seq("pagerduty", "email", "slack")
-      case "HIGH" => Seq("email", "slack")
-      case "MEDIUM" => Seq("slack")
-      case "LOW" => Seq("dashboard")
-      case _ => Seq.empty // INFO and unknown: log-only
-    }
+    routingTable.toMap.getOrElse(severity.toUpperCase, Seq.empty)
 
   private val channelRouting: Column =
-    when(upper(col("severity")) === "CRITICAL",
-      array(lit("pagerduty"), lit("email"), lit("slack")))
-      .when(upper(col("severity")) === "HIGH", array(lit("email"), lit("slack")))
-      .when(upper(col("severity")) === "MEDIUM", array(lit("slack")))
-      .when(upper(col("severity")) === "LOW", array(lit("dashboard")))
-      .otherwise(array().cast("array<string>"))
+    routingTable.foldRight(array().cast("array<string>")) {
+      case ((sev, chans), acc) =>
+        when(upper(col("severity")) === sev, array(chans.map(lit): _*))
+          .otherwise(acc)
+    }
 
   /** Alert feed from [[Trends.slaChecks]]' violated rows — ref
     * sla_monitor.py:255 trigger_sla_violation_alert (severity: HIGH
@@ -116,16 +117,20 @@ object Alerts {
     alerts.withColumn("rate_limited", row_number().over(w) > maxPerWindow)
   }
 
-  /** Escalation pass — ref :250 escalate_alert: alerts at or above
-    * `minSeverity` with no acknowledgement in `acks` (alert key
-    * columns) and older than `afterMinutes` at `asOf` come back as
-    * `<type>_escalation` copies with `escalation_level` + 1 and HIGH
-    * severity, re-routed. `acks`: (alert_type, run_id) pairs — the
-    * ALERT_LOG acknowledged=TRUE rows as a frame.
+  /** Escalation pass — ref :250 escalate_alert: HIGH/CRITICAL alerts
+    * with no acknowledgement in `acks` and older than `afterMinutes`
+    * at `asOf` come back as `<type>_escalation` copies at
+    * `escalation_level = level`, re-routed. Multi-level sweeps (the
+    * reference's escalation ladder) feed the previous level's output
+    * back with `level + 1`: the `_escalation` suffix is appended only
+    * once and the level column carries the ladder position. `acks`:
+    * (alert_type, run_id) pairs — ALERT_LOG acknowledged=TRUE rows as
+    * a frame.
     */
   def escalate(alerts: DataFrame, acks: DataFrame,
                asOf: java.sql.Timestamp, tsCol: String,
-               afterMinutes: Int = 30): DataFrame = {
+               afterMinutes: Int = 30, level: Int = 1): DataFrame = {
+    require(level >= 1, "escalation level >= 1")
     val cutoff = new java.sql.Timestamp(asOf.getTime - afterMinutes * 60000L)
     alerts
       .filter(upper(col("severity")).isin("HIGH", "CRITICAL") &&
@@ -133,10 +138,14 @@ object Alerts {
       .join(broadcast(acks.select("alert_type", "run_id")
         .withColumn("__acked", lit(true))), Seq("alert_type", "run_id"), "left_outer")
       .filter(col("__acked").isNull)
-      .withColumn("alert_type", concat(col("alert_type"), lit("_escalation")))
-      .withColumn("escalation_level", lit(1))
+      .withColumn("alert_type",
+        when(col("alert_type").endsWith("_escalation"), col("alert_type"))
+          .otherwise(concat(col("alert_type"), lit("_escalation"))))
+      .withColumn("escalation_level", lit(level))
       .withColumn("severity", lit("HIGH"))
-      .withColumn("message", concat(lit("ESCALATION: "), col("message")))
+      .withColumn("message",
+        when(col("message").startsWith("ESCALATION: "), col("message"))
+          .otherwise(concat(lit("ESCALATION: "), col("message"))))
       .withColumn("channels", channelRouting)
       .drop("__acked")
   }

@@ -118,7 +118,11 @@ object Trends {
     *  - `execution_time` (ref :80): actual = the run's total
     *    duration_ms for the label
     *  - `data_freshness` (ref :104): actual = hours between the
-    *    label's last recorded_at and `asOf` (data age)
+    *    label's last recorded_at and `asOf` (data age) — attached to
+    *    the label's LATEST run only (one check per label: freshness is
+    *    the "is it fresh NOW" question; re-judging every historical
+    *    run against today's clock would flood the breach feed with
+    *    runs that were perfectly fresh when they executed)
     *  - `row_count` (ref :156): actual = the run's total rows for
     *    the label
     */
@@ -153,6 +157,11 @@ object Trends {
       sum(col("duration_ms")).cast("double").as("__total_ms"),
       sum(col("rows")).cast("double").as("__total_rows"),
       max(col("recorded_at")).as("__last_at"))
+      // label-level latest, for pinning freshness to one run — a
+      // window over the grouped frame (≤ runs × labels rows), not data
+      .withColumn("__label_last",
+        max(col("__last_at")).over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("query"))))
     val ruleDf = rules.map(r => (r.slaType, r.query, r.threshold,
       r.operator, if (r.threshold2.isNaN) null
       else java.lang.Double.valueOf(r.threshold2)))
@@ -180,6 +189,10 @@ object Trends {
             .otherwise(0.0))
         .otherwise(0.0)
     per.join(broadcast(ruleDf), Seq("query"))
+      // freshness: one check per label, on the run that owns the
+      // label's latest data
+      .filter(col("sla_type") =!= "data_freshness" ||
+        col("__last_at") === col("__label_last"))
       .withColumn("actual", actual)
       .withColumn("status",
         when(col("actual").isNull, lit("unknown"))
@@ -205,13 +218,14 @@ object Trends {
     * One row: (query, n_checks, n_met, compliance_pct); zero checks →
     * 0.0 like the reference.
     *
-    * Semantics note: the reference aggregates STORED check rows
-    * (each evaluated at its own checked_at); this recomputes from the
-    * history, so freshness checks on older runs measure age against
-    * `asOf` — a run's data N days old in the window reads as stale
-    * under a < N·24h rule. Callers who want the stored-check behavior
-    * persist [[slaChecks]] rows at run time (they are a frame —
-    * append them next to the history) and aggregate those instead.
+    * Semantics note: the reference aggregates STORED check rows (each
+    * evaluated at its own checked_at); this recomputes from the
+    * history. Per-run kinds (execution_time, row_count) recompute
+    * identically; freshness contributes ONE check — the window's
+    * latest run against `asOf` (see [[slaChecks]]). Callers who want
+    * the reference's per-run stored freshness persist [[slaChecks]]
+    * rows at run time (they are a frame — append them next to the
+    * history) and aggregate those instead.
     */
   def complianceRate(history: DataFrame, rules: Seq[SlaRule], query: String,
                      days: Int, asOf: java.sql.Timestamp): DataFrame = {
@@ -223,7 +237,10 @@ object Trends {
         // 0.0 rate, like the reference's empty-definitions path
         slaChecks(history.limit(0), rules, asOf)
       else slaChecks(
-        history.filter(col("query") === query && col("recorded_at") >= lit(cutoff)),
+        // bounded on BOTH sides: a historical asOf must not see runs
+        // recorded after it (the rate is a point-in-time statement)
+        history.filter(col("query") === query &&
+          col("recorded_at") >= lit(cutoff) && col("recorded_at") <= lit(asOf)),
         mine, asOf)
     checks
       .agg(

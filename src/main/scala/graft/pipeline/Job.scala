@@ -204,6 +204,12 @@ object Job {
     val primarySpec = spec.datasets.find(_.name == spec.pipeline.primary)
       .getOrElse(throw new IllegalArgumentException(
         s"pipeline primary '${spec.pipeline.primary}' is not a declared dataset"))
+    // same guard as the batch run(): a connector-format dataset must
+    // fail with the clear config error here too, not as an obscure
+    // FileSource error mid-setup
+    spec.datasets.foreach(d => require(Catalog.connector(d).isEmpty,
+      s"dataset '${d.name}': connector formats configure their reader " +
+        "via Catalog.register; Job expects file datasets"))
     val statics = spec.datasets.filterNot(_.name == spec.pipeline.primary)
       .map(d => d.name -> Catalog.load(spark, d)).toMap
     // schema pin for the stream: the SAME Catalog.load path as batch

@@ -56,39 +56,53 @@ object KvStore {
       throw new IllegalArgumentException(
         s"KvStore has no collection $database.$collection — seed it with KvStore.put"))
 
-  private[sources] def exists(database: String, collection: String): Boolean =
-    tables.containsKey((database, collection))
-
   /** Atomic commit for the DSv2 write path (nosql_connector.py:141
     * write modes): `truncate` replaces the collection (overwrite = the
     * reference's drop + insert_many); otherwise rows APPEND — unless
     * `upsertKeys` is set, in which case incoming rows REPLACE existing
     * rows with equal key tuples (DynamoDB put_item / Cassandra
-    * INSERT-by-primary-key semantics). One compute() call, so
-    * concurrent committers serialize per collection.
+    * INSERT-by-primary-key semantics). The incoming batch must itself
+    * be key-unique: two same-key rows in one distributed write have no
+    * defined winner (the stores' sequential last-write-wins does not
+    * exist here), so the commit REJECTS that batch instead of storing
+    * a duplicate "primary key" — dedupe first (Incremental.dedupLatest).
+    * One compute() call, so concurrent committers serialize per
+    * collection.
     */
   private[sources] def commitWrite(database: String, collection: String,
                                    schema: StructType, rows: IndexedSeq[Row],
                                    truncate: Boolean,
                                    upsertKeys: Seq[String]): Unit =
-    tables.compute((database, collection), (_, existing) =>
-      if (truncate || existing == null) (schema, rows)
-      else {
-        val (es, erows) = existing
-        require(es.fieldNames.sameElements(schema.fieldNames),
+    tables.compute((database, collection), (_, existing) => {
+      val base = if (truncate || existing == null) None else Some(existing)
+      base.foreach { case (es, _) =>
+        // typed check: same-name/different-type rows stored under the
+        // old schema would only explode at a later read, far from the
+        // writer that corrupted the collection
+        require(es.fields.map(f => (f.name, f.dataType))
+            .sameElements(schema.fields.map(f => (f.name, f.dataType))),
           s"append to $database.$collection: schema mismatch " +
-            s"(existing ${es.fieldNames.mkString(",")} vs ${schema.fieldNames.mkString(",")})")
-        if (upsertKeys.isEmpty) (es, erows ++ rows)
-        else {
-          val ki = upsertKeys.map { k =>
-            val i = schema.fieldNames.indexOf(k)
-            require(i >= 0, s"upsert key '$k' not in schema")
-            i
-          }
-          val incoming = rows.map(r => ki.map(r.get)).toSet
-          (es, erows.filterNot(r => incoming.contains(ki.map(r.get))) ++ rows)
+            s"(existing ${es.simpleString} vs ${schema.simpleString})")
+      }
+      if (upsertKeys.isEmpty)
+        (base.map(_._1).getOrElse(schema), base.map(_._2).getOrElse(IndexedSeq.empty) ++ rows)
+      else {
+        val ki = upsertKeys.map { k =>
+          val i = schema.fieldNames.indexOf(k)
+          require(i >= 0, s"upsert key '$k' not in schema")
+          i
         }
-      })
+        val incoming = rows.map(r => ki.map(r.get))
+        require(incoming.distinct.length == incoming.length,
+          s"upsert into $database.$collection: incoming batch has " +
+            "duplicate key tuples — no defined winner under a " +
+            "distributed write; dedupe by key first (Incremental.dedupLatest)")
+        val incomingSet = incoming.toSet
+        val erows = base.map(_._2).getOrElse(IndexedSeq.empty)
+        (base.map(_._1).getOrElse(schema),
+          erows.filterNot(r => incomingSet.contains(ki.map(r.get))) ++ rows)
+      }
+    })
 }
 
 /** DSv2 TableProvider. Use via `spark.read.format("graft.sources.KvSource")

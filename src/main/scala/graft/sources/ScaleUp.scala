@@ -67,6 +67,17 @@ object ScaleUp {
       val out =
         if (keys.isEmpty) src // dims copy through unchanged
         else {
+          // replica key ranges [r·stride, r·stride + maxKey) must not
+          // overlap — scaling a source whose keys exceed the stride
+          // (a bigger SF, or re-scaling ScaleUp output) would silently
+          // produce duplicate "unique" keys and cross-replica FK hits
+          val maxKeyExpr =
+            if (keys.size == 1) max(col(keys.head).cast("long"))
+            else greatest(keys.map(k => max(col(k).cast("long"))): _*)
+          val maxKey = src.agg(maxKeyExpr).head().getLong(0)
+          require(maxKey < KeyStride,
+            s"$name: max key $maxKey >= KeyStride $KeyStride — replica " +
+              "key ranges would overlap (source already scaled, or too large)")
           val shifted = keys.foldLeft(replicate(src, factor)) { (df, k) =>
             df.withColumn(k, col(k) + col("__r") * KeyStride)
           }

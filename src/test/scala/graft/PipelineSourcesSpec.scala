@@ -225,10 +225,13 @@ class PipelineSourcesSpec extends SparkSpec {
     assert(byKey(("run_25", "execution_time")) == (("violated", 1500.0, 50.0)))
     assert(byKey(("run_25", "row_count"))._1 == "violated")
     assert(byKey(("run_10", "row_count"))._1 == "met")
-    // freshness: run_29's data is 24h old relative to asOf → met under
-    // 240h; the stale label's last run is 8 days old → violated on ITS
-    // 24h rule
+    // freshness: ONE check per label, on its latest run — run_29's
+    // data is 24h old relative to asOf → met under 240h; the stale
+    // label's last run is 8 days old → violated on ITS 24h rule; NO
+    // freshness rows for older runs (they were fresh when they ran)
     assert(byKey(("run_29", "data_freshness")) == (("met", 24.0, 90.0)))
+    assert(!byKey.contains(("run_10", "data_freshness")))
+    assert(checks.filter(col("sla_type") === "data_freshness").count() == 2)
     assert(byKey(("stale_1", "data_freshness"))._1 == "violated")
     assert(byKey(("stale_1", "data_freshness"))._2 == 8 * 24.0)
 
@@ -244,17 +247,18 @@ class PipelineSourcesSpec extends SparkSpec {
     // window mixes healthy+degraded, the 7-day window is all degraded
     val c30 = Trends.complianceRate(hist, rules, "etl", 30, asOf).head()
     val c7 = Trends.complianceRate(hist, rules, "etl", 7, asOf).head()
-    // 29 runs × 3 etl rules; last-7-days = runs 23..29 (7 runs, all
-    // degraded; day 23 lands exactly on the cutoff, >= keeps it)
-    assert(c30.getAs[Long]("n_checks") == 29 * 3)
-    assert(c7.getAs[Long]("n_checks") == 7 * 3)
+    // 29 runs × 2 per-run rules + 1 freshness (window-latest run);
+    // last-7-days = runs 23..29 (7 runs, all degraded; day 23 lands
+    // exactly on the cutoff, >= keeps it)
+    assert(c30.getAs[Long]("n_checks") == 29 * 2 + 1)
+    assert(c7.getAs[Long]("n_checks") == 7 * 2 + 1)
     assert(c7.getAs[Double]("compliance_pct") <
       c30.getAs[Double]("compliance_pct"))
-    // degraded window: exec+rows violated, freshness still met → 1/3
-    assert(c7.getAs[Double]("compliance_pct") == 33.3)
-    // 30d: exec 22 met + rows 22 met + freshness 9 met (runs 21..29
-    // younger than 240h) = 53 of 87
-    assert(c30.getAs[Double]("compliance_pct") == 60.9)
+    // degraded window: exec+rows violated on all 7 runs, the single
+    // freshness check (run_29) met → 1 of 15
+    assert(c7.getAs[Double]("compliance_pct") == 6.7)
+    // 30d: exec 22 met + rows 22 met + freshness met = 45 of 59
+    assert(c30.getAs[Double]("compliance_pct") == 76.3)
 
     // predictive warning fires exactly when recent < 0.9 × overall
     val warn = Trends.predictiveWarning(hist, rules, "etl", asOf)
@@ -347,6 +351,22 @@ class PipelineSourcesSpec extends SparkSpec {
     assert(esc.head.getAs[String]("alert_type") == "sla_violation_escalation")
     assert(esc.head.getAs[String]("message").startsWith("ESCALATION: "))
     assert(esc.head.getAs[Int]("escalation_level") == 1)
+
+    // the escalation ladder: feeding level-1 output back yields level 2
+    // without re-suffixing the type or re-prefixing the message
+    val esc1 = Alerts.escalate(alerts, acks,
+      java.sql.Timestamp.valueOf("2024-03-01 12:00:00"), "at", 30)
+      .select("alert_type", "severity", "message", "run_id", "at")
+    val esc2 = Alerts.escalate(esc1, acks,
+      java.sql.Timestamp.valueOf("2024-03-01 13:00:00"), "at", 30,
+      level = 2).collect()
+    assert(esc2.length == 1)
+    assert(esc2.head.getAs[String]("alert_type") == "sla_violation_escalation")
+    assert(esc2.head.getAs[Int]("escalation_level") == 2)
+    assert(!esc2.head.getAs[String]("message").startsWith("ESCALATION: ESCALATION:"))
+
+    // routing API and column stay one table
+    assert(Alerts.channelsFor("HIGH") == Seq("email", "slack"))
   }
 
   test("Job: one-document config runs end-to-end; gate, sink and validation enforced") {

@@ -363,11 +363,14 @@ class RestSourceSpec extends SparkSpec with org.scalatest.BeforeAndAfterAll {
       assert(readBack().orderBy("id").as[(Long, String, Double)].collect().toSeq ==
         Seq((1L, "a", 10.0), (2L, "b", 20.0)))
 
-      // append to an existing collection unions; schema drift fails loudly
+      // append to an existing collection unions; schema drift fails
+      // loudly — both a missing column AND a same-name type change
       NoSqlSink.write(Seq((3L, "c", 30.0)).toDF("id", "name", "v"), src)
       assert(readBack().count() == 3)
       val drifted = Seq((4L, "d")).toDF("id", "name")
       intercept[Exception](NoSqlSink.write(drifted, src))
+      val retyped = Seq((4, "d", 40.0)).toDF("id", "name", "v") // id int, not long
+      intercept[Exception](NoSqlSink.write(retyped, src))
 
       // upsert replaces by key, keeps the rest (put_item semantics)
       val up = Seq((2L, "B2", 22.0), (4L, "d", 40.0)).toDF("id", "name", "v")
@@ -376,6 +379,11 @@ class RestSourceSpec extends SparkSpec with org.scalatest.BeforeAndAfterAll {
         Seq((1L, "a", 10.0), (2L, "B2", 22.0), (3L, "c", 30.0), (4L, "d", 40.0)))
       // upsert without keys only legal for the inherently-keyed kinds
       intercept[IllegalArgumentException](NoSqlSink.write(up, src, mode = "upsert"))
+      // a batch with duplicate key tuples has no defined winner under a
+      // distributed write — rejected, not silently double-stored
+      val dupKeys = Seq((5L, "x", 1.0), (5L, "y", 2.0)).toDF("id", "name", "v")
+      intercept[Exception](
+        NoSqlSink.write(dupKeys, src, mode = "upsert", upsertKeys = Seq("id")))
 
       // overwrite truncates and reloads — reference drop + insert_many
       NoSqlSink.write(Seq((9L, "z", 90.0)).toDF("id", "name", "v"), src,
