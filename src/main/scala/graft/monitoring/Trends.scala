@@ -125,11 +125,15 @@ object Trends {
     *    runs that were perfectly fresh when they executed)
     *  - `row_count` (ref :156): actual = the run's total rows for
     *    the label
+    *  - `success_rate` (ref tests/unit_tests.py:409
+    *    check_success_rate_sla): actual = fraction of the label's
+    *    runs with no failed action — like freshness, a label-level
+    *    statement attached to the latest run only
     */
   final case class SlaRule(slaType: String, query: String,
                            threshold: Double, operator: String = "lt",
                            threshold2: Double = Double.NaN) {
-    require(Seq("execution_time", "data_freshness", "row_count")
+    require(Seq("execution_time", "data_freshness", "row_count", "success_rate")
       .contains(slaType), s"unknown sla_type '$slaType'")
     require(Seq("lt", "gt", "eq", "between").contains(operator),
       s"unknown operator '$operator'")
@@ -153,15 +157,23 @@ object Trends {
     require(rules.nonEmpty, "slaChecks needs at least one rule")
     val spark = history.sparkSession
     import spark.implicits._
+    val wq = org.apache.spark.sql.expressions.Window.partitionBy(col("query"))
     val per = history.groupBy("run_id", "query").agg(
       sum(col("duration_ms")).cast("double").as("__total_ms"),
       sum(col("rows")).cast("double").as("__total_rows"),
-      max(col("recorded_at")).as("__last_at"))
-      // label-level latest, for pinning freshness to one run — a
-      // window over the grouped frame (≤ runs × labels rows), not data
-      .withColumn("__label_last",
-        max(col("__last_at")).over(
-          org.apache.spark.sql.expressions.Window.partitionBy(col("query"))))
+      max(col("recorded_at")).as("__last_at"),
+      max(when(col("failed"), 1L).otherwise(0L)).as("__run_failed"))
+      // label-level stats, for the one-check-per-label kinds
+      // (freshness, success rate) — windows over the grouped frame
+      // (≤ runs × labels rows), not data
+      .withColumn("__label_last", max(col("__last_at")).over(wq))
+      // run_id tiebreak: two runs sharing the label's max timestamp
+      // must not BOTH emit the label-level checks
+      .withColumn("__label_last_run",
+        max(struct(col("__last_at"), col("run_id"))).over(wq)
+          .getField("run_id"))
+      .withColumn("__label_success_rate",
+        avg(lit(1.0) - col("__run_failed")).over(wq))
     val ruleDf = rules.map(r => (r.slaType, r.query, r.threshold,
       r.operator, if (r.threshold2.isNaN) null
       else java.lang.Double.valueOf(r.threshold2)))
@@ -171,6 +183,7 @@ object Trends {
         .when(col("sla_type") === "data_freshness",
           (lit(asOf).cast("double") - col("__last_at").cast("double")) / 3600.0)
         .when(col("sla_type") === "row_count", col("__total_rows"))
+        .when(col("sla_type") === "success_rate", col("__label_success_rate"))
     val met =
       when(col("operator") === "lt", col("actual") < col("threshold"))
         .when(col("operator") === "gt", col("actual") > col("threshold"))
@@ -189,10 +202,10 @@ object Trends {
             .otherwise(0.0))
         .otherwise(0.0)
     per.join(broadcast(ruleDf), Seq("query"))
-      // freshness: one check per label, on the run that owns the
-      // label's latest data
-      .filter(col("sla_type") =!= "data_freshness" ||
-        col("__last_at") === col("__label_last"))
+      // label-level kinds: one check per label, on the run that owns
+      // the label's latest data
+      .filter(!col("sla_type").isin("data_freshness", "success_rate") ||
+        col("run_id") === col("__label_last_run"))
       .withColumn("actual", actual)
       .withColumn("status",
         when(col("actual").isNull, lit("unknown"))
@@ -203,6 +216,54 @@ object Trends {
       .select("run_id", "query", "sla_type", "actual", "threshold",
         "operator", "status", "deviation")
   }
+
+  /** Quality-score SLA check — ref sla_monitor.py:131
+    * check_quality_score_sla + tests/unit_tests.py:425: the score is
+    * the passed-rule percentage of a [[graft.quality.DQ.check]]
+    * report (the same figure [[graft.quality.DQ.gateFromResults]]
+    * gates on), judged against `threshold` with `operator` (default
+    * `gt`, the reference's). Emits ONE check row in [[slaChecks]]'
+    * shape, so quality checks union into the same breach feed /
+    * [[overallCompliance]] roll-up.
+    */
+  def qualityScoreCheck(report: DataFrame, runId: String, query: String,
+                        threshold: Double,
+                        operator: String = "gt"): DataFrame = {
+    require(Seq("lt", "gt", "eq").contains(operator),
+      s"unknown operator '$operator'")
+    report.agg(
+      (sum(when(col("passed"), 1.0).otherwise(0.0)) * 100.0 / count(lit(1)))
+        .as("actual"))
+      .select(
+        lit(runId).as("run_id"), lit(query).as("query"),
+        lit("quality_score").as("sla_type"), col("actual"),
+        lit(threshold).as("threshold"), lit(operator).as("operator"))
+      .withColumn("status",
+        when(col("actual").isNull, lit("unknown"))
+          .when(operator match {
+            case "lt" => col("actual") < col("threshold")
+            case "gt" => col("actual") > col("threshold")
+            case _ => col("actual") === col("threshold")
+          }, lit("met")).otherwise(lit("violated")))
+      .withColumn("deviation",
+        when(col("status") === "unknown", lit(null).cast("double"))
+          .when(lit(operator) === "eq" || col("threshold") === 0.0, lit(0.0))
+          .otherwise(round(
+            abs(col("actual") - col("threshold")) / col("threshold") * 100.0, 1)))
+  }
+
+  /** Overall compliance roll-up — ref tests/unit_tests.py:439
+    * calculate_overall_compliance: (total_checks, compliant_checks,
+    * overall_compliant = every check met). One row over any
+    * [[slaChecks]]-shaped frame (unknowns count as non-compliant —
+    * a check that could not run is not a met check).
+    */
+  def overallCompliance(checks: DataFrame): DataFrame =
+    checks.agg(
+      count(lit(1)).as("total_checks"),
+      sum(when(col("status") === "met", 1L).otherwise(0L)).as("compliant_checks"))
+      .withColumn("overall_compliant",
+        col("total_checks") === col("compliant_checks"))
 
   /** The violated subset of [[slaChecks]] — the multi-kind face of
     * [[slaBreaches]] (which stays the per-row duration/failure alert

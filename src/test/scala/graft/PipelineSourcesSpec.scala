@@ -206,13 +206,16 @@ class PipelineSourcesSpec extends SparkSpec {
     }
     RunHistory.append(spark, dir, "stale_1", Seq(e("stale", 100, 10)),
       recordedAt = Some(ts(22)))
+    RunHistory.append(spark, dir, "stale_2",
+      Seq(e("stale", 100, 10, failed = true)), recordedAt = Some(ts(23)))
     val hist = RunHistory.load(spark, dir)
 
     val rules = Seq(
       SlaRule("execution_time", "etl", 1000.0, "lt"),
       SlaRule("row_count", "etl", 1000.0, "gt"),
       SlaRule("data_freshness", "etl", 240.0, "lt"), // < 10 days old
-      SlaRule("data_freshness", "stale", 24.0, "lt"))
+      SlaRule("data_freshness", "stale", 24.0, "lt"),
+      SlaRule("success_rate", "stale", 0.9, "gt"))
 
     // per-(run, rule) checks: every kind computes the reference's
     // actual/status/deviation columns
@@ -227,13 +230,18 @@ class PipelineSourcesSpec extends SparkSpec {
     assert(byKey(("run_10", "row_count"))._1 == "met")
     // freshness: ONE check per label, on its latest run — run_29's
     // data is 24h old relative to asOf → met under 240h; the stale
-    // label's last run is 8 days old → violated on ITS 24h rule; NO
+    // label's last run is 7 days old → violated on ITS 24h rule; NO
     // freshness rows for older runs (they were fresh when they ran)
     assert(byKey(("run_29", "data_freshness")) == (("met", 24.0, 90.0)))
     assert(!byKey.contains(("run_10", "data_freshness")))
     assert(checks.filter(col("sla_type") === "data_freshness").count() == 2)
-    assert(byKey(("stale_1", "data_freshness"))._1 == "violated")
-    assert(byKey(("stale_1", "data_freshness"))._2 == 8 * 24.0)
+    assert(byKey(("stale_2", "data_freshness"))._1 == "violated")
+    assert(byKey(("stale_2", "data_freshness"))._2 == 7 * 24.0)
+
+    // success rate (ref unit_tests.py:409): label-level, latest run —
+    // stale has 1 failure in 2 runs → 0.5, violated under > 0.9
+    assert(byKey(("stale_2", "success_rate")) == (("violated", 0.5, 44.4)))
+    assert(checks.filter(col("sla_type") === "success_rate").count() == 1)
 
     // the multi-kind breach feed is exactly the violated subset
     val breaches = Trends.slaBreaches(hist, rules, asOf)
@@ -241,7 +249,28 @@ class PipelineSourcesSpec extends SparkSpec {
       checks.filter(col("status") === "violated").count())
     assert(breaches.select("sla_type").distinct().collect()
       .map(_.getString(0)).toSet ==
-      Set("execution_time", "row_count", "data_freshness"))
+      Set("execution_time", "row_count", "data_freshness", "success_rate"))
+
+    // quality-score check (ref unit_tests.py:425) off a real DQ report,
+    // same row shape → unions into the same roll-up
+    val report = graft.quality.DQ.check(
+      spark.range(10).selectExpr("id", "CASE WHEN id < 9 THEN 'x' END AS s"),
+      Seq(graft.quality.DQ.NotNull("nn_s", "s"),
+        graft.quality.DQ.ValueRange("rng_id", "id", 0, 100)))
+    val q = Trends.qualityScoreCheck(report, "run_29", "etl", 90.0).head()
+    assert(q.getAs[String]("sla_type") == "quality_score")
+    assert(q.getAs[Double]("actual") == 50.0) // 1 of 2 rules passed
+    assert(q.getAs[String]("status") == "violated")
+    assert(q.getAs[Double]("deviation") == 44.4)
+
+    // overall roll-up (ref unit_tests.py:439): any violated → false
+    val overall = Trends.overallCompliance(checks).head()
+    assert(overall.getAs[Long]("total_checks") ==
+      checks.count())
+    assert(!overall.getAs[Boolean]("overall_compliant"))
+    val allMet = Trends.overallCompliance(
+      checks.filter(col("status") === "met")).head()
+    assert(allMet.getAs[Boolean]("overall_compliant"))
 
     // compliance rate over trailing windows (ref :236): the 30-day
     // window mixes healthy+degraded, the 7-day window is all degraded
