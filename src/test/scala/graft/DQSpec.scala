@@ -475,4 +475,61 @@ class DQSpec extends SparkSpec {
     assert(mc.isNullAt(mc.fieldIndex("corr_val")))
     intercept[IllegalArgumentException](DQ.correlationMatrix(li, Seq("l_quantity")))
   }
+
+  test("Privacy: AES round-trip, join-safe pseudonyms, partial masking") {
+    import graft.quality.Privacy
+    import spark.implicits._
+    val key = "0123456789abcdef" // 16 bytes = AES-128
+    val df = Seq((1L, "alice@example.org", "555-867-5309"),
+      (2L, "bob@example.org", null),
+      (3L, "alice@example.org", "555-000-1111"))
+      .toDF("id", "email", "phone")
+
+    // encrypt → decrypt round-trips exactly; ciphertext is base64 text
+    // and NOT deterministic (GCM random IV: equal plaintexts differ)
+    val enc = Privacy.encryptColumns(df, Seq("email", "phone"), key)
+    val encRows = enc.orderBy("id").collect()
+    assert(encRows.forall(r => r.isNullAt(1) == false))
+    assert(encRows(0).getString(1) != encRows(2).getString(1)) // same email, different ct
+    assert(encRows(1).isNullAt(2)) // null encrypts to null
+    val dec = Privacy.decryptColumns(enc, Seq("email", "phone"), key)
+      .orderBy("id").as[(Long, String, String)].collect().toSeq
+    assert(dec == Seq((1L, "alice@example.org", "555-867-5309"),
+      (2L, "bob@example.org", null),
+      (3L, "alice@example.org", "555-000-1111")))
+    // wrong key: strict decrypt fails the job, try-variant yields nulls
+    intercept[Exception](
+      Privacy.decryptColumns(enc, Seq("email"), "ffffffffffffffff")
+        .collect())
+    val tryDec = Privacy.tryDecryptColumns(enc, Seq("email"), "ffffffffffffffff")
+    assert(tryDec.filter(col("email").isNotNull).count() == 0)
+    intercept[IllegalArgumentException](
+      Privacy.encryptColumns(df, Seq("email"), "short"))
+
+    // pseudonymize: deterministic per key (join-safe), key-dependent,
+    // null-preserving, 64-hex shape
+    val p1 = Privacy.pseudonymize(df, Seq("email"), "k1")
+      .orderBy("id").select("email").as[String].collect()
+    assert(p1(0) == p1(2) && p1(0) != p1(1)) // same value → same token
+    assert(p1(0).matches("[0-9a-f]{64}"))
+    val p2 = Privacy.pseudonymize(df, Seq("email"), "k2")
+      .orderBy("id").select("email").as[String].collect()
+    assert(p1(0) != p2(0)) // different key → different token space
+    // join-safety across tables: pseudonymized keys still join
+    val other = Seq(("alice@example.org", 7.0)).toDF("email", "score")
+    val joined = Privacy.pseudonymize(df, Seq("email"), "k1")
+      .join(Privacy.pseudonymize(other, Seq("email"), "k1"), Seq("email"))
+    assert(joined.count() == 2) // both alice rows
+    // nulls stay null
+    assert(Privacy.pseudonymize(df, Seq("phone"), "k1")
+      .filter(col("id") === 2 && col("phone").isNull).count() == 1)
+
+    // masking keeps the last 4, stars the rest; short values mask fully
+    val m = Privacy.maskColumns(df, Seq("phone"), keepLast = 4)
+      .orderBy("id").select("phone").as[String].collect()
+    assert(m(0) == "********5309" && m(1) == null)
+    val short = Privacy.maskColumns(Seq(("abc")).toDF("phone"), Seq("phone"), 4)
+      .select("phone").as[String].head()
+    assert(short == "***")
+  }
 }
