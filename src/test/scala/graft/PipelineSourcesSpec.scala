@@ -567,6 +567,60 @@ class PipelineSourcesSpec extends SparkSpec {
       .getMessage.contains("anomaly"))
   }
 
+  test("Dag: dependency-ordered jobs, failure skips downstream, branches isolate") {
+    import graft.pipeline.Dag
+    val sfDir = TestSession.sfDir
+    def jobDoc(minScore: Double) =
+      s"""{"datasets": [
+         |   {"name": "d_orders", "format": "parquet", "path": "$sfDir/orders.parquet"}],
+         | "pipeline": {"primary": "d_orders", "steps": [
+         |   {"type": "select", "columns": ["o_orderkey", "o_orderstatus"]}]},
+         | "quality": {"rules": [
+         |   {"rule_id": "only_f", "type": "allowed_values",
+         |    "column": "o_orderstatus", "values": ["F"]}],
+         |  "min_score": $minScore}}""".stripMargin
+    val dag =
+      s"""{"jobs": [
+         | {"id": "n_extract", "job": ${jobDoc(0.0)}},
+         | {"id": "n_clean", "depends_on": ["n_extract"], "job": ${jobDoc(0.0)}},
+         | {"id": "n_gate", "depends_on": ["n_extract"], "job": ${jobDoc(100.0)}},
+         | {"id": "n_report", "depends_on": ["n_clean", "n_gate"], "job": ${jobDoc(0.0)}},
+         | {"id": "n_island", "job": ${jobDoc(0.0)}}
+         |]}""".stripMargin
+    val hist = Files.createTempDirectory("graft_dag").toString + "/history"
+    val res = Dag.runJson(spark, dag, historyDir = Some(hist), runId = "dagrun")
+    val byId = res.map(r => r.id -> r).toMap
+    // topological, lexicographic among ready: n_extract before its
+    // dependents; n_island (no deps) interleaves deterministically
+    assert(res.map(_.id) ==
+      Seq("n_extract", "n_clean", "n_gate", "n_island", "n_report"))
+    assert(byId("n_extract").status == "succeeded")
+    assert(byId("n_clean").status == "succeeded")
+    // the failing gate marks its node failed with the cause...
+    assert(byId("n_gate").status == "failed")
+    assert(byId("n_gate").error.get.toLowerCase.contains("quality"))
+    // ...downstream skips naming the culprit; the island is untouched
+    assert(byId("n_report").status == "skipped_upstream")
+    assert(byId("n_report").error.get.contains("n_gate"))
+    assert(byId("n_island").status == "succeeded")
+    // every EXECUTED node recorded into one grouped history
+    val h = graft.monitoring.RunHistory.load(spark, hist)
+    val runs = h.select("run_id").distinct().collect().map(_.getString(0)).toSet
+    assert(runs == Set("dagrun__n_extract", "dagrun__n_clean",
+      "dagrun__n_gate", "dagrun__n_island"))
+    assert(h.filter(col("run_id") === "dagrun__n_gate" &&
+      col("query") === "job" && col("failed")).count() == 1)
+
+    // declaration errors fail loudly before anything runs
+    import graft.pipeline.Dag.Node
+    intercept[IllegalArgumentException](Dag.topoOrder(Seq(
+      Node("a", "{}", Seq("b")), Node("b", "{}", Seq("a")))))
+    intercept[IllegalArgumentException](Dag.topoOrder(Seq(
+      Node("a", "{}", Seq("ghost")))))
+    intercept[IllegalArgumentException](Dag.topoOrder(Seq(
+      Node("a", "{}"), Node("a", "{}"))))
+  }
+
   test("Recovery retry: classification drives the policy; fallback rethrows primary") {
     import Recovery._
     import java.io.IOException
