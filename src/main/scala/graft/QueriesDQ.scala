@@ -95,6 +95,18 @@ object QueriesDQ {
         quarantineRules)._1
     }),
 
+    // deterministic privacy ops (security_manager.py's crypto applied
+    // to data columns): keyed-hash pseudonymization + partial masking
+    // — both pure projections DuckDB can replay byte-for-byte (the
+    // AES path is random-IV by design and spec-gated instead)
+    "q_privacy" -> ((s, dir) => {
+      graft.quality.Privacy.maskColumns(
+        graft.quality.Privacy.pseudonymize(
+          t(s, dir, "customer").select("c_custkey", "c_name", "c_mktsegment"),
+          Seq("c_name"), "pii-key-1"),
+        Seq("c_mktsegment"), keepLast = 4)
+    }),
+
     // completeness / not_null — ref dq_rule_examples.py:144,199,275
     "q_dq_completeness" -> ((s, dir) => {
       DQ.check(t(s, dir, "orders"),
@@ -408,6 +420,20 @@ object QueriesDQ {
   }
 
   def oracleSql: Map[String, String] = Map(
+
+    // sha256(key:len:value) pseudonyms + star-mask keeping the last 4
+    // — DuckDB replays both transformations exactly
+    "q_privacy" ->
+      """SELECT c_custkey,
+        |  CASE WHEN c_name IS NOT NULL THEN
+        |    sha256('pii-key-1' || ':' || CAST(length(c_name) AS VARCHAR)
+        |           || ':' || c_name) END AS c_name,
+        |  CASE WHEN c_mktsegment IS NULL THEN NULL
+        |       WHEN length(c_mktsegment) <= 4 THEN repeat('*', length(c_mktsegment))
+        |       ELSE repeat('*', length(c_mktsegment) - 4) ||
+        |            substr(c_mktsegment, length(c_mktsegment) - 3, 4)
+        |  END AS c_mktsegment
+        |FROM customer""".stripMargin,
 
     "q_dq_profile" ->
       Seq(profCol("o_orderkey", numeric = true),

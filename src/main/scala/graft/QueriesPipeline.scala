@@ -208,6 +208,37 @@ object QueriesPipeline {
       s.read.parquet(s"$tmp/run_id=jq1").drop("quarantined_at")
     }),
 
+    // two-node DAG with a real data handoff (A sinks, B reads A's
+    // sink): the dependency-ordered composition proven end-to-end
+    // against the same oracle as q_job
+    "q_dag" -> ((s, dir) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_qdag").toString
+      val dag =
+        s"""{"jobs": [
+           | {"id": "a_filter", "job": {
+           |   "datasets": [{"name": "a_orders", "format": "parquet",
+           |                 "path": "$dir/orders.parquet"}],
+           |   "pipeline": {"primary": "a_orders", "steps": [
+           |     {"type": "filter", "column": "o_totalprice", "op": ">", "value": 50000}]},
+           |   "sink": {"format": "parquet", "path": "$tmp/filtered", "mode": "atomic"}}},
+           | {"id": "b_report", "depends_on": ["a_filter"], "job": {
+           |   "datasets": [
+           |     {"name": "b_orders", "format": "parquet", "path": "$tmp/filtered"},
+           |     {"name": "b_customer", "format": "parquet",
+           |      "path": "$dir/customer.parquet"}],
+           |   "pipeline": {"primary": "b_orders", "steps": [
+           |     {"type": "rename", "mapping": {"o_custkey": "c_custkey"}},
+           |     {"type": "join", "right": "b_customer", "on": ["c_custkey"], "broadcast": true},
+           |     {"type": "aggregate", "groupBy": ["c_mktsegment", "o_orderstatus"],
+           |      "aggs": [{"col": "o_totalprice", "fn": "sum_money", "as": "total"},
+           |               {"col": "o_orderkey", "fn": "count", "as": "n"}]}]}}}
+           |]}""".stripMargin
+      val res = graft.pipeline.Dag.runJson(s, dag)
+      require(res.forall(_.status == "succeeded"),
+        s"dag nodes not green: ${res.map(r => s"${r.id}=${r.status}").mkString(",")}")
+      res.last.result.get.output
+    }),
+
     // ---- synthetic data generation (ref mock_data_generator.py) ---
     // Pure spark.range + codegen'd portable-PRNG expressions (no
     // input IO, no shuffle, no driver data); hash-checked against
@@ -390,6 +421,10 @@ object QueriesPipeline {
          |ORDER BY action_timestamp DESC, audit_id DESC""".stripMargin,
 
     "q_job" -> jobOutSql, // ONE definition, shared with the quarantine pair
+
+    // the DAG handoff computes exactly the q_job result, via a
+    // materialized intermediate instead of one plan
+    "q_dag" -> jobOutSql,
 
     "q_job_quarantine_clean" ->
       s"""WITH out AS ($jobOutSql)
