@@ -436,6 +436,67 @@ object PropertySpec extends Properties("graft") {
         !Recovery.shouldRetry(c, 0)) && (cls != null)
     }
 
+  // arbitrary unicode payloads — the pseudonym/crypto input space
+  private val payload: Gen[String] = Gen.choose(0, 40).flatMap(n =>
+    Gen.listOfN(n, Gen.frequency(
+      (8, Gen.alphaNumChar),
+      (1, Gen.oneOf('é', '中', ':', '\\', '"', ' ')))).map(_.mkString))
+
+  property("Privacy: AES round-trips any payload; pseudonyms are keyed, deterministic, injective-ish") =
+    Prop.forAll(Gen.listOfN(6, payload)) { vals =>
+      vals.isEmpty || {
+        val df = vals.zipWithIndex.map { case (v, i) => (i.toLong, v) }.toDF("id", "v")
+        val key = "0123456789abcdef"
+        import graft.quality.Privacy
+        val back = Privacy.decryptColumns(
+          Privacy.encryptColumns(df, Seq("v"), key), Seq("v"), key)
+          .orderBy("id").select("v").as[String].collect().toSeq
+        val p = Privacy.pseudonymize(df, Seq("v"), "k1")
+          .orderBy("id").select("v").as[String].collect().toSeq
+        val p2 = Privacy.pseudonymize(df, Seq("v"), "k1")
+          .orderBy("id").select("v").as[String].collect().toSeq
+        // round-trip exact; tokens deterministic; equal values ↔ equal
+        // tokens (sha256 collisions ignored); 64-hex shape
+        back == vals &&
+          p == p2 &&
+          vals.indices.forall(i => vals.indices.forall(j =>
+            (vals(i) == vals(j)) == (p(i) == p(j)))) &&
+          p.forall(_.matches("[0-9a-f]{64}"))
+      }
+    }
+
+  property("Privacy.maskColumns preserves length and keeps only the tail") =
+    Prop.forAll(Gen.listOfN(6, payload), Gen.choose(0, 6)) { (vals, keep) =>
+      vals.isEmpty || {
+        val df = vals.zipWithIndex.map { case (v, i) => (i.toLong, v) }.toDF("id", "v")
+        val m = graft.quality.Privacy.maskColumns(df, Seq("v"), keepLast = keep)
+          .orderBy("id").select("v").as[String].collect().toSeq
+        vals.zip(m).forall { case (orig, masked) =>
+          masked.length == orig.length &&
+            (orig.length <= keep || (masked.endsWith(orig.takeRight(keep)) &&
+              masked.dropRight(keep).forall(_ == '*'))) &&
+            (orig.length > keep || masked.forall(_ == '*'))
+        }
+      }
+    }
+
+  property("Dag.topoOrder is a permutation that respects every declared edge") =
+    Prop.forAll(Gen.choose(1, 10), Gen.choose(0L, 1000L)) { (n, seed) =>
+      import graft.pipeline.Dag
+      // random DAG: node i may depend only on nodes < i (acyclic by
+      // construction), edge pattern driven by the seed
+      val rnd = new scala.util.Random(seed)
+      val nodes = (0 until n).map { i =>
+        val deps = (0 until i).filter(_ => rnd.nextBoolean()).map(d => s"n$d")
+        Dag.Node(s"n$i", "{}", deps)
+      }
+      val order = Dag.topoOrder(nodes)
+      val pos = order.zipWithIndex.toMap
+      order.sorted == nodes.map(_.id).sorted &&
+        nodes.forall(nd => nd.dependsOn.forall(d => pos(d) < pos(nd.id))) &&
+        order == Dag.topoOrder(rnd.shuffle(nodes)) // input-order invariant
+    }
+
   property("Datagen.prng stays in [0, 2^31) and distinct salts decorrelate") =
     Prop.forAll(Gen.choose(0L, 1000000L), Gen.choose(1L, 1000L)) { (start, salt) =>
       import graft.sources.Datagen
