@@ -31,9 +31,11 @@ object Alerts {
     "MEDIUM" -> Seq("slack"),
     "LOW" -> Seq("dashboard")) // INFO and unknown: log-only
 
+  private val routingMap = routingTable.toMap
+
   /** Severity → delivery channels. */
   def channelsFor(severity: String): Seq[String] =
-    routingTable.toMap.getOrElse(severity.toUpperCase, Seq.empty)
+    routingMap.getOrElse(severity.toUpperCase, Seq.empty)
 
   private val channelRouting: Column =
     routingTable.foldRight(array().cast("array<string>")) {
@@ -119,34 +121,41 @@ object Alerts {
 
   /** Escalation pass — ref :250 escalate_alert: HIGH/CRITICAL alerts
     * with no acknowledgement in `acks` and older than `afterMinutes`
-    * at `asOf` come back as `<type>_escalation` copies at
-    * `escalation_level = level`, re-routed. Multi-level sweeps (the
-    * reference's escalation ladder) feed the previous level's output
-    * back with `level + 1`: the `_escalation` suffix is appended only
-    * once and the level column carries the ladder position. `acks`:
+    * at `asOf` come back as `<type>_escalation` copies one ladder
+    * level up, re-routed. The level derives from the ROW (an input
+    * without an `escalation_level` column is level 0, so fresh alerts
+    * escalate to 1; feeding a sweep's output back yields 2, 3, …) —
+    * no caller-side bookkeeping, and a mixed frame of fresh alerts and
+    * prior escalations levels correctly per row. Acknowledging the
+    * ORIGINAL alert stops the whole ladder: the ack join strips the
+    * `_escalation` suffix, so `acks` always holds BASE
     * (alert_type, run_id) pairs — ALERT_LOG acknowledged=TRUE rows as
     * a frame.
     */
   def escalate(alerts: DataFrame, acks: DataFrame,
                asOf: java.sql.Timestamp, tsCol: String,
-               afterMinutes: Int = 30, level: Int = 1): DataFrame = {
-    require(level >= 1, "escalation level >= 1")
+               afterMinutes: Int = 30): DataFrame = {
     val cutoff = new java.sql.Timestamp(asOf.getTime - afterMinutes * 60000L)
-    alerts
+    val withLevel =
+      if (alerts.columns.contains("escalation_level")) alerts
+      else alerts.withColumn("escalation_level", lit(0))
+    withLevel
       .filter(upper(col("severity")).isin("HIGH", "CRITICAL") &&
         col(tsCol) <= lit(cutoff))
-      .join(broadcast(acks.select("alert_type", "run_id")
-        .withColumn("__acked", lit(true))), Seq("alert_type", "run_id"), "left_outer")
+      .withColumn("__base_type",
+        regexp_replace(col("alert_type"), "_escalation$", ""))
+      .join(broadcast(acks.select(col("alert_type").as("__base_type"),
+        col("run_id")).withColumn("__acked", lit(true))),
+        Seq("__base_type", "run_id"), "left_outer")
       .filter(col("__acked").isNull)
-      .withColumn("alert_type",
-        when(col("alert_type").endsWith("_escalation"), col("alert_type"))
-          .otherwise(concat(col("alert_type"), lit("_escalation"))))
-      .withColumn("escalation_level", lit(level))
+      .withColumn("alert_type", concat(col("__base_type"), lit("_escalation")))
+      .withColumn("escalation_level",
+        coalesce(col("escalation_level"), lit(0)) + 1)
       .withColumn("severity", lit("HIGH"))
       .withColumn("message",
         when(col("message").startsWith("ESCALATION: "), col("message"))
           .otherwise(concat(lit("ESCALATION: "), col("message"))))
       .withColumn("channels", channelRouting)
-      .drop("__acked")
+      .drop("__acked", "__base_type")
   }
 }

@@ -261,7 +261,10 @@ object Trends {
   def overallCompliance(checks: DataFrame): DataFrame =
     checks.agg(
       count(lit(1)).as("total_checks"),
-      sum(when(col("status") === "met", 1L).otherwise(0L)).as("compliant_checks"))
+      // coalesce: sum over zero rows is NULL, which would make the
+      // boolean NULL on an empty frame (contract: vacuously true)
+      coalesce(sum(when(col("status") === "met", 1L).otherwise(0L)), lit(0L))
+        .as("compliant_checks"))
       .withColumn("overall_compliant",
         col("total_checks") === col("compliant_checks"))
 

@@ -108,15 +108,21 @@ object Dag {
   def parse(json: String): Seq[Node] = {
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
     val root = mapper.readTree(json)
-    require(root != null && root.isObject && root.hasNonNull("jobs"),
-      "dag config needs a \"jobs\" array")
+    require(root != null && root.isObject && root.hasNonNull("jobs") &&
+      root.get("jobs").isArray, "dag config needs a \"jobs\" array")
     root.get("jobs").elements().asScala.map { j =>
       require(j.hasNonNull("id") && j.get("id").isTextual,
         "each dag job needs a string \"id\"")
       require(j.hasNonNull("job") && j.get("job").isObject,
         s"dag job '${j.get("id").asText()}' needs a \"job\" document")
-      val deps = Option(j.get("depends_on")).map(_.elements().asScala
-        .map(_.asText()).toSeq).getOrElse(Nil)
+      // a non-array depends_on (config typo: a bare string) would
+      // silently parse as NO dependencies and break the ordering —
+      // the loud-config contract every other front-end here keeps
+      val deps = Option(j.get("depends_on")).map { d =>
+        require(d.isArray,
+          s"dag job '${j.get("id").asText()}': \"depends_on\" must be an array")
+        d.elements().asScala.map(_.asText()).toSeq
+      }.getOrElse(Nil)
       Node(j.get("id").asText(),
         mapper.writeValueAsString(j.get("job")), deps)
     }.toSeq

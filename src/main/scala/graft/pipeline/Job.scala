@@ -114,11 +114,16 @@ object Job {
     * registered datasets (loaded through [[Catalog.load]], schema
     * pinned + validated when declared).
     */
+  // shared batch/stream guard — the two paths must reject connector
+  // datasets with the SAME error, by construction
+  private def requireFileDatasets(spec: Spec): Unit =
+    spec.datasets.foreach(d => require(Catalog.connector(d).isEmpty,
+      s"dataset '${d.name}': connector formats configure their reader " +
+        "via Catalog.register; Job expects file datasets"))
+
   def run(spark: SparkSession, spec: Spec): Result = {
+    requireFileDatasets(spec)
     val sources = spec.datasets.map { d =>
-      require(Catalog.connector(d).isEmpty,
-        s"dataset '${d.name}': connector formats configure their reader " +
-          "via Catalog.register; Job expects file datasets")
       d.name -> Catalog.load(spark, d)
     }.toMap
     require(sources.contains(spec.pipeline.primary),
@@ -204,12 +209,7 @@ object Job {
     val primarySpec = spec.datasets.find(_.name == spec.pipeline.primary)
       .getOrElse(throw new IllegalArgumentException(
         s"pipeline primary '${spec.pipeline.primary}' is not a declared dataset"))
-    // same guard as the batch run(): a connector-format dataset must
-    // fail with the clear config error here too, not as an obscure
-    // FileSource error mid-setup
-    spec.datasets.foreach(d => require(Catalog.connector(d).isEmpty,
-      s"dataset '${d.name}': connector formats configure their reader " +
-        "via Catalog.register; Job expects file datasets"))
+    requireFileDatasets(spec)
     val statics = spec.datasets.filterNot(_.name == spec.pipeline.primary)
       .map(d => d.name -> Catalog.load(spark, d)).toMap
     // schema pin for the stream: the SAME Catalog.load path as batch

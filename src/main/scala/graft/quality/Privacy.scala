@@ -85,13 +85,14 @@ object Privacy {
                   keepLast: Int = 4, maskChar: String = "*"): DataFrame = {
     require(keepLast >= 0, "keepLast >= 0")
     require(maskChar.length == 1, "maskChar is one character")
+    // Column-form repeat throughout: SQL-string interpolation would
+    // break on a quote maskChar or a backtick in the column name
     cols.foldLeft(df)((d, c) => d.withColumn(c, {
       val s = col(c).cast("string")
       when(col(c).isNull, lit(null).cast("string"))
-        .when(length(s) <= keepLast,
-          expr(s"repeat('$maskChar', length(CAST(`$c` AS STRING)))"))
+        .when(length(s) <= keepLast, repeat(lit(maskChar), length(s)))
         .otherwise(concat(
-          expr(s"repeat('$maskChar', length(CAST(`$c` AS STRING)) - $keepLast)"),
+          repeat(lit(maskChar), length(s) - lit(keepLast)),
           substring(s, -keepLast, keepLast)))
     }))
   }

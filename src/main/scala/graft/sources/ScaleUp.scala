@@ -74,7 +74,10 @@ object ScaleUp {
           val maxKeyExpr =
             if (keys.size == 1) max(col(keys.head).cast("long"))
             else greatest(keys.map(k => max(col(k).cast("long"))): _*)
-          val maxKey = src.agg(maxKeyExpr).head().getLong(0)
+          // null max = empty (or all-null-key) table: nothing to
+          // overlap, copy through the replication unchecked
+          val maxKey = Option(src.agg(maxKeyExpr).head().get(0))
+            .map(_.asInstanceOf[Long]).getOrElse(0L)
           require(maxKey < KeyStride,
             s"$name: max key $maxKey >= KeyStride $KeyStride — replica " +
               "key ranges would overlap (source already scaled, or too large)")

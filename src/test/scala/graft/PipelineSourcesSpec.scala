@@ -381,18 +381,24 @@ class PipelineSourcesSpec extends SparkSpec {
     assert(esc.head.getAs[String]("message").startsWith("ESCALATION: "))
     assert(esc.head.getAs[Int]("escalation_level") == 1)
 
-    // the escalation ladder: feeding level-1 output back yields level 2
-    // without re-suffixing the type or re-prefixing the message
+    // the escalation ladder: feeding level-1 output back derives level
+    // 2 from the row, without re-suffixing the type or re-prefixing
+    // the message — no caller-side level bookkeeping
     val esc1 = Alerts.escalate(alerts, acks,
       java.sql.Timestamp.valueOf("2024-03-01 12:00:00"), "at", 30)
-      .select("alert_type", "severity", "message", "run_id", "at")
+      .select("alert_type", "severity", "message", "run_id", "at",
+        "escalation_level")
     val esc2 = Alerts.escalate(esc1, acks,
-      java.sql.Timestamp.valueOf("2024-03-01 13:00:00"), "at", 30,
-      level = 2).collect()
+      java.sql.Timestamp.valueOf("2024-03-01 13:00:00"), "at", 30).collect()
     assert(esc2.length == 1)
     assert(esc2.head.getAs[String]("alert_type") == "sla_violation_escalation")
     assert(esc2.head.getAs[Int]("escalation_level") == 2)
     assert(!esc2.head.getAs[String]("message").startsWith("ESCALATION: ESCALATION:"))
+    // acknowledging the ORIGINAL alert stops the ladder even though
+    // the escalated row carries the suffixed type
+    val ackOriginal = Seq(("sla_violation", "r1")).toDF("alert_type", "run_id")
+    assert(Alerts.escalate(esc1, ackOriginal,
+      java.sql.Timestamp.valueOf("2024-03-01 13:00:00"), "at", 30).count() == 0)
 
     // routing API and column stay one table
     assert(Alerts.channelsFor("HIGH") == Seq("email", "slack"))
