@@ -386,12 +386,18 @@ object QueriesDQ {
        |FROM $table""".stripMargin
 
   private def uniqueOracle(table: String, id: String, keyCols: String,
-                           pct: Double): String =
+                           pct: Double): String = {
+    // DQ.uniqueOracle's ROW()-packed form: null keys count as values,
+    // matching the engine's struct countDistinct — a bare
+    // COUNT(DISTINCT col) would skip nulls and silently under-count
+    // on any future NULLABLE key (DQ.scala uniqueOracle scaladoc)
+    val distinct = graft.quality.DQ.uniqueOracle(keyCols.split(",").toSeq)
     s"""SELECT '$id' AS rule_id, 'uniqueness' AS rule_type, '$keyCols' AS colname,
-       |CAST(COUNT(*) - COUNT(DISTINCT $keyCols) AS BIGINT) AS violations,
+       |CAST($distinct AS BIGINT) AS violations,
        |COUNT(*) AS total,
-       |((COUNT(*) - COUNT(DISTINCT $keyCols))*100.0/COUNT(*) <= $pct) AS passed
+       |(($distinct)*100.0/COUNT(*) <= $pct) AS passed
        |FROM $table""".stripMargin
+  }
 
   private def corrMatrixOracle(table: String,
                                pairs: Seq[(String, String)]): String =

@@ -151,7 +151,11 @@ object Alerts {
       .withColumn("alert_type", concat(col("__base_type"), lit("_escalation")))
       .withColumn("escalation_level",
         coalesce(col("escalation_level"), lit(0)) + 1)
-      .withColumn("severity", lit("HIGH"))
+      // escalation never DOWNGRADES: a CRITICAL alert keeps CRITICAL
+      // (and its pagerduty routing); everything else steps up to HIGH
+      .withColumn("severity",
+        when(upper(col("severity")) === "CRITICAL", lit("CRITICAL"))
+          .otherwise(lit("HIGH")))
       .withColumn("message",
         when(col("message").startsWith("ESCALATION: "), col("message"))
           .otherwise(concat(lit("ESCALATION: "), col("message"))))

@@ -165,8 +165,7 @@ object Trends {
       max(when(col("failed"), 1L).otherwise(0L)).as("__run_failed"))
       // label-level stats, for the one-check-per-label kinds
       // (freshness, success rate) — windows over the grouped frame
-      // (≤ runs × labels rows), not data
-      .withColumn("__label_last", max(col("__last_at")).over(wq))
+      // (≤ runs × labels rows), not data.
       // run_id tiebreak: two runs sharing the label's max timestamp
       // must not BOTH emit the label-level checks
       .withColumn("__label_last_run",

@@ -45,7 +45,10 @@ object Job {
                         minScore: Option[Double],
                         quarantine: Option[(String, String)], // dir, run id
                         anomalyJson: Option[String],
-                        sink: Option[(String, String, String)]) // format, path, mode
+                        // format, path, mode (None = the document omitted
+                        // "mode"; batch resolves it to "overwrite", streaming
+                        // requires atomic-or-absent — the distinction matters)
+                        sink: Option[(String, String, Option[String])])
 
   final case class Result(output: DataFrame,
                           dqReport: Option[DataFrame],
@@ -105,7 +108,8 @@ object Job {
       def str(f: String, dflt: Option[String] = None): String =
         Option(s.get(f)).map(_.asText()).orElse(dflt).getOrElse(
           throw new IllegalArgumentException(s"\"sink\" needs \"$f\""))
-      (str("format", Some("parquet")), str("path"), str("mode", Some("overwrite")))
+      (str("format", Some("parquet")), str("path"),
+        Option(s.get("mode")).map(_.asText()))
     }
     Spec(datasets, pipeline, rules, minScore, quarantine, anomaly, sink)
   }
@@ -151,7 +155,8 @@ object Job {
         clean
     }
     val anomalies = spec.anomalyJson.map(a => Anomaly.fromJson(result, a))
-    spec.sink.foreach { case (format, path, mode) =>
+    spec.sink.foreach { case (format, path, modeOpt) =>
+      val mode = modeOpt.getOrElse("overwrite")
       if (mode == "atomic") graft.Recovery.idempotentWrite(result, path, format)
       else graft.sources.FileSink.write(result, format, path, mode)
     }
@@ -165,9 +170,8 @@ object Job {
     * files under the primary dataset's path become micro-batches, and
     * each batch runs through the identical sections — the batch
     * [[Pipeline.run]] with the static datasets joined in
-    * (stream-static join), the DQ gate (per micro-batch), the
-    * quarantine split, and the sink — so config written for the batch
-    * job replays unchanged as a stream. Exactly-once on BOTH outputs:
+    * (stream-static join), the quarantine split, and the sink — so
+    * config written for the batch job replays unchanged as a stream. Exactly-once on BOTH outputs:
     * clean rows land as `batch_id=N` atomic-swap slices under the
     * sink path, quarantined rows under
     * `<quarantine_dir>/run_id=<id>/batch_id=N` — a checkpoint replay
@@ -182,16 +186,33 @@ object Job {
     * result; stream aggregation belongs to
     * [[graft.streaming.Streams.windowedAgg]] and friends. The
     * `anomaly` section is batch-scoped (its baselines need the whole
-    * frame) and likewise rejected.
+    * frame) and likewise rejected — as is `min_score`: the gate's
+    * percentage thresholds and aggregate score are not
+    * batching-invariant (each micro-batch could pass while the union
+    * fails, or vice versa, with earlier batches' output already
+    * committed), so gate [[streamedOutput]] with
+    * [[graft.quality.DQ.check]] + gateFromResults instead. The sink's
+    * `mode` must be `"atomic"` or absent: this runner always writes
+    * `batch_id=N` atomic-swap slices, so an explicit `append`/
+    * `overwrite` mode would replay with silently different semantics.
     */
   def runStream(spark: SparkSession, spec: Spec, checkpointDir: String)
       : org.apache.spark.sql.streaming.StreamingQuery = {
-    val (sinkFormat, sinkPath, _) = spec.sink.getOrElse(
+    val (sinkFormat, sinkPath, sinkMode) = spec.sink.getOrElse(
       throw new IllegalArgumentException(
         "streaming job needs a \"sink\" (clean rows land there as batch_id slices)"))
+    sinkMode.filterNot(_ == "atomic").foreach(m =>
+      throw new IllegalArgumentException(
+        s"""streaming job writes batch_id=N atomic-swap slices; sink mode "$m" """ +
+          "would replay with different semantics — use \"atomic\" or omit \"mode\""))
     require(spec.anomalyJson.isEmpty,
       "streaming job does not support the \"anomaly\" section (its baselines " +
         "are whole-frame); run Anomaly.fromJson over the accumulated sink instead")
+    require(spec.minScore.isEmpty,
+      "streaming job does not support \"min_score\": the gate judges the WHOLE " +
+        "output and is not batching-invariant per micro-batch (earlier batches " +
+        "are already committed when a later batch fails) — gate streamedOutput " +
+        "with DQ.check + DQ.gateFromResults instead")
     val unsupported = spec.pipeline.steps.collect {
       case _: Pipeline.Aggregate => "aggregate"
       case _: Pipeline.Pivot => "pivot"
@@ -224,9 +245,6 @@ object Job {
                        batchId: Long) =>
         val out = Pipeline.run(spark,
           statics + (spec.pipeline.primary -> batch.toDF()), spec.pipeline)
-        if (spec.dqRules.nonEmpty)
-          spec.minScore.foreach(ms =>
-            DQ.gateFromResults(DQ.check(out, spec.dqRules).collect(), ms))
         val result = spec.quarantine match {
           case None => out
           case Some((dir, runId)) =>

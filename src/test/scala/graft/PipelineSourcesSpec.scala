@@ -400,6 +400,17 @@ class PipelineSourcesSpec extends SparkSpec {
     assert(Alerts.escalate(esc1, ackOriginal,
       java.sql.Timestamp.valueOf("2024-03-01 13:00:00"), "at", 30).count() == 0)
 
+    // escalation never DOWNGRADES: a CRITICAL alert keeps CRITICAL
+    // and its pagerduty channel in the re-routed channels column
+    val crit = Seq(("dq_failure", "CRITICAL", "c1", "r9", ts(0)))
+      .toDF("alert_type", "severity", "message", "run_id", "at")
+    val critEsc = Alerts.escalate(crit, acks,
+      java.sql.Timestamp.valueOf("2024-03-01 12:00:00"), "at", 30).collect()
+    assert(critEsc.length == 1)
+    assert(critEsc.head.getAs[String]("severity") == "CRITICAL")
+    assert(critEsc.head.getSeq[String](critEsc.head.fieldIndex("channels")) ==
+      Seq("pagerduty", "email", "slack"))
+
     // routing API and column stay one table
     assert(Alerts.channelsFor("HIGH") == Seq("email", "slack"))
   }
@@ -571,6 +582,25 @@ class PipelineSourcesSpec extends SparkSpec {
     assert(intercept[IllegalArgumentException](
       Job.runStreamJson(spark, anomDoc, s"$base/ckpt3"))
       .getMessage.contains("anomaly"))
+    // min_score gates the WHOLE output — not batching-invariant per
+    // micro-batch, so it is rejected loudly with the remediation named
+    val gateDoc = doc(s"$base/x", "x3").replace(
+      """"run_id": "x3"}""", """"run_id": "x3", "min_score": 90.0}""")
+    assert(intercept[IllegalArgumentException](
+      Job.runStreamJson(spark, gateDoc, s"$base/ckpt4"))
+      .getMessage.contains("min_score"))
+    // an explicit non-atomic sink mode would replay with different
+    // (batch_id-slice) semantics — rejected, not silently ignored
+    val modeDoc = doc(s"$base/x", "x4").replace(
+      s""""path": "$base/x4-sink"""",
+      s""""path": "$base/x4-sink", "mode": "append"""")
+    assert(intercept[IllegalArgumentException](
+      Job.runStreamJson(spark, modeDoc, s"$base/ckpt5"))
+      .getMessage.contains("atomic"))
+    // …while an explicit "atomic" (what the runner does anyway) is fine
+    Job.parse(doc(s"$base/x", "x5").replace(
+      s""""path": "$base/x5-sink"""",
+      s""""path": "$base/x5-sink", "mode": "atomic""""))
   }
 
   test("Dag: dependency-ordered jobs, failure skips downstream, branches isolate") {
