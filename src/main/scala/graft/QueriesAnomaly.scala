@@ -117,13 +117,20 @@ object QueriesAnomaly {
 
     // local outlier factor over embeddings — ref anomaly_manager.py:214
     // (rows-only: the kNN/lrd chain is not reasonably SQL-expressible;
-    // deterministic, AnomalySpec pins semantics on planted data)
+    // deterministic, AnomalySpec pins semantics on planted data).
+    // REGISTERED at the scale-safe operating point: detectAuto sizes
+    // the LSH plane count for constant bucket occupancy (Lof.planesFor),
+    // which is what holds the chain LINEAR as the corpus grows — the r12
+    // sf1 gate measured the old fixed planes=4 shape at 12.9× wall for
+    // 10× data (quadratic in-bucket growth) vs ~linear adaptive
+    // (PLANS.md r12 addendum). The registered query is the statement of
+    // record, so it carries the plan a 100 TB user should run.
     "q_anom_lof" -> ((s, dir) => {
       // uniform synthetic embeddings have LOF tightly around 1.0 (no
       // local structure), so the gate sits just above the bulk: ~top
       // few percent of locally-sparse points
-      graft.quality.Lof.detect(t(s, dir, "embeddings"), "vec_id", "embedding",
-          threshold = 1.04, k = 5, planes = 4)
+      graft.quality.Lof.detectAuto(t(s, dir, "embeddings"), "vec_id", "embedding",
+          threshold = 1.04, k = 5, targetBucketSize = 512)
         .select("vec_id", "label", "lof")
     }),
 
