@@ -160,12 +160,13 @@ final case class RestSource(
     * the API's diagnostic isn't lost and the keep-alive connection can
     * be reused across retries. Runs executor-side.
     */
-  def fetch(url: String): String = request(url, None)
+  def fetch(url: String): String = request(url, None, "GET")
 
   /** POST with a JSON body through the same retry/auth machinery. */
-  def fetchPost(url: String, body: String): String = request(url, Some(body))
+  def fetchPost(url: String, body: String): String = request(url, Some(body), "POST")
 
-  private def request(url: String, postBody: Option[String]): String = {
+  private def request(url: String, reqBody: Option[String],
+                      method: String): String = {
     var attempt = 0
     var last: Throwable = null
     var retriedAuth = false
@@ -175,28 +176,10 @@ final case class RestSource(
       if (attempt > 0)
         Thread.sleep(math.min(30000L, backoffMs.toLong << math.min(attempt - 1, 20)))
       try {
-        val conn = new URI(url).toURL.openConnection().asInstanceOf[HttpURLConnection]
-        conn.setConnectTimeout(timeoutMs)
-        conn.setReadTimeout(timeoutMs)
-        (headers ++ authHeaders).foreach { case (k, v) => conn.setRequestProperty(k, v) }
-        postBody.foreach { b =>
-          conn.setRequestMethod("POST")
-          conn.setRequestProperty("Content-Type", "application/json")
-          conn.setDoOutput(true)
-          val os = conn.getOutputStream
-          try os.write(b.getBytes(StandardCharsets.UTF_8)) finally os.close()
-        }
-        val code = conn.getResponseCode
-        if (code >= 200 && code < 300) {
-          val in = conn.getInputStream
-          try return new String(in.readAllBytes(), StandardCharsets.UTF_8)
-          finally in.close() // fully-read + closed streams go back to the keep-alive pool
-        } else {
-          val body = Option(conn.getErrorStream).fold("") { s =>
-            try new String(s.readAllBytes().take(500), StandardCharsets.UTF_8)
-            finally s.close()
-          }
-          val msg = s"HTTP $code from $url" + (if (body.isEmpty) "" else s": $body")
+        val (code, okBody, errBody) = doHttp(url, method, reqBody)
+        if (code >= 200 && code < 300) return okBody
+        else {
+          val msg = s"HTTP $code from $url" + (if (errBody.isEmpty) "" else s": $errBody")
           if (code >= 500) last = new IOException(msg) // transient server side: retry
           else if (code == 401 && authType == "oauth2" && !retriedAuth) {
             // reactive refresh: the server rejected a token we still
@@ -218,6 +201,52 @@ final case class RestSource(
     }
     throw new IOException(s"giving up on $url after ${maxRetries + 1} attempts", last)
   }
+
+  /** ONE HTTP attempt → (status, 2xx body or null, truncated error
+    * body). PATCH rides the JDK HttpClient ([[RestSource.httpClient]])
+    * because HttpURLConnection refuses the verb; every other method
+    * keeps the keep-alive HttpURLConnection path.
+    */
+  private def doHttp(url: String, method: String,
+                     reqBody: Option[String]): (Int, String, String) =
+    if (method == "PATCH") {
+      val builder = java.net.http.HttpRequest.newBuilder(new URI(url))
+        .timeout(java.time.Duration.ofMillis(timeoutMs.toLong))
+        .method("PATCH", java.net.http.HttpRequest.BodyPublishers
+          .ofString(reqBody.getOrElse(""), StandardCharsets.UTF_8))
+        .header("Content-Type", "application/json")
+      (headers ++ authHeaders).foreach { case (k, v) => builder.header(k, v) }
+      val resp = RestSource.httpClient.send(builder.build(),
+        java.net.http.HttpResponse.BodyHandlers.ofString())
+      val code = resp.statusCode()
+      if (code >= 200 && code < 300) (code, resp.body(), "")
+      else (code, null, Option(resp.body()).getOrElse("").take(500))
+    } else {
+      val conn = new URI(url).toURL.openConnection().asInstanceOf[HttpURLConnection]
+      conn.setConnectTimeout(timeoutMs)
+      conn.setReadTimeout(timeoutMs)
+      (headers ++ authHeaders).foreach { case (k, v) => conn.setRequestProperty(k, v) }
+      if (method != "GET") conn.setRequestMethod(method)
+      reqBody.foreach { b =>
+        conn.setRequestProperty("Content-Type", "application/json")
+        conn.setDoOutput(true)
+        val os = conn.getOutputStream
+        try os.write(b.getBytes(StandardCharsets.UTF_8)) finally os.close()
+      }
+      val code = conn.getResponseCode
+      if (code >= 200 && code < 300) {
+        val in = conn.getInputStream
+        // fully-read + closed streams go back to the keep-alive pool
+        try (code, new String(in.readAllBytes(), StandardCharsets.UTF_8), "")
+        finally in.close()
+      } else {
+        val body = Option(conn.getErrorStream).fold("") { s =>
+          try new String(s.readAllBytes().take(500), StandardCharsets.UTF_8)
+          finally s.close()
+        }
+        (code, null, body)
+      }
+    }
 
   /** Distributed read of pages 1..numPages: URLs are spread across
     * tasks, each fetch's JSON payload is cut to the record array
@@ -309,6 +338,66 @@ final case class RestSource(
     copy(dataField = s"data.$rootField").parseBodies(bodies, schema)
   }
 
+  /** REST write-back sink — ref api_connector.py:212 `write(endpoint,
+    * data, method)`: each record goes out as a JSON object via
+    * POST/PUT/PATCH, 2xx counts as written, anything else counts as
+    * failed, and the call returns `{written, failed}` statistics
+    * instead of throwing (the reference's contract: partial delivery
+    * is reported, not raised — the stats ARE the loud signal).
+    *
+    * Scale design: the reference iterates records on one machine;
+    * here each PARTITION ships its rows from its own executor through
+    * the same per-request retry/backoff/auth machinery as the read
+    * path — a transient 5xx or token expiry retries transparently,
+    * a 4xx (the record itself is rejected) fails that request fast
+    * and is counted, never retried. Rows serialize executor-side with
+    * codegen'd `to_json`; nothing funnels through the driver except
+    * the two final counters. OAuth2 tokens cache per executor JVM
+    * ([[RestSource.tokenCache]]), so a thousand-task write still
+    * fetches one token per executor, not per record.
+    *
+    * `batchSize > 1` sends a JSON ARRAY of up to that many records
+    * per request (bounded per-partition batching — the knob that
+    * keeps request count sane at scale, for APIs with a bulk
+    * endpoint). A failed batch counts ALL its records as failed (the
+    * server rejected the delivery unit; per-record blame inside a
+    * bulk body is API-specific and out of a generic connector's
+    * scope).
+    */
+  def write(df: DataFrame, method: String = "POST",
+            batchSize: Int = 1): RestSource.WriteStats = {
+    val m = method.toUpperCase(java.util.Locale.ROOT)
+    require(Seq("POST", "PUT", "PATCH").contains(m),
+      s"write method must be POST, PUT or PATCH (got '$method')")
+    require(batchSize >= 1, "batchSize >= 1")
+    val self = this
+    val url = urlWith(Map.empty)
+    val single = batchSize == 1
+    val counts = df
+      .select(to_json(struct(df.columns.toIndexedSeq.map(col): _*)).as("__rec"))
+      .as(Encoders.STRING)
+      .mapPartitions { it =>
+        var written = 0L
+        var failed = 0L
+        it.grouped(batchSize).foreach { group =>
+          val body = if (single) group.head else group.mkString("[", ",", "]")
+          try {
+            self.request(url, Some(body), m)
+            written += group.size
+          } catch {
+            // retries are already spent inside request(); what reaches
+            // here is a terminal failure for this delivery unit
+            case scala.util.control.NonFatal(_) => failed += group.size
+          }
+        }
+        Iterator.single((written, failed))
+      }(Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong))
+      .toDF("__w", "__f")
+      .agg(coalesce(sum("__w"), lit(0L)), coalesce(sum("__f"), lit(0L)))
+      .head()
+    RestSource.WriteStats(counts.getLong(0), counts.getLong(1))
+  }
+
   private def parseBodies(bodies: DataFrame, schema: StructType): DataFrame = {
     val arrJson =
       if (dataField.isEmpty) col("__body")
@@ -327,6 +416,20 @@ final case class RestSource(
 object RestSource {
   /** Non-retryable 4xx response. */
   final class ClientError(msg: String, val code: Int = 0) extends IOException(msg)
+
+  /** [[RestSource.write]] outcome — ref api_connector.py:259
+    * `{"written": …, "failed": …}`.
+    */
+  final case class WriteStats(written: Long, failed: Long)
+
+  /** Per-JVM HttpClient for the verbs HttpURLConnection refuses
+    * (PATCH). Connection pooling is internal to the client; request
+    * timeouts are set per request from the source's `timeoutMs`.
+    */
+  private[sources] lazy val httpClient: java.net.http.HttpClient =
+    java.net.http.HttpClient.newBuilder()
+      .connectTimeout(java.time.Duration.ofSeconds(30))
+      .build()
 
   /** Per-JVM OAuth2 token cache: (token_url, client_id, client_secret,
     * scope) → (access_token, refreshAfterEpochMs). The key is the FULL

@@ -117,9 +117,33 @@ class RestSourceSpec extends SparkSpec with org.scalatest.BeforeAndAfterAll {
       } else
         respond(ex, 200, """{"data": null, "errors": [{"message": "unknown root"}]}""")
     })
+    // write-back ingestion: records a (method, body) pair per request;
+    // bodies containing "poison" get 400 (a bad record can't heal);
+    // ingestFailuresLeft 503s first (transient, retryable)
+    server.createContext("/api/ingest", (ex: HttpExchange) => {
+      val body = new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
+      lastAuthHeader = Option(ex.getRequestHeaders.getFirst("Authorization"))
+      if (ingestFailuresLeft.getAndDecrement() > 0) respond(ex, 503, "busy")
+      else if (body.contains("poison")) respond(ex, 400, "bad record")
+      else {
+        ingested.add((ex.getRequestMethod, body))
+        respond(ex, 201, """{"ok": true}""")
+      }
+    })
+    // OAuth-protected ingestion, same token discipline as /api/oitems
+    server.createContext("/api/oingest", (ex: HttpExchange) => {
+      val body = new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
+      val auth = Option(ex.getRequestHeaders.getFirst("Authorization"))
+      if (!auth.contains(s"Bearer $currentToken")) respond(ex, 401, "expired")
+      else { ingested.add((ex.getRequestMethod, body)); respond(ex, 200, "{}") }
+    })
     server.start()
     base = s"http://127.0.0.1:${server.getAddress.getPort}"
   }
+
+  private val ingested =
+    new java.util.concurrent.ConcurrentLinkedQueue[(String, String)]()
+  private val ingestFailuresLeft = new AtomicInteger(0)
 
   @volatile private var lastGraphqlBody: Option[String] = None
 
@@ -291,6 +315,94 @@ class RestSourceSpec extends SparkSpec with org.scalatest.BeforeAndAfterAll {
     }
     assert((err.getMessage + Option(err.getCause).fold("")(_.getMessage))
       .contains("no parsable"))
+  }
+
+  test("write: every partition's records POST to the wire, {written, failed} returned") {
+    import spark.implicits._
+    ingested.clear(); ingestFailuresLeft.set(0)
+    val src = RestSource(base, "/api/ingest", pagination = "none",
+      authType = "bearer", authConfig = Map("token" -> "wtok"), backoffMs = 5)
+    val df = (1 to 10).map(i => (i.toLong, s"rec$i")).toDF("id", "name")
+      .repartition(4)
+    val stats = src.write(df)
+    assert(stats == RestSource.WriteStats(10, 0))
+    val got = ingested.toArray(Array.empty[(String, String)])
+    assert(got.length == 10)
+    assert(got.forall(_._1 == "POST"))
+    // each body is ONE JSON object of the row (reference: per-item dicts)
+    assert(got.map(_._2).sorted.head.startsWith("{\"id\":"))
+    assert(got.exists(_._2 == """{"id":7,"name":"rec7"}"""))
+    assert(lastAuthHeader.contains("Bearer wtok")) // auth reached the wire
+
+    // PUT and PATCH reach the wire as their own verbs (PATCH rides the
+    // JDK HttpClient — HttpURLConnection refuses the verb)
+    ingested.clear()
+    assert(src.write(Seq((20L, "u")).toDF("id", "name"), method = "PUT") ==
+      RestSource.WriteStats(1, 0))
+    assert(src.write(Seq((21L, "p")).toDF("id", "name"), method = "PATCH") ==
+      RestSource.WriteStats(1, 0))
+    assert(ingested.toArray(Array.empty[(String, String)]).map(_._1).sorted.toSeq ==
+      Seq("PATCH", "PUT"))
+    // unknown verbs are a config error, not a wire surprise
+    assertThrows[IllegalArgumentException](
+      src.write(df, method = "DELETE"))
+  }
+
+  test("write: rejected records count as failed, not thrown; 5xx retries then succeeds") {
+    import spark.implicits._
+    ingested.clear(); ingestFailuresLeft.set(0)
+    val src = RestSource(base, "/api/ingest", pagination = "none",
+      maxRetries = 3, backoffMs = 5)
+    // 3 poison records 400 per-record (fail-fast, no retry storm); the
+    // other 7 land — the reference's written/failed split
+    val df = (1 to 10).map(i =>
+      (i.toLong, if (i % 3 == 0) "poison" else s"ok$i")).toDF("id", "name")
+      .repartition(3)
+    assert(src.write(df) == RestSource.WriteStats(7, 3))
+    assert(ingested.size == 7)
+
+    // transient 5xx: the retry/backoff loop absorbs it, nothing fails
+    ingested.clear(); ingestFailuresLeft.set(2)
+    assert(src.write(Seq((1L, "a"), (2L, "b")).toDF("id", "name").coalesce(1)) ==
+      RestSource.WriteStats(2, 0))
+    // retries exhausted → those records count failed, the rest written
+    ingested.clear(); ingestFailuresLeft.set(100)
+    val after = src.copy(maxRetries = 1).write(
+      Seq((1L, "a")).toDF("id", "name").coalesce(1))
+    assert(after == RestSource.WriteStats(0, 1))
+
+    // an empty frame writes nothing and reports zeros
+    ingestFailuresLeft.set(0)
+    assert(src.write(spark.emptyDataset[(Long, String)].toDF("id", "name")) ==
+      RestSource.WriteStats(0, 0))
+  }
+
+  test("write: batchSize bundles records into JSON-array requests") {
+    import spark.implicits._
+    ingested.clear(); ingestFailuresLeft.set(0)
+    val src = RestSource(base, "/api/ingest", pagination = "none", backoffMs = 5)
+    val df = (1 to 9).map(i => (i.toLong, s"r$i")).toDF("id", "name").coalesce(1)
+    assert(src.write(df, batchSize = 4) == RestSource.WriteStats(9, 0))
+    val bodies = ingested.toArray(Array.empty[(String, String)]).map(_._2)
+    assert(bodies.length == 3) // 4 + 4 + 1
+    assert(bodies.forall(b => b.startsWith("[") && b.endsWith("]")))
+    assert(bodies.map(b => b.count(_ == '{')).sorted.toSeq == Seq(1, 4, 4))
+  }
+
+  test("write: one oauth2 token serves every partition of the write") {
+    import spark.implicits._
+    RestSource.clearTokenCache()
+    ingested.clear(); tokensIssued.set(0); tokenTtlSec = 3600
+    val src = RestSource(base, "/api/oingest", pagination = "none",
+      authType = "oauth2", backoffMs = 5,
+      authConfig = Map("token_url" -> s"$base/oauth/token",
+        "client_id" -> "cid", "client_secret" -> "sec"))
+    val df = (1 to 12).map(i => (i.toLong, s"o$i")).toDF("id", "name")
+      .repartition(6)
+    assert(src.write(df) == RestSource.WriteStats(12, 0))
+    // local mode = one JVM: all six partitions share the cached token
+    assert(tokensIssued.get() == 1)
+    assert(ingested.size == 12)
   }
 
   test("NoSqlSource builds the documented connector configuration") {
