@@ -21,6 +21,29 @@ object QueriesIncremental {
         .select(col("o_orderkey"), col("o_orderdate").cast("date").as("o_date"))
     }),
 
+    // DURABLE watermark ledger driving the extract — ref :103/:141
+    // get_last_watermark/update_watermark: the watermark round-trips
+    // through the append-only parquet WatermarkStore (update → last)
+    // and the STORED value (not caller state) feeds afterWatermark's
+    // pushed-down range filter; the oracle asserts the same literal
+    // cut, proving write→derive→decode→filter end to end
+    "q_incr_watermark_store" -> ((s, dir) => {
+      import graft.incremental.WatermarkStore
+      val store = java.nio.file.Files
+        .createTempDirectory("graft_q_wmstore").toString + "/wm"
+      val at = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+      // two updates + an older superseded value: `last` must pick the
+      // newest event, exactly the reference's ORDER BY update_time DESC
+      WatermarkStore.update(s, store, "pq", "orders", "o_orderdate",
+        java.sql.Timestamp.valueOf("1995-06-01 00:00:00"),
+        at = Some(java.sql.Timestamp.valueOf("2023-12-01 00:00:00")))
+      WatermarkStore.update(s, store, "pq", "orders", "o_orderdate",
+        java.sql.Timestamp.valueOf("1997-01-01 00:00:00"), at = Some(at))
+      val wm = WatermarkStore.last(s, store, "pq", "orders").get
+      Incremental.afterWatermark(t(s, dir, "orders"), wm.column, wm.value)
+        .select(col("o_orderkey"), col("o_orderdate").cast("date").as("o_date"))
+    }),
+
     // dedup keep-latest — ref :521
     "q_incr_dedup" -> ((s, dir) => {
       Incremental.dedupLatest(t(s, dir, "lineitem"), Seq("l_orderkey"),
@@ -170,6 +193,12 @@ object QueriesIncremental {
   def oracleSql: Map[String, String] = Map(
 
     "q_incr_watermark" ->
+      """SELECT o_orderkey, CAST(o_orderdate AS DATE) AS o_date FROM orders
+        |WHERE o_orderdate > TIMESTAMP '1997-01-01 00:00:00'""".stripMargin,
+
+    // the engine derives this literal FROM the ledger (newest of two
+    // stored events); the oracle states the expected cut directly
+    "q_incr_watermark_store" ->
       """SELECT o_orderkey, CAST(o_orderdate AS DATE) AS o_date FROM orders
         |WHERE o_orderdate > TIMESTAMP '1997-01-01 00:00:00'""".stripMargin,
 

@@ -48,14 +48,26 @@ object Job {
                         // format, path, mode (None = the document omitted
                         // "mode"; batch resolves it to "overwrite", streaming
                         // requires atomic-or-absent — the distinction matters)
-                        sink: Option[(String, String, Option[String])])
+                        sink: Option[(String, String, Option[String])],
+                        incremental: Option[IncrementalSpec] = None)
+
+  /** The `incremental` section: resume the named dataset "from last
+    * watermark" out of a durable [[graft.incremental.WatermarkStore]]
+    * ledger — the reference's get_last_watermark → extract →
+    * update_watermark loop (incremental_load_manager.py:103/:141)
+    * with the state in the ledger instead of the caller's hands.
+    */
+  final case class IncrementalSpec(storeDir: String, pipelineId: String,
+                                   sourceId: String, column: String,
+                                   strategy: String)
 
   final case class Result(output: DataFrame,
                           dqReport: Option[DataFrame],
                           anomalies: Option[DataFrame])
 
   private val mapper = new ObjectMapper()
-  private val knownKeys = Set("datasets", "pipeline", "quality", "anomaly", "sink")
+  private val knownKeys =
+    Set("datasets", "pipeline", "quality", "anomaly", "sink", "incremental")
 
   def parse(json: String): Spec = {
     val root = mapper.readTree(json)
@@ -111,7 +123,19 @@ object Job {
       (str("format", Some("parquet")), str("path"),
         Option(s.get("mode")).map(_.asText()))
     }
-    Spec(datasets, pipeline, rules, minScore, quarantine, anomaly, sink)
+    val incremental = Option(root.get("incremental")).map { n =>
+      def str(f: String, dflt: Option[String] = None): String =
+        Option(n.get(f)).filter(_.isTextual).map(_.asText()).orElse(dflt)
+          .getOrElse(throw new IllegalArgumentException(
+            s"\"incremental\" needs a string \"$f\""))
+      val spec = IncrementalSpec(str("watermark_store"), str("pipeline_id"),
+        str("source_id"), str("column"), str("strategy", Some("timestamp")))
+      require(datasets.exists(_.name == spec.sourceId),
+        s"incremental.source_id '${spec.sourceId}' is not a declared dataset")
+      spec
+    }
+    Spec(datasets, pipeline, rules, minScore, quarantine, anomaly, sink,
+      incremental)
   }
 
   /** Execute a parsed job. The pipeline's named sources are the
@@ -127,9 +151,20 @@ object Job {
 
   def run(spark: SparkSession, spec: Spec): Result = {
     requireFileDatasets(spec)
-    val sources = spec.datasets.map { d =>
+    val loaded = spec.datasets.map { d =>
       d.name -> Catalog.load(spark, d)
     }.toMap
+    // incremental resume: the named dataset is cut to rows past the
+    // LEDGER's watermark (first run = no watermark = full extract) —
+    // afterWatermark's pushed-down range filter, driven by stored
+    // state instead of caller state
+    val sources = spec.incremental.fold(loaded) { inc =>
+      val wm = graft.incremental.WatermarkStore.last(spark, inc.storeDir,
+        inc.pipelineId, inc.sourceId, Some(inc.column))
+      loaded + (inc.sourceId -> wm.fold(loaded(inc.sourceId))(w =>
+        graft.incremental.Incremental.afterWatermark(
+          loaded(inc.sourceId), inc.column, w.value)))
+    }
     require(sources.contains(spec.pipeline.primary),
       s"pipeline primary '${spec.pipeline.primary}' is not a declared dataset")
     val out = Pipeline.run(spark, sources, spec.pipeline)
@@ -159,6 +194,15 @@ object Job {
       val mode = modeOpt.getOrElse("overwrite")
       if (mode == "atomic") graft.Recovery.idempotentWrite(result, path, format)
       else graft.sources.FileSink.write(result, format, path, mode)
+    }
+    // the ledger advances LAST, only on a fully successful run (gate
+    // passed, sink written): a failed run never moves the watermark,
+    // so its data re-extracts on the retry — and an EMPTY batch leaves
+    // the ledger untouched (advanceFrom's contract)
+    spec.incremental.foreach { inc =>
+      graft.incremental.WatermarkStore.advanceFrom(spark, inc.storeDir,
+        inc.pipelineId, inc.sourceId, inc.column,
+        sources(inc.sourceId), inc.strategy)
     }
     Result(result, dqReport, anomalies)
   }
@@ -213,6 +257,10 @@ object Job {
         "output and is not batching-invariant per micro-batch (earlier batches " +
         "are already committed when a later batch fails) — gate streamedOutput " +
         "with DQ.check + DQ.gateFromResults instead")
+    require(spec.incremental.isEmpty,
+      "streaming job does not support the \"incremental\" section: the file " +
+        "stream's checkpoint IS the resume state (new files become " +
+        "micro-batches); the watermark ledger belongs to batch runs")
     val unsupported = spec.pipeline.steps.collect {
       case _: Pipeline.Aggregate => "aggregate"
       case _: Pipeline.Pivot => "pivot"

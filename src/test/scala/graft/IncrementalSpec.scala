@@ -203,6 +203,145 @@ class IncrementalSpec extends SparkSpec {
       Incremental.upsertPartitioned(spark, dir, batch, Seq("k"), "day"))
   }
 
+  test("WatermarkStore: update/last/reset/history on a durable ledger, replay-idempotent") {
+    import graft.incremental.WatermarkStore
+    val dir = java.nio.file.Files.createTempDirectory("graft_wmstore").toString + "/wm"
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+
+    // empty ledger (and an unknown key later): no watermark, no error
+    assert(WatermarkStore.last(spark, dir, "p1", "orders").isEmpty)
+
+    // updates accumulate; last = newest event; types round-trip native
+    WatermarkStore.update(spark, dir, "p1", "orders", "o_orderdate",
+      ts("2024-01-01 00:00:00"), at = Some(ts("2024-01-01 01:00:00")))
+    WatermarkStore.update(spark, dir, "p1", "orders", "o_orderdate",
+      ts("2024-02-01 00:00:00"), at = Some(ts("2024-02-01 01:00:00")))
+    val wm = WatermarkStore.last(spark, dir, "p1", "orders").get
+    assert(wm.value == ts("2024-02-01 00:00:00"))
+    assert(wm.column == "o_orderdate" && wm.strategy == "timestamp")
+    assert(WatermarkStore.last(spark, dir, "p1", "nope").isEmpty)
+    assert(WatermarkStore.last(spark, dir, "p2", "orders").isEmpty)
+
+    // a sequence-strategy LONG watermark on the same pipeline, other
+    // source: keys isolate, value decodes as a Long
+    WatermarkStore.update(spark, dir, "p1", "events", "seq", 900L,
+      strategy = "sequence", at = Some(ts("2024-02-01 02:00:00")))
+    assert(WatermarkStore.last(spark, dir, "p1", "events").get.value == 900L)
+    assert(WatermarkStore.last(spark, dir, "p1", "orders").get.value ==
+      ts("2024-02-01 00:00:00"))
+
+    // replay idempotence: re-appending an already-recorded event (a
+    // retried run re-asserting its own watermark) changes nothing
+    WatermarkStore.update(spark, dir, "p1", "orders", "o_orderdate",
+      ts("2024-02-01 00:00:00"), at = Some(ts("2024-02-01 01:00:00")))
+    assert(WatermarkStore.last(spark, dir, "p1", "orders").get.value ==
+      ts("2024-02-01 00:00:00"))
+
+    // history: newest first, update events only, full value fidelity
+    val h = WatermarkStore.history(spark, dir, "p1", "orders", "o_orderdate")
+      .select("watermark_value").as[String].collect()
+    assert(h.toSeq == Seq("2024-02-01 00:00:00.0", "2024-02-01 00:00:00.0",
+      "2024-01-01 00:00:00.0"))
+
+    // reset tombstones: last goes empty, history survives for audit,
+    // and a NEWER update takes over again
+    WatermarkStore.reset(spark, dir, "p1", "orders",
+      at = Some(ts("2024-03-01 00:00:00")))
+    assert(WatermarkStore.last(spark, dir, "p1", "orders").isEmpty)
+    assert(WatermarkStore.last(spark, dir, "p1", "events").nonEmpty) // untouched
+    assert(WatermarkStore.history(spark, dir, "p1", "orders", "o_orderdate")
+      .count() == 3)
+    WatermarkStore.update(spark, dir, "p1", "orders", "o_orderdate",
+      ts("2024-03-05 00:00:00"), at = Some(ts("2024-03-05 01:00:00")))
+    assert(WatermarkStore.last(spark, dir, "p1", "orders").get.value ==
+      ts("2024-03-05 00:00:00"))
+
+    // advanceFrom: max(column) of a batch becomes the watermark; an
+    // EMPTY batch must not touch the ledger
+    val batch = Seq((1L, ts("2024-03-07 10:00:00")), (2L, ts("2024-03-06 09:00:00")))
+      .toDF("id", "updated_at")
+    assert(WatermarkStore.advanceFrom(spark, dir, "p1", "orders", "updated_at",
+      batch, at = Some(ts("2024-03-07 11:00:00"))).contains(ts("2024-03-07 10:00:00")))
+    assert(WatermarkStore.advanceFrom(spark, dir, "p1", "orders", "updated_at",
+      batch.limit(0), at = Some(ts("2024-03-08 11:00:00"))).isEmpty)
+    assert(WatermarkStore.last(spark, dir, "p1", "orders").get.value ==
+      ts("2024-03-07 10:00:00"))
+
+    // compact folds the ledger (1 file per key) with identical derived state
+    val before = WatermarkStore.last(spark, dir, "p1", "orders")
+    WatermarkStore.compact(spark, dir)
+    assert(WatermarkStore.last(spark, dir, "p1", "orders") == before)
+    assert(WatermarkStore.last(spark, dir, "p1", "events").get.value == 900L)
+
+    // unsupported value types fail loudly, never silently stringify
+    assertThrows[IllegalArgumentException](
+      WatermarkStore.update(spark, dir, "p1", "orders", "c", BigDecimal(1)))
+  }
+
+  test("Job incremental section: resumes from the stored watermark, advances only on success") {
+    import graft.pipeline.Job
+    val base = java.nio.file.Files.createTempDirectory("graft_jobwm").toString
+    val store = s"$base/wm"
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val sfDir = TestSession.sfDir
+    def doc(minScore: Double = 0.0) =
+      s"""{
+         |  "datasets": [
+         |    {"name": "w_orders", "format": "parquet", "path": "$sfDir/orders.parquet"}
+         |  ],
+         |  "pipeline": {"primary": "w_orders", "steps": [
+         |    {"type": "select", "columns": ["o_orderkey", "o_orderdate", "o_orderstatus"]}
+         |  ]},
+         |  "quality": {"rules": [
+         |    {"rule_id": "st", "type": "allowed_values",
+         |     "column": "o_orderstatus", "values": ["zzz"]}
+         |  ], "min_score": $minScore},
+         |  "incremental": {"watermark_store": "$store", "pipeline_id": "pj",
+         |    "source_id": "w_orders", "column": "o_orderdate"}
+         |}""".stripMargin
+    val orders = spark.read.parquet(s"$sfDir/orders.parquet")
+    val total = orders.count()
+    val maxDate = orders.agg(max("o_orderdate")).head().getTimestamp(0)
+
+    // run 1: no stored watermark -> full extract; ledger advances to max
+    val r1 = Job.runJson(spark, doc())
+    assert(r1.output.count() == total)
+    val wm1 = graft.incremental.WatermarkStore.last(spark, store, "pj", "w_orders").get
+    assert(wm1.value == maxDate)
+
+    // run 2: resumes from the stored watermark -> nothing is newer ->
+    // empty output AND the ledger does not move (empty batch contract)
+    val r2 = Job.runJson(spark, doc())
+    assert(r2.output.count() == 0)
+    assert(graft.incremental.WatermarkStore.last(spark, store, "pj", "w_orders")
+      .get.updateTime == wm1.updateTime)
+
+    // reset -> the next run re-extracts everything (reprocessing flow)
+    graft.incremental.WatermarkStore.reset(spark, store, "pj", "w_orders")
+    assert(Job.runJson(spark, doc()).output.count() == total)
+
+    // a GATED run fails before the ledger advances: reset, then run
+    // with an impossible gate — watermark stays empty
+    graft.incremental.WatermarkStore.reset(spark, store, "pj", "w_orders")
+    intercept[graft.quality.DQ.QualityGateException](
+      Job.runJson(spark, doc(minScore = 100.0)))
+    assert(graft.incremental.WatermarkStore.last(spark, store, "pj", "w_orders").isEmpty)
+
+    // config validation: unknown source_id is a parse-time error
+    assert(intercept[IllegalArgumentException](Job.parse(
+      doc().replace(""""source_id": "w_orders"""", """"source_id": "nope"""")))
+      .getMessage.contains("not a declared dataset"))
+    // streaming mode rejects the section loudly
+    assert(intercept[IllegalArgumentException](
+      Job.runStream(spark, Job.parse(doc().replace(
+        """"quality": {"rules": [
+    {"rule_id": "st", "type": "allowed_values",
+     "column": "o_orderstatus", "values": ["zzz"]}
+  ], "min_score": 0.0},""",
+        s""""sink": {"path": "$base/snk"},""")), s"$base/ckpt"))
+      .getMessage.contains("incremental"))
+  }
+
   test("distinctSketch/rollupDistinct: incremental union, overlap-idempotent, bounded error") {
     val events = table("events").withColumn("day", to_date(col("ts")))
     val exact = events.groupBy("event_type")
