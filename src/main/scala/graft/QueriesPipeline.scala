@@ -84,6 +84,27 @@ object QueriesPipeline {
           DropColumn("o_orderpriority"))))
     }),
 
+    // STORED versioned schema document driving the same machinery —
+    // ref schema_manager.py:171 apply_schema_from_file: two versions
+    // walk the ledger in order (explicit steps, then a target-schema
+    // form whose cast step is INFERRED at apply time)
+    "q_schema_doc" -> ((s, dir) => {
+      val doc =
+        """{"migrations": [
+          |  {"version": "v2", "description": "analytics layout", "steps": [
+          |    {"type": "rename_column", "from": "o_totalprice", "to": "price"},
+          |    {"type": "add_column", "name": "priority_code",
+          |     "expr": "substring(o_orderpriority, 1, 1)"},
+          |    {"type": "drop_column", "name": "o_orderpriority"}]},
+          |  {"version": "v3", "target_schema":
+          |   "o_orderkey BIGINT, o_custkey STRING, o_orderstatus STRING, price DOUBLE, priority_code STRING"}
+          |]}""".stripMargin
+      graft.SchemaDoc.apply(
+        t(s, dir, "orders").select("o_orderkey", "o_custkey",
+          "o_orderstatus", "o_totalprice", "o_orderpriority"),
+        doc)
+    }),
+
     // csv write → read roundtrip (schema pinned, no inference scan)
     "q_src_csv" -> ((s, dir) => {
       val n = t(s, dir, "nation")
@@ -367,6 +388,11 @@ object QueriesPipeline {
         |GROUP BY l_returnflag""".stripMargin,
 
     "q_schema_migrate" ->
+      """SELECT o_orderkey, CAST(o_custkey AS VARCHAR) AS o_custkey, o_orderstatus,
+        |o_totalprice AS price, substring(o_orderpriority, 1, 1) AS priority_code
+        |FROM orders""".stripMargin,
+
+    "q_schema_doc" ->
       """SELECT o_orderkey, CAST(o_custkey AS VARCHAR) AS o_custkey, o_orderstatus,
         |o_totalprice AS price, substring(o_orderpriority, 1, 1) AS priority_code
         |FROM orders""".stripMargin,

@@ -1221,6 +1221,79 @@ class PipelineSourcesSpec extends SparkSpec {
       inferMigration(from, to, "x", renames = Map("status" -> "id")))
   }
 
+  test("SchemaDoc: versioned JSON documents walk the ledger, checksum-skip, roll back") {
+    val df = Seq((1L, "A-urgent", 10.5), (2L, "B-low", 20.0))
+      .toDF("id", "priority", "amount")
+    // two versions in one stored document: explicit steps, then a
+    // target-schema form whose steps are INFERRED at apply time
+    val doc =
+      """{"migrations": [
+        |  {"version": "v2", "description": "analytics layout", "steps": [
+        |    {"type": "rename_column", "from": "amount", "to": "amount_usd"},
+        |    {"type": "add_column", "name": "prio_code",
+        |     "expr": "substring(priority, 1, 1)"},
+        |    {"type": "drop_column", "name": "priority"}]},
+        |  {"version": "v3",
+        |   "target_schema": "id STRING, amount_usd DOUBLE, prio_code STRING"}
+        |]}""".stripMargin
+    val ledger = new SchemaDoc.Ledger
+    val out = SchemaDoc.apply(df, doc, ledger)
+    // both versions landed, in order: v2 reshapes, v3 tightens id
+    assert(out.schema.fields.map(f => (f.name, f.dataType.simpleString)).toSet ==
+      Set(("id", "string"), ("amount_usd", "double"), ("prio_code", "string")))
+    assert(out.orderBy("id").collect().map(_.toSeq).toSeq ==
+      Seq(Seq("1", 10.5, "A"), Seq("2", 20.0, "B")))
+    assert(ledger.history.map(_._1) == Seq("v2", "v3"))
+
+    // re-applying the SAME document is the reference's already-applied
+    // skip: no steps run, result is the input unchanged
+    assert(SchemaDoc.apply(out, doc, ledger) eq out)
+    // …but the same version with a DIFFERENT body fails loudly
+    val drifted = doc.replace("\"prio_code\",", "\"prio_code2\",")
+    assert(intercept[IllegalArgumentException](
+      SchemaDoc.apply(out, drifted, ledger))
+      .getMessage.contains("DIFFERENT"))
+
+    // rollback parity: v3 then v2 return the original reader contract
+    // (names, types, order; dropped column as typed nulls)
+    val back = SchemaDoc.rollback(SchemaDoc.rollback(out, "v3", ledger),
+      "v2", ledger)
+    assert(back.schema.fields.map(f => (f.name, f.dataType)).toSeq ==
+      df.schema.fields.map(f => (f.name, f.dataType)).toSeq)
+    assert(back.orderBy("id").collect().map(_.toSeq).toSeq ==
+      Seq(Seq(1L, null, 10.5), Seq(2L, null, 20.0)))
+    assert(ledger.history.isEmpty)
+    // a rolled-back version re-applies (reprocessing flow)
+    assert(SchemaDoc.apply(back, doc, ledger)
+      .columns.toSeq == Seq("id", "amount_usd", "prio_code"))
+
+    // the file entry point — ref :171 apply_schema_from_file
+    val f = java.nio.file.Files.createTempFile("graft_schemadoc", ".json")
+    java.nio.file.Files.write(f, doc.getBytes("UTF-8"))
+    assert(SchemaDoc.applyFile(df, f.toString).columns.toSeq ==
+      Seq("id", "amount_usd", "prio_code"))
+
+    // dialect guard rails: unknown step type, both/neither forms,
+    // duplicate versions, junk steps — all parse-time errors
+    assert(intercept[IllegalArgumentException](SchemaDoc.parse(
+      """{"version": "x", "steps": [{"type": "explode_column", "name": "a"}]}"""))
+      .getMessage.contains("unknown step type"))
+    assert(intercept[IllegalArgumentException](SchemaDoc.parse(
+      """{"version": "x", "steps": [{"type": "drop_column", "name": "a"}],
+        | "target_schema": "a INT"}""".stripMargin))
+      .getMessage.contains("exactly one"))
+    assert(intercept[IllegalArgumentException](SchemaDoc.parse(
+      """{"migrations": [{"version": "x", "steps": [{"type": "drop_column", "name": "a"}]},
+        |                {"version": "x", "target_schema": "a INT"}]}""".stripMargin))
+      .getMessage.contains("duplicate"))
+    // add_column without expr needs the declared type (typed null)
+    val nullAdd = SchemaDoc.apply(df,
+      """{"version": "n1", "steps": [
+        |  {"type": "add_column", "name": "note", "data_type": "string"}]}""".stripMargin)
+    assert(nullAdd.schema("note").dataType.simpleString == "string")
+    assert(nullAdd.filter(col("note").isNotNull).count() == 0)
+  }
+
   test("Lineage.fromPlan lists sources and referenced columns of a multi-join plan") {
     val df = SparkEntry.queries("q_join_multi")(spark, TestSession.sfDir)
     val info = Lineage.fromPlan(df)
