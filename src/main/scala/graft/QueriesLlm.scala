@@ -44,6 +44,23 @@ object QueriesLlm {
         blockCols = Seq("lang", "source"), n = 1, threshold = 0.8)
     }),
 
+    // BOUNDED-comparison companion for the 100× scale gate: the same
+    // engine path over a deterministic 1-in-10 document subsample
+    // (doc_id % 10 = 0). Blocks are independent — pairs never cross
+    // (lang, source) — so the sampled comparison is EXACT on the
+    // sampled corpus while the oracle's naive blocked all-pairs join
+    // stays ~100× smaller than the full formulation (pairs keep only
+    // when BOTH endpoints sample), tractable for DuckDB at sf10 where
+    // the unsampled oracle is quadratic-intractable (the ENGINE side
+    // runs unsampled fine there — that asymmetry is the scale story;
+    // PLANS.md r12 addendum 2 / r13 gate).
+    "q_dedup_jaccard_bounded" -> ((s, dir) => {
+      Dedup.ngramJaccardPairsAuto(
+        t(s, dir, "documents").filter(pmod(col("doc_id"), lit(10)) === 0),
+        "doc_id", "text",
+        blockCols = Seq("lang", "source"), n = 1, threshold = 0.8)
+    }),
+
     "q_dedup_minhash" -> ((s, dir) => {
       Dedup.minhashLsh(t(s, dir, "documents"), "doc_id", "text",
         ngramN = 5, numHashes = 32, bands = 8, threshold = 0.5)
@@ -359,6 +376,18 @@ object QueriesLlm {
         |  SELECT doc_id, lang, source,
         |    list_distinct(regexp_extract_all(trim(text), '\S+')) AS toks
         |  FROM documents)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) /
+        |    (len(a.toks) + len(b.toks) - CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)) AS jacc
+        |FROM sh a JOIN sh b ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+        |WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) /
+        |    (len(a.toks) + len(b.toks) - CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)) >= 0.8""".stripMargin,
+
+    "q_dedup_jaccard_bounded" ->
+      """WITH sh AS (
+        |  SELECT doc_id, lang, source,
+        |    list_distinct(regexp_extract_all(trim(text), '\S+')) AS toks
+        |  FROM documents WHERE doc_id % 10 = 0)
         |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
         |  CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) /
         |    (len(a.toks) + len(b.toks) - CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)) AS jacc

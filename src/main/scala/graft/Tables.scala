@@ -51,10 +51,24 @@ object Tables {
     * normalize `ts` exactly as the batch [[load]] does.
     */
   def eventsStream(spark: SparkSession, dir: String): DataFrame = {
-    val batchSchema = spark.read.parquet(s"$dir/events.parquet").schema
+    val path = s"$dir/events.parquet"
+    val batchSchema = spark.read.parquet(path).schema
+    val p = new org.apache.hadoop.fs.Path(path)
+    val isDir = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .getFileStatus(p).isDirectory
+    // two on-disk layouts: the gate SFs ship events.parquet as a bare
+    // FILE in dir (the file source needs the parent dir + a glob to
+    // see it), ScaleUp's sfN trees as a DIRECTORY of part files (the
+    // glob on the LEAF names would match nothing → a silently EMPTY
+    // stream, the r13 sf1 streaming-gate bug) — stream the dataset
+    // directory itself there, no filter
     normalizeEventsTs(
-      graft.streaming.Streams.fileStream(spark, "parquet", dir, batchSchema,
-        Map("pathGlobFilter" -> "events.parquet")))
+      if (isDir)
+        graft.streaming.Streams.fileStream(spark, "parquet", path,
+          batchSchema, Map.empty)
+      else
+        graft.streaming.Streams.fileStream(spark, "parquet", dir,
+          batchSchema, Map("pathGlobFilter" -> "events.parquet")))
   }
 
   /** Register every table as a temp view (for SQL transforms). View

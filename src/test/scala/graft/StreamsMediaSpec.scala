@@ -73,6 +73,27 @@ class StreamsMediaSpec extends SparkSpec {
       s"extra=${(streamed -- batch).take(3)} missing=${(batch -- streamed).take(3)}")
   }
 
+  test("eventsStream reads BOTH on-disk layouts: bare file and directory dataset") {
+    // the gate SFs ship events.parquet as a bare FILE; ScaleUp's sfN
+    // trees as a DIRECTORY of part files. The old pathGlobFilter on
+    // leaf names matched nothing for the directory layout — a
+    // silently EMPTY stream (caught by the r13 sf1 streaming gate);
+    // this pins both layouts to the batch row count
+    val base = java.nio.file.Files.createTempDirectory("graft_evdir").toString
+    val batch = spark.read.parquet(s"${TestSession.sfDir}/events.parquet")
+    batch.write.parquet(s"$base/events.parquet") // directory dataset
+    val expected = batch.count()
+    for (dir <- Seq(TestSession.sfDir, base)) {
+      val sink = s"ev_layout_${if (dir == base) "dir" else "file"}"
+      val q = Streams.startMemorySink(
+        Tables.eventsStream(spark, dir).select("event_id"), sink,
+        OutputMode.Append())
+      try q.processAllAvailable() finally q.stop()
+      assert(spark.table(sink).count() == expected,
+        s"eventsStream over $dir lost rows")
+    }
+  }
+
   test("registered q_stream_sessionize (file source, Complete mode) matches batch islands") {
     import graft.functions.Det
     import graft.operators.Ops
