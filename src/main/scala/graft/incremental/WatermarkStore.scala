@@ -137,11 +137,21 @@ object WatermarkStore {
         (col("op") === "reset" && col("watermark_column") === "")))
   }
 
+  /** Same-instant tie-break key: the VALUE in its native ordering
+    * (numeric types compared numerically — a lexical string compare
+    * would rank "9" above "10"; timestamp/date strings already sort
+    * lexically = chronologically and fall through to the raw column).
+    */
+  private def typedValueKey =
+    when(col("value_type").isin("long", "double"),
+      col("watermark_value").cast("double"))
+
   /** The current watermark — ref :103 get_last_watermark: the newest
     * `update` event strictly after the newest `reset` tombstone (ties
-    * between events at the same instant break on the larger encoded
-    * value, so replayed appends stay deterministic). None when the
-    * ledger is empty, the key unknown, or a reset is the newest word.
+    * between events at the same instant break on the larger value in
+    * its NATIVE ordering, so replayed appends stay deterministic).
+    * None when the ledger is empty, the key unknown, or a reset is
+    * the newest word.
     */
   def last(spark: SparkSession, dir: String, pipelineId: String,
            sourceId: String, column: Option[String] = None): Option[Watermark] = {
@@ -151,7 +161,8 @@ object WatermarkStore {
     val updates = ev.filter(col("op") === "update")
     val live = Option(resetAt).fold(updates)(t =>
       updates.filter(col("update_time") > lit(t)))
-    live.orderBy(col("update_time").desc, col("watermark_value").desc)
+    live.orderBy(col("update_time").desc, typedValueKey.desc_nulls_last,
+        col("watermark_value").desc)
       .limit(1).collect().headOption.map { r =>
         Watermark(pipelineId, sourceId,
           r.getAs[String]("watermark_column"),
@@ -170,7 +181,8 @@ object WatermarkStore {
               limit: Int = 100): DataFrame =
     events(spark, dir, pipelineId, sourceId, Some(column))
       .filter(col("op") === "update")
-      .orderBy(col("update_time").desc, col("watermark_value").desc)
+      .orderBy(col("update_time").desc, typedValueKey.desc_nulls_last,
+        col("watermark_value").desc)
       .limit(limit)
       .select("watermark_column", "watermark_value", "value_type",
         "strategy", "update_time")
@@ -193,7 +205,11 @@ object WatermarkStore {
 
   /** Fold a long ledger back to one file per key (same derived state,
     * fewer files) — run occasionally from housekeeping, like
-    * FileSink.compactPartitions. Atomic per the parquet overwrite.
+    * FileSink.compactPartitions. The fold materializes to a sibling
+    * tmp tree first and swaps via delete+rename, so a crash never
+    * loses events; a reader racing the swap window can observe a
+    * briefly-missing ledger (= empty), so run it while the pipeline
+    * is quiet.
     */
   def compact(spark: SparkSession, dir: String): Unit = {
     // materialize the fold into a sibling tmp tree FIRST, then swap —

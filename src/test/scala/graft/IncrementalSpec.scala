@@ -276,6 +276,14 @@ class IncrementalSpec extends SparkSpec {
     // unsupported value types fail loudly, never silently stringify
     assertThrows[IllegalArgumentException](
       WatermarkStore.update(spark, dir, "p1", "orders", "c", BigDecimal(1)))
+
+    // same-instant ties break on the NATIVE value ordering: long 10
+    // must beat long 9 even though "9" > "10" lexically
+    WatermarkStore.update(spark, dir, "p1", "seqsrc", "seq", 9L,
+      strategy = "sequence", at = Some(ts("2024-04-01 00:00:00")))
+    WatermarkStore.update(spark, dir, "p1", "seqsrc", "seq", 10L,
+      strategy = "sequence", at = Some(ts("2024-04-01 00:00:00")))
+    assert(WatermarkStore.last(spark, dir, "p1", "seqsrc").get.value == 10L)
   }
 
   test("Job incremental section: resumes from the stored watermark, advances only on success") {
