@@ -161,12 +161,17 @@ object QueriesLlm {
       Similarity.bruteForceTopK(e, queries, "vec_id", "query_id", "embedding", k = 5)
     }),
 
+    // registered at the ADAPTIVE operating point (same rationale as
+    // q_anom_lof's r13 flip): planesFor keeps per-query candidate
+    // pools ~targetBucketSize as the corpus grows, where a fixed plane
+    // count grows them linearly. Rows-only; q_sim_lsh_full is the
+    // oracle-checked exhaustive companion.
     "q_sim_lsh" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
       val queries = e.filter(col("vec_id") < 10)
         .select(col("vec_id").as("query_id"), col("embedding"))
-      Similarity.lshTopK(e, queries, "vec_id", "query_id", "embedding",
-        k = 5, planes = 4)
+      Similarity.lshTopKAuto(e, queries, "vec_id", "query_id", "embedding",
+        k = 5, targetBucketSize = 512)
     }),
 
     // end-to-end corpus cleaning: quality gate → exact dedup → stats
@@ -207,12 +212,16 @@ object QueriesLlm {
       // the still-lazy cache and can each run the whole k-means build
       // concurrently (the one plausible mechanism for r8's 44.7 s
       // driver-host outlier on this query).
-      val index = graft.llm.Ivf.buildIndex(e, "vec_id", "embedding",
-        nlist = 8, iters = 2).persist()
+      // ADAPTIVE operating point (r13, same rationale as q_anom_lof):
+      // nlistFor keeps cell occupancy ~sqrt(n) as the corpus grows —
+      // per-query probe cost grows as nprobe·sqrt(n), not linearly.
+      // Rows-only; q_sim_ivf_full is the oracle-checked companion.
+      val index = graft.llm.Ivf.buildIndexAuto(e, "vec_id", "embedding",
+        iters = 2).persist()
       index.count()
       val cents = graft.llm.Ivf.centroids(index, "embedding")
       graft.llm.Ivf.topK(index, queries, "vec_id", "query_id", "embedding",
-        k = 5, nprobe = 2, cellCentroids = Some(cents))
+        k = 5, nprobe = 4, cellCentroids = Some(cents))
     }),
 
     // semantic clustering surface over the same deterministic k-means
@@ -221,8 +230,9 @@ object QueriesLlm {
     // SearchSpec proves partition/nearest-centroid/determinism laws.
     "q_cluster_kmeans" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
-      val index = graft.llm.Ivf.buildIndex(e, "vec_id", "embedding",
-        nlist = 8, iters = 2).persist()
+      // adaptive nlist (r13) — occupancy ~sqrt(n), see q_sim_ivf
+      val index = graft.llm.Ivf.buildIndexAuto(e, "vec_id", "embedding",
+        iters = 2).persist()
       index.count() // materialize before the broadcast job can race (see q_sim_ivf)
       val cents = graft.llm.Ivf.centroids(index, "embedding")
       index.join(broadcast(cents), Seq("__cid"))

@@ -84,42 +84,103 @@ object Ivf {
     math.max(minList, math.ceil(math.sqrt(math.max(0L, n).toDouble)).toInt)
   }
 
-  /** [[buildIndex]] with `nlist` sized from the corpus (one count()
-    * scan) — cell occupancy ~sqrt(n), the scale-stable operating
-    * point.
+  /** [[buildIndexSampled]] with `nlist` sized from the corpus (one
+    * count() scan) — cell occupancy ~sqrt(n) AND sample-bounded Lloyd
+    * training, the scale-stable operating point on both axes.
     */
   def buildIndexAuto(corpus: DataFrame, idCol: String, vecCol: String,
-                     iters: Int = 2, minList: Int = 16): DataFrame =
-    buildIndex(corpus, idCol, vecCol, nlistFor(corpus.count(), minList), iters)
+                     iters: Int = 2, minList: Int = 16,
+                     trainPerCell: Int = 64): DataFrame = {
+    val n = corpus.count()
+    buildIndexSampled(corpus, idCol, vecCol, nlistFor(n, minList), iters,
+      trainPerCell, knownCount = Some(n))
+  }
 
-  /** Build the index: (corpus columns ++ __cid cell id). */
-  def buildIndex(corpus: DataFrame, idCol: String, vecCol: String,
-                 nlist: Int = 16, iters: Int = 2): DataFrame = {
+  /** Lloyd centroid training over `train`: hash-spread seeds, `iters`
+    * assign→recenter rounds. Returns the final CACHED nlist-row
+    * centroid frame (materialized; callers release via clearCache /
+    * GraftSession.releaseAll when the consuming plan is done).
+    * Each iteration's centroid frame is nlist rows — caching it cuts
+    * the otherwise-nested lineage (iteration i re-embedding every
+    * pass before it, so the train set would be re-scanned a quadratic
+    * number of times by the final plan) down to one scan per Lloyd
+    * iteration. Frame i is materialized (count) before frame i-1 is
+    * released, so at most two centroid frames are ever live.
+    */
+  private def lloyd(train: DataFrame, idCol: String, vecCol: String,
+                    nlist: Int, iters: Int): DataFrame = {
     // orderBy + limit plans as a distributed TakeOrderedAndProject (per-partition
     // top-nlist, then merge) — never a full single-partition sort of the corpus.
     // The unpartitioned row_number after it only ever sees nlist rows.
-    val seeds = corpus
+    val seeds = train
       .withColumn("__h", xxhash64(col(idCol)))
       .select(col("__h"), col(idCol), col(vecCol))
       .orderBy(col("__h"), col(idCol))
       .limit(nlist)
       .withColumn("__rn", row_number().over(Window.orderBy(col("__h"), col(idCol))))
       .select(col("__rn").as("__cid"), col(vecCol).as("__cvec"))
-    // Each iteration's centroid frame is nlist rows — caching it cuts
-    // the otherwise-nested lineage (iteration i re-embedding every
-    // pass before it, so the corpus would be re-scanned a quadratic
-    // number of times by the final plan) down to one corpus scan per
-    // Lloyd iteration. Negligible memory, plan-level win. Frame i is
-    // materialized (count) before frame i-1 is released, so at most two
-    // centroid frames are ever live and exactly one survives the build
-    // (the last — the returned index plan still references it; callers
-    // release it via GraftSession.releaseAll / clearCache when done).
-    val centroids = (1 to iters).foldLeft(seeds.cache()) { (cent, _) =>
-      val next = recenter(assign(corpus, idCol, vecCol, cent), vecCol).cache()
+    (1 to iters).foldLeft(seeds.cache()) { (cent, _) =>
+      val next = recenter(assign(train, idCol, vecCol, cent), vecCol).cache()
       next.count()
       cent.unpersist(blocking = false)
       next
     }
+  }
+
+  /** Build the index: (corpus columns ++ __cid cell id). Lloyd
+    * training runs over the FULL corpus — exact but O(iters·n·nlist)
+    * centroid pairings; prefer [[buildIndexSampled]]/[[buildIndexAuto]]
+    * when the corpus is large.
+    */
+  def buildIndex(corpus: DataFrame, idCol: String, vecCol: String,
+                 nlist: Int = 16, iters: Int = 2): DataFrame =
+    assign(corpus, idCol, vecCol, lloyd(corpus, idCol, vecCol, nlist, iters))
+
+  /** Build the index with centroids TRAINED on a bounded deterministic
+    * sample — the standard IVF practice (FAISS trains on a few tens of
+    * vectors per cell, then assigns the full corpus once). Lloyd cost
+    * drops from `iters` full-corpus scans (O(iters·n·nlist) centroid
+    * pairings — with the sqrt rule that is O(iters·n^1.5)) to
+    * O(iters·trainPerCell·nlist²) over the sample, which under the
+    * sqrt rule is LINEAR in n; the corpus is paired with centroids
+    * exactly once, in the single final assignment pass.
+    *
+    * The sample is an xxhash64 threshold on the id column —
+    * deterministic, partition-invariant, no RNG, map-side (the filter
+    * rides the corpus scan). Corpora at or under the train target
+    * (nlist·trainPerCell) train on every row, so small-corpus results
+    * equal [[buildIndex]] exactly.
+    */
+  def buildIndexSampled(corpus: DataFrame, idCol: String, vecCol: String,
+                        nlist: Int, iters: Int = 2, trainPerCell: Int = 64,
+                        knownCount: Option[Long] = None): DataFrame = {
+    require(trainPerCell >= 1, "trainPerCell >= 1")
+    val n = knownCount.getOrElse(corpus.count())
+    val target = nlist.toLong * trainPerCell
+    if (n <= target)
+      return assign(corpus, idCol, vecCol, lloyd(corpus, idCol, vecCol, nlist, iters))
+    // keep-threshold on a 2^20 hash ring; ceil so the expected sample
+    // never rounds below the target. The nlist lowest-hash seeds are
+    // inside any threshold that admits >= nlist rows only if the SAME
+    // hash orders both — seeds hash xxhash64(id) too, so the sampled
+    // seeds are a deterministic function of the sample alone.
+    val ring = 1L << 20
+    val keep = math.min(ring, (ring * target + n - 1) / n)
+    val train = corpus
+      .filter(pmod(xxhash64(col(idCol)), lit(ring)) < lit(keep))
+      .select(col(idCol), col(vecCol))
+      .cache()
+    // materialize (Lloyd scans it iters+1 times) and guard the tail
+    // risk of a hash sample landing under nlist rows — centroid
+    // training needs at least one vector per prospective cell
+    if (train.count() < nlist) {
+      train.unpersist(blocking = false)
+      return assign(corpus, idCol, vecCol, lloyd(corpus, idCol, vecCol, nlist, iters))
+    }
+    val centroids = lloyd(train, idCol, vecCol, nlist, iters)
+    // centroids are materialized nlist-row frames — the train sample's
+    // lineage is no longer referenced by the final assignment plan
+    train.unpersist(blocking = false)
     assign(corpus, idCol, vecCol, centroids)
   }
 

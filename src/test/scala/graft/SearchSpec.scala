@@ -149,6 +149,32 @@ class SearchSpec extends SparkSpec {
     assert(autoTop == manualTop && autoTop.nonEmpty)
   }
 
+  test("sampled IVF build: small corpora equal the exact build; forced sampling keeps the laws") {
+    import graft.llm.Ivf
+    val e = table("embeddings")
+    val n = e.count()
+    // at or under the train target the sampled build IS the exact build
+    val exact = Ivf.buildIndex(e, "vec_id", "embedding", nlist = 4, iters = 2)
+      .select("vec_id", "__cid").orderBy("vec_id").collect().toSeq
+    val degen = Ivf.buildIndexSampled(e, "vec_id", "embedding", nlist = 4,
+        iters = 2, trainPerCell = Int.MaxValue / 8)
+      .select("vec_id", "__cid").orderBy("vec_id").collect().toSeq
+    assert(degen == exact)
+    // trainPerCell = 1 forces the hash-threshold sample path: the
+    // partition/determinism laws must survive sampled training
+    val s1 = Ivf.buildIndexSampled(e, "vec_id", "embedding", nlist = 4,
+      iters = 2, trainPerCell = 1)
+    assert(s1.count() == n)
+    assert(s1.select("vec_id").distinct().count() == n)
+    assert(s1.select("__cid").distinct().count() <= 4)
+    assert(s1.filter(col("__cid") < 1 || col("__cid") > 4).isEmpty)
+    val s2 = Ivf.buildIndexSampled(e.repartition(7), "vec_id", "embedding",
+      nlist = 4, iters = 2, trainPerCell = 1)
+    val a = s1.select("vec_id", "__cid").orderBy("vec_id").collect().toSeq
+    val b = s2.select("vec_id", "__cid").orderBy("vec_id").collect().toSeq
+    assert(a == b)
+  }
+
   test("Ivf.buildIndex releases iteration caches; releaseAll drops the rest") {
     GraftSession.releaseAll(spark)
     val e = table("embeddings")
