@@ -606,6 +606,19 @@ object Dedup {
     embeddingNearDup(bucketed, idCol, vecCol, "__bucket", threshold)
   }
 
+  /** [[embeddingNearDupLsh]] with `planes` sized from the corpus (one
+    * count() scan): in-bucket all-pairs cost stays n·targetBucketSize/2
+    * as the corpus grows — a FIXED plane count instead grows bucket
+    * occupancy, and with it the pair count, linearly (the same
+    * quadratic-in-bucket hazard [[graft.quality.Lof]] measured before
+    * its r12 adaptive flip).
+    */
+  def embeddingNearDupLshAuto(df: DataFrame, idCol: String, vecCol: String,
+                              targetBucketSize: Int = 512,
+                              threshold: Double = 0.9): DataFrame =
+    embeddingNearDupLsh(df, idCol, vecCol,
+      planes = Similarity.planesFor(df.count(), targetBucketSize), threshold)
+
   // ---- benchmark decontamination -------------------------------------
 
   /** Benchmark decontamination: flag corpus documents sharing any word

@@ -398,6 +398,18 @@ class TextDedupSpec extends SparkSpec {
     assert(pairs.toSeq == Seq((1L, 2L)))
   }
 
+  test("embeddingNearDupLshAuto equals the explicit-planes form at planesFor(n)") {
+    val e = table("embeddings")
+    val n = e.count()
+    val auto = Dedup.embeddingNearDupLshAuto(e, "vec_id", "embedding",
+        targetBucketSize = 512, threshold = 0.4)
+      .orderBy("id_a", "id_b").collect().toSeq
+    val manual = Dedup.embeddingNearDupLsh(e, "vec_id", "embedding",
+        planes = graft.llm.Similarity.planesFor(n, 512), threshold = 0.4)
+      .orderBy("id_a", "id_b").collect().toSeq
+    assert(auto == manual && auto.nonEmpty)
+  }
+
   test("lshParams places the S-curve rise at the threshold") {
     // every result is a valid divisor split
     for (t <- Seq(0.3, 0.5, 0.7, 0.9); n <- Seq(16, 32, 128)) {
