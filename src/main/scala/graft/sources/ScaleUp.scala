@@ -91,7 +91,15 @@ object ScaleUp {
           }
           reshaped.drop("__r")
         }
-      val parts = math.max(1, (out.rdd.getNumPartitions min 32))
+      // Size output files from the SCALED volume, not the source's
+      // partition count: an explode-based replication keeps the source
+      // partitioning (typically ONE file at gate SFs), and a
+      // single-file/single-row-group table forces every downstream
+      // CPU-dense scan stage onto one core — the gate then measures
+      // file layout, not the operator. One file per replica (capped at
+      // 32) gives scans split parallelism a real cluster layout would
+      // have anyway.
+      val parts = math.min(32, math.max(out.rdd.getNumPartitions, factor))
       out.repartition(parts)
         .write.mode("overwrite").parquet(s"$dstDir/$name.parquet")
     }
