@@ -139,6 +139,20 @@ object QueriesLlm {
         blockCol = "label", threshold = 0.4)
     }),
 
+    // BOUNDED-comparison companion for the 100× scale gate (same
+    // contract as q_dedup_jaccard_bounded): a deterministic 1-in-10
+    // vec_id subsample. label blocks are independent, so the sampled
+    // comparison is EXACT on the sampled corpus while the oracle's
+    // blocked all-pairs join shrinks ~100× — tractable for DuckDB at
+    // sf10 (~20M pairs) where the full formulation is ~2B pairs. The
+    // engine-side scale path for UNBLOCKED corpora is
+    // embeddingNearDupLshAuto (occupancy-stable buckets).
+    "q_dedup_embed_bounded" -> ((s, dir) => {
+      Dedup.embeddingNearDup(
+        t(s, dir, "embeddings").filter(pmod(col("vec_id"), lit(10)) === 0),
+        "vec_id", "embedding", blockCol = "label", threshold = 0.2)
+    }),
+
     // fixed-centroid cluster assignment, oracle-checked: the Lloyd
     // assignment step against four REFERENCE centroids (vec_id < 4) is
     // pure deterministic arithmetic — the oracle replays the same
@@ -410,6 +424,13 @@ object QueriesLlm {
          |FROM embeddings a JOIN embeddings b
          |  ON a.label = b.label AND a.vec_id < b.vec_id
          |WHERE ROUND($dcos, 6) >= 0.4""".stripMargin,
+
+    "q_dedup_embed_bounded" ->
+      s"""SELECT a.vec_id AS id_a, b.vec_id AS id_b, ROUND($dcos, 6) AS sim
+         |FROM (SELECT * FROM embeddings WHERE vec_id % 10 = 0) a
+         |JOIN (SELECT * FROM embeddings WHERE vec_id % 10 = 0) b
+         |  ON a.label = b.label AND a.vec_id < b.vec_id
+         |WHERE ROUND($dcos, 6) >= 0.2""".stripMargin,
 
     "q_cluster_assign" -> {
       val dcosAC =
