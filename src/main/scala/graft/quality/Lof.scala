@@ -42,7 +42,17 @@ object Lof {
     val c = b.select(col("__bucket"), col(idCol).as("o"),
       col(vecCol).as("__vo"), col("__n").as("__no"))
     val denom = col("__np") * col("__no")
-    val wk = Window.partitionBy(col("p")).orderBy(col("dist").asc, col("o").asc)
+    // The top-k window is keyed (__bucket, p), not p alone: a point
+    // lives in exactly ONE bucket, so the grouping is identical — but
+    // the candidate frame arrives hash-partitioned by __bucket from
+    // the self-join, and HashPartitioning(__bucket) satisfies
+    // ClusteredDistribution(__bucket, p), so EnsureRequirements ELIDES
+    // the exchange a per-p window would insert. That exchange is the
+    // n × occupancy candidate-pair frame — the single biggest shuffle
+    // in the chain (78M rows at the 200k-vector gate); the sort now
+    // happens inside the join's own partitions.
+    val wk = Window.partitionBy(col("__bucket"), col("p"))
+      .orderBy(col("dist").asc, col("o").asc)
     // The kNN pair list (n x k rows) feeds kdist, reach, lrd AND the
     // final ratio — four plan references. Persist it (and the equally
     // bounded reach frame) so the bucket self-join + top-k window runs
