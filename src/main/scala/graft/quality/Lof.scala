@@ -37,39 +37,47 @@ object Lof {
     val b = df.select(col(idCol), col(vecCol))
       .withColumn("__bucket", bucket)
       .withColumn("__n", Similarity.norm(col(vecCol)))
-    val a = b.select(col("__bucket"), col(idCol).as("p"),
-      col(vecCol).as("__vp"), col("__n").as("__np"))
-    val c = b.select(col("__bucket"), col(idCol).as("o"),
-      col(vecCol).as("__vo"), col("__n").as("__no"))
-    val denom = col("__np") * col("__no")
-    // The top-k window is keyed (__bucket, p), not p alone: a point
-    // lives in exactly ONE bucket, so the grouping is identical — but
-    // the candidate frame arrives hash-partitioned by __bucket from
-    // the self-join, and HashPartitioning(__bucket) satisfies
-    // ClusteredDistribution(__bucket, p), so EnsureRequirements ELIDES
-    // the exchange a per-p window would insert. That exchange is the
-    // n × occupancy candidate-pair frame — the single biggest shuffle
-    // in the chain (78M rows at the 200k-vector gate); the sort now
-    // happens inside the join's own partitions.
-    val wk = Window.partitionBy(col("__bucket"), col("p"))
-      .orderBy(col("dist").asc, col("o").asc)
+    val integralId = df.schema(idCol).dataType match {
+      case org.apache.spark.sql.types.ByteType |
+           org.apache.spark.sql.types.ShortType |
+           org.apache.spark.sql.types.IntegerType |
+           org.apache.spark.sql.types.LongType => true
+      case _ => false
+    }
     // The kNN pair list (n x k rows) feeds kdist, reach, lrd AND the
     // final ratio — four plan references. Persist it (and the equally
-    // bounded reach frame) so the bucket self-join + top-k window runs
-    // ONCE; default Dataset storage spills to disk, so at scale this
-    // costs k x input in cache space, not recomputation. Caches are
-    // session-scoped (the returned frame is lazy, so the operator
-    // cannot unpersist for its caller) — long-lived sessions should
+    // bounded reach frame) so the candidate stage runs ONCE; default
+    // Dataset storage spills to disk, so at scale this costs k x input
+    // in cache space, not recomputation. Caches are session-scoped
+    // (the returned frame is lazy, so the operator cannot unpersist
+    // for its caller) — long-lived sessions should
     // `spark.catalog.clearCache()` between corpora.
-    val knn = a.join(c, Seq("__bucket"))
-      .filter(col("p") =!= col("o"))
-      .withColumn("dist",
-        lit(1.0) - when(denom =!= 0.0,
-          round(Similarity.dot(col("__vp"), col("__vo")) / denom, 6)).otherwise(lit(0.0)))
-      .withColumn("__rn", row_number().over(wk))
-      .filter(col("__rn") <= k)
-      .select("p", "o", "dist")
-      .persist()
+    val knn = (if (planes > 0 && integralId) knnHeap(b, idCol, vecCol, k)
+    else {
+      val a = b.select(col("__bucket"), col(idCol).as("p"),
+        col(vecCol).as("__vp"), col("__n").as("__np"))
+      val c = b.select(col("__bucket"), col(idCol).as("o"),
+        col(vecCol).as("__vo"), col("__n").as("__no"))
+      val denom = col("__np") * col("__no")
+      // The top-k window is keyed (__bucket, p), not p alone: a point
+      // lives in exactly ONE bucket, so the grouping is identical —
+      // but under a sort-merge self-join the candidate frame arrives
+      // hash-partitioned by __bucket, and HashPartitioning(__bucket)
+      // satisfies ClusteredDistribution(__bucket, p), so
+      // EnsureRequirements ELIDES the exchange a per-p window would
+      // insert; under the small-SF broadcast shape the exchange stays
+      // but carries only the WindowGroupLimit-Partial survivors.
+      val wk = Window.partitionBy(col("__bucket"), col("p"))
+        .orderBy(col("dist").asc, col("o").asc)
+      a.join(c, Seq("__bucket"))
+        .filter(col("p") =!= col("o"))
+        .withColumn("dist",
+          lit(1.0) - when(denom =!= 0.0,
+            round(Similarity.dot(col("__vp"), col("__vo")) / denom, 6)).otherwise(lit(0.0)))
+        .withColumn("__rn", row_number().over(wk))
+        .filter(col("__rn") <= k)
+        .select("p", "o", "dist")
+    }).persist()
     val kdist = knn.groupBy(col("p"))
       .agg(max(col("dist")).as("kdist"))
     val reach = knn
@@ -92,6 +100,73 @@ object Lof {
       .withColumn("lof",
         round(when(col("lrd") > 0.0, col("__avg_lrd_o") / col("lrd")), 6))
       .select(col("p").as(idCol), col("n_neighbors"), round(col("lrd"), 6).as("lrd"), col("lof"))
+  }
+
+  /** Bucketed-mode kNN via per-bucket streaming heaps: ONE shuffle of
+    * the input points by bucket, then each point's top-k is kept in a
+    * k-heap while its bucket streams past — candidate PAIRS are never
+    * materialized as rows. The declarative self-join + window form
+    * materializes n × occupancy pair rows with both vectors copied
+    * into each (at the 200k-vector gate: ~78M rows ≈ 43 GB per pass)
+    * before the group-limit prunes them; this form shuffles the n
+    * input rows instead. Output and values are row-identical to the
+    * window form: same dot/norm fold order, same HALF_UP 6-dp
+    * rounding (the [[graft.llm.Similarity.bruteForceTopKPartitioned]]
+    * precedent, parity-spec'd in AnomalySpec), same (dist asc, o asc)
+    * tie-break. Used when planes > 0 and the id column is integral
+    * (ids travel as long through the chain); exact mode keeps the
+    * join/window plan, whose broadcast shape parallelizes the single
+    * bucket across input partitions. Per-partition memory holds the
+    * partition's points (not pairs) — bounded by input split sizing;
+    * bucket occupancy itself is bounded by [[planesFor]].
+    * Assumes a uniform-length vector column (an embedding column).
+    */
+  private def knnHeap(b: DataFrame, idCol: String, vecCol: String,
+                      k: Int): DataFrame = {
+    val spark = b.sparkSession
+    import spark.implicits._
+    // worst candidate on top: largest dist, then largest o — so the
+    // heap retains the k smallest under (dist asc, o asc)
+    val worstFirst: Ordering[(Double, Long)] =
+      Ordering.Tuple2(Ordering.Double.TotalOrdering, Ordering.Long)
+    b.select(col("__bucket"), col(idCol).cast("long"),
+        col(vecCol).cast("array<float>"), col("__n"))
+      .as[(Long, Long, Array[Float], Double)]
+      .repartition(col("__bucket"))
+      .mapPartitions { it =>
+        val byBucket = new scala.collection.mutable.HashMap[Long,
+          scala.collection.mutable.ArrayBuffer[(Long, Array[Float], Double)]]()
+        it.foreach { case (bk, id, v, n) =>
+          byBucket.getOrElseUpdate(bk,
+            new scala.collection.mutable.ArrayBuffer[(Long, Array[Float], Double)]()) +=
+            ((id, v, n))
+        }
+        byBucket.valuesIterator.flatMap { pts =>
+          pts.iterator.flatMap { case (p, vp, np) =>
+            val heap = scala.collection.mutable.PriorityQueue
+              .empty[(Double, Long)](worstFirst)
+            var i = 0
+            while (i < pts.length) {
+              val (o, vo, no) = pts(i)
+              if (o != p) {
+                val denom = np * no
+                val dist =
+                  if (denom == 0.0) 1.0
+                  else {
+                    var d = 0.0; var j = 0
+                    while (j < vp.length) { d += vp(j).toDouble * vo(j).toDouble; j += 1 }
+                    1.0 - BigDecimal(d / denom)
+                      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+                  }
+                heap.enqueue((dist, o))
+                if (heap.size > k) heap.dequeue()
+              }
+              i += 1
+            }
+            heap.iterator.map { case (dist, o) => (p, o, dist) }
+          }
+        }
+      }.toDF("p", "o", "dist")
   }
 
   /** Fit + threshold — the reference's surface: rows whose LOF exceeds

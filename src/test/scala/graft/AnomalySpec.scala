@@ -242,6 +242,37 @@ class AnomalySpec extends SparkSpec {
     assert(ids.sorted.toSeq == again.sorted.toSeq)
   }
 
+  test("LOF bucketed heap kNN is row-identical to the declarative join/window form") {
+    import graft.quality.Lof
+    // a corpus big enough that planes=2 makes several non-trivial
+    // buckets; deterministic pseudo-random embeddings
+    // ids all 4-digit so the string-id reference path tie-breaks in
+    // the same order as the numeric heap path (lexical == numeric)
+    val vecs = (1 to 400).map { i =>
+      val r = new scala.util.Random(i * 7919)
+      (1000L + i, Array.fill(8)(r.nextFloat() * 2f - 1f))
+    }.toDF("vec_id", "embedding")
+    // integral id -> per-bucket heap path
+    val heap = Lof.scores(vecs, "vec_id", "embedding", k = 5, planes = 2)
+      .select("vec_id", "n_neighbors", "lrd", "lof")
+      .as[(Long, Long, Double, Double)].collect().sortBy(_._1).toSeq
+    // string id -> the declarative join/window path, same buckets
+    val viaWindow = Lof.scores(
+        vecs.withColumn("vec_id", col("vec_id").cast("string")),
+        "vec_id", "embedding", k = 5, planes = 2)
+      .select(col("vec_id").cast("long"), col("n_neighbors"),
+        col("lrd"), col("lof"))
+      .as[(Long, Long, Double, Double)].collect().sortBy(_._1).toSeq
+    assert(heap == viaWindow)
+    assert(heap.nonEmpty && heap.size > 300) // lone-bucket points may drop
+    // physical-layout invariance of the heap path
+    val heap2 = Lof.scores(vecs.repartition(7), "vec_id", "embedding",
+        k = 5, planes = 2)
+      .select("vec_id", "n_neighbors", "lrd", "lof")
+      .as[(Long, Long, Double, Double)].collect().sortBy(_._1).toSeq
+    assert(heap2 == heap)
+  }
+
   test("ellipticBoundary degenerate axes flag nothing") {
     val flat = (1 to 50).map(i => (i.toLong, 1.0, i * 1.0)).toDF("id", "x", "y")
     assert(Anomaly.ellipticBoundary(flat, "x", "y", nu = 0.1).count() == 0L)
