@@ -28,15 +28,37 @@ import graft.llm.Similarity
   */
 object Lof {
 
-  /** Per-point LOF scores. Output: (idCol, n_neighbors, lrd, lof). */
+  /** Per-point LOF scores. Output: (idCol, n_neighbors, lrd, lof).
+    *
+    * `hotBucketCap` bounds the densest LSH bucket: real embedding
+    * corpora cluster, so hyperplane buckets are SKEWED — planesFor
+    * holds the MEAN occupancy near target, but the densest bucket can
+    * run 20× the median (measured at the sf10 gate: median 91,
+    * max 10,688 — whose 114M in-bucket pairs were the entire kNN
+    * critical path, single-threaded). Buckets above the cap sub-split
+    * deterministically (hash of the id's string form, so the split is
+    * identical whatever the id type), which bounds per-task work at
+    * cap² pairs and re-parallelizes dense regions; points then find
+    * neighbours within their sub-slice — for a DENSITY estimate a
+    * random slice of a dense region is representative, same
+    * approximation family as the bucketing itself. Set it ≤ 0 to
+    * disable (exact single-bucket mode ignores it by construction).
+    */
   def scores(df: DataFrame, idCol: String, vecCol: String,
-             k: Int = 5, planes: Int = 4): DataFrame = {
+             k: Int = 5, planes: Int = 4,
+             hotBucketCap: Int = 2048): DataFrame = {
     val bucket =
       if (planes <= 0) lit(0L) // single bucket: exact all-pairs (tests/small data)
       else Similarity.hyperplaneBucket(col(vecCol), planes)
-    val b = df.select(col(idCol), col(vecCol))
+    val b0 = df.select(col(idCol), col(vecCol))
       .withColumn("__bucket", bucket)
       .withColumn("__n", Similarity.norm(col(vecCol)))
+    // persist BEFORE the hot-bucket count: the occupancy agg, the
+    // split join, and both kNN forms reuse the bucketed rows, and the
+    // interpreted hyperplane projection is the scan's dominant cost —
+    // recomputing it per consumer would triple the stage
+    val b = if (planes <= 0 || hotBucketCap <= 0) b0
+            else splitHotBuckets(b0.persist(), idCol, planes, hotBucketCap)
     val integralId = df.schema(idCol).dataType match {
       case org.apache.spark.sql.types.ByteType |
            org.apache.spark.sql.types.ShortType |
@@ -52,7 +74,7 @@ object Lof {
     // (the returned frame is lazy, so the operator cannot unpersist
     // for its caller) — long-lived sessions should
     // `spark.catalog.clearCache()` between corpora.
-    val knn = (if (planes > 0 && integralId) knnHeap(b, idCol, vecCol, k)
+    val knn = (if (planes > 0 && integralId) knnHeap(b, idCol, vecCol, k, planes)
     else {
       val a = b.select(col("__bucket"), col(idCol).as("p"),
         col(vecCol).as("__vp"), col("__n").as("__np"))
@@ -69,11 +91,15 @@ object Lof {
       // but carries only the WindowGroupLimit-Partial survivors.
       val wk = Window.partitionBy(col("__bucket"), col("p"))
         .orderBy(col("dist").asc, col("o").asc)
+      // coalesce: graft_dot yields null on ragged vector lengths — treat
+      // a length-mismatched pair as unrelated (dist 1.0, the zero-norm
+      // convention) instead of letting the null sort first; the heap
+      // path applies the identical guard so both forms stay row-equal
       a.join(c, Seq("__bucket"))
         .filter(col("p") =!= col("o"))
         .withColumn("dist",
-          lit(1.0) - when(denom =!= 0.0,
-            round(Similarity.dot(col("__vp"), col("__vo")) / denom, 6)).otherwise(lit(0.0)))
+          lit(1.0) - coalesce(when(denom =!= 0.0,
+            round(Similarity.dot(col("__vp"), col("__vo")) / denom, 6)), lit(0.0)))
         .withColumn("__rn", row_number().over(wk))
         .filter(col("__rn") <= k)
         .select("p", "o", "dist")
@@ -102,6 +128,40 @@ object Lof {
       .select(col("p").as(idCol), col("n_neighbors"), round(col("lrd"), 6).as("lrd"), col("lof"))
   }
 
+  /** Sub-split buckets above `cap` into ceil(occ / cap) deterministic
+    * slices. The hot list is tiny by construction (a bucket must hold
+    * > cap points to enter it), so it broadcasts regardless of corpus
+    * size; sub-bucket ids extend the plane bits upward
+    * (`bucket + (slice+1) · 2^planes`), so they can never collide
+    * with an unsplit bucket. The slice hash reads the id's STRING
+    * form: the split must land identically whether the id column
+    * arrived integral (heap path) or textual (window path) — the
+    * parity spec pins exactly this.
+    */
+  private def splitHotBuckets(b: DataFrame, idCol: String, planes: Int,
+                              cap: Int): DataFrame = {
+    val hot = broadcast(
+      b.groupBy(col("__bucket")).agg(count(lit(1)).as("__occ"))
+        .filter(col("__occ") > cap)
+        .select(col("__bucket"),
+          ceil(col("__occ").cast("double") / cap).cast("long").as("__nsub")))
+    b.join(hot, Seq("__bucket"), "left")
+      .withColumn("__bucket",
+        when(col("__nsub").isNull, col("__bucket"))
+          .otherwise(col("__bucket") +
+            (pmod(xxhash64(col(idCol).cast("string")), col("__nsub")) + 1L) *
+              lit(1L << math.min(planes, 61))))
+      .drop("__nsub")
+  }
+
+  /** Buckets a task holds at once is ONE (see [[knnHeap]]); this is how
+    * many it processes in sequence — the exchange is sized so a task
+    * owns ~this many buckets, purely a parallelism/overhead knob (per-
+    * bucket CPU is constant under occupancy-stable sizing, so tasks
+    * balance by bucket count).
+    */
+  private val BucketsPerTask = 64
+
   /** Bucketed-mode kNN via per-bucket streaming heaps: ONE shuffle of
     * the input points by bucket, then each point's top-k is kept in a
     * k-heap while its bucket streams past — candidate PAIRS are never
@@ -113,58 +173,84 @@ object Lof {
     * window form: same dot/norm fold order, same HALF_UP 6-dp
     * rounding (the [[graft.llm.Similarity.bruteForceTopKPartitioned]]
     * precedent, parity-spec'd in AnomalySpec), same (dist asc, o asc)
-    * tie-break. Used when planes > 0 and the id column is integral
-    * (ids travel as long through the chain); exact mode keeps the
-    * join/window plan, whose broadcast shape parallelizes the single
-    * bucket across input partitions. Per-partition memory holds the
-    * partition's points (not pairs) — bounded by input split sizing;
-    * bucket occupancy itself is bounded by [[planesFor]].
-    * Assumes a uniform-length vector column (an embedding column).
+    * tie-break, same ragged-length convention (dist 1.0). Used when
+    * planes > 0 and the id column is integral (ids travel as long
+    * through the chain); exact mode keeps the join/window plan, whose
+    * broadcast shape parallelizes the single bucket across input
+    * partitions.
+    *
+    * Memory shape: the exchange carries an EXPLICIT partition count
+    * ∝ bucket count (2^planes ≈ n / targetBucketSize — the
+    * [[graft.llm.Dedup]] precedent: AQE coalesces small-by-bytes
+    * shuffles, blind to the per-bucket quadratic CPU behind them, and
+    * repartition-by-num is exempt from coalescing), rows are sorted
+    * within each partition by bucket (Spark's shuffle sort — spills),
+    * and the task streams ONE bucket at a time: the resident set is a
+    * single bucket (≈ occupancy, bounded by [[planesFor]]), not the
+    * partition. Buckets-per-partition can grow with n without growing
+    * task memory.
     */
   private def knnHeap(b: DataFrame, idCol: String, vecCol: String,
-                      k: Int): DataFrame = {
+                      k: Int, planes: Int): DataFrame = {
     val spark = b.sparkSession
     import spark.implicits._
     // worst candidate on top: largest dist, then largest o — so the
     // heap retains the k smallest under (dist asc, o asc)
     val worstFirst: Ordering[(Double, Long)] =
       Ordering.Tuple2(Ordering.Double.TotalOrdering, Ordering.Long)
+    val defaultParts =
+      spark.conf.get("spark.sql.shuffle.partitions", "200").toInt
+    val bucketsTotal = if (planes >= 62) Long.MaxValue else 1L << planes
+    val parts = math.max(defaultParts,
+      math.min(bucketsTotal / BucketsPerTask + 1L, 65536L).toInt)
     b.select(col("__bucket"), col(idCol).cast("long"),
         col(vecCol).cast("array<float>"), col("__n"))
       .as[(Long, Long, Array[Float], Double)]
-      .repartition(col("__bucket"))
-      .mapPartitions { it =>
-        val byBucket = new scala.collection.mutable.HashMap[Long,
-          scala.collection.mutable.ArrayBuffer[(Long, Array[Float], Double)]]()
-        it.foreach { case (bk, id, v, n) =>
-          byBucket.getOrElseUpdate(bk,
-            new scala.collection.mutable.ArrayBuffer[(Long, Array[Float], Double)]()) +=
-            ((id, v, n))
-        }
-        byBucket.valuesIterator.flatMap { pts =>
-          pts.iterator.flatMap { case (p, vp, np) =>
-            val heap = scala.collection.mutable.PriorityQueue
-              .empty[(Double, Long)](worstFirst)
-            var i = 0
-            while (i < pts.length) {
-              val (o, vo, no) = pts(i)
-              if (o != p) {
-                val denom = np * no
-                val dist =
-                  if (denom == 0.0) 1.0
-                  else {
-                    var d = 0.0; var j = 0
-                    while (j < vp.length) { d += vp(j).toDouble * vo(j).toDouble; j += 1 }
-                    1.0 - BigDecimal(d / denom)
-                      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
-                  }
-                heap.enqueue((dist, o))
-                if (heap.size > k) heap.dequeue()
+      .repartition(parts, col("__bucket"))
+      .sortWithinPartitions(col("__bucket"))
+      .mapPartitions { it0 =>
+        // rows arrive clustered by __bucket: buffer exactly one run
+        // (= one bucket), emit its heaps, then move on — at most one
+        // bucket of vectors is ever resident in the task
+        val it = it0.buffered
+        new Iterator[(Long, Long, Double)] {
+          private var out: Iterator[(Long, Long, Double)] = Iterator.empty
+          private def advance(): Unit = {
+            while (!out.hasNext && it.hasNext) {
+              val bk = it.head._1
+              val pts = new scala.collection.mutable.ArrayBuffer[
+                (Long, Array[Float], Double)]()
+              while (it.hasNext && it.head._1 == bk) {
+                val (_, id, v, n) = it.next()
+                pts += ((id, v, n))
               }
-              i += 1
+              out = pts.iterator.flatMap { case (p, vp, np) =>
+                val heap = scala.collection.mutable.PriorityQueue
+                  .empty[(Double, Long)](worstFirst)
+                var i = 0
+                while (i < pts.length) {
+                  val (o, vo, no) = pts(i)
+                  if (o != p) {
+                    val denom = np * no
+                    val dist =
+                      if (denom == 0.0 || vp.length != vo.length) 1.0
+                      else {
+                        var d = 0.0; var j = 0
+                        while (j < vp.length) { d += vp(j).toDouble * vo(j).toDouble; j += 1 }
+                        1.0 - BigDecimal(d / denom)
+                          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+                      }
+                    heap.enqueue((dist, o))
+                    if (heap.size > k) heap.dequeue()
+                  }
+                  i += 1
+                }
+                heap.iterator.map { case (dist, o) => (p, o, dist) }
+              }
             }
-            heap.iterator.map { case (dist, o) => (p, o, dist) }
           }
+          override def hasNext: Boolean = { advance(); out.hasNext }
+          override def next(): (Long, Long, Double) = { advance(); out.next() }
         }
       }.toDF("p", "o", "dist")
   }
@@ -173,8 +259,10 @@ object Lof {
     * `threshold` (1.5 is the usual starting point).
     */
   def detect(df: DataFrame, idCol: String, vecCol: String,
-             threshold: Double = 1.5, k: Int = 5, planes: Int = 4): DataFrame =
-    df.join(scores(df, idCol, vecCol, k, planes).filter(col("lof") > threshold)
+             threshold: Double = 1.5, k: Int = 5, planes: Int = 4,
+             hotBucketCap: Int = 2048): DataFrame =
+    df.join(scores(df, idCol, vecCol, k, planes, hotBucketCap)
+      .filter(col("lof") > threshold)
       .select(idCol, "lof"), Seq(idCol))
 
   /** Hyperplane count that keeps expected bucket occupancy near
@@ -202,5 +290,6 @@ object Lof {
                  threshold: Double = 1.5, k: Int = 5,
                  targetBucketSize: Int = 512): DataFrame =
     detect(df, idCol, vecCol, threshold, k,
-      planes = planesFor(df.count(), targetBucketSize))
+      planes = planesFor(df.count(), targetBucketSize),
+      hotBucketCap = 4 * targetBucketSize)
 }

@@ -273,6 +273,55 @@ class AnomalySpec extends SparkSpec {
     assert(heap2 == heap)
   }
 
+  test("LOF hot-bucket split keeps heap/window parity and bounds the dense bucket") {
+    import graft.quality.Lof
+    // 400 points, planes=2 → ~100-point buckets; cap=40 FORCES splits
+    // in every bucket — the split hash must land identically for the
+    // long-id heap path and the string-id window path
+    val vecs = (1 to 400).map { i =>
+      val r = new scala.util.Random(i * 7919)
+      (1000L + i, Array.fill(8)(r.nextFloat() * 2f - 1f))
+    }.toDF("vec_id", "embedding")
+    val heap = Lof.scores(vecs, "vec_id", "embedding", k = 5, planes = 2,
+        hotBucketCap = 40)
+      .select("vec_id", "n_neighbors", "lrd", "lof")
+      .as[(Long, Long, Double, Double)].collect().sortBy(_._1).toSeq
+    val viaWindow = Lof.scores(
+        vecs.withColumn("vec_id", col("vec_id").cast("string")),
+        "vec_id", "embedding", k = 5, planes = 2, hotBucketCap = 40)
+      .select(col("vec_id").cast("long"), col("n_neighbors"),
+        col("lrd"), col("lof"))
+      .as[(Long, Long, Double, Double)].collect().sortBy(_._1).toSeq
+    assert(heap == viaWindow)
+    assert(heap.size > 300)
+    // split actually changed the neighbourhoods vs the uncapped run
+    val uncapped = Lof.scores(vecs, "vec_id", "embedding", k = 5, planes = 2)
+      .select("vec_id", "n_neighbors", "lrd", "lof")
+      .as[(Long, Long, Double, Double)].collect().sortBy(_._1).toSeq
+    assert(heap != uncapped)
+  }
+
+  test("LOF treats ragged vector lengths as dist 1.0 in both kNN forms") {
+    import graft.quality.Lof
+    // one short vector among uniform 8-dim ones: pairs against it must
+    // score dist 1.0 (unrelated), not null (window) / throw (heap)
+    val vecs = ((1 to 60).map { i =>
+      val r = new scala.util.Random(i * 104729)
+      (2000L + i, Array.fill(8)(r.nextFloat() * 2f - 1f))
+    } :+ ((2061L, Array(0.5f, 0.5f)))).toDF("vec_id", "embedding")
+    val heap = Lof.scores(vecs, "vec_id", "embedding", k = 3, planes = 1)
+      .select("vec_id", "n_neighbors", "lrd", "lof")
+      .as[(Long, Long, Double, Double)].collect().sortBy(_._1).toSeq
+    val viaWindow = Lof.scores(
+        vecs.withColumn("vec_id", col("vec_id").cast("string")),
+        "vec_id", "embedding", k = 3, planes = 1)
+      .select(col("vec_id").cast("long"), col("n_neighbors"),
+        col("lrd"), col("lof"))
+      .as[(Long, Long, Double, Double)].collect().sortBy(_._1).toSeq
+    assert(heap == viaWindow)
+    assert(heap.size > 50)
+  }
+
   test("ellipticBoundary degenerate axes flag nothing") {
     val flat = (1 to 50).map(i => (i.toLong, 1.0, i * 1.0)).toDF("id", "x", "y")
     assert(Anomaly.ellipticBoundary(flat, "x", "y", nu = 0.1).count() == 0L)
