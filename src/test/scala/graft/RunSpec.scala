@@ -1,0 +1,125 @@
+package graft
+
+import java.io.{ByteArrayOutputStream, PrintStream}
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+/** The graft.Run CLI contract (verbs, exit codes, history recording) —
+  * driven through Run.execute so the whole code path short of
+  * SparkSession construction and sys.exit runs in-process.
+  */
+class RunSpec extends SparkSpec {
+
+  private def cli(args: String*): (Int, String) = {
+    val buf = new ByteArrayOutputStream()
+    val code = Run.execute(spark, args, new PrintStream(buf, true, "UTF-8"))
+    (code, buf.toString("UTF-8"))
+  }
+
+  private def writeDoc(body: String): String = {
+    val f = Files.createTempFile("graft_run", ".json")
+    Files.write(f, body.getBytes("UTF-8"))
+    f.toString
+  }
+
+  private val dir = TestSession.sfDir
+
+  private def jobDoc(minScore: Double, sink: Option[String] = None): String =
+    s"""{
+       |  "datasets": [
+       |    {"name": "ro", "format": "parquet", "path": "$dir/orders.parquet"}
+       |  ],
+       |  "pipeline": {"primary": "ro", "steps": [
+       |    {"type": "filter", "column": "o_totalprice", "op": ">", "value": 1000},
+       |    {"type": "select", "columns": ["o_orderkey", "o_orderstatus"]}
+       |  ]},
+       |  "quality": {"rules": [
+       |    {"rule_id": "st_allowed", "type": "allowed_values",
+       |     "column": "o_orderstatus", "values": ["zzz"]}
+       |  ], "min_score": $minScore}
+       |  ${sink.fold("")(p => s""","sink": {"path": "$p", "mode": "atomic"}""")}
+       |}""".stripMargin
+
+  test("run: job document succeeds (exit 0), gate failure exits 1, history recorded") {
+    val histDir = Files.createTempDirectory("graft_run_hist").toString + "/hist"
+    val sink = Files.createTempDirectory("graft_run_sink").toString + "/out"
+    val okDoc = writeDoc(jobDoc(0.0, Some(sink)))
+    val (okCode, okOut) = cli("run", okDoc, "--history", histDir, "--run-id", "r_ok")
+    assert(okCode == 0, okOut)
+    assert(okOut.contains("job succeeded"))
+    assert(spark.read.parquet(sink).count() > 0)
+
+    // impossible allowed-values rule + min_score 100 -> gate throws -> 1
+    val badDoc = writeDoc(jobDoc(100.0))
+    val (badCode, badOut) = cli("run", badDoc, "--history", histDir, "--run-id", "r_gate")
+    assert(badCode == 1, badOut)
+    assert(badOut.contains("run failed"))
+
+    // both runs recorded; the gate run is marked failed
+    val hist = graft.monitoring.RunHistory.load(spark, histDir)
+      .filter(col("query") === "job")
+    assert(hist.filter(col("run_id") === "r_ok" && !col("failed")).count() == 1)
+    assert(hist.filter(col("run_id") === "r_gate" && col("failed")).count() == 1)
+
+    // status verb sees them, newest first; --run-id scopes
+    val (stCode, stOut) = cli("status", "--history", histDir)
+    assert(stCode == 0)
+    assert(stOut.contains("r_ok") && stOut.contains("r_gate") &&
+      stOut.contains("FAILED") && stOut.contains("2 run(s)"))
+    val (scopeCode, scopeOut) = cli("status", "--history", histDir, "--run-id", "r_ok")
+    assert(scopeCode == 0 && scopeOut.contains("1 run(s)") && !scopeOut.contains("r_gate"))
+  }
+
+  test("run: dag document runs nodes in order; a failed node fails the run") {
+    val okDag = writeDoc(
+      s"""{"jobs": [
+         |  {"id": "b_second", "depends_on": ["a_first"],
+         |   "job": ${jobDoc(0.0)}},
+         |  {"id": "a_first", "job": ${jobDoc(0.0)}}
+         |]}""".stripMargin)
+    val (okCode, okOut) = cli("run", okDag)
+    assert(okCode == 0, okOut)
+    assert(okOut.contains("dag succeeded: 2 node(s)"))
+    assert(okOut.indexOf("node a_first") < okOut.indexOf("node b_second"))
+
+    val failDag = writeDoc(
+      s"""{"jobs": [
+         |  {"id": "gate", "job": ${jobDoc(100.0)}},
+         |  {"id": "after", "depends_on": ["gate"], "job": ${jobDoc(0.0)}}
+         |]}""".stripMargin)
+    val (failCode, failOut) = cli("run", failDag)
+    assert(failCode == 1, failOut)
+    assert(failOut.contains("gate=failed") && failOut.contains("after=skipped_upstream"))
+  }
+
+  test("validate: parses without running; bad documents exit 2") {
+    val (okCode, okOut) = cli("validate", writeDoc(jobDoc(0.0)))
+    assert(okCode == 0 && okOut.contains("valid job: 1 dataset(s), 2 step(s)"))
+    val (dagCode, dagOut) = cli("validate", writeDoc(
+      s"""{"jobs": [{"id": "only", "job": ${jobDoc(0.0)}}]}"""))
+    assert(dagCode == 0 && dagOut.contains("valid dag: 1 node(s)"))
+    // unknown top-level key -> config error, exit 2, nothing ran
+    val (badCode, badOut) = cli("validate",
+      writeDoc("""{"datasets": [], "pipelines": {}}"""))
+    assert(badCode == 2 && badOut.contains("invalid document"))
+    // a dag with a cycle fails validation too
+    val (cycCode, cycOut) = cli("validate", writeDoc(
+      s"""{"jobs": [
+         |  {"id": "x", "depends_on": ["y"], "job": ${jobDoc(0.0)}},
+         |  {"id": "y", "depends_on": ["x"], "job": ${jobDoc(0.0)}}
+         |]}""".stripMargin))
+    assert(cycCode == 2 && cycOut.contains("invalid document"))
+  }
+
+  test("usage and argument errors exit 2 without touching Spark") {
+    assert(cli()._1 == 2)
+    assert(cli("frobnicate")._1 == 2)
+    assert(cli("run")._1 == 2)
+    assert(cli("run", "/no/such/file.json")._1 == 2)
+    val (flagCode, flagOut) = cli("run", writeDoc(jobDoc(0.0)), "--histroy", "/tmp/x")
+    assert(flagCode == 2 && flagOut.contains("unknown flag: --histroy"))
+    assert(cli("status")._1 == 2)
+    assert(cli("status", "--history", "/no/such/dir")._1 == 2)
+  }
+}
