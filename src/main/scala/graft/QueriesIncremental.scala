@@ -13,6 +13,21 @@ object QueriesIncremental {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Tables.load(s, dir, name)
 
+  /** Session-lifetime ledger dir for q_incr_watermark_store, removed
+    * by a shutdown hook — repeated invocations reuse it instead of
+    * leaking one temp tree each.
+    */
+  private[graft] lazy val wmStoreDir: String = {
+    val d = java.nio.file.Files.createTempDirectory("graft_q_wmstore")
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      def del(f: java.io.File): Unit = {
+        Option(f.listFiles).foreach(_.foreach(del)); f.delete(); ()
+      }
+      del(d.toFile)
+    }))
+    d.toString + "/wm"
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // watermark extract — ref incremental_load_manager.py:118
@@ -29,8 +44,11 @@ object QueriesIncremental {
     // cut, proving write→derive→decode→filter end to end
     "q_incr_watermark_store" -> ((s, dir) => {
       import graft.incremental.WatermarkStore
-      val store = java.nio.file.Files
-        .createTempDirectory("graft_q_wmstore").toString + "/wm"
+      // ONE store per JVM, deleted on exit: repeated invocations (bench
+      // warmup + passes) re-append the same two fixed-timestamp events,
+      // which the ledger's duplicate-collapse derives identically —
+      // no per-invocation temp dirs accumulating
+      val store = QueriesIncremental.wmStoreDir
       val at = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
       // two updates + an older superseded value: `last` must pick the
       // newest event, exactly the reference's ORDER BY update_time DESC

@@ -15,10 +15,35 @@ import org.apache.spark.sql.functions._
   * (`op = update | reset`) and the current watermark is derived on
   * read: the latest `update` event strictly NEWER than the latest
   * `reset` tombstone. That keeps full history for free (the
-  * reference's history query and gap detection read it), makes
+  * reference's history query and gap detection read it) and makes
   * replays idempotent (re-appending an already-recorded event cannot
-  * change the derived value), and needs no locking — each append is
-  * one new uniquely-named file.
+  * change the derived value).
+  *
+  * Concurrency contract (no locking, by construction):
+  *  - APPENDS stage each event into a private hidden directory and
+  *    rename ONE uniquely-named file into the key's leaf — concurrent
+  *    appenders (even from separate Spark applications) never share a
+  *    staging dir, and an event becomes visible atomically or not at
+  *    all.
+  *  - COMPACT is merge-then-RETIRE, never swap: each leaf's files
+  *    merge into one new combined file that is published BEFORE
+  *    anything else happens; the merged originals are only recorded
+  *    in a hidden retirement manifest and physically deleted by the
+  *    NEXT compact, a full cycle later. So a reader at any instant
+  *    sees every event at least once (possibly twice — duplicate
+  *    event rows cannot change the derived state, which is why
+  *    [[events]] collapses exact duplicates on read), and no file a
+  *    reader's in-flight listing can still reference is ever deleted
+  *    under it (by reap time the combined replacement has been
+  *    visible since the previous compact; [[events]] additionally
+  *    reads with ignoreMissingFiles so even a pathological
+  *    minutes-long reader degrades to the combined copy, not an
+  *    error). A delete+rename swap, by contrast, has a window where
+  *    the whole key is missing and a resumed load would treat itself
+  *    as a first load. Concurrent appends survive (only pinned merged
+  *    lists are ever reaped); concurrent compacts are safe but
+  *    wasteful (both combined copies survive as collapsing duplicates
+  *    until a later cycle).
   *
   * Layout: `dir/pipeline_id=…/source_id=…/…` — partition pruning
   * turns every lookup into a scan of ONE key's bookkeeping rows
@@ -42,10 +67,15 @@ object WatermarkStore {
                              strategy: String,
                              updateTime: java.sql.Timestamp)
 
+  /** Physical file columns; pipeline_id/source_id live in the
+    * directory layout and come back through partition discovery.
+    */
+  private val eventSchemaDdl =
+    "watermark_column STRING, watermark_value STRING, value_type STRING, " +
+      "strategy STRING, op STRING, update_time TIMESTAMP"
+
   private val schemaDdl =
-    "pipeline_id STRING, source_id STRING, watermark_column STRING, " +
-      "watermark_value STRING, value_type STRING, strategy STRING, " +
-      "op STRING, update_time TIMESTAMP"
+    "pipeline_id STRING, source_id STRING, " + eventSchemaDdl
 
   /** Encode a watermark value as (string, type tag). Loud on types the
     * ledger can't round-trip — a silently stringified value would
@@ -76,20 +106,52 @@ object WatermarkStore {
         s"corrupt watermark ledger: unknown value_type '$other'")
     }
 
+  private def fsOf(spark: SparkSession, p: org.apache.hadoop.fs.Path) =
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** The hive-layout leaf for one (pipeline, source) key, partition
+    * values escaped exactly the way Spark's own partitioned writer
+    * escapes them — ledgers written by earlier partitionBy appends
+    * read back through the same paths.
+    */
+  private def leafPath(dir: String, pipelineId: String,
+                       sourceId: String): org.apache.hadoop.fs.Path = {
+    import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils.escapePathName
+    new org.apache.hadoop.fs.Path(dir,
+      s"pipeline_id=${escapePathName(pipelineId)}/" +
+        s"source_id=${escapePathName(sourceId)}")
+  }
+
   private def append(spark: SparkSession, dir: String, pipelineId: String,
                      sourceId: String, column: String, value: Option[Any],
                      strategy: String, op: String,
                      at: Option[java.sql.Timestamp]): Unit = {
     import spark.implicits._
     val (v, vt) = value.map(encode).getOrElse((null: String, null: String))
-    Seq((pipelineId, sourceId, column, v, vt, strategy, op))
-      .toDF("pipeline_id", "source_id", "watermark_column",
-        "watermark_value", "value_type", "strategy", "op")
+    val event = Seq((column, v, vt, strategy, op))
+      .toDF("watermark_column", "watermark_value", "value_type",
+        "strategy", "op")
       .withColumn("update_time",
         at.fold(current_timestamp())(ts => lit(ts)))
-      .coalesce(1) // one bookkeeping row — one tiny file per event
-      .write.mode("append").partitionBy("pipeline_id", "source_id")
-      .parquet(dir)
+    // one bookkeeping row: stage into a PRIVATE hidden dir, then move
+    // the single data file into the leaf under a unique name — no
+    // shared _temporary staging between concurrent appenders, and the
+    // event appears atomically (one rename) or not at all
+    val stamp = java.util.UUID.randomUUID().toString
+    val staging = new org.apache.hadoop.fs.Path(dir, s".__wm_append_$stamp")
+    val fs = fsOf(spark, staging)
+    event.coalesce(1).write.parquet(staging.toString)
+    try {
+      val part = fs.listStatus(staging)
+        .find(st => st.isFile && st.getPath.getName.startsWith("part-"))
+        .getOrElse(throw new java.io.IOException(
+          s"staged watermark event produced no data file under $staging"))
+      val leaf = leafPath(dir, pipelineId, sourceId)
+      fs.mkdirs(leaf)
+      val target = new org.apache.hadoop.fs.Path(leaf, s"event-$stamp.parquet")
+      if (!fs.rename(part.getPath, target))
+        throw new java.io.IOException(s"could not publish watermark event: $target")
+    } finally fs.delete(staging, true)
   }
 
   /** Record a new watermark — ref :141 update_watermark. `at` defaults
@@ -124,12 +186,20 @@ object WatermarkStore {
     val path = new org.apache.hadoop.fs.Path(dir)
     val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val all =
-      if (fs.exists(path)) spark.read.schema(schemaDdl).parquet(dir)
+      if (fs.exists(path)) spark.read.schema(schemaDdl)
+        // a reader overlapping a compact's reap phase may hold a
+        // listing with a retired original: skip it — its events are in
+        // the combined file published a full compact-cycle earlier
+        .option("ignoreMissingFiles", "true").parquet(dir)
       else spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
         org.apache.spark.sql.types.StructType.fromDDL(schemaDdl))
+    // exact-duplicate rows collapse: a reader overlapping a compact
+    // can see an event in both its original and combined file, and a
+    // replayed append re-asserts an identical row — neither may
+    // change history counts (the derived value never could)
     val keyed = all.filter(col("pipeline_id") === pipelineId &&
-      col("source_id") === sourceId)
+      col("source_id") === sourceId).dropDuplicates()
     // a column-scoped read also honors UNSCOPED resets (reference
     // parity: reset without a column clears every column's watermark)
     column.fold(keyed)(c =>
@@ -203,24 +273,87 @@ object WatermarkStore {
     hi
   }
 
-  /** Fold a long ledger back to one file per key (same derived state,
-    * fewer files) — run occasionally from housekeeping, like
-    * FileSink.compactPartitions. The fold materializes to a sibling
-    * tmp tree first and swaps via delete+rename, so a crash never
-    * loses events; a reader racing the swap window can observe a
-    * briefly-missing ledger (= empty), so run it while the pipeline
-    * is quiet.
+  /** Fold a long ledger back toward one file per key (same derived
+    * state, fewer files) — run occasionally from housekeeping, like
+    * FileSink.compactPartitions. Two phases, so a racing reader's
+    * in-flight file listing is never invalidated:
+    *
+    *  1. REAP: physically delete originals that the PREVIOUS compact
+    *     merged (recorded in hidden retirement manifests). Their
+    *     combined replacement has been visible since that compact, so
+    *     no current listing can reference them without it.
+    *  2. FOLD: per leaf with more than one visible file, merge the
+    *     pinned file list into one new uniquely-named combined file,
+    *     publish it, and write a manifest retiring the merged
+    *     originals — WITHOUT deleting them (readers mid-query still
+    *     hold them in their listings; until the next compact they are
+    *     exact duplicates, which [[events]] collapses).
+    *
+    * A crash at any point leaves at worst duplicate rows or an
+    * unreaped manifest — both healed by the next run. An event
+    * appended mid-fold is neither merged nor retired; it survives
+    * alongside the combined file.
     */
   def compact(spark: SparkSession, dir: String): Unit = {
-    // materialize the fold into a sibling tmp tree FIRST, then swap —
-    // the source files are only deleted after their replacement exists
-    val tmp = dir.stripSuffix("/") + ".__compact_tmp"
-    spark.read.schema(schemaDdl).parquet(dir)
-      .coalesce(1).write.mode("overwrite")
-      .partitionBy("pipeline_id", "source_id").parquet(tmp)
-    val dst = new org.apache.hadoop.fs.Path(dir)
-    val fs = dst.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    fs.delete(dst, true)
-    fs.rename(new org.apache.hadoop.fs.Path(tmp), dst)
+    val root = new org.apache.hadoop.fs.Path(dir)
+    val fs = fsOf(spark, root)
+    if (!fs.exists(root)) return
+    val retiredDir = new org.apache.hadoop.fs.Path(root, ".__wm_retired")
+
+    // ---- phase 1: reap the previous compact's retired originals ----
+    if (fs.exists(retiredDir)) fs.listStatus(retiredDir).foreach { m =>
+      if (m.isFile) {
+        val in = fs.open(m.getPath)
+        val listed = try scala.io.Source.fromInputStream(in, "UTF-8")
+          .getLines().toList finally in.close()
+        // relative paths: the manifest survives a ledger-tree move
+        listed.filter(_.nonEmpty).foreach(rel =>
+          fs.delete(new org.apache.hadoop.fs.Path(root, rel), false))
+        fs.delete(m.getPath, false)
+      }
+    }
+
+    // ---- phase 2: fold each leaf and retire what was merged --------
+    def leaves(p: org.apache.hadoop.fs.Path): Seq[org.apache.hadoop.fs.Path] =
+      fs.listStatus(p).toSeq.flatMap {
+        case st if st.isDirectory =>
+          val n = st.getPath.getName
+          if (n.startsWith(".") || n.startsWith("_")) Nil
+          else leaves(st.getPath)
+        case st if st.isFile &&
+          !st.getPath.getName.startsWith(".") &&
+          !st.getPath.getName.startsWith("_") => Seq(p)
+        case _ => Nil
+      }.distinct
+    val rootUri = fs.makeQualified(root).toUri
+    leaves(root).foreach { leaf =>
+      val originals = fs.listStatus(leaf).toSeq.filter(st => st.isFile &&
+        !st.getPath.getName.startsWith(".") && !st.getPath.getName.startsWith("_"))
+      if (originals.size > 1) {
+        val stamp = java.util.UUID.randomUUID().toString
+        val staging = new org.apache.hadoop.fs.Path(leaf, s".__wm_compact_$stamp")
+        spark.read.schema(eventSchemaDdl)
+          .parquet(originals.map(_.getPath.toString): _*)
+          .coalesce(1).write.parquet(staging.toString)
+        try {
+          val part = fs.listStatus(staging)
+            .find(st => st.isFile && st.getPath.getName.startsWith("part-"))
+            .getOrElse(throw new java.io.IOException(
+              s"compact produced no data file under $staging"))
+          val combined =
+            new org.apache.hadoop.fs.Path(leaf, s"compact-$stamp.parquet")
+          if (!fs.rename(part.getPath, combined))
+            throw new java.io.IOException(s"could not publish $combined")
+          // combined file is visible from here on; retire (don't
+          // delete) the merged originals for the next run's reap
+          val rels = originals.map(st => rootUri.relativize(
+            fs.makeQualified(st.getPath).toUri).getPath)
+          val out = fs.create(
+            new org.apache.hadoop.fs.Path(retiredDir, s"$stamp.list"), false)
+          try out.write(rels.mkString("\n").getBytes("UTF-8"))
+          finally out.close()
+        } finally fs.delete(staging, true)
+      }
+    }
   }
 }

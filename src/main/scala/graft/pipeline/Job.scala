@@ -198,7 +198,14 @@ object Job {
     // the ledger advances LAST, only on a fully successful run (gate
     // passed, sink written): a failed run never moves the watermark,
     // so its data re-extracts on the retry — and an EMPTY batch leaves
-    // the ledger untouched (advanceFrom's contract)
+    // the ledger untouched (advanceFrom's contract). This re-evaluates
+    // max(column) over the extraction frame — safe because the frame's
+    // FILE LISTING was pinned when Catalog.load built it (Spark's
+    // InMemoryFileIndex lists once at plan time; files landing mid-run
+    // are invisible to THIS run and belong to the next), and cheap
+    // because the aggregate prunes to the one watermark column with
+    // the range filter still pushed — not a second pass over the
+    // pipeline's working set
     spec.incremental.foreach { inc =>
       graft.incremental.WatermarkStore.advanceFrom(spark, inc.storeDir,
         inc.pipelineId, inc.sourceId, inc.column,

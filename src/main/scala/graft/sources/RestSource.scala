@@ -203,9 +203,13 @@ final case class RestSource(
   }
 
   /** ONE HTTP attempt → (status, 2xx body or null, truncated error
-    * body). PATCH rides the JDK HttpClient ([[RestSource.httpClient]])
-    * because HttpURLConnection refuses the verb; every other method
-    * keeps the keep-alive HttpURLConnection path.
+    * body). PATCH rides the JDK HttpClient ([[RestSource.clientFor]],
+    * one per distinct connect timeout so `timeoutMs` governs
+    * connection establishment on this path too) because
+    * HttpURLConnection refuses the verb; every other method keeps the
+    * keep-alive HttpURLConnection path. On BOTH paths the JSON
+    * Content-Type is a default the caller's `headers` may REPLACE
+    * (set-then-override ordering; `header` would append a duplicate).
     */
   private def doHttp(url: String, method: String,
                      reqBody: Option[String]): (Int, String, String) =
@@ -214,9 +218,9 @@ final case class RestSource(
         .timeout(java.time.Duration.ofMillis(timeoutMs.toLong))
         .method("PATCH", java.net.http.HttpRequest.BodyPublishers
           .ofString(reqBody.getOrElse(""), StandardCharsets.UTF_8))
-        .header("Content-Type", "application/json")
-      (headers ++ authHeaders).foreach { case (k, v) => builder.header(k, v) }
-      val resp = RestSource.httpClient.send(builder.build(),
+        .setHeader("Content-Type", "application/json")
+      (headers ++ authHeaders).foreach { case (k, v) => builder.setHeader(k, v) }
+      val resp = RestSource.clientFor(timeoutMs).send(builder.build(),
         java.net.http.HttpResponse.BodyHandlers.ofString())
       val code = resp.statusCode()
       if (code >= 200 && code < 300) (code, resp.body(), "")
@@ -225,10 +229,11 @@ final case class RestSource(
       val conn = new URI(url).toURL.openConnection().asInstanceOf[HttpURLConnection]
       conn.setConnectTimeout(timeoutMs)
       conn.setReadTimeout(timeoutMs)
+      reqBody.foreach(_ =>
+        conn.setRequestProperty("Content-Type", "application/json"))
       (headers ++ authHeaders).foreach { case (k, v) => conn.setRequestProperty(k, v) }
       if (method != "GET") conn.setRequestMethod(method)
       reqBody.foreach { b =>
-        conn.setRequestProperty("Content-Type", "application/json")
         conn.setDoOutput(true)
         val os = conn.getOutputStream
         try os.write(b.getBytes(StandardCharsets.UTF_8)) finally os.close()
@@ -422,14 +427,21 @@ object RestSource {
     */
   final case class WriteStats(written: Long, failed: Long)
 
-  /** Per-JVM HttpClient for the verbs HttpURLConnection refuses
-    * (PATCH). Connection pooling is internal to the client; request
-    * timeouts are set per request from the source's `timeoutMs`.
+  /** Per-JVM HttpClients for the verbs HttpURLConnection refuses
+    * (PATCH), ONE PER DISTINCT CONNECT TIMEOUT so a source's
+    * `timeoutMs` governs connection establishment as well as the
+    * per-request timeout (the builder pins connectTimeout at
+    * construction). Connection pooling is internal to each client;
+    * distinct timeout values are config-bounded, so the map is tiny.
     */
-  private[sources] lazy val httpClient: java.net.http.HttpClient =
-    java.net.http.HttpClient.newBuilder()
-      .connectTimeout(java.time.Duration.ofSeconds(30))
-      .build()
+  private val clients =
+    new java.util.concurrent.ConcurrentHashMap[Int, java.net.http.HttpClient]()
+
+  private[sources] def clientFor(timeoutMs: Int): java.net.http.HttpClient =
+    clients.computeIfAbsent(timeoutMs, t =>
+      java.net.http.HttpClient.newBuilder()
+        .connectTimeout(java.time.Duration.ofMillis(t.toLong))
+        .build())
 
   /** Per-JVM OAuth2 token cache: (token_url, client_id, client_secret,
     * scope) → (access_token, refreshAfterEpochMs). The key is the FULL

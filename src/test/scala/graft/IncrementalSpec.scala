@@ -231,7 +231,8 @@ class IncrementalSpec extends SparkSpec {
       ts("2024-02-01 00:00:00"))
 
     // replay idempotence: re-appending an already-recorded event (a
-    // retried run re-asserting its own watermark) changes nothing
+    // retried run re-asserting its own watermark) changes nothing —
+    // including history, where the identical row collapses on read
     WatermarkStore.update(spark, dir, "p1", "orders", "o_orderdate",
       ts("2024-02-01 00:00:00"), at = Some(ts("2024-02-01 01:00:00")))
     assert(WatermarkStore.last(spark, dir, "p1", "orders").get.value ==
@@ -240,8 +241,7 @@ class IncrementalSpec extends SparkSpec {
     // history: newest first, update events only, full value fidelity
     val h = WatermarkStore.history(spark, dir, "p1", "orders", "o_orderdate")
       .select("watermark_value").as[String].collect()
-    assert(h.toSeq == Seq("2024-02-01 00:00:00.0", "2024-02-01 00:00:00.0",
-      "2024-01-01 00:00:00.0"))
+    assert(h.toSeq == Seq("2024-02-01 00:00:00.0", "2024-01-01 00:00:00.0"))
 
     // reset tombstones: last goes empty, history survives for audit,
     // and a NEWER update takes over again
@@ -250,7 +250,7 @@ class IncrementalSpec extends SparkSpec {
     assert(WatermarkStore.last(spark, dir, "p1", "orders").isEmpty)
     assert(WatermarkStore.last(spark, dir, "p1", "events").nonEmpty) // untouched
     assert(WatermarkStore.history(spark, dir, "p1", "orders", "o_orderdate")
-      .count() == 3)
+      .count() == 2)
     WatermarkStore.update(spark, dir, "p1", "orders", "o_orderdate",
       ts("2024-03-05 00:00:00"), at = Some(ts("2024-03-05 01:00:00")))
     assert(WatermarkStore.last(spark, dir, "p1", "orders").get.value ==
@@ -284,6 +284,96 @@ class IncrementalSpec extends SparkSpec {
     WatermarkStore.update(spark, dir, "p1", "seqsrc", "seq", 10L,
       strategy = "sequence", at = Some(ts("2024-04-01 00:00:00")))
     assert(WatermarkStore.last(spark, dir, "p1", "seqsrc").get.value == 10L)
+  }
+
+  test("WatermarkStore.compact: merge-then-retire — racing readers never see an empty key, crash states only duplicate") {
+    import graft.incremental.WatermarkStore
+    val dir = java.nio.file.Files.createTempDirectory("graft_wmrace").toString + "/wm"
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    // 6 events on one key, 2 on another — many small files
+    (1 to 6).foreach(i => WatermarkStore.update(spark, dir, "px", "src", "c",
+      i.toLong, strategy = "sequence", at = Some(ts(s"2024-01-0$i 00:00:00"))))
+    (1 to 2).foreach(i => WatermarkStore.update(spark, dir, "px", "other", "c",
+      (10 + i).toLong, strategy = "sequence", at = Some(ts(s"2024-02-0$i 00:00:00"))))
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def leafFiles(src: String) = fs.listStatus(new org.apache.hadoop.fs.Path(
+        s"$dir/pipeline_id=px/source_id=$src")).toSeq
+      .filter(st => st.isFile && !st.getPath.getName.startsWith(".") &&
+        !st.getPath.getName.startsWith("_"))
+    assert(leafFiles("src").size == 6)
+
+    // racing readers: hammer `last` from another thread while compact
+    // runs — fold publishes the combined file and only RETIRES the
+    // originals (no file a reader's listing references is deleted),
+    // so every observation must be Some(6), and none may throw
+    val seen = new java.util.concurrent.ConcurrentLinkedQueue[Option[Any]]()
+    val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val readerErr = new java.util.concurrent.atomic.AtomicReference[Throwable]()
+    val reader = new Thread(() => {
+      try {
+        while (!stop.get())
+          seen.add(WatermarkStore.last(spark, dir, "px", "src").map(_.value))
+      } catch { case t: Throwable => readerErr.set(t) }
+    })
+    reader.start()
+    try WatermarkStore.compact(spark, dir)
+    finally { stop.set(true); reader.join(30000) }
+    assert(readerErr.get() == null, s"racing reader threw: ${readerErr.get()}")
+    assert(!seen.isEmpty)
+    seen.forEach(v => assert(v.contains(6L), s"racing reader saw $v"))
+    // after ONE compact: combined file published, originals retired
+    // but still present (duplicates collapse on read)
+    assert(leafFiles("src").exists(_.getPath.getName.startsWith("compact-")))
+    assert(leafFiles("src").size == 7)
+    assert(WatermarkStore.last(spark, dir, "px", "src").get.value == 6L)
+    assert(WatermarkStore.last(spark, dir, "px", "other").get.value == 12L)
+    assert(WatermarkStore.history(spark, dir, "px", "src", "c").count() == 6)
+
+    // a racing reader over the SECOND compact (the reap phase) must
+    // also stay green: its listing can only pair retired originals
+    // WITH the long-visible combined file
+    val seen2 = new java.util.concurrent.ConcurrentLinkedQueue[Option[Any]]()
+    stop.set(false)
+    val reader2 = new Thread(() => {
+      try {
+        while (!stop.get())
+          seen2.add(WatermarkStore.last(spark, dir, "px", "src").map(_.value))
+      } catch { case t: Throwable => readerErr.set(t) }
+    })
+    reader2.start()
+    try WatermarkStore.compact(spark, dir)
+    finally { stop.set(true); reader2.join(30000) }
+    assert(readerErr.get() == null, s"racing reader threw: ${readerErr.get()}")
+    seen2.forEach(v => assert(v.contains(6L), s"racing reader saw $v"))
+    // after TWO compacts: originals reaped, one file per key
+    assert(leafFiles("src").size == 1 && leafFiles("other").size == 1)
+    assert(WatermarkStore.history(spark, dir, "px", "src", "c").count() == 6)
+
+    // crash-state simulation: a compact that died after publishing its
+    // combined file but before writing the manifest leaves duplicates
+    // (combined copy + still-live originals) -> collapse on read, and
+    // later compacts fold the debris away
+    WatermarkStore.update(spark, dir, "px", "src", "c", 7L,
+      strategy = "sequence", at = Some(ts("2024-01-07 00:00:00")))
+    val combined = leafFiles("src").find(_.getPath.getName.startsWith("compact-")).get
+    val copy = new org.apache.hadoop.fs.Path(
+      combined.getPath.getParent, "compact-crashcopy.parquet")
+    org.apache.hadoop.fs.FileUtil.copy(fs, combined.getPath, fs, copy,
+      false, spark.sparkContext.hadoopConfiguration)
+    assert(WatermarkStore.last(spark, dir, "px", "src").get.value == 7L)
+    assert(WatermarkStore.history(spark, dir, "px", "src", "c").count() == 7)
+    WatermarkStore.compact(spark, dir) // fold (retire the three files)
+    WatermarkStore.compact(spark, dir) // reap
+    assert(leafFiles("src").size == 1)
+    assert(WatermarkStore.last(spark, dir, "px", "src").get.value == 7L)
+    assert(WatermarkStore.history(spark, dir, "px", "src", "c").count() == 7)
+
+    // an event appended between fold and reap survives both phases
+    WatermarkStore.update(spark, dir, "px", "other", "c", 13L,
+      strategy = "sequence", at = Some(ts("2024-02-03 00:00:00")))
+    WatermarkStore.compact(spark, dir)
+    assert(WatermarkStore.last(spark, dir, "px", "other").get.value == 13L)
   }
 
   test("Job incremental section: resumes from the stored watermark, advances only on success") {
