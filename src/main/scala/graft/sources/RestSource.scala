@@ -165,6 +165,16 @@ final case class RestSource(
   /** POST with a JSON body through the same retry/auth machinery. */
   def fetchPost(url: String, body: String): String = request(url, Some(body), "POST")
 
+  /** Lightweight connectivity pre-flight — ref base_connector.py:137
+    * test_connection / connector_factory.py:196: one first-page GET
+    * through the same auth/retry machinery; true on success, false on
+    * any failure, NEVER throws. The cheap "will the real read work"
+    * answer a config-driven pipeline wants before scheduling the fan-out.
+    */
+  def validate(): Boolean =
+    try { fetch(pageUrl(1)); true }
+    catch { case scala.util.control.NonFatal(_) => false }
+
   private def request(url: String, reqBody: Option[String],
                       method: String): String = {
     var attempt = 0
@@ -499,6 +509,16 @@ final case class NoSqlSource(kind: String, // mongodb | cassandra | dynamodb | m
 
   def reader(spark: SparkSession): org.apache.spark.sql.DataFrameReader =
     spark.read.format(format).options(options)
+
+  /** Connectivity pre-flight (ref base_connector.py:137
+    * test_connection): a limit-1 probe through the real connector;
+    * false on ANY failure — including a missing connector jar, which
+    * is exactly what a deploy-time pre-flight should catch — never
+    * throws.
+    */
+  def validate(spark: SparkSession): Boolean =
+    try { reader(spark).load().limit(1).collect(); true }
+    catch { case scala.util.control.NonFatal(_) => false }
 }
 
 /** NoSQL sink — ref nosql_connector.py:141 `write(data, collection,

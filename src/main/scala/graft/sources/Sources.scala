@@ -301,6 +301,90 @@ final case class JdbcSource(url: String, table: String,
   }
   def reader(spark: SparkSession): DataFrameReader =
     spark.read.format("jdbc").options(options)
+
+  /** Driver-side metadata connection with this source's credentials —
+    * the probes below are pre-flight METADATA calls (a handful of
+    * rows), which is exactly the driver's job; the data path stays on
+    * [[reader]]'s distributed scan.
+    */
+  private def withConnection[A](f: java.sql.Connection => A): A = {
+    val props = new java.util.Properties()
+    if (user.nonEmpty) props.setProperty("user", user)
+    if (password.nonEmpty) props.setProperty("password", password)
+    extra.get("driver").foreach(Class.forName)
+    val c = java.sql.DriverManager.getConnection(url, props)
+    try f(c) finally c.close()
+  }
+
+  /** The name as the engine's catalog stores it (Derby/Oracle fold
+    * unquoted identifiers to upper case, Postgres to lower) — so
+    * `tableExists("orders_rt")` matches what an unquoted
+    * `CREATE TABLE orders_rt` actually created.
+    */
+  private def storedName(md: java.sql.DatabaseMetaData, name: String): String =
+    if (md.storesUpperCaseIdentifiers()) name.toUpperCase(java.util.Locale.ROOT)
+    else if (md.storesLowerCaseIdentifiers()) name.toLowerCase(java.util.Locale.ROOT)
+    else name
+
+  /** Pre-flight existence probe — ref database_utils.py:495
+    * table_exists, re-expressed over JDBC DatabaseMetaData instead of
+    * per-dialect information_schema queries (one code path for every
+    * engine). `name` defaults to this source's table.
+    */
+  def tableExists(name: String = table): Boolean = withConnection { c =>
+    val md = c.getMetaData
+    val rs = md.getTables(null, null, storedName(md, name),
+      Array("TABLE", "VIEW"))
+    try rs.next() finally rs.close()
+  }
+
+  /** Column metadata for a table — ref database_utils.py:434
+    * get_table_info (same fields: column_name, data_type, is_nullable,
+    * column_default, in ordinal order). Returns an EMPTY frame when
+    * the table does not exist (the reference returns None), so a
+    * config-driven pipeline can pre-flight "does the target exist and
+    * what are its columns" without a raw query.
+    */
+  def tableInfo(spark: SparkSession, name: String = table): DataFrame = {
+    val rows = withConnection { c =>
+      val md = c.getMetaData
+      val rs = md.getColumns(null, null, storedName(md, name), null)
+      val buf = Seq.newBuilder[(String, String, String, String, String, Int)]
+      try while (rs.next()) buf += ((
+        rs.getString("TABLE_NAME"), rs.getString("COLUMN_NAME"),
+        rs.getString("TYPE_NAME"), rs.getString("IS_NULLABLE"),
+        rs.getString("COLUMN_DEF"), rs.getInt("ORDINAL_POSITION")))
+      finally rs.close()
+      buf.result()
+    }
+    import spark.implicits._
+    rows.toDF("table_name", "column_name", "data_type", "is_nullable",
+        "column_default", "ordinal_position")
+      .orderBy("ordinal_position")
+  }
+
+  /** Connectivity probe — ref database_utils.py:574 health_check:
+    * (healthy, response_ms, error), never throws. Uses JDBC's own
+    * `Connection.isValid` instead of a dialect-specific `SELECT 1`
+    * (Derby, for one, has no FROM-less SELECT).
+    */
+  /** Boolean pre-flight — the reference's test_connection contract
+    * (connector_factory.py:196); [[healthCheck]] carries the detail.
+    */
+  def validate(timeoutSec: Int = 5): Boolean = healthCheck(timeoutSec)._1
+
+  def healthCheck(timeoutSec: Int = 5): (Boolean, Long, Option[String]) = {
+    val start = System.nanoTime()
+    try {
+      val ok = withConnection(_.isValid(timeoutSec))
+      ((ok, (System.nanoTime() - start) / 1000000L,
+        if (ok) None else Some("connection reports invalid")))
+    } catch {
+      case scala.util.control.NonFatal(e) =>
+        (false, (System.nanoTime() - start) / 1000000L,
+          Some(Option(e.getMessage).getOrElse(e.getClass.getName)))
+    }
+  }
 }
 
 /** JDBC sink — ref relational_connector.py:117. The reference's three

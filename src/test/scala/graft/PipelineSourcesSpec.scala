@@ -993,6 +993,46 @@ class PipelineSourcesSpec extends SparkSpec {
       JdbcSink.write(src, url, "ORDERS_RT", "upsert", drv))
   }
 
+  test("JDBC metadata probes: tableExists / tableInfo / healthCheck against live Derby") {
+    System.setProperty("derby.system.home", "/tmp/graft-derby")
+    val url = s"jdbc:derby:memory:graftmeta;create=true"
+    val drv = Map("driver" -> "org.apache.derby.iapi.jdbc.AutoloadedDriver")
+    val src = table("orders").limit(5)
+      .select($"o_orderkey", $"o_orderstatus", $"o_totalprice")
+    JdbcSink.write(src, url, "META_RT", "overwrite", drv)
+    val j = JdbcSource(url, "META_RT", extra = drv)
+
+    // existence: stored-case folding means the lowercase name the
+    // config carries still matches Derby's uppercased catalog entry
+    assert(j.tableExists())
+    assert(j.tableExists("meta_rt"))
+    assert(!j.tableExists("NO_SUCH_TABLE"))
+
+    // column metadata in ordinal order with nullability (Spark's JDBC
+    // writer QUOTES column identifiers, so their case is preserved
+    // even though the unquoted table name folded to upper)
+    val info = j.tableInfo(spark)
+    assert(info.select("column_name").as[String].collect().toSeq ==
+      Seq("o_orderkey", "o_orderstatus", "o_totalprice"))
+    assert(info.select("table_name").distinct().as[String].collect().toSeq ==
+      Seq("META_RT"))
+    assert(info.select("is_nullable").as[String].collect()
+      .forall(v => v == "YES" || v == "NO"))
+    // a missing table is an EMPTY frame (reference returns None), not an error
+    assert(j.tableInfo(spark, "NO_SUCH_TABLE").isEmpty)
+
+    // health: live URL healthy with a bounded response time; a dead
+    // URL reports unhealthy with the error carried, never throws
+    val (ok, ms, err) = j.healthCheck()
+    assert(ok && ms >= 0 && err.isEmpty)
+    assert(j.validate())
+    val dead = JdbcSource("jdbc:derby:memory:definitely_absent_db", "X",
+      extra = drv)
+    val (bad, _, badErr) = dead.healthCheck()
+    assert(!bad && badErr.nonEmpty)
+    assert(!dead.validate())
+  }
+
   test("IncrementalSource pushes the watermark filter into the scan") {
     val df = IncrementalSource.read(spark, "parquet",
       s"${TestSession.sfDir}/orders.parquet", "o_orderkey", 1000L)

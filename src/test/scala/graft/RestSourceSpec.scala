@@ -420,6 +420,27 @@ class RestSourceSpec extends SparkSpec with org.scalatest.BeforeAndAfterAll {
     assert(mongo.reader(spark) != null)
   }
 
+  test("validate: connectivity pre-flight is true live, false on dead targets, never throws") {
+    // REST: live endpoint true; 404 endpoint and dead port false
+    assert(RestSource(base, "/api/items").validate())
+    assert(!RestSource(base, "/api/secret", maxRetries = 0).validate())
+    assert(!RestSource("http://127.0.0.1:1", "/nope", maxRetries = 0,
+      timeoutMs = 500).validate())
+    // NoSQL memory store: present collection true; absent false;
+    // unknown connector class false (missing-driver pre-flight)
+    import spark.implicits._
+    graft.sources.KvStore.put("vdb", "vcol",
+      Seq((1L, "a")).toDF("id", "name"))
+    try {
+      assert(NoSqlSource("memory", database = "vdb", collection = "vcol")
+        .validate(spark))
+      assert(!NoSqlSource("memory", database = "vdb", collection = "absent")
+        .validate(spark))
+      assert(!NoSqlSource("mongodb", uri = "mongodb://127.0.0.1:1",
+        database = "x", collection = "y").validate(spark))
+    } finally graft.sources.KvStore.drop("vdb", "vcol")
+  }
+
   test("NoSqlSource memory kind round-trips through the DSv2 KvSource live") {
     import spark.implicits._
     import graft.sources.KvStore
