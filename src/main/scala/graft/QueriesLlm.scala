@@ -188,6 +188,39 @@ object QueriesLlm {
         k = 5, targetBucketSize = 512)
     }),
 
+    // recall TELEMETRY at the adaptive operating point: per-query
+    // |LSH ∩ exact| / |exact| over a deterministic subsample —
+    // registered so the occupancy-stable flips' recall profile is
+    // visible per ROUND in CORRECTNESS, not only at spec scale.
+    // Rows-only (hyperplane LSH is not SQL-expressible);
+    // q_sim_lsh_recall_exact hash-proves the recall harness itself.
+    "q_sim_lsh_recall" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val queries = e.filter(pmod(col("vec_id"), lit(29)) === 0)
+        .select(col("vec_id").as("query_id"), col("embedding"))
+      Similarity.recallAtK(
+        Similarity.lshTopKAuto(e, queries, "vec_id", "query_id", "embedding", k = 10),
+        // the per-partition-heap exact form (row-identical to
+        // bruteForceTopK by spec): the ranking shuffle carries
+        // partitions × |queries| × k rows, not |corpus| × |queries| —
+        // the exact side must not be the scale ceiling of the telemetry
+        Similarity.bruteForceTopKPartitioned(e, queries, "vec_id", "query_id",
+          "embedding", k = 10))
+    }),
+
+    // degenerate single-bucket LSH == exact brute force, so recall
+    // must be EXACTLY 1.0 per query — the SQL-checkable proof that
+    // recallAtK's join/count/divide machinery is right
+    "q_sim_lsh_recall_exact" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val queries = e.filter(pmod(col("vec_id"), lit(29)) === 0)
+        .select(col("vec_id").as("query_id"), col("embedding"))
+      Similarity.recallAtK(
+        Similarity.lshTopK(e, queries, "vec_id", "query_id", "embedding",
+          k = 10, planes = 0),
+        Similarity.bruteForceTopK(e, queries, "vec_id", "query_id", "embedding", k = 10))
+    }),
+
     // end-to-end corpus cleaning: quality gate → exact dedup → stats
     // (the composed shape of a real training-data prep pass)
     "q_corpus_clean" -> ((s, dir) => {
@@ -457,6 +490,19 @@ object QueriesLlm {
          |        ORDER BY sim DESC, neighbor_id ASC) AS rnk FROM p)
          |SELECT query_id, neighbor_id, sim, CAST(rnk AS BIGINT) AS rnk
          |FROM r WHERE rnk <= 5""".stripMargin,
+
+    // the recall harness over two identical exact sides: every
+    // subsampled query must score found == expected == least(10, n-1)
+    // and recall exactly 1.0
+    "q_sim_lsh_recall_exact" ->
+      s"""WITH p AS (
+         |  SELECT b.vec_id AS query_id, a.vec_id AS neighbor_id, ROUND($dcos, 6) AS sim
+         |  FROM embeddings a JOIN embeddings b ON b.vec_id % 29 = 0 AND a.vec_id <> b.vec_id),
+         |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+         |        ORDER BY sim DESC, neighbor_id ASC) AS rnk FROM p),
+         |t AS (SELECT query_id, count(*) AS expected FROM r WHERE rnk <= 10 GROUP BY 1)
+         |SELECT query_id, expected AS found, expected,
+         |       CAST(1.0 AS DOUBLE) AS recall FROM t""".stripMargin,
 
     // exhaustive-mode ANN == exact brute force, same oracle as q_sim_topk
     "q_sim_lsh_full" ->

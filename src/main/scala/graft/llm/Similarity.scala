@@ -179,15 +179,33 @@ object Similarity {
   /** Approximate top-k: candidates restricted to the query's
     * hyperplane bucket, then exact cosine rank within it. Fewer planes
     * → bigger buckets → higher recall & cost.
+    *
+    * `multiProbe` additionally probes every bucket at Hamming
+    * distance 1 from the query's (classic multi-probe LSH: a true
+    * neighbour that landed one unlucky hyperplane away is recovered
+    * instead of lost). The corpus is hashed ONCE either way — only
+    * the broadcast query side fans out to planes + 1 bucket keys, so
+    * the per-query candidate pool grows to ~(planes + 1) × occupancy:
+    * LOGARITHMIC in the corpus under occupancy-stable sizing (planes
+    * ≈ log2(n / target)), the right recall-vs-cost curve for a
+    * registered operating point (single-probe recall@10 measured
+    * 0.39 / 0.27 at the sf0.1 / sf1 gates; multi-probe re-measured in
+    * PLANS.md r14). A corpus point lives in exactly one bucket, so a
+    * (query, candidate) pair can never appear twice — no dedup stage.
     */
   def lshTopK(corpus: DataFrame, queries: DataFrame,
               corpusId: String, queryId: String, vecCol: String,
-              k: Int, planes: Int = 8): DataFrame = {
+              k: Int, planes: Int = 8, multiProbe: Boolean = false): DataFrame = {
     val cb = corpus.withColumn("__bucket", hyperplaneBucket(col(vecCol), planes))
       .withColumn("__cnorm", norm(col(vecCol)))
-    val qb = queries.select(col(queryId), col(vecCol).as("__qvec"))
-      .withColumn("__bucket", hyperplaneBucket(col("__qvec"), planes))
+    val qBucket = hyperplaneBucket(col("__qvec"), planes)
+    val qb0 = queries.select(col(queryId), col(vecCol).as("__qvec"))
       .withColumn("__qnorm", norm(col("__qvec")))
+    val qb =
+      if (!multiProbe || planes <= 0) qb0.withColumn("__bucket", qBucket)
+      else qb0.withColumn("__bucket", explode(array(
+        qBucket +: (0 until planes).map(i =>
+          qBucket.bitwiseXOR(lit(1L << i))): _*)))
     val w = Window.partitionBy(col(queryId))
       .orderBy(col("sim").desc, col(corpusId).asc)
     val denom = col("__cnorm") * col("__qnorm")
@@ -202,15 +220,41 @@ object Similarity {
   }
 
   /** [[lshTopK]] with `planes` sized from the corpus (one count()
-    * scan): per-query candidate pools stay ~`targetBucketSize` as the
-    * corpus grows, instead of growing linearly under a fixed plane
-    * count.
+    * scan) and Hamming-1 multi-probe on: per-query candidate pools
+    * stay ~(planes + 1) × `targetBucketSize` as the corpus grows —
+    * log-bounded cost with the recall the probes buy back — instead
+    * of growing linearly under a fixed plane count.
     */
   def lshTopKAuto(corpus: DataFrame, queries: DataFrame,
                   corpusId: String, queryId: String, vecCol: String,
                   k: Int, targetBucketSize: Int = 512): DataFrame =
     lshTopK(corpus, queries, corpusId, queryId, vecCol, k,
-      planes = planesFor(corpus.count(), targetBucketSize))
+      planes = planesFor(corpus.count(), targetBucketSize), multiProbe = true)
+
+  /** Per-query recall of an approximate top-k against the exact one:
+    * (query_id, found, expected, recall) where found counts the
+    * (query_id, neighbor_id) pairs the approximate result shares with
+    * the exact result and expected is the exact result's size (≤ k —
+    * the denominator that stays honest when the corpus is smaller
+    * than k). Both inputs are any frame with query_id / neighbor_id
+    * columns ([[bruteForceTopK]] / [[lshTopK]] / [[graft.llm.Ivf.topK]]
+    * shapes). The join carries |queries| × k rows a side — telemetry
+    * is cheap at any corpus size because only the query subsample
+    * fans out.
+    */
+  def recallAtK(approx: DataFrame, exact: DataFrame): DataFrame = {
+    val a = approx.select(col("query_id"), col("neighbor_id"))
+    val e = exact.select(col("query_id"), col("neighbor_id"))
+    val hits = e.join(a, Seq("query_id", "neighbor_id"), "left_semi")
+      .groupBy(col("query_id")).agg(count(lit(1)).as("found"))
+    e.groupBy(col("query_id")).agg(count(lit(1)).as("expected"))
+      .join(hits, Seq("query_id"), "left")
+      .select(col("query_id"),
+        coalesce(col("found"), lit(0L)).as("found"),
+        col("expected"),
+        round(coalesce(col("found"), lit(0L)).cast("double") /
+          col("expected"), 6).as("recall"))
+  }
 
   // ---- int8 scalar quantization --------------------------------------
 

@@ -144,9 +144,57 @@ class SearchSpec extends SparkSpec {
     val autoTop = Similarity.lshTopKAuto(e, q, "vec_id", "qid", "embedding", k = 3)
       .orderBy("query_id", "rnk").collect().toSeq
     val manualTop = Similarity.lshTopK(e, q, "vec_id", "qid", "embedding",
-      k = 3, planes = Similarity.planesFor(n))
+      k = 3, planes = Similarity.planesFor(n), multiProbe = true)
       .orderBy("query_id", "rnk").collect().toSeq
     assert(autoTop == manualTop && autoTop.nonEmpty)
+    // multi-probe only ever ADDS candidates: single-probe hits stay a
+    // subset, and the Hamming-1 fan-out must not duplicate any pair
+    val single = Similarity.lshTopK(e, q, "vec_id", "qid", "embedding",
+      k = 3, planes = Similarity.planesFor(n))
+    val multi = Similarity.lshTopK(e, q, "vec_id", "qid", "embedding",
+      k = 3, planes = Similarity.planesFor(n), multiProbe = true)
+    assert(multi.select("query_id", "neighbor_id").distinct().count() ==
+      multi.select("query_id", "neighbor_id").count())
+    val sRecall = Similarity.recallAtK(single,
+      Similarity.bruteForceTopK(e, q, "vec_id", "qid", "embedding", k = 3))
+      .agg(org.apache.spark.sql.functions.avg("recall")).head().getDouble(0)
+    val mRecall = Similarity.recallAtK(multi,
+      Similarity.bruteForceTopK(e, q, "vec_id", "qid", "embedding", k = 3))
+      .agg(org.apache.spark.sql.functions.avg("recall")).head().getDouble(0)
+    assert(mRecall >= sRecall, s"multi-probe lost recall: $mRecall < $sRecall")
+  }
+
+  test("recallAtK: identical sides score 1.0, planted partial overlap counts exactly, missing query scores 0") {
+    import spark.implicits._
+    import graft.llm.Similarity
+    val exact = Seq(
+      (1L, 10L), (1L, 11L), (1L, 12L),
+      (2L, 20L), (2L, 21L),
+      (3L, 30L)).toDF("query_id", "neighbor_id")
+    // q1 finds 2 of 3, q2 finds both (plus a non-exact extra that must
+    // NOT count), q3 finds nothing (absent from the approx side)
+    val approx = Seq(
+      (1L, 10L), (1L, 12L), (1L, 99L),
+      (2L, 21L), (2L, 20L), (2L, 98L)).toDF("query_id", "neighbor_id")
+    val r = Similarity.recallAtK(approx, exact)
+      .orderBy("query_id")
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    assert(r == Seq((1L, 2L, 3L, 0.666667), (2L, 2L, 2L, 1.0), (3L, 0L, 1L, 0.0)))
+    // identical frames: recall exactly 1.0 everywhere
+    val same = Similarity.recallAtK(exact, exact)
+      .select("recall").as[Double].collect()
+    assert(same.nonEmpty && same.forall(_ == 1.0))
+    // live: adaptive LSH on the spec corpus keeps a sane floor against
+    // brute force (drift here shows up in q_sim_lsh_recall per round)
+    val e = table("embeddings")
+    val q = e.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("qid"), col("embedding"))
+    val live = Similarity.recallAtK(
+      Similarity.lshTopKAuto(e, q, "vec_id", "qid", "embedding", k = 5),
+      Similarity.bruteForceTopK(e, q, "vec_id", "qid", "embedding", k = 5))
+    val avg = live.agg(org.apache.spark.sql.functions.avg("recall"))
+      .head().getDouble(0)
+    assert(avg >= 0.5, s"adaptive LSH recall collapsed: $avg")
   }
 
   test("sampled IVF build: small corpora equal the exact build; forced sampling keeps the laws") {
