@@ -270,13 +270,25 @@ object Dedup {
 
   /** Exact prefix-filtered set-similarity join (AllPairs/PPJoin family:
     * Bayardo et al. WWW'07, Xiao et al. WWW'08): a pair with Jaccard
-    * >= t over sorted hashed shingle sets MUST share one of each side's
-    * first `|S| - ceil(t*|S|) + 1` elements, so postings are built from
-    * those prefixes only — O((1-t) x corpus tokens) instead of every
-    * token — and candidates additionally pass the length filter
-    * `t*|A| <= |B| <= |A|/t` before the merge-walk verification. Exact
-    * (no recall loss), and the safe route for blocks too large for the
-    * all-pairs native path. Output: (id_a, id_b, jacc).
+    * >= t over shingle sets ordered by ONE global total order MUST
+    * share one of each side's first `|S| - ceil(t*|S|) + 1` elements,
+    * so postings are built from those prefixes only — O((1-t) x corpus
+    * tokens) instead of every token — and candidates additionally pass
+    * the length filter `t*|A| <= |B| <= |A|/t` before the merge-walk
+    * verification. Exact (no recall loss), and the safe route for
+    * blocks too large for the all-pairs native path.
+    *
+    * The global order is ASCENDING per-block document frequency (ties
+    * by token value) — AllPairs' core trick, not an optimization
+    * detail: the theorem holds under ANY consistent order, but the
+    * prefix under hash order is ~random tokens, whose posting lists
+    * are stopword-sized and whose self-join goes quadratic (measured
+    * at the sf10 gate: 58.2M candidates for 50k docs, 208 s in the
+    * candidate join, against 3,839 true pairs). Rarest-first prefixes
+    * make each posting list as short as the corpus allows; the
+    * frequency map is one hash aggregation over the exploded tokens
+    * (map-side combined), and the verify side keeps the value-sorted
+    * arrays the merge-walk needs. Output: (id_a, id_b, jacc).
     */
   def ngramJaccardPairsPrefix(df: DataFrame, idCol: String, textCol: String,
                               blockCols: Seq[String], n: Int = 1,
@@ -292,17 +304,23 @@ object Dedup {
     val sh = nonNullBlocks.select(col(idCol) +: blockCols.map(col) :+
         graft.plans.TextExpressions.wordShingleHashes(col(textCol), n).as("__sh"): _*)
       .repartition(shufflePartitions(df), col(idCol)) // barrier + verify-join key; explicit count (see ngramJaccardPairsBlocked)
+    val blockKey = if (blockCols.isEmpty) lit(0L) else xxhash64(blockCols.map(col): _*)
+    val toks = sh.select(col(idCol), size(col("__sh")).as("__sz"),
+      blockKey.as("__blk"), explode(col("__sh")).as("__t"))
+    // per-block document frequency of each token: the global order key
+    val dfreq = toks.groupBy(col("__blk"), col("__t"))
+      .agg(count(lit(1)).as("__df"))
     // 1e-9 slack before ceil keeps candidate generation conservative at
     // exact integer boundaries (jaccVerify, with the same slack, stays
     // the only decider) — e.g. sz=10, t=0.8: 8.000000000000002 would
     // otherwise ceil to 9 and shrink the prefix below the exact bound
-    val prefixLen = (size(col("__sh")) -
-      ceil(size(col("__sh")) * lit(threshold) - lit(1e-9)) + 1).cast("int")
-    val blockKey = if (blockCols.isEmpty) lit(0L) else xxhash64(blockCols.map(col): _*)
-    val post = sh
-      .select(col(idCol), size(col("__sh")).as("__sz"),
-        explode(slice(col("__sh"), lit(1), prefixLen)).as("__t"),
-        blockKey.as("__blk"))
+    val prefixLen = (col("__sz") -
+      ceil(col("__sz") * lit(threshold) - lit(1e-9)) + 1).cast("int")
+    val wOrd = Window.partitionBy(col(idCol))
+      .orderBy(col("__df").asc, col("__t").asc)
+    val post = toks.join(dfreq, Seq("__blk", "__t"))
+      .withColumn("__rn", row_number().over(wOrd))
+      .filter(col("__rn") <= prefixLen)
       .select(col(idCol), col("__sz"), xxhash64(col("__blk"), col("__t")).as("__h"))
       // explicit partition count on the candidate-join key: the postings
       // frame is small by bytes and AQE would coalesce the self-join
