@@ -196,7 +196,11 @@ object QueriesLlm {
     // q_sim_lsh_recall_exact hash-proves the recall harness itself.
     "q_sim_lsh_recall" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
-      val queries = e.filter(pmod(col("vec_id"), lit(29)) === 0)
+      // subsample bounded ABSOLUTELY (id < 20000), not just by rate:
+      // a rate-only sample grows queries linearly with n and the exact
+      // side quadratically — telemetry must stay constant-size at scale
+      val queries = e.filter(pmod(col("vec_id"), lit(29)) === 0 &&
+          col("vec_id") < 20000)
         .select(col("vec_id").as("query_id"), col("embedding"))
       Similarity.recallAtK(
         Similarity.lshTopKAuto(e, queries, "vec_id", "query_id", "embedding", k = 10),
@@ -208,12 +212,35 @@ object QueriesLlm {
           "embedding", k = 10))
     }),
 
+    // IVF recall on the SAME capped query set, same harness — the
+    // per-round visibility of the high-recall ANN path (learned cell
+    // partitions; r14 measured avg recall@10 0.79 at nprobe=8 where
+    // Hamming-1 LSH scores 0.23 on these hard original-id queries at
+    // sf10 — PLANS.md r14). Rows-only; the harness is already
+    // hash-proven by q_sim_lsh_recall_exact.
+    "q_sim_ivf_recall" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val queries = e.filter(pmod(col("vec_id"), lit(29)) === 0 &&
+          col("vec_id") < 20000)
+        .select(col("vec_id").as("query_id"), col("embedding"))
+      val index = graft.llm.Ivf.buildIndexAuto(e, "vec_id", "embedding",
+        iters = 2).persist()
+      index.count() // materialize before the probe job can race (see q_sim_ivf)
+      val cents = graft.llm.Ivf.centroids(index, "embedding")
+      Similarity.recallAtK(
+        graft.llm.Ivf.topK(index, queries, "vec_id", "query_id", "embedding",
+          k = 10, nprobe = 8, cellCentroids = Some(cents)),
+        Similarity.bruteForceTopKPartitioned(e, queries, "vec_id", "query_id",
+          "embedding", k = 10))
+    }),
+
     // degenerate single-bucket LSH == exact brute force, so recall
     // must be EXACTLY 1.0 per query — the SQL-checkable proof that
     // recallAtK's join/count/divide machinery is right
     "q_sim_lsh_recall_exact" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
-      val queries = e.filter(pmod(col("vec_id"), lit(29)) === 0)
+      val queries = e.filter(pmod(col("vec_id"), lit(29)) === 0 &&
+          col("vec_id") < 20000)
         .select(col("vec_id").as("query_id"), col("embedding"))
       Similarity.recallAtK(
         Similarity.lshTopK(e, queries, "vec_id", "query_id", "embedding",
@@ -497,7 +524,7 @@ object QueriesLlm {
     "q_sim_lsh_recall_exact" ->
       s"""WITH p AS (
          |  SELECT b.vec_id AS query_id, a.vec_id AS neighbor_id, ROUND($dcos, 6) AS sim
-         |  FROM embeddings a JOIN embeddings b ON b.vec_id % 29 = 0 AND a.vec_id <> b.vec_id),
+         |  FROM embeddings a JOIN embeddings b ON b.vec_id % 29 = 0 AND b.vec_id < 20000 AND a.vec_id <> b.vec_id),
          |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
          |        ORDER BY sim DESC, neighbor_id ASC) AS rnk FROM p),
          |t AS (SELECT query_id, count(*) AS expected FROM r WHERE rnk <= 10 GROUP BY 1)
