@@ -392,10 +392,17 @@ object Incremental {
     else {
       // sketch + window share the distinct frame (ownership: releaseAll)
       val distinct = df.select(col(seqCol)).distinct().persist()
+      // bucket count scales with cardinality past ~32M distinct keys
+      // (maxBuckets stays the floor): fixed buckets would grow each
+      // window partition linearly with the corpus — per-task sort
+      // memory is the 100x hazard, and bucket count is free (output
+      // is exact under ANY bucketing; only edge-probe count changes)
+      val buckets = math.max(maxBuckets,
+        math.min(4096L, card / 500000L).toInt)
       // edges from the DISTINCT values, not the raw scan: a hot value
       // dominating the row count would collapse frequency-weighted
       // quantiles to one edge and re-create the single-partition window
-      val probes = (1 until maxBuckets).map(_.toDouble / maxBuckets).toArray
+      val probes = (1 until buckets).map(_.toDouble / buckets).toArray
       val edges = distinct.select(col(seqCol).cast("double").as(seqCol))
         .stat.approxQuantile(seqCol, probes, 0.001)
         .toSeq.distinct.sorted
@@ -403,15 +410,26 @@ object Incremental {
       else {
         val bucket = edges.map(e =>
           when(col(seqCol).cast("double") > lit(e), 1).otherwise(0)).reduce(_ + _)
-        val doubled = distinct
-          .select(col(seqCol), explode(array(
-            struct(bucket.as("__wb"), lit(false).as("__copy")),
-            struct((bucket + 1).as("__wb"), lit(true).as("__copy")))).as("__e"))
-          .select(col(seqCol), col("__e.__wb").as("__wb"), col("__e.__copy").as("__copy"))
+        val bucketed = distinct.withColumn("__wb", bucket)
+        // in-bucket gaps: ONE window over the distinct rows — the
+        // first row of each bucket has a null prev and drops out of
+        // gapsOf's filter; the bucket seams are stitched from the
+        // per-bucket (min, max) aggregate below instead of doubling
+        // every row into its successor bucket (the prior form — 2x
+        // window input for information a buckets-row frame carries)
         val w = Window.partitionBy(col("__wb")).orderBy(col(seqCol))
-        gapsOf(doubled
-          .withColumn("prev_val", lag(col(seqCol), 1).over(w))
-          .filter(!col("__copy")))
+        val inBucket = gapsOf(bucketed
+          .withColumn("prev_val", lag(col(seqCol), 1).over(w)))
+        // seam gaps: (max of bucket i, min of bucket i+1) — at most
+        // `buckets` rows, so the unpartitioned window is free; links
+        // consecutive NON-EMPTY buckets by construction
+        val seamW = Window.orderBy(col("__wb"))
+        val seams = bucketed.groupBy(col("__wb"))
+          .agg(min(col(seqCol)).as("__lo"), max(col(seqCol)).as("__hi"))
+          .withColumn("prev_val", lag(col("__hi"), 1).over(seamW))
+          .filter(col("prev_val").isNotNull)
+          .select(col("prev_val"), col("__lo").as(seqCol))
+        inBucket.unionByName(gapsOf(seams))
       }
     }
   }
