@@ -616,26 +616,67 @@ object Dedup {
 
   /** Unblocked embedding near-dup at scale: block by deterministic
     * hyperplane bucket first (recall < 1, measured in specs).
+    *
+    * `hotBucketCap` (> 0 to enable) bounds the densest bucket the way
+    * real embedding corpora demand — planesFor holds the MEAN
+    * occupancy, but clustered corpora skew hard (the LOF sf10
+    * measurement: median 91, max 10,688 — one bucket owning a
+    * single-task quadratic pair explosion). Buckets above the cap are
+    * REFINED WITH EXTRA HYPERPLANES (ceil(log2(occ / cap)) fresh
+    * planes from [[graft.llm.Similarity.hyperplaneBucketSlice]]), NOT
+    * id-hash-split: near-dup pairs must stay together, and similar
+    * vectors agree on each fresh plane with the usual 1 − θ/π odds —
+    * so refinement can only DROP pairs (sub-buckets partition the
+    * bucket), never invent them, and EXACT duplicates can never be
+    * lost (identical vectors agree on every plane). Residual: a mass
+    * of truly identical vectors never separates — correctly, since
+    * every pair among them IS a near-dup pair and the quadratic
+    * output is the answer (collapse clusters downstream via
+    * [[nearDupClusters]] when that is the real question).
     */
   def embeddingNearDupLsh(df: DataFrame, idCol: String, vecCol: String,
-                          planes: Int = 8, threshold: Double = 0.9): DataFrame = {
+                          planes: Int = 8, threshold: Double = 0.9,
+                          hotBucketCap: Int = 0): DataFrame = {
     val bucketed = df.withColumn("__bucket",
       Similarity.hyperplaneBucket(col(vecCol), planes))
-    embeddingNearDup(bucketed, idCol, vecCol, "__bucket", threshold)
+    val refined =
+      if (hotBucketCap <= 0 || planes <= 0) bucketed
+      else {
+        // persist before the occupancy count: the agg, the join and
+        // the pair stage all reuse the interpreted projection
+        val b = bucketed.persist()
+        val hot = broadcast(
+          b.groupBy(col("__bucket")).agg(count(lit(1)).as("__occ"))
+            .filter(col("__occ") > hotBucketCap)
+            .select(col("__bucket"),
+              least(lit(16.0), ceil(log2(col("__occ").cast("double") / hotBucketCap)))
+                .cast("int").as("__extra")))
+        val ext = Similarity.hyperplaneBucketSlice(col(vecCol), 16, planes)
+        b.join(hot, Seq("__bucket"), "left")
+          .withColumn("__bucket",
+            when(col("__extra").isNull, col("__bucket"))
+              .otherwise(col("__bucket") +
+                (pmod(ext, pow(lit(2.0), col("__extra")).cast("long")) + 1L) *
+                  lit(1L << math.min(planes, 45))))
+          .drop("__extra")
+      }
+    embeddingNearDup(refined, idCol, vecCol, "__bucket", threshold)
   }
 
   /** [[embeddingNearDupLsh]] with `planes` sized from the corpus (one
-    * count() scan): in-bucket all-pairs cost stays n·targetBucketSize/2
-    * as the corpus grows — a FIXED plane count instead grows bucket
-    * occupancy, and with it the pair count, linearly (the same
-    * quadratic-in-bucket hazard [[graft.quality.Lof]] measured before
-    * its r12 adaptive flip).
+    * count() scan) and the hot-bucket refinement on at 4× the target:
+    * in-bucket all-pairs cost stays n·targetBucketSize/2 as the corpus
+    * grows — a FIXED plane count instead grows bucket occupancy, and
+    * with it the pair count, linearly (the same quadratic-in-bucket
+    * hazard [[graft.quality.Lof]] measured before its r12 adaptive
+    * flip) — and the cap handles the skew tail the mean cannot see.
     */
   def embeddingNearDupLshAuto(df: DataFrame, idCol: String, vecCol: String,
                               targetBucketSize: Int = 512,
                               threshold: Double = 0.9): DataFrame =
     embeddingNearDupLsh(df, idCol, vecCol,
-      planes = Similarity.planesFor(df.count(), targetBucketSize), threshold)
+      planes = Similarity.planesFor(df.count(), targetBucketSize), threshold,
+      hotBucketCap = 4 * targetBucketSize)
 
   // ---- benchmark decontamination -------------------------------------
 

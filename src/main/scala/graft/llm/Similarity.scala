@@ -100,13 +100,22 @@ object Similarity {
     * Size `planes` with [[planesFor]] when the corpus size is not a
     * known constant.
     */
-  def hyperplaneBucket(vec: Column, planes: Int): Column = {
+  def hyperplaneBucket(vec: Column, planes: Int): Column =
+    hyperplaneBucketSlice(vec, planes, 0)
+
+  /** `planes` hyperplane bits drawn from plane indices
+    * `offset until offset + planes` of the same deterministic hash
+    * family — so consumers can extend a bucket id with FRESH planes
+    * (hot-bucket refinement) that are independent of, and reproduce
+    * alongside, the base [[hyperplaneBucket]] bits.
+    */
+  def hyperplaneBucketSlice(vec: Column, planes: Int, offset: Int): Column = {
     if (planes <= 0) return lit(0L)
     val bits = (0 until planes).map { p =>
       val proj = aggregate(
         zip_with(vec, sequence(lit(0), size(vec) - 1), (x, d) =>
           x.cast("double") *
-            when(pmod(xxhash64(lit(p), d), lit(2)) === 0, lit(1.0)).otherwise(lit(-1.0))),
+            when(pmod(xxhash64(lit(p + offset), d), lit(2)) === 0, lit(1.0)).otherwise(lit(-1.0))),
         lit(0.0), (acc, v) => acc + v)
       when(proj > 0, lit(1L << p)).otherwise(lit(0L))
     }
