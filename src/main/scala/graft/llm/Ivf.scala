@@ -1,52 +1,164 @@
 package graft.llm
 
-import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
+import org.apache.spark.broadcast.Broadcast
+import org.apache.spark.sql.{Column, DataFrame, Row}
+import org.apache.spark.sql.expressions.{UserDefinedFunction, Window}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
 
 /** IVF (inverted-file) approximate nearest neighbour: partition the
   * corpus into `nlist` cells around k-means centroids; a query scans
   * only its `nprobe` nearest cells. The scale path when hyperplane LSH
   * buckets are too coarse: cells adapt to the data distribution.
   *
-  * Fully deterministic and DataFrame-native:
+  * Fully deterministic:
   *  - seeding picks the `nlist` vectors with the lowest xxhash64(id)
   *    (hash-spread, no RNG);
-  *  - Lloyd iterations assign via broadcast centroid join + window
-  *    argmax and re-average per (cell, dimension) through explode +
-  *    hash agg — no driver-side collect at any step;
+  *  - Lloyd iterations assign via a broadcast centroid-array argmax
+  *    (map-side, zero shuffle of the train set) and re-average per
+  *    cell through ONE per-dimension sum/count hash aggregation —
+  *    one Spark job per iteration, with a driver-side early exit as
+  *    soon as the centroids stop moving;
   *  - the index (corpus + cell id) is a plain DataFrame: persist it
   *    once, probe it per query batch.
+  *
+  * Centroid frames are bounded metadata (`nlist = ceil(sqrt(n))` rows):
+  * the driver footprint of the collected centroid array is
+  * O(nlist · dim) floats — ~51 MB for a 10^10-row corpus of 64-dim
+  * vectors, which is why collecting it is safe where collecting data-
+  * sized frames is not. Past [[driverCentroidFloatBudget]] (very wide
+  * vectors × 10^5+ cells) every step falls back to the fully
+  * distributed formulation ([[lloydDistributed]]/[[assignDistributed]]),
+  * which never materializes centroids on the driver.
   */
 object Ivf {
 
-  /** Assign each row the id of its most-similar centroid (by cosine,
-    * deterministic tie-break on centroid id). The argmax is a map-side
-    * combinable `max_by` hash aggregation — no shuffle-and-sort of the
-    * corpus x centroids product (the previous per-id window form
-    * shuffled nlist rows per corpus row; centroid ids are unique, so
-    * max_by over (sim, -cid) is tie-free and deterministic).
+  /** Collected centroids, sorted ascending by cell id (the argmax
+    * tie-break order). A null vector is carried but never scored —
+    * mirroring the expression form, where a null centroid produces
+    * null similarities that lose to any scored cell.
     */
+  private type Cents = Array[(Long, Array[Float])]
+
+  /** Driver-side centroid budget in floats (~64 MB as doubles during
+    * aggregation). `nlist · dim` above this routes to the distributed
+    * Lloyd/assign path.
+    */
+  private val driverCentroidFloatBudget: Long = 1L << 24
+
+  /** Mirrors [[graft.plans.DotProductF]] bit-for-bit: elements widened
+    * to double, accumulated left-to-right.
+    */
+  private def dotLoop(a: Array[Float], b: Array[Float]): Double = {
+    var acc = 0.0
+    var i = 0
+    val n = a.length
+    while (i < n) { acc += a(i).toDouble * b(i).toDouble; i += 1 }
+    acc
+  }
+
+  /** Mirrors Spark's `round(x, 6)` on doubles (RoundBase: BigDecimal
+    * HALF_UP via the toString-exact constructor; NaN/Inf pass through)
+    * so the driver-path argmax ranks EXACTLY the similarities the
+    * expression path would.
+    */
+  private def round6(x: Double): Double =
+    if (x.isNaN || x.isInfinite) x
+    else BigDecimal(x).setScale(6, scala.math.BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  /** Map-side nearest-centroid argmax over a broadcast centroid array.
+    * Semantics mirror the expression form ([[assignDistributed]]):
+    * cosine rounded to 6 dp, ties to the LOWEST cell id (ascending
+    * iteration + strict improvement), zero/undefined denominators and
+    * length mismatches skipped, all-null similarity rows to the lowest
+    * cell id, NaN ranks greatest (java.lang.Double.compare == Spark's
+    * double ordering).
+    */
+  private def bestCidUdf(bc: Broadcast[Cents]): UserDefinedFunction =
+    udf { (v: Seq[Float]) =>
+      val cents = bc.value
+      if (v == null) cents(0)._1
+      else {
+        val a = v.toArray
+        val nv = math.sqrt(dotLoop(a, a))
+        var best = -1
+        var bestSim = 0.0
+        var i = 0
+        while (i < cents.length) {
+          val cv = cents(i)._2
+          if (cv != null && cv.length == a.length) {
+            val denom = nv * math.sqrt(dotLoop(cv, cv))
+            if (denom != 0.0) {
+              val sim = round6(dotLoop(a, cv) / denom)
+              if (best < 0 || java.lang.Double.compare(sim, bestSim) > 0) {
+                best = i; bestSim = sim
+              }
+            }
+          }
+          i += 1
+        }
+        if (best < 0) cents(0)._1 else cents(best)._1
+      }
+    }
+
+  /** Append `__cid` per row from a driver-side centroid array — pure
+    * map-side (no shuffle, no join): the assignment rides whatever
+    * scan the consumer plans. Assignment is per-ROW; duplicate ids
+    * pass through unchanged.
+    */
+  private def assignDriver(df: DataFrame, vecCol: String, cents: Cents,
+                           cidType: DataType): DataFrame =
+    if (cents.isEmpty)
+      // no centroids, no cells: mirror the join form's empty result
+      df.filter(lit(false)).withColumn("__cid", lit(null).cast(cidType))
+    else {
+      val bc = df.sparkSession.sparkContext.broadcast(cents)
+      df.withColumn("__cid", bestCidUdf(bc)(col(vecCol)).cast(cidType))
+    }
+
+  /** Collect a bounded centroid frame (`__cid`, `__cvec`) to the
+    * driver, sorted by cell id. Centroid frames are metadata-sized by
+    * contract (the same contract `broadcast(...)` imposed on the join
+    * form); null cell ids are dropped.
+    */
+  private def collectCentroids(cf: DataFrame): Cents =
+    cf.filter(col("__cid").isNotNull)
+      .select(col("__cid").cast("long"), col("__cvec"))
+      .collect()
+      .map(r => (r.getLong(0),
+        if (r.isNullAt(1)) null else r.getSeq[Float](1).toArray))
+      .sortBy(_._1)
+
   /** Assign every row to its most-cosine-similar centroid from an
     * EXPLICIT centroid frame (ties → lowest centroid id) — the public
     * single-step form of the Lloyd assignment [[buildIndex]] iterates:
     * fixed reference centroids make the geometry fully deterministic
     * arithmetic, so downstream aggregates are oracle-checkable (unlike
     * the learned-centroid index, which is rows-only by construction).
-    * Appends `__cid`; broadcast nlist-way pairing, no shuffle of `df`
-    * beyond the per-id argmax aggregation.
+    * Appends `__cid`. Integral cell ids ride the map-side broadcast
+    * argmax (zero shuffle); any other id type keeps the broadcast-join
+    * formulation.
     */
   def assignToCentroids(df: DataFrame, idCol: String, vecCol: String,
                         centroids: DataFrame, centIdCol: String,
-                        centVecCol: String): DataFrame =
-    assign(df, idCol, vecCol, centroids.select(
-      col(centIdCol).as("__cid"), col(centVecCol).as("__cvec")))
+                        centVecCol: String): DataFrame = {
+    val cf = centroids.select(
+      col(centIdCol).as("__cid"), col(centVecCol).as("__cvec"))
+    cf.schema("__cid").dataType match {
+      case ByteType | ShortType | IntegerType | LongType =>
+        assignDriver(df, vecCol, collectCentroids(cf), cf.schema("__cid").dataType)
+      case _ => assignDistributed(df, idCol, vecCol, cf)
+    }
+  }
 
-  private def assign(df: DataFrame, idCol: String, vecCol: String,
-                     centroids: DataFrame): DataFrame = {
-    // norms are per-row/per-centroid: fold each side once BEFORE the
-    // nlist-way pairing instead of three array folds per pair (same
-    // value, same op order — assignments stay bit-identical)
+  /** The broadcast-join + max_by argmax formulation — the fallback
+    * when centroids exceed the driver budget (or carry non-integral
+    * ids). Norms fold once per side before the nlist-way pairing; the
+    * per-id argmax is a map-side-combinable hash aggregation. NOTE:
+    * collapses duplicate `idCol` rows (one output row per id).
+    */
+  private def assignDistributed(df: DataFrame, idCol: String, vecCol: String,
+                                centroids: DataFrame): DataFrame = {
     val payload = struct(df.columns.map(col) :+ col("__cid"): _*)
     val cents = centroids.withColumn("__nc", Similarity.norm(col("__cvec")))
     val denom = col("__nv") * col("__nc")
@@ -59,7 +171,10 @@ object Ivf {
       .select(col("__p.*"))
   }
 
-  /** Recompute each cell's centroid as the per-dimension mean. */
+  /** Recompute each cell's centroid as the per-dimension mean —
+    * distributed explode formulation (no driver materialization); the
+    * fallback beyond the driver centroid budget.
+    */
   private def recenter(assigned: DataFrame, vecCol: String): DataFrame =
     assigned
       .select(col("__cid"), posexplode(col(vecCol)).as(Seq("__pos", "__v")))
@@ -69,6 +184,116 @@ object Ivf {
       .agg(transform(
         array_sort(collect_list(struct(col("__pos"), col("__m")))),
         x => x.getField("__m").cast("float")).as("__cvec"))
+
+  /** Per-cell means via ONE hash aggregation (per-dimension sum +
+    * non-null count — avg semantics exactly: dims a member lacks are
+    * excluded from both sides), collected to the driver. `get(vec, i)`
+    * is 0-based and null-safe on ragged vectors. A dimension with no
+    * non-null members yields 0.0f.
+    */
+  private def recenterCollect(assigned: DataFrame, vecCol: String,
+                              dim: Int): Array[(Any, Array[Float])] = {
+    val aggs =
+      (0 until dim).map(i => sum(get(col(vecCol), lit(i)).cast("double")).as(s"__s$i")) ++
+      (0 until dim).map(i => count(get(col(vecCol), lit(i))).as(s"__c$i"))
+    assigned.groupBy(col("__cid")).agg(aggs.head, aggs.tail: _*).collect().map { r =>
+      val v = Array.tabulate(dim) { i =>
+        val c = r.getLong(1 + dim + i)
+        if (c == 0L || r.isNullAt(1 + i)) 0.0f
+        else (r.getDouble(1 + i) / c).toFloat
+      }
+      (r.get(0), v)
+    }
+  }
+
+  /** Vector width from the first non-empty row (one bounded limit-1
+    * scan); 0 when no row has a non-empty vector.
+    */
+  private def vecDim(df: DataFrame, vecCol: String): Int = {
+    val r = df.select(size(col(vecCol)).as("__d")).filter(col("__d") > 0)
+      .limit(1).collect()
+    if (r.isEmpty) 0 else r(0).getInt(0)
+  }
+
+  private def centsEqual(a: Cents, b: Cents): Boolean =
+    a.length == b.length && a.indices.forall { i =>
+      a(i)._1 == b(i)._1 && java.util.Arrays.equals(a(i)._2, b(i)._2)
+    }
+
+  /** Driver-path Lloyd: ONE Spark job per iteration (the fused
+    * assign+recenter aggregation) against driver-held centroids, with
+    * an early exit as soon as an iteration reproduces the previous
+    * centroids exactly — further iterations would be fixpoints, so the
+    * exit is output-invariant, it only skips redundant work.
+    */
+  private def lloydDriver(train: DataFrame, idCol: String, vecCol: String,
+                          nlist: Int, iters: Int, dim: Int): Cents = {
+    // TakeOrderedAndProject: per-partition top-nlist then merge — never
+    // a full single-partition sort; rows arrive in (hash, id) order.
+    val seedRows = train
+      .withColumn("__h", xxhash64(col(idCol)))
+      .select(col("__h"), col(idCol).as("__sid"), col(vecCol).as("__v"))
+      .orderBy(col("__h"), col("__sid"))
+      .limit(nlist)
+      .select(col("__v"))
+      .collect()
+    var cur: Cents = seedRows.zipWithIndex.map { case (r, i) =>
+      ((i + 1).toLong, if (r.isNullAt(0)) null else r.getSeq[Float](0).toArray)
+    }
+    if (cur.isEmpty || !cur.exists(_._2 != null)) return cur
+    var it = 0
+    var converged = false
+    while (it < iters && !converged) {
+      val bc = train.sparkSession.sparkContext.broadcast(cur)
+      val assigned = train.withColumn("__cid", bestCidUdf(bc)(col(vecCol)))
+      val next: Cents = recenterCollect(assigned, vecCol, dim)
+        .map { case (cid, v) => (cid.asInstanceOf[Long], v) }
+        .sortBy(_._1)
+      converged = centsEqual(cur, next)
+      cur = next
+      it += 1
+    }
+    cur
+  }
+
+  /** Distributed Lloyd (fallback past the driver centroid budget):
+    * hash-spread seeds, `iters` assign→recenter rounds, each
+    * iteration's nlist-row centroid frame cached so iteration i scans
+    * the train set once (frame i materializes before frame i-1 is
+    * released — at most two centroid frames live).
+    */
+  private def lloydDistributed(train: DataFrame, idCol: String, vecCol: String,
+                               nlist: Int, iters: Int): DataFrame = {
+    val seeds = train
+      .withColumn("__h", xxhash64(col(idCol)))
+      .select(col("__h"), col(idCol), col(vecCol))
+      .orderBy(col("__h"), col(idCol))
+      .limit(nlist)
+      .withColumn("__rn", row_number().over(Window.orderBy(col("__h"), col(idCol))))
+      .select(col("__rn").as("__cid"), col(vecCol).as("__cvec"))
+    (1 to iters).foldLeft(seeds.cache()) { (cent, _) =>
+      val next = recenter(
+        assignDistributed(train, idCol, vecCol, cent), vecCol).cache()
+      next.count()
+      cent.unpersist(blocking = false)
+      next
+    }
+  }
+
+  /** Train on `train`, assign `corpus`: driver path when the centroid
+    * array fits the driver budget (the common case under the sqrt
+    * rule), distributed otherwise. `__cid` is int (seed rank) on both.
+    */
+  private def buildFrom(corpus: DataFrame, train: DataFrame, idCol: String,
+                        vecCol: String, nlist: Int, iters: Int): DataFrame = {
+    val dim = vecDim(train, vecCol)
+    if (dim > 0 && nlist.toLong * dim <= driverCentroidFloatBudget)
+      assignDriver(corpus, vecCol,
+        lloydDriver(train, idCol, vecCol, nlist, iters, dim), IntegerType)
+    else
+      assignDistributed(corpus, idCol, vecCol,
+        lloydDistributed(train, idCol, vecCol, nlist, iters))
+  }
 
   /** Cell count for a corpus of `n` vectors: ceil(sqrt(n)), floored at
     * `minList`. The sqrt rule is the standard IVF operating point
@@ -96,54 +321,20 @@ object Ivf {
       trainPerCell, knownCount = Some(n))
   }
 
-  /** Lloyd centroid training over `train`: hash-spread seeds, `iters`
-    * assign→recenter rounds. Returns the final CACHED nlist-row
-    * centroid frame (materialized; callers release via clearCache /
-    * GraftSession.releaseAll when the consuming plan is done).
-    * Each iteration's centroid frame is nlist rows — caching it cuts
-    * the otherwise-nested lineage (iteration i re-embedding every
-    * pass before it, so the train set would be re-scanned a quadratic
-    * number of times by the final plan) down to one scan per Lloyd
-    * iteration. Frame i is materialized (count) before frame i-1 is
-    * released, so at most two centroid frames are ever live.
-    */
-  private def lloyd(train: DataFrame, idCol: String, vecCol: String,
-                    nlist: Int, iters: Int): DataFrame = {
-    // orderBy + limit plans as a distributed TakeOrderedAndProject (per-partition
-    // top-nlist, then merge) — never a full single-partition sort of the corpus.
-    // The unpartitioned row_number after it only ever sees nlist rows.
-    val seeds = train
-      .withColumn("__h", xxhash64(col(idCol)))
-      .select(col("__h"), col(idCol), col(vecCol))
-      .orderBy(col("__h"), col(idCol))
-      .limit(nlist)
-      .withColumn("__rn", row_number().over(Window.orderBy(col("__h"), col(idCol))))
-      .select(col("__rn").as("__cid"), col(vecCol).as("__cvec"))
-    (1 to iters).foldLeft(seeds.cache()) { (cent, _) =>
-      val next = recenter(assign(train, idCol, vecCol, cent), vecCol).cache()
-      next.count()
-      cent.unpersist(blocking = false)
-      next
-    }
-  }
-
   /** Build the index: (corpus columns ++ __cid cell id). Lloyd
-    * training runs over the FULL corpus — exact but O(iters·n·nlist)
-    * centroid pairings; prefer [[buildIndexSampled]]/[[buildIndexAuto]]
-    * when the corpus is large.
+    * training runs over the FULL corpus — prefer
+    * [[buildIndexSampled]]/[[buildIndexAuto]] when the corpus is large.
     */
   def buildIndex(corpus: DataFrame, idCol: String, vecCol: String,
                  nlist: Int = 16, iters: Int = 2): DataFrame =
-    assign(corpus, idCol, vecCol, lloyd(corpus, idCol, vecCol, nlist, iters))
+    buildFrom(corpus, corpus, idCol, vecCol, nlist, iters)
 
   /** Build the index with centroids TRAINED on a bounded deterministic
     * sample — the standard IVF practice (FAISS trains on a few tens of
     * vectors per cell, then assigns the full corpus once). Lloyd cost
-    * drops from `iters` full-corpus scans (O(iters·n·nlist) centroid
-    * pairings — with the sqrt rule that is O(iters·n^1.5)) to
-    * O(iters·trainPerCell·nlist²) over the sample, which under the
-    * sqrt rule is LINEAR in n; the corpus is paired with centroids
-    * exactly once, in the single final assignment pass.
+    * drops from `iters` full-corpus scans to bounded-sample scans, and
+    * the corpus is paired with centroids exactly once, in the single
+    * final (map-side) assignment pass — LINEAR in n under the sqrt rule.
     *
     * The sample is an xxhash64 threshold on the id column —
     * deterministic, partition-invariant, no RNG, map-side (the filter
@@ -158,7 +349,7 @@ object Ivf {
     val n = knownCount.getOrElse(corpus.count())
     val target = nlist.toLong * trainPerCell
     if (n <= target)
-      return assign(corpus, idCol, vecCol, lloyd(corpus, idCol, vecCol, nlist, iters))
+      return buildFrom(corpus, corpus, idCol, vecCol, nlist, iters)
     // keep-threshold on a 2^20 hash ring; ceil so the expected sample
     // never rounds below the target. The nlist lowest-hash seeds are
     // inside any threshold that admits >= nlist rows only if the SAME
@@ -170,26 +361,44 @@ object Ivf {
       .filter(pmod(xxhash64(col(idCol)), lit(ring)) < lit(keep))
       .select(col(idCol), col(vecCol))
       .cache()
-    // materialize (Lloyd scans it iters+1 times) and guard the tail
+    // materialize (Lloyd scans it per iteration) and guard the tail
     // risk of a hash sample landing under nlist rows — centroid
     // training needs at least one vector per prospective cell
     if (train.count() < nlist) {
       train.unpersist(blocking = false)
-      return assign(corpus, idCol, vecCol, lloyd(corpus, idCol, vecCol, nlist, iters))
+      return buildFrom(corpus, corpus, idCol, vecCol, nlist, iters)
     }
-    val centroids = lloyd(train, idCol, vecCol, nlist, iters)
-    // centroids are materialized nlist-row frames — the train sample's
+    // driver-path centroids materialize eagerly (collect per
+    // iteration) and distributed centroids are cached nlist-row
+    // frames, so by the time buildFrom returns the train sample's
     // lineage is no longer referenced by the final assignment plan
+    val out = buildFrom(corpus, train, idCol, vecCol, nlist, iters)
     train.unpersist(blocking = false)
-    assign(corpus, idCol, vecCol, centroids)
+    out
   }
 
   /** Cell centroids of a built index — compute ONCE and persist/reuse
-    * across query batches (each call is a full-index aggregation;
-    * re-deriving it per batch is the avoidable cost at scale).
+    * across query batches. One fused hash aggregation (per-dimension
+    * sums, ~nlist·2·dim partial-agg values shuffled — not the n·dim
+    * exploded rows of the legacy formulation) when the centroid array
+    * fits the driver budget; distributed explode otherwise.
     */
-  def centroids(index: DataFrame, vecCol: String): DataFrame =
-    recenter(index, vecCol)
+  def centroids(index: DataFrame, vecCol: String): DataFrame = {
+    // cell count is bounded by construction (nlist ~ sqrt(n)); the
+    // driver holds ncells · dim floats. Very wide vectors fall back to
+    // the distributed explode (same bound the build path applies).
+    val dim = vecDim(index, vecCol)
+    if (dim == 0 || dim > 4096)
+      return recenter(index, vecCol)
+    val cidField = index.schema("__cid")
+    val rows = recenterCollect(index, vecCol, dim)
+      .map { case (cid, v) => Row(cid, v.toSeq) }
+    val schema = StructType(Seq(
+      cidField.copy(name = "__cid"),
+      StructField("__cvec", ArrayType(FloatType, containsNull = true))))
+    index.sparkSession.createDataFrame(
+      new java.util.ArrayList[Row](java.util.Arrays.asList(rows: _*)), schema)
+  }
 
   /** Top-k by cosine, scanning only each query's `nprobe` nearest
     * cells of a prebuilt index. Pass `cellCentroids` (from
@@ -200,11 +409,11 @@ object Ivf {
            corpusId: String, queryId: String, vecCol: String,
            k: Int, nprobe: Int = 2,
            cellCentroids: Option[DataFrame] = None): DataFrame = {
-    val centroids = cellCentroids.getOrElse(recenter(index, vecCol))
+    val cents0 = cellCentroids.getOrElse(centroids(index, vecCol))
     val wProbe = Window.partitionBy(col(queryId))
       .orderBy(col("__csim").desc, col("__cid").asc)
-    // per-side norms folded once, not per pair (see assign)
-    val cents = centroids.withColumn("__nc", Similarity.norm(col("__cvec")))
+    // per-side norms folded once, not per pair (see assignDistributed)
+    val cents = cents0.withColumn("__nc", Similarity.norm(col("__cvec")))
     val probeDenom = col("__nq") * col("__nc")
     val probes = queries
       .select(col(queryId), col(vecCol).as("__qvec"))

@@ -114,6 +114,46 @@ class SearchSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("driver-path centroid assignment equals the broadcast-join formulation") {
+    import graft.llm.Ivf
+    val e = table("embeddings")
+    val cents = e.filter(col("vec_id") < 6)
+      .select(col("vec_id").cast("int").as("cid"), col("embedding"))
+    // integral cid rides the map-side broadcast-argmax; a double cid
+    // routes to the legacy broadcast-join + max_by form — the two must
+    // agree row for row (same dot accumulation, same 6-dp rounding,
+    // same lowest-cid tie-break)
+    val fast = Ivf.assignToCentroids(e, "vec_id", "embedding",
+        cents, "cid", "embedding")
+      .select(col("vec_id"), col("__cid").cast("long"))
+      .orderBy("vec_id").collect().toSeq
+    val slow = Ivf.assignToCentroids(e, "vec_id", "embedding",
+        cents.withColumn("cid", col("cid").cast("double")), "cid", "embedding")
+      .select(col("vec_id"), col("__cid").cast("long"))
+      .orderBy("vec_id").collect().toSeq
+    assert(fast.nonEmpty && fast == slow)
+  }
+
+  test("centroids: fused per-dimension means match the explode formulation") {
+    import graft.llm.Ivf
+    val e = table("embeddings")
+    val idx = Ivf.buildIndex(e, "vec_id", "embedding", nlist = 4, iters = 2).persist()
+    val got = Ivf.centroids(idx, "embedding")
+      .collect().map(r => r.getInt(0) -> r.getSeq[Float](1)).toMap
+    val exp = idx
+      .select(col("__cid"), posexplode(col("embedding")).as(Seq("__pos", "__v")))
+      .groupBy(col("__cid"), col("__pos"))
+      .agg(avg(col("__v").cast("double")).cast("float").as("__m"))
+      .collect().groupBy(_.getInt(0))
+      .map { case (cid, rows) =>
+        cid -> rows.sortBy(_.getInt(1)).map(_.getFloat(2)).toSeq }
+    assert(got.keySet == exp.keySet && got.nonEmpty)
+    for (cid <- got.keySet; (a, b) <- got(cid).zip(exp(cid)))
+      assert(math.abs(a - b) <= 1e-6f * math.max(1.0f, math.abs(b)),
+        s"cell $cid centroid drifted: $a vs $b")
+    idx.unpersist()
+  }
+
   test("adaptive sizing: planesFor/nlistFor hold occupancy stable as corpora grow") {
     import graft.llm.{Ivf, Similarity}
     // hyperplane planes: log2 growth keeps expected bucket occupancy
