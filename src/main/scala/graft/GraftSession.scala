@@ -14,10 +14,25 @@ import org.apache.spark.sql.SparkSession
   */
 object GraftSession {
   def builder(master: String, shufflePartitions: Int): SparkSession.Builder =
-    SparkSession.builder()
-      .master(master)
-      .appName("graft")
+    common(SparkSession.builder().master(master))
       .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
+      .config("spark.ui.enabled", "false")
+
+  /** Session builder for spark-submit entry points ([[graft.Run]]):
+    * the standard engine configuration, but an externally supplied
+    * master (`spark-submit --master` lands in the `spark.master`
+    * system property) stays in charge — then shuffle partitions and
+    * the UI are also left to the submit conf / Spark defaults (AQE
+    * coalescing sizes the former at runtime). Only a bare JVM
+    * invocation with no `spark.master` defaults to `local[cores]`
+    * with local-sized shuffle partitions.
+    */
+  def forSubmit(localCores: Int): SparkSession.Builder =
+    if (sys.props.contains("spark.master")) common(SparkSession.builder())
+    else builder(s"local[$localCores]", localCores)
+
+  private def common(b: SparkSession.Builder): SparkSession.Builder =
+    b.appName("graft")
       .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       .config("spark.sql.warehouse.dir",
         s"${System.getProperty("java.io.tmpdir")}/graft-warehouse")
@@ -31,7 +46,6 @@ object GraftSession {
       // Tables.normalizeEventsTs additionally casts any NTZ column that
       // slips through (e.g. a user-supplied session without this conf).
       .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
-      .config("spark.ui.enabled", "false")
 
   def local(cores: Int = Runtime.getRuntime.availableProcessors()): SparkSession =
     builder(s"local[$cores]", cores).getOrCreate()

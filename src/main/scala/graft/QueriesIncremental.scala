@@ -45,9 +45,10 @@ object QueriesIncremental {
     "q_incr_watermark_store" -> ((s, dir) => {
       import graft.incremental.WatermarkStore
       // ONE store per JVM, deleted on exit: repeated invocations (bench
-      // warmup + passes) re-append the same two fixed-timestamp events,
-      // which the ledger's duplicate-collapse derives identically —
-      // no per-invocation temp dirs accumulating
+      // warmup + passes) re-append the same two fixed-timestamp events;
+      // each append keeps a history row now, but `last` derives the
+      // same watermark (newest update_time, identical values) — no
+      // per-invocation temp dirs accumulating
       val store = QueriesIncremental.wmStoreDir
       val at = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
       // two updates + an older superseded value: `last` must pick the

@@ -44,8 +44,13 @@ import graft.pipeline.{Dag, Job}
 object Run {
 
   def main(args: Array[String]): Unit = {
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = GraftSession.builder(s"local[$cpus]", cpus.toInt).getOrCreate()
+    val raw = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val cpus = raw.toIntOption.filter(_ > 0).getOrElse {
+      System.err.println(s"SPARK_GRAFT_CPUS must be a positive integer, got '$raw'")
+      sys.exit(2)
+    }
+    // spark-submit's --master wins; local[cpus] only as the bare default
+    val spark = GraftSession.forSubmit(cpus).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val code = execute(spark, args.toSeq, System.out)
     spark.stop()

@@ -72,7 +72,7 @@ object WatermarkStore {
     */
   private val eventSchemaDdl =
     "watermark_column STRING, watermark_value STRING, value_type STRING, " +
-      "strategy STRING, op STRING, update_time TIMESTAMP"
+      "strategy STRING, op STRING, update_time TIMESTAMP, event_id STRING"
 
   private val schemaDdl =
     "pipeline_id STRING, source_id STRING, " + eventSchemaDdl
@@ -128,16 +128,24 @@ object WatermarkStore {
                      at: Option[java.sql.Timestamp]): Unit = {
     import spark.implicits._
     val (v, vt) = value.map(encode).getOrElse((null: String, null: String))
-    val event = Seq((column, v, vt, strategy, op))
+    // the stamp doubles as the event's identity: [[events]] collapses
+    // duplicates on it, so the SAME physical event seen through two
+    // files (compact overlap, crash-copied debris) reads once, while
+    // two distinct appends that happen to carry identical payloads
+    // (two retried runs of different jobs) each keep their history row
+    val stamp = java.util.UUID.randomUUID().toString
+    val event = Seq((column, v, vt, strategy, op, stamp))
       .toDF("watermark_column", "watermark_value", "value_type",
-        "strategy", "op")
+        "strategy", "op", "event_id")
       .withColumn("update_time",
         at.fold(current_timestamp())(ts => lit(ts)))
+      .select(col("watermark_column"), col("watermark_value"),
+        col("value_type"), col("strategy"), col("op"),
+        col("update_time"), col("event_id"))
     // one bookkeeping row: stage into a PRIVATE hidden dir, then move
     // the single data file into the leaf under a unique name — no
     // shared _temporary staging between concurrent appenders, and the
     // event appears atomically (one rename) or not at all
-    val stamp = java.util.UUID.randomUUID().toString
     val staging = new org.apache.hadoop.fs.Path(dir, s".__wm_append_$stamp")
     val fs = fsOf(spark, staging)
     event.coalesce(1).write.parquet(staging.toString)
@@ -194,12 +202,17 @@ object WatermarkStore {
       else spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
         org.apache.spark.sql.types.StructType.fromDDL(schemaDdl))
-    // exact-duplicate rows collapse: a reader overlapping a compact
-    // can see an event in both its original and combined file, and a
-    // replayed append re-asserts an identical row — neither may
-    // change history counts (the derived value never could)
-    val keyed = all.filter(col("pipeline_id") === pipelineId &&
-      col("source_id") === sourceId).dropDuplicates()
+    // duplicate collapse on EVENT IDENTITY: a reader overlapping a
+    // compact can see one event through both its original and combined
+    // file — same event_id, reads once. Two distinct appends with
+    // identical payloads keep both history rows (the reference inserts
+    // one row per update call). Rows from pre-event_id ledgers carry a
+    // null id and keep the legacy whole-row collapse.
+    val scoped = all.filter(col("pipeline_id") === pipelineId &&
+      col("source_id") === sourceId)
+    val keyed = scoped.filter(col("event_id").isNotNull)
+      .dropDuplicates("event_id")
+      .unionByName(scoped.filter(col("event_id").isNull).dropDuplicates())
     // a column-scoped read also honors UNSCOPED resets (reference
     // parity: reset without a column clears every column's watermark)
     column.fold(keyed)(c =>

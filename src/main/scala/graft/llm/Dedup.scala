@@ -316,7 +316,10 @@ object Dedup {
     // otherwise ceil to 9 and shrink the prefix below the exact bound
     val prefixLen = (col("__sz") -
       ceil(col("__sz") * lit(threshold) - lit(1e-9)) + 1).cast("int")
-    val wOrd = Window.partitionBy(col(idCol))
+    // partition by (block, id): same shuffle-key cardinality, but an id
+    // that repeats across blocks keeps a per-document prefix instead of
+    // mixing tokens from both documents and silently shrinking it
+    val wOrd = Window.partitionBy(col("__blk"), col(idCol))
       .orderBy(col("__df").asc, col("__t").asc)
     val post = toks.join(dfreq, Seq("__blk", "__t"))
       .withColumn("__rn", row_number().over(wOrd))

@@ -230,9 +230,12 @@ class IncrementalSpec extends SparkSpec {
     assert(WatermarkStore.last(spark, dir, "p1", "orders").get.value ==
       ts("2024-02-01 00:00:00"))
 
-    // replay idempotence: re-appending an already-recorded event (a
-    // retried run re-asserting its own watermark) changes nothing —
-    // including history, where the identical row collapses on read
+    // replay: re-appending an identical payload (a retried run
+    // re-asserting its own watermark) never changes the DERIVED
+    // watermark, and — reference parity: one inserted row per update
+    // call — each append keeps its own history row (distinct
+    // event_id), unlike a compact's physical duplicate of the SAME
+    // event, which collapses (see the compact spec)
     WatermarkStore.update(spark, dir, "p1", "orders", "o_orderdate",
       ts("2024-02-01 00:00:00"), at = Some(ts("2024-02-01 01:00:00")))
     assert(WatermarkStore.last(spark, dir, "p1", "orders").get.value ==
@@ -241,7 +244,8 @@ class IncrementalSpec extends SparkSpec {
     // history: newest first, update events only, full value fidelity
     val h = WatermarkStore.history(spark, dir, "p1", "orders", "o_orderdate")
       .select("watermark_value").as[String].collect()
-    assert(h.toSeq == Seq("2024-02-01 00:00:00.0", "2024-01-01 00:00:00.0"))
+    assert(h.toSeq == Seq("2024-02-01 00:00:00.0", "2024-02-01 00:00:00.0",
+      "2024-01-01 00:00:00.0"))
 
     // reset tombstones: last goes empty, history survives for audit,
     // and a NEWER update takes over again
@@ -250,7 +254,7 @@ class IncrementalSpec extends SparkSpec {
     assert(WatermarkStore.last(spark, dir, "p1", "orders").isEmpty)
     assert(WatermarkStore.last(spark, dir, "p1", "events").nonEmpty) // untouched
     assert(WatermarkStore.history(spark, dir, "p1", "orders", "o_orderdate")
-      .count() == 2)
+      .count() == 3)
     WatermarkStore.update(spark, dir, "p1", "orders", "o_orderdate",
       ts("2024-03-05 00:00:00"), at = Some(ts("2024-03-05 01:00:00")))
     assert(WatermarkStore.last(spark, dir, "p1", "orders").get.value ==
