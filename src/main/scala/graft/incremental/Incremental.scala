@@ -25,6 +25,33 @@ object Incremental {
   def afterWatermark(df: DataFrame, watermarkCol: String, watermark: Any): DataFrame =
     df.filter(col(watermarkCol) > lit(watermark))
 
+  /** One-call incremental JDBC extract — ref incremental_load_manager
+    * .py:118 extract_incremental_data + :300 optimize_incremental_query:
+    * read the stored watermark for (pipeline, source) out of the
+    * durable [[WatermarkStore]] ledger and land it in the JDBC scan's
+    * pushed predicates — the DATABASE evaluates
+    * `WHERE column > watermark` (PushedFilters on the scan), so only
+    * the delta crosses the wire; a first run with an empty ledger is a
+    * full extract. Pair with a partitionColumn on the source so the
+    * delta itself reads as parallel range queries.
+    *
+    * Advance the ledger AFTER the batch is safely consumed
+    * ([[WatermarkStore.advanceFrom]] on the same frame) — never
+    * before: a failed run must re-extract its delta on retry.
+    * [[graft.pipeline.Job]] wires this sequencing (extract → pipeline
+    * → sink → advance) for `jdbc` datasets with an `incremental`
+    * section, pinning the delta batch so the advance aggregates the
+    * rows the run actually consumed.
+    */
+  def extractJdbc(spark: org.apache.spark.sql.SparkSession,
+                  source: graft.sources.JdbcSource,
+                  storeDir: String, pipelineId: String, sourceId: String,
+                  column: String): DataFrame = {
+    val df = source.reader(spark).load()
+    WatermarkStore.last(spark, storeDir, pipelineId, sourceId, Some(column))
+      .fold(df)(w => afterWatermark(df, column, w.value))
+  }
+
   /** Keep the LATEST row per key — ref :521 deduplicate_data, with the
     * deterministic "latest wins" ordering production dedup needs (pass
     * a unique composite ordering; ties would otherwise be

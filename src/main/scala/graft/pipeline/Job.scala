@@ -142,28 +142,57 @@ object Job {
     * registered datasets (loaded through [[Catalog.load]], schema
     * pinned + validated when declared).
     */
-  // shared batch/stream guard — the two paths must reject connector
-  // datasets with the SAME error, by construction
+  // streaming guard — file streams only; batch additionally accepts
+  // jdbc connector datasets through loadBatchDataset
   private def requireFileDatasets(spec: Spec): Unit =
     spec.datasets.foreach(d => require(Catalog.connector(d).isEmpty,
       s"dataset '${d.name}': connector formats configure their reader " +
-        "via Catalog.register; Job expects file datasets"))
+        "via Catalog.register; streaming jobs expect file datasets"))
+
+  /** Batch dataset loader: file formats through [[Catalog.load]]
+    * (schema pinned + validated), `jdbc` through its configured reader
+    * — the warehouse-CDC face of the `incremental` section (ref
+    * incremental_load_manager.py:118: source configs are database
+    * tables). NoSQL readers need external systems a batch run can't
+    * pre-flight, so they stay register-only.
+    */
+  private def loadBatchDataset(spark: SparkSession,
+                               d: Catalog.DatasetSpec): DataFrame =
+    Catalog.connector(d) match {
+      case None             => Catalog.load(spark, d)
+      case Some(Left(jdbc)) => jdbc.reader(spark).load()
+      case Some(Right(_))   => throw new IllegalArgumentException(
+        s"dataset '${d.name}': NoSQL connector datasets configure their " +
+          "reader via Catalog.register; Job batch runs accept file and " +
+          "jdbc datasets")
+    }
 
   def run(spark: SparkSession, spec: Spec): Result = {
-    requireFileDatasets(spec)
     val loaded = spec.datasets.map { d =>
-      d.name -> Catalog.load(spark, d)
+      d.name -> loadBatchDataset(spark, d)
     }.toMap
     // incremental resume: the named dataset is cut to rows past the
     // LEDGER's watermark (first run = no watermark = full extract) —
     // afterWatermark's pushed-down range filter, driven by stored
-    // state instead of caller state
+    // state instead of caller state. On a jdbc dataset the filter
+    // lands in the database's WHERE clause (only the delta crosses
+    // the wire), and the delta batch is PINNED with persist: unlike a
+    // file scan, whose listing Spark pins at plan time, a live table
+    // re-queried later could include rows that committed mid-run —
+    // the advance aggregate below must see exactly the rows the
+    // pipeline consumed (the reference holds the batch in memory for
+    // the same reason). A delta batch is bounded by change volume,
+    // not corpus size, so caching it is the scale-safe choice.
     val sources = spec.incremental.fold(loaded) { inc =>
       val wm = graft.incremental.WatermarkStore.last(spark, inc.storeDir,
         inc.pipelineId, inc.sourceId, Some(inc.column))
-      loaded + (inc.sourceId -> wm.fold(loaded(inc.sourceId))(w =>
+      val cut = wm.fold(loaded(inc.sourceId))(w =>
         graft.incremental.Incremental.afterWatermark(
-          loaded(inc.sourceId), inc.column, w.value)))
+          loaded(inc.sourceId), inc.column, w.value))
+      val isJdbc = spec.datasets.find(_.name == inc.sourceId)
+        .exists(d => Catalog.connector(d).exists(_.isLeft))
+      val pinned = if (!isJdbc) cut else { val p = cut.persist(); p.count(); p }
+      loaded + (inc.sourceId -> pinned)
     }
     require(sources.contains(spec.pipeline.primary),
       s"pipeline primary '${spec.pipeline.primary}' is not a declared dataset")
@@ -199,10 +228,12 @@ object Job {
     // passed, sink written): a failed run never moves the watermark,
     // so its data re-extracts on the retry — and an EMPTY batch leaves
     // the ledger untouched (advanceFrom's contract). This re-evaluates
-    // max(column) over the extraction frame — safe because the frame's
-    // FILE LISTING was pinned when Catalog.load built it (Spark's
-    // InMemoryFileIndex lists once at plan time; files landing mid-run
-    // are invisible to THIS run and belong to the next), and cheap
+    // max(column) over the extraction frame — safe because the frame
+    // is pinned: a file frame's LISTING was pinned when Catalog.load
+    // built it (Spark's InMemoryFileIndex lists once at plan time;
+    // files landing mid-run are invisible to THIS run and belong to
+    // the next), and a jdbc delta batch was persisted above (rows
+    // committing mid-run are invisible the same way), and cheap
     // because the aggregate prunes to the one watermark column with
     // the range filter still pushed — not a second pass over the
     // pipeline's working set
@@ -210,6 +241,8 @@ object Job {
       graft.incremental.WatermarkStore.advanceFrom(spark, inc.storeDir,
         inc.pipelineId, inc.sourceId, inc.column,
         sources(inc.sourceId), inc.strategy)
+      // release the pinned jdbc delta batch (no-op for file frames)
+      sources(inc.sourceId).unpersist(blocking = false)
     }
     Result(result, dqReport, anomalies)
   }

@@ -444,6 +444,109 @@ class IncrementalSpec extends SparkSpec {
       .getMessage.contains("incremental"))
   }
 
+  test("incremental JDBC extract pushes the stored watermark into the database scan") {
+    import graft.incremental.WatermarkStore
+    import graft.sources.{JdbcSink, JdbcSource}
+    System.setProperty("derby.system.home", "/tmp/graft-derby")
+    val url = "jdbc:derby:memory:graftinc;create=true"
+    val drv = Map("driver" -> "org.apache.derby.iapi.jdbc.AutoloadedDriver")
+    val store = java.nio.file.Files.createTempDirectory("graft_jdbcwm")
+      .toString + "/wm"
+    val src = table("orders")
+      .select($"o_orderkey", $"o_orderdate", $"o_totalprice")
+    JdbcSink.write(src, url, "ORDERS_INC", "overwrite", drv)
+    val j = JdbcSource(url, "ORDERS_INC", extra = drv)
+
+    // empty ledger: a full extract (the reference's first-run contract)
+    val full = Incremental.extractJdbc(spark, j, store, "pw", "orders_inc",
+      "o_orderkey")
+    assert(full.count() == src.count())
+
+    // stored watermark: the filter must reach the DATABASE — Spark's
+    // JDBC scan advertises it as a pushed predicate, meaning Derby
+    // evaluates WHERE o_orderkey > 1000 and only the delta crosses
+    WatermarkStore.update(spark, store, "pw", "orders_inc", "o_orderkey",
+      1000L, strategy = "sequence")
+    val delta = Incremental.extractJdbc(spark, j, store, "pw", "orders_inc",
+      "o_orderkey")
+    val physical = delta.queryExecution.executedPlan.toString
+    assert(physical.contains("PushedFilters") &&
+      physical.contains("GreaterThan(o_orderkey,1000)"),
+      s"stored watermark not pushed into the JDBC scan:\n$physical")
+    val expected = src.filter($"o_orderkey" > 1000L).count()
+    assert(delta.count() == expected && expected > 0)
+
+    // round trip: extract -> advance from the consumed batch -> the
+    // next extract is empty until newer rows land
+    val maxKey = src.agg(max($"o_orderkey")).head().getLong(0)
+    val hi = WatermarkStore.advanceFrom(spark, store, "pw", "orders_inc",
+      "o_orderkey", delta, "sequence")
+    assert(hi.contains(maxKey))
+    assert(Incremental.extractJdbc(spark, j, store, "pw", "orders_inc",
+      "o_orderkey").count() == 0)
+    val more = src.orderBy($"o_orderkey").limit(5)
+      .withColumn("o_orderkey", $"o_orderkey" + lit(maxKey + 1))
+    JdbcSink.write(more, url, "ORDERS_INC", "append", drv)
+    val next = Incremental.extractJdbc(spark, j, store, "pw", "orders_inc",
+      "o_orderkey")
+    assert(next.count() == 5)
+    assert(next.agg(min($"o_orderkey")).head().getLong(0) > maxKey)
+  }
+
+  test("Job with a jdbc dataset: watermark round trip against live Derby") {
+    import graft.pipeline.Job
+    import graft.sources.JdbcSink
+    System.setProperty("derby.system.home", "/tmp/graft-derby")
+    val url = "jdbc:derby:memory:graftjobinc;create=true"
+    val drv = "org.apache.derby.iapi.jdbc.AutoloadedDriver"
+    val store = java.nio.file.Files.createTempDirectory("graft_jobjdbc")
+      .toString + "/wm"
+    val src = table("orders")
+      .select($"o_orderkey", $"o_orderdate", $"o_totalprice")
+    JdbcSink.write(src, url, "ORDERS_JOB", "overwrite",
+      Map("driver" -> drv))
+    val doc =
+      s"""{
+         |  "datasets": [
+         |    {"name": "jo", "format": "jdbc", "path": "$url",
+         |     "options": {"dbtable": "ORDERS_JOB", "driver": "$drv"}}
+         |  ],
+         |  "pipeline": {"primary": "jo", "steps": [
+         |    {"type": "select", "columns": ["o_orderkey", "o_totalprice"]}
+         |  ]},
+         |  "incremental": {"watermark_store": "$store", "pipeline_id": "pj",
+         |    "source_id": "jo", "column": "o_orderkey",
+         |    "strategy": "sequence"}
+         |}""".stripMargin
+    val total = src.count()
+    val maxKey = src.agg(max($"o_orderkey")).head().getLong(0)
+
+    // run 1: empty ledger -> full extract; ledger advances to max(key)
+    assert(Job.runJson(spark, doc).output.count() == total)
+    assert(graft.incremental.WatermarkStore.last(spark, store, "pj", "jo")
+      .get.value == maxKey)
+
+    // run 2: nothing newer -> empty output, ledger untouched
+    assert(Job.runJson(spark, doc).output.count() == 0)
+
+    // rows land in the warehouse -> run 3 consumes exactly the delta
+    // and advances past it
+    val more = src.orderBy($"o_orderkey").limit(7)
+      .withColumn("o_orderkey", $"o_orderkey" + lit(maxKey + 1))
+    JdbcSink.write(more, url, "ORDERS_JOB", "append", Map("driver" -> drv))
+    val r3 = Job.runJson(spark, doc)
+    assert(r3.output.count() == 7)
+    assert(graft.incremental.WatermarkStore.last(spark, store, "pj", "jo")
+      .get.value == more.agg(max($"o_orderkey")).head().getLong(0))
+
+    // NoSQL connectors stay register-only in batch runs
+    val nosqlDoc = doc
+      .replace(""""format": "jdbc"""", """"format": "mongodb"""")
+      .replace(s""""path": "$url"""", """"path": "mongodb://x"""")
+    assert(intercept[IllegalArgumentException](Job.runJson(spark, nosqlDoc))
+      .getMessage.contains("NoSQL"))
+  }
+
   test("distinctSketch/rollupDistinct: incremental union, overlap-idempotent, bounded error") {
     val events = table("events").withColumn("day", to_date(col("ts")))
     val exact = events.groupBy("event_type")
