@@ -28,7 +28,40 @@ object QueriesIncremental {
     d.toString + "/wm"
   }
 
+  /** Session-lifetime versioned-table root for q_incr_since_version —
+    * per-sf-dir subtrees (the committed slices derive from the input
+    * tables), removed by the same shutdown discipline as the ledger.
+    */
+  private[graft] lazy val vtBase: String = {
+    val d = java.nio.file.Files.createTempDirectory("graft_q_vt")
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      def del(f: java.io.File): Unit = {
+        Option(f.listFiles).foreach(_.foreach(del)); f.delete(); ()
+      }
+      del(d.toFile)
+    }))
+    d.toString
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // lakehouse since-version delta — ref incremental_load_manager.py
+    // :786 (_extract_delta_lake, a placeholder in the reference): three
+    // slices of orders commit as versions 1..3 of a VersionedTable
+    // (txn ids make bench re-invocations replay-idempotent no-ops),
+    // then the extract asks for rows past version 1 — a METADATA
+    // answer that opens only the two delta commits' files. The oracle
+    // states the expected content cut (slices 2 and 3) directly.
+    "q_incr_since_version" -> ((s, dir) => {
+      import graft.sources.VersionedTable
+      val tbl = s"${QueriesIncremental.vtBase}/vt_${math.abs(dir.hashCode)}"
+      val o = t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      (0 to 2).foreach(i => VersionedTable.commit(
+        o.filter(pmod(col("o_orderkey"), lit(3)) === i), tbl,
+        txnId = Some(s"slice$i")))
+      VersionedTable.readSince(s, tbl, sinceVersion = 1L)
+    }),
 
     // watermark extract — ref incremental_load_manager.py:118
     "q_incr_watermark" -> ((s, dir) => {
@@ -210,6 +243,12 @@ object QueriesIncremental {
   )
 
   def oracleSql: Map[String, String] = Map(
+
+    // versions 1..3 hold the %3 == 0,1,2 slices; "since version 1"
+    // is slices 2 and 3 by content
+    "q_incr_since_version" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |WHERE o_orderkey % 3 <> 0""".stripMargin,
 
     "q_incr_watermark" ->
       """SELECT o_orderkey, CAST(o_orderdate AS DATE) AS o_date FROM orders

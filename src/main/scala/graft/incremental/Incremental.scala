@@ -52,6 +52,49 @@ object Incremental {
       .fold(df)(w => afterWatermark(df, column, w.value))
   }
 
+  /** The ledger column under which [[extractSinceVersion]] records a
+    * versioned table's commit watermark.
+    */
+  val versionColumn = "__version"
+
+  /** Lakehouse since-version extract — the reference's `delta_lake`
+    * strategy slot (incremental_load_manager.py:786 _extract_delta_lake,
+    * a placeholder there): the delta of a
+    * [[graft.sources.VersionedTable]] past the commit version the
+    * ledger last recorded. A first run (empty ledger) reads the whole
+    * table; afterwards only the delta commits' FILES open — file-level
+    * pruning, no scan-and-filter of the full table. Pair with
+    * [[advanceVersion]] after the batch lands (never before — a failed
+    * run must re-read its delta on retry), completing the strategy set
+    * beside timestamp/sequence/cdc/snapshot.
+    */
+  def extractSinceVersion(spark: org.apache.spark.sql.SparkSession,
+                          tableDir: String, storeDir: String,
+                          pipelineId: String, sourceId: String): DataFrame = {
+    val since = WatermarkStore
+      .last(spark, storeDir, pipelineId, sourceId, Some(versionColumn))
+      .map(_.value.asInstanceOf[Long]).getOrElse(-1L)
+    graft.sources.VersionedTable.readSince(spark, tableDir, since)
+  }
+
+  /** Record the table's newest readable version as the stored
+    * watermark — a no-op when nothing new was committed (mirrors
+    * [[WatermarkStore.advanceFrom]]'s empty-batch contract). Returns
+    * the recorded version.
+    */
+  def advanceVersion(spark: org.apache.spark.sql.SparkSession,
+                     tableDir: String, storeDir: String,
+                     pipelineId: String, sourceId: String): Option[Long] = {
+    val stored = WatermarkStore
+      .last(spark, storeDir, pipelineId, sourceId, Some(versionColumn))
+      .map(_.value.asInstanceOf[Long])
+    val latest = graft.sources.VersionedTable.latestVersion(spark, tableDir)
+      .filter(v => stored.forall(_ < v))
+    latest.foreach(v => WatermarkStore.update(spark, storeDir, pipelineId,
+      sourceId, versionColumn, v, strategy = "delta_lake"))
+    latest
+  }
+
   /** Keep the LATEST row per key — ref :521 deduplicate_data, with the
     * deterministic "latest wins" ordering production dedup needs (pass
     * a unique composite ordering; ties would otherwise be

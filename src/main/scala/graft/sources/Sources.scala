@@ -38,6 +38,11 @@ object FileSource {
       case "excel" | "xlsx" =>
         Excel.read(spark, path, schema,
           header = options.getOrElse("header", "true").toBoolean)
+      // commit-versioned parquet table (lakehouse layout): the read
+      // resolves the manifest log's newest readable version; schema
+      // comes from the committed files themselves
+      case "versioned" =>
+        VersionedTable.read(spark, path)
       case fmt =>
         val defaults = fmt match {
           case "xml" => Map("rowTag" -> "ROW")

@@ -444,6 +444,86 @@ class IncrementalSpec extends SparkSpec {
       .getMessage.contains("incremental"))
   }
 
+  test("VersionedTable: atomic commits, since-version deltas, txn replay, crash debris invisible") {
+    import graft.sources.VersionedTable
+    val dir = java.nio.file.Files.createTempDirectory("graft_vt")
+      .toString + "/tbl"
+    val a = Seq((1L, "a"), (2L, "b")).toDF("k", "v")
+    val b = Seq((3L, "c")).toDF("k", "v")
+    val c = Seq((4L, "d"), (5L, "e")).toDF("k", "v")
+
+    assert(VersionedTable.latestVersion(spark, dir).isEmpty)
+    assert(VersionedTable.commit(a, dir, txnId = Some("t1")) == 1L)
+    assert(VersionedTable.commit(b, dir) == 2L)
+    // writer replay: the same txn id returns the original version and
+    // appends NOTHING (a retried job cannot double-append its batch)
+    assert(VersionedTable.commit(a, dir, txnId = Some("t1")) == 1L)
+    assert(VersionedTable.read(spark, dir).count() == 3)
+    assert(VersionedTable.commit(c, dir, txnId = Some("t3")) == 3L)
+    assert(VersionedTable.latestVersion(spark, dir).contains(3L))
+
+    // since-version is a file-level delta: strictly-after semantics,
+    // -1 reads everything, at-latest is an EMPTY frame with the
+    // table's schema (not an error)
+    assert(VersionedTable.read(spark, dir).count() == 5)
+    assert(VersionedTable.readSince(spark, dir, 1L)
+      .select("k").as[Long].collect().sorted.toSeq == Seq(3L, 4L, 5L))
+    assert(VersionedTable.readSince(spark, dir, -1L).count() == 5)
+    val none = VersionedTable.readSince(spark, dir, 3L)
+    assert(none.isEmpty &&
+      none.schema == VersionedTable.read(spark, dir).schema)
+
+    // crash debris: a data file no manifest references is invisible to
+    // readers and reclaimed by vacuum once stale
+    val orphan = java.nio.file.Paths.get(dir, "part-orphan.parquet")
+    java.nio.file.Files.copy(
+      java.nio.file.Files.list(java.nio.file.Paths.get(dir))
+        .filter(_.getFileName.toString.endsWith(".parquet")).findFirst().get(),
+      orphan)
+    assert(VersionedTable.read(spark, dir).count() == 5)
+    val future = System.currentTimeMillis() + VersionedTable.staleClaimMs + 1
+    assert(VersionedTable.vacuum(spark, dir, now = future) == 1)
+    assert(!java.nio.file.Files.exists(orphan))
+    assert(VersionedTable.read(spark, dir).count() == 5)
+
+    // an in-flight (incomplete, young) claim: readers stop BEFORE it —
+    // the readable table is the longest complete prefix
+    val claim = java.nio.file.Paths.get(dir, "_graft_log",
+      f"${4L}%020d.manifest")
+    java.nio.file.Files.write(claim,
+      "#graft-versioned-manifest\n".getBytes("UTF-8"))
+    assert(VersionedTable.latestVersion(spark, dir).contains(3L))
+    assert(VersionedTable.read(spark, dir).count() == 5)
+    // vacuum refuses to run under an in-flight claim
+    assert(VersionedTable.vacuum(spark, dir, now = future) == 0)
+    java.nio.file.Files.delete(claim)
+
+    // the named strategy round trip: extract past the STORED version,
+    // advance only when something new committed (replay-idempotent)
+    val store = java.nio.file.Files.createTempDirectory("graft_vtwm")
+      .toString + "/wm"
+    assert(Incremental.extractSinceVersion(spark, dir, store, "pv", "tbl")
+      .count() == 5)
+    assert(Incremental.extractSinceVersion(spark, dir, store, "pv", "tbl")
+      .count() == 5) // re-extract before advance: identical
+    assert(Incremental.advanceVersion(spark, dir, store, "pv", "tbl")
+      .contains(3L))
+    assert(Incremental.extractSinceVersion(spark, dir, store, "pv", "tbl")
+      .count() == 0)
+    // nothing new: the ledger stays untouched
+    assert(Incremental.advanceVersion(spark, dir, store, "pv", "tbl").isEmpty)
+    val d = Seq((6L, "f")).toDF("k", "v")
+    assert(VersionedTable.commit(d, dir) == 4L)
+    val delta = Incremental.extractSinceVersion(spark, dir, store, "pv", "tbl")
+    assert(delta.select("k").as[Long].collect().toSeq == Seq(6L))
+    assert(Incremental.advanceVersion(spark, dir, store, "pv", "tbl")
+      .contains(4L))
+
+    // the catalog face: format "versioned" reads the newest version
+    assert(graft.sources.FileSource.read(spark, "versioned", dir)
+      .count() == 6)
+  }
+
   test("incremental JDBC extract pushes the stored watermark into the database scan") {
     import graft.incremental.WatermarkStore
     import graft.sources.{JdbcSink, JdbcSource}
