@@ -234,6 +234,23 @@ object QueriesLlm {
           "embedding", k = 10))
     }),
 
+    // recall of the DEFAULT generic-kNN surface (Similarity.topKAuto,
+    // which routes to IVF nprobe=8 — r14 telemetry proved IVF
+    // dominates LSH for generic kNN): what a user who just asks for
+    // neighbours actually gets, measured per round on the same capped
+    // hard-query harness. Rows-only; harness hash-proven by
+    // q_sim_lsh_recall_exact.
+    "q_sim_auto_recall" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val queries = e.filter(pmod(col("vec_id"), lit(29)) === 0 &&
+          col("vec_id") < 20000)
+        .select(col("vec_id").as("query_id"), col("embedding"))
+      Similarity.recallAtK(
+        Similarity.topKAuto(e, queries, "vec_id", "query_id", "embedding", k = 10),
+        Similarity.bruteForceTopKPartitioned(e, queries, "vec_id", "query_id",
+          "embedding", k = 10))
+    }),
+
     // degenerate single-bucket LSH == exact brute force, so recall
     // must be EXACTLY 1.0 per query — the SQL-checkable proof that
     // recallAtK's join/count/divide machinery is right

@@ -240,6 +240,44 @@ object Similarity {
     lshTopK(corpus, queries, corpusId, queryId, vecCol, k,
       planes = planesFor(corpus.count(), targetBucketSize), multiProbe = true)
 
+  /** THE generic-kNN entry point: a user who just asks for neighbours
+    * gets the IVF cell index — per-round telemetry (q_sim_ivf_recall
+    * vs q_sim_lsh_recall; PLANS.md r14) measured IVF nprobe=8
+    * recall@10 0.79 at sf10 in 2.2 s against 0.23 for Hamming-1
+    * multi-probe hyperplane LSH on the same hard query set, the FAISS
+    * conclusion reproduced: learned cells adapt to the data
+    * distribution where fixed hyperplanes cannot, and the sqrt-rule
+    * cell count keeps per-query probe cost ~nprobe·sqrt(n). LSH stays
+    * the PAIR-GENERATION engine for near-dup dedup
+    * ([[graft.llm.Dedup.embeddingNearDupLshAuto]]), where bucket
+    * co-occurrence of near-identical vectors — not per-query recall
+    * on arbitrary queries — is the contract.
+    *
+    * Below `exactThreshold` rows the router returns EXACT brute force
+    * (the FAISS flat-index regime: at small n the full pairing is
+    * cheaper than an index build and recall is 1.0 by construction);
+    * above it, a sampled-training IVF index for this batch (persisted
+    * — release via GraftSession.releaseAll, or build once with
+    * [[graft.llm.Ivf.buildIndexAuto]] and probe [[graft.llm.Ivf.topK]]
+    * directly across many batches).
+    */
+  def topKAuto(corpus: DataFrame, queries: DataFrame,
+               corpusId: String, queryId: String, vecCol: String,
+               k: Int, nprobe: Int = 8,
+               exactThreshold: Long = 16384): DataFrame = {
+    val n = corpus.count()
+    if (n <= exactThreshold)
+      bruteForceTopKPartitioned(corpus, queries, corpusId, queryId, vecCol, k)
+    else {
+      val index = Ivf.buildIndexSampled(corpus, corpusId, vecCol,
+        Ivf.nlistFor(n), knownCount = Some(n)).persist()
+      index.count() // materialize before the probe job can race the cache
+      val cents = Ivf.centroids(index, vecCol)
+      Ivf.topK(index, queries, corpusId, queryId, vecCol, k, nprobe,
+        cellCentroids = Some(cents))
+    }
+  }
+
   /** Per-query recall of an approximate top-k against the exact one:
     * (query_id, found, expected, recall) where found counts the
     * (query_id, neighbor_id) pairs the approximate result shares with

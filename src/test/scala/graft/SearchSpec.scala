@@ -114,6 +114,43 @@ class SearchSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("topKAuto equals the explicit IVF formulation and beats-or-ties auto LSH recall") {
+    import graft.llm.{Ivf, Similarity}
+    val e = table("embeddings")
+    val q = e.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("qid"), col("embedding"))
+    // small-corpus regime: the router returns exact brute force
+    val auto = Similarity.topKAuto(e, q, "vec_id", "qid", "embedding", k = 5)
+      .orderBy("query_id", "rnk").collect().toSeq
+    val flat = Similarity.bruteForceTopKPartitioned(e, q, "vec_id", "qid",
+        "embedding", k = 5)
+      .orderBy("query_id", "rnk").collect().toSeq
+    assert(auto.nonEmpty && auto == flat)
+    // large-corpus regime (forced): the router IS the explicit IVF
+    // formulation at nprobe=8
+    val routed = Similarity.topKAuto(e, q, "vec_id", "qid", "embedding",
+        k = 5, exactThreshold = 0L)
+      .orderBy("query_id", "rnk").collect().toSeq
+    val index = Ivf.buildIndexAuto(e, "vec_id", "embedding").persist()
+    index.count()
+    val manual = Ivf.topK(index, q, "vec_id", "qid", "embedding", k = 5,
+        nprobe = 8, cellCentroids = Some(Ivf.centroids(index, "embedding")))
+      .orderBy("query_id", "rnk").collect().toSeq
+    assert(routed.nonEmpty && routed == manual)
+    // the routing claim itself: on real embeddings the default surface
+    // may not lose to the LSH surface it replaced
+    val exact = Similarity.bruteForceTopK(e, q, "vec_id", "qid", "embedding", k = 5)
+    def avgRecall(approx: org.apache.spark.sql.DataFrame) =
+      Similarity.recallAtK(approx, exact)
+        .agg(org.apache.spark.sql.functions.avg("recall")).head().getDouble(0)
+    val autoR = avgRecall(
+      Similarity.topKAuto(e, q, "vec_id", "qid", "embedding", k = 5))
+    val lshR = avgRecall(
+      Similarity.lshTopKAuto(e, q, "vec_id", "qid", "embedding", k = 5))
+    assert(autoR >= lshR - 1e-9, s"auto surface lost recall: $autoR < $lshR")
+    GraftSession.releaseAll(spark)
+  }
+
   test("driver-path centroid assignment equals the broadcast-join formulation") {
     import graft.llm.Ivf
     val e = table("embeddings")
