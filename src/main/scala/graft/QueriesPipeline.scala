@@ -212,6 +212,35 @@ object QueriesPipeline {
       graft.pipeline.Job.runJson(s, json).output
     }),
 
+    // end-to-end LEDGER-DRIVEN incremental job — the composed
+    // WatermarkStore + Job.incremental path at full query scale: a
+    // planted watermark in a fresh store cuts the extract (pushed
+    // range filter on the scan), the pipeline aggregates the delta,
+    // and the ledger advances only after success. The store is fresh
+    // per invocation BECAUSE the advance moves the watermark — a
+    // reused ledger would make the second bench pass extract nothing.
+    "q_job_incremental" -> ((s, dir) => {
+      val store = java.nio.file.Files.createTempDirectory("graft_jinc")
+        .toString + "/wm"
+      graft.incremental.WatermarkStore.update(s, store, "pi", "w_orders",
+        "o_orderdate", java.sql.Timestamp.valueOf("1997-01-01 00:00:00"),
+        at = Some(java.sql.Timestamp.valueOf("2024-01-01 00:00:00")))
+      val json =
+        s"""{
+           |  "datasets": [
+           |    {"name": "w_orders", "format": "parquet", "path": "$dir/orders.parquet"}
+           |  ],
+           |  "pipeline": {"primary": "w_orders", "steps": [
+           |    {"type": "aggregate", "groupBy": ["o_orderstatus", "o_orderpriority"],
+           |     "aggs": [{"col": "o_totalprice", "fn": "sum_money", "as": "total"},
+           |              {"col": "o_orderkey", "fn": "count", "as": "n"}]}
+           |  ]},
+           |  "incremental": {"watermark_store": "$store", "pipeline_id": "pi",
+           |    "source_id": "w_orders", "column": "o_orderdate"}
+           |}""".stripMargin
+      graft.pipeline.Job.runJson(s, json).output
+    }),
+
     // the same one-document job in QUARANTINE mode (error_recovery.py
     // :345 in config): failing output rows route to the per-run
     // quarantine slice and the job continues with the clean side
@@ -447,6 +476,16 @@ object QueriesPipeline {
          |ORDER BY action_timestamp DESC, audit_id DESC""".stripMargin,
 
     "q_job" -> jobOutSql, // ONE definition, shared with the quarantine pair
+
+    // the engine derives the cut from the planted ledger value; the
+    // oracle states the expected extraction window directly
+    "q_job_incremental" ->
+      """SELECT o_orderstatus, o_orderpriority,
+        |CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total,
+        |COUNT(o_orderkey) AS n
+        |FROM orders
+        |WHERE o_orderdate > TIMESTAMP '1997-01-01 00:00:00'
+        |GROUP BY o_orderstatus, o_orderpriority""".stripMargin,
 
     // the DAG handoff computes exactly the q_job result, via a
     // materialized intermediate instead of one plan
