@@ -15,14 +15,24 @@ object Profile {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
     val spark = GraftSession.builder(s"local[$cpus]", cpus.toInt).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val docs = Tables.load(spark, sfDir, "documents")
-    docs.count() // warm scan
 
     def time(name: String)(f: => Long): Unit = {
       val t0 = System.nanoTime()
       val n = f
       println(f"PROFILE $name%-28s ${(System.nanoTime() - t0) / 1e9}%8.3f s  rows=$n")
     }
+
+    if (args.lift(1).contains("quantiles")) {
+      profileQuantiles(spark, sfDir, time); spark.stop(); return
+    }
+    if (args.lift(1).contains("textlm")) {
+      profileTextLm(spark, sfDir, time); spark.stop(); return
+    }
+    if (args.lift(1).contains("changepoint")) {
+      profileChangepoint(spark, sfDir, time); spark.stop(); return
+    }
+    val docs = Tables.load(spark, sfDir, "documents")
+    docs.count() // warm scan
 
     import graft.llm.Dedup
     time("jaccard-blocked")(
@@ -43,5 +53,196 @@ object Profile {
     time("simhash-pairs")(
       Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 6).count())
     spark.stop()
+  }
+
+  /** Stage breakdown of q_anom_changepoint_ms: the shared sort, the
+    * cumulative decimal columns, and the per-scale lag/lead tail.
+    */
+  private def profileChangepoint(spark: org.apache.spark.sql.SparkSession,
+                                 sfDir: String,
+                                 time: String => (=> Long) => Unit): Unit = {
+    import org.apache.spark.sql.expressions.Window
+    val ev = Tables.load(spark, sfDir, "events")
+    ev.count() // warm
+    val base = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").asc, col("event_id").asc)
+    val wc = base.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val dec = org.apache.spark.sql.types.DecimalType(28, 6)
+    // sort + one trivial window agg: the shuffle/sort floor
+    time("cp-sort+count-window")(
+      ev.withColumn("cn", count(col("value")).over(wc))
+        .filter(col("cn") > 0).count())
+    // + the three cumulative decimal columns
+    time("cp-cum-decimal")(
+      ev.withColumn("cn", count(col("value")).over(wc))
+        .withColumn("cs", sum(col("value").cast(dec)).over(wc))
+        .withColumn("cs2", sum((col("value") * col("value")).cast(dec)).over(wc))
+        .filter(col("cn") > 0).count())
+    // cumulative LONG micro-unit variant (cost ceiling probe only)
+    time("cp-cum-long")(
+      ev.withColumn("cn", count(col("value")).over(wc))
+        .withColumn("cs", sum((col("value").cast(dec) * 1000000)
+          .cast("long")).over(wc))
+        .withColumn("cs2", sum(((col("value") * col("value")).cast(dec) *
+          1000000).cast("long")).over(wc))
+        .filter(col("cn") > 0).count())
+    time("cp-full-query")(
+      graft.quality.Anomaly.changepointsMultiScale(ev, "value",
+        Seq("user_id"), Seq(col("ts").asc, col("event_id").asc),
+        windows = Seq(10, 20, 40), threshold = 3.0).count())
+    time("cp-full-query-2nd")(
+      graft.quality.Anomaly.changepointsMultiScale(ev, "value",
+        Seq("user_id"), Seq(col("ts").asc, col("event_id").asc),
+        windows = Seq(10, 20, 40), threshold = 3.0).count())
+  }
+
+  /** Stage breakdown of [[graft.llm.Text.bigramLmScore]] (q_text_lm):
+    * tokenize+bigram explode vs count aggregations vs the corpus-sized
+    * count joins, plus a native-shingle tokenize variant.
+    */
+  private def profileTextLm(spark: org.apache.spark.sql.SparkSession,
+                            sfDir: String,
+                            time: String => (=> Long) => Unit): Unit = {
+    val df = Tables.load(spark, sfDir, "documents")
+    df.count() // warm
+    val toks = filter(split(lower(trim(col("text"))), "\\s+"), t => t =!= "")
+    val docs = df.select(col("doc_id"), toks.as("__t"))
+    val n1 = greatest(size(col("__t")) - 1, lit(0))
+    def bigrams = docs.select(col("doc_id"),
+        explode(zip_with(
+          slice(col("__t"), lit(1), n1),
+          slice(col("__t"), lit(2), n1),
+          (a, b) => struct(a.as("__w1"), b.as("__w2")))).as("__p"))
+      .select(col("doc_id"), col("__p.__w1").as("__w1"), col("__p.__w2").as("__w2"))
+    time("lm-bigram-explode-hof")(bigrams.count())
+    // native word-shingle expression instead of slice/zip_with lambdas
+    def bigramsNative = df.select(col("doc_id"),
+        explode(graft.plans.TextExpressions.wordShingles(col("text"), 2)).as("__s"))
+    time("lm-bigram-explode-native")(bigramsNative.count())
+    time("lm-bigram-counts")(bigrams.groupBy("__w1", "__w2")
+      .agg(count(lit(1))).count())
+    time("lm-unigram-counts")(docs.select(explode(col("__t")).as("__w1"))
+      .groupBy("__w1").agg(count(lit(1))).count())
+    time("lm-full-query")(
+      graft.llm.Text.bigramLmScore(df, "doc_id", "text").count())
+    // forced-broadcast variant of the two count joins (skeleton only —
+    // no decimal mean tail; measures the join strategy delta)
+    time("lm-joins-broadcast") {
+      val bg = bigrams.groupBy("__w1", "__w2").agg(count(lit(1)).as("__c12"))
+      val ug = docs.select(explode(col("__t")).as("__w1"))
+        .groupBy("__w1").agg(count(lit(1)).as("__c1"))
+      val vocab = ug.agg(count(lit(1)).as("__v"))
+      bigrams.join(broadcast(bg), Seq("__w1", "__w2"))
+        .join(broadcast(ug), Seq("__w1"))
+        .crossJoin(broadcast(vocab))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n"),
+          sum(log((col("__c12") + lit(0.5)) /
+            (col("__c1") + lit(0.5) * col("__v")))).as("s"))
+        .count()
+    }
+    time("lm-joins-smj-asis") {
+      val bg = bigrams.groupBy("__w1", "__w2").agg(count(lit(1)).as("__c12"))
+      val ug = docs.select(explode(col("__t")).as("__w1"))
+        .groupBy("__w1").agg(count(lit(1)).as("__c1"))
+      val vocab = ug.agg(count(lit(1)).as("__v"))
+      bigrams.join(bg, Seq("__w1", "__w2"))
+        .join(ug, Seq("__w1"))
+        .crossJoin(broadcast(vocab))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n"),
+          sum(log((col("__c12") + lit(0.5)) /
+            (col("__c1") + lit(0.5) * col("__v")))).as("s"))
+        .count()
+    }
+  }
+
+  /** Per-pass breakdown of [[graft.functions.Quantiles.exactQuantiles]]
+    * (the q_dq_quantiles plan): replicates each of the three shared
+    * scans in isolation so the attribution targets the measured pass.
+    */
+  private def profileQuantiles(spark: org.apache.spark.sql.SparkSession,
+                               sfDir: String,
+                               time: String => (=> Long) => Unit): Unit = {
+    val li = Tables.load(spark, sfDir, "lineitem")
+    li.count() // warm scan
+    val cols = Seq("l_quantity", "l_extendedprice")
+    val qs = Seq(0.25, 0.5, 0.75, 0.95)
+    val eps = 0.002
+    def v(c: String) = col(c).cast("double")
+    val edges = qs.flatMap(q => Seq(q - eps, q + eps))
+
+    // pass 1 shape: counts + one multi-edge GK sketch per column
+    var brackets = Map.empty[String, Seq[Double]]
+    time("q1-pass1-count+gk") {
+      val aggs = cols.flatMap(c => Seq(count(v(c)).as(s"n_$c"),
+        expr(s"approx_percentile(CAST(`$c` AS DOUBLE), " +
+          s"array(${edges.mkString(",")}), 10000)").as(s"b_$c")))
+      val r = li.agg(aggs.head, aggs.tail: _*).head()
+      brackets = cols.map(c => c -> r.getSeq[Double](r.fieldIndex(s"b_$c"))).toMap
+      1L
+    }
+    // pass 1 variant: counts only (isolates the GK sketch share)
+    time("q1-pass1-count-only") {
+      val aggs = cols.map(c => count(v(c)).as(s"n_$c"))
+      li.agg(aggs.head, aggs.tail: _*).head(); 1L
+    }
+    // GK accuracy sweep: the bracket only needs error < eps*n
+    // (accuracy >= 1/eps = 500); pass 2 verifies and misses fall back
+    Seq(2000, 1000).foreach { acc =>
+      time(s"q1-pass1-gk-acc$acc") {
+        val aggs = cols.map(c =>
+          expr(s"approx_percentile(CAST(`$c` AS DOUBLE), " +
+            s"array(${edges.mkString(",")}), $acc)").as(s"b_$c"))
+        li.agg(aggs.head, aggs.tail: _*).head(); 1L
+      }
+    }
+    // pass 2 shape: conditional below/in counts per probe
+    time("q1-pass2-cond-counts") {
+      val aggs = cols.flatMap { c =>
+        val br = brackets(c)
+        qs.indices.flatMap(i => Seq(
+          count(when(v(c) < br(2 * i), 1)).as(s"below_${c}_$i"),
+          count(when(v(c) >= br(2 * i) && v(c) <= br(2 * i + 1), 1))
+            .as(s"in_${c}_$i")))
+      }
+      li.agg(aggs.head, aggs.tail: _*).head(); 1L
+    }
+    // pass 3 shape: HOF bracket tag + explode + per-probe window
+    time("q1-pass3-sliver-window") {
+      val perCol = cols.zipWithIndex.map { case (c, ci) =>
+        val br = brackets(c)
+        val arr = array(qs.indices.map(i =>
+          struct(lit(ci * 4 + i).as("id"), lit(br(2 * i)).as("b1"),
+            lit(br(2 * i + 1)).as("b2"))): _*)
+        transform(filter(arr, s => v(c) >= s("b1") && v(c) <= s("b2")),
+          s => struct(s("id").as("id"), v(c).as("v")))
+      }
+      li.select(explode(concat(perCol: _*)).as("m"))
+        .select(col("m.id").as("id"), col("m.v").as("v"))
+        .withColumn("rn", org.apache.spark.sql.functions.row_number().over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("id"))
+            .orderBy(col("v"))))
+        .filter(col("rn") <= 2)
+        .count()
+    }
+    // pass 3 variant: codegen'd boolean tag instead of HOF filter —
+    // measures the interpreted-lambda share of the sliver scan
+    time("q1-pass3-flat-when") {
+      val parts = cols.zipWithIndex.flatMap { case (c, ci) =>
+        val br = brackets(c)
+        qs.indices.map(i =>
+          when(v(c) >= br(2 * i) && v(c) <= br(2 * i + 1),
+            struct(lit(ci * 4 + i).as("id"), v(c).as("v"))))
+      }
+      li.select(explode(array(parts: _*)).as("m"))
+        .filter(col("m").isNotNull)
+        .select(col("m.id").as("id"), col("m.v").as("v"))
+        .withColumn("rn", org.apache.spark.sql.functions.row_number().over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("id"))
+            .orderBy(col("v"))))
+        .filter(col("rn") <= 2)
+        .count()
+    }
   }
 }

@@ -34,13 +34,21 @@ import org.apache.spark.sql.functions._
   * only ever narrows WHERE we sort, never WHAT we return. Tune
   * `bracketEps`/`accuracy` so sliver ≈ 2·eps·n fits one executor's
   * sort (at 10^12 rows, eps = 1e-5 → ~2·10^7-row sliver).
+  *
+  * The default `accuracy = 2000` is sized to the BRACKET's needs, not
+  * an output guarantee: the bracket holds whenever GK rank error
+  * n/accuracy < bracketEps·n, i.e. accuracy > 1/eps = 500 — 2000 is a
+  * 4× margin, and a miss is verified (pass 2) and repaired (exact
+  * fallback), never wrong. GK insert cost scales with summary size:
+  * accuracy 10000 → 2000 measured 9.7 → 4.7 s on a 60M×2-column
+  * pass-1 scan (PLANS.md r15).
   */
 object Quantiles {
 
   /** Single-probe convenience over [[exactQuantiles]]. */
   def exactQuantile(df: DataFrame, column: String, q: Double,
                     bracketEps: Double = 0.002,
-                    accuracy: Int = 10000): Option[Double] =
+                    accuracy: Int = 2000): Option[Double] =
     exactQuantiles(df, Seq(column -> q), bracketEps, accuracy).head._2
 
   private final case class Probe(id: Int, c: String, q: Double,
@@ -54,7 +62,7 @@ object Quantiles {
     */
   def exactQuantiles(df: DataFrame, probes: Seq[(String, Double)],
                      bracketEps: Double = 0.002,
-                     accuracy: Int = 10000): Seq[((String, Double), Option[Double])] = {
+                     accuracy: Int = 2000): Seq[((String, Double), Option[Double])] = {
     require(probes.nonEmpty, "need at least one (column, q) probe")
     probes.foreach { case (c, q) =>
       require(q >= 0.0 && q <= 1.0, s"q must be in [0,1], got $q for $c") }
@@ -128,15 +136,18 @@ object Quantiles {
       if (ok.nonEmpty) {
         val spark = df.sparkSession
         import spark.implicits._
-        val perCol: Seq[Column] = ok.groupBy(_.c).map { case (c, ps) =>
-          val brackets = array(ps.map(p =>
-            struct(lit(p.id).as("id"), lit(p.b1).as("b1"), lit(p.b2).as("b2"))): _*)
-          transform(
-            filter(brackets, s => v(c) >= s("b1") && v(c) <= s("b2")),
-            s => struct(s("id").as("id"), v(c).as("v")))
-        }.toSeq
+        // flat when/array tagging, NOT higher-order filter/transform:
+        // HOF lambdas evaluate INTERPRETED per row — measured 20× the
+        // whole-stage-codegen'd form on this very scan (PLANS.md r15;
+        // same lesson as the native dot product). One array slot per
+        // probe, null for a non-matching row, dropped after explode —
+        // the tagged (id, v) set is identical.
+        val parts: Seq[Column] = ok.map(p =>
+          when(v(p.c) >= p.b1 && v(p.c) <= p.b2,
+            struct(lit(p.id).as("id"), v(p.c).as("v"))))
         val tagged = df
-          .select(explode(concat(perCol: _*)).as("m"))
+          .select(explode(array(parts: _*)).as("m"))
+          .filter(col("m").isNotNull)
           .select(col("m.id").as("id"), col("m.v").as("v"))
         val targets = ok.map(p => (p.id, locals(p.id)._1, locals(p.id)._2))
           .toDF("id", "lo", "hi")

@@ -213,20 +213,34 @@ object Text {
     val vocab = ug.agg(count(lit(1)).as("__v"))
     val term = log((col("__c12") + lit(addK)) /
       (col("__c1") + lit(addK) * col("__v")))
-    // The mean rounds in EXACT integer arithmetic: the decimal term sum
-    // is an exact integer count of 1e-6 units, and round-half-away of
-    // sum/n is pure bigint division — `round(double_sum / n, 6)` would
-    // leave the rounding to each engine's double quotient, which lands
-    // on opposite sides of a tie for quotients near a .5e-6 boundary
-    // (observed at sf0.1: -3.4144135 → -3.414414 vs -3.414413).
-    bigrams
-      .join(bg, Seq("__w1", "__w2"))
+    // The smoothed term depends only on the bigram TYPE, so the log +
+    // 6-dp decimal quantization run once per type (~vocab² rows), not
+    // once per corpus instance, and quantized terms ride the instance
+    // join as EXACT long micro-units summed in primitive arithmetic —
+    // measured ~2× on the corpus-sized tail at sf10 (PLANS.md r15).
+    // Join topology: type counts aggregate and the instance probe
+    // shuffle by the same (w1, w2) key, so the bigram exchange is
+    // planned once and REUSED (which is also why a broadcast hint
+    // here LOSES: it forks a second full explode of the corpus).
+    val typeTerm = bg
       .join(ug, Seq("__w1"))
       .crossJoin(broadcast(vocab))
+      .withColumn("__tmic",
+        (term.cast(org.apache.spark.sql.types.DecimalType(28, 6)) *
+          lit(1000000)).cast("long"))
+      .select(col("__w1"), col("__w2"), col("__tmic"))
+    // The mean rounds in EXACT integer arithmetic: the micro-unit term
+    // sum is an exact integer count of 1e-6 units, and round-half-away
+    // of sum/n is pure bigint division — `round(double_sum / n, 6)`
+    // would leave the rounding to each engine's double quotient, which
+    // lands on opposite sides of a tie for quotients near a .5e-6
+    // boundary (observed at sf0.1: -3.4144135 → -3.414414 vs
+    // -3.414413).
+    bigrams
+      .join(typeTerm, Seq("__w1", "__w2"))
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_bigrams"),
-        sum(term.cast(org.apache.spark.sql.types.DecimalType(28, 6))).as("__sdec"))
-      .withColumn("__smic", (col("__sdec") * lit(1000000)).cast("long"))
+        sum(col("__tmic")).as("__smic"))
       .withColumn("__mmic",
         when(col("__smic") >= 0L,
           expr("(2 * __smic + n_bigrams) DIV (2 * n_bigrams)"))

@@ -295,13 +295,23 @@ object Anomaly {
         .withColumn(s"__t_$i", s.t)
     }
     val tmp = idx.flatMap(i => Seq(s"__nl_$i", s"__nr_$i", s"__t_$i"))
+    // filter INSIDE the per-row scale array, then explode survivors:
+    // exploding first materializes n·|windows| full-width rows (30M at
+    // sf10) only to keep the handful that clear the threshold — the
+    // array filter evaluates the same null-dropping predicate on
+    // |windows| elements per row and the generator emits survivors
+    // only. Wall-neutral at sf10 (the WindowExec frame processors
+    // dominate, PLANS.md r15) but strictly less row materialization —
+    // the shape that matters when payloads widen. Window expressions
+    // still land as real columns first (the generator-collapse hazard
+    // the comment above describes).
+    val scales = array(idx.map(i => struct(
+      lit(windows(i)).as("win"), col(s"__nl_$i").as("nl"),
+      col(s"__nr_$i").as("nr"), col(s"__t_$i").as("score"))): _*)
     withScores
-      .withColumn("__s", explode(array(idx.map(i => struct(
-        lit(windows(i)).as("win"), col(s"__nl_$i").as("nl"),
-        col(s"__nr_$i").as("nr"), col(s"__t_$i").as("score"))): _*)))
-      .filter(col("__s.nl") === col("__s.win") &&
-        col("__s.nr") === col("__s.win") &&
-        col("__s.score") > threshold)
+      .withColumn("__s", explode(filter(scales, s =>
+        s("nl") === s("win") && s("nr") === s("win") &&
+          s("score") > threshold)))
       .withColumn("win", col("__s.win"))
       .withColumn("score", col("__s.score"))
       .drop("__s" +: "__cn" +: "__cs" +: "__cs2" +: tmp: _*)

@@ -661,7 +661,7 @@ object DQ {
   def quantileProfileBounded(df: DataFrame, cols: Seq[String],
                              probs: Seq[Double] = Seq(0.25, 0.5, 0.75, 0.95),
                              bracketEps: Double = 0.002,
-                             accuracy: Int = 10000): DataFrame = {
+                             accuracy: Int = 2000): DataFrame = {
     require(cols.nonEmpty && probs.nonEmpty, "need columns and probs")
     val res = graft.functions.Quantiles
       .exactQuantiles(df, cols.flatMap(c => probs.map(c -> _)), bracketEps, accuracy)
