@@ -528,16 +528,30 @@ object Dedup {
         acc + when(shiftright(h, b).bitwiseAND(lit(1L)) === 1L, lit(1L)).otherwise(lit(-1L)))
       when(vote > 0, lit(1L << b)).otherwise(lit(0L))
     }
-    bitVals.reduce(_ + _)
+    // null text -> null signature (a bare otherwise(0) would hand null
+    // docs signature 0, colliding with genuine all-negative-vote docs)
+    when(c.isNotNull, bitVals.reduce(_ + _))
   }
 
-  /** Bulk SimHash: explode token hashes and take 64 conditional sums
-    * in ONE codegen'd hash aggregation (map-side partial combine means
-    * the shuffle carries ~64 longs per doc, not per token). ~6× faster
-    * than the per-row HOF fold and the scale path for big corpora.
-    * Output: (idCol, __sig).
+  /** Bulk SimHash: the native codegen'd kernel
+    * ([[graft.plans.SimHashF]]) — one tight per-row loop, zero
+    * shuffle; the signature rides whatever scan the consumer plans.
+    * The previous declarative bulk form (explode every token through a
+    * 64-conditional-sum hash aggregation) shuffled ~64 longs per doc
+    * AFTER materializing the corpus-sized token explode; the kernel is
+    * spec-pinned bit-for-bit against both it and the per-column HOF
+    * fold ([[simhash]]). Output: (idCol, __sig).
     */
-  def simhashSignatures(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+  def simhashSignatures(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol),
+      graft.plans.TextExpressions.simhash(col(textCol)).as("__sig"))
+
+  /** The declarative explode + 64-conditional-sum formulation of
+    * [[simhashSignatures]], kept as the cross-check reference for the
+    * native kernel's parity spec.
+    */
+  private[graft] def simhashSignaturesAgg(df: DataFrame, idCol: String,
+                                          textCol: String): DataFrame = {
     val toks = split(trim(lower(col(textCol))), "\\s+")
     val exploded = df.select(col(idCol), explode(toks).as("__t"))
       .withColumn("__h", xxhash64(col("__t")))

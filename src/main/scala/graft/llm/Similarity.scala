@@ -111,6 +111,19 @@ object Similarity {
     */
   def hyperplaneBucketSlice(vec: Column, planes: Int, offset: Int): Column = {
     if (planes <= 0) return lit(0L)
+    // native codegen kernel — the HOF formulation below evaluated an
+    // interpreted lambda chain + per-element two-arg xxhash64 for
+    // every (row × plane × dimension); parity is spec-pinned
+    graft.plans.VectorExpressions.hyperplaneBits(vec, planes, offset)
+  }
+
+  /** The declarative zip_with/aggregate formulation of
+    * [[hyperplaneBucketSlice]], kept as the cross-check reference for
+    * the native kernel's parity spec.
+    */
+  private[graft] def hyperplaneBucketSliceHof(vec: Column, planes: Int,
+                                              offset: Int): Column = {
+    if (planes <= 0) return lit(0L)
     val bits = (0 until planes).map { p =>
       val proj = aggregate(
         zip_with(vec, sequence(lit(0), size(vec) - 1), (x, d) =>

@@ -81,6 +81,37 @@ object ShingleKernel {
     new GenericArrayData(out)
   }
 
+  /** 64-bit SimHash of the lowercased whitespace token MULTISET
+    * (duplicates vote once each): bit b set when the Σ±1 votes over
+    * token-hash bit b is positive. Mirrors the declarative bulk form
+    * ([[graft.llm.Dedup.simhashSignatures]]'s explode + 64 conditional
+    * sums) bit-for-bit: tokens = split(trim(lower(text)), "\\s+")
+    * (same UTF8String toLowerCase/trim/split the built-ins use — an
+    * empty document is the single empty token, which votes), hash =
+    * xxhash64 seed 42. One tight loop per row instead of a corpus-
+    * sized token explode through a 64-column hash aggregation.
+    */
+  def simhash64(s: UTF8String): Long = {
+    val toks = s.toLowerCase.trim().split(WhitespaceRe, -1)
+    val votes = new Array[Int](64)
+    var i = 0
+    while (i < toks.length) {
+      val t = toks(i)
+      val h = XXH64.hashUnsafeBytes(
+        t.getBaseObject, t.getBaseOffset, t.numBytes, Xxhash64DefaultSeed)
+      var b = 0
+      while (b < 64) {
+        if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+        b += 1
+      }
+      i += 1
+    }
+    var sig = 0L
+    var b = 0
+    while (b < 64) { if (votes(b) > 0) sig |= (1L << b); b += 1 }
+    sig
+  }
+
   def wordShingleHashes(s: UTF8String, n: Int): ArrayData = {
     val gs = grams(s, n)
     val hs = new Array[Long](gs.length)
@@ -194,7 +225,34 @@ case class ArrayNgramsF(child: Expression, n: Int) extends UnaryExpression {
   override def prettyName: String = "graft_array_ngrams"
 }
 
+/** `graft_simhash(text)` — 64-bit SimHash of the lowercased
+  * whitespace token multiset (see [[ShingleKernel.simhash64]]); the
+  * codegen'd drop-in for the explode + 64-conditional-sum bulk
+  * aggregation, spec-pinned bit-for-bit against it.
+  */
+case class SimHashF(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName needs a string argument, got ${child.dataType.simpleString}")
+  override def dataType: DataType = LongType
+
+  override protected def nullSafeEval(input: Any): Any =
+    ShingleKernel.simhash64(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.plans.ShingleKernel.simhash64($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): SimHashF =
+    copy(child = newChild)
+
+  override def prettyName: String = "graft_simhash"
+}
+
 object TextExpressions {
+  def simhash(text: Column): Column =
+    org.apache.spark.sql.functions.call_function("graft_simhash", text)
+
   def wordShingles(text: Column, n: Int): Column =
     org.apache.spark.sql.functions.call_function(
       "graft_word_shingles", text, org.apache.spark.sql.functions.lit(n))

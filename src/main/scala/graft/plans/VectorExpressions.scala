@@ -141,6 +141,67 @@ case class SortedIntersectCount(left: Expression, right: Expression)
   override def prettyName: String = "graft_sorted_intersect_count"
 }
 
+/** Native random-hyperplane bucket id — the codegen'd form of
+  * [[graft.llm.Similarity.hyperplaneBucketSlice]]'s HOF projection,
+  * which evaluated an interpreted zip_with/aggregate lambda chain PLUS
+  * a per-element two-arg xxhash64 for every (row × plane × dimension).
+  * Bit-for-bit parity contract (spec-enforced):
+  *  - plane/dim sign = ±1 from Spark's two-arg xxhash64(plane, dim)
+  *    (seed 42, int args hashed in sequence — replicated via chained
+  *    XXH64.hashInt), pmod 2;
+  *  - projection folds x_d·sign_d left-to-right in double (elements
+  *    widened like `cast("double")`); a null element poisons the
+  *    plane's projection (HOF aggregate semantics) → bit 0;
+  *  - bit p set when projection > 0; null/empty vectors → bucket 0
+  *    (every HOF bit's `otherwise(0)`).
+  */
+case class HyperplaneBitsF(child: Expression, planes: Int, offset: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(FloatType, _) if planes >= 1 && offset >= 0 =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case ArrayType(FloatType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"$prettyName needs planes >= 1 and offset >= 0, got $planes/$offset")
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"$prettyName needs an array<float> argument, got ${other.simpleString}")
+    }
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+  override def nullable: Boolean = false
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val v = child.eval(input)
+    if (v == null) 0L
+    else VectorExpressions.hyperplaneBits(
+      v.asInstanceOf[ArrayData], planes, offset)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val childGen = child.genCode(ctx)
+    val resultCode =
+      s"""
+         |${childGen.code}
+         |long ${ev.value} = ${childGen.isNull}
+         |  ? 0L
+         |  : graft.plans.VectorExpressions.hyperplaneBits(
+         |      ${childGen.value}, $planes, $offset);
+       """.stripMargin
+    ev.copy(
+      code = org.apache.spark.sql.catalyst.expressions.codegen.Block
+        .BlockHelper(new StringContext(resultCode)).code(),
+      isNull = org.apache.spark.sql.catalyst.expressions.codegen.FalseLiteral)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): HyperplaneBitsF =
+    copy(child = newChild)
+
+  override def prettyName: String = "graft_hyperplane_bits"
+}
+
 object VectorExpressions {
   /** Column-level handle on the native expression, resolved through
     * the function registry (public API; the session must carry
@@ -148,6 +209,43 @@ object VectorExpressions {
     */
   def dotProduct(a: Column, b: Column): Column =
     org.apache.spark.sql.functions.call_function("graft_dot", a, b)
+
+  def hyperplaneBits(vec: Column, planes: Int, offset: Int): Column =
+    org.apache.spark.sql.functions.call_function("graft_hyperplane_bits",
+      vec, org.apache.spark.sql.functions.lit(planes),
+      org.apache.spark.sql.functions.lit(offset))
+
+  private val Xxhash64DefaultSeed = 42L
+
+  /** Runtime kernel for [[HyperplaneBitsF]] — see its parity contract. */
+  def hyperplaneBits(vec: ArrayData, planes: Int, offset: Int): Long = {
+    val n = vec.numElements()
+    var sig = 0L
+    var p = 0
+    while (p < planes) {
+      // two-arg xxhash64(plane, dim): int args hash in sequence from
+      // the default seed — the first link is dim-invariant, hoist it
+      val h1 = org.apache.spark.sql.catalyst.expressions.XXH64
+        .hashInt(p + offset, Xxhash64DefaultSeed)
+      var acc = 0.0
+      var poisoned = false
+      var d = 0
+      while (d < n && !poisoned) {
+        if (vec.isNullAt(d)) poisoned = true
+        else {
+          val h = org.apache.spark.sql.catalyst.expressions.XXH64.hashInt(d, h1)
+          // pmod(h, 2) == 0 → +1 else -1 (pmod of a negative hash is
+          // ((h % 2) + 2) % 2, so only evenness matters)
+          val sign = if ((h & 1L) == 0L) 1.0 else -1.0
+          acc += vec.getFloat(d).toDouble * sign
+        }
+        d += 1
+      }
+      if (!poisoned && acc > 0) sig |= (1L << p)
+      p += 1
+    }
+    sig
+  }
 
   def sortedIntersectCount(a: Column, b: Column): Column =
     org.apache.spark.sql.functions.call_function("graft_sorted_intersect_count", a, b)
@@ -211,6 +309,24 @@ class GraftExtensions extends SparkSessionExtensionsProvider {
       new ExpressionInfo(classOf[ArrayNgramsF].getName, "graft_array_ngrams"),
       (children: Seq[Expression]) =>
         ArrayNgramsF(children(0), intLit(children, "graft_array_ngrams"))))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_hyperplane_bits"),
+      new ExpressionInfo(classOf[HyperplaneBitsF].getName, "graft_hyperplane_bits"),
+      (children: Seq[Expression]) => {
+        require(children.length == 3,
+          s"graft_hyperplane_bits(vec, planes, offset) takes 3 args, got ${children.length}")
+        HyperplaneBitsF(children(0),
+          intLit(Seq(children(0), children(1)), "graft_hyperplane_bits"),
+          intLit(Seq(children(0), children(2)), "graft_hyperplane_bits"))
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_simhash"),
+      new ExpressionInfo(classOf[SimHashF].getName, "graft_simhash"),
+      (children: Seq[Expression]) => {
+        require(children.length == 1,
+          s"graft_simhash(text) takes 1 arg, got ${children.length}")
+        SimHashF(children(0))
+      }))
     // Spark ships Bloom filter build/probe expressions for its own
     // runtime join filtering but does not register them as SQL
     // functions; exposing them gives the 100 TB membership-prune

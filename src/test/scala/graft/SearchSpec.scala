@@ -114,6 +114,27 @@ class SearchSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("native hyperplane bits match the HOF projection bit-for-bit") {
+    import graft.llm.Similarity
+    val edge = spark.sql(
+      """SELECT * FROM VALUES
+        |  (9000001L, array(CAST(1.5 AS FLOAT), CAST(NULL AS FLOAT), CAST(-2.0 AS FLOAT))),
+        |  (9000002L, CAST(array() AS ARRAY<FLOAT>)),
+        |  (9000003L, CAST(NULL AS ARRAY<FLOAT>)),
+        |  (9000004L, array(CAST(0.0 AS FLOAT)))
+        |AS t(vec_id, embedding)""".stripMargin)
+    val corpus = table("embeddings").select(col("vec_id"), col("embedding"))
+      .unionAll(edge)
+    for (planes <- Seq(1, 5, 9); offset <- Seq(0, 7)) {
+      val r = corpus.select(
+          Similarity.hyperplaneBucketSlice(col("embedding"), planes, offset).as("nat"),
+          Similarity.hyperplaneBucketSliceHof(col("embedding"), planes, offset).as("hof"))
+        .as[(Long, Long)].collect()
+      assert(r.nonEmpty && r.forall { case (n, h) => n == h },
+        s"planes=$planes offset=$offset: ${r.find { case (n, h) => n != h }}")
+    }
+  }
+
   test("topKAuto equals the explicit IVF formulation and beats-or-ties auto LSH recall") {
     import graft.llm.{Ivf, Similarity}
     val e = table("embeddings")

@@ -26,6 +26,34 @@ class TextDedupSpec extends SparkSpec {
     }
   }
 
+  test("native simhash matches the HOF fold and the explode-agg bulk form bit-for-bit") {
+    val edge = Seq((9000001L, ""), (9000002L, " "), (9000003L, "a"),
+      (9000004L, "a b a b a"), (9000005L, "Tabs\tAnd\nNEWLINES  Mixed"),
+      (9000006L, "  leading trailing  "),
+      (9000007L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    val corpus = table("documents").select(col("doc_id"), col("text"))
+      .unionAll(edge)
+    // per-row HOF fold vs native kernel (null text -> null signature)
+    val perRow = corpus.select(col("doc_id"),
+        Dedup.simhash(col("text")).as("hof"),
+        graft.plans.TextExpressions.simhash(col("text")).as("nat"))
+      .collect()
+    perRow.foreach { r =>
+      assert(r.isNullAt(1) == r.isNullAt(2), s"null mismatch: $r")
+      if (!r.isNullAt(1))
+        assert(r.getLong(1) == r.getLong(2), s"simhash mismatch: $r")
+    }
+    // bulk path vs the declarative explode-agg reference: identical
+    // signatures for every doc the agg form emits (it drops null-text
+    // docs, whose native signature is null and can never band-join)
+    val nat = Dedup.simhashSignatures(corpus, "doc_id", "text")
+      .filter(col("__sig").isNotNull)
+      .orderBy("doc_id").as[(Long, Long)].collect().toSeq
+    val agg = Dedup.simhashSignaturesAgg(corpus, "doc_id", "text")
+      .orderBy("doc_id").as[(Long, Long)].collect().toSeq
+    assert(nat.nonEmpty && nat == agg)
+  }
+
   test("native array n-grams match the HOF formulation bit-for-bit") {
     import graft.llm.Search
     val edge = Seq("", "one", "one two", "a a a a", "Mixed CASE tokens, with. punct!",
