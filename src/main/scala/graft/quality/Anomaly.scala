@@ -432,15 +432,29 @@ object Anomaly {
                        nu: Double = 0.1, scale: Int = 6): DataFrame = {
     require(nu > 0.0 && nu < 1.0, "nu must be in (0, 1)")
     val x = col(xCol); val y = col(yCol)
-    val stats = df.agg(
+    // ONE bounded 1-row collect of the moment sums, inlined as literal
+    // doubles: every later pass over md2 (the quantile machinery's
+    // scans, the output filter) is then a pure column-pruned codegen
+    // scan — no aggregation subtree re-runs per pass, and nothing
+    // corpus-sized is ever cached (the previous persist held the whole
+    // scored fact table, which is exactly the frame you cannot cache
+    // at 100 TB). Same doubles, same downstream arithmetic.
+    val sRow = df.agg(
       count(lit(1)).cast("double").as("__n"),
       Det.sumAt(x, scale).as("__sx"),
       Det.sumAt(y, scale).as("__sy"),
       Det.sumAt(x * x, scale).as("__sxx"),
       Det.sumAt(y * y, scale).as("__syy"),
-      Det.sumAt(x * y, scale).as("__sxy"))
-    val vxDen = col("__n") * col("__sxx") - col("__sx") * col("__sx")
-    val vyDen = col("__n") * col("__syy") - col("__sy") * col("__sy")
+      Det.sumAt(x * y, scale).as("__sxy")).head()
+    def statLit(name: String): Column = {
+      val i = sRow.fieldIndex(name)
+      if (sRow.isNullAt(i)) lit(null).cast("double") else lit(sRow.getDouble(i))
+    }
+    val sN = statLit("__n"); val sX = statLit("__sx"); val sY = statLit("__sy")
+    val sXX = statLit("__sxx"); val sYY = statLit("__syy")
+    val sXY = statLit("__sxy")
+    val vxDen = sN * sXX - sX * sX
+    val vyDen = sN * sYY - sY * sY
     // Every divisor that can be zero on degenerate input is wrapped
     // when(d =!= 0, d) — null divisor → null result. A plain outer
     // CASE guard is NOT enough under ANSI mode: common-subexpression
@@ -450,26 +464,14 @@ object Anomaly {
     // guarded divisions — its CASE evaluates lazily).
     def nz(c: Column): Column = when(c =!= 0.0, c)
     val rhoDen = sqrt(vxDen) * sqrt(vyDen)
-    val rho = (col("__n") * col("__sxy") - col("__sx") * col("__sy")) / nz(rhoDen)
+    val rho = (sN * sXY - sX * sY) / nz(rhoDen)
     // standardized coords: z = (v - s/n) / sqrt((s2 - s*s/n) / n)
     // (population scaling — the reference's StandardScaler is ddof=0)
-    val zx = (x - col("__sx") / col("__n")) /
-      nz(sqrt((col("__sxx") - col("__sx") * col("__sx") / col("__n")) / col("__n")))
-    val zy = (y - col("__sy") / col("__n")) /
-      nz(sqrt((col("__syy") - col("__sy") * col("__sy") / col("__n")) / col("__n")))
+    val zx = (x - sX / sN) / nz(sqrt((sXX - sX * sX / sN) / sN))
+    val zy = (y - sY / sN) / nz(sqrt((sYY - sY * sY / sN) / sN))
     val md2 = when(vxDen > 0.0 && vyDen > 0.0 && lit(1.0) - rho * rho =!= 0.0,
       round((zx * zx - lit(2.0) * rho * zx * zy + zy * zy) / nz(lit(1.0) - rho * rho), 6))
-    // persist the scored frame: the boundary quantile AND the output
-    // filter both need every md2, and without the cache each re-runs
-    // the full scan + stats subtree (measured 11 s vs ~4 s at sf0.1).
-    // Same one-live-persist leak bound as DQ.withBroadcastTotals; the
-    // swap is plan-aware (GraftSession.swapPersist) so a re-invocation
-    // on the same input does not evict its own fresh cache entry.
-    val scored = df.crossJoin(broadcast(stats))
-      .withColumn("md2", md2)
-      .drop("__n", "__sx", "__sy", "__sxx", "__syy", "__sxy")
-      .persist()
-    graft.GraftSession.swapPersist(lastEllipticCache, scored)
+    val scored = df.withColumn("md2", md2)
     // exact interpolated quantile of the 6-dp-rounded distances, itself
     // rounded — the strict > comparison then resolves identically on
     // both engines even when the boundary lands exactly on a data value.
@@ -490,9 +492,6 @@ object Anomaly {
         scored.filter(col("md2") > lit(thr))
     }
   }
-  private val lastEllipticCache =
-    new java.util.concurrent.atomic.AtomicReference[DataFrame](null)
-
   /** Trend + seasonality forecast-residual outliers — ref
     * anomaly_manager.py:282 prophet_detection (the reference wraps
     * Facebook Prophet; the engine-native stand-in is the same additive

@@ -327,21 +327,21 @@ class AnomalySpec extends SparkSpec {
     assert(Anomaly.ellipticBoundary(flat, "x", "y", nu = 0.1).count() == 0L)
   }
 
-  test("repeated same-input invocations keep the scored cache (plan-aware swap)") {
-    // regression: the one-live-persist swap used to unpersist the
-    // PREVIOUS invocation's frame, whose plan EQUALS the new one's on a
-    // same-input re-run — CacheManager keys by plan equality, so that
-    // evicted the entry the new frame had just registered and every
-    // downstream action recomputed the full subtree (bench pass 2 of
-    // q_anom_ocsvm: 41 s vs 5.9 s). The swap must leave a same-plan
-    // cache entry alone.
-    import org.apache.spark.sql.execution.columnar.InMemoryRelation
+  test("ellipticBoundary caches nothing and re-invocations are identical") {
+    // r15: the scored fact table is no longer persisted (a
+    // corpus-sized cache — exactly the frame you cannot cache at
+    // 100 TB). The moment sums collect ONCE as literals instead, so
+    // every pass is a pure scan; nothing may linger in the cache
+    // manager, and repeated invocations must agree row-for-row.
+    GraftSession.releaseAll(spark)
     val pts = (1 to 60).map(i => (i.toLong, i * 0.5, i * 1.0)).toDF("id", "x", "y")
-    Anomaly.ellipticBoundary(pts, "x", "y", nu = 0.1).count()
+    val first = Anomaly.ellipticBoundary(pts, "x", "y", nu = 0.1)
+      .orderBy("id").collect().toSeq
+    assert(spark.sparkContext.getPersistentRDDs.isEmpty,
+      "ellipticBoundary left a cached frame behind")
     val second = Anomaly.ellipticBoundary(pts, "x", "y", nu = 0.1)
-    assert(second.queryExecution.optimizedPlan
-      .collect { case r: InMemoryRelation => r }.nonEmpty,
-      "second invocation lost its cache entry — same-plan self-eviction is back")
+      .orderBy("id").collect().toSeq
+    assert(first == second && first.nonEmpty)
   }
 
   test("prophetResidual flags the planted break from a clean trend+season series") {
