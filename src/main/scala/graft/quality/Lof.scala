@@ -53,12 +53,16 @@ object Lof {
     val b0 = df.select(col(idCol), col(vecCol))
       .withColumn("__bucket", bucket)
       .withColumn("__n", Similarity.norm(col(vecCol)))
-    // persist BEFORE the hot-bucket count: the occupancy agg, the
-    // split join, and both kNN forms reuse the bucketed rows, and the
-    // interpreted hyperplane projection is the scan's dominant cost —
-    // recomputing it per consumer would triple the stage
+    // NO persist of the bucketed corpus (r15): the occupancy agg, the
+    // split join, and the kNN forms each re-derive it, but the
+    // projection is now the native codegen kernel
+    // (graft_hyperplane_bits) — a re-scan plus a cheap per-row loop,
+    // where caching a corpus-sized (id, vec, bucket) frame is exactly
+    // what a 100 TB input forbids. (The pre-kernel interpreted
+    // projection was the scan's dominant cost, which justified the old
+    // cache.)
     val b = if (planes <= 0 || hotBucketCap <= 0) b0
-            else splitHotBuckets(b0.persist(), idCol, planes, hotBucketCap)
+            else splitHotBuckets(b0, idCol, planes, hotBucketCap)
     val integralId = df.schema(idCol).dataType match {
       case org.apache.spark.sql.types.ByteType |
            org.apache.spark.sql.types.ShortType |
