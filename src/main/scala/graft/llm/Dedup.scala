@@ -593,12 +593,17 @@ object Dedup {
     val sigs = simhashSignatures(df, idCol, textCol)
     // persisted: both self-join sides reference it, so the simhash
     // token-vote signature pass runs once, not twice
+    // no persist (r15): the signature is the native graft_simhash
+    // kernel — re-deriving the banded frame per self-join side is a
+    // scan plus a cheap per-row loop, and the (b, h) shuffle both
+    // sides need is planned once and reused; caching a corpus-sized
+    // frame was only worth it when the signature aggregation was the
+    // dominant cost
     val exploded = capBuckets(
       sigs.select(col(idCol), col("__sig"),
           explode(array(bandStructs: _*)).as("__band"))
         .select(col(idCol), col("__sig"), col("__band.b").as("__b"), col("__band.h").as("__h")),
       maxBucketSize)
-      .persist()
     exploded.as("x").join(exploded.as("y"),
         col("x.__b") === col("y.__b") && col("x.__h") === col("y.__h") &&
           col(s"x.$idCol") < col(s"y.$idCol"))
@@ -659,9 +664,11 @@ object Dedup {
     val refined =
       if (hotBucketCap <= 0 || planes <= 0) bucketed
       else {
-        // persist before the occupancy count: the agg, the join and
-        // the pair stage all reuse the interpreted projection
-        val b = bucketed.persist()
+        // no persist (r15): the projection is the native codegen
+        // kernel, so each consumer (occupancy agg, hot join, pair
+        // stage) re-derives with a scan + cheap per-row loop instead
+        // of reading a corpus-sized cache
+        val b = bucketed
         val hot = broadcast(
           b.groupBy(col("__bucket")).agg(count(lit(1)).as("__occ"))
             .filter(col("__occ") > hotBucketCap)
