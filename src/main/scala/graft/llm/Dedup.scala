@@ -373,17 +373,17 @@ object Dedup {
 
   // ---- MinHash + LSH -------------------------------------------------
 
-  // one-hash minwise scheme constants: 31-bit domain keeps a·h + b
-  // inside a long (ANSI mode forbids wrapping overflow); 2^-31
-  // collision odds are ample for minhash
-  private def mixA(i: Int): Long = ((2654435761L * (2 * i + 1)) & 0x7FFFFFFFL) | 1L
-  private def mixB(i: Int): Long = (-7046029254386353131L * (i + 1)) & 0x7FFFFFFFL
+  // one-hash minwise scheme constants — canonical definitions live in
+  // the native kernel ([[graft.plans.ShingleKernel]]); delegating here
+  // keeps the HOF/agg reference forms drift-proof
+  private def mixA(i: Int): Long = graft.plans.ShingleKernel.mixA(i)
+  private def mixB(i: Int): Long = graft.plans.ShingleKernel.mixB(i)
 
   /** MinHash signature as a per-row expression. Each shingle is
     * xxhash64'd once per permutation here — fine for small arrays;
-    * [[minhashSignatures]] (explode + codegen'd min-agg) is the bulk
-    * path: HOF lambdas run interpreted and re-evaluate shared
-    * subexpressions per permutation.
+    * [[minhashSignatures]] (the native kernel) is the bulk path: HOF
+    * lambdas run interpreted and re-evaluate shared subexpressions
+    * per permutation.
     */
   def minhashSignature(shingles: Column, numHashes: Int = 32): Column =
     array((0 until numHashes).map { i =>
@@ -391,16 +391,30 @@ object Dedup {
         xxhash64(s).bitwiseAND(lit(0x7FFFFFFFL)) * lit(mixA(i)) + lit(mixB(i))))
     }: _*)
 
-  /** Bulk MinHash: explode distinct shingles, hash each ONCE, then
-    * take `numHashes` affine-mixed MIN aggregates in one codegen'd
-    * hash aggregation with map-side partial combine (the shuffle
-    * carries numHashes longs per doc, not per shingle).
+  /** Bulk MinHash: the whole signature in ONE native per-row loop
+    * ([[graft.plans.MinHashSigF]]) — zero shuffle, no corpus-sized
+    * shingle explode; spec-pinned bit-for-bit against both the
+    * explode + min-aggregate formulation (kept below) and the per-row
+    * HOF fold. Null text yields a null signature (such a doc can never
+    * band-join, mirroring its absence from the explode form's output).
     * Output: (idCol, __sig array<long>).
     */
   def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
-                        shingles: Column => Column, numHashes: Int = 32): DataFrame = {
+                        ngramN: Int, numHashes: Int = 32): DataFrame =
+    df.select(col(idCol),
+      graft.plans.TextExpressions.minhash(col(textCol), ngramN, numHashes)
+        .as("__sig"))
+
+  /** The explode + codegen'd min-aggregate formulation of
+    * [[minhashSignatures]] (shuffle carries numHashes longs per doc),
+    * kept as the cross-check reference for the native kernel's parity
+    * spec. Drops docs whose text is null.
+    */
+  private[graft] def minhashSignaturesAgg(df: DataFrame, idCol: String,
+                                          textCol: String, ngramN: Int,
+                                          numHashes: Int = 32): DataFrame = {
     val exploded = df
-      .select(col(idCol), explode(shingles(col(textCol))).as("__s"))
+      .select(col(idCol), explode(wordShingles(col(textCol), ngramN)).as("__s"))
       .select(col(idCol), xxhash64(col("__s")).bitwiseAND(lit(0x7FFFFFFFL)).as("__h"))
     val mins = (0 until numHashes).map { i =>
       min(col("__h") * lit(mixA(i)) + lit(mixB(i))).as(s"__m$i")
@@ -461,16 +475,15 @@ object Dedup {
     require(numHashes % bands == 0, "numHashes must divide into bands")
     val r = numHashes / bands
     val shingler: Column => Column = wordShingles(_, ngramN)
-    // sh is referenced by both verification joins but stays UNCACHED:
-    // it is one cheap projection off the scan, and materializing the
-    // full shingle-set frame costs more than recomputing it. The band
-    // frame below IS cached — it embeds the 32-hash signature pass and
-    // is only docs x bands small rows. Cache lifetime: session-scoped
-    // (an operator returning a lazy frame cannot know when its caller
-    // is done) — long-lived sessions hammering these operators should
-    // `spark.catalog.clearCache()` between corpora.
+    // NOTHING is cached here (r15): sh is one cheap projection off the
+    // scan; the signature is the native graft_minhash kernel, so the
+    // band frame's derivation is a scan plus a per-row loop, and the
+    // self-join's (b, h) shuffle — which capBuckets' window already
+    // forced — is planned once and exchange-reused by both sides.
+    // (The old persist predated the kernel, when the band frame
+    // embedded the explode + 32-min-aggregate signature pass.)
     val sh = df.select(col(idCol), shingler(col(textCol)).as("__sh"))
-    val sig = minhashSignatures(df, idCol, textCol, shingler, numHashes)
+    val sig = minhashSignatures(df, idCol, textCol, ngramN, numHashes)
     val bandStructs = (0 until bands).map { j =>
       struct(lit(j).as("b"), hash(slice(col("__sig"), j * r + 1, r)).as("h"))
     }
@@ -478,7 +491,6 @@ object Dedup {
       sig.select(col(idCol), explode(array(bandStructs: _*)).as("__band"))
         .select(col(idCol), col("__band.b").as("__b"), col("__band.h").as("__h")),
       maxBucketSize)
-      .persist()
     val cand = exploded.as("x").join(exploded.as("y"),
         col("x.__b") === col("y.__b") && col("x.__h") === col("y.__h") &&
           col(s"x.$idCol") < col(s"y.$idCol"))

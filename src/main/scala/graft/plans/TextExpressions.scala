@@ -112,6 +112,50 @@ object ShingleKernel {
     sig
   }
 
+  /** One-hash minwise-permutation constants (canonical home; the
+    * Dedup HOF/agg reference forms delegate here): 31-bit domain keeps
+    * a·h + b inside a long (ANSI mode forbids wrapping overflow);
+    * 2^-31 collision odds are ample for minhash.
+    */
+  def mixA(i: Int): Long = ((2654435761L * (2 * i + 1)) & 0x7FFFFFFFL) | 1L
+  def mixB(i: Int): Long = (-7046029254386353131L * (i + 1)) & 0x7FFFFFFFL
+
+  private val mixCache =
+    new java.util.concurrent.ConcurrentHashMap[Int, (Array[Long], Array[Long])]
+  private def mixFor(numHashes: Int): (Array[Long], Array[Long]) =
+    mixCache.computeIfAbsent(numHashes, k =>
+      (Array.tabulate(k)(mixA), Array.tabulate(k)(mixB)))
+
+  /** Whole MinHash signature in one per-row loop: distinct word
+    * n-grams → xxhash64 & 0x7FFFFFFF → numHashes affine-mixed minima.
+    * Bit-identical to the explode + min-aggregate bulk formulation
+    * (same grams, same hash, same mix constants) with ZERO shuffle —
+    * the signature rides the consumer's scan. A document always has
+    * ≥ 1 gram (short docs join all tokens, empty text is the single
+    * empty token), so the minima are always real.
+    */
+  def minhashSig(s: UTF8String, n: Int, numHashes: Int): ArrayData = {
+    val (as, bs) = mixFor(numHashes)
+    val gs = grams(s, n)
+    val out = new Array[Long](numHashes)
+    Arrays.fill(out, Long.MaxValue)
+    var i = 0
+    while (i < gs.length) {
+      val g = gs(i)
+      val h = XXH64.hashUnsafeBytes(
+        g.getBaseObject, g.getBaseOffset, g.numBytes, Xxhash64DefaultSeed) &
+        0x7FFFFFFFL
+      var j = 0
+      while (j < numHashes) {
+        val v = h * as(j) + bs(j)
+        if (v < out(j)) out(j) = v
+        j += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
   def wordShingleHashes(s: UTF8String, n: Int): ArrayData = {
     val gs = grams(s, n)
     val hs = new Array[Long](gs.length)
@@ -225,6 +269,35 @@ case class ArrayNgramsF(child: Expression, n: Int) extends UnaryExpression {
   override def prettyName: String = "graft_array_ngrams"
 }
 
+/** `graft_minhash(text, n, numHashes)` — whole MinHash signature per
+  * row (see [[ShingleKernel.minhashSig]]); the zero-shuffle drop-in
+  * for the explode + min-aggregate bulk path, spec-pinned bit-for-bit
+  * against it and the per-row HOF fold.
+  */
+case class MinHashSigF(child: Expression, n: Int, numHashes: Int)
+    extends ShingleExpression {
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val base = super.checkInputDataTypes()
+    if (base.isFailure) base
+    else if (numHashes >= 1) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName needs numHashes >= 1, got $numHashes")
+  }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override protected def nullSafeEval(input: Any): Any =
+    ShingleKernel.minhashSig(input.asInstanceOf[UTF8String], n, numHashes)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.plans.ShingleKernel.minhashSig($c, $n, $numHashes)")
+
+  override protected def withNewChildInternal(newChild: Expression): MinHashSigF =
+    copy(child = newChild)
+
+  override def prettyName: String = "graft_minhash"
+}
+
 /** `graft_simhash(text)` — 64-bit SimHash of the lowercased
   * whitespace token multiset (see [[ShingleKernel.simhash64]]); the
   * codegen'd drop-in for the explode + 64-conditional-sum bulk
@@ -252,6 +325,11 @@ case class SimHashF(child: Expression) extends UnaryExpression {
 object TextExpressions {
   def simhash(text: Column): Column =
     org.apache.spark.sql.functions.call_function("graft_simhash", text)
+
+  def minhash(text: Column, n: Int, numHashes: Int): Column =
+    org.apache.spark.sql.functions.call_function("graft_minhash", text,
+      org.apache.spark.sql.functions.lit(n),
+      org.apache.spark.sql.functions.lit(numHashes))
 
   def wordShingles(text: Column, n: Int): Column =
     org.apache.spark.sql.functions.call_function(

@@ -320,6 +320,16 @@ class GraftExtensions extends SparkSessionExtensionsProvider {
           intLit(Seq(children(0), children(2)), "graft_hyperplane_bits"))
       }))
     ext.injectFunction((
+      new FunctionIdentifier("graft_minhash"),
+      new ExpressionInfo(classOf[MinHashSigF].getName, "graft_minhash"),
+      (children: Seq[Expression]) => {
+        require(children.length == 3,
+          s"graft_minhash(text, n, numHashes) takes 3 args, got ${children.length}")
+        MinHashSigF(children(0),
+          intLit(children.take(2), "graft_minhash"),
+          intLit(Seq(children(0), children(2)), "graft_minhash"))
+      }))
+    ext.injectFunction((
       new FunctionIdentifier("graft_simhash"),
       new ExpressionInfo(classOf[SimHashF].getName, "graft_simhash"),
       (children: Seq[Expression]) => {

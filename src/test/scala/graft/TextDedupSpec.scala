@@ -26,6 +26,43 @@ class TextDedupSpec extends SparkSpec {
     }
   }
 
+  test("native minhash matches the HOF fold and the explode-agg bulk form bit-for-bit") {
+    val edge = Seq((9000001L, ""), (9000002L, "a"), (9000003L, "a b c d e f g"),
+      (9000004L, "dup dup dup dup dup dup"),
+      (9000005L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    val corpus = table("documents").select(col("doc_id"), col("text"))
+      .unionAll(edge)
+    for (n <- Seq(1, 5); numHashes <- Seq(8, 32)) {
+      // per-row HOF fold over the same shingles vs native kernel
+      val r = corpus.select(col("doc_id"),
+          Dedup.minhashSignature(Dedup.wordShingles(col("text"), n), numHashes)
+            .as("hof"),
+          graft.plans.TextExpressions.minhash(col("text"), n, numHashes)
+            .as("nat"))
+        .collect()
+      r.foreach { row =>
+        if (row.isNullAt(2))
+          // null text: native = null signature; the HOF fold's
+          // array(array_min(null)...) is the all-null array — both
+          // mean "no signature" and neither can ever band-match
+          assert(row.isNullAt(1) ||
+            row.getSeq[Any](1).forall(_ == null), s"null mismatch: $row")
+        else
+          assert(!row.isNullAt(1) &&
+            row.getSeq[Long](1) == row.getSeq[Long](2),
+            s"n=$n k=$numHashes signature mismatch: $row")
+      }
+      // bulk native vs the explode-agg reference (which drops
+      // null-text docs; native marks them with a null signature)
+      val nat = Dedup.minhashSignatures(corpus, "doc_id", "text", n, numHashes)
+        .filter(col("__sig").isNotNull)
+        .orderBy("doc_id").as[(Long, Seq[Long])].collect().toSeq
+      val agg = Dedup.minhashSignaturesAgg(corpus, "doc_id", "text", n, numHashes)
+        .orderBy("doc_id").as[(Long, Seq[Long])].collect().toSeq
+      assert(nat.nonEmpty && nat == agg, s"n=$n k=$numHashes bulk mismatch")
+    }
+  }
+
   test("native simhash matches the HOF fold and the explode-agg bulk form bit-for-bit") {
     val edge = Seq((9000001L, ""), (9000002L, " "), (9000003L, "a"),
       (9000004L, "a b a b a"), (9000005L, "Tabs\tAnd\nNEWLINES  Mixed"),
