@@ -487,8 +487,14 @@ object Dedup {
     val bandStructs = (0 until bands).map { j =>
       struct(lit(j).as("b"), hash(slice(col("__sig"), j * r + 1, r)).as("h"))
     }
+    // null-text docs carry a null __sig from the kernel; hash(slice(null))
+    // folds to the seed, so WITHOUT this filter every null doc would land
+    // in one (band, seed) bucket and band-join quadratically. Filtering
+    // here restores the explode form's behavior (null docs emit no bands)
+    // before any bucket is formed.
     val exploded = capBuckets(
-      sig.select(col(idCol), explode(array(bandStructs: _*)).as("__band"))
+      sig.filter(col("__sig").isNotNull)
+        .select(col(idCol), explode(array(bandStructs: _*)).as("__band"))
         .select(col(idCol), col("__band.b").as("__b"), col("__band.h").as("__h")),
       maxBucketSize)
     val cand = exploded.as("x").join(exploded.as("y"),

@@ -1,8 +1,7 @@
 package graft.llm
 
-import org.apache.spark.broadcast.Broadcast
-import org.apache.spark.sql.{Column, DataFrame, Row}
-import org.apache.spark.sql.expressions.{UserDefinedFunction, Window}
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -46,75 +45,24 @@ object Ivf {
     */
   private val driverCentroidFloatBudget: Long = 1L << 24
 
-  /** Mirrors [[graft.plans.DotProductF]] bit-for-bit: elements widened
-    * to double, accumulated left-to-right.
-    */
-  private def dotLoop(a: Array[Float], b: Array[Float]): Double = {
-    var acc = 0.0
-    var i = 0
-    val n = a.length
-    while (i < n) { acc += a(i).toDouble * b(i).toDouble; i += 1 }
-    acc
-  }
-
-  /** Mirrors Spark's `round(x, 6)` on doubles (RoundBase: BigDecimal
-    * HALF_UP via the toString-exact constructor; NaN/Inf pass through)
-    * so the driver-path argmax ranks EXACTLY the similarities the
-    * expression path would.
-    */
-  private def round6(x: Double): Double =
-    if (x.isNaN || x.isInfinite) x
-    else BigDecimal(x).setScale(6, scala.math.BigDecimal.RoundingMode.HALF_UP).toDouble
-
-  /** Map-side nearest-centroid argmax over a broadcast centroid array.
-    * Semantics mirror the expression form ([[assignDistributed]]):
-    * cosine rounded to 6 dp, ties to the LOWEST cell id (ascending
-    * iteration + strict improvement), zero/undefined denominators and
-    * length mismatches skipped, all-null similarity rows to the lowest
-    * cell id, NaN ranks greatest (java.lang.Double.compare == Spark's
-    * double ordering).
-    */
-  private def bestCidUdf(bc: Broadcast[Cents]): UserDefinedFunction =
-    udf { (v: Seq[Float]) =>
-      val cents = bc.value
-      if (v == null) cents(0)._1
-      else {
-        val a = v.toArray
-        val nv = math.sqrt(dotLoop(a, a))
-        var best = -1
-        var bestSim = 0.0
-        var i = 0
-        while (i < cents.length) {
-          val cv = cents(i)._2
-          if (cv != null && cv.length == a.length) {
-            val denom = nv * math.sqrt(dotLoop(cv, cv))
-            if (denom != 0.0) {
-              val sim = round6(dotLoop(a, cv) / denom)
-              if (best < 0 || java.lang.Double.compare(sim, bestSim) > 0) {
-                best = i; bestSim = sim
-              }
-            }
-          }
-          i += 1
-        }
-        if (best < 0) cents(0)._1 else cents(best)._1
-      }
-    }
-
   /** Append `__cid` per row from a driver-side centroid array — pure
     * map-side (no shuffle, no join): the assignment rides whatever
-    * scan the consumer plans. Assignment is per-ROW; duplicate ids
-    * pass through unchanged.
+    * scan the consumer plans, through the native codegen'd
+    * [[graft.plans.ArgmaxCellF]] kernel (which replaced the r15
+    * broadcast-array UDF — the last interpreted per-row loop on this
+    * hot path; its parity contract lives on the expression).
+    * Assignment is per-ROW; duplicate ids pass through unchanged.
     */
   private def assignDriver(df: DataFrame, vecCol: String, cents: Cents,
                            cidType: DataType): DataFrame =
     if (cents.isEmpty)
       // no centroids, no cells: mirror the join form's empty result
       df.filter(lit(false)).withColumn("__cid", lit(null).cast(cidType))
-    else {
-      val bc = df.sparkSession.sparkContext.broadcast(cents)
-      df.withColumn("__cid", bestCidUdf(bc)(col(vecCol)).cast(cidType))
-    }
+    else
+      df.withColumn("__cid",
+        graft.plans.VectorExpressions.argmaxCell(
+          col(vecCol).cast("array<float>"), cents.map(_._1), cents.map(_._2))
+          .cast(cidType))
 
   /** Collect a bounded centroid frame (`__cid`, `__cvec`) to the
     * driver, sorted by cell id. Centroid frames are metadata-sized by
@@ -147,26 +95,29 @@ object Ivf {
     cf.schema("__cid").dataType match {
       case ByteType | ShortType | IntegerType | LongType =>
         assignDriver(df, vecCol, collectCentroids(cf), cf.schema("__cid").dataType)
-      case _ => assignDistributed(df, idCol, vecCol, cf)
+      case _ => assignDistributed(df, vecCol, cf)
     }
   }
 
   /** The broadcast-join + max_by argmax formulation — the fallback
     * when centroids exceed the driver budget (or carry non-integral
     * ids). Norms fold once per side before the nlist-way pairing; the
-    * per-id argmax is a map-side-combinable hash aggregation. NOTE:
-    * collapses duplicate `idCol` rows (one output row per id).
+    * per-row argmax is a hash aggregation on a synthetic row id, so
+    * duplicate `idCol` rows pass through unchanged — the SAME per-row
+    * contract as [[assignDriver]] (pre-r16 this grouped by `idCol`,
+    * silently collapsing duplicate-id rows only on this path).
     */
-  private def assignDistributed(df: DataFrame, idCol: String, vecCol: String,
+  private def assignDistributed(df: DataFrame, vecCol: String,
                                 centroids: DataFrame): DataFrame = {
     val payload = struct(df.columns.map(col) :+ col("__cid"): _*)
     val cents = centroids.withColumn("__nc", Similarity.norm(col("__cvec")))
     val denom = col("__nv") * col("__nc")
-    df.withColumn("__nv", Similarity.norm(col(vecCol)))
+    df.withColumn("__rid", monotonically_increasing_id())
+      .withColumn("__nv", Similarity.norm(col(vecCol)))
       .crossJoin(broadcast(cents))
       .withColumn("__csim",
         when(denom =!= 0.0, round(Similarity.dot(col(vecCol), col("__cvec")) / denom, 6)))
-      .groupBy(col(idCol))
+      .groupBy(col("__rid"))
       .agg(max_by(payload, struct(col("__csim"), -col("__cid"))).as("__p"))
       .select(col("__p.*"))
   }
@@ -191,8 +142,8 @@ object Ivf {
     * is 0-based and null-safe on ragged vectors. A dimension with no
     * non-null members yields 0.0f.
     */
-  private def recenterCollect(assigned: DataFrame, vecCol: String,
-                              dim: Int): Array[(Any, Array[Float])] = {
+  private[graft] def recenterCollect(assigned: DataFrame, vecCol: String,
+                                     dim: Int): Array[(Any, Array[Float])] = {
     val aggs =
       (0 until dim).map(i => sum(get(col(vecCol), lit(i)).cast("double")).as(s"__s$i")) ++
       (0 until dim).map(i => count(get(col(vecCol), lit(i))).as(s"__c$i"))
@@ -205,6 +156,44 @@ object Ivf {
       (r.get(0), v)
     }
   }
+
+  /** Per-dimension agg width past which [[recenterCollect]] leaves the
+    * fused single-aggregation form: 2·dim aggregate expressions blow
+    * the generated consume() past JIT/codegen limits around dim ≈ 512,
+    * degrading every Lloyd iteration to interpreted aggregation.
+    */
+  private[graft] val recenterWideDimBudget: Int = 512
+
+  /** Driver-held per-cell means, routed by width: the fused 2·dim
+    * single-aggregation ([[recenterCollect]]) up to
+    * [[recenterWideDimBudget]]; past it, the distributed explode
+    * formulation ([[recenter]]) collected as the same bounded
+    * nlist-row frame — two jobs (means + distinct cids) instead of
+    * one, but each stays codegen'd at any width. The wide branch is
+    * normalized to [[recenterCollect]]'s exact shape: every assigned
+    * cell appears (even cells whose members all lack vectors), vectors
+    * have length `dim`, and a position with no non-null member is
+    * 0.0f.
+    */
+  private[graft] def recenterDriver(assigned: DataFrame, vecCol: String,
+                                    dim: Int): Array[(Any, Array[Float])] =
+    if (dim <= recenterWideDimBudget) recenterCollect(assigned, vecCol, dim)
+    else {
+      val means = recenter(assigned, vecCol).collect()
+        .map(r => r.get(0) -> (if (r.isNullAt(1)) null else r.getSeq[Any](1)))
+        .toMap
+      // the distinct mirrors recenterCollect's groupBy key set exactly,
+      // INCLUDING a null cell-id group if one exists
+      assigned.select(col("__cid")).distinct().collect().map { r =>
+          val cid = r.get(0)
+          val s = means.getOrElse(cid, null)
+          val v = Array.tabulate(dim) { i =>
+            if (s == null || i >= s.length || s(i) == null) 0.0f
+            else s(i).asInstanceOf[Float]
+          }
+          (cid, v)
+        }
+    }
 
   /** Vector width from the first non-empty row (one bounded limit-1
     * scan); 0 when no row has a non-empty vector.
@@ -244,9 +233,8 @@ object Ivf {
     var it = 0
     var converged = false
     while (it < iters && !converged) {
-      val bc = train.sparkSession.sparkContext.broadcast(cur)
-      val assigned = train.withColumn("__cid", bestCidUdf(bc)(col(vecCol)))
-      val next: Cents = recenterCollect(assigned, vecCol, dim)
+      val assigned = assignDriver(train, vecCol, cur, LongType)
+      val next: Cents = recenterDriver(assigned, vecCol, dim)
         .map { case (cid, v) => (cid.asInstanceOf[Long], v) }
         .sortBy(_._1)
       converged = centsEqual(cur, next)
@@ -273,7 +261,7 @@ object Ivf {
       .select(col("__rn").as("__cid"), col(vecCol).as("__cvec"))
     (1 to iters).foldLeft(seeds.cache()) { (cent, _) =>
       val next = recenter(
-        assignDistributed(train, idCol, vecCol, cent), vecCol).cache()
+        assignDistributed(train, vecCol, cent), vecCol).cache()
       next.count()
       cent.unpersist(blocking = false)
       next
@@ -291,7 +279,7 @@ object Ivf {
       assignDriver(corpus, vecCol,
         lloydDriver(train, idCol, vecCol, nlist, iters, dim), IntegerType)
     else
-      assignDistributed(corpus, idCol, vecCol,
+      assignDistributed(corpus, vecCol,
         lloydDistributed(train, idCol, vecCol, nlist, iters))
   }
 
@@ -383,15 +371,27 @@ object Ivf {
     * exploded rows of the legacy formulation) when the centroid array
     * fits the driver budget; distributed explode otherwise.
     */
-  def centroids(index: DataFrame, vecCol: String): DataFrame = {
-    // cell count is bounded by construction (nlist ~ sqrt(n)); the
-    // driver holds ncells · dim floats. Very wide vectors fall back to
-    // the distributed explode (same bound the build path applies).
+  def centroids(index: DataFrame, vecCol: String): DataFrame =
+    centroidsWithBudget(index, vecCol, driverCentroidFloatBudget)
+
+  /** [[centroids]] with an explicit driver budget (spec hook). The
+    * index is a plain DataFrame, so its cell count is not threaded
+    * through the build — a count_distinct(__cid) pass (one pruned
+    * column, map-side partial distinct) re-establishes it before the
+    * driver collect is allowed: an index whose BUILD fell back to
+    * [[lloydDistributed]] precisely because nlist·dim exceeded the
+    * budget must not collect ~nlist·dim boxed values here instead.
+    */
+  private[graft] def centroidsWithBudget(index: DataFrame, vecCol: String,
+                                         budget: Long): DataFrame = {
     val dim = vecDim(index, vecCol)
-    if (dim == 0 || dim > 4096)
+    if (dim == 0)
+      return recenter(index, vecCol)
+    val ncells = index.agg(count_distinct(col("__cid"))).head().getLong(0)
+    if (ncells * dim > budget)
       return recenter(index, vecCol)
     val cidField = index.schema("__cid")
-    val rows = recenterCollect(index, vecCol, dim)
+    val rows = recenterDriver(index, vecCol, dim)
       .map { case (cid, v) => Row(cid, v.toSeq) }
     val schema = StructType(Seq(
       cidField.copy(name = "__cid"),

@@ -113,8 +113,16 @@ object Similarity {
     if (planes <= 0) return lit(0L)
     // native codegen kernel — the HOF formulation below evaluated an
     // interpreted lambda chain + per-element two-arg xxhash64 for
-    // every (row × plane × dimension); parity is spec-pinned
-    graft.plans.VectorExpressions.hyperplaneBits(vec, planes, offset)
+    // every (row × plane × dimension); parity is spec-pinned.
+    // The kernel type-checks strictly for array<float>; the cast keeps
+    // the old HOF's tolerance for other numeric element types
+    // (array<double> callers like Lof). Elements narrow through float
+    // before the double-precision fold — only the SIGN of each
+    // projection matters, so a bucket can flip only within float ulp
+    // of a zero projection (SimplifyCasts removes the no-op cast on
+    // the common array<float> path).
+    graft.plans.VectorExpressions.hyperplaneBits(
+      vec.cast("array<float>"), planes, offset)
   }
 
   /** The declarative zip_with/aggregate formulation of

@@ -17,9 +17,12 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
   *
   * Semantics mirror the HOF formulation exactly (see
   * [[graft.llm.Similarity.dot]]): elements widened to double,
-  * accumulated left-to-right, null if either side is null or lengths
-  * differ (zip_with pads with null, which nulls the HOF sum) — so the
-  * two implementations are interchangeable under the DuckDB oracle.
+  * accumulated left-to-right, null if either side is null, lengths
+  * differ (zip_with pads with null, which nulls the HOF sum), or any
+  * ELEMENT is null (the null product poisons the HOF sum the same
+  * way) — so the two implementations are interchangeable under the
+  * DuckDB oracle. The element null-check is emitted only when a
+  * side's schema has `containsNull = true`.
   */
 case class DotProductF(left: Expression, right: Expression)
     extends BinaryExpression {
@@ -38,14 +41,27 @@ case class DotProductF(left: Expression, right: Expression)
   override def dataType: DataType = DoubleType
   override def nullable: Boolean = true
 
+  /** Whether either side's schema admits null ELEMENTS. A null element
+    * nulls the whole product (zip_with's null product poisons the HOF
+    * sum), so the loop must check null bits — but only when the schema
+    * says nulls can occur; `containsNull = false` arrays keep the
+    * branch-free loop.
+    */
+  private def elementsNullable: Boolean = (left.dataType, right.dataType) match {
+    case (ArrayType(_, ln), ArrayType(_, rn)) => ln || rn
+    case _ => true
+  }
+
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
     if (x.numElements() != y.numElements()) return null
+    val checked = elementsNullable
     var acc = 0.0
     var i = 0
     val n = x.numElements()
     while (i < n) {
+      if (checked && (x.isNullAt(i) || y.isNullAt(i))) return null
       acc += x.getFloat(i).toDouble * y.getFloat(i).toDouble
       i += 1
     }
@@ -57,6 +73,10 @@ case class DotProductF(left: Expression, right: Expression)
       val i = ctx.freshName("i")
       val n = ctx.freshName("n")
       val acc = ctx.freshName("acc")
+      val nullCheck =
+        if (elementsNullable)
+          s"if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }"
+        else ""
       s"""
          |if ($a.numElements() != $b.numElements()) {
          |  ${ev.isNull} = true;
@@ -64,9 +84,10 @@ case class DotProductF(left: Expression, right: Expression)
          |  double $acc = 0.0;
          |  int $n = $a.numElements();
          |  for (int $i = 0; $i < $n; $i++) {
+         |    $nullCheck
          |    $acc += ((double) $a.getFloat($i)) * ((double) $b.getFloat($i));
          |  }
-         |  ${ev.value} = $acc;
+         |  if (!${ev.isNull}) { ${ev.value} = $acc; }
          |}
        """.stripMargin
     })
@@ -202,6 +223,98 @@ case class HyperplaneBitsF(child: Expression, planes: Int, offset: Int)
   override def prettyName: String = "graft_hyperplane_bits"
 }
 
+/** Native nearest-centroid argmax — the codegen'd form of the IVF
+  * assignment's broadcast-array UDF ([[graft.llm.Ivf]] pre-r16), the
+  * last interpreted per-row loop on the index-build hot path (nlist×dim
+  * boxed work per corpus row in every Lloyd iteration AND the final
+  * full-corpus assignment). The centroid matrix is a constructor
+  * parameter (plan-embedded; task binaries are torrent-broadcast once
+  * per stage, so this ships like the old explicit broadcast did), and
+  * per-centroid norms are folded ONCE at construction instead of per
+  * row.
+  *
+  * Parity contract (spec-pinned against the broadcast-join + max_by
+  * formulation [[graft.llm.Ivf.assignToCentroids]] routes to for
+  * non-integral ids):
+  *  - cosine = dot/(|v|·|c|) in left-to-right double accumulation,
+  *    rounded to 6 dp like Spark's `round` (BigDecimal HALF_UP);
+  *  - centroids scan in ENTRY order (callers pass cids sorted
+  *    ascending); strict improvement + Double.compare means ties and
+  *    NaN rank exactly like the `max_by(struct(sim, -cid))` form
+  *    (NaN greatest, ties to the lowest cid);
+  *  - a null centroid vector, length mismatch, or zero denominator
+  *    skips that cell (its join-form similarity is null, which loses
+  *    to any scored cell);
+  *  - a null vector or a null vector ELEMENT scores nothing — all
+  *    join-form similarities null ([[DotProductF]] nulls on interior
+  *    nulls) — and lands in the first (lowest-cid) cell, exactly
+  *    where the join form's `max_by` tie-break puts an all-null row.
+  */
+case class ArgmaxCellF(child: Expression, cids: Array[Long],
+                       cents: Array[Array[Float]])
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  require(cids.nonEmpty && cids.length == cents.length,
+    s"graft_argmax_cell needs a non-empty centroid set with one id per " +
+      s"vector, got ${cids.length} ids / ${cents.length} vectors")
+
+  /** |c| per centroid, folded once (same double as the per-row
+    * sqrt(dot(c, c)) the UDF recomputed). NaN marks a null centroid —
+    * never read, the null check precedes the norm lookup.
+    */
+  @transient private lazy val cnorms: Array[Double] =
+    cents.map { c =>
+      if (c == null) Double.NaN
+      else {
+        var s = 0.0; var i = 0
+        while (i < c.length) { s += c(i).toDouble * c(i).toDouble; i += 1 }
+        math.sqrt(s)
+      }
+    }
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(FloatType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"$prettyName needs an array<float> argument, got ${other.simpleString}")
+    }
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+  override def nullable: Boolean = false
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val v = child.eval(input)
+    if (v == null) cids(0)
+    else VectorExpressions.argmaxCell(
+      v.asInstanceOf[ArrayData], cids, cents, cnorms)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cidsRef = ctx.addReferenceObj("argmaxCids", cids, "long[]")
+    val centsRef = ctx.addReferenceObj("argmaxCents", cents, "float[][]")
+    val normsRef = ctx.addReferenceObj("argmaxNorms", cnorms, "double[]")
+    val childGen = child.genCode(ctx)
+    val resultCode =
+      s"""
+         |${childGen.code}
+         |long ${ev.value} = ${childGen.isNull}
+         |  ? $cidsRef[0]
+         |  : graft.plans.VectorExpressions.argmaxCell(
+         |      ${childGen.value}, $cidsRef, $centsRef, $normsRef);
+       """.stripMargin
+    ev.copy(
+      code = org.apache.spark.sql.catalyst.expressions.codegen.Block
+        .BlockHelper(new StringContext(resultCode)).code(),
+      isNull = org.apache.spark.sql.catalyst.expressions.codegen.FalseLiteral)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): ArgmaxCellF =
+    copy(child = newChild)
+
+  override def prettyName: String = "graft_argmax_cell"
+}
+
 object VectorExpressions {
   /** Column-level handle on the native expression, resolved through
     * the function registry (public API; the session must carry
@@ -249,6 +362,70 @@ object VectorExpressions {
 
   def sortedIntersectCount(a: Column, b: Column): Column =
     org.apache.spark.sql.functions.call_function("graft_sorted_intersect_count", a, b)
+
+  /** Column-level handle on [[ArgmaxCellF]]. `cids` must be sorted
+    * ascending (the tie-break order) with one entry per centroid
+    * vector; a null vector in `cents` is carried but never scored.
+    * The centroid set rides the call as array literals and becomes a
+    * plan-embedded constant of the expression.
+    */
+  def argmaxCell(vec: Column, cids: Array[Long],
+                 cents: Array[Array[Float]]): Column = {
+    import org.apache.spark.sql.functions.typedLit
+    org.apache.spark.sql.functions.call_function("graft_argmax_cell",
+      vec, typedLit(cids.toSeq),
+      typedLit(cents.map(c => if (c == null) null else c.toSeq).toSeq))
+  }
+
+  /** Runtime kernel for [[ArgmaxCellF]] — see its parity contract.
+    * `cnorms(i)` must hold sqrt(Σ cents(i)(d)²) (NaN for null
+    * centroids, which are skipped before the lookup).
+    */
+  def argmaxCell(vec: ArrayData, cids: Array[Long],
+                 cents: Array[Array[Float]], cnorms: Array[Double]): Long = {
+    val n = vec.numElements()
+    var d = 0
+    while (d < n) {
+      // a null element nulls every join-form similarity → lowest cid
+      if (vec.isNullAt(d)) return cids(0)
+      d += 1
+    }
+    var nv = 0.0
+    d = 0
+    while (d < n) {
+      val x = vec.getFloat(d).toDouble; nv += x * x; d += 1
+    }
+    nv = math.sqrt(nv)
+    var best = -1
+    var bestSim = 0.0
+    var i = 0
+    while (i < cents.length) {
+      val cv = cents(i)
+      if (cv != null && cv.length == n) {
+        val denom = nv * cnorms(i)
+        if (denom != 0.0) {
+          var acc = 0.0
+          var j = 0
+          while (j < n) { acc += vec.getFloat(j).toDouble * cv(j).toDouble; j += 1 }
+          val sim = round6(acc / denom)
+          if (best < 0 || java.lang.Double.compare(sim, bestSim) > 0) {
+            best = i; bestSim = sim
+          }
+        }
+      }
+      i += 1
+    }
+    if (best < 0) cids(0) else cids(best)
+  }
+
+  /** Mirrors Spark's `round(x, 6)` on doubles (RoundBase: BigDecimal
+    * HALF_UP via the toString-exact constructor; NaN/Inf pass through)
+    * so the kernel ranks EXACTLY the similarities the join-form
+    * expression would.
+    */
+  private def round6(x: Double): Double =
+    if (x.isNaN || x.isInfinite) x
+    else BigDecimal(x).setScale(6, scala.math.BigDecimal.RoundingMode.HALF_UP).toDouble
 }
 
 /** SparkSessionExtensions hook: registers `graft_dot(a, b)` as a SQL
@@ -318,6 +495,50 @@ class GraftExtensions extends SparkSessionExtensionsProvider {
         HyperplaneBitsF(children(0),
           intLit(Seq(children(0), children(1)), "graft_hyperplane_bits"),
           intLit(Seq(children(0), children(2)), "graft_hyperplane_bits"))
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_argmax_cell"),
+      new ExpressionInfo(classOf[ArgmaxCellF].getName, "graft_argmax_cell"),
+      (children: Seq[Expression]) => {
+        require(children.length == 3,
+          s"graft_argmax_cell(vec, cids, cents) takes 3 args, got ${children.length}")
+        // the centroid set is part of the generated code's constant
+        // pool (one reference object per stage), so both arrays must
+        // be CONSTANT (a Literal from the Column API's typedLit, or a
+        // foldable array(...) construction from SQL), not runtime
+        // columns
+        def constArray(e: Expression, what: String): ArrayData = {
+          require(e.foldable,
+            s"graft_argmax_cell: $what must be a constant array, got $e")
+          val v = e.eval()
+          require(v != null, s"graft_argmax_cell: $what must not be null")
+          v.asInstanceOf[ArrayData]
+        }
+        val cids = children(1).dataType match {
+          case ArrayType(org.apache.spark.sql.types.LongType, _) =>
+            constArray(children(1), "cids").toLongArray()
+          case other => throw new IllegalArgumentException(
+            s"graft_argmax_cell: cids must be array<bigint>, got ${other.simpleString}")
+        }
+        val cents = children(2).dataType match {
+          case ArrayType(ArrayType(FloatType, _), _) =>
+            val a = constArray(children(2), "cents")
+            Array.tabulate(a.numElements()) { i =>
+              if (a.isNullAt(i)) null
+              else {
+                val inner = a.getArray(i)
+                Array.tabulate(inner.numElements()) { j =>
+                  require(!inner.isNullAt(j),
+                    "graft_argmax_cell: a centroid element is null — pass a " +
+                      "null centroid VECTOR for an unscorable cell instead")
+                  inner.getFloat(j)
+                }
+              }
+            }
+          case other => throw new IllegalArgumentException(
+            s"graft_argmax_cell: cents must be array<array<float>>, got ${other.simpleString}")
+        }
+        ArgmaxCellF(children(0), cids, cents)
       }))
     ext.injectFunction((
       new FunctionIdentifier("graft_minhash"),

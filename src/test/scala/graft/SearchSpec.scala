@@ -440,4 +440,84 @@ class SearchSpec extends SparkSpec {
     // sign pinned: the largest-|coord| entry is positive
     assert(pm.components.forall(c => c(c.indices.maxBy(i => math.abs(c(i)))) >= 0))
   }
+
+  test("argmax-cell kernel matches the join form on degenerate vectors " +
+       "and keeps duplicate-id rows on both paths") {
+    import graft.llm.Ivf
+    val fnull = lit(null).cast("float")
+    val df = spark.range(0, 7).toDF("id").withColumn("v",
+      when(col("id") === 0, array(lit(1f), lit(0f)))
+        .when(col("id") === 1, array(lit(0.1f), lit(0.9f)))
+        .when(col("id") === 2, array(fnull, lit(1f)))      // null ELEMENT
+        .when(col("id") === 3, lit(null).cast("array<float>")) // null vector
+        .when(col("id") === 4, array(lit(0f), lit(0f)))    // zero norm
+        .when(col("id") === 5, array(lit(1f), lit(2f), lit(3f))) // dim mismatch
+        .when(col("id") === 6, array(lit(0.9f), lit(0.1f))))
+      // duplicate id: two physical rows share id 6 with different vectors
+      .union(spark.range(6, 7).toDF("id")
+        .withColumn("v", array(lit(0.2f), lit(0.8f))))
+    val cents = Seq((1, Seq(1f, 0f)), (2, Seq(0f, 1f))).toDF("cid", "cvec")
+    def run(c: org.apache.spark.sql.DataFrame) =
+      Ivf.assignToCentroids(df, "id", "v", c, "cid", "cvec")
+        .select(col("id"), col("__cid").cast("long"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    val fast = run(cents) // int cid → native kernel, map-side
+    val slow = run(cents.withColumn("cid", col("cid").cast("double"))) // join form
+    assert(fast == slow, s"kernel diverged from join form: $fast vs $slow")
+    // every unscorable shape (null element / null vector / zero norm /
+    // dim mismatch) lands in the LOWEST cell, like the join form's
+    // all-null max_by tie-break
+    val m = fast.groupBy(_._1)
+    assert(Seq(2L, 3L, 4L, 5L).forall(i => m(i).map(_._2) == Seq(1L)))
+    assert(m(1L).map(_._2) == Seq(2L))
+    // duplicate ids pass through on BOTH paths (pre-r16 the join form
+    // collapsed them)
+    assert(m(6L).map(_._2).sorted == Seq(1L, 2L))
+    // SQL registration via GraftExtensions (array(...) literals fold)
+    val viaSql = spark.sql(
+      "SELECT graft_argmax_cell(array(cast(0.1 as float), cast(0.9 as float)), " +
+        "array(1L, 2L), array(array(cast(1.0 as float), cast(0.0 as float)), " +
+        "array(cast(0.0 as float), cast(1.0 as float))))").as[Long].head()
+    assert(viaSql == 2L)
+  }
+
+  test("recenterDriver wide-dim branch reproduces the fused aggregation exactly") {
+    import graft.llm.Ivf
+    val dim = 1024
+    assert(dim > Ivf.recenterWideDimBudget)
+    def vec(seed: Int): Seq[Option[Float]] =
+      (0 until dim).map(d => Some(((seed * 31 + d * 7) % 11).toFloat - 5f))
+    val assigned = Seq(
+      (1, Option(vec(1))), (1, Option(vec(2))), (1, Option(vec(3))),
+      (2, Option(vec(4).take(100))),          // ragged short vector
+      (2, Option(vec(5).updated(5, None))),   // null element at pos 5
+      (3, Option.empty[Seq[Option[Float]]])   // cell with ONLY a null vector
+    ).toDF("__cid", "v")
+    val fused = Ivf.recenterCollect(assigned, "v", dim)
+      .map { case (cid, v) => (cid.asInstanceOf[Int], v.toSeq) }.sortBy(_._1).toSeq
+    val wide = Ivf.recenterDriver(assigned, "v", dim)
+      .map { case (cid, v) => (cid.asInstanceOf[Int], v.toSeq) }.sortBy(_._1).toSeq
+    assert(wide == fused, "wide-dim branch drifted from the fused form")
+    // the normalization contract holds: every cell present, full width,
+    // member-less positions 0.0f
+    assert(wide.map(_._1) == Seq(1, 2, 3))
+    assert(wide.forall(_._2.length == dim))
+    assert(wide.find(_._1 == 3).get._2.forall(_ == 0.0f))
+    assert(wide.find(_._1 == 2).get._2(5) == vec(4)(5).get) // only the ragged row votes at pos 5
+  }
+
+  test("centroids() refuses the driver collect past the float budget") {
+    import graft.llm.Ivf
+    val e = table("embeddings")
+    val idx = Ivf.buildIndex(e, "vec_id", "embedding", nlist = 4, iters = 1).persist()
+    try {
+      val viaDriver = Ivf.centroids(idx, "embedding")
+        .collect().map(r => r.getInt(0) -> r.getSeq[Float](1).toSeq).toMap
+      // a budget of 1 float forces the distributed explode fallback —
+      // identical means (avg == sum/count in double, cast float)
+      val viaDistributed = Ivf.centroidsWithBudget(idx, "embedding", budget = 1L)
+        .collect().map(r => r.getInt(0) -> r.getSeq[Float](1).toSeq).toMap
+      assert(viaDriver.nonEmpty && viaDriver == viaDistributed)
+    } finally idx.unpersist()
+  }
 }

@@ -389,6 +389,56 @@ class TextDedupSpec extends SparkSpec {
     assert(viaSql == 11.0)
   }
 
+  test("graft_dot nulls on an interior null element, like the HOF sum") {
+    val fnull = lit(null).cast("float")
+    val df = spark.range(1).select(
+      array(lit(1f), fnull, lit(3f)).as("a"),
+      array(lit(4f), lit(5f), lit(6f)).as("b"))
+    val r = df.select(
+      Similarity.dot(col("a"), col("b")).as("native"),
+      Similarity.dotHof(col("a"), col("b")).as("hof"),
+      Similarity.dot(col("b"), col("b")).as("clean")).head()
+    assert(r.isNullAt(0), "native dot must null on a null element")
+    assert(r.isNullAt(1), "HOF reference nulls on a null element")
+    assert(r.getDouble(2) == 77.0)
+  }
+
+  test("hyperplane buckets accept non-float numeric arrays via auto-cast") {
+    val doubles = spark.range(20).select(col("id"),
+      array(col("id").cast("double") - 10.0, (col("id") * 3 % 7).cast("double"),
+        (col("id") * 5 % 11).cast("double") - 5.0).as("v"))
+    val viaDouble = doubles
+      .select(col("id"), Similarity.hyperplaneBucket(col("v"), 4).as("b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val viaFloat = doubles
+      .select(col("id"), Similarity.hyperplaneBucket(
+        col("v").cast("array<float>"), 4).as("b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(viaDouble == viaFloat && viaDouble.nonEmpty)
+  }
+
+  test("minhashLsh emits no bands for null-text docs") {
+    // many null docs + one planted near-dup pair: pre-fix, every null
+    // doc shared one (band, hash(seed)) bucket and band-joined
+    // quadratically before Jaccard filtered the junk pairs out
+    val base = "the quick brown fox jumps over the lazy dog again and again"
+    val docs = (Seq(
+      (1L, base + " alpha beta gamma delta"),
+      (2L, base + " alpha beta gamma epsilon"),
+      (3L, "completely unrelated text about spark catalyst expression codegen")
+    ) ++ (100L to 140L).map(i => (i, null: String))).toDF("doc_id", "text")
+    val pairs = Dedup.minhashLsh(docs, "doc_id", "text",
+        ngramN = 3, numHashes = 16, bands = 8, threshold = 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSeq
+    assert(pairs == Seq((1L, 2L)), s"got $pairs")
+    // and the planted detector's output is unchanged by null docs:
+    // the same frame minus the nulls produces the identical pair set
+    val clean = Dedup.minhashLsh(docs.filter(col("text").isNotNull),
+        "doc_id", "text", ngramN = 3, numHashes = 16, bands = 8, threshold = 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSeq
+    assert(clean == pairs)
+  }
+
   test("cosine and bruteForceTopK rank by similarity") {
     val vecs = Seq(
       (0L, Array(1.0f, 0.0f)),
