@@ -84,6 +84,36 @@ object GraftSession {
       prev.unpersist(blocking = false)
   }
 
+  /** Size-aware persist (r16): cache `df` only when the optimizer's
+    * size estimate says it is a SMALL frame — re-derive it from the
+    * scan otherwise. Resolves the r15 tension between two truths:
+    * corpus-sized persists are exactly what a 100 TB input forbids
+    * (dropping them was right at the sf10 gate), but at gate SFs where
+    * the frame is a few MB, re-deriving it 2-3× is pure waste (the
+    * committed r15 bench paid +1.9 s on q_anom_lof alone for a cache
+    * the input trivially afforded).
+    *
+    * The estimate is `optimizedPlan.stats.sizeInBytes` — for the
+    * scan-derived frames this is meant for, a file-size-based figure
+    * (driver-side, no job). The budget defaults to maxMemory/128
+    * (~256 MB under the 32 g bench JVM): deserialized columnar caches
+    * run several times the on-disk estimate, so the default keeps the
+    * worst-case cache at a few percent of storage memory, and a
+    * 100 TB-shaped input (estimate ≫ budget by orders of magnitude)
+    * can never qualify. Override with `spark.graft.smallPersistBytes`
+    * (set ≤ 0 to disable persisting entirely — the pure re-derive
+    * shape, spec-pinned equal); on a cluster whose executors are sized
+    * very differently from the driver JVM, set it explicitly.
+    */
+  def persistIfSmall(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val budget = df.sparkSession.conf
+      .getOption("spark.graft.smallPersistBytes").map(_.trim.toLong)
+      .getOrElse(Runtime.getRuntime.maxMemory() / 128)
+    if (budget > 0 && df.queryExecution.optimizedPlan.stats.sizeInBytes <= budget)
+      df.persist()
+    else df
+  }
+
   def releaseAll(spark: SparkSession): Unit = {
     spark.catalog.clearCache()
     spark.sparkContext.getPersistentRDDs.values

@@ -40,6 +40,21 @@ object SparkEntry {
       QueriesPipeline.oracleSql ++ QueriesTime.oracleSql ++ QueriesWindow.oracleSql ++
       QueriesSampling.oracleSql ++ QueriesRelational.oracleSql ++ QueriesSearch.oracleSql
 
+  /** Oracle PARITY ANCHORS: queries whose registered formulation is
+    * deliberately the exact-but-unscalable one, kept because a DuckDB
+    * oracle can check it bit-for-bit — each anchors the correctness of
+    * a production path registered beside it. Their bench timings are
+    * correctness collateral, not the engine's recommended-path cost:
+    *  - q_dq_quantiles: Spark's native `percentile` (single-reducer
+    *    value buffer) as the exact-quantile parity anchor for the
+    *    bounded-memory three-scan path (q_dq_quantiles_bounded /
+    *    q_dq_quantile_bounded, `graft.functions.Quantiles`);
+    *  - q_dedup_jaccard: unsampled all-pairs blocked Jaccard as the
+    *    pair-exactness anchor for the bounded auto-routed path
+    *    (q_dedup_jaccard_bounded, `Dedup.ngramJaccardPairsAuto`).
+    */
+  def anchorQueries: Set[String] = Set("q_dq_quantiles", "q_dedup_jaccard")
+
   private def baseQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // -- filters ------------------------------------------------------

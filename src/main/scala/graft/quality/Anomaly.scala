@@ -471,7 +471,12 @@ object Anomaly {
     val zy = (y - sY / sN) / nz(sqrt((sYY - sY * sY / sN) / sN))
     val md2 = when(vxDen > 0.0 && vyDen > 0.0 && lit(1.0) - rho * rho =!= 0.0,
       round((zx * zx - lit(2.0) * rho * zx * zy + zy * zy) / nz(lit(1.0) - rho * rho), 6))
-    val scored = df.withColumn("md2", md2)
+    // size-aware persist (r16): the quantile machinery and the output
+    // filter scan `scored` ~3×; at gate SFs the frame is MBs and the
+    // cache is free speed, past the small-frame budget the literal-
+    // moment design keeps every pass a pure column-pruned codegen scan
+    // (the 100 TB default — nothing corpus-sized is ever cached there)
+    val scored = graft.GraftSession.persistIfSmall(df.withColumn("md2", md2))
     // exact interpolated quantile of the 6-dp-rounded distances, itself
     // rounded — the strict > comparison then resolves identically on
     // both engines even when the boundary lands exactly on a data value.

@@ -50,17 +50,20 @@ object Lof {
     val bucket =
       if (planes <= 0) lit(0L) // single bucket: exact all-pairs (tests/small data)
       else Similarity.hyperplaneBucket(col(vecCol), planes)
-    val b0 = df.select(col(idCol), col(vecCol))
-      .withColumn("__bucket", bucket)
-      .withColumn("__n", Similarity.norm(col(vecCol)))
-    // NO persist of the bucketed corpus (r15): the occupancy agg, the
-    // split join, and the kNN forms each re-derive it, but the
-    // projection is now the native codegen kernel
-    // (graft_hyperplane_bits) — a re-scan plus a cheap per-row loop,
-    // where caching a corpus-sized (id, vec, bucket) frame is exactly
-    // what a 100 TB input forbids. (The pre-kernel interpreted
-    // projection was the scan's dominant cost, which justified the old
-    // cache.)
+    // SIZE-AWARE persist of the bucketed corpus (r16): the occupancy
+    // agg, the split join, and the kNN forms reference it 2-3×. At
+    // 100 TB caching a corpus-sized (id, vec, bucket) frame is
+    // forbidden and the native graft_hyperplane_bits kernel makes each
+    // re-derivation a scan plus a cheap per-row loop (the r15 shape,
+    // still the default past the size budget) — but at gate SFs where
+    // the frame is a few MB, re-deriving it cost the committed r15
+    // bench +1.9 s on q_anom_lof alone. persistIfSmall keeps both
+    // truths: cache iff the optimizer's estimate fits the small-frame
+    // budget. Both shapes are spec-pinned row-identical.
+    val b0 = graft.GraftSession.persistIfSmall(
+      df.select(col(idCol), col(vecCol))
+        .withColumn("__bucket", bucket)
+        .withColumn("__n", Similarity.norm(col(vecCol))))
     val b = if (planes <= 0 || hotBucketCap <= 0) b0
             else splitHotBuckets(b0, idCol, planes, hotBucketCap)
     val integralId = df.schema(idCol).dataType match {

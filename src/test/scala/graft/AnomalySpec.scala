@@ -327,21 +327,70 @@ class AnomalySpec extends SparkSpec {
     assert(Anomaly.ellipticBoundary(flat, "x", "y", nu = 0.1).count() == 0L)
   }
 
-  test("ellipticBoundary caches nothing and re-invocations are identical") {
-    // r15: the scored fact table is no longer persisted (a
-    // corpus-sized cache — exactly the frame you cannot cache at
-    // 100 TB). The moment sums collect ONCE as literals instead, so
-    // every pass is a pure scan; nothing may linger in the cache
-    // manager, and repeated invocations must agree row-for-row.
+  test("ellipticBoundary persists size-aware: cached and re-derive shapes agree") {
+    // r16: the scored fact table is persisted ONLY when the optimizer
+    // estimates it small (persistIfSmall) — the 100 TB shape (budget
+    // exceeded, or the conf disabled) re-derives every pass from the
+    // literal-moment scan and caches NOTHING. Both shapes must agree
+    // row-for-row, and repeated invocations must be stable.
     GraftSession.releaseAll(spark)
     val pts = (1 to 60).map(i => (i.toLong, i * 0.5, i * 1.0)).toDF("id", "x", "y")
-    val first = Anomaly.ellipticBoundary(pts, "x", "y", nu = 0.1)
-      .orderBy("id").collect().toSeq
-    assert(spark.sparkContext.getPersistentRDDs.isEmpty,
-      "ellipticBoundary left a cached frame behind")
-    val second = Anomaly.ellipticBoundary(pts, "x", "y", nu = 0.1)
-      .orderBy("id").collect().toSeq
-    assert(first == second && first.nonEmpty)
+    try {
+      spark.conf.set("spark.graft.smallPersistBytes", "-1") // never persist
+      val rederived = Anomaly.ellipticBoundary(pts, "x", "y", nu = 0.1)
+        .orderBy("id").collect().toSeq
+      assert(spark.sparkContext.getPersistentRDDs.isEmpty,
+        "re-derive shape left a cached frame behind")
+      val again = Anomaly.ellipticBoundary(pts, "x", "y", nu = 0.1)
+        .orderBy("id").collect().toSeq
+      assert(rederived == again && rederived.nonEmpty)
+      spark.conf.unset("spark.graft.smallPersistBytes") // default: tiny frame caches
+      val cached = Anomaly.ellipticBoundary(pts, "x", "y", nu = 0.1)
+        .orderBy("id").collect().toSeq
+      assert(cached == rederived)
+      assert(spark.sparkContext.getPersistentRDDs.nonEmpty,
+        "small input under the default budget should have cached the scored frame")
+    } finally {
+      spark.conf.unset("spark.graft.smallPersistBytes")
+      GraftSession.releaseAll(spark)
+    }
+  }
+
+  test("persistIfSmall: budget gates the cache, both shapes stay the same frame") {
+    GraftSession.releaseAll(spark)
+    val df2 = (1 to 100).map(i => (i.toLong, i * 2.0)).toDF("id", "v")
+    try {
+      val small = GraftSession.persistIfSmall(df2)
+      assert(small.storageLevel != org.apache.spark.storage.StorageLevel.NONE)
+      small.unpersist(blocking = true)
+      spark.conf.set("spark.graft.smallPersistBytes", "1") // 1 byte: nothing fits
+      val big = GraftSession.persistIfSmall(df2)
+      assert(big.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
+      assert(big.orderBy("id").collect().toSeq == small.orderBy("id").collect().toSeq)
+    } finally {
+      spark.conf.unset("spark.graft.smallPersistBytes")
+      GraftSession.releaseAll(spark)
+    }
+  }
+
+  test("LOF size-aware corpus persist: cached and re-derive shapes are row-identical") {
+    import graft.quality.Lof
+    GraftSession.releaseAll(spark)
+    val vecs = ((1 to 40).map(i =>
+      (i.toLong, Array((i % 7).toFloat, (i % 5).toFloat, 1f))) :+
+      (99L, Array(40f, -40f, 1f))).toDF("vec_id", "embedding")
+    def run() = Lof.scores(vecs, "vec_id", "embedding", k = 5, planes = 2)
+      .orderBy("vec_id").collect().toSeq
+    try {
+      val cached = run() // tiny LocalRelation: default budget caches the corpus
+      spark.conf.set("spark.graft.smallPersistBytes", "-1")
+      GraftSession.releaseAll(spark)
+      val rederived = run()
+      assert(cached == rederived && cached.nonEmpty)
+    } finally {
+      spark.conf.unset("spark.graft.smallPersistBytes")
+      GraftSession.releaseAll(spark)
+    }
   }
 
   test("prophetResidual flags the planted break from a clean trend+season series") {
