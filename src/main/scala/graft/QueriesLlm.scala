@@ -265,6 +265,29 @@ object QueriesLlm {
         Similarity.bruteForceTopK(e, queries, "vec_id", "query_id", "embedding", k = 10))
     }),
 
+    // the recall-telemetry loop-CLOSER (r16): the recall queries above
+    // register per-round values, this registers the machinery that
+    // ALERTS when they decay. A deterministic planted history (dyadic
+    // values — exact under any summation order, so the DuckDB oracle
+    // hash-matches): metric recall_ivf decays 0.03125/run from 0.875,
+    // recall_lsh holds at 0.4375 under a 0.5 floor; judging run r4
+    // must fire exactly (recall_ivf, decaying) and
+    // (recall_lsh, below_floor).
+    "q_recall_trend" -> ((s, dir) => {
+      val runs = t(s, dir, "region")
+        .select(col("r_regionkey").cast("long").as("run"))
+      val metrics = runs.select(
+          concat(lit("r"), col("run")).as("run_id"),
+          lit("recall_ivf").as("metric"),
+          (lit(0.875) - col("run") * lit(0.03125)).as("value"))
+        .unionByName(runs.select(
+          concat(lit("r"), col("run")).as("run_id"),
+          lit("recall_lsh").as("metric"),
+          lit(0.4375).as("value")))
+      graft.monitoring.Trends.metricAlerts(metrics, runId = "r4",
+        floors = Map("recall_lsh" -> 0.5), dropPct = 0.03, minPriorRuns = 3)
+    }),
+
     // end-to-end corpus cleaning: quality gate → exact dedup → stats
     // (the composed shape of a real training-data prep pass)
     "q_corpus_clean" -> ((s, dir) => {
@@ -547,6 +570,32 @@ object QueriesLlm {
          |t AS (SELECT query_id, count(*) AS expected FROM r WHERE rnk <= 10 GROUP BY 1)
          |SELECT query_id, expected AS found, expected,
          |       CAST(1.0 AS DOUBLE) AS recall FROM t""".stripMargin,
+
+    // the planted metric history replayed in SQL: same dyadic values,
+    // same floor/decay rules as Trends.metricAlerts over run r4
+    "q_recall_trend" ->
+      """WITH runs AS (SELECT CAST(r_regionkey AS BIGINT) AS run FROM region),
+        |m AS (
+        |  SELECT 'r' || CAST(run AS VARCHAR) AS run_id, 'recall_ivf' AS metric,
+        |         CAST(0.875 AS DOUBLE) - run * CAST(0.03125 AS DOUBLE) AS value FROM runs
+        |  UNION ALL
+        |  SELECT 'r' || CAST(run AS VARCHAR), 'recall_lsh', CAST(0.4375 AS DOUBLE) FROM runs),
+        |cur AS (SELECT metric, ROUND(AVG(value), 6) AS current_value
+        |        FROM m WHERE run_id = 'r4' GROUP BY 1),
+        |prior AS (SELECT metric, ROUND(AVG(value), 6) AS prior_avg,
+        |                 COUNT(DISTINCT run_id) AS n_prior_runs
+        |          FROM m WHERE run_id <> 'r4' GROUP BY 1),
+        |j AS (SELECT c.metric, c.current_value, p.prior_avg, p.n_prior_runs,
+        |             CASE WHEN c.metric = 'recall_lsh'
+        |                  THEN CAST(0.5 AS DOUBLE) END AS floor_value
+        |      FROM cur c LEFT JOIN prior p ON c.metric = p.metric)
+        |SELECT metric, current_value, prior_avg, n_prior_runs, floor_value,
+        |       'below_floor' AS alert_type
+        |FROM j WHERE floor_value IS NOT NULL AND current_value < floor_value
+        |UNION ALL
+        |SELECT metric, current_value, prior_avg, n_prior_runs, floor_value,
+        |       'decaying'
+        |FROM j WHERE n_prior_runs >= 3 AND current_value < prior_avg * 0.97""".stripMargin,
 
     // exhaustive-mode ANN == exact brute force, same oracle as q_sim_topk
     "q_sim_lsh_full" ->

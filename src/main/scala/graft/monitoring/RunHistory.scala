@@ -69,6 +69,31 @@ object RunHistory {
   def load(spark: SparkSession, dir: String): DataFrame =
     spark.read.parquet(dir)
 
+  /** Append one run's metric telemetry — the durable side channel for
+    * figures that are neither durations nor row counts (per-round
+    * recall@k of the ANN surfaces, sample rates, compression ratios).
+    * Row shape: (run_id, metric, value, recorded_at); same append-only
+    * run_id-partitioned parquet discipline as the run history, so
+    * [[graft.monitoring.Trends.metricAlerts]] reads it with per-run
+    * partition pruning.
+    */
+  def appendMetrics(spark: SparkSession, dir: String, runId: String,
+                    values: Map[String, Double],
+                    recordedAt: Option[java.sql.Timestamp] = None): Unit = {
+    require(values.nonEmpty, "no metrics to record")
+    import spark.implicits._
+    values.toSeq.toDF("metric", "value")
+      .select(
+        lit(runId).as("run_id"), col("metric"), col("value"),
+        recordedAt.fold(current_timestamp())(ts => lit(ts)).as("recorded_at"))
+      .coalesce(1)
+      .write.mode("append").partitionBy("run_id").parquet(dir)
+  }
+
+  /** The whole metric-telemetry dataset (every run's partition). */
+  def loadMetrics(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(dir)
+
   /** Catalog entry for the history dataset, so pipelines and SQL can
     * reference it like any other registered table.
     */

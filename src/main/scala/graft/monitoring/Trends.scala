@@ -91,6 +91,50 @@ object Trends {
         "n_prior_runs", "plan_changed")
   }
 
+  /** Metric-telemetry alerts (r16 — the recall-decay loop-closer):
+    * judge `runId`'s value per metric over a
+    * [[RunHistory.appendMetrics]]-shaped frame (run_id, metric, value)
+    * against (a) an absolute floor and (b) the trailing average of all
+    * PRIOR runs. Per-round recall@k registers as telemetry
+    * (q_sim_ivf_recall / q_sim_lsh_recall / q_sim_auto_recall), but
+    * until this check nothing ALERTED when recall decayed round over
+    * round — an ANN surface can rot quietly while every correctness
+    * gate stays green. One row per firing rule:
+    * (metric, current_value, prior_avg, n_prior_runs, floor_value,
+    * alert_type ∈ below_floor | decaying) — both rows when both fire.
+    * `decaying` needs `minPriorRuns` distinct prior runs (one noisy
+    * first round is a cold start, not decay — the [[regressions]]
+    * discipline). Two bounded hash aggregations joined at
+    * ≤ |metrics| rows.
+    */
+  def metricAlerts(metrics: DataFrame, runId: String,
+                   floors: Map[String, Double] = Map.empty,
+                   dropPct: Double = 0.10, minPriorRuns: Int = 3): DataFrame = {
+    require(dropPct >= 0.0 && dropPct < 1.0, "dropPct must be in [0, 1)")
+    val cur = metrics.filter(col("run_id") === runId)
+      .groupBy("metric").agg(round(avg(col("value")), 6).as("current_value"))
+    val prior = metrics.filter(col("run_id") =!= runId)
+      .groupBy("metric").agg(
+        round(avg(col("value")), 6).as("prior_avg"),
+        countDistinct(col("run_id")).as("n_prior_runs"))
+    val floorCol: Column = floors.foldLeft(lit(null).cast("double")) {
+      case (acc, (m, f)) => when(col("metric") === m, lit(f)).otherwise(acc)
+    }
+    val joined = cur.join(prior, Seq("metric"), "left_outer")
+      .withColumn("floor_value", floorCol)
+    val below = joined
+      .filter(col("floor_value").isNotNull &&
+        col("current_value") < col("floor_value"))
+      .withColumn("alert_type", lit("below_floor"))
+    val decaying = joined
+      .filter(col("n_prior_runs") >= minPriorRuns &&
+        col("current_value") < col("prior_avg") * (1.0 - dropPct))
+      .withColumn("alert_type", lit("decaying"))
+    below.unionByName(decaying)
+      .select("metric", "current_value", "prior_avg", "n_prior_runs",
+        "floor_value", "alert_type")
+  }
+
   /** SLA breaches — ref :631's dashboard alerts, driven by per-query
     * thresholds instead of host CPU lines: every history row over its
     * query's SLA (or `defaultSlaMs` when unlisted), plus every failed

@@ -19,17 +19,28 @@ import org.apache.hadoop.fs.{FileSystem, Path}
   * Layout: `<dir>/part-<uuid>.parquet` data files plus
   * `<dir>/_graft_log/<%020d>.manifest` commit files. A manifest lists
   * its data files (relative names, one per line) between a header and
-  * an `#end` terminator; the terminator makes partially written claims
-  * detectable. Commits CAS-claim the next version with
-  * `create(..., overwrite = false)` — atomic on HDFS and local
-  * filesystems; object stores want their conditional-put equivalent.
+  * an `#end` terminator. Since r16 a manifest is written IN FULL to a
+  * hidden temp name under `_graft_log` and then published into its
+  * version slot by an atomic no-overwrite primitive
+  * ([[CommitLocker]]): a slot either does not exist or holds a
+  * complete manifest — there is no visible create-then-write window,
+  * and a failed publish leaves only hidden temp debris (reclaimed by
+  * [[vacuum]]), never a half-visible or double-published commit.
+  * The publish primitive is scheme-aware: POSIX hard-link (link(2)
+  * atomically fails on an existing target — the local Hadoop rename
+  * only guards with a non-atomic exists() pre-check over rename(2),
+  * which REPLACES, so racing renames have a lost-commit window) for
+  * `file:`, no-overwrite rename for HDFS-like schemes, and an
+  * EXPLICIT REFUSAL on object stores (s3/gs/abfs/...), whose rename
+  * is copy+delete with no exclusivity — install a [[setCommitLocker]]
+  * conditional-put / lock-service hook to commit there.
   *
   * Reader visibility rule: the readable table is the longest COMPLETE
-  * prefix of versions. An incomplete claim younger than
-  * [[staleClaimMs]] is an in-flight commit (readers stop before it —
-  * its rows belong to the next read); older than that it is presumed
-  * crashed and skipped (its unreferenced data files are [[vacuum]]
-  * debris). The same two-phase visibility discipline as
+  * prefix of versions. Writers never publish incomplete slots, so an
+  * incomplete manifest can only be legacy or externally damaged
+  * (torn copy); readers keep the defensive rule: younger than
+  * [[staleClaimMs]] → treat as in-flight and stop before it, older →
+  * skip it. The same two-phase visibility discipline as
   * [[graft.incremental.WatermarkStore.compact]].
   *
   * Writer replay safety: `commit(df, dir, txnId = Some(id))` is
@@ -40,10 +51,11 @@ import org.apache.hadoop.fs.{FileSystem, Path}
   */
 object VersionedTable {
 
-  /** An incomplete manifest claim older than this is a crashed commit:
-    * skipped by readers, its files reclaimable by [[vacuum]]. Writing
-    * a manifest is one small create+write+close — minutes of silence
-    * mean the writer died.
+  /** An incomplete manifest older than this is damage/legacy debris:
+    * skipped by readers, its files reclaimable by [[vacuum]]. (r16
+    * writers publish slots atomically-complete, so this is purely a
+    * defensive reader rule; it also ages hidden temp manifests out of
+    * `_graft_log` in [[vacuum]].)
     */
   val staleClaimMs: Long = 10 * 60 * 1000L
 
@@ -51,6 +63,66 @@ object VersionedTable {
   private val header = "#graft-versioned-manifest"
   private val endMark = "#end"
   private val txnPrefix = "#txn:"
+
+  /** Exclusive atomic publish: move the fully written `tmp` manifest
+    * into the contended version `slot`. MUST return true iff the slot
+    * now holds tmp's content AND no other publisher can have succeeded
+    * on the same slot; MUST leave an existing slot untouched and
+    * return false. `tmp` may remain on either outcome (the committer
+    * cleans it up). Install a custom locker ([[setCommitLocker]]) for
+    * object stores: back it with the store's conditional put
+    * (If-None-Match) or an external lock service.
+    */
+  trait CommitLocker {
+    def publish(fs: FileSystem, tmp: Path, slot: Path): Boolean
+  }
+
+  @volatile private var customLocker: Option[CommitLocker] = None
+
+  /** Install / clear the commit publish primitive (JVM-global; specs
+    * and connector integrations only — the scheme-aware default covers
+    * HDFS-like and local filesystems).
+    */
+  def setCommitLocker(l: CommitLocker): Unit = customLocker = Some(l)
+  def clearCommitLocker(): Unit = customLocker = None
+
+  /** Schemes whose FileSystem rename/create primitives give NO
+    * exclusivity (rename = server-side copy + delete; create cannot
+    * refuse an existing key atomically): committing there without a
+    * custom [[CommitLocker]] could silently drop a racing commit, so
+    * it is refused instead.
+    */
+  private val nonAtomicSchemes = Set(
+    "s3", "s3a", "s3n", "gs", "wasb", "wasbs", "abfs", "abfss", "oss",
+    "cos", "cosn", "swift")
+
+  /** Default publish primitive by scheme. Local POSIX uses link(2)
+    * (atomic, fails on an existing target — the one SPECIFIED
+    * no-overwrite primitive the local filesystem has; Hadoop's local
+    * rename guards a REPLACING rename(2) with a non-atomic exists()
+    * pre-check, leaving a TOCTOU window where two racers both succeed
+    * and one commit vanishes). HDFS-like schemes use the FileSystem
+    * rename contract: no-overwrite, atomic within a directory.
+    */
+  private def defaultPublish(fs: FileSystem, tmp: Path, slot: Path): Boolean = {
+    val scheme = Option(slot.toUri.getScheme).getOrElse(
+      Option(fs.getUri.getScheme).getOrElse("file"))
+    if (scheme.equalsIgnoreCase("file") || scheme.equalsIgnoreCase("local")) {
+      val tmpFile = java.nio.file.Paths.get(tmp.toUri.getPath)
+      val slotFile = java.nio.file.Paths.get(slot.toUri.getPath)
+      try { java.nio.file.Files.createLink(slotFile, tmpFile); true }
+      catch {
+        case _: java.nio.file.FileAlreadyExistsException => false
+      }
+    } else {
+      // fast-path existence probe; the rename itself is the arbiter
+      // (HDFS rename refuses an existing destination atomically)
+      !fs.exists(slot) && fs.rename(tmp, slot)
+    }
+  }
+
+  private def publish(fs: FileSystem, tmp: Path, slot: Path): Boolean =
+    customLocker.fold(defaultPublish(fs, tmp, slot))(_.publish(fs, tmp, slot))
 
   private def fsOf(spark: SparkSession, p: Path): FileSystem =
     p.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -125,6 +197,13 @@ object VersionedTable {
              txnId: Option[String] = None): Long = {
     val spark = df.sparkSession
     val root = new Path(dir)
+    val scheme = Option(root.toUri.getScheme)
+    require(customLocker.nonEmpty ||
+        !scheme.exists(s => nonAtomicSchemes.contains(s.toLowerCase)),
+      s"versioned commits to scheme '${scheme.getOrElse("")}' have no atomic " +
+        "no-overwrite publish primitive (rename is copy+delete there): install " +
+        "a conditional-put/lock-service hook via VersionedTable.setCommitLocker " +
+        "before committing to an object store")
     val fs = fsOf(spark, root)
     val replayed = txnId.flatMap(id =>
       manifests(fs, dir).find(m => m.complete && m.txnId.contains(id)))
@@ -144,25 +223,30 @@ object VersionedTable {
       }
     } finally fs.delete(staging, true)
     fs.mkdirs(logDir(dir))
+    // the manifest body lands IN FULL on a hidden temp name first; the
+    // version slot is then claimed by the atomic no-overwrite publish —
+    // a slot is never visible incomplete, a crash here leaves only
+    // hidden debris (vacuumed later), and a failed close() aborts the
+    // commit instead of re-publishing the same file list under the
+    // next slot (the pre-r16 create-then-write loop did exactly that
+    // when close() failed after the content was fully written)
     val body = (header +: txnId.map(txnPrefix + _).toSeq) ++ names :+ endMark
-    // CAS loop: claim the next unclaimed version slot; losing the race
-    // just means someone else published that version — re-list, retry
-    var attempt = 0
-    while (true) {
-      attempt += 1
-      require(attempt <= 1000, s"could not claim a commit version under $dir")
-      val next = manifests(fs, dir).lastOption.fold(1L)(_.version + 1)
-      try {
-        val out = fs.create(manifestPath(dir, next), false)
-        try out.write((body.mkString("\n") + "\n").getBytes("UTF-8"))
-        finally out.close()
-        return next
-      } catch {
-        case _: org.apache.hadoop.fs.FileAlreadyExistsException => // retry
-        case _: java.io.IOException if fs.exists(manifestPath(dir, next)) => // retry
+    val tmp = new Path(logDir(dir), s".m-$stamp.tmp")
+    val out = fs.create(tmp, true)
+    try out.write((body.mkString("\n") + "\n").getBytes("UTF-8"))
+    finally out.close()
+    try {
+      // CAS loop: claim the next unclaimed version slot; losing just
+      // means someone else published that version — re-list, retry
+      var attempt = 0
+      while (true) {
+        attempt += 1
+        require(attempt <= 1000, s"could not claim a commit version under $dir")
+        val next = manifests(fs, dir).lastOption.fold(1L)(_.version + 1)
+        if (publish(fs, tmp, manifestPath(dir, next))) return next
       }
-    }
-    -1L // unreachable
+      -1L // unreachable
+    } finally fs.delete(tmp, false) // no-op if the publish moved it
   }
 
   private def filesOf(spark: SparkSession, dir: String,
@@ -216,11 +300,22 @@ object VersionedTable {
     val ms = manifests(fs, dir)
     if (ms.exists(m => !m.complete && now - m.modTime < staleClaimMs)) return 0
     val referenced = ms.filter(_.complete).flatMap(_.files).toSet
-    fs.listStatus(root).toSeq.count { st =>
+    val dataRemoved = fs.listStatus(root).toSeq.count { st =>
       val n = st.getPath.getName
       st.isFile && !n.startsWith(".") && !n.startsWith("_") &&
         !referenced.contains(n) && now - st.getModificationTime >= staleClaimMs &&
         fs.delete(st.getPath, false)
     }
+    // crashed commits can also strand hidden temp manifests in the log
+    val ld = logDir(dir)
+    val tmpRemoved =
+      if (!fs.exists(ld)) 0
+      else fs.listStatus(ld).toSeq.count { st =>
+        val n = st.getPath.getName
+        st.isFile && n.startsWith(".") && n.endsWith(".tmp") &&
+          now - st.getModificationTime >= staleClaimMs &&
+          fs.delete(st.getPath, false)
+      }
+    dataRemoved + tmpRemoved
   }
 }

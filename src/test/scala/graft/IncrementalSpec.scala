@@ -524,6 +524,90 @@ class IncrementalSpec extends SparkSpec {
       .count() == 6)
   }
 
+  test("VersionedTable: racing committers claim distinct versions; object-store schemes refused; locker hook honored") {
+    import graft.sources.VersionedTable
+    // (1) establish the hazard the publish primitive must avoid: the
+    // LOCAL Hadoop rename maps to rename(2) and silently REPLACES an
+    // existing destination — so rename-as-CAS on the contended slot
+    // would let two racers both "succeed" and lose a commit. The
+    // default local publish uses link(2) instead, which atomically
+    // refuses an existing target.
+    val hazDir = java.nio.file.Files.createTempDirectory("graft_vt_haz")
+    val fa = hazDir.resolve("a"); val fb = hazDir.resolve("b")
+    val fc = hazDir.resolve("c")
+    java.nio.file.Files.write(fa, "A".getBytes)
+    java.nio.file.Files.write(fb, "B".getBytes)
+    java.nio.file.Files.write(fc, "C".getBytes)
+    // rename(2) silently REPLACES an existing target (POSIX): any
+    // rename-based claim at best guards with a non-atomic exists()
+    // pre-check (Hadoop's local rename does exactly that — a TOCTOU
+    // window under contention), so two racers can both "succeed"
+    val renamed = fb.toFile.renameTo(fa.toFile)
+    assert(renamed && new String(java.nio.file.Files.readAllBytes(fa)) == "B",
+      "expected the POSIX rename-overwrite hazard this spec documents")
+    // link(2) is the primitive with a SPECIFIED atomic no-overwrite
+    // guarantee — the default local publish
+    intercept[java.nio.file.FileAlreadyExistsException] {
+      java.nio.file.Files.createLink(fa, fc)
+    }
+
+    // (2) racing committers: every commit lands on its own version,
+    // none are lost, the readable table holds the union
+    val dir = java.nio.file.Files.createTempDirectory("graft_vt_race")
+      .toString + "/tbl"
+    val dfs = (1 to 20).map(i => i -> Seq((i.toLong, s"r$i")).toDF("k", "v")).toMap
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.concurrent.duration._
+    val versions = Await.result(
+      Future.sequence((1 to 4).map { t =>
+        Future { (1 to 5).map(i => VersionedTable.commit(dfs((t - 1) * 5 + i), dir)) }
+      }), 5.minutes).flatten
+    assert(versions.sorted == (1L to 20L), s"got $versions")
+    assert(VersionedTable.read(spark, dir)
+      .select("k").as[Long].collect().sorted.toSeq == (1L to 20L))
+
+    // (3) schemes with no atomic no-overwrite publish are refused
+    // up front (before any filesystem/connector is even instantiated)
+    val refusal = intercept[IllegalArgumentException] {
+      VersionedTable.commit(dfs(1), "s3a://bucket/tbl")
+    }
+    assert(refusal.getMessage.contains("setCommitLocker"))
+
+    // (4) an installed locker becomes the publish arbiter: here an
+    // in-JVM lock table emulating an object store's conditional put —
+    // the byte copy itself is a deliberately NON-atomic overwrite; the
+    // lock table alone provides exclusivity, and no slot may ever be
+    // granted twice
+    val dir2 = java.nio.file.Files.createTempDirectory("graft_vt_lock")
+      .toString + "/tbl"
+    val granted = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+    val locker = new VersionedTable.CommitLocker {
+      override def publish(fs: org.apache.hadoop.fs.FileSystem,
+                           tmp: org.apache.hadoop.fs.Path,
+                           slot: org.apache.hadoop.fs.Path): Boolean = {
+        if (!granted.add(slot.toString)) false
+        else {
+          val in = fs.open(tmp)
+          val bytes = try in.readAllBytes() finally in.close()
+          val out = fs.create(slot, true) // non-atomic put, lock-guarded
+          try out.write(bytes) finally out.close()
+          true
+        }
+      }
+    }
+    VersionedTable.setCommitLocker(locker)
+    try {
+      val vs = Await.result(
+        Future.sequence((1 to 4).map { t =>
+          Future { (1 to 3).map(i => VersionedTable.commit(dfs((t - 1) * 3 + i), dir2)) }
+        }), 5.minutes).flatten
+      assert(vs.sorted == (1L to 12L), s"got $vs")
+      assert(granted.size == 12, "a slot was granted more than once")
+      assert(VersionedTable.read(spark, dir2).count() == 12)
+    } finally VersionedTable.clearCommitLocker()
+  }
+
   test("incremental JDBC extract pushes the stored watermark into the database scan") {
     import graft.incremental.WatermarkStore
     import graft.sources.{JdbcSink, JdbcSource}

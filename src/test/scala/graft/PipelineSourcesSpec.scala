@@ -187,6 +187,35 @@ class PipelineSourcesSpec extends SparkSpec {
     assert(dash("q_d")._1 == null.asInstanceOf[Double]) // no prior runs
   }
 
+  test("metricAlerts: planted decaying recall history fires decay + floor alerts") {
+    import graft.monitoring.{RunHistory, Trends}
+    val dir = Files.createTempDirectory("graft_recall").toString + "/metrics"
+    // five rounds of ANN telemetry: recall_ivf decays steadily,
+    // recall_lsh holds low (under its floor), recall_flat is healthy
+    val rounds = Seq(
+      "r1" -> Map("recall_ivf" -> 0.90, "recall_lsh" -> 0.40, "recall_flat" -> 1.0),
+      "r2" -> Map("recall_ivf" -> 0.86, "recall_lsh" -> 0.41, "recall_flat" -> 1.0),
+      "r3" -> Map("recall_ivf" -> 0.82, "recall_lsh" -> 0.40, "recall_flat" -> 1.0),
+      "r4" -> Map("recall_ivf" -> 0.78, "recall_lsh" -> 0.39, "recall_flat" -> 1.0),
+      "r5" -> Map("recall_ivf" -> 0.60, "recall_lsh" -> 0.40, "recall_flat" -> 1.0))
+    rounds.foreach { case (rid, m) => RunHistory.appendMetrics(spark, dir, rid, m) }
+    val metrics = RunHistory.loadMetrics(spark, dir)
+    val alerts = Trends.metricAlerts(metrics, "r5",
+        floors = Map("recall_lsh" -> 0.45, "recall_ivf" -> 0.3), dropPct = 0.10)
+      .collect().map(r => (r.getAs[String]("metric"), r.getAs[String]("alert_type")))
+      .toSet
+    // ivf: 0.60 < 0.9×avg(0.90,0.86,0.82,0.78)=0.7560 → decaying (floor
+    // 0.3 not crossed); lsh: 0.40 < 0.45 floor, decay silent (stable);
+    // flat: healthy, silent
+    assert(alerts == Set(("recall_ivf", "decaying"), ("recall_lsh", "below_floor")))
+    // a healthy judging round fires nothing
+    assert(Trends.metricAlerts(metrics, "r2",
+      floors = Map("recall_lsh" -> 0.35), dropPct = 0.10).isEmpty)
+    // cold start: below minPriorRuns distinct prior runs, decay is silent
+    val short = metrics.filter(col("run_id").isin("r1", "r2", "r5"))
+    assert(Trends.metricAlerts(short, "r5", dropPct = 0.10).isEmpty)
+  }
+
   test("SLA kinds over RunHistory: checks, compliance window, predictive warning") {
     import graft.monitoring.{RunHistory, Trends}, Trends.SlaRule
     val dir = Files.createTempDirectory("graft_sla").toString + "/history"
