@@ -95,20 +95,27 @@ object GraftSession {
     *
     * The estimate is `optimizedPlan.stats.sizeInBytes` — for the
     * scan-derived frames this is meant for, a file-size-based figure
-    * (driver-side, no job). The budget defaults to maxMemory/128
-    * (~256 MB under the 32 g bench JVM): deserialized columnar caches
-    * run several times the on-disk estimate, so the default keeps the
-    * worst-case cache at a few percent of storage memory, and a
-    * 100 TB-shaped input (estimate ≫ budget by orders of magnitude)
-    * can never qualify. Override with `spark.graft.smallPersistBytes`
-    * (set ≤ 0 to disable persisting entirely — the pure re-derive
-    * shape, spec-pinned equal); on a cluster whose executors are sized
-    * very differently from the driver JVM, set it explicitly.
+    * (driver-side, no job). The budget defaults to maxMemory/1024
+    * (~32 MB under the 32 g bench JVM), set by A/B measurement of the
+    * LOF/ocsvm consumers: at sf0.1 the cache saves ~2 s/query, at sf1
+    * it is a wash, and at sf10 (estimates 50-300 MB) materializing
+    * the deserialized cache costs MORE than the codegen'd kernel
+    * re-derivations it saves (+2 s/query measured) — so the budget
+    * sits just above the win region, and a 100 TB-shaped input
+    * (estimate ≫ budget by orders of magnitude) can never qualify.
+    * Override with `spark.graft.smallPersistBytes` (set ≤ 0 to
+    * disable persisting entirely — the pure re-derive shape,
+    * spec-pinned equal) or the SPARK_GRAFT_SMALL_PERSIST env var; on
+    * a cluster whose executors are sized very differently from the
+    * driver JVM, set it explicitly.
     */
   def persistIfSmall(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    // conf wins; SPARK_GRAFT_SMALL_PERSIST env overrides the default
+    // (ops/bench A/B without a code edit)
     val budget = df.sparkSession.conf
       .getOption("spark.graft.smallPersistBytes").map(_.trim.toLong)
-      .getOrElse(Runtime.getRuntime.maxMemory() / 128)
+      .orElse(sys.env.get("SPARK_GRAFT_SMALL_PERSIST").map(_.trim.toLong))
+      .getOrElse(Runtime.getRuntime.maxMemory() / 1024)
     if (budget > 0 && df.queryExecution.optimizedPlan.stats.sizeInBytes <= budget)
       df.persist()
     else df
