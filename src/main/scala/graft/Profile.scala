@@ -31,6 +31,12 @@ object Profile {
     if (args.lift(1).contains("changepoint")) {
       profileChangepoint(spark, sfDir, time); spark.stop(); return
     }
+    if (args.lift(1).contains("ensemble")) {
+      profileEnsemble(spark, sfDir, time); spark.stop(); return
+    }
+    if (args.lift(1).contains("gaps")) {
+      profileGaps(spark, sfDir, time); spark.stop(); return
+    }
     val docs = Tables.load(spark, sfDir, "documents")
     docs.count() // warm scan
 
@@ -155,6 +161,84 @@ object Profile {
             (col("__c1") + lit(0.5) * col("__v")))).as("s"))
         .count()
     }
+  }
+
+  /** Detector-by-detector breakdown of q_anom_ensemble: each of the
+    * three member detectors in isolation, then the vote aggregation.
+    */
+  private def profileEnsemble(spark: org.apache.spark.sql.SparkSession,
+                              sfDir: String,
+                              time: String => (=> Long) => Unit): Unit = {
+    import graft.quality.Anomaly
+    val e = Tables.load(spark, sfDir, "events")
+      .select("event_id", "user_id", "ts", "value")
+    e.count() // warm
+    time("ens-zscore")(Anomaly.zscore(e, "value", 3.0).count())
+    time("ens-iqr")(Anomaly.iqr(e, "value", 1.5).count())
+    time("ens-movingavg")(Anomaly.movingAvg(e, "value", Seq("user_id"),
+      Seq(col("ts").asc, col("event_id").asc), 7, 2.0).count())
+    // cost-ceiling probe: same sliding frame with LONG micro-unit sums
+    // instead of decimal — measures what an overflow-guarded long path
+    // could save before touching the operator
+    time("ens-movingavg-long-probe") {
+      import org.apache.spark.sql.expressions.Window
+      val dec = org.apache.spark.sql.types.DecimalType(28, 6)
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts").asc, col("event_id").asc)
+        .rowsBetween(-6, Window.currentRow)
+      val x = col("value")
+      val n = count(x).over(w).cast("double")
+      val s = (sum((x.cast(dec) * 1000000).cast("long")).over(w)
+        .cast("double") / 1e6)
+      val s2 = (sum(((x * x).cast(dec) * 1000000).cast("long")).over(w)
+        .cast("double") / 1e6)
+      val ma = s / n
+      val std = sqrt(greatest(lit(0.0), (s2 - s * s / n) / (n - lit(1.0))))
+      e.withColumn("__n", n)
+        .withColumn("z", when(std =!= 0.0, abs(x - ma) / std))
+        .filter(col("__n") === 7 && col("z") > 2.0)
+        .count()
+    }
+    time("ens-full-query")(Anomaly.ensemble(Seq(
+      (Anomaly.zscore(e, "value", 3.0), "z"),
+      (Anomaly.iqr(e, "value", 1.5), "conf"),
+      (Anomaly.movingAvg(e, "value", Seq("user_id"),
+        Seq(col("ts").asc, col("event_id").asc), 7, 2.0), "z")),
+      keyCols = Seq("event_id"), minVotes = 2).count())
+    time("ens-full-query-2nd")(Anomaly.ensemble(Seq(
+      (Anomaly.zscore(e, "value", 3.0), "z"),
+      (Anomaly.iqr(e, "value", 1.5), "conf"),
+      (Anomaly.movingAvg(e, "value", Seq("user_id"),
+        Seq(col("ts").asc, col("event_id").asc), 7, 2.0), "z")),
+      keyCols = Seq("event_id"), minVotes = 2).count())
+  }
+
+  /** Stage breakdown of q_incr_gaps on lineitem.l_orderkey: the raw
+    * cardinality probe, the distinct shuffle, the quantile-sketch edge
+    * pass, and the bucketed window — so a pass-count change is
+    * attributable per stage.
+    */
+  private def profileGaps(spark: org.apache.spark.sql.SparkSession,
+                          sfDir: String,
+                          time: String => (=> Long) => Unit): Unit = {
+    val li = Tables.load(spark, sfDir, "lineitem")
+    li.count() // warm
+    val key = col("l_orderkey")
+    time("gaps-raw-hll-probe")(
+      li.agg(approx_count_distinct(key).as("card")).head().getAs[Long]("card"))
+    time("gaps-distinct-count")(li.select(key).distinct().count())
+    val distinct = li.select(key).distinct().persist()
+    time("gaps-distinct-persist-count")(distinct.count())
+    time("gaps-edges-sketch") {
+      val probes = (1 until 64).map(_.toDouble / 64).toArray
+      distinct.select(key.cast("double").as("k"))
+        .stat.approxQuantile("k", probes, 0.001).length.toLong
+    }
+    time("gaps-full-query")(
+      graft.incremental.Incremental.gaps(li, "l_orderkey", 1.0, 1.5).count())
+    distinct.unpersist()
+    time("gaps-full-query-2nd")(
+      graft.incremental.Incremental.gaps(li, "l_orderkey", 1.0, 1.5).count())
   }
 
   /** Per-pass breakdown of [[graft.functions.Quantiles.exactQuantiles]]

@@ -444,11 +444,16 @@ object Incremental {
   def gaps(df: DataFrame, seqCol: String, expectedStep: Double = 1.0,
            tolerance: Double = 1.5, maxBuckets: Int = 64,
            smallDistinct: Long = 1L << 20): DataFrame = {
-    // cardinality probe only (HLL, one cheap map-combined agg); the
-    // quantile sketch is paid only on the big path, where it is noise
-    // relative to the work it saves
-    val card = df.agg(approx_count_distinct(col(seqCol)).as("card"))
-      .head().getAs[Long]("card")
+    // The distinct frame is needed on EVERY path — build it once,
+    // persist, and route on its EXACT count. (r16: the previous HLL
+    // probe paid a separate full scan of the RAW frame — 3.8 s of an
+    // 8-10 s query at the sf10 gate — to approximate a number the
+    // distinct shuffle yields for free; exact routing is also strictly
+    // more stable at the threshold.) Ownership unchanged: releaseAll,
+    // same as the big path's existing persist; the small path's frame
+    // is ≤ smallDistinct rows by the branch it takes.
+    val distinct = df.select(col(seqCol)).distinct().persist()
+    val card = distinct.count()
     def gapsOf(lagged: DataFrame): DataFrame = lagged
       .withColumn("gap", col(seqCol) - col("prev_val"))
       .filter(col("gap") > lit(expectedStep * tolerance))
@@ -458,10 +463,8 @@ object Incremental {
       gapsOf(distinct.withColumn("prev_val", lag(col(seqCol), 1).over(w)))
     }
     if (card <= smallDistinct)
-      smallPlan(df.select(col(seqCol)).distinct())
+      smallPlan(distinct)
     else {
-      // sketch + window share the distinct frame (ownership: releaseAll)
-      val distinct = df.select(col(seqCol)).distinct().persist()
       // bucket count scales with cardinality past ~32M distinct keys
       // (maxBuckets stays the floor): fixed buckets would grow each
       // window partition linearly with the corpus — per-task sort

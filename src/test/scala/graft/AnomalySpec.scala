@@ -80,6 +80,36 @@ class AnomalySpec extends SparkSpec {
     assert(hits.contains(21))
   }
 
+  test("movingAvg long and decimal routes are row-identical") {
+    // values with sub-unit fractions (rounding exercised) and a level
+    // shift: both frame-sum routes must produce the same flagged rows
+    // AND the same z doubles bit-for-bit (the 2^52 micro-unit bound
+    // makes long-sum/unit and decimal-sum round identically)
+    val series = ((1 to 40).map(i => ("s", i, 5.0 + (i % 5) * 0.1234567))
+      ++ Seq(("s", 41, 5000.75), ("s", 42, -4999.25))).toDF("k", "seq", "v")
+    def run(useLong: Boolean) =
+      Anomaly.movingAvgPath(series, "v", Seq("k"), Seq(col("seq").asc),
+          window = 7, threshold = 2.0, scale = 6, useLong = useLong)
+        .select("seq", "z").collect()
+        .map(r => (r.getInt(0), r.getDouble(1))).sortBy(_._1).toSeq
+    val (l, d) = (run(useLong = true), run(useLong = false))
+    assert(l.nonEmpty && l == d) // exact double equality, not approx
+  }
+
+  test("movingAvg probe routes huge-magnitude values to the decimal path") {
+    // |v| ~ 1e8 exceeds the 2^52 micro-unit square-sum bound (cutoff
+    // ~2.5e4 at window=7) — a long sum of v^2 micro-units would wrap;
+    // the public route must still flag the planted shift (i.e. it took
+    // the decimal path and the answer is right, not wrapped garbage).
+    // (Values stay inside the operator's documented Decimal(28,6)
+    // envelope, |x| < ~1e11, which bounds BOTH paths.)
+    val series = ((1 to 20).map(i => ("s", i, 1.0e8 + (i % 3)))
+      :+ (("s", 21, 2.0e8))).toDF("k", "seq", "v")
+    val hits = Anomaly.movingAvg(series, "v", Seq("k"), Seq(col("seq").asc),
+      window = 7, threshold = 2.0).select("seq").as[Int].collect()
+    assert(hits.contains(21))
+  }
+
   test("ensemble requires minVotes detectors to agree") {
     val z = Anomaly.zscore(df, "v", 3.0)
     val i = Anomaly.iqr(df, "v")
