@@ -153,6 +153,25 @@ object QueriesLlm {
         "vec_id", "embedding", blockCol = "label", threshold = 0.2)
     }),
 
+    // SemDeDup (Abbas et al. 2023): learned-k-means-cell near-dup at
+    // the adaptive operating point — rows-only (cells are learned
+    // geometry, like q_cluster_kmeans); its oracle anchor is the
+    // nlist=1 exact degenerate registered beside it
+    "q_dedup_semantic" -> ((s, dir) => {
+      Dedup.semanticNearDup(t(s, dir, "embeddings"), "vec_id", "embedding",
+        targetCellSize = 256, threshold = 0.4)
+    }),
+
+    // nlist=1 + no cap == exact unblocked all-pairs over the bounded
+    // 1-in-10 subsample (the q_dedup_embed_bounded contract) —
+    // oracle-green proof that the pair stage behind the learned cells
+    // computes the exact rounded cosine on every surviving pair
+    "q_dedup_semantic_exact" -> ((s, dir) => {
+      Dedup.semanticNearDupAt(
+        t(s, dir, "embeddings").filter(pmod(col("vec_id"), lit(10)) === 0),
+        "vec_id", "embedding", nlist = 1, threshold = 0.2)
+    }),
+
     // fixed-centroid cluster assignment, oracle-checked: the Lloyd
     // assignment step against four REFERENCE centroids (vec_id < 4) is
     // pure deterministic arithmetic — the oracle replays the same
@@ -530,6 +549,13 @@ object QueriesLlm {
          |FROM (SELECT * FROM embeddings WHERE vec_id % 10 = 0) a
          |JOIN (SELECT * FROM embeddings WHERE vec_id % 10 = 0) b
          |  ON a.label = b.label AND a.vec_id < b.vec_id
+         |WHERE ROUND($dcos, 6) >= 0.2""".stripMargin,
+
+    "q_dedup_semantic_exact" ->
+      s"""SELECT a.vec_id AS id_a, b.vec_id AS id_b, ROUND($dcos, 6) AS sim
+         |FROM (SELECT * FROM embeddings WHERE vec_id % 10 = 0) a
+         |JOIN (SELECT * FROM embeddings WHERE vec_id % 10 = 0) b
+         |  ON a.vec_id < b.vec_id
          |WHERE ROUND($dcos, 6) >= 0.2""".stripMargin,
 
     "q_cluster_assign" -> {

@@ -720,6 +720,79 @@ object Dedup {
       planes = Similarity.planesFor(df.count(), targetBucketSize), threshold,
       hotBucketCap = 4 * targetBucketSize)
 
+  /** SemDeDup-style semantic near-duplicate pairs (Abbas et al. 2023,
+    * arXiv:2303.09540): k-means-cluster the embedding corpus (the IVF
+    * cell build), then emit within-cell pairs with rounded cosine
+    * >= threshold — the LEARNED counterpart of
+    * [[embeddingNearDupLsh]]'s data-blind hyperplane blocking (the
+    * registered recall telemetry says learned partitions group
+    * semantically-close vectors far better per candidate:
+    * q_sim_ivf_recall 0.79 vs q_sim_lsh_recall 0.23 at the sf10 gate).
+    * Output contract matches the other near-dup generators:
+    * (id_a, id_b, sim), each pair emitted once (cells partition the
+    * corpus — no multi-band duplication, no distinct needed). Recall
+    * < 1: a near-dup pair straddling a cell boundary is missed
+    * (measured against the exact form in the spec); EXACT duplicates
+    * can never be lost — identical vectors take identical argmax
+    * cells and agree on every refinement plane.
+    *
+    * Scale shape: the cell build is
+    * [[graft.llm.Ivf.buildIndexSampled]] (bounded deterministic Lloyd
+    * sample, ONE map-side native-kernel assignment pass over the
+    * corpus); the within-cell self-join costs n·occupancy/2 dots; and
+    * cells above `hotCellCap` are refined with fresh hyperplanes
+    * exactly like the LSH form's hot buckets — refinement partitions
+    * a cell, so it can only DROP pairs, never invent them. nlist=1
+    * with no cap degenerates to the exact unblocked all-pairs form —
+    * the oracle anchor (q_dedup_semantic_exact).
+    */
+  def semanticNearDupAt(df: DataFrame, idCol: String, vecCol: String,
+                        nlist: Int, threshold: Double = 0.9,
+                        hotCellCap: Int = 0, iters: Int = 2): DataFrame = {
+    val indexed = Ivf.buildIndexSampled(
+      df.select(col(idCol), col(vecCol)), idCol, vecCol, nlist, iters)
+    val bucketed = indexed.withColumn("__bucket", col("__cid").cast("long"))
+      .drop("__cid")
+    val refined =
+      if (hotCellCap <= 0) bucketed
+      else {
+        val hot = broadcast(
+          bucketed.groupBy(col("__bucket")).agg(count(lit(1)).as("__occ"))
+            .filter(col("__occ") > hotCellCap)
+            .select(col("__bucket"),
+              least(lit(16.0), ceil(log2(col("__occ").cast("double") / hotCellCap)))
+                .cast("int").as("__extra")))
+        // fresh planes at offset 0 are independent of the base
+        // grouping here (cells are k-means, not planes); sub-buckets
+        // land above bit 32, so refined and unrefined cell ids can
+        // never collide (cid < 2^31, sub+1 >= 1)
+        val ext = Similarity.hyperplaneBucketSlice(col(vecCol), 16, 0)
+        bucketed.join(hot, Seq("__bucket"), "left")
+          .withColumn("__bucket",
+            when(col("__extra").isNull, col("__bucket"))
+              .otherwise(col("__bucket") +
+                (pmod(ext, pow(lit(2.0), col("__extra")).cast("long")) + 1L) *
+                  lit(1L << 32)))
+          .drop("__extra")
+      }
+    embeddingNearDup(refined, idCol, vecCol, "__bucket", threshold)
+  }
+
+  /** [[semanticNearDupAt]] at the adaptive operating point: nlist on
+    * the ANN sqrt rule (per-row assignment cost is nlist·dim, so the
+    * occupancy-stable nlist = n/target sizing the LSH form uses would
+    * send the one full-corpus assignment pass superlinear; the
+    * hot-cell refinement carries the within-cell occupancy bound
+    * instead) and hot cells refined at 4× the target, mirroring
+    * [[embeddingNearDupLshAuto]].
+    */
+  def semanticNearDup(df: DataFrame, idCol: String, vecCol: String,
+                      targetCellSize: Int = 512,
+                      threshold: Double = 0.9): DataFrame =
+    semanticNearDupAt(df, idCol, vecCol,
+      nlist = Ivf.nlistFor(df.count()), threshold,
+      hotCellCap = 4 * targetCellSize)
+
   // ---- benchmark decontamination -------------------------------------
 
   /** Benchmark decontamination: flag corpus documents sharing any word

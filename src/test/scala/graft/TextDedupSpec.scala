@@ -548,6 +548,47 @@ class TextDedupSpec extends SparkSpec {
     assert(capped.size < uncapped.size || uncapped.size <= 16 * 16)
   }
 
+  test("semanticNearDup nlist=1 degenerates to exact unblocked all-pairs") {
+    val e = table("embeddings")
+    val exact = Dedup.embeddingNearDup(
+        e.withColumn("__one", lit(1)), "vec_id", "embedding", "__one", 0.2)
+      .orderBy("id_a", "id_b").collect().toSeq
+    val sem = Dedup.semanticNearDupAt(e, "vec_id", "embedding",
+        nlist = 1, threshold = 0.2)
+      .orderBy("id_a", "id_b").collect().toSeq
+    assert(sem == exact && sem.nonEmpty)
+  }
+
+  test("semanticNearDup: subset of exact with identical sims, exact dups never lost") {
+    // a tight planted cluster + exact duplicates + background noise
+    val base = (1 to 150).map { i =>
+      val r = new scala.util.Random(i * 9176)
+      val v =
+        if (i <= 30) Array.fill(8)(0.9f + r.nextFloat() * 0.05f) // cluster
+        else Array.fill(8)(r.nextFloat() * 2f - 1f)              // noise
+      (i.toLong, v)
+    }
+    val dups = Seq((9001L, base(2)._2.clone()), (9002L, base(40)._2.clone()))
+    val vecs = (base ++ dups).toDF("vec_id", "embedding")
+    val exact = Dedup.embeddingNearDup(
+        vecs.withColumn("__one", lit(1)), "vec_id", "embedding", "__one", 0.95)
+      .select("id_a", "id_b", "sim").as[(Long, Long, Double)].collect()
+      .map(t => (t._1, t._2) -> t._3).toMap
+    // forced tiny cells + forced hot-cell refinement: the stress point
+    val sem = Dedup.semanticNearDupAt(vecs, "vec_id", "embedding",
+        nlist = 8, threshold = 0.95, hotCellCap = 8)
+      .select("id_a", "id_b", "sim").as[(Long, Long, Double)].collect()
+      .map(t => (t._1, t._2) -> t._3).toMap
+    // cells partition the corpus, refinement partitions cells: the
+    // learned blocking can only DROP pairs, and every surviving pair
+    // carries the exact rounded cosine
+    assert(sem.keySet.subsetOf(exact.keySet))
+    assert(sem.forall { case (k, v) => exact(k) == v })
+    // identical vectors share the argmax cell and every refinement
+    // plane — the planted exact duplicates always pair
+    assert(sem.contains((3L, 9001L)) && sem.contains((41L, 9002L)))
+  }
+
   test("lshParams places the S-curve rise at the threshold") {
     // every result is a valid divisor split
     for (t <- Seq(0.3, 0.5, 0.7, 0.9); n <- Seq(16, 32, 128)) {
