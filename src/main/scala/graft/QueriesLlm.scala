@@ -162,13 +162,20 @@ object QueriesLlm {
         targetCellSize = 256, threshold = 0.4)
     }),
 
-    // nlist=1 + no cap == exact unblocked all-pairs over the bounded
-    // 1-in-10 subsample (the q_dedup_embed_bounded contract) —
-    // oracle-green proof that the pair stage behind the learned cells
-    // computes the exact rounded cosine on every surviving pair
+    // nlist=1 + no cap == exact unblocked all-pairs over a bounded
+    // deterministic subsample — oracle-green proof that the pair stage
+    // behind the learned cells computes the exact rounded cosine on
+    // every surviving pair. The subsample is SIZE-capped (1-in-10 AND
+    // vec_id < 20000), not just rate-sampled: nlist=1 is by definition
+    // ONE bucket, so the pair join is a single quadratic task — a
+    // rate-only sample grows it n²/100 with the corpus (measured 144 s
+    // at the sf10 gate), while the id cap pins it at ≤ 2k rows / ~2M
+    // pairs at any SF. The degeneracy itself is also spec-pinned
+    // row-identical against embeddingNearDup on an unsampled frame.
     "q_dedup_semantic_exact" -> ((s, dir) => {
       Dedup.semanticNearDupAt(
-        t(s, dir, "embeddings").filter(pmod(col("vec_id"), lit(10)) === 0),
+        t(s, dir, "embeddings")
+          .filter(pmod(col("vec_id"), lit(10)) === 0 && col("vec_id") < 20000),
         "vec_id", "embedding", nlist = 1, threshold = 0.2)
     }),
 
@@ -553,8 +560,8 @@ object QueriesLlm {
 
     "q_dedup_semantic_exact" ->
       s"""SELECT a.vec_id AS id_a, b.vec_id AS id_b, ROUND($dcos, 6) AS sim
-         |FROM (SELECT * FROM embeddings WHERE vec_id % 10 = 0) a
-         |JOIN (SELECT * FROM embeddings WHERE vec_id % 10 = 0) b
+         |FROM (SELECT * FROM embeddings WHERE vec_id % 10 = 0 AND vec_id < 20000) a
+         |JOIN (SELECT * FROM embeddings WHERE vec_id % 10 = 0 AND vec_id < 20000) b
          |  ON a.vec_id < b.vec_id
          |WHERE ROUND($dcos, 6) >= 0.2""".stripMargin,
 
