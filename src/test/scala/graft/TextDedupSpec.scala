@@ -559,6 +559,19 @@ class TextDedupSpec extends SparkSpec {
     assert(sem == exact && sem.nonEmpty)
   }
 
+  test("semanticNearDup auto wrapper equals the explicit form at nlistFor(n)") {
+    val e = table("embeddings")
+    val n = e.count()
+    val auto = Dedup.semanticNearDup(e, "vec_id", "embedding",
+        targetCellSize = 256, threshold = 0.4)
+      .orderBy("id_a", "id_b").collect().toSeq
+    val manual = Dedup.semanticNearDupAt(e, "vec_id", "embedding",
+        nlist = graft.llm.Ivf.nlistFor(n), threshold = 0.4,
+        hotCellCap = 4 * 256)
+      .orderBy("id_a", "id_b").collect().toSeq
+    assert(auto == manual && auto.nonEmpty)
+  }
+
   test("semanticNearDup: subset of exact with identical sims, exact dups never lost") {
     // a tight planted cluster + exact duplicates + background noise
     val base = (1 to 150).map { i =>
