@@ -37,6 +37,9 @@ object Profile {
     if (args.lift(1).contains("gaps")) {
       profileGaps(spark, sfDir, time); spark.stop(); return
     }
+    if (args.lift(1).contains("semantic")) {
+      profileSemantic(spark, sfDir, time); spark.stop(); return
+    }
     val docs = Tables.load(spark, sfDir, "documents")
     docs.count() // warm scan
 
@@ -239,6 +242,33 @@ object Profile {
     distinct.unpersist()
     time("gaps-full-query-2nd")(
       graft.incremental.Incremental.gaps(li, "l_orderkey", 1.0, 1.5).count())
+  }
+
+  /** Build-vs-pairs split of q_dedup_semantic: the IVF cell build
+    * (Lloyd sample + full assignment), the hot-cell occupancy agg,
+    * and the within-cell pair join — so the next shave targets the
+    * measured stage.
+    */
+  private def profileSemantic(spark: org.apache.spark.sql.SparkSession,
+                              sfDir: String,
+                              time: String => (=> Long) => Unit): Unit = {
+    import graft.llm.{Dedup, Ivf}
+    val e = Tables.load(spark, sfDir, "embeddings")
+    val n = e.count() // warm + count
+    val nlist = Ivf.nlistFor(n)
+    time("sem-cell-build")(
+      Ivf.buildIndexSampled(e.select(col("vec_id"), col("embedding")),
+        "vec_id", "embedding", nlist).count())
+    time("sem-occupancy-agg")(
+      Ivf.buildIndexSampled(e.select(col("vec_id"), col("embedding")),
+          "vec_id", "embedding", nlist)
+        .groupBy(col("__cid")).agg(count(lit(1))).count())
+    time("sem-full-query")(
+      Dedup.semanticNearDup(e, "vec_id", "embedding",
+        targetCellSize = 256, threshold = 0.4).count())
+    time("sem-full-query-2nd")(
+      Dedup.semanticNearDup(e, "vec_id", "embedding",
+        targetCellSize = 256, threshold = 0.4).count())
   }
 
   /** Per-pass breakdown of [[graft.functions.Quantiles.exactQuantiles]]
