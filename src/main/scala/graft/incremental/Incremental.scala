@@ -449,9 +449,16 @@ object Incremental {
     // probe paid a separate full scan of the RAW frame — 3.8 s of an
     // 8-10 s query at the sf10 gate — to approximate a number the
     // distinct shuffle yields for free; exact routing is also strictly
-    // more stable at the threshold.) Ownership unchanged: releaseAll,
-    // same as the big path's existing persist; the small path's frame
-    // is ≤ smallDistinct rows by the branch it takes.
+    // more stable at the threshold.) Cache ownership (r17): the BIG
+    // path's persist follows the documented releaseAll contract (it is
+    // consumed by three downstream scans — quantile edges, in-bucket
+    // window, seams); the SMALL path unpersists before returning — its
+    // plan reads the distinct frame exactly once, so the cache would
+    // buy nothing after the routing count, and a library caller
+    // outside the releaseAll lifecycle would otherwise accumulate one
+    // dead cached frame per call. Cost: the small path's consume
+    // recomputes the distinct (one bounded shuffle) — the pre-r16
+    // small-path cost exactly.
     val distinct = df.select(col(seqCol)).distinct().persist()
     val card = distinct.count()
     def gapsOf(lagged: DataFrame): DataFrame = lagged
@@ -462,9 +469,11 @@ object Incremental {
       val w = Window.orderBy(col(seqCol)) // bounded input by the probe
       gapsOf(distinct.withColumn("prev_val", lag(col(seqCol), 1).over(w)))
     }
-    if (card <= smallDistinct)
-      smallPlan(distinct)
-    else {
+    if (card <= smallDistinct) {
+      val plan = smallPlan(distinct)
+      distinct.unpersist(blocking = false)
+      plan
+    } else {
       // bucket count scales with cardinality past ~32M distinct keys
       // (maxBuckets stays the floor): fixed buckets would grow each
       // window partition linearly with the corpus — per-task sort

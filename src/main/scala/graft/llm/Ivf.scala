@@ -106,6 +106,24 @@ object Ivf {
     * duplicate `idCol` rows pass through unchanged — the SAME per-row
     * contract as [[assignDriver]] (pre-r16 this grouped by `idCol`,
     * silently collapsing duplicate-id rows only on this path).
+    *
+    * RETRY HAZARD (documented, accepted): the synthetic row id is
+    * `monotonically_increasing_id()`, which is stable only when the
+    * upstream partition contents replay deterministically. If a task
+    * retry recomputes a NON-deterministically ordered upstream (e.g. a
+    * shuffle read, whose fetch order is not fixed), recomputed
+    * partitions can remap rids, and the rid-keyed shuffle can then
+    * duplicate or drop rows. Every in-tree caller feeds deterministic
+    * lineage (parquet scans + deterministic projections). A
+    * deterministic alternative (row_number over a total sort, or
+    * grouping by idCol + a per-id ordinal) costs an extra full sort —
+    * not worth it on a fallback path; callers with nondeterministic
+    * upstreams should persist/checkpoint the input first (the same
+    * contract [[graft.quality.Anomaly.movingAvg]] documents for its
+    * probe). The pre-r16 groupBy(idCol) form was retry-safe but
+    * silently collapsed duplicate-id rows — a wrong answer every run
+    * beats a right answer that a rare double-fault can break, not the
+    * other way around.
     */
   private def assignDistributed(df: DataFrame, vecCol: String,
                                 centroids: DataFrame): DataFrame = {

@@ -117,10 +117,14 @@ object Similarity {
     // The kernel type-checks strictly for array<float>; the cast keeps
     // the old HOF's tolerance for other numeric element types
     // (array<double> callers like Lof). Elements narrow through float
-    // before the double-precision fold — only the SIGN of each
-    // projection matters, so a bucket can flip only within float ulp
-    // of a zero projection (SimplifyCasts removes the no-op cast on
-    // the common array<float> path).
+    // before the double-precision fold, perturbing each projection by
+    // up to ~2^-24 RELATIVE per term — so for non-float inputs the
+    // cast CAN flip the sign of any small-magnitude projection, i.e.
+    // it changes bucketing, not just within-ulp-of-zero cases. That is
+    // a recall-only effect (buckets generate candidate pairs; pair
+    // verification is exact), never a pair-correctness one.
+    // SimplifyCasts removes the no-op cast on the common array<float>
+    // path, where the kernel is bit-identical to the HOF reference.
     graft.plans.VectorExpressions.hyperplaneBits(
       vec.cast("array<float>"), planes, offset)
   }

@@ -86,6 +86,99 @@ object VersionedTable {
   def setCommitLocker(l: CommitLocker): Unit = customLocker = Some(l)
   def clearCommitLocker(): Unit = customLocker = None
 
+  /** Reference [[CommitLocker]] for filesystems with NO atomic
+    * no-overwrite primitive at all: lease-file arbitration using only
+    * `create`/`open`/`delete`/`getFileStatus`.
+    *
+    * Protocol, per publish attempt on a contended `slot`:
+    *  1. WAIT (bounded by `waitMs`) while a FRESH foreign lease
+    *     (`.<slot>.lease`, younger than `staleLeaseMs`) exists — its
+    *     holder is mid-publish; a stale lease is a crashed holder and
+    *     is stolen (deleted) on claim.
+    *  2. CLAIM: write our fencing token (a UUID) into the lease file
+    *     (a plain last-writer-wins overwrite — no atomicity assumed),
+    *     sleep `settleMs`, then READ THE LEASE BACK. Our token still
+    *     there → we hold the lease; any other token → a racer
+    *     overwrote us and we lost (return false; the commit loop
+    *     re-lists and retries).
+    *  3. PUBLISH under the lease: if the slot already exists → lose;
+    *     else copy the manifest bytes into the slot and read the slot
+    *     back — publish succeeded only if the read-back equals what we
+    *     wrote (a torn/overwritten slot reads as a loss and becomes
+    *     stale-claim debris the readers already skip and [[vacuum]]
+    *     reclaims).
+    *  4. RELEASE: delete the lease only if it STILL carries our token
+    *     (the fencing check — a stale-steal must not lose the
+    *     thief's lease).
+    *
+    * Safety assumptions — read them before trusting this on a real
+    * object store: the write-then-settle-then-read-back arbitration is
+    * sound only when (a) the store is read-after-write consistent
+    * (S3 is, since 2020) and (b) two racers' claim writes land within
+    * `settleMs` of each other's read-backs — i.e. `settleMs` must
+    * exceed the store's worst-case write-visibility delay, and a
+    * publisher pausing longer than `staleLeaseMs` mid-publish (GC,
+    * network partition) can have its lease stolen. This is the
+    * honest floor for a store with no primitives; a store WITH a
+    * conditional put should use it directly instead — the S3 recipe:
+    * `publish` = one `PutObject` of the manifest bytes to the slot key
+    * with `If-None-Match: *`, return true on 200, false on 412
+    * (precondition failed = slot taken); no lease, no settle, no
+    * steal — the store's own CAS is strictly stronger than this class.
+    */
+  final class FileLeaseLocker(settleMs: Long = 100L,
+                              staleLeaseMs: Long = 60000L,
+                              waitMs: Long = 30000L) extends CommitLocker {
+    private def readSmall(fs: FileSystem, p: Path): Option[String] =
+      try {
+        val in = fs.open(p)
+        try Some(new String(in.readAllBytes(), "UTF-8")) finally in.close()
+      } catch { case _: java.io.IOException => None }
+
+    private def writeOver(fs: FileSystem, p: Path, bytes: Array[Byte]): Unit = {
+      val out = fs.create(p, true) // plain overwrite; no atomicity assumed
+      try out.write(bytes) finally out.close()
+    }
+
+    override def publish(fs: FileSystem, tmp: Path, slot: Path): Boolean = {
+      val lease = new Path(slot.getParent, s".${slot.getName}.lease")
+      val token = java.util.UUID.randomUUID().toString
+      val deadline = System.currentTimeMillis() + waitMs
+      // 1. wait out a fresh foreign lease; steal a stale one
+      var leaseBlocked = true
+      while (leaseBlocked) {
+        val fresh = try {
+          val st = fs.getFileStatus(lease)
+          System.currentTimeMillis() - st.getModificationTime < staleLeaseMs
+        } catch { case _: java.io.FileNotFoundException => false }
+        if (!fresh) leaseBlocked = false
+        else if (System.currentTimeMillis() >= deadline)
+          throw new java.io.IOException(
+            s"gave up after ${waitMs}ms waiting for commit lease $lease " +
+              "(holder alive, or staleLeaseMs too long for this workload)")
+        else Thread.sleep(50L)
+      }
+      if (fs.exists(slot)) return false // published while we waited
+      // 2. claim by write + settle + read-back
+      writeOver(fs, lease, token.getBytes("UTF-8"))
+      Thread.sleep(settleMs)
+      if (!readSmall(fs, lease).contains(token)) return false // outraced
+      try {
+        // 3. publish under the lease, verified by read-back
+        if (fs.exists(slot)) false
+        else {
+          val body = readSmall(fs, tmp).getOrElse(
+            throw new java.io.IOException(s"commit temp manifest $tmp unreadable"))
+          writeOver(fs, slot, body.getBytes("UTF-8"))
+          readSmall(fs, slot).contains(body)
+        }
+      } finally {
+        // 4. fenced release: never delete a lease a thief now holds
+        if (readSmall(fs, lease).contains(token)) fs.delete(lease, false)
+      }
+    }
+  }
+
   /** Schemes whose FileSystem rename/create primitives give NO
     * exclusivity (rename = server-side copy + delete; create cannot
     * refuse an existing key atomically): committing there without a
@@ -113,6 +206,18 @@ object VersionedTable {
       try { java.nio.file.Files.createLink(slotFile, tmpFile); true }
       catch {
         case _: java.nio.file.FileAlreadyExistsException => false
+        // mounts without hard-link support (FAT/exFAT, some network or
+        // overlay filesystems) — surface the cause and the remedy
+        // instead of crashing opaque; do NOT fall back to the TOCTOU
+        // exists()+rename, which is exactly the race link(2) closes
+        case e @ (_: UnsupportedOperationException |
+                  _: java.nio.file.FileSystemException) =>
+          throw new java.io.IOException(
+            s"local commit publish needs hard-link support at $slotFile " +
+              "(link(2) is the filesystem's only atomic no-overwrite " +
+              "primitive); this mount refused it — install an exclusive " +
+              "publish hook via VersionedTable.setCommitLocker (e.g. " +
+              "FileLeaseLocker) to commit here", e)
       }
     } else {
       // fast-path existence probe; the rename itself is the arbiter
@@ -197,7 +302,11 @@ object VersionedTable {
              txnId: Option[String] = None): Long = {
     val spark = df.sparkSession
     val root = new Path(dir)
+    // the EFFECTIVE scheme, resolved the same way defaultPublish will:
+    // a scheme-less path inherits fs.defaultFS, so with defaultFS on an
+    // object store the refusal must still fire for bare paths
     val scheme = Option(root.toUri.getScheme)
+      .orElse(Option(fsOf(spark, root).getUri.getScheme))
     require(customLocker.nonEmpty ||
         !scheme.exists(s => nonAtomicSchemes.contains(s.toLowerCase)),
       s"versioned commits to scheme '${scheme.getOrElse("")}' have no atomic " +
@@ -306,13 +415,15 @@ object VersionedTable {
         !referenced.contains(n) && now - st.getModificationTime >= staleClaimMs &&
         fs.delete(st.getPath, false)
     }
-    // crashed commits can also strand hidden temp manifests in the log
+    // crashed commits can also strand hidden temp manifests (and, with
+    // a FileLeaseLocker, lease files for slots never re-contended)
     val ld = logDir(dir)
     val tmpRemoved =
       if (!fs.exists(ld)) 0
       else fs.listStatus(ld).toSeq.count { st =>
         val n = st.getPath.getName
-        st.isFile && n.startsWith(".") && n.endsWith(".tmp") &&
+        st.isFile && n.startsWith(".") &&
+          (n.endsWith(".tmp") || n.endsWith(".lease")) &&
           now - st.getModificationTime >= staleClaimMs &&
           fs.delete(st.getPath, false)
       }

@@ -608,6 +608,62 @@ class IncrementalSpec extends SparkSpec {
     } finally VersionedTable.clearCommitLocker()
   }
 
+  test("FileLeaseLocker: racing committers arbitrate correctly on a deliberately non-atomic filesystem") {
+    import graft.sources.VersionedTable
+    import org.apache.hadoop.fs.Path
+    // register a filesystem whose create() IGNORES the no-overwrite
+    // flag and whose rename() silently replaces — i.e. NO atomic
+    // primitive exists; only the lease protocol provides exclusivity
+    val conf = spark.sparkContext.hadoopConfiguration
+    conf.set("fs.mockns.impl", classOf[NonAtomicMockFs].getName)
+    val base = java.nio.file.Files.createTempDirectory("graft_vt_lease")
+    val dir = s"mockns:${base}/tbl"
+    val fs = new Path(dir).getFileSystem(conf)
+    assert(fs.isInstanceOf[NonAtomicMockFs], s"got ${fs.getClass}")
+    // prove the mock hazard is real: create(overwrite=false) on an
+    // existing file succeeds (and truncates) instead of refusing
+    val probe = new Path(s"mockns:${base}/probe")
+    fs.create(probe, false).close()
+    fs.create(probe, false).close() // would throw on a correct FS
+
+    val dfs = (1 to 12).map(i => i -> Seq((i.toLong, s"r$i")).toDF("k", "v")).toMap
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.concurrent.duration._
+    VersionedTable.setCommitLocker(
+      new VersionedTable.FileLeaseLocker(settleMs = 25L))
+    try {
+      val vs = Await.result(
+        Future.sequence((1 to 4).map { t =>
+          Future { (1 to 3).map(i => VersionedTable.commit(dfs((t - 1) * 3 + i), dir)) }
+        }), 5.minutes).flatten
+      assert(vs.sorted == (1L to 12L), s"versions lost or duplicated: $vs")
+      assert(VersionedTable.read(spark, dir)
+        .select("k").as[Long].collect().sorted.toSeq == (1L to 12L))
+      // no lease debris after clean publishes
+      val log = fs.listStatus(new Path(dir, "_graft_log")).map(_.getPath.getName)
+      assert(!log.exists(_.endsWith(".lease")), s"leaked leases in $log")
+
+      // stale-lease steal: a crashed holder's lease (old modtime) must
+      // not block the next committer
+      val logDir = new Path(dir, "_graft_log")
+      val stale = new Path(logDir, ".00000000000000000013.manifest.lease")
+      val out = fs.create(stale, true); out.write("dead".getBytes); out.close()
+      fs.setTimes(stale, System.currentTimeMillis() - 10 * 60 * 1000L, -1)
+      assert(VersionedTable.commit(dfs(1), dir) == 13L)
+
+      // a FRESH foreign lease blocks until waitMs, then fails loudly
+      val fresh = new Path(logDir, ".00000000000000000014.manifest.lease")
+      val out2 = fs.create(fresh, true); out2.write("alive".getBytes); out2.close()
+      VersionedTable.setCommitLocker(
+        new VersionedTable.FileLeaseLocker(settleMs = 25L, waitMs = 300L))
+      val blocked = intercept[java.io.IOException] {
+        VersionedTable.commit(dfs(2), dir)
+      }
+      assert(blocked.getMessage.contains("lease"))
+    } finally VersionedTable.clearCommitLocker()
+  }
+
   test("incremental JDBC extract pushes the stored watermark into the database scan") {
     import graft.incremental.WatermarkStore
     import graft.sources.{JdbcSink, JdbcSource}
@@ -739,5 +795,33 @@ class IncrementalSpec extends SparkSpec {
       Incremental.distinctSketch(events, Seq("event_type"), "user_id"),
       Seq("event_type")).collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(whole == rolled)
+  }
+}
+
+/** A deliberately NON-atomic filesystem for the FileLeaseLocker spec:
+  * `create(overwrite = false)` silently overwrites (no exclusive-create
+  * primitive) and `rename` silently replaces an existing destination
+  * (no no-overwrite rename) — the worst-case object-store shape, where
+  * only the lease protocol can provide commit exclusivity.
+  */
+class NonAtomicMockFs extends org.apache.hadoop.fs.RawLocalFileSystem {
+  override def getScheme: String = "mockns"
+  override def getUri: java.net.URI = java.net.URI.create("mockns:///")
+  override def create(f: org.apache.hadoop.fs.Path,
+                      permission: org.apache.hadoop.fs.permission.FsPermission,
+                      overwrite: Boolean, bufferSize: Int, replication: Short,
+                      blockSize: Long,
+                      progress: org.apache.hadoop.util.Progressable)
+      : org.apache.hadoop.fs.FSDataOutputStream =
+    super.create(f, permission, true, bufferSize, replication, blockSize, progress)
+  override def create(f: org.apache.hadoop.fs.Path, overwrite: Boolean,
+                      bufferSize: Int, replication: Short, blockSize: Long,
+                      progress: org.apache.hadoop.util.Progressable)
+      : org.apache.hadoop.fs.FSDataOutputStream =
+    super.create(f, true, bufferSize, replication, blockSize, progress)
+  override def rename(src: org.apache.hadoop.fs.Path,
+                      dst: org.apache.hadoop.fs.Path): Boolean = {
+    if (exists(dst)) delete(dst, false)
+    super.rename(src, dst)
   }
 }
