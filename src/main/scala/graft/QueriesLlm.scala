@@ -128,6 +128,35 @@ object QueriesLlm {
           graft.functions.Det.sumAt(element_at(col("features"), 1), 6).as("sum_f0"))
     }),
 
+    // image near-dup over REAL JDK-decoded pixels (r17): deterministic
+    // synthetic PNGs — ~5 docs share each base pattern (doc_id % 97),
+    // each at a small per-doc brightness jitter — so re-encoded
+    // variants of "the same picture" pair at small hamming while
+    // byte/exact hashes see 500 distinct blobs. Rows-only: dHash bits
+    // are engine-specific geometry; q_media_dedup_planted is the
+    // oracle-green companion and StreamsMediaSpec pins decode/grid/
+    // hash laws + JPEG re-encode robustness.
+    "q_media_dedup" -> ((s, dir) => {
+      val media = t(s, dir, "documents").select(col("doc_id"),
+        graft.multimodal.Media.syntheticPngCol(
+          pmod(col("doc_id"), lit(97)), pmod(col("doc_id"), lit(5)) - lit(2)).as("img"))
+      graft.multimodal.Media.imageNearDup(media, "doc_id", "img", maxHamming = 6)
+    }),
+
+    // planted companion, oracle-green: every doc's PNG is duplicated
+    // byte-identically under id + 1,000,000; at maxHamming = 0 the
+    // single 64-bit band admits exactly signature-equal pairs, and
+    // distinct seeds collide with probability ~2⁻⁶⁴ — so the expected
+    // pair list IS the SQL cross-reference (d, d+1000000, hamming 0).
+    // This hash-checks decode → dHash → banding → pair join end-to-end
+    // through the real ImageIO codecs.
+    "q_media_dedup_planted" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select(col("doc_id"),
+        graft.multimodal.Media.syntheticPngCol(col("doc_id"), lit(0)).as("img"))
+      val corpus = d.union(d.withColumn("doc_id", col("doc_id") + lit(1000000L)))
+      graft.multimodal.Media.imageNearDup(corpus, "doc_id", "img", maxHamming = 0)
+    }),
+
     // windowed exact-substring duplication (suffix-dedup approximation)
     "q_dedup_spans" -> ((s, dir) => {
       Dedup.dupSpanStats(t(s, dir, "documents"), "doc_id", "text",
@@ -491,6 +520,13 @@ object QueriesLlm {
         |        FROM corpus))
         |SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(1.0 AS DOUBLE) AS jacc
         |FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id""".stripMargin,
+
+    // byte-identical planted image copies: the pair list is exactly
+    // (doc_id, doc_id + 1000000) — see the registration comment
+    "q_media_dedup_planted" ->
+      """SELECT doc_id AS id_a, doc_id + 1000000 AS id_b,
+        |       CAST(0 AS INTEGER) AS hamming
+        |FROM documents""".stripMargin,
 
     // equal-token-multiset pairs over the doubled corpus (hamming 0)
     "q_dedup_simhash_planted" ->

@@ -594,6 +594,33 @@ object Dedup {
     */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
                    maxHamming: Int = 3,
+                   maxBucketSize: Int = 10000): DataFrame =
+    // no persist (r15): the signature is the native graft_simhash
+    // kernel — re-deriving the banded frame per self-join side is a
+    // scan plus a cheap per-row loop, and the (b, h) shuffle both
+    // sides need is planned once and reused; caching a corpus-sized
+    // frame was only worth it when the signature aggregation was the
+    // dominant cost
+    hammingPairs(simhashSignatures(df, idCol, textCol), idCol, "__sig",
+      maxHamming, maxBucketSize)
+
+  /** Near-dup pairs from ANY 64-bit signature frame — the
+    * signature-agnostic banding core behind [[simhashPairs]] and
+    * [[graft.multimodal.Media.imageNearDup]] (r17). The signature is
+    * cut into `maxHamming + 1` bands, so by pigeonhole any pair within
+    * the hamming budget MUST agree exactly on at least one band —
+    * complete candidate generation for the declared contract. Wider
+    * budgets mean narrower bands (coarser buckets, more candidates):
+    * keep maxHamming small, dedupe exact matches first, and rely on
+    * the bucket cap for degenerate signatures. Null signatures
+    * (undecodable/null input) are dropped pre-banding — they can never
+    * satisfy the equality join, and filtering them early keeps them
+    * out of the bucket-cap occupancy windows (the r16 minhash
+    * junk-bucket lesson). Verified by exact hamming.
+    * Output: (id_a, id_b, hamming).
+    */
+  def hammingPairs(sigs: DataFrame, idCol: String, sigCol: String,
+                   maxHamming: Int = 3,
                    maxBucketSize: Int = 10000): DataFrame = {
     require(maxHamming >= 0 && maxHamming < 32, "need bands of >= 2 bits")
     val bands = maxHamming + 1
@@ -606,19 +633,11 @@ object Dedup {
       val offset = j * base + math.min(j, rem)
       val mask = if (width == 64) -1L else (1L << width) - 1L
       struct(lit(j).as("b"),
-        shiftrightunsigned(col("__sig"), offset).bitwiseAND(lit(mask)).as("h"))
+        shiftrightunsigned(col(sigCol), offset).bitwiseAND(lit(mask)).as("h"))
     }
-    val sigs = simhashSignatures(df, idCol, textCol)
-    // persisted: both self-join sides reference it, so the simhash
-    // token-vote signature pass runs once, not twice
-    // no persist (r15): the signature is the native graft_simhash
-    // kernel — re-deriving the banded frame per self-join side is a
-    // scan plus a cheap per-row loop, and the (b, h) shuffle both
-    // sides need is planned once and reused; caching a corpus-sized
-    // frame was only worth it when the signature aggregation was the
-    // dominant cost
     val exploded = capBuckets(
-      sigs.select(col(idCol), col("__sig"),
+      sigs.filter(col(sigCol).isNotNull)
+        .select(col(idCol), col(sigCol).as("__sig"),
           explode(array(bandStructs: _*)).as("__band"))
         .select(col(idCol), col("__sig"), col("__band.b").as("__b"), col("__band.h").as("__h")),
       maxBucketSize)

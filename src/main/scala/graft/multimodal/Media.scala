@@ -1,6 +1,6 @@
 package graft.multimodal
 
-import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -298,4 +298,217 @@ object Media {
     df.withColumn("frame_idx", explode(sequence(lit(0), lit(n - 1))))
       .withColumn("frame_offset_ms",
         (col("frame_idx") * col(s"$metaCol.duration_ms") / lit(n)).cast("long"))
+
+  // ---- perceptual image hashing (REAL pixel decode, r17) --------------
+  //
+  // The JDK itself ships PNG/JPEG/GIF/BMP decoders (javax.imageio) —
+  // no external jars — so pixel-level work on those formats is
+  // honestly implementable in this container. dHash/aHash below are
+  // the standard perceptual fingerprints (difference hash / average
+  // hash over a grayscale box-filter downsample): 64-bit signatures
+  // that survive re-encoding, quality changes, and small resizes,
+  // which byte-level hashes by construction cannot.
+
+  // never spool decode buffers to temp files on executors; reads are
+  // pure in-memory. Initialized once per JVM, thread-safe (each
+  // ImageIO.read call constructs its own reader).
+  private lazy val imageIoReady: Unit =
+    javax.imageio.ImageIO.setUseCache(false)
+
+  /** Decode an image blob with the JDK's own codecs (PNG/JPEG/GIF/BMP
+    * and whatever else the JVM registers). None for null, undecodable,
+    * or zero-area inputs. Executor-side, headless-safe (image READING
+    * never touches the AWT toolkit).
+    */
+  def decodeImage(bytes: Array[Byte]): Option[java.awt.image.BufferedImage] = {
+    if (bytes == null || bytes.length == 0) return None
+    imageIoReady
+    try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes)))
+      .filter(img => img.getWidth > 0 && img.getHeight > 0)
+    catch { case _: java.io.IOException | _: RuntimeException => None }
+    // RuntimeException: the JDK decoders throw IllegalArgument /
+    // ArrayIndexOutOfBounds on some corrupt streams — a bad blob must
+    // score as "not an image", never kill the task
+  }
+
+  /** Row-major `gw`×`gh` grid of mean luminances (BT.601 integer
+    * weights) — a deterministic BOX-FILTER downsample computed
+    * directly from the raster, NOT Graphics2D scaling (whose
+    * interpolation is implementation-detail). Cell (cx, cy) averages
+    * the pixel block [cx·w/gw, (cx+1)·w/gw) × [cy·h/gh, (cy+1)·h/gh)
+    * (exact partition of the image when w ≥ gw and h ≥ gh; degenerate
+    * tiny images widen each block to at least one pixel, so cells may
+    * then overlap but never read out of bounds).
+    */
+  private[graft] def grayGrid(img: java.awt.image.BufferedImage,
+                              gw: Int, gh: Int): Array[Double] = {
+    val w = img.getWidth
+    val h = img.getHeight
+    val out = new Array[Double](gw * gh)
+    val rowBuf = new Array[Int](w)
+    var cy = 0
+    while (cy < gh) {
+      val y0 = cy * h / gh
+      val y1 = math.max(y0 + 1, (cy + 1) * h / gh)
+      var cx = 0
+      while (cx < gw) {
+        val x0 = cx * w / gw
+        val x1 = math.max(x0 + 1, (cx + 1) * w / gw)
+        var sum = 0L
+        var y = y0
+        while (y < y1) {
+          img.getRGB(x0, y, x1 - x0, 1, rowBuf, 0, w)
+          var i = 0
+          val n = x1 - x0
+          while (i < n) {
+            val rgb = rowBuf(i)
+            sum += 299L * ((rgb >> 16) & 0xFF) + 587L * ((rgb >> 8) & 0xFF) +
+              114L * (rgb & 0xFF)
+            i += 1
+          }
+          y += 1
+        }
+        out(cy * gw + cx) = sum.toDouble / (1000.0 * (x1 - x0) * (y1 - y0))
+        cx += 1
+      }
+      cy += 1
+    }
+    out
+  }
+
+  /** 64-bit dHash: 9×8 luminance grid; bit (row·8 + i) is set when
+    * cell (i, row) < cell (i+1, row) — each bit is a horizontal
+    * brightness GRADIENT, so the signature is invariant to global
+    * brightness/contrast shifts and robust to re-encoding artifacts
+    * (a JPEG must perturb two adjacent cell MEANS past their
+    * difference to flip a bit). None for undecodable input. Known
+    * limitation, inherent to dHash: flat/constant images all hash to
+    * 0 and pair with each other — run exact dedup first.
+    */
+  def dHash(bytes: Array[Byte]): Option[Long] = decodeImage(bytes).map { img =>
+    val g = grayGrid(img, 9, 8)
+    var sig = 0L
+    var row = 0
+    while (row < 8) {
+      var i = 0
+      while (i < 8) {
+        if (g(row * 9 + i) < g(row * 9 + i + 1)) sig |= 1L << (row * 8 + i)
+        i += 1
+      }
+      row += 1
+    }
+    sig
+  }
+
+  /** 64-bit aHash: 8×8 luminance grid; bit k set when cell k exceeds
+    * the grid mean. Cruder than [[dHash]] (sensitive to global
+    * brightness) but the standard second opinion.
+    */
+  def aHash(bytes: Array[Byte]): Option[Long] = decodeImage(bytes).map { img =>
+    val g = grayGrid(img, 8, 8)
+    val mean = g.sum / 64.0
+    var sig = 0L
+    var k = 0
+    while (k < 64) {
+      if (g(k) > mean) sig |= 1L << k
+      k += 1
+    }
+    sig
+  }
+
+  // decode is a library call over opaque bytes — not expressible as a
+  // built-in Column; same precedent as the container parsers above
+  private val dHashUdf = udf((b: Array[Byte]) => dHash(b))
+  private val aHashUdf = udf((b: Array[Byte]) => aHash(b))
+
+  /** Per-row perceptual signature frame (idCol, __sig) — the image
+    * analog of [[graft.llm.Dedup.simhashSignatures]]. One map-side
+    * decode pass; undecodable blobs get a null signature (dropped
+    * pre-banding by the pair stage).
+    */
+  def imageSignatures(df: DataFrame, idCol: String, binCol: String,
+                      algo: String = "dhash"): DataFrame = {
+    val hash = algo.toLowerCase match {
+      case "dhash" => dHashUdf(col(binCol))
+      case "ahash" => aHashUdf(col(binCol))
+      case other => throw new IllegalArgumentException(
+        s"unknown perceptual hash '$other' (dhash | ahash)")
+    }
+    df.select(col(idCol), hash.as("__sig"))
+  }
+
+  /** Image near-duplicate pairs: decode → perceptual 64-bit signature
+    * ([[dHash]] / [[aHash]]) → the signature-agnostic pigeonhole
+    * banding of [[graft.llm.Dedup.hammingPairs]]. THE multimodal
+    * training-data dedup operator: re-encoded/recompressed copies of
+    * the same picture land within a small hamming budget while byte
+    * hashes see unrelated blobs.
+    *
+    * Scale shape: the decode is one map-side pass (no shuffle); pairs
+    * come only from band-bucket groups (shuffle O(n × (maxHamming+1))
+    * signature rows — 8-byte signatures, NOT image bytes: nothing
+    * after the signature pass ever carries pixels). Bucket occupancy
+    * is capped like every other candidate generator here.
+    * Output: (id_a, id_b, hamming).
+    */
+  def imageNearDup(df: DataFrame, idCol: String, binCol: String,
+                   maxHamming: Int = 6, maxBucketSize: Int = 10000,
+                   algo: String = "dhash"): DataFrame =
+    graft.llm.Dedup.hammingPairs(imageSignatures(df, idCol, binCol, algo),
+      idCol, "__sig", maxHamming, maxBucketSize)
+
+  // ---- deterministic synthetic images (datagen for queries/specs) -----
+
+  // SplitMix64 finalizer (public-domain constant mix) — deterministic
+  // across JVMs, unlike java.util.Random streams behind Graphics2D
+  private def mix64(z0: Long): Long = {
+    var z = z0 + 0x9E3779B97F4A7C15L
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z ^ (z >>> 31)
+  }
+
+  /** A deterministic 36×32 grayscale-block PNG derived from `seed`:
+    * 9×8 blocks of 4×4 pixels, block (i, j) at gray level
+    * mix64(seed, i, j) & 0xFF, each block's level shifted by
+    * `jitter` (clamped to [0, 255]). Properties the planted queries
+    * and specs rely on: equal (seed, jitter) → byte-identical PNG;
+    * equal seed with small jitter delta → small dHash hamming (each
+    * hash bit compares adjacent block means ~47 gray levels apart in
+    * expectation); distinct seeds → independent block patterns, so
+    * 64-bit signature collisions are ~2⁻⁶⁴. Encoded with the JDK PNG
+    * writer (lossless, so the planted byte-identity claim holds).
+    */
+  def syntheticPng(seed: Long, jitter: Int = 0): Array[Byte] = {
+    imageIoReady
+    val img = new java.awt.image.BufferedImage(36, 32,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var j = 0
+    while (j < 8) {
+      var i = 0
+      while (i < 9) {
+        val base = (mix64(mix64(seed) ^ (i.toLong << 32) ^ j.toLong) & 0xFF).toInt
+        val g = math.min(255, math.max(0, base + jitter))
+        val rgb = (g << 16) | (g << 8) | g
+        var y = j * 4
+        while (y < j * 4 + 4) {
+          var x = i * 4
+          while (x < i * 4 + 4) { img.setRGB(x, y, rgb); x += 1 }
+          y += 1
+        }
+        i += 1
+      }
+      j += 1
+    }
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", baos)
+    baos.toByteArray
+  }
+
+  private val syntheticPngUdf = udf((seed: Long, jitter: Int) =>
+    syntheticPng(seed, jitter))
+
+  /** Column form of [[syntheticPng]] for registered queries. */
+  def syntheticPngCol(seed: Column, jitter: Column): Column =
+    syntheticPngUdf(seed.cast("long"), jitter.cast("int"))
 }

@@ -629,4 +629,115 @@ class StreamsMediaSpec extends SparkSpec {
     val offsets = frames.select("frame_offset_ms").as[Long].collect().sorted
     assert(offsets.head == 0L && offsets.distinct.length == 4)
   }
+
+  // ---- perceptual hashing (r17: REAL pixel decode via javax.imageio) --
+
+  private def hamming(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
+
+  test("Media.grayGrid: box-filter means match hand-computed luminance") {
+    // 2x1 image: left pixel pure red, right pixel pure white
+    val img = new java.awt.image.BufferedImage(2, 1,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    img.setRGB(0, 0, 0xFF0000)
+    img.setRGB(1, 0, 0xFFFFFF)
+    val g = Media.grayGrid(img, 2, 1)
+    assert(math.abs(g(0) - 299.0 * 255 / 1000.0) < 1e-9, g.toSeq)
+    assert(math.abs(g(1) - 255.0) < 1e-9, g.toSeq)
+    // 4x2 image downsampled to 2x1: each cell averages its 2x2 block
+    val img2 = new java.awt.image.BufferedImage(4, 2,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (x <- 0 until 4; y <- 0 until 2) {
+      val v = x * 10 + y // gray levels 0,1,10,11 | 20,21,30,31
+      img2.setRGB(x, y, (v << 16) | (v << 8) | v)
+    }
+    val g2 = Media.grayGrid(img2, 2, 1)
+    assert(math.abs(g2(0) - (0 + 1 + 10 + 11) / 4.0) < 1e-9, g2.toSeq)
+    assert(math.abs(g2(1) - (20 + 21 + 30 + 31) / 4.0) < 1e-9, g2.toSeq)
+  }
+
+  test("Media.dHash/aHash decode real codecs; signature laws hold") {
+    // byte-identical inputs hash identically, and decode really ran
+    val a = Media.syntheticPng(42L)
+    assert(Media.parseImageDims(a).contains(("png", 36, 32))) // it IS a real PNG
+    assert(Media.dHash(a).isDefined && Media.dHash(a) == Media.dHash(a.clone()))
+    assert(Media.aHash(a).isDefined)
+    // uniform brightness shift: dHash compares ADJACENT cells, so a
+    // global +10 shift flips (almost) nothing — brightness invariance
+    val shifted = Media.syntheticPng(42L, jitter = 10)
+    assert(shifted.toSeq != a.toSeq) // different bytes...
+    assert(hamming(Media.dHash(a).get, Media.dHash(shifted).get) <= 2)
+    // distinct seeds -> independent patterns -> far-apart signatures
+    val b = Media.syntheticPng(43L)
+    assert(hamming(Media.dHash(a).get, Media.dHash(b).get) > 10)
+    // undecodable and null inputs score as "not an image", never throw
+    assert(Media.dHash("not an image".getBytes).isEmpty)
+    assert(Media.dHash(null).isEmpty)
+    assert(Media.dHash(Array.emptyByteArray).isEmpty)
+    // a corrupt PNG (valid magic, torn body) must not kill the task
+    assert(Media.dHash(a.take(30)).isEmpty)
+  }
+
+  test("dHash robustness: JPEG re-encode of the same pixels stays within a small hamming budget") {
+    // a smooth 2D gradient: adjacent 8x8-cell means differ by ~28 gray
+    // levels, far beyond JPEG quantization noise on smooth content
+    val img = new java.awt.image.BufferedImage(72, 64,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (x <- 0 until 72; y <- 0 until 64) {
+      val v = (x * 255 / 71 + y * 128 / 63) * 2 / 3
+      img.setRGB(x, y, (v << 16) | (v << 8) | v)
+    }
+    def enc(fmt: String): Array[Byte] = {
+      val baos = new java.io.ByteArrayOutputStream()
+      assert(javax.imageio.ImageIO.write(img, fmt, baos), s"no $fmt writer")
+      baos.toByteArray
+    }
+    val png = enc("png"); val jpg = enc("jpg"); val bmp = enc("bmp")
+    assert(png.toSeq != jpg.toSeq) // byte-level: unrelated blobs
+    val hPng = Media.dHash(png).get
+    assert(hamming(hPng, Media.dHash(jpg).get) <= 6,
+      s"JPEG re-encode drifted ${hamming(hPng, Media.dHash(jpg).get)} bits")
+    assert(Media.dHash(bmp).get == hPng) // lossless re-encode: exact
+    assert(hamming(Media.aHash(png).get, Media.aHash(jpg).get) <= 6)
+  }
+
+  test("imageNearDup pairs re-encoded/jittered copies, not unrelated images") {
+    val rows = Seq(
+      1L -> Media.syntheticPng(7L),              // original
+      2L -> Media.syntheticPng(7L),              // byte-identical copy
+      3L -> Media.syntheticPng(7L, jitter = 8),  // re-graded copy
+      4L -> Media.syntheticPng(99L),             // unrelated
+      5L -> "corrupt".getBytes                   // undecodable: dropped
+    )
+    val df = rows.toDF("id", "img")
+    val pairs = Media.imageNearDup(df, "id", "img", maxHamming = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(pairs.map(p => (p._1, p._2)) == Set((1L, 2L), (1L, 3L), (2L, 3L)), pairs)
+    assert(pairs.filter(p => p._2 == 2L).forall(_._3 == 0)) // identical bytes: hamming 0
+    // aHash path agrees on the identical pair
+    val ap = Media.imageNearDup(df, "id", "img", maxHamming = 0, algo = "ahash")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(ap.contains((1L, 2L)))
+    // hammingPairs completeness at the budget boundary: pigeonhole says
+    // a planted pair at EXACTLY maxHamming must still be found
+    val sigA = 0L
+    val sigB = (1L << 0) | (1L << 21) | (1L << 42) | (1L << 63) // hamming 4, spread across bands
+    val sigs = Seq(10L -> sigA, 11L -> sigB).toDF("id", "__sig")
+    val edge = graft.llm.Dedup.hammingPairs(sigs, "id", "__sig", maxHamming = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(edge.toSeq == Seq((10L, 11L, 4)))
+    // ...and null signatures are dropped pre-banding (never pair, never
+    // enter bucket occupancy)
+    val withNull = Seq((20L, Some(5L)), (21L, Some(5L)), (22L, None))
+      .toDF("id", "__sig")
+    val np = graft.llm.Dedup.hammingPairs(withNull, "id", "__sig", maxHamming = 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(np.toSeq == Seq((20L, 21L)))
+  }
+
+  test("q_media_dedup_planted output equals its SQL-predicted pair list") {
+    val got = SparkEntry.queries("q_media_dedup_planted")(spark, TestSession.sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val docs = table("documents").select("doc_id").as[Long].collect()
+    assert(got == docs.map(d => (d, d + 1000000L, 0)).toSet)
+  }
 }
