@@ -157,6 +157,25 @@ object QueriesLlm {
       graft.multimodal.Media.imageNearDup(corpus, "doc_id", "img", maxHamming = 0)
     }),
 
+    // audio quality screens over REAL JDK-decoded PCM (r17),
+    // ORACLE-GREEN through a byte-level codec path: each doc gets a
+    // deterministic 16-bit WAV (alternating ±amp then silence) whose
+    // clipping ratio / silence fraction / RMS / peak are CLOSED-FORM
+    // in amp — every engine-side intermediate is exactly dyadic (see
+    // Media.syntheticWav scaladoc), so DuckDB predicts the decoded
+    // stats bit-for-bit without decoding anything.
+    "q_media_audio" -> ((s, dir) => {
+      val amp = when(pmod(col("doc_id"), lit(5)) === 0, lit(32767))
+        .otherwise(lit(12288) + pmod(col("doc_id"), lit(7)) * lit(1024))
+      val wavs = t(s, dir, "documents").select(col("doc_id"),
+        graft.multimodal.Media.syntheticWavCol(amp).as("wav"))
+      graft.multimodal.Media.audioScreen(wavs, "doc_id", "wav")
+        .select(col("doc_id"), col("n_samples"), col("sample_rate"),
+          col("channels"), col("duration_ms"),
+          round(col("rms"), 6).as("rms"), round(col("peak"), 6).as("peak"),
+          col("clip_ratio"), col("silence_frac"))
+    }),
+
     // windowed exact-substring duplication (suffix-dedup approximation)
     "q_dedup_spans" -> ((s, dir) => {
       Dedup.dupSpanStats(t(s, dir, "documents"), "doc_id", "text",
@@ -527,6 +546,29 @@ object QueriesLlm {
       """SELECT doc_id AS id_a, doc_id + 1000000 AS id_b,
         |       CAST(0 AS INTEGER) AS hamming
         |FROM documents""".stripMargin,
+
+    // the closed-form WAV screen stats: rms² = amp²/2³¹ and
+    // peak = amp/2¹⁵ are exact dyadic doubles on both engines; 400 of
+    // 800 samples sit at full deflection, so clip_ratio is 0.5 exactly
+    // when amp ≥ ceil(0.999·32768) = 32736 (only the planted 32767
+    // rows), and the 5 trailing 10 ms windows are pure zeros
+    "q_media_audio" ->
+      """WITH p AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 5 = 0 THEN 32767
+        |         ELSE 12288 + (doc_id % 7) * 1024 END AS amp
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(800 AS BIGINT) AS n_samples,
+        |  CAST(8000 AS INTEGER) AS sample_rate,
+        |  CAST(1 AS INTEGER) AS channels,
+        |  CAST(100 AS BIGINT) AS duration_ms,
+        |  ROUND(SQRT(CAST(amp AS DOUBLE) * amp / 2147483648.0), 6) AS rms,
+        |  ROUND(CAST(amp AS DOUBLE) / 32768.0, 6) AS peak,
+        |  CASE WHEN amp >= 32736 THEN CAST(0.5 AS DOUBLE)
+        |       ELSE CAST(0.0 AS DOUBLE) END AS clip_ratio,
+        |  CAST(0.5 AS DOUBLE) AS silence_frac
+        |FROM p""".stripMargin,
 
     // equal-token-multiset pairs over the doubled corpus (hamming 0)
     "q_dedup_simhash_planted" ->

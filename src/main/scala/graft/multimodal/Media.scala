@@ -457,6 +457,175 @@ object Media {
     graft.llm.Dedup.hammingPairs(imageSignatures(df, idCol, binCol, algo),
       idCol, "__sig", maxHamming, maxBucketSize)
 
+  // ---- audio sample screens (REAL PCM decode, r17) ---------------------
+  //
+  // javax.sound.sampled ships WAV/AIFF/AU parsing and PCM decoding in
+  // the JDK — the speech-training-data quality screens (clipping,
+  // silence, level) are honestly implementable here, like the image
+  // path above.
+
+  /** Decode an audio blob to normalized PCM samples in [-1, 1]
+    * (interleaved channel order) plus its format. Handles the PCM
+    * encodings the JDK parses natively (signed 8/16/24/32-bit, either
+    * endianness, unsigned 8-bit); µ-law/a-law convert through the
+    * JDK's own PCM_SIGNED 16-bit converter. None for null/undecodable
+    * bytes or unsupported encodings — a bad blob scores as "not
+    * audio", never kills the task.
+    */
+  def decodePcm(bytes: Array[Byte])
+      : Option[(javax.sound.sampled.AudioFormat, Array[Double])] = {
+    import javax.sound.sampled.{AudioFormat, AudioSystem}
+    if (bytes == null || bytes.length == 0) return None
+    try {
+      var ais = AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      var fmt = ais.getFormat
+      val enc = fmt.getEncoding
+      if (enc != AudioFormat.Encoding.PCM_SIGNED &&
+          enc != AudioFormat.Encoding.PCM_UNSIGNED) {
+        // µ-law / a-law: let the JDK expand to linear 16-bit
+        val target = new AudioFormat(AudioFormat.Encoding.PCM_SIGNED,
+          fmt.getSampleRate, 16, fmt.getChannels, fmt.getChannels * 2,
+          fmt.getSampleRate, false)
+        ais = AudioSystem.getAudioInputStream(target, ais)
+        fmt = ais.getFormat
+      }
+      val data = ais.readAllBytes()
+      val bits = fmt.getSampleSizeInBits
+      val bytesPer = (bits + 7) / 8
+      val n = data.length / bytesPer
+      val out = new Array[Double](n)
+      val big = fmt.isBigEndian
+      val signed = fmt.getEncoding == AudioFormat.Encoding.PCM_SIGNED
+      val full = 1L << (bits - 1) // 32768 for 16-bit
+      var i = 0
+      while (i < n) {
+        val off = i * bytesPer
+        var raw = 0L
+        var k = 0
+        while (k < bytesPer) {
+          val b = data(off + (if (big) k else bytesPer - 1 - k)) & 0xFFL
+          raw = (raw << 8) | b
+          k += 1
+        }
+        val v =
+          if (signed) { // sign-extend from `bits`
+            val shifted = raw << (64 - bits)
+            (shifted >> (64 - bits)).toDouble
+          } else raw.toDouble - full // unsigned: midpoint at `full`
+        out(i) = v / full
+        i += 1
+      }
+      Some((fmt, out))
+    } catch {
+      case _: javax.sound.sampled.UnsupportedAudioFileException |
+           _: IllegalArgumentException | _: java.io.IOException => None
+    }
+  }
+
+  /** The speech-data quality screen over one decoded blob:
+    * n_samples / sample_rate / channels / duration_ms plus
+    *  - rms: sqrt(mean(x²)) over all normalized samples,
+    *  - peak: max |x|,
+    *  - clip_ratio: fraction of samples at |x| ≥ `clipThreshold`
+    *    (digital clipping sits at full scale),
+    *  - silence_frac: fraction of 10 ms windows whose window RMS is
+    *    below `silenceRms` (windowed, not per-sample — a zero crossing
+    *    is not silence).
+    */
+  final case class AudioScreen(n_samples: Long, sample_rate: Int,
+                               channels: Int, duration_ms: Long,
+                               rms: Double, peak: Double,
+                               clip_ratio: Double, silence_frac: Double)
+
+  def audioScreenOf(bytes: Array[Byte], clipThreshold: Double = 0.999,
+                    silenceRms: Double = 0.01): Option[AudioScreen] =
+    decodePcm(bytes).map { case (fmt, x) =>
+      val n = x.length
+      var sumsq = 0.0
+      var peak = 0.0
+      var clipped = 0L
+      var i = 0
+      while (i < n) {
+        val a = math.abs(x(i))
+        sumsq += x(i) * x(i)
+        if (a > peak) peak = a
+        if (a >= clipThreshold) clipped += 1
+        i += 1
+      }
+      val win = math.max(1, (fmt.getSampleRate / 100.0).toInt) * fmt.getChannels
+      var silent = 0L
+      var windows = 0L
+      var w = 0
+      while (w < n) {
+        val end = math.min(w + win, n)
+        var s = 0.0
+        var j = w
+        while (j < end) { s += x(j) * x(j); j += 1 }
+        if (math.sqrt(s / (end - w)) < silenceRms) silent += 1
+        windows += 1
+        w = end
+      }
+      val frames = n / math.max(1, fmt.getChannels)
+      AudioScreen(
+        n_samples = n,
+        sample_rate = fmt.getSampleRate.toInt,
+        channels = fmt.getChannels,
+        duration_ms = frames * 1000L / math.max(1, fmt.getSampleRate.toInt),
+        rms = if (n == 0) 0.0 else math.sqrt(sumsq / n),
+        peak = peak,
+        clip_ratio = if (n == 0) 0.0 else clipped.toDouble / n,
+        silence_frac = if (windows == 0) 0.0 else silent.toDouble / windows)
+    }
+
+  private val audioScreenUdf = udf((b: Array[Byte]) => audioScreenOf(b))
+
+  /** Per-row audio quality screen: (idCol, screen-struct columns) —
+    * one map-side decode pass, no shuffle; undecodable blobs yield
+    * null stats (filter or quarantine downstream).
+    */
+  def audioScreen(df: DataFrame, idCol: String, binCol: String): DataFrame =
+    df.select(col(idCol), audioScreenUdf(col(binCol)).as("__a"))
+      .select(col(idCol), col("__a.*"))
+
+  /** A deterministic mono 16-bit PCM WAV: `nLoud` samples alternating
+    * ±`amp` (raw 16-bit units) followed by `nTotal - nLoud` zeros, at
+    * `rate` Hz. Every screen stat is CLOSED-FORM in (amp, nLoud,
+    * nTotal): rms = |amp|/32768·sqrt(nLoud/nTotal) with every
+    * intermediate exactly representable (amp²·2⁻³⁰ and its partial
+    * sums are dyadic), peak = amp/32768, clip_ratio = nLoud/nTotal
+    * when amp/32768 ≥ 0.999 else 0, silence_frac = zero-window
+    * fraction — which is what lets the registered audio query carry a
+    * real DuckDB oracle through a byte-level codec path.
+    */
+  def syntheticWav(amp: Int, nLoud: Int = 400, nTotal: Int = 800,
+                   rate: Int = 8000): Array[Byte] = {
+    require(amp >= 0 && amp <= 32767 && nLoud <= nTotal)
+    val dataSize = nTotal * 2
+    val bb = java.nio.ByteBuffer.allocate(44 + dataSize)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataSize)
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(1) // PCM, mono
+      .putInt(rate).putInt(rate * 2).putShort(2).putShort(16)
+      .put("data".getBytes("US-ASCII")).putInt(dataSize)
+    var i = 0
+    while (i < nTotal) {
+      bb.putShort(if (i >= nLoud) 0
+        else if (i % 2 == 0) amp.toShort else (-amp).toShort)
+      i += 1
+    }
+    bb.array()
+  }
+
+  private val syntheticWavUdf = udf((amp: Int) => syntheticWav(amp))
+
+  /** Column form of [[syntheticWav]] (default shape) for registered
+    * queries.
+    */
+  def syntheticWavCol(amp: Column): Column = syntheticWavUdf(amp.cast("int"))
+
   // ---- deterministic synthetic images (datagen for queries/specs) -----
 
   // SplitMix64 finalizer (public-domain constant mix) — deterministic

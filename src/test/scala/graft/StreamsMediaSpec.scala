@@ -734,6 +734,52 @@ class StreamsMediaSpec extends SparkSpec {
     assert(np.toSeq == Seq((20L, 21L)))
   }
 
+  // ---- audio sample screens (r17: REAL PCM decode via javax.sound) ----
+
+  test("Media.decodePcm + audioScreenOf: hand-computed stats over synthesized PCM") {
+    // syntheticWav(16384, 2, 4): samples 0.5, -0.5, 0, 0
+    val (fmt, x) = Media.decodePcm(Media.syntheticWav(16384, nLoud = 2, nTotal = 4)).get
+    assert(fmt.getSampleRate == 8000.0f && fmt.getChannels == 1)
+    assert(x.toSeq == Seq(0.5, -0.5, 0.0, 0.0))
+    val sc = Media.audioScreenOf(Media.syntheticWav(16384, nLoud = 2, nTotal = 4)).get
+    assert(sc.n_samples == 4 && sc.sample_rate == 8000 && sc.channels == 1)
+    assert(sc.rms == math.sqrt(0.125)) // sqrt((0.25+0.25)/4), exactly
+    assert(sc.peak == 0.5 && sc.clip_ratio == 0.0)
+    assert(sc.silence_frac == 0.0) // one (partial) window, RMS 0.35 > 0.01
+    // full-scale samples clip; trailing zero windows count as silence
+    val clipped = Media.audioScreenOf(Media.syntheticWav(32767)).get
+    assert(clipped == Media.AudioScreen(800, 8000, 1, 100,
+      math.sqrt(32767.0 * 32767.0 / 2147483648.0), 32767.0 / 32768.0, 0.5, 0.5))
+    // undecodable / null never throw
+    assert(Media.audioScreenOf("not audio".getBytes).isEmpty)
+    assert(Media.audioScreenOf(null).isEmpty)
+    assert(Media.audioScreenOf(Media.syntheticWav(100).take(30)).isEmpty)
+  }
+
+  test("Media.decodePcm handles unsigned 8-bit and big-endian PCM") {
+    // hand-built 8-bit unsigned WAV: 128 -> 0.0, 255 -> 127/128, 0 -> -1.0
+    val bb = java.nio.ByteBuffer.allocate(44 + 3)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes).putInt(36 + 3).put("WAVE".getBytes)
+      .put("fmt ".getBytes).putInt(16).putShort(1).putShort(1)
+      .putInt(8000).putInt(8000).putShort(1).putShort(8)
+      .put("data".getBytes).putInt(3)
+      .put(128.toByte).put(255.toByte).put(0.toByte)
+    val (fmt8, x8) = Media.decodePcm(bb.array()).get
+    assert(fmt8.getSampleSizeInBits == 8)
+    assert(x8.toSeq == Seq(0.0, 127.0 / 128.0, -1.0))
+    // big-endian path via the JDK's own AU writer (AU = PCM_SIGNED BE)
+    import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
+    val be = new AudioFormat(AudioFormat.Encoding.PCM_SIGNED, 8000f, 16, 1, 2, 8000f, true)
+    val raw = java.nio.ByteBuffer.allocate(4).putShort(16384.toShort).putShort((-32768).toShort).array()
+    val baos = new java.io.ByteArrayOutputStream()
+    AudioSystem.write(new AudioInputStream(
+      new java.io.ByteArrayInputStream(raw), be, 2), AudioFileFormat.Type.AU, baos)
+    val (fmtBe, xBe) = Media.decodePcm(baos.toByteArray).get
+    assert(fmtBe.isBigEndian)
+    assert(xBe.toSeq == Seq(0.5, -1.0))
+  }
+
   test("q_media_dedup_planted output equals its SQL-predicted pair list") {
     val got = SparkEntry.queries("q_media_dedup_planted")(spark, TestSession.sfDir)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
