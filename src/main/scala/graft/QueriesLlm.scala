@@ -206,8 +206,13 @@ object QueriesLlm {
     // geometry, like q_cluster_kmeans); its oracle anchor is the
     // nlist=1 exact degenerate registered beside it
     "q_dedup_semantic" -> ((s, dir) => {
+      // indexKey: ONE Lloyd training per run for the whole IVF family
+      // (this, q_sim_ivf, q_sim_ivf_recall, q_sim_auto_recall,
+      // q_cluster_kmeans) — the sf dir IS the data version here, which
+      // satisfies trainAutoCached's invalidation contract
       Dedup.semanticNearDup(t(s, dir, "embeddings"), "vec_id", "embedding",
-        targetCellSize = 256, threshold = 0.4)
+        targetCellSize = 256, threshold = 0.4,
+        indexKey = Some(s"$dir/embeddings"))
     }),
 
     // nlist=1 + no cap == exact unblocked all-pairs over a bounded
@@ -297,13 +302,15 @@ object QueriesLlm {
       val queries = e.filter(pmod(col("vec_id"), lit(29)) === 0 &&
           col("vec_id") < 20000)
         .select(col("vec_id").as("query_id"), col("embedding"))
-      val index = graft.llm.Ivf.buildIndexAuto(e, "vec_id", "embedding",
-        iters = 2).persist()
-      index.count() // materialize before the probe job can race (see q_sim_ivf)
-      val cents = graft.llm.Ivf.centroids(index, "embedding")
+      // r17: memoized trained quantizer (shared with the whole IVF
+      // family — see q_dedup_semantic); probing uses the TRAINED
+      // centroids, the FAISS quantizer semantics, so no per-call
+      // member-mean aggregation and no corpus-sized persist
+      val (_, cents) = graft.llm.Ivf.trainAutoCached(e, "vec_id", "embedding",
+        iters = 2, cacheKey = s"$dir/embeddings")
       Similarity.recallAtK(
-        graft.llm.Ivf.topK(index, queries, "vec_id", "query_id", "embedding",
-          k = 10, nprobe = 8, cellCentroids = Some(cents)),
+        graft.llm.Ivf.topKIndexed(e, queries, "vec_id", "query_id",
+          "embedding", cents, k = 10, nprobe = 8),
         Similarity.bruteForceTopKPartitioned(e, queries, "vec_id", "query_id",
           "embedding", k = 10))
     }),
@@ -320,7 +327,8 @@ object QueriesLlm {
           col("vec_id") < 20000)
         .select(col("vec_id").as("query_id"), col("embedding"))
       Similarity.recallAtK(
-        Similarity.topKAuto(e, queries, "vec_id", "query_id", "embedding", k = 10),
+        Similarity.topKAuto(e, queries, "vec_id", "query_id", "embedding",
+          k = 10, indexKey = Some(s"$dir/embeddings")),
         Similarity.bruteForceTopKPartitioned(e, queries, "vec_id", "query_id",
           "embedding", k = 10))
     }),
@@ -404,12 +412,13 @@ object QueriesLlm {
       // nlistFor keeps cell occupancy ~sqrt(n) as the corpus grows —
       // per-query probe cost grows as nprobe·sqrt(n), not linearly.
       // Rows-only; q_sim_ivf_full is the oracle-checked companion.
-      val index = graft.llm.Ivf.buildIndexAuto(e, "vec_id", "embedding",
-        iters = 2).persist()
-      index.count()
-      val cents = graft.llm.Ivf.centroids(index, "embedding")
-      graft.llm.Ivf.topK(index, queries, "vec_id", "query_id", "embedding",
-        k = 5, nprobe = 4, cellCentroids = Some(cents))
+      // r17: the memoized trained quantizer replaces the per-call
+      // build+persist+member-mean chain — the index frame is consumed
+      // exactly once now, so nothing here needs a cache at all
+      val (_, cents) = graft.llm.Ivf.trainAutoCached(e, "vec_id", "embedding",
+        iters = 2, cacheKey = s"$dir/embeddings")
+      graft.llm.Ivf.topKIndexed(e, queries, "vec_id", "query_id", "embedding",
+        cents, k = 5, nprobe = 4)
     }),
 
     // semantic clustering surface over the same deterministic k-means
@@ -418,9 +427,16 @@ object QueriesLlm {
     // SearchSpec proves partition/nearest-centroid/determinism laws.
     "q_cluster_kmeans" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
-      // adaptive nlist (r13) — occupancy ~sqrt(n), see q_sim_ivf
-      val index = graft.llm.Ivf.buildIndexAuto(e, "vec_id", "embedding",
-        iters = 2).persist()
+      // adaptive nlist (r13) — occupancy ~sqrt(n), see q_sim_ivf.
+      // r17: the cell assignment comes from the memoized trained
+      // quantizer (bit-identical to the fused build, spec-pinned);
+      // cohesion stays defined against the MEMBER-MEAN centroid — that
+      // aggregation is this query's own semantics, so the index is
+      // still persisted for its two consumers (the mean agg + the join)
+      val (_, tcents) = graft.llm.Ivf.trainAutoCached(e, "vec_id", "embedding",
+        iters = 2, cacheKey = s"$dir/embeddings")
+      val index = graft.llm.Ivf.assignToCentroids(e, "vec_id", "embedding",
+        tcents, "__cid", "__cvec").persist()
       index.count() // materialize before the broadcast job can race (see q_sim_ivf)
       val cents = graft.llm.Ivf.centroids(index, "embedding")
       index.join(broadcast(cents), Seq("__cid"))

@@ -767,9 +767,21 @@ object Dedup {
     */
   def semanticNearDupAt(df: DataFrame, idCol: String, vecCol: String,
                         nlist: Int, threshold: Double = 0.9,
-                        hotCellCap: Int = 0, iters: Int = 2): DataFrame = {
-    val indexed = Ivf.buildIndexSampled(
-      df.select(col(idCol), col(vecCol)), idCol, vecCol, nlist, iters)
+                        hotCellCap: Int = 0, iters: Int = 2): DataFrame =
+    semanticNearDupIndexed(
+      Ivf.buildIndexSampled(
+        df.select(col(idCol), col(vecCol)), idCol, vecCol, nlist, iters),
+      idCol, vecCol, threshold, hotCellCap)
+
+  /** [[semanticNearDupAt]] over a PRE-ASSIGNED cell index (id, vec,
+    * __cid) — the reuse seam: a quantizer trained once
+    * ([[graft.llm.Ivf.trainIndex]]/[[graft.llm.Ivf.trainAutoCached]])
+    * attaches to the corpus with one map-side kernel pass, and the
+    * pair stage runs here unchanged.
+    */
+  def semanticNearDupIndexed(indexed: DataFrame, idCol: String,
+                             vecCol: String, threshold: Double = 0.9,
+                             hotCellCap: Int = 0): DataFrame = {
     val bucketed = indexed.withColumn("__bucket", col("__cid").cast("long"))
       .drop("__cid")
     val refined =
@@ -807,10 +819,26 @@ object Dedup {
     */
   def semanticNearDup(df: DataFrame, idCol: String, vecCol: String,
                       targetCellSize: Int = 512,
-                      threshold: Double = 0.9): DataFrame =
-    semanticNearDupAt(df, idCol, vecCol,
-      nlist = Ivf.nlistFor(df.count()), threshold,
-      hotCellCap = 4 * targetCellSize)
+                      threshold: Double = 0.9,
+                      indexKey: Option[String] = None): DataFrame =
+    indexKey match {
+      case None =>
+        semanticNearDupAt(df, idCol, vecCol,
+          nlist = Ivf.nlistFor(df.count()), threshold,
+          hotCellCap = 4 * targetCellSize)
+      case Some(key) =>
+        // memoized quantizer (see Ivf.trainAutoCached's invalidation
+        // contract): same sqrt-rule nlist, same sampled Lloyd, so the
+        // assignment — and thus the pair output — is bit-identical to
+        // the unkeyed form (spec-pinned); the Lloyd training is shared
+        // with every other IVF consumer using this key
+        val (_, cents) = Ivf.trainAutoCached(df, idCol, vecCol,
+          iters = 2, cacheKey = key)
+        semanticNearDupIndexed(
+          Ivf.assignToCentroids(df.select(col(idCol), col(vecCol)),
+            idCol, vecCol, cents, "__cid", "__cvec"),
+          idCol, vecCol, threshold, hotCellCap = 4 * targetCellSize)
+    }
 
   // ---- benchmark decontamination -------------------------------------
 

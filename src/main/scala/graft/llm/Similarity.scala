@@ -289,18 +289,34 @@ object Similarity {
   def topKAuto(corpus: DataFrame, queries: DataFrame,
                corpusId: String, queryId: String, vecCol: String,
                k: Int, nprobe: Int = 8,
-               exactThreshold: Long = 16384): DataFrame = {
-    val n = corpus.count()
-    if (n <= exactThreshold)
-      bruteForceTopKPartitioned(corpus, queries, corpusId, queryId, vecCol, k)
-    else {
-      val index = Ivf.buildIndexSampled(corpus, corpusId, vecCol,
-        Ivf.nlistFor(n), knownCount = Some(n)).persist()
-      index.count() // materialize before the probe job can race the cache
-      val cents = Ivf.centroids(index, vecCol)
-      Ivf.topK(index, queries, corpusId, queryId, vecCol, k, nprobe,
-        cellCentroids = Some(cents))
-    }
+               exactThreshold: Long = 16384,
+               indexKey: Option[String] = None): DataFrame = indexKey match {
+    case Some(key) =>
+      // memoized trained quantizer (Ivf.trainAutoCached invalidation
+      // contract): a key hit serves both the routing count and the
+      // centroids with zero Spark jobs; the corpus re-attaches with
+      // one map-side kernel pass, and probing uses the TRAINED
+      // centroids (the FAISS quantizer semantics) instead of
+      // re-aggregating member means per call
+      val (n, cents) = Ivf.trainAutoCached(corpus, corpusId, vecCol,
+        iters = 2, cacheKey = key)
+      if (n <= exactThreshold)
+        bruteForceTopKPartitioned(corpus, queries, corpusId, queryId, vecCol, k)
+      else
+        Ivf.topKIndexed(corpus, queries, corpusId, queryId, vecCol,
+          cents, k, nprobe)
+    case None =>
+      val n = corpus.count()
+      if (n <= exactThreshold)
+        bruteForceTopKPartitioned(corpus, queries, corpusId, queryId, vecCol, k)
+      else {
+        val index = Ivf.buildIndexSampled(corpus, corpusId, vecCol,
+          Ivf.nlistFor(n), knownCount = Some(n)).persist()
+        index.count() // materialize before the probe job can race the cache
+        val cents = Ivf.centroids(index, vecCol)
+        Ivf.topK(index, queries, corpusId, queryId, vecCol, k, nprobe,
+          cellCentroids = Some(cents))
+      }
   }
 
   /** Per-query recall of an approximate top-k against the exact one:

@@ -43,6 +43,11 @@ object FileSource {
       // comes from the committed files themselves
       case "versioned" =>
         VersionedTable.read(spark, path)
+      // a persisted trained ANN quantizer (graft.llm.Ivf.saveIndex):
+      // resolves to the centroid frame (__cid, __cvec) — attach it to
+      // a corpus with Ivf.assignToCentroids / probe with Ivf.topKIndexed
+      case "ann_index" =>
+        graft.llm.Ivf.loadIndex(spark, path)
       case fmt =>
         val defaults = fmt match {
           case "xml" => Map("rowTag" -> "ROW")

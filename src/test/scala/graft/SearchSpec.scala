@@ -172,6 +172,67 @@ class SearchSpec extends SparkSpec {
     GraftSession.releaseAll(spark)
   }
 
+  test("trained-quantizer lifecycle: train/save/load/probe row-identical; memo serves repeats") {
+    import graft.llm.{Ivf, Similarity}
+    Ivf.clearIndexCache()
+    val e = table("embeddings")
+    val q = e.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("qid"), col("embedding"))
+    // 1. decomposed train→assign reproduces the fused build's cells
+    //    bit-for-bit (same sampled Lloyd, same kernel assignment)
+    val n = e.count()
+    val nlist = Ivf.nlistFor(n)
+    val cents = Ivf.trainIndex(e, "vec_id", "embedding", nlist, iters = 2)
+    val assigned = Ivf.assignToCentroids(e, "vec_id", "embedding", cents,
+        "__cid", "__cvec")
+      .select(col("vec_id"), col("__cid").cast("long"))
+      .orderBy("vec_id").collect().toSeq
+    val fused = Ivf.buildIndexSampled(e, "vec_id", "embedding", nlist, iters = 2)
+      .select(col("vec_id"), col("__cid").cast("long"))
+      .orderBy("vec_id").collect().toSeq
+    assert(assigned.nonEmpty && assigned == fused)
+    // 2. saveIndex → loadIndex → probe == direct probe (the FAISS
+    //    write_index/read_index contract)
+    val dir = java.nio.file.Files.createTempDirectory("graft_ann").toString + "/idx"
+    Ivf.saveIndex(cents, dir)
+    val loaded = Ivf.loadIndex(spark, dir)
+    val direct = Ivf.topKIndexed(e, q, "vec_id", "qid", "embedding",
+        cents, k = 5, nprobe = 4)
+      .orderBy("query_id", "rnk").collect().toSeq
+    val viaDisk = Ivf.topKIndexed(e, q, "vec_id", "qid", "embedding",
+        loaded, k = 5, nprobe = 4)
+      .orderBy("query_id", "rnk").collect().toSeq
+    assert(direct.nonEmpty && direct == viaDisk)
+    // 3. the catalog face: format "ann_index" resolves the artifact
+    val spec = graft.Catalog.parseJson(
+      s"""{"datasets":[{"name":"idx","format":"ann_index","path":"$dir"}]}""").head
+    val viaCatalog = graft.Catalog.load(spark, spec)
+      .orderBy("__cid").collect().toSeq
+    assert(viaCatalog == loaded.orderBy("__cid").collect().toSeq)
+    // ...and a random directory cannot masquerade as an index
+    val notIdx = java.nio.file.Files.createTempDirectory("graft_notidx").toString
+    intercept[IllegalArgumentException] { Ivf.loadIndex(spark, notIdx) }
+    // 4. the memo: a key hit serves count + centroids without
+    //    retraining, identical to the uncached trainIndex result
+    Ivf.clearIndexCache()
+    val (n1, c1) = Ivf.trainAutoCached(e, "vec_id", "embedding",
+      iters = 2, cacheKey = "spec-ann")
+    val (n2, c2) = Ivf.trainAutoCached(e, "vec_id", "embedding",
+      iters = 2, cacheKey = "spec-ann")
+    assert(n1 == n && n2 == n)
+    val r0 = cents.orderBy("__cid").collect().toSeq
+    assert(c1.orderBy("__cid").collect().toSeq == r0)
+    assert(c2.orderBy("__cid").collect().toSeq == r0)
+    // 5. keyed topKAuto probes with the trained quantizer — identical
+    //    to the explicit topKIndexed composition
+    val viaAuto = Similarity.topKAuto(e, q, "vec_id", "qid", "embedding",
+        k = 5, nprobe = 4, exactThreshold = 0L, indexKey = Some("spec-ann"))
+      .orderBy("query_id", "rnk").collect().toSeq
+    assert(viaAuto == direct)
+    Ivf.clearIndexCache()
+    GraftSession.releaseAll(spark)
+  }
+
   test("driver-path centroid assignment equals the broadcast-join formulation") {
     import graft.llm.Ivf
     val e = table("embeddings")

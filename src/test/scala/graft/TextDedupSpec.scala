@@ -572,6 +572,23 @@ class TextDedupSpec extends SparkSpec {
     assert(auto == manual && auto.nonEmpty)
   }
 
+  test("semanticNearDup keyed form (memoized quantizer) is row-identical to the unkeyed form") {
+    graft.llm.Ivf.clearIndexCache()
+    val e = table("embeddings")
+    val unkeyed = Dedup.semanticNearDup(e, "vec_id", "embedding",
+        targetCellSize = 256, threshold = 0.4)
+      .orderBy("id_a", "id_b").collect().toSeq
+    val keyed = Dedup.semanticNearDup(e, "vec_id", "embedding",
+        targetCellSize = 256, threshold = 0.4, indexKey = Some("spec-sem"))
+      .orderBy("id_a", "id_b").collect().toSeq
+    // second keyed call is a pure memo HIT — still identical
+    val keyedHit = Dedup.semanticNearDup(e, "vec_id", "embedding",
+        targetCellSize = 256, threshold = 0.4, indexKey = Some("spec-sem"))
+      .orderBy("id_a", "id_b").collect().toSeq
+    assert(unkeyed.nonEmpty && keyed == unkeyed && keyedHit == unkeyed)
+    graft.llm.Ivf.clearIndexCache()
+  }
+
   test("semanticNearDup: subset of exact with identical sims, exact dups never lost") {
     // a tight planted cluster + exact duplicates + background noise
     val base = (1 to 150).map { i =>
