@@ -36,6 +36,36 @@ object QueriesLlm {
         .select("doc_id", "lang", "source")
     }),
 
+    // incremental NEAR-dup screening (r17): the new-crawl slice
+    // band-joined against a STORED history signature table — history
+    // text is never re-shingled (the table carries signatures + shingle
+    // set-hashes only). At threshold 1.0 the screen provably drops
+    // exactly the equal-shingle-set matches (equal sets share every
+    // band; set-hash verification admits only equality), so the oracle
+    // is the NOT-EXISTS over SQL-derived shingle sets.
+    "q_dedup_minhash_incr" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val history = Dedup.minhashHistorySignatures(
+        docs.filter(col("doc_id") % 3 === 0), "doc_id", "text")
+      Dedup.minhashAgainstHistory(
+        docs.filter(col("doc_id") % 3 =!= 0), history, "doc_id", "text")
+        .select("doc_id", "lang", "source")
+    }),
+
+    // the same screen at a NEAR threshold (minhash Jaccard estimate
+    // verification): rows-only — the estimator is signature geometry —
+    // with the threshold-1.0 exact form above as its oracle anchor and
+    // the planted spec pinning drop/survive behavior
+    "q_dedup_minhash_incr_near" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val history = Dedup.minhashHistorySignatures(
+        docs.filter(col("doc_id") % 3 === 0), "doc_id", "text")
+      Dedup.minhashAgainstHistory(
+        docs.filter(col("doc_id") % 3 =!= 0), history, "doc_id", "text",
+        threshold = 0.5)
+        .select("doc_id", "lang", "source")
+    }),
+
     "q_dedup_jaccard" -> ((s, dir) => {
       // self-routing: dense small blocks take the all-pairs native path,
       // mega-blocks the exact prefix-filtered index path; TextDedupSpec
@@ -538,6 +568,23 @@ object QueriesLlm {
         |  AND NOT EXISTS (
         |    SELECT 1 FROM documents h
         |    WHERE h.doc_id % 3 = 0 AND h.text = b.text)""".stripMargin,
+
+    // surviving new-crawl rows = those whose 5-gram shingle SET equals
+    // no history row's set (the threshold-1.0 screen contract); the
+    // shingle derivation mirrors q_dedup_minhash_planted's
+    "q_dedup_minhash_incr" ->
+      """WITH sh AS (
+        |  SELECT doc_id,
+        |    list_sort(list_distinct([array_to_string(w[i:least(i+4,len(w))], ' ')
+        |      for i in range(1, greatest(len(w)-4, 1)+1)])) AS s
+        |  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
+        |        FROM documents))
+        |SELECT b.doc_id, b.lang, b.source
+        |FROM documents b JOIN sh bs ON b.doc_id = bs.doc_id
+        |WHERE b.doc_id % 3 <> 0
+        |  AND NOT EXISTS (
+        |    SELECT 1 FROM sh hs
+        |    WHERE hs.doc_id % 3 = 0 AND hs.s = bs.s)""".stripMargin,
 
     // identical-shingle-set pairs over the doubled corpus; the list
     // comprehension mirrors wordShingles (5-word grams, trailing

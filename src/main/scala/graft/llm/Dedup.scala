@@ -510,6 +510,101 @@ object Dedup {
       .select("id_a", "id_b", "jacc")
   }
 
+  /** The persistable signature table an incremental crawl pipeline
+    * STORES for its ingested history (r17): one row per document —
+    * minhash signature (banding recomputes from it with a per-row
+    * slice+hash loop, never touching text) plus the md5 of the sorted
+    * shingle SET (`__shash`), which makes exact set-equality
+    * verification possible without storing or re-shingling a single
+    * history character. Append each screened batch's rows to this
+    * table (a [[graft.sources.VersionedTable]] commit is the natural
+    * home) and the next batch screens against the union.
+    * Output: (idCol, __sig array<long>, __shash).
+    */
+  def minhashHistorySignatures(df: DataFrame, idCol: String, textCol: String,
+                               ngramN: Int = 5,
+                               numHashes: Int = 32): DataFrame =
+    df.select(col(idCol),
+      graft.plans.TextExpressions.minhash(col(textCol), ngramN, numHashes)
+        .as("__sig"),
+      md5(to_json(array_sort(wordShingles(col(textCol), ngramN))))
+        .as("__shash"))
+
+  /** Near-duplicate screen of a NEW batch against a STORED history
+    * band table — the minhash analog of [[dedupAgainstHistory]] (which
+    * is exact-hash only): batch rows whose shingle profile near-matches
+    * any history row are dropped. The history side is a
+    * [[minhashHistorySignatures]] table — its text is NEVER reread or
+    * re-shingled; its band keys re-derive from the stored signatures
+    * with a map-side slice+hash loop, so the per-batch cost is
+    * O(|batch| shingling + (|batch| + |history|) · bands shuffle), not
+    * a history recompute.
+    *
+    * Verification per candidate pair:
+    *  - `threshold >= 1.0`: EXACT — stored set-hash equality, which
+    *    holds iff the shingle sets are equal (md5 collisions aside).
+    *    Equal sets give equal signatures and agree on every band, so
+    *    the screen provably drops every exact-shingle-set duplicate
+    *    (the oracle-checkable contract, mirroring
+    *    q_dedup_minhash_planted's argument).
+    *  - `threshold < 1.0`: the standard minhash ESTIMATE — the
+    *    fraction of agreeing signature components (an unbiased
+    *    Jaccard estimator; ±1/sqrt(numHashes)-scale noise). Exact
+    *    verification would need history shingle sets, which this
+    *    operator deliberately does not store.
+    *
+    * The screen is per-ID: every batch row whose id near-matched is
+    * dropped (duplicate batch ids drop together). Null-text rows can
+    * never match (null signature emits no bands) and always survive —
+    * the NOT-EXISTS null contract. Output: the surviving batch rows,
+    * columns unchanged.
+    */
+  def minhashAgainstHistory(batch: DataFrame, historySigs: DataFrame,
+                            idCol: String, textCol: String,
+                            ngramN: Int = 5, numHashes: Int = 32,
+                            bands: Int = 8, threshold: Double = 1.0,
+                            maxBucketSize: Int = 10000): DataFrame = {
+    require(numHashes % bands == 0, "numHashes must divide into bands")
+    val r = numHashes / bands
+    val bandStructs = (0 until bands).map { j =>
+      struct(lit(j).as("b"), hash(slice(col("__sig"), j * r + 1, r)).as("h"))
+    }
+    def explodeBands(sigs: DataFrame, out: String): DataFrame = capBuckets(
+      sigs.filter(col("__sig").isNotNull)
+        .select(col(idCol), explode(array(bandStructs: _*)).as("__band"))
+        .select(col(idCol).as(out),
+          col("__band.b").as("__b"), col("__band.h").as("__h")),
+      maxBucketSize)
+    val bsig = minhashHistorySignatures(batch, idCol, textCol, ngramN, numHashes)
+    val hsig = historySigs.select(col(idCol), col("__sig"),
+      col("__shash"))
+    val cand = explodeBands(bsig, "__bid")
+      .join(explodeBands(hsig, "__hid"), Seq("__b", "__h"))
+      .select(col("__bid"), col("__hid"))
+      .distinct()
+    val matched =
+      if (threshold >= 1.0)
+        cand
+          .join(bsig.select(col(idCol).as("__bid"), col("__shash").as("__ha")),
+            Seq("__bid"))
+          .join(hsig.select(col(idCol).as("__hid"), col("__shash").as("__hb")),
+            Seq("__hid"))
+          .filter(col("__ha") === col("__hb"))
+      else
+        cand
+          .join(bsig.select(col(idCol).as("__bid"), col("__sig").as("__sa")),
+            Seq("__bid"))
+          .join(hsig.select(col(idCol).as("__hid"), col("__sig").as("__sb")),
+            Seq("__hid"))
+          .withColumn("__est",
+            aggregate(zip_with(col("__sa"), col("__sb"),
+                (x, y) => when(x === y, 1).otherwise(0)),
+              lit(0), (acc, v) => acc + v).cast("double") / lit(numHashes))
+          .filter(col("__est") >= threshold)
+    batch.join(matched.select(col("__bid").as(idCol)).distinct(),
+      Seq(idCol), "left_anti")
+  }
+
   /** Hot-bucket guard shared by the banded LSH joins: a bucket of B
     * rows becomes B^2/2 candidate pairs, so ONE degenerate signature
     * (empty docs, boilerplate, a constant header) can go quadratic at

@@ -548,6 +548,51 @@ class TextDedupSpec extends SparkSpec {
     assert(capped.size < uncapped.size || uncapped.size <= 16 * 16)
   }
 
+  test("minhashAgainstHistory: stored-signature screen, no history text recompute") {
+    import spark.implicits._
+    val base = "the quick brown fox jumps over the lazy dog again and again"
+    val history = Seq(
+      (1L, base),
+      (2L, "completely different historical content about spark engines at scale"),
+      (3L, null.asInstanceOf[String])
+    ).toDF("doc_id", "text")
+    val sigs = Dedup.minhashHistorySignatures(history, "doc_id", "text")
+    // the stored table carries NO text — screening structurally cannot
+    // re-shingle history
+    assert(sigs.columns.toSeq == Seq("doc_id", "__sig", "__shash"))
+    val batch = Seq(
+      (10L, base),                                                  // exact copy
+      (11L, "jumps over the lazy dog again and again the quick brown fox"), // rotation: J = 1/3
+      (12L, "entirely novel crawl content never seen before in any batch"),
+      (13L, null.asInstanceOf[String]),                             // null never matches
+      (14L, "the quick brown fox jumps over the lazy dog again and tomorrow") // 1 shingle of 8 changed: J = 7/9
+    ).toDF("doc_id", "text")
+    // threshold 1.0: only the exact shingle-set copy drops
+    val exact = Dedup.minhashAgainstHistory(batch, sigs, "doc_id", "text")
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(exact == Seq(11L, 12L, 13L, 14L))
+    // near threshold (estimate verification): the 7/9-Jaccard variant
+    // drops, novel/null rows survive. The 1/3-Jaccard rotation ALSO
+    // drops here — with only ~8-shingle sets the 32-hash estimator's
+    // quantization noise spans ±several/32 around the true Jaccard,
+    // and this fixed hash family lands it at >= 0.5; that coarseness
+    // on tiny documents is inherent to the estimator (the scaladoc's
+    // ±1/sqrt(numHashes) caveat), deterministic, and pinned here.
+    val near = Dedup.minhashAgainstHistory(batch, sigs, "doc_id", "text",
+        threshold = 0.5)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(near == Seq(12L, 13L))
+    // the stored table survives a parquet round-trip (the artifact IS
+    // meant to be persisted and appended across crawl batches)
+    val dir = java.nio.file.Files.createTempDirectory("graft_mh_hist")
+      .toString + "/sigs"
+    sigs.write.parquet(dir)
+    val reloaded = spark.read.parquet(dir)
+    val viaDisk = Dedup.minhashAgainstHistory(batch, reloaded, "doc_id", "text")
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(viaDisk == exact)
+  }
+
   test("semanticNearDup nlist=1 degenerates to exact unblocked all-pairs") {
     val e = table("embeddings")
     val exact = Dedup.embeddingNearDup(
