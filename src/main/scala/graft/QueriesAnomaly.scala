@@ -152,6 +152,23 @@ object QueriesAnomaly {
           round(col("lrd"), 3).as("lrd3"), round(col("lof"), 3).as("lof3"))
     }),
 
+    // IVF-cell (learned-neighbourhood) LOF — the r17 opt-in quality
+    // path: candidate pools are k-means cells instead of data-blind
+    // hyperplane half-spaces, with singleton-cell rescue. AnomalySpec's
+    // planted comparison measures the adjudication: recovery 6/6 (5/6
+    // without rescue) vs 2/6 for hyperplane buckets at equal occupancy,
+    // at in-bucket pair-cost parity. detectAuto KEEPS hyperplanes as
+    // the default (O(n log n) bucket derivation vs the cell
+    // assignment's O(n·nlist) — see Lof.scoresIvf's scale note); this
+    // registration is the per-round cost/recall visibility of the
+    // quality path. Rows-only: learned geometry; companions are the
+    // planted spec and the exact-chain q_anom_lof_exact oracle.
+    "q_anom_lof_ivf" -> ((s, dir) => {
+      graft.quality.Lof.detectIvf(t(s, dir, "embeddings"), "vec_id",
+          "embedding", threshold = 1.04, k = 5, targetBucketSize = 512)
+        .select("vec_id", "label", "lof")
+    }),
+
     // mean-shift changepoint scan — ref anomaly_manager.py:304
     "q_anom_changepoint" -> ((s, dir) => {
       Anomaly.changepoints(ev(s, dir), "value", Seq("user_id"),

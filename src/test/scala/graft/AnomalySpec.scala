@@ -331,6 +331,113 @@ class AnomalySpec extends SparkSpec {
     assert(heap != uncapped)
   }
 
+  test("IVF-cell LOF recovers local outliers the hyperplane buckets strand (r17 adjudication)") {
+    import graft.quality.Lof
+    // Six tight angular clusters (unit axis directions, ±0.04 spread ≈
+    // 5°) plus one LOCAL outlier per cluster, 52° off its cluster's
+    // axis (1.3 along an orthogonal dim): locally anomalous (cluster
+    // kNN cosine distances ~0.004, outlier ~0.39) but still nearest
+    // that cluster (cos 0.61 vs ~0 to every other). The construction
+    // targets the bucketing failure mode, not the scorer: the ±1
+    // plane weights mean an orthogonal offset > 1 flips every plane
+    // whose two weights oppose, so the data-blind path strands the
+    // outlier in a stray bucket — alone (dropped) or with other
+    // strays (LOF ≈ 1) — while a LEARNED cell assigns it to its
+    // cluster's centroid where the lrd ratio fires. Same downstream
+    // plan, same target occupancy (64) — only the candidate pools
+    // differ.
+    val dim = 16
+    val inliers = for {
+      j <- 0 until 6
+      i <- 1 to 130
+    } yield {
+      val r = new scala.util.Random(j * 100000 + i * 7919)
+      val v = Array.fill(dim)((r.nextFloat() - 0.5f) * 0.08f)
+      v(2 * j) += 1.0f
+      ((j * 1000 + i).toLong, v)
+    }
+    val planted = (0 until 6).map { j =>
+      val v = Array.fill(dim)(0.0f)
+      v(2 * j) = 1.0f
+      v(2 * j + 1) = 1.3f
+      ((9000 + j).toLong, v)
+    }
+    val vecs = (inliers ++ planted).toDF("vec_id", "embedding")
+    val plantedIds = planted.map(_._1).toSet
+    val n = inliers.size + planted.size // 786
+    def topN(scored: org.apache.spark.sql.DataFrame, m: Int): Set[Long] =
+      scored.orderBy(col("lof").desc, col("vec_id"))
+        .limit(m).select("vec_id").as[Long].collect().toSet
+    def recovery(scored: org.apache.spark.sql.DataFrame): Int =
+      (topN(scored, plantedIds.size) & plantedIds).size
+
+    // ground truth: the exact all-pairs plan recovers all six
+    val exact = Lof.scores(vecs, "vec_id", "embedding", k = 5, planes = 0)
+    assert(recovery(exact) == 6)
+
+    // equal-occupancy operating points: planesFor(786, 64) = 4 (16
+    // half-space buckets) vs nlist = ceil(786/64) = 13 learned cells
+    val planes = Lof.planesFor(n, 64)
+    assert(planes == 4)
+    val hyper = Lof.scores(vecs, "vec_id", "embedding", k = 5,
+      planes = planes, hotBucketCap = 256)
+    val ivf = Lof.scoresIvf(vecs, "vec_id", "embedding", k = 5,
+      targetBucketSize = 64, hotBucketCap = 256, nlist = 13)
+    // the learned path's own strand hazard, isolated: without the
+    // singleton rescue, Lloyd hands one planted outlier a PRIVATE cell
+    // (a cluster drew two seeds and one converged onto the outlier) —
+    // it drops from the output exactly like a stray hash bucket
+    val ivfNoRescue = Lof.scoresIvf(vecs, "vec_id", "embedding", k = 5,
+      targetBucketSize = 64, hotBucketCap = 256, nlist = 13,
+      rescueSingletons = false)
+    val hyperRec = recovery(hyper)
+    val ivfRec = recovery(ivf)
+    val ivfNoRescueRec = recovery(ivfNoRescue)
+    info(s"planted-outlier recovery: exact 6/6, hyperplane $hyperRec/6, " +
+      s"ivf $ivfRec/6, ivf-without-rescue $ivfNoRescueRec/6")
+    // the adjudication numbers (documented on Lof.scoresIvf): learned
+    // cells + singleton rescue recover every planted local outlier;
+    // data-blind buckets strand most of them (measured: 2/6)
+    assert(ivfRec == 6, s"ivf recovered $ivfRec/6")
+    assert(ivfNoRescueRec == 5, s"ivf-without-rescue recovered $ivfNoRescueRec/6")
+    assert(hyperRec < ivfNoRescueRec, s"hyperplane recovered $hyperRec/6 — construction no longer discriminates")
+    // candidate-pool cost parity: both paths generate the same order of
+    // in-bucket pair work at the same target occupancy
+    import graft.llm.{Ivf, Similarity}
+    def pairCost(bucketed: org.apache.spark.sql.DataFrame): Long =
+      bucketed.groupBy(col("__b")).count()
+        .select(sum(col("count") * (col("count") - 1))).as[Long].head()
+    val hyperCost = pairCost(vecs.select(
+      Similarity.hyperplaneBucket(col("embedding"), planes).as("__b")))
+    val q = Ivf.trainIndex(vecs.select(col("vec_id"), col("embedding")),
+      "vec_id", "embedding", nlist = 13)
+    val ivfCost = pairCost(Ivf.assignToCentroids(
+        vecs.select(col("vec_id"), col("embedding")),
+        "vec_id", "embedding", q, "__cid", "__cvec")
+      .select(col("__cid").as("__b")))
+    info(s"in-bucket pair cost: hyperplane $hyperCost, ivf $ivfCost")
+    assert(ivfCost < 4 * hyperCost && hyperCost < 4 * ivfCost,
+      s"cost parity broke: hyper $hyperCost vs ivf $ivfCost")
+    // a pipeline-supplied quantizer reproduces the built-in training
+    // (the amortized path: train once, screen LOF with the same cells)
+    val viaQuantizer = Lof.scoresIvf(vecs, "vec_id", "embedding", k = 5,
+      targetBucketSize = 64, hotBucketCap = 256, quantizer = Some(q))
+      .select("vec_id", "n_neighbors", "lrd", "lof")
+      .as[(Long, Long, Double, Double)].collect().sortBy(_._1).toSeq
+    val builtin = ivf.select("vec_id", "n_neighbors", "lrd", "lof")
+      .as[(Long, Long, Double, Double)].collect().sortBy(_._1).toSeq
+    assert(viaQuantizer == builtin)
+    // small corpora route to the exact single-bucket plan (the
+    // planesFor n <= target analog)
+    val small = vecs.limit(40)
+    val smallIvf = Lof.scoresIvf(small, "vec_id", "embedding", k = 3,
+        targetBucketSize = 64)
+      .select("vec_id", "lof").as[(Long, Double)].collect().sortBy(_._1).toSeq
+    val smallExact = Lof.scores(small, "vec_id", "embedding", k = 3, planes = 0)
+      .select("vec_id", "lof").as[(Long, Double)].collect().sortBy(_._1).toSeq
+    assert(smallIvf == smallExact)
+  }
+
   test("LOF treats ragged vector lengths as dist 1.0 in both kNN forms") {
     import graft.quality.Lof
     // one short vector among uniform 8-dim ones: pairs against it must
