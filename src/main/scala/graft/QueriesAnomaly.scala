@@ -164,8 +164,17 @@ object QueriesAnomaly {
     // quality path. Rows-only: learned geometry; companions are the
     // planted spec and the exact-chain q_anom_lof_exact oracle.
     "q_anom_lof_ivf" -> ((s, dir) => {
-      graft.quality.Lof.detectIvf(t(s, dir, "embeddings"), "vec_id",
-          "embedding", threshold = 1.04, k = 5, targetBucketSize = 512)
+      val e = t(s, dir, "embeddings")
+      // the REGISTERED form exercises the amortized production shape:
+      // the quantizer comes from the same memoized training the whole
+      // IVF family shares (q_sim_ivf*, q_dedup_semantic,
+      // q_cluster_kmeans), so LOF screening costs one map-side
+      // assignment pass — not a private Lloyd run per call
+      val (_, cents) = graft.llm.Ivf.trainAutoCached(e, "vec_id",
+        "embedding", iters = 2, cacheKey = s"$dir/embeddings")
+      graft.quality.Lof.detectIvf(e, "vec_id", "embedding",
+          threshold = 1.04, k = 5, targetBucketSize = 512,
+          quantizer = Some(cents))
         .select("vec_id", "label", "lof")
     }),
 

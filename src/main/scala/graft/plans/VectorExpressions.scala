@@ -422,8 +422,50 @@ object VectorExpressions {
     * HALF_UP via the toString-exact constructor; NaN/Inf pass through)
     * so the kernel ranks EXACTLY the similarities the join-form
     * expression would.
+    *
+    * Pure double arithmetic on the common path (r17): the BigDecimal
+    * form allocated one BigDecimal + MathContext chain per
+    * (row × centroid) — the dominant allocation on the engine's
+    * hottest kernel, O(n·nlist) short-lived objects per assignment
+    * pass. HALF_UP is sign-magnitude (halves round AWAY from zero),
+    * so the fast path decides on |x|·10^6's fractional part and
+    * falls back to the decimal-exact form only where double
+    * arithmetic could disagree with the decimal digits:
+    *  - within 1e-9 of the .5 boundary (one multiply's rounding error
+    *    is ≤ ulp(|x|·10^6)/2 ≤ 2.4e-10 for |x| ≤ ~1e3, and similarity
+    *    inputs are cosines in [-1, 1] — the band is two decades wider
+    *    than the error it guards);
+    *  - at |x|·10^6 ≥ 2^52, where doubles no longer carry a
+    *    fractional digit to decide with.
+    * Everywhere else the two forms are bit-identical: the re-parsed
+    * shortest decimal of x differs from x·10^6/10^6 by under the
+    * boundary band, and the final r/10^6 division is the same
+    * correctly-rounded double BigDecimal.toDouble produces
+    * (Round6ParitySpec pins fast == exact across boundary lattices
+    * and random sweeps, including the -0.0 normalization).
     */
-  private def round6(x: Double): Double =
+  private[graft] def round6(x: Double): Double =
+    if (x.isNaN || x.isInfinite) x
+    else {
+      val a = math.abs(x)
+      val f = a * 1e6
+      if (f >= 4503599627370496.0) round6Exact(x) // 2^52
+      else {
+        val fl = math.floor(f)
+        val frac = f - fl
+        if (math.abs(frac - 0.5) < 1e-9) round6Exact(x)
+        else {
+          val r = if (frac > 0.5) fl + 1.0 else fl
+          // BigDecimal has no signed zero: a negative value rounding
+          // to magnitude 0 yields +0.0 there, so normalize here too
+          // (Double.compare orders -0.0 < 0.0 — argmax would differ)
+          if (r == 0.0) 0.0 else if (x < 0) -(r / 1e6) else r / 1e6
+        }
+      }
+    }
+
+  /** The decimal-exact reference (and ambiguous-band fallback). */
+  private[graft] def round6Exact(x: Double): Double =
     if (x.isNaN || x.isInfinite) x
     else BigDecimal(x).setScale(6, scala.math.BigDecimal.RoundingMode.HALF_UP).toDouble
 }

@@ -497,6 +497,40 @@ object PropertySpec extends Properties("graft") {
         order == Dag.topoOrder(rnd.shuffle(nodes)) // input-order invariant
     }
 
+  // Round6ParitySpec: the argmax kernel's fast double-arithmetic
+  // HALF_UP round must be BIT-identical to the decimal-exact
+  // BigDecimal reference (Spark's RoundBase semantics) — the r17
+  // allocation fix is only admissible if no input can diverge. The
+  // generator concentrates on where divergence could hide: the k/10^6
+  // rounding lattice with half-boundary offsets and ±ulp nudges, wide
+  // exponent sweeps, and the signed-zero/NaN/Inf/subnormal specials.
+  property("fast round6 == decimal-exact round6 bit-for-bit") = {
+    import graft.plans.VectorExpressions.{round6, round6Exact}
+    def bits(d: Double) = java.lang.Double.doubleToRawLongBits(d)
+    val lattice: Gen[Double] = for {
+      k <- Gen.choose(-2000000L, 2000000L)
+      off <- Gen.oneOf(0.0, 0.5, 0.4999999999, 0.5000000001, 1e-13, -1e-13)
+      ulps <- Gen.choose(-2, 2)
+    } yield {
+      val base = (k.toDouble + off) / 1e6
+      (0 until math.abs(ulps)).foldLeft(base)((b, _) =>
+        if (ulps > 0) math.nextUp(b) else math.nextDown(b))
+    }
+    val wide: Gen[Double] = for {
+      m <- Gen.choose(-1.0, 1.0)
+      e <- Gen.choose(-320, 300)
+    } yield m * math.pow(10.0, e)
+    val special: Gen[Double] = Gen.oneOf(Double.NaN,
+      Double.PositiveInfinity, Double.NegativeInfinity, 0.0, -0.0,
+      Double.MinPositiveValue, -Double.MinPositiveValue,
+      Double.MaxValue, -Double.MaxValue, 4503599627370496.0e-6,
+      math.nextDown(4503599627370496.0e-6))
+    val one: Gen[Double] = Gen.frequency((5, lattice), (3, wide), (2, special))
+    Prop.forAll(Gen.listOfN(400, one)) { xs =>
+      xs.forall(x => bits(round6(x)) == bits(round6Exact(x)))
+    }
+  }
+
   property("Datagen.prng stays in [0, 2^31) and distinct salts decorrelate") =
     Prop.forAll(Gen.choose(0L, 1000000L), Gen.choose(1L, 1000L)) { (start, salt) =>
       import graft.sources.Datagen
