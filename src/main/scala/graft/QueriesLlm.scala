@@ -206,6 +206,27 @@ object QueriesLlm {
           col("clip_ratio"), col("silence_frac"))
     }),
 
+    // pre-decode video stream screen over REAL ISO-BMFF parsing (r17):
+    // deterministic synthetic MP4s whose track layout, dims, codec and
+    // durations are CLOSED-FORM in doc_id, so the full byte-level box
+    // walk (builder → tkhd/mdhd/hdlr/stsd parse → screen) is
+    // oracle-checked end-to-end — the syntheticWav precedent. The
+    // screen is the filter a 100 TB video corpus runs before paying
+    // any frame decode: one map-side header walk, HOF aggregation over
+    // the bounded track list, no shuffle.
+    "q_media_video" -> ((s, dir) => {
+      val vids = t(s, dir, "documents").select(col("doc_id"),
+        graft.multimodal.Media.syntheticMp4Col(
+          lit(320) + pmod(col("doc_id"), lit(4)) * lit(160),
+          lit(240) + pmod(col("doc_id"), lit(3)) * lit(120),
+          lit(1000L) + pmod(col("doc_id"), lit(50)) * lit(250L),
+          pmod(col("doc_id"), lit(5)) =!= 0,
+          when(pmod(col("doc_id"), lit(2)) === 0, "avc1")
+            .otherwise("hvc1")).as("blob"))
+      graft.multimodal.Media.videoStreamScreen(vids, "doc_id", "blob",
+        minWidth = 480, minHeight = 360)
+    }),
+
     // windowed exact-substring duplication (suffix-dedup approximation)
     "q_dedup_spans" -> ((s, dir) => {
       Dedup.dupSpanStats(t(s, dir, "documents"), "doc_id", "text",
@@ -632,6 +653,23 @@ object QueriesLlm {
         |       ELSE CAST(0.0 AS DOUBLE) END AS clip_ratio,
         |  CAST(0.5 AS DOUBLE) AS silence_frac
         |FROM p""".stripMargin,
+
+    // the builder's closed-form track layout: video track always
+    // present at the doc_id-derived dims/codec, audio track on
+    // doc_id % 5 <> 0, container duration at timescale 1000 == ms
+    "q_media_video" ->
+      """SELECT doc_id,
+        |  CAST(CASE WHEN doc_id % 5 <> 0 THEN 2 ELSE 1 END AS INTEGER)
+        |    AS n_tracks,
+        |  TRUE AS has_video,
+        |  (doc_id % 5 <> 0) AS has_audio,
+        |  CAST(320 + (doc_id % 4) * 160 AS INTEGER) AS vid_width,
+        |  CAST(240 + (doc_id % 3) * 120 AS INTEGER) AS vid_height,
+        |  CASE WHEN doc_id % 2 = 0 THEN 'avc1' ELSE 'hvc1' END AS vid_codec,
+        |  CAST(1000 + (doc_id % 50) * 250 AS BIGINT) AS duration_ms,
+        |  (320 + (doc_id % 4) * 160 >= 480 AND
+        |   240 + (doc_id % 3) * 120 >= 360) AS ok
+        |FROM documents""".stripMargin,
 
     // equal-token-multiset pairs over the doubled corpus (hamming 0)
     "q_dedup_simhash_planted" ->

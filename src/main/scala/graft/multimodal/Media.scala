@@ -680,4 +680,265 @@ object Media {
   /** Column form of [[syntheticPng]] for registered queries. */
   def syntheticPngCol(seed: Column, jitter: Column): Column =
     syntheticPngUdf(seed.cast("long"), jitter.cast("int"))
+
+  // ---- ISO-BMFF track-level metadata (video stream inventory, r17) ----
+
+  /** One media track of an ISO-BMFF (MP4/MOV) container, from the
+    * REAL box walk — ref cloud_connector.py's opaque-blob handling
+    * upgraded with the stream inventory a video training pipeline
+    * filters on BEFORE any decode: handler kind from `hdlr`
+    * ("vide"/"soun"/...), codec fourcc from the first `stsd` sample
+    * entry ("avc1"/"hvc1"/"mp4a"/...), presentation dims from `tkhd`
+    * (16.16 fixed point, integer part), per-track duration/language
+    * from `mdhd`. `duration_ms` is None when the box declares the
+    * all-ones "unknown" value or the timescale is unusable.
+    */
+  final case class Mp4Track(track_id: Long, handler: String, codec: String,
+                            width: Int, height: Int,
+                            duration_ms: Option[Long], lang: String)
+
+  /** Walk moov → trak* → { tkhd, mdia { mdhd, hdlr, minf { stbl
+    * { stsd }}}} and emit one [[Mp4Track]] per trak that carries a
+    * parseable tkhd + mdhd + hdlr. Same hostile-input posture as
+    * [[parseMp4Meta]]: Long cursor arithmetic, subtractive size
+    * guards (a 64-bit extended size near Long.MaxValue must not wrap
+    * an additive bound check), every field read bounded by ITS box's
+    * declared extent, and a corrupt child size abandons that level
+    * with whatever parsed cleanly before it — never a throw
+    * (StreamsMediaSpec drives every truncation prefix of a valid
+    * file). Codec falls back to "" and language to "und" when their
+    * boxes are absent — both are optional per the spec's minimum.
+    */
+  def parseMp4Tracks(bytes: Array[Byte]): Seq[Mp4Track] = {
+    if (bytes == null || bytes.length < 16) return Nil
+    def u8(i: Long) = bytes(i.toInt) & 0xFF
+    def be32(i: Long): Long = (u8(i).toLong << 24) | (u8(i + 1).toLong << 16) |
+      (u8(i + 2).toLong << 8) | u8(i + 3).toLong
+    def be64(i: Long): Long = (be32(i) << 32) | be32(i + 4)
+    def tag(i: Long) =
+      new String(bytes, i.toInt, 4, java.nio.charset.StandardCharsets.US_ASCII)
+    if (tag(4) != "ftyp" && tag(4) != "styp") return Nil
+    val n = bytes.length.toLong
+    // direct children of [from, end): (tag, offset, realSize); a
+    // corrupt size ends the level, keeping earlier siblings
+    def children(from: Long, end: Long): Seq[(String, Long, Long)] = {
+      val out = Seq.newBuilder[(String, Long, Long)]
+      var i = from
+      while (i + 8 <= end) {
+        val size = be32(i)
+        val realSize =
+          if (size == 1L && i + 16 <= end) be64(i + 8)
+          else if (size == 0L) end - i
+          else size
+        if (realSize < 8L || realSize > end - i) return out.result()
+        out += ((tag(i + 4), i, realSize))
+        i += realSize
+      }
+      out.result()
+    }
+    def kid(cs: Seq[(String, Long, Long)], want: String) = cs.find(_._1 == want)
+    def fixed16(i: Long): Int = (be32(i) >>> 16).toInt
+
+    children(0L, n).filter(_._1 == "moov").take(1).flatMap {
+      case (_, moov, moovSize) =>
+        children(moov + 8, moov + moovSize).filter(_._1 == "trak").flatMap {
+          case (_, trak, trakSize) =>
+            val kids = children(trak + 8, trak + trakSize)
+            val mdiaKids = kid(kids, "mdia").toSeq.flatMap {
+              case (_, b, sz) => children(b + 8, b + sz)
+            }
+            // tkhd: (track_id, width, height) — dims are 16.16 fixed
+            val tk = kid(kids, "tkhd").flatMap { case (_, b, sz) =>
+              val p = b + 8
+              u8(p) match {
+                case 1 if sz >= 8 + 96 =>
+                  Some((be32(p + 20), fixed16(p + 88), fixed16(p + 92)))
+                case 0 if sz >= 8 + 84 =>
+                  Some((be32(p + 12), fixed16(p + 76), fixed16(p + 80)))
+                case _ => None
+              }
+            }
+            // mdhd: (timescale, duration | -1 = unknown, language)
+            val md = kid(mdiaKids, "mdhd").flatMap { case (_, b, sz) =>
+              val p = b + 8
+              val v = u8(p)
+              val fields =
+                if (v == 1 && sz >= 8 + 36)
+                  Some((be32(p + 20), be64(p + 24), (u8(p + 32) << 8) | u8(p + 33)))
+                else if (v == 0 && sz >= 8 + 24)
+                  Some((be32(p + 12), be32(p + 16), (u8(p + 20) << 8) | u8(p + 21)))
+                else None
+              fields.map { case (ts, rawDur, packedLang) =>
+                val unknown = (v == 0 && rawDur == 0xFFFFFFFFL) || rawDur < 0L
+                val lang =
+                  if (packedLang == 0) "und"
+                  else new String(Array(
+                    (((packedLang >> 10) & 0x1F) + 0x60).toChar,
+                    (((packedLang >> 5) & 0x1F) + 0x60).toChar,
+                    ((packedLang & 0x1F) + 0x60).toChar))
+                (ts, if (unknown) -1L else rawDur, lang)
+              }
+            }
+            val handler = kid(mdiaKids, "hdlr").collect {
+              case (_, b, sz) if sz >= 8 + 12 => tag(b + 8 + 8)
+            }
+            // stsd: first sample entry's format fourcc, via minf/stbl
+            val codec = (for {
+              (_, minf, minfSz) <- kid(mdiaKids, "minf")
+              (_, stbl, stblSz) <- kid(children(minf + 8, minf + minfSz), "stbl")
+              (_, stsd, stsdSz) <- kid(children(stbl + 8, stbl + stblSz), "stsd")
+              if stsdSz >= 8 + 16 && be32(stsd + 16) >= 8L
+            } yield tag(stsd + 20)).getOrElse("")
+            for {
+              (tid, w, h) <- tk
+              (ts, dur, lang) <- md
+              hd <- handler
+            } yield Mp4Track(tid, hd, codec, w, h,
+              if (dur < 0L || ts <= 0L || dur > Long.MaxValue / 1000L) None
+              else Some(dur * 1000L / ts), lang)
+        }
+    }
+  }
+
+  private val tracksUdf = udf((b: Array[Byte]) => parseMp4Tracks(b))
+
+  /** Per-track stream inventory: one output row per parsed track —
+    * (idCol, track_id, handler, codec, width, height, duration_ms,
+    * lang). Map-side header walk, no decode, no shuffle; blobs with
+    * no parseable track emit nothing (pair with
+    * [[videoStreamScreen]]'s n_tracks = 0 to quarantine those).
+    */
+  def videoTracks(df: DataFrame, idCol: String, binCol: String): DataFrame =
+    df.select(col(idCol), explode(tracksUdf(col(binCol))).as("__t"))
+      .select(col(idCol), col("__t.*"))
+
+  /** Per-blob pre-decode screen — the filter a 100 TB video corpus
+    * runs BEFORE paying any frame decode: one map-side header walk
+    * per blob, then higher-order array functions (exists / filter /
+    * transform / array_max — all codegen'd) over the bounded track
+    * list. Output: n_tracks, has_video, has_audio, the main (widest)
+    * video track's width/height/codec, container duration_ms (mvhd,
+    * [[parseMp4Meta]]), and `ok` = has_video ∧ width ≥ minWidth ∧
+    * height ≥ minHeight.
+    */
+  def videoStreamScreen(df: DataFrame, idCol: String, binCol: String,
+                        minWidth: Int = 0, minHeight: Int = 0): DataFrame = {
+    val ts = tracksUdf(col(binCol))
+    val vids = filter(ts, t => t.getField("handler") === "vide")
+    val widest = array_max(transform(vids, t =>
+      struct(t.getField("width").as("width"),
+        t.getField("height").as("height"),
+        t.getField("codec").as("codec"))))
+    df.select(
+      col(idCol),
+      size(ts).as("n_tracks"),
+      exists(ts, t => t.getField("handler") === "vide").as("has_video"),
+      exists(ts, t => t.getField("handler") === "soun").as("has_audio"),
+      widest.getField("width").as("vid_width"),
+      widest.getField("height").as("vid_height"),
+      widest.getField("codec").as("vid_codec"),
+      mp4Udf(col(binCol)).as("duration_ms"))
+      .withColumn("ok",
+        coalesce(col("has_video") &&
+          col("vid_width") >= minWidth && col("vid_height") >= minHeight,
+          lit(false)))
+  }
+
+  // ---- deterministic synthetic MP4s (datagen for queries/specs) -------
+
+  private def bmffBox(tag4: String, body: Array[Byte]*): Array[Byte] = {
+    val len = 8 + body.map(_.length).sum
+    val bb = java.nio.ByteBuffer.allocate(len)
+    bb.putInt(len).put(tag4.getBytes("US-ASCII"))
+    body.foreach(bb.put)
+    bb.array()
+  }
+
+  private def langPack(lang: String): Int = {
+    require(lang.length == 3, "ISO-639-2 code")
+    ((lang(0) - 0x60) << 10) | ((lang(1) - 0x60) << 5) | (lang(2) - 0x60)
+  }
+
+  /** A minimal VALID ISO-BMFF container: ftyp + moov { mvhd, one
+    * video trak (tkhd dims, hdlr vide, stsd `videoCodec`, mdhd lang
+    * "und"), optionally one audio trak (hdlr soun, stsd `audioCodec`,
+    * lang "eng") } — no mdat (header screens never read samples).
+    * Every parsed field is CLOSED-FORM in the arguments, which is
+    * what lets the registered video query carry a real DuckDB oracle
+    * through the byte-level box walk (the [[syntheticWav]] precedent).
+    * `v1` emits version-1 (64-bit time) mvhd/tkhd/mdhd boxes so both
+    * parser branches stay covered.
+    */
+  def syntheticMp4(width: Int, height: Int, durMs: Long,
+                   withAudio: Boolean, videoCodec: String = "avc1",
+                   audioCodec: String = "mp4a",
+                   v1: Boolean = false): Array[Byte] = {
+    val timescale = 1000 // 1 unit = 1 ms, so durations pass through
+    def full(tag4: String, version: Int, body: Array[Byte]): Array[Byte] = {
+      val vf = java.nio.ByteBuffer.allocate(4).putInt(version << 24).array()
+      bmffBox(tag4, vf, body)
+    }
+    def mvhd: Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(if (v1) 108 else 96)
+      if (v1) bb.putLong(0L).putLong(0L).putInt(timescale).putLong(durMs)
+      else bb.putInt(0).putInt(0).putInt(timescale).putInt(durMs.toInt)
+      bb.putInt(0x00010000).putShort(0x0100.toShort).putShort(0)
+        .putLong(0L) // reserved
+      Seq(0x00010000, 0, 0, 0, 0x00010000, 0, 0, 0, 0x40000000)
+        .foreach(bb.putInt) // identity matrix
+      (1 to 6).foreach(_ => bb.putInt(0)) // pre_defined
+      bb.putInt(3) // next_track_ID
+      full("mvhd", if (v1) 1 else 0, bb.array())
+    }
+    def tkhd(trackId: Int, w: Int, h: Int): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(if (v1) 92 else 80)
+      if (v1) bb.putLong(0L).putLong(0L).putInt(trackId).putInt(0).putLong(durMs)
+      else bb.putInt(0).putInt(0).putInt(trackId).putInt(0).putInt(durMs.toInt)
+      bb.putLong(0L).putShort(0).putShort(0).putShort(0).putShort(0)
+      Seq(0x00010000, 0, 0, 0, 0x00010000, 0, 0, 0, 0x40000000)
+        .foreach(bb.putInt)
+      bb.putInt(w << 16).putInt(h << 16) // 16.16 fixed
+      full("tkhd", if (v1) 1 else 0, bb.array())
+    }
+    def mdhd(lang: String): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(if (v1) 32 else 20)
+      if (v1) bb.putLong(0L).putLong(0L).putInt(timescale).putLong(durMs)
+      else bb.putInt(0).putInt(0).putInt(timescale).putInt(durMs.toInt)
+      bb.putShort(langPack(lang).toShort).putShort(0)
+      full("mdhd", if (v1) 1 else 0, bb.array())
+    }
+    def hdlr(kind: String): Array[Byte] =
+      full("hdlr", 0, java.nio.ByteBuffer.allocate(21)
+        .putInt(0).put(kind.getBytes("US-ASCII")).putInt(0).putInt(0)
+        .putInt(0).put(0.toByte).array())
+    def stsd(fourcc: String): Array[Byte] = {
+      // one minimal 16-byte sample entry: size + fourcc + 6 reserved
+      // + data_reference_index
+      val entry = java.nio.ByteBuffer.allocate(16)
+        .putInt(16).put(fourcc.getBytes("US-ASCII"))
+        .putInt(0).putShort(0).putShort(1).array()
+      full("stsd", 0,
+        java.nio.ByteBuffer.allocate(4).putInt(1).array() ++ entry)
+    }
+    def trak(trackId: Int, w: Int, h: Int, kind: String, fourcc: String,
+             lang: String): Array[Byte] =
+      bmffBox("trak", tkhd(trackId, w, h),
+        bmffBox("mdia", mdhd(lang), hdlr(kind),
+          bmffBox("minf", bmffBox("stbl", stsd(fourcc)))))
+    val ftyp = bmffBox("ftyp",
+      "isom".getBytes("US-ASCII"), Array[Byte](0, 0, 0, 0))
+    val traks = trak(1, width, height, "vide", videoCodec, "und") +:
+      (if (withAudio) Seq(trak(2, 0, 0, "soun", audioCodec, "eng")) else Nil)
+    ftyp ++ bmffBox("moov", (mvhd +: traks): _*)
+  }
+
+  private val syntheticMp4Udf = udf(
+    (w: Int, h: Int, durMs: Long, withAudio: Boolean, codec: String) =>
+      syntheticMp4(w, h, durMs, withAudio, codec))
+
+  /** Column form of [[syntheticMp4]] for registered queries. */
+  def syntheticMp4Col(width: Column, height: Column, durMs: Column,
+                      withAudio: Column, videoCodec: Column): Column =
+    syntheticMp4Udf(width.cast("int"), height.cast("int"),
+      durMs.cast("long"), withAudio.cast("boolean"), videoCodec)
 }

@@ -786,4 +786,75 @@ class StreamsMediaSpec extends SparkSpec {
     val docs = table("documents").select("doc_id").as[Long].collect()
     assert(got == docs.map(d => (d, d + 1000000L, 0)).toSet)
   }
+
+  test("parseMp4Tracks: v0 and v1 boxes round-trip the builder's closed-form fields") {
+    for (v1 <- Seq(false, true)) {
+      val bytes = Media.syntheticMp4(640, 360, durMs = 12345L,
+        withAudio = true, videoCodec = "avc1", v1 = v1)
+      val ts = Media.parseMp4Tracks(bytes)
+      assert(ts.size == 2, s"v1=$v1: $ts")
+      val vid = ts.find(_.handler == "vide").get
+      assert(vid == Media.Mp4Track(1L, "vide", "avc1", 640, 360,
+        Some(12345L), "und"), s"v1=$v1")
+      val aud = ts.find(_.handler == "soun").get
+      assert(aud == Media.Mp4Track(2L, "soun", "mp4a", 0, 0,
+        Some(12345L), "eng"), s"v1=$v1")
+      // the mvhd container duration agrees (timescale 1000 → ms)
+      assert(Media.parseMp4Meta(bytes).contains(12345L), s"v1=$v1")
+    }
+    // video-only container
+    val solo = Media.parseMp4Tracks(
+      Media.syntheticMp4(320, 240, 500L, withAudio = false, videoCodec = "hvc1"))
+    assert(solo.map(t => (t.handler, t.codec)) == Seq(("vide", "hvc1")))
+  }
+
+  test("parseMp4Tracks never throws on truncations, corrupt sizes, or foreign bytes") {
+    val bytes = Media.syntheticMp4(640, 360, 1000L, withAudio = true)
+    // every prefix parses without throwing, and a prefix can never
+    // invent a track the full file does not have
+    (0 to bytes.length).foreach { len =>
+      val ts = Media.parseMp4Tracks(bytes.take(len))
+      assert(ts.size <= 2, s"len=$len")
+    }
+    // corrupt child size mid-moov: keep earlier siblings, no throw
+    val corrupt = bytes.clone()
+    // second trak's size field: find it by scanning for the 2nd "trak"
+    val s = new String(corrupt.map(b => (b & 0xFF).toChar))
+    val t2 = s.indexOf("trak", s.indexOf("trak") + 1) - 4
+    corrupt(t2) = 0x7F.toByte // size now huge → overruns moov
+    val kept = Media.parseMp4Tracks(corrupt)
+    assert(kept.map(_.handler) == Seq("vide"))
+    // non-BMFF bytes
+    assert(Media.parseMp4Tracks("not an mp4 at all".getBytes).isEmpty)
+    assert(Media.parseMp4Tracks(null).isEmpty)
+    assert(Media.parseMp4Tracks(Array.emptyByteArray).isEmpty)
+  }
+
+  test("videoTracks / videoStreamScreen: inventory and pre-decode gate") {
+    val rows = Seq(
+      (1L, Media.syntheticMp4(1280, 720, 4000L, withAudio = true)),
+      (2L, Media.syntheticMp4(320, 240, 2000L, withAudio = false, videoCodec = "hvc1")),
+      (3L, "junk".getBytes)) // unparseable
+    val df = rows.toDF("media_id", "blob")
+    val inv = Media.videoTracks(df, "media_id", "blob")
+      .select("media_id", "track_id", "handler", "codec", "width", "height")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        r.getString(3), r.getInt(4), r.getInt(5))).toSet
+    assert(inv == Set(
+      (1L, 1L, "vide", "avc1", 1280, 720),
+      (1L, 2L, "soun", "mp4a", 0, 0),
+      (2L, 1L, "vide", "hvc1", 320, 240)))
+    val screen = Media.videoStreamScreen(df, "media_id", "blob",
+        minWidth = 640, minHeight = 360)
+      .select("media_id", "n_tracks", "has_video", "has_audio",
+        "vid_width", "vid_codec", "duration_ms", "ok")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getBoolean(2),
+        r.getBoolean(3), if (r.isNullAt(4)) -1 else r.getInt(4),
+        Option(r.getString(5)).orNull,
+        if (r.isNullAt(6)) -1L else r.getLong(6), r.getBoolean(7))).toSet
+    assert(screen == Set(
+      (1L, 2, true, true, 1280, "avc1", 4000L, true),
+      (2L, 1, true, false, 320, "hvc1", 2000L, false),
+      (3L, 0, false, false, -1, null, -1L, false)))
+  }
 }
