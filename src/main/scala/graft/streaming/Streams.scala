@@ -246,6 +246,80 @@ object Streams {
   def quarantinedRows(spark: SparkSession, quarantinePath: String): DataFrame =
     readBatchSlices(spark, quarantinePath, "quarantine")
 
+  /** Streaming near-duplicate ingest screen — the crawl-pipeline
+    * shape: each micro-batch screens against the SIGNATURE HISTORY
+    * (the union of an optional seed slice and every earlier batch's
+    * survivors) via [[graft.llm.Dedup.minhashAgainstHistory]] — stored
+    * signatures only, history text is never reread or re-shingled.
+    * Survivors flow to `clean`, and their
+    * [[graft.llm.Dedup.minhashHistorySignatures]] land as this batch's
+    * `batch_id=N` slice through the atomic swap, so a checkpoint
+    * replay of batch N REPLACES its own slice instead of
+    * double-appending — and because the history read EXCLUDES the
+    * current batch id, a replay can never screen a batch against its
+    * own previous attempt (which would self-match and drop every row).
+    *
+    * Scope: cross-batch near-dups only. Within-batch near-dups both
+    * survive (the history operator's contract) — compose exact/near
+    * batch dedup inside `clean` when the source can repeat inside one
+    * batch. Seed pre-existing corpus history by writing
+    * `minhashHistorySignatures` to `historyRoot/batch_id=-1` before
+    * starting the stream.
+    *
+    * `historyRoot` is bound to ONE checkpoint lineage: batch ids
+    * restart at 0 under a fresh checkpoint, so a restarted pipeline
+    * reusing an old historyRoot would both hide and then OVERWRITE the
+    * old `batch_id=0` slice (the same contract as every batch_id-slice
+    * sink here — quarantine, late side-output). Reset or re-seed the
+    * history when the checkpoint is reset.
+    */
+  def nearDupScreenStream(stream: DataFrame, idCol: String, textCol: String,
+                          historyRoot: String, checkpointDir: String,
+                          ngramN: Int = 5, numHashes: Int = 32,
+                          bands: Int = 8, threshold: Double = 1.0)
+                         (clean: (DataFrame, Long) => Unit) = {
+    stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val spark = batch.sparkSession
+        val b = batch.toDF()
+        val history = signatureHistory(spark, historyRoot, exclude = batchId)
+          .getOrElse(graft.llm.Dedup.minhashHistorySignatures(
+            b.limit(0), idCol, textCol, ngramN, numHashes))
+        val survivors = graft.llm.Dedup.minhashAgainstHistory(
+          b, history, idCol, textCol, ngramN, numHashes, bands, threshold)
+        graft.Recovery.idempotentWrite(
+          graft.llm.Dedup.minhashHistorySignatures(
+            survivors, idCol, textCol, ngramN, numHashes),
+          s"$historyRoot/batch_id=$batchId")
+        clean(survivors, batchId)
+        ()
+      }
+      .start()
+  }
+
+  /** The signature-history slices under `root`, healed, MINUS the
+    * `batch_id=exclude` slice (the replay-safety read of
+    * [[nearDupScreenStream]]); None when no other slice exists yet
+    * (cold start with no seed).
+    */
+  private def signatureHistory(spark: SparkSession, root: String,
+                               exclude: Long): Option[DataFrame] = {
+    val rootPath = new org.apache.hadoop.fs.Path(root)
+    val fs = rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val slices =
+      (if (fs.exists(rootPath)) fs.listStatus(rootPath).toSeq.map(_.getPath.toString)
+       else Seq.empty)
+        .filter(p => p.substring(p.lastIndexOf('/') + 1).startsWith("batch_id="))
+        .map(_.stripSuffix("__old").stripSuffix("__staging"))
+        .distinct.sorted
+        .filterNot(_.endsWith(s"batch_id=$exclude"))
+        .map { p => graft.Recovery.restoreIfTorn(spark, p); p }
+        .filter(p => fs.exists(new org.apache.hadoop.fs.Path(p)))
+    if (slices.isEmpty) None
+    else Some(spark.read.option("basePath", root).parquet(slices: _*))
+  }
+
   /** End-to-end streaming CDC: every micro-batch of I/U/D events folds
     * into the parquet target via [[graft.incremental.Incremental.applyCdc]]
     * (write-new-state-then-swap — idempotent, so checkpoint replays

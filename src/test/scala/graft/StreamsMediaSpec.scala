@@ -597,6 +597,59 @@ class StreamsMediaSpec extends SparkSpec {
       (_, _) => ()))
   }
 
+  test("nearDupScreenStream screens batches against seed + earlier survivors") {
+    import java.nio.file.Files
+    implicit val sqlCtx = spark.sqlContext
+    val base = Files.createTempDirectory("graft_ndstream").toString
+    val historyRoot = s"$base/history"
+    val textSeed = "the quick brown fox jumps over the lazy dog"
+    val textA = "completely fresh crawl content about spark engines"
+    val textB = "another novel document with its own distinct words"
+    // seed: pre-existing corpus signatures at batch_id=-1
+    graft.Recovery.idempotentWrite(
+      graft.llm.Dedup.minhashHistorySignatures(
+        Seq((100L, textSeed)).toDF("doc_id", "text"), "doc_id", "text",
+        ngramN = 3),
+      s"$historyRoot/batch_id=-1")
+    val input = MemoryStream[(Long, String)]
+    val cleanSeen = scala.collection.mutable.ArrayBuffer.empty[(Long, Set[Long])]
+    val q = Streams.nearDupScreenStream(
+      input.toDF().toDF("doc_id", "text"), "doc_id", "text",
+      historyRoot, s"$base/ckpt", ngramN = 3) { (ok, bid) =>
+      cleanSeen += ((bid, ok.select("doc_id").as[Long].collect().toSet))
+    }
+    try {
+      // batch 0: id 1 repeats the SEEDED text (dropped); ids 2 and 6
+      // share fresh text A — within-batch dups both survive (the
+      // documented scope: the screen is cross-batch only)
+      input.addData(Seq((1L, textSeed), (2L, textA), (6L, textA)))
+      q.processAllAvailable()
+      // batch 1: id 3 repeats batch 0's survivor text (dropped via the
+      // batch-0 slice), id 4 is fresh, id 5 has null text (can never
+      // match — the NOT-EXISTS null contract)
+      input.addData(Seq((3L, textA), (4L, textB), (5L, null)))
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(cleanSeen.toList == List((0L, Set(2L, 6L)), (1L, Set(4L, 5L))))
+    // survivors' signatures landed as batch-keyed slices beside the seed
+    val hist = spark.read.option("basePath", historyRoot).parquet(historyRoot)
+    assert(hist.select("batch_id").distinct().as[Long].collect().toSet ==
+      Set(-1L, 0L, 1L))
+    assert(hist.filter(col("batch_id") === 0L).select("doc_id")
+      .as[Long].collect().toSet == Set(2L, 6L))
+    assert(hist.filter(col("batch_id") === 1L).select("doc_id")
+      .as[Long].collect().toSet == Set(4L, 5L))
+    // a batch's history read excludes its OWN slice (replay safety):
+    // re-screening batch 1's rows against everything-but-slice-1
+    // reproduces batch 1's survivors exactly
+    val replayHistory = hist.filter(col("batch_id") =!= 1L)
+      .select("doc_id", "__sig", "__shash")
+    val replayed = graft.llm.Dedup.minhashAgainstHistory(
+      Seq((3L, textA), (4L, textB), (5L, null: String)).toDF("doc_id", "text"),
+      replayHistory, "doc_id", "text", ngramN = 3)
+    assert(replayed.select("doc_id").as[Long].collect().toSet == Set(4L, 5L))
+  }
+
   test("Datagen.withFields: streaming values identical to batch for the same ids") {
     import graft.sources.Datagen, Datagen._
     val fields = Seq(IntCol("age", 18, 80), DoubleCol("p", 0.0, 1.0),
