@@ -298,6 +298,19 @@ object QueriesLlm {
         .agg(count(lit(1)).as("n"), sum(col("vec_id")).as("sum_ids"))
     }),
 
+    // quantizer drift / health over FIXED reference centroids (the
+    // q_cluster_assign pattern keeps the learned-geometry-free form
+    // oracle-checkable end-to-end): per-cell occupancy incl. dead
+    // cells, decimal-exact mean winning similarity, min, under-floor
+    // count — the retrain trigger of the saveIndex/loadIndex lifecycle
+    "q_index_drift" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val cents = e.filter(col("vec_id") < 4)
+        .select(col("vec_id").cast("int").as("cid"), col("embedding"))
+      graft.llm.Ivf.quantizerDrift(e, "vec_id", "embedding", cents,
+        "cid", "embedding", simFloor = 0.2)
+    }),
+
     "q_sim_topk" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
       val queries = e.filter(col("vec_id") < 10)
@@ -759,6 +772,33 @@ object QueriesLlm {
          |SELECT cid AS cluster_id, CAST(COUNT(*) AS BIGINT) AS n,
          |       CAST(SUM(vec_id) AS BIGINT) AS sum_ids
          |FROM r WHERE rn = 1 GROUP BY 1""".stripMargin
+    },
+
+    // mirrors quantizerDrift step for step: per-row argmax cell (sim
+    // desc, cid asc — nulls last, so unscorable rows land in the
+    // lowest cell like the kernel), winning sim re-derived with the
+    // same rounded cosine, decimal-exact mean, dead cells kept at 0
+    "q_index_drift" -> {
+      val dcosAC =
+        """list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])) /
+          |(SQRT(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[]))) *
+          | SQRT(list_dot_product(CAST(c.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[]))))""".stripMargin
+      s"""WITH c AS (
+         |  SELECT CAST(vec_id AS INTEGER) AS cid, embedding FROM embeddings WHERE vec_id < 4),
+         |d AS (
+         |  SELECT a.vec_id, c.cid, ROUND($dcosAC, 6) AS sim
+         |  FROM embeddings a CROSS JOIN c),
+         |r AS (SELECT vec_id, cid, sim, ROW_NUMBER() OVER (PARTITION BY vec_id
+         |        ORDER BY sim DESC, cid ASC) AS rn FROM d),
+         |w AS (SELECT cid, sim FROM r WHERE rn = 1),
+         |s AS (SELECT cid, CAST(COUNT(*) AS BIGINT) AS n,
+         |        ${graft.functions.Det.sqlMeanAt("sim", 6)} AS mean_sim,
+         |        MIN(sim) AS min_sim,
+         |        CAST(SUM(CASE WHEN sim < 0.2 THEN 1 ELSE 0 END) AS BIGINT) AS n_below
+         |      FROM w GROUP BY 1)
+         |SELECT c.cid AS cell_id, COALESCE(s.n, 0) AS n, s.mean_sim,
+         |       s.min_sim, COALESCE(s.n_below, 0) AS n_below
+         |FROM c LEFT JOIN s ON s.cid = c.cid""".stripMargin
     },
 
     "q_sim_topk" ->

@@ -647,6 +647,58 @@ object Ivf {
     spark.read.parquet(s"$dir/centroids").select(col("__cid"), col("__cvec"))
   }
 
+  /** Quantizer drift / health monitor — the RETRAIN TRIGGER of the
+    * persisted-index lifecycle ([[saveIndex]]/[[loadIndex]] index
+    * artifacts age as the corpus grows): assign `corpus` to the
+    * TRAINED centroids (one map-side kernel pass), re-derive each
+    * row's winning similarity through a bounded broadcast join on the
+    * cell id (the same rounded-cosine arithmetic the assignment
+    * ranked with), and aggregate per cell:
+    *  - `n` — member count, 0 for DEAD cells (a domain shift empties
+    *    regions the quantizer was trained for; many dead cells also
+    *    mean the live ones run hot);
+    *  - `mean_sim` — decimal-exact mean winning similarity (the
+    *    assignment-quality score; compare against the training-time
+    *    run of this same monitor and retrain on decay —
+    *    [[graft.monitoring.Trends.metricAlerts]] consumes exactly
+    *    this shape);
+    *  - `min_sim` and `n_below` — the worst row and the count under
+    *    `simFloor`: rows the index no longer represents well (ANN
+    *    recall for them degrades first).
+    * Unscorable rows (zero norm / ragged dims) carry a null
+    * similarity in the lowest cell — counted in `n`, skipped by the
+    * similarity aggregates, never under the floor (the assignment
+    * convention). Cost: one assignment pass + one nlist-broadcast
+    * join + one hash aggregation — safe to run per ingest batch.
+    */
+  def quantizerDrift(corpus: DataFrame, idCol: String, vecCol: String,
+                     centroids: DataFrame, centIdCol: String = "__cid",
+                     centVecCol: String = "__cvec",
+                     simFloor: Double = 0.0): DataFrame = {
+    val cents = broadcast(
+      centroids.select(col(centIdCol).as("__cid"), col(centVecCol).as("__cvec"))
+        .withColumn("__nc", Similarity.norm(col("__cvec"))))
+    val denom = col("__nv") * col("__nc")
+    val scored =
+      assignToCentroids(corpus.select(col(idCol), col(vecCol)),
+          idCol, vecCol, centroids, centIdCol, centVecCol)
+        .withColumn("__nv", Similarity.norm(col(vecCol)))
+        .join(cents, Seq("__cid"))
+        .withColumn("__sim", when(denom =!= 0.0,
+          round(Similarity.dot(col(vecCol), col("__cvec")) / denom, 6)))
+    val stats = scored.groupBy(col("__cid").as("cell_id")).agg(
+      count(lit(1)).as("n"),
+      graft.functions.Det.meanAt(col("__sim"), 6).as("mean_sim"),
+      min(col("__sim")).as("min_sim"),
+      sum(when(col("__sim") < simFloor, 1L).otherwise(0L)).as("n_below"))
+    cents.select(col("__cid").as("cell_id"))
+      .join(stats, Seq("cell_id"), "left")
+      .select(col("cell_id"),
+        coalesce(col("n"), lit(0L)).as("n"),
+        col("mean_sim"), col("min_sim"),
+        coalesce(col("n_below"), lit(0L)).as("n_below"))
+  }
+
   /** One-call probe against a trained quantizer: assign the corpus
     * (map-side kernel) and top-k with the SAME centroids as the probe
     * quantizer — the loadIndex→query path.

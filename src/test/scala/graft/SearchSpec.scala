@@ -502,6 +502,41 @@ class SearchSpec extends SparkSpec {
     assert(pm.components.forall(c => c(c.indices.maxBy(i => math.abs(c(i)))) >= 0))
   }
 
+  test("quantizerDrift: dead cells, similarity decay on a shifted corpus, null sims") {
+    import graft.llm.Ivf
+    val cents = Seq((1, Seq(1f, 0f)), (2, Seq(0f, 1f))).toDF("cid", "cvec")
+    def corpus(rot: Float) = (1 to 40).map { i =>
+      // points near e0, rotated toward e1 by `rot`; ids 1..40
+      (i.toLong, Array(1f, rot + 0.001f * (i % 5)))
+    }.toDF("id", "v")
+    val base = Ivf.quantizerDrift(corpus(0.0f), "id", "v", cents,
+        "cid", "cvec", simFloor = 0.9)
+      .collect().map(r => (r.getInt(0), r.getLong(1),
+        if (r.isNullAt(2)) -1.0 else r.getDouble(2), r.getLong(4))).sortBy(_._1)
+    // all 40 in cell 1, cell 2 DEAD (n=0, null stats), nothing under floor
+    assert(base.map(x => (x._1, x._2, x._4)).toSeq == Seq((1, 40L, 0L), (2, 0L, 0L)))
+    assert(base.head._3 > 0.999)
+    assert(base(1)._3 == -1.0) // dead cell: null mean_sim
+    // corpus drifts 45° toward e1: winners split, mean sim DECAYS below
+    // baseline and the under-floor count fires — the retrain signal
+    val drifted = Ivf.quantizerDrift(corpus(1.0f), "id", "v", cents,
+        "cid", "cvec", simFloor = 0.9)
+      .collect().map(r => (r.getInt(0), r.getLong(1),
+        if (r.isNullAt(2)) -1.0 else r.getDouble(2), r.getLong(4))).sortBy(_._1)
+    assert(drifted.map(_._2).sum == 40L)
+    assert(drifted.forall(x => x._2 == 0L || (x._3 < 0.75 && x._4 == x._2)),
+      s"drift not visible: $drifted")
+    // zero-norm row: counted in its (lowest) cell, skipped by the
+    // similarity aggregates, never under the floor
+    val withNull = corpus(0.0f).unionByName(
+      Seq((99L, Array(0f, 0f))).toDF("id", "v"))
+    val g = Ivf.quantizerDrift(withNull, "id", "v", cents,
+        "cid", "cvec", simFloor = 0.9)
+      .filter(col("cell_id") === 1)
+      .select("n", "n_below").as[(Long, Long)].head()
+    assert(g == ((41L, 0L)))
+  }
+
   test("argmax-cell kernel matches the join form on degenerate vectors " +
        "and keeps duplicate-id rows on both paths") {
     import graft.llm.Ivf
