@@ -206,6 +206,34 @@ object QueriesLlm {
           col("clip_ratio"), col("silence_frac"))
     }),
 
+    // image near-dup HISTORY screen (r17): the crawl-ingest shape —
+    // the history table holds perceptual signatures of every third
+    // base pattern (re-encoded byte-identically, so each planted
+    // batch/history pair is hamming 0), the batch decodes once and
+    // survives iff no history signature is within the budget. Distinct
+    // synthetic patterns are independent 64-bit signatures (cross-seed
+    // hamming ≤ 6 has probability ~5e-10 per pair — deterministic
+    // data, verified green), so the survivor set is EXACTLY the
+    // doc_id % 3 != 0 rows: oracle-checkable end-to-end through real
+    // PNG encode → JDK decode → dHash → banding → exact verify.
+    "q_media_dedup_incr" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"))
+      val batch = docs.select(col("doc_id"),
+        graft.multimodal.Media.syntheticPngCol(col("doc_id"), lit(0)).as("img"))
+      val history = graft.multimodal.Media.imageSignatures(
+        docs.filter(col("doc_id") % 3 === 0)
+          // both expressions read the INPUT doc_id: the history id
+          // shifts out of the batch id space, the pattern seed stays
+          // the original doc_id (that is what makes the pair planted)
+          .select((col("doc_id") + 5000000L).as("doc_id"),
+            graft.multimodal.Media.syntheticPngCol(col("doc_id"),
+              lit(0)).as("img")),
+        "doc_id", "img")
+      graft.multimodal.Media.imageAgainstHistory(batch, "doc_id", "img",
+          history, maxHamming = 6)
+        .select("doc_id")
+    }),
+
     // pre-decode video stream screen over REAL ISO-BMFF parsing (r17):
     // deterministic synthetic MP4s whose track layout, dims, codec and
     // durations are CLOSED-FORM in doc_id, so the full byte-level box
@@ -666,6 +694,11 @@ object QueriesLlm {
         |       ELSE CAST(0.0 AS DOUBLE) END AS clip_ratio,
         |  CAST(0.5 AS DOUBLE) AS silence_frac
         |FROM p""".stripMargin,
+
+    // the planted survivor set: every batch image whose base pattern
+    // was seeded into the history drops (hamming 0); the rest survive
+    "q_media_dedup_incr" ->
+      "SELECT doc_id FROM documents WHERE doc_id % 3 <> 0",
 
     // the builder's closed-form track layout: video track always
     // present at the doc_id-derived dims/codec, audio track on

@@ -717,19 +717,9 @@ object Dedup {
   def hammingPairs(sigs: DataFrame, idCol: String, sigCol: String,
                    maxHamming: Int = 3,
                    maxBucketSize: Int = 10000): DataFrame = {
-    require(maxHamming >= 0 && maxHamming < 32, "need bands of >= 2 bits")
-    val bands = maxHamming + 1
-    val base = 64 / bands
-    val rem = 64 % bands
     // band j covers [offset, offset+width): first `rem` bands get the
     // extra bit so the 64 bits are fully partitioned
-    val bandStructs = (0 until bands).map { j =>
-      val width = base + (if (j < rem) 1 else 0)
-      val offset = j * base + math.min(j, rem)
-      val mask = if (width == 64) -1L else (1L << width) - 1L
-      struct(lit(j).as("b"),
-        shiftrightunsigned(col(sigCol), offset).bitwiseAND(lit(mask)).as("h"))
-    }
+    val bandStructs = hammingBandStructs(sigCol, maxHamming)
     val exploded = capBuckets(
       sigs.filter(col(sigCol).isNotNull)
         .select(col(idCol), col(sigCol).as("__sig"),
@@ -743,6 +733,65 @@ object Dedup {
         bit_count(col("x.__sig").bitwiseXOR(col("y.__sig"))).as("hamming"))
       .distinct()
       .filter(col("hamming") <= maxHamming)
+  }
+
+  /** Near-dup screen of NEW 64-bit signatures against a STORED
+    * history signature table — the hamming analog of
+    * [[minhashAgainstHistory]], and the crawl-ingest shape for
+    * perceptual image hashes ([[graft.multimodal.Media
+    * .imageAgainstHistory]]) and simhash text: batch rows whose
+    * signature sits within `maxHamming` of ANY history signature are
+    * dropped. Unlike the minhash estimate path, the verify here is
+    * EXACT (bit_count over the stored signatures) and the banding is
+    * pigeonhole-complete, so the contract is precise: a batch row
+    * survives iff NO history signature is within the budget (modulo
+    * the bucket cap — the same degenerate-signature tradeoff as every
+    * banded join; dedupe exact matches first). Null batch signatures
+    * can never match and always survive; null history signatures
+    * screen nothing. History carries ONLY (idCol, sigCol) — 8-byte
+    * signatures plus ids; pixels/text are never re-read.
+    * `batchSigs` is the (idCol, sigCol) frame for the batch (the
+    * caller derives it — decode hash, simhash kernel, ...); output is
+    * the surviving `batch` rows, columns unchanged.
+    */
+  def hammingAgainstHistory(batch: DataFrame, batchSigs: DataFrame,
+                            historySigs: DataFrame, idCol: String,
+                            sigCol: String = "__sig",
+                            maxHamming: Int = 3,
+                            maxBucketSize: Int = 10000): DataFrame = {
+    val bandStructs = hammingBandStructs(sigCol, maxHamming)
+    def explodeSide(sigs: DataFrame, outId: String, outSig: String): DataFrame =
+      capBuckets(
+        sigs.filter(col(sigCol).isNotNull)
+          .select(col(idCol).as(outId), col(sigCol).as(outSig),
+            explode(array(bandStructs: _*)).as("__band"))
+          .select(col(outId), col(outSig),
+            col("__band.b").as("__b"), col("__band.h").as("__h")),
+        maxBucketSize)
+    val matched = explodeSide(batchSigs, "__bid", "__sa")
+      .join(explodeSide(historySigs, "__hid", "__sb"), Seq("__b", "__h"))
+      .filter(bit_count(col("__sa").bitwiseXOR(col("__sb"))) <= maxHamming)
+      .select(col("__bid").as(idCol))
+      .distinct()
+    batch.join(matched, Seq(idCol), "left_anti")
+  }
+
+  /** The `maxHamming + 1` band keys of a 64-bit signature (pigeonhole:
+    * any pair within the budget agrees exactly on some band) — shared
+    * by [[hammingPairs]] and [[hammingAgainstHistory]].
+    */
+  private def hammingBandStructs(sigCol: String, maxHamming: Int): Seq[Column] = {
+    require(maxHamming >= 0 && maxHamming < 32, "need bands of >= 2 bits")
+    val bands = maxHamming + 1
+    val base = 64 / bands
+    val rem = 64 % bands
+    (0 until bands).map { j =>
+      val width = base + (if (j < rem) 1 else 0)
+      val offset = j * base + math.min(j, rem)
+      val mask = if (width == 64) -1L else (1L << width) - 1L
+      struct(lit(j).as("b"),
+        shiftrightunsigned(col(sigCol), offset).bitwiseAND(lit(mask)).as("h"))
+    }
   }
 
   // ---- embedding near-dup --------------------------------------------

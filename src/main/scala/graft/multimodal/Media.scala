@@ -457,6 +457,28 @@ object Media {
     graft.llm.Dedup.hammingPairs(imageSignatures(df, idCol, binCol, algo),
       idCol, "__sig", maxHamming, maxBucketSize)
 
+  /** Screen NEW images against a STORED perceptual-signature history
+    * table — the crawl-ingest dedup shape for images, the exact
+    * analog of the text pipeline's minhash history screen: the
+    * history side is an [[imageSignatures]] table appended per
+    * accepted batch (8-byte signatures + ids; history pixels are
+    * NEVER re-decoded), the new batch decodes once map-side, and a
+    * batch image is dropped iff some history signature sits within
+    * `maxHamming` ([[graft.llm.Dedup.hammingAgainstHistory]]'s exact
+    * pigeonhole-banded contract — re-encoded/recompressed copies of
+    * an already-ingested picture are caught, byte hashes would not).
+    * Undecodable/null blobs always survive (null signature — route
+    * them to a quarantine screen instead). Output: surviving batch
+    * rows, columns unchanged.
+    */
+  def imageAgainstHistory(df: DataFrame, idCol: String, binCol: String,
+                          historySigs: DataFrame, maxHamming: Int = 6,
+                          maxBucketSize: Int = 10000,
+                          algo: String = "dhash"): DataFrame =
+    graft.llm.Dedup.hammingAgainstHistory(df,
+      imageSignatures(df, idCol, binCol, algo), historySigs, idCol,
+      "__sig", maxHamming, maxBucketSize)
+
   // ---- audio sample screens (REAL PCM decode, r17) ---------------------
   //
   // javax.sound.sampled ships WAV/AIFF/AU parsing and PCM decoding in

@@ -840,6 +840,54 @@ class StreamsMediaSpec extends SparkSpec {
     assert(got == docs.map(d => (d, d + 1000000L, 0)).toSet)
   }
 
+  test("imageAgainstHistory drops re-encoded history copies, keeps fresh and undecodable images") {
+    // history: signatures of patterns 1 and 2 (ingested earlier)
+    val history = Media.imageSignatures(
+      Seq((901L, Media.syntheticPng(1)), (902L, Media.syntheticPng(2)))
+        .toDF("img_id", "img"),
+      "img_id", "img")
+    // a NEAR-copy of pattern 2 with one corner block blacked out: a
+    // local edit moves a few dHash bits (a uniform brightness jitter
+    // would move NONE — dHash compares adjacent means, so it is
+    // brightness-shift-invariant by design); pin the construction in
+    // range before relying on it
+    val tweaked = {
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(Media.syntheticPng(2)))
+      for (y <- 0 until 4; x <- 0 until 4) img.setRGB(x, y, 0)
+      val baos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", baos)
+      baos.toByteArray
+    }
+    val hamming = {
+      val s = Media.imageSignatures(
+        Seq((0L, Media.syntheticPng(2)), (1L, tweaked)).toDF("img_id", "img"),
+        "img_id", "img").orderBy("img_id").select("__sig").as[Long].collect()
+      java.lang.Long.bitCount(s(0) ^ s(1))
+    }
+    assert(hamming > 0 && hamming <= 6, s"construction drifted: hamming $hamming")
+    val batch = Seq(
+      (1L, Media.syntheticPng(1)), // byte-identical re-encode → drop
+      (2L, tweaked),               // near-copy, small nonzero hamming → drop
+      (3L, Media.syntheticPng(77)),// fresh pattern → survive
+      (4L, "not an image".getBytes)// undecodable → null sig → survive
+    ).toDF("img_id", "img")
+    val kept = Media.imageAgainstHistory(batch, "img_id", "img",
+        history, maxHamming = 6)
+      .select("img_id").as[Long].collect().sorted.toSeq
+    assert(kept == Seq(3L, 4L))
+    // empty history screens nothing
+    val none = Media.imageAgainstHistory(batch, "img_id", "img",
+      history.filter(lit(false)), maxHamming = 6)
+    assert(none.count() == 4L)
+    // threshold 0 = exact-signature-only screen: the jittered copy now
+    // survives, the byte-identical one still drops
+    val strict = Media.imageAgainstHistory(batch, "img_id", "img",
+        history, maxHamming = 0)
+      .select("img_id").as[Long].collect().sorted.toSeq
+    assert(strict == Seq(2L, 3L, 4L))
+  }
+
   test("parseMp4Tracks: v0 and v1 boxes round-trip the builder's closed-form fields") {
     for (v1 <- Seq(false, true)) {
       val bytes = Media.syntheticMp4(640, 360, durMs = 12345L,
