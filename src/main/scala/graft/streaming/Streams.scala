@@ -298,6 +298,54 @@ object Streams {
       .start()
   }
 
+  /** Compact a [[nearDupScreenStream]] history root: fold every
+    * `batch_id` slice ≤ `upToBatch` (and any existing seed) into ONE
+    * `batch_id=-1` seed slice, then remove the merged slices — a
+    * long-running crawl otherwise accumulates one directory per
+    * micro-batch, and the history read pays a per-slice heal + list
+    * every batch. Returns the number of slices merged (0 = nothing to
+    * do).
+    *
+    * Contract: run while the stream is STOPPED, with `upToBatch`
+    * strictly below the checkpoint's next batch id — a batch the
+    * checkpoint may still replay must keep its own slice, because the
+    * replay excludes (and then REWRITES) exactly that slice id.
+    * Crash-safe in the screen's semantics: the merged seed publishes
+    * first (atomic swap), merged slices delete after — a crash
+    * between the two leaves duplicate signature rows across seed and
+    * slices, which cannot change any survival decision (the screen is
+    * an existence test), and re-running the compaction completes the
+    * cleanup.
+    */
+  def compactSignatureHistory(spark: SparkSession, root: String,
+                              upToBatch: Long): Int = {
+    val rootPath = new org.apache.hadoop.fs.Path(root)
+    val fs = rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(rootPath)) return 0
+    val slices = fs.listStatus(rootPath).toSeq.map(_.getPath.toString)
+      .filter(p => p.substring(p.lastIndexOf('/') + 1).startsWith("batch_id="))
+      .map(_.stripSuffix("__old").stripSuffix("__staging"))
+      .distinct.sorted
+      .filter { p =>
+        val id = p.substring(p.lastIndexOf('=') + 1).toLong
+        id == -1L || id <= upToBatch
+      }
+      .map { p => graft.Recovery.restoreIfTorn(spark, p); p }
+      .filter(p => fs.exists(new org.apache.hadoop.fs.Path(p)))
+    // nothing to fold below the watermark, or only the seed itself
+    if (slices.isEmpty || slices == Seq(s"$root/batch_id=-1")) return 0
+    val merged = spark.read.option("basePath", root).parquet(slices: _*)
+      .drop("batch_id")
+    // safe to read the live seed while merging: idempotentWrite stages
+    // the FULL new seed beside it first and only then swaps names, so
+    // the scan never races the replace
+    graft.Recovery.idempotentWrite(merged, s"$root/batch_id=-1")
+    slices.filterNot(_.endsWith("batch_id=-1")).foreach { p =>
+      fs.delete(new org.apache.hadoop.fs.Path(p), true)
+    }
+    slices.count(!_.endsWith("batch_id=-1"))
+  }
+
   /** The signature-history slices under `root`, healed, MINUS the
     * `batch_id=exclude` slice (the replay-safety read of
     * [[nearDupScreenStream]]); None when no other slice exists yet

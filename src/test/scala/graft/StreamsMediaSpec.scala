@@ -648,6 +648,28 @@ class StreamsMediaSpec extends SparkSpec {
       Seq((3L, textA), (4L, textB), (5L, null: String)).toDF("doc_id", "text"),
       replayHistory, "doc_id", "text", ngramN = 3)
     assert(replayed.select("doc_id").as[Long].collect().toSet == Set(4L, 5L))
+
+    // compaction folds seed + committed slices into ONE seed slice and
+    // screens identically afterwards; the slice above the watermark
+    // stays untouched
+    val before = hist.select("doc_id", "__sig", "__shash")
+      .collect().map(_.toString).sorted.toSeq
+    assert(Streams.compactSignatureHistory(spark, historyRoot, upToBatch = 0L) == 1)
+    val hist2 = spark.read.option("basePath", historyRoot).parquet(historyRoot)
+    assert(hist2.select("batch_id").distinct().as[Long].collect().toSet ==
+      Set(-1L, 1L))
+    assert(hist2.filter(col("batch_id") === -1L).select("doc_id")
+      .as[Long].collect().toSet == Set(100L, 2L, 6L))
+    assert(hist2.select("doc_id", "__sig", "__shash")
+      .collect().map(_.toString).sorted.toSeq == before)
+    // idempotent: nothing left to fold below the watermark
+    assert(Streams.compactSignatureHistory(spark, historyRoot, upToBatch = 0L) == 0)
+    // folding the rest reduces to a single seed, rows still identical
+    assert(Streams.compactSignatureHistory(spark, historyRoot, upToBatch = 1L) == 1)
+    val hist3 = spark.read.option("basePath", historyRoot).parquet(historyRoot)
+    assert(hist3.select("batch_id").distinct().as[Long].collect().toSet == Set(-1L))
+    assert(hist3.select("doc_id", "__sig", "__shash")
+      .collect().map(_.toString).sorted.toSeq == before)
   }
 
   test("Datagen.withFields: streaming values identical to batch for the same ids") {
