@@ -255,6 +255,21 @@ object QueriesLlm {
         minWidth = 480, minHeight = 360)
     }),
 
+    // keyframe-aligned frame sampling over REAL sample tables (r17):
+    // stts/stss parsed from synthetic containers whose frame layout is
+    // closed-form in doc_id (F frames at 40 ms, a keyframe every G) —
+    // the decode-free plan stage a video pipeline runs before any GOP
+    // seek; oracle recomputes the even keyframe subsample exactly
+    "q_media_frames" -> ((s, dir) => {
+      val vids = t(s, dir, "documents").select(col("doc_id"),
+        graft.multimodal.Media.syntheticMp4FramesCol(
+          lit(320), lit(240),
+          (lit(10L) + pmod(col("doc_id"), lit(40))) * lit(40L),
+          lit(10) + pmod(col("doc_id"), lit(40)),
+          lit(1) + pmod(col("doc_id"), lit(7))).as("blob"))
+      graft.multimodal.Media.sampleKeyframes(vids, "doc_id", "blob", n = 8)
+    }),
+
     // windowed exact-substring duplication (suffix-dedup approximation)
     "q_dedup_spans" -> ((s, dir) => {
       Dedup.dupSpanStats(t(s, dir, "documents"), "doc_id", "text",
@@ -699,6 +714,22 @@ object QueriesLlm {
     // was seeded into the history drops (hamming 0); the rest survive
     "q_media_dedup_incr" ->
       "SELECT doc_id FROM documents WHERE doc_id % 3 <> 0",
+
+    // closed-form keyframe layout: F = 10 + doc_id%40 frames at 40 ms,
+    // sync every G = 1 + doc_id%7 samples → K = (F-1)//G + 1 keyframes
+    // at j·G·40 ms; the sampler takes m = least(8, K) evenly
+    "q_media_frames" ->
+      """WITH p AS (
+        |  SELECT doc_id, 10 + doc_id % 40 AS f, 1 + doc_id % 7 AS g
+        |  FROM documents),
+        |k AS (SELECT doc_id, g, ((f - 1) // g) + 1 AS kcount FROM p),
+        |m AS (SELECT doc_id, g, kcount, LEAST(8, kcount) AS m FROM k),
+        |idx AS (SELECT doc_id, g, kcount, m,
+        |          UNNEST(range(0, m)) AS frame_idx FROM m)
+        |SELECT doc_id, CAST(frame_idx AS INTEGER) AS frame_idx,
+        |  CAST(((frame_idx * kcount) // m) * g * 40 AS BIGINT)
+        |    AS frame_offset_ms
+        |FROM idx""".stripMargin,
 
     // the builder's closed-form track layout: video track always
     // present at the doc_id-derived dims/codec, audio track on

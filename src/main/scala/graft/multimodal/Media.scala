@@ -822,6 +822,153 @@ object Media {
     }
   }
 
+  /** Keyframe (sync-sample) timestamps in ms of the FIRST video track,
+    * from the REAL sample tables: `stts` (time-to-sample run lengths)
+    * gives each sample's start time, `stss` (sync-sample numbers)
+    * marks the keyframes; an ABSENT stss means every sample is sync
+    * (the ISO-BMFF default). This is the decode-free frame-sampling
+    * plan a video pipeline actually wants: seeking to a keyframe is
+    * cheap, seeking between keyframes decodes the whole GOP. More
+    * than `cap` keyframes subsample evenly (deterministic index
+    * arithmetic) so one hostile/huge container cannot balloon a row.
+    * Empty when the container has no video track or no sample tables.
+    */
+  def parseMp4Keyframes(bytes: Array[Byte], cap: Int = 10000): Seq[Long] = {
+    if (bytes == null || bytes.length < 16 || cap <= 0) return Nil
+    def u8(i: Long) = bytes(i.toInt) & 0xFF
+    def be32(i: Long): Long = (u8(i).toLong << 24) | (u8(i + 1).toLong << 16) |
+      (u8(i + 2).toLong << 8) | u8(i + 3).toLong
+    def be64(i: Long): Long = (be32(i) << 32) | be32(i + 4)
+    def tag(i: Long) =
+      new String(bytes, i.toInt, 4, java.nio.charset.StandardCharsets.US_ASCII)
+    if (tag(4) != "ftyp" && tag(4) != "styp") return Nil
+    val n = bytes.length.toLong
+    def children(from: Long, end: Long): Seq[(String, Long, Long)] = {
+      val out = Seq.newBuilder[(String, Long, Long)]
+      var i = from
+      while (i + 8 <= end) {
+        val size = be32(i)
+        val realSize =
+          if (size == 1L && i + 16 <= end) be64(i + 8)
+          else if (size == 0L) end - i
+          else size
+        if (realSize < 8L || realSize > end - i) return out.result()
+        out += ((tag(i + 4), i, realSize))
+        i += realSize
+      }
+      out.result()
+    }
+    def kid(cs: Seq[(String, Long, Long)], want: String) = cs.find(_._1 == want)
+    val videoStbl = children(0L, n).filter(_._1 == "moov").take(1).flatMap {
+      case (_, moov, moovSize) =>
+        children(moov + 8, moov + moovSize).filter(_._1 == "trak").flatMap {
+          case (_, trak, trakSize) =>
+            val mdiaKids = kid(children(trak + 8, trak + trakSize), "mdia")
+              .toSeq.flatMap { case (_, b, sz) => children(b + 8, b + sz) }
+            val isVideo = kid(mdiaKids, "hdlr").exists {
+              case (_, b, sz) => sz >= 8 + 12 && tag(b + 16) == "vide"
+            }
+            val ts = kid(mdiaKids, "mdhd").flatMap { case (_, b, sz) =>
+              val p = b + 8
+              u8(p) match {
+                case 1 if sz >= 8 + 36 => Some(be32(p + 20))
+                case 0 if sz >= 8 + 24 => Some(be32(p + 12))
+                case _ => None
+              }
+            }
+            if (!isVideo) Nil
+            else for {
+              timescale <- ts.toSeq if timescale > 0
+              (_, minf, minfSz) <- kid(mdiaKids, "minf").toSeq
+              (_, stbl, stblSz) <- kid(children(minf + 8, minf + minfSz), "stbl").toSeq
+            } yield (stbl, stblSz, timescale)
+        }
+    }
+    videoStbl.headOption.toSeq.flatMap { case (stbl, stblSz, timescale) =>
+      val stblKids = children(stbl + 8, stbl + stblSz)
+      // stts: (count, delta) runs → each sample's start time; bound
+      // the walk by the declared box extent AND a total-samples cap
+      // (a hostile count field must not allocate)
+      val starts = kid(stblKids, "stts").toSeq.flatMap { case (_, b, sz) =>
+        val p = b + 12 // header + verflags
+        if (sz < 8 + 8) Nil
+        else {
+          val entries = be32(b + 8 + 4)
+          val buf = Seq.newBuilder[Long]
+          var t = 0L
+          var e = 0L
+          var produced = 0L
+          val maxSamples = 1L << 22 // 4M sample STARTS walked at most
+          var off = p + 4
+          while (e < entries && off + 8 <= b + sz && produced < maxSamples) {
+            val count = be32(off)
+            val delta = be32(off + 4)
+            var k = 0L
+            while (k < count && produced < maxSamples) {
+              buf += t
+              t += delta
+              k += 1
+              produced += 1
+            }
+            e += 1
+            off += 8
+          }
+          buf.result()
+        }
+      }
+      if (starts.isEmpty) Nil
+      else {
+        // stss: 1-based sync sample numbers; absent → all samples sync
+        val sync = kid(stblKids, "stss") match {
+          case Some((_, b, sz)) if sz >= 8 + 8 =>
+            val entries = be32(b + 8 + 4)
+            val out = Seq.newBuilder[Int]
+            var e = 0L
+            var off = b + 16
+            while (e < entries && off + 4 <= b + sz) {
+              val s = be32(off)
+              if (s >= 1 && s <= starts.length) out += (s - 1).toInt
+              e += 1
+              off += 4
+            }
+            out.result()
+          case _ => starts.indices
+        }
+        val offs = sync.map(i => starts(i) * 1000L / timescale)
+        if (offs.length <= cap) offs
+        else (0 until cap).map(k => offs((k.toLong * offs.length / cap).toInt))
+      }
+    }
+  }
+
+  private val keyframesUdf = udf((b: Array[Byte]) => parseMp4Keyframes(b))
+
+  /** Keyframe-aligned frame-sampling plan: up to `n` REAL sync-sample
+    * timestamps per video ([[parseMp4Keyframes]]), evenly subsampled
+    * when the container holds more — one row per sampled frame
+    * (idCol, frame_idx, frame_offset_ms). Rows whose container yields
+    * no keyframes emit nothing (screen them first with
+    * [[videoStreamScreen]]); contrast [[sampleFrames]], which spaces
+    * offsets blindly over the mvhd duration when no sample tables are
+    * available. The decode of the sampled frames stays out of scope
+    * (no video codecs in the JDK) — this is the plan stage a real
+    * decoder slots under.
+    */
+  def sampleKeyframes(df: DataFrame, idCol: String, binCol: String,
+                      n: Int): DataFrame = {
+    require(n >= 1, "n >= 1")
+    val kf = keyframesUdf(col(binCol))
+    df.select(col(idCol), kf.as("__kf"))
+      .filter(size(col("__kf")) > 0)
+      .withColumn("__m", least(size(col("__kf")), lit(n)))
+      .withColumn("frame_idx", explode(sequence(lit(0), col("__m") - 1)))
+      .withColumn("frame_offset_ms",
+        element_at(col("__kf"),
+          (col("frame_idx").cast("long") * size(col("__kf")) / col("__m"))
+            .cast("int") + 1))
+      .select(col(idCol), col("frame_idx"), col("frame_offset_ms"))
+  }
+
   private val tracksUdf = udf((b: Array[Byte]) => parseMp4Tracks(b))
 
   /** Per-track stream inventory: one output row per parsed track —
@@ -894,6 +1041,7 @@ object Media {
   def syntheticMp4(width: Int, height: Int, durMs: Long,
                    withAudio: Boolean, videoCodec: String = "avc1",
                    audioCodec: String = "mp4a",
+                   frames: Int = 0, gop: Int = 0,
                    v1: Boolean = false): Array[Byte] = {
     val timescale = 1000 // 1 unit = 1 ms, so durations pass through
     def full(tag4: String, version: Int, body: Array[Byte]): Array[Byte] = {
@@ -942,15 +1090,34 @@ object Media {
       full("stsd", 0,
         java.nio.ByteBuffer.allocate(4).putInt(1).array() ++ entry)
     }
+    // sample tables (video trak only, when frames > 0): one uniform
+    // stts run of `frames` samples at delta = durMs/frames timescale
+    // units, and — when gop > 0 — an stss marking samples 1, 1+gop, …
+    // as sync (gop = 0 omits stss: every sample is sync per the spec)
+    def stts: Array[Byte] = {
+      val delta = (durMs / math.max(1, frames)).toInt
+      full("stts", 0, java.nio.ByteBuffer.allocate(12)
+        .putInt(1).putInt(frames).putInt(delta).array())
+    }
+    def stss: Array[Byte] = {
+      val syncs = (1 to frames by gop).toArray
+      val bb = java.nio.ByteBuffer.allocate(4 + 4 * syncs.length).putInt(syncs.length)
+      syncs.foreach(bb.putInt)
+      full("stss", 0, bb.array())
+    }
     def trak(trackId: Int, w: Int, h: Int, kind: String, fourcc: String,
-             lang: String): Array[Byte] =
+             lang: String, tables: Seq[Array[Byte]]): Array[Byte] =
       bmffBox("trak", tkhd(trackId, w, h),
         bmffBox("mdia", mdhd(lang), hdlr(kind),
-          bmffBox("minf", bmffBox("stbl", stsd(fourcc)))))
+          bmffBox("minf", bmffBox("stbl", (stsd(fourcc) +: tables): _*))))
     val ftyp = bmffBox("ftyp",
       "isom".getBytes("US-ASCII"), Array[Byte](0, 0, 0, 0))
-    val traks = trak(1, width, height, "vide", videoCodec, "und") +:
-      (if (withAudio) Seq(trak(2, 0, 0, "soun", audioCodec, "eng")) else Nil)
+    val videoTables =
+      if (frames <= 0) Nil
+      else if (gop > 0) Seq(stts, stss)
+      else Seq(stts)
+    val traks = trak(1, width, height, "vide", videoCodec, "und", videoTables) +:
+      (if (withAudio) Seq(trak(2, 0, 0, "soun", audioCodec, "eng", Nil)) else Nil)
     ftyp ++ bmffBox("moov", (mvhd +: traks): _*)
   }
 
@@ -963,4 +1130,17 @@ object Media {
                       withAudio: Column, videoCodec: Column): Column =
     syntheticMp4Udf(width.cast("int"), height.cast("int"),
       durMs.cast("long"), withAudio.cast("boolean"), videoCodec)
+
+  private val syntheticMp4FramesUdf = udf(
+    (w: Int, h: Int, durMs: Long, frames: Int, gop: Int) =>
+      syntheticMp4(w, h, durMs, withAudio = false,
+        frames = frames, gop = gop))
+
+  /** Column form of [[syntheticMp4]] with sample tables (video-only
+    * container) for registered queries.
+    */
+  def syntheticMp4FramesCol(width: Column, height: Column, durMs: Column,
+                            frames: Column, gop: Column): Column =
+    syntheticMp4FramesUdf(width.cast("int"), height.cast("int"),
+      durMs.cast("long"), frames.cast("int"), gop.cast("int"))
 }

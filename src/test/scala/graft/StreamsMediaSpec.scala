@@ -953,6 +953,42 @@ class StreamsMediaSpec extends SparkSpec {
     assert(Media.parseMp4Tracks(Array.emptyByteArray).isEmpty)
   }
 
+  test("parseMp4Keyframes + sampleKeyframes: sync-sample timing from real stts/stss") {
+    // 10 frames at 100 ms, keyframe every 4 → sync samples 1, 5, 9 at
+    // 0 / 400 / 800 ms
+    val withGop = Media.syntheticMp4(320, 240, durMs = 1000L,
+      withAudio = false, frames = 10, gop = 4)
+    assert(Media.parseMp4Keyframes(withGop) == Seq(0L, 400L, 800L))
+    // absent stss → every sample is sync (the ISO-BMFF default)
+    val allSync = Media.syntheticMp4(320, 240, 1000L, withAudio = false,
+      frames = 10)
+    assert(Media.parseMp4Keyframes(allSync) == (0 until 10).map(_ * 100L))
+    // the cap subsamples evenly and deterministically
+    assert(Media.parseMp4Keyframes(allSync, cap = 5) ==
+      Seq(0L, 200L, 400L, 600L, 800L))
+    // no sample tables / no video track / junk → empty, never a throw
+    assert(Media.parseMp4Keyframes(
+      Media.syntheticMp4(320, 240, 1000L, withAudio = true)).isEmpty)
+    assert(Media.parseMp4Keyframes("junk".getBytes).isEmpty)
+    (0 to withGop.length by 7).foreach { len =>
+      Media.parseMp4Keyframes(withGop.take(len))
+    }
+    // the sampler: more keyframes than n → even pick; fewer → all;
+    // table-less rows drop
+    val df = Seq(
+      (1L, Media.syntheticMp4(320, 240, 4000L, withAudio = false,
+        frames = 40, gop = 2)),          // 20 keyframes at 0,200,…
+      (2L, withGop),                     // 3 keyframes
+      (3L, "junk".getBytes)
+    ).toDF("vid", "blob")
+    val got = Media.sampleKeyframes(df, "vid", "blob", n = 4)
+      .orderBy("vid", "frame_idx")
+      .as[(Long, Int, Long)].collect().toSeq
+    assert(got == Seq(
+      (1L, 0, 0L), (1L, 1, 1000L), (1L, 2, 2000L), (1L, 3, 3000L),
+      (2L, 0, 0L), (2L, 1, 400L), (2L, 2, 800L)))
+  }
+
   test("videoTracks / videoStreamScreen: inventory and pre-decode gate") {
     val rows = Seq(
       (1L, Media.syntheticMp4(1280, 720, 4000L, withAudio = true)),
