@@ -206,6 +206,29 @@ object QueriesLlm {
           col("clip_ratio"), col("silence_frac"))
     }),
 
+    // simhash HISTORY screen (r17): the token-multiset analog of the
+    // minhash history screen — history holds one 8-byte signature per
+    // already-ingested doc (every third doc here, re-tokenized never).
+    // ROWS-ONLY by the signature's nature: simhash is locality-
+    // SENSITIVE, so even at maxHamming 0 a batch doc with a merely
+    // similar token distribution can share a stored signature and
+    // drop — measured on this corpus (doc 301 collides with a
+    // distinct-multiset history doc), which is the intended near-dup
+    // behavior, not an exactness contract. The exact-contract history
+    // screens are the oracle-green minhash (stored shingle-set hash)
+    // and image (planted byte-identical) forms; the planted semantics
+    // spec is TextDedupSpec's simhashAgainstHistory test.
+    "q_dedup_simhash_incr" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val history = Dedup.simhashSignatures(
+        docs.filter(col("doc_id") % 3 === 0)
+          .select((col("doc_id") + 5000000L).as("doc_id"), col("text")),
+        "doc_id", "text")
+      Dedup.simhashAgainstHistory(docs, history, "doc_id", "text",
+          maxHamming = 0)
+        .select("doc_id")
+    }),
+
     // image near-dup HISTORY screen (r17): the crawl-ingest shape —
     // the history table holds perceptual signatures of every third
     // base pattern (re-encoded byte-identically, so each planted

@@ -776,6 +776,25 @@ object Dedup {
     batch.join(matched, Seq(idCol), "left_anti")
   }
 
+  /** SimHash near-dup screen of a NEW text batch against a STORED
+    * simhash history table ([[simhashSignatures]] output, appended per
+    * accepted batch) — [[hammingAgainstHistory]] specialized to the
+    * token-multiset signature: batch docs whose simhash sits within
+    * `maxHamming` of any history signature drop; history text is
+    * never re-tokenized. Complements [[minhashAgainstHistory]]: the
+    * simhash screen is cheaper (one 8-byte signature, no shingle
+    * storage) and catches token-multiset similarity; the minhash one
+    * carries the exact shingle-set verification. Null-text batch rows
+    * survive (null signature).
+    */
+  def simhashAgainstHistory(batch: DataFrame, historySigs: DataFrame,
+                            idCol: String, textCol: String,
+                            maxHamming: Int = 3,
+                            maxBucketSize: Int = 10000): DataFrame =
+    hammingAgainstHistory(batch,
+      simhashSignatures(batch, idCol, textCol), historySigs, idCol,
+      "__sig", maxHamming, maxBucketSize)
+
   /** The `maxHamming + 1` band keys of a 64-bit signature (pigeonhole:
     * any pair within the budget agrees exactly on some band) — shared
     * by [[hammingPairs]] and [[hammingAgainstHistory]].

@@ -593,6 +593,30 @@ class TextDedupSpec extends SparkSpec {
     assert(viaDisk == exact)
   }
 
+  test("simhashAgainstHistory: token-multiset screen over stored signatures") {
+    import spark.implicits._
+    val base = "the quick brown fox jumps over the lazy dog"
+    val history = Seq(
+      (1L, base),
+      (2L, null.asInstanceOf[String])
+    ).toDF("doc_id", "text")
+    val sigs = Dedup.simhashSignatures(history, "doc_id", "text")
+    assert(sigs.columns.toSeq == Seq("doc_id", "__sig"))
+    val batch = Seq(
+      (10L, base),                                              // exact copy
+      (11L, "dog lazy the over jumps fox brown quick the"),     // same MULTISET → same sig
+      (12L, "entirely novel crawl content never seen anywhere"),
+      (13L, null.asInstanceOf[String])                          // null survives
+    ).toDF("doc_id", "text")
+    val kept = Dedup.simhashAgainstHistory(batch, sigs, "doc_id", "text",
+        maxHamming = 0)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(kept == Seq(12L, 13L))
+    // empty history screens nothing
+    assert(Dedup.simhashAgainstHistory(batch, sigs.filter(lit(false)),
+      "doc_id", "text").count() == 4L)
+  }
+
   test("semanticNearDup nlist=1 degenerates to exact unblocked all-pairs") {
     val e = table("embeddings")
     val exact = Dedup.embeddingNearDup(
