@@ -769,10 +769,14 @@ object Media {
             val mdiaKids = kid(kids, "mdia").toSeq.flatMap {
               case (_, b, sz) => children(b + 8, b + sz)
             }
-            // tkhd: (track_id, width, height) — dims are 16.16 fixed
+            // tkhd: (track_id, width, height) — dims are 16.16 fixed.
+            // sz < 9 first: a header-only box (declared size 8) ending
+            // exactly at the buffer end puts p == bytes.length, so the
+            // version byte itself must be size-guarded before reading.
             val tk = kid(kids, "tkhd").flatMap { case (_, b, sz) =>
               val p = b + 8
-              u8(p) match {
+              if (sz < 9) None
+              else u8(p) match {
                 case 1 if sz >= 8 + 96 =>
                   Some((be32(p + 20), fixed16(p + 88), fixed16(p + 92)))
                 case 0 if sz >= 8 + 84 =>
@@ -783,6 +787,10 @@ object Media {
             // mdhd: (timescale, duration | -1 = unknown, language)
             val md = kid(mdiaKids, "mdhd").flatMap { case (_, b, sz) =>
               val p = b + 8
+              // version byte is only addressable when the box extends
+              // past its 8-byte header (see tkhd note above)
+              if (sz < 9) None
+              else {
               val v = u8(p)
               val fields =
                 if (v == 1 && sz >= 8 + 36)
@@ -799,6 +807,7 @@ object Media {
                     (((packedLang >> 5) & 0x1F) + 0x60).toChar,
                     ((packedLang & 0x1F) + 0x60).toChar))
                 (ts, if (unknown) -1L else rawDur, lang)
+              }
               }
             }
             val handler = kid(mdiaKids, "hdlr").collect {
@@ -870,7 +879,10 @@ object Media {
             }
             val ts = kid(mdiaKids, "mdhd").flatMap { case (_, b, sz) =>
               val p = b + 8
-              u8(p) match {
+              // size-8 mdhd ending at the buffer end: the version byte
+              // is out of bounds, so guard sz before reading it
+              if (sz < 9) None
+              else u8(p) match {
                 case 1 if sz >= 8 + 36 => Some(be32(p + 20))
                 case 0 if sz >= 8 + 24 => Some(be32(p + 12))
                 case _ => None

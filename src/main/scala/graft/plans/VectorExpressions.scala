@@ -431,10 +431,14 @@ object VectorExpressions {
     * so the fast path decides on |x|·10^6's fractional part and
     * falls back to the decimal-exact form only where double
     * arithmetic could disagree with the decimal digits:
-    *  - within 1e-9 of the .5 boundary (one multiply's rounding error
-    *    is ≤ ulp(|x|·10^6)/2 ≤ 2.4e-10 for |x| ≤ ~1e3, and similarity
-    *    inputs are cosines in [-1, 1] — the band is two decades wider
-    *    than the error it guards);
+    *  - within max(1e-9, 4·ulp(f)) of the .5 boundary, where
+    *    f = |x|·10^6: the one multiply's rounding error is
+    *    ≤ ulp(f)/2, so a band proportional to ulp(f) covers it with
+    *    8× margin at EVERY magnitude (a fixed 1e-9 band is only valid
+    *    for |x| ≲ 1 — at |x| ≈ 1.7e4 the multiply error alone is
+    *    ~2e-6 and fast/exact genuinely diverge at decimal
+    *    half-boundaries; Round6ParitySpec pins that case). The 1e-9
+    *    floor keeps the tiny-f behavior of the original band;
     *  - at |x|·10^6 ≥ 2^52, where doubles no longer carry a
     *    fractional digit to decide with.
     * Everywhere else the two forms are bit-identical: the re-parsed
@@ -453,7 +457,8 @@ object VectorExpressions {
       else {
         val fl = math.floor(f)
         val frac = f - fl
-        if (math.abs(frac - 0.5) < 1e-9) round6Exact(x)
+        if (math.abs(frac - 0.5) < math.max(1e-9, 4.0 * math.ulp(f)))
+          round6Exact(x)
         else {
           val r = if (frac > 0.5) fl + 1.0 else fl
           // BigDecimal has no signed zero: a negative value rounding

@@ -353,8 +353,13 @@ object Lof {
     * slice approximation the hyperplane path applies to hash buckets
     * applies here to strictly better-correlated pools).
     *
-    * Corpora at or under `targetBucketSize` route to the exact
-    * single-bucket plan, mirroring [[planesFor]]'s n ≤ target → 0.
+    * On the BUILT-IN-TRAINING path (no `quantizer` passed), corpora
+    * at or under `targetBucketSize` route to the exact single-bucket
+    * plan, mirroring [[planesFor]]'s n ≤ target → 0. An explicitly
+    * passed quantizer is honored as-is — the amortized path never
+    * pays the count pass that routing decision needs, so a tiny
+    * corpus with a pre-trained index keeps the IVF-cell plan (pass
+    * no quantizer if exact-plan routing matters more than reuse).
     *
     * `rescueSingletons` (default on) closes the learned path's own
     * strand hazard: Lloyd can hand an isolated point a PRIVATE cell

@@ -333,7 +333,11 @@ object Streams {
       .map { p => graft.Recovery.restoreIfTorn(spark, p); p }
       .filter(p => fs.exists(new org.apache.hadoop.fs.Path(p)))
     // nothing to fold below the watermark, or only the seed itself
-    if (slices.isEmpty || slices == Seq(s"$root/batch_id=-1")) return 0
+    // (endsWith, not string equality: listStatus paths come back
+    // scheme-qualified — file:/..., hdfs://... — so comparing against
+    // the raw root string never matched and a seed-only root was
+    // pointlessly rewritten over itself every call)
+    if (slices.isEmpty || slices.forall(_.endsWith("batch_id=-1"))) return 0
     val merged = spark.read.option("basePath", root).parquet(slices: _*)
       .drop("batch_id")
     // safe to read the live seed while merging: idempotentWrite stages

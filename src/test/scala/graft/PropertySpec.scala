@@ -520,12 +520,27 @@ object PropertySpec extends Properties("graft") {
       m <- Gen.choose(-1.0, 1.0)
       e <- Gen.choose(-320, 300)
     } yield m * math.pow(10.0, e)
+    // the r18 ulp-proportional band exists for THIS family: at large
+    // |x| the multiply error exceeds the old fixed 1e-9 band, and fast
+    // vs exact genuinely diverged at decimal half-boundaries
+    // (17104.8889565 → ...956 fast vs ...957 exact pre-fix)
+    val latticeBig: Gen[Double] = for {
+      k <- Gen.choose(-4600000000000000L, 4600000000000000L)
+      off <- Gen.oneOf(0.0, 0.5, 0.4999999, 0.5000001)
+      ulps <- Gen.choose(-2, 2)
+    } yield {
+      val base = (k.toDouble + off) / 1e6
+      (0 until math.abs(ulps)).foldLeft(base)((b, _) =>
+        if (ulps > 0) math.nextUp(b) else math.nextDown(b))
+    }
     val special: Gen[Double] = Gen.oneOf(Double.NaN,
       Double.PositiveInfinity, Double.NegativeInfinity, 0.0, -0.0,
       Double.MinPositiveValue, -Double.MinPositiveValue,
       Double.MaxValue, -Double.MaxValue, 4503599627370496.0e-6,
-      math.nextDown(4503599627370496.0e-6))
-    val one: Gen[Double] = Gen.frequency((5, lattice), (3, wide), (2, special))
+      math.nextDown(4503599627370496.0e-6),
+      17104.8889565, -17104.8889565)
+    val one: Gen[Double] = Gen.frequency(
+      (4, lattice), (3, latticeBig), (3, wide), (2, special))
     Prop.forAll(Gen.listOfN(400, one)) { xs =>
       xs.forall(x => bits(round6(x)) == bits(round6Exact(x)))
     }

@@ -670,6 +670,17 @@ class StreamsMediaSpec extends SparkSpec {
     assert(hist3.select("batch_id").distinct().as[Long].collect().toSet == Set(-1L))
     assert(hist3.select("doc_id", "__sig", "__shash")
       .collect().map(_.toString).sorted.toSeq == before)
+    // seed-only root: the early return must fire WITHOUT rewriting the
+    // seed over itself (listStatus paths are scheme-qualified, so the
+    // old raw-string equality never matched) — proven via mtimes
+    val fsC = new org.apache.hadoop.fs.Path(historyRoot)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val seedPath = new org.apache.hadoop.fs.Path(s"$historyRoot/batch_id=-1")
+    def seedMtimes = fsC.listStatus(seedPath)
+      .map(s => (s.getPath.getName, s.getModificationTime)).toSeq.sorted
+    val m0 = seedMtimes
+    assert(Streams.compactSignatureHistory(spark, historyRoot, upToBatch = 99L) == 0)
+    assert(seedMtimes == m0)
   }
 
   test("Datagen.withFields: streaming values identical to batch for the same ids") {
@@ -951,6 +962,21 @@ class StreamsMediaSpec extends SparkSpec {
     assert(Media.parseMp4Tracks("not an mp4 at all".getBytes).isEmpty)
     assert(Media.parseMp4Tracks(null).isEmpty)
     assert(Media.parseMp4Tracks(Array.emptyByteArray).isEmpty)
+    // header-only (declared size 8) tkhd/mdhd as the FINAL box of the
+    // file: the version byte would sit exactly at bytes.length, so an
+    // unguarded read throws AIOOBE instead of screening the box out
+    def b32(v: Long) = Array(((v >> 24) & 0xFF).toByte,
+      ((v >> 16) & 0xFF).toByte, ((v >> 8) & 0xFF).toByte, (v & 0xFF).toByte)
+    def bx(t: String, payload: Array[Byte]) =
+      b32(8L + payload.length) ++ t.getBytes("US-ASCII") ++ payload
+    val ftyp8 = bx("ftyp", "isom".getBytes ++ b32(0L))
+    val tkhdOnly = ftyp8 ++ bx("moov", bx("trak", bx("tkhd", Array.emptyByteArray)))
+    assert(Media.parseMp4Tracks(tkhdOnly).isEmpty)
+    val hdlrV = bx("hdlr", b32(0L) ++ b32(0L) ++ "vide".getBytes)
+    val mdhdOnly = ftyp8 ++
+      bx("moov", bx("trak", bx("mdia", hdlrV ++ bx("mdhd", Array.emptyByteArray))))
+    assert(Media.parseMp4Tracks(mdhdOnly).isEmpty)
+    assert(Media.parseMp4Keyframes(mdhdOnly).isEmpty)
   }
 
   test("parseMp4Keyframes + sampleKeyframes: sync-sample timing from real stts/stss") {
