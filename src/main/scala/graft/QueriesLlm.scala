@@ -349,6 +349,47 @@ object QueriesLlm {
         "vec_id", "embedding", nlist = 1, threshold = 0.2)
     }),
 
+    // incremental SEMANTIC (embedding) history screen (r18) —
+    // completes the history-screen family (exact / minhash / simhash /
+    // image / embedding): the new-crawl slice (vec_id%3!=0) screened
+    // against the STORED cell-assigned history table within IVF cells.
+    // FIXED reference centroids (vec_id < 4 — the q_cluster_assign
+    // pattern) make the learned-geometry-free form oracle-checkable
+    // END-TO-END: the oracle replays the argmax assignment AND the
+    // within-cell rounded-cosine NOT-EXISTS in SQL. The vec_id cap
+    // bounds the ORACLE's within-cell pair join at large SF (the
+    // q_dedup_semantic_exact precedent); the engine path itself is
+    // cell-pruned and SF-independent.
+    "q_dedup_semantic_incr" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings").filter(col("vec_id") < 20000)
+      val cents = e.filter(col("vec_id") < 4)
+        .select(col("vec_id").cast("int").as("__cid"),
+          col("embedding").as("__cvec"))
+      val history = Dedup.semanticHistorySignatures(
+        e.filter(col("vec_id") % 3 === 0), "vec_id", "embedding", cents)
+      Dedup.semanticAgainstHistory(
+        e.filter(col("vec_id") % 3 =!= 0), history, cents,
+        "vec_id", "embedding", threshold = 0.4)
+        .select("vec_id", "label")
+    }),
+
+    // the same screen at nprobe=2 — the IVF recall knob is ALSO pure
+    // arithmetic over fixed centroids, so the probed form stays
+    // oracle-green (rn <= 2 replays the probe ranking in SQL); every
+    // extra probed cell can only DROP more batch rows, never fewer
+    "q_dedup_semantic_incr_probe" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings").filter(col("vec_id") < 20000)
+      val cents = e.filter(col("vec_id") < 4)
+        .select(col("vec_id").cast("int").as("__cid"),
+          col("embedding").as("__cvec"))
+      val history = Dedup.semanticHistorySignatures(
+        e.filter(col("vec_id") % 3 === 0), "vec_id", "embedding", cents)
+      Dedup.semanticAgainstHistory(
+        e.filter(col("vec_id") % 3 =!= 0), history, cents,
+        "vec_id", "embedding", threshold = 0.4, nprobe = 2)
+        .select("vec_id", "label")
+    }),
+
     // fixed-centroid cluster assignment, oracle-checked: the Lloyd
     // assignment step against four REFERENCE centroids (vec_id < 4) is
     // pure deterministic arithmetic — the oracle replays the same
@@ -636,6 +677,29 @@ object QueriesLlm {
       |(SQRT(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[]))) *
       | SQRT(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))))""".stripMargin
 
+  private def dcosOf(x: String, y: String) =
+    s"""list_dot_product(CAST($x.embedding AS DOUBLE[]), CAST($y.embedding AS DOUBLE[])) /
+       |(SQRT(list_dot_product(CAST($x.embedding AS DOUBLE[]), CAST($x.embedding AS DOUBLE[]))) *
+       | SQRT(list_dot_product(CAST($y.embedding AS DOUBLE[]), CAST($y.embedding AS DOUBLE[]))))""".stripMargin
+
+  /** The q_dedup_semantic_incr / _probe oracle: replay the fixed-
+    * centroid argmax assignment (rn over sim desc, cid asc) and the
+    * within-cell rounded-cosine NOT-EXISTS screen at `nprobe` probes.
+    */
+  private def semanticIncrOracle(nprobe: Int): String =
+    s"""WITH base AS (SELECT * FROM embeddings WHERE vec_id < 20000),
+       |c AS (SELECT CAST(vec_id AS INTEGER) AS cid, embedding FROM base WHERE vec_id < 4),
+       |d AS (SELECT e.vec_id, c.cid, ROW_NUMBER() OVER (PARTITION BY e.vec_id
+       |        ORDER BY ROUND(${dcosOf("e", "c")}, 6) DESC, c.cid ASC) AS rn
+       |      FROM base e CROSS JOIN c)
+       |SELECT b.vec_id, b.label FROM base b
+       |WHERE b.vec_id % 3 <> 0
+       |  AND NOT EXISTS (
+       |    SELECT 1 FROM base h
+       |    JOIN d hd ON hd.vec_id = h.vec_id AND hd.rn = 1
+       |    JOIN d bd ON bd.vec_id = b.vec_id AND bd.rn <= $nprobe AND bd.cid = hd.cid
+       |    WHERE h.vec_id % 3 = 0 AND ROUND(${dcosOf("b", "h")}, 6) >= 0.4)""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
 
     "q_corpus_clean" -> {
@@ -843,6 +907,13 @@ object QueriesLlm {
          |JOIN (SELECT * FROM embeddings WHERE vec_id % 10 = 0 AND vec_id < 20000) b
          |  ON a.vec_id < b.vec_id
          |WHERE ROUND($dcos, 6) >= 0.2""".stripMargin,
+
+    // replays the screen step for step: argmax cell per row over the
+    // fixed centroids (sim desc, cid asc — the kernel's tie/null
+    // convention), then NOT EXISTS over within-cell rounded cosine;
+    // history uses its rn=1 cell, the batch its rn <= nprobe probes
+    "q_dedup_semantic_incr" -> semanticIncrOracle(nprobe = 1),
+    "q_dedup_semantic_incr_probe" -> semanticIncrOracle(nprobe = 2),
 
     "q_cluster_assign" -> {
       val dcosAC =

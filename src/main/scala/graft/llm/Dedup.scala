@@ -1003,6 +1003,100 @@ object Dedup {
           idCol, vecCol, threshold, hotCellCap = 4 * targetCellSize)
     }
 
+  /** The persistable CELL-ASSIGNED embedding table a semantic ingest
+    * pipeline STORES for its history (r18 — the embedding member of
+    * the history-screen family beside [[dedupAgainstHistory]] exact,
+    * [[minhashAgainstHistory]], [[simhashAgainstHistory]], and
+    * [[graft.multimodal.Media.imageAgainstHistory]]): one row per
+    * ingested document — id, embedding, and its IVF cell under the
+    * pipeline's persisted quantizer ([[graft.llm.Ivf.trainIndex]] /
+    * [[graft.llm.Ivf.loadIndex]] — the same artifact every ANN probe
+    * reuses). Append each screened batch's survivors (their cells are
+    * already assigned by the screen) and the next batch screens
+    * against the union WITHIN CELLS — history is never re-assigned,
+    * re-paired, or scanned all-pairs. Output: (idCol, vecCol, __cid).
+    */
+  def semanticHistorySignatures(df: DataFrame, idCol: String, vecCol: String,
+                                centroids: DataFrame,
+                                centIdCol: String = "__cid",
+                                centVecCol: String = "__cvec"): DataFrame =
+    Ivf.assignToCentroids(df.select(col(idCol), col(vecCol)),
+      idCol, vecCol, centroids, centIdCol, centVecCol)
+
+  /** Incremental SEMANTIC (embedding) history screen — the SemDeDup
+    * ingest shape: drop every batch row whose rounded cosine against
+    * ANY already-ingested history embedding reaches `threshold`;
+    * survivors pass through with columns unchanged. `historyVecs` is a
+    * [[semanticHistorySignatures]] table (id, vec, __cid): the batch
+    * assigns to the SAME quantizer's cells (nprobe=1 rides the
+    * map-side native argmax kernel — zero shuffle; nprobe>1 ranks
+    * cells per row through the broadcast probe join, the standard IVF
+    * recall knob for near-dups straddling a cell boundary) and the
+    * verify join is EQUI ON THE CELL ID — per-batch cost is
+    * O(|batch|·nlist·dim) assignment + within-cell pairs, never
+    * |batch|×|history| all-pairs, and history vectors are read but
+    * never re-assigned.
+    *
+    * Correctness contract (mirrors the family):
+    *  - EXACT duplicates can never be lost at any nprobe ≥ 1:
+    *    identical vectors take the identical argmax cell and cosine 1.
+    *  - Near-dups in a probed cell are verified with the TRUE rounded
+    *    cosine on stored vectors — unlike the minhash estimate, the
+    *    decision is exact arithmetic, so with FIXED reference
+    *    centroids the whole screen is oracle-expressible
+    *    (q_dedup_semantic_incr replays assignment + screen in SQL).
+    *  - Recall < 1 for straddlers beyond `nprobe` cells — the
+    *    documented SemDeDup trade; raise nprobe toward nlist to
+    *    converge on the exact screen (spec-pinned).
+    *  - Unscorable batch rows (null / zero-norm vectors) carry a null
+    *    similarity and always SURVIVE — the NOT-EXISTS null contract
+    *    shared by every screen in the family.
+    * The screen is per-ID: duplicate batch ids drop together.
+    */
+  def semanticAgainstHistory(batch: DataFrame, historyVecs: DataFrame,
+                             centroids: DataFrame,
+                             idCol: String, vecCol: String,
+                             threshold: Double = 0.9, nprobe: Int = 1,
+                             centIdCol: String = "__cid",
+                             centVecCol: String = "__cvec"): DataFrame = {
+    require(nprobe >= 1, s"nprobe must be >= 1, got $nprobe")
+    val cents0 = centroids.select(
+      col(centIdCol).as("__cid"), col(centVecCol).as("__cvec"))
+    val probed =
+      if (nprobe == 1)
+        Ivf.assignToCentroids(batch.select(col(idCol), col(vecCol)),
+            idCol, vecCol, cents0, "__cid", "__cvec")
+          .select(col(idCol).as("__bid"), col(vecCol).as("__bvec"),
+            col("__cid"))
+      else {
+        val cents = broadcast(
+          cents0.withColumn("__nc", Similarity.norm(col("__cvec"))))
+        val probeDenom = col("__nq") * col("__nc")
+        val w = Window.partitionBy(col("__bid"))
+          .orderBy(col("__csim").desc, col("__cid").asc)
+        batch.select(col(idCol).as("__bid"), col(vecCol).as("__bvec"))
+          .withColumn("__nq", Similarity.norm(col("__bvec")))
+          .crossJoin(cents)
+          .withColumn("__csim", when(probeDenom =!= 0.0,
+            round(Similarity.dot(col("__bvec"), col("__cvec")) / probeDenom, 6)))
+          .withColumn("__rn", row_number().over(w))
+          .filter(col("__rn") <= nprobe)
+          .select(col("__bid"), col("__bvec"), col("__cid"))
+      }
+    val hist = historyVecs.select(col("__cid"), col(vecCol).as("__hvec"))
+      .withColumn("__nh", Similarity.norm(col("__hvec")))
+    val simDenom = col("__nb") * col("__nh")
+    val matched = probed
+      .withColumn("__nb", Similarity.norm(col("__bvec")))
+      .join(hist, Seq("__cid"))
+      .withColumn("__sim", when(simDenom =!= 0.0,
+        round(Similarity.dot(col("__bvec"), col("__hvec")) / simDenom, 6)))
+      .filter(col("__sim") >= threshold)
+      .select(col("__bid").as(idCol))
+      .distinct()
+    batch.join(matched, Seq(idCol), "left_anti")
+  }
+
   // ---- benchmark decontamination -------------------------------------
 
   /** Benchmark decontamination: flag corpus documents sharing any word

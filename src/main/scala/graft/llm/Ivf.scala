@@ -608,43 +608,147 @@ object Ivf {
   }
 
   private val indexMetaName = "ivf_index.json"
+  private val payloadRe = "centroids_v([0-9]+)".r
+  private val payloadFieldRe = """"payload":"([^"]+)"""".r
 
   /** Persist a trained quantizer (the [[trainIndex]] /
     * [[centroids]]-shaped frame) as an on-disk index artifact — the
-    * FAISS `write_index` analog: `<dir>/centroids` parquet plus a JSON
-    * descriptor. Production clusters train once and probe for weeks;
-    * this is the handoff between those jobs.
+    * FAISS `write_index` analog. Production clusters train once and
+    * probe for weeks; this is the handoff between those jobs.
+    *
+    * ATOMIC PUBLISH (r18 — the pre-r18 form wrote `<dir>/centroids`
+    * then the descriptor separately, so a probing job could read a
+    * half-written payload or a descriptor/centroids mismatch): each
+    * save writes a FRESH versioned payload dir (`centroids_v<N>`) and
+    * only then publishes the descriptor naming it — the descriptor is
+    * the single commit point, landing via staged-write + rename with
+    * the repo's retire/heal discipline ([[Recovery.idempotentWrite]]'s
+    * policy applied to a file). A concurrent [[loadIndex]] therefore
+    * always resolves a COMPLETE payload: the prior descriptor keeps
+    * naming the prior payload until the new one is fully on disk, and
+    * the superseded payload is retained for ONE more save (readers
+    * that resolved it mid-publish keep scanning it) before being
+    * swept. Versioning for free: `indexVersions` lists what's
+    * retained.
     */
   def saveIndex(centroids: DataFrame, dir: String): Unit = {
     val norm = centroids.select(col("__cid").cast("int").as("__cid"),
       col("__cvec").cast("array<float>").as("__cvec"))
-    norm.write.mode("overwrite").parquet(s"$dir/centroids")
-    val saved = norm.sparkSession.read.parquet(s"$dir/centroids")
+    val spark = norm.sparkSession
+    val dirPath = new org.apache.hadoop.fs.Path(dir)
+    val fs = dirPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val existing =
+      if (fs.exists(dirPath))
+        fs.listStatus(dirPath).toSeq.map(_.getPath.getName)
+          .collect { case payloadRe(n) => n.toLong }
+      else Seq.empty
+    val v = (existing :+ 0L).max + 1
+    val payload = s"centroids_v$v"
+    norm.write.mode("overwrite").parquet(s"$dir/$payload")
+    val saved = spark.read.parquet(s"$dir/$payload")
     val nlist = saved.count()
     val dim = vecDim(saved, "__cvec")
     val meta = s"""{"format":"graft-ivf-index","version":1,""" +
-      s""""nlist":$nlist,"dim":$dim,"metric":"cosine"}"""
-    val p = new org.apache.hadoop.fs.Path(dir, indexMetaName)
-    val fs = p.getFileSystem(
-      norm.sparkSession.sparkContext.hadoopConfiguration)
-    val out = fs.create(p, true)
+      s""""nlist":$nlist,"dim":$dim,"metric":"cosine","payload":"$payload"}"""
+    publishDescriptor(fs, dirPath, meta)
+    // sweep payloads at least TWO versions back (the one directly
+    // superseded stays for readers that resolved it just before the
+    // commit); the legacy un-versioned `centroids` dir is left alone —
+    // an old descriptor elsewhere could still name it
+    fs.listStatus(dirPath).toSeq.map(_.getPath).foreach { p =>
+      p.getName match {
+        case payloadRe(n) if n.toLong < v - 1 => fs.delete(p, true)
+        case _ =>
+      }
+    }
+  }
+
+  /** Stage the descriptor beside its target, then retire-and-promote —
+    * the file analog of [[graft.Recovery.idempotentWrite]]'s dir swap
+    * (plain rename-to-existing is not atomic on HDFS, so the brief
+    * no-descriptor window between the two renames is HEALED by
+    * [[healIndexDescriptor]] on every read instead).
+    */
+  private def publishDescriptor(fs: org.apache.hadoop.fs.FileSystem,
+                                dirPath: org.apache.hadoop.fs.Path,
+                                meta: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(dirPath, indexMetaName)
+    val staging = new org.apache.hadoop.fs.Path(dirPath, s".${indexMetaName}__staging")
+    val old = new org.apache.hadoop.fs.Path(dirPath, s".${indexMetaName}__old")
+    fs.delete(staging, false)
+    val out = fs.create(staging, true)
     try out.write((meta + "\n").getBytes("UTF-8")) finally out.close()
+    fs.delete(old, false)
+    if (fs.exists(p) && !fs.rename(p, old))
+      throw new java.io.IOException(s"could not retire old descriptor: $p")
+    if (!fs.rename(staging, p)) {
+      if (fs.exists(old) && !fs.rename(old, p))
+        throw new java.io.IOException(
+          s"descriptor publish failed AND rollback failed: state is at $old")
+      throw new java.io.IOException(s"descriptor publish failed: $staging -> $p")
+    }
+    fs.delete(old, false)
+  }
+
+  /** Heal [[saveIndex]]'s one-rename crash window: descriptor missing
+    * but a VALID staged one (or the retiree) still present — prefer
+    * the staged new state, exactly [[graft.Recovery.restoreIfTorn]]'s
+    * policy. A partial staging (writer died mid-write) fails the
+    * format check and falls back to the retiree. No-op when the
+    * descriptor exists. Rename races with a concurrent writer are
+    * benign: a false rename just means someone else completed it.
+    */
+  private def healIndexDescriptor(fs: org.apache.hadoop.fs.FileSystem,
+                                  dirPath: org.apache.hadoop.fs.Path): Unit = {
+    val p = new org.apache.hadoop.fs.Path(dirPath, indexMetaName)
+    if (fs.exists(p)) return
+    val staging = new org.apache.hadoop.fs.Path(dirPath, s".${indexMetaName}__staging")
+    val old = new org.apache.hadoop.fs.Path(dirPath, s".${indexMetaName}__old")
+    def validDescriptor(f: org.apache.hadoop.fs.Path): Boolean =
+      fs.exists(f) && {
+        val in = fs.open(f)
+        val s = try new String(in.readAllBytes(), "UTF-8") finally in.close()
+        s.contains("\"format\":\"graft-ivf-index\"") && s.endsWith("\n")
+      }
+    if (validDescriptor(staging)) { fs.rename(staging, p); () }
+    else if (validDescriptor(old)) { fs.rename(old, p); () }
+  }
+
+  /** The payload versions currently retained under an index dir,
+    * ascending (at most two: the live one and its direct predecessor).
+    */
+  def indexVersions(spark: org.apache.spark.sql.SparkSession,
+                    dir: String): Seq[Long] = {
+    val dirPath = new org.apache.hadoop.fs.Path(dir)
+    val fs = dirPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(dirPath)) Seq.empty
+    else fs.listStatus(dirPath).toSeq.map(_.getPath.getName)
+      .collect { case payloadRe(n) => n.toLong }.sorted
   }
 
   /** Load a [[saveIndex]] artifact back as the centroid frame
-    * (__cid, __cvec). Validates the descriptor so a random parquet
-    * directory cannot masquerade as an index.
+    * (__cid, __cvec): heal the descriptor's crash window, validate the
+    * format (a random parquet directory cannot masquerade as an
+    * index), and resolve the payload the descriptor names — pre-r18
+    * descriptors carry no payload field and fall back to the legacy
+    * `centroids` dir.
     */
   def loadIndex(spark: org.apache.spark.sql.SparkSession,
                 dir: String): DataFrame = {
-    val p = new org.apache.hadoop.fs.Path(dir, indexMetaName)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val dirPath = new org.apache.hadoop.fs.Path(dir)
+    val fs = dirPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    healIndexDescriptor(fs, dirPath)
+    val p = new org.apache.hadoop.fs.Path(dirPath, indexMetaName)
     require(fs.exists(p), s"no $indexMetaName under $dir — not a graft ANN index")
     val in = fs.open(p)
     val meta = try new String(in.readAllBytes(), "UTF-8") finally in.close()
     require(meta.contains("\"format\":\"graft-ivf-index\""),
       s"$p is not a graft-ivf-index descriptor")
-    spark.read.parquet(s"$dir/centroids").select(col("__cid"), col("__cvec"))
+    val payload = payloadFieldRe.findFirstMatchIn(meta)
+      .map(_.group(1)).getOrElse("centroids")
+    require(!payload.contains("/") && !payload.contains(".."),
+      s"descriptor names a non-local payload: $payload")
+    spark.read.parquet(s"$dir/$payload").select(col("__cid"), col("__cvec"))
   }
 
   /** Quantizer drift / health monitor — the RETRAIN TRIGGER of the
@@ -691,8 +795,11 @@ object Ivf {
       graft.functions.Det.meanAt(col("__sim"), 6).as("mean_sim"),
       min(col("__sim")).as("min_sim"),
       sum(when(col("__sim") < simFloor, 1L).otherwise(0L)).as("n_below"))
+    // both sides are nlist-bounded; the hint makes the STATIC plan
+    // self-evidently bounded too (a left-outer can only broadcast its
+    // build/right side, so the hint goes on the aggregate)
     cents.select(col("__cid").as("cell_id"))
-      .join(stats, Seq("cell_id"), "left")
+      .join(broadcast(stats), Seq("cell_id"), "left")
       .select(col("cell_id"),
         coalesce(col("n"), lit(0L)).as("n"),
         col("mean_sim"), col("min_sim"),

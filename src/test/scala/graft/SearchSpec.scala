@@ -233,6 +233,54 @@ class SearchSpec extends SparkSpec {
     GraftSession.releaseAll(spark)
   }
 
+  test("saveIndex publishes atomically: versioned payloads, predecessor retained, torn windows heal") {
+    import graft.llm.Ivf
+    val e = table("embeddings")
+    def centsOf(k: Int) = e.filter(col("vec_id") < k)
+      .select(col("vec_id").cast("int").as("__cid"),
+        col("embedding").as("__cvec"))
+    val dir = java.nio.file.Files.createTempDirectory("graft_ann_atomic")
+      .toString + "/idx"
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    Ivf.saveIndex(centsOf(3), dir) // v1
+    val preSaveReader = Ivf.loadIndex(spark, dir)
+    Ivf.saveIndex(centsOf(5), dir) // v2: v1 RETAINED for in-flight readers
+    assert(Ivf.indexVersions(spark, dir) == Seq(1L, 2L))
+    // the reader that resolved v1 before the publish still scans a
+    // complete payload; a fresh load resolves v2
+    assert(preSaveReader.count() == 3L)
+    assert(Ivf.loadIndex(spark, dir).count() == 5L)
+    Ivf.saveIndex(centsOf(4), dir) // v3: v1 swept, v2 retained
+    assert(Ivf.indexVersions(spark, dir) == Seq(2L, 3L))
+    assert(Ivf.loadIndex(spark, dir).count() == 4L)
+    val desc = new org.apache.hadoop.fs.Path(dir, "ivf_index.json")
+    val staging = new org.apache.hadoop.fs.Path(dir, ".ivf_index.json__staging")
+    val retiree = new org.apache.hadoop.fs.Path(dir, ".ivf_index.json__old")
+    // torn window A: crash between retire and promote — descriptor at
+    // __old only; loadIndex heals and reads, and the catalog face
+    // resolves the healed layout
+    assert(fs.rename(desc, retiree))
+    assert(Ivf.loadIndex(spark, dir).count() == 4L)
+    assert(fs.exists(desc) && !fs.exists(retiree))
+    val viaCatalog = graft.Catalog.load(spark, graft.Catalog.parseJson(
+      s"""{"datasets":[{"name":"idx","format":"ann_index","path":"$dir"}]}""").head)
+    assert(viaCatalog.count() == 4L)
+    // torn window B: staged new descriptor, crash before retire —
+    // prefer the staged (fully written) state
+    assert(fs.rename(desc, staging))
+    assert(Ivf.loadIndex(spark, dir).count() == 4L)
+    assert(fs.exists(desc) && !fs.exists(staging))
+    // torn window C: PARTIAL staging (no terminating newline — the
+    // writer died mid-write) must fall back to the retiree
+    assert(fs.rename(desc, retiree))
+    val out = fs.create(staging, true)
+    try out.write("""{"format":"graft-ivf-index","vers""".getBytes("UTF-8"))
+    finally out.close()
+    assert(Ivf.loadIndex(spark, dir).count() == 4L)
+    fs.delete(staging, false)
+  }
+
   test("driver-path centroid assignment equals the broadcast-join formulation") {
     import graft.llm.Ivf
     val e = table("embeddings")

@@ -688,6 +688,77 @@ class TextDedupSpec extends SparkSpec {
     assert(sem.contains((3L, 9001L)) && sem.contains((41L, 9002L)))
   }
 
+  test("semanticAgainstHistory: planted geometry — exact dup, in-cell near-dup, straddler, nulls, per-ID drop") {
+    val cents = Seq((0, Array(1f, 0f, 0f, 0f)), (1, Array(0f, 1f, 0f, 0f)))
+      .toDF("__cid", "__cvec")
+    val history0 = Seq(
+      (100L, Array(1f, 0f, 0f, 0f)),       // cell 0
+      (101L, Array(0.1f, 0.995f, 0f, 0f)), // cell 1
+      (102L, Array(0.6f, 0.8f, 0f, 0f))    // cell 1 — the straddler's mate
+    ).toDF("vec_id", "embedding")
+    val history = Dedup.semanticHistorySignatures(
+      history0, "vec_id", "embedding", cents)
+    assert(history.select(col("vec_id"), col("__cid").cast("int"))
+      .as[(Long, Int)].collect().toMap ==
+      Map(100L -> 0, 101L -> 1, 102L -> 1))
+    val batch = Seq(
+      (1L, Array(1f, 0f, 0f, 0f)),       // exact dup of 100 → drops
+      (2L, Array(0.12f, 0.99f, 0f, 0f)), // near-dup of 101, same cell → drops
+      (3L, Array(0f, 0f, 1f, 0f)),       // orthogonal → survives
+      // straddler: argmax cell 0 (cos 0.8 vs 0.6), but its true
+      // near-dup 102 (cos 0.96 ≥ τ) sits in cell 1 — the documented
+      // recall trade at nprobe=1, closed by nprobe=2
+      (4L, Array(0.8f, 0.6f, 0f, 0f)),
+      (5L, null.asInstanceOf[Array[Float]]) // unscorable → survives always
+    ).toDF("vec_id", "embedding")
+    val s1 = Dedup.semanticAgainstHistory(batch, history, cents,
+        "vec_id", "embedding", threshold = 0.9)
+      .select("vec_id").as[Long].collect().sorted.toSeq
+    assert(s1 == Seq(3L, 4L, 5L))
+    val s2 = Dedup.semanticAgainstHistory(batch, history, cents,
+        "vec_id", "embedding", threshold = 0.9, nprobe = 2)
+      .select("vec_id").as[Long].collect().sorted.toSeq
+    assert(s2 == Seq(3L, 5L))
+    // the screen is per-ID: a clean row sharing the matched id drops too
+    val dupId = batch.unionAll(
+      Seq((1L, Array(0f, 0f, 0f, 1f))).toDF("vec_id", "embedding"))
+    val s3 = Dedup.semanticAgainstHistory(dupId, history, cents,
+        "vec_id", "embedding", threshold = 0.9)
+      .select("vec_id").as[Long].collect().sorted.toSeq
+    assert(s3 == Seq(3L, 4L, 5L))
+  }
+
+  test("semanticAgainstHistory at nprobe=nlist equals the unblocked exact screen; survivors shrink as nprobe grows") {
+    val e = table("embeddings")
+    val cents = e.filter(col("vec_id") < 4)
+      .select(col("vec_id").cast("int").as("__cid"),
+        col("embedding").as("__cvec"))
+    val hist0 = e.filter(col("vec_id") % 3 === 0)
+    val history = Dedup.semanticHistorySignatures(
+      hist0, "vec_id", "embedding", cents)
+    val batch = e.filter(col("vec_id") % 3 =!= 0)
+    // brute-force reference: anti-join on ANY history cosine ≥ τ
+    val h = hist0.select(col("embedding").as("__hv"))
+    val denom = Similarity.norm(col("embedding")) * Similarity.norm(col("__hv"))
+    val matched = batch.crossJoin(h)
+      .filter(when(denom =!= 0.0,
+        round(Similarity.dot(col("embedding"), col("__hv")) / denom, 6))
+        >= 0.4)
+      .select("vec_id").distinct()
+    val exact = batch.join(matched, Seq("vec_id"), "left_anti")
+      .select("vec_id").as[Long].collect().sorted.toSeq
+    def screened(p: Int) = Dedup.semanticAgainstHistory(batch, history, cents,
+        "vec_id", "embedding", threshold = 0.4, nprobe = p)
+      .select("vec_id").as[Long].collect().sorted.toSeq
+    val Seq(p1, p2, p4) = Seq(1, 2, 4).map(screened)
+    // 4 cells: probing all of them examines every (batch, history)
+    // pair exactly once — the exact screen
+    assert(p4 == exact && exact.nonEmpty)
+    // more probes can only match MORE history — survivors only shrink
+    assert(p2.toSet.subsetOf(p1.toSet) && p4.toSet.subsetOf(p2.toSet))
+    assert(p1.size < batch.count()) // the screen actually drops rows
+  }
+
   test("lshParams places the S-curve rise at the threshold") {
     // every result is a valid divisor split
     for (t <- Seq(0.3, 0.5, 0.7, 0.9); n <- Seq(16, 32, 128)) {
