@@ -277,26 +277,110 @@ object Streams {
                           historyRoot: String, checkpointDir: String,
                           ngramN: Int = 5, numHashes: Int = 32,
                           bands: Int = 8, threshold: Double = 1.0)
-                         (clean: (DataFrame, Long) => Unit) = {
+                         (clean: (DataFrame, Long) => Unit) =
+    ingestScreenStream(stream, historyRoot, checkpointDir)(
+      b => graft.llm.Dedup.minhashHistorySignatures(
+        b, idCol, textCol, ngramN, numHashes))(
+      (b, history) => graft.llm.Dedup.minhashAgainstHistory(
+        b, history, idCol, textCol, ngramN, numHashes, bands, threshold))(
+      clean)
+
+  /** Signature-family-GENERIC streaming ingest screen (r18) — the
+    * history/slice/replay core behind [[nearDupScreenStream]],
+    * factored so EVERY history-screen family member (minhash and
+    * simhash text, perceptual image hashes, cell-assigned embeddings
+    * — or any future signature) rides the same checkpoint-replay-safe
+    * machinery instead of re-implementing it:
+    *  - `signatures(rows)` derives the STORED-signature frame a
+    *    survivor contributes to history (must accept an empty frame —
+    *    the cold-start schema);
+    *  - `screen(batch, historySigs)` returns the surviving batch rows
+    *    (columns unchanged).
+    * Per micro-batch: the history read unions the healed slices
+    * EXCLUDING this batch id (replay safety — a replayed batch can
+    * never screen against its own previous attempt and self-match),
+    * survivors' signatures land as the `batch_id=N` slice through the
+    * atomic swap (a replay REPLACES its slice instead of
+    * double-appending), survivors flow to `clean`. Seed pre-existing
+    * corpus history at `historyRoot/batch_id=-1`; fold accumulated
+    * slices with [[compactSignatureHistory]] while stopped. Same
+    * one-checkpoint-lineage contract as every batch_id-slice sink
+    * here: reset or re-seed the history when the checkpoint resets.
+    */
+  def ingestScreenStream(stream: DataFrame, historyRoot: String,
+                         checkpointDir: String)
+                        (signatures: DataFrame => DataFrame)
+                        (screen: (DataFrame, DataFrame) => DataFrame)
+                        (clean: (DataFrame, Long) => Unit) = {
     stream.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         val spark = batch.sparkSession
         val b = batch.toDF()
         val history = signatureHistory(spark, historyRoot, exclude = batchId)
-          .getOrElse(graft.llm.Dedup.minhashHistorySignatures(
-            b.limit(0), idCol, textCol, ngramN, numHashes))
-        val survivors = graft.llm.Dedup.minhashAgainstHistory(
-          b, history, idCol, textCol, ngramN, numHashes, bands, threshold)
+          .getOrElse(signatures(b.limit(0)))
+        val survivors = screen(b, history)
         graft.Recovery.idempotentWrite(
-          graft.llm.Dedup.minhashHistorySignatures(
-            survivors, idCol, textCol, ngramN, numHashes),
-          s"$historyRoot/batch_id=$batchId")
+          signatures(survivors), s"$historyRoot/batch_id=$batchId")
         clean(survivors, batchId)
         ()
       }
       .start()
   }
+
+  /** Streaming perceptual-image ingest screen — [[ingestScreenStream]]
+    * with [[graft.multimodal.Media.imageSignatures]] /
+    * [[graft.multimodal.Media.imageAgainstHistory]]: each micro-batch
+    * decodes once map-side, screens against the stored 8-byte
+    * signature history (history pixels are never re-decoded), and
+    * survivors append their signatures. Undecodable/null blobs
+    * always survive — quarantine them separately.
+    */
+  def imageScreenStream(stream: DataFrame, idCol: String, binCol: String,
+                        historyRoot: String, checkpointDir: String,
+                        maxHamming: Int = 6, algo: String = "dhash")
+                       (clean: (DataFrame, Long) => Unit) =
+    ingestScreenStream(stream, historyRoot, checkpointDir)(
+      b => graft.multimodal.Media.imageSignatures(b, idCol, binCol, algo))(
+      (b, history) => graft.multimodal.Media.imageAgainstHistory(
+        b, idCol, binCol, history, maxHamming, algo = algo))(
+      clean)
+
+  /** Streaming simhash text ingest screen — [[ingestScreenStream]]
+    * with [[graft.llm.Dedup.simhashSignatures]] /
+    * [[graft.llm.Dedup.simhashAgainstHistory]] (token-multiset
+    * near-dup at a hamming budget; history text never re-tokenized).
+    */
+  def simhashScreenStream(stream: DataFrame, idCol: String, textCol: String,
+                          historyRoot: String, checkpointDir: String,
+                          maxHamming: Int = 3)
+                         (clean: (DataFrame, Long) => Unit) =
+    ingestScreenStream(stream, historyRoot, checkpointDir)(
+      b => graft.llm.Dedup.simhashSignatures(b, idCol, textCol))(
+      (b, history) => graft.llm.Dedup.simhashAgainstHistory(
+        b, history, idCol, textCol, maxHamming))(
+      clean)
+
+  /** Streaming SEMANTIC (embedding) ingest screen —
+    * [[ingestScreenStream]] with [[graft.llm.Dedup
+    * .semanticHistorySignatures]] / [[graft.llm.Dedup
+    * .semanticAgainstHistory]] over the pipeline's persisted quantizer
+    * (`centroids` — load once via [[graft.llm.Ivf.loadIndex]]): each
+    * batch cell-assigns map-side and drops rows whose rounded cosine
+    * reaches `threshold` against stored history vectors in its
+    * `nprobe` cells; survivors append their cell-assigned embeddings.
+    */
+  def semanticScreenStream(stream: DataFrame, idCol: String, vecCol: String,
+                           centroids: DataFrame,
+                           historyRoot: String, checkpointDir: String,
+                           threshold: Double = 0.9, nprobe: Int = 1)
+                          (clean: (DataFrame, Long) => Unit) =
+    ingestScreenStream(stream, historyRoot, checkpointDir)(
+      b => graft.llm.Dedup.semanticHistorySignatures(
+        b, idCol, vecCol, centroids))(
+      (b, history) => graft.llm.Dedup.semanticAgainstHistory(
+        b, history, centroids, idCol, vecCol, threshold, nprobe))(
+      clean)
 
   /** Compact a [[nearDupScreenStream]] history root: fold every
     * `batch_id` slice ≤ `upToBatch` (and any existing seed) into ONE

@@ -683,6 +683,105 @@ class StreamsMediaSpec extends SparkSpec {
     assert(seedMtimes == m0)
   }
 
+  test("imageScreenStream: multi-batch perceptual ingest; replay == batch imageAgainstHistory") {
+    import java.nio.file.Files
+    implicit val sqlCtx = spark.sqlContext
+    val base = Files.createTempDirectory("graft_imgstream").toString
+    val historyRoot = s"$base/history"
+    // a near-copy construction with a PINNED small nonzero hamming
+    // (corner-block edit — a uniform jitter moves no dHash bits)
+    def cornered(seed: Long) = {
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(Media.syntheticPng(seed)))
+      for (y <- 0 until 4; x <- 0 until 4) img.setRGB(x, y, 0)
+      val baos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", baos)
+      baos.toByteArray
+    }
+    // seed: one pre-ingested picture's signature at batch_id=-1
+    graft.Recovery.idempotentWrite(
+      Media.imageSignatures(
+        Seq((100L, Media.syntheticPng(1))).toDF("img_id", "img"),
+        "img_id", "img"),
+      s"$historyRoot/batch_id=-1")
+    val input = MemoryStream[(Long, Array[Byte])]
+    val cleanSeen = scala.collection.mutable.ArrayBuffer.empty[(Long, Set[Long])]
+    val q = Streams.imageScreenStream(
+      input.toDF().toDF("img_id", "img"), "img_id", "img",
+      historyRoot, s"$base/ckpt", maxHamming = 6) { (ok, bid) =>
+      cleanSeen += ((bid, ok.select("img_id").as[Long].collect().toSet))
+    }
+    val batch1 = Seq(
+      (5L, cornered(50)),                       // near-copy of batch-0 survivor → drop
+      (6L, Media.syntheticPng(77)),             // fresh → survive
+      (7L, null.asInstanceOf[Array[Byte]]))     // undecodable → survive
+    try {
+      // batch 0: byte-identical seed copy drops, corner-edited seed
+      // copy drops (perceptual, not byte, matching), fresh survives
+      input.addData(Seq(
+        (1L, Media.syntheticPng(1)),
+        (2L, cornered(1)),
+        (3L, Media.syntheticPng(50))))
+      q.processAllAvailable()
+      input.addData(batch1)
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(cleanSeen.toList == List((0L, Set(3L)), (1L, Set(6L, 7L))))
+    // slices carry ONLY ids + 8-byte signatures — pixels never land in
+    // history, and survivors' signatures are batch-keyed
+    val hist = spark.read.option("basePath", historyRoot).parquet(historyRoot)
+    assert(hist.columns.toSet == Set("img_id", "__sig", "batch_id"))
+    assert(hist.filter(col("batch_id") === 0L).select("img_id")
+      .as[Long].collect().toSet == Set(3L))
+    // replay == the BATCH operator: screening batch 1's rows against
+    // everything-but-slice-1 through imageAgainstHistory reproduces
+    // the stream's batch-1 survivors exactly
+    val replayHistory = hist.filter(col("batch_id") =!= 1L)
+      .select("img_id", "__sig")
+    val replayed = Media.imageAgainstHistory(
+      batch1.toDF("img_id", "img"), "img_id", "img", replayHistory,
+      maxHamming = 6)
+    assert(replayed.select("img_id").as[Long].collect().toSet == Set(6L, 7L))
+  }
+
+  test("semanticScreenStream: cell-assigned embedding ingest over a fixed quantizer") {
+    import java.nio.file.Files
+    implicit val sqlCtx = spark.sqlContext
+    val base = Files.createTempDirectory("graft_semstream").toString
+    val historyRoot = s"$base/history"
+    val cents = Seq((0, Array(1f, 0f, 0f, 0f)), (1, Array(0f, 1f, 0f, 0f)))
+      .toDF("__cid", "__cvec")
+    graft.Recovery.idempotentWrite(
+      graft.llm.Dedup.semanticHistorySignatures(
+        Seq((100L, Array(1f, 0f, 0f, 0f))).toDF("vec_id", "embedding"),
+        "vec_id", "embedding", cents),
+      s"$historyRoot/batch_id=-1")
+    val input = MemoryStream[(Long, Array[Float])]
+    val cleanSeen = scala.collection.mutable.ArrayBuffer.empty[(Long, Set[Long])]
+    val q = Streams.semanticScreenStream(
+      input.toDF().toDF("vec_id", "embedding"), "vec_id", "embedding",
+      cents, historyRoot, s"$base/ckpt", threshold = 0.9) { (ok, bid) =>
+      cleanSeen += ((bid, ok.select("vec_id").as[Long].collect().toSet))
+    }
+    try {
+      // batch 0: exact seed dup drops, orthogonal fresh survives
+      input.addData(Seq(
+        (1L, Array(1f, 0f, 0f, 0f)),
+        (2L, Array(0f, 1f, 0f, 0f))))
+      q.processAllAvailable()
+      // batch 1: near-dup of batch 0's survivor drops (cell 1), a null
+      // vector survives (unscorable)
+      input.addData(Seq(
+        (3L, Array(0.05f, 0.999f, 0f, 0f)),
+        (4L, null.asInstanceOf[Array[Float]])))
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(cleanSeen.toList == List((0L, Set(2L)), (1L, Set(4L))))
+    // history slices carry the CELL-ASSIGNED embedding schema
+    val hist = spark.read.option("basePath", historyRoot).parquet(historyRoot)
+    assert(hist.columns.toSet == Set("vec_id", "embedding", "__cid", "batch_id"))
+  }
+
   test("Datagen.withFields: streaming values identical to batch for the same ids") {
     import graft.sources.Datagen, Datagen._
     val fields = Seq(IntCol("age", 18, 80), DoubleCol("p", 0.0, 1.0),
