@@ -293,6 +293,45 @@ object QueriesLlm {
       graft.multimodal.Media.sampleKeyframes(vids, "doc_id", "blob", n = 8)
     }),
 
+    // WebP container dims (r18), oracle-green end-to-end through REAL
+    // RIFF/VP8/VP8L/VP8X byte building + parsing: each doc gets a
+    // planted webp of its profile (doc_id % 3 → lossy / lossless /
+    // extended) with closed-form dims, so the oracle predicts
+    // format/width/height from doc_id arithmetic alone. Scope note:
+    // webp is DIMS-ONLY — the JDK ships no VP8 pixel decoder, so
+    // perceptual hashing cannot cover it (q_media_formats makes that
+    // hole visible instead of silent).
+    "q_media_webp" -> ((s, dir) => {
+      val kind = when(pmod(col("doc_id"), lit(3)) === 0, "vp8")
+        .when(pmod(col("doc_id"), lit(3)) === 1, "vp8l")
+        .otherwise("vp8x")
+      val d = t(s, dir, "documents").select(col("doc_id"),
+        graft.multimodal.Media.syntheticWebpCol(
+          pmod(col("doc_id"), lit(500)) + lit(1),
+          pmod(col("doc_id"), lit(300)) + lit(1), kind).as("img"))
+      graft.multimodal.Media.imageDims(d, "img")
+        .select("doc_id", "format", "width", "height")
+    }),
+
+    // per-format decodability accounting (r18): a planted mixed corpus
+    // — PNG (pixel-decodable), WebP (dims-only), prefixed text bytes
+    // (unknown) by doc_id % 3 — through imageFormatProfile; the oracle
+    // predicts every count from the modulus. THE coverage report a
+    // crawl pipeline checks before trusting its perceptual near-dup
+    // screen.
+    "q_media_formats" -> ((s, dir) => {
+      val cls = pmod(col("doc_id"), lit(3))
+      val blob = when(cls === 0,
+          graft.multimodal.Media.syntheticPngCol(col("doc_id"), lit(0)))
+        .when(cls === 1, graft.multimodal.Media.syntheticWebpCol(
+          lit(64), lit(48), lit("vp8l")))
+        // "X" prefix pins the class: raw text could in principle open
+        // with a real magic ("BM...", "GIF...") and drift the counts
+        .otherwise(concat(lit("X").cast("binary"), coalesce(col("text"), lit("")).cast("binary")))
+      val d = t(s, dir, "documents").select(col("doc_id"), blob.as("img"))
+      graft.multimodal.Media.imageFormatProfile(d, "img")
+    }),
+
     // windowed exact-substring duplication (suffix-dedup approximation)
     "q_dedup_spans" -> ((s, dir) => {
       Dedup.dupSpanStats(t(s, dir, "documents"), "doc_id", "text",
@@ -817,6 +856,28 @@ object QueriesLlm {
         |  CAST(((frame_idx * kcount) // m) * g * 40 AS BIGINT)
         |    AS frame_offset_ms
         |FROM idx""".stripMargin,
+
+    // the builder's closed-form webp dims: every profile round-trips
+    // the planted width/height, so the oracle is pure doc_id arithmetic
+    "q_media_webp" ->
+      """SELECT doc_id, 'webp' AS format,
+        |  CAST(doc_id % 500 + 1 AS INTEGER) AS width,
+        |  CAST(doc_id % 300 + 1 AS INTEGER) AS height
+        |FROM documents""".stripMargin,
+
+    // the planted class layout: png decodes, webp is dims-only, the
+    // prefixed text bytes parse as nothing
+    "q_media_formats" ->
+      """WITH s AS (
+        |  SELECT CASE doc_id % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'webp'
+        |           ELSE 'unknown' END AS format,
+        |    CASE WHEN doc_id % 3 IN (0, 1) THEN 1 ELSE 0 END AS has_dims,
+        |    CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END AS dec
+        |  FROM documents)
+        |SELECT format, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(has_dims) AS BIGINT) AS n_dims,
+        |  CAST(SUM(dec) AS BIGINT) AS n_decodable
+        |FROM s GROUP BY 1""".stripMargin,
 
     // the builder's closed-form track layout: video track always
     // present at the doc_id-derived dims/codec, audio track on

@@ -49,6 +49,32 @@ object Media {
       // biHeight is SIGNED: negative means top-down row order, the
       // magnitude is still the pixel height
       Some(("bmp", le32(18), math.abs(le32(22))))
+    else if (bytes.length >= 25 && bytes(0) == 'R' && bytes(1) == 'I' &&
+             bytes(2) == 'F' && bytes(3) == 'F' && bytes(8) == 'W' &&
+             bytes(9) == 'E' && bytes(10) == 'B' && bytes(11) == 'P') {
+      // WebP (r18): the majority format of a modern web crawl. RIFF
+      // container; dims live in the first payload chunk's header for
+      // all three profiles — VP8 (lossy: 3-byte frame tag, 9D 01 2A
+      // sync, 14-bit LE dims), VP8L (lossless: 0x2F signature, 14+14
+      // bits packed LE, stored minus one), VP8X (extended: 24-bit LE
+      // canvas dims minus one). DIMS-ONLY: the JDK ships no VP8
+      // decoder, so pixel work (perceptual hashing) cannot include
+      // webp — [[imageFormatProfile]] counts that hole per format
+      // instead of letting it hide in "undecodable survives".
+      val chunk = new String(bytes, 12, 4, java.nio.charset.StandardCharsets.US_ASCII)
+      def le24(i: Int) = u8(i) | (u8(i + 1) << 8) | (u8(i + 2) << 16)
+      chunk match {
+        case "VP8 " if bytes.length >= 30 &&
+            u8(23) == 0x9D && u8(24) == 0x01 && u8(25) == 0x2A =>
+          Some(("webp", le16(26) & 0x3FFF, le16(28) & 0x3FFF))
+        case "VP8L" if bytes.length >= 25 && u8(20) == 0x2F =>
+          val b = le32(21)
+          Some(("webp", (b & 0x3FFF) + 1, ((b >> 14) & 0x3FFF) + 1))
+        case "VP8X" if bytes.length >= 30 =>
+          Some(("webp", le24(24) + 1, le24(27) + 1))
+        case _ => None
+      }
+    }
     else if (bytes.length >= 4 && u8(0) == 0xFF && u8(1) == 0xD8) {
       // JPEG: walk marker segments to the first frame header (SOFn)
       var i = 2
@@ -73,6 +99,83 @@ object Media {
   final case class ImageDims(format: String, width: Int, height: Int)
   private val dimsUdf = udf((b: Array[Byte]) =>
     parseImageDims(b).map { case (f, w, h) => ImageDims(f, w, h) }.orNull)
+
+  /** Per-row container dims as columns (`format`, `width`, `height`,
+    * null when unparseable) — the public face of [[parseImageDims]]
+    * for profiling queries; one map-side byte walk, no decode.
+    */
+  def imageDims(df: DataFrame, binCol: String): DataFrame =
+    df.withColumn("__dims", dimsUdf(col(binCol)))
+      .withColumn("format", col("__dims.format"))
+      .withColumn("width", col("__dims.width"))
+      .withColumn("height", col("__dims.height"))
+      .drop("__dims")
+
+  /** EXIF orientation tag (1–8) from a JPEG's APP1 segment; 1
+    * (upright) for non-JPEG bytes, absent/truncated/unparseable EXIF,
+    * or out-of-range values — never a throw (the same hostile-input
+    * posture as every byte walker here). The marker walk stops at SOS
+    * (EXIF precedes the entropy-coded scan by spec); the TIFF IFD walk
+    * honors both byte orders and stays inside the declared segment.
+    * A phone photo saved rotated-with-EXIF carries its rotation ONLY
+    * here — [[dHash]]/[[aHash]] normalize through it so tagged and
+    * baked-in rotations of the same picture pair up.
+    */
+  def exifOrientation(bytes: Array[Byte]): Int = {
+    if (bytes == null || bytes.length < 4) return 1
+    def u8(i: Int) = bytes(i) & 0xFF
+    if (u8(0) != 0xFF || u8(1) != 0xD8) return 1
+    def be16(i: Int) = (u8(i) << 8) | u8(i + 1)
+    var i = 2
+    while (i + 4 <= bytes.length) {
+      if (u8(i) != 0xFF) return 1
+      while (i + 4 <= bytes.length && u8(i + 1) == 0xFF) i += 1
+      if (i + 4 > bytes.length) return 1
+      val marker = u8(i + 1)
+      if (marker == 0x01 || (marker >= 0xD0 && marker <= 0xD9)) i += 2
+      else if (marker == 0xDA) return 1 // SOS — no EXIF past the scan
+      else {
+        val segLen = be16(i + 2)
+        if (segLen < 2 || i + 2 + segLen > bytes.length) return 1
+        if (marker == 0xE1 && segLen >= 2 + 6 + 8 &&
+            u8(i + 4) == 'E' && u8(i + 5) == 'x' && u8(i + 6) == 'i' &&
+            u8(i + 7) == 'f' && u8(i + 8) == 0 && u8(i + 9) == 0) {
+          val t = i + 10 // TIFF header
+          val end = i + 2 + segLen
+          val le = u8(t) == 'I' && u8(t + 1) == 'I'
+          val be = u8(t) == 'M' && u8(t + 1) == 'M'
+          if (!le && !be) return 1
+          def r16(j: Int) =
+            if (le) u8(j) | (u8(j + 1) << 8) else (u8(j) << 8) | u8(j + 1)
+          def r32(j: Int): Long =
+            if (le) u8(j).toLong | (u8(j + 1).toLong << 8) |
+              (u8(j + 2).toLong << 16) | (u8(j + 3).toLong << 24)
+            else (u8(j).toLong << 24) | (u8(j + 1).toLong << 16) |
+              (u8(j + 2).toLong << 8) | u8(j + 3).toLong
+          if (r16(t + 2) != 42) return 1
+          val ifdOff = r32(t + 4)
+          if (ifdOff < 8L || ifdOff > Int.MaxValue.toLong ||
+              t + ifdOff + 2L > end) return 1
+          val ifd = t + ifdOff.toInt
+          val count = r16(ifd)
+          var e = 0
+          while (e < count && ifd + 2 + e * 12 + 12 <= end) {
+            val ep = ifd + 2 + e * 12
+            // orientation: tag 0x0112, type SHORT (3), count 1; the
+            // value sits inline in the 4-byte value field
+            if (r16(ep) == 0x0112 && r16(ep + 2) == 3 && r32(ep + 4) == 1L) {
+              val v = r16(ep + 8)
+              return if (v >= 1 && v <= 8) v else 1
+            }
+            e += 1
+          }
+          return 1
+        }
+        i += 2 + segLen
+      }
+    }
+    1
+  }
 
   /** Real RIFF/WAVE container parsing: channel count, sample rate and
     * bit depth come from the `fmt ` chunk, duration from the `data`
@@ -376,17 +479,87 @@ object Media {
     out
   }
 
+  /** [[grayGrid]] of the UPRIGHT image under an EXIF orientation
+    * (r18): the grid is computed over virtual upright coordinates,
+    * each pixel read index-mapped into the stored raster — a pure
+    * coordinate transform, no re-decode, no interpolation, and
+    * EXACTLY the grid a physically rotated/flipped copy would produce
+    * (spec-pinned for all 8 orientations). Orientation 1 (and any
+    * out-of-range value) is the plain [[grayGrid]], so untagged
+    * images hash exactly as before. Non-identity orientations read
+    * the full ARGB raster once (one extra W·H int buffer beside the
+    * BufferedImage the decode already materialized).
+    */
+  private[graft] def grayGridOriented(img: java.awt.image.BufferedImage,
+                                      gw: Int, gh: Int,
+                                      orientation: Int): Array[Double] = {
+    if (orientation <= 1 || orientation > 8) return grayGrid(img, gw, gh)
+    val ws = img.getWidth
+    val hs = img.getHeight
+    val transposed = orientation >= 5
+    val wu = if (transposed) hs else ws
+    val hu = if (transposed) ws else hs
+    val raster = img.getRGB(0, 0, ws, hs, null, 0, ws)
+    // upright(x, y) = stored(xs, ys) per the EXIF display transforms
+    @inline def storedIdx(x: Int, y: Int): Int = {
+      val xs = orientation match {
+        case 2 | 3 => ws - 1 - x
+        case 4     => x
+        case 5 | 6 => y
+        case _     => ws - 1 - y // 7, 8
+      }
+      val ys = orientation match {
+        case 2     => y
+        case 3 | 4 => hs - 1 - y
+        case 5     => x
+        case 6 | 7 => hs - 1 - x
+        case _     => x // 8
+      }
+      ys * ws + xs
+    }
+    val out = new Array[Double](gw * gh)
+    var cy = 0
+    while (cy < gh) {
+      val y0 = cy * hu / gh
+      val y1 = math.max(y0 + 1, (cy + 1) * hu / gh)
+      var cx = 0
+      while (cx < gw) {
+        val x0 = cx * wu / gw
+        val x1 = math.max(x0 + 1, (cx + 1) * wu / gw)
+        var sum = 0L
+        var y = y0
+        while (y < y1) {
+          var x = x0
+          while (x < x1) {
+            val rgb = raster(storedIdx(x, y))
+            sum += 299L * ((rgb >> 16) & 0xFF) + 587L * ((rgb >> 8) & 0xFF) +
+              114L * (rgb & 0xFF)
+            x += 1
+          }
+          y += 1
+        }
+        out(cy * gw + cx) = sum.toDouble / (1000.0 * (x1 - x0) * (y1 - y0))
+        cx += 1
+      }
+      cy += 1
+    }
+    out
+  }
+
   /** 64-bit dHash: 9×8 luminance grid; bit (row·8 + i) is set when
     * cell (i, row) < cell (i+1, row) — each bit is a horizontal
     * brightness GRADIENT, so the signature is invariant to global
     * brightness/contrast shifts and robust to re-encoding artifacts
     * (a JPEG must perturb two adjacent cell MEANS past their
-    * difference to flip a bit). None for undecodable input. Known
+    * difference to flip a bit). EXIF-orientation-normalized (r18): the
+    * grid is the UPRIGHT image's, so a rotation-tagged copy pairs at
+    * hamming 0 with its baked-in-rotation original; orientation-1
+    * images hash exactly as before. None for undecodable input. Known
     * limitation, inherent to dHash: flat/constant images all hash to
     * 0 and pair with each other — run exact dedup first.
     */
   def dHash(bytes: Array[Byte]): Option[Long] = decodeImage(bytes).map { img =>
-    val g = grayGrid(img, 9, 8)
+    val g = grayGridOriented(img, 9, 8, exifOrientation(bytes))
     var sig = 0L
     var row = 0
     while (row < 8) {
@@ -402,10 +575,11 @@ object Media {
 
   /** 64-bit aHash: 8×8 luminance grid; bit k set when cell k exceeds
     * the grid mean. Cruder than [[dHash]] (sensitive to global
-    * brightness) but the standard second opinion.
+    * brightness) but the standard second opinion. EXIF-normalized
+    * like [[dHash]].
     */
   def aHash(bytes: Array[Byte]): Option[Long] = decodeImage(bytes).map { img =>
-    val g = grayGrid(img, 8, 8)
+    val g = grayGridOriented(img, 8, 8, exifOrientation(bytes))
     val mean = g.sum / 64.0
     var sig = 0L
     var k = 0
@@ -436,6 +610,33 @@ object Media {
     }
     df.select(col(idCol), hash.as("__sig"))
   }
+
+  private val formatCoverageUdf = udf((b: Array[Byte]) => {
+    val dims = parseImageDims(b)
+    (dims.map(_._1).getOrElse("unknown"), dims.isDefined,
+      decodeImage(b).isDefined)
+  })
+
+  /** Per-format image coverage profile (r18) — makes the
+    * perceptual-dedup coverage hole VISIBLE instead of letting it
+    * hide inside "undecodable survives": for each detected container
+    * format (or "unknown"), the blob count, how many carry parseable
+    * header dims, and how many the JVM can actually PIXEL-decode —
+    * only those participate in [[dHash]]/[[aHash]] screening. On a
+    * modern crawl the headline row is webp: dims parse (the r18 RIFF
+    * extension) but the JDK ships no VP8 decoder, so n_decodable stays
+    * 0 and a user SEES that the near-dup screen does not cover their
+    * majority format. One map-side pass + one small hash aggregation.
+    * Output: (format, n, n_dims, n_decodable).
+    */
+  def imageFormatProfile(df: DataFrame, binCol: String): DataFrame =
+    df.select(formatCoverageUdf(col(binCol)).as("__c"))
+      .select(col("__c._1").as("format"),
+        col("__c._2").as("__has_dims"), col("__c._3").as("__dec"))
+      .groupBy(col("format"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("__has_dims"), 1L).otherwise(0L)).as("n_dims"),
+        sum(when(col("__dec"), 1L).otherwise(0L)).as("n_decodable"))
 
   /** Image near-duplicate pairs: decode → perceptual 64-bit signature
     * ([[dHash]] / [[aHash]]) → the signature-agnostic pigeonhole
@@ -702,6 +903,49 @@ object Media {
   /** Column form of [[syntheticPng]] for registered queries. */
   def syntheticPngCol(seed: Column, jitter: Column): Column =
     syntheticPngUdf(seed.cast("long"), jitter.cast("int"))
+
+  /** Minimal VALID WebP container bytes with closed-form dims — all
+    * three profiles (`"vp8"` lossy frame header, `"vp8l"` lossless,
+    * `"vp8x"` extended canvas). Headers only, no encoded pixels:
+    * exactly the dims-only surface [[parseImageDims]] reads, making
+    * the webp path oracle-checkable without a codec (the same
+    * builder-as-oracle pattern as [[syntheticWav]]/[[syntheticMp4]]).
+    * Dims clamp to each profile's field width (14 bits for VP8/VP8L,
+    * 24 for VP8X).
+    */
+  def syntheticWebp(width: Int, height: Int, kind: String = "vp8l"): Array[Byte] = {
+    def le16(v: Int) = Array[Byte]((v & 0xFF).toByte, ((v >> 8) & 0xFF).toByte)
+    def le24(v: Int) = Array[Byte]((v & 0xFF).toByte, ((v >> 8) & 0xFF).toByte,
+      ((v >> 16) & 0xFF).toByte)
+    def le32(v: Int) = Array[Byte]((v & 0xFF).toByte, ((v >> 8) & 0xFF).toByte,
+      ((v >> 16) & 0xFF).toByte, ((v >> 24) & 0xFF).toByte)
+    val payload = kind.toLowerCase match {
+      case "vp8" =>
+        val w = math.max(1, math.min(width, 0x3FFF))
+        val h = math.max(1, math.min(height, 0x3FFF))
+        "VP8 ".getBytes ++ le32(10) ++
+          Array[Byte](0, 0, 0, 0x9D.toByte, 0x01, 0x2A) ++ le16(w) ++ le16(h)
+      case "vp8l" =>
+        val w = math.max(1, math.min(width, 0x4000))
+        val h = math.max(1, math.min(height, 0x4000))
+        val bits = (w - 1) | ((h - 1) << 14)
+        "VP8L".getBytes ++ le32(5) ++ Array[Byte](0x2F) ++ le32(bits)
+      case "vp8x" =>
+        val w = math.max(1, math.min(width, 1 << 24))
+        val h = math.max(1, math.min(height, 1 << 24))
+        "VP8X".getBytes ++ le32(10) ++ le32(0) ++ le24(w - 1) ++ le24(h - 1)
+      case other => throw new IllegalArgumentException(
+        s"unknown webp profile '$other' (vp8 | vp8l | vp8x)")
+    }
+    "RIFF".getBytes ++ le32(4 + payload.length) ++ "WEBP".getBytes ++ payload
+  }
+
+  private val syntheticWebpUdf = udf((w: Int, h: Int, kind: String) =>
+    syntheticWebp(w, h, kind))
+
+  /** Column form of [[syntheticWebp]] for registered queries. */
+  def syntheticWebpCol(width: Column, height: Column, kind: Column): Column =
+    syntheticWebpUdf(width.cast("int"), height.cast("int"), kind)
 
   // ---- ISO-BMFF track-level metadata (video stream inventory, r17) ----
 

@@ -1020,6 +1020,160 @@ class StreamsMediaSpec extends SparkSpec {
     assert(strict == Seq(2L, 3L, 4L))
   }
 
+  test("parseImageDims: WebP VP8/VP8L/VP8X dims round-trip; corrupt profiles and truncations screen out") {
+    assert(Media.parseImageDims(Media.syntheticWebp(640, 480, "vp8"))
+      .contains(("webp", 640, 480)))
+    assert(Media.parseImageDims(Media.syntheticWebp(333, 77, "vp8l"))
+      .contains(("webp", 333, 77)))
+    assert(Media.parseImageDims(Media.syntheticWebp(70000, 50000, "vp8x"))
+      .contains(("webp", 70000, 50000)))
+    // field-width boundaries: VP8L stores minus-one in 14 bits (max
+    // 16384), VP8 stores the raw 14-bit value (max 16383)
+    assert(Media.parseImageDims(Media.syntheticWebp(16384, 1, "vp8l"))
+      .contains(("webp", 16384, 1)))
+    assert(Media.parseImageDims(Media.syntheticWebp(16383, 16383, "vp8"))
+      .contains(("webp", 16383, 16383)))
+    // a WAV RIFF is not a WEBP RIFF
+    assert(Media.parseImageDims(Media.syntheticWav(1000)).isEmpty)
+    // corrupt VP8 sync code / unknown first chunk screen out
+    val badSync = Media.syntheticWebp(10, 10, "vp8"); badSync(23) = 0
+    assert(Media.parseImageDims(badSync).isEmpty)
+    val badChunk = Media.syntheticWebp(10, 10, "vp8l"); badChunk(12) = 'A'.toByte
+    assert(Media.parseImageDims(badChunk).isEmpty)
+    val badSig = Media.syntheticWebp(10, 10, "vp8l"); badSig(20) = 0
+    assert(Media.parseImageDims(badSig).isEmpty)
+    // every truncation parses without throwing and never invents dims
+    for (kind <- Seq("vp8", "vp8l", "vp8x")) {
+      val full = Media.syntheticWebp(99, 55, kind)
+      (0 until full.length).foreach { len =>
+        val r = Media.parseImageDims(full.take(len))
+        assert(r.isEmpty || r.contains(("webp", 99, 55)), s"$kind len=$len: $r")
+      }
+    }
+    // webp is dims-only: no JDK decoder, so the pixel path screens out
+    assert(Media.decodeImage(Media.syntheticWebp(64, 48, "vp8l")).isEmpty)
+    assert(Media.dHash(Media.syntheticWebp(64, 48, "vp8l")).isEmpty)
+  }
+
+  // Build a minimal APP1 EXIF segment carrying ONLY the orientation
+  // tag and splice it after the JPEG SOI — deterministic bytes, both
+  // TIFF byte orders.
+  private def withExif(jpeg: Array[Byte], o: Int, le: Boolean): Array[Byte] = {
+    def u16(v: Int, little: Boolean) =
+      if (little) Array[Byte]((v & 0xFF).toByte, ((v >> 8) & 0xFF).toByte)
+      else Array[Byte](((v >> 8) & 0xFF).toByte, (v & 0xFF).toByte)
+    def u32(v: Int, little: Boolean) =
+      if (little) Array[Byte]((v & 0xFF).toByte, ((v >> 8) & 0xFF).toByte,
+        ((v >> 16) & 0xFF).toByte, ((v >> 24) & 0xFF).toByte)
+      else Array[Byte](((v >> 24) & 0xFF).toByte, ((v >> 16) & 0xFF).toByte,
+        ((v >> 8) & 0xFF).toByte, (v & 0xFF).toByte)
+    val tiff = (if (le) "II".getBytes else "MM".getBytes) ++
+      u16(42, le) ++ u32(8, le) ++            // header + IFD0 offset
+      u16(1, le) ++                           // one entry
+      u16(0x0112, le) ++ u16(3, le) ++ u32(1, le) ++ // tag SHORT ×1
+      u16(o, le) ++ u16(0, le) ++             // inline value + pad
+      u32(0, le)                              // no next IFD
+    val payload = "Exif".getBytes ++ Array[Byte](0, 0) ++ tiff
+    val seg = Array[Byte](0xFF.toByte, 0xE1.toByte) ++
+      Array[Byte](((payload.length + 2) >> 8).toByte,
+        ((payload.length + 2) & 0xFF).toByte) ++ payload
+    jpeg.take(2) ++ seg ++ jpeg.drop(2)
+  }
+
+  test("exifOrientation: both TIFF byte orders, bounded on hostile bytes, upright default") {
+    // a real JPEG via the JDK encoder
+    val img = Media.decodeImage(Media.syntheticPng(7L)).get
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "jpg", baos)
+    val jpeg = baos.toByteArray
+    assert(Media.exifOrientation(jpeg) == 1)
+    for (o <- 1 to 8; le <- Seq(true, false))
+      assert(Media.exifOrientation(withExif(jpeg, o, le)) == o,
+        s"o=$o le=$le")
+    // out-of-range value and truncations default upright, never throw
+    assert(Media.exifOrientation(withExif(jpeg, 9, le = true)) == 1)
+    val tagged = withExif(jpeg, 6, le = true)
+    (0 to tagged.length).foreach { len =>
+      val v = Media.exifOrientation(tagged.take(len))
+      assert(v == 1 || v == 6)
+    }
+    assert(Media.exifOrientation(Media.syntheticPng(7L)) == 1)
+    assert(Media.exifOrientation(null) == 1)
+    assert(Media.exifOrientation(Array.emptyByteArray) == 1)
+  }
+
+  test("grayGridOriented == grid of the physically transformed image; EXIF-tagged rotation pairs at hamming 0") {
+    import java.awt.image.BufferedImage
+    def rot90cw(s: BufferedImage): BufferedImage = {
+      val out = new BufferedImage(s.getHeight, s.getWidth, BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until s.getHeight; x <- 0 until s.getWidth)
+        out.setRGB(s.getHeight - 1 - y, x, s.getRGB(x, y))
+      out
+    }
+    def flipH(s: BufferedImage): BufferedImage = {
+      val out = new BufferedImage(s.getWidth, s.getHeight, BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until s.getHeight; x <- 0 until s.getWidth)
+        out.setRGB(s.getWidth - 1 - x, y, s.getRGB(x, y))
+      out
+    }
+    def flipV(s: BufferedImage): BufferedImage = {
+      val out = new BufferedImage(s.getWidth, s.getHeight, BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until s.getHeight; x <- 0 until s.getWidth)
+        out.setRGB(x, s.getHeight - 1 - y, s.getRGB(x, y))
+      out
+    }
+    // the EXIF display transforms, composed from independent primitives
+    def display(s: BufferedImage, o: Int): BufferedImage = o match {
+      case 1 => s
+      case 2 => flipH(s)
+      case 3 => rot90cw(rot90cw(s))
+      case 4 => flipV(s)
+      case 5 => flipH(rot90cw(s))
+      case 6 => rot90cw(s)
+      case 7 => flipV(rot90cw(s))
+      case 8 => rot90cw(rot90cw(rot90cw(s)))
+    }
+    // non-square stored raster so transposed orientations change dims
+    val stored = Media.decodeImage(Media.syntheticPng(11L)).get
+    for (o <- 1 to 8; (gw, gh) <- Seq((9, 8), (8, 8))) {
+      val viaMap = Media.grayGridOriented(stored, gw, gh, o).toSeq
+      val viaPixels = Media.grayGrid(display(stored, o), gw, gh).toSeq
+      assert(viaMap == viaPixels, s"o=$o grid=${gw}x$gh")
+    }
+    // end-to-end: the SAME pixels saved rotated-with-EXIF pair at
+    // hamming 0 with the upright original. ONE lossy encode on the
+    // tagged side, and the upright reference is the physically
+    // re-rotated DECODE of that same JPEG stored losslessly — so the
+    // only difference between the two paths is the orientation
+    // normalization under test (a second independent JPEG encode
+    // would add codec noise that is not the feature's claim; the
+    // separate re-encode-robustness spec owns that tolerance).
+    def encodeAs(img: BufferedImage, fmt: String) = {
+      val baos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, fmt, baos)
+      baos.toByteArray
+    }
+    for (o <- Seq(3, 6, 8)) {
+      // stored-with-tag-o must DISPLAY as upright: store the inverse
+      val inverted = o match {
+        case 3 => rot90cw(rot90cw(stored))
+        case 6 => rot90cw(rot90cw(rot90cw(stored))) // display rot90cw undoes
+        case 8 => rot90cw(stored)
+      }
+      val jpegInv = encodeAs(inverted, "jpg")
+      val taggedHash = Media.dHash(withExif(jpegInv, o, le = true)).get
+      val uprightRef = Media.dHash(encodeAs(
+        display(Media.decodeImage(jpegInv).get, o), "png")).get
+      assert(java.lang.Long.bitCount(uprightRef ^ taggedHash) == 0, s"o=$o")
+      // without the tag the rotated copy does NOT pair — the r17 gap
+      val untaggedHash = Media.dHash(jpegInv).get
+      assert(java.lang.Long.bitCount(uprightRef ^ untaggedHash) > 6, s"o=$o untagged")
+    }
+    // orientation-1 images hash exactly as before (plain grid path)
+    assert(Media.grayGridOriented(stored, 9, 8, 1).toSeq ==
+      Media.grayGrid(stored, 9, 8).toSeq)
+  }
+
   test("parseMp4Tracks: v0 and v1 boxes round-trip the builder's closed-form fields") {
     for (v1 <- Seq(false, true)) {
       val bytes = Media.syntheticMp4(640, 360, durMs = 12345L,
