@@ -457,6 +457,23 @@ object QueriesLlm {
         "cid", "embedding", simFloor = 0.2)
     }),
 
+    // one-row index-health report (r18) — the drift frame collapsed to
+    // the retrain decision's exact inputs + the decision booleans, over
+    // the same fixed reference centroids as q_index_drift: counts,
+    // sums of counts, MINs of already-rounded values, and IEEE double
+    // comparisons only, so the whole retrain decision is
+    // oracle-replayable (maintainIndex's side-effecting loop around it
+    // is spec-verified)
+    "q_index_health" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val cents = e.filter(col("vec_id") < 4)
+        .select(col("vec_id").cast("int").as("cid"), col("embedding"))
+      graft.llm.Ivf.driftReport(
+        graft.llm.Ivf.quantizerDrift(e, "vec_id", "embedding", cents,
+          "cid", "embedding", simFloor = 0.2),
+        minWorstCellMean = 0.3, maxDeadFrac = 0.25, maxBelowFrac = 0.5)
+    }),
+
     "q_sim_topk" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
       val queries = e.filter(col("vec_id") < 10)
@@ -1018,6 +1035,48 @@ object QueriesLlm {
          |SELECT c.cid AS cell_id, COALESCE(s.n, 0) AS n, s.mean_sim,
          |       s.min_sim, COALESCE(s.n_below, 0) AS n_below
          |FROM c LEFT JOIN s ON s.cid = c.cid""".stripMargin
+    },
+
+    // the q_index_drift oracle's per-cell frame collapsed to the
+    // one-row health report + decision booleans (same exact-parity
+    // argument: counts, sums, MINs of rounded values, IEEE compares)
+    "q_index_health" -> {
+      val dcosAC =
+        """list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])) /
+          |(SQRT(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[]))) *
+          | SQRT(list_dot_product(CAST(c.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[]))))""".stripMargin
+      s"""WITH c AS (
+         |  SELECT CAST(vec_id AS INTEGER) AS cid, embedding FROM embeddings WHERE vec_id < 4),
+         |d AS (
+         |  SELECT a.vec_id, c.cid, ROUND($dcosAC, 6) AS sim
+         |  FROM embeddings a CROSS JOIN c),
+         |r AS (SELECT vec_id, cid, sim, ROW_NUMBER() OVER (PARTITION BY vec_id
+         |        ORDER BY sim DESC, cid ASC) AS rn FROM d),
+         |w AS (SELECT cid, sim FROM r WHERE rn = 1),
+         |s AS (SELECT cid, CAST(COUNT(*) AS BIGINT) AS n,
+         |        ${graft.functions.Det.sqlMeanAt("sim", 6)} AS mean_sim,
+         |        MIN(sim) AS min_sim,
+         |        CAST(SUM(CASE WHEN sim < 0.2 THEN 1 ELSE 0 END) AS BIGINT) AS n_below
+         |      FROM w GROUP BY 1),
+         |cells AS (SELECT c.cid AS cell_id, COALESCE(s.n, 0) AS n, s.mean_sim,
+         |            s.min_sim, COALESCE(s.n_below, 0) AS n_below
+         |          FROM c LEFT JOIN s ON s.cid = c.cid),
+         |rep AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_cells,
+         |          CAST(SUM(CASE WHEN n = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_dead,
+         |          CAST(SUM(n) AS BIGINT) AS n_rows,
+         |          CAST(SUM(n_below) AS BIGINT) AS n_below,
+         |          MIN(min_sim) AS worst_sim,
+         |          MIN(mean_sim) AS worst_cell_mean
+         |        FROM cells)
+         |SELECT n_cells, n_dead, n_rows, n_below, worst_sim, worst_cell_mean,
+         |  (CAST(n_dead AS DOUBLE) / CAST(n_cells AS DOUBLE) > 0.25) AS dead_exceeded,
+         |  (n_rows > 0 AND CAST(n_below AS DOUBLE) / CAST(n_rows AS DOUBLE) > 0.5)
+         |    AS below_exceeded,
+         |  (worst_cell_mean < 0.3) AS mean_decayed,
+         |  ((CAST(n_dead AS DOUBLE) / CAST(n_cells AS DOUBLE) > 0.25) OR
+         |   (n_rows > 0 AND CAST(n_below AS DOUBLE) / CAST(n_rows AS DOUBLE) > 0.5) OR
+         |   (worst_cell_mean < 0.3)) AS retrain
+         |FROM rep""".stripMargin
     },
 
     "q_sim_topk" ->

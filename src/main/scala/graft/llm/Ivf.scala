@@ -806,6 +806,89 @@ object Ivf {
         coalesce(col("n_below"), lit(0L)).as("n_below"))
   }
 
+  /** Collapse a [[quantizerDrift]] frame to the ONE-ROW health report
+    * the retrain decision reads (r18 — the operational face of the
+    * index lifecycle): cell count, dead-cell count, corpus size,
+    * under-floor row count, the worst cell's minimum winning
+    * similarity, the worst cell's MEAN winning similarity, and the
+    * decision booleans at the given thresholds. Every field is a
+    * count, a sum of counts, a MIN over already-rounded values, or an
+    * IEEE-identical double comparison of those — exactly
+    * cross-engine-comparable by construction (the q_index_drift
+    * parity argument), so the report is oracle-checkable end-to-end
+    * over fixed reference centroids. Cost: one tiny aggregation over
+    * an nlist-row frame.
+    */
+  def driftReport(drift: DataFrame, minWorstCellMean: Double = 0.0,
+                  maxDeadFrac: Double = 0.5,
+                  maxBelowFrac: Double = 0.5): DataFrame =
+    drift.agg(
+        count(lit(1)).as("n_cells"),
+        sum(when(col("n") === 0L, 1L).otherwise(0L)).as("n_dead"),
+        sum(col("n")).as("n_rows"),
+        sum(col("n_below")).as("n_below"),
+        min(col("min_sim")).as("worst_sim"),
+        min(col("mean_sim")).as("worst_cell_mean"))
+      .withColumn("dead_exceeded",
+        col("n_dead").cast("double") / col("n_cells").cast("double")
+          > maxDeadFrac)
+      .withColumn("below_exceeded",
+        col("n_rows") > 0L &&
+          col("n_below").cast("double") / col("n_rows").cast("double")
+            > maxBelowFrac)
+      .withColumn("mean_decayed",
+        col("worst_cell_mean") < minWorstCellMean)
+      .withColumn("retrain",
+        col("dead_exceeded") || col("below_exceeded") || col("mean_decayed"))
+
+  /** One turn of the index-MAINTENANCE loop a production ANN/semantic
+    * pipeline runs per ingest epoch (r18 — closes the lifecycle:
+    * train → save → probe → drift → RETRAIN): load the persisted
+    * quantizer under `dir` (bootstrap-train and publish one when the
+    * descriptor is absent), score its health against the CURRENT
+    * corpus ([[quantizerDrift]] → [[driftReport]]), and when any
+    * threshold trips, retrain at the corpus's sqrt-rule nlist and
+    * republish ATOMICALLY ([[saveIndex]]'s versioned-payload commit —
+    * concurrent probers keep a complete artifact throughout). Returns
+    * (actionTaken, report row collected): action is "bootstrapped",
+    * "retrained", or "kept". The decision thresholds are compared on
+    * the exact report fields, so the same corpus + artifact always
+    * decides the same way.
+    */
+  def maintainIndex(corpus: DataFrame, idCol: String, vecCol: String,
+                    dir: String, simFloor: Double = 0.0,
+                    minWorstCellMean: Double = 0.0,
+                    maxDeadFrac: Double = 0.5, maxBelowFrac: Double = 0.5,
+                    iters: Int = 2): (String, Row) = {
+    val spark = corpus.sparkSession
+    val dirPath = new org.apache.hadoop.fs.Path(dir)
+    val fs = dirPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    healIndexDescriptor(fs, dirPath)
+    val descriptor = new org.apache.hadoop.fs.Path(dirPath, indexMetaName)
+    def retrainAndSave(): DataFrame = {
+      val cents = trainIndex(corpus.select(col(idCol), col(vecCol)),
+        idCol, vecCol, nlistFor(corpus.count()), iters)
+      saveIndex(cents, dir)
+      cents
+    }
+    if (!fs.exists(descriptor)) {
+      val cents = retrainAndSave()
+      val report = driftReport(
+        quantizerDrift(corpus, idCol, vecCol, cents, simFloor = simFloor),
+        minWorstCellMean, maxDeadFrac, maxBelowFrac).head()
+      ("bootstrapped", report)
+    } else {
+      val cents = loadIndex(spark, dir)
+      val report = driftReport(
+        quantizerDrift(corpus, idCol, vecCol, cents, simFloor = simFloor),
+        minWorstCellMean, maxDeadFrac, maxBelowFrac).head()
+      if (report.getAs[Boolean]("retrain")) {
+        retrainAndSave()
+        ("retrained", report)
+      } else ("kept", report)
+    }
+  }
+
   /** One-call probe against a trained quantizer: assign the corpus
     * (map-side kernel) and top-k with the SAME centroids as the probe
     * quantizer — the loadIndex→query path.

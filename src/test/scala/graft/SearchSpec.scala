@@ -281,6 +281,49 @@ class SearchSpec extends SparkSpec {
     fs.delete(staging, false)
   }
 
+  test("maintainIndex: bootstrap, keep on healthy corpus, retrain + republish on planted drift") {
+    import graft.llm.Ivf
+    // four tight axis clusters; the drifted epoch rotates each cluster
+    // 45° toward its neighbour axis, so every winning cosine against
+    // the OLD centroids falls to ~0.71 — a clean mean-decay plant.
+    // Dead-cell / below-floor triggers are disabled (thresholds > 1):
+    // the sqrt-rule nlist over 4-cluster data legitimately leaves
+    // empty cells, and this test isolates the mean trigger.
+    def clusters(rot: Boolean) = (0 until 400).map { i =>
+      val c = i % 4
+      val v = Array.fill(8)(0f)
+      if (rot) { v(c) = 0.7071f; v((c + 1) % 4) = 0.7071f }
+      else v(c) = 1f
+      v(4 + (i % 3)) = 0.03f + 0.002f * (i % 7) // small off-axis jitter
+      (i.toLong, v)
+    }.toDF("vec_id", "embedding")
+    val epoch0 = clusters(rot = false)
+    val drifted = clusters(rot = true)
+    val dir = java.nio.file.Files.createTempDirectory("graft_ann_maintain")
+      .toString + "/idx"
+    def maintain(corpus: org.apache.spark.sql.DataFrame) =
+      Ivf.maintainIndex(corpus, "vec_id", "embedding", dir,
+        minWorstCellMean = 0.9, maxDeadFrac = 1.1, maxBelowFrac = 1.1)
+    // bootstrap: no descriptor yet → train + atomic publish
+    val (a1, r1) = maintain(epoch0)
+    assert(a1 == "bootstrapped" && r1.getAs[Long]("n_rows") == 400L)
+    assert(Ivf.indexVersions(spark, dir) == Seq(1L))
+    // healthy: the corpus the quantizer was trained on → kept, the
+    // artifact untouched
+    val (a2, r2) = maintain(epoch0)
+    assert(a2 == "kept" && !r2.getAs[Boolean]("retrain"))
+    assert(Ivf.indexVersions(spark, dir) == Seq(1L))
+    // the drifted epoch trips the mean floor and the retrain
+    // republishes a NEW payload version through the atomic commit
+    val (a3, r3) = maintain(drifted)
+    assert(a3 == "retrained" && r3.getAs[Boolean]("mean_decayed"))
+    assert(Ivf.indexVersions(spark, dir) == Seq(1L, 2L))
+    // the retrained quantizer scores the drifted corpus healthy
+    val (a4, r4) = maintain(drifted)
+    assert(a4 == "kept" && !r4.getAs[Boolean]("retrain"))
+    assert(Ivf.indexVersions(spark, dir) == Seq(1L, 2L))
+  }
+
   test("driver-path centroid assignment equals the broadcast-join formulation") {
     import graft.llm.Ivf
     val e = table("embeddings")
