@@ -61,7 +61,9 @@ object Run {
     """usage: graft.Run <verb> [args]
       |  run <doc.json> [--history <dir>] [--run-id <id>]
       |  validate <doc.json>
-      |  status --history <dir> [--run-id <id>]""".stripMargin
+      |  status --history <dir> [--run-id <id>]
+      |  maintain-index <corpus.parquet> <idCol> <vecCol> <indexDir>
+      |    [--sim-floor f] [--min-mean f] [--max-dead-frac f] [--max-below-frac f]""".stripMargin
 
   /** Run one CLI invocation; returns the process exit code. */
   def execute(spark: SparkSession, args: Seq[String],
@@ -69,6 +71,7 @@ object Run {
     case Some("run") => runVerb(spark, args.tail, out)
     case Some("validate") => validateVerb(args.tail, out)
     case Some("status") => statusVerb(spark, args.tail, out)
+    case Some("maintain-index") => maintainIndexVerb(spark, args.tail, out)
     case _ => out.println(usage); 2
   }
 
@@ -181,6 +184,51 @@ object Run {
             }
         }
       case _ => out.println(usage); 2
+    }
+
+  /** `maintain-index`: one schedulable epoch turn of the ANN-index
+    * lifecycle ([[graft.llm.Ivf.maintainIndex]]) — probe the persisted
+    * quantizer's health against the current corpus, retrain +
+    * atomically republish when a threshold trips, print the action and
+    * the health report. Exit 0 on any completed turn (kept IS
+    * success), 1 on execution failure, 2 on usage/flag errors — the
+    * same cron/Airflow/k8s-Job contract as `run`.
+    */
+  private def maintainIndexVerb(spark: SparkSession, args: Seq[String],
+                                out: PrintStream): Int =
+    parseFlags(args, Set("--sim-floor", "--min-mean", "--max-dead-frac",
+      "--max-below-frac")) match {
+      case Left(err) => out.println(err); out.println(usage); 2
+      case Right((Seq(corpusPath, idCol, vecCol, indexDir), flags)) =>
+        val parsed = flags.map { case (k, v) => k -> v.toDoubleOption }
+        parsed.collectFirst { case (k, None) => k } match {
+          case Some(bad) =>
+            out.println(s"flag $bad needs a numeric value"); 2
+          case None =>
+            val f = parsed.map { case (k, v) => k -> v.get }
+            try {
+              val corpus = spark.read.parquet(corpusPath)
+              val (action, report) = graft.llm.Ivf.maintainIndex(
+                corpus, idCol, vecCol, indexDir,
+                simFloor = f.getOrElse("--sim-floor", 0.0),
+                minWorstCellMean = f.getOrElse("--min-mean", 0.0),
+                maxDeadFrac = f.getOrElse("--max-dead-frac", 0.5),
+                maxBelowFrac = f.getOrElse("--max-below-frac", 0.5))
+              out.println(s"maintain-index: $action " +
+                s"(cells=${report.getAs[Long]("n_cells")} " +
+                s"dead=${report.getAs[Long]("n_dead")} " +
+                s"rows=${report.getAs[Long]("n_rows")} " +
+                s"below=${report.getAs[Long]("n_below")} " +
+                s"retrain=${report.getAs[Boolean]("retrain")})")
+              0
+            } catch {
+              case scala.util.control.NonFatal(e) =>
+                out.println(s"maintain-index failed: " +
+                  Option(e.getMessage).getOrElse(e.getClass.getName))
+                1
+            }
+        }
+      case Right(_) => out.println(usage); 2
     }
 
   private def statusVerb(spark: SparkSession, args: Seq[String],

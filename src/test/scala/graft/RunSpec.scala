@@ -112,6 +112,35 @@ class RunSpec extends SparkSpec {
     assert(cycCode == 2 && cycOut.contains("invalid document"))
   }
 
+  test("maintain-index verb: bootstrap then keep, numeric-flag and arity errors exit 2") {
+    import spark.implicits._
+    val corpusDir = Files.createTempDirectory("graft_run_midx").toString
+    val corpus = s"$corpusDir/embeddings"
+    val idxDir = s"$corpusDir/idx"
+    (0 until 200).map { i =>
+      val v = Array.fill(8)(0f); v(i % 4) = 1f; v(4 + i % 3) = 0.05f
+      (i.toLong, v)
+    }.toDF("vec_id", "embedding").write.parquet(corpus)
+    // first turn bootstraps and publishes the artifact
+    val (c1, o1) = cli("maintain-index", corpus, "vec_id", "embedding", idxDir)
+    assert(c1 == 0 && o1.contains("maintain-index: bootstrapped"), o1)
+    assert(graft.llm.Ivf.indexVersions(spark, idxDir) == Seq(1L))
+    // second turn on the same corpus keeps it (kept IS exit 0)
+    val (c2, o2) = cli("maintain-index", corpus, "vec_id", "embedding", idxDir,
+      "--min-mean", "0.9", "--max-dead-frac", "1.1", "--max-below-frac", "1.1")
+    assert(c2 == 0 && o2.contains("maintain-index: kept"), o2)
+    // flag value must be numeric; wrong arity is a usage error
+    val (c3, o3) = cli("maintain-index", corpus, "vec_id", "embedding", idxDir,
+      "--min-mean", "high")
+    assert(c3 == 2 && o3.contains("numeric"), o3)
+    val (c4, _) = cli("maintain-index", corpus, "vec_id")
+    assert(c4 == 2)
+    // execution failure (no such corpus) exits 1
+    val (c5, o5) = cli("maintain-index", s"$corpusDir/nope", "vec_id",
+      "embedding", idxDir)
+    assert(c5 == 1 && o5.contains("maintain-index failed"), o5)
+  }
+
   test("usage and argument errors exit 2 without touching Spark") {
     assert(cli()._1 == 2)
     assert(cli("frobnicate")._1 == 2)
