@@ -332,6 +332,57 @@ object QueriesLlm {
       graft.multimodal.Media.imageFormatProfile(d, "img")
     }),
 
+    // AUDIO near-dup over real decoded PCM (r18, oracle-green) —
+    // completes perceptual dedup across modalities: each doc gets a
+    // seed-patterned WAV (envelope = seed class doc_id % 97) at a
+    // per-doc GAIN (1 + doc_id % 255). The envelope signature is
+    // differential, so gain factors out EXACTLY (dyadic construction,
+    // see syntheticWavPattern) — byte hashes see N distinct blobs, the
+    // signature pairs every same-class re-gained copy at hamming 0,
+    // and the oracle is pure doc_id arithmetic. Cross-class 64-bit
+    // collisions would break the oracle only if two of the 97 fixed
+    // seed patterns collided — spec-pinned distinct (deterministic,
+    // SF-independent).
+    "q_media_audio_dedup" -> ((s, dir) => {
+      val wavs = t(s, dir, "documents").select(col("doc_id"),
+        graft.multimodal.Media.syntheticWavPatternCol(
+          pmod(col("doc_id"), lit(97)),
+          pmod(col("doc_id"), lit(255)) + lit(1)).as("wav"))
+      graft.multimodal.Media.audioNearDup(wavs, "doc_id", "wav",
+        maxHamming = 0)
+    }),
+
+    // the audio ingest history screen (r18, oracle-green): a FIXED
+    // 40-recording history (doc_id < 40 — classes 0..39 of 97) screens
+    // the rest; a batch recording drops iff its envelope class is
+    // already ingested, at any SF (~41% drop rate)
+    "q_media_audio_incr" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      def wavs(d: org.apache.spark.sql.DataFrame) = d.select(
+        col("doc_id"), col("lang"),
+        graft.multimodal.Media.syntheticWavPatternCol(
+          pmod(col("doc_id"), lit(97)),
+          pmod(col("doc_id"), lit(255)) + lit(1)).as("wav"))
+      val history = graft.multimodal.Media.audioSignatures(
+        wavs(docs.filter(col("doc_id") < 40)), "doc_id", "wav")
+      graft.multimodal.Media.audioAgainstHistory(
+        wavs(docs.filter(col("doc_id") >= 40)), "doc_id", "wav",
+        history, maxHamming = 0)
+        .select("doc_id", "lang")
+    }),
+
+    // pHash planted companion (r18, oracle-green) — the DCT hash
+    // through the same doubled-corpus construction as
+    // q_media_dedup_planted: byte-identical copies pair at hamming 0,
+    // distinct seeds collide with probability ~2⁻⁶⁴
+    "q_media_dedup_phash" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select(col("doc_id"),
+        graft.multimodal.Media.syntheticPngCol(col("doc_id"), lit(0)).as("img"))
+      val corpus = d.union(d.withColumn("doc_id", col("doc_id") + lit(1000000L)))
+      graft.multimodal.Media.imageNearDup(corpus, "doc_id", "img",
+        maxHamming = 0, algo = "phash")
+    }),
+
     // windowed exact-substring duplication (suffix-dedup approximation)
     "q_dedup_spans" -> ((s, dir) => {
       Dedup.dupSpanStats(t(s, dir, "documents"), "doc_id", "text",
@@ -829,6 +880,30 @@ object QueriesLlm {
       """SELECT doc_id AS id_a, doc_id + 1000000 AS id_b,
         |       CAST(0 AS INTEGER) AS hamming
         |FROM documents""".stripMargin,
+
+    "q_media_dedup_phash" ->
+      """SELECT doc_id AS id_a, doc_id + 1000000 AS id_b,
+        |       CAST(0 AS INTEGER) AS hamming
+        |FROM documents""".stripMargin,
+
+    // same-envelope-class pairs: the gain factors out of the
+    // differential signature exactly, so pairs are pure modulus
+    // arithmetic (and the 97 class patterns are spec-pinned distinct)
+    "q_media_audio_dedup" ->
+      """SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |       CAST(0 AS INTEGER) AS hamming
+        |FROM documents a JOIN documents b
+        |  ON a.doc_id % 97 = b.doc_id % 97 AND a.doc_id < b.doc_id""".stripMargin,
+
+    // survivors = batch recordings whose envelope class (doc_id % 97)
+    // is not among the 40 ingested ones (history ids < 40 ARE their
+    // classes)
+    "q_media_audio_incr" ->
+      """SELECT b.doc_id, b.lang FROM documents b
+        |WHERE b.doc_id >= 40
+        |  AND NOT EXISTS (
+        |    SELECT 1 FROM documents h
+        |    WHERE h.doc_id < 40 AND h.doc_id % 97 = b.doc_id % 97)""".stripMargin,
 
     // the closed-form WAV screen stats: rms² = amp²/2³¹ and
     // peak = amp/2¹⁵ are exact dyadic doubles on both engines; 400 of

@@ -590,10 +590,65 @@ object Media {
     sig
   }
 
+  /** 64-bit pHash (DCT perceptual hash, r18 — the industry-standard
+    * third opinion beside [[dHash]]/[[aHash]]): 32×32 upright
+    * luminance grid → 2D DCT-II (StrictMath cosines, bit-identical
+    * across platforms) → the top-left 8×8 low-frequency block, bit k
+    * set when coefficient k exceeds the MEDIAN of the 64 (medianing
+    * rather than meaning keeps the dominant DC term from swamping the
+    * threshold — the standard construction). Low-frequency energy
+    * survives blur, resize, and recompression better than dHash's
+    * adjacent-cell gradients, at the cost of one small DCT per image.
+    * EXIF-orientation-normalized like the other hashes.
+    */
+  def pHash(bytes: Array[Byte]): Option[Long] = decodeImage(bytes).map { img =>
+    val g = grayGridOriented(img, 32, 32, exifOrientation(bytes))
+    // separable DCT-II, keeping only the first 8 frequencies per axis:
+    // rows first (freq u × row y), then columns
+    val cosTab = Array.tabulate(8, 32)((u, x) =>
+      StrictMath.cos(StrictMath.PI * (2 * x + 1) * u / 64.0))
+    val rows = Array.ofDim[Double](32, 8) // [y][u]
+    var y = 0
+    while (y < 32) {
+      var u = 0
+      while (u < 8) {
+        var s = 0.0
+        var x = 0
+        while (x < 32) { s += g(y * 32 + x) * cosTab(u)(x); x += 1 }
+        rows(y)(u) = s
+        u += 1
+      }
+      y += 1
+    }
+    val coef = new Array[Double](64)
+    var v = 0
+    while (v < 8) {
+      var u = 0
+      while (u < 8) {
+        var s = 0.0
+        var yy = 0
+        while (yy < 32) { s += rows(yy)(u) * cosTab(v)(yy); yy += 1 }
+        coef(v * 8 + u) = s
+        u += 1
+      }
+      v += 1
+    }
+    val sorted = coef.clone().sorted
+    val median = (sorted(31) + sorted(32)) / 2.0
+    var sig = 0L
+    var k = 0
+    while (k < 64) {
+      if (coef(k) > median) sig |= 1L << k
+      k += 1
+    }
+    sig
+  }
+
   // decode is a library call over opaque bytes — not expressible as a
   // built-in Column; same precedent as the container parsers above
   private val dHashUdf = udf((b: Array[Byte]) => dHash(b))
   private val aHashUdf = udf((b: Array[Byte]) => aHash(b))
+  private val pHashUdf = udf((b: Array[Byte]) => pHash(b))
 
   /** Per-row perceptual signature frame (idCol, __sig) — the image
     * analog of [[graft.llm.Dedup.simhashSignatures]]. One map-side
@@ -605,8 +660,9 @@ object Media {
     val hash = algo.toLowerCase match {
       case "dhash" => dHashUdf(col(binCol))
       case "ahash" => aHashUdf(col(binCol))
+      case "phash" => pHashUdf(col(binCol))
       case other => throw new IllegalArgumentException(
-        s"unknown perceptual hash '$other' (dhash | ahash)")
+        s"unknown perceptual hash '$other' (dhash | ahash | phash)")
     }
     df.select(col(idCol), hash.as("__sig"))
   }
@@ -811,6 +867,78 @@ object Media {
     df.select(col(idCol), audioScreenUdf(col(binCol)).as("__a"))
       .select(col(idCol), col("__a.*"))
 
+  /** 64-bit audio envelope signature (r18) — the [[dHash]] idea on the
+    * time axis, completing the perceptual-dedup coverage across
+    * modalities (images had dHash/aHash; audio had only exact byte
+    * hashes): decode to PCM, mean |amplitude| over 65 equal time
+    * windows, bit i set when window i+1 is LOUDER than window i. The
+    * differential form makes it exactly GAIN-invariant (a re-mastered
+    * / volume-normalized copy of the same recording scales every
+    * window mean by the same positive factor and keeps every bit) and
+    * robust to re-encoding; trims/pads shift the window grid and
+    * diverge — run exact dedup first, like every signature here.
+    * None for undecodable or empty-PCM blobs. Known limitation,
+    * inherent to the differential form: constant-envelope audio
+    * (pure silence, steady tones) hashes to 0 and pairs together —
+    * the flat-image caveat of [[dHash]], same mitigation.
+    */
+  def audioHash(bytes: Array[Byte]): Option[Long] =
+    decodePcm(bytes).filter(_._2.nonEmpty).map { case (_, x) =>
+      val w = 65
+      val n = x.length
+      val env = new Array[Double](w)
+      var i = 0
+      while (i < w) {
+        val s0 = (i.toLong * n / w).toInt
+        val s1 = math.max(s0 + 1, ((i + 1).toLong * n / w).toInt)
+        var sum = 0.0
+        var j = s0
+        while (j < s1) { sum += math.abs(x(j)); j += 1 }
+        env(i) = sum / (s1 - s0)
+        i += 1
+      }
+      var sig = 0L
+      var b = 0
+      while (b < 64) {
+        if (env(b) < env(b + 1)) sig |= 1L << b
+        b += 1
+      }
+      sig
+    }
+
+  private val audioHashUdf = udf((b: Array[Byte]) => audioHash(b))
+
+  /** Per-row audio signature frame (idCol, __sig) — the audio analog
+    * of [[imageSignatures]]. One map-side decode pass; undecodable
+    * blobs get a null signature.
+    */
+  def audioSignatures(df: DataFrame, idCol: String, binCol: String): DataFrame =
+    df.select(col(idCol), audioHashUdf(col(binCol)).as("__sig"))
+
+  /** Audio near-duplicate pairs: decode → envelope signature →
+    * the signature-agnostic pigeonhole banding ([[graft.llm.Dedup
+    * .hammingPairs]]). Re-gained/re-encoded copies of the same
+    * recording pair at small hamming while byte hashes see unrelated
+    * blobs. Output: (id_a, id_b, hamming).
+    */
+  def audioNearDup(df: DataFrame, idCol: String, binCol: String,
+                   maxHamming: Int = 4, maxBucketSize: Int = 10000): DataFrame =
+    graft.llm.Dedup.hammingPairs(audioSignatures(df, idCol, binCol),
+      idCol, "__sig", maxHamming, maxBucketSize)
+
+  /** Screen NEW audio against a STORED envelope-signature history
+    * table — the crawl-ingest dedup shape for audio, riding the same
+    * [[graft.llm.Dedup.hammingAgainstHistory]] core as images and
+    * simhash text (history samples are NEVER re-decoded; 8-byte
+    * signatures only). Undecodable/null blobs always survive.
+    */
+  def audioAgainstHistory(df: DataFrame, idCol: String, binCol: String,
+                          historySigs: DataFrame, maxHamming: Int = 4,
+                          maxBucketSize: Int = 10000): DataFrame =
+    graft.llm.Dedup.hammingAgainstHistory(df,
+      audioSignatures(df, idCol, binCol), historySigs, idCol,
+      "__sig", maxHamming, maxBucketSize)
+
   /** A deterministic mono 16-bit PCM WAV: `nLoud` samples alternating
     * ±`amp` (raw 16-bit units) followed by `nTotal - nLoud` zeros, at
     * `rate` Hz. Every screen stat is CLOSED-FORM in (amp, nLoud,
@@ -848,6 +976,54 @@ object Media {
     * queries.
     */
   def syntheticWavCol(amp: Column): Column = syntheticWavUdf(amp.cast("int"))
+
+  /** A deterministic mono 16-bit PCM WAV with a seed-derived ENVELOPE
+    * pattern (r18, the audio analog of [[syntheticPng]]'s random
+    * blocks): 65 windows of `samplesPerWindow` samples, window w
+    * alternating ±(gain·h_w) where h_w = 1 + (mix64(seed, w) & 0x7F).
+    * With gain ≤ 255 every sample stays ≤ 32640 (in 16-bit range),
+    * every normalized value is dyadic, windows divide the sample count
+    * exactly, and each window mean is gain·h_w/2^15 EXACTLY — so
+    * [[audioHash]]'s bits equal the pure h_w < h_{w+1} comparisons and
+    * two gains of the same seed produce BIT-IDENTICAL signatures (the
+    * planted-oracle construction: byte hashes see distinct blobs, the
+    * envelope signature pairs re-gained copies).
+    */
+  def syntheticWavPattern(seed: Long, gain: Int,
+                          samplesPerWindow: Int = 64,
+                          rate: Int = 8000): Array[Byte] = {
+    require(gain >= 1 && gain <= 255, s"gain in [1,255], got $gain")
+    val windows = 65
+    val nTotal = windows * samplesPerWindow
+    val dataSize = nTotal * 2
+    val bb = java.nio.ByteBuffer.allocate(44 + dataSize)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataSize)
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(1) // PCM, mono
+      .putInt(rate).putInt(rate * 2).putShort(2).putShort(16)
+      .put("data".getBytes("US-ASCII")).putInt(dataSize)
+    var w = 0
+    while (w < windows) {
+      val h = 1 + (mix64(mix64(seed) ^ w.toLong) & 0x7F).toInt
+      val a = gain * h
+      var i = 0
+      while (i < samplesPerWindow) {
+        bb.putShort(if (i % 2 == 0) a.toShort else (-a).toShort)
+        i += 1
+      }
+      w += 1
+    }
+    bb.array()
+  }
+
+  private val syntheticWavPatternUdf = udf((seed: Long, gain: Int) =>
+    syntheticWavPattern(seed, gain))
+
+  /** Column form of [[syntheticWavPattern]] for registered queries. */
+  def syntheticWavPatternCol(seed: Column, gain: Column): Column =
+    syntheticWavPatternUdf(seed.cast("long"), gain.cast("int"))
 
   // ---- deterministic synthetic images (datagen for queries/specs) -----
 

@@ -1174,6 +1174,84 @@ class StreamsMediaSpec extends SparkSpec {
       Media.grayGrid(stored, 9, 8).toSeq)
   }
 
+  test("audioHash: exact gain invariance, 97 distinct class patterns, flat audio hashes 0, hostile inputs None") {
+    // gain invariance is EXACT on the dyadic patterned WAVs: every
+    // gain of the same seed produces a bit-identical signature
+    for (seed <- Seq(0L, 7L, 96L); g <- Seq(1, 2, 17, 255)) {
+      val s1 = Media.audioHash(Media.syntheticWavPattern(seed, 1)).get
+      val sg = Media.audioHash(Media.syntheticWavPattern(seed, g)).get
+      assert(s1 == sg, s"seed=$seed gain=$g")
+    }
+    // ...and the blobs themselves differ byte-wise (the planted story)
+    assert(!java.util.Arrays.equals(
+      Media.syntheticWavPattern(7L, 1), Media.syntheticWavPattern(7L, 2)))
+    // the q_media_audio_dedup oracle stands on the 97 fixed class
+    // patterns being pairwise distinct — deterministic, SF-independent
+    val classSigs = (0L until 97L).map(s =>
+      Media.audioHash(Media.syntheticWavPattern(s, 1)).get)
+    assert(classSigs.distinct.size == 97)
+    // constant envelope (the old loud-then-silence shape has only one
+    // descending step) ⇒ near-zero signature; pure silence ⇒ 0
+    assert(Media.audioHash(Media.syntheticWav(0, 0, 800)).contains(0L))
+    // undecodable / null / empty-PCM inputs screen out, never throw
+    assert(Media.audioHash(null).isEmpty)
+    assert(Media.audioHash("not audio".getBytes).isEmpty)
+    assert(Media.audioHash(Media.syntheticWav(100, 0, 0)).isEmpty)
+    val full = Media.syntheticWavPattern(5L, 3)
+    (0 until full.length by 7).foreach(len => Media.audioHash(full.take(len)))
+  }
+
+  test("audioNearDup + audioAgainstHistory: re-gained copies pair/drop, fresh and undecodable survive") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, Media.syntheticWavPattern(10L, 5)),
+      (2L, Media.syntheticWavPattern(10L, 200)), // re-gained copy of 1
+      (3L, Media.syntheticWavPattern(11L, 5)),   // different recording
+      (4L, null.asInstanceOf[Array[Byte]])
+    ).toDF("audio_id", "wav")
+    val pairs = Media.audioNearDup(corpus, "audio_id", "wav", maxHamming = 0)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((1L, 2L)))
+    // history screen: the ingested class drops, fresh + null survive
+    val history = Media.audioSignatures(
+      Seq((100L, Media.syntheticWavPattern(10L, 77))).toDF("audio_id", "wav"),
+      "audio_id", "wav")
+    val kept = Media.audioAgainstHistory(corpus, "audio_id", "wav",
+        history, maxHamming = 0)
+      .select("audio_id").as[Long].collect().sorted.toSeq
+    assert(kept == Seq(3L, 4L))
+  }
+
+  test("pHash: byte-identical and re-encoded copies pair, distinct patterns differ, EXIF-normalized") {
+    val a = Media.pHash(Media.syntheticPng(42L)).get
+    assert(Media.pHash(Media.syntheticPng(42L)).get == a)
+    assert(Media.pHash(Media.syntheticPng(43L)).get != a)
+    // brightness shift: pHash thresholds against the coefficient
+    // median, and a uniform shift moves only the DC coefficient — the
+    // 63 AC terms and (being DC-dominated) the median band keep the
+    // re-graded copy within a small hamming budget
+    val shifted = Media.pHash(Media.syntheticPng(42L, jitter = 10)).get
+    assert(java.lang.Long.bitCount(a ^ shifted) <= 6)
+    // JPEG re-encode: low-frequency energy survives recompression
+    val img = Media.decodeImage(Media.syntheticPng(42L)).get
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "jpg", baos)
+    val reenc = Media.pHash(baos.toByteArray).get
+    assert(java.lang.Long.bitCount(a ^ reenc) <= 6)
+    // imageSignatures routes the algo; unknown algos are refused
+    val sigs = Media.imageSignatures(
+      { import spark.implicits._
+        Seq((1L, Media.syntheticPng(42L))).toDF("img_id", "img") },
+      "img_id", "img", algo = "phash")
+    assert(sigs.select("__sig").collect().head.getLong(0) == a)
+    intercept[IllegalArgumentException](Media.imageSignatures(
+      { import spark.implicits._
+        Seq((1L, Media.syntheticPng(42L))).toDF("img_id", "img") },
+      "img_id", "img", algo = "nope"))
+    assert(Media.pHash(null).isEmpty)
+    assert(Media.pHash("junk".getBytes).isEmpty)
+  }
+
   test("parseMp4Tracks: v0 and v1 boxes round-trip the builder's closed-form fields") {
     for (v1 <- Seq(false, true)) {
       val bytes = Media.syntheticMp4(640, 360, durMs = 12345L,
