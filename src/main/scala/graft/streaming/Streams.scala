@@ -361,6 +361,21 @@ object Streams {
         b, history, idCol, textCol, maxHamming))(
       clean)
 
+  /** Streaming audio ingest screen — [[ingestScreenStream]] with
+    * [[graft.multimodal.Media.audioSignatures]] /
+    * [[graft.multimodal.Media.audioAgainstHistory]] (gain-invariant
+    * envelope signatures; history samples never re-decoded).
+    */
+  def audioScreenStream(stream: DataFrame, idCol: String, binCol: String,
+                        historyRoot: String, checkpointDir: String,
+                        maxHamming: Int = 4)
+                       (clean: (DataFrame, Long) => Unit) =
+    ingestScreenStream(stream, historyRoot, checkpointDir)(
+      b => graft.multimodal.Media.audioSignatures(b, idCol, binCol))(
+      (b, history) => graft.multimodal.Media.audioAgainstHistory(
+        b, idCol, binCol, history, maxHamming))(
+      clean)
+
   /** Streaming SEMANTIC (embedding) ingest screen —
     * [[ingestScreenStream]] with [[graft.llm.Dedup
     * .semanticHistorySignatures]] / [[graft.llm.Dedup

@@ -744,6 +744,38 @@ class StreamsMediaSpec extends SparkSpec {
     assert(replayed.select("img_id").as[Long].collect().toSet == Set(6L, 7L))
   }
 
+  test("audioScreenStream: re-gained recordings drop across batches, fresh survive") {
+    import java.nio.file.Files
+    implicit val sqlCtx = spark.sqlContext
+    val base = Files.createTempDirectory("graft_audstream").toString
+    val historyRoot = s"$base/history"
+    graft.Recovery.idempotentWrite(
+      Media.audioSignatures(
+        Seq((100L, Media.syntheticWavPattern(1L, 9))).toDF("audio_id", "wav"),
+        "audio_id", "wav"),
+      s"$historyRoot/batch_id=-1")
+    val input = MemoryStream[(Long, Array[Byte])]
+    val cleanSeen = scala.collection.mutable.ArrayBuffer.empty[(Long, Set[Long])]
+    val q = Streams.audioScreenStream(
+      input.toDF().toDF("audio_id", "wav"), "audio_id", "wav",
+      historyRoot, s"$base/ckpt", maxHamming = 0) { (ok, bid) =>
+      cleanSeen += ((bid, ok.select("audio_id").as[Long].collect().toSet))
+    }
+    try {
+      // batch 0: re-gained copy of the seed drops, fresh survives
+      input.addData(Seq(
+        (1L, Media.syntheticWavPattern(1L, 200)),
+        (2L, Media.syntheticWavPattern(2L, 5))))
+      q.processAllAvailable()
+      // batch 1: re-gained copy of batch 0's survivor drops; null survives
+      input.addData(Seq(
+        (3L, Media.syntheticWavPattern(2L, 77)),
+        (4L, null.asInstanceOf[Array[Byte]])))
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(cleanSeen.toList == List((0L, Set(2L)), (1L, Set(4L))))
+  }
+
   test("semanticScreenStream: cell-assigned embedding ingest over a fixed quantizer") {
     import java.nio.file.Files
     implicit val sqlCtx = spark.sqlContext
