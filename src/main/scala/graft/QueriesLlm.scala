@@ -343,11 +343,19 @@ object QueriesLlm {
     // collisions would break the oracle only if two of the 97 fixed
     // seed patterns collided — spec-pinned distinct (deterministic,
     // SF-independent).
+    // doc_id cap (the q_dedup_semantic_exact precedent): the PLANTED
+    // construction puts n/97 byte-distinct copies in every class, so
+    // the within-class pair count grows quadratically with SF — a
+    // data-density artifact of the oracle plant, not a plan cost; the
+    // cap pins it at ~2M pairs at any SF while the gate SFs run the
+    // full corpus unchanged
     "q_media_audio_dedup" -> ((s, dir) => {
-      val wavs = t(s, dir, "documents").select(col("doc_id"),
-        graft.multimodal.Media.syntheticWavPatternCol(
-          pmod(col("doc_id"), lit(97)),
-          pmod(col("doc_id"), lit(255)) + lit(1)).as("wav"))
+      val wavs = t(s, dir, "documents")
+        .filter(col("doc_id") < 20000)
+        .select(col("doc_id"),
+          graft.multimodal.Media.syntheticWavPatternCol(
+            pmod(col("doc_id"), lit(97)),
+            pmod(col("doc_id"), lit(255)) + lit(1)).as("wav"))
       graft.multimodal.Media.audioNearDup(wavs, "doc_id", "wav",
         maxHamming = 0)
     }),
@@ -892,7 +900,8 @@ object QueriesLlm {
     "q_media_audio_dedup" ->
       """SELECT a.doc_id AS id_a, b.doc_id AS id_b,
         |       CAST(0 AS INTEGER) AS hamming
-        |FROM documents a JOIN documents b
+        |FROM (SELECT * FROM documents WHERE doc_id < 20000) a
+        |JOIN (SELECT * FROM documents WHERE doc_id < 20000) b
         |  ON a.doc_id % 97 = b.doc_id % 97 AND a.doc_id < b.doc_id""".stripMargin,
 
     // survivors = batch recordings whose envelope class (doc_id % 97)
