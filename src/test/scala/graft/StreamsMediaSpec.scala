@@ -1282,6 +1282,36 @@ class StreamsMediaSpec extends SparkSpec {
       "img_id", "img", algo = "nope"))
     assert(Media.pHash(null).isEmpty)
     assert(Media.pHash("junk".getBytes).isEmpty)
+    // EXIF normalization rides the same oriented grid as dHash: a
+    // rotation-tagged copy pairs at hamming 0 with the upright pixels
+    // (single lossy encode + lossless reference, the dHash pattern)
+    val up = Media.decodeImage(Media.syntheticPng(42L)).get
+    val rot270 = {
+      def r(s: java.awt.image.BufferedImage) = {
+        val o = new java.awt.image.BufferedImage(s.getHeight, s.getWidth,
+          java.awt.image.BufferedImage.TYPE_INT_RGB)
+        for (yy <- 0 until s.getHeight; xx <- 0 until s.getWidth)
+          o.setRGB(s.getHeight - 1 - yy, xx, s.getRGB(xx, yy))
+        o
+      }
+      r(r(r(up)))
+    }
+    val jb = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(rot270, "jpg", jb)
+    val jpegRot = jb.toByteArray
+    val tagged = Media.pHash(withExif(jpegRot, 6, le = true)).get
+    val refImg = Media.decodeImage(jpegRot).get
+    val refUp = {
+      val o = new java.awt.image.BufferedImage(refImg.getHeight, refImg.getWidth,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (yy <- 0 until refImg.getHeight; xx <- 0 until refImg.getWidth)
+        o.setRGB(refImg.getHeight - 1 - yy, xx, refImg.getRGB(xx, yy))
+      o
+    }
+    val pb = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(refUp, "png", pb)
+    val ref = Media.pHash(pb.toByteArray).get
+    assert(java.lang.Long.bitCount(tagged ^ ref) == 0)
   }
 
   test("parseMp4Tracks: v0 and v1 boxes round-trip the builder's closed-form fields") {
