@@ -313,18 +313,34 @@ object QueriesLlm {
         .select("doc_id", "format", "width", "height")
     }),
 
-    // per-format decodability accounting (r18): a planted mixed corpus
-    // — PNG (pixel-decodable), WebP (dims-only), prefixed text bytes
-    // (unknown) by doc_id % 3 — through imageFormatProfile; the oracle
-    // predicts every count from the modulus. THE coverage report a
-    // crawl pipeline checks before trusting its perceptual near-dup
-    // screen.
+    // AVIF container dims (r19), oracle-green end-to-end through REAL
+    // ISO-BMFF byte building + parsing (ftyp→meta→iprp→ipco→ispe) —
+    // the q_media_webp pattern for the other modern-crawl format.
+    // Scope note: AVIF is DIMS-ONLY like webp (no JDK AV1 decoder);
+    // q_media_formats counts that hole per format.
+    "q_media_avif" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select(col("doc_id"),
+        graft.multimodal.Media.syntheticAvifCol(
+          pmod(col("doc_id"), lit(700)) + lit(1),
+          pmod(col("doc_id"), lit(400)) + lit(1)).as("img"))
+      graft.multimodal.Media.imageDims(d, "img")
+        .select("doc_id", "format", "width", "height")
+    }),
+
+    // per-format decodability accounting (r18; r19 adds the AVIF
+    // class): a planted mixed corpus — PNG (pixel-decodable), WebP and
+    // AVIF (dims-only), prefixed text bytes (unknown) by doc_id % 4 —
+    // through imageFormatProfile; the oracle predicts every count from
+    // the modulus. THE coverage report a crawl pipeline checks before
+    // trusting its perceptual near-dup screen.
     "q_media_formats" -> ((s, dir) => {
-      val cls = pmod(col("doc_id"), lit(3))
+      val cls = pmod(col("doc_id"), lit(4))
       val blob = when(cls === 0,
           graft.multimodal.Media.syntheticPngCol(col("doc_id"), lit(0)))
         .when(cls === 1, graft.multimodal.Media.syntheticWebpCol(
           lit(64), lit(48), lit("vp8l")))
+        .when(cls === 2, graft.multimodal.Media.syntheticAvifCol(
+          lit(128), lit(96)))
         // "X" prefix pins the class: raw text could in principle open
         // with a real magic ("BM...", "GIF...") and drift the counts
         .otherwise(concat(lit("X").cast("binary"), coalesce(col("text"), lit("")).cast("binary")))
@@ -377,6 +393,37 @@ object QueriesLlm {
         wavs(docs.filter(col("doc_id") >= 40)), "doc_id", "wav",
         history, maxHamming = 0)
         .select("doc_id", "lang")
+    }),
+
+    // per-format AUDIO decodability accounting (r19) — the audio
+    // counterpart of q_media_formats: a planted mixed corpus by
+    // doc_id % 5 — WAV (decodable + header meta), a CBR MPEG-1 layer
+    // III frame header (meta-without-decode), OggS and ADTS-AAC magics
+    // (detected only), prefixed text bytes (unknown) — through
+    // audioFormatProfile; the oracle predicts every count from the
+    // modulus. Makes the compressed-audio perceptual-dedup hole
+    // VISIBLE instead of "undecodable survives".
+    "q_media_audio_formats" -> ((s, dir) => {
+      val cls = pmod(col("doc_id"), lit(5))
+      // FF FB 90 00: MPEG-1 layer III, 128 kbps, 44.1 kHz — parseable
+      // CBR metadata, no JDK decoder; FF F1 ...: ADTS AAC sync
+      val mp3Hdr = lit(Array[Byte](0xFF.toByte, 0xFB.toByte, 0x90.toByte,
+        0x00) ++ Array.fill(96)(0.toByte))
+      val aacHdr = lit(Array[Byte](0xFF.toByte, 0xF1.toByte, 0x50.toByte,
+        0x80.toByte, 0x00.toByte, 0x1F.toByte, 0xFC.toByte))
+      val oggHdr = lit("OggS".getBytes("US-ASCII") ++
+        Array.fill(24)(0.toByte))
+      val blob = when(cls === 0,
+          graft.multimodal.Media.syntheticWavCol(
+            pmod(col("doc_id"), lit(30000)) + lit(1)))
+        .when(cls === 1, mp3Hdr)
+        .when(cls === 2, oggHdr)
+        .when(cls === 3, aacHdr)
+        // "X" prefix pins the class (the q_media_formats precedent)
+        .otherwise(concat(lit("X").cast("binary"),
+          coalesce(col("text"), lit("")).cast("binary")))
+      val d = t(s, dir, "documents").select(col("doc_id"), blob.as("wav"))
+      graft.multimodal.Media.audioFormatProfile(d, "wav")
     }),
 
     // pHash planted companion (r18, oracle-green) — the DCT hash
@@ -914,6 +961,22 @@ object QueriesLlm {
         |    SELECT 1 FROM documents h
         |    WHERE h.doc_id < 40 AND h.doc_id % 97 = b.doc_id % 97)""".stripMargin,
 
+    // the planted audio class layout: wav decodes + has header meta,
+    // the mp3 frame header has meta without decode, ogg/aac are
+    // detected only, the prefixed text bytes parse as nothing
+    "q_media_audio_formats" ->
+      """WITH s AS (
+        |  SELECT CASE doc_id % 5 WHEN 0 THEN 'wav' WHEN 1 THEN 'mp3'
+        |           WHEN 2 THEN 'ogg' WHEN 3 THEN 'aac'
+        |           ELSE 'unknown' END AS format,
+        |    CASE WHEN doc_id % 5 IN (0, 1) THEN 1 ELSE 0 END AS has_meta,
+        |    CASE WHEN doc_id % 5 = 0 THEN 1 ELSE 0 END AS dec
+        |  FROM documents)
+        |SELECT format, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(has_meta) AS BIGINT) AS n_meta,
+        |  CAST(SUM(dec) AS BIGINT) AS n_decodable
+        |FROM s GROUP BY 1""".stripMargin,
+
     // the closed-form WAV screen stats: rms² = amp²/2³¹ and
     // peak = amp/2¹⁵ are exact dyadic doubles on both engines; 400 of
     // 800 samples sit at full deflection, so clip_ratio is 0.5 exactly
@@ -966,14 +1029,22 @@ object QueriesLlm {
         |  CAST(doc_id % 300 + 1 AS INTEGER) AS height
         |FROM documents""".stripMargin,
 
-    // the planted class layout: png decodes, webp is dims-only, the
-    // prefixed text bytes parse as nothing
+    // the builder's closed-form avif dims: the ispe round-trips the
+    // planted width/height, so the oracle is pure doc_id arithmetic
+    "q_media_avif" ->
+      """SELECT doc_id, 'avif' AS format,
+        |  CAST(doc_id % 700 + 1 AS INTEGER) AS width,
+        |  CAST(doc_id % 400 + 1 AS INTEGER) AS height
+        |FROM documents""".stripMargin,
+
+    // the planted class layout: png decodes, webp/avif are dims-only,
+    // the prefixed text bytes parse as nothing
     "q_media_formats" ->
       """WITH s AS (
-        |  SELECT CASE doc_id % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'webp'
-        |           ELSE 'unknown' END AS format,
-        |    CASE WHEN doc_id % 3 IN (0, 1) THEN 1 ELSE 0 END AS has_dims,
-        |    CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END AS dec
+        |  SELECT CASE doc_id % 4 WHEN 0 THEN 'png' WHEN 1 THEN 'webp'
+        |           WHEN 2 THEN 'avif' ELSE 'unknown' END AS format,
+        |    CASE WHEN doc_id % 4 IN (0, 1, 2) THEN 1 ELSE 0 END AS has_dims,
+        |    CASE WHEN doc_id % 4 = 0 THEN 1 ELSE 0 END AS dec
         |  FROM documents)
         |SELECT format, CAST(COUNT(*) AS BIGINT) AS n,
         |  CAST(SUM(has_dims) AS BIGINT) AS n_dims,

@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{col, substring}
+import org.apache.spark.sql.functions.{col, lit, pmod, substring}
 
 import graft.monitoring.Audit
 import graft.operators.Ops
@@ -258,6 +258,36 @@ object QueriesPipeline {
       s.read.parquet(s"$tmp/run_id=jq1").drop("quarantined_at")
     }),
 
+    // metadata-driven CRAWL-DEDUP job (r19): the ingest-screen family
+    // as a declared pipeline step — a stored JSON document filters the
+    // batch slice, screens it against a STORED exact-dedup history
+    // root, and projects the survivors, end-to-end through Job.runJson
+    // (the q_job pattern). The exact family's decision is md5-set
+    // membership on stored text, so the whole composed job is
+    // oracle-replayable; the other five families ride the same
+    // dispatch (spec-verified incl. the version-checked semantic one).
+    "q_job_screen" -> ((s, dir) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_jscr").toString
+      graft.Recovery.idempotentWrite(
+        s.read.parquet(s"$dir/documents.parquet")
+          .filter(pmod(col("doc_id"), lit(7)) === 0).select("text"),
+        s"$tmp/hist")
+      val json =
+        s"""{
+           |  "datasets": [
+           |    {"name": "docs", "format": "parquet", "path": "$dir/documents.parquet"}
+           |  ],
+           |  "pipeline": {"primary": "docs", "steps": [
+           |    {"type": "sql_expr", "name": "__k", "expr": "doc_id % 7"},
+           |    {"type": "filter", "column": "__k", "op": "!=", "value": 0},
+           |    {"type": "screen", "family": "exact", "history": "$tmp/hist",
+           |     "id": "doc_id", "column": "text"},
+           |    {"type": "select", "columns": ["doc_id", "lang"]}
+           |  ]}
+           |}""".stripMargin
+      graft.pipeline.Job.runJson(s, json).output
+    }),
+
     // two-node DAG with a real data handoff (A sinks, B reads A's
     // sink): the dependency-ordered composition proven end-to-end
     // against the same oracle as q_job
@@ -490,6 +520,15 @@ object QueriesPipeline {
     // the DAG handoff computes exactly the q_job result, via a
     // materialized intermediate instead of one plan
     "q_dag" -> jobOutSql,
+
+    // survivors = batch docs (doc_id % 7 <> 0) whose text is not among
+    // the stored history texts (doc_id % 7 = 0); null text never
+    // matches and survives — the family's NOT-EXISTS contract
+    "q_job_screen" ->
+      """SELECT b.doc_id, b.lang FROM documents b
+        |WHERE b.doc_id % 7 <> 0 AND NOT EXISTS (
+        |  SELECT 1 FROM documents h
+        |  WHERE h.doc_id % 7 = 0 AND h.text = b.text)""".stripMargin,
 
     "q_job_quarantine_clean" ->
       s"""WITH out AS ($jobOutSql)

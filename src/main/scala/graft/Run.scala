@@ -63,7 +63,8 @@ object Run {
       |  validate <doc.json>
       |  status --history <dir> [--run-id <id>]
       |  maintain-index <corpus.parquet> <idCol> <vecCol> <indexDir>
-      |    [--sim-floor f] [--min-mean f] [--max-dead-frac f] [--max-below-frac f]""".stripMargin
+      |    [--sim-floor f] [--min-mean f] [--max-dead-frac f] [--max-below-frac f]
+      |    [--history-roots <dir>[,<dir>...]]""".stripMargin
 
   /** Run one CLI invocation; returns the process exit code. */
   def execute(spark: SparkSession, args: Seq[String],
@@ -197,10 +198,16 @@ object Run {
   private def maintainIndexVerb(spark: SparkSession, args: Seq[String],
                                 out: PrintStream): Int =
     parseFlags(args, Set("--sim-floor", "--min-mean", "--max-dead-frac",
-      "--max-below-frac")) match {
+      "--max-below-frac", "--history-roots")) match {
       case Left(err) => out.println(err); out.println(usage); 2
       case Right((Seq(corpusPath, idCol, vecCol, indexDir), flags)) =>
-        val parsed = flags.map { case (k, v) => k -> v.toDoubleOption }
+        // --history-roots: comma-separated stored semantic-history
+        // tables to re-assign when the turn republishes (r19)
+        val roots = flags.get("--history-roots")
+          .map(_.split(',').toSeq.map(_.trim).filter(_.nonEmpty))
+          .getOrElse(Nil)
+        val parsed = (flags - "--history-roots")
+          .map { case (k, v) => k -> v.toDoubleOption }
         parsed.collectFirst { case (k, None) => k } match {
           case Some(bad) =>
             out.println(s"flag $bad needs a numeric value"); 2
@@ -213,7 +220,8 @@ object Run {
                 simFloor = f.getOrElse("--sim-floor", 0.0),
                 minWorstCellMean = f.getOrElse("--min-mean", 0.0),
                 maxDeadFrac = f.getOrElse("--max-dead-frac", 0.5),
-                maxBelowFrac = f.getOrElse("--max-below-frac", 0.5))
+                maxBelowFrac = f.getOrElse("--max-below-frac", 0.5),
+                semanticHistoryRoots = roots)
               out.println(s"maintain-index: $action " +
                 s"(cells=${report.getAs[Long]("n_cells")} " +
                 s"dead=${report.getAs[Long]("n_dead")} " +

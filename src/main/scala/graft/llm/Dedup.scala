@@ -1014,14 +1014,24 @@ object Dedup {
     * reuses). Append each screened batch's survivors (their cells are
     * already assigned by the screen) and the next batch screens
     * against the union WITHIN CELLS — history is never re-assigned,
-    * re-paired, or scanned all-pairs. Output: (idCol, vecCol, __cid).
+    * re-paired, or scanned all-pairs. Output: (idCol, vecCol, __cid)
+    * plus, when `indexVersion` is given, the `__iv` QUANTIZER-VERSION
+    * stamp (r19): the [[graft.llm.Ivf.saveIndex]] payload version
+    * ([[graft.llm.Ivf.liveIndexVersion]]) these cell ids were assigned
+    * under. Stamped history lets [[semanticAgainstHistory]] refuse
+    * loudly when a retrain has changed the cell geometry instead of
+    * silently missing near-dups, and [[reassignSemanticHistory]]
+    * restores it after a retrain.
     */
   def semanticHistorySignatures(df: DataFrame, idCol: String, vecCol: String,
                                 centroids: DataFrame,
                                 centIdCol: String = "__cid",
-                                centVecCol: String = "__cvec"): DataFrame =
-    Ivf.assignToCentroids(df.select(col(idCol), col(vecCol)),
+                                centVecCol: String = "__cvec",
+                                indexVersion: Option[Long] = None): DataFrame = {
+    val assigned = Ivf.assignToCentroids(df.select(col(idCol), col(vecCol)),
       idCol, vecCol, centroids, centIdCol, centVecCol)
+    indexVersion.fold(assigned)(v => assigned.withColumn("__iv", lit(v)))
+  }
 
   /** Incremental SEMANTIC (embedding) history screen — the SemDeDup
     * ingest shape: drop every batch row whose rounded cosine against
@@ -1058,8 +1068,36 @@ object Dedup {
                              idCol: String, vecCol: String,
                              threshold: Double = 0.9, nprobe: Int = 1,
                              centIdCol: String = "__cid",
-                             centVecCol: String = "__cvec"): DataFrame = {
+                             centVecCol: String = "__cvec",
+                             indexVersion: Option[Long] = None): DataFrame = {
     require(nprobe >= 1, s"nprobe must be >= 1, got $nprobe")
+    // QUANTIZER-VERSION handshake (r19 — the r18 verdict's composition
+    // hazard): cell-equi screening is only sound when batch and history
+    // were assigned under the SAME quantizer payload. When the caller
+    // names the version its `centroids` came from
+    // ([[graft.llm.Ivf.loadIndexVersioned]]), refuse LOUDLY on any
+    // stale/unstamped history instead of silently missing near-dups
+    // after a retrain. Cost: one limit-1 probe — parquet min/max stats
+    // prune every row group whose stamp uniformly matches, so a healthy
+    // history answers from footer metadata.
+    indexVersion.foreach { v =>
+      if (!historyVecs.columns.contains("__iv"))
+        throw new IllegalStateException(
+          s"semanticAgainstHistory: quantizer version $v expected but the " +
+          "history carries no __iv stamp — it predates the versioned " +
+          "contract or was written unstamped; rebuild it via " +
+          "semanticHistorySignatures(indexVersion = ...) or run " +
+          "Dedup.reassignSemanticHistory against the index dir")
+      val stale = historyVecs
+        .filter(col("__iv").isNull || col("__iv") =!= v).limit(1).count() > 0
+      if (stale)
+        throw new IllegalStateException(
+          s"semanticAgainstHistory: history cell ids were assigned under a " +
+          s"DIFFERENT quantizer payload than version $v (retrained since?) " +
+          "— screening would silently miss near-dups; run " +
+          "Dedup.reassignSemanticHistory (or Ivf.maintainIndex with " +
+          "semanticHistoryRoots) to re-assign the history first")
+    }
     val cents0 = centroids.select(
       col(centIdCol).as("__cid"), col(centVecCol).as("__cvec"))
     val probed =
@@ -1072,9 +1110,15 @@ object Dedup {
         val cents = broadcast(
           cents0.withColumn("__nc", Similarity.norm(col("__cvec"))))
         val probeDenom = col("__nq") * col("__nc")
-        val w = Window.partitionBy(col("__bid"))
+        // the probe window ranks each ROW's nlist centroid sims, so it
+        // must partition on a per-row key, not the user id: duplicate
+        // batch ids would otherwise share one nprobe budget and one
+        // vector's cells could crowd out the other's (the final
+        // left_anti below keeps the per-ID drop semantics regardless)
+        val w = Window.partitionBy(col("__rk"))
           .orderBy(col("__csim").desc, col("__cid").asc)
         batch.select(col(idCol).as("__bid"), col(vecCol).as("__bvec"))
+          .withColumn("__rk", monotonically_increasing_id())
           .withColumn("__nq", Similarity.norm(col("__bvec")))
           .crossJoin(cents)
           .withColumn("__csim", when(probeDenom =!= 0.0,
@@ -1095,6 +1139,59 @@ object Dedup {
       .select(col("__bid").as(idCol))
       .distinct()
     batch.join(matched, Seq(idCol), "left_anti")
+  }
+
+  /** Re-assign a STORED semantic-history table to the quantizer
+    * currently published under `indexDir` and re-stamp it with that
+    * payload version (r19 — the repair arm of the version handshake:
+    * after [[graft.llm.Ivf.maintainIndex]] retrains, stored `__cid`s
+    * mean v1 cells while new batches assign v2 cells, and the
+    * version-checked [[semanticAgainstHistory]] refuses; this restores
+    * the screen without re-embedding anything). `historyRoot` is either
+    * a plain parquet dir of [[semanticHistorySignatures]] rows or a
+    * `batch_id=`-sliced streaming root
+    * ([[graft.streaming.Streams.semanticScreenStream]] layout, run
+    * while the stream is STOPPED); vectors live under `vecCol`.
+    *
+    * Per slice: heal a torn swap, read, drop the old `__cid`/`__iv`,
+    * ONE map-side argmax-kernel pass over the stored vectors
+    * ([[graft.llm.Ivf.assignToCentroids]] — zero shuffle, no pairing),
+    * re-stamp, and publish back via the atomic staged swap
+    * ([[graft.Recovery.idempotentWrite]]). Slice structure (and so the
+    * stream's replay-exclusion contract) is preserved. A crash mid-run
+    * leaves a mix of v1/v2 slices — the screen's version check refuses
+    * exactly that state, and re-running completes the repair
+    * (idempotent). Returns the number of slices rewritten.
+    */
+  def reassignSemanticHistory(spark: org.apache.spark.sql.SparkSession,
+                              historyRoot: String, indexDir: String,
+                              vecCol: String): Int = {
+    val (cents, v) = Ivf.loadIndexVersioned(spark, indexDir)
+    val rootPath = new org.apache.hadoop.fs.Path(historyRoot)
+    val fs = rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(rootPath)) return 0
+    val slices = fs.listStatus(rootPath).toSeq.map(_.getPath.toString)
+      .filter(p => p.substring(p.lastIndexOf('/') + 1).startsWith("batch_id="))
+      .map(_.stripSuffix("__old").stripSuffix("__staging"))
+      .distinct.sorted
+    // a plain (un-sliced) history dir is one slice: the root itself
+    val targets = if (slices.isEmpty) Seq(historyRoot) else slices
+    var rewritten = 0
+    targets.foreach { p =>
+      graft.Recovery.restoreIfTorn(spark, p)
+      if (fs.exists(new org.apache.hadoop.fs.Path(p))) {
+        val df = spark.read.parquet(p)
+        val keep = df.drop("__cid", "__iv")
+        // assignToCentroids appends __cid per row, preserving every
+        // other column — id column name irrelevant to the kernel
+        val re = Ivf.assignToCentroids(keep, keep.columns.head, vecCol,
+            cents, "__cid", "__cvec")
+          .withColumn("__iv", lit(v))
+        graft.Recovery.idempotentWrite(re, p)
+        rewritten += 1
+      }
+    }
+    rewritten
   }
 
   // ---- benchmark decontamination -------------------------------------

@@ -681,7 +681,19 @@ object Ivf {
     fs.delete(old, false)
     if (fs.exists(p) && !fs.rename(p, old))
       throw new java.io.IOException(s"could not retire old descriptor: $p")
+    // a concurrent loadIndex healing mid-publish can win the staging→p
+    // rename between our two renames: our rename(staging, p) then fails
+    // (staging gone / p occupied) even though the publish LANDED. Before
+    // treating that as failure, check whether p now holds exactly the
+    // descriptor we were publishing — the benign race of
+    // healIndexDescriptor's contract — and return success if so.
+    def publishedByRacer(): Boolean = fs.exists(p) && {
+      val in = fs.open(p)
+      val s = try new String(in.readAllBytes(), "UTF-8") finally in.close()
+      s == meta + "\n"
+    }
     if (!fs.rename(staging, p)) {
+      if (publishedByRacer()) { fs.delete(old, false); return }
       if (fs.exists(old) && !fs.rename(old, p))
         throw new java.io.IOException(
           s"descriptor publish failed AND rollback failed: state is at $old")
@@ -734,7 +746,36 @@ object Ivf {
     * `centroids` dir.
     */
   def loadIndex(spark: org.apache.spark.sql.SparkSession,
-                dir: String): DataFrame = {
+                dir: String): DataFrame = loadIndexVersioned(spark, dir)._1
+
+  /** [[loadIndex]] plus the PAYLOAD VERSION the descriptor names — the
+    * stamp that ties downstream artifacts (stored semantic-history
+    * tables, [[graft.llm.Dedup.semanticHistorySignatures]]) to the
+    * exact quantizer that assigned them, so a later retrain cannot
+    * silently mismatch cells (r19; legacy un-versioned `centroids`
+    * payloads report version 0).
+    */
+  def loadIndexVersioned(spark: org.apache.spark.sql.SparkSession,
+                         dir: String): (DataFrame, Long) = {
+    val payload = resolvePayload(spark, dir)
+    (spark.read.parquet(s"$dir/$payload").select(col("__cid"), col("__cvec")),
+      payloadVersion(payload))
+  }
+
+  /** The live payload version under an index dir — one descriptor read,
+    * no parquet scan (the cheap side of the version handshake).
+    */
+  def liveIndexVersion(spark: org.apache.spark.sql.SparkSession,
+                       dir: String): Long =
+    payloadVersion(resolvePayload(spark, dir))
+
+  private def payloadVersion(payload: String): Long = payload match {
+    case payloadRe(n) => n.toLong
+    case _ => 0L
+  }
+
+  private def resolvePayload(spark: org.apache.spark.sql.SparkSession,
+                             dir: String): String = {
     val dirPath = new org.apache.hadoop.fs.Path(dir)
     val fs = dirPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     healIndexDescriptor(fs, dirPath)
@@ -748,7 +789,7 @@ object Ivf {
       .map(_.group(1)).getOrElse("centroids")
     require(!payload.contains("/") && !payload.contains(".."),
       s"descriptor names a non-local payload: $payload")
-    spark.read.parquet(s"$dir/$payload").select(col("__cid"), col("__cvec"))
+    payload
   }
 
   /** Quantizer drift / health monitor — the RETRAIN TRIGGER of the
@@ -829,15 +870,20 @@ object Ivf {
         sum(col("n_below")).as("n_below"),
         min(col("min_sim")).as("worst_sim"),
         min(col("mean_sim")).as("worst_cell_mean"))
+      // every decision boolean coalesces to false: on an empty corpus
+      // (or all-null sims) the aggregates above are null, and a null
+      // `retrain` would reach maintainIndex's Boolean accessor where
+      // Scala's asInstanceOf unboxes null to false SILENTLY — make the
+      // "no evidence → keep" decision explicit in the column instead
       .withColumn("dead_exceeded",
-        col("n_dead").cast("double") / col("n_cells").cast("double")
-          > maxDeadFrac)
+        coalesce(col("n_dead").cast("double") / col("n_cells").cast("double")
+          > maxDeadFrac, lit(false)))
       .withColumn("below_exceeded",
-        col("n_rows") > 0L &&
+        coalesce(col("n_rows") > 0L &&
           col("n_below").cast("double") / col("n_rows").cast("double")
-            > maxBelowFrac)
+            > maxBelowFrac, lit(false)))
       .withColumn("mean_decayed",
-        col("worst_cell_mean") < minWorstCellMean)
+        coalesce(col("worst_cell_mean") < minWorstCellMean, lit(false)))
       .withColumn("retrain",
         col("dead_exceeded") || col("below_exceeded") || col("mean_decayed"))
 
@@ -854,12 +900,26 @@ object Ivf {
     * "retrained", or "kept". The decision thresholds are compared on
     * the exact report fields, so the same corpus + artifact always
     * decides the same way.
+    *
+    * `semanticHistoryRoots` (r19) closes the retrain ↔ history-screen
+    * composition hazard: each root is a stored
+    * [[graft.llm.Dedup.semanticHistorySignatures]] table (plain parquet
+    * dir or `batch_id=`-sliced streaming root, vectors under this
+    * `vecCol`) whose cell ids are only meaningful under the quantizer
+    * THIS dir publishes. Whenever the turn publishes a new payload
+    * ("bootstrapped"/"retrained"), every listed root is re-assigned to
+    * the new cells and re-stamped with the new version
+    * ([[graft.llm.Dedup.reassignSemanticHistory]]) before the turn
+    * returns; a root NOT listed here keeps its old stamp and a
+    * version-checked screen refuses it loudly instead of silently
+    * missing near-dups.
     */
   def maintainIndex(corpus: DataFrame, idCol: String, vecCol: String,
                     dir: String, simFloor: Double = 0.0,
                     minWorstCellMean: Double = 0.0,
                     maxDeadFrac: Double = 0.5, maxBelowFrac: Double = 0.5,
-                    iters: Int = 2): (String, Row) = {
+                    iters: Int = 2,
+                    semanticHistoryRoots: Seq[String] = Nil): (String, Row) = {
     val spark = corpus.sparkSession
     val dirPath = new org.apache.hadoop.fs.Path(dir)
     val fs = dirPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -869,6 +929,16 @@ object Ivf {
       val cents = trainIndex(corpus.select(col(idCol), col(vecCol)),
         idCol, vecCol, nlistFor(corpus.count()), iters)
       saveIndex(cents, dir)
+      // the publish just invalidated every stored semantic history's
+      // cell ids (r19, the r18 verdict's composition hazard): re-assign
+      // and re-stamp each declared root to the NEW payload before the
+      // turn returns, so a version-checked screen never joins stale
+      // cells. Roots store vectors under this `vecCol` (the same
+      // pipeline produced corpus and history); run with the ingest
+      // stream stopped — the reassign rewrites slices the stream reads.
+      semanticHistoryRoots.foreach { root =>
+        Dedup.reassignSemanticHistory(spark, root, dir, vecCol)
+      }
       cents
     }
     if (!fs.exists(descriptor)) {

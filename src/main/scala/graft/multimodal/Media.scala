@@ -75,6 +75,54 @@ object Media {
         case _ => None
       }
     }
+    else if (bytes.length >= 16 && bytes(4) == 'f' && bytes(5) == 't' &&
+             bytes(6) == 'y' && bytes(7) == 'p' && {
+               val brand = new String(bytes, 8, 4,
+                 java.nio.charset.StandardCharsets.US_ASCII)
+               brand == "avif" || brand == "avis"
+             }) {
+      // AVIF (r19): the other modern-crawl format beside WebP. ISO-BMFF
+      // like MP4, so the same bounded Long walk with hostile-size
+      // guards as [[parseMp4Meta]]: dims live in the item-property
+      // chain meta (FullBox, children at +12) → iprp → ipco → ispe
+      // (FullBox: 4 version/flags + width/height be32). The FIRST ispe
+      // is the primary item's by convention (alpha/thumbnail properties
+      // follow it). DIMS-ONLY like webp — no JDK AV1 decoder, so
+      // [[imageFormatProfile]] counts the pixel-decode hole per format.
+      def tag(i: Int) = new String(bytes, i, 4,
+        java.nio.charset.StandardCharsets.US_ASCII)
+      def be32L(i: Int): Long = (u8(i).toLong << 24) | (u8(i + 1).toLong << 16) |
+        (u8(i + 2).toLong << 8) | u8(i + 3).toLong
+      def be64(i: Int): Long = (be32L(i) << 32) | be32L(i + 4)
+      def walk(from: Long, end: Long, want: String): Option[(Long, Long)] = {
+        var i = from
+        while (i + 8 <= end) {
+          val size = be32L(i.toInt)
+          val box = tag(i.toInt + 4)
+          // size 1 = 64-bit extended size; size 0 = box runs to EOF;
+          // realSize comparisons subtract so a near-Long.MaxValue
+          // extended size cannot wrap an additive guard
+          val realSize =
+            if (size == 1L && i + 16 <= end) be64(i.toInt + 8)
+            else if (size == 0L) end - i
+            else size
+          if (realSize < 8L || realSize > end - i) return None // corrupt
+          if (box == want) return Some((i, realSize))
+          i += realSize
+        }
+        None
+      }
+      val n = bytes.length.toLong
+      for {
+        (meta, metaSize) <- walk(0L, n, "meta") if metaSize >= 12L
+        (iprp, iprpSize) <- walk(meta + 12L, meta + metaSize, "iprp")
+        (ipco, ipcoSize) <- walk(iprp + 8L, iprp + iprpSize, "ipco")
+        (ispe, ispeSize) <- walk(ipco + 8L, ipco + ipcoSize, "ispe")
+        if ispeSize >= 20L && ispe + 20L <= n
+        w = be32(ispe.toInt + 12) if w >= 0 // reject sign-wrapped dims
+        h = be32(ispe.toInt + 16) if h >= 0
+      } yield ("avif", w, h)
+    }
     else if (bytes.length >= 4 && u8(0) == 0xFF && u8(1) == 0xD8) {
       // JPEG: walk marker segments to the first frame header (SOFn)
       var i = 2
@@ -601,12 +649,16 @@ object Media {
     * adjacent-cell gradients, at the cost of one small DCT per image.
     * EXIF-orientation-normalized like the other hashes.
     */
+  // the 8×32 DCT basis depends on nothing per-image — built once, not
+  // per row inside the UDF (256 StrictMath.cos calls per image otherwise)
+  private val pHashCosTab = Array.tabulate(8, 32)((u, x) =>
+    StrictMath.cos(StrictMath.PI * (2 * x + 1) * u / 64.0))
+
   def pHash(bytes: Array[Byte]): Option[Long] = decodeImage(bytes).map { img =>
     val g = grayGridOriented(img, 32, 32, exifOrientation(bytes))
     // separable DCT-II, keeping only the first 8 frequencies per axis:
     // rows first (freq u × row y), then columns
-    val cosTab = Array.tabulate(8, 32)((u, x) =>
-      StrictMath.cos(StrictMath.PI * (2 * x + 1) * u / 64.0))
+    val cosTab = pHashCosTab
     val rows = Array.ofDim[Double](32, 8) // [y][u]
     var y = 0
     while (y < 32) {
@@ -867,6 +919,75 @@ object Media {
     df.select(col(idCol), audioScreenUdf(col(binCol)).as("__a"))
       .select(col(idCol), col("__a.*"))
 
+  /** Audio container format from magic bytes (r19) — the audio analog
+    * of [[parseImageDims]]'s format detection, feeding
+    * [[audioFormatProfile]]: WAV (RIFF/WAVE), AIFF/AIFC (FORM), AU
+    * (.snd), FLAC (fLaC), OGG (OggS), and the MPEG sync family behind
+    * an optional ID3v2 tag — ADTS AAC (layer bits 00) vs MPEG audio
+    * "mp3" (layers I–III). None for null/short/unrecognized bytes.
+    * Pure byte peek, never a throw; detection says nothing about
+    * decodability (the JDK decodes only WAV/AIFF/AU PCM).
+    */
+  def detectAudioFormat(bytes: Array[Byte]): Option[String] = {
+    if (bytes == null || bytes.length < 4) return None
+    def u8(i: Int) = bytes(i) & 0xFF
+    def tag(i: Int) =
+      new String(bytes, i, 4, java.nio.charset.StandardCharsets.US_ASCII)
+    if (bytes.length >= 12 && tag(0) == "RIFF" && tag(8) == "WAVE") Some("wav")
+    else if (bytes.length >= 12 && tag(0) == "FORM" &&
+             (tag(8) == "AIFF" || tag(8) == "AIFC")) Some("aiff")
+    else if (tag(0) == ".snd") Some("au")
+    else if (tag(0) == "fLaC") Some("flac")
+    else if (tag(0) == "OggS") Some("ogg")
+    else {
+      // MPEG-family frame sync, optionally behind an ID3v2 tag
+      // (syncsafe size — the same skip parseMp3Meta does)
+      val off =
+        if (bytes.length >= 10 && bytes(0) == 'I' && bytes(1) == 'D' &&
+            bytes(2) == '3')
+          10L + ((u8(6) << 21) | (u8(7) << 14) | (u8(8) << 7) | u8(9))
+        else 0L
+      if (off + 2 > bytes.length) None
+      else {
+        val i = off.toInt
+        // ADTS: FF F1/F9 (12-bit sync + MPEG id bit, layer 00)
+        if (u8(i) == 0xFF && (u8(i + 1) & 0xF6) == 0xF0) Some("aac")
+        else if (u8(i) == 0xFF && (u8(i + 1) & 0xE0) == 0xE0 &&
+                 ((u8(i + 1) >> 1) & 3) != 0) Some("mp3")
+        else None
+      }
+    }
+  }
+
+  private val audioCoverageUdf = udf((b: Array[Byte]) => {
+    val fmt = detectAudioFormat(b)
+    (fmt.getOrElse("unknown"),
+      parseWavMeta(b).isDefined || parseMp3Meta(b).isDefined,
+      decodePcm(b).isDefined)
+  })
+
+  /** Per-format AUDIO coverage profile (r19) — the audio counterpart
+    * of [[imageFormatProfile]], closing the same visibility gap: a
+    * compressed-audio blob (MP3/OGG/AAC/FLAC) silently falls to
+    * "undecodable survives" in [[audioHash]]/[[audioScreen]] screening,
+    * and without this report that hole hides. Per detected format (or
+    * "unknown"): blob count, how many yield HEADER-ONLY metadata
+    * through the repo's container parsers ([[parseWavMeta]] /
+    * [[parseMp3Meta]] duration-without-decode; AIFF/AU expose metadata
+    * only through the decode path today), and how many the JDK can
+    * PCM-decode — only those participate in perceptual dedup. One
+    * map-side pass + one small hash aggregation.
+    * Output: (format, n, n_meta, n_decodable).
+    */
+  def audioFormatProfile(df: DataFrame, binCol: String): DataFrame =
+    df.select(audioCoverageUdf(col(binCol)).as("__c"))
+      .select(col("__c._1").as("format"),
+        col("__c._2").as("__has_meta"), col("__c._3").as("__dec"))
+      .groupBy(col("format"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("__has_meta"), 1L).otherwise(0L)).as("n_meta"),
+        sum(when(col("__dec"), 1L).otherwise(0L)).as("n_decodable"))
+
   /** 64-bit audio envelope signature (r18) — the [[dHash]] idea on the
     * time axis, completing the perceptual-dedup coverage across
     * modalities (images had dHash/aHash; audio had only exact byte
@@ -980,7 +1101,7 @@ object Media {
   /** A deterministic mono 16-bit PCM WAV with a seed-derived ENVELOPE
     * pattern (r18, the audio analog of [[syntheticPng]]'s random
     * blocks): 65 windows of `samplesPerWindow` samples, window w
-    * alternating ±(gain·h_w) where h_w = 1 + (mix64(seed, w) & 0x7F).
+    * alternating ±(gain·h_w) where h_w = 1 + (mix64(mix64(seed) ^ w) & 0x7F).
     * With gain ≤ 255 every sample stays ≤ 32640 (in 16-bit range),
     * every normalized value is dyadic, windows divide the sample count
     * exactly, and each window mean is gain·h_w/2^15 EXACTLY — so
@@ -1122,6 +1243,34 @@ object Media {
   /** Column form of [[syntheticWebp]] for registered queries. */
   def syntheticWebpCol(width: Column, height: Column, kind: Column): Column =
     syntheticWebpUdf(width.cast("int"), height.cast("int"), kind)
+
+  /** Minimal VALID AVIF container bytes with closed-form dims (r19):
+    * ftyp(avif) + meta(FullBox){ iprp { ipco { ispe(w,h) } } } —
+    * exactly the header chain [[parseImageDims]]'s ISO-BMFF walk
+    * reads, no encoded AV1 payload (the builder-as-oracle pattern of
+    * [[syntheticWebp]]). Dims clamp to the non-negative Int range the
+    * parser accepts.
+    */
+  def syntheticAvif(width: Int, height: Int): Array[Byte] = {
+    def be32(v: Int) = Array[Byte](((v >> 24) & 0xFF).toByte,
+      ((v >> 16) & 0xFF).toByte, ((v >> 8) & 0xFF).toByte, (v & 0xFF).toByte)
+    def box(tag: String, body: Array[Byte]): Array[Byte] =
+      be32(8 + body.length) ++ tag.getBytes("US-ASCII") ++ body
+    val w = math.max(1, width)
+    val h = math.max(1, height)
+    val ispe = box("ispe", be32(0) ++ be32(w) ++ be32(h)) // FullBox v0
+    val meta = box("meta", be32(0) ++ box("iprp", box("ipco", ispe)))
+    val ftyp = box("ftyp",
+      "avif".getBytes("US-ASCII") ++ be32(0) ++
+        "avifmif1".getBytes("US-ASCII")) // major, minor, compatible
+    ftyp ++ meta
+  }
+
+  private val syntheticAvifUdf = udf((w: Int, h: Int) => syntheticAvif(w, h))
+
+  /** Column form of [[syntheticAvif]] for registered queries. */
+  def syntheticAvifCol(width: Column, height: Column): Column =
+    syntheticAvifUdf(width.cast("int"), height.cast("int"))
 
   // ---- ISO-BMFF track-level metadata (video stream inventory, r17) ----
 

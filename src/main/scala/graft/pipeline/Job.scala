@@ -309,12 +309,19 @@ object Job {
       case _: Pipeline.RunningTotal => "running_total"
       case _: Pipeline.Rolling => "rolling"
       case _: Pipeline.SqlTransform => "sqltransform"
+      // the batch screen step is PURE (no history append, no replay
+      // exclusion); running it per micro-batch would silently skip the
+      // ingest contract — the streaming screens own that machinery
+      case _: Pipeline.Screen => "screen"
     }
     require(unsupported.isEmpty,
       "streaming job supports row-local and stream-static-join steps only " +
         s"(got: ${unsupported.distinct.mkString(", ")}) — per-micro-batch " +
         "aggregation/window results differ from the batch job; use " +
-        "Streams.windowedAgg/sessionWindowAgg for stream aggregation")
+        "Streams.windowedAgg/sessionWindowAgg for stream aggregation, and " +
+        "Streams.*ScreenStream for streaming ingest screens (they own the " +
+        "history-append + replay-exclusion contract the batch screen step " +
+        "deliberately lacks)")
     val primarySpec = spec.datasets.find(_.name == spec.pipeline.primary)
       .getOrElse(throw new IllegalArgumentException(
         s"pipeline primary '${spec.pipeline.primary}' is not a declared dataset"))

@@ -48,6 +48,27 @@ object Pipeline {
   final case class WithColumn(name: String, expr: Column) extends Step
   /** ref sqltransform: current frame registered as `__pipe`, sources by name */
   final case class SqlTransform(sql: String) extends Step
+  /** Ingest-screen step (r19): drop rows already in a STORED signature
+    * history — the crawl-dedup operator family as a declarable pipeline
+    * step (the reference's whole point is metadata-driven execution;
+    * the screens were library-only before this). `family` picks the
+    * signature: exact text / minhash / simhash text near-dup,
+    * perceptual image / audio, or semantic embeddings (which loads the
+    * persisted quantizer under `indexDir` and runs VERSION-CHECKED —
+    * a retrained index against un-reassigned history refuses loudly).
+    * `historyRoot` is a plain parquet dir or a `batch_id=`-sliced
+    * streaming root. PURE screen: survivors flow on, nothing is
+    * appended to history (appends belong to the streaming ingest path,
+    * [[graft.streaming.Streams.ingestScreenStream]], which owns the
+    * replay-exclusion contract). An absent/empty history passes
+    * everything through — the cold-start contract of the family.
+    */
+  final case class Screen(family: String, historyRoot: String,
+                          idCol: String, contentCol: String,
+                          threshold: Option[Double] = None,
+                          maxHamming: Option[Int] = None,
+                          indexDir: Option[String] = None,
+                          nprobe: Int = 1) extends Step
 
   /** A declared pipeline: the primary input plus the step list. */
   final case class Spec(primary: String, steps: Seq[Step])
@@ -73,11 +94,51 @@ object Pipeline {
         case RunningTotal(c, p, o, a) => Ops.runningTotal(df, c, p, o.map(orderCol), a)
         case Rolling(p, o, c, w, f, a) => Ops.rolling(df, p, o.map(orderCol), c, w, f, a)
         case WithColumn(n, e)       => df.withColumn(n, e)
+        case s: Screen              => runScreen(df, s)
         case SqlTransform(sql)      =>
           df.createOrReplaceTempView("__pipe")
           sources.foreach { case (n, d) => d.createOrReplaceTempView(n) }
           spark.sql(sql)
       }
+    }
+  }
+
+  /** [[Screen]] dispatch — each family's defaults mirror its streaming
+    * wrapper in [[graft.streaming.Streams]] so a JSON document moved
+    * between batch and streaming screens identically.
+    */
+  private def runScreen(df: DataFrame, s: Screen): DataFrame = {
+    import graft.llm.Dedup
+    import graft.multimodal.Media
+    val spark = df.sparkSession
+    val hist = graft.streaming.Streams.loadSignatureHistory(spark, s.historyRoot)
+    s.family.toLowerCase match {
+      case "exact" =>
+        hist.fold(df)(h => Dedup.dedupAgainstHistory(df, h, s.contentCol))
+      case "minhash" =>
+        hist.fold(df)(h => Dedup.minhashAgainstHistory(df, h,
+          s.idCol, s.contentCol, threshold = s.threshold.getOrElse(1.0)))
+      case "simhash" =>
+        hist.fold(df)(h => Dedup.simhashAgainstHistory(df, h,
+          s.idCol, s.contentCol, maxHamming = s.maxHamming.getOrElse(3)))
+      case "image" =>
+        hist.fold(df)(h => Media.imageAgainstHistory(df, s.idCol,
+          s.contentCol, h, maxHamming = s.maxHamming.getOrElse(6)))
+      case "audio" =>
+        hist.fold(df)(h => Media.audioAgainstHistory(df, s.idCol,
+          s.contentCol, h, maxHamming = s.maxHamming.getOrElse(4)))
+      case "semantic" =>
+        val dir = s.indexDir.getOrElse(throw new IllegalArgumentException(
+          "screen family 'semantic' needs \"index\" (the persisted quantizer dir)"))
+        // version-checked by construction: the handshake stamp comes
+        // from the SAME descriptor read that produced the centroids
+        val (cents, v) = graft.llm.Ivf.loadIndexVersioned(spark, dir)
+        hist.fold(df)(h => Dedup.semanticAgainstHistory(df, h, cents,
+          s.idCol, s.contentCol, s.threshold.getOrElse(0.9), s.nprobe,
+          indexVersion = Some(v)))
+      case other => throw new IllegalArgumentException(
+        s"Unsupported screen family: $other " +
+          "(exact | minhash | simhash | image | audio | semantic)")
     }
   }
 

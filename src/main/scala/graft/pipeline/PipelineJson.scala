@@ -71,6 +71,26 @@ object PipelineJson {
         // declarative SQL expression -> native codegen'd Column
         Pipeline.WithColumn(str("name"),
           org.apache.spark.sql.functions.expr(str("expr")))
+      case "screen" =>
+        // r19: the ingest-screen family as a declared step — family,
+        // history root, id + content columns; knobs optional per family
+        // (threshold for minhash/semantic, max_hamming for
+        // simhash/image/audio, index + nprobe for semantic)
+        val family = str("family").toLowerCase
+        val known = Set("exact", "minhash", "simhash", "image", "audio",
+          "semantic")
+        require(known(family),
+          s"screen family '$family' unknown (${known.toSeq.sorted.mkString(" | ")})")
+        val index = opt("index").map(_.asText())
+        require(family != "semantic" || index.isDefined,
+          "screen family 'semantic' needs \"index\" (the persisted quantizer dir)")
+        def num(f: String): Option[JsonNode] = opt(f).map { n =>
+          require(n.isNumber, s"screen \"$f\" must be a number"); n
+        }
+        Pipeline.Screen(family, str("history"), str("id"), str("column"),
+          num("threshold").map(_.asDouble()),
+          num("max_hamming").map(_.asInt()), index,
+          num("nprobe").map(_.asInt()).getOrElse(1))
       case other =>
         throw new IllegalArgumentException(s"Unsupported step type: $other")
     }

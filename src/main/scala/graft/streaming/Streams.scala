@@ -384,17 +384,29 @@ object Streams {
     * batch cell-assigns map-side and drops rows whose rounded cosine
     * reaches `threshold` against stored history vectors in its
     * `nprobe` cells; survivors append their cell-assigned embeddings.
+    *
+    * Pass `indexVersion` (r19 — from [[graft.llm.Ivf
+    * .loadIndexVersioned]], the same read that produced `centroids`)
+    * to VERSION-TIE the screen: survivors' signatures are stamped
+    * `__iv` and every micro-batch refuses loudly if the history was
+    * assigned under a different quantizer payload (the retrain
+    * composition hazard — repair with [[graft.llm.Dedup
+    * .reassignSemanticHistory]] or [[graft.llm.Ivf.maintainIndex]]'s
+    * `semanticHistoryRoots`, both run while this stream is stopped,
+    * then restart the stream against the re-loaded index).
     */
   def semanticScreenStream(stream: DataFrame, idCol: String, vecCol: String,
                            centroids: DataFrame,
                            historyRoot: String, checkpointDir: String,
-                           threshold: Double = 0.9, nprobe: Int = 1)
+                           threshold: Double = 0.9, nprobe: Int = 1,
+                           indexVersion: Option[Long] = None)
                           (clean: (DataFrame, Long) => Unit) =
     ingestScreenStream(stream, historyRoot, checkpointDir)(
       b => graft.llm.Dedup.semanticHistorySignatures(
-        b, idCol, vecCol, centroids))(
+        b, idCol, vecCol, centroids, indexVersion = indexVersion))(
       (b, history) => graft.llm.Dedup.semanticAgainstHistory(
-        b, history, centroids, idCol, vecCol, threshold, nprobe))(
+        b, history, centroids, idCol, vecCol, threshold, nprobe,
+        indexVersion = indexVersion))(
       clean)
 
   /** Compact a [[nearDupScreenStream]] history root: fold every
@@ -448,6 +460,23 @@ object Streams {
     }
     slices.count(!_.endsWith("batch_id=-1"))
   }
+
+  /** The full signature history under `root` for BATCH consumers (r19
+    * — the pipeline `screen` step): every healed `batch_id=` slice, or
+    * the root itself as one plain parquet dir when it holds no slices
+    * (the same dual layout [[graft.llm.Dedup.reassignSemanticHistory]]
+    * accepts). None when nothing exists. No slice exclusion — a batch
+    * reader has no replay identity to exclude.
+    */
+  def loadSignatureHistory(spark: SparkSession, root: String): Option[DataFrame] =
+    signatureHistory(spark, root, exclude = Long.MinValue).orElse {
+      val rootPath = new org.apache.hadoop.fs.Path(root)
+      val fs = rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      graft.Recovery.restoreIfTorn(spark, root)
+      if (fs.exists(rootPath) && fs.listStatus(rootPath).nonEmpty)
+        Some(spark.read.parquet(root))
+      else None
+    }
 
   /** The signature-history slices under `root`, healed, MINUS the
     * `batch_id=exclude` slice (the replay-safety read of

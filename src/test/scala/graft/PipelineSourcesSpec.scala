@@ -537,6 +537,93 @@ class PipelineSourcesSpec extends SparkSpec {
       col("failed")).count() == 1)
   }
 
+  test("screen step: parse validation, family dispatch == library screens, cold start, semantic version check") {
+    import graft.pipeline.{Job, PipelineJson}
+    import graft.llm.{Dedup, Ivf}
+    val base = Files.createTempDirectory("graft_scr").toString
+    // --- parse validation -------------------------------------------
+    def step(json: String) =
+      PipelineJson.parse(s"""{"primary": "d", "steps": [$json]}""")
+    assert(intercept[IllegalArgumentException](step(
+      """{"type": "screen", "family": "sonar", "history": "h", "id": "i", "column": "c"}"""))
+      .getMessage.contains("unknown"))
+    assert(intercept[IllegalArgumentException](step(
+      """{"type": "screen", "family": "semantic", "history": "h", "id": "i", "column": "c"}"""))
+      .getMessage.contains("index"))
+    assert(intercept[IllegalArgumentException](step(
+      """{"type": "screen", "family": "simhash", "history": "h", "id": "i", "column": "c", "max_hamming": "three"}"""))
+      .getMessage.contains("number"))
+    val parsed = step(
+      """{"type": "screen", "family": "minhash", "history": "h", "id": "i",
+        | "column": "c", "threshold": 0.8}""".stripMargin).steps.head
+    assert(parsed == Pipeline.Screen("minhash", "h", "i", "c",
+      threshold = Some(0.8)))
+    // --- dispatch parity: JSON step == the library screen -----------
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "one two three four five six seven"),
+      (3L, "alpha beta gamma delta epsilon zeta"), // dup of history
+      (4L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    graft.Recovery.idempotentWrite(
+      Dedup.simhashSignatures(docs.filter(col("doc_id") === 1L),
+        "doc_id", "text"), s"$base/simhist")
+    def runScreenJson(stepJson: String, df: org.apache.spark.sql.DataFrame) =
+      Pipeline.run(spark, Map("d" -> df), step(stepJson))
+    val simOut = runScreenJson(
+      s"""{"type": "screen", "family": "simhash", "history": "$base/simhist",
+         | "id": "doc_id", "column": "text", "max_hamming": 0}""".stripMargin,
+      docs.filter(col("doc_id") > 1L))
+    val simLib = Dedup.simhashAgainstHistory(docs.filter(col("doc_id") > 1L),
+      spark.read.parquet(s"$base/simhist"), "doc_id", "text", maxHamming = 0)
+    assert(simOut.select("doc_id").as[Long].collect().sorted.toSeq ==
+      simLib.select("doc_id").as[Long].collect().sorted.toSeq)
+    assert(simOut.select("doc_id").as[Long].collect().sorted.toSeq ==
+      Seq(2L, 4L)) // dup text drops, fresh + null survive
+    // --- cold start: absent/empty history passes everything through --
+    val cold = runScreenJson(
+      s"""{"type": "screen", "family": "exact", "history": "$base/missing",
+         | "id": "doc_id", "column": "text"}""".stripMargin, docs)
+    assert(cold.count() == docs.count())
+    // --- semantic family: version-checked against the persisted index
+    val idxDir = s"$base/idx"
+    Ivf.saveIndex(Seq((0, Array(1f, 0f)), (1, Array(0f, 1f)))
+      .toDF("__cid", "__cvec"), idxDir)
+    val (cents1, v1) = Ivf.loadIndexVersioned(spark, idxDir)
+    graft.Recovery.idempotentWrite(
+      Dedup.semanticHistorySignatures(
+        Seq((100L, Array(1f, 0f))).toDF("vec_id", "embedding"),
+        "vec_id", "embedding", cents1, indexVersion = Some(v1)),
+      s"$base/semhist")
+    val vecs = Seq((1L, Array(1f, 0f)), (2L, Array(0f, 1f)))
+      .toDF("vec_id", "embedding")
+    val semJson =
+      s"""{"type": "screen", "family": "semantic", "history": "$base/semhist",
+         | "id": "vec_id", "column": "embedding", "threshold": 0.9,
+         | "index": "$idxDir"}""".stripMargin
+    assert(runScreenJson(semJson, vecs).select("vec_id").as[Long]
+      .collect().toSeq == Seq(2L)) // exact dup of 100 drops
+    // a retrain without reassigning the history refuses LOUDLY through
+    // the declared step too (the r19 handshake, end-to-end from JSON)
+    Ivf.saveIndex(Seq((0, Array(0f, 1f)), (1, Array(1f, 0f)))
+      .toDF("__cid", "__cvec"), idxDir)
+    assert(intercept[IllegalStateException](
+      runScreenJson(semJson, vecs).collect())
+      .getMessage.contains("reassignSemanticHistory"))
+    Dedup.reassignSemanticHistory(spark, s"$base/semhist", idxDir, "embedding")
+    assert(runScreenJson(semJson, vecs).select("vec_id").as[Long]
+      .collect().toSeq == Seq(2L)) // healed: same survivors under v2
+    // --- streaming jobs reject the batch screen step loudly ----------
+    val streamDoc =
+      s"""{"datasets": [{"name": "d", "format": "parquet", "path": "$base/any"}],
+         | "pipeline": {"primary": "d", "steps": [
+         |   {"type": "screen", "family": "exact", "history": "$base/h",
+         |    "id": "doc_id", "column": "text"}]},
+         | "sink": {"path": "$base/sink"}}""".stripMargin
+    assert(intercept[IllegalArgumentException](
+      Job.runStreamJson(spark, streamDoc, s"$base/ckpt"))
+      .getMessage.contains("screen"))
+  }
+
   test("Job streaming mode: multi-batch stream equals the batch job on the replayed union") {
     import graft.pipeline.Job
     val base = Files.createTempDirectory("graft_jobstream").toString

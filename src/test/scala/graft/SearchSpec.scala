@@ -324,6 +324,92 @@ class SearchSpec extends SparkSpec {
     assert(Ivf.indexVersions(spark, dir) == Seq(1L, 2L))
   }
 
+  test("maintainIndex + semanticHistoryRoots: a retrain re-assigns and re-stamps sliced history; kept leaves it alone") {
+    import graft.llm.{Dedup, Ivf}
+    import spark.implicits._
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_maintain_hist").toString
+    val idxDir = s"$base/idx"
+    val root = s"$base/history"
+    // same planted-drift fixture as the maintainIndex test above
+    def clusters(rot: Boolean) = (0 until 400).map { i =>
+      val c = i % 4
+      val v = Array.fill(8)(0f)
+      if (rot) { v(c) = 0.7071f; v((c + 1) % 4) = 0.7071f }
+      else v(c) = 1f
+      v(4 + (i % 3)) = 0.03f + 0.002f * (i % 7)
+      (i.toLong, v)
+    }.toDF("vec_id", "embedding")
+    def maintain(corpus: org.apache.spark.sql.DataFrame) =
+      Ivf.maintainIndex(corpus, "vec_id", "embedding", idxDir,
+        minWorstCellMean = 0.9, maxDeadFrac = 1.1, maxBelowFrac = 1.1,
+        semanticHistoryRoots = Seq(root))
+    val epoch0 = clusters(rot = false)
+    val drifted = clusters(rot = true)
+    // bootstrap BEFORE any history exists: the missing root is a no-op
+    assert(maintain(epoch0)._1 == "bootstrapped")
+    val (cents1, v1) = Ivf.loadIndexVersioned(spark, idxDir)
+    assert(v1 == 1L)
+    // a streaming-layout history root: seed slice + one batch slice,
+    // stamped under v1
+    val seed = epoch0.filter(col("vec_id") < 10)
+    val slice0 = drifted.filter(col("vec_id") >= 390)
+    graft.Recovery.idempotentWrite(
+      Dedup.semanticHistorySignatures(seed, "vec_id", "embedding",
+        cents1, indexVersion = Some(v1)), s"$root/batch_id=-1")
+    graft.Recovery.idempotentWrite(
+      Dedup.semanticHistorySignatures(slice0, "vec_id", "embedding",
+        cents1, indexVersion = Some(v1)), s"$root/batch_id=0")
+    // kept turn: artifact and history untouched
+    assert(maintain(epoch0)._1 == "kept")
+    val before = spark.read.option("basePath", root).parquet(root)
+    assert(before.select("__iv").distinct().as[Long].collect().toSeq
+      == Seq(1L))
+    // drift trips → retrain → BOTH slices re-assigned + re-stamped v2,
+    // slice structure preserved
+    assert(maintain(drifted)._1 == "retrained")
+    val (cents2, v2) = Ivf.loadIndexVersioned(spark, idxDir)
+    assert(v2 == 2L)
+    val after = spark.read.option("basePath", root).parquet(root)
+    assert(after.select("__iv").distinct().as[Long].collect().toSeq
+      == Seq(2L))
+    assert(after.select("batch_id").distinct().as[Long].collect().sorted
+      .toSeq == Seq(-1L, 0L))
+    // re-assigned cells equal a from-scratch assignment under v2, per
+    // slice and per row
+    val scratch = Dedup.semanticHistorySignatures(
+      seed.unionAll(slice0), "vec_id", "embedding", cents2,
+      indexVersion = Some(v2))
+    assert(after.orderBy("vec_id").select("vec_id", "__cid", "__iv")
+      .collect().toSeq ==
+      scratch.orderBy("vec_id").select("vec_id", "__cid", "__iv")
+        .collect().toSeq)
+    // the version-checked screen is green again over the healed history
+    val batch = drifted.filter(col("vec_id") === 395L)
+      .withColumn("vec_id", col("vec_id") + 9000L)
+    val survivors = Dedup.semanticAgainstHistory(batch, after, cents2,
+      "vec_id", "embedding", threshold = 0.99, indexVersion = Some(v2))
+    assert(survivors.count() == 0L) // exact dup of slice0's row 395
+  }
+
+  test("driftReport on an empty corpus decides keep with non-null booleans") {
+    import graft.llm.Ivf
+    import spark.implicits._
+    val cents = Seq((0, Array(1f, 0f)), (1, Array(0f, 1f)))
+      .toDF("__cid", "__cvec")
+    val empty = Seq.empty[(Long, Array[Float])].toDF("vec_id", "embedding")
+    // every cell is dead and every similarity aggregate is null — the
+    // decision booleans must still be false, never null (a null here
+    // used to unbox to false SILENTLY in maintainIndex's Row accessor)
+    val r = Ivf.driftReport(
+      Ivf.quantizerDrift(empty, "vec_id", "embedding", cents),
+      minWorstCellMean = 0.9, maxDeadFrac = 1.1, maxBelowFrac = 1.1).head()
+    for (c <- Seq("dead_exceeded", "below_exceeded", "mean_decayed", "retrain")) {
+      assert(!r.isNullAt(r.fieldIndex(c)), s"$c must not be null")
+      assert(!r.getAs[Boolean](c), s"$c must be false")
+    }
+  }
+
   test("driver-path centroid assignment equals the broadcast-join formulation") {
     import graft.llm.Ivf
     val e = table("embeddings")

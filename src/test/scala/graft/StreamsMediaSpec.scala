@@ -464,6 +464,58 @@ class StreamsMediaSpec extends SparkSpec {
     assert(meta(1)._2 == 9L * 8L) // junk falls back to the stub
   }
 
+  test("Media.detectAudioFormat + audioFormatProfile: per-format coverage incl. real AIFF/AU round-trips") {
+    import spark.implicits._
+    // real AIFF/AU bytes: encode a short PCM clip through the JDK's own
+    // writers — the formats the decode path claims to cover
+    def encoded(t: javax.sound.sampled.AudioFileFormat.Type): Array[Byte] = {
+      val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true,
+        t == javax.sound.sampled.AudioFileFormat.Type.AIFF) // AIFF is BE
+      val pcm = Array.tabulate[Byte](400)(i => (i % 64).toByte)
+      val ais = new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(pcm), fmt, 200)
+      val baos = new java.io.ByteArrayOutputStream()
+      javax.sound.sampled.AudioSystem.write(ais, t, baos)
+      baos.toByteArray
+    }
+    val aiff = encoded(javax.sound.sampled.AudioFileFormat.Type.AIFF)
+    val au = encoded(javax.sound.sampled.AudioFileFormat.Type.AU)
+    assert(Media.detectAudioFormat(aiff).contains("aiff"))
+    assert(Media.detectAudioFormat(au).contains("au"))
+    assert(Media.decodePcm(aiff).isDefined && Media.decodePcm(au).isDefined)
+    assert(Media.detectAudioFormat(Media.syntheticWav(100)).contains("wav"))
+    val mp3 = Array[Byte](0xFF.toByte, 0xFB.toByte, 0x90.toByte, 0) ++
+      Array.fill(96)(0.toByte)
+    val aac = Array[Byte](0xFF.toByte, 0xF1.toByte, 0x50.toByte,
+      0x80.toByte, 0, 0x1F.toByte, 0xFC.toByte)
+    assert(Media.detectAudioFormat(mp3).contains("mp3"))
+    assert(Media.detectAudioFormat(aac).contains("aac"))
+    // ID3v2-prefixed sync still resolves, to the right family
+    val id3 = "ID3".getBytes ++ Array[Byte](4, 0, 0, 0, 0, 0, 0)
+    assert(Media.detectAudioFormat(id3 ++ mp3).contains("mp3"))
+    assert(Media.detectAudioFormat(id3 ++ aac).contains("aac"))
+    assert(Media.detectAudioFormat("fLaC0000".getBytes).contains("flac"))
+    assert(Media.detectAudioFormat("OggS0000".getBytes).contains("ogg"))
+    assert(Media.detectAudioFormat("neither!".getBytes).isEmpty)
+    assert(Media.detectAudioFormat(null).isEmpty)
+    assert(Media.detectAudioFormat(Array[Byte](1, 2)).isEmpty)
+    // the profile counts detection, header-meta, and decodability apart
+    val corpus = Seq(
+      (1L, Media.syntheticWav(500)), // wav: meta + decodable
+      (2L, aiff),                    // aiff: decodable, no header parser
+      (3L, au),                      // au: decodable, no header parser
+      (4L, mp3),                     // mp3: header meta, no decoder
+      (5L, aac), (6L, aac),          // aac: detected only
+      (7L, "random junk".getBytes)).toDF("id", "wav")
+    val prof = Media.audioFormatProfile(corpus, "wav")
+      .as[(String, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(prof == Map(
+      "wav" -> ((1L, 1L, 1L)), "aiff" -> ((1L, 0L, 1L)),
+      "au" -> ((1L, 0L, 1L)), "mp3" -> ((1L, 1L, 0L)),
+      "aac" -> ((2L, 0L, 0L)), "unknown" -> ((1L, 0L, 0L))))
+  }
+
   test("Media.parseWavMeta reads real RIFF/WAVE headers") {
     // hand-built canonical WAV: RIFF + fmt (PCM stereo 44.1k/16) + data
     def wav(dataSize: Int, extraChunk: Boolean = false,
@@ -814,6 +866,69 @@ class StreamsMediaSpec extends SparkSpec {
     assert(hist.columns.toSet == Set("vec_id", "embedding", "__cid", "batch_id"))
   }
 
+  test("semanticScreenStream version handshake: a mid-stream retrain+reassign refuses; restart on v2 replays green") {
+    import java.nio.file.Files
+    import graft.llm.{Dedup, Ivf}
+    implicit val sqlCtx = spark.sqlContext
+    val base = Files.createTempDirectory("graft_semver_stream").toString
+    val historyRoot = s"$base/history"
+    val idxDir = s"$base/idx"
+    Ivf.saveIndex(
+      Seq((0, Array(1f, 0f, 0f, 0f)), (1, Array(0f, 1f, 0f, 0f)))
+        .toDF("__cid", "__cvec"), idxDir)
+    val (cents1, v1) = Ivf.loadIndexVersioned(spark, idxDir)
+    graft.Recovery.idempotentWrite(
+      Dedup.semanticHistorySignatures(
+        Seq((100L, Array(1f, 0f, 0f, 0f))).toDF("vec_id", "embedding"),
+        "vec_id", "embedding", cents1, indexVersion = Some(v1)),
+      s"$historyRoot/batch_id=-1")
+    val input = MemoryStream[(Long, Array[Float])]
+    val cleanSeen = scala.collection.mutable.ArrayBuffer.empty[(Long, Set[Long])]
+    def startScreen(cents: org.apache.spark.sql.DataFrame, v: Long) =
+      Streams.semanticScreenStream(
+        input.toDF().toDF("vec_id", "embedding"), "vec_id", "embedding",
+        cents, historyRoot, s"$base/ckpt", threshold = 0.9,
+        indexVersion = Some(v)) { (ok, bid) =>
+        cleanSeen += ((bid, ok.select("vec_id").as[Long].collect().toSet))
+      }
+    val q1 = startScreen(cents1, v1)
+    try {
+      // batch 0 under v1: seed dup drops, fresh survives
+      input.addData(Seq(
+        (1L, Array(1f, 0f, 0f, 0f)),
+        (2L, Array(0f, 1f, 0f, 0f))))
+      q1.processAllAvailable()
+      assert(cleanSeen.toList == List((0L, Set(2L))))
+      // the maintenance cron fires while the stream is live: retrain
+      // publishes v2 (axes swapped) and re-assigns the history root
+      Ivf.saveIndex(
+        Seq((0, Array(0f, 1f, 0f, 0f)), (1, Array(1f, 0f, 0f, 0f)))
+          .toDF("__cid", "__cvec"), idxDir)
+      assert(Dedup.reassignSemanticHistory(
+        spark, historyRoot, idxDir, "embedding") == 2) // seed + slice 0
+      // the NEXT micro-batch still screens with the v1 handle → the
+      // handshake refuses LOUDLY instead of joining stale cells
+      input.addData(Seq((3L, Array(0f, 1f, 0f, 0f))))
+      val err = intercept[Exception] { q1.processAllAvailable() }
+      def rootMessage(t: Throwable): String =
+        Option(t.getCause).map(rootMessage)
+          .getOrElse(Option(t.getMessage).getOrElse(""))
+      assert(rootMessage(err).contains("reassignSemanticHistory") ||
+        err.toString.contains("DIFFERENT quantizer payload"))
+    } finally q1.stop()
+    // restart the SAME checkpoint lineage with the re-loaded v2 index:
+    // batch 1 replays against the healed history and screens green
+    // (id 3 near-dups batch 0's survivor id 2, now in a v2 cell)
+    val (cents2, v2) = Ivf.loadIndexVersioned(spark, idxDir)
+    assert(v2 == 2L)
+    val q2 = startScreen(cents2, v2)
+    try q2.processAllAvailable() finally q2.stop()
+    assert(cleanSeen.toList == List((0L, Set(2L)), (1L, Set.empty[Long])))
+    // every surviving slice is v2-stamped
+    val hist = spark.read.option("basePath", historyRoot).parquet(historyRoot)
+    assert(hist.select("__iv").distinct().as[Long].collect().toSeq == Seq(2L))
+  }
+
   test("Datagen.withFields: streaming values identical to batch for the same ids") {
     import graft.sources.Datagen, Datagen._
     val fields = Seq(IntCol("age", 18, 80), DoubleCol("p", 0.0, 1.0),
@@ -1085,6 +1200,37 @@ class StreamsMediaSpec extends SparkSpec {
     // webp is dims-only: no JDK decoder, so the pixel path screens out
     assert(Media.decodeImage(Media.syntheticWebp(64, 48, "vp8l")).isEmpty)
     assert(Media.dHash(Media.syntheticWebp(64, 48, "vp8l")).isEmpty)
+  }
+
+  test("parseImageDims: AVIF ispe dims round-trip; corrupt boxes and truncations screen out") {
+    assert(Media.parseImageDims(Media.syntheticAvif(640, 480))
+      .contains(("avif", 640, 480)))
+    assert(Media.parseImageDims(Media.syntheticAvif(1, 1))
+      .contains(("avif", 1, 1)))
+    assert(Media.parseImageDims(Media.syntheticAvif(8192, 4320))
+      .contains(("avif", 8192, 4320)))
+    // an MP4 ftyp is not an AVIF ftyp — brand gate, not box-shape gate
+    val mp4ish = Media.syntheticAvif(10, 10).clone()
+    mp4ish(8) = 'i'.toByte; mp4ish(9) = 's'.toByte
+    mp4ish(10) = 'o'.toByte; mp4ish(11) = 'm'.toByte
+    assert(Media.parseImageDims(mp4ish).isEmpty)
+    // corrupt interior box tags screen out (no meta / no ispe)
+    val noMeta = Media.syntheticAvif(10, 10).clone()
+    noMeta(24 + 4) = 'X'.toByte // meta tag → Xeta
+    assert(Media.parseImageDims(noMeta).isEmpty)
+    // hostile child size inside meta: walk bails, never throws
+    val badSize = Media.syntheticAvif(10, 10).clone()
+    badSize(24 + 12) = 0xFF.toByte // iprp size high byte → huge
+    assert(Media.parseImageDims(badSize).isEmpty)
+    // every truncation parses without throwing and never invents dims
+    val full = Media.syntheticAvif(99, 55)
+    (0 until full.length).foreach { len =>
+      val r = Media.parseImageDims(full.take(len))
+      assert(r.isEmpty || r.contains(("avif", 99, 55)), s"len=$len: $r")
+    }
+    // avif is dims-only: no JDK AV1 decoder, the pixel path screens out
+    assert(Media.decodeImage(Media.syntheticAvif(64, 48)).isEmpty)
+    assert(Media.dHash(Media.syntheticAvif(64, 48)).isEmpty)
   }
 
   // Build a minimal APP1 EXIF segment carrying ONLY the orientation

@@ -759,6 +759,100 @@ class TextDedupSpec extends SparkSpec {
     assert(p1.size < batch.count()) // the screen actually drops rows
   }
 
+  test("semantic history version handshake: stamped pass, stale/unstamped refuse, reassign restores the exact v2 screen") {
+    import graft.llm.Ivf
+    val base = java.nio.file.Files.createTempDirectory("graft_semver").toString
+    val idxDir = s"$base/idx"
+    val histDir = s"$base/history"
+    // v1 quantizer: two axis cells, published through the atomic commit
+    val cents1 = Seq((0, Array(1f, 0f, 0f, 0f)), (1, Array(0f, 1f, 0f, 0f)))
+      .toDF("__cid", "__cvec")
+    Ivf.saveIndex(cents1, idxDir)
+    val (loaded1, v1) = Ivf.loadIndexVersioned(spark, idxDir)
+    assert(v1 == 1L)
+    val hist0 = Seq(
+      (100L, Array(1f, 0f, 0f, 0f)),
+      (101L, Array(0.1f, 0.995f, 0f, 0f))).toDF("vec_id", "embedding")
+    val stamped = Dedup.semanticHistorySignatures(
+      hist0, "vec_id", "embedding", loaded1, indexVersion = Some(v1))
+    assert(stamped.select("__iv").as[Long].collect().toSeq == Seq(1L, 1L))
+    graft.Recovery.idempotentWrite(stamped, histDir) // plain (un-sliced) root
+    val history = spark.read.parquet(histDir)
+    val batch = Seq(
+      (1L, Array(1f, 0f, 0f, 0f)),  // exact dup of 100 → drops
+      (2L, Array(0f, 0f, 1f, 0f))). // orthogonal → survives
+      toDF("vec_id", "embedding")
+    def screen(h: org.apache.spark.sql.DataFrame,
+               c: org.apache.spark.sql.DataFrame, v: Option[Long]) =
+      Dedup.semanticAgainstHistory(batch, h, c, "vec_id", "embedding",
+          threshold = 0.9, indexVersion = v)
+        .select("vec_id").as[Long].collect().sorted.toSeq
+    // matching stamp: identical to the unversioned screen
+    assert(screen(history, loaded1, Some(v1)) == Seq(2L))
+    assert(screen(history, loaded1, None) == Seq(2L))
+    // retrain: v2 swaps the cell geometry (axes exchanged) — the stale
+    // v1-stamped history must REFUSE, not silently miss
+    val cents2 = Seq((0, Array(0f, 1f, 0f, 0f)), (1, Array(1f, 0f, 0f, 0f)))
+      .toDF("__cid", "__cvec")
+    Ivf.saveIndex(cents2, idxDir)
+    val (loaded2, v2) = Ivf.loadIndexVersioned(spark, idxDir)
+    assert(v2 == 2L)
+    val stale = intercept[IllegalStateException](
+      screen(history, loaded2, Some(v2)))
+    assert(stale.getMessage.contains("reassignSemanticHistory"))
+    // an UNSTAMPED history is refused too when a version is expected
+    val unstamped = intercept[IllegalStateException](
+      screen(history.drop("__iv"), loaded2, Some(v2)))
+    assert(unstamped.getMessage.contains("__iv"))
+    // repair: one argmax pass re-assigns + re-stamps in place
+    assert(Dedup.reassignSemanticHistory(spark, histDir, idxDir,
+      "embedding") == 1)
+    val healed = spark.read.parquet(histDir)
+    assert(healed.select("__iv").as[Long].collect().toSeq == Seq(2L, 2L))
+    // re-assigned cells equal a from-scratch v2 assignment, and the
+    // versioned screen equals the from-scratch v2 screen
+    val scratch = Dedup.semanticHistorySignatures(
+      hist0, "vec_id", "embedding", loaded2, indexVersion = Some(v2))
+    assert(healed.orderBy("vec_id").select("vec_id", "__cid", "__iv")
+      .collect().toSeq ==
+      scratch.orderBy("vec_id").select("vec_id", "__cid", "__iv")
+        .collect().toSeq)
+    assert(screen(healed, loaded2, Some(v2)) ==
+      screen(scratch, loaded2, Some(v2)))
+    assert(screen(healed, loaded2, Some(v2)) == Seq(2L))
+  }
+
+  test("semanticAgainstHistory nprobe>1: duplicate batch ids keep independent probe budgets") {
+    // four axis cells; rows A and B SHARE id 7 but live on different
+    // axis pairs. Ranked together (the pre-r19 __bid window) the two
+    // second-choice cells fall past nprobe=2 and A's cell-1 near-dup is
+    // silently missed; per-row budgets probe (0,1) for A and (2,3) for
+    // B, so the id drops.
+    val cents = Seq(
+      (0, Array(1f, 0f, 0f, 0f)), (1, Array(0f, 1f, 0f, 0f)),
+      (2, Array(0f, 0f, 1f, 0f)), (3, Array(0f, 0f, 0f, 1f)))
+      .toDF("__cid", "__cvec")
+    val history = Dedup.semanticHistorySignatures(
+      Seq((200L, Array(0.43f, 0.9f, 0f, 0f))).toDF("vec_id", "embedding"),
+      "vec_id", "embedding", cents) // lands in cell 1
+    val batch = Seq(
+      (7L, Array(0.9f, 0.43f, 0f, 0f)),  // cells (0, 1); near-dup of 200
+      (7L, Array(0f, 0f, 0.9f, 0.43f))). // cells (2, 3); clean
+      toDF("vec_id", "embedding")
+    val survivors = Dedup.semanticAgainstHistory(batch, history, cents,
+        "vec_id", "embedding", threshold = 0.7, nprobe = 2)
+      .select("vec_id").as[Long].collect()
+    assert(survivors.isEmpty) // id 7 drops via A's second-probe match
+    // distinct ids: only the near-dup's id drops
+    val distinctIds = Seq(
+      (7L, Array(0.9f, 0.43f, 0f, 0f)),
+      (8L, Array(0f, 0f, 0.9f, 0.43f))).toDF("vec_id", "embedding")
+    val s2 = Dedup.semanticAgainstHistory(distinctIds, history, cents,
+        "vec_id", "embedding", threshold = 0.7, nprobe = 2)
+      .select("vec_id").as[Long].collect().toSeq
+    assert(s2 == Seq(8L))
+  }
+
   test("lshParams places the S-curve rise at the threshold") {
     // every result is a valid divisor split
     for (t <- Seq(0.3, 0.5, 0.7, 0.9); n <- Seq(16, 32, 128)) {
