@@ -83,6 +83,27 @@ object Bench {
     try SparkEntry.queries("q_agg")(spark, sfDir).count()
     catch { case _: Throwable => () }
 
+    // Host-calibration probe (r19): a FIXED-WORK, data-independent,
+    // CPU-bound query — a codegen'd xxhash64 chain over a fixed range at
+    // fixed parallelism — timed before each pass and once after the
+    // last. The suite's committed numbers have a documented ±15%
+    // same-HEAD host spread; the probe array turns "was that pass slow
+    // or was the host?" into one division (probe ratio ≈ host factor)
+    // instead of a per-query adjudication. Work is constant across
+    // rounds by construction: same rows, same chain depth, same slice
+    // count — never data- or SF-dependent.
+    def probeSec(): Double = {
+      import org.apache.spark.sql.functions.{col, pmod, sum, xxhash64}
+      val t0 = System.nanoTime()
+      val chained = (1 to 6).foldLeft(col("id"))((c, _) => xxhash64(c))
+      // pmod bounds the addend so the ANSI sum can never overflow Long
+      spark.range(0L, 100000000L, 1L, cpus.toInt)
+        .select(sum(pmod(chained, org.apache.spark.sql.functions.lit(1000000L))))
+        .head()
+      (System.nanoTime() - t0) / 1e9
+    }
+    probeSec() // untimed warmup of the probe's own codegen
+
     // Executed-task counter: a slow pass with ~equal task counts is a
     // host stall; a slow pass with a task-count multiple is Spark
     // re-executing work (a caching/plan defect — exactly how the
@@ -137,8 +158,13 @@ object Bench {
     // any residual spread (gc/task counts distinguish host noise from
     // re-executed work).
     val nPasses = 3
+    val probes = scala.collection.mutable.ListBuffer[Double]()
     val ps: Seq[Map[String, Sample]] =
-      (1 to nPasses).map(i => timedPass(recordPlans = i == 1))
+      (1 to nPasses).map { i =>
+        probes += probeSec()
+        timedPass(recordPlans = i == 1)
+      }
+    probes += probeSec() // one after the last pass: drift across the window
 
     // errors = failed in ALL passes (timed value is then the min abort
     // time, flagged here); transient = failed in some but not all (timed
@@ -172,9 +198,11 @@ object Bench {
     val total = results.map(_._2).sum
     val anchorsJson = SparkEntry.anchorQueries.toSeq.sorted
       .filter(names.contains).map("\"" + _ + "\"").mkString("[", ",", "]")
+    val probeJson = probes.map(p => f"$p%.3f").mkString("[", ",", "]")
     val fullLine =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"passes":$passes,""" +
         s""""gc_sec":$gcs,"tasks":$taskCounts,"plan_hash":$plans,"anchors":$anchorsJson,""" +
+        s""""probe_sec":$probeJson,""" +
         s""""errors":$errJson,"transient_errors":$transientJson,"sf":"$sfDir"}"""
     // a SPARK_GRAFT_ONLY-narrowed run must never clobber the official
     // full-suite artifact the driver (and docs) ingest
@@ -198,7 +226,7 @@ object Bench {
     val base =
       s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","n_queries":${results.size},""" +
         s""""n_errors":${errors.size},"errors":$errShown,"anchors":$anchorsJson,""" +
-        s""""sf":"$sfDir","full":"$outFile","queries":{}}"""
+        s""""probe_sec":$probeJson,"sf":"$sfDir","full":"$outFile","queries":{}}"""
     val picked = scala.collection.mutable.ListBuffer[String]()
     var used = base.length
     results.sortBy(-_._2).foreach { case (k, v) =>

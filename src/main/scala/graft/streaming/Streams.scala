@@ -409,13 +409,18 @@ object Streams {
         indexVersion = indexVersion))(
       clean)
 
-  /** Compact a [[nearDupScreenStream]] history root: fold every
+  /** Compact an [[ingestScreenStream]] history root — SCHEMA-AGNOSTIC
+    * (r19 spec-pinned over minhash, image, and version-stamped
+    * semantic roots; any signature family's columns, including the
+    * `__iv` quantizer stamp, fold through untouched): fold every
     * `batch_id` slice ≤ `upToBatch` (and any existing seed) into ONE
     * `batch_id=-1` seed slice, then remove the merged slices — a
     * long-running crawl otherwise accumulates one directory per
     * micro-batch, and the history read pays a per-slice heal + list
-    * every batch. Returns the number of slices merged (0 = nothing to
-    * do).
+    * every batch. Returns the number of non-seed slices merged (0 =
+    * nothing to do). Composes with
+    * [[graft.llm.Dedup.reassignSemanticHistory]]: a compacted semantic
+    * root is one slice to re-assign.
     *
     * Contract: run while the stream is STOPPED, with `upToBatch`
     * strictly below the checkpoint's next batch id — a batch the

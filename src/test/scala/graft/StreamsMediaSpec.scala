@@ -735,6 +735,84 @@ class StreamsMediaSpec extends SparkSpec {
     assert(seedMtimes == m0)
   }
 
+  test("compactSignatureHistory is schema-agnostic: image and semantic roots fold, screen identically, keep stamps, compose with reassign") {
+    import java.nio.file.Files
+    import graft.llm.{Dedup, Ivf}
+    // --- image root: 8-byte perceptual signatures ---------------------
+    val ibase = Files.createTempDirectory("graft_compact_img").toString
+    val iroot = s"$ibase/history"
+    graft.Recovery.idempotentWrite(
+      Media.imageSignatures(
+        Seq((100L, Media.syntheticPng(1))).toDF("img_id", "img"),
+        "img_id", "img"), s"$iroot/batch_id=-1")
+    graft.Recovery.idempotentWrite(
+      Media.imageSignatures(
+        Seq((101L, Media.syntheticPng(2))).toDF("img_id", "img"),
+        "img_id", "img"), s"$iroot/batch_id=0")
+    val ibatch = Seq(
+      (1L, Media.syntheticPng(1)),  // dup of seed → drops
+      (2L, Media.syntheticPng(2)),  // dup of slice 0 → drops
+      (3L, Media.syntheticPng(3))). // fresh → survives
+      toDF("img_id", "img")
+    def iScreen() = Media.imageAgainstHistory(ibatch, "img_id", "img",
+        spark.read.option("basePath", iroot).parquet(iroot)
+          .select("img_id", "__sig"), maxHamming = 0)
+      .select("img_id").as[Long].collect().sorted.toSeq
+    val iBefore = iScreen()
+    assert(iBefore == Seq(3L))
+    // returns the number of NON-seed slices folded (the seed rewrites)
+    assert(Streams.compactSignatureHistory(spark, iroot, upToBatch = 0L) == 1)
+    val ihist = spark.read.option("basePath", iroot).parquet(iroot)
+    assert(ihist.select("batch_id").distinct().as[Long].collect().toSeq
+      == Seq(-1L))
+    assert(ihist.count() == 2L && iScreen() == iBefore)
+    // --- semantic root: cell-assigned embeddings, VERSION-stamped -----
+    val sbase = Files.createTempDirectory("graft_compact_sem").toString
+    val sroot = s"$sbase/history"
+    val idxDir = s"$sbase/idx"
+    Ivf.saveIndex(Seq((0, Array(1f, 0f)), (1, Array(0f, 1f)))
+      .toDF("__cid", "__cvec"), idxDir)
+    val (cents1, v1) = Ivf.loadIndexVersioned(spark, idxDir)
+    graft.Recovery.idempotentWrite(
+      Dedup.semanticHistorySignatures(
+        Seq((100L, Array(1f, 0f))).toDF("vec_id", "embedding"),
+        "vec_id", "embedding", cents1, indexVersion = Some(v1)),
+      s"$sroot/batch_id=-1")
+    graft.Recovery.idempotentWrite(
+      Dedup.semanticHistorySignatures(
+        Seq((101L, Array(0f, 1f))).toDF("vec_id", "embedding"),
+        "vec_id", "embedding", cents1, indexVersion = Some(v1)),
+      s"$sroot/batch_id=0")
+    val sbatch = Seq((1L, Array(1f, 0f)), (2L, Array(0.7071f, 0.7071f)))
+      .toDF("vec_id", "embedding")
+    def sScreen(c: org.apache.spark.sql.DataFrame, v: Long) =
+      Dedup.semanticAgainstHistory(sbatch,
+          spark.read.option("basePath", sroot).parquet(sroot), c,
+          "vec_id", "embedding", threshold = 0.95, indexVersion = Some(v))
+        .select("vec_id").as[Long].collect().sorted.toSeq
+    assert(sScreen(cents1, v1) == Seq(2L)) // exact dup of 100 drops
+    assert(Streams.compactSignatureHistory(spark, sroot, upToBatch = 0L) == 1)
+    val shist = spark.read.option("basePath", sroot).parquet(sroot)
+    // folded to one seed; the __iv stamps survive the fold untouched
+    assert(shist.select("batch_id").distinct().as[Long].collect().toSeq
+      == Seq(-1L))
+    assert(shist.select("__iv").distinct().as[Long].collect().toSeq
+      == Seq(v1))
+    assert(sScreen(cents1, v1) == Seq(2L))
+    // --- compose with the r19 maintenance repair: retrain → reassign
+    // the COMPACTED root → stamps advance, screen green under v2
+    Ivf.saveIndex(Seq((0, Array(0f, 1f)), (1, Array(1f, 0f)))
+      .toDF("__cid", "__cvec"), idxDir)
+    val (cents2, v2) = Ivf.loadIndexVersioned(spark, idxDir)
+    assert(intercept[IllegalStateException](sScreen(cents2, v2))
+      .getMessage.contains("reassignSemanticHistory"))
+    assert(Dedup.reassignSemanticHistory(spark, sroot, idxDir,
+      "embedding") == 1) // one folded seed slice
+    assert(spark.read.option("basePath", sroot).parquet(sroot)
+      .select("__iv").distinct().as[Long].collect().toSeq == Seq(v2))
+    assert(sScreen(cents2, v2) == Seq(2L))
+  }
+
   test("imageScreenStream: multi-batch perceptual ingest; replay == batch imageAgainstHistory") {
     import java.nio.file.Files
     implicit val sqlCtx = spark.sqlContext
