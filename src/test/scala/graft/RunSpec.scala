@@ -139,6 +139,25 @@ class RunSpec extends SparkSpec {
     val (c5, o5) = cli("maintain-index", s"$corpusDir/nope", "vec_id",
       "embedding", idxDir)
     assert(c5 == 1 && o5.contains("maintain-index failed"), o5)
+    // --history-roots (r19): a bootstrap-from-scratch re-assigns and
+    // version-stamps every declared semantic-history root before the
+    // verb returns — the cron-schedulable face of the version handshake
+    val idxDir2 = s"$corpusDir/idx2"
+    val histRoot = s"$corpusDir/hist"
+    graft.Recovery.idempotentWrite(
+      spark.read.parquet(corpus).limit(5)
+        .withColumn("__cid", org.apache.spark.sql.functions.lit(99)),
+      s"$histRoot/batch_id=-1")
+    val (c6, o6) = cli("maintain-index", corpus, "vec_id", "embedding",
+      idxDir2, "--history-roots", s"$histRoot,$corpusDir/absent_root")
+    assert(c6 == 0 && o6.contains("maintain-index: bootstrapped"), o6)
+    val stamped = spark.read.option("basePath", histRoot).parquet(histRoot)
+    assert(stamped.columns.contains("__iv"))
+    assert(stamped.select("__iv").distinct().as[Long].collect().toSeq ==
+      Seq(graft.llm.Ivf.liveIndexVersion(spark, idxDir2)))
+    // the old placeholder cells were re-assigned under the new index
+    assert(stamped.filter(org.apache.spark.sql.functions.col("__cid") === 99)
+      .count() == 0L)
   }
 
   test("usage and argument errors exit 2 without touching Spark") {
