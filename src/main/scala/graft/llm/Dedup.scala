@@ -1174,8 +1174,14 @@ object Dedup {
       .filter(p => p.substring(p.lastIndexOf('/') + 1).startsWith("batch_id="))
       .map(_.stripSuffix("__old").stripSuffix("__staging"))
       .distinct.sorted
-    // a plain (un-sliced) history dir is one slice: the root itself
-    val targets = if (slices.isEmpty) Seq(historyRoot) else slices
+    // a plain (un-sliced) history dir is one slice: the root itself —
+    // unless it is EMPTY (pre-created by an operator, nothing ingested
+    // yet): nothing to re-assign, and a parquet read of an empty dir
+    // would throw instead of no-op'ing the maintenance turn
+    val targets =
+      if (slices.nonEmpty) slices
+      else if (fs.listStatus(rootPath).nonEmpty) Seq(historyRoot)
+      else Seq.empty
     var rewritten = 0
     targets.foreach { p =>
       graft.Recovery.restoreIfTorn(spark, p)

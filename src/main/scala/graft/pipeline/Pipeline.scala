@@ -68,7 +68,17 @@ object Pipeline {
                           threshold: Option[Double] = None,
                           maxHamming: Option[Int] = None,
                           indexDir: Option[String] = None,
-                          nprobe: Int = 1) extends Step
+                          nprobe: Int = 1,
+                          // signature-shape knobs: these MUST match how
+                          // the history was built (minhash band hashes
+                          // and perceptual algos silently under-match
+                          // across shapes — the same composability
+                          // hazard class the semantic version stamp
+                          // closes, declared here instead)
+                          ngramN: Option[Int] = None,
+                          numHashes: Option[Int] = None,
+                          bands: Option[Int] = None,
+                          algo: Option[String] = None) extends Step
 
   /** A declared pipeline: the primary input plus the step list. */
   final case class Spec(primary: String, steps: Seq[Step])
@@ -117,13 +127,18 @@ object Pipeline {
         hist.fold(df)(h => Dedup.dedupAgainstHistory(df, h, s.contentCol))
       case "minhash" =>
         hist.fold(df)(h => Dedup.minhashAgainstHistory(df, h,
-          s.idCol, s.contentCol, threshold = s.threshold.getOrElse(1.0)))
+          s.idCol, s.contentCol,
+          ngramN = s.ngramN.getOrElse(5),
+          numHashes = s.numHashes.getOrElse(32),
+          bands = s.bands.getOrElse(8),
+          threshold = s.threshold.getOrElse(1.0)))
       case "simhash" =>
         hist.fold(df)(h => Dedup.simhashAgainstHistory(df, h,
           s.idCol, s.contentCol, maxHamming = s.maxHamming.getOrElse(3)))
       case "image" =>
         hist.fold(df)(h => Media.imageAgainstHistory(df, s.idCol,
-          s.contentCol, h, maxHamming = s.maxHamming.getOrElse(6)))
+          s.contentCol, h, maxHamming = s.maxHamming.getOrElse(6),
+          algo = s.algo.getOrElse("dhash")))
       case "audio" =>
         hist.fold(df)(h => Media.audioAgainstHistory(df, s.idCol,
           s.contentCol, h, maxHamming = s.maxHamming.getOrElse(4)))

@@ -90,7 +90,13 @@ object PipelineJson {
         Pipeline.Screen(family, str("history"), str("id"), str("column"),
           num("threshold").map(_.asDouble()),
           num("max_hamming").map(_.asInt()), index,
-          num("nprobe").map(_.asInt()).getOrElse(1))
+          num("nprobe").map(_.asInt()).getOrElse(1),
+          // signature-shape knobs — must match how the history was
+          // built (declared, so a stored document carries them)
+          num("ngram_n").map(_.asInt()),
+          num("num_hashes").map(_.asInt()),
+          num("bands").map(_.asInt()),
+          opt("algo").map(_.asText()))
       case other =>
         throw new IllegalArgumentException(s"Unsupported step type: $other")
     }

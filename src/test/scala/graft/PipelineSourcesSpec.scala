@@ -579,6 +579,17 @@ class PipelineSourcesSpec extends SparkSpec {
       simLib.select("doc_id").as[Long].collect().sorted.toSeq)
     assert(simOut.select("doc_id").as[Long].collect().sorted.toSeq ==
       Seq(2L, 4L)) // dup text drops, fresh + null survive
+    // --- signature-shape knobs thread through: a history built at
+    // ngram_n=3 screens correctly only when the step declares it ------
+    graft.Recovery.idempotentWrite(
+      Dedup.minhashHistorySignatures(docs.filter(col("doc_id") === 1L),
+        "doc_id", "text", ngramN = 3), s"$base/mhist")
+    val mhOut = runScreenJson(
+      s"""{"type": "screen", "family": "minhash", "history": "$base/mhist",
+         | "id": "doc_id", "column": "text", "ngram_n": 3}""".stripMargin,
+      docs.filter(col("doc_id") > 1L))
+    assert(mhOut.select("doc_id").as[Long].collect().sorted.toSeq ==
+      Seq(2L, 4L)) // the exact-dup text drops at the declared shape
     // --- cold start: absent/empty history passes everything through --
     val cold = runScreenJson(
       s"""{"type": "screen", "family": "exact", "history": "$base/missing",

@@ -820,6 +820,14 @@ class TextDedupSpec extends SparkSpec {
     assert(screen(healed, loaded2, Some(v2)) ==
       screen(scratch, loaded2, Some(v2)))
     assert(screen(healed, loaded2, Some(v2)) == Seq(2L))
+    // absent and existing-but-EMPTY roots are no-ops, never errors (an
+    // operator pre-creating the dir must not crash the maintenance turn)
+    assert(Dedup.reassignSemanticHistory(spark, s"$base/absent", idxDir,
+      "embedding") == 0)
+    val emptyRoot = s"$base/empty"
+    assert(new java.io.File(emptyRoot).mkdirs())
+    assert(Dedup.reassignSemanticHistory(spark, emptyRoot, idxDir,
+      "embedding") == 0)
   }
 
   test("semanticAgainstHistory nprobe>1: duplicate batch ids keep independent probe budgets") {
