@@ -199,8 +199,13 @@ object Bench {
     val anchorsJson = SparkEntry.anchorQueries.toSeq.sorted
       .filter(names.contains).map("\"" + _ + "\"").mkString("[", ",", "]")
     val probeJson = probes.map(p => f"$p%.3f").mkString("[", ",", "]")
+    // cpus is part of the measurement's identity: a local[8] run reads
+    // ~1.7x slower than local[32] on the same HEAD (measured r19), and
+    // the probe divides work across exactly `cpus` slices — comparisons
+    // are only like-for-like at equal cpus, so the artifact records it
     val fullLine =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"passes":$passes,""" +
+      s"""{"metric":"total","value":$total,"unit":"sec","cpus":$cpus,""" +
+        s""""queries":$qs,"passes":$passes,""" +
         s""""gc_sec":$gcs,"tasks":$taskCounts,"plan_hash":$plans,"anchors":$anchorsJson,""" +
         s""""probe_sec":$probeJson,""" +
         s""""errors":$errJson,"transient_errors":$transientJson,"sf":"$sfDir"}"""
@@ -224,7 +229,8 @@ object Bench {
       .map { case (k, v) => "\"" + k + "\":\"" + esc(v.take(80)) + "\"" }
       .mkString("{", ",", "}")
     val base =
-      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","n_queries":${results.size},""" +
+      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","cpus":$cpus,""" +
+        s""""n_queries":${results.size},""" +
         s""""n_errors":${errors.size},"errors":$errShown,"anchors":$anchorsJson,""" +
         s""""probe_sec":$probeJson,"sf":"$sfDir","full":"$outFile","queries":{}}"""
     val picked = scala.collection.mutable.ListBuffer[String]()

@@ -33,6 +33,11 @@ def main(argv):
     gate_ratio = float(opts.get("--gate-ratio", 1.3))
     gate_abs = float(opts.get("--gate-abs", 0.5))
     old, new = load(args[0]), load(args[1])
+    co, cn = old.get("cpus"), new.get("cpus")
+    if co is not None and cn is not None and co != cn:
+        print(f"WARNING: cpus differ ({co} vs {cn}) - NOT like-for-like; "
+              "a local[8] suite reads ~1.7x slower than local[32] on the "
+              "same HEAD (measured r19)")
     qo, qn = old["queries"], new["queries"]
     common = sorted(set(qo) & set(qn))
     to = sum(qo[k] for k in common)
