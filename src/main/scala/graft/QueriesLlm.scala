@@ -327,6 +327,41 @@ object QueriesLlm {
         .select("doc_id", "format", "width", "height")
     }),
 
+    // REAL image resize (r19 — the brief's decode/feature/RESIZE/
+    // frame-sample set completed): decode planted PNGs, remap to an
+    // exact target by deterministic nearest-neighbor index arithmetic,
+    // re-encode PNG, then RE-PARSE the output container — the oracle
+    // predicts format/dims/decodability of the round-trip from the
+    // constants alone. One map-side pass; pixels never leave the task.
+    "q_media_resize" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select(col("doc_id"),
+        graft.multimodal.Media.syntheticPngCol(col("doc_id"), lit(0)).as("img"))
+      val r = graft.multimodal.Media.resizeImages(d, "doc_id", "img", 32, 24)
+      graft.multimodal.Media.imageDims(
+          r.select(col("doc_id"), col("resized").as("img")), "img")
+        .withColumn("decodable", col("format").isNotNull)
+        .select("doc_id", "format", "width", "height", "decodable")
+    }),
+
+    // aspect-preserving fit (r19): stage 1 resizes each planted PNG to
+    // doc_id-derived dims (real decode+encode), stage 2 fits the
+    // longest side to 32 — fitDims is pure floor-division integer
+    // arithmetic, so the oracle replays the exact output dims in SQL
+    "q_media_resize_fit" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select(col("doc_id"),
+        graft.multimodal.Media.syntheticPngCol(col("doc_id"), lit(0)).as("img"))
+      // per-row target dims need column args: stage 1 exact per-row
+      // dims through the column form, stage 2 the fit box
+      val stage1 = d.select(col("doc_id"),
+        graft.multimodal.Media.resizeCol(col("img"),
+          pmod(col("doc_id"), lit(50)).cast("int") + lit(1),
+          pmod(col("doc_id"), lit(40)).cast("int") + lit(1)).as("img"))
+      val fit = stage1.select(col("doc_id"),
+        graft.multimodal.Media.resizeFitCol(col("img"), lit(32)).as("img"))
+      graft.multimodal.Media.imageDims(fit, "img")
+        .select("doc_id", "format", "width", "height")
+    }),
+
     // per-format decodability accounting (r18; r19 adds the AVIF
     // class): a planted mixed corpus — PNG (pixel-decodable), WebP and
     // AVIF (dims-only), prefixed text bytes (unknown) by doc_id % 4 —
@@ -1028,6 +1063,28 @@ object QueriesLlm {
         |  CAST(doc_id % 500 + 1 AS INTEGER) AS width,
         |  CAST(doc_id % 300 + 1 AS INTEGER) AS height
         |FROM documents""".stripMargin,
+
+    // resize round-trip: every planted PNG decodes, remaps to exactly
+    // 32x24, and re-encodes as a parseable PNG
+    "q_media_resize" ->
+      """SELECT doc_id, 'png' AS format,
+        |  CAST(32 AS INTEGER) AS width, CAST(24 AS INTEGER) AS height,
+        |  TRUE AS decodable
+        |FROM documents""".stripMargin,
+
+    // fitDims is floor-division integer arithmetic over the stage-1
+    // dims (w1 = doc_id%50+1, h1 = doc_id%40+1): longest side pinned
+    // to 32, the other side scaled, never below 1; ties pin the width
+    "q_media_resize_fit" ->
+      """WITH s AS (
+        |  SELECT doc_id, doc_id % 50 + 1 AS w1, doc_id % 40 + 1 AS h1
+        |  FROM documents)
+        |SELECT doc_id, 'png' AS format,
+        |  CAST(CASE WHEN w1 >= h1 THEN 32
+        |       ELSE GREATEST(1, (w1 * 32) // h1) END AS INTEGER) AS width,
+        |  CAST(CASE WHEN w1 >= h1 THEN GREATEST(1, (h1 * 32) // w1)
+        |       ELSE 32 END AS INTEGER) AS height
+        |FROM s""".stripMargin,
 
     // the builder's closed-form avif dims: the ispe round-trips the
     // planted width/height, so the oracle is pure doc_id arithmetic

@@ -450,6 +450,98 @@ object Media {
       .withColumn("frame_offset_ms",
         (col("frame_idx") * col(s"$metaCol.duration_ms") / lit(n)).cast("long"))
 
+  /** REAL image resize (r19 — completes the brief's multimodal
+    * plumbing set: decode / feature-extract / RESIZE / frame-sample):
+    * decode with the JDK's own codecs, remap to exactly
+    * `width`×`height` by EXPLICIT nearest-neighbor index arithmetic —
+    * source pixel (x·w/ow, y·h/oh), integer floor, the same
+    * deterministic-raster policy as [[grayGrid]] (never Graphics2D
+    * scaling, whose interpolation is implementation detail) — and
+    * re-encode as PNG (lossless, JDK-native). None for
+    * null/undecodable bytes (the family's quarantine contract).
+    * Orientation is NOT normalized: resize is a pixel op; pair it
+    * with [[exifOrientation]]-aware consumers like the hashes do.
+    */
+  def resizeImage(bytes: Array[Byte], width: Int, height: Int): Option[Array[Byte]] = {
+    require(width >= 1 && height >= 1,
+      s"resize dims must be >= 1, got ${width}x$height")
+    decodeImage(bytes).map(resizeDecoded(_, width, height))
+  }
+
+  private def resizeDecoded(img: java.awt.image.BufferedImage,
+                            width: Int, height: Int): Array[Byte] = {
+    val w = img.getWidth
+    val h = img.getHeight
+    val out = new java.awt.image.BufferedImage(width, height,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val srcRow = new Array[Int](w)
+    val dstRow = new Array[Int](width)
+    var y = 0
+    while (y < height) {
+      val sy = (y.toLong * h / height).toInt
+      img.getRGB(0, sy, w, 1, srcRow, 0, w)
+      var x = 0
+      while (x < width) {
+        dstRow(x) = srcRow((x.toLong * w / width).toInt)
+        x += 1
+      }
+      out.setRGB(0, y, width, 1, dstRow, 0, width)
+      y += 1
+    }
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(out, "png", baos)
+    baos.toByteArray
+  }
+
+  /** Closed-form "resize longest side to `box`, preserve aspect"
+    * output dims — pure integer arithmetic (floor division, never
+    * below 1), so a planted-input oracle can replay the exact dims in
+    * SQL. Square inputs (and ties) pin the WIDTH to the box.
+    */
+  def fitDims(w: Int, h: Int, box: Int): (Int, Int) = {
+    require(w >= 1 && h >= 1 && box >= 1,
+      s"fitDims needs positive dims, got ${w}x$h box=$box")
+    if (w >= h) (box, math.max(1, (h.toLong * box / w).toInt))
+    else (math.max(1, (w.toLong * box / h).toInt), box)
+  }
+
+  /** [[resizeImage]] to the [[fitDims]] box (the training-pipeline
+    * "normalize longest side to S" shape).
+    */
+  def resizeImageFit(bytes: Array[Byte], box: Int): Option[Array[Byte]] =
+    decodeImage(bytes).map { img =>
+      val (ow, oh) = fitDims(img.getWidth, img.getHeight, box)
+      resizeDecoded(img, ow, oh)
+    }
+
+  private val resizeUdf = udf((b: Array[Byte], w: Int, h: Int) =>
+    resizeImage(b, w, h))
+  private val resizeFitUdf = udf((b: Array[Byte], box: Int) =>
+    resizeImageFit(b, box))
+
+  /** Column forms of [[resizeImage]] / [[resizeImageFit]] for
+    * per-row target dims in registered queries.
+    */
+  def resizeCol(bytes: Column, width: Column, height: Column): Column =
+    resizeUdf(bytes, width.cast("int"), height.cast("int"))
+  def resizeFitCol(bytes: Column, box: Column): Column =
+    resizeFitUdf(bytes, box.cast("int"))
+
+  /** Per-row exact resize: appends `resized` (PNG bytes, null for
+    * undecodable inputs). One map-side decode+remap+encode pass, no
+    * shuffle — pixels never leave the task.
+    */
+  def resizeImages(df: DataFrame, idCol: String, binCol: String,
+                   width: Int, height: Int): DataFrame =
+    df.withColumn("resized", resizeUdf(col(binCol), lit(width), lit(height)))
+
+  /** Per-row aspect-preserving resize to the [[fitDims]] box:
+    * appends `resized`. Same map-side shape as [[resizeImages]].
+    */
+  def resizeImagesFit(df: DataFrame, idCol: String, binCol: String,
+                      box: Int): DataFrame =
+    df.withColumn("resized", resizeFitUdf(col(binCol), lit(box)))
+
   // ---- perceptual image hashing (REAL pixel decode, r17) --------------
   //
   // The JDK itself ships PNG/JPEG/GIF/BMP decoders (javax.imageio) —

@@ -1280,6 +1280,55 @@ class StreamsMediaSpec extends SparkSpec {
     assert(Media.dHash(Media.syntheticWebp(64, 48, "vp8l")).isEmpty)
   }
 
+  test("resizeImage: exact nearest-neighbor remap, determinism, fit arithmetic, null contract") {
+    import spark.implicits._
+    // 2x1 (red | white) upscaled to 4x2: nearest-neighbor floor maps
+    // x∈{0,1}→src 0 (red), x∈{2,3}→src 1 (white) — pixel-exact
+    val img = new java.awt.image.BufferedImage(2, 1,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    img.setRGB(0, 0, 0xFF0000); img.setRGB(1, 0, 0xFFFFFF)
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", baos)
+    val twoByOne = baos.toByteArray
+    val up = Media.resizeImage(twoByOne, 4, 2).get
+    val dec = Media.decodeImage(up).get
+    assert(dec.getWidth == 4 && dec.getHeight == 2)
+    for (y <- 0 until 2; x <- 0 until 4)
+      assert((dec.getRGB(x, y) & 0xFFFFFF) ==
+        (if (x < 2) 0xFF0000 else 0xFFFFFF), s"($x,$y)")
+    // output parses as a PNG with the requested dims
+    assert(Media.parseImageDims(up).contains(("png", 4, 2)))
+    // deterministic: same input, byte-identical output
+    assert(java.util.Arrays.equals(up, Media.resizeImage(twoByOne, 4, 2).get))
+    // downscale of a solid color stays that color
+    val solid = Media.resizeImage(
+      Media.resizeImage(twoByOne, 1, 1).get, 3, 3).get
+    val sdec = Media.decodeImage(solid).get
+    assert((0 until 3).forall(x => (sdec.getRGB(x, 0) & 0xFFFFFF) ==
+      (sdec.getRGB(0, 0) & 0xFFFFFF)))
+    // fit arithmetic: longest side to the box, floor division, min 1
+    assert(Media.fitDims(100, 50, 32) == ((32, 16)))
+    assert(Media.fitDims(50, 100, 32) == ((16, 32)))
+    assert(Media.fitDims(7, 7, 32) == ((32, 32)))
+    assert(Media.fitDims(1000, 1, 32) == ((32, 1)))
+    assert(Media.fitDims(1, 1000, 32) == ((1, 32)))
+    val fitted = Media.resizeImageFit(Media.syntheticPng(5), 18).get
+    assert(Media.parseImageDims(fitted).contains(("png", 18, 16))) // 36x32 → 18x16
+    // undecodable / null inputs yield None; the column form nulls
+    assert(Media.resizeImage("not an image".getBytes, 4, 4).isEmpty)
+    assert(Media.resizeImage(null, 4, 4).isEmpty)
+    assert(Media.resizeImage(Media.syntheticWebp(8, 8), 4, 4).isEmpty) // dims-only format
+    val df = Seq((1L, Media.syntheticPng(1)),
+        (2L, null.asInstanceOf[Array[Byte]])).toDF("id", "img")
+    val out = Media.resizeImages(df, "id", "img", 8, 8)
+      .select(col("id"), col("resized").isNull.as("n"))
+      .as[(Long, Boolean)].collect().toMap
+    assert(out == Map(1L -> false, 2L -> true))
+    // invalid target dims refuse loudly
+    assert(intercept[IllegalArgumentException](
+      Media.resizeImage(twoByOne, 0, 4)).getMessage.contains("resize dims"))
+  }
+
   test("parseImageDims: AVIF ispe dims round-trip; corrupt boxes and truncations screen out") {
     assert(Media.parseImageDims(Media.syntheticAvif(640, 480))
       .contains(("avif", 640, 480)))
