@@ -41,8 +41,16 @@ import java.nio.file.{Files, Paths}
   */
 object Bench {
   /** Strip run-varying tokens (expression ids `#123`, codegen stage ids,
-    * plan ids, cached-RDD numbers) from a physical-plan string so the
-    * fingerprint is stable across JVMs for an unchanged plan shape. */
+    * plan ids, cached-RDD numbers, JVM lambda/object identities) from a
+    * physical-plan string so the fingerprint is stable across JVMs for
+    * an unchanged plan shape. Feed it [[fingerprintPlan]]'s string (the
+    * PRE-AQE `sparkPlan`), not `executedPlan`: after an action runs,
+    * `executedPlan` is the AQE FINAL plan, whose runtime choices
+    * (shuffle-read coalesce counts, runtime join demotions, reused
+    * exchanges) legitimately vary run to run — r19's committed artifact
+    * and a same-HEAD re-run disagreed on q_media_audio_dedup's hash for
+    * exactly that reason, with zero plan-affecting edits in between.
+    * The static plan is the thing cross-round drift detection wants. */
   private[graft] def planFingerprint(plan: String): String = {
     val normalized = plan
       .replaceAll("#\\d+[A-Z]*", "#")       // exprIds: l_quantity#123L
@@ -50,12 +58,25 @@ object Bench {
       .replaceAll("\\[plan_id=\\d+\\]", "") // AdaptiveSparkPlan plan ids
       .replaceAll("\\[id=#\\]", "")
       .replaceAll("(?i)(rdd|broadcast|subquery|cte)\\s*#?\\d+", "$1#")
+      // JVM-assigned identities: `Foo$$Lambda$123/0x0000...` (anonymous
+      // function classes shift with ANY recompile of the defining file)
+      // and `@1a2b3c4d` object hashes — neither is plan shape
+      .replaceAll("\\$\\$Lambda(\\$\\d+)?/0x[0-9a-fA-F]+", "\\$\\$Lambda")
+      .replaceAll("@[0-9a-fA-F]{6,}", "@_")
       .replaceAll("file:[^,\\s\\]]+", "file:_") // temp paths differ per run
       .replaceAll("\\d{4}-\\d{2}-\\d{2}[T ][\\d:.]+", "_ts_")
     java.security.MessageDigest.getInstance("MD5")
       .digest(normalized.getBytes("UTF-8"))
       .map("%02x".format(_)).mkString.take(16)
   }
+
+  /** The normalized fingerprint of a frame's STATIC physical plan
+    * (`queryExecution.sparkPlan` — Catalyst's pick before AQE re-plans
+    * at runtime). Stable across executions of the same query in the
+    * same session AND across same-HEAD JVMs; safe to call before or
+    * after an action (sparkPlan never mutates, unlike executedPlan). */
+  private[graft] def fingerprintPlan(df: org.apache.spark.sql.DataFrame): String =
+    planFingerprint(df.queryExecution.sparkPlan.toString)
 
   private def gcMillis(): Long = {
     import scala.jdk.CollectionConverters._
@@ -102,7 +123,12 @@ object Bench {
         .head()
       (System.nanoTime() - t0) / 1e9
     }
-    probeSec() // untimed warmup of the probe's own codegen
+    // warmup of the probe's own codegen — excluded from the probe
+    // array (it measures class-load, not the host), but its cost is
+    // still wall-clock this run paid, so it counts toward the
+    // surfaced probe_overhead_sec total (ADVICE r19: the calibration
+    // cost itself must be visible in the artifact)
+    val probeWarmSec = probeSec()
 
     // Executed-task counter: a slow pass with ~equal task counts is a
     // host stall; a slow pass with a task-count multiple is Spark
@@ -142,9 +168,11 @@ object Bench {
       val gcSec = (gcMillis() - gc0) / 1e3
       val tasks = taskCounter.get() - tasks0
       // fingerprint AFTER the clock stops (planning the frame itself is
-      // cheap; it must not pollute the measurement)
+      // cheap; it must not pollute the measurement). sparkPlan, not
+      // executedPlan: the post-action executedPlan is AQE's FINAL plan
+      // and embeds run-varying runtime choices (see planFingerprint)
       if (recordPlans && err.isEmpty && df != null) {
-        try planHashes(name) = planFingerprint(df.queryExecution.executedPlan.toString)
+        try planHashes(name) = fingerprintPlan(df)
         catch { case _: Throwable => () }
       }
       name -> Sample(sec, gcSec, tasks, err)
@@ -208,6 +236,7 @@ object Bench {
         s""""queries":$qs,"passes":$passes,""" +
         s""""gc_sec":$gcs,"tasks":$taskCounts,"plan_hash":$plans,"anchors":$anchorsJson,""" +
         s""""probe_sec":$probeJson,""" +
+        f""""probe_overhead_sec":${probeWarmSec + probes.sum}%.3f,""" +
         s""""errors":$errJson,"transient_errors":$transientJson,"sf":"$sfDir"}"""
     // a SPARK_GRAFT_ONLY-narrowed run must never clobber the official
     // full-suite artifact the driver (and docs) ingest

@@ -1114,16 +1114,26 @@ object Dedup {
         // must partition on a per-row key, not the user id: duplicate
         // batch ids would otherwise share one nprobe budget and one
         // vector's cells could crowd out the other's (the final
-        // left_anti below keeps the per-ID drop semantics regardless)
+        // left_anti below keeps the per-ID drop semantics regardless).
+        // The key is DETERMINISTIC (xxhash64 of id + vector — ADVICE
+        // r19: monotonically_increasing_id here had assignDistributed's
+        // task-retry remap hazard), so a recomputed upstream partition
+        // re-derives the same key and can never duplicate/drop probe
+        // rows across the window shuffle. Fully identical (id, vector)
+        // rows share a key by construction; dense_rank (not row_number)
+        // keeps the budget correct there — the d copies of each cell
+        // row tie on (__csim, __cid), so the top nprobe DISTINCT cells
+        // survive for every copy instead of the copies crowding the
+        // budget down to nprobe/d cells.
         val w = Window.partitionBy(col("__rk"))
           .orderBy(col("__csim").desc, col("__cid").asc)
         batch.select(col(idCol).as("__bid"), col(vecCol).as("__bvec"))
-          .withColumn("__rk", monotonically_increasing_id())
+          .withColumn("__rk", xxhash64(col("__bid"), col("__bvec")))
           .withColumn("__nq", Similarity.norm(col("__bvec")))
           .crossJoin(cents)
           .withColumn("__csim", when(probeDenom =!= 0.0,
             round(Similarity.dot(col("__bvec"), col("__cvec")) / probeDenom, 6)))
-          .withColumn("__rn", row_number().over(w))
+          .withColumn("__rn", dense_rank().over(w))
           .filter(col("__rn") <= nprobe)
           .select(col("__bid"), col("__bvec"), col("__cid"))
       }

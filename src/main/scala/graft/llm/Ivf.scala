@@ -693,7 +693,16 @@ object Ivf {
       s == meta + "\n"
     }
     if (!fs.rename(staging, p)) {
-      if (publishedByRacer()) { fs.delete(old, false); return }
+      if (publishedByRacer()) {
+        // if the failed rename was "p occupied by an identical
+        // concurrent publish" (not "staging consumed by a heal"), OUR
+        // staging file is still sitting there and a later heal would
+        // act on it; sweep it best-effort before declaring success
+        // (ADVICE r19)
+        fs.delete(staging, false)
+        fs.delete(old, false)
+        return
+      }
       if (fs.exists(old) && !fs.rename(old, p))
         throw new java.io.IOException(
           s"descriptor publish failed AND rollback failed: state is at $old")

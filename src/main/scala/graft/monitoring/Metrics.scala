@@ -28,11 +28,16 @@ object Metrics {
     private def outputRows(qe: QueryExecution): Option[Long] =
       qe.executedPlan.metrics.get("numOutputRows").map(_.value)
 
-    // normalized fingerprint (exprIds/stage ids/paths stripped), the
-    // same form the bench artifact records — so a run-history row and
-    // a bench row for the same query are comparable
+    // normalized fingerprint (exprIds/stage ids/paths/lambda identities
+    // stripped), the same form the bench artifact records — so a
+    // run-history row and a bench row for the same query are
+    // comparable. sparkPlan, not executedPlan: the listener fires
+    // post-action, when executedPlan is AQE's FINAL plan with
+    // run-varying runtime choices; the static plan is the one that is
+    // stable across runs of an unchanged query (r20 — the r19 media
+    // plan-hash drift was exactly this)
     private def planHash(qe: QueryExecution): Option[String] =
-      try Some(graft.Bench.planFingerprint(qe.executedPlan.toString))
+      try Some(graft.Bench.planFingerprint(qe.sparkPlan.toString))
       catch { case scala.util.control.NonFatal(_) => None }
 
     override def onSuccess(funcName: String, qe: QueryExecution,

@@ -77,17 +77,33 @@ object Media {
     }
     else if (bytes.length >= 16 && bytes(4) == 'f' && bytes(5) == 't' &&
              bytes(6) == 'y' && bytes(7) == 'p' && {
-               val brand = new String(bytes, 8, 4,
+               def brandAt(i: Int) = new String(bytes, i, 4,
                  java.nio.charset.StandardCharsets.US_ASCII)
-               brand == "avif" || brand == "avis"
+               def avifBrand(b: String) = b == "avif" || b == "avis"
+               // major brand avif/avis, OR avif/avis among the
+               // COMPATIBLE brands (ftyp layout: size(4) 'ftyp'(4)
+               // major(4) minor(4) compat(4×n)) — real-world encoders
+               // commonly stamp major 'mif1' with avif only in the
+               // compatible list (ADVICE r19); scan stays inside both
+               // the declared ftyp box and the buffer
+               avifBrand(brandAt(8)) || {
+                 val ftypEnd = math.min(math.max(be32(0), 0), bytes.length)
+                 (16 to ftypEnd - 4 by 4).exists(i => avifBrand(brandAt(i)))
+               }
              }) {
       // AVIF (r19): the other modern-crawl format beside WebP. ISO-BMFF
       // like MP4, so the same bounded Long walk with hostile-size
       // guards as [[parseMp4Meta]]: dims live in the item-property
       // chain meta (FullBox, children at +12) → iprp → ipco → ispe
-      // (FullBox: 4 version/flags + width/height be32). The FIRST ispe
-      // is the primary item's by convention (alpha/thumbnail properties
-      // follow it). DIMS-ONLY like webp — no JDK AV1 decoder, so
+      // (FullBox: 4 version/flags + width/height be32). SCOPE: the
+      // FIRST ispe is taken as the primary item's — the dominant
+      // encoder convention (alpha/thumbnail properties follow it), but
+      // not a guarantee; files whose ipma associates properties
+      // differently (e.g. an alpha item's ispe listed first) read that
+      // item's dims instead. Full ipma item→property resolution is out
+      // of scope here (ADVICE r19 — noted, affects only dim accuracy
+      // on unconventional encoders, never survival decisions).
+      // DIMS-ONLY like webp — no JDK AV1 decoder, so
       // [[imageFormatProfile]] counts the pixel-decode hole per format.
       def tag(i: Int) = new String(bytes, i, 4,
         java.nio.charset.StandardCharsets.US_ASCII)

@@ -40,4 +40,32 @@ class HarnessSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(Bench.planFingerprint(plan()) == Bench.planFingerprint(plan()))
   }
+
+  test("fingerprintPlan: executing the frame does not move the hash (r20)") {
+    // the r19 media plan-hash drift: executedPlan is AQE's FINAL plan
+    // after an action, embedding runtime coalesce/reuse choices.
+    // fingerprintPlan hashes the static sparkPlan, so the hash of an
+    // AQE-shuffling query must be identical before and after count()
+    // — and equal to a freshly planned copy of the same query.
+    def frame() = table("lineitem").groupBy("l_returnflag").count()
+    val df = frame()
+    val before = Bench.fingerprintPlan(df)
+    df.count()
+    assert(Bench.fingerprintPlan(df) == before,
+      "running the query must not change its static-plan fingerprint")
+    assert(Bench.fingerprintPlan(frame()) == before,
+      "a fresh plan of the same query must fingerprint identically")
+  }
+
+  test("planFingerprint strips JVM lambda/object identities (r20)") {
+    // a recompile of the defining file renumbers anonymous-function
+    // classes; two UDF node renders differing only in those must hash
+    // equal — and object identity hashes (@1a2b3c4d) likewise
+    val a = "Filter UDF(graft.multimodal.Media$$$Lambda$3412/0x00000008019a4c40@4f3c2a1b(blob#12))"
+    val b = "Filter UDF(graft.multimodal.Media$$$Lambda$998/0x00000008011b2d10@77e1f0aa(blob#99))"
+    assert(Bench.planFingerprint(a) == Bench.planFingerprint(b))
+    val c = "Filter UDF(graft.multimodal.Media$$$Lambda$998/0x1(other#99))"
+    assert(Bench.planFingerprint(a) != Bench.planFingerprint(c),
+      "different argument shape must still fingerprint differently")
+  }
 }

@@ -1337,10 +1337,18 @@ class StreamsMediaSpec extends SparkSpec {
     assert(Media.parseImageDims(Media.syntheticAvif(8192, 4320))
       .contains(("avif", 8192, 4320)))
     // an MP4 ftyp is not an AVIF ftyp — brand gate, not box-shape gate
+    // (major AND compatible brands swapped to MP4's: the synthetic's
+    // compat list is "avif","mif1" at offsets 16/20)
     val mp4ish = Media.syntheticAvif(10, 10).clone()
-    mp4ish(8) = 'i'.toByte; mp4ish(9) = 's'.toByte
-    mp4ish(10) = 'o'.toByte; mp4ish(11) = 'm'.toByte
+    def setBrand(b: Array[Byte], at: Int, s: String): Unit =
+      s.getBytes("US-ASCII").copyToArray(b, at)
+    setBrand(mp4ish, 8, "isom"); setBrand(mp4ish, 16, "mp41")
     assert(Media.parseImageDims(mp4ish).isEmpty)
+    // major 'mif1' with avif only in the COMPATIBLE brands parses —
+    // the dominant real-world encoder stamp (r20 ADVICE fix)
+    val mif1 = Media.syntheticAvif(10, 10).clone()
+    setBrand(mif1, 8, "mif1")
+    assert(Media.parseImageDims(mif1).contains(("avif", 10, 10)))
     // corrupt interior box tags screen out (no meta / no ispe)
     val noMeta = Media.syntheticAvif(10, 10).clone()
     noMeta(24 + 4) = 'X'.toByte // meta tag → Xeta

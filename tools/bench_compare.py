@@ -24,9 +24,23 @@ def load(path):
 
 
 def main(argv):
-    args = [a for a in argv[1:] if not a.startswith("--")]
-    opts = {a.split("=")[0]: a.split("=")[1] for a in argv[1:]
-            if a.startswith("--") and "=" in a}
+    # accept both '--flag value' (the usage string's form) and
+    # '--flag=value' (ADVICE r19: the space form used to fall into
+    # positional args and silently print usage)
+    args, opts, rest = [], {}, list(argv[1:])
+    while rest:
+        a = rest.pop(0)
+        if a.startswith("--"):
+            if "=" in a:
+                k, v = a.split("=", 1)
+                opts[k] = v
+            elif rest:
+                opts[a] = rest.pop(0)
+            else:
+                print(f"flag {a} needs a value")
+                return 2
+        else:
+            args.append(a)
     if len(args) != 2:
         print(__doc__)
         return 0
