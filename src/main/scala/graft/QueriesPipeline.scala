@@ -288,6 +288,54 @@ object QueriesPipeline {
       graft.pipeline.Job.runJson(s, json).output
     }),
 
+    // metadata-driven STREAMING crawl-ingest job (r20): the screen+
+    // append loop as a stored document — the last reference surface
+    // that was library-only. The document's steps transform the
+    // micro-batch, the `ingest` section screens it against the seeded
+    // exact history and appends survivors' signatures, survivors land
+    // as sink slices. The replay arrives as ONE micro-batch (guarded),
+    // so the survivor set is exactly the batch screen's NOT-EXISTS
+    // contract and the whole streaming loop is oracle-replayable; the
+    // other five families ride the same dispatch (spec-verified incl.
+    // multi-batch parity with the hand-written wrapper and the
+    // version-checked semantic refusal).
+    "q_job_ingest" -> ((s, dir) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_jing").toString
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      graft.Recovery.idempotentWrite(
+        docs.filter(pmod(col("doc_id"), lit(7)) === 0).select("text"),
+        s"$tmp/hist/batch_id=-1")
+      // FileStreamSource needs a DIRECTORY source (its per-batch read
+      // pins basePath to the stream path); the raw table is one file,
+      // so stage it as the crawl-drop dir a real ingest loop watches
+      docs.write.parquet(s"$tmp/in")
+      val json =
+        s"""{
+           |  "datasets": [
+           |    {"name": "docs", "format": "parquet", "path": "$tmp/in"}
+           |  ],
+           |  "pipeline": {"primary": "docs", "steps": [
+           |    {"type": "sql_expr", "name": "__k", "expr": "doc_id % 7"},
+           |    {"type": "filter", "column": "__k", "op": "!=", "value": 0},
+           |    {"type": "select", "columns": ["doc_id", "lang", "text"]}
+           |  ]},
+           |  "ingest": {"family": "exact", "history": "$tmp/hist",
+           |             "id": "doc_id", "column": "text"},
+           |  "sink": {"format": "parquet", "path": "$tmp/out"}
+           |}""".stripMargin
+      val q = graft.pipeline.Job.runStreamJson(s, json, s"$tmp/ckpt")
+      try {
+        q.processAllAvailable()
+        val dataBatches = q.recentProgress.count(_.numInputRows > 0)
+        require(dataBatches <= 1,
+          s"q_job_ingest: replay split into $dataBatches micro-batches — " +
+            "documents carries exact-dup texts, so cross-batch screening " +
+            "would (correctly) drop rows the single-seed oracle keeps")
+      } finally q.stop()
+      graft.pipeline.Job.streamedOutput(s, s"$tmp/out")
+        .select("doc_id", "lang")
+    }),
+
     // two-node DAG with a real data handoff (A sinks, B reads A's
     // sink): the dependency-ordered composition proven end-to-end
     // against the same oracle as q_job
@@ -525,6 +573,15 @@ object QueriesPipeline {
     // the stored history texts (doc_id % 7 = 0); null text never
     // matches and survives — the family's NOT-EXISTS contract
     "q_job_screen" ->
+      """SELECT b.doc_id, b.lang FROM documents b
+        |WHERE b.doc_id % 7 <> 0 AND NOT EXISTS (
+        |  SELECT 1 FROM documents h
+        |  WHERE h.doc_id % 7 = 0 AND h.text = b.text)""".stripMargin,
+
+    // the streaming ingest loop replays the same decision: survivors =
+    // transformed batch rows whose text is not among the seeded
+    // history texts (single-batch replay; null text never matches)
+    "q_job_ingest" ->
       """SELECT b.doc_id, b.lang FROM documents b
         |WHERE b.doc_id % 7 <> 0 AND NOT EXISTS (
         |  SELECT 1 FROM documents h

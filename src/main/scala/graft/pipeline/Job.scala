@@ -49,7 +49,16 @@ object Job {
                         // "mode"; batch resolves it to "overwrite", streaming
                         // requires atomic-or-absent — the distinction matters)
                         sink: Option[(String, String, Option[String])],
-                        incremental: Option[IncrementalSpec] = None)
+                        incremental: Option[IncrementalSpec] = None,
+                        // r20: the streaming crawl-ingest loop as config —
+                        // a Screen-shaped section (same dialect/knobs as the
+                        // batch `screen` step) that [[runStream]] dispatches
+                        // through Streams.ingestScreenStreamBatchAware:
+                        // screen each micro-batch against the history,
+                        // APPEND survivors' signatures (which the batch
+                        // screen step deliberately never does). Streaming
+                        // only; [[run]] rejects it loudly.
+                        ingest: Option[Pipeline.Screen] = None)
 
   /** The `incremental` section: resume the named dataset "from last
     * watermark" out of a durable [[graft.incremental.WatermarkStore]]
@@ -67,7 +76,8 @@ object Job {
 
   private val mapper = new ObjectMapper()
   private val knownKeys =
-    Set("datasets", "pipeline", "quality", "anomaly", "sink", "incremental")
+    Set("datasets", "pipeline", "quality", "anomaly", "sink", "incremental",
+      "ingest")
 
   def parse(json: String): Spec = {
     val root = mapper.readTree(json)
@@ -134,8 +144,13 @@ object Job {
         s"incremental.source_id '${spec.sourceId}' is not a declared dataset")
       spec
     }
+    val ingest = Option(root.get("ingest")).map { n =>
+      require(n.isObject, "\"ingest\" must be an object (family, history, " +
+        "id, column + per-family knobs — the screen-step dialect)")
+      PipelineJson.parseScreenNode(n, what = "ingest")
+    }
     Spec(datasets, pipeline, rules, minScore, quarantine, anomaly, sink,
-      incremental)
+      incremental, ingest)
   }
 
   /** Execute a parsed job. The pipeline's named sources are the
@@ -168,6 +183,12 @@ object Job {
     }
 
   def run(spark: SparkSession, spec: Spec): Result = {
+    require(spec.ingest.isEmpty,
+      "batch job does not support the \"ingest\" section: ingest APPENDS " +
+        "survivors' signatures to the history under the streaming " +
+        "checkpoint's batch-id replay contract, which a batch run does not " +
+        "have — use runStream, or the PURE \"screen\" pipeline step for a " +
+        "batch-side screen with no history append")
     val loaded = spec.datasets.map { d =>
       d.name -> loadBatchDataset(spark, d)
     }.toMap
@@ -279,6 +300,25 @@ object Job {
     * `mode` must be `"atomic"` or absent: this runner always writes
     * `batch_id=N` atomic-swap slices, so an explicit `append`/
     * `overwrite` mode would replay with silently different semantics.
+    *
+    * With an `ingest` section (r20 — the last reference surface that
+    * was library-only: the crawl screen+append loop as a stored
+    * document), each micro-batch additionally runs the declared
+    * ingest-screen family between the quarantine split and the sink:
+    * the (transformed, clean) rows screen against the signature
+    * history at `history`, survivors land in the sink slice, and the
+    * survivors' SIGNATURES append as this batch's history slice —
+    * [[graft.streaming.Streams.ingestScreenStreamBatchAware]]'s
+    * replay-exclusion/atomic-append contract, with the family + knobs
+    * resolved through the SAME dispatch as the batch `screen` step
+    * ([[Pipeline.screenFns]]), so a document's knobs mean the same
+    * thing on both paths and match the hand-written wrappers
+    * (spec-pinned parity). The section's `id`/`column` must exist on
+    * the TRANSFORMED rows (the steps run first). Quarantined rows
+    * never reach the history — a failing row was not ingested. The
+    * semantic family loads the quantizer once at stream start and is
+    * version-checked by construction (the r19 handshake); `history`
+    * is bound to ONE checkpoint lineage exactly like the wrappers.
     */
   def runStream(spark: SparkSession, spec: Spec, checkpointDir: String)
       : org.apache.spark.sql.streaming.StreamingQuery = {
@@ -334,25 +374,62 @@ object Job {
     val schema = Catalog.load(spark, primarySpec).schema
     val stream = graft.streaming.Streams.fileStream(spark,
       primarySpec.format, primarySpec.path, schema, primarySpec.options)
-    stream.writeStream
-      .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
-                       batchId: Long) =>
-        val out = Pipeline.run(spark,
-          statics + (spec.pipeline.primary -> batch.toDF()), spec.pipeline)
-        val result = spec.quarantine match {
-          case None => out
-          case Some((dir, runId)) =>
-            val (clean, bad) = DQ.split(out, spec.dqRules)
-            graft.Recovery.idempotentWrite(bad,
-              s"$dir/run_id=$runId/batch_id=$batchId")
-            clean
-        }
-        graft.Recovery.idempotentWrite(result,
-          s"$sinkPath/batch_id=$batchId", sinkFormat)
-        ()
-      }
-      .start()
+    spec.ingest match {
+      case None =>
+        stream.writeStream
+          .option("checkpointLocation", checkpointDir)
+          .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+                           batchId: Long) =>
+            val out = Pipeline.run(spark,
+              statics + (spec.pipeline.primary -> batch.toDF()), spec.pipeline)
+            val result = spec.quarantine match {
+              case None => out
+              case Some((dir, runId)) =>
+                val (clean, bad) = DQ.split(out, spec.dqRules)
+                graft.Recovery.idempotentWrite(bad,
+                  s"$dir/run_id=$runId/batch_id=$batchId")
+                clean
+            }
+            graft.Recovery.idempotentWrite(result,
+              s"$sinkPath/batch_id=$batchId", sinkFormat)
+            ()
+          }
+          .start()
+      case Some(scr) =>
+        // the ingest loop: the (row-local + stream-static-join) steps
+        // compose directly ON the stream — every supported step is
+        // batching-invariant, so per-micro-batch rows are exactly the
+        // batch pipeline's rows — then the generic screen core owns
+        // the per-batch machinery: history read EXCLUDING this batch
+        // id (replay safety), quarantine split, screen, survivor
+        // signatures appended via the atomic swap, survivors to the
+        // sink slice. Family + knobs resolve through the SAME dispatch
+        // as the batch screen step; the semantic quantizer (and its
+        // handshake version) loads ONCE here, at stream start.
+        val transformed = Pipeline.run(spark,
+          statics + (spec.pipeline.primary -> stream), spec.pipeline)
+        val (signatures, screen) = Pipeline.screenFns(spark, scr)
+        graft.streaming.Streams.ingestScreenStreamBatchAware(
+          transformed, scr.historyRoot, checkpointDir)(signatures)(
+          (batch, history, batchId) => {
+            // quarantine BEFORE the screen: a row that fails quality
+            // was never ingested, so it must not enter the history
+            val cleaned = spec.quarantine match {
+              case None => batch
+              case Some((dir, runId)) =>
+                val (clean, bad) = DQ.split(batch, spec.dqRules)
+                graft.Recovery.idempotentWrite(bad,
+                  s"$dir/run_id=$runId/batch_id=$batchId")
+                clean
+            }
+            screen(cleaned, history)
+          })(
+          (survivors, batchId) => {
+            graft.Recovery.idempotentWrite(survivors,
+              s"$sinkPath/batch_id=$batchId", sinkFormat)
+            ()
+          })
+    }
   }
 
   def runStreamJson(spark: SparkSession, json: String,

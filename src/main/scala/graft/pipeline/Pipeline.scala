@@ -115,42 +115,76 @@ object Pipeline {
 
   /** [[Screen]] dispatch — each family's defaults mirror its streaming
     * wrapper in [[graft.streaming.Streams]] so a JSON document moved
-    * between batch and streaming screens identically.
+    * between batch and streaming screens identically. PURE: an
+    * absent/empty history passes everything through.
     */
   private def runScreen(df: DataFrame, s: Screen): DataFrame = {
+    val spark = df.sparkSession
+    val (_, screen) = screenFns(spark, s)
+    graft.streaming.Streams.loadSignatureHistory(spark, s.historyRoot)
+      .fold(df)(h => screen(df, h))
+  }
+
+  /** The (signatures, screen) function pair a [[Screen]] config
+    * declares (r20) — ONE family dispatch shared by the batch `screen`
+    * step ([[runScreen]]) and the config-declared streaming ingest
+    * ([[graft.pipeline.Job.runStream]]'s `ingest` section), so a
+    * document's knobs mean the same thing on both paths, and both
+    * match the hand-written wrappers in
+    * [[graft.streaming.Streams]] (spec-pinned parity):
+    *  - `signatures(rows)` is the stored-history frame the rows
+    *    contribute (the slice an ingest stream appends; must accept an
+    *    empty frame — the cold-start schema);
+    *  - `screen(batch, historySigs)` returns the batch rows with no
+    *    match in the history (columns unchanged).
+    * The semantic family loads the persisted quantizer ONCE here, and
+    * threads the SAME descriptor read's payload version into both
+    * functions — the r19 handshake, so a retrained index against an
+    * un-reassigned history refuses loudly on either path.
+    */
+  def screenFns(spark: SparkSession, s: Screen)
+      : (DataFrame => DataFrame, (DataFrame, DataFrame) => DataFrame) = {
     import graft.llm.Dedup
     import graft.multimodal.Media
-    val spark = df.sparkSession
-    val hist = graft.streaming.Streams.loadSignatureHistory(spark, s.historyRoot)
+    import org.apache.spark.sql.functions.col
     s.family.toLowerCase match {
       case "exact" =>
-        hist.fold(df)(h => Dedup.dedupAgainstHistory(df, h, s.contentCol))
+        // history = the stored content column itself (the layout
+        // q_job_screen seeds; hashes recompute map-side on read —
+        // the screen is dedupAgainstHistory's Bloom + sliver anti-join)
+        (df => df.select(col(s.contentCol)),
+         (b, h) => Dedup.dedupAgainstHistory(b, h, s.contentCol))
       case "minhash" =>
-        hist.fold(df)(h => Dedup.minhashAgainstHistory(df, h,
-          s.idCol, s.contentCol,
-          ngramN = s.ngramN.getOrElse(5),
-          numHashes = s.numHashes.getOrElse(32),
-          bands = s.bands.getOrElse(8),
-          threshold = s.threshold.getOrElse(1.0)))
+        val (n, k) = (s.ngramN.getOrElse(5), s.numHashes.getOrElse(32))
+        (df => Dedup.minhashHistorySignatures(df, s.idCol, s.contentCol,
+           ngramN = n, numHashes = k),
+         (b, h) => Dedup.minhashAgainstHistory(b, h, s.idCol, s.contentCol,
+           ngramN = n, numHashes = k, bands = s.bands.getOrElse(8),
+           threshold = s.threshold.getOrElse(1.0)))
       case "simhash" =>
-        hist.fold(df)(h => Dedup.simhashAgainstHistory(df, h,
-          s.idCol, s.contentCol, maxHamming = s.maxHamming.getOrElse(3)))
+        (df => Dedup.simhashSignatures(df, s.idCol, s.contentCol),
+         (b, h) => Dedup.simhashAgainstHistory(b, h, s.idCol, s.contentCol,
+           maxHamming = s.maxHamming.getOrElse(3)))
       case "image" =>
-        hist.fold(df)(h => Media.imageAgainstHistory(df, s.idCol,
-          s.contentCol, h, maxHamming = s.maxHamming.getOrElse(6),
-          algo = s.algo.getOrElse("dhash")))
+        val algo = s.algo.getOrElse("dhash")
+        (df => Media.imageSignatures(df, s.idCol, s.contentCol, algo),
+         (b, h) => Media.imageAgainstHistory(b, s.idCol, s.contentCol, h,
+           maxHamming = s.maxHamming.getOrElse(6), algo = algo))
       case "audio" =>
-        hist.fold(df)(h => Media.audioAgainstHistory(df, s.idCol,
-          s.contentCol, h, maxHamming = s.maxHamming.getOrElse(4)))
+        (df => Media.audioSignatures(df, s.idCol, s.contentCol),
+         (b, h) => Media.audioAgainstHistory(b, s.idCol, s.contentCol, h,
+           maxHamming = s.maxHamming.getOrElse(4)))
       case "semantic" =>
         val dir = s.indexDir.getOrElse(throw new IllegalArgumentException(
           "screen family 'semantic' needs \"index\" (the persisted quantizer dir)"))
         // version-checked by construction: the handshake stamp comes
         // from the SAME descriptor read that produced the centroids
         val (cents, v) = graft.llm.Ivf.loadIndexVersioned(spark, dir)
-        hist.fold(df)(h => Dedup.semanticAgainstHistory(df, h, cents,
-          s.idCol, s.contentCol, s.threshold.getOrElse(0.9), s.nprobe,
-          indexVersion = Some(v)))
+        (df => Dedup.semanticHistorySignatures(df, s.idCol, s.contentCol,
+           cents, indexVersion = Some(v)),
+         (b, h) => Dedup.semanticAgainstHistory(b, h, cents,
+           s.idCol, s.contentCol, s.threshold.getOrElse(0.9), s.nprobe,
+           indexVersion = Some(v)))
       case other => throw new IllegalArgumentException(
         s"Unsupported screen family: $other " +
           "(exact | minhash | simhash | image | audio | semantic)")

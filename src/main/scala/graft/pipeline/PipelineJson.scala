@@ -76,29 +76,45 @@ object PipelineJson {
         // history root, id + content columns; knobs optional per family
         // (threshold for minhash/semantic, max_hamming for
         // simhash/image/audio, index + nprobe for semantic)
-        val family = str("family").toLowerCase
-        val known = Set("exact", "minhash", "simhash", "image", "audio",
-          "semantic")
-        require(known(family),
-          s"screen family '$family' unknown (${known.toSeq.sorted.mkString(" | ")})")
-        val index = opt("index").map(_.asText())
-        require(family != "semantic" || index.isDefined,
-          "screen family 'semantic' needs \"index\" (the persisted quantizer dir)")
-        def num(f: String): Option[JsonNode] = opt(f).map { n =>
-          require(n.isNumber, s"screen \"$f\" must be a number"); n
-        }
-        Pipeline.Screen(family, str("history"), str("id"), str("column"),
-          num("threshold").map(_.asDouble()),
-          num("max_hamming").map(_.asInt()), index,
-          num("nprobe").map(_.asInt()).getOrElse(1),
-          // signature-shape knobs — must match how the history was
-          // built (declared, so a stored document carries them)
-          num("ngram_n").map(_.asInt()),
-          num("num_hashes").map(_.asInt()),
-          num("bands").map(_.asInt()),
-          opt("algo").map(_.asText()))
+        parseScreenNode(s, what = "screen")
       case other =>
         throw new IllegalArgumentException(s"Unsupported step type: $other")
     }
+  }
+
+  /** Parse a screen-shaped config object into [[Pipeline.Screen]] —
+    * ONE dialect for the batch `screen` step and the streaming
+    * `ingest` section ([[Job]]), so the same knobs mean the same
+    * thing on both paths. `what` labels error messages with the
+    * section being parsed.
+    */
+  private[pipeline] def parseScreenNode(s: JsonNode, what: String): Pipeline.Screen = {
+    def str(f: String): String = Option(s.get(f))
+      .filter(n => n.isTextual)
+      .map(_.asText())
+      .getOrElse(throw new IllegalArgumentException(
+        s"""$what needs a string "$f""""))
+    def opt(f: String): Option[JsonNode] = Option(s.get(f))
+    val family = str("family").toLowerCase
+    val known = Set("exact", "minhash", "simhash", "image", "audio",
+      "semantic")
+    require(known(family),
+      s"$what family '$family' unknown (${known.toSeq.sorted.mkString(" | ")})")
+    val index = opt("index").map(_.asText())
+    require(family != "semantic" || index.isDefined,
+      s"$what family 'semantic' needs \"index\" (the persisted quantizer dir)")
+    def num(f: String): Option[JsonNode] = opt(f).map { n =>
+      require(n.isNumber, s"$what \"$f\" must be a number"); n
+    }
+    Pipeline.Screen(family, str("history"), str("id"), str("column"),
+      num("threshold").map(_.asDouble()),
+      num("max_hamming").map(_.asInt()), index,
+      num("nprobe").map(_.asInt()).getOrElse(1),
+      // signature-shape knobs — must match how the history was
+      // built (declared, so a stored document carries them)
+      num("ngram_n").map(_.asInt()),
+      num("num_hashes").map(_.asInt()),
+      num("bands").map(_.asInt()),
+      opt("algo").map(_.asText()))
   }
 }

@@ -311,6 +311,22 @@ object Streams {
                          checkpointDir: String)
                         (signatures: DataFrame => DataFrame)
                         (screen: (DataFrame, DataFrame) => DataFrame)
+                        (clean: (DataFrame, Long) => Unit) =
+    ingestScreenStreamBatchAware(stream, historyRoot, checkpointDir)(
+      signatures)((b, history, _) => screen(b, history))(clean)
+
+  /** [[ingestScreenStream]] with the micro-batch id exposed to the
+    * screen function (r20) — for composed per-batch work that needs a
+    * replay-stable slice identity of its own beside the history slice
+    * (the config-driven ingest job routes its quarantine split through
+    * this: failing rows land under `batch_id=N` exactly-once, survivors
+    * continue into the screen). Identical history/replay/append
+    * contract; the extra argument is the only difference.
+    */
+  def ingestScreenStreamBatchAware(stream: DataFrame, historyRoot: String,
+                                   checkpointDir: String)
+                        (signatures: DataFrame => DataFrame)
+                        (screen: (DataFrame, DataFrame, Long) => DataFrame)
                         (clean: (DataFrame, Long) => Unit) = {
     stream.writeStream
       .option("checkpointLocation", checkpointDir)
@@ -319,7 +335,7 @@ object Streams {
         val b = batch.toDF()
         val history = signatureHistory(spark, historyRoot, exclude = batchId)
           .getOrElse(signatures(b.limit(0)))
-        val survivors = screen(b, history)
+        val survivors = screen(b, history, batchId)
         graft.Recovery.idempotentWrite(
           signatures(survivors), s"$historyRoot/batch_id=$batchId")
         clean(survivors, batchId)

@@ -730,6 +730,175 @@ class PipelineSourcesSpec extends SparkSpec {
       s""""path": "$base/x5-sink", "mode": "atomic""""))
   }
 
+  test("ingest section: parse validation; batch runs reject it loudly") {
+    import graft.pipeline.Job
+    val base = Files.createTempDirectory("graft_ingval").toString
+    def doc(ingest: String) =
+      s"""{"datasets": [{"name": "d", "format": "parquet", "path": "$base/in"}],
+         | "pipeline": {"primary": "d", "steps": []},
+         | "ingest": $ingest,
+         | "sink": {"path": "$base/sink"}}""".stripMargin
+    // the SAME dialect as the screen step, same loud failures
+    assert(intercept[IllegalArgumentException](Job.parse(doc(
+      """{"family": "sonar", "history": "h", "id": "i", "column": "c"}""")))
+      .getMessage.contains("unknown"))
+    assert(intercept[IllegalArgumentException](Job.parse(doc(
+      """{"family": "semantic", "history": "h", "id": "i", "column": "c"}""")))
+      .getMessage.contains("index"))
+    assert(intercept[IllegalArgumentException](Job.parse(doc(
+      """{"family": "minhash", "history": "h", "id": "i", "column": "c", "bands": "four"}""")))
+      .getMessage.contains("number"))
+    assert(intercept[IllegalArgumentException](Job.parse(doc("\"exact\"")))
+      .getMessage.contains("object"))
+    assert(intercept[IllegalArgumentException](Job.parse(doc(
+      """{"family": "exact", "history": "h", "id": "i"}""")))
+      .getMessage.contains("column"))
+    // a well-formed ingest parses — but a BATCH run refuses it (the
+    // history append needs the streaming checkpoint's replay contract)
+    val good = Job.parse(doc(
+      """{"family": "exact", "history": "h", "id": "i", "column": "c"}"""))
+    assert(good.ingest.contains(Pipeline.Screen("exact", "h", "i", "c")))
+    assert(intercept[IllegalArgumentException](Job.run(spark, good))
+      .getMessage.contains("runStream"))
+  }
+
+  test("ingest section: document-driven multi-batch stream == the hand-written wrapper") {
+    import graft.pipeline.Job
+    val base = Files.createTempDirectory("graft_ingpar").toString
+    val in = s"$base/in"
+    val textSeed = "the quick brown fox jumps over the lazy dog"
+    val textA = "completely fresh crawl content about spark engines"
+    val textB = "another novel document with its own distinct words"
+    // identical seeds for both history roots
+    for (root <- Seq(s"$base/doc-hist", s"$base/lib-hist"))
+      graft.Recovery.idempotentWrite(
+        graft.llm.Dedup.minhashHistorySignatures(
+          Seq((100L, textSeed)).toDF("doc_id", "text"), "doc_id", "text",
+          ngramN = 3), s"$root/batch_id=-1")
+    // wave 1 on disk before either stream starts
+    Seq((1L, textSeed), (2L, textA)).toDF("doc_id", "text")
+      .coalesce(1).write.parquet(in)
+    val schema = spark.read.parquet(in).schema
+    val doc =
+      s"""{"datasets": [{"name": "docs", "format": "parquet", "path": "$in"}],
+         | "pipeline": {"primary": "docs", "steps": []},
+         | "ingest": {"family": "minhash", "history": "$base/doc-hist",
+         |            "id": "doc_id", "column": "text", "ngram_n": 3},
+         | "sink": {"format": "parquet", "path": "$base/doc-sink"}}""".stripMargin
+    val qDoc = Job.runStreamJson(spark, doc, s"$base/doc-ckpt")
+    val libStream = graft.streaming.Streams.fileStream(
+      spark, "parquet", in, schema)
+    val qLib = graft.streaming.Streams.nearDupScreenStream(
+      libStream, "doc_id", "text", s"$base/lib-hist", s"$base/lib-ckpt",
+      ngramN = 3) { (ok, bid) =>
+      graft.Recovery.idempotentWrite(ok, s"$base/lib-sink/batch_id=$bid")
+    }
+    try {
+      qDoc.processAllAvailable(); qLib.processAllAvailable()
+      // wave 2 arrives mid-run: a dup of wave 1's survivor, a fresh
+      // text, a null (never matches)
+      Seq((3L, textA), (4L, textB), (5L, null.asInstanceOf[String]))
+        .toDF("doc_id", "text").coalesce(1).write.mode("append").parquet(in)
+      qDoc.processAllAvailable(); qLib.processAllAvailable()
+    } finally { qDoc.stop(); qLib.stop() }
+    // both genuinely multi-batch
+    val docOut = Job.streamedOutput(spark, s"$base/doc-sink")
+    assert(docOut.select("batch_id").distinct().count() >= 2)
+    // survivors match the wrapper batch-for-batch, and the expected set
+    val libOut = graft.streaming.Streams.batchSlices(spark, s"$base/lib-sink")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("batch_id", "doc_id").as[(Long, Long)].collect().toSet
+    assert(rows(docOut) == rows(libOut))
+    assert(docOut.select("doc_id").as[Long].collect().toSet ==
+      Set(2L, 4L, 5L))
+    // the appended history slices match signature-for-signature
+    def hist(root: String) = spark.read
+      .option("basePath", root).parquet(root)
+      .select("batch_id", "doc_id", "__sig", "__shash")
+      .collect().map(_.toString).sorted.toSeq
+    assert(hist(s"$base/doc-hist") == hist(s"$base/lib-hist"))
+  }
+
+  test("ingest section: quarantined rows never reach the history or the sink") {
+    import graft.pipeline.Job
+    val base = Files.createTempDirectory("graft_ingquar").toString
+    val in = s"$base/in"
+    // id 1 fails quality; id 2 carries the SAME text and is clean —
+    // if the failing row entered the history, id 2 would be dropped
+    Seq((1L, "shared text body", -5.0), (2L, "shared text body", 1.0),
+        (3L, "other text", 2.0)).toDF("doc_id", "text", "score")
+      .coalesce(1).write.parquet(in)
+    val doc =
+      s"""{"datasets": [{"name": "docs", "format": "parquet", "path": "$in"}],
+         | "pipeline": {"primary": "docs", "steps": []},
+         | "quality": {"rules": [
+         |   {"rule_id": "pos", "type": "range", "column": "score",
+         |    "min": 0, "max": 100}],
+         |  "quarantine_dir": "$base/quar", "run_id": "iq1"},
+         | "ingest": {"family": "exact", "history": "$base/hist",
+         |            "id": "doc_id", "column": "text"},
+         | "sink": {"format": "parquet", "path": "$base/sink"}}""".stripMargin
+    val q = Job.runStreamJson(spark, doc, s"$base/ckpt")
+    try q.processAllAvailable() finally q.stop()
+    // failing row 1 is quarantined, NOT in the sink, NOT in history;
+    // row 2's identical text survives (within-batch after the split)
+    assert(Job.streamedOutput(spark, s"$base/sink")
+      .select("doc_id").as[Long].collect().toSet == Set(2L, 3L))
+    assert(graft.streaming.Streams
+      .quarantinedRows(spark, s"$base/quar/run_id=iq1")
+      .select("doc_id").as[Long].collect().toSet == Set(1L))
+    assert(spark.read.option("basePath", s"$base/hist")
+      .parquet(s"$base/hist").select("text").as[String]
+      .collect().toSet == Set("shared text body", "other text"))
+  }
+
+  test("ingest section: semantic family refuses a stale history loudly through config") {
+    import graft.pipeline.Job
+    import graft.llm.{Dedup, Ivf}
+    val base = Files.createTempDirectory("graft_ingsem").toString
+    val in = s"$base/in"
+    val idxDir = s"$base/idx"
+    Ivf.saveIndex(Seq((0, Array(1f, 0f)), (1, Array(0f, 1f)))
+      .toDF("__cid", "__cvec"), idxDir)
+    val (cents1, v1) = Ivf.loadIndexVersioned(spark, idxDir)
+    graft.Recovery.idempotentWrite(
+      Dedup.semanticHistorySignatures(
+        Seq((100L, Array(1f, 0f))).toDF("vec_id", "embedding"),
+        "vec_id", "embedding", cents1, indexVersion = Some(v1)),
+      s"$base/hist/batch_id=-1")
+    Seq((1L, Array(1f, 0f)), (2L, Array(0f, 1f)))
+      .toDF("vec_id", "embedding").coalesce(1).write.parquet(in)
+    def doc() =
+      s"""{"datasets": [{"name": "vecs", "format": "parquet", "path": "$in"}],
+         | "pipeline": {"primary": "vecs", "steps": []},
+         | "ingest": {"family": "semantic", "history": "$base/hist",
+         |            "id": "vec_id", "column": "embedding",
+         |            "threshold": 0.9, "index": "$idxDir"},
+         | "sink": {"format": "parquet", "path": "$base/sink"}}""".stripMargin
+    // happy path: the dup of the seeded vector drops
+    val q1 = Job.runStreamJson(spark, doc(), s"$base/ckpt1")
+    try q1.processAllAvailable() finally q1.stop()
+    assert(Job.streamedOutput(spark, s"$base/sink")
+      .select("vec_id").as[Long].collect().toSet == Set(2L))
+    // retrain WITHOUT reassigning the (seed) history: the next stream
+    // start loads v2, the first micro-batch hits the v1 seed slice and
+    // refuses with the repair named — through the stored document
+    Ivf.saveIndex(Seq((0, Array(0f, 1f)), (1, Array(1f, 0f)))
+      .toDF("__cid", "__cvec"), idxDir)
+    Seq((6L, Array(1f, 0f))).toDF("vec_id", "embedding")
+      .coalesce(1).write.mode("append").parquet(in)
+    val q2 = Job.runStreamJson(spark, doc(), s"$base/ckpt2")
+    val e = intercept[Throwable] {
+      try q2.processAllAvailable() finally q2.stop()
+    }
+    // Spark wraps foreachBatch user errors (StreamingQueryException →
+    // ForeachBatchUserFuncException → the screen's IllegalStateException)
+    // — the repair must be named SOMEWHERE in the chain
+    val chain = Iterator.iterate(e)(_.getCause).takeWhile(_ != null)
+      .flatMap(t => Option(t.getMessage)).toSeq
+    assert(chain.exists(_.contains("reassignSemanticHistory")), chain)
+  }
+
   test("Dag: dependency-ordered jobs, failure skips downstream, branches isolate") {
     import graft.pipeline.Dag
     val sfDir = TestSession.sfDir
