@@ -343,6 +343,24 @@ object QueriesLlm {
         .select("doc_id", "format", "width", "height", "decodable")
     }),
 
+    // AREA-AVERAGE resize (r20): the anti-aliased thumbnail variant —
+    // the 36x32 planted PNGs box-filter down to 9x8, so every 4x4
+    // source block (which syntheticPng builds as a CONSTANT gray)
+    // averages into exactly one target pixel. Container oracle like
+    // q_media_resize; the pixel exactness (block means land verbatim,
+    // half-up rounding closed-form, upscale == nearest) is spec-pinned
+    // in StreamsMediaSpec.
+    "q_media_resize_area" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select(col("doc_id"),
+        graft.multimodal.Media.syntheticPngCol(col("doc_id"), lit(0)).as("img"))
+      val r = graft.multimodal.Media.resizeImages(d, "doc_id", "img", 9, 8,
+        algo = "area")
+      graft.multimodal.Media.imageDims(
+          r.select(col("doc_id"), col("resized").as("img")), "img")
+        .withColumn("decodable", col("format").isNotNull)
+        .select("doc_id", "format", "width", "height", "decodable")
+    }),
+
     // aspect-preserving fit (r19): stage 1 resizes each planted PNG to
     // doc_id-derived dims (real decode+encode), stage 2 fits the
     // longest side to 32 — fitDims is pure floor-division integer
@@ -1069,6 +1087,12 @@ object QueriesLlm {
     "q_media_resize" ->
       """SELECT doc_id, 'png' AS format,
         |  CAST(32 AS INTEGER) AS width, CAST(24 AS INTEGER) AS height,
+        |  TRUE AS decodable
+        |FROM documents""".stripMargin,
+
+    "q_media_resize_area" ->
+      """SELECT doc_id, 'png' AS format,
+        |  CAST(9 AS INTEGER) AS width, CAST(8 AS INTEGER) AS height,
         |  TRUE AS decodable
         |FROM documents""".stripMargin,
 

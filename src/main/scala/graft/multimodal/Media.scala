@@ -478,11 +478,21 @@ object Media {
     * Orientation is NOT normalized: resize is a pixel op; pair it
     * with [[exifOrientation]]-aware consumers like the hashes do.
     */
-  def resizeImage(bytes: Array[Byte], width: Int, height: Int): Option[Array[Byte]] = {
+  def resizeImage(bytes: Array[Byte], width: Int, height: Int,
+                  algo: String = "nearest"): Option[Array[Byte]] = {
     require(width >= 1 && height >= 1,
       s"resize dims must be >= 1, got ${width}x$height")
-    decodeImage(bytes).map(resizeDecoded(_, width, height))
+    decodeImage(bytes).map(resizeWith(_, width, height, algo))
   }
+
+  private def resizeWith(img: java.awt.image.BufferedImage,
+                         width: Int, height: Int, algo: String): Array[Byte] =
+    algo.toLowerCase match {
+      case "nearest" => resizeDecoded(img, width, height)
+      case "area"    => resizeDecodedArea(img, width, height)
+      case other => throw new IllegalArgumentException(
+        s"Unsupported resize algo: $other (nearest | area)")
+    }
 
   private def resizeDecoded(img: java.awt.image.BufferedImage,
                             width: Int, height: Int): Array[Byte] = {
@@ -509,6 +519,75 @@ object Media {
     baos.toByteArray
   }
 
+  /** Exact integer AREA-AVERAGE (box-filter) resize (r20 — the
+    * anti-aliased training-thumbnail variant beside nearest-neighbor,
+    * which by construction DROPS source pixels on downscale): target
+    * cell (tx, ty) averages each RGB channel over the source block
+    * [tx·w/tw, (tx+1)·w/tw) × [ty·h/th, (ty+1)·h/th) — the exact
+    * [[grayGrid]] partition policy (every source pixel contributes to
+    * exactly one cell when downscaling; degenerate blocks on upscale
+    * widen to one pixel, which makes area == nearest there, spec-
+    * pinned). Channel mean is rounded HALF-UP in pure integer
+    * arithmetic — floor((2·sum + n) / (2·n)) — so a 2×-downscale of
+    * known pixels is closed-form replayable (spec-pinned), never a
+    * float-rounding coin flip. Deterministic raster, same contract as
+    * [[resizeDecoded]]: never Graphics2D interpolation.
+    */
+  private def resizeDecodedArea(img: java.awt.image.BufferedImage,
+                                width: Int, height: Int): Array[Byte] = {
+    val w = img.getWidth
+    val h = img.getHeight
+    val out = new java.awt.image.BufferedImage(width, height,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val srcRow = new Array[Int](w)
+    val dstRow = new Array[Int](width)
+    val sumR = new Array[Long](width)
+    val sumG = new Array[Long](width)
+    val sumB = new Array[Long](width)
+    var ty = 0
+    while (ty < height) {
+      val y0 = (ty.toLong * h / height).toInt
+      val y1 = math.max(y0 + 1, ((ty + 1).toLong * h / height).toInt)
+      java.util.Arrays.fill(sumR, 0L)
+      java.util.Arrays.fill(sumG, 0L)
+      java.util.Arrays.fill(sumB, 0L)
+      var sy = y0
+      while (sy < y1) {
+        img.getRGB(0, sy, w, 1, srcRow, 0, w)
+        var tx = 0
+        while (tx < width) {
+          val x0 = (tx.toLong * w / width).toInt
+          val x1 = math.max(x0 + 1, ((tx + 1).toLong * w / width).toInt)
+          var sx = x0
+          while (sx < x1) {
+            val rgb = srcRow(sx)
+            sumR(tx) += (rgb >> 16) & 0xFF
+            sumG(tx) += (rgb >> 8) & 0xFF
+            sumB(tx) += rgb & 0xFF
+            sx += 1
+          }
+          tx += 1
+        }
+        sy += 1
+      }
+      var tx = 0
+      while (tx < width) {
+        val x0 = (tx.toLong * w / width).toInt
+        val x1 = math.max(x0 + 1, ((tx + 1).toLong * w / width).toInt)
+        val n = (x1 - x0).toLong * (y1 - y0)
+        def mean(s: Long): Int = ((2 * s + n) / (2 * n)).toInt // half-up
+        dstRow(tx) = (mean(sumR(tx)) << 16) | (mean(sumG(tx)) << 8) |
+          mean(sumB(tx))
+        tx += 1
+      }
+      out.setRGB(0, ty, width, 1, dstRow, 0, width)
+      ty += 1
+    }
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(out, "png", baos)
+    baos.toByteArray
+  }
+
   /** Closed-form "resize longest side to `box`, preserve aspect"
     * output dims — pure integer arithmetic (floor division, never
     * below 1), so a planted-input oracle can replay the exact dims in
@@ -524,39 +603,46 @@ object Media {
   /** [[resizeImage]] to the [[fitDims]] box (the training-pipeline
     * "normalize longest side to S" shape).
     */
-  def resizeImageFit(bytes: Array[Byte], box: Int): Option[Array[Byte]] =
+  def resizeImageFit(bytes: Array[Byte], box: Int,
+                     algo: String = "nearest"): Option[Array[Byte]] =
     decodeImage(bytes).map { img =>
       val (ow, oh) = fitDims(img.getWidth, img.getHeight, box)
-      resizeDecoded(img, ow, oh)
+      resizeWith(img, ow, oh, algo)
     }
 
-  private val resizeUdf = udf((b: Array[Byte], w: Int, h: Int) =>
-    resizeImage(b, w, h))
-  private val resizeFitUdf = udf((b: Array[Byte], box: Int) =>
-    resizeImageFit(b, box))
+  private val resizeUdf = udf((b: Array[Byte], w: Int, h: Int, algo: String) =>
+    resizeImage(b, w, h, algo))
+  private val resizeFitUdf = udf((b: Array[Byte], box: Int, algo: String) =>
+    resizeImageFit(b, box, algo))
 
   /** Column forms of [[resizeImage]] / [[resizeImageFit]] for
     * per-row target dims in registered queries.
     */
-  def resizeCol(bytes: Column, width: Column, height: Column): Column =
-    resizeUdf(bytes, width.cast("int"), height.cast("int"))
-  def resizeFitCol(bytes: Column, box: Column): Column =
-    resizeFitUdf(bytes, box.cast("int"))
+  def resizeCol(bytes: Column, width: Column, height: Column,
+                algo: String = "nearest"): Column =
+    resizeUdf(bytes, width.cast("int"), height.cast("int"), lit(algo))
+  def resizeFitCol(bytes: Column, box: Column,
+                   algo: String = "nearest"): Column =
+    resizeFitUdf(bytes, box.cast("int"), lit(algo))
 
   /** Per-row exact resize: appends `resized` (PNG bytes, null for
     * undecodable inputs). One map-side decode+remap+encode pass, no
-    * shuffle — pixels never leave the task.
+    * shuffle — pixels never leave the task. `algo` picks the raster
+    * policy: `nearest` (index remap) or `area` (integer box-filter —
+    * the anti-aliased downscale).
     */
   def resizeImages(df: DataFrame, idCol: String, binCol: String,
-                   width: Int, height: Int): DataFrame =
-    df.withColumn("resized", resizeUdf(col(binCol), lit(width), lit(height)))
+                   width: Int, height: Int,
+                   algo: String = "nearest"): DataFrame =
+    df.withColumn("resized",
+      resizeUdf(col(binCol), lit(width), lit(height), lit(algo)))
 
   /** Per-row aspect-preserving resize to the [[fitDims]] box:
     * appends `resized`. Same map-side shape as [[resizeImages]].
     */
   def resizeImagesFit(df: DataFrame, idCol: String, binCol: String,
-                      box: Int): DataFrame =
-    df.withColumn("resized", resizeFitUdf(col(binCol), lit(box)))
+                      box: Int, algo: String = "nearest"): DataFrame =
+    df.withColumn("resized", resizeFitUdf(col(binCol), lit(box), lit(algo)))
 
   // ---- perceptual image hashing (REAL pixel decode, r17) --------------
   //

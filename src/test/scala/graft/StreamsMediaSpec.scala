@@ -1329,6 +1329,68 @@ class StreamsMediaSpec extends SparkSpec {
       Media.resizeImage(twoByOne, 0, 4)).getMessage.contains("resize dims"))
   }
 
+  test("area resize: closed-form block means, half-up rounding, solid invariance, upscale == nearest") {
+    import spark.implicits._
+    def png(pixels: Seq[Seq[Int]]): Array[Byte] = {
+      val h = pixels.length; val w = pixels.head.length
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, pixels(y)(x))
+      val baos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", baos)
+      baos.toByteArray
+    }
+    def rgb(r: Int, g: Int, b: Int) = (r << 16) | (g << 8) | b
+    // 2x2 → 1x1: per-channel means of four known pixels, HALF-UP:
+    // R (10+11+12+13)/4 = 11.5 → 12; G (0+0+3+0)/4 = 0.75 → 1;
+    // B (255+0+0+1)/4 = 64
+    val quad = png(Seq(Seq(rgb(10, 0, 255), rgb(11, 0, 0)),
+                       Seq(rgb(12, 3, 0), rgb(13, 0, 1))))
+    val one = Media.decodeImage(Media.resizeImage(quad, 1, 1, "area").get).get
+    assert((one.getRGB(0, 0) & 0xFFFFFF) == rgb(12, 1, 64))
+    // 4x2 → 2x1: disjoint 2x2 blocks average independently
+    val two = png(Seq(Seq(rgb(0, 0, 0), rgb(2, 0, 0), rgb(100, 0, 0), rgb(100, 0, 0)),
+                      Seq(rgb(4, 0, 0), rgb(6, 0, 0), rgb(100, 0, 0), rgb(104, 0, 0))))
+    val tdec = Media.decodeImage(Media.resizeImage(two, 2, 1, "area").get).get
+    assert((tdec.getRGB(0, 0) & 0xFFFFFF) == rgb(3, 0, 0))   // (0+2+4+6)/4
+    assert((tdec.getRGB(1, 0) & 0xFFFFFF) == rgb(101, 0, 0)) // (100·3+104)/4
+    // the planted corpus contract behind q_media_resize_area:
+    // syntheticPng is 4x4-constant blocks, so a 36x32 → 9x8 area pass
+    // reproduces each block's gray VERBATIM (mean of a constant)
+    val src = Media.decodeImage(Media.syntheticPng(42)).get
+    val area98 = Media.decodeImage(
+      Media.resizeImage(Media.syntheticPng(42), 9, 8, "area").get).get
+    for (j <- 0 until 8; i <- 0 until 9)
+      assert((area98.getRGB(i, j) & 0xFFFFFF) ==
+        (src.getRGB(i * 4, j * 4) & 0xFFFFFF), s"block ($i,$j)")
+    // solid color survives any area resize exactly
+    val solid = png(Seq.fill(5)(Seq.fill(7)(rgb(9, 200, 77))))
+    val sdec = Media.decodeImage(Media.resizeImage(solid, 3, 2, "area").get).get
+    for (y <- 0 until 2; x <- 0 until 3)
+      assert((sdec.getRGB(x, y) & 0xFFFFFF) == rgb(9, 200, 77))
+    // upscale: every source block degenerates to one pixel → area ==
+    // nearest, byte-identical
+    assert(java.util.Arrays.equals(
+      Media.resizeImage(quad, 5, 3, "area").get,
+      Media.resizeImage(quad, 5, 3, "nearest").get))
+    // deterministic; fit form threads the algo; unknown algo refuses
+    assert(java.util.Arrays.equals(
+      Media.resizeImage(two, 2, 1, "area").get,
+      Media.resizeImage(two, 2, 1, "area").get))
+    assert(Media.parseImageDims(
+      Media.resizeImageFit(Media.syntheticPng(5), 18, "area").get)
+      .contains(("png", 18, 16)))
+    assert(intercept[IllegalArgumentException](
+      Media.resizeImage(quad, 2, 2, "bicubic")).getMessage.contains("algo"))
+    // DataFrame form: algo=area, null contract intact
+    val df = Seq((1L, Media.syntheticPng(1)),
+        (2L, null.asInstanceOf[Array[Byte]])).toDF("id", "img")
+    val out = Media.resizeImages(df, "id", "img", 9, 8, algo = "area")
+      .select(col("id"), col("resized").isNull.as("n"))
+      .as[(Long, Boolean)].collect().toMap
+    assert(out == Map(1L -> false, 2L -> true))
+  }
+
   test("parseImageDims: AVIF ispe dims round-trip; corrupt boxes and truncations screen out") {
     assert(Media.parseImageDims(Media.syntheticAvif(640, 480))
       .contains(("avif", 640, 480)))
