@@ -50,6 +50,73 @@ object QueriesSearch {
         .select("doc_id", "shard", "n_tokens", "pack_id", "pack_offset")
     }),
 
+    // r20 CAPSTONE — the brief's crawl pipeline END-TO-END: a STORED
+    // document drives quality gate (sql_expr mirror of
+    // Text.qualityScore) → exact-dedup screen vs a stored history →
+    // minhash near-dup screen vs a stored signature history (the
+    // threshold-1.0 exact contract) → token count + shard → DQ gate,
+    // all through Job.runJson with the r19 screen step; then the
+    // sampling tail: stratified per-language downsample → sequence
+    // packing. Every stage is oracle-expressible, so the WHOLE crawl
+    // path is hash-checked as one composition, not just its pieces.
+    "q_corpus_crawl" -> ((s, dir) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_crawl").toString
+      val all = docs(s, dir)
+      // stored histories: exact = raw texts of the %5 slice, near-dup
+      // = minhash signatures of the %7 slice (built once, as a real
+      // crawl's accumulated history would be)
+      graft.Recovery.idempotentWrite(
+        all.filter(col("doc_id") % 5 === 0).select("text"),
+        s"$tmp/hist_exact")
+      graft.Recovery.idempotentWrite(
+        graft.llm.Dedup.minhashHistorySignatures(
+          all.filter(col("doc_id") % 7 === 0), "doc_id", "text"),
+        s"$tmp/hist_minhash")
+      // Text.qualityScore spelled as the document's sql_expr (same
+      // regexes, same term order — the q_corpus_pipeline-proven form).
+      // qExpr is the TRUE Spark SQL text; jsonStr doubles backslashes
+      // for the JSON layer (Jackson consumes one level, Spark's SQL
+      // string-literal parser the next — the regexes need both)
+      val qExpr =
+        "LEAST(1.0, CAST(regexp_count(text, '\\\\S+') AS DOUBLE) / 50.0) * 0.3" +
+          " + (CAST(regexp_count(text, '[A-Za-z]') AS DOUBLE) /" +
+          " GREATEST(length(text), 1)) * 0.4" +
+          " + (CAST(regexp_count(lower(text), '\\\\b(the|a|and|of|to|in|is)\\\\b')" +
+          " AS DOUBLE) / GREATEST(regexp_count(text, '\\\\S+'), 1)) * 0.3"
+      def jsonStr(s: String) = s.replace("\\", "\\\\")
+      val json =
+        s"""{
+           |  "datasets": [
+           |    {"name": "docs", "format": "parquet", "path": "$dir/documents.parquet"}
+           |  ],
+           |  "pipeline": {"primary": "docs", "steps": [
+           |    {"type": "sql_expr", "name": "q", "expr": "${jsonStr(qExpr)}"},
+           |    {"type": "filter", "column": "q", "op": ">=", "value": 0.5},
+           |    {"type": "sql_expr", "name": "__batch", "expr": "doc_id % 5"},
+           |    {"type": "filter", "column": "__batch", "op": "!=", "value": 0},
+           |    {"type": "screen", "family": "exact", "history": "$tmp/hist_exact",
+           |     "id": "doc_id", "column": "text"},
+           |    {"type": "screen", "family": "minhash", "history": "$tmp/hist_minhash",
+           |     "id": "doc_id", "column": "text"},
+           |    {"type": "sql_expr", "name": "n_tokens",
+           |     "expr": "${jsonStr("CAST(regexp_count(text, '\\\\S+') AS BIGINT)")}"},
+           |    {"type": "sql_expr", "name": "shard", "expr": "doc_id % 4"},
+           |    {"type": "select", "columns": ["doc_id", "lang", "n_tokens", "shard"]}
+           |  ]},
+           |  "quality": {"rules": [
+           |    {"rule_id": "lang_nn", "type": "completeness", "column": "lang"},
+           |    {"rule_id": "tok_pos", "type": "range", "column": "n_tokens",
+           |     "min": 0, "max": 1000000000}
+           |  ], "min_score": 100.0}
+           |}""".stripMargin
+      val out = graft.pipeline.Job.runJson(s, json).output
+      val sampled = Sampling.stratifiedSample(out, "doc_id", "lang",
+        Map("en" -> 0.25, "zh" -> 0.5))
+      Sampling.packSequences(sampled, "doc_id", "n_tokens",
+        budget = 256, Seq("shard"))
+        .select("doc_id", "lang", "shard", "n_tokens", "pack_id", "pack_offset")
+    }),
+
     // GPT-style concat-and-split packing into 512-token sequences;
     // 8 hash shards stand in for the thousands a cluster run would use
     "q_pack" -> ((s, dir) => {
@@ -92,6 +159,54 @@ object QueriesSearch {
          |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS before
          |  FROM t)
          |SELECT doc_id, shard, n_tokens,
+         |  CAST(floor(before / 256) AS BIGINT) AS pack_id,
+         |  before % 256 AS pack_offset
+         |FROM c""".stripMargin
+    },
+
+    "q_corpus_crawl" -> {
+      val tc = "len(regexp_extract_all(text, '\\S+'))"
+      val ac = "len(regexp_extract_all(text, '[A-Za-z]'))"
+      val sc = "len(regexp_extract_all(lower(text), '\\b(the|a|and|of|to|in|is)\\b'))"
+      val q = s"""LEAST(1.0, CAST($tc AS DOUBLE) / 50.0) * 0.3
+                 | + (CAST($ac AS DOUBLE) / GREATEST(length(text), 1)) * 0.4
+                 | + (CAST($sc AS DOUBLE) / GREATEST($tc, 1)) * 0.3""".stripMargin
+      val h = "substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)"
+      val cut25 = Sampling.cutoffHex(0.25)
+      val cut50 = Sampling.cutoffHex(0.5)
+      s"""WITH sh AS (
+         |  SELECT doc_id,
+         |    list_sort(list_distinct([array_to_string(w[i:least(i+4,len(w))], ' ')
+         |      for i in range(1, greatest(len(w)-4, 1)+1)])) AS s
+         |  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w
+         |        FROM documents)),
+         |gated AS (
+         |  SELECT doc_id, lang, text FROM documents
+         |  WHERE ($q) >= 0.5 AND doc_id % 5 <> 0),
+         |screened AS (
+         |  SELECT g.doc_id, g.lang, g.text
+         |  FROM gated g JOIN sh gs ON g.doc_id = gs.doc_id
+         |  WHERE NOT EXISTS (
+         |      SELECT 1 FROM documents h2
+         |      WHERE h2.doc_id % 5 = 0 AND h2.text = g.text)
+         |    AND NOT EXISTS (
+         |      SELECT 1 FROM sh hs
+         |      WHERE hs.doc_id % 7 = 0 AND hs.s = gs.s)),
+         |sampled AS (
+         |  SELECT doc_id, lang,
+         |         CAST($tc AS BIGINT) AS n_tokens,
+         |         doc_id % 4 AS shard
+         |  FROM screened
+         |  WHERE CASE WHEN lang = 'zh' THEN $h < '$cut50'
+         |             WHEN lang = 'en' THEN $h < '$cut25'
+         |             ELSE TRUE END),
+         |c AS (
+         |  SELECT *, CAST(COALESCE(SUM(n_tokens) OVER (
+         |    PARTITION BY shard
+         |    ORDER BY substr(md5(CAST(doc_id AS VARCHAR)), 1, 8), doc_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS before
+         |  FROM sampled)
+         |SELECT doc_id, lang, shard, n_tokens,
          |  CAST(floor(before / 256) AS BIGINT) AS pack_id,
          |  before % 256 AS pack_offset
          |FROM c""".stripMargin
