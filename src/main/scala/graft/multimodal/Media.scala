@@ -660,20 +660,73 @@ object Media {
   private lazy val imageIoReady: Unit =
     javax.imageio.ImageIO.setUseCache(false)
 
+  // ---- pluggable decoders (r20) --------------------------------------
+  //
+  // The honest scope note since r17: this sandbox's JVM ships no
+  // VP8/AV1/MPEG decoders, so WebP/AVIF/MP3/AAC/OGG/FLAC are
+  // dims/format-only and the coverage profiles COUNT that hole. A
+  // cluster that does carry codec jars should not have to touch the
+  // signature machinery to close it — these hooks are the
+  // [[graft.sources.VersionedTable.CommitLocker]] precedent applied to
+  // pixels/samples: ONE process-global extension point, consulted only
+  // AFTER the JDK codecs decline, so default behavior is bit-identical
+  // with no hook registered. Everything downstream (perceptual hashes,
+  // near-dup screens, resize, the format profiles' n_decodable column)
+  // flows through [[decodeImage]]/[[decodePcm]] and therefore picks up
+  // hook coverage automatically — the profiles then REPORT the widened
+  // coverage, spec-pinned.
+  //
+  // Contract: hooks must be DETERMINISTIC (same bytes → same pixels/
+  // samples — the signatures they feed are stored in histories) and
+  // thread-safe; exceptions are swallowed to the undecodable path (a
+  // bad blob must never kill a task). Registration is per-JVM: on a
+  // real cluster register from executor-side init (a SparkPlugin or
+  // static initializer in the codec jar), not from a closure — the
+  // hook function itself is never serialized.
+
+  private val imageDecoderHook = new java.util.concurrent.atomic.AtomicReference[
+    Array[Byte] => Option[java.awt.image.BufferedImage]](null)
+  private val audioDecoderHook = new java.util.concurrent.atomic.AtomicReference[
+    Array[Byte] => Option[(Float, Int, Array[Double])]](null)
+
+  /** Register a fallback pixel decoder (tried only when the JDK's own
+    * codecs return nothing). Pass the decoder's output as a
+    * BufferedImage; zero-area results are discarded.
+    */
+  def setImageDecoder(hook: Array[Byte] => Option[java.awt.image.BufferedImage]): Unit =
+    imageDecoderHook.set(hook)
+  def clearImageDecoder(): Unit = imageDecoderHook.set(null)
+
+  /** Register a fallback audio decoder (tried only when the JDK's own
+    * readers decline): bytes → (sampleRateHz, channels, normalized
+    * interleaved samples in [-1, 1]).
+    */
+  def setAudioDecoder(hook: Array[Byte] => Option[(Float, Int, Array[Double])]): Unit =
+    audioDecoderHook.set(hook)
+  def clearAudioDecoder(): Unit = audioDecoderHook.set(null)
+
   /** Decode an image blob with the JDK's own codecs (PNG/JPEG/GIF/BMP
-    * and whatever else the JVM registers). None for null, undecodable,
-    * or zero-area inputs. Executor-side, headless-safe (image READING
-    * never touches the AWT toolkit).
+    * and whatever else the JVM registers), falling back to a
+    * registered [[setImageDecoder]] hook for formats the JDK lacks.
+    * None for null, undecodable, or zero-area inputs. Executor-side,
+    * headless-safe (image READING never touches the AWT toolkit).
     */
   def decodeImage(bytes: Array[Byte]): Option[java.awt.image.BufferedImage] = {
     if (bytes == null || bytes.length == 0) return None
     imageIoReady
-    try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes)))
-      .filter(img => img.getWidth > 0 && img.getHeight > 0)
-    catch { case _: java.io.IOException | _: RuntimeException => None }
-    // RuntimeException: the JDK decoders throw IllegalArgument /
-    // ArrayIndexOutOfBounds on some corrupt streams — a bad blob must
-    // score as "not an image", never kill the task
+    val jdk =
+      try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes)))
+        .filter(img => img.getWidth > 0 && img.getHeight > 0)
+      catch { case _: java.io.IOException | _: RuntimeException => None }
+      // RuntimeException: the JDK decoders throw IllegalArgument /
+      // ArrayIndexOutOfBounds on some corrupt streams — a bad blob must
+      // score as "not an image", never kill the task
+    jdk.orElse {
+      Option(imageDecoderHook.get()).flatMap { hook =>
+        try hook(bytes).filter(img => img.getWidth > 0 && img.getHeight > 0)
+        catch { case scala.util.control.NonFatal(_) => None }
+      }
+    }
   }
 
   /** Row-major `gw`×`gh` grid of mean luminances (BT.601 integer
@@ -1044,7 +1097,23 @@ object Media {
       Some((fmt, out))
     } catch {
       case _: javax.sound.sampled.UnsupportedAudioFileException |
-           _: IllegalArgumentException | _: java.io.IOException => None
+           _: IllegalArgumentException | _: java.io.IOException =>
+        // the JDK declined — a registered [[setAudioDecoder]] hook may
+        // cover the format (MP3/AAC/OGG/FLAC on a cluster with codec
+        // jars); its samples flow into the SAME signature machinery.
+        // The synthesized descriptor carries the hook's rate/channels
+        // with a nominal 16-bit sample size (the samples are already
+        // normalized doubles; nothing downstream reads the bit depth
+        // except as bookkeeping).
+        Option(audioDecoderHook.get()).flatMap { hook =>
+          try hook(bytes).collect { case (rate, ch, samples)
+              if rate > 0 && ch > 0 && samples != null =>
+            (new javax.sound.sampled.AudioFormat(
+              javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED,
+              rate, 16, ch, ch * 2, rate, false), samples)
+          }
+          catch { case scala.util.control.NonFatal(_) => None }
+        }
     }
   }
 

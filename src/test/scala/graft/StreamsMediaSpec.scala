@@ -1391,6 +1391,99 @@ class StreamsMediaSpec extends SparkSpec {
     assert(out == Map(1L -> false, 2L -> true))
   }
 
+  test("pluggable decoder hooks: signatures and profiles pick up hook coverage; default unchanged") {
+    import spark.implicits._
+    // a format the JVM cannot decode: "GIMG" + w + h + w·h gray bytes
+    def mockImg(w: Int, h: Int, seed: Int): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(12 + w * h)
+      bb.put("GIMG".getBytes("US-ASCII")); bb.putInt(w); bb.putInt(h)
+      var i = 0
+      while (i < w * h) { bb.put(((seed * 31 + i * 7) & 0xFF).toByte); i += 1 }
+      bb.array()
+    }
+    def isGimg(b: Array[Byte]) =
+      b.length >= 12 && b(0) == 'G' && b(1) == 'I' && b(2) == 'M' && b(3) == 'G'
+    val blob = mockImg(16, 8, 1)
+    // without a hook: undecodable end to end (the honest r17 scope)
+    assert(Media.decodeImage(blob).isEmpty && Media.dHash(blob).isEmpty)
+    Media.setImageDecoder { b =>
+      if (!isGimg(b)) None
+      else {
+        val bb = java.nio.ByteBuffer.wrap(b)
+        bb.position(4); val w = bb.getInt; val h = bb.getInt
+        val img = new java.awt.image.BufferedImage(w, h,
+          java.awt.image.BufferedImage.TYPE_INT_RGB)
+        for (y <- 0 until h; x <- 0 until w) {
+          val g = b(12 + y * w + x) & 0xFF
+          img.setRGB(x, y, (g << 16) | (g << 8) | g)
+        }
+        Some(img)
+      }
+    }
+    try {
+      // the hook decodes; the JDK formats still take the JDK path
+      assert(Media.decodeImage(blob).exists(i => i.getWidth == 16 && i.getHeight == 8))
+      assert(Media.decodeImage(Media.syntheticPng(3)).isDefined)
+      val sig = Media.dHash(blob)
+      assert(sig.isDefined)
+      // the EXISTING signature machinery now covers the format: a
+      // re-containered copy (identical pixels, trailing junk the mock
+      // decoder ignores) pairs at hamming 0; an unrelated one doesn't
+      val copy = mockImg(16, 8, 1) ++ Array[Byte](99)
+      val other = mockImg(16, 8, 77)
+      val frame = Seq((1L, blob), (2L, copy), (3L, other)).toDF("id", "img")
+      val pairs = Media.imageNearDup(frame, "id", "img", maxHamming = 0)
+        .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+      assert(pairs.contains((1L, 2L)) && !pairs.exists(p => p._1 == 3L || p._2 == 3L))
+      // the history screen flows too: id 2 drops against id 1's stored
+      // signature, the unrelated id 3 survives
+      val hist = Media.imageSignatures(frame.filter($"id" === 1L), "id", "img")
+      val survivors = Media.imageAgainstHistory(
+        frame.filter($"id" > 1L), "id", "img", hist, maxHamming = 0)
+        .select("id").as[Long].collect().toSet
+      assert(survivors == Set(3L))
+      // and the coverage profile REPORTS the widened coverage: the
+      // mock format has no parseable dims (format 'unknown') but is
+      // now decodable — n_decodable counts it
+      val prof = Media.imageFormatProfile(frame, "img")
+        .filter($"format" === "unknown")
+        .select("n", "n_decodable").as[(Long, Long)].collect().toSeq
+      assert(prof == Seq((3L, 3L)))
+    } finally Media.clearImageDecoder()
+    // hook cleared: default behavior restored bit-for-bit
+    assert(Media.decodeImage(blob).isEmpty)
+
+    // audio: "GAUD" + unsigned bytes as samples
+    def mockAud(seed: Int): Array[Byte] =
+      "GAUD".getBytes("US-ASCII") ++
+        Array.tabulate(260)(i => (((seed * 17 + i * i) % 251) & 0xFF).toByte)
+    val aud = mockAud(1)
+    assert(Media.decodePcm(aud).isEmpty && Media.audioHash(aud).isEmpty)
+    Media.setAudioDecoder { b =>
+      if (!(b.length > 4 && b(0) == 'G' && b(1) == 'A' && b(2) == 'U' && b(3) == 'D')) None
+      else Some((8000f, 1, b.drop(4).map(v => ((v & 0xFF) - 128) / 128.0)))
+    }
+    try {
+      val (fmt, samples) = Media.decodePcm(aud).get
+      assert(fmt.getSampleRate == 8000f && fmt.getChannels == 1 &&
+        samples.length == 260)
+      assert(Media.audioHash(aud).isDefined)
+      // gain invariance carries through the hook path: a decoder that
+      // scaled samples uniformly would keep every differential bit —
+      // here, identical bytes re-containered pair exactly
+      val aframe = Seq((1L, aud), (2L, mockAud(1)), (3L, mockAud(9)))
+        .toDF("id", "wav")
+      val apairs = Media.audioNearDup(aframe, "id", "wav", maxHamming = 0)
+        .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+      assert(apairs.contains((1L, 2L)))
+      val aprof = Media.audioFormatProfile(aframe, "wav")
+        .filter($"format" === "unknown")
+        .select("n", "n_decodable").as[(Long, Long)].collect().toSeq
+      assert(aprof == Seq((3L, 3L)))
+    } finally Media.clearAudioDecoder()
+    assert(Media.decodePcm(aud).isEmpty)
+  }
+
   test("parseImageDims: AVIF ispe dims round-trip; corrupt boxes and truncations screen out") {
     assert(Media.parseImageDims(Media.syntheticAvif(640, 480))
       .contains(("avif", 640, 480)))
