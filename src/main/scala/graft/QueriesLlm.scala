@@ -293,6 +293,27 @@ object QueriesLlm {
       graft.multimodal.Media.sampleKeyframes(vids, "doc_id", "blob", n = 8)
     }),
 
+    // video FRAME signatures (r20): q_media_frames' keyframe plan with
+    // the pixel slot filled through the setVideoFrameDecoder hook —
+    // which this sandbox's JVM honestly cannot provide (no video
+    // codecs), so every frame row carries decodable = FALSE and the
+    // plan columns replay closed-form exactly like q_media_frames.
+    // The hook-registered path (sigs flow into the still-image
+    // signature space, throwing hooks stay row-local) is spec-pinned
+    // in StreamsMediaSpec with a mock decoder.
+    "q_media_frame_sigs" -> ((s, dir) => {
+      val vids = t(s, dir, "documents").select(col("doc_id"),
+        graft.multimodal.Media.syntheticMp4FramesCol(
+          lit(320), lit(240),
+          (lit(10L) + pmod(col("doc_id"), lit(40))) * lit(40L),
+          lit(10) + pmod(col("doc_id"), lit(40)),
+          lit(1) + pmod(col("doc_id"), lit(7))).as("blob"))
+      graft.multimodal.Media.videoFrameSignatures(
+          vids, "doc_id", "blob", n = 8)
+        .withColumn("decodable", col("__sig").isNotNull)
+        .select("doc_id", "frame_idx", "frame_offset_ms", "decodable")
+    }),
+
     // WebP container dims (r18), oracle-green end-to-end through REAL
     // RIFF/VP8/VP8L/VP8X byte building + parsing: each doc gets a
     // planted webp of its profile (doc_id % 3 → lossy / lossless /
@@ -1072,6 +1093,23 @@ object QueriesLlm {
         |SELECT doc_id, CAST(frame_idx AS INTEGER) AS frame_idx,
         |  CAST(((frame_idx * kcount) // m) * g * 40 AS BIGINT)
         |    AS frame_offset_ms
+        |FROM idx""".stripMargin,
+
+    // same closed-form keyframe layout as q_media_frames; decodable is
+    // FALSE everywhere — no video codec in this JVM and no hook
+    // registered, honestly accounted per frame row
+    "q_media_frame_sigs" ->
+      """WITH p AS (
+        |  SELECT doc_id, 10 + doc_id % 40 AS f, 1 + doc_id % 7 AS g
+        |  FROM documents),
+        |k AS (SELECT doc_id, g, ((f - 1) // g) + 1 AS kcount FROM p),
+        |m AS (SELECT doc_id, g, kcount, LEAST(8, kcount) AS m FROM k),
+        |idx AS (SELECT doc_id, g, kcount, m,
+        |          UNNEST(range(0, m)) AS frame_idx FROM m)
+        |SELECT doc_id, CAST(frame_idx AS INTEGER) AS frame_idx,
+        |  CAST(((frame_idx * kcount) // m) * g * 40 AS BIGINT)
+        |    AS frame_offset_ms,
+        |  FALSE AS decodable
         |FROM idx""".stripMargin,
 
     // the builder's closed-form webp dims: every profile round-trips

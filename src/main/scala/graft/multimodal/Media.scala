@@ -705,6 +705,37 @@ object Media {
     audioDecoderHook.set(hook)
   def clearAudioDecoder(): Unit = audioDecoderHook.set(null)
 
+  private val videoFrameDecoderHook = new java.util.concurrent.atomic.AtomicReference[
+    (Array[Byte], Long) => Option[java.awt.image.BufferedImage]](null)
+
+  /** Register a video FRAME decoder: (containerBytes, offsetMs) → the
+    * decoded frame nearest that timestamp. Unlike the image/audio
+    * hooks there is no JDK path to fall back FROM — the JVM ships no
+    * video codecs at all — so with no hook registered every frame is
+    * honestly undecodable ([[videoFrameSignatures]] emits null
+    * signatures, never fabricated ones). The offsets handed to the
+    * hook are keyframe-aligned ([[parseMp4Keyframes]]), so a real
+    * decoder pays one cheap seek per frame, never a GOP decode.
+    */
+  def setVideoFrameDecoder(
+      hook: (Array[Byte], Long) => Option[java.awt.image.BufferedImage]): Unit =
+    videoFrameDecoderHook.set(hook)
+  def clearVideoFrameDecoder(): Unit = videoFrameDecoderHook.set(null)
+
+  /** Decode one video frame via the registered [[setVideoFrameDecoder]]
+    * hook. None for null/empty input, no hook, a declining hook, a
+    * throwing hook (a bad blob must never kill a task), or a zero-area
+    * result — the same contract as [[decodeImage]].
+    */
+  def decodeVideoFrame(bytes: Array[Byte], offsetMs: Long)
+      : Option[java.awt.image.BufferedImage] = {
+    if (bytes == null || bytes.length == 0) return None
+    Option(videoFrameDecoderHook.get()).flatMap { hook =>
+      try hook(bytes, offsetMs).filter(img => img.getWidth > 0 && img.getHeight > 0)
+      catch { case scala.util.control.NonFatal(_) => None }
+    }
+  }
+
   /** Decode an image blob with the JDK's own codecs (PNG/JPEG/GIF/BMP
     * and whatever else the JVM registers), falling back to a
     * registered [[setImageDecoder]] hook for formats the JDK lacks.
@@ -853,8 +884,16 @@ object Media {
     * limitation, inherent to dHash: flat/constant images all hash to
     * 0 and pair with each other — run exact dedup first.
     */
-  def dHash(bytes: Array[Byte]): Option[Long] = decodeImage(bytes).map { img =>
-    val g = grayGridOriented(img, 9, 8, exifOrientation(bytes))
+  def dHash(bytes: Array[Byte]): Option[Long] =
+    decodeImage(bytes).map(dHashImage(_, exifOrientation(bytes)))
+
+  /** [[dHash]] over an already-decoded raster (r20 — shared by the
+    * byte path and [[videoFrameSignatures]], so a hook-decoded video
+    * frame lands in the SAME signature space as a still image).
+    */
+  private[graft] def dHashImage(img: java.awt.image.BufferedImage,
+                                orient: Int): Long = {
+    val g = grayGridOriented(img, 9, 8, orient)
     var sig = 0L
     var row = 0
     while (row < 8) {
@@ -873,8 +912,12 @@ object Media {
     * brightness) but the standard second opinion. EXIF-normalized
     * like [[dHash]].
     */
-  def aHash(bytes: Array[Byte]): Option[Long] = decodeImage(bytes).map { img =>
-    val g = grayGridOriented(img, 8, 8, exifOrientation(bytes))
+  def aHash(bytes: Array[Byte]): Option[Long] =
+    decodeImage(bytes).map(aHashImage(_, exifOrientation(bytes)))
+
+  private[graft] def aHashImage(img: java.awt.image.BufferedImage,
+                                orient: Int): Long = {
+    val g = grayGridOriented(img, 8, 8, orient)
     val mean = g.sum / 64.0
     var sig = 0L
     var k = 0
@@ -901,8 +944,12 @@ object Media {
   private val pHashCosTab = Array.tabulate(8, 32)((u, x) =>
     StrictMath.cos(StrictMath.PI * (2 * x + 1) * u / 64.0))
 
-  def pHash(bytes: Array[Byte]): Option[Long] = decodeImage(bytes).map { img =>
-    val g = grayGridOriented(img, 32, 32, exifOrientation(bytes))
+  def pHash(bytes: Array[Byte]): Option[Long] =
+    decodeImage(bytes).map(pHashImage(_, exifOrientation(bytes)))
+
+  private[graft] def pHashImage(img: java.awt.image.BufferedImage,
+                                orient: Int): Long = {
+    val g = grayGridOriented(img, 32, 32, orient)
     // separable DCT-II, keeping only the first 8 frequencies per axis:
     // rows first (freq u × row y), then columns
     val cosTab = pHashCosTab
@@ -1811,6 +1858,60 @@ object Media {
           (col("frame_idx").cast("long") * size(col("__kf")) / col("__m"))
             .cast("int") + 1))
       .select(col(idCol), col("frame_idx"), col("frame_offset_ms"))
+  }
+
+  /** Per-row frame plan for [[videoFrameSignatures]]: the blob is
+    * walked ONCE per video — keyframe plan, then one hook decode +
+    * hash per sampled frame — and only (idx, offsetMs, sig) leaves
+    * the call, so pixels and container bytes never fan out across the
+    * exploded rows. Subsample arithmetic matches [[sampleKeyframes]]
+    * exactly (spec-pinned).
+    */
+  private def frameSignaturesFor(b: Array[Byte], n: Int, algo: String)
+      : Seq[(Int, Long, Option[Long])] = {
+    val kf = parseMp4Keyframes(b)
+    if (kf.isEmpty) Nil
+    else {
+      val m = math.min(kf.length, n)
+      (0 until m).map { k =>
+        val off = kf((k.toLong * kf.length / m).toInt)
+        val sig = decodeVideoFrame(b, off).map { img =>
+          algo match {
+            case "dhash" => dHashImage(img, 1)
+            case "ahash" => aHashImage(img, 1)
+            case _       => pHashImage(img, 1)
+          }
+        }
+        (k, off, sig)
+      }
+    }
+  }
+
+  /** Keyframe-aligned perceptual FRAME signatures (r20): the
+    * [[sampleKeyframes]] plan with the pixels filled in through the
+    * [[setVideoFrameDecoder]] hook — one output row per sampled frame
+    * (idCol, frame_idx, frame_offset_ms, __sig). The signature is the
+    * SAME 64-bit dhash/ahash/phash the still-image family stores
+    * (no EXIF on video frames, so orientation is 1), so frame rows
+    * feed the existing banding/near-dup/history machinery unchanged —
+    * group by __sig bands keyed on (id, frame_idx) and a cluster with
+    * codec jars gets video near-dup without new signature code. With
+    * no hook registered __sig is null on every row (the honest
+    * coverage contract — the plan columns still flow, so the query
+    * stays useful as a decode-free frame inventory). One map-side
+    * pass; a video's bytes are traversed once, never duplicated
+    * across its frame rows.
+    */
+  def videoFrameSignatures(df: DataFrame, idCol: String, binCol: String,
+                           n: Int, algo: String = "dhash"): DataFrame = {
+    require(n >= 1, "n >= 1")
+    val a = algo.toLowerCase
+    require(a == "dhash" || a == "ahash" || a == "phash",
+      s"unknown perceptual hash '$algo' (dhash | ahash | phash)")
+    val u = udf((b: Array[Byte]) => frameSignaturesFor(b, n, a))
+    df.select(col(idCol), explode(u(col(binCol))).as("__f"))
+      .select(col(idCol), col("__f._1").as("frame_idx"),
+        col("__f._2").as("frame_offset_ms"), col("__f._3").as("__sig"))
   }
 
   private val tracksUdf = udf((b: Array[Byte]) => parseMp4Tracks(b))

@@ -1484,6 +1484,53 @@ class StreamsMediaSpec extends SparkSpec {
     assert(Media.decodePcm(aud).isEmpty)
   }
 
+  test("pluggable video frame decoder: keyframe plan gains pixels in the still-image signature space") {
+    import spark.implicits._
+    // 10 frames at 100 ms, sync every 3rd → keyframes 0/300/600/900 ms
+    val vid = Media.syntheticMp4(32, 16, durMs = 1000, withAudio = false,
+      frames = 10, gop = 3)
+    val df = Seq((1L, vid)).toDF("id", "vid")
+    // unhooked: the SAME rows as the decode-free plan, sigs all null —
+    // the honest coverage contract (no video codecs in this JVM)
+    val plan = Media.sampleKeyframes(df, "id", "vid", 4)
+      .select("frame_idx", "frame_offset_ms").as[(Int, Long)]
+      .collect().toSeq.sorted
+    assert(plan == Seq((0, 0L), (1, 300L), (2, 600L), (3, 900L)))
+    val unhooked = Media.videoFrameSignatures(df, "id", "vid", 4)
+      .select($"frame_idx", $"frame_offset_ms", $"__sig")
+      .as[(Int, Long, Option[Long])].collect().toSeq.sortBy(_._1)
+    assert(unhooked.map(r => (r._1, r._2)) == plan)
+    assert(unhooked.forall(_._3.isEmpty))
+    // hook: "decode" the frame at offset t as the planted PNG seeded t
+    // — deterministic, and lets us prove the frame sig IS the image
+    // sig (same grayGrid → dHash core, orientation 1)
+    Media.setVideoFrameDecoder { (b, off) =>
+      Media.decodeImage(Media.syntheticPng(off))
+    }
+    try {
+      val sigs = Media.videoFrameSignatures(df, "id", "vid", 4)
+        .select($"frame_offset_ms", $"__sig")
+        .as[(Long, Option[Long])].collect().toMap
+      assert(sigs.keySet == Set(0L, 300L, 600L, 900L))
+      sigs.foreach { case (off, sig) =>
+        assert(sig == Media.dHash(Media.syntheticPng(off)),
+          s"frame sig at $off must equal the still-image dHash")
+      }
+      // phash variant rides the same dispatch
+      val p = Media.videoFrameSignatures(df, "id", "vid", 1, algo = "phash")
+        .select($"__sig").as[Option[Long]].head()
+      assert(p == Media.pHash(Media.syntheticPng(0L)))
+      // a throwing hook stays row-local: null sig, task survives
+      Media.setVideoFrameDecoder((_, _) => throw new RuntimeException("boom"))
+      val thrown = Media.videoFrameSignatures(df, "id", "vid", 4)
+        .filter($"__sig".isNotNull).count()
+      assert(thrown == 0L)
+    } finally Media.clearVideoFrameDecoder()
+    // cleared: back to the honest nulls
+    assert(Media.videoFrameSignatures(df, "id", "vid", 4)
+      .filter($"__sig".isNotNull).count() == 0L)
+  }
+
   test("parseImageDims: AVIF ispe dims round-trip; corrupt boxes and truncations screen out") {
     assert(Media.parseImageDims(Media.syntheticAvif(640, 480))
       .contains(("avif", 640, 480)))
