@@ -155,6 +155,11 @@ object Bench {
     val planHashes = scala.collection.mutable.LinkedHashMap[String, String]()
     def timedPass(recordPlans: Boolean): Map[String, Sample] = names.map { name =>
       GraftSession.releaseAll(spark)
+      // Label every job with its query (guide §1.5): event-log /
+      // listener tooling can then attribute stages to queries instead
+      // of reconstructing the mapping from timestamps. Thread-local,
+      // free when no listener is attached.
+      spark.sparkContext.setJobDescription(name)
       val gc0 = gcMillis()
       val tasks0 = taskCounter.get()
       val t0 = System.nanoTime()

@@ -37,6 +37,17 @@ object GraftSession {
       .config("spark.sql.warehouse.dir",
         s"${System.getProperty("java.io.tmpdir")}/graft-warehouse")
       .config("spark.sql.adaptive.enabled", "true")
+      // Whole-stage-codegen COMPILED-CLASS cache (default 100 entries):
+      // a long-lived session running a many-query workload (REPL,
+      // server, the 232-query bench/verify harnesses) generates far
+      // more than 100 codegen stages, so every re-planned query pays
+      // janino compilation again — measured r20-opt: a 12-query
+      // paired A/B at sf0.1 ran 25.6 s -> 19.1 s (0.75x) from this one
+      // setting, with per-query drops up to 47% (q_anom_ensemble) on
+      // multi-stage plans whose execution is milliseconds. Entries are
+      // compiled classes (~KBs each); 8192 is ~tens of MB against the
+      // driver heap, core-count- and scale-independent.
+      .config("spark.sql.codegen.cache.maxEntries", "8192")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       // Naive parquet timestamp[us] (the current testdata events.ts)

@@ -40,6 +40,15 @@ object Profile {
     if (args.lift(1).contains("semantic")) {
       profileSemantic(spark, sfDir, time); spark.stop(); return
     }
+    if (args.lift(1).contains("media")) {
+      profileMedia(spark, sfDir, time); spark.stop(); return
+    }
+    if (args.lift(1).contains("ocsvm")) {
+      profileOcsvm(spark, sfDir, time); spark.stop(); return
+    }
+    if (args.lift(1).contains("crawl")) {
+      profileCrawl(spark, sfDir, time); spark.stop(); return
+    }
     val docs = Tables.load(spark, sfDir, "documents")
     docs.count() // warm scan
 
@@ -269,6 +278,123 @@ object Profile {
     time("sem-full-query-2nd")(
       Dedup.semanticNearDup(e, "vec_id", "embedding",
         targetCellSize = 256, threshold = 0.4).count())
+  }
+
+  /** Stage attribution for the media dedup family (q_media_dedup_phash
+    * shape): isolates the synthetic-PNG encode, the decode+hash UDF
+    * pass, and the band join — and A/Bs the scan-parallelism
+    * hypothesis (the doubled corpus runs its per-row codec work in the
+    * 2 tasks the single-row-group documents.parquet scan yields, 30
+    * cores idle) against an id-only fan-out repartition.
+    */
+  private def profileMedia(spark: org.apache.spark.sql.SparkSession,
+                           sfDir: String,
+                           time: String => (=> Long) => Unit): Unit = {
+    import graft.multimodal.Media
+    val docs = Tables.load(spark, sfDir, "documents").select(col("doc_id"))
+    docs.count() // warm
+    val par = spark.sparkContext.defaultParallelism
+    def corpus(d: org.apache.spark.sql.DataFrame) = {
+      val img = d.select(col("doc_id"),
+        Media.syntheticPngCol(col("doc_id"), lit(0)).as("img"))
+      img.union(img.withColumn("doc_id", col("doc_id") + lit(1000000L)))
+    }
+    time("media-encode-only")(
+      corpus(docs).select(length(col("img"))).agg(sum("length(img)")).count())
+    time("media-sig-pass")(
+      Media.imageSignatures(corpus(docs), "doc_id", "img", "phash").count())
+    time("media-sig-pass-fanout")(
+      Media.imageSignatures(corpus(docs.repartition(par)), "doc_id", "img",
+        "phash").count())
+    time("media-full-phash")(
+      Media.imageNearDup(corpus(docs), "doc_id", "img",
+        maxHamming = 0, algo = "phash").count())
+    time("media-full-phash-fanout")(
+      Media.imageNearDup(corpus(docs.repartition(par)), "doc_id", "img",
+        maxHamming = 0, algo = "phash").count())
+    time("media-full-dhash-fanout")(
+      Media.imageNearDup(corpus(docs.repartition(par)), "doc_id", "img",
+        maxHamming = 0).count())
+  }
+
+  /** Pass attribution for q_anom_ocsvm (ellipticBoundary over events):
+    * the moment aggregation, the exact-quantile machinery, and the
+    * final filter scan — each its own driver-sequential job.
+    */
+  private def profileOcsvm(spark: org.apache.spark.sql.SparkSession,
+                           sfDir: String,
+                           time: String => (=> Long) => Unit): Unit = {
+    import graft.functions.Det
+    val e = Tables.load(spark, sfDir, "events")
+      .select(col("value"), col("latency_ms"))
+    e.count() // warm
+    val x = col("value"); val y = col("latency_ms")
+    time("ocsvm-moment-agg") {
+      e.agg(count(lit(1)).cast("double").as("__n"),
+        Det.sumAt(x, 6).as("__sx"), Det.sumAt(y, 6).as("__sy"),
+        Det.sumAt(x * x, 6).as("__sxx"), Det.sumAt(y * y, 6).as("__syy"),
+        Det.sumAt(x * y, 6).as("__sxy")).head(); 1L
+    }
+    time("ocsvm-exact-quantile") {
+      graft.functions.Quantiles.exactQuantile(
+        e.withColumn("md2", round(x * y, 6)), "md2", 0.9); 1L
+    }
+    time("ocsvm-full-query")(
+      graft.quality.Anomaly.ellipticBoundary(e, "value", "latency_ms",
+        nu = 0.1).count())
+    time("ocsvm-full-query-2nd")(
+      graft.quality.Anomaly.ellipticBoundary(e, "value", "latency_ms",
+        nu = 0.1).count())
+  }
+
+  /** Stage attribution for q_corpus_crawl: the two history writes, the
+    * Job pipeline (quality gate + two screens), and the sampling tail
+    * — so the capstone's 8 s lands on a named stage.
+    */
+  private def profileCrawl(spark: org.apache.spark.sql.SparkSession,
+                           sfDir: String,
+                           time: String => (=> Long) => Unit): Unit = {
+    import graft.llm.{Dedup, Sampling}
+    val all = Tables.load(spark, sfDir, "documents")
+    all.count() // warm
+    val tmp = java.nio.file.Files.createTempDirectory("graft_crawl_prof").toString
+    time("crawl-hist-exact-write") {
+      graft.Recovery.idempotentWrite(
+        all.filter(col("doc_id") % 5 === 0).select("text"), s"$tmp/hist_exact"); 1L
+    }
+    time("crawl-hist-minhash-write") {
+      graft.Recovery.idempotentWrite(
+        Dedup.minhashHistorySignatures(
+          all.filter(col("doc_id") % 7 === 0), "doc_id", "text"),
+        s"$tmp/hist_minhash"); 1L
+    }
+    val qExpr =
+      "LEAST(1.0, CAST(regexp_count(text, '\\\\S+') AS DOUBLE) / 50.0) * 0.3" +
+        " + (CAST(regexp_count(text, '[A-Za-z]') AS DOUBLE) /" +
+        " GREATEST(length(text), 1)) * 0.4" +
+        " + (CAST(regexp_count(lower(text), '\\\\b(the|a|and|of|to|in|is)\\\\b')" +
+        " AS DOUBLE) / GREATEST(regexp_count(text, '\\\\S+'), 1)) * 0.3"
+    time("crawl-quality-gate")(
+      all.withColumn("q", expr(qExpr.replace("\\\\", "\\")))
+        .filter(col("q") >= 0.5).count())
+    val gated = all.withColumn("q", expr(qExpr.replace("\\\\", "\\")))
+      .filter(col("q") >= 0.5)
+      .withColumn("__batch", col("doc_id") % 5)
+      .filter(col("__batch") =!= 0)
+    time("crawl-screen-exact") {
+      val hist = spark.read.parquet(s"$tmp/hist_exact")
+      Dedup.dedupAgainstHistory(gated, hist, "text").count()
+    }
+    time("crawl-screen-minhash") {
+      val hist = spark.read.parquet(s"$tmp/hist_minhash")
+      val screened = Dedup.dedupAgainstHistory(gated,
+        spark.read.parquet(s"$tmp/hist_exact"), "text")
+      Dedup.minhashAgainstHistory(screened, hist, "doc_id", "text").count()
+    }
+    time("crawl-full-query")(
+      SparkEntry.queries("q_corpus_crawl")(spark, sfDir).count())
+    time("crawl-full-query-2nd")(
+      SparkEntry.queries("q_corpus_crawl")(spark, sfDir).count())
   }
 
   /** Per-pass breakdown of [[graft.functions.Quantiles.exactQuantiles]]
