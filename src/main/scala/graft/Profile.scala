@@ -49,6 +49,12 @@ object Profile {
     if (args.lift(1).contains("crawl")) {
       profileCrawl(spark, sfDir, time); spark.stop(); return
     }
+    if (args.lift(1).contains("streams")) {
+      profileStreams(spark, sfDir, time); spark.stop(); return
+    }
+    if (args.lift(1).contains("expaudio")) {
+      profileExpAudio(spark, sfDir, time); spark.stop(); return
+    }
     val docs = Tables.load(spark, sfDir, "documents")
     docs.count() // warm scan
 
@@ -325,10 +331,11 @@ object Profile {
                            sfDir: String,
                            time: String => (=> Long) => Unit): Unit = {
     import graft.functions.Det
-    val e = Tables.load(spark, sfDir, "events")
-      .select(col("value"), col("latency_ms"))
+    // q_anom_ocsvm's actual input: lineitem (quantity, extendedprice)
+    val e = Tables.load(spark, sfDir, "lineitem")
+      .select(col("l_quantity"), col("l_extendedprice"))
     e.count() // warm
-    val x = col("value"); val y = col("latency_ms")
+    val x = col("l_quantity"); val y = col("l_extendedprice")
     time("ocsvm-moment-agg") {
       e.agg(count(lit(1)).cast("double").as("__n"),
         Det.sumAt(x, 6).as("__sx"), Det.sumAt(y, 6).as("__sy"),
@@ -340,11 +347,99 @@ object Profile {
         e.withColumn("md2", round(x * y, 6)), "md2", 0.9); 1L
     }
     time("ocsvm-full-query")(
-      graft.quality.Anomaly.ellipticBoundary(e, "value", "latency_ms",
-        nu = 0.1).count())
+      graft.quality.Anomaly.ellipticBoundary(e, "l_quantity",
+        "l_extendedprice", nu = 0.1).count())
     time("ocsvm-full-query-2nd")(
-      graft.quality.Anomaly.ellipticBoundary(e, "value", "latency_ms",
-        nu = 0.1).count())
+      graft.quality.Anomaly.ellipticBoundary(e, "l_quantity",
+        "l_extendedprice", nu = 0.1).count())
+  }
+
+  /** A/B of the q_media_audio_formats fan-out regression: isolates the
+    * blob-build+detect UDF cost (unfanned vs hash-fanned vs
+    * round-robin), with the agg and with a bare noop-style pass, so the
+    * ~2 s delta lands on a stage, not a guess.
+    */
+  private def profileExpAudio(spark: org.apache.spark.sql.SparkSession,
+                              sfDir: String,
+                              time: String => (=> Long) => Unit): Unit = {
+    import graft.multimodal.Media
+    val base = Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id"), col("text"))
+    base.count() // warm
+    val cls = pmod(col("doc_id"), lit(5))
+    val mp3Hdr = lit(Array[Byte](0xFF.toByte, 0xFB.toByte, 0x90.toByte,
+      0x00) ++ Array.fill(96)(0.toByte))
+    val aacHdr = lit(Array[Byte](0xFF.toByte, 0xF1.toByte, 0x50.toByte,
+      0x80.toByte, 0x00.toByte, 0x1F.toByte, 0xFC.toByte))
+    val oggHdr = lit("OggS".getBytes("US-ASCII") ++ Array.fill(24)(0.toByte))
+    def blob = when(cls === 0,
+        Media.syntheticWavCol(pmod(col("doc_id"), lit(30000)) + lit(1)))
+      .when(cls === 1, mp3Hdr)
+      .when(cls === 2, oggHdr)
+      .when(cls === 3, aacHdr)
+      .otherwise(concat(lit("X").cast("binary"),
+        coalesce(col("text"), lit("")).cast("binary")))
+    val par = spark.sparkContext.defaultParallelism
+    def agg(d: org.apache.spark.sql.DataFrame) =
+      Media.audioFormatProfile(d.select(col("doc_id"), blob.as("wav")), "wav")
+    (1 to 2).foreach { i =>
+      time(s"audfmt-unfanned-$i")(agg(base).count())
+      time(s"audfmt-hash32-$i")(agg(base.repartition(par, col("doc_id"))).count())
+      time(s"audfmt-rr32-$i")(agg(base.repartition(par)).count())
+      time(s"audfmt-hash8-$i")(agg(base.repartition(8, col("doc_id"))).count())
+      time(s"audfmt-blob-noop-unfanned-$i") {
+        val d = base.select(col("doc_id"), blob.as("wav"))
+        d.write.format("noop").mode("overwrite").save(); 1L
+      }
+      time(s"audfmt-blob-noop-hash32-$i") {
+        val d = base.repartition(par, col("doc_id"))
+          .select(col("doc_id"), blob.as("wav"))
+        d.write.format("noop").mode("overwrite").save(); 1L
+      }
+    }
+  }
+
+  /** Micro-batch cost attribution for the q_stream_* family: drains
+    * one windowed agg and one dedup stream, then prints per-batch
+    * durationMs components (addBatch, getBatch, commitOffsets,
+    * walCommit, queryPlanning, triggerExecution) and the batch count —
+    * so streaming wall-clock lands on a named phase (state machinery
+    * vs planning vs the data pass) instead of "streaming is slow".
+    */
+  private def profileStreams(spark: org.apache.spark.sql.SparkSession,
+                             sfDir: String,
+                             time: String => (=> Long) => Unit): Unit = {
+    import graft.functions.Det
+    def drain(name: String, agg: org.apache.spark.sql.DataFrame,
+              mode: org.apache.spark.sql.streaming.OutputMode): Unit = {
+      spark.catalog.dropTempView(name)
+      val t0 = System.nanoTime()
+      val q = graft.streaming.Streams.startMemorySink(agg, name, mode)
+      try q.processAllAvailable() finally q.stop()
+      val sec = (System.nanoTime() - t0) / 1e9
+      println(f"PROFILE $name%-28s $sec%8.3f s  rows=${spark.table(name).count()}")
+      q.recentProgress.foreach { p =>
+        println(s"  batch ${p.batchId}: rows=${p.numInputRows} " +
+          s"durationMs=${p.durationMs}")
+      }
+    }
+    val ev = Tables.eventsStream(spark, sfDir)
+    drain("prof_stream_tumbling",
+      graft.streaming.Streams.windowedAgg(ev, "ts", "10 minutes", "1 hour",
+        None, Seq("event_type"),
+        Seq(count(lit(1)).as("n"), Det.sumAt(col("value"), 6).as("sum_val"))),
+      org.apache.spark.sql.streaming.OutputMode.Complete())
+    drain("prof_stream_dedup",
+      graft.streaming.Streams.dedupStream(Tables.eventsStream(spark, sfDir),
+        "ts", "1 hour", Seq("user_id", "event_type"))
+        .select(col("user_id"), col("event_type")),
+      org.apache.spark.sql.streaming.OutputMode.Append())
+    drain("prof_stream_sessionize",
+      graft.streaming.Streams.sessionWindowAgg(
+        Tables.eventsStream(spark, sfDir), "ts", "1 hour", "30 minutes",
+        Seq("user_id"),
+        Seq(count(lit(1)).as("n_events"), Det.sumAt(col("value"), 6).as("sum_val"))),
+      org.apache.spark.sql.streaming.OutputMode.Complete())
   }
 
   /** Stage attribution for q_corpus_crawl: the two history writes, the

@@ -166,6 +166,9 @@ object QueriesLlm {
     // are engine-specific geometry; q_media_dedup_planted is the
     // oracle-green companion and StreamsMediaSpec pins decode/grid/
     // hash laws + JPEG re-encode robustness.
+    // fan-out A/B'd (r20-opt): this query is band-join/window-bound,
+    // not decode-bound — id fan-out measured 1.05x (wash); left on the
+    // plain scan. The decode-bound siblings (planted/phash) fan out.
     "q_media_dedup" -> ((s, dir) => {
       val media = t(s, dir, "documents").select(col("doc_id"),
         graft.multimodal.Media.syntheticPngCol(
@@ -181,7 +184,10 @@ object QueriesLlm {
     // This hash-checks decode → dHash → banding → pair join end-to-end
     // through the real ImageIO codecs.
     "q_media_dedup_planted" -> ((s, dir) => {
-      val d = t(s, dir, "documents").select(col("doc_id"),
+      // id-only fan-out before the codec chain (see q_media_dedup)
+      val ids = graft.operators.Ops.fanOutIfNarrow(
+        t(s, dir, "documents").select(col("doc_id")), Seq(col("doc_id")))
+      val d = ids.select(col("doc_id"),
         graft.multimodal.Media.syntheticPngCol(col("doc_id"), lit(0)).as("img"))
       val corpus = d.union(d.withColumn("doc_id", col("doc_id") + lit(1000000L)))
       graft.multimodal.Media.imageNearDup(corpus, "doc_id", "img", maxHamming = 0)
@@ -505,7 +511,10 @@ object QueriesLlm {
     // q_media_dedup_planted: byte-identical copies pair at hamming 0,
     // distinct seeds collide with probability ~2⁻⁶⁴
     "q_media_dedup_phash" -> ((s, dir) => {
-      val d = t(s, dir, "documents").select(col("doc_id"),
+      // id-only fan-out before the codec+DCT chain (see q_media_dedup)
+      val ids = graft.operators.Ops.fanOutIfNarrow(
+        t(s, dir, "documents").select(col("doc_id")), Seq(col("doc_id")))
+      val d = ids.select(col("doc_id"),
         graft.multimodal.Media.syntheticPngCol(col("doc_id"), lit(0)).as("img"))
       val corpus = d.union(d.withColumn("doc_id", col("doc_id") + lit(1000000L)))
       graft.multimodal.Media.imageNearDup(corpus, "doc_id", "img",

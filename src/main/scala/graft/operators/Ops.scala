@@ -18,6 +18,42 @@ import org.apache.spark.sql.types._
   */
 object Ops {
 
+  /** Fan a NARROW input out to the session's full parallelism before
+    * per-row-EXPENSIVE map work (image/audio codecs, regex scans,
+    * shingling) — the optimization guide §2.5 unsplittable-input case.
+    * A parquet file ships work in row-group units, so a table written
+    * as one row group (every gate-SF testdata table here, and any
+    * single-file drop in production) scans as ONE task and serializes
+    * all downstream map-side CPU onto one core regardless of cluster
+    * size.
+    *
+    * Conditional by construction: a no-op whenever the input already
+    * carries >= defaultParallelism partitions — i.e. any real
+    * multi-row-group table at scale — so nothing is ever shuffled
+    * where the scan is already parallel, and the knob is
+    * scale-adaptive (derived from the running context, never a
+    * constant). Call it AFTER pushable filters (the Exchange would
+    * block pushdown) and BEFORE attaching expensive derived columns,
+    * so the shuffle carries only the light input rows (ids/keys), not
+    * the heavy derived payload — the §8 "move small rows, attach
+    * payload after" shape.
+    *
+    * With `keys`, hash-partitions (deterministic under task retry, no
+    * sort-before-repartition pass; use a high-cardinality key);
+    * otherwise round-robin. Results are partitioning-invariant for
+    * every operator in this library (spec'd where subtle — e.g.
+    * capBuckets drops whole over-cap buckets, never a
+    * partition-order-dependent subset).
+    */
+  def fanOutIfNarrow(df: DataFrame, keys: Seq[Column] = Nil): DataFrame = {
+    val want = df.sparkSession.sparkContext.defaultParallelism
+    // .rdd only builds the plan (no job); scan-shaped inputs have a
+    // statically known partition count
+    if (df.rdd.getNumPartitions >= want) df
+    else if (keys.nonEmpty) df.repartition(want, keys: _*)
+    else df.repartition(want)
+  }
+
   // ---- 1. Filters (ref: filter_by_condition / _multiple / _date_range)
 
   /** Single comparison filter; operator is one of == != > < >= <=.
