@@ -470,9 +470,9 @@ object Profile {
         " + (CAST(regexp_count(lower(text), '\\\\b(the|a|and|of|to|in|is)\\\\b')" +
         " AS DOUBLE) / GREATEST(regexp_count(text, '\\\\S+'), 1)) * 0.3"
     time("crawl-quality-gate")(
-      all.withColumn("q", expr(qExpr.replace("\\\\", "\\")))
+      all.withColumn("q", expr(qExpr))
         .filter(col("q") >= 0.5).count())
-    val gated = all.withColumn("q", expr(qExpr.replace("\\\\", "\\")))
+    val gated = all.withColumn("q", expr(qExpr))
       .filter(col("q") >= 0.5)
       .withColumn("__batch", col("doc_id") % 5)
       .filter(col("__batch") =!= 0)
