@@ -575,7 +575,13 @@ object Dedup {
         .select(col(idCol).as(out),
           col("__band.b").as("__b"), col("__band.h").as("__h")),
       maxBucketSize)
-    val bsig = minhashHistorySignatures(batch, idCol, textCol, ngramN, numHashes)
+    // consumed twice (band explode + the verify join) — unpersisted,
+    // the batch's shingle+minhash pass runs twice. persistIfSmall:
+    // cached at gate SFs, re-derived map-side past the budget (the
+    // signatures are corpus-sized, exactly what a 100 TB run must not
+    // cache — same contract as the pipeline screen step's input)
+    val bsig = graft.GraftSession.persistIfSmall(
+      minhashHistorySignatures(batch, idCol, textCol, ngramN, numHashes))
     val hsig = historySigs.select(col(idCol), col("__sig"),
       col("__shash"))
     val cand = explodeBands(bsig, "__bid")

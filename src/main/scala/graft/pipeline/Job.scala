@@ -217,7 +217,14 @@ object Job {
     }
     require(sources.contains(spec.pipeline.primary),
       s"pipeline primary '${spec.pipeline.primary}' is not a declared dataset")
-    val out = Pipeline.run(spark, sources, spec.pipeline)
+    // the output frame is consumed by up to three downstream actions
+    // (the DQ gate's fused agg, the quarantine/anomaly split, the
+    // sink/caller) — persistIfSmall caches it at gate SFs so they do
+    // not each re-run the whole pipeline; no-op past the small-frame
+    // budget (nothing corpus-sized cached at 100 TB, consumers
+    // re-derive map-side as before)
+    val out = graft.GraftSession.persistIfSmall(
+      Pipeline.run(spark, sources, spec.pipeline))
 
     // DQ gate on the OUTPUT frame (the reference's dq profile runs
     // post-transform). ONE fused-agg action evaluates the rules; the

@@ -122,7 +122,16 @@ object Pipeline {
     val spark = df.sparkSession
     val (_, screen) = screenFns(spark, s)
     graft.streaming.Streams.loadSignatureHistory(spark, s.historyRoot)
-      .fold(df)(h => screen(df, h))
+      // every screen family multi-consumes its batch side (signature
+      // derivation + the surviving-rows anti-join; exact's two-branch
+      // Bloom union is a third) — unpersisted, each consumer re-runs
+      // ALL prior pipeline steps, and STACKED screens multiply that
+      // (measured r20-opt on q_corpus_crawl: the quality-gate regex
+      // pass executed ~6x). persistIfSmall caches the step input at
+      // gate SFs and is a deliberate no-op past the small-frame budget
+      // — at 100 TB the screens keep their documented
+      // one-extra-map-side-scan shape, nothing corpus-sized is cached
+      .fold(df)(h => screen(graft.GraftSession.persistIfSmall(df), h))
   }
 
   /** The (signatures, screen) function pair a [[Screen]] config
