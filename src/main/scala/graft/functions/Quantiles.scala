@@ -60,12 +60,21 @@ object Quantiles {
     * `None` for a column with no non-null values (what native
     * `percentile` returns as SQL NULL).
     */
-  def exactQuantiles(df: DataFrame, probes: Seq[(String, Double)],
+  def exactQuantiles(df0: DataFrame, probes: Seq[(String, Double)],
                      bracketEps: Double = 0.002,
                      accuracy: Int = 2000): Seq[((String, Double), Option[Double])] = {
     require(probes.nonEmpty, "need at least one (column, q) probe")
     probes.foreach { case (c, q) =>
       require(q >= 0.0 && q <= 1.0, s"q must be in [0,1], got $q for $c") }
+    // NOT fanned out (r20-opt, measured): passes 1-2 partially
+    // aggregate map-side — a single-row-group scan reduces to ONE
+    // row before any exchange, so inserting a fan-out repartition
+    // ships the full row set per pass instead and read 2.0-2.7x
+    // SLOWER across the quantile-family queries (the §2.5 fan-out
+    // only pays where a derived frame is re-consumed or per-row CPU
+    // dominates — see ellipticBoundary, which caches its scored
+    // frame fanned).
+    val df = df0
     val cols = probes.map(_._1).distinct
     def v(c: String): Column = col(c).cast("double")
 

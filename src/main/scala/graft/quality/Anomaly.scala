@@ -473,9 +473,15 @@ object Anomaly {
     * shuffles; both aggregation passes are map-side partial. Keep the
     * operand ORDER mirrored in the SQL oracle.
     */
-  def ellipticBoundary(df: DataFrame, xCol: String, yCol: String,
+  def ellipticBoundary(df0: DataFrame, xCol: String, yCol: String,
                        nu: Double = 0.1, scale: Int = 6): DataFrame = {
     require(nu > 0.0 && nu < 1.0, "nu must be in (0, 1)")
+    // the moment agg, the quantile machinery's three scans and the
+    // output filter all map over this frame — and the small-frame
+    // cache below inherits its partitioning — so a one-row-group
+    // input would run every decimal sum on one core (guide §2.5).
+    // Conditional: no-op on any already-parallel scan.
+    val df = graft.operators.Ops.fanOutIfNarrow(df0)
     val x = col(xCol); val y = col(yCol)
     // ONE bounded 1-row collect of the moment sums, inlined as literal
     // doubles: every later pass over md2 (the quantile machinery's
