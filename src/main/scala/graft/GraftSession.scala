@@ -120,16 +120,25 @@ object GraftSession {
     * a cluster whose executors are sized very differently from the
     * driver JVM, set it explicitly.
     */
-  def persistIfSmall(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+  def persistIfSmall(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    if (isSmall(df)) df.persist() else df
+
+  /** The [[persistIfSmall]] decision, exposed: true iff the
+    * optimizer's size estimate fits the small-frame budget. Callers
+    * that would restructure a plan ONLY to serve a cached frame (e.g.
+    * a pre-cache fan-out repartition) gate on this so the
+    * restructuring and the cache always travel together — fanning a
+    * frame that will NOT be cached just inserts a full-row exchange in
+    * front of every consumer (measured r20-opt: q_anom_ocsvm at sf10,
+    * 1.4x). */
+  def isSmall(df: org.apache.spark.sql.DataFrame): Boolean = {
     // conf wins; SPARK_GRAFT_SMALL_PERSIST env overrides the default
     // (ops/bench A/B without a code edit)
     val budget = df.sparkSession.conf
       .getOption("spark.graft.smallPersistBytes").map(_.trim.toLong)
       .orElse(sys.env.get("SPARK_GRAFT_SMALL_PERSIST").map(_.trim.toLong))
       .getOrElse(Runtime.getRuntime.maxMemory() / 1024)
-    if (budget > 0 && df.queryExecution.optimizedPlan.stats.sizeInBytes <= budget)
-      df.persist()
-    else df
+    budget > 0 && df.queryExecution.optimizedPlan.stats.sizeInBytes <= budget
   }
 
   def releaseAll(spark: SparkSession): Unit = {

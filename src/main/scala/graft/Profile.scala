@@ -55,6 +55,21 @@ object Profile {
     if (args.lift(1).contains("expaudio")) {
       profileExpAudio(spark, sfDir, time); spark.stop(); return
     }
+    if (args.lift(1).contains("expstats")) {
+      // optimizer size estimates vs the small-persist budget for the
+      // frames the r20-opt persistIfSmall boundaries gate on
+      def stat(name: String, d: org.apache.spark.sql.DataFrame): Unit =
+        println(f"PROFILE stats $name%-28s est=${d.queryExecution.optimizedPlan.stats.sizeInBytes} small=${GraftSession.isSmall(d)}")
+      println(s"PROFILE budget=${Runtime.getRuntime.maxMemory() / 1024}")
+      val docs = Tables.load(spark, sfDir, "documents")
+      val li = Tables.load(spark, sfDir, "lineitem")
+      stat("documents-scan", docs)
+      stat("lineitem-scan", li)
+      stat("lineitem-4col", li.select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice"))
+      stat("minhash-bsig", graft.llm.Dedup.minhashHistorySignatures(docs, "doc_id", "text"))
+      stat("gated-docs", docs.filter(length(col("text")) > 10))
+      spark.stop(); return
+    }
     val docs = Tables.load(spark, sfDir, "documents")
     docs.count() // warm scan
 

@@ -480,8 +480,15 @@ object Anomaly {
     // output filter all map over this frame — and the small-frame
     // cache below inherits its partitioning — so a one-row-group
     // input would run every decimal sum on one core (guide §2.5).
-    // Conditional: no-op on any already-parallel scan.
-    val df = graft.operators.Ops.fanOutIfNarrow(df0)
+    // Gated on the CACHE decision, not just narrowness: fanning pays
+    // only because the fanned frame is re-consumed from cache; past
+    // the small-frame budget the repartition would instead insert a
+    // full-row exchange in front of every pass (measured r20-opt:
+    // sf10's ~16-partition scan triggered the narrowness test alone
+    // and read 1.4x — the exchange shipped 60M rows per pass with no
+    // cache to amortize it).
+    val df = if (graft.GraftSession.isSmall(df0))
+      graft.operators.Ops.fanOutIfNarrow(df0) else df0
     val x = col(xCol); val y = col(yCol)
     // ONE bounded 1-row collect of the moment sums, inlined as literal
     // doubles: every later pass over md2 (the quantile machinery's
