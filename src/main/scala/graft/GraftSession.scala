@@ -145,6 +145,16 @@ object GraftSession {
     spark.catalog.clearCache()
     spark.sparkContext.getPersistentRDDs.values
       .foreach(_.unpersist(blocking = false))
+    // The IVF quantizer memo (Ivf.trainAutoCached) is a driver-JVM map
+    // keyed on the corpus path — invalidation-correct, but it outlives
+    // Spark's caches, so a harness that loops over queries with
+    // releaseAll isolation would pay Lloyd training only on the first
+    // pass and report amortized numbers as if they were cold (r20
+    // verdict: bench min-of-3 never included training on ~8 IVF-family
+    // rows). releaseAll IS the isolation boundary, so the memo clears
+    // here with everything else; within one unit of work the memo still
+    // amortizes training across every IVF consumer of the same corpus.
+    graft.llm.Ivf.clearIndexCache()
     TempDirs.sweep()
     // Broadcasts and shuffle files are reclaimed by ContextCleaner only
     // after their references are GC'd on the driver; with a large heap
