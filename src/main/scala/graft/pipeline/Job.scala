@@ -222,9 +222,19 @@ object Job {
     // sink/caller) — persistIfSmall caches it at gate SFs so they do
     // not each re-run the whole pipeline; no-op past the small-frame
     // budget (nothing corpus-sized cached at 100 TB, consumers
-    // re-derive map-side as before)
-    val out = graft.GraftSession.persistIfSmall(
-      Pipeline.run(spark, sources, spec.pipeline))
+    // re-derive map-side as before).
+    // Consumer count is STATIC in the spec: with no dq rules,
+    // quarantine, anomaly section or sink, the only consumer is the
+    // caller — a cache there pays materialization for zero reuse
+    // (r20 verdict: q_job_screen, the one touched path that regressed
+    // in the driver bench, is exactly this single-consumer shape), so
+    // the cache engages only when a second consumer exists.
+    val pipelineOut = Pipeline.run(spark, sources, spec.pipeline)
+    val multiConsumer = spec.dqRules.nonEmpty || spec.quarantine.isDefined ||
+      spec.anomalyJson.isDefined || spec.sink.isDefined
+    val out =
+      if (multiConsumer) graft.GraftSession.persistIfSmall(pipelineOut)
+      else pipelineOut
 
     // DQ gate on the OUTPUT frame (the reference's dq profile runs
     // post-transform). ONE fused-agg action evaluates the rules; the

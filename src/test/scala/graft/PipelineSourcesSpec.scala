@@ -476,6 +476,20 @@ class PipelineSourcesSpec extends SparkSpec {
     assert(res.dqReport.get.filter(!col("passed")).count() == 1)
     assert(res.anomalies.isDefined)
     assert(spark.read.parquet(out).count() == res.output.count())
+    // r21 cache gate: the output cache only engages when the spec
+    // declares a SECOND consumer (dq/quarantine/anomaly/sink) — a bare
+    // pipeline's output goes to the caller once, and caching it paid
+    // materialization for zero reuse (the r20 q_job_screen regression)
+    val bare =
+      s"""{"datasets": [{"name": "jo", "format": "parquet", "path": "$dir/orders.parquet"}],
+         | "pipeline": {"primary": "jo", "steps": [
+         |   {"type": "select", "columns": ["o_orderkey", "o_totalprice"]}
+         | ]}}""".stripMargin
+    assert(Job.runJson(spark, bare).output.storageLevel ==
+      org.apache.spark.storage.StorageLevel.NONE,
+      "single-consumer job output must not be cached")
+    assert(res.output.storageLevel.useMemory,
+      "multi-consumer small job output should stay cached at gate SFs")
     // config validation: unknown keys and missing sections fail fast
     assert(intercept[IllegalArgumentException](
       Job.parse("""{"datasets": [], "pipelines": {}}"""))
