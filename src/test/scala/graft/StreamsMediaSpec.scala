@@ -1918,4 +1918,119 @@ class StreamsMediaSpec extends SparkSpec {
       (2L, 1, true, false, 320, "hvc1", 2000L, false),
       (3L, 0, false, false, -1, null, -1L, false)))
   }
+
+  test("wavPcmFastPath: bit-identical to the AudioSystem path on every accepted input, declines the rest") {
+    // Canonical WAV builder with deliberate header knobs — each knob
+    // either keeps the container in the fast path's provable subset or
+    // pushes it out (where it MUST decline and fall back to the JDK).
+    def wavBytes(bits: Int, channels: Int, rate: Int, frames: Int,
+                 fmtTag: Int = 1,
+                 extraChunk: Option[(String, Int)] = None,
+                 blockAlignOverride: Option[Int] = None,
+                 dataLenOverride: Option[Int] = None,
+                 riffLenOverride: Option[Int] = None): Array[Byte] = {
+      val frameSize = (bits / 8) * channels
+      val data = Array.tabulate[Byte](frames * frameSize)(i => ((i * 37 + 11) % 251).toByte)
+      val extra = extraChunk.map { case (_, n) => 8 + n }.getOrElse(0)
+      val riffLen = riffLenOverride.getOrElse(4 + 24 + extra + 8 + data.length)
+      val bb = java.nio.ByteBuffer.allocate(12 + 24 + extra + 8 + data.length)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put("RIFF".getBytes("US-ASCII")).putInt(riffLen)
+        .put("WAVE".getBytes("US-ASCII"))
+        .put("fmt ".getBytes("US-ASCII")).putInt(16)
+        .putShort(fmtTag.toShort).putShort(channels.toShort)
+        .putInt(rate).putInt(rate * frameSize)
+        .putShort(blockAlignOverride.getOrElse(frameSize).toShort)
+        .putShort(bits.toShort)
+      extraChunk.foreach { case (name, n) =>
+        bb.put(name.getBytes("US-ASCII")).putInt(n)
+          .put(Array.fill[Byte](n)(0x5A))
+      }
+      bb.put("data".getBytes("US-ASCII"))
+        .putInt(dataLenOverride.getOrElse(data.length)).put(data)
+      bb.array()
+    }
+    def assertIdentity(b: Array[Byte], expectFast: Boolean): Unit = {
+      assert(Media.wavPcmFastPath(b).isDefined == expectFast,
+        s"fast-path acceptance expected=$expectFast")
+      val ref = Media.decodePcmViaAudioSystem(b)
+      val got = Media.decodePcm(b)
+      assert(got.isDefined == ref.isDefined, "decodability diverged from the JDK")
+      (got, ref) match {
+        case (Some((gf, gx)), Some((rf, rx))) =>
+          assert(gf.getEncoding == rf.getEncoding)
+          assert(gf.getSampleRate == rf.getSampleRate)
+          assert(gf.getSampleSizeInBits == rf.getSampleSizeInBits)
+          assert(gf.getChannels == rf.getChannels)
+          assert(gf.getFrameSize == rf.getFrameSize)
+          assert(gf.isBigEndian == rf.isBigEndian)
+          assert(java.util.Arrays.equals(gx, rx), "decoded samples diverged")
+        case _ => ()
+      }
+    }
+    // the two generators the registered audio queries decode, across
+    // their parameter ranges
+    for (amp <- Seq(0, 1, 12288, 30000, 32767);
+         (nl, nt) <- Seq((0, 4), (2, 4), (400, 800), (800, 800)))
+      assertIdentity(Media.syntheticWav(amp, nl, nt), expectFast = true)
+    for (seed <- Seq(0L, 1L, 96L, -5L); gain <- Seq(1, 128, 255))
+      assertIdentity(Media.syntheticWavPattern(seed, gain), expectFast = true)
+    // bit depths / channel counts / rates the fast path claims
+    for (bits <- Seq(8, 16, 24, 32); ch <- Seq(1, 2); frames <- Seq(0, 1, 7, 200))
+      assertIdentity(wavBytes(bits, ch, 44100, frames), expectFast = true)
+    assertIdentity(wavBytes(16, 6, 8000, 50), expectFast = true)
+    // an even-length unknown chunk between fmt and data: both walk past
+    assertIdentity(wavBytes(16, 2, 8000, 10, extraChunk = Some(("LIST", 26))),
+      expectFast = true)
+    // declared data length shorter than the payload and not a frame
+    // multiple: both truncate to whole frames
+    assertIdentity(wavBytes(16, 2, 8000, 3, dataLenOverride = Some(10)),
+      expectFast = true)
+    // out of the provable subset -> fast path MUST decline (the JDK
+    // path then owns the answer, identity holds by construction):
+    // odd-length skipped chunk (pad semantics), float PCM tag,
+    // extensible tag, non-byte-aligned bits, inconsistent block align,
+    // lying RIFF length, data spilling past the container
+    assertIdentity(wavBytes(16, 1, 8000, 10, extraChunk = Some(("LIST", 7))),
+      expectFast = false)
+    assertIdentity(wavBytes(16, 1, 8000, 10, fmtTag = 3), expectFast = false)
+    assertIdentity(wavBytes(16, 1, 8000, 10, fmtTag = 0xFFFE), expectFast = false)
+    assertIdentity(wavBytes(16, 1, 8000, 10, blockAlignOverride = Some(3)),
+      expectFast = false)
+    assertIdentity(wavBytes(16, 1, 8000, 10, riffLenOverride = Some(20)),
+      expectFast = false)
+    assertIdentity(wavBytes(16, 1, 8000, 10,
+      dataLenOverride = Some(1000)), expectFast = false)
+    // µ-law (tag 7) converts through the JDK converter — never fast
+    assertIdentity(wavBytes(8, 1, 8000, 10, fmtTag = 7), expectFast = false)
+    // the JDK's own writers (WAV round-trip plus AIFF/AU, which are not
+    // RIFF at all) and non-audio magics
+    def encoded(t: javax.sound.sampled.AudioFileFormat.Type,
+                bits: Int, ch: Int, be: Boolean): Array[Byte] = {
+      val fmt = new javax.sound.sampled.AudioFormat(8000f, bits, ch, true, be)
+      val pcm = Array.tabulate[Byte](400)(i => (i % 64).toByte)
+      val ais = new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(pcm), fmt, 400 / ((bits / 8) * ch))
+      val baos = new java.io.ByteArrayOutputStream()
+      javax.sound.sampled.AudioSystem.write(ais, t, baos)
+      baos.toByteArray
+    }
+    val wave = javax.sound.sampled.AudioFileFormat.Type.WAVE
+    assertIdentity(encoded(wave, 16, 1, be = false), expectFast = true)
+    assertIdentity(encoded(wave, 16, 2, be = false), expectFast = true)
+    assertIdentity(
+      encoded(javax.sound.sampled.AudioFileFormat.Type.AIFF, 16, 1, be = true),
+      expectFast = false)
+    assertIdentity(
+      encoded(javax.sound.sampled.AudioFileFormat.Type.AU, 16, 1, be = true),
+      expectFast = false)
+    val mp3 = Array[Byte](0xFF.toByte, 0xFB.toByte, 0x90.toByte, 0) ++
+      Array.fill(96)(0.toByte)
+    assertIdentity(mp3, expectFast = false)
+    assertIdentity("OggS0000".getBytes, expectFast = false)
+    assertIdentity("random junk, definitely not audio".getBytes, expectFast = false)
+    assertIdentity(Array[Byte](1, 2), expectFast = false)
+    assert(Media.decodePcm(Array.empty[Byte]).isEmpty)
+    assert(Media.decodePcm(null).isEmpty)
+  }
 }
