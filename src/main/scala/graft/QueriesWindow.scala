@@ -67,7 +67,8 @@ object QueriesWindow {
           Seq(count(lit(1)).as("n"), Det.sumAt(col("value"), 6).as("sum_val")))
         .select(col("window.start").as("bucket_start"), col("event_type"),
           col("n"), col("sum_val"))
-      drainToTable(s, agg, "q_stream_tumbling_sink")
+      drainToTable(s, agg, "q_stream_tumbling_sink",
+        sourceBytes = Some(Tables.inputBytes(s, dir, "events")))
     }),
 
     // SLIDING-window streaming agg, oracle-checked: width 1 h, slide
@@ -82,7 +83,8 @@ object QueriesWindow {
           Seq(count(lit(1)).as("n"), Det.sumAt(col("value"), 6).as("sum_val")))
         .select(col("window.start").as("bucket_start"), col("event_type"),
           col("n"), col("sum_val"))
-      drainToTable(s, agg, "q_stream_sliding_sink")
+      drainToTable(s, agg, "q_stream_sliding_sink",
+        sourceBytes = Some(Tables.inputBytes(s, dir, "events")))
     }),
 
     // stream-static join, oracle-checked: the events STREAM enriched
@@ -97,7 +99,8 @@ object QueriesWindow {
         .join(broadcast(dim), col("user_id") === col("c_custkey"))
         .groupBy(col("c_mktsegment"), col("event_type"))
         .agg(count(lit(1)).as("n"), Det.sumAt(col("value"), 6).as("sum_val"))
-      drainToTable(s, joined, "q_stream_join_sink")
+      drainToTable(s, joined, "q_stream_join_sink",
+        sourceBytes = Some(Tables.inputBytes(s, dir, "events")))
     }),
 
     // streaming gap-sessionization, oracle-checked: session_window
@@ -111,7 +114,8 @@ object QueriesWindow {
           Seq(count(lit(1)).as("n_events"), Det.sumAt(col("value"), 6).as("sum_val")))
         .select(col("user_id"), col("session_start"),
           col("n_events"), col("sum_val"))
-      drainToTable(s, agg, "q_stream_sessionize_sink")
+      drainToTable(s, agg, "q_stream_sessionize_sink",
+        sourceBytes = Some(Tables.inputBytes(s, dir, "events")))
     }),
 
     // streaming dedup end-to-end, oracle-checked: source -> watermark ->
@@ -134,7 +138,8 @@ object QueriesWindow {
         .select(col("user_id"), col("event_type"))
       drainToTable(s, dd, "q_stream_dedup_sink",
         org.apache.spark.sql.streaming.OutputMode.Append(),
-        requireSingleBatch = true)
+        requireSingleBatch = true,
+        sourceBytes = Some(Tables.inputBytes(s, dir, "events")))
     }),
 
     // streaming row-level DQ quarantine, oracle-checked: the batch
@@ -198,7 +203,8 @@ object QueriesWindow {
   private def drainToTable(s: SparkSession, agg: DataFrame, sink: String,
                            mode: org.apache.spark.sql.streaming.OutputMode =
                              org.apache.spark.sql.streaming.OutputMode.Complete(),
-                           requireSingleBatch: Boolean = false): DataFrame = {
+                           requireSingleBatch: Boolean = false,
+                           sourceBytes: Option[Long] = None): DataFrame = {
     s.catalog.dropTempView(sink)
     // Bounded replays never need the watermark-advance NO-DATA batch:
     // every query drained here emits its rows in the DATA batch itself
@@ -212,8 +218,20 @@ object QueriesWindow {
     // (and any continuous production stream, where watermark-gated
     // APPEND finals do need the batch) is untouched.
     val noDataKey = "spark.sql.streaming.noDataMicroBatches.enabled"
+    val spKey = "spark.sql.shuffle.partitions"
     val prevNoData = s.conf.get(noDataKey)
+    val prevSp = s.conf.get(spKey)
     s.conf.set(noDataKey, "false")
+    // r21: size the drain's STATE partitioning to the replay's volume
+    // (Streams.drainStatePartitions — each HDFS-backed state partition
+    // pays a fixed per-batch commit; results are partition-count-
+    // invariant, already exercised across 8/32-core gate runs). Scoped
+    // to this query start and restored: state partitioning pins at the
+    // first batch, so the scope is exactly the knob's lifetime.
+    sourceBytes.foreach { bytes =>
+      s.conf.set(spKey,
+        graft.streaming.Streams.drainStatePartitions(s, bytes).toString)
+    }
     try {
       val q = graft.streaming.Streams.startMemorySink(agg, sink, mode)
       try {
@@ -225,7 +243,10 @@ object QueriesWindow {
               "oracle's DISTINCT contract only holds for a single-batch replay")
         }
       } finally q.stop()
-    } finally s.conf.set(noDataKey, prevNoData)
+    } finally {
+      s.conf.set(noDataKey, prevNoData)
+      s.conf.set(spKey, prevSp)
+    }
     s.table(sink)
   }
 

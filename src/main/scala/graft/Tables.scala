@@ -71,6 +71,16 @@ object Tables {
           batchSchema, Map("pathGlobFilter" -> "events.parquet")))
   }
 
+  /** On-disk bytes of a table's parquet path — the driver-side volume
+    * probe scale-adaptive knobs derive from (one FS metadata call, no
+    * Spark job).
+    */
+  def inputBytes(spark: SparkSession, dir: String, name: String): Long = {
+    val p = new org.apache.hadoop.fs.Path(s"$dir/$name.parquet")
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .getContentSummary(p).getLength
+  }
+
   /** Register every table as a temp view (for SQL transforms). View
     * registration is lazy metadata, but re-deriving ten view plans per
     * query is still wasted setup — skip when this session already

@@ -93,6 +93,29 @@ object Streams {
     df.writeStream.format("memory").queryName(queryName)
       .outputMode(outputMode).start()
 
+  /** State-store partition count for a BOUNDED replay, derived from the
+    * replay's input volume. A stateful streaming query pins its state
+    * partitioning to `spark.sql.shuffle.partitions` at the FIRST
+    * micro-batch (no AQE on streaming shuffles), and every HDFS-backed
+    * state partition pays a fixed per-batch commit (delta file + CRC +
+    * maintenance) regardless of content — so a bounded replay whose
+    * whole state fits a few partitions spends most of its wall time
+    * committing empty ones (r20-opt: ~1.2-1.7 s per stateful drain at
+    * the session's core-count partitioning). Volume-derived, never a
+    * constant: bytes / `spark.graft.streamBytesPerStatePartition`
+    * (default 64 MB — guide §2.2's partition-size floor), clamped to
+    * [1, session shuffle partitions], so a corpus-sized replay keeps
+    * the session's full parallelism and only small replays shed the
+    * fixed commit overhead. Callers scope it to the one query start
+    * (state partitioning is a per-checkpoint property).
+    */
+  def drainStatePartitions(spark: SparkSession, inputBytes: Long): Int = {
+    val per = spark.conf.getOption("spark.graft.streamBytesPerStatePartition")
+      .map(_.trim.toLong).filter(_ > 0).getOrElse(64L << 20)
+    val session = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    math.max(1L, math.min(session.toLong, (inputBytes + per - 1) / per)).toInt
+  }
+
   /** Late-data SIDE OUTPUT: Spark's watermark silently DROPS rows that
     * arrive after the horizon — correct for state bounding, but a
     * training-data pipeline usually wants late rows LANDED somewhere

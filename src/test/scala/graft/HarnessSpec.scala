@@ -68,4 +68,72 @@ class HarnessSpec extends SparkSpec {
     assert(Bench.planFingerprint(a) != Bench.planFingerprint(c),
       "different argument shape must still fingerprint differently")
   }
+
+  test("Streams.drainStatePartitions: volume-derived, clamped to [1, session]") {
+    import graft.streaming.Streams
+    val sp = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    assert(Streams.drainStatePartitions(spark, 0L) == 1)
+    assert(Streams.drainStatePartitions(spark, 1L) == 1)
+    assert(Streams.drainStatePartitions(spark, 64L << 20) == 1)
+    assert(Streams.drainStatePartitions(spark, (64L << 20) + 1) == math.min(2, sp))
+    assert(Streams.drainStatePartitions(spark, Long.MaxValue / 4) == sp,
+      "a corpus-sized replay must keep the session's full parallelism")
+    spark.conf.set("spark.graft.streamBytesPerStatePartition", "1048576")
+    try assert(Streams.drainStatePartitions(spark, 3L << 20) == math.min(3, sp))
+    finally spark.conf.unset("spark.graft.streamBytesPerStatePartition")
+  }
+
+  test("bounded-window audit (r21): unpartitioned windows sit above an explicit bound") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, GlobalLimit, Window => LWindow}
+    import spark.implicits._
+    def unpartitioned(df: org.apache.spark.sql.DataFrame): Seq[LWindow] =
+      df.queryExecution.optimizedPlan.collect {
+        case w: LWindow if w.partitionSpec.isEmpty => w
+      }
+    // Audit.trail with a deep offset: the ranking window's input is the
+    // LIMIT(offset+limit) page — bounded by construction, and this
+    // fails if the limit ever stops reaching below the window
+    val audit = (1L to 500L).map(i => (i, s"r$i", "evt", "act",
+      new java.sql.Timestamp(i * 1000), s"u${i % 7}", "{}", "ip", "s"))
+      .toDF("audit_id", "run_id", "event_type", "action",
+        "action_timestamp", "user_id", "action_details", "ip_address",
+        "session_id")
+    val paged = graft.monitoring.Audit.trail(audit,
+      graft.monitoring.Audit.TrailFilter(limit = 10, offset = 5))
+    val pagedWs = unpartitioned(paged)
+    assert(pagedWs.nonEmpty, "expected the offset-ranking window")
+    assert(pagedWs.forall(
+      _.child.collectFirst { case _: GlobalLimit => true }.getOrElse(false)),
+      "Audit.trail's unpartitioned window must rank a LIMIT-bounded page")
+    // Search top-k heads: the rank window reads an orderBy().limit(k)
+    val docs = (1L to 300L)
+      .map(i => (i, s"alpha beta gamma t$i the quick brown fox"))
+      .toDF("doc_id", "text")
+    val vocab = graft.llm.Search.vocabTop(docs, "doc_id", "text", k = 7)
+    val vws = unpartitioned(vocab)
+    assert(vws.nonEmpty && vws.forall(
+      _.child.collectFirst { case _: GlobalLimit => true }.getOrElse(false)),
+      "Search's unpartitioned rank window must read a top-k LIMIT head")
+    // Incremental.gaps, big route: the only unpartitioned window is the
+    // bucket-seam stitch over a groupBy(__wb) aggregate (≤ buckets
+    // rows); the in-bucket window is partitioned
+    val seqs = (1L to 1000L).map(i => i * 3).toDF("v")
+    val bucketed = graft.incremental.Incremental.gaps(seqs, "v",
+      smallDistinct = 10)
+    val bws = unpartitioned(bucketed)
+    assert(bws.nonEmpty, "expected the seam-stitch window")
+    assert(bws.forall(
+      _.child.collectFirst { case _: Aggregate => true }.getOrElse(false)),
+      "gaps' unpartitioned seam window must read a per-bucket aggregate")
+    assert(bucketed.queryExecution.optimizedPlan.collect {
+      case w: LWindow if w.partitionSpec.nonEmpty => w
+    }.nonEmpty, "the in-bucket lag window must stay partitioned")
+    // small route: the window input is the DISTINCT frame, admitted
+    // only after an exact count ≤ smallDistinct (the code gate); shape
+    // check — the window reads the distinct aggregate, nothing wider
+    val small = graft.incremental.Incremental.gaps(seqs, "v")
+    val sws = unpartitioned(small)
+    assert(sws.nonEmpty && sws.forall(
+      _.child.collectFirst { case _: Aggregate => true }.getOrElse(false)))
+  }
 }
