@@ -1453,8 +1453,15 @@ object Dedup {
           l.rdd.unpersist(blocking = false)
         case _ => ()
       }
+    // the undirected edge frame is consumed once per ROUND (neighbour
+    // join) plus the label init — unmaterialized, every consumption
+    // re-ran the caller's pair derivation (diameter+1 evaluations of a
+    // banding/levenshtein join). Materialize it ONCE (r21, the same
+    // localCheckpoint device the label rounds already use; its blocks
+    // back the loop only, released with the session contract).
     val und = edges.select(col(srcCol).as("__u"), col(dstCol).as("__v"))
       .union(edges.select(col(dstCol).as("__u"), col(srcCol).as("__v")))
+      .localCheckpoint()
     var labels = und.select(col("__u").as("node")).distinct()
       .withColumn("component", col("node")).localCheckpoint()
     var converged = false
@@ -1481,6 +1488,10 @@ object Dedup {
       throw new IllegalStateException(
         s"componentLabels did not converge in $maxIters iterations — " +
           "the pair graph has a longer path than expected; raise maxIters")
+    // the returned labels frame is its own checkpoint; the edge
+    // materialization served only the loop — release it so exactly one
+    // checkpoint outlives the call (the leak contract the specs pin)
+    dropCheckpoint(und)
     labels
   }
 
@@ -1519,14 +1530,30 @@ object Dedup {
           l.rdd.unpersist(blocking = false)
         case _ => ()
       }
-    // orient (larger, smaller), drop self-loops; self-loop-only nodes
-    // re-enter via the final all-nodes join
-    val canon = edges
+    // ONE evaluation of the caller's edge derivation (r21): the edge
+    // input used to be consumed twice — canonical orientation + the
+    // final all-nodes union — and each evaluation re-ran the caller's
+    // pair derivation (for the collapse family: the banded levenshtein
+    // join, twice per query). A stats-gated persistIfSmall can never
+    // engage here (join-output size estimates exceed any sane budget),
+    // so materialize the canonicalized id-pair projection ONCE as a
+    // localCheckpoint — the same edge-sized frame class the round loop
+    // below already checkpoints every iteration, so no new scale
+    // hazard — KEEPING self-loops so the final node set derives from
+    // the checkpoint too ({greatest,least} of each pair is exactly
+    // {src,dst}, so the node set is unchanged). The loop seed filters
+    // self-loops out lazily. Like the final label frame, this
+    // checkpoint backs the RETURNED plan and follows the session
+    // release contract (GraftSession.releaseAll).
+    val canon0 = edges
       .select(col(srcCol).as("__a"), col(dstCol).as("__b"))
-      .filter(col("__a") =!= col("__b"))
       .select(greatest(col("__a"), col("__b")).as("__u"),
         least(col("__a"), col("__b")).as("__v"))
       .distinct()
+      .localCheckpoint()
+    // orient (larger, smaller), drop self-loops; self-loop-only nodes
+    // re-enter via the final all-nodes join
+    val canon = canon0.filter(col("__u") =!= col("__v"))
     def largeStar(cur: DataFrame): DataFrame = {
       val und = cur.union(cur.select(col("__v").as("__u"), col("__u").as("__v")))
       val m = und.groupBy(col("__u")).agg(min(col("__v")).as("__mn"))
@@ -1553,7 +1580,11 @@ object Dedup {
       (r.getLong(0),
         Option(r.getDecimal(1)).map(_.toBigInteger.toString).getOrElse("0"))
     }
-    var cur = canon.localCheckpoint()
+    // cur starts as a lazy self-loop filter over canon0's checkpoint —
+    // no second materialization; round 1's dropCheckpoint(cur) is then
+    // a safe no-op (not a LogicalRDD) and canon0 survives for the final
+    // node union below
+    var cur: DataFrame = canon
     var sig = fingerprint(cur)
     var converged = false
     var i = 0
@@ -1582,10 +1613,20 @@ object Dedup {
     // themselves.
     val starMap = cur.groupBy(col("__u").as("node"))
       .agg(min(col("__v")).as("__comp"))
-    val nodes = edges.select(col(srcCol).as("node"))
-      .union(edges.select(col(dstCol).as("node"))).distinct()
-    nodes.join(starMap, Seq("node"), "left")
+    val nodes = canon0.select(col("__u").as("node"))
+      .union(canon0.select(col("__v").as("node"))).distinct()
+    // materialize the (node, component) result — node-sized, the same
+    // class as the fixpoint frame — so BOTH edge-sized checkpoints
+    // (canon0 and the final round) release here and exactly one
+    // checkpoint outlives the call (the leak contract the specs pin);
+    // callers consume the result at least once, so the eager pass is
+    // moved work, not added work
+    val out = nodes.join(starMap, Seq("node"), "left")
       .select(col("node"), coalesce(col("__comp"), col("node")).as("component"))
+      .localCheckpoint()
+    dropCheckpoint(canon0)
+    dropCheckpoint(cur)
+    out
   }
 
   /** Collapse near-duplicate clusters to one canonical row each: given
