@@ -102,16 +102,32 @@ object Streams {
     * whole state fits a few partitions spends most of its wall time
     * committing empty ones (r20-opt: ~1.2-1.7 s per stateful drain at
     * the session's core-count partitioning). Volume-derived, never a
-    * constant: bytes / `spark.graft.streamBytesPerStatePartition`
-    * (default 64 MB — guide §2.2's partition-size floor), clamped to
-    * [1, session shuffle partitions], so a corpus-sized replay keeps
-    * the session's full parallelism and only small replays shed the
-    * fixed commit overhead. Callers scope it to the one query start
-    * (state partitioning is a per-checkpoint property).
+    * constant: bytes / `spark.graft.streamBytesPerStatePartition`,
+    * clamped to [1, session shuffle partitions], so a corpus-sized
+    * replay keeps the session's full parallelism and only small
+    * replays shed the fixed commit overhead. Callers scope it to the
+    * one query start (state partitioning is a per-checkpoint
+    * property).
+    *
+    * The default target is 4 MB of replay per state partition — set by
+    * the r21 sf10 scale check, which caught 64 MB regressing
+    * q_stream_sessionize to 233.9 s at sf10 (207 MB replay / 64 MB = 4
+    * partitions serialized the per-partition session-merge compute:
+    * stateful ops are compute-bound well before a partition's input
+    * reaches shuffle-sized byte targets; an 8 MB target [26 partitions]
+    * still measured min 83 s vs 33.7 s at the session's 32). At 4 MB
+    * the few-MB gate replays still collapse to one partition (the
+    * commit-overhead win, ~45-60% of the drain), while anything past
+    * ~128 MB clamps to the session's parallelism — the pre-r21
+    * behavior recovered exactly. The knob sheds fixed commit overhead
+    * on small replays and deliberately nothing else.
     */
   def drainStatePartitions(spark: SparkSession, inputBytes: Long): Int = {
+    // conf wins; the env var enables ops/bench A/B without a code edit
+    // (the SPARK_GRAFT_SMALL_PERSIST pattern)
     val per = spark.conf.getOption("spark.graft.streamBytesPerStatePartition")
-      .map(_.trim.toLong).filter(_ > 0).getOrElse(64L << 20)
+      .orElse(sys.env.get("SPARK_GRAFT_STREAM_BYTES_PER_STATE_PARTITION"))
+      .map(_.trim.toLong).filter(_ > 0).getOrElse(4L << 20)
     val session = spark.conf.get("spark.sql.shuffle.partitions").toInt
     math.max(1L, math.min(session.toLong, (inputBytes + per - 1) / per)).toInt
   }

@@ -74,8 +74,8 @@ class HarnessSpec extends SparkSpec {
     val sp = spark.conf.get("spark.sql.shuffle.partitions").toInt
     assert(Streams.drainStatePartitions(spark, 0L) == 1)
     assert(Streams.drainStatePartitions(spark, 1L) == 1)
-    assert(Streams.drainStatePartitions(spark, 64L << 20) == 1)
-    assert(Streams.drainStatePartitions(spark, (64L << 20) + 1) == math.min(2, sp))
+    assert(Streams.drainStatePartitions(spark, 4L << 20) == 1)
+    assert(Streams.drainStatePartitions(spark, (4L << 20) + 1) == math.min(2, sp))
     assert(Streams.drainStatePartitions(spark, Long.MaxValue / 4) == sp,
       "a corpus-sized replay must keep the session's full parallelism")
     spark.conf.set("spark.graft.streamBytesPerStatePartition", "1048576")
